@@ -1,0 +1,19 @@
+package graft.queries
+
+import graft.core.GraftQuery
+
+/** Central registry of all verifiable operators. Each pack is one area of
+  * SURVEY.md §2 / the extension surface; SparkEntry exposes the union.
+  */
+object Registry {
+  def packs: Seq[Seq[GraftQuery]] = Seq(
+    RelationalQueries.all,
+  )
+
+  lazy val all: Seq[GraftQuery] = {
+    val qs = packs.flatten
+    val dup = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
+    qs
+  }
+}
