@@ -1,0 +1,339 @@
+package graft.etl
+
+import java.util.Locale
+import java.util.regex.Pattern
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Block extractors — the reference's "table-valued functions" that turn one
+  * document string into heterogeneous records
+  * (reference: backend/etl_pipeline.py:84-159). Pure Scala core so the exact
+  * semantics are unit-testable without a SparkSession; [[graft.etl.EtlUdfs]]
+  * wraps it as a Spark UDF (one call per document — embarrassingly parallel,
+  * no shuffle, scales linearly with document count).
+  *
+  * Faithful behaviors preserved:
+  *  - ALL extractors run unconditionally and results concatenate in order
+  *    E1→E8 (a strict-JSON doc is re-matched by the embedded-JSON regexes, so
+  *    records intentionally duplicate with/without `_source_type`);
+  *  - strict-JSON records (E1) carry NO `_source_type` key;
+  *  - `_source_type` is appended as the LAST key of each tagged record;
+  *  - nested dicts are flattened `.`-joined (pandas `json_normalize`), lists
+  *    are kept intact;
+  *  - a block that fails to parse is silently skipped;
+  *  - empty result → single `{_error, _source_type: 'error'}` row (E9).
+  */
+object Extract {
+
+  /** One extracted record: ordered key → dynamic value. */
+  type Record = Vector[(String, JVal)]
+
+  private val JsonObjRe = Pattern.compile("\\{[\\s\\S]+?\\}")
+  private val JsonArrRe = Pattern.compile("\\[[\\s\\S]+?\\]")
+  private val CsvRe = Pattern.compile("((?:[\\w\" ]+,)+[\\w\" ]+\\n(?:[^\\n]*\\n?)+)")
+  private val YamlRe = Pattern.compile("(?:[a-zA-Z0-9_]+:\\s[^\\n]+\\n(?:\\s+- .+\\n)*)+")
+  private val CodeRe = Pattern.compile("(def .+?:\\n(?:\\s+.+\\n)*|print\\(.+\\))")
+  private val LogRe = Pattern.compile("\\[\\d{4}-\\d{2}-\\d{2} .+?\\] .+")
+
+  def extractAll(text: String): Vector[Record] = {
+    val out = Vector.newBuilder[Record]
+
+    // E1: strict JSON document (no _source_type tag)
+    Json.parseOpt(text).foreach {
+      case o: JObj => out += flattenDicts(o.fields.toVector)
+      case JArr(items) => items.foreach { case o: JObj => out += flattenDicts(o.fields) case _ => }
+      case _ =>
+    }
+    // E2: embedded JSON objects
+    findAll(JsonObjRe, text, 0).foreach { block =>
+      Json.parseOpt(block).foreach {
+        case o: JObj => out += flattenDicts(o.fields :+ ("_source_type" -> JStr("json")))
+        case JArr(items) =>
+          items.foreach { case o: JObj => out += flattenDicts(o.fields :+ ("_source_type" -> JStr("json"))) case _ => }
+        case _ =>
+      }
+    }
+    // E3: embedded JSON arrays (only list results are taken)
+    findAll(JsonArrRe, text, 0).foreach { block =>
+      Json.parseOpt(block).foreach {
+        case JArr(items) =>
+          items.foreach { case o: JObj => out += flattenDicts(o.fields :+ ("_source_type" -> JStr("json"))) case _ => }
+        case _ =>
+      }
+    }
+    // E4: embedded CSV blocks
+    findAll(CsvRe, text, 1).foreach { block =>
+      Csv.parseBlock(block).foreach(_.foreach { rec =>
+        out += (rec :+ ("_source_type" -> JStr("csv")))
+      })
+    }
+    // E5: embedded YAML blocks (dict results only)
+    findAll(YamlRe, text, 0).foreach { block =>
+      Yamls.parseOpt(block).foreach {
+        case o: JObj => out += flattenDicts(o.fields :+ ("_source_type" -> JStr("yaml")))
+        case _ =>
+      }
+    }
+    // E6: HTML tag rows
+    Html.tagRows(text).foreach { t =>
+      val attrs = t.attrs.map { case (k, v) => s"_html_attr_$k" -> JStr(v) }
+      out += (Vector(
+        "_html_tag" -> JStr(t.name),
+        "_html_text" -> JStr(t.text),
+        "_source_type" -> JStr("html")) ++ attrs)
+    }
+    // E7: code blocks (newlines → spaces)
+    findAll(CodeRe, text, 1).foreach { code =>
+      out += Vector("_code_block" -> JStr(code.replace("\n", " ")), "_source_type" -> JStr("code"))
+    }
+    // E8: log lines
+    findAll(LogRe, text, 0).foreach { log =>
+      out += Vector("_log_entry" -> JStr(log), "_source_type" -> JStr("log"))
+    }
+
+    val res = out.result()
+    if (res.isEmpty)
+      Vector(Vector("_error" -> JStr("No extractable block found"), "_source_type" -> JStr("error")))
+    else res
+  }
+
+  private def findAll(p: Pattern, text: String, group: Int): Vector[String] = {
+    val m = p.matcher(text)
+    val b = Vector.newBuilder[String]
+    while (m.find()) b += m.group(group)
+    b.result()
+  }
+
+  /** pandas `json_normalize` record semantics: nested dicts flatten with
+    * `.`-joined keys; lists are left intact.
+    */
+  def flattenDicts(fields: Vector[(String, JVal)], prefix: String = ""): Record =
+    fields.flatMap { case (k, v) =>
+      val key = if (prefix.isEmpty) k else s"$prefix.$k"
+      v match {
+        case JObj(inner) => flattenDicts(inner, key)
+        case other => Vector(key -> other)
+      }
+    }
+}
+
+/** pandas-`read_csv`-like parsing for embedded CSV blocks: first line is the
+  * header, duplicate headers deduped with `.N`, empty headers `Unnamed: N`,
+  * per-column dtype inference (all-int → int, numeric-or-NA → float, else
+  * string), default NA tokens, a row wider than the header fails the whole
+  * block (pandas ParserError → block skipped).
+  */
+object Csv {
+  private val NaTokens = Set("", "NA", "N/A", "NULL", "null", "NaN", "nan", "None", "n/a", "<NA>")
+
+  def parseBlock(block: String): Option[Vector[Extract.Record]] = {
+    val lines = block.split("\n", -1).toVector.filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    val header0 = splitLine(lines.head).getOrElse(return None)
+    val header = dedupHeader(header0)
+    val rowsOpt = lines.tail.map(splitLine)
+    if (rowsOpt.exists(_.isEmpty)) return None
+    val rows = rowsOpt.map(_.get)
+    if (rows.exists(_.length > header.length)) return None // ParserError
+    if (rows.isEmpty) return None // header-only frame → zero records
+    val padded = rows.map(r => r.padTo(header.length, null: String))
+
+    // column dtype inference
+    val cols = header.indices.map { i =>
+      val cells = padded.map(_(i))
+      val nonNa = cells.filter(c => c != null && !NaTokens.contains(c.trim))
+      def allMatch(re: String) = nonNa.nonEmpty && nonNa.forall(_.trim.matches(re))
+      val anyNa = cells.exists(c => c == null || NaTokens.contains(c.trim))
+      if (allMatch("[+-]?\\d+") && !anyNa) cells.map(c => JInt(BigInt(c.trim)): JVal)
+      else if (allMatch("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?"))
+        cells.map(c =>
+          if (c == null || NaTokens.contains(c.trim)) JNull
+          else JFloat(c.trim.toDouble): JVal)
+      else cells.map(c =>
+        if (c == null || NaTokens.contains(c.trim)) JNull else JStr(c): JVal)
+    }
+    Some(padded.indices.map(r => header.indices.map(i => header(i) -> cols(i)(r)).toVector).toVector)
+  }
+
+  /** pandas-C-engine-ish single-line split: a quote only opens quoting at
+    * FIELD START; mid-field quotes are literal (so `print("x")` stays one
+    * literal field). Doubled-quote escape inside quoted fields.
+    */
+  private def splitLine(line: String): Option[Vector[String]] = {
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    var atFieldStart = true
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' if atFieldStart => inQ = true; atFieldStart = false
+        case ',' => fields += cur.toString; cur.clear(); atFieldStart = true
+        case other => cur.append(other); atFieldStart = false
+      }
+      i += 1
+    }
+    if (inQ) return None
+    fields += cur.toString
+    Some(fields.result())
+  }
+
+  private def dedupHeader(h: Vector[String]): Vector[String] = {
+    val seen = mutable.Map.empty[String, Int]
+    h.zipWithIndex.map { case (name0, i) =>
+      val name = if (name0.trim.isEmpty) s"Unnamed: $i" else name0
+      seen.get(name) match {
+        case None => seen(name) = 0; name
+        case Some(n) => seen(name) = n + 1; s"$name.${n + 1}"
+      }
+    }
+  }
+}
+
+/** YAML 1.1 loading via SnakeYAML (ships with Spark), converted to [[JVal]].
+  * Mirrors `yaml.safe_load`: maps keep order; `yes/no/on/off` booleans;
+  * timestamps render ISO-style like python `str(date/datetime)`.
+  */
+object Yamls {
+  def parseOpt(block: String): Option[JVal] =
+    try {
+      val loaderOpts = new org.yaml.snakeyaml.LoaderOptions()
+      val yaml = new org.yaml.snakeyaml.Yaml(
+        new org.yaml.snakeyaml.constructor.SafeConstructor(loaderOpts))
+      Option(yaml.load[AnyRef](block)).map(convert)
+    } catch { case _: Exception => None }
+
+  private def convert(o: AnyRef): JVal = o match {
+    case null => JNull
+    case b: java.lang.Boolean => JBool(b)
+    case i: java.lang.Integer => JInt(BigInt(i.intValue))
+    case l: java.lang.Long => JInt(BigInt(l.longValue))
+    case bi: java.math.BigInteger => JInt(BigInt(bi))
+    case d: java.lang.Double => JFloat(d)
+    case f: java.lang.Float => JFloat(f.doubleValue)
+    case s: String => JStr(s)
+    case d: java.util.Date =>
+      val ldt = java.time.LocalDateTime.ofInstant(d.toInstant, java.time.ZoneOffset.UTC)
+      val s =
+        if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT) ldt.toLocalDate.toString
+        else ldt.toLocalDate.toString + " " + ldt.toLocalTime.toString
+      JStr(s)
+    case m: java.util.Map[_, _] =>
+      JObj(m.asScala.iterator.map { case (k, v) =>
+        String.valueOf(k) -> convert(v.asInstanceOf[AnyRef])
+      }.toVector)
+    case l: java.util.List[_] =>
+      JArr(l.asScala.iterator.map(x => convert(x.asInstanceOf[AnyRef])).toVector)
+    case other => JStr(other.toString)
+  }
+}
+
+/** Lenient HTML tag scanner standing in for BeautifulSoup's html.parser
+  * traversal (reference: backend/etl_pipeline.py:141-148): every element in
+  * document order whose subtree text (each text node stripped, concatenated)
+  * is longer than 3 chars becomes a row; `class`/`rel` attrs are
+  * multi-valued and render python-list-style.
+  */
+object Html {
+  final case class TagRow(name: String, text: String, attrs: Vector[(String, String)])
+
+  private val TagRe = Pattern.compile("<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>|<!--[\\s\\S]*?-->")
+  private val AttrRe = Pattern.compile("([a-zA-Z_:][-a-zA-Z0-9_:.]*)\\s*(?:=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+)))?")
+  private val Void = Set("area", "base", "br", "col", "embed", "hr", "img",
+    "input", "link", "meta", "param", "source", "track", "wbr")
+  private val MultiValued = Set("class", "rel")
+  private val Entities = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "#39" -> "'", "nbsp" -> "\u00a0")
+
+  private final class Node(val name: String, val attrs: Vector[(String, String)]) {
+    val children = mutable.ArrayBuffer.empty[AnyRef] // Node | String
+  }
+
+  def tagRows(text: String): Vector[TagRow] = {
+    val root = new Node("", Vector.empty)
+    val stack = mutable.ArrayBuffer(root)
+    val order = mutable.ArrayBuffer.empty[Node]
+    val m = TagRe.matcher(text)
+    var pos = 0
+    while (m.find()) {
+      if (m.start() > pos) stack.last.children += decode(text.substring(pos, m.start()))
+      pos = m.end()
+      if (m.group(2) != null) {
+        val name = m.group(2).toLowerCase(Locale.ROOT)
+        if (m.group(1) == "/") {
+          // closing tag: pop to matching open tag if present
+          val idx = stack.lastIndexWhere(_.name == name)
+          if (idx > 0) stack.remove(idx + 1, stack.length - idx - 1) // implicit closes
+          if (idx > 0) stack.remove(idx)
+        } else {
+          val node = new Node(name, parseAttrs(m.group(3)))
+          stack.last.children += node
+          order += node
+          if (m.group(4) != "/" && !Void.contains(name)) stack += node
+        }
+      }
+    }
+    if (pos < text.length) stack.last.children += decode(text.substring(pos))
+
+    order.iterator.flatMap { n =>
+      val t = subtreeText(n)
+      if (t.length > 3) {
+        val attrs = n.attrs.map { case (k, v) =>
+          if (MultiValued.contains(k))
+            k -> v.trim.split("\\s+").filter(_.nonEmpty).map(PyRender.pyReprStr)
+              .mkString("[", ", ", "]")
+          else k -> v
+        }
+        Some(TagRow(n.name, t, attrs))
+      } else None
+    }.toVector
+  }
+
+  /** get_text(strip=True): strip each text node, drop empties, join with "". */
+  private def subtreeText(n: Node): String = {
+    val sb = new StringBuilder
+    def walk(x: AnyRef): Unit = x match {
+      case s: String => sb.append(s.trim)
+      case c: Node => c.children.foreach(walk)
+    }
+    n.children.foreach(walk)
+    sb.toString
+  }
+
+  private def parseAttrs(s: String): Vector[(String, String)] = {
+    if (s == null || s.trim.isEmpty) return Vector.empty
+    val m = AttrRe.matcher(s)
+    val b = Vector.newBuilder[(String, String)]
+    while (m.find()) {
+      val name = m.group(1).toLowerCase(Locale.ROOT)
+      val v = Option(m.group(3)).orElse(Option(m.group(4))).orElse(Option(m.group(5))).getOrElse("")
+      b += name -> decode(v)
+    }
+    b.result()
+  }
+
+  private def decode(s: String): String = {
+    if (!s.contains('&')) return s
+    val m = Pattern.compile("&(#?\\w+);").matcher(s)
+    val sb = new StringBuilder
+    var pos = 0
+    while (m.find()) {
+      sb.append(s.substring(pos, m.start()))
+      val ent = m.group(1)
+      sb.append(Entities.getOrElse(ent,
+        if (ent.startsWith("#")) {
+          try String.valueOf(ent.drop(1).toInt.toChar)
+          catch { case _: Exception => m.group(0) }
+        } else m.group(0)))
+      pos = m.end()
+    }
+    sb.append(s.substring(pos))
+    sb.toString
+  }
+}

@@ -1,0 +1,173 @@
+package graft.etl
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node._
+import scala.jdk.CollectionConverters._
+
+/** Minimal JSON value ADT used as the dynamic cell type of the document ETL
+  * pipeline (SURVEY.md §1.2): one `JVal` is one reference "runtime cell".
+  *
+  * Cells travel through the Spark plan encoded as canonical JSON strings
+  * inside `MapType(String, String)` columns — uniform Spark type, lossless
+  * dynamic typing, cheap to shuffle. Decode/encode happens only inside the
+  * extraction / normalization UDFs, never row-by-row on the driver.
+  */
+sealed trait JVal
+case object JNull extends JVal
+final case class JBool(b: Boolean) extends JVal
+final case class JInt(i: BigInt) extends JVal
+final case class JFloat(d: Double) extends JVal
+final case class JStr(s: String) extends JVal
+final case class JArr(items: Vector[JVal]) extends JVal
+final case class JObj(fields: Vector[(String, JVal)]) extends JVal
+
+object Json {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    // python json.loads accepts NaN/Infinity literals (non-strict JSON)
+    m.configure(JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
+    m
+  }
+
+  /** Parse like python `json.loads` (strict-ish; duplicate keys keep last;
+    * integers unbounded). Throws on malformed input — callers that mirror the
+    * reference's `try/except: pass` catch and skip.
+    */
+  def parse(text: String): JVal = fromNode(mapper.readTree(text))
+
+  def parseOpt(text: String): Option[JVal] =
+    try Some(parse(text)) catch { case _: Exception => None }
+
+  private def fromNode(n: JsonNode): JVal = n match {
+    case _: NullNode | _: MissingNode => JNull
+    case b: BooleanNode => JBool(b.booleanValue)
+    case num: NumericNode =>
+      if (num.isIntegralNumber && !num.isDouble && !num.isFloat)
+        JInt(BigInt(num.bigIntegerValue))
+      else JFloat(num.doubleValue)
+    case t: TextNode => JStr(t.textValue)
+    case a: ArrayNode => JArr(a.elements.asScala.map(fromNode).toVector)
+    case o: ObjectNode =>
+      JObj(o.properties.asScala.iterator.map(e => e.getKey -> fromNode(e.getValue)).toVector)
+    case other => JStr(other.asText)
+  }
+
+  /** Canonical JSON rendering (the cell wire format). */
+  def render(v: JVal): String = v match {
+    case JNull => "null"
+    case JBool(b) => if (b) "true" else "false"
+    case JInt(i) => i.toString
+    case JFloat(d) =>
+      if (d.isNaN) "NaN"
+      else if (d.isPosInfinity) "Infinity"
+      else if (d.isNegInfinity) "-Infinity"
+      else PyRender.floatRepr(d)
+    case JStr(s) => quote(s)
+    case JArr(items) => items.map(render).mkString("[", ", ", "]")
+    case JObj(fields) =>
+      fields.map { case (k, x) => s"${quote(k)}: ${render(x)}" }.mkString("{", ", ", "}")
+  }
+
+  def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}
+
+/** Python-style textual rendering of dynamic values, so faithful-mode output
+  * (CSV cells, examples) matches what pandas `str()`/`df.to_csv` produce.
+  * Mirrors CPython `str()`/`repr()` for the types the reference pipeline can
+  * hold in a cell (reference: backend/etl_pipeline.py:52-82, 167-226).
+  */
+object PyRender {
+
+  /** python `str(x)` of a decoded JSON value. */
+  def pyStr(v: JVal): String = v match {
+    case JNull => "None"
+    case JBool(b) => if (b) "True" else "False"
+    case JInt(i) => i.toString
+    case JFloat(d) => floatStr(d)
+    case JStr(s) => s
+    case JArr(items) => items.map(pyRepr).mkString("[", ", ", "]")
+    case JObj(fields) =>
+      fields.map { case (k, x) => s"${pyReprStr(k)}: ${pyRepr(x)}" }.mkString("{", ", ", "}")
+  }
+
+  /** python `repr(x)` (list/dict elements render strings quoted). */
+  def pyRepr(v: JVal): String = v match {
+    case JStr(s) => pyReprStr(s)
+    case other => pyStr(other)
+  }
+
+  /** python string repr: single quotes unless the string contains a single
+    * quote and no double quote.
+    */
+  def pyReprStr(s: String): String = {
+    val useDouble = s.contains('\'') && !s.contains('"')
+    val q = if (useDouble) '"' else '\''
+    val sb = new StringBuilder
+    sb.append(q)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case c if c == q => sb.append('\\').append(c)
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c => sb.append(c)
+    }
+    sb.append(q).toString
+  }
+
+  def floatStr(d: Double): String =
+    if (d.isNaN) "nan"
+    else if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else floatRepr(d)
+
+  /** python `repr(float)`: shortest round-trip digits, decimal notation for
+    * 1e-4 <= |x| < 1e16, else exponent form like `1e+20` / `1.5e-05`.
+    * Java's `Double.toString` already produces shortest-round-trip digits
+    * (JDK 19+ exactly; JDK 17 matches on all values we emit) but places the
+    * exponent threshold differently — re-format its digits python-style.
+    */
+  def floatRepr(d: Double): String = {
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val s = java.lang.Double.toString(math.abs(d)) // e.g. "1.2345E8" or "123.45"
+    val (digits, pointPos) = {
+      val eIdx = s.indexOf('E')
+      val (mant, exp) = if (eIdx >= 0) (s.substring(0, eIdx), s.substring(eIdx + 1).toInt) else (s, 0)
+      val dot = mant.indexOf('.')
+      val all = mant.substring(0, dot) + mant.substring(dot + 1)
+      val stripped = all.dropWhile(_ == '0') // leading zeros shift the point left
+      val lead = all.length - stripped.length
+      (stripped.reverse.dropWhile(_ == '0').reverse.padTo(1, '0'), dot + exp - lead)
+    }
+    val sign = if (neg) "-" else ""
+    // python: decimal notation iff -4 < exp10 < 16 where exp10 = pointPos - 1
+    val exp10 = pointPos - 1
+    if (exp10 >= 16 || exp10 < -4) {
+      val mant =
+        if (digits.length == 1) digits
+        else digits.substring(0, 1) + "." + digits.substring(1)
+      val esign = if (exp10 < 0) "-" else "+"
+      f"$sign$mant%se$esign${math.abs(exp10)}%02d"
+    } else if (pointPos <= 0) {
+      sign + "0." + ("0" * -pointPos) + digits
+    } else if (pointPos >= digits.length) {
+      sign + digits + ("0" * (pointPos - digits.length)) + ".0"
+    } else {
+      sign + digits.substring(0, pointPos) + "." + digits.substring(pointPos)
+    }
+  }
+}

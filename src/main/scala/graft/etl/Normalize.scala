@@ -1,0 +1,165 @@
+package graft.etl
+
+import java.time.{LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+import scala.util.matching.Regex
+
+/** Dynamic-typing value normalizer — faithful re-implementation of the
+  * reference's `normalize_value` branch chain
+  * (reference: backend/etl_pipeline.py:167-207) over [[JVal]] cells, plus the
+  * per-value type sniffer `infer_type` (backend/etl_pipeline.py:228-244).
+  *
+  * Branch order (must be preserved — it produces the reference's signature
+  * quirks, SURVEY.md §2.3): null-tokens → booleans → percent → email → phone
+  * → int → float → date → lowercase. Notable faithful quirks:
+  *   - "1"/"0" become booleans before any numeric parsing;
+  *   - a bare integer "123" matches the PHONE regex and stays a digit string;
+  *   - a plain date "2025-11-01" also matches the phone regex → "20251101";
+  *   - negatives like "-5" match the phone regex too → digit string "5"
+  *     (sign stripped), so the int branch effectively fires only for
+  *     currency/comma values like "$1,234";
+  *   - non-string inputs (bools/numbers from JSON) pass through unchanged.
+  *
+  * Documented deviation: the reference's date branch uses `dateutil.parse`
+  * (format-free). We use a fixed, ordered format battery
+  * ([[Dates.parseIso]]) — deterministic, codegen-friendly, and identical in
+  * the DuckDB oracle. Values outside the battery fall through to the
+  * lowercase branch.
+  */
+object Normalize {
+  private val NullTokens = Set("na", "n/a", "null", "none", "", "nan")
+  private val TrueTokens = Set("true", "yes", "1")
+  private val FalseTokens = Set("false", "no", "0")
+  private val PercentRe: Regex = "^(\\d+(\\.\\d+)?)%$".r
+  // python re with default unicode \w / \d; keep ASCII here (fixtures are ASCII)
+  private val EmailRe: Regex = "^[\\w.+-]+@[\\w.-]+\\.[a-zA-Z]{2,}$".r
+  private val PhoneRe: Regex = "^\\+?[\\d\\s\\-()]+$".r
+  private val IntRe: Regex = "^[+-]?\\d+$".r
+
+  /** Faithful normalize of one cell. The reference stringifies EVERY non-null
+    * value (`s = str(val)`, backend/etl_pipeline.py:170) — so int 1 → "1" →
+    * boolean True, int 95 → "95" → phone branch → digit STRING "95", bool
+    * True → "True" → True again. Only None/NaN short-circuit.
+    */
+  def normalizeCell(v: JVal): JVal = v match {
+    case JNull => JNull
+    case JFloat(d) if d.isNaN => JNull
+    case other => normalizeString(PyRender.pyStr(other))
+  }
+
+  /** The branch chain over an input string. */
+  def normalizeString(s0: String): JVal = {
+    val s = s0.strip()
+    val sl = s.toLowerCase(Locale.ROOT)
+    if (NullTokens.contains(sl)) JNull
+    else if (TrueTokens.contains(sl)) JBool(true)
+    else if (FalseTokens.contains(sl)) JBool(false)
+    else
+      PercentRe.findFirstMatchIn(s) match {
+        case Some(m) => JFloat(m.group(1).toDouble / 100.0)
+        case None =>
+          if (EmailRe.findFirstIn(s).isDefined) JStr(sl)
+          else if (PhoneRe.findFirstIn(s).isDefined) JStr(s.replaceAll("[^\\d]", ""))
+          else {
+            val sn = s.replace(",", "").replace("$", "").replace("₹", "").strip()
+            if (IntRe.findFirstIn(sn).isDefined)
+              try JInt(BigInt(sn)) catch { case _: NumberFormatException => JStr(sl) }
+            else
+              pyFloat(sn) match {
+                case Some(d) => JFloat(d)
+                case None =>
+                  Dates.parseIso(s) match {
+                    case Some(iso) => JStr(iso)
+                    case None => JStr(sl)
+                  }
+              }
+          }
+      }
+  }
+
+  /** python `float(s)` acceptance (sign, decimals, exponents, inf/infinity). */
+  private[etl] def pyFloat(s0: String): Option[Double] = {
+    val s = s0.strip().toLowerCase(Locale.ROOT)
+    val body = s.stripPrefix("+").stripPrefix("-")
+    val neg = s.startsWith("-")
+    if (body == "inf" || body == "infinity")
+      Some(if (neg) Double.NegativeInfinity else Double.PositiveInfinity)
+    else if (body == "nan") Some(Double.NaN)
+    else if (body.matches("(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?"))
+      try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    else None
+  }
+
+  /** `infer_type` (reference: backend/etl_pipeline.py:228-244): value-level
+    * schema tag over the python `str()` rendering of a cell.
+    */
+  def inferType(v: JVal): String = v match {
+    case JNull => "null"
+    case JFloat(d) if d.isNaN => "null"
+    case other =>
+      val s = PyRender.pyStr(other).strip()
+      if (s.isEmpty) "null"
+      else if (s.matches("^\\d+$")) "integer"
+      else if (s.matches("^\\d*\\.\\d+$")) "float"
+      else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")) "boolean"
+      else if (Dates.parses(s)) "date"
+      else "string"
+  }
+}
+
+/** Fixed date-format battery standing in for dateutil's free-form parser.
+  * Ordered; first match wins. Output of [[parseIso]] mirrors
+  * `datetime.isoformat()` (what the reference stores for parsed datetimes).
+  */
+object Dates {
+  private val IsoDate = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
+  private val IsoDateTime =
+    "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d{1,6})?)?)(Z|[+-]\\d{2}:?\\d{2})?$".r
+  private val UsSlash = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})$".r
+  private val MonthName =
+    "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{1,2}),? (\\d{4})$".r
+  private val DayMonthName =
+    "^(?i)(\\d{1,2}) (jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{4})$".r
+  private val Months = Seq("jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec")
+
+  def parses(s0: String): Boolean = parseIso(s0).isDefined
+
+  /** Parse to `datetime.isoformat()`-style string, or None. */
+  def parseIso(s0: String): Option[String] = {
+    val s = s0.strip()
+    s match {
+      case IsoDate(y, m, d) =>
+        valid(y.toInt, m.toInt, d.toInt).map(_ => s"$y-$m-${d}T00:00:00")
+      case IsoDateTime(date, time, tz) =>
+        val t = if (time.length == 5) time + ":00" else time
+        val tzs = tz match {
+          case null => ""
+          case "Z" => "+00:00"
+          case o if o.length == 5 => o.substring(0, 3) + ":" + o.substring(3)
+          case o => o
+        }
+        if (valid(date.substring(0, 4).toInt, date.substring(5, 7).toInt,
+            date.substring(8, 10).toInt).isDefined && t.substring(0, 2).toInt < 24 &&
+            t.substring(3, 5).toInt < 60)
+          Some(s"${date}T$t$tzs")
+        else None
+      case UsSlash(m, d, y) =>
+        valid(y.toInt, m.toInt, d.toInt)
+          .map(ld => f"${ld.getYear}%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02dT00:00:00")
+      case MonthName(mon, d, y) =>
+        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT)) + 1
+        valid(y.toInt, m, d.toInt)
+          .map(ld => f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT00:00:00")
+      case DayMonthName(d, mon, y) =>
+        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT)) + 1
+        valid(y.toInt, m, d.toInt)
+          .map(ld => f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT00:00:00")
+      case _ => None
+    }
+  }
+
+  private def valid(y: Int, m: Int, d: Int): Option[LocalDate] =
+    try Some(LocalDate.of(y, m, d)) catch { case _: Exception => None }
+}

@@ -1,0 +1,220 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end document ETL pipeline — Spark-first re-expression of the
+  * reference's single-node flow (reference: backend/etl_pipeline.py:295-319):
+  *
+  *   docs(doc_id, text)
+  *     → extract (E1-E9 generator UDF + explode; per-doc, no shuffle)
+  *     → pivot   (dynamic schema union: one tiny key-collect agg + a
+  *                metadata-only wide projection — the json_normalize step)
+  *     → normalize (T5 two-pass: one wide aggregate decides each column's
+  *                branch; one projection applies it — no per-column jobs)
+  *     → profile  (Profile.generateSchema: single long-format shuffle)
+  *     → registry diff + save, CSV/parquet sinks
+  *
+  * The whole thing is lazy DataFrame DAG; only the pivot key-set and the
+  * branch decisions hit the driver (both are schema-sized, not data-sized).
+  * Unlike the reference, the input may hold MANY documents — they are
+  * processed as one logical table, partition-parallel.
+  */
+object DocumentEtl {
+  import EtlUdfs._
+
+  /** Read a directory/file of .txt/.md documents as (doc_id, text) rows —
+    * source S1. PDF extraction (S2) is pluggable via [[DocTextExtractor]];
+    * unsupported extensions raise (S3).
+    */
+  def readDocuments(spark: SparkSession, path: String,
+      extractor: DocTextExtractor = PlainTextExtractor): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.*").load(path)
+      .select(col("path"), col("content"))
+    val ex = udf((p: String, c: Array[Byte]) => extractor.extract(p, c))
+    bin.select(
+      xxhash64(col("path")).as("doc_id"),
+      ex(col("path"), col("content")).as("text"))
+  }
+
+  final case class Result(
+      table: DataFrame, // (row_idx, <output cols as JSON cells>)
+      columns: Seq[String],
+      schema: EngineSchema,
+      diff: Option[JVal])
+
+  /** Full pipeline over (doc_id: Long, text: String) rows. */
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      sourceId: String = "default_source",
+      registryDir: Option[String] = None,
+      now: Long = System.currentTimeMillis() / 1000): Result = {
+
+    val recs = extract(docs)
+    val (wide, cols) = pivot(spark, recs)
+    val normalized = flattenLists(normalizeData(spark, wide, cols), cols)
+    val schema = Profile.generateSchema(normalized, cols, now)
+    val registry = registryDir.map(new SchemaRegistry(_))
+    val diff = for {
+      reg <- registry
+      old <- reg.load(sourceId)
+    } yield SchemaDiff.diff(old.toJson, schema.toJson)
+    registry.foreach(_.save(sourceId, schema))
+    Result(normalized, cols, schema, diff)
+  }
+
+  /** extract + explode: one row per extracted record, with a global
+    * `row_idx` preserving (document, extraction-sequence) order.
+    */
+  def extract(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(extractBlocks(col("text"))).as(Seq("_p", "rec")))
+      .select(
+        col("doc_id"),
+        (col("doc_id") * 1000000L + col("rec.seq")).as("row_idx"),
+        col("rec.entries").as("entries"))
+
+  /** E10 — the json_normalize pivot: records of ordered (key, cell) entries
+    * → wide table. Key set + first-appearance order come from one small
+    * aggregate (a schema-sized collect, same as json_normalize's column
+    * discovery); the projection itself is pure metadata.
+    *
+    * Faithfully emulates pandas' dtype coercion: a column whose non-null
+    * values are all numeric becomes float64 when it has any float OR any
+    * missing/null slot — i.e. ints like `3` read back as `3.0`
+    * (`json_normalize` → int64/float64/object inference). This is observable
+    * in the reference output, so it's semantics, not an artifact.
+    */
+  def pivot(spark: SparkSession, recs: DataFrame): (DataFrame, Seq[String]) = {
+    val total = recs.count()
+    val v = col("e.v")
+    val isNullLike = v === "null"
+    val isInt = v.rlike("^-?\\d+$")
+    val isFloat = v.rlike("^-?(\\d+\\.\\d*|\\.\\d+|\\d+(\\.\\d*)?[eE][+-]?\\d+)$") ||
+      v.isin("NaN", "Infinity", "-Infinity")
+    val keyStats = recs
+      .select(col("row_idx"), posexplode(col("entries")).as(Seq("pos", "e")))
+      .groupBy(col("e.k").as("k"))
+      .agg(
+        min(struct(col("row_idx"), col("pos"))).as("first_seen"),
+        count(lit(1)).as("cnt"),
+        sum(isNullLike.cast("long")).as("n_null"),
+        sum(isInt.cast("long")).as("n_int"),
+        sum(isFloat.cast("long")).as("n_float"))
+      .orderBy(col("first_seen"))
+      .collect()
+
+    val keys = keyStats.map(_.getAs[String]("k")).toSeq
+    val castFloat = keyStats.filter { r =>
+      val cnt = r.getAs[Long]("cnt"); val nNull = r.getAs[Long]("n_null")
+      val nInt = r.getAs[Long]("n_int"); val nFloat = r.getAs[Long]("n_float")
+      val nonNull = cnt - nNull
+      val numericOnly = nonNull > 0 && nInt + nFloat == nonNull
+      numericOnly && nInt > 0 && (nFloat > 0 || nNull > 0 || cnt < total)
+    }.map(_.getAs[String]("k")).toSet
+
+    val m = map_from_entries(col("entries"))
+    val wide = recs.select(
+      col("doc_id") +: col("row_idx") +: keys.map { k =>
+        val cell = element_at(m, k)
+        if (castFloat(k))
+          when(cell.rlike("^-?\\d+$"), concat(cell, lit(".0"))).otherwise(cell).as(k)
+        else cell.as(k)
+      }: _*)
+    (wide, keys)
+  }
+
+  /** T5 — per-column normalization dispatch (reference:
+    * backend/etl_pipeline.py:209-226). Two passes:
+    * pass 1: ONE wide aggregate computes, per column, the first non-NA
+    *   value (in row order) and whether all non-NA values look numeric;
+    * pass 2: ONE projection applies the chosen branch per column:
+    *   (a) date-like first value → faithful normalize_value chain,
+    *   (b) all-numeric-ish      → faithful normalize_value chain,
+    *   (c) otherwise            → fillna('') + strip + lowercase.
+    */
+  def normalizeData(spark: SparkSession, wide: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) return wide
+    val numRe = "^(\\$|₹)?\\d+(\\.\\d+)?%?$"
+    val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val cell = col(s"`$c`")
+      val s = pyStrCell(cell)
+      Seq(
+        min(when(isNa(cell), null).otherwise(struct(col("row_idx").as("r"), s.as("v"))))
+          .getField("v").as(s"first_$i"),
+        every(when(isNa(cell), null)
+          .otherwise(regexp_replace(s, ",", "").rlike(numRe))).as(s"allnum_$i"),
+        // pandas quirk: a list cell makes branch (c) throw (`pd.notna(list)`
+        // is elementwise-ambiguous) → the whole column is SKIPPED raw
+        // (reference: backend/etl_pipeline.py:222-224); flatten later
+        // comma-joins the surviving lists.
+        max(cell.startsWith("[").cast("int")).as(s"haslist_$i"))
+    }
+    val row = wide.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+
+    val projected = cols.zipWithIndex.map { case (c, i) =>
+      val cell = col(s"`$c`")
+      val first = Option(row.getAs[String](s"first_$i"))
+      val allNum = Option(row.getAs[java.lang.Boolean](s"allnum_$i")).exists(_.booleanValue)
+      val hasList = Option(row.getAs[java.lang.Integer](s"haslist_$i")).exists(_ > 0)
+      first match {
+        case None => cell.as(c) // no non-null values → column untouched
+        case Some(f) if f.length > 8 && f.matches("^\\d{4}-\\d{2}-\\d{2}.*") =>
+          normalizeCell(cell).as(c)
+        case _ if allNum => normalizeCell(cell).as(c)
+        case _ if hasList => cell.as(c) // exception path → column skipped
+        case _ => stripLowerCell(cell).as(c)
+      }
+    }
+    wide.select(col("doc_id") +: col("row_idx") +: projected: _*)
+  }
+
+  /** T2/T3 — flatten: after normalization the only non-scalar cells left are
+    * lists in skipped columns; they comma-join (`",".join(map(str, ...))`,
+    * reference: backend/etl_pipeline.py:68-69). Everything else is identity.
+    */
+  def flattenLists(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(col("doc_id") +: col("row_idx") +:
+      cols.map(c => flattenCell(col(s"`$c`")).as(c)): _*)
+
+  /** Serving sink — single-CSV parity shim (reference writes one CSV,
+    * backend/etl_pipeline.py:311-316). Cells render pandas-style (None →
+    * empty, True/False, python float repr). The scalable sink is
+    * [[writeParquet]]; coalesce(1) is only for serving parity.
+    */
+  def writeCsv(result: Result, outDir: String): Unit = {
+    val rendered = result.table
+      .orderBy(col("row_idx"))
+      .select(result.columns.map(c => renderCell(col(s"`$c`")).as(c)): _*)
+    rendered.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("emptyValue", "").option("nullValue", "")
+      .csv(outDir)
+  }
+
+  /** Scalable sink: multi-part parquet, cells as JSON strings. */
+  def writeParquet(result: Result, outDir: String): Unit =
+    result.table.write.mode("overwrite").parquet(outDir)
+}
+
+/** S2 plug point — PDF/text extraction per (path, bytes). The container has
+  * no PDF library, so PDF support is a stub implementation behind this trait
+  * (SURVEY.md §2.1 S2); plain text/markdown is real.
+  */
+trait DocTextExtractor extends Serializable {
+  def extract(path: String, content: Array[Byte]): String
+}
+
+object PlainTextExtractor extends DocTextExtractor {
+  def extract(path: String, content: Array[Byte]): String = {
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    if (lower.endsWith(".txt") || lower.endsWith(".md"))
+      new String(content, java.nio.charset.StandardCharsets.UTF_8)
+    else if (lower.endsWith(".pdf"))
+      throw new UnsupportedOperationException(
+        "PDF text extraction requires a PDF-capable DocTextExtractor (not bundled)")
+    else
+      throw new IllegalArgumentException(s"Unsupported file type: $path")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden test: Normalize/InferType model vs the reference's actual outputs
+  * (captured by tools/ref_golden.py into resources/goldens/). Known
+  * deviations are explicit here.
+  */
+class NormalizeModelSpec extends AnyFunSuite {
+
+  private val golden: JObj = {
+    val in = getClass.getResourceAsStream("/goldens/normalize_value.json")
+    Json.parse(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[JObj]
+  }
+
+  /** dateutil parses these, our fixed-format battery deliberately does not
+    * (SURVEY.md §7.4 risk 3): they infer "string" instead of "date".
+    */
+  private val inferDeviation = Set("-5", "-12.5")
+
+  test("normalize_value matches the reference on the full battery") {
+    val m = golden.fields.toMap
+    val cases = m("normalize").asInstanceOf[JObj].fields
+    val failures = cases.flatMap { case (input, expected0) =>
+      val expected = expected0 match {
+        case JObj(Vector(("__nan__", JBool(true)))) => JNull
+        case x => x
+      }
+      val got = Normalize.normalizeString(input)
+      if (got != expected) Some(s"input=${PyRender.pyReprStr(input)} expected=${Json.render(expected)} got=${Json.render(got)}")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("infer_type matches the reference outside documented deviations") {
+    val m = golden.fields.toMap
+    val cases = m("infer").asInstanceOf[JObj].fields
+    val failures = cases.flatMap {
+      case (input, JStr(expected)) if !inferDeviation(input) =>
+        val got = Normalize.inferType(JStr(input))
+        if (got != expected) Some(s"input=${PyRender.pyReprStr(input)} expected=$expected got=$got") else None
+      case _ => None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("documented deviations infer as string") {
+    inferDeviation.foreach { s => assert(Normalize.inferType(JStr(s)) == "string") }
+  }
+
+  test("python float repr edge cases") {
+    assert(PyRender.floatRepr(0.45) == "0.45")
+    assert(PyRender.floatRepr(1234.0) == "1234.0")
+    assert(PyRender.floatRepr(0.005) == "0.005")
+    assert(PyRender.floatRepr(1e16) == "1e+16")
+    assert(PyRender.floatRepr(1e15) == "1000000000000000.0")
+    assert(PyRender.floatRepr(1e20) == "1e+20")
+    assert(PyRender.floatRepr(1.5e-5) == "1.5e-05")
+    assert(PyRender.floatRepr(0.0001) == "0.0001")
+    assert(PyRender.floatRepr(0.00001) == "1e-05")
+    assert(PyRender.floatRepr(-12.5) == "-12.5")
+    assert(PyRender.floatRepr(100000.0) == "100000.0")
+    assert(PyRender.floatRepr(3.0) == "3.0")
+  }
+
+  test("python str of containers") {
+    val v = JArr(Vector(JStr("a"), JInt(1), JBool(true), JNull, JFloat(2.5)))
+    assert(PyRender.pyStr(v) == "['a', 1, True, None, 2.5]")
+    val o = JObj(Vector("k" -> JStr("v"), "n" -> JInt(3)))
+    assert(PyRender.pyStr(o) == "{'k': 'v', 'n': 3}")
+    assert(PyRender.pyReprStr("it's") == "\"it's\"")
+    assert(PyRender.pyReprStr("a\"b'c") == "'a\"b\\'c'")
+  }
+}
