@@ -1,0 +1,135 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level (whole-stage-codegen-friendly) faithful `normalize_value`
+  * chain and `infer_type` — the 100 TB-scale surface of the normalizer: pure
+  * built-in expressions, no UDF, mirrored 1:1 by ANSI SQL in the DuckDB
+  * oracles (see EtlQueries). The UDF model in [[Normalize]] is the
+  * byte-faithful reference (it handles python float repr etc.); this chain
+  * covers the branch semantics for string inputs.
+  *
+  * Branch order (reference: backend/etl_pipeline.py:167-207): null-tokens →
+  * booleans → percent → email → phone → int → float → iso-datetime →
+  * lowercase. Date coverage here is the ISO datetime form only (the only
+  * form that survives the phone-regex quirk AND is string-renderable without
+  * timezone logic); the full battery lives in [[Dates]].
+  */
+object NormalizeCol {
+  val NullTokens = Seq("na", "n/a", "null", "none", "", "nan")
+  val PercentRe = "^(\\d+(\\.\\d+)?)%$"
+  val EmailRe = "^[\\w\\.\\+-]+@[\\w\\.-]+\\.[a-zA-Z]{2,}$"
+  val PhoneRe = "^\\+?[\\d\\s\\-\\(\\)]+$"
+  val IntRe = "^[+-]?\\d+$"
+  val FloatRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+  val IsoDtRe = "^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(Z|[+-]\\d{2}:?\\d{2})?$"
+
+  private def sl(c: Column) = lower(trim(c))
+  private def stripCur(c: Column) =
+    trim(regexp_replace(trim(c), "[,$₹]", ""))
+
+  /** Which branch fires, as a tag column. */
+  def branch(c: Column): Column = {
+    val t = trim(c); val l = sl(c); val noCur = stripCur(c)
+    when(c.isNull, "null")
+      .when(l.isin(NullTokens: _*), "null")
+      .when(l.isin("true", "yes", "1"), "bool_true")
+      .when(l.isin("false", "no", "0"), "bool_false")
+      .when(t.rlike(PercentRe), "percent")
+      .when(t.rlike(EmailRe), "email")
+      .when(t.rlike(PhoneRe), "phone")
+      .when(noCur.rlike(IntRe), "int")
+      .when(noCur.rlike(FloatRe), "float")
+      .when(t.rlike(IsoDtRe), "date")
+      .otherwise("str")
+  }
+
+  /** String-branch output (null unless branch ∈ {null,email,phone,date,str}). */
+  def outStr(c: Column): Column = {
+    val t = trim(c)
+    val b = branch(c)
+    when(b === "email", sl(c))
+      .when(b === "phone", regexp_replace(t, "[^\\d]", ""))
+      .when(b === "date",
+        regexp_replace(regexp_replace(t, " ", "T"), "Z$", "+00:00"))
+      .when(b === "str", sl(c))
+      .otherwise(lit(null))
+  }
+
+  def outBool(c: Column): Column = {
+    val b = branch(c)
+    when(b === "bool_true", lit(true)).when(b === "bool_false", lit(false))
+      .otherwise(lit(null))
+  }
+
+  def outInt(c: Column): Column =
+    when(branch(c) === "int", stripCur(c).cast("long")).otherwise(lit(null))
+
+  def outFloat(c: Column): Column = {
+    val b = branch(c)
+    when(b === "percent",
+      regexp_extract(trim(c), PercentRe, 1).cast("double") / 100.0)
+      .when(b === "float", stripCur(c).cast("double"))
+      .otherwise(lit(null))
+  }
+
+  /** SQL mirror of the above for the DuckDB oracle — same branch order, same
+    * regexes (RE2-compatible).
+    */
+  object Sql {
+    private val nullList = NullTokens.map(t => s"'$t'").mkString(", ")
+    def branch(v: String): String =
+      s"""CASE
+        WHEN $v IS NULL THEN 'null'
+        WHEN lower(trim($v)) IN ($nullList) THEN 'null'
+        WHEN lower(trim($v)) IN ('true', 'yes', '1') THEN 'bool_true'
+        WHEN lower(trim($v)) IN ('false', 'no', '0') THEN 'bool_false'
+        WHEN regexp_matches(trim($v), '$PercentRe') THEN 'percent'
+        WHEN regexp_matches(trim($v), '$EmailRe') THEN 'email'
+        WHEN regexp_matches(trim($v), '$PhoneRe') THEN 'phone'
+        WHEN regexp_matches(trim(regexp_replace(trim($v), '[,$$₹]', '', 'g')), '$IntRe') THEN 'int'
+        WHEN regexp_matches(trim(regexp_replace(trim($v), '[,$$₹]', '', 'g')), '$FloatRe') THEN 'float'
+        WHEN regexp_matches(trim($v), '$IsoDtRe') THEN 'date'
+        ELSE 'str' END"""
+    def outStr(v: String): String =
+      s"""CASE ${branch(v)}
+        WHEN 'email' THEN lower(trim($v))
+        WHEN 'phone' THEN regexp_replace(trim($v), '[^0-9]', '', 'g')
+        WHEN 'date' THEN regexp_replace(regexp_replace(trim($v), ' ', 'T'), 'Z$$', '+00:00')
+        WHEN 'str' THEN lower(trim($v))
+        ELSE NULL END"""
+    def outBool(v: String): String =
+      s"""CASE ${branch(v)} WHEN 'bool_true' THEN true WHEN 'bool_false' THEN false ELSE NULL END"""
+    def outInt(v: String): String =
+      s"""CASE ${branch(v)} WHEN 'int' THEN CAST(trim(regexp_replace(trim($v), '[,$$₹]', '', 'g')) AS BIGINT) ELSE NULL END"""
+    def outFloat(v: String): String =
+      s"""CASE ${branch(v)}
+        WHEN 'percent' THEN CAST(regexp_extract(trim($v), '$PercentRe', 1) AS DOUBLE)/100.0
+        WHEN 'float' THEN CAST(trim(regexp_replace(trim($v), '[,$$₹]', '', 'g')) AS DOUBLE)
+        ELSE NULL END"""
+  }
+
+  /** Column-level `infer_type` battery (regex-validated; month/day
+    * plausibility is regex-level — the full validator is [[Dates]]).
+    */
+  val InferDateRe =
+    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?(Z|[+-]\\d{2}:?\\d{2})?)?|\\d{1,2}/\\d{1,2}/\\d{4})$"
+
+  def inferType(c: Column): Column =
+    when(c.isNull || trim(c) === "", "null")
+      .when(trim(c).rlike("^\\d+$"), "integer")
+      .when(trim(c).rlike("^\\d*\\.\\d+$"), "float")
+      .when(lower(trim(c)).isin("true", "false"), "boolean")
+      .when(trim(c).rlike(InferDateRe), "date")
+      .otherwise("string")
+
+  def sqlInferType(v: String): String =
+    s"""CASE
+      WHEN $v IS NULL OR trim($v) = '' THEN 'null'
+      WHEN regexp_matches(trim($v), '^\\d+$$') THEN 'integer'
+      WHEN regexp_matches(trim($v), '^\\d*\\.\\d+$$') THEN 'float'
+      WHEN lower(trim($v)) IN ('true', 'false') THEN 'boolean'
+      WHEN regexp_matches(trim($v), '$InferDateRe') THEN 'date'
+      ELSE 'string' END"""
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.etl.{NormalizeCol, Profile, Transforms}
+import org.apache.spark.sql.functions._
+
+/** ETL-operator queries with DuckDB oracles: the normalize/infer/profile/
+  * transform surface of SURVEY.md §2.3-2.6 exercised over the driver's
+  * parquet tables. Inputs are derived deterministically from table columns
+  * with engine-identical expressions, so the oracle checks the OPERATOR
+  * (branch chain, vote, counts), not a fixture file.
+  */
+object EtlQueries {
+
+  /** battery value derived per lineitem row — every normalize branch fires. */
+  private def batterySpark(d: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.Column
+    val sel = (col("l_orderkey") + col("l_linenumber")) % 12
+    def s(c: Column) = c.cast("string")
+    d.select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(sel === 0, lit("NA"))
+        .when(sel === 1, concat(s(floor(col("l_quantity")).cast("long")), lit("%")))
+        .when(sel === 2, concat(lit("USER"), s(col("l_orderkey")), lit("@Example.COM")))
+        .when(sel === 3, concat(lit("+1 ("), s(col("l_suppkey") % 1000), lit(") "), s(col("l_partkey") % 10000)))
+        .when(sel === 4, s(col("l_orderkey")))
+        .when(sel === 5, concat(lit("$"), s(col("l_partkey")), lit(","), s(col("l_suppkey") % 1000)))
+        .when(sel === 6, concat(s(col("l_suppkey")), lit("."), s(col("l_partkey"))))
+        .when(sel === 7, when(col("l_orderkey") % 2 === 0, lit("yes")).otherwise(lit("False")))
+        .when(sel === 8, col("l_returnflag"))
+        .when(sel === 9, concat(lit("2025-11-"), lpad(s(col("l_partkey") % 28 + 1), 2, "0")))
+        .when(sel === 10, concat(lit("2025-11-11T20:30:0"), s(col("l_orderkey") % 10), lit("Z")))
+        .otherwise(concat(col("l_returnflag"), lit(" Text, Here")))
+        .as("val"))
+  }
+
+  private val batterySql =
+    """SELECT l_orderkey, l_linenumber,
+      CASE (l_orderkey + l_linenumber) % 12
+        WHEN 0 THEN 'NA'
+        WHEN 1 THEN concat(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR), '%')
+        WHEN 2 THEN concat('USER', CAST(l_orderkey AS VARCHAR), '@Example.COM')
+        WHEN 3 THEN concat('+1 (', CAST(l_suppkey % 1000 AS VARCHAR), ') ', CAST(l_partkey % 10000 AS VARCHAR))
+        WHEN 4 THEN CAST(l_orderkey AS VARCHAR)
+        WHEN 5 THEN concat('$', CAST(l_partkey AS VARCHAR), ',', CAST(l_suppkey % 1000 AS VARCHAR))
+        WHEN 6 THEN concat(CAST(l_suppkey AS VARCHAR), '.', CAST(l_partkey AS VARCHAR))
+        WHEN 7 THEN CASE WHEN l_orderkey % 2 = 0 THEN 'yes' ELSE 'False' END
+        WHEN 8 THEN l_returnflag
+        WHEN 9 THEN concat('2025-11-', lpad(CAST(l_partkey % 28 + 1 AS VARCHAR), 2, '0'))
+        WHEN 10 THEN concat('2025-11-11T20:30:0', CAST(l_orderkey % 10 AS VARCHAR), 'Z')
+        ELSE concat(l_returnflag, ' Text, Here')
+      END AS val
+      FROM lineitem"""
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // normalize_value branch chain, full battery, per-row outputs.
+    GraftQuery(
+      "etl01_normalize_chain",
+      (s, d) => {
+        val b = batterySpark(Tables.lineitem(s, d))
+        b.select(
+          col("l_orderkey"), col("l_linenumber"), col("val"),
+          NormalizeCol.branch(col("val")).as("branch"),
+          NormalizeCol.outStr(col("val")).as("out_s"),
+          NormalizeCol.outBool(col("val")).as("out_b"),
+          NormalizeCol.outInt(col("val")).as("out_i"),
+          NormalizeCol.outFloat(col("val")).as("out_d"))
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber, val,
+        ${NormalizeCol.Sql.branch("val")} AS branch,
+        ${NormalizeCol.Sql.outStr("val")} AS out_s,
+        ${NormalizeCol.Sql.outBool("val")} AS out_b,
+        ${NormalizeCol.Sql.outInt("val")} AS out_i,
+        ${NormalizeCol.Sql.outFloat("val")} AS out_d
+        FROM ($batterySql)"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // infer_type tag distribution over the same battery.
+    GraftQuery(
+      "etl02_infer_type",
+      (s, d) => {
+        val b = batterySpark(Tables.lineitem(s, d))
+        b.groupBy(NormalizeCol.inferType(col("val")).as("tag"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT ${NormalizeCol.sqlInferType("val")} AS tag, count(*) AS n
+        FROM ($batterySql) GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // generate_schema's aggregate core (vote/nullable/distinct/confidence/
+    // pk) over orders columns, via the one-shuffle long-format profiler.
+    GraftQuery(
+      "etl03_profile_orders",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey").as("row_idx"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_orderpriority").cast("string").as("o_orderpriority"),
+          col("o_orderkey").cast("string").as("o_orderkey"),
+          col("o_custkey").cast("string").as("o_custkey"))
+        Profile.profileStats(o,
+          Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"),
+          NormalizeCol.inferType)
+      },
+      Some(s"""WITH long AS (
+          SELECT 'o_orderstatus' AS col_name, o_orderstatus AS cell FROM orders
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+          UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        vals AS (SELECT col_name, cell, count(*) AS cnt FROM long GROUP BY 1, 2),
+        votes AS (
+          SELECT col_name, arg_min(tag, -tag_cnt) AS voted_type FROM (
+            SELECT col_name, tag, sum(cnt) AS tag_cnt FROM (
+              SELECT col_name, cnt, ${NormalizeCol.sqlInferType("cell")} AS tag FROM vals)
+            WHERE tag <> 'null' GROUP BY 1, 2) GROUP BY col_name),
+        stats AS (
+          SELECT col_name,
+            sum(CASE WHEN cell IS NULL THEN cnt ELSE 0 END) AS n_null,
+            sum(CASE WHEN cell IS NULL THEN 0 ELSE cnt END) AS n_nonnull,
+            count(CASE WHEN cell IS NULL THEN NULL ELSE 1 END) AS n_distinct,
+            max(CASE WHEN cell IS NULL THEN NULL ELSE cnt END) AS max_cnt
+          FROM vals GROUP BY col_name)
+        SELECT s.col_name, coalesce(v.voted_type, 'string') AS voted_type,
+          n_null > 0 AS nullable, n_distinct,
+          CAST(coalesce(max_cnt, 1) AS DOUBLE) /
+            (CASE WHEN n_nonnull = 0 THEN 1 ELSE n_nonnull END) AS confidence,
+          n_null = 0 AND n_distinct = n_nonnull AS is_pk
+        FROM stats s LEFT JOIN votes v USING (col_name)"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // U1 drop_duplicates (projection distinct).
+    GraftQuery(
+      "etl04_drop_duplicates",
+      (s, d) => Transforms.dropDuplicates(
+        Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority"))),
+      Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"),
+    ),
+
+    // ------------------------------------------------------------------
+    // U2 dropna over derived nullable columns.
+    GraftQuery(
+      "etl05_dropna",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          expr("nullif(o_orderstatus, 'F')").as("status_nn"),
+          expr("nullif(o_orderpriority, '1-URGENT')").as("prio_nn"))
+        Transforms.dropNa(o)
+          .groupBy(col("status_nn"), col("prio_nn"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT nullif(o_orderstatus, 'F') AS status_nn,
+          nullif(o_orderpriority, '1-URGENT') AS prio_nn, count(*) AS n
+        FROM orders
+        WHERE nullif(o_orderstatus, 'F') IS NOT NULL
+          AND nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+        GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // U3 enrich rules as SQL expressions (the config.yaml enrich_rules
+    // analogues: bucket, length, presence flag, token count).
+    GraftQuery(
+      "etl06_enrich",
+      (s, d) => {
+        val p = Tables.part(s, d).select(
+          col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"))
+        Transforms.enrich(p, Seq(
+          "name_length" -> "length(p_name)",
+          "has_price" -> "CAST(p_retailprice IS NOT NULL AS INT)",
+          "type_words" -> "size(split(p_type, ' '))",
+          "price_range" ->
+            ("CASE WHEN p_retailprice < 925 THEN 'low' " +
+             "WHEN p_retailprice < 975 THEN 'mid' ELSE 'high' END")))
+          .drop("p_name", "p_type", "p_retailprice")
+      },
+      Some("""SELECT p_partkey, length(p_name) AS name_length,
+          CAST(p_retailprice IS NOT NULL AS INT) AS has_price,
+          len(string_split(p_type, ' ')) AS type_words,
+          CASE WHEN p_retailprice < 925 THEN 'low'
+            WHEN p_retailprice < 975 THEN 'mid' ELSE 'high' END AS price_range
+        FROM part"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // U4 validations: required columns + declared-type conformance.
+    GraftQuery(
+      "etl07_validate",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        Transforms.validationReport(o,
+          required = Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+          types = Map("o_orderkey" -> "integer", "o_orderstatus" -> "string"))
+      },
+      Some("""SELECT 'required_columns' AS check_name, true AS passed, CAST(0 AS BIGINT) AS detail
+        UNION ALL
+        SELECT concat('type:o_orderkey', '=integer'),
+          count(CASE WHEN NOT regexp_matches(trim(CAST(o_orderkey AS VARCHAR)), '^\d+$') THEN 1 END) = 0,
+          count(CASE WHEN NOT regexp_matches(trim(CAST(o_orderkey AS VARCHAR)), '^\d+$') THEN 1 END)
+        FROM orders
+        UNION ALL
+        SELECT concat('type:o_orderstatus', '=string'),
+          count(CASE WHEN o_orderstatus IS NOT NULL AND
+            (regexp_matches(trim(o_orderstatus), '^\d+$') OR
+             regexp_matches(trim(o_orderstatus), '^\d*\.\d+$') OR
+             lower(trim(o_orderstatus)) IN ('true','false')) THEN 1 END) = 0,
+          count(CASE WHEN o_orderstatus IS NOT NULL AND
+            (regexp_matches(trim(o_orderstatus), '^\d+$') OR
+             regexp_matches(trim(o_orderstatus), '^\d*\.\d+$') OR
+             lower(trim(o_orderstatus)) IN ('true','false')) THEN 1 END)
+        FROM orders"""),
+    ),
+  )
+}

@@ -23,8 +23,11 @@ oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    # stringify for a stable sort across dtypes, but keep originals for compare
+    df = df[sorted(df.columns)].copy()
+    # unify null spellings (None vs NaN in object cols) before compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
