@@ -20,7 +20,17 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively; read it as a long (legacy conf) and convert ns → µs
+    * TimestampType. The data is µs-precision, so this is lossless and
+    * matches DuckDB's view of the same file.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, d, "events")
+    // integer `div` — a double division would lose precision on 1.7e18 ns
+    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }

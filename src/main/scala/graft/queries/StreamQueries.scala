@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.core.{Determinism => D, GraftQuery, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Events-table queries: the batch halves of the streaming operators
+  * (windowing, JSON-ish props extraction, gap-based sessionization), each
+  * with a DuckDB oracle. The same transforms run behind readStream (see
+  * EventStreams + StreamingSpec).
+  */
+object StreamQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "ev01_hourly_window",
+      (s, d) => EventStreams.hourlyStats(Tables.events(s, d)),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+          count(*) AS n_events,
+          sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+        FROM events GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // props JSON field extraction (regex form — engine-portable) + agg.
+    GraftQuery(
+      "ev02_props_extract",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), D.intSum(col("k").cast("double"), 0).as("k_sum")),
+      Some(s"""SELECT event_type, k % 10 AS k_bucket, count(*) AS n,
+          ${D.sqlIntSum("CAST(k AS DOUBLE)", 0)} AS k_sum
+        FROM (SELECT event_type,
+          CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k FROM events)
+        GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // gap-based sessionization (30-min inactivity) per user — lag/window.
+    GraftQuery(
+      "ev03_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapped = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        gapped.groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      },
+      Some("""SELECT user_id, session_idx, count(*) AS n_events,
+          min(ts) AS session_start, max(ts) AS session_end
+        FROM (
+          SELECT user_id, ts, event_id,
+            CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM (
+            SELECT user_id, ts, event_id,
+              CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT user_id, ts, event_id,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)))
+        GROUP BY 1, 2"""),
+    ),
+  )
+}

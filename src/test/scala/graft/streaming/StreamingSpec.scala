@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("hourlyStats over a stream with watermark matches batch semantics") {
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent](spark)
+    val out = hourlyStats(
+      mem.toDF().withColumn("ts", col("ts").cast("timestamp")),
+      watermark = Some("10 minutes"))
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        UserEvent(1, ts(0), 1, "click", 1.5),
+        UserEvent(2, ts(5), 1, "click", 2.5),
+        UserEvent(3, ts(20), 2, "error", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(rows == Set(("click", 2L, 4.0), ("error", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("stateful running counts via mapGroupsWithState accumulate across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent](spark)
+    val out = userRunningCounts(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("runcounts")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, ts(0), 7, "a", 0), UserEvent(2, ts(1), 7, "b", 0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(3, ts(2), 7, "c", 0), UserEvent(4, ts(2), 8, "x", 0))
+      q.processAllAvailable()
+      val m = spark.table("runcounts").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[String]("last_type")))
+      // last update per user wins
+      val latest = m.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(latest(7L) == ((7L, 3L, "c")))
+      assert(latest(8L) == ((8L, 1L, "x")))
+    } finally q.stop()
+  }
+
+  test("batch and stream hourlyStats agree on the events table") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = hourlyStats(ev).orderBy("hour", "event_type").collect()
+    assert(batch.nonEmpty)
+  }
+}
