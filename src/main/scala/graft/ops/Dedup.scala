@@ -49,12 +49,30 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** MinHash signature: for each seed, min over shingles of the 60-bit hash
-    * of seed-prefixed shingle. Deterministic, no library RNG.
+  /** MinHash machinery: ONE md5 per shingle reduced mod p, then k cheap
+    * linear permutations h_i(x) = (a_i·x + b_i) mod p (the classic scheme).
+    * p = 2^31−1 keeps a_i·x < 2^62 — no 64-bit overflow in either engine
+    * (DuckDB BIGINT arithmetic is checked). Constants are fixed literals so
+    * the DuckDB oracle regenerates identical signatures.
     */
-  def minhash(shingleCol: Column, seeds: Int): Column =
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Int): Long = math.floorMod(2654435761L * (i + 1), MinhashP) | 1L
+  def minhashB(i: Int): Long = math.floorMod(40503L * (i + 7) + 997L * i * i, MinhashP)
+
+  /** distinct 31-bit shingle hashes of a text column (shared base for
+    * jaccard + minhash — integer set ops are far cheaper than string sets).
+    */
+  def shingleHashes(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      array_distinct(transform(
+        sequence(lit(1), length(c) - (k - 1)),
+        i => hash60(c.substr(i, lit(k))) % MinhashP)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** MinHash signature from a shingle-hash array. */
+  def minhash(hashes: Column, seeds: Int): Column =
     array((0 until seeds).map { s =>
-      array_min(transform(shingleCol, x => hash60(concat(lit(s"s$s:"), x))))
+      array_min(transform(hashes, x => (lit(minhashA(s)) * x + lit(minhashB(s))) % MinhashP))
     }: _*)
 
   /** LSH band key: concat of the signature slice for one band. */
@@ -72,13 +90,21 @@ object Dedup {
   def tokenHashes(c: Column): Column =
     transform(array_distinct(TextAnalysis.tokens(c)), t => hash60(t))
 
-  /** simhash from a token-hash array column (pure expression). */
-  def simhash(hashes: Column): Column =
-    (0 until simhashBits).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_ + _)
+  /** simhash from a token-hash array column: ONE pass over the hashes
+    * accumulating a 60-slot vote vector (zip_with against a bit-mask array),
+    * then one pack step — instead of 60 separate array traversals.
+    */
+  def simhash(hashes: Column): Column = {
+    val masks = array((0 until simhashBits).map(b => lit(1L << b)): _*)
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), simhashBits),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -34,10 +34,16 @@ object Similarity {
     * queries/corpus: (id, vec double[]) with disjoint roles; k small.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = queries.select(col("id").as("q_id"), col("vec").as("q_vec"))
-      .crossJoin(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")))
+    // norms are computed ONCE per row before the join (the per-pair work is
+    // just the dot product); values are bit-identical to per-pair sqrt.
+    val q = queries.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      norm(col("vec")).as("q_n"))
+    val c = corpus.select(col("id").as("n_id"), col("vec").as("n_vec"),
+      norm(col("vec")).as("n_n"))
+    val joined = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_n") * col("n_n"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
@@ -47,10 +53,11 @@ object Similarity {
     * join). Ties break to the lowest cell id via the (−cos, id) struct min.
     */
   def assignCells(vectors: DataFrame, seeds: DataFrame): DataFrame = {
-    val withCos = vectors.select(col("id"), col("vec"))
-      .crossJoin(broadcast(seeds.select(col("id").as("cell_id"), col("vec").as("cell_vec"))))
+    val withCos = vectors.select(col("id"), col("vec"), norm(col("vec")).as("n"))
+      .crossJoin(broadcast(seeds.select(col("id").as("cell_id"), col("vec").as("cell_vec"),
+        norm(col("vec")).as("cn"))))
       .select(col("id"), col("vec"), col("cell_id"),
-        cosine(col("vec"), col("cell_vec")).as("cell_cos"))
+        (dot(col("vec"), col("cell_vec")) / (col("n") * col("cn"))).as("cell_cos"))
     withCos.groupBy(col("id"))
       .agg(
         min_by(struct(col("cell_id"), col("vec")),

@@ -15,15 +15,19 @@ object ExtQueries {
 
   private val Shingle = 3
   private val MinhashSeeds = 16
-  private val Bands = 4
-  private val RowsPerBand = 4
-
-  /** DuckDB shingle-set expression (mirror of Dedup.charShingles). */
-  private def sqlShingles(v: String) =
-    s"list_distinct(list_transform(range(1, length($v) - ${Shingle - 2}), i -> substring($v, i, $Shingle)))"
+  // 2 bands × 8 rows: band-collision prob = j^8 — this corpus has high
+  // baseline jaccard (shared small vocab), so wider bands would explode the
+  // candidate set (j≈0.5 → 6% of ALL pairs per 4-row band).
+  private val Bands = 2
+  private val RowsPerBand = 8
 
   private def sqlHash60(v: String) =
     s"CAST(concat('0x', substring(md5($v), 1, 15)) AS BIGINT)"
+
+  /** DuckDB 31-bit shingle-hash set (mirror of Dedup.shingleHashes). */
+  private def sqlShingleHashes(v: String) =
+    s"list_distinct(list_transform(range(1, length($v) - ${Shingle - 2}), " +
+      s"i -> ${sqlHash60(s"substring($v, i, $Shingle)")} % ${Dedup.MinhashP}))"
 
   private def embDouble(c: Column): Column = Similarity.toDouble(c)
 
@@ -114,9 +118,12 @@ object ExtQueries {
     GraftQuery(
       "dedup02_ngram_jaccard",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(
           col("doc_id"), col("lang"), col("source"),
-          Dedup.charShingles(col("text"), Shingle).as("sh"))
+          Dedup.shingleHashes(col("text"), Shingle).as("sh"))
+          .persist() // shingle once; both join sides + no optimizer re-inline
         val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sh_a"))
         val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("sh_b"))
         a.join(b, Seq("lang", "source"))
@@ -124,7 +131,7 @@ object ExtQueries {
           .select(col("doc_a"), col("doc_b"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
           .filter(col("jac") >= 0.62)
       },
-      Some(s"""WITH sh AS (SELECT doc_id, lang, source, ${sqlShingles("text")} AS s FROM documents)
+      Some(s"""WITH sh AS (SELECT doc_id, lang, source, ${sqlShingleHashes("text")} AS s FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jac
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -137,9 +144,12 @@ object ExtQueries {
     GraftQuery(
       "dedup03_minhash_lsh",
       (s, d) => {
-        val sigs = Tables.documents(s, d).select(
+        val sigs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(
           col("doc_id"),
-          Dedup.minhash(Dedup.charShingles(col("text"), Shingle), MinhashSeeds).as("sig"))
+          Dedup.minhash(Dedup.shingleHashes(col("text"), Shingle), MinhashSeeds).as("sig"))
+          .persist() // signature computed once, not re-inlined per band/side
         val banded = sigs.select(
           col("doc_id"),
           explode(array((0 until Bands).map { bd =>
@@ -154,7 +164,7 @@ object ExtQueries {
       },
       Some {
         val sigExprs = (0 until MinhashSeeds).map { i =>
-          s"list_min(list_transform(s, x -> ${sqlHash60(s"concat('s$i:', x)")})) AS m$i"
+          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS m$i"
         }.mkString(", ")
         val bandKeys = (0 until Bands).map { bd =>
           val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
@@ -163,7 +173,7 @@ object ExtQueries {
         val unions = (0 until Bands).map { bd =>
           s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
         }.mkString(" UNION ")
-        s"""WITH sh AS (SELECT doc_id, ${sqlShingles("text")} AS s FROM documents),
+        s"""WITH sh AS (SELECT doc_id, ${sqlShingleHashes("text")} AS s FROM documents),
           sigs AS (SELECT doc_id, $sigExprs FROM sh),
           keys AS (SELECT doc_id, $bandKeys FROM sigs)
         $unions"""
@@ -175,9 +185,12 @@ object ExtQueries {
     GraftQuery(
       "dedup04_simhash",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(
           col("doc_id"), col("lang"),
           Dedup.simhash(Dedup.tokenHashes(col("text"))).as("sh"))
+          .persist() // hash once; both join sides reuse
         val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
         val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
         a.join(b, Seq("lang"))
@@ -206,14 +219,18 @@ object ExtQueries {
     GraftQuery(
       "dedup05_embedding",
       (s, d) => {
-        val e = Tables.embeddings(s, d).select(
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(
           col("vec_id"), col("label"), embDouble(col("embedding")).as("v"))
-        val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b"))
+          .withColumn("n", Similarity.norm(col("v")))
+          .persist() // norms once per vector, not per pair
+        val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"), col("n").as("n_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b"), col("n").as("n_b"))
         a.join(b, Seq("label"))
           .filter(col("id_a") < col("id_b"))
           .select(col("label"), col("id_a"), col("id_b"),
-            Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+            (Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
           .filter(col("cos") >= 0.35)
       },
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -229,6 +246,7 @@ object ExtQueries {
       "sim01_topk_bruteforce",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
         Similarity.bruteForceTopK(e.filter(col("id") < 20), e, 5)
       },
@@ -249,6 +267,7 @@ object ExtQueries {
       "sim02_ivf_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
         val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
         val q = cells.filter(col("id") < 20)
