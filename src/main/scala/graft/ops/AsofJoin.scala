@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row with
+  * `right.ts <= left.ts` within the same key — the canonical time-series
+  * enrichment operator (Spark has no built-in; DuckDB's ASOF JOIN is the
+  * oracle).
+  *
+  * Implementation is the UNION + WINDOW formulation, not a range join:
+  * tag both sides, union, sort per key by (ts, side) with right-before-left
+  * on ties, and carry the last non-null right payload forward
+  * (`last_value(ignoreNulls)` over an unbounded-preceding frame). One
+  * shuffle on the join key, linear scan per partition — at 100 TB this
+  * beats a range-condition join (which Spark would execute as a broadcast
+  * nested loop or explode into an inequality join) by orders of magnitude,
+  * and skewed keys split fine under AQE.
+  *
+  * Right keys must be unique per (key, ts) — pre-aggregate the right side
+  * if not (ties there would make ANY as-of nondeterministic).
+  */
+object AsofJoin {
+
+  /** @param left      (key, ts, ...) rows to enrich
+    * @param right     (key, ts, payload...) reference rows, unique (key, ts)
+    * @param key       join key column name (same on both sides)
+    * @param leftTs    left timestamp column
+    * @param rightTs   right timestamp column
+    * @param payload   right columns to carry (renamed as-is onto left rows)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+
+    val lCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+    val r0 = right.select(
+      (col(key) +: col(rightTs).as("_ts") +: lit(0).as("_side") +:
+        payload.map(p => col(p).as(s"_p_$p"))): _*)
+    // align schemas: left gets null payload slots, right gets null left cols
+    val rAligned = lCols.filterNot(c => c == key).foldLeft(r0) {
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val lAligned = payload.foldLeft(l) {
+      (d, p) => d.withColumn(s"_p_$p", lit(null).cast(right.schema(p).dataType))
+    }
+    val unioned = lAligned.select((col(key) +: col("_ts") +: col("_side") +:
+        (lCols.filterNot(_ == key).map(col) ++ payload.map(p => col(s"_p_$p")))): _*)
+      .unionByName(rAligned.select((col(key) +: col("_ts") +: col("_side") +:
+        (lCols.filterNot(_ == key).map(col) ++ payload.map(p => col(s"_p_$p")))): _*))
+
+    // right rows sort before left rows at equal ts → "<=" semantics
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (d, p) =>
+      d.withColumn(s"_c_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select((lCols.map(col) ++ payload.map(p => col(s"_c_$p").as(p))): _*)
+  }
+}

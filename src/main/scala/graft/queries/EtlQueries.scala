@@ -77,6 +77,31 @@ object EtlQueries {
     ),
 
     // ------------------------------------------------------------------
+    // same chain as a FUSED custom Catalyst expression (one pass per cell,
+    // whole-stage codegen) — checked against the identical oracle.
+    GraftQuery(
+      "etl08_normalize_fused",
+      (s, d) => {
+        val b = batterySpark(Tables.lineitem(s, d))
+        val nv = graft.etl.NormalizeValue(col("val"))
+        b.select(
+          col("l_orderkey"), col("l_linenumber"), col("val"),
+          nv.getField("branch").as("branch"),
+          nv.getField("out_s").as("out_s"),
+          nv.getField("out_b").as("out_b"),
+          nv.getField("out_i").as("out_i"),
+          nv.getField("out_d").as("out_d"))
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber, val,
+        ${graft.etl.NormalizeCol.Sql.branch("val")} AS branch,
+        ${graft.etl.NormalizeCol.Sql.outStr("val")} AS out_s,
+        ${graft.etl.NormalizeCol.Sql.outBool("val")} AS out_b,
+        ${graft.etl.NormalizeCol.Sql.outInt("val")} AS out_i,
+        ${graft.etl.NormalizeCol.Sql.outFloat("val")} AS out_d
+        FROM ($batterySql)"""),
+    ),
+
+    // ------------------------------------------------------------------
     // infer_type tag distribution over the same battery.
     GraftQuery(
       "etl02_infer_type",

@@ -73,5 +73,29 @@ object StreamQueries {
               FROM events)))
         GROUP BY 1, 2"""),
     ),
+
+    // ------------------------------------------------------------------
+    // as-of join: each event picks the latest order (by that customer) at
+    // or before the event time. Spark impl = union+window single-shuffle
+    // (graft.ops.AsofJoin); oracle = DuckDB's native ASOF JOIN.
+    GraftQuery(
+      "ev04_asof_join",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("matched_date"))
+          .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("spend"))
+        graft.ops.AsofJoin.asof(left, right, "user_id", "ts", "matched_date",
+          Seq("matched_date", "spend"))
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey AS user_id, o_orderdate AS matched_date,
+            sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS spend
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, r.matched_date, r.spend
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND r.matched_date <= e.ts"""),
+    ),
   )
 }
