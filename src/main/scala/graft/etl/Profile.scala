@@ -24,6 +24,13 @@ object Profile {
     * columns to profile.
     */
   def valueStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) {
+      val spark = df.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "col_name STRING, cell STRING, cnt BIGINT, first_row BIGINT, is_na INT"))
+    }
     val n = cols.size
     val stackExpr = cols.map(c => s"'${c.replace("'", "''")}', `$c`").mkString(s"stack($n, ", ", ", ")")
     df.select(col("row_idx"), expr(stackExpr).as(Seq("col_name", "cell")))

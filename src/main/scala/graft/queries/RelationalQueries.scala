@@ -305,5 +305,91 @@ object RelationalQueries {
         FROM part GROUP BY p_brand
         HAVING ${D.sqlIntAvg("p_retailprice")} > 900.0"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q15: CUBE (full grouping-set lattice).
+    GraftQuery(
+      "q15_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), D.intSum($"o_totalprice").as("total"))
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        ${D.sqlIntSum("o_totalprice")} AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q16: exact percentiles (sorted interpolation — engine-identical on
+    // identical input doubles).
+    GraftQuery(
+      "q16_percentiles",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+            min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+      },
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q17: salted skew join — row-identical to the plain join (the oracle
+    // IS the plain join), only the shuffle layout differs.
+    GraftQuery(
+      "q17_salted_skew_join",
+      (s, d) => {
+        import s.implicits._
+        val fact = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey", $"l_quantity")
+        val dim = Tables.part(s, d).select($"p_partkey".as("l_partkey"), $"p_brand")
+        graft.ops.Skew.saltedJoin(fact, dim, "l_partkey", factor = 8)
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"), D.intSum($"l_quantity").as("qty"))
+      },
+      Some(s"""SELECT p_brand, count(*) AS n, ${D.sqlIntSum("l_quantity")} AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q18: range (interval) join — overlapping 36-hour windows derived from
+    // order keys, laid over the events month; events match MULTIPLE windows
+    // (a genuine interval join, broadcast + between-predicate in Spark,
+    // same inequality join in DuckDB).
+    GraftQuery(
+      "q18_range_join",
+      (s, d) => {
+        import s.implicits._
+        val windows = Tables.orders(s, d)
+          .select(($"o_orderkey" % 28).cast("int").as("wd"),
+            ($"o_custkey" % 24).cast("int").as("wh"))
+          .distinct()
+          .select($"wd", $"wh",
+            expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, wd, wh, 0, 0)").as("w_start"),
+            expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, wd, wh + 36, 0, 0)").as("w_end"))
+        val ev = Tables.events(s, d).select($"event_id", $"ts", $"value")
+        ev.join(broadcast(windows), $"ts" >= $"w_start" && $"ts" < $"w_end")
+          .groupBy($"wd", $"wh")
+          .agg(count(lit(1)).as("n_events"), D.intSum($"value").as("total_value"))
+      },
+      Some(s"""WITH w AS (
+          SELECT wd, wh,
+            TIMESTAMP '2024-01-01 00:00:00' + to_days(wd) + to_hours(wh) AS w_start,
+            TIMESTAMP '2024-01-01 00:00:00' + to_days(wd) + to_hours(wh + 36) AS w_end
+          FROM (SELECT DISTINCT CAST(o_orderkey % 28 AS INT) AS wd,
+            CAST(o_custkey % 24 AS INT) AS wh FROM orders))
+        SELECT wd, wh, count(*) AS n_events, ${D.sqlIntSum("value")} AS total_value
+        FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY wd, wh"""),
+    ),
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan quality gates — the scale properties the 100 TB design
+  * depends on must be visible in `explain`, not assumed: filter pushdown
+  * into parquet scans, column pruning, broadcast of small dimensions,
+  * partial (map-side) aggregation, and no redundant shuffles.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed into the parquet scan, columns pruned") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // pruned read schema: no l_orderkey/l_partkey in the scan
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.split("ReadSchema")(1).takeWhile(_ != '\n').contains("l_partkey"), p)
+  }
+
+  test("q01: aggregation is partial then final (map-side combine)") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // partial_sum / partial_count
+  }
+
+  test("q02: nation dimension joins via broadcast, no shuffle for it") {
+    val p = planOf("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04: semi join stays a semi join in the physical plan") {
+    val p = planOf("q04_orders_with_heavy_lines")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q06: single shuffle for the supplier window (sort within partitions)") {
+    val df = SparkEntry.queries("q06_running_revenue_per_supplier")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def shuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(shuffles).sum
+    }
+    assert(shuffles(plan) <= 1, plan.toString)
+  }
+
+  test("etl01: battery + normalize chain is one codegen'd projection (no shuffle)") {
+    val df = SparkEntry.queries("etl01_normalize_chain")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*("), p) // whole-stage codegen marker
+  }
+}
