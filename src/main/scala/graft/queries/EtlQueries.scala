@@ -52,6 +52,31 @@ object EtlQueries {
       END AS val
       FROM lineitem"""
 
+  val profileOrdersOracle: Option[String] = Some(s"""WITH long AS (
+          SELECT 'o_orderstatus' AS col_name, o_orderstatus AS cell FROM orders
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+          UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        vals AS (SELECT col_name, cell, count(*) AS cnt FROM long GROUP BY 1, 2),
+        votes AS (
+          SELECT col_name, arg_min(tag, -tag_cnt) AS voted_type FROM (
+            SELECT col_name, tag, sum(cnt) AS tag_cnt FROM (
+              SELECT col_name, cnt, ${NormalizeCol.sqlInferType("cell")} AS tag FROM vals)
+            WHERE tag <> 'null' GROUP BY 1, 2) GROUP BY col_name),
+        stats AS (
+          SELECT col_name,
+            sum(CASE WHEN cell IS NULL THEN cnt ELSE 0 END) AS n_null,
+            sum(CASE WHEN cell IS NULL THEN 0 ELSE cnt END) AS n_nonnull,
+            count(CASE WHEN cell IS NULL THEN NULL ELSE 1 END) AS n_distinct,
+            max(CASE WHEN cell IS NULL THEN NULL ELSE cnt END) AS max_cnt
+          FROM vals GROUP BY col_name)
+        SELECT s.col_name, coalesce(v.voted_type, 'string') AS voted_type,
+          n_null > 0 AS nullable, n_distinct,
+          CAST(coalesce(max_cnt, 1) AS DOUBLE) /
+            (CASE WHEN n_nonnull = 0 THEN 1 ELSE n_nonnull END) AS confidence,
+          n_null = 0 AND n_distinct = n_nonnull AS is_pk
+        FROM stats s LEFT JOIN votes v USING (col_name)""")
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // normalize_value branch chain, full battery, per-row outputs.
@@ -130,30 +155,35 @@ object EtlQueries {
           Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"),
           NormalizeCol.inferType)
       },
-      Some(s"""WITH long AS (
-          SELECT 'o_orderstatus' AS col_name, o_orderstatus AS cell FROM orders
-          UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
-          UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
-          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
-        vals AS (SELECT col_name, cell, count(*) AS cnt FROM long GROUP BY 1, 2),
-        votes AS (
-          SELECT col_name, arg_min(tag, -tag_cnt) AS voted_type FROM (
-            SELECT col_name, tag, sum(cnt) AS tag_cnt FROM (
-              SELECT col_name, cnt, ${NormalizeCol.sqlInferType("cell")} AS tag FROM vals)
-            WHERE tag <> 'null' GROUP BY 1, 2) GROUP BY col_name),
-        stats AS (
-          SELECT col_name,
-            sum(CASE WHEN cell IS NULL THEN cnt ELSE 0 END) AS n_null,
-            sum(CASE WHEN cell IS NULL THEN 0 ELSE cnt END) AS n_nonnull,
-            count(CASE WHEN cell IS NULL THEN NULL ELSE 1 END) AS n_distinct,
-            max(CASE WHEN cell IS NULL THEN NULL ELSE cnt END) AS max_cnt
-          FROM vals GROUP BY col_name)
-        SELECT s.col_name, coalesce(v.voted_type, 'string') AS voted_type,
-          n_null > 0 AS nullable, n_distinct,
-          CAST(coalesce(max_cnt, 1) AS DOUBLE) /
-            (CASE WHEN n_nonnull = 0 THEN 1 ELSE n_nonnull END) AS confidence,
-          n_null = 0 AND n_distinct = n_nonnull AS is_pk
-        FROM stats s LEFT JOIN votes v USING (col_name)"""),
+      EtlQueries.profileOrdersOracle,
+    ),
+
+    // ------------------------------------------------------------------
+    // same profile via the ONE-PASS TypedImperativeAggregate (no unpivot
+    // shuffle: every column profiled in a single aggregation over the
+    // table) — identical oracle to etl03.
+    GraftQuery(
+      "etl09_profile_onepass",
+      (s, d) => {
+        val cols = Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey")
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey").as("row_idx") +:
+            cols.map(c => col(c).cast("string").as(c)): _*)
+        val aggd = o.agg(
+          graft.etl.FieldProfileAgg(col(cols.head), col("row_idx")).as(cols.head),
+          cols.tail.map(c => graft.etl.FieldProfileAgg(col(c), col("row_idx")).as(c)): _*)
+        // explode the per-column structs into the row-per-column shape
+        aggd.select(explode(array(cols.map { c =>
+          struct(lit(c).as("col_name"),
+            col(s"$c.voted_type").as("voted_type"),
+            col(s"$c.nullable").as("nullable"),
+            col(s"$c.n_distinct").as("n_distinct"),
+            col(s"$c.confidence").as("confidence"),
+            col(s"$c.is_pk").as("is_pk"))
+        }: _*)).as("p")).select(col("p.*"))
+      },
+      // same oracle as etl03 — both profilers must produce identical stats
+      EtlQueries.profileOrdersOracle,
     ),
 
     // ------------------------------------------------------------------

@@ -114,6 +114,19 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // exact-dedup survivors: lowest doc_id per content fingerprint.
+    GraftQuery(
+      "dedup06_exact_survivors",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), col("text"))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+            row_number() OVER (PARTITION BY ${TA.Sql.fingerprint("text")}
+              ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // pairwise n-gram Jaccard within (lang, source) blocks.
     GraftQuery(
       "dedup02_ngram_jaccard",
