@@ -60,29 +60,9 @@ case class FieldProfileAgg(
   override def merge(a: ProfileBuffer, b: ProfileBuffer): ProfileBuffer = a.mergeWith(b)
 
   override def eval(buf: ProfileBuffer): Any = {
-    val nonNull = buf.values.valuesIterator.map(_._1).sum
-    val nDistinct = buf.values.size.toLong
-    val maxCnt = if (buf.values.isEmpty) 1L else buf.values.valuesIterator.map(_._1).max
-    // vote: infer_type per distinct value, weighted by count; ties break by
-    // (count desc, first-seen asc, tag asc) — same as Profile.profileStats
-    val tagStats = mutable.Map.empty[String, (Long, Long)]
-    buf.values.foreach { case (v, (cnt, first)) =>
-      val tag = Normalize.inferType(Json.parseOpt(v).getOrElse(JStr(v)))
-      if (tag != "null") {
-        val (c0, f0) = tagStats.getOrElse(tag, (0L, Long.MaxValue))
-        tagStats(tag) = (c0 + cnt, math.min(f0, first))
-      }
-    }
-    val voted =
-      if (tagStats.isEmpty) "string"
-      else tagStats.toSeq.minBy { case (t, (c, f)) => (-c, f, t) }._1
-    val conf = if (nonNull > 0) maxCnt.toDouble / nonNull else 1.0
-    InternalRow(
-      UTF8String.fromString(voted),
-      buf.nulls > 0,
-      nDistinct,
-      conf,
-      buf.nulls == 0 && nDistinct == nonNull && nonNull > 0)
+    val s = buf.summarize()
+    InternalRow(UTF8String.fromString(s.votedType), s.nullable, s.nDistinct,
+      s.confidence, s.isPk)
   }
 
   override def serialize(buf: ProfileBuffer): Array[Byte] = buf.encode()
@@ -112,10 +92,38 @@ object FieldProfileAgg {
         .toAggregateExpression())
 }
 
+final case class ProfileSummary(
+    votedType: String, nullable: Boolean, nDistinct: Long,
+    confidence: Double, isPk: Boolean)
+
 /** value → (count, first-seen row), plus null count. */
 final class ProfileBuffer {
   val values: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
   var nulls: Long = 0L
+
+  /** vote + stats: ties break (count desc, first-seen asc, tag asc) — same
+    * as Profile.profileStats.
+    */
+  def summarize(): ProfileSummary = {
+    val nonNull = values.valuesIterator.map(_._1).sum
+    val nDistinct = values.size.toLong
+    val maxCnt = if (values.isEmpty) 1L else values.valuesIterator.map(_._1).max
+    val tagStats = mutable.Map.empty[String, (Long, Long)]
+    values.foreach { case (v, (cnt, first)) =>
+      val tag = Normalize.inferType(Json.parseOpt(v).getOrElse(JStr(v)))
+      if (tag != "null") {
+        val (c0, f0) = tagStats.getOrElse(tag, (0L, Long.MaxValue))
+        tagStats(tag) = (c0 + cnt, math.min(f0, first))
+      }
+    }
+    val voted =
+      if (tagStats.isEmpty) "string"
+      else tagStats.toSeq.minBy { case (t, (c, f)) => (-c, f, t) }._1
+    ProfileSummary(
+      voted, nulls > 0, nDistinct,
+      if (nonNull > 0) maxCnt.toDouble / nonNull else 1.0,
+      nulls == 0 && nDistinct == nonNull && nonNull > 0)
+  }
 
   def add(v: String, row: Long): Unit = {
     val (c, f) = values.getOrElse(v, (0L, Long.MaxValue))

@@ -26,6 +26,43 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** One (column, cell) observation flowing through a stream. */
+  final case class CellObs(col_name: String, cell: String, row_idx: Long)
+
+  final case class ColProfile(col_name: String, voted_type: String,
+      nullable: Boolean, n_distinct: Long, confidence: Double, n_rows: Long)
+
+  /** Streaming column profiler — the schema-inference stage of the document
+    * pipeline as a STATEFUL streaming operator: per column, a
+    * [[graft.etl.ProfileBuffer]] lives in `GroupState` (stored as its
+    * compact byte encoding) and every micro-batch merges new observations
+    * and emits the refreshed profile. The same buffer/merge/summarize code
+    * backs the batch TypedImperativeAggregate, so batch and stream agree by
+    * construction.
+    */
+  def streamingProfile(cells: Dataset[CellObs]): Dataset[ColProfile] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells.groupByKey(_.col_name)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (colName: String, it: Iterator[CellObs], state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(graft.etl.ProfileBuffer.decode)
+            .getOrElse(new graft.etl.ProfileBuffer)
+          var rows = 0L
+          it.foreach { o =>
+            rows += 1
+            if (o.cell == null || o.cell == "null" || o.cell == "NaN") buf.nulls += 1
+            else buf.add(o.cell, o.row_idx)
+          }
+          state.update(buf.encode())
+          val s = buf.summarize()
+          Iterator.single(ColProfile(colName, s.votedType, s.nullable,
+            s.nDistinct, s.confidence,
+            buf.nulls + buf.values.valuesIterator.map(_._1).sum))
+      }
+  }
+
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long, last_type: String)

@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming column profiler accumulates state across micro-batches") {
+    import spark.implicits._
+    val mem = MemoryStream[CellObs](spark)
+    val out = streamingProfile(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sprofile")
+      .outputMode("update").start()
+    try {
+      mem.addData(CellObs("age", "34", 0), CellObs("age", "51", 1), CellObs("name", "bo", 0))
+      q.processAllAvailable()
+      mem.addData(CellObs("age", "null", 2), CellObs("age", "34", 3))
+      q.processAllAvailable()
+      val latest = spark.table("sprofile").collect()
+        .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"),
+          r.getAs[String]("voted_type"), r.getAs[Boolean]("nullable"),
+          r.getAs[Long]("n_distinct"), r.getAs[Double]("confidence")))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      // after both batches: age saw 34,51,null,34 → integer, nullable,
+      // 2 distinct, confidence 2/3
+      assert(latest("age") == (("age", 4L, "integer", true, 2L, 2.0 / 3)))
+      assert(latest("name") == (("name", 1L, "string", false, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("batch and stream hourlyStats agree on the events table") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val batch = hourlyStats(ev).orderBy("hour", "event_type").collect()
