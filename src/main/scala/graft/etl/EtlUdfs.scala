@@ -56,6 +56,19 @@ object EtlUdfs {
     }
   }
 
+  /** sane-mode `normalize_value` over a JSON cell. */
+  val normalizeCellSane = udf { (cell: String) =>
+    if (cell == null || cell == "null" || cell == "NaN") null
+    else Json.parseOpt(cell) match {
+      case Some(v) =>
+        Normalize.normalizeCellSane(v) match {
+          case JNull => null
+          case out => Json.render(out)
+        }
+      case None => null
+    }
+  }
+
   /** T2 list flatten: a list cell comma-joins its elements' python `str()`
     * renderings; scalars pass through.
     */

@@ -78,6 +78,49 @@ object Normalize {
       }
   }
 
+  /** SANE mode (SURVEY.md §2.3): same dynamic typing without the reference's
+    * branch-order quirks — numbers parse before booleans/phone, "1"/"0" stay
+    * integers, bare digit strings become ints, negatives stay numeric,
+    * plain dates are dates. Opt-in via DocumentEtl.run(mode = SaneMode);
+    * faithful mode stays the default (and the oracle/golden target).
+    */
+  def normalizeStringSane(s0: String): JVal = {
+    val s = s0.strip()
+    val sl = s.toLowerCase(Locale.ROOT)
+    if (NullTokens.contains(sl)) JNull
+    else {
+      val sn = s.replace(",", "").replace("$", "").replace("₹", "").strip()
+      if (IntRe.findFirstIn(sn).isDefined)
+        try JInt(BigInt(sn)) catch { case _: NumberFormatException => JStr(sl) }
+      else pyFloat(sn) match {
+        case Some(d) if !d.isNaN => JFloat(d)
+        case _ =>
+          if (Set("true", "yes")(sl)) JBool(true)
+          else if (Set("false", "no")(sl)) JBool(false)
+          else
+            PercentRe.findFirstMatchIn(s) match {
+              case Some(m) => JFloat(m.group(1).toDouble / 100.0)
+              case None =>
+                if (EmailRe.findFirstIn(s).isDefined) JStr(sl)
+                else Dates.parseIso(s) match {
+                  case Some(iso) => JStr(iso)
+                  case None =>
+                    if (PhoneRe.findFirstIn(s).isDefined && s.exists(c => !c.isDigit))
+                      JStr(s.replaceAll("[^\\d]", ""))
+                    else JStr(sl)
+                }
+            }
+      }
+    }
+  }
+
+  def normalizeCellSane(v: JVal): JVal = v match {
+    case JNull => JNull
+    case JFloat(d) if d.isNaN => JNull
+    case s: JStr => normalizeStringSane(s.s)
+    case other => other // sane mode: typed values pass through untouched
+  }
+
   /** python `float(s)` acceptance (sign, decimals, exponents, inf/infinity). */
   private[etl] def pyFloat(s0: String): Option[Double] = {
     val s = s0.strip().toLowerCase(Locale.ROOT)

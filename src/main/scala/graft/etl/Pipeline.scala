@@ -45,17 +45,31 @@ object DocumentEtl {
       schema: EngineSchema,
       diff: Option[JVal])
 
-  /** Full pipeline over (doc_id: Long, text: String) rows. */
+  /** Normalization mode: Faithful reproduces the reference's branch-order
+    * quirks (default, golden/oracle target); Sane applies the cleaned-up
+    * chain (numbers before booleans, no phone-branch digit-string quirk,
+    * nulls stay null) uniformly to every column — SURVEY.md §2.3.
+    */
+  sealed trait Mode
+  case object Faithful extends Mode
+  case object Sane extends Mode
+
   def run(
       spark: SparkSession,
       docs: DataFrame,
       sourceId: String = "default_source",
       registryDir: Option[String] = None,
-      now: Long = System.currentTimeMillis() / 1000): Result = {
+      now: Long = System.currentTimeMillis() / 1000,
+      mode: Mode = Faithful): Result = {
 
     val recs = extract(docs)
     val (wide, cols) = pivot(spark, recs)
-    val normalized = flattenLists(normalizeData(spark, wide, cols), cols)
+    val norm0 =
+      if (mode == Sane)
+        wide.select(col("doc_id") +: col("row_idx") +:
+          cols.map(c => normalizeCellSane(col(s"`$c`")).as(c)): _*)
+      else normalizeData(spark, wide, cols)
+    val normalized = flattenLists(norm0, cols)
     val schema = Profile.generateSchema(normalized, cols, now)
     val registry = registryDir.map(new SchemaRegistry(_))
     val diff = for {

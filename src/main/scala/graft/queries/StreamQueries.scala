@@ -75,6 +75,38 @@ object StreamQueries {
     ),
 
     // ------------------------------------------------------------------
+    // sliding windows (1h window, 30m slide — every event lands in two
+    // windows; oracle regenerates the same window starts arithmetically).
+    GraftQuery(
+      "ev05_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n_events"), col("total_value")),
+      Some("""SELECT make_timestamp(b * 1800000000) AS w_start, event_type,
+          count(*) AS n_events,
+          sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+        FROM (
+          SELECT unnest([epoch_us(ts) // 1800000000,
+                         epoch_us(ts) // 1800000000 - 1]) AS b,
+                 event_type, value
+          FROM events)
+        GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // the full document ETL pipeline as a benchable query (rows-only check:
+    // its cell-exact verification is the golden corpus, PipelineGoldenSpec).
+    GraftQuery(
+      "etl10_doc_pipeline",
+      (s, d) => graft.etl.DocumentEtl.run(
+        s, Tables.documents(s, d).select(col("doc_id"), col("text"))).table,
+      None,
+    ),
+
+    // ------------------------------------------------------------------
     // as-of join: each event picks the latest order (by that customer) at
     // or before the event time. Spark impl = union+window single-shuffle
     // (graft.ops.AsofJoin); oracle = DuckDB's native ASOF JOIN.
