@@ -114,6 +114,34 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // word-bigram top-k per language (n-gram frequency analysis).
+    GraftQuery(
+      "text05_bigram_topk",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
+        Tables.documents(s, d)
+          .select(col("lang"), explode(bigrams).as("bigram"))
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+      },
+      Some(s"""WITH t AS (SELECT lang, ${TA.Sql.tokens("text")} AS toks FROM documents),
+        b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),
+          i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram FROM t),
+        c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2)
+        SELECT lang, bigram, n, rnk FROM (
+          SELECT lang, bigram, n,
+            row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rnk
+          FROM c) WHERE rnk <= 5"""),
+    ),
+
+    // ------------------------------------------------------------------
     // exact-dedup survivors: lowest doc_id per content fingerprint.
     GraftQuery(
       "dedup06_exact_survivors",

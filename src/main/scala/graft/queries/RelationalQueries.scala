@@ -391,5 +391,54 @@ object RelationalQueries {
         FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
         GROUP BY wd, wh"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q19: correlated scalar subquery (decorrelates to join + agg) — parts
+    // priced above their brand's average.
+    GraftQuery(
+      "q19_above_brand_avg",
+      (s, d) => {
+        import s.implicits._
+        val p = Tables.part(s, d)
+        val brandAvg = p.groupBy($"p_brand".as("b"))
+          .agg(D.intAvg($"p_retailprice").as("brand_avg"))
+        p.join(broadcast(brandAvg), $"p_brand" === $"b")
+          .filter($"p_retailprice" > $"brand_avg")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_above"), D.intAvg($"p_retailprice").as("avg_above"))
+      },
+      Some(s"""SELECT p_brand, count(*) AS n_above,
+        ${D.sqlIntAvg("p_retailprice")} AS avg_above
+        FROM part p WHERE p_retailprice > (
+          SELECT ${D.sqlIntAvg("p2.p_retailprice")} FROM part p2
+          WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q20: lead/lag + first_value window battery over orders per customer.
+    GraftQuery(
+      "q20_window_lead_lag",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+          .withColumn("prev_order", lag($"o_orderkey", 1).over(w))
+          .withColumn("next_order", lead($"o_orderkey", 1).over(w))
+          .withColumn("first_order", first($"o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("order_seq", row_number().over(w))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        lag(o_orderkey, 1) OVER w AS prev_order,
+        lead(o_orderkey, 1) OVER w AS next_order,
+        first_value(o_orderkey) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+        row_number() OVER w AS order_seq
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+    ),
   )
 }
