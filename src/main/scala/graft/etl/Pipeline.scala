@@ -62,7 +62,12 @@ object DocumentEtl {
       now: Long = System.currentTimeMillis() / 1000,
       mode: Mode = Faithful): Result = {
 
-    val recs = extract(docs)
+    // extraction is consumed by several downstream jobs (pivot key scan,
+    // branch-decision aggregate, the wide table itself) — persist it, and
+    // spread single-file inputs across cores first (CPU-bound UDF).
+    val recs = extract(
+      docs.repartition(spark.sparkContext.defaultParallelism))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (wide, cols) = pivot(spark, recs)
     val norm0 =
       if (mode == Sane)
@@ -70,6 +75,7 @@ object DocumentEtl {
           cols.map(c => normalizeCellSane(col(s"`$c`")).as(c)): _*)
       else normalizeData(spark, wide, cols)
     val normalized = flattenLists(norm0, cols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = Profile.generateSchema(normalized, cols, now)
     val registry = registryDir.map(new SchemaRegistry(_))
     val diff = for {

@@ -125,6 +125,7 @@ object ExtQueries {
           .otherwise(array().cast("array<string>"))
         val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
         Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("lang"), explode(bigrams).as("bigram"))
           .groupBy(col("lang"), col("bigram"))
           .agg(count(lit(1)).as("n"))
