@@ -440,5 +440,32 @@ object RelationalQueries {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q21: INTERSECT / EXCEPT set operations on key projections.
+    GraftQuery(
+      "q21_setops",
+      (s, d) => {
+        import s.implicits._
+        val ordered = Tables.orders(s, d).select($"o_custkey".as("k"))
+        val heavy = Tables.orders(s, d).filter($"o_totalprice" > 300000.0)
+          .select($"o_custkey".as("k"))
+        val both = ordered.intersect(heavy).withColumn("src", lit("both"))
+        val onlyLight = ordered.except(heavy).withColumn("src", lit("light_only"))
+        both.unionByName(onlyLight)
+          .groupBy($"src").agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT src, count(*) AS n_customers FROM (
+          SELECT k, 'both' AS src FROM (
+            SELECT o_custkey AS k FROM orders
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+          UNION ALL
+          SELECT k, 'light_only' FROM (
+            SELECT o_custkey AS k FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0))
+        GROUP BY src"""),
+    ),
   )
 }

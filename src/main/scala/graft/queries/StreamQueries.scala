@@ -97,6 +97,29 @@ object StreamQueries {
     ),
 
     // ------------------------------------------------------------------
+    // real JSON-path extraction of props (get_json_object ↔ DuckDB JSON),
+    // plus from_json round-trip into a typed struct.
+    GraftQuery(
+      "ev06_json_props",
+      (s, d) => {
+        val parsed = Tables.events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k_struct"))
+        parsed.groupBy((col("k_path") % 7).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k_struct")).as("k_sum"),
+            sum(when(col("k_path") === col("k_struct"), 1L).otherwise(0L)).as("n_agree"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS bucket,
+          count(*) AS n,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+          count(*) AS n_agree
+        FROM events GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // the full document ETL pipeline as a benchable query (rows-only check:
     // its cell-exact verification is the golden corpus, PipelineGoldenSpec).
     GraftQuery(
