@@ -47,12 +47,47 @@ object EtlUdfs {
     }
   }
 
-  /** branch (c): fillna('') + str(x).strip().lower() over a JSON cell. */
+  /** branch (c): fillna('') + str(x).strip().lower() over a JSON cell.
+    * Quirk: an EMPTY list fails `pd.notna` (empty-array truthiness is
+    * False) → the lambda's else-branch emits None.
+    */
   val stripLowerCell = udf { (cell: String) =>
     if (cell == null || cell == "null" || cell == "NaN") Json.quote("")
     else Json.parseOpt(cell) match {
+      case Some(JArr(items)) if items.isEmpty => null
+      case Some(JArr(Vector(JNull))) => null // pd.notna([None]) → False
+      case Some(JArr(Vector(JFloat(d)))) if d.isNaN => null
       case Some(v) => Json.quote(PyRender.pyStr(v).strip().toLowerCase(java.util.Locale.ROOT))
       case None => Json.quote("")
+    }
+  }
+
+  /** classification of normalize_value's OUTPUT for a cell — drives the
+    * post-normalize pandas dtype coercion: "i"/"f"/"b"/"s"/"n"(ull).
+    */
+  val normOutTag = udf { (cell: String) =>
+    if (cell == null || cell == "null" || cell == "NaN") "n"
+    else Json.parseOpt(cell) match {
+      case Some(v) =>
+        Normalize.normalizeCell(v) match {
+          case JNull => "n"
+          case _: JInt => "i"
+          case _: JFloat => "f"
+          case _: JBool => "b"
+          case _ => "s"
+        }
+      case None => "n"
+    }
+  }
+
+  /** does a list cell have ≥2 elements? (`pd.notna(multi-element list)`
+    * raises → the reference SKIPS that column entirely)
+    */
+  val isMultiList = udf { (cell: String) =>
+    if (cell == null || !cell.startsWith("[")) false
+    else Json.parseOpt(cell) match {
+      case Some(JArr(items)) => items.length >= 2
+      case _ => false
     }
   }
 

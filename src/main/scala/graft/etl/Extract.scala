@@ -105,14 +105,22 @@ object Extract {
   }
 
   /** pandas `json_normalize` record semantics: nested dicts flatten with
-    * `.`-joined keys; lists are left intact.
+    * `.`-joined keys; lists are left intact. Key ORDER (verified
+    * empirically): top-level scalar/list keys first in appearance order,
+    * then each top-level dict's subtree fully flattened in pure appearance
+    * order — the scalars-first reordering happens only at the TOP level.
     */
-  def flattenDicts(fields: Vector[(String, JVal)], prefix: String = ""): Record =
-    fields.flatMap { case (k, v) =>
-      val key = if (prefix.isEmpty) k else s"$prefix.$k"
+  def flattenDicts(fields: Vector[(String, JVal)]): Record = {
+    val scalars = fields.collect { case (k, v) if !v.isInstanceOf[JObj] => k -> v }
+    val nested = fields.collect { case (k, o: JObj) => deepFlatten(k, o) }.flatten
+    scalars ++ nested
+  }
+
+  private def deepFlatten(prefix: String, obj: JObj): Record =
+    obj.fields.flatMap { case (k, v) =>
       v match {
-        case JObj(inner) => flattenDicts(inner, key)
-        case other => Vector(key -> other)
+        case o: JObj => deepFlatten(s"$prefix.$k", o)
+        case other => Vector(s"$prefix.$k" -> other)
       }
     }
 }
@@ -124,7 +132,13 @@ object Extract {
   * block (pandas ParserError → block skipped).
   */
 object Csv {
-  private val NaTokens = Set("", "NA", "N/A", "NULL", "null", "NaN", "nan", "None", "n/a", "<NA>")
+  /** pandas default na_values — matched EXACTLY, no whitespace strip
+    * (" null" stays a literal string; numeric parsing, by contrast,
+    * tolerates surrounding whitespace).
+    */
+  private val NaTokens = Set("", "#N/A", "#N/A N/A", "#NA", "-1.#IND",
+    "-1.#QNAN", "-NaN", "-nan", "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA",
+    "NULL", "NaN", "None", "n/a", "nan", "null")
 
   def parseBlock(block: String): Option[Vector[Extract.Record]] = {
     val lines = block.split("\n", -1).toVector.filter(_.nonEmpty)
@@ -141,16 +155,16 @@ object Csv {
     // column dtype inference
     val cols = header.indices.map { i =>
       val cells = padded.map(_(i))
-      val nonNa = cells.filter(c => c != null && !NaTokens.contains(c.trim))
+      val nonNa = cells.filter(c => c != null && !NaTokens.contains(c))
       def allMatch(re: String) = nonNa.nonEmpty && nonNa.forall(_.trim.matches(re))
-      val anyNa = cells.exists(c => c == null || NaTokens.contains(c.trim))
+      val anyNa = cells.exists(c => c == null || NaTokens.contains(c))
       if (allMatch("[+-]?\\d+") && !anyNa) cells.map(c => JInt(BigInt(c.trim)): JVal)
       else if (allMatch("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?"))
         cells.map(c =>
-          if (c == null || NaTokens.contains(c.trim)) JNull
+          if (c == null || NaTokens.contains(c)) JNull
           else JFloat(c.trim.toDouble): JVal)
       else cells.map(c =>
-        if (c == null || NaTokens.contains(c.trim)) JNull else JStr(c): JVal)
+        if (c == null || NaTokens.contains(c)) JNull else JStr(c): JVal)
     }
     Some(padded.indices.map(r => header.indices.map(i => header(i) -> cols(i)(r)).toVector).toVector)
   }

@@ -28,6 +28,26 @@ import scala.util.matching.Regex
   * lowercase branch.
   */
 object Normalize {
+  /** Obscure reference quirk: `normalize_data`'s numeric-column check ORs in
+    * `pd.api.types.is_numeric_dtype(x)`, which is TRUE for any string that
+    * names a numpy numeric dtype — so a column of values like "short",
+    * "float", "double", "i8" passes the numeric gate and gets the
+    * normalize_value chain. Exact accepted set enumerated empirically
+    * (case-sensitive, no surrounding whitespace).
+    */
+  val NumpyDtypeNames: Seq[String] = Seq(
+    "?", "B", "D", "F", "G", "H", "I", "L", "P", "Q", "b", "b1", "bool",
+    "bool8", "bool_", "byte", "c16", "c32", "c8", "cdouble", "cfloat",
+    "clongdouble", "clongfloat", "complex", "complex128", "complex256",
+    "complex64", "complex_", "csingle", "d", "double", "e", "f", "f16", "f2",
+    "f4", "f8", "float", "float128", "float16", "float32", "float64",
+    "float_", "g", "h", "half", "i", "i1", "i2", "i4", "i8", "int", "int0",
+    "int16", "int32", "int64", "int8", "int_", "intc", "intp", "l", "long",
+    "longcomplex", "longdouble", "longfloat", "longlong", "p", "q", "short",
+    "single", "singlecomplex", "u1", "u2", "u4", "u8", "ubyte", "uint",
+    "uint0", "uint16", "uint32", "uint64", "uint8", "uintc", "uintp",
+    "ulong", "ulonglong", "ushort")
+
   private val NullTokens = Set("na", "n/a", "null", "none", "", "nan")
   private val TrueTokens = Set("true", "yes", "1")
   private val FalseTokens = Set("false", "no", "0")

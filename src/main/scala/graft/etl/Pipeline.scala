@@ -161,16 +161,26 @@ object DocumentEtl {
     val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
       val cell = col(s"`$c`")
       val s = pyStrCell(cell)
+      val tag = normOutTag(cell)
       Seq(
         min(when(isNa(cell), null).otherwise(struct(col("row_idx").as("r"), s.as("v"))))
           .getField("v").as(s"first_$i"),
         every(when(isNa(cell), null)
-          .otherwise(regexp_replace(s, ",", "").rlike(numRe))).as(s"allnum_$i"),
-        // pandas quirk: a list cell makes branch (c) throw (`pd.notna(list)`
-        // is elementwise-ambiguous) → the whole column is SKIPPED raw
-        // (reference: backend/etl_pipeline.py:222-224); flatten later
-        // comma-joins the surviving lists.
-        max(cell.startsWith("[").cast("int")).as(s"haslist_$i"))
+          .otherwise(regexp_replace(s, ",", "").rlike(numRe) ||
+            s.isInCollection(Normalize.NumpyDtypeNames))).as(s"allnum_$i"),
+        // pandas quirk: `pd.notna(list)` raises for lists of length ≥ 2 →
+        // branch (c) throws → the whole column is SKIPPED raw (reference:
+        // backend/etl_pipeline.py:222-224). Single-element lists stringify
+        // normally; flatten later comma-joins the surviving lists.
+        max(isMultiList(cell).cast("int")).as(s"haslist_$i"),
+        // post-normalize pandas dtype inference: the mapped column becomes
+        // float64 when all outputs are int/float AND there is any float or
+        // any None — ints then read back as floats ("99" → 99.0).
+        sum((tag === "i").cast("long")).as(s"n_i_$i"),
+        sum((tag === "f").cast("long")).as(s"n_f_$i"),
+        sum((tag === "b").cast("long")).as(s"n_b_$i"),
+        sum((tag === "s").cast("long")).as(s"n_s_$i"),
+        sum((tag === "n").cast("long")).as(s"n_n_$i"))
     }
     val row = wide.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
 
@@ -178,13 +188,20 @@ object DocumentEtl {
       val cell = col(s"`$c`")
       val first = Option(row.getAs[String](s"first_$i"))
       val allNum = Option(row.getAs[java.lang.Boolean](s"allnum_$i")).exists(_.booleanValue)
-      val hasList = Option(row.getAs[java.lang.Integer](s"haslist_$i")).exists(_ > 0)
+      val hasMultiList = Option(row.getAs[java.lang.Integer](s"haslist_$i")).exists(_ > 0)
+      def l(name: String) = row.getAs[Long](s"${name}_$i")
+      val coerceFloat =
+        l("n_b") == 0 && l("n_s") == 0 && l("n_i") > 0 && (l("n_f") > 0 || l("n_n") > 0)
+      def withCoerce(normalized: Column): Column =
+        if (coerceFloat)
+          when(normalized.rlike("^-?\\d+$"), concat(normalized, lit(".0"))).otherwise(normalized)
+        else normalized
       first match {
         case None => cell.as(c) // no non-null values → column untouched
         case Some(f) if f.length > 8 && f.matches("^\\d{4}-\\d{2}-\\d{2}.*") =>
-          normalizeCell(cell).as(c)
-        case _ if allNum => normalizeCell(cell).as(c)
-        case _ if hasList => cell.as(c) // exception path → column skipped
+          withCoerce(normalizeCell(cell)).as(c)
+        case _ if allNum => withCoerce(normalizeCell(cell)).as(c)
+        case _ if hasMultiList => cell.as(c) // exception path → column skipped
         case _ => stripLowerCell(cell).as(c)
       }
     }

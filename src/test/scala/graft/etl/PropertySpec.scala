@@ -51,13 +51,18 @@ class PropertySpec extends AnyFunSuite {
       } yield JObj(keys.toVector.zip(vals))
     check(Prop.forAll(objGen(2)) { o =>
       val flat = Extract.flattenDicts(o.fields)
-      // every leaf reachable by joining path segments; value preserved
       def leaves(prefix: String, v: JVal): Vector[(String, JVal)] = v match {
         case JObj(fs) => fs.flatMap { case (k, x) =>
           leaves(if (prefix.isEmpty) k else s"$prefix.$k", x) }
         case other => Vector(prefix -> other)
       }
-      flat == leaves("", o)
+      // lossless: same leaf set...
+      val lossless = flat.toMap == leaves("", o).toMap && flat.size == leaves("", o).size
+      // ...and json_normalize order: top-level scalars first (appearance),
+      // then each top-level dict's subtree in appearance order
+      val scalars = o.fields.collect { case (k, v) if !v.isInstanceOf[JObj] => k -> v }
+      val nested = o.fields.collect { case (k, d: JObj) => leaves("", JObj(Vector(k -> d))) }.flatten
+      lossless && flat == (scalars ++ nested)
     })
   }
 

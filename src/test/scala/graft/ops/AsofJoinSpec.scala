@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Edge semantics of the as-of join: no-match → null payload, exact-ts
+  * match included (<=), latest-wins, key isolation.
+  */
+class AsofJoinSpec extends SparkSpec {
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join edges: before-first, exact tie, latest-wins, key isolation") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L), // before any right row → null
+      (1L, ts("2024-01-02 00:00:00"), 11L), // exactly at right ts → matches it
+      (1L, ts("2024-01-05 00:00:00"), 12L), // after both → latest wins
+      (2L, ts("2024-01-04 00:00:00"), 20L)  // other key → isolated
+    ).toDF("k", "t", "event")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), "a"),
+      (1L, ts("2024-01-03 00:00:00"), "b"),
+      (2L, ts("2024-01-01 00:00:00"), "z")
+    ).toDF("k", "rt", "payload")
+
+    val out = AsofJoin.asof(left, right, "k", "t", "rt", Seq("payload"))
+      .collect().map(r => (r.getAs[Long]("event"), r.getAs[String]("payload"))).toMap
+    assert(out == Map(10L -> null, 11L -> "a", 12L -> "b", 20L -> "z"))
+  }
+}

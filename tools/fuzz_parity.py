@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Fuzz-parity corpus: generate random documents, run the REFERENCE pipeline
+on each (bs4/deepdiff stubbed — fixtures avoid HTML), dump goldens in the
+same format as ref_golden.py. graft.FuzzCheck then replays them through the
+Spark pipeline and compares cell-for-cell.
+
+Excluded from generation (documented engine deviations): bare negative
+numbers (dateutil infers them as dates), dateutil-only date formats,
+float-repr extremes (|x| >= 1e16), non-ASCII beyond the currency symbols.
+
+Usage: python3 tools/fuzz_parity.py <out.json> [n_fixtures] [seed]
+"""
+import sys, os, json, types, random
+
+bs4 = types.ModuleType("bs4")
+class _Soup:
+    def __init__(self, text, parser): pass
+    def find_all(self, x): return []
+bs4.BeautifulSoup = _Soup
+sys.modules["bs4"] = bs4
+dd = types.ModuleType("deepdiff")
+class _DD(dict):
+    def __init__(self, a, b, **kw): super().__init__()
+    def to_dict(self): return {}
+dd.DeepDiff = _DD
+sys.modules["deepdiff"] = dd
+sys.path.insert(0, "/root/reference/backend")
+import etl_pipeline as ref  # noqa: E402
+
+out_path = sys.argv[1]
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+rng = random.Random(SEED)
+
+WORDS = ["alpha", "Beta", "GAMMA delta", "x y z", "Hello, World", "MiXeD CaSe",
+         "plain text here", "short", "a b", "trailing  spaces  "]
+QUIRKS = ["NA", "n/a", "null", "none", "nan", "", "true", "True", "YES", "1",
+          "false", "no", "0", "45%", "12.5%", "0.5%", "A@B.com",
+          "John.Doe+tag@Example.COM", "+1 (555) 123-4567", "555 123", "123",
+          "0042", "$1,234", "$1,234.56", "₹99", "1,000,000", "12.5",
+          "3.14159", ".5", "1e5", "2025-11-01", "2025-11-11T20:30:00Z",
+          "2025-11-11 20:30:00", "11/05/2024", "Jan 5, 2024", "$abc", "12abc"]
+
+
+def scalar():
+    r = rng.random()
+    if r < 0.35:
+        return rng.choice(QUIRKS)
+    if r < 0.55:
+        return rng.choice(WORDS)
+    if r < 0.70:
+        return rng.randint(0, 10_000_000)
+    if r < 0.80:
+        return round(rng.uniform(0, 100000), rng.randint(0, 6))
+    if r < 0.88:
+        return rng.choice([True, False])
+    if r < 0.94:
+        return None
+    return rng.choice(["2024-01-05", "k" + str(rng.randint(0, 9))])
+
+
+def value(depth):
+    r = rng.random()
+    if depth <= 0 or r < 0.6:
+        return scalar()
+    if r < 0.8:
+        return {f"k{rng.randint(0, 5)}": value(depth - 1) for _ in range(rng.randint(1, 3))}
+    return [scalar() for _ in range(rng.randint(0, 4))]
+
+
+def record(depth=2):
+    n = rng.randint(1, 6)
+    return {f"f{rng.randint(0, 9)}": value(depth) for _ in range(n)}
+
+
+def fixture(i):
+    kind = rng.random()
+    if kind < 0.5:
+        # JSON array of heterogeneous records
+        return json.dumps([record() for _ in range(rng.randint(1, 6))],
+                          indent=rng.choice([None, 1]))
+    if kind < 0.7:
+        # single nested JSON object
+        return json.dumps(record(3), indent=1)
+    # mixed text: json block + csv + yaml + logs
+    parts = ["Report %d intro." % i]
+    parts.append(json.dumps(record(1)))
+    hdr = ["c%d" % k for k in range(rng.randint(2, 4))]
+    rows = [",".join(str(rng.randint(0, 99)) for _ in hdr) for _ in range(rng.randint(1, 4))]
+    parts.append("\n".join([",".join(hdr)] + rows))
+    parts.append("svc: api%d\ncount: %d" % (i, rng.randint(1, 9)))
+    parts.append("[2024-05-%02d 10:00:00] worker %d" % (rng.randint(1, 28), i))
+    return "\n\n".join(parts) + "\n"
+
+
+def jval(x):
+    import math
+    if x is None:
+        return None
+    if isinstance(x, float) and math.isnan(x):
+        return {"__nan__": True}
+    return x
+
+
+goldens = {}
+os.makedirs("/tmp/fuzzrun", exist_ok=True)
+for i in range(N):
+    name = f"fz{i:03d}"
+    text = fixture(i)
+    path = f"/tmp/fuzzrun/{name}.txt"
+    with open(path, "w") as f:
+        f.write(text)
+    try:
+        df = ref.extract_structured_blocks(path)
+        df = ref.normalize_data(df)
+        df = ref.flatten_dataframe(df)
+        schema = ref.generate_schema(df)
+    except Exception as e:
+        print(f"skip {name}: reference raised {e}")
+        continue
+    schema.pop("schema_id"); schema.pop("generated_at")
+    rows = [{k: jval(v) for k, v in rec.items()} for rec in df.to_dict(orient="records")]
+    goldens[name] = {"input": text, "columns": list(df.columns), "rows": rows,
+                     "schema": schema}
+
+with open(out_path, "w") as f:
+    json.dump(goldens, f, default=str)
+print(f"wrote {len(goldens)} fuzz goldens to {out_path}")
