@@ -82,13 +82,27 @@ def fixture(i):
     if kind < 0.7:
         # single nested JSON object
         return json.dumps(record(3), indent=1)
-    # mixed text: json block + csv + yaml + logs
+    # mixed text: json block + csv + yaml(+lists) + code + logs
     parts = ["Report %d intro." % i]
     parts.append(json.dumps(record(1)))
     hdr = ["c%d" % k for k in range(rng.randint(2, 4))]
-    rows = [",".join(str(rng.randint(0, 99)) for _ in hdr) for _ in range(rng.randint(1, 4))]
+    def cell():
+        r = rng.random()
+        if r < 0.5:
+            return str(rng.randint(0, 99))
+        if r < 0.7:
+            return '"%s"' % rng.choice(["q z", "a,b", 'say ""hi""', "null", "NA"])
+        return rng.choice(["x", " padded ", "12.5", "", "None", "n/a"])
+    rows = [",".join(cell() for _ in hdr) for _ in range(rng.randint(1, 4))]
     parts.append("\n".join([",".join(hdr)] + rows))
-    parts.append("svc: api%d\ncount: %d" % (i, rng.randint(1, 9)))
+    yaml = "svc: api%d\ncount: %d" % (i, rng.randint(1, 9))
+    if rng.random() < 0.5:
+        yaml += "\nitems: the list\n  - one%d\n  - two" % i
+    parts.append(yaml)
+    if rng.random() < 0.6:
+        parts.append("def fn%d(a, b):\n    y = a + %d\n    return y\n" % (i, i))
+    if rng.random() < 0.5:
+        parts.append('print("val %d")' % i)
     parts.append("[2024-05-%02d 10:00:00] worker %d" % (rng.randint(1, 28), i))
     return "\n\n".join(parts) + "\n"
 
