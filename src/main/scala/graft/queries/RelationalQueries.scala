@@ -467,5 +467,57 @@ object RelationalQueries {
             SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0))
         GROUP BY src"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q22: array-function battery (split/sort/distinct/contains/slice).
+    GraftQuery(
+      "q22_array_funcs",
+      (s, d) => {
+        import s.implicits._
+        val toks = split($"p_type", " ")
+        Tables.part(s, d).select(
+          $"p_partkey",
+          size(toks).as("n_words"),
+          array_join(sort_array(toks), "|").as("sorted_words"),
+          array_contains(toks, "BRUSHED").cast("int").as("has_brushed"),
+          element_at(toks, 1).as("first_word"),
+          element_at(toks, -1).as("last_word"),
+          size(array_distinct(toks)).as("n_distinct_words"))
+      },
+      Some("""SELECT p_partkey,
+          len(string_split(p_type, ' ')) AS n_words,
+          array_to_string(list_sort(string_split(p_type, ' ')), '|') AS sorted_words,
+          CAST(list_contains(string_split(p_type, ' '), 'BRUSHED') AS INT) AS has_brushed,
+          string_split(p_type, ' ')[1] AS first_word,
+          string_split(p_type, ' ')[-1] AS last_word,
+          len(list_distinct(string_split(p_type, ' '))) AS n_distinct_words
+        FROM part"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q23: math battery (IEEE-exact ops only: abs/ceil/floor/sqrt/sign/mod).
+    GraftQuery(
+      "q23_math_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d).select(
+          $"l_orderkey", $"l_linenumber",
+          abs($"l_extendedprice" - 50000.0).as("abs_dev"),
+          ceil($"l_quantity").cast("long").as("qty_ceil"),
+          floor($"l_extendedprice" / 1000.0).cast("long").as("price_k"),
+          sqrt($"l_extendedprice").as("price_sqrt"),
+          signum($"l_discount" - 0.05).as("disc_sign"),
+          ($"l_orderkey" % 97).as("key_mod"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          abs(l_extendedprice - 50000.0) AS abs_dev,
+          CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+          CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+          sqrt(l_extendedprice) AS price_sqrt,
+          CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+               WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign,
+          l_orderkey % 97 AS key_mod
+        FROM lineitem"""),
+    ),
   )
 }
