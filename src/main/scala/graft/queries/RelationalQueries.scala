@@ -519,5 +519,90 @@ object RelationalQueries {
           l_orderkey % 97 AS key_mod
         FROM lineitem"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q24: union by name with missing columns (schema evolution union).
+    GraftQuery(
+      "q24_union_by_name",
+      (s, d) => {
+        import s.implicits._
+        val v1 = Tables.orders(s, d).filter($"o_orderkey" % 3 === 0)
+          .select($"o_orderkey", $"o_orderstatus")
+        val v2 = Tables.orders(s, d).filter($"o_orderkey" % 3 === 1)
+          .select($"o_orderkey", $"o_totalprice")
+        v1.unionByName(v2, allowMissingColumns = true)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), D.intSum(coalesce($"o_totalprice", lit(0.0))).as("total"))
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        ${D.sqlIntSum("coalesce(o_totalprice, 0.0)")} AS total
+        FROM (
+          SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL BY NAME
+          SELECT o_orderkey, NULL::VARCHAR AS o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 3 = 1)
+        GROUP BY o_orderstatus"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q25: regexp_extract_all + explode (multi-match extraction).
+    GraftQuery(
+      "q25_regexp_extract_all",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang", explode(
+            regexp_extract_all($"text", lit("\\b[a-z]{5,}\\b"), lit(0))).as("word"))
+          .groupBy($"lang", $"word")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT lang, word, count(*) AS n FROM (
+          SELECT lang, unnest(regexp_extract_all(text, '\b[a-z]{5,}\b')) AS word
+          FROM documents) GROUP BY lang, word"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q26: arg-max/min with a deterministic composite ordering key.
+    GraftQuery(
+      "q26_argmax",
+      (s, d) => {
+        import s.implicits._
+        // unique 64-bit ordering key: price-in-cents * 1e6 + partkey
+        val ord = (round($"p_retailprice" * 100).cast("long") * 1000000L + $"p_partkey")
+        Tables.part(s, d)
+          .groupBy($"p_brand")
+          .agg(
+            max_by($"p_partkey", ord).as("priciest_part"),
+            min_by($"p_partkey", ord).as("cheapest_part"),
+            max(ord).as("max_ord"))
+      },
+      Some("""SELECT p_brand,
+          arg_max(p_partkey, CAST(round(p_retailprice*100) AS BIGINT)*1000000 + p_partkey) AS priciest_part,
+          arg_min(p_partkey, CAST(round(p_retailprice*100) AS BIGINT)*1000000 + p_partkey) AS cheapest_part,
+          max(CAST(round(p_retailprice*100) AS BIGINT)*1000000 + p_partkey) AS max_ord
+        FROM part GROUP BY p_brand"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q27: unpivot (stack) of the lineitem measures → long format sums.
+    GraftQuery(
+      "q27_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_returnflag",
+            expr("stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount)")
+              .as(Seq("measure", "v")))
+          .groupBy($"l_returnflag", $"measure")
+          .agg(D.intSum($"v", 4).as("total"))
+      },
+      Some(s"""SELECT l_returnflag, measure, ${D.sqlIntSum("v", 4)} AS total
+        FROM (
+          SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+          UNION ALL SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+          UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+        GROUP BY l_returnflag, measure"""),
+    ),
   )
 }
