@@ -140,8 +140,11 @@ object RelationalQueries {
       "q06_running_revenue_per_supplier",
       (s, d) => {
         import s.implicits._
+        // (orderkey, linenumber) is NOT unique in this data — the summed
+        // cents value is the final tiebreak, which makes the running sum
+        // order-independent across remaining ties (equal rows commute).
         val w = Window.partitionBy($"l_suppkey")
-          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"cents")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, d)
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
@@ -152,7 +155,7 @@ object RelationalQueries {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         sum(CAST(round(l_extendedprice*100) AS BIGINT)) OVER (
           PARTITION BY l_suppkey
-          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, CAST(round(l_extendedprice*100) AS BIGINT)
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0
           AS running_revenue
         FROM lineitem"""),
