@@ -143,6 +143,44 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // TF-IDF top terms per document. ln() differs across engines in the
+    // last ulp, so the score quantizes to an integer micro-score before
+    // ranking — ordering is then fully integer-deterministic.
+    GraftQuery(
+      "text06_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = docs
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = terms.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("score_micro",
+            col("tf") * round(log(col("n_docs").cast("double") / col("df")) * 1000000.0).cast("long"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("term").asc)
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_micro"), col("rnk"))
+      },
+      Some(s"""WITH terms AS (
+          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+            tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0) AS BIGINT) AS score_micro
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, score_micro, rnk FROM (
+          SELECT doc_id, term, tf, df, score_micro,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, term ASC) AS rnk
+          FROM scored) WHERE rnk <= 3"""),
+    ),
+
+    // ------------------------------------------------------------------
     // exact-dedup survivors: lowest doc_id per content fingerprint.
     GraftQuery(
       "dedup06_exact_survivors",

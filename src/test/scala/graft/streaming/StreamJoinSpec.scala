@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Stream-stream inner join with watermarks and an event-time range
+  * condition — bounded state on both sides (the production shape for
+  * correlating two event streams at scale).
+  */
+class StreamJoinSpec extends SparkSpec {
+  import EventStreams.UserEvent
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("clicks join errors within a 10-minute window per user") {
+    import spark.implicits._
+    val clicks = MemoryStream[UserEvent](spark)
+    val errors = MemoryStream[UserEvent](spark)
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val e = errors.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+    val joined = c.join(e,
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(UserEvent(1, ts(0), 7, "click", 0), UserEvent(2, ts(0), 8, "click", 0))
+      errors.addData(
+        UserEvent(10, ts(5), 7, "error", 0),   // in window for user 7
+        UserEvent(11, ts(20), 7, "error", 0),  // outside window
+        UserEvent(12, ts(3), 9, "error", 0))   // no matching click
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("e_id"))).toSet
+      assert(rows == Set((1L, 10L)))
+    } finally q.stop()
+  }
+}
