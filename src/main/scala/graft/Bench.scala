@@ -29,12 +29,19 @@ object Bench {
       }
       val a = once()
       val b = if (a < 0) a else math.min(a, once())
+      // queries persist() intermediates; drop them so cached blocks don't
+      // accumulate across the suite and GC-degrade later queries
+      spark.catalog.clearCache()
       name -> b
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "failed" makes crashes explicit: a query that starts erroring must not
+    // read as a faster run (its -1 is excluded from the total).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

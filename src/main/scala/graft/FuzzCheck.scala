@@ -81,17 +81,25 @@ object FuzzCheck {
             problems += s"row $i col $c: got ${got.orNull} want ${want.orNull}"
         }
       }
+      // schema vote check: the golden carries TWO votes per column — the
+      // true dateutil vote ("schema") and the vote recomputed with
+      // dateutil swapped for our exact date battery ("battery_types", see
+      // tools/fuzz_parity.py). The engine must match the battery vote
+      // EXACTLY — no waiver heuristics; the dateutil↔battery delta is the
+      // one documented deviation and is logged, never silently absorbed.
       val expFields = g("schema").asInstanceOf[JObj].fields.toMap
         .apply("fields").asInstanceOf[JArr].items.map(_.asInstanceOf[JObj].fields.toMap)
+      val batteryTypes = g("battery_types").asInstanceOf[JObj].fields.toMap
+        .map { case (k, v) => k -> v.asInstanceOf[JStr].s }
       res.schema.fields.zip(expFields).foreach { case (mine, ef) =>
         val en = ef("name").asInstanceOf[JStr].s
         val et = ef("type").asInstanceOf[JStr].s
-        // known documented deviation: dateutil parses strings our fixed
-        // format battery rejects ("-5", "12.5,", ...) — reference votes
-        // date where we vote string. Any OTHER divergence still fails.
-        val knownDateutilDeviation = mine.tpe == "string" && et == "date"
-        if (mine.name == en && mine.tpe != et && !knownDateutilDeviation)
-          problems += s"schema $en: got ${mine.tpe} want $et (DEVIATION?)"
+        val bt = batteryTypes(en)
+        if (mine.name == en && mine.tpe != bt)
+          problems += s"schema $en: got ${mine.tpe} want $bt" +
+            (if (et != bt) s" (dateutil would vote $et)" else "")
+        else if (mine.name == en && et != bt)
+          println(s"  DEVIATION schema $en: battery votes $bt, dateutil votes $et")
       }
     }
     problems.result()

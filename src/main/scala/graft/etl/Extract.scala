@@ -140,6 +140,13 @@ object Csv {
     "-1.#QNAN", "-NaN", "-nan", "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA",
     "NULL", "NaN", "None", "n/a", "nan", "null")
 
+  /** pandas C-parser boolean tokens: case-INsensitive true/false ("tRuE"
+    * counts, verified empirically), but NO whitespace strip (" True" stays a
+    * string).
+    */
+  private def isBoolToken(c: String): Boolean =
+    c.equalsIgnoreCase("true") || c.equalsIgnoreCase("false")
+
   def parseBlock(block: String): Option[Vector[Extract.Record]] = {
     val lines = block.split("\n", -1).toVector.filter(_.nonEmpty)
     if (lines.isEmpty) return None
@@ -158,7 +165,15 @@ object Csv {
       val nonNa = cells.filter(c => c != null && !NaTokens.contains(c))
       def allMatch(re: String) = nonNa.nonEmpty && nonNa.forall(_.trim.matches(re))
       val anyNa = cells.exists(c => c == null || NaTokens.contains(c))
+      // pandas bool inference: all non-NA cells case-insensitively true/false
+      // → python bools; dtype is bool without NA, object (bool + NaN cells)
+      // with — either way the VALUES are bools.
+      val allBool = nonNa.nonEmpty && nonNa.forall(isBoolToken)
       if (allMatch("[+-]?\\d+") && !anyNa) cells.map(c => JInt(BigInt(c.trim)): JVal)
+      else if (allBool)
+        cells.map(c =>
+          if (c == null || NaTokens.contains(c)) JNull
+          else JBool(c.equalsIgnoreCase("true")): JVal)
       else if (allMatch("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?"))
         cells.map(c =>
           if (c == null || NaTokens.contains(c)) JNull

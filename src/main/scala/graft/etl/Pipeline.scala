@@ -158,6 +158,14 @@ object DocumentEtl {
   def normalizeData(spark: SparkSession, wide: DataFrame, cols: Seq[String]): DataFrame = {
     if (cols.isEmpty) return wide
     val numRe = "^(\\$|₹)?\\d+(\\.\\d+)?%?$"
+    // NOTE on `is_numeric_dtype(x)` in the reference's gate
+    // (backend/etl_pipeline.py:218): pandas 2.2's Series.map unboxes numpy
+    // scalars to Python natives, and is_numeric_dtype(python int/float/bool)
+    // is False — so the disjunct never fires on VALUES (verified against the
+    // live reference: an int64 column holding -5 takes branch (c) and emits
+    // "-5"). It only fires for STRING cells that happen to name a numpy
+    // dtype ("int64", "short", ...) — the NumpyDtypeNames clause below.
+    // Negative-number and bool-column behavior is pinned by the fuzz corpus.
     val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
       val cell = col(s"`$c`")
       val s = pyStrCell(cell)

@@ -34,6 +34,7 @@ import scala.collection.mutable
 case class FieldProfileAgg(
     cell: Expression,
     rowIdx: Expression,
+    jsonCells: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ProfileBuffer] {
@@ -60,7 +61,7 @@ case class FieldProfileAgg(
   override def merge(a: ProfileBuffer, b: ProfileBuffer): ProfileBuffer = a.mergeWith(b)
 
   override def eval(buf: ProfileBuffer): Any = {
-    val s = buf.summarize()
+    val s = buf.summarize(jsonCells)
     InternalRow(UTF8String.fromString(s.votedType), s.nullable, s.nDistinct,
       s.confidence, s.isPk)
   }
@@ -85,10 +86,17 @@ object FieldProfileAgg {
     StructField("confidence", DoubleType, nullable = false),
     StructField("is_pk", BooleanType, nullable = false)))
 
-  /** Column builder: `field_profile(cell, row_idx)`. */
+  /** Column builder: `field_profile(cell, row_idx)`. `jsonCells = true` for
+    * pipeline JSON-encoded cells; false (default) tags the raw string with
+    * the same regex battery as [[NormalizeCol.inferType]] (a plain-string
+    * '1e5' is a string, NOT a JSON float).
+    */
   def apply(cell: Column, rowIdx: Column): Column =
+    apply(cell, rowIdx, jsonCells = false)
+
+  def apply(cell: Column, rowIdx: Column, jsonCells: Boolean): Column =
     Bridge.column(
-      FieldProfileAgg(Bridge.expression(cell), Bridge.expression(rowIdx))
+      FieldProfileAgg(Bridge.expression(cell), Bridge.expression(rowIdx), jsonCells)
         .toAggregateExpression())
 }
 
@@ -102,15 +110,20 @@ final class ProfileBuffer {
   var nulls: Long = 0L
 
   /** vote + stats: ties break (count desc, first-seen asc, tag asc) — same
-    * as Profile.profileStats.
+    * as Profile.profileStats. `jsonCells` selects the tagger: JSON-decode for
+    * pipeline wire cells, else the raw-string regex battery (same battery as
+    * NormalizeCol.inferType — a plain string '1e5' must NOT JSON-parse into
+    * a float vote).
     */
-  def summarize(): ProfileSummary = {
+  def summarize(jsonCells: Boolean = false): ProfileSummary = {
     val nonNull = values.valuesIterator.map(_._1).sum
     val nDistinct = values.size.toLong
     val maxCnt = if (values.isEmpty) 1L else values.valuesIterator.map(_._1).max
     val tagStats = mutable.Map.empty[String, (Long, Long)]
     values.foreach { case (v, (cnt, first)) =>
-      val tag = Normalize.inferType(Json.parseOpt(v).getOrElse(JStr(v)))
+      val tag =
+        if (jsonCells) Normalize.inferType(Json.parseOpt(v).getOrElse(JStr(v)))
+        else ProfileBuffer.rawTag(v)
       if (tag != "null") {
         val (c0, f0) = tagStats.getOrElse(tag, (0L, Long.MaxValue))
         tagStats(tag) = (c0 + cnt, math.min(f0, first))
@@ -154,6 +167,30 @@ final class ProfileBuffer {
 }
 
 object ProfileBuffer {
+  private val IntRe = java.util.regex.Pattern.compile("^\\d+$")
+  private val FloatRe = java.util.regex.Pattern.compile("^\\d*\\.\\d+$")
+  private val DateRe = java.util.regex.Pattern.compile(NormalizeCol.InferDateRe)
+
+  /** Raw-string `infer_type` tag — mirrors [[NormalizeCol.inferType]]
+    * (Spark `trim` strips ASCII spaces only).
+    */
+  def rawTag(v: String): String = {
+    val t = trimSpaces(v)
+    if (t.isEmpty) "null"
+    else if (IntRe.matcher(t).matches()) "integer"
+    else if (FloatRe.matcher(t).matches()) "float"
+    else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")) "boolean"
+    else if (DateRe.matcher(t).matches()) "date"
+    else "string"
+  }
+
+  private def trimSpaces(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
   def decode(bytes: Array[Byte]): ProfileBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new ProfileBuffer

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, Tables}
-import graft.ops.{Dedup, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, DedupGraph, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -377,6 +377,143 @@ object ExtQueries {
           SELECT q_id, cell_id, n_id, cos,
             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
           FROM scored) WHERE rnk <= 3"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
+    // pairs (iterative min-label propagation, one shuffle per round — the
+    // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
+    // recursive-CTE transitive closure + min-member label.
+    GraftQuery(
+      "dedup07_components",
+      (s, d) => {
+        val sigs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(
+            col("doc_id"),
+            Dedup.minhash(Dedup.shingleHashes(col("text"), Shingle), MinhashSeeds).as("sig"))
+          .persist()
+        val banded = sigs.select(
+          col("doc_id"),
+          explode(array((0 until Bands).map { bd =>
+            struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
+          }: _*)).as("b"))
+          .select(col("doc_id"), col("b.band"), col("b.key"))
+        val pairs = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        DedupGraph.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("component"))
+      },
+      Some {
+        val sigExprs = (0 until MinhashSeeds).map { i =>
+          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS m$i"
+        }.mkString(", ")
+        val bandKeys = (0 until Bands).map { bd =>
+          val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
+          s"concat_ws(',', ${cols.mkString(", ")}) AS band$bd"
+        }.mkString(", ")
+        val unions = (0 until Bands).map { bd =>
+          s"SELECT a.doc_id AS da, b.doc_id AS db FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
+        }.mkString(" UNION ")
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, ${sqlShingleHashes("text")} AS s FROM documents),
+          sigs AS (SELECT doc_id, $sigExprs FROM sh),
+          keys AS (SELECT doc_id, $bandKeys FROM sigs),
+          edges AS ($unions),
+          bi AS (SELECT da AS src, db AS dst FROM edges
+                 UNION ALL SELECT db, da FROM edges),
+          reach AS (SELECT src, dst FROM bi
+                    UNION
+                    SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // PII scrubbing: redact phone-number-shaped spans from a text rendering
+    // of customer records (the reduced test schema has no phone column, so a
+    // deterministic phone-like string is derived from the keys); count
+    // redactions, fingerprint the scrubbed text. One codegen'd projection —
+    // at corpus scale this is a pure map stage.
+    GraftQuery(
+      "text07_pii_scrub",
+      (s, d) => {
+        val phoneRe = "\\d[\\d()\\s-]{6,}\\d"
+        val phone = concat(
+          (col("c_nationkey") + 10).cast("string"), lit("-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+          lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"))
+        val txt = concat_ws(" ", col("c_name"), phone, col("c_mktsegment"))
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          size(regexp_extract_all(txt, lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(txt, phoneRe, "<PHONE>")).as("scrub_fp"))
+      },
+      Some("""WITH t AS (SELECT c_custkey, concat_ws(' ', c_name,
+            concat(CAST(c_nationkey + 10 AS VARCHAR), '-',
+              lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), '-',
+              lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')),
+            c_mktsegment) AS txt FROM customer)
+        SELECT c_custkey,
+          len(regexp_extract_all(txt, '\d[\d()\s-]{6,}\d')) AS n_phones,
+          md5(regexp_replace(txt, '\d[\d()\s-]{6,}\d', '<PHONE>', 'g')) AS scrub_fp
+        FROM t"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // repetition quality filters (Gopher/C4-style): token-level duplicate
+    // fraction and most-common-token share per document. Shape: explode →
+    // (doc, token) counts → per-doc rollup — one shuffle, map-side combined,
+    // the scalable layout for corpus-wide repetition stats.
+    GraftQuery(
+      "text08_repetition",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("cnt")).as("top_cnt"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
+            (col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct,
+          1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS dup_frac,
+          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS top_frac
+        FROM c GROUP BY doc_id"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // deterministic hash sampling per stratum: md5-hash of the key → stable
+    // 10% sample, identical on every engine/cluster/run (the only sane way
+    // to sample 100 TB reproducibly).
+    GraftQuery(
+      "samp01_hash_sample",
+      (s, d) => {
+        val bucket = TA.hash60(col("doc_id").cast("string")) % 100
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(bucket < 10, 1L).otherwise(0L)).as("n_sample"))
+          .withColumn("frac", col("n_sample").cast("double") / col("n_total"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_total,
+          CAST(count(*) FILTER (WHERE ${TA.Sql.hash60("CAST(doc_id AS VARCHAR)")} % 100 < 10) AS BIGINT) AS n_sample,
+          CAST(count(*) FILTER (WHERE ${TA.Sql.hash60("CAST(doc_id AS VARCHAR)")} % 100 < 10) AS DOUBLE) / count(*) AS frac
+        FROM documents GROUP BY lang"""),
     ),
   )
 }

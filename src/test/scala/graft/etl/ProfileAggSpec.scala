@@ -43,6 +43,25 @@ class ProfileAggSpec extends SparkSpec {
     assert(b.values("x") == ((3L, 1L)) && b.values("z") == ((1L, 4L)))
   }
 
+  test("raw-string tagging matches the column battery on JSON-parseable strings") {
+    import spark.implicits._
+    // '1e5' JSON-parses to a float but is a STRING to the raw battery; '1.50'
+    // is a float either way but must vote via the raw text, not a re-rendered
+    // '1.5'. Both profilers must agree (ADVICE round 1).
+    val df = Seq((1L, "1e5"), (2L, "1.50"), (3L, "1e5"), (4L, "2024-01-05"))
+      .toDF("row_idx", "c")
+    val mine = df.agg(FieldProfileAgg(col("c"), col("row_idx")))
+      .collect().head.getStruct(0)
+    val ref = Profile.profileStats(df, Seq("c"), NormalizeCol.inferType)
+      .collect().head
+    assert(mine.getString(0) == ref.getString(1), s"$mine vs $ref")
+    assert(mine.getString(0) == "string") // 2×'1e5' outvotes '1.50'/date
+    assert(ProfileBuffer.rawTag("1e5") == "string" &&
+      ProfileBuffer.rawTag("1.50") == "float" &&
+      ProfileBuffer.rawTag(" true ") == "boolean" &&
+      ProfileBuffer.rawTag("11/5/2024") == "date")
+  }
+
   test("nulls and JSON-null cells count as NA; empty column votes string") {
     import spark.implicits._
     val df = Seq((1L, null: String), (2L, "null"), (3L, null: String))

@@ -4,9 +4,12 @@ on each (bs4/deepdiff stubbed — fixtures avoid HTML), dump goldens in the
 same format as ref_golden.py. graft.FuzzCheck then replays them through the
 Spark pipeline and compares cell-for-cell.
 
-Excluded from generation (documented engine deviations): bare negative
-numbers (dateutil infers them as dates), dateutil-only date formats,
-float-repr extremes (|x| >= 1e16), non-ASCII beyond the currency symbols.
+Excluded from generation (documented engine deviations): dateutil-only date
+formats, float-repr extremes (|x| >= 1e16), non-ASCII beyond the currency
+symbols. Negative numbers ARE generated (round 2): numeric-dtype columns
+take the is_numeric_dtype gate; object-column "-5" diverges only in the
+schema type vote (string vs dateutil-date), which FuzzCheck waives with a
+logged, battery-shape-checked waiver.
 
 Usage: python3 tools/fuzz_parity.py <out.json> [n_fixtures] [seed]
 """
@@ -39,7 +42,8 @@ QUIRKS = ["NA", "n/a", "null", "none", "nan", "", "true", "True", "YES", "1",
           "John.Doe+tag@Example.COM", "+1 (555) 123-4567", "555 123", "123",
           "0042", "$1,234", "$1,234.56", "₹99", "1,000,000", "12.5",
           "3.14159", ".5", "1e5", "2025-11-01", "2025-11-11T20:30:00Z",
-          "2025-11-11 20:30:00", "11/05/2024", "Jan 5, 2024", "$abc", "12abc"]
+          "2025-11-11 20:30:00", "11/05/2024", "Jan 5, 2024", "$abc", "12abc",
+          "TRUE", "FALSE"]
 
 
 def scalar():
@@ -49,14 +53,29 @@ def scalar():
     if r < 0.55:
         return rng.choice(WORDS)
     if r < 0.70:
-        return rng.randint(0, 10_000_000)
+        # negatives included: numeric-dtype columns pass the is_numeric_dtype
+        # gate, so -5 runs normalize_value (phone branch strips the sign)
+        return rng.randint(-10_000_000, 10_000_000)
     if r < 0.80:
-        return round(rng.uniform(0, 100000), rng.randint(0, 6))
+        return round(rng.uniform(-100000, 100000), rng.randint(0, 6))
     if r < 0.88:
         return rng.choice([True, False])
     if r < 0.94:
         return None
     return rng.choice(["2024-01-05", "k" + str(rng.randint(0, 9))])
+
+
+def typed_scalar(kind):
+    """uniform-typed values so whole columns get a numeric/bool dtype"""
+    if kind == "int":
+        return rng.randint(-10_000_000, 10_000_000)
+    if kind == "float":
+        return round(rng.uniform(-100000, 100000), rng.randint(0, 6))
+    if kind == "bool":
+        return rng.choice([True, False])
+    if kind == "intnull":
+        return rng.choice([None, rng.randint(-1000, 1000)])
+    return scalar()
 
 
 def value(depth):
@@ -75,6 +94,14 @@ def record(depth=2):
 
 def fixture(i):
     kind = rng.random()
+    if kind < 0.2:
+        # TABULAR JSON: uniform keys across records → columns land int64/
+        # float64/bool dtypes and take the is_numeric_dtype gate branch
+        keys = [(f"t{k}", rng.choice(["int", "float", "bool", "intnull", "any"]))
+                for k in range(rng.randint(2, 5))]
+        recs = [{k: typed_scalar(t) for k, t in keys}
+                for _ in range(rng.randint(2, 6))]
+        return json.dumps(recs, indent=rng.choice([None, 1]))
     if kind < 0.5:
         # JSON array of heterogeneous records
         return json.dumps([record() for _ in range(rng.randint(1, 6))],
@@ -88,14 +115,18 @@ def fixture(i):
     hdr = ["c%d" % k for k in range(rng.randint(2, 4))]
     def cell():
         r = rng.random()
-        if r < 0.5:
-            return str(rng.randint(0, 99))
+        if r < 0.4:
+            return str(rng.randint(-99, 99))
+        if r < 0.55:
+            return rng.choice(["True", "FALSE", "tRuE", "false", "-2.5"])
         if r < 0.7:
             return '"%s"' % rng.choice(["q z", "a,b", 'say ""hi""', "null", "NA"])
         return rng.choice(["x", " padded ", "12.5", "", "None", "n/a"])
     rows = [",".join(cell() for _ in hdr) for _ in range(rng.randint(1, 4))]
     parts.append("\n".join([",".join(hdr)] + rows))
-    yaml = "svc: api%d\ncount: %d" % (i, rng.randint(1, 9))
+    yaml = "svc: api%d\ncount: %d" % (i, rng.randint(-9, 9))
+    if rng.random() < 0.4:
+        yaml += "\nactive: %s" % rng.choice(["true", "false", "True", "yes"])
     if rng.random() < 0.5:
         yaml += "\nitems: the list\n  - one%d\n  - two" % i
     parts.append(yaml)
@@ -116,6 +147,47 @@ def jval(x):
     return x
 
 
+# --- graft's fixed date battery, mirrored in python (etl/Normalize.scala
+# Dates.parseIso) so we can recompute the schema vote the ENGINE should
+# produce: dateutil.parse replaced by this → infer_type tags exactly like
+# graft. The delta between this vote and the true dateutil vote is the one
+# documented deviation, fully characterized per column.
+import datetime as _dt
+import re as _re
+_MON = "(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+_B_ISO = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})$')
+_B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}(\.\d{1,6})?)?(Z|[+-]\d{2}:?\d{2})?$')
+_B_MDY = _re.compile(r'^(\d{1,2})/(\d{1,2})/(\d{4})$')
+_B_MONDY = _re.compile(r'^%s[a-z]* (\d{1,2}),? (\d{4})$' % _MON, _re.I)
+_B_DMONY = _re.compile(r'^(\d{1,2}) %s[a-z]* (\d{4})$' % _MON, _re.I)
+_MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
+           "jul", "aug", "sep", "oct", "nov", "dec"]
+
+
+def battery_parse(s, *a, **k):
+    s = str(s).strip()
+    def d(y, m, dd):
+        return _dt.datetime(int(y), int(m), int(dd))  # raises if invalid
+    m = _B_ISO.match(s)
+    if m:
+        return d(*m.groups())
+    m = _B_DT.match(s)
+    if m:
+        if int(m.group(4)) >= 24 or int(m.group(5)) >= 60:
+            raise ValueError(s)
+        return d(m.group(1), m.group(2), m.group(3))
+    m = _B_MDY.match(s)
+    if m:
+        return d(m.group(3), m.group(1), m.group(2))
+    m = _B_MONDY.match(s)
+    if m:
+        return d(m.group(3), _MONTHS.index(m.group(1).lower()) + 1, m.group(2))
+    m = _B_DMONY.match(s)
+    if m:
+        return d(m.group(3), _MONTHS.index(m.group(2).lower()) + 1, m.group(1))
+    raise ValueError("outside battery: %r" % s)
+
+
 goldens = {}
 os.makedirs("/tmp/fuzzrun", exist_ok=True)
 for i in range(N):
@@ -133,9 +205,23 @@ for i in range(N):
         print(f"skip {name}: reference raised {e}")
         continue
     schema.pop("schema_id"); schema.pop("generated_at")
+    # second vote pass with dateutil swapped for graft's battery: the type
+    # vote the ENGINE must reproduce exactly (values identical either way —
+    # dateparse only runs post-normalize inside infer_type here)
+    _real = ref.dateparse
+    ref.dateparse = battery_parse
+    try:
+        bschema = ref.generate_schema(df)
+    finally:
+        ref.dateparse = _real
+    btypes = {f["name"]: f["type"] for f in bschema["fields"]}
+    for f in schema["fields"]:
+        if f["type"] != btypes[f["name"]]:
+            print(f"  deviation {name}.{f['name']}: dateutil votes {f['type']},"
+                  f" battery votes {btypes[f['name']]}")
     rows = [{k: jval(v) for k, v in rec.items()} for rec in df.to_dict(orient="records")]
     goldens[name] = {"input": text, "columns": list(df.columns), "rows": rows,
-                     "schema": schema}
+                     "schema": schema, "battery_types": btypes}
 
 with open(out_path, "w") as f:
     json.dump(goldens, f, default=str)
