@@ -24,6 +24,22 @@ object StreamQueries {
     ),
 
     // ------------------------------------------------------------------
+    // streaming exact dedup (batch half): distinct (user, type) pairs per
+    // type. The streaming form is dropDuplicatesWithinWatermark — bounded
+    // per-key state, asserted in StreamingSpec.
+    GraftQuery(
+      "ev07_stream_dedup",
+      (s, d) => EventStreams.dedupByKey(
+          Tables.events(s, d).select(col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_distinct_users")),
+      Some("""SELECT event_type, count(*) AS n_distinct_users FROM
+          (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY event_type"""),
+    ),
+
+    // ------------------------------------------------------------------
     // props JSON field extraction (regex form — engine-portable) + agg.
     GraftQuery(
       "ev02_props_extract",

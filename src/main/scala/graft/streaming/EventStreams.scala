@@ -63,6 +63,20 @@ object EventStreams {
       }
   }
 
+  /** streaming exact dedup on a key subset: batch mode is a plain
+    * `dropDuplicates`; streaming mode uses `dropDuplicatesWithinWatermark`
+    * so per-key state is EVICTED once the watermark passes — the bounded-
+    * state form of exact dedup (an unbounded streaming dedup would OOM on
+    * an infinite stream; within-watermark is the scale-safe contract).
+    */
+  def dedupByKey(events: DataFrame, keys: Seq[String],
+      watermark: Option[String] = None): DataFrame =
+    watermark match {
+      case Some(w) => events.withWatermark("ts", w)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      case None => events.dropDuplicates(keys)
+    }
+
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long, last_type: String)

@@ -62,4 +62,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(p.contains("*("), p) // whole-stage codegen marker
   }
+
+  test("sim03: query side broadcasts (no corpus shuffle for the scan join)") {
+    val p = planOf("sim03_int8_quant")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text07: PII scrub is a pure projection — no shuffle at all") {
+    val df = SparkEntry.queries("text07_pii_scrub")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("text08: repetition stats aggregate partially before the shuffle") {
+    val p = planOf("text08_repetition")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("samp01: sampling reads only doc_id and lang (column pruning)") {
+    val p = planOf("samp01_hash_sample")
+    val read = p.split("ReadSchema")(1).takeWhile(_ != '\n')
+    assert(!read.contains("text"), p)
+  }
 }

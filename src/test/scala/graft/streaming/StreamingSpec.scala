@@ -32,6 +32,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark emits each (user, type) once across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent](spark)
+    val out = dedupByKey(
+      mem.toDF().withColumn("ts", col("ts").cast("timestamp")),
+      Seq("user_id", "event_type"), watermark = Some("30 minutes"))
+      .select(col("user_id"), col("event_type"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        UserEvent(1, ts(0), 1, "click", 1.0),
+        UserEvent(2, ts(1), 1, "click", 2.0), // dup within batch
+        UserEvent(3, ts(2), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        UserEvent(4, ts(3), 1, "click", 3.0), // dup across batches
+        UserEvent(5, ts(4), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length == rows.distinct.length, rows.mkString(","))
+      assert(rows.toSet == Set((1L, "click"), (2L, "view"), (3L, "click")), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful running counts via mapGroupsWithState accumulate across batches") {
     import spark.implicits._
     val mem = MemoryStream[UserEvent](spark)
