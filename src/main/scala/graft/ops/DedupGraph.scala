@@ -42,27 +42,39 @@ object DedupGraph {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // convergence detection rides INSIDE the materialization: the UDF bumps
+      // an accumulator whenever a label shrinks, so each round is exactly ONE
+      // job (no separate count pass). Detecting on the neighbor-min stage is
+      // sound: a labeling stable under neighbor-min is constant per component
+      // (per-edge stability + symmetry), which also makes the jump a no-op.
+      // Task retries can only over-count — only exact zero matters.
+      val acc = bi.sparkSession.sparkContext.longAccumulator(s"cc_changed_$i")
+      val bump = udf { (newL: Long, oldL: Long) =>
+        if (newL < oldL) acc.add(1L)
+        newL
+      }
       val msgs = bi.join(labels, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
       val stepped = labels.join(msgs, col("node") === col("src"), "left")
         .select(
           col("node"),
-          col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          bump(least(col("label"), coalesce(col("nbr_min"), col("label"))),
+            col("label")).as("label"))
         .localCheckpoint() // truncate iteration lineage (cluster: checkpoint)
+      converged = acc.value == 0L
       // pointer jump: label ← label(label) over the CHECKPOINTED step (a
-      // cheap derived join; chaining more lazy jumps re-computes the join
-      // tree combinatorially — measured 20× slower — so exactly one).
-      val jumped = stepped.as("x")
-        .join(stepped.select(col("node").as("jn"), col("label").as("jl")),
-          col("x.label") === col("jn"), "left")
-        .select(
-          col("x.node").as("node"),
-          col("x.old_label").as("old_label"),
-          least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
-      converged = jumped.filter(col("label") < col("old_label")).limit(1).count() == 0L
-      labels = jumped.select(col("node"), col("label"))
+      // cheap derived join that collapses deep label trees; chaining more
+      // lazy jumps re-computes the join tree combinatorially — measured 20×
+      // slower — so exactly one). Lazy: it folds into the NEXT round's job.
+      labels =
+        if (converged) stepped
+        else stepped.as("x")
+          .join(stepped.select(col("node").as("jn"), col("label").as("jl")),
+            col("x.label") === col("jn"), "left")
+          .select(
+            col("x.node").as("node"),
+            least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"cc round $i converged=$converged t=${System.nanoTime() / 1000000}")

@@ -70,6 +70,18 @@ class SourcesSinksSpec extends SparkSpec {
     assert(rows.contains(Seq("2", "bob", "88", "json")))
   }
 
+  test("ORC and JSONL sinks/sources round-trip the documents table") {
+    val dir = tempDir
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    docs.write.mode("overwrite").orc(s"$dir/orc")
+    docs.write.mode("overwrite").json(s"$dir/jsonl")
+    val orc = spark.read.orc(s"$dir/orc")
+    val jsonl = spark.read.schema(docs.schema).json(s"$dir/jsonl")
+    assert(orc.count() == docs.count() && jsonl.count() == docs.count())
+    assert(orc.exceptAll(docs).isEmpty && jsonl.exceptAll(docs).isEmpty)
+  }
+
   test("parquet sink round-trips the JSON-cell table") {
     import spark.implicits._
     val docs = Seq((0L, """{"a": 1, "b": "x"}""")).toDF("doc_id", "text")
