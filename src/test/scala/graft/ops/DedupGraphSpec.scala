@@ -36,4 +36,28 @@ class DedupGraphSpec extends SparkSpec {
     val got = cc(Seq((42L, 41L)))
     assert(got == Map(42L -> 41L, 41L -> 41L))
   }
+
+  test("random graphs match a driver-side union-find oracle") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 40
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map { v =>
+        v -> nodes.filter(u => find(u) == find(v)).min
+      }.toMap
+      assert(cc(edges) == want)
+    }
+  }
 }
