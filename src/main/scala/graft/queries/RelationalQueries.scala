@@ -607,5 +607,53 @@ object RelationalQueries {
           UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem)
         GROUP BY l_returnflag, measure"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q28: explicit GROUPING SETS (cube/rollup's general form) + grouping()
+    // flags to disambiguate the null rows.
+    GraftQuery(
+      "q28_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(
+            grouping($"o_orderstatus").cast("long").as("g_status"),
+            grouping($"o_orderpriority").cast("long").as("g_prio"),
+            count(lit(1)).as("n"),
+            D.intSum($"o_totalprice").as("total"))
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          count(*) AS n, ${D.sqlIntSum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q29: ranking-window family — ntile buckets, percent_rank, cume_dist
+    // over per-nation balances (ties broken by key for determinism).
+    GraftQuery(
+      "q29_window_ranks",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey")
+          .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+        Tables.customer(s, d).select(
+          $"c_nationkey", $"c_custkey",
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT c_nationkey, c_custkey,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)"""),
+    ),
   )
 }
