@@ -27,4 +27,25 @@ class ScaleStressSpec extends SparkSpec {
     assert(secs < 120, s"pipeline took $secs s for 100k docs")
     info(f"100k docs in $secs%.1f s (${n / secs}%.0f rows/s)")
   }
+
+  test("connected components handles a 1M-edge graph in bounded rounds") {
+    import spark.implicits._
+    // 100k nodes in 10k rings of 10 (diameter 5) plus random chords —
+    // orders of magnitude beyond any LSH candidate set at this SF
+    val edges = spark.range(1000000L).select(
+      (col("id") % 100000L).as("a"),
+      when(col("id") < 100000L, // ring edges: i -> (i+1 within its ring of 10)
+        (col("id") - (col("id") % 10L)) + ((col("id") + 1L) % 10L))
+        .otherwise(pmod(hash(col("id")).cast("long"), lit(100000L))).as("b"))
+      .filter(col("a") =!= col("b"))
+    val t0 = System.nanoTime()
+    val comps = graft.ops.DedupGraph.connectedComponents(edges.toDF())
+    val parts = comps.select(col("component")).distinct().count()
+    val nodes = comps.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(nodes == 100000L, s"nodes $nodes")
+    assert(parts >= 1L && parts < 100000L, s"components $parts")
+    assert(secs < 120, s"CC took $secs s for 1M edges")
+    info(f"1M edges, $nodes nodes → $parts components in $secs%.1f s")
+  }
 }
