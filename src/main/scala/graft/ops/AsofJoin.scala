@@ -36,7 +36,30 @@ object AsofJoin {
       key: String,
       leftTs: String,
       rightTs: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, payload, forward = false)
+
+  /** Forward as-of: earliest right row with `right.ts >= left.ts` per key —
+    * next-event attribution. Same union+window single-shuffle shape, scan
+    * direction reversed.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, payload, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      forward: Boolean): DataFrame = {
 
     val lCols = left.columns.toSeq
     val l = left
@@ -57,8 +80,13 @@ object AsofJoin {
       .unionByName(rAligned.select((col(key) +: col("_ts") +: col("_side") +:
         (lCols.filterNot(_ == key).map(col) ++ payload.map(p => col(s"_p_$p")))): _*))
 
-    // right rows sort before left rows at equal ts → "<=" semantics
-    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+    // right rows sort before left rows at equal ts → inclusive semantics;
+    // forward mode scans in DESCENDING ts so "last non-null before me" means
+    // "earliest right at-or-after me"
+    val ord =
+      if (forward) Seq(col("_ts").desc, col("_side").asc)
+      else Seq(col("_ts").asc, col("_side").asc)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (d, p) =>
       d.withColumn(s"_c_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))

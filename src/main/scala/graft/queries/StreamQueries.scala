@@ -168,5 +168,29 @@ object StreamQueries {
         FROM events e ASOF LEFT JOIN r
           ON e.user_id = r.user_id AND r.matched_date <= e.ts"""),
     ),
+
+    // ------------------------------------------------------------------
+    // FORWARD as-of: each event attributes to the EARLIEST order at or
+    // after it (next-event attribution) — same single-shuffle union+window
+    // operator, scan direction reversed; oracle = DuckDB ASOF with `>=`.
+    GraftQuery(
+      "ev08_asof_forward",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("next_date"))
+          .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("spend"))
+        graft.ops.AsofJoin.asofForward(left, right, "user_id", "ts", "next_date",
+          Seq("next_date", "spend"))
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey AS user_id, o_orderdate AS next_date,
+            sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS spend
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, r.next_date, r.spend
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.user_id AND r.next_date >= e.ts"""),
+    ),
   )
 }

@@ -27,4 +27,23 @@ class AsofJoinSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("event"), r.getAs[String]("payload"))).toMap
     assert(out == Map(10L -> null, 11L -> "a", 12L -> "b", 20L -> "z"))
   }
+
+  test("forward asof: earliest at-or-after wins, after-last → null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L), // before both → earliest ("a")
+      (1L, ts("2024-01-02 00:00:00"), 11L), // exactly at right ts → matches it
+      (1L, ts("2024-01-04 00:00:00"), 12L), // after last right row → null
+      (2L, ts("2024-01-01 00:00:00"), 20L)  // other key → isolated
+    ).toDF("k", "t", "event")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), "a"),
+      (1L, ts("2024-01-03 00:00:00"), "b"),
+      (2L, ts("2024-01-02 00:00:00"), "z")
+    ).toDF("k", "rt", "payload")
+
+    val out = AsofJoin.asofForward(left, right, "k", "t", "rt", Seq("payload"))
+      .collect().map(r => (r.getAs[Long]("event"), r.getAs[String]("payload"))).toMap
+    assert(out == Map(10L -> "a", 11L -> "a", 12L -> null, 20L -> "z"))
+  }
 }
