@@ -1,17 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.LongType
 
 /** SparkSessionExtensions injector: registers the engine's custom Catalyst
-  * expressions so any session built with
-  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * expression AND SQL forms of its scalar text functions so any session
+  * built with `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`) gets them in SQL:
   *
   * {{{
   *   SELECT normalize_value(col).branch, normalize_value(col).out_d FROM t
+  *   SELECT graft_fingerprint(text), graft_token_count(text) FROM docs
   * }}}
+  *
+  * The `graft_*` builders assemble the SAME catalyst trees the Column API
+  * produces (pure built-ins, codegen'd end to end). Lambda-based operators
+  * (quality score, lang-id, simhash, minhash) stay Column-API-only — their
+  * higher-order-function trees aren't worth hand-building, and SQL users
+  * compose them from these primitives.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -19,5 +28,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("normalize_value"),
       new ExpressionInfo(classOf[graft.etl.NormalizeValue].getName, "normalize_value"),
       (exprs: Seq[Expression]) => graft.etl.NormalizeValue(exprs.head)))
+    GraftExtensions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(GraftExtensions.getClass.getName, name),
+        (exprs: Seq[Expression]) => builder(exprs.head)))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  /** catalyst builders mirroring TextAnalysis' Column definitions. */
+  val sqlBuilders: Seq[(String, Expression => Expression)] = Seq(
+    // md5 of whitespace-normalized lowercase text (TextAnalysis.fingerprint)
+    "graft_fingerprint" -> (c => new Md5(
+      RegExpReplace(Lower(StringTrim(c)), Literal("\\s+"), Literal(" ")))),
+    // 60-bit md5-prefix integer (TextAnalysis.hash60)
+    "graft_hash60" -> (c => Cast(
+      Conv(Substring(new Md5(c), Literal(1), Literal(15)), Literal(16), Literal(10)),
+      LongType)),
+    // whitespace token count (TextAnalysis.tokenCount)
+    "graft_token_count" -> (c =>
+      Size(StringSplit(StringTrim(c), Literal("\\s+"), Literal(-1)))),
+    // BPE-ish subword count (TextAnalysis.regexTokenCount)
+    "graft_subword_count" -> (c =>
+      Size(RegExpExtractAll(c, Literal("[A-Za-z]+|\\d+|[^A-Za-z\\d\\s]"), Literal(0)))))
+
+  /** temp-function registration for an ALREADY-built session (specs, REPL —
+    * extensions otherwise apply only at builder time).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    graft.etl.NormalizeValue.register(spark)
+    sqlBuilders.foreach { case (name, builder) =>
+      Bridge.registerExpression(spark, name, exprs => builder(exprs.head))
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 class GraftExtensionsSpec extends SparkSpec {
   test("extensions inject normalize_value into a fresh session") {
@@ -12,5 +12,23 @@ class GraftExtensionsSpec extends SparkSpec {
     graft.etl.NormalizeValue.register(spark)
     val r = spark.sql("SELECT normalize_value('45%').out_d AS d").collect().head
     assert(r.getDouble(0) == 0.45)
+  }
+
+  test("graft_* SQL functions evaluate identically to their Column forms") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val texts = Seq("A  b", "one two three", "Hello, World 42!", " padded  ")
+    val df = texts.toDF("t")
+    val viaSql = df.createOrReplaceTempView("gx_t")
+    val sql = spark.sql(
+      """SELECT graft_fingerprint(t) AS fp, graft_hash60(t) AS h,
+                graft_token_count(t) AS n, graft_subword_count(t) AS sw
+         FROM gx_t""").collect()
+    val api = df.select(
+      graft.ops.TextAnalysis.fingerprint($"t").as("fp"),
+      graft.ops.TextAnalysis.hash60($"t").as("h"),
+      graft.ops.TextAnalysis.tokenCount($"t").as("n"),
+      graft.ops.TextAnalysis.regexTokenCount($"t").as("sw")).collect()
+    assert(sql.map(_.toString).toSeq == api.map(_.toString).toSeq)
   }
 }
