@@ -655,5 +655,29 @@ object RelationalQueries {
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q30: struct/map function family — struct build + compact-JSON render
+    // (Spark to_json == DuckDB to_json(struct_pack) byte-for-byte), map
+    // build, scalar lookup, key list, cardinality.
+    GraftQuery(
+      "q30_struct_map_funcs",
+      (s, d) => {
+        import s.implicits._
+        val m = map(lit("qty"), $"l_quantity", lit("disc"), $"l_discount")
+        Tables.lineitem(s, d).select(
+          $"l_orderkey", $"l_linenumber",
+          to_json(struct($"l_quantity".as("q"), $"l_returnflag".as("f"))).as("js"),
+          element_at(m, "qty").as("qty_val"),
+          concat_ws(",", map_keys(m)).as("keys"),
+          size(m).cast("long").as("n_keys"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          to_json(struct_pack(q := l_quantity, f := l_returnflag)) AS js,
+          (MAP {'qty': l_quantity, 'disc': l_discount}['qty'])[1] AS qty_val,
+          array_to_string(map_keys(MAP {'qty': l_quantity, 'disc': l_discount}), ',') AS keys,
+          CAST(cardinality(MAP {'qty': l_quantity, 'disc': l_discount}) AS BIGINT) AS n_keys
+        FROM lineitem"""),
+    ),
   )
 }
