@@ -679,5 +679,56 @@ object RelationalQueries {
           CAST(cardinality(MAP {'qty': l_quantity, 'disc': l_discount}) AS BIGINT) AS n_keys
         FROM lineitem"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q31: statistical aggregates (variance / stddev / covariance /
+    // correlation) computed from EXACT integer power sums — built-in
+    // stddev/corr accumulate floats in partition order and never
+    // hash-match across engines; power sums are order-independent 64-bit
+    // integers, and both engines then evaluate the identical closed-form
+    // double expression, so the results are bit-identical. This is also
+    // the scalable shape: one map-side-combined aggregation pass.
+    GraftQuery(
+      "q31_stats_family",
+      (s, d) => {
+        import s.implicits._
+        // integer-valued; price in whole units keeps Σy² ≈ 1e10·6e5 well
+        // inside int64 (cents² would overflow at sf0.1 group sizes)
+        val x = round($"l_quantity").cast("long")
+        val y = round($"l_extendedprice").cast("long")
+        val agged = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(x * x).as("sxx"),
+            sum(y).as("sy"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+        val n = $"n".cast("double")
+        val (sx, sxx, sy, syy, sxy) = ($"sx".cast("double"), $"sxx".cast("double"),
+          $"sy".cast("double"), $"syy".cast("double"), $"sxy".cast("double"))
+        agged.select(
+          $"l_returnflag", $"n",
+          ((sxx - sx * sx / n) / (n - 1.0)).as("var_qty"),
+          sqrt((sxx - sx * sx / n) / (n - 1.0)).as("sd_qty"),
+          ((sxy - sx * sy / n) / (n - 1.0)).as("covar"),
+          ((sxy - sx * sy / n) /
+            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr"))
+      },
+      Some("""WITH a AS (
+          SELECT l_returnflag, count(*) AS n,
+            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+            CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+            CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+          sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd_qty,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS covar,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) /
+            sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))) AS corr
+        FROM a"""),
+    ),
   )
 }
