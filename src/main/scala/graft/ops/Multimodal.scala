@@ -58,6 +58,24 @@ object Multimodal {
     }
   }
 
+  /** Resize every image/video blob to `w`×`h`: per-partition map through the
+    * decoder (codec stubbed), payload replaced, metadata updated — the
+    * preprocessing step of an image training pipeline. Shuffle-free.
+    */
+  def resize(blobs: Dataset[Blob], w: Int, h: Int,
+      decoder: MediaDecoder = StubDecoder): Dataset[Blob] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      val d = decoder.open()
+      it.map { b =>
+        b.copy(
+          content = d.resize(b, w, h),
+          meta = b.meta ++ Map("width" -> w.toString, "height" -> h.toString))
+      }
+    }
+  }
+
   /** Sample up to `n` evenly-spaced frames per video blob (flatMap — output
     * cardinality varies per row, still shuffle-free).
     */
@@ -81,6 +99,7 @@ trait MediaDecoder extends Serializable {
   def open(): MediaDecoder = this
   def decode(b: Multimodal.Blob): Multimodal.Decoded
   def frame(b: Multimodal.Blob, idx: Int): Array[Byte]
+  def resize(b: Multimodal.Blob, w: Int, h: Int): Array[Byte]
 }
 
 /** STUB decoder — deterministic fake derived from content bytes (no media
@@ -105,5 +124,15 @@ object StubDecoder extends MediaDecoder {
     var i = 0
     while (i < n) { out(i) = (b.content(i) ^ idx).toByte; i += 1 }
     out
+  }
+
+  /** deterministic fake resize: output is w*h/64 bytes sampled from the
+    * payload (stable function of content + target size).
+    */
+  def resize(b: Multimodal.Blob, w: Int, h: Int): Array[Byte] = {
+    val n = math.max(1, w * h / 64)
+    Array.tabulate(n)(i =>
+      if (b.content.isEmpty) 0.toByte
+      else b.content(math.floorMod(i * 31 + w + h, b.content.length)))
   }
 }

@@ -32,6 +32,19 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.forall(x => x.width >= 16 && x.features.length == 8))
   }
 
+  test("resize replaces payload and updates metadata, deterministically") {
+    val r1 = Multimodal.resize(blobs, 32, 16).collect().sortBy(_.blob_id)
+    val r2 = Multimodal.resize(blobs.repartition(5), 32, 16).collect().sortBy(_.blob_id)
+    assert(r1.length == r2.length && r1.nonEmpty)
+    r1.zip(r2).foreach { case (a, b) =>
+      assert(a.blob_id == b.blob_id && a.content.toSeq == b.content.toSeq)
+    }
+    r1.foreach { b =>
+      assert(b.content.length == 32 * 16 / 64)
+      assert(b.meta("width") == "32" && b.meta("height") == "16")
+    }
+  }
+
   test("video frame sampling emits <= n evenly spaced frames") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))

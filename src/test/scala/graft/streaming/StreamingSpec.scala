@@ -32,6 +32,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events beyond the watermark are dropped (append mode)") {
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent](spark)
+    val out = hourlyStats(
+      mem.toDF().withColumn("ts", col("ts").cast("timestamp")),
+      watermark = Some("10 minutes"))
+    val q = out.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        UserEvent(1, ts(0), 1, "click", 1.0),
+        UserEvent(2, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time to 12:30 → watermark 12:20 → 10:00 window closes
+      mem.addData(UserEvent(3, Timestamp.valueOf("2024-01-01 12:30:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      // LATE: 10:30 is far behind the 12:20 watermark → must be dropped
+      mem.addData(UserEvent(4, ts(30), 1, "click", 99.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(5, Timestamp.valueOf("2024-01-01 14:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val hour10 = spark.table("late_drop").collect()
+        .filter(_.getAs[Timestamp]("hour") == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(hour10.length == 1)
+      // the late event (value 99) is NOT included: 2 on-time events only
+      assert(hour10.head.getAs[Long]("n_events") == 2L)
+      assert(hour10.head.getAs[Double]("total_value") == 2.0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each (user, type) once across batches") {
     import spark.implicits._
     val mem = MemoryStream[UserEvent](spark)
