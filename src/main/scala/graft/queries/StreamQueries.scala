@@ -170,6 +170,35 @@ object StreamQueries {
     ),
 
     // ------------------------------------------------------------------
+    // native session_window sessionization — the state-store-backed session
+    // operator (same call works under readStream with a watermark; ev03 is
+    // the hand-rolled lag/cumsum equivalent). Session merge rule: windows
+    // overlap, i.e. a NEW session starts when the gap is >= 30 min (vs
+    // ev03's strict >); window end = last event + gap.
+    GraftQuery(
+      "ev09_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("sess_start"),
+          col("w.end").as("sess_end"), col("n_events")),
+      Some("""SELECT user_id, min(ts) AS sess_start,
+          max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*) AS n_events
+        FROM (
+          SELECT user_id, ts,
+            CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM (
+            SELECT user_id, ts, event_id,
+              CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT user_id, ts, event_id,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)))
+        GROUP BY user_id, session_idx"""),
+    ),
+
+    // ------------------------------------------------------------------
     // FORWARD as-of: each event attributes to the EARLIEST order at or
     // after it (next-event attribution) — same single-shuffle union+window
     // operator, scan direction reversed; oracle = DuckDB ASOF with `>=`.
