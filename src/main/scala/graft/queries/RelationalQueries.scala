@@ -681,6 +681,38 @@ object RelationalQueries {
     ),
 
     // ------------------------------------------------------------------
+    // q32: date/time function family — calendar parts, week-day numbering
+    // (Spark 1=Sunday vs DuckDB 0=Sunday, aligned with +1), month end,
+    // interval arithmetic, calendar-day differences.
+    GraftQuery(
+      "q32_date_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d).select(
+          $"o_orderkey",
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          dayofmonth($"o_orderdate").cast("long").as("dom"),
+          dayofweek($"o_orderdate").cast("long").as("dw"),
+          quarter($"o_orderdate").cast("long").as("q"),
+          last_day($"o_orderdate").as("ld"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("d30"),
+          datediff(lit("1998-12-01").cast("date"), $"o_orderdate")
+            .cast("long").as("days_to_end"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(month(o_orderdate) AS BIGINT) AS m,
+          CAST(day(o_orderdate) AS BIGINT) AS dom,
+          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dw,
+          CAST(quarter(o_orderdate) AS BIGINT) AS q,
+          last_day(o_orderdate) AS ld,
+          o_orderdate + INTERVAL 30 DAY AS d30,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS days_to_end
+        FROM orders"""),
+    ),
+
+    // ------------------------------------------------------------------
     // q31: statistical aggregates (variance / stddev / covariance /
     // correlation) computed from EXACT integer power sums — built-in
     // stddev/corr accumulate floats in partition order and never
