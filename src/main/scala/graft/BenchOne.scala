@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val rest = args.drop(1)
+    val explain = rest.contains("explain")
+    val sfDir = rest.filterNot(_ == "explain").headOption
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,8 +23,8 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
-    (1 to 3).foreach { i =>
+    if (explain) fn(spark, sfDir).explain("formatted")
+    else (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

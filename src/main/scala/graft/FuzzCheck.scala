@@ -91,14 +91,25 @@ object FuzzCheck {
         .apply("fields").asInstanceOf[JArr].items.map(_.asInstanceOf[JObj].fields.toMap)
       val batteryTypes = g("battery_types").asInstanceOf[JObj].fields.toMap
         .map { case (k, v) => k -> v.asInstanceOf[JStr].s }
+      // exact vote ties: pandas breaks them via unreproducible internal sort
+      // order; the engine's deterministic tie-break may legitimately pick any
+      // member of the tied set (logged, never silent).
+      val batteryTies = g.get("battery_ties").map(_.asInstanceOf[JObj].fields.toMap
+        .map { case (k, v) =>
+          k -> v.asInstanceOf[JArr].items.map(_.asInstanceOf[JStr].s).toSet
+        }).getOrElse(Map.empty)
       res.schema.fields.zip(expFields).foreach { case (mine, ef) =>
         val en = ef("name").asInstanceOf[JStr].s
         val et = ef("type").asInstanceOf[JStr].s
         val bt = batteryTypes(en)
-        if (mine.name == en && mine.tpe != bt)
-          problems += s"schema $en: got ${mine.tpe} want $bt" +
-            (if (et != bt) s" (dateutil would vote $et)" else "")
-        else if (mine.name == en && et != bt)
+        if (mine.name == en && mine.tpe != bt) {
+          if (batteryTies.get(en).exists(_.contains(mine.tpe)))
+            println(s"  TIE schema $en: vote tied ${batteryTies(en).mkString("/")}" +
+              s" — engine picked ${mine.tpe}, pandas picked $bt")
+          else
+            problems += s"schema $en: got ${mine.tpe} want $bt" +
+              (if (et != bt) s" (dateutil would vote $et)" else "")
+        } else if (mine.name == en && et != bt)
           println(s"  DEVIATION schema $en: battery votes $bt, dateutil votes $et")
       }
     }

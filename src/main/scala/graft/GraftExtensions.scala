@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
-        (exprs: Seq[Expression]) => builder(exprs.head)))
+        (exprs: Seq[Expression]) => GraftExtensions.oneArg(name, exprs, builder)))
     }
   }
 }
@@ -55,13 +55,25 @@ object GraftExtensions {
     "graft_subword_count" -> (c =>
       Size(RegExpExtractAll(c, Literal("[A-Za-z]+|\\d+|[^A-Za-z\\d\\s]"), Literal(0)))))
 
+  /** reject wrong arity at ANALYSIS time — `exprs.head` alone would
+    * silently ignore extra arguments (plausible wrong results) and throw a
+    * bare NoSuchElementException on zero.
+    */
+  private[graft] def oneArg(name: String, exprs: Seq[Expression],
+      builder: Expression => Expression): Expression = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${exprs.length}")
+    builder(exprs.head)
+  }
+
   /** temp-function registration for an ALREADY-built session (specs, REPL —
     * extensions otherwise apply only at builder time).
     */
   def registerAll(spark: SparkSession): Unit = {
     graft.etl.NormalizeValue.register(spark)
     sqlBuilders.foreach { case (name, builder) =>
-      Bridge.registerExpression(spark, name, exprs => builder(exprs.head))
+      Bridge.registerExpression(spark, name, exprs => oneArg(name, exprs, builder))
     }
   }
 }

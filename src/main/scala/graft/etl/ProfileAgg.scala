@@ -172,15 +172,17 @@ object ProfileBuffer {
   private val DateRe = java.util.regex.Pattern.compile(NormalizeCol.InferDateRe)
 
   /** Raw-string `infer_type` tag — mirrors [[NormalizeCol.inferType]]
-    * (Spark `trim` strips ASCII spaces only).
+    * (Spark `trim` strips ASCII spaces only; `find()` not `matches()` so the
+    * anchored patterns behave exactly like `rlike`, where `$` also matches
+    * before a trailing line terminator — "123\n" is integer in both).
     */
   def rawTag(v: String): String = {
     val t = trimSpaces(v)
     if (t.isEmpty) "null"
-    else if (IntRe.matcher(t).matches()) "integer"
-    else if (FloatRe.matcher(t).matches()) "float"
+    else if (IntRe.matcher(t).find()) "integer"
+    else if (FloatRe.matcher(t).find()) "float"
     else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")) "boolean"
-    else if (DateRe.matcher(t).matches()) "date"
+    else if (DateRe.matcher(t).find()) "date"
     else "string"
   }
 

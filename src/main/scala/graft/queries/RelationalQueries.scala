@@ -724,17 +724,21 @@ object RelationalQueries {
       "q31_stats_family",
       (s, d) => {
         import s.implicits._
-        // integer-valued; price in whole units keeps Σy² ≈ 1e10·6e5 well
-        // inside int64 (cents² would overflow at sf0.1 group sizes)
+        // integer-valued per row (products fit long: y² ≤ ~1.2e10); the SUMS
+        // accumulate as decimal(38,0) — exact and order-independent at ANY
+        // scale factor (an int64 sum of y² would wrap silently around
+        // sf~250, while the DuckDB oracle's HUGEINT survives — divergence
+        // exactly at the scale this engine targets)
         val x = round($"l_quantity").cast("long")
         val y = round($"l_extendedprice").cast("long")
+        def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
         val agged = Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            sum(x).as("sx"), sum(x * x).as("sxx"),
-            sum(y).as("sy"), sum(y * y).as("syy"),
-            sum(x * y).as("sxy"))
+            dsum(x).as("sx"), dsum(x * x).as("sxx"),
+            dsum(y).as("sy"), dsum(y * y).as("syy"),
+            dsum(x * y).as("sxy"))
         val n = $"n".cast("double")
         val (sx, sxx, sy, syy, sxy) = ($"sx".cast("double"), $"sxx".cast("double"),
           $"sy".cast("double"), $"syy".cast("double"), $"sxy".cast("double"))
@@ -748,11 +752,11 @@ object RelationalQueries {
       },
       Some("""WITH a AS (
           SELECT l_returnflag, count(*) AS n,
-            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
-            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
-            CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
-            CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
-            CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+            sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+            sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+            sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+            sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+            sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,

@@ -40,7 +40,13 @@ object EventStreams {
     * backs the batch TypedImperativeAggregate, so batch and stream agree by
     * construction.
     */
-  def streamingProfile(cells: Dataset[CellObs]): Dataset[ColProfile] = {
+  /** @param jsonCells true when the stream carries the document pipeline's
+    *   JSON-encoded wire cells (votes then JSON-decode, matching
+    *   Profile.generateSchema); false (default) for raw string cells
+    *   (votes with the same regex battery as the batch column profiler).
+    */
+  def streamingProfile(cells: Dataset[CellObs],
+      jsonCells: Boolean = false): Dataset[ColProfile] = {
     val spark = cells.sparkSession
     import spark.implicits._
     cells.groupByKey(_.col_name)
@@ -56,7 +62,7 @@ object EventStreams {
             else buf.add(o.cell, o.row_idx)
           }
           state.update(buf.encode())
-          val s = buf.summarize()
+          val s = buf.summarize(jsonCells)
           Iterator.single(ColProfile(colName, s.votedType, s.nullable,
             s.nDistinct, s.confidence,
             buf.nulls + buf.values.valuesIterator.map(_._1).sum))
@@ -70,12 +76,14 @@ object EventStreams {
     * an infinite stream; within-watermark is the scale-safe contract).
     */
   def dedupByKey(events: DataFrame, keys: Seq[String],
-      watermark: Option[String] = None): DataFrame =
+      watermark: Option[String] = None, tsCol: String = "ts"): DataFrame = {
+    require(keys.nonEmpty, "dedupByKey needs at least one key column")
     watermark match {
-      case Some(w) => events.withWatermark("ts", w)
+      case Some(w) => events.withWatermark(tsCol, w)
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       case None => events.dropDuplicates(keys)
     }
+  }
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

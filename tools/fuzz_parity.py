@@ -212,6 +212,19 @@ for i in range(N):
     ref.dateparse = battery_parse
     try:
         bschema = ref.generate_schema(df)
+        # exact vote TIES: pandas breaks them by internal sort order that is
+        # not reproducible (unstable for some layouts); any tied tag is a
+        # legitimate majority. Record the tied set so the checker can accept
+        # the engine's deterministic tie-break (count desc, first-seen, tag).
+        bties = {}
+        for col in df.columns:
+            counts = df[col].dropna().map(ref.infer_type).value_counts().to_dict()
+            counts.pop("null", None)
+            if counts:
+                mx = max(counts.values())
+                tied = sorted(t for t, c in counts.items() if c == mx)
+                if len(tied) > 1:
+                    bties[col] = tied
     finally:
         ref.dateparse = _real
     btypes = {f["name"]: f["type"] for f in bschema["fields"]}
@@ -221,7 +234,8 @@ for i in range(N):
                   f" battery votes {btypes[f['name']]}")
     rows = [{k: jval(v) for k, v in rec.items()} for rec in df.to_dict(orient="records")]
     goldens[name] = {"input": text, "columns": list(df.columns), "rows": rows,
-                     "schema": schema, "battery_types": btypes}
+                     "schema": schema, "battery_types": btypes,
+                     "battery_ties": bties}
 
 with open(out_path, "w") as f:
     json.dump(goldens, f, default=str)
