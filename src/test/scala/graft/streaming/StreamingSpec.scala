@@ -131,6 +131,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming profiler with JSON wire cells votes like the batch pipeline") {
+    import spark.implicits._
+    val mem = MemoryStream[CellObs](spark)
+    // pipeline wire cells are JSON-encoded: '"2024-01-05"' is a date STRING
+    // cell, '1e5' a float, '"1e5"' a plain string
+    val out = streamingProfile(mem.toDS(), jsonCells = true)
+    val q = out.writeStream.format("memory").queryName("sprofile_json")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        CellObs("d", "\"2024-01-05\"", 0), CellObs("d", "\"2024-02-06\"", 1),
+        CellObs("f", "1e5", 0), CellObs("s", "\"1e5\"", 0))
+      q.processAllAvailable()
+      val latest = spark.table("sprofile_json").collect()
+        .map(r => r.getAs[String]("col_name") -> r.getAs[String]("voted_type")).toMap
+      assert(latest == Map("d" -> "date", "f" -> "float", "s" -> "string"))
+    } finally q.stop()
+  }
+
   test("batch and stream hourlyStats agree on the events table") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val batch = hourlyStats(ev).orderBy("hour", "event_type").collect()
