@@ -89,7 +89,10 @@ object FuzzCheck {
       // one documented deviation and is logged, never silently absorbed.
       val expFields = g("schema").asInstanceOf[JObj].fields.toMap
         .apply("fields").asInstanceOf[JArr].items.map(_.asInstanceOf[JObj].fields.toMap)
-      val batteryTypes = g("battery_types").asInstanceOf[JObj].fields.toMap
+      val batteryTypes = g.get("battery_types").getOrElse(sys.error(
+          "golden file lacks 'battery_types' — pre-round-2 format; " +
+            "regenerate with round-2 tools/fuzz_parity.py"))
+        .asInstanceOf[JObj].fields.toMap
         .map { case (k, v) => k -> v.asInstanceOf[JStr].s }
       // exact vote ties: pandas breaks them via unreproducible internal sort
       // order; the engine's deterministic tie-break may legitimately pick any

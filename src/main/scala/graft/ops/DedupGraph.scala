@@ -88,6 +88,13 @@ object DedupGraph {
         println(s"cc round $i converged=$converged t=${System.nanoTime() / 1000000}")
     }
     bi.unpersist()
+    // A non-converged labeling is silently WRONG (partial components), so
+    // fail loudly. Unreachable in practice: pointer jumping converges in
+    // O(log diameter) rounds and maxIter=30 covers diameter ~2^30.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+          "labels would be partial — raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
 }

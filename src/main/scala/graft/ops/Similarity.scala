@@ -49,8 +49,9 @@ object Similarity {
   }
 
   /** symmetric per-vector int8 quantization: q_i = round(127·x_i / max|x|).
-    * 64× smaller than float64 in flight; integer dot products are EXACT in
-    * any engine (values ≤ 127²·dim ≪ 2⁵³), so the quantized scores are
+    * int8 is the storage/wire format (8× smaller than float64 on disk); the
+    * in-engine representation is LongType so the dot products are EXACT in
+    * any engine (values ≤ 127²·dim ≪ 2⁵³), making quantized scores
     * bit-identical cross-engine — the compression layer of a billion-vector
     * index, with none of the float-accumulation nondeterminism.
     */

@@ -434,9 +434,11 @@ object ExtQueries {
           .union(graft.ops.Multimodal.attachBlobs(
             docs.filter(col("mime") === "video/mp4"), "doc_id", "payload", "video/mp4"))
         val dec = graft.ops.Multimodal.decode(blobs)
-        val frameCounts = graft.ops.Multimodal.sampleFrames(blobs, 4)
-          .select(when(col("blob_id") % 2 === 0, "image/png")
-            .otherwise("video/mp4").as("mime"))
+        // frame sampling is a per-VIDEO stage; join back on blob_id for the
+        // mime rather than re-deriving the assignment rule above.
+        val videoBlobs = blobs.filter(col("mime") === "video/mp4")
+        val frameCounts = graft.ops.Multimodal.sampleFrames(videoBlobs, 4)
+          .join(blobs.select(col("blob_id"), col("mime")), Seq("blob_id"))
           .groupBy(col("mime")).agg(count(lit(1)).as("n_frames_sampled"))
         dec.groupBy(col("mime"))
           .agg(

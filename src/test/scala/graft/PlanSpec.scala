@@ -81,6 +81,7 @@ class PlanSpec extends SparkSpec {
 
   test("samp01: sampling reads only doc_id and lang (column pruning)") {
     val p = planOf("samp01_hash_sample")
+    assert(p.contains("ReadSchema"), p)
     val read = p.split("ReadSchema")(1).takeWhile(_ != '\n')
     assert(!read.contains("text"), p)
   }
