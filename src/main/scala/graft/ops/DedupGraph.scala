@@ -44,8 +44,13 @@ object DedupGraph {
     // follow-up jobs), and the leak is bounded: ≤ maxIter label tables of
     // |V| rows each, reclaimed on GC. On a long-lived cluster use
     // `checkpoint` to a reliable store and delete the directory instead.
-    var labels = bi.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // initial labels = one neighbor-min pass fused with node discovery: a
+    // single shuffle (groupBy src; every node appears as src since bi is
+    // bidirectional) replaces identity-init plus a whole first round
+    // (join + groupBy + join). Equivalent to round 1 without the jump.
+    var labels = bi.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("node"), col("label"))
       .localCheckpoint()
     var converged = false
     var i = 0

@@ -471,12 +471,18 @@ object ExtQueries {
             struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
           }: _*)).as("b"))
           .select(col("doc_id"), col("b.band"), col("b.key"))
-        val pairs = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        // STAR edges, not clique pairs: connect every bucket member to the
+        // bucket's min doc. Identical connected components, but O(Σ|bucket|)
+        // edges instead of O(Σ|bucket|²) — a hot LSH bucket (boilerplate docs)
+        // would otherwise explode quadratically at scale. Buckets of size 1
+        // emit nothing, exactly like the pair join.
+        val hubW = Window.partitionBy(col("band"), col("key"))
+        val edges = banded
+          .withColumn("hub", min(col("doc_id")).over(hubW))
+          .filter(col("doc_id") =!= col("hub"))
+          .select(col("hub").as("a"), col("doc_id").as("b"))
           .distinct()
-        DedupGraph.connectedComponents(pairs)
+        DedupGraph.connectedComponents(edges)
           .select(col("node").as("doc_id"), col("component"))
       },
       Some {

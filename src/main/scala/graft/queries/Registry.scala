@@ -11,6 +11,7 @@ object Registry {
     EtlQueries.all,
     ExtQueries.all,
     StreamQueries.all,
+    ScaleQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {

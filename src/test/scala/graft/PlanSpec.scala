@@ -85,4 +85,30 @@ class PlanSpec extends SparkSpec {
     val read = p.split("ReadSchema")(1).takeWhile(_ != '\n')
     assert(!read.contains("text"), p)
   }
+
+  test("sketch01: bottom-k plans as per-partition top-k merge, not a global sort") {
+    val p = planOf("sketch01_kmv_distinct")
+    assert(p.contains("TakeOrdered"), p)
+  }
+
+  test("sketch03: bloom bitmap broadcasts; the fact side never shuffles") {
+    val p = planOf("sketch03_bloom_prejoin")
+    assert(p.contains("Broadcast"), p)
+    // the only exchanges are broadcasts (bloom + dim) — no fact-side
+    // hash-partitioning before the filter
+    assert(!p.contains("hashpartitioning(l_orderkey"), p)
+  }
+
+  test("samp02: stratified sampling reads only doc_id and lang") {
+    val p = planOf("samp02_stratified")
+    assert(p.contains("ReadSchema"), p)
+    val read = p.split("ReadSchema")(1).takeWhile(_ != '\n')
+    assert(!read.contains("text"), p)
+  }
+
+  test("ev10: interval join filters both event types into the scans") {
+    val p = planOf("ev10_interval_join")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)") ||
+      p.contains("EqualTo(event_type,click)"), p)
+  }
 }

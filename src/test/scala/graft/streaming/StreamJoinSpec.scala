@@ -40,4 +40,46 @@ class StreamJoinSpec extends SparkSpec {
       assert(rows == Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("ev10 parity: streaming interval join equals the batch range join") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("ev10_interval_join")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("gap_us"))).toSet
+
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.UserEvent].collect()
+    val clicks = MemoryStream[EventStreams.UserEvent](spark)
+    val purchases = MemoryStream[EventStreams.UserEvent](spark)
+    val c = clicks.toDF().filter(col("event_type") === "click")
+      .withWatermark("ts", "4 hours")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.toDF().filter(col("event_type") === "purchase")
+      .withWatermark("ts", "4 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val joined = c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 4 HOURS"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    val q = joined.writeStream.format("memory").queryName("ev10stream")
+      .outputMode("append").start()
+    try {
+      clicks.addData(events.toIndexedSeq)
+      purchases.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ev10stream").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("gap_us"))).toSet
+      assert(streamed == batch,
+        s"stream=${streamed.size} batch=${batch.size} " +
+          s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
 }
