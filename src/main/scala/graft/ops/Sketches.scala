@@ -61,21 +61,34 @@ object Sketches {
     s"CAST(round(CAST($k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST($kthMin AS DOUBLE)) AS BIGINT)"
 
   // ------------------------------------------------------------------
-  // Count-min sketch: depth `d` salted hash rows, width `w` buckets.
+  // Multi-hash derivation: ONE md5 per key, independent 32-bit hashes from
+  // disjoint 8-hex-digit slices of the 128-bit digest (slots 0..3). Hashing
+  // is the dominant cost of a sketch build over a fact table — d salted
+  // md5s per row would multiply it by d for no statistical gain.
+  def hashSlice(hex: Column, slot: Int): Column =
+    conv(substring(hex, 8 * slot + 1, 8), 16, 10).cast("long")
+
+  def sqlHashSlice(hex: String, slot: Int): String =
+    s"CAST(concat('0x', substring($hex, ${8 * slot + 1}, 8)) AS BIGINT)"
+
+  // Count-min sketch: depth `d` hash rows (md5 slices), width `w` buckets.
+  // Catalyst's subexpression elimination computes the shared md5 once per
+  // row even though each bucket expression names it.
   def cmBucket(key: Column, row: Int, width: Int): Column =
-    hash60(concat(lit(s"cm$row:"), key.cast("string"))) % width
+    hashSlice(md5(concat(lit("cm:"), key.cast("string"))), row) % width
 
   def sqlCmBucket(key: String, row: Int, width: Int): String =
-    s"${sqlHash60(s"concat('cm$row:', CAST($key AS VARCHAR))")} % $width"
+    s"${sqlHashSlice(s"md5(concat('cm:', CAST($key AS VARCHAR)))", row)} % $width"
 
   // ------------------------------------------------------------------
-  // Bloom filter: `bits` total bits stored as 64-bit words, `k` salted
-  // hashes per key. word index = h >> 6, bit mask = 1 << (h % 64).
+  // Bloom filter: `bits` total bits stored as 32-bit words (a 31-max shift
+  // is portable; DuckDB raises on 1 << 63), `k` hashes per key from md5
+  // slices. word index = h >> 5, bit mask = 1 << (h % 32).
   def bloomHash(key: Column, t: Int, bits: Int): Column =
-    hash60(concat(lit(s"bf$t:"), key.cast("string"))) % bits
+    hashSlice(md5(concat(lit("bf:"), key.cast("string"))), t) % bits
 
   def sqlBloomHash(key: String, t: Int, bits: Int): String =
-    s"${sqlHash60(s"concat('bf$t:', CAST($key AS VARCHAR))")} % $bits"
+    s"${sqlHashSlice(s"md5(concat('bf:', CAST($key AS VARCHAR)))", t)} % $bits"
 
   // ------------------------------------------------------------------
   // Morton (Z-order) interleave: scale two non-negative key columns to

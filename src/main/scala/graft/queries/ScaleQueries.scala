@@ -62,39 +62,43 @@ object ScaleQueries {
         val D = 4
         val W = 1024
         val li = Tables.lineitem(s, d).select(col("l_partkey"))
-        def buckets(key: org.apache.spark.sql.Column) =
-          explode(array((0 until D).map { j =>
-            struct(lit(j).as("j"), cmBucket(key, j, W).as("b"))
-          }: _*)).as("e")
-        val sketch = li.select(buckets(col("l_partkey")))
-          .select(col("e.j"), col("e.b"))
-          .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
-        val est = li.distinct()
-          .select(col("l_partkey"), buckets(col("l_partkey")))
-          .select(col("l_partkey"), col("e.j"), col("e.b"))
+        // CM is LINEAR in its input counts, so sketch the per-key partial
+        // counts instead of raw rows: the fact table is touched by exactly
+        // ONE map-side-combined groupBy, and the sketch build + probe then
+        // run on |keys| rows. Identical sketch contents, no 4×|rows|
+        // explode. (With keys too numerous to aggregate, the same explode
+        // runs directly on the fact rows — the sketch update is the same.)
+        val keyed = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("hex", md5(concat(lit("cm:"), col("l_partkey").cast("string"))))
+          .select(col("l_partkey"), col("exact_cnt"),
+            explode(array((0 until D).map { j =>
+              struct(lit(j).as("j"), (hashSlice(col("hex"), j) % W).as("b"))
+            }: _*)).as("e"))
+          .select(col("l_partkey"), col("exact_cnt"), col("e.j"), col("e.b"))
+          .persist()
+        val sketch = keyed.groupBy(col("j"), col("b"))
+          .agg(sum(col("exact_cnt")).as("c"))
+        val est = keyed
           .join(broadcast(sketch), Seq("j", "b"))
-          .groupBy(col("l_partkey")).agg(min(col("c")).as("est_cnt"))
-        val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_cnt"))
+          .groupBy(col("l_partkey"), col("exact_cnt")).agg(min(col("c")).as("est_cnt"))
         val w = Window.orderBy(col("est_cnt").desc, col("l_partkey").asc)
-        est.join(exact, Seq("l_partkey"))
-          .withColumn("rnk", row_number().over(w))
+        est.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
       },
       Some {
-        val rows = (0 until 4).map { j =>
-          s"SELECT l_partkey, $j AS j, ${sqlCmBucket("l_partkey", j, 1024)} AS b FROM lineitem"
+        val buckets = (0 until 4).map { j =>
+          s"SELECT l_partkey, exact_cnt, $j AS j, ${sqlCmBucket("l_partkey", j, 1024)} AS b FROM keyed"
         }.mkString(" UNION ALL ")
-        s"""WITH keyed AS ($rows),
-          sketch AS (SELECT j, b, count(*) AS c FROM keyed GROUP BY 1, 2),
-          cand AS (SELECT DISTINCT l_partkey, j, b FROM keyed),
-          est AS (SELECT cand.l_partkey, min(c) AS est_cnt
-                  FROM cand JOIN sketch ON cand.j = sketch.j AND cand.b = sketch.b
-                  GROUP BY 1),
-          exact AS (SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1)
+        s"""WITH keyed AS (SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1),
+          kb AS ($buckets),
+          sketch AS (SELECT j, b, CAST(sum(exact_cnt) AS BIGINT) AS c FROM kb GROUP BY 1, 2),
+          est AS (SELECT kb.l_partkey, kb.exact_cnt, min(c) AS est_cnt
+                  FROM kb JOIN sketch ON kb.j = sketch.j AND kb.b = sketch.b
+                  GROUP BY 1, 2)
         SELECT l_partkey, est_cnt, exact_cnt, rnk FROM (
-          SELECT est.l_partkey, est_cnt, exact_cnt,
-            row_number() OVER (ORDER BY est_cnt DESC, est.l_partkey ASC) AS rnk
-          FROM est JOIN exact ON est.l_partkey = exact.l_partkey)
+          SELECT l_partkey, est_cnt, exact_cnt,
+            row_number() OVER (ORDER BY est_cnt DESC, l_partkey ASC) AS rnk
+          FROM est)
         WHERE rnk <= 10"""
       },
     ),
@@ -130,8 +134,10 @@ object ScaleQueries {
         val hashed = (0 until K).foldLeft(
             Tables.lineitem(s, d)
               .select(col("l_orderkey"), col("l_linenumber"))
-              .crossJoin(broadcast(bloom))) { (df, t) =>
-          df.withColumn(s"h$t", bloomHash(col("l_orderkey"), t, Bits))
+              .crossJoin(broadcast(bloom))
+              .withColumn("bhex",
+                md5(concat(lit("bf:"), col("l_orderkey").cast("string"))))) { (df, t) =>
+          df.withColumn(s"h$t", hashSlice(col("bhex"), t) % Bits)
         }
         val probed = hashed.withColumn("bloom_pass",
           (0 until K).map { t =>
