@@ -593,5 +593,44 @@ object ExtQueries {
           CAST(count(*) FILTER (WHERE ${TA.Sql.hash60("CAST(doc_id AS VARCHAR)")} % 100 < 10) AS DOUBLE) / count(*) AS frac
         FROM documents GROUP BY lang"""),
     ),
+
+    // ------------------------------------------------------------------
+    // PASSAGE-level dedup (C4/RefinedWeb-style boilerplate removal): chunk
+    // every document into fixed 8-word passages, hash each, report passages
+    // occurring in ≥ 2 distinct documents. One explode + one groupBy —
+    // passage hashes are the shuffle keys, so the work is linear in corpus
+    // size (never a doc×doc comparison). sequence() guard: Spark's
+    // sequence(0, -1) counts DOWN, so short docs need the explicit empty.
+    GraftQuery(
+      "dedup08_passage",
+      (s, d) => {
+        val W = 8
+        val toks = split(trim(col("text")), "\\s+")
+        val nChunks = (size(col("toks")) / W).cast("int")
+        val idx = when(nChunks >= 1, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            explode(transform(idx,
+              i => array_join(slice(col("toks"), i * W + 1, lit(W)), " "))).as("pas"))
+          .select(col("doc_id"), TA.hash60(col("pas")).as("pas_hash"))
+          .groupBy(col("pas_hash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+        p AS (SELECT doc_id, unnest(list_transform(range(len(toks) // 8),
+                i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' '))) AS pas
+              FROM t),
+        h AS (SELECT doc_id, ${TA.Sql.hash60("pas")} AS pas_hash FROM p)
+        SELECT pas_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+          min(doc_id) AS first_doc
+        FROM h GROUP BY pas_hash HAVING count(DISTINCT doc_id) >= 2"""),
+    ),
   )
 }

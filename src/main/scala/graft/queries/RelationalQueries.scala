@@ -766,5 +766,57 @@ object RelationalQueries {
             sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))) AS corr
         FROM a"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q33: ORDERED string aggregation. Distributed collect_list has no
+    // deterministic order, so the scalable deterministic form is
+    // sort_array(collect_list(struct(orderKey, value))) → transform →
+    // array_join; DuckDB's native string_agg(... ORDER BY) is the oracle.
+    GraftQuery(
+      "q33_string_agg",
+      (s, d) => {
+        import s.implicits._
+        val top = Tables.supplier(s, d)
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy($"s_nationkey")
+              .orderBy($"s_acctbal".desc, $"s_suppkey".asc)))
+          .filter($"rnk" <= 3)
+        top.groupBy($"s_nationkey")
+          .agg(array_join(
+            transform(
+              sort_array(collect_list(struct($"rnk", $"s_name"))),
+              e => e.getField("s_name")),
+            ",").as("top_suppliers"))
+      },
+      Some("""SELECT s_nationkey, string_agg(s_name, ',' ORDER BY rnk) AS top_suppliers
+        FROM (
+          SELECT s_nationkey, s_name,
+            row_number() OVER (PARTITION BY s_nationkey
+              ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+          FROM supplier)
+        WHERE rnk <= 3 GROUP BY s_nationkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // q34: boolean + bitwise aggregate family (bool_and/bool_or,
+    // bit_and/bit_or/bit_xor) — integer/boolean-exact in any engine.
+    GraftQuery(
+      "q34_bool_bit_aggs",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bool_and(l_quantity > 0)").as("all_qty_pos"),
+          expr("bool_or(l_discount > 0.05)").as("any_big_disc"),
+          expr("bit_and(l_orderkey)").as("and_okey"),
+          expr("bit_or(l_suppkey)").as("or_skey"),
+          expr("bit_xor(l_partkey)").as("xor_pkey")),
+      Some("""SELECT l_returnflag,
+          bool_and(l_quantity > 0) AS all_qty_pos,
+          bool_or(l_discount > 0.05) AS any_big_disc,
+          bit_and(l_orderkey) AS and_okey,
+          bit_or(l_suppkey) AS or_skey,
+          bit_xor(l_partkey) AS xor_pkey
+        FROM lineitem GROUP BY l_returnflag"""),
+    ),
   )
 }

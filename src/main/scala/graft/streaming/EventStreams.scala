@@ -89,6 +89,39 @@ object EventStreams {
       event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long, last_type: String)
 
+  final case class DistinctEstimate(key: String, n_seen: Long, n_hashes: Long,
+      est_distinct: Long)
+
+  final case class KmvState(seen: Long, hashes: Array[Long])
+
+  /** Streaming KMV distinct-count: per group, GroupState holds only the
+    * bottom-k distinct 60-bit hashes (k longs — bounded state regardless of
+    * stream cardinality), and every micro-batch emits the refreshed
+    * estimate. Same hash ([[graft.ops.Sketches.hash60jvm]] ≡ the SQL-side
+    * md5 prefix) and same estimator as the batch sketch01 query, so stream
+    * and batch agree EXACTLY on identical input (StreamingSketchSpec).
+    * Below k distinct values the bottom-k set is the complete distinct set
+    * and the "estimate" is exact.
+    */
+  def streamingDistinct(values: Dataset[(String, String)], k: Int = 256): Dataset[DistinctEstimate] = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(0L, Array.empty[Long]))
+          val incoming = it.map(v => graft.ops.Sketches.hash60jvm(v._2)).toArray
+          val merged = java.util.Arrays.stream((prev.hashes ++ incoming).distinct)
+            .sorted.limit(k).toArray
+          val next = KmvState(prev.seen + incoming.length, merged)
+          state.update(next)
+          val est =
+            if (merged.length < k) merged.length.toLong
+            else math.round((k - 1).toDouble * graft.ops.Sketches.HashSpace / merged.last.toDouble)
+          Iterator.single(DistinctEstimate(key, next.seen, merged.length.toLong, est))
+      }
+  }
+
   /** stateful per-user running aggregate via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) with processing-time
     * timeout; state is one small record per active user.

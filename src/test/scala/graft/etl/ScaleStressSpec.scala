@@ -48,4 +48,26 @@ class ScaleStressSpec extends SparkSpec {
     assert(secs < 120, s"CC took $secs s for 1M edges")
     info(f"1M edges, $nodes nodes → $parts components in $secs%.1f s")
   }
+
+  test("KMV sketch estimates 5M-row distinct count in O(k) driver state") {
+    // 5M rows, 1M distinct keys: the bottom-k path must stay a per-partition
+    // top-k merge (no global sort, no driver blowup) and land within the
+    // ~1/sqrt(k) error envelope.
+    val k = 1024
+    val rows = spark.range(5000000L)
+      .select(pmod(hash(col("id")), lit(1000000)).cast("string").as("key"))
+    val t0 = System.nanoTime()
+    val bottom = rows
+      .select(graft.ops.TextAnalysis.hash60(col("key")).as("h"))
+      .distinct().orderBy(col("h").asc).limit(k)
+    val agg = bottom.agg(count(lit(1)).as("k"), max(col("h")).as("kth")).head()
+    val estimate = (k - 1).toDouble * graft.ops.Sketches.HashSpace /
+      agg.getAs[Long]("kth").toDouble
+    val secs = (System.nanoTime() - t0) / 1e9
+    val trueDistinct = 1000000.0 * (1 - math.exp(-5.0)) // coupon-ish: ~993k hit
+    assert(math.abs(estimate - trueDistinct) / trueDistinct < 0.15,
+      s"est=$estimate true≈$trueDistinct")
+    assert(secs < 60, s"KMV took $secs s for 5M rows")
+    info(f"5M rows → distinct estimate ${estimate}%.0f in $secs%.1f s")
+  }
 }
