@@ -34,12 +34,23 @@ object Sketches {
   import TextAnalysis.hash60
 
   /** JVM-side mirror of the portable 60-bit md5 hash (for deterministic
-    * "random" constants that must match SQL-side md5 derivations).
+    * "random" constants that must match SQL-side md5 derivations, and for
+    * JVM-side sketch updates — hot path, so the digest is thread-local and
+    * the first 15 hex digits are read straight off the digest bytes).
     */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def hash60jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val b = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex digits = bytes 0-6 in full plus the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xffL) >>> 4)
   }
 
   /** SQL mirror of hash60 (DuckDB dialect). */

@@ -51,6 +51,26 @@ object ScaleQueries {
     ),
 
     // ------------------------------------------------------------------
+    // The SAME KMV sketch as a first-class typed Aggregator
+    // (graft.ops.KmvAggregator): fixed-capacity mergeable buffer, O(k)
+    // state per partition, usable per-group or in SQL (kmv_distinct after
+    // registerSql). Must agree exactly with sketch01's declarative plan AND
+    // the DuckDB oracle — three implementations, one answer.
+    GraftQuery(
+      "sketch04_kmv_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(graft.ops.KmvAggregator.kmvDistinct(
+          col("l_partkey").cast("string")).as("est_distinct")),
+      Some {
+        val h = sqlHash60("CAST(l_partkey AS VARCHAR)")
+        s"""WITH b AS (SELECT DISTINCT $h AS h FROM lineitem ORDER BY h ASC LIMIT 256)
+          SELECT CASE WHEN count(*) < 256 THEN count(*)
+            ELSE ${sqlKmvEstimate("count(*)", "max(h)")} END AS est_distinct
+          FROM b"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // Count-min sketch (d=4 rows × w=1024 buckets) over part frequencies in
     // lineitem: the build is ONE map-side-combinable groupBy into ≤ d·w
     // cells regardless of key cardinality; the probe broadcasts the sketch.

@@ -30,6 +30,21 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.15, s"est=$est exact=$exact")
   }
 
+  test("KMV typed Aggregator == declarative bottom-k plan == SQL udaf") {
+    val declarative = graft.SparkEntry.queries("sketch01_kmv_distinct")(spark, sf)
+      .collect().head.getAs[Long]("est_distinct")
+    val agg = graft.SparkEntry.queries("sketch04_kmv_agg")(spark, sf)
+      .collect().head.getAs[Long]("est_distinct")
+    assert(agg == declarative, s"aggregator=$agg declarative=$declarative")
+
+    KmvAggregator.registerSql(spark)
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_kmv")
+    val viaSql = spark.sql(
+      "SELECT kmv_distinct(CAST(l_partkey AS STRING)) AS e FROM li_kmv")
+      .collect().head.getAs[Long]("e")
+    assert(viaSql == declarative, s"sql=$viaSql declarative=$declarative")
+  }
+
   test("count-min never underestimates (one-sided error guarantee)") {
     val rows = graft.SparkEntry.queries("sketch02_cm_topk")(spark, sf).collect()
     assert(rows.nonEmpty)
