@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
         (exprs: Seq[Expression]) => GraftExtensions.oneArg(name, exprs, builder)))
     }
+    ext.injectFunction((
+      FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "graft_morton"),
+      (exprs: Seq[Expression]) => GraftExtensions.mortonTree(exprs)))
   }
 }
 
@@ -67,6 +71,23 @@ object GraftExtensions {
     builder(exprs.head)
   }
 
+  /** Z-order bit interleave of two 16-bit-ranged long expressions as a
+    * hand-built catalyst tree (mirror of Sketches.sparkMorton — same
+    * disjoint-bit SUM so no OR node is needed): the data-layout primitive
+    * exposed to SQL as `graft_morton(x16, y16)`.
+    */
+  private[graft] def mortonTree(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_morton expects exactly 2 arguments, got ${exprs.length}")
+    def bits(e: Expression, off: Int): Seq[Expression] = (0 until 16).map { i =>
+      ShiftLeft(
+        BitwiseAnd(ShiftRight(Cast(e, LongType), Literal(i)), Literal(1L)),
+        Literal(2 * i + off))
+    }
+    (bits(exprs.head, 0) ++ bits(exprs(1), 1)).reduce[Expression](Add(_, _))
+  }
+
   /** temp-function registration for an ALREADY-built session (specs, REPL —
     * extensions otherwise apply only at builder time).
     */
@@ -75,5 +96,6 @@ object GraftExtensions {
     sqlBuilders.foreach { case (name, builder) =>
       Bridge.registerExpression(spark, name, exprs => oneArg(name, exprs, builder))
     }
+    Bridge.registerExpression(spark, "graft_morton", mortonTree)
   }
 }

@@ -299,7 +299,7 @@ object ScaleQueries {
         val q = banded.filter(col("id") < 20)
           .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n"),
             col("band"), col("key"))
-        val cand = q.join(banded, Seq("band", "key"))
+        val cand = broadcast(q).join(banded, Seq("band", "key"))
           .filter(col("q_id") =!= col("id"))
           .select(col("q_id"), col("id").as("n_id"), col("q_v"), col("v"),
             col("q_n"), col("nrm"))

@@ -31,4 +31,18 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.ops.TextAnalysis.regexTokenCount($"t").as("sw")).collect()
     assert(sql.map(_.toString).toSeq == api.map(_.toString).toSeq)
   }
+
+  test("graft_morton SQL function equals the generated Column expression") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (65535L, 65535L), (4242L, 1717L))
+      .toDF("p16", "s16")
+    df.createOrReplaceTempView("gx_m")
+    val sql = spark.sql("SELECT graft_morton(p16, s16) AS z FROM gx_m")
+      .collect().map(_.getLong(0))
+    val api = df.select(expr(graft.ops.Sketches.sparkMorton("p16", "s16")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(sql.toSeq == api.toSeq)
+    assert(sql.take(4).toSeq == Seq(1L, 2L, 15L, (1L << 32) - 1))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening for the scale operators: empty inputs must
+  * produce empty/identity results, never throw — at 100 TB a filtered
+  * partition, an empty dim, or a dry LSH round is routine, not exceptional.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  test("connected components of an empty edge list is empty") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupGraph.connectedComponents(edges).count() == 0L)
+  }
+
+  test("KMV aggregator over zero rows reports zero distinct") {
+    import spark.implicits._
+    val est = Seq.empty[String].toDF("k")
+      .agg(KmvAggregator.kmvDistinct(col("k")).as("e"))
+      .collect().head.getAs[Long]("e")
+    assert(est == 0L)
+  }
+
+  test("bloom built from an empty dim rejects every probe (no bitmap rows)") {
+    import spark.implicits._
+    val words = Seq.empty[(Long, Long)].toDF("word", "bits")
+    val bloom = words.agg(
+      map_from_entries(collect_list(struct(col("word"), col("bits")))).as("bm"))
+    val probes = Seq(1L, 2L, 3L).toDF("h")
+      .crossJoin(bloom)
+      .withColumn("pass",
+        (coalesce(element_at(col("bm"), shiftright(col("h"), 5)), lit(0L))
+          .bitwiseAND(lit(1L))) =!= lit(0L))
+    val rows = probes.collect()
+    assert(rows.length == 3 && rows.forall(!_.getAs[Boolean]("pass")))
+  }
+
+  test("SRP signature of the zero vector is all ones (>= 0 convention)") {
+    import spark.implicits._
+    val w = Sketches.srpWeights(4, 4)
+    val sig = Seq(Array(0.0, 0.0, 0.0, 0.0)).toDF("v")
+      .select(Sketches.srpSignature(col("v"), w).as("s"))
+      .collect().head.getInt(0)
+    assert(sig == 15) // every dot is exactly 0 → bit set by the >= 0 rule
+  }
+
+  test("passage chunking of short documents yields no passages, no error") {
+    import spark.implicits._
+    // under 8 tokens: the sequence() guard must produce an empty array, not
+    // Spark's descending sequence(0, -1)
+    val docs = Seq((1L, "only three words"), (2L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_short")
+    val toks = split(trim(col("text")), "\\s+")
+    val nChunks = (size(col("toks")) / 8).cast("int")
+    val idx = when(nChunks >= 1, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
+    val out = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(transform(idx, i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))).as("p"))
+    assert(out.count() == 0L)
+  }
+}
