@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.{GraftQuery, Tables}
 import graft.etl.{NormalizeCol, Profile, Transforms}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ETL-operator queries with DuckDB oracles: the normalize/infer/profile/
@@ -268,6 +269,90 @@ object EtlQueries {
              regexp_matches(trim(o_orderstatus), '^\d*\.\d+$') OR
              lower(trim(o_orderstatus)) IN ('true','false')) THEN 1 END)
         FROM orders"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // SCD Type-2 history build — the warehouse-ETL change-capture pattern:
+    // per customer, keep only the orders where o_orderstatus CHANGED from
+    // the previous order (lag), then stamp validity intervals (valid_from =
+    // change time, valid_to = next change via lead, NULL = current) and a
+    // version number. Two window passes over one shuffle key
+    // (o_custkey) — Catalyst reuses the partitioning between them, so the
+    // whole history build is ONE shuffle at any scale.
+    GraftQuery(
+      "etl11_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey"))
+          .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+          .select(
+            col("o_custkey").as("custkey"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+            row_number().over(w).as("version"))
+      },
+      Some("""WITH m AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+              lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders),
+          ch AS (SELECT * FROM m WHERE prev IS NULL OR prev <> o_orderstatus)
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+          o_orderdate AS valid_from,
+          lead(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS valid_to,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS version
+        FROM ch"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Batch MERGE / upsert without a table format: base snapshot ∪ updates
+    // ∪ inserts, then one row_number window keyed on the business key picks
+    // the winner (updates beat base). This is exactly how an incremental
+    // load folds into a snapshot on plain parquet — one shuffle on the
+    // merge key, no driver-side diffing. Updates bump balances (+$5) for
+    // every 7th customer; inserts add brand-new keys.
+    GraftQuery(
+      "etl12_upsert_merge",
+      (s, d) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").as("custkey"), cents.as("bal_cents"),
+          lit("base").as("src"), lit(0).as("pri"))
+        val updates = Tables.customer(s, d)
+          .filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("custkey"),
+            (cents + 500).as("bal_cents"), lit("update").as("src"), lit(1).as("pri"))
+        val inserts = Tables.customer(s, d)
+          .filter(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 1000000).as("custkey"),
+            lit(0L).as("bal_cents"), lit("insert").as("src"), lit(1).as("pri"))
+        val w = Window.partitionBy(col("custkey")).orderBy(col("pri").desc)
+        base.unionByName(updates).unionByName(inserts)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("custkey"), col("bal_cents"), col("src"))
+      },
+      Some("""WITH all_rows AS (
+          SELECT c_custkey AS custkey,
+            CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, 'base' AS src, 0 AS pri
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) + 500, 'update', 1
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 0, 'insert', 1
+          FROM customer WHERE c_custkey % 101 = 0)
+        SELECT custkey, bal_cents, src FROM (
+          SELECT custkey, bal_cents, src,
+            row_number() OVER (PARTITION BY custkey ORDER BY pri DESC) AS rn
+          FROM all_rows)
+        WHERE rn = 1"""),
     ),
   )
 }

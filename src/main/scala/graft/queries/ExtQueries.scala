@@ -632,5 +632,39 @@ object ExtQueries {
           min(doc_id) AS first_doc
         FROM h GROUP BY pas_hash HAVING count(DISTINCT doc_id) >= 2"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Lexical diversity per document: type-token ratio + Simpson diversity
+    // (1 - Σ c² / n²). The entropy-free diversity pair — log() differs in
+    // the last ulp across engines, but TTR and Simpson are ratios of exact
+    // integer counts divided once, so they are bit-identical. Low diversity
+    // (high repetition) is a standard low-quality-document signal alongside
+    // text08's verbatim-repetition filters. One groupBy per (doc, token),
+    // one per doc — both map-side combinable.
+    GraftQuery(
+      "text09_lexical_diversity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("sum_c2"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            (col("n_types") / col("n_tokens")).as("ttr"),
+            (lit(1.0) - col("sum_c2") / (col("n_tokens") * col("n_tokens"))).as("simpson"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+              CAST(sum(c*c) AS BIGINT) AS sum_c2
+            FROM c GROUP BY 1)
+        SELECT doc_id, n_tokens, n_types,
+          n_types / n_tokens AS ttr,
+          1.0 - sum_c2 / (n_tokens * n_tokens) AS simpson
+        FROM a"""),
+    ),
   )
 }

@@ -818,5 +818,32 @@ object RelationalQueries {
           bit_xor(l_partkey) AS xor_pkey
         FROM lineitem GROUP BY l_returnflag"""),
     ),
+
+    // ------------------------------------------------------------------
+    // q35: DYNAMIC pivot — the pivot values are discovered from the data
+    // (one small distinct job on the driver), not declared like q12's
+    // conditional pivot. Spark's groupBy().pivot(col) is the idiomatic
+    // form; the oracle spells the discovered columns out. Pivot-count holes
+    // are coalesced to 0 (Spark emits null for absent combinations,
+    // SQL count() emits 0). Spaces in values are sanitized to '_' so the
+    // column names stay parquet-legal.
+    GraftQuery(
+      "q35_dynamic_pivot",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("prio", regexp_replace(col("o_orderpriority"), " ", "_"))
+          .withColumn("yr", year(col("o_orderdate")))
+        val p = o.groupBy(col("yr")).pivot("prio").agg(count(lit(1)))
+        p.select(col("yr") +: p.columns.filter(_ != "yr").sorted.map(c =>
+          coalesce(col(s"`$c`"), lit(0L)).as(c)): _*)
+      },
+      Some {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT_SPECIFIED", "5-LOW")
+        val cols = prios.map(p =>
+          s"""count(CASE WHEN replace(o_orderpriority, ' ', '_') = '$p' THEN 1 END) AS "$p"""")
+          .mkString(", ")
+        s"""SELECT year(o_orderdate) AS yr, $cols FROM orders GROUP BY 1"""
+      },
+    ),
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.{GraftQuery, Tables}
+import graft.core.{Determinism => D, GraftQuery, Tables}
 import graft.ops.{Similarity, Sketches, TextAnalysis => TA}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -328,6 +328,203 @@ object ScaleQueries {
           FROM cand)
         WHERE rnk <= 3"""
       },
+    ),
+
+    // ------------------------------------------------------------------
+    // HyperLogLog distinct-count over l_orderkey: 512 registers, each the
+    // max leading-zero rank of the md5-hash suffix. The register table is
+    // ONE map-side-combinable groupBy into ≤512 cells regardless of key
+    // cardinality — at 100 TB the registers merge across any partitioning,
+    // unlike exact countDistinct's full shuffle. The register sum is scaled
+    // to an exact integer (Σ 2^(52-M_j), every term a power of two ≤ 2^52,
+    // m·2^52 < 2^63), so the harmonic mean — and hence the estimate — is
+    // bit-identical in any engine; only the final constant·m²/S division is
+    // floating point, performed once in the same order. Raw HLL formula, no
+    // small/large-range correction (documented; n ≫ 2.5m in all test SFs).
+    GraftQuery(
+      "sketch05_hll",
+      (s, d) => {
+        val m = 512
+        // alpha_m · m² · 2^52 (the hash suffix h div 512 is 51 bits wide,
+        // so rho ∈ [1, 52]), folded to one literal so both engines parse
+        // the identical decimal constant
+        val c = 0.7213 / (1 + 1.079 / m) * m * m * 4503599627370496.0
+        val regs = Tables.lineitem(s, d)
+          .select(TA.hash60(concat(lit("hll:"), col("l_orderkey").cast("string"))).as("h"))
+          .select((col("h") % m).as("bucket"), expr(s"h div $m").as("rest"))
+          .select(col("bucket"), when(col("rest") === 0, lit(52))
+            .otherwise(lit(52) - length(bin(col("rest")))).as("rho"))
+          .groupBy(col("bucket")).agg(max(col("rho")).as("mrho"))
+        val full = s.range(m).select(col("id").as("bucket"))
+          .join(regs, Seq("bucket"), "left")
+          .select(coalesce(col("mrho"), lit(0)).as("mrho"))
+        val sums = full.agg(
+          sum(expr("shiftleft(1L, cast(52 - mrho as int))")).as("s"),
+          count(when(col("mrho") === 0, lit(1))).as("n_empty"))
+        val exact = Tables.lineitem(s, d)
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        sums.select(
+            round(lit(c) / col("s").cast("double")).cast("long").as("est_distinct"),
+            col("n_empty"))
+          .crossJoin(exact)
+      },
+      Some {
+        val h = sqlHash60("concat('hll:', CAST(l_orderkey AS VARCHAR))")
+        val c = 0.7213 / (1 + 1.079 / 512) * 512 * 512 * 4503599627370496.0
+        s"""WITH r AS (SELECT h % 512 AS bucket, h // 512 AS rest
+              FROM (SELECT $h AS h FROM lineitem)),
+          regs AS (SELECT bucket,
+              max(CASE WHEN rest = 0 THEN 52
+                  ELSE 52 - length(format('{:b}', rest)) END) AS mrho
+            FROM r GROUP BY 1),
+          filled AS (SELECT coalesce(mrho, 0) AS mrho
+            FROM (SELECT range AS bucket FROM range(512)) b LEFT JOIN regs USING (bucket)),
+          agg AS (SELECT CAST(sum(1::BIGINT << CAST(52 - mrho AS INT)) AS BIGINT) AS s,
+              count(CASE WHEN mrho = 0 THEN 1 END) AS n_empty
+            FROM filled)
+        SELECT CAST(round($c / CAST(s AS DOUBLE)) AS BIGINT) AS est_distinct, n_empty,
+          (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact_distinct
+        FROM agg"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Histogram-sketch quantiles: fixed-width bins over integer cents (one
+    // map-side-combinable groupBy into ~100 cells), cumulative counts over
+    // the tiny bin table, linear interpolation inside the target bin. The
+    // standard approximate-quantile layout at 100 TB — the full-data pass is
+    // a counting aggregation, never a sort — with the exact percentile
+    // (q16's engine-exact pair) alongside to show the error. All bin math is
+    // integer; the interpolation divides identical exact integers in the
+    // same order, so est is bit-identical cross-engine.
+    GraftQuery(
+      "sketch06_hist_quantile",
+      (s, d) => {
+        val W = 102400L // bin width in cents ($1024)
+        val li = Tables.lineitem(s, d)
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val bins = li.groupBy(expr(s"cents div $W").as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("bin"))
+        val cum = bins.withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("cumb", col("cum") - col("cnt"))
+        val totals = li.agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5D)").as("ex50"),
+          expr("percentile(cents, 0.9D)").as("ex90"),
+          expr("percentile(cents, 0.99D)").as("ex99"))
+        val qs = s.range(1)
+          .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+          .crossJoin(broadcast(totals))
+          .withColumn("t", ceil(col("q") * col("n")).cast("long"))
+        qs.join(broadcast(cum), col("cumb") < col("t") && col("t") <= col("cum"))
+          .select(col("q"),
+            (((col("bin") * W).cast("double") +
+              lit(W.toDouble) * ((col("t") - col("cumb")) / col("cnt"))) / lit(100.0)).as("est"),
+            (when(col("q") === 0.5, col("ex50"))
+              .when(col("q") === 0.9, col("ex90"))
+              .otherwise(col("ex99")) / lit(100.0)).as("exact"))
+      },
+      Some("""WITH cents AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem),
+          bins AS (SELECT cents // 102400 AS bin, count(*) AS cnt FROM cents GROUP BY 1),
+          cum AS (SELECT bin, cnt,
+              CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER (ORDER BY bin) - cnt AS BIGINT) AS cumb
+            FROM bins),
+          tot AS (SELECT count(*) AS n, quantile_cont(cents, 0.5) AS ex50,
+              quantile_cont(cents, 0.9) AS ex90, quantile_cont(cents, 0.99) AS ex99
+            FROM cents),
+          qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+          tq AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS t, ex50, ex90, ex99 FROM qs, tot)
+        SELECT q,
+          (CAST(bin * 102400 AS DOUBLE) + 102400.0 * ((t - cumb) / cnt)) / 100.0 AS est,
+          (CASE WHEN q = 0.5 THEN ex50 WHEN q = 0.9 THEN ex90 ELSE ex99 END) / 100.0 AS exact
+        FROM tq JOIN cum ON cumb < t AND t <= cum"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Hive-style partitioned layout + partition pruning, end to end: write
+    // events partitioned by day (repartition by the partition column first —
+    // one file per day instead of days×tasks small files), then aggregate a
+    // 3-day slice. The pruned read touches only 3 of ~30 partition
+    // directories — the layout that turns a 100 TB scan into a per-day read.
+    // PartitionedWriteSpec asserts the PartitionFilters on the scan node;
+    // this query proves the round-trip agrees with the unpartitioned oracle.
+    // bench=false: the query IS a write job (layout cost, not query cost).
+    GraftQuery(
+      "layout02_partition_pruning",
+      (s, d) => {
+        val out = System.getProperty("java.io.tmpdir") +
+          "/graft_evpart_" + new java.io.File(d).getName
+        Tables.events(s, d)
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .repartition(col("event_date"))
+          .write.mode("overwrite").partitionBy("event_date").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_date").between(
+            lit("2024-01-10").cast("date"), lit("2024-01-12").cast("date")))
+          .groupBy(col("event_date").cast("string").as("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n"), D.intSum(col("value")).as("total_value"))
+      },
+      Some(s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+          count(*) AS n, ${D.sqlIntSum("value")} AS total_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        GROUP BY 1, 2"""),
+      bench = false,
+    ),
+
+    // ------------------------------------------------------------------
+    // Bucketed-table co-located join: both sides written bucketBy(8) on the
+    // join key, so the join needs NO shuffle of either table — only the
+    // final small aggregation exchanges (BucketedJoinSpec asserts ≤1 shuffle
+    // on the physical plan). At 100 TB this is the fact/fact join layout:
+    // shuffle each table once at write time, join shuffle-free forever
+    // after. bench=false: the query measures a layout build (two table
+    // writes), not steady-state query cost.
+    GraftQuery(
+      "layout03_bucketed_join",
+      (s, d) => {
+        val tag = new java.io.File(d).getName.replace('.', '_')
+        val base = System.getProperty("java.io.tmpdir") + s"/graft_bkt_$tag"
+        s.sql(s"DROP TABLE IF EXISTS graft_ord_$tag")
+        s.sql(s"DROP TABLE IF EXISTS graft_cust_$tag")
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/ord").saveAsTable(s"graft_ord_$tag")
+        Tables.customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/cust").saveAsTable(s"graft_cust_$tag")
+        s.table(s"graft_ord_$tag")
+          .join(s.table(s"graft_cust_$tag"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), D.intSum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+          ${D.sqlIntSum("o_totalprice")} AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1"""),
+      bench = false,
+    ),
+
+    // ------------------------------------------------------------------
+    // Deterministic training-shard assignment: hash each document into one
+    // of 64 shards and report the balance (docs + bytes per shard). The
+    // shard id is the repartition key of a training-data export writer
+    // (repartitionByRange(shard, sort) → one stable file set per shard,
+    // reproducible across runs and engines — no RNG, no executor count
+    // dependence). md5 sharding keeps the spread tight regardless of
+    // doc_id clustering.
+    GraftQuery(
+      "layout04_train_shards",
+      (s, d) => Tables.documents(s, d)
+        .groupBy((TA.hash60(concat(lit("shard:"), col("doc_id").cast("string"))) % 64).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("n_chars"),
+          min(col("doc_id")).as("first_doc")),
+      Some(s"""SELECT ${TA.Sql.hash60("concat('shard:', CAST(doc_id AS VARCHAR))")} % 64 AS shard,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          min(doc_id) AS first_doc
+        FROM documents GROUP BY 1"""),
     ),
 
     // ------------------------------------------------------------------

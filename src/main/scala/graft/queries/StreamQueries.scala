@@ -221,5 +221,37 @@ object StreamQueries {
         FROM events e ASOF LEFT JOIN r
           ON e.user_id = r.user_id AND r.next_date >= e.ts"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Stream-stream LEFT OUTER interval join: every click, with its
+    // purchase within 4 hours when one exists, or NULLs when none does —
+    // the "did the click convert?" query. Under Structured Streaming the
+    // unmatched clicks emit when the watermark passes the interval end
+    // (bounded state; StreamJoinSpec asserts batch parity incl. the NULL
+    // rows); in batch it's a plain left range join.
+    GraftQuery(
+      "ev11_outer_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        clicks.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") < col("click_ts") + expr("INTERVAL 4 HOURS"),
+            "left")
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 4 HOUR"""),
+    ),
   )
 }
