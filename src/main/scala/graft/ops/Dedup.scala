@@ -107,4 +107,60 @@ object Dedup {
   }
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard pairs within blocks, with a fan-out cap.
+    *
+    * Blocks of at most `threshold` rows run the exact all-pairs self-join
+    * (quadratic in BLOCK size — fine when blocks are bounded). Larger blocks
+    * degrade gracefully: candidates come from MinHash-LSH banding inside the
+    * block, and each LSH bucket emits STAR edges to its min-doc hub —
+    * O(Σ|bucket|) candidates even when a hot bucket holds every row (the
+    * boilerplate-document case that makes plain all-pairs a scale-killer).
+    * Both paths then score candidates with EXACT Jaccard and apply `minJac`,
+    * so reported similarities are never approximate; only recall on
+    * over-threshold blocks narrows to LSH-reachable (transitively hub-linked)
+    * pairs — the right trade at 100 TB, where an uncapped hot block is O(n²).
+    *
+    * `docs` must carry `doc_id`, the block columns, and `sh` (a
+    * [[shingleHashes]] array).
+    */
+  def jaccardPairsBlocked(
+      docs: DataFrame,
+      blockCols: Seq[String],
+      minJac: Double,
+      threshold: Int,
+      seeds: Int,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = blockCols.map(col)
+    val w = Window.partitionBy(blocks: _*)
+    val sized = docs.withColumn("_bn", count(lit(1)).over(w))
+
+    val small = sized.filter(col("_bn") <= threshold)
+    val a = small.select(col("doc_id").as("doc_a") +: (blocks :+ col("sh").as("sh_a")): _*)
+    val b = small.select(col("doc_id").as("doc_b") +: (blocks :+ col("sh").as("sh_b")): _*)
+    val smallPairs = a.join(b, blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+
+    val big = sized.filter(col("_bn") > threshold)
+    val banded = big
+      .withColumn("sig", minhash(col("sh"), seeds))
+      .select(col("doc_id") +: col("sh") +: (blocks :+
+        explode(array((0 until bands).map { bd =>
+          struct(lit(bd).as("band"), bandKey(col("sig"), bd, rowsPerBand).as("key"))
+        }: _*)).as("b")): _*)
+    val hubW = Window.partitionBy(blocks :+ col("b.band") :+ col("b.key"): _*)
+    val bigPairs = banded
+      .withColumn("hub", min(struct(col("doc_id"), col("sh"))).over(hubW))
+      .filter(col("doc_id") =!= col("hub.doc_id"))
+      .select(col("hub.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("hub.sh").as("sh_a"), col("sh").as("sh_b"))
+      .dropDuplicates(Seq("doc_a", "doc_b")) // same pair may collide in many bands
+
+    smallPairs.unionByName(bigPairs)
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= minJac)
+  }
 }

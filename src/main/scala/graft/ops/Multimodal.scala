@@ -106,15 +106,26 @@ trait MediaDecoder extends Serializable {
   * libraries in this environment). Width/height/frames/features are stable
   * functions of the payload so specs can assert exact values; swap for a
   * real decoder in production.
+  *
+  * The content hash is the engine-portable 60-bit md5 prefix (DuckDB:
+  * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`), so downstream aggregates
+  * of the stubbed metadata are SQL-expressible and cross-checkable against
+  * an independent engine (mm01's oracle).
   */
 object StubDecoder extends MediaDecoder {
+  /** Low 60 bits of md5(content), as an unsigned value in a Long. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
   def decode(b: Multimodal.Blob): Multimodal.Decoded = {
-    val h = java.util.Arrays.hashCode(b.content)
-    val w = 16 + math.floorMod(h, 64)
-    val ht = 16 + math.floorMod(h >> 8, 64)
-    val frames = if (b.mime.startsWith("video/")) 1 + math.floorMod(h >> 16, 30) else 1
+    val h = StubDecoder.hash60(b.content) // >= 0, so % == floorMod
+    val w = 16 + (h % 64).toInt
+    val ht = 16 + ((h >> 8) % 64).toInt
+    val frames = if (b.mime.startsWith("video/")) 1 + ((h >> 16) % 30).toInt else 1
     val feats = Array.tabulate(8) { i =>
-      math.floorMod(h * (i + 1), 1000) / 1000.0f
+      (h % 1000 * (i + 1) % 1000) / 1000.0f
     }
     Multimodal.Decoded(b.blob_id, b.mime, w, ht, frames, feats)
   }

@@ -332,7 +332,10 @@ object EtlQueries {
           .filter(col("c_custkey") % 101 === 0)
           .select((col("c_custkey") + 1000000).as("custkey"),
             lit(0L).as("bal_cents"), lit("insert").as("src"), lit(1).as("pri"))
-        val w = Window.partitionBy(col("custkey")).orderBy(col("pri").desc)
+        // src is a deterministic tiebreaker: at huge SFs an insert key
+        // (custkey+1e6) can collide with a real custkey that also carries a
+        // pri=1 update row — without the tiebreak the winner is arbitrary.
+        val w = Window.partitionBy(col("custkey")).orderBy(col("pri").desc, col("src"))
         base.unionByName(updates).unionByName(inserts)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -350,7 +353,7 @@ object EtlQueries {
           FROM customer WHERE c_custkey % 101 = 0)
         SELECT custkey, bal_cents, src FROM (
           SELECT custkey, bal_cents, src,
-            row_number() OVER (PARTITION BY custkey ORDER BY pri DESC) AS rn
+            row_number() OVER (PARTITION BY custkey ORDER BY pri DESC, src) AS rn
           FROM all_rows)
         WHERE rn = 1"""),
     ),

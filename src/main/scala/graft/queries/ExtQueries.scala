@@ -20,6 +20,10 @@ object ExtQueries {
   // candidate set (j≈0.5 → 6% of ALL pairs per 4-row band).
   private val Bands = 2
   private val RowsPerBand = 8
+  // dedup02's exact all-pairs cap: (lang, source) blocks beyond this route
+  // through LSH star candidates. Far above any test-SF block size (sf0.1 has
+  // 5k documents TOTAL), so oracle parity holds through sf0.1 by construction.
+  private val JaccardBlockCap = 4096
 
   private def sqlHash60(v: String) =
     s"CAST(concat('0x', substring(md5($v), 1, 15)) AS BIGINT)"
@@ -194,7 +198,13 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
-    // pairwise n-gram Jaccard within (lang, source) blocks.
+    // pairwise n-gram Jaccard within (lang, source) blocks, with a fan-out
+    // cap: blocks beyond JaccardBlockCap rows route through LSH star
+    // candidates instead of all-pairs (Dedup.jaccardPairsBlocked), so a hot
+    // (en, web) block at 100 TB stays O(Σ|bucket|) instead of O(n²). Under
+    // the cap (all test SFs — documents tops out well below it) the result
+    // is EXACTLY the all-pairs oracle below; ScaleStressSpec pins the capped
+    // path's bounded fan-out on a synthetic hot block.
     GraftQuery(
       "dedup02_ngram_jaccard",
       (s, d) => {
@@ -204,12 +214,8 @@ object ExtQueries {
           col("doc_id"), col("lang"), col("source"),
           Dedup.shingleHashes(col("text"), Shingle).as("sh"))
           .persist() // shingle once; both join sides + no optimizer re-inline
-        val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sh_a"))
-        val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("sh_b"))
-        a.join(b, Seq("lang", "source"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
-          .filter(col("jac") >= 0.62)
+        Dedup.jaccardPairsBlocked(docs, Seq("lang", "source"), 0.62,
+          JaccardBlockCap, MinhashSeeds, Bands, RowsPerBand)
       },
       Some(s"""WITH sh AS (SELECT doc_id, lang, source, ${sqlShingleHashes("text")} AS s FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -417,10 +423,12 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
-    // multimodal pipeline plumbing (rows-only check; the codec is a
-    // deterministic stub — this container ships no media libraries): wrap
-    // text bytes as binary blobs with mime metadata, decode/feature-extract
-    // per partition, sample frames, aggregate per mime type.
+    // multimodal pipeline plumbing (the codec is a deterministic stub —
+    // this container ships no media libraries): wrap text bytes as binary
+    // blobs with mime metadata, decode/feature-extract per partition,
+    // sample frames, aggregate per mime type. The stub derives all metadata
+    // from the portable 60-bit md5 hash of the payload, so the expected
+    // aggregates ARE SQL-expressible — the oracle recomputes them in DuckDB.
     GraftQuery(
       "mm01_media_pipeline",
       (s, d) => {
@@ -448,7 +456,26 @@ object ExtQueries {
             sum(round(element_at(col("features"), 1) * 1000).cast("long")).as("f0_millis"))
           .join(frameCounts, Seq("mime"), "left")
       },
-      None,
+      // Mirrors the stub decoder exactly: h = low-60-bit md5 of the UTF-8
+      // payload; width = 16 + h%64; frames = 1 + (h>>16)%30 for video else 1;
+      // feature[0] = (h%1000)/1000 (float32 — round(f*1000) recovers h%1000);
+      // frame sampling takes min(4, frames) frames per video blob.
+      Some("""WITH b AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'video/mp4' END AS mime,
+            CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+          FROM documents),
+        d AS (
+          SELECT mime, 16 + h % 64 AS w,
+            CASE WHEN mime = 'video/mp4' THEN 1 + ((h >> 16) % 30) ELSE 1 END AS frames,
+            h % 1000 AS f0
+          FROM b)
+        SELECT mime, count(*) AS n_blobs,
+          CAST(sum(w) AS BIGINT) AS sum_w,
+          CAST(sum(frames) AS BIGINT) AS sum_frames,
+          CAST(sum(f0) AS BIGINT) AS f0_millis,
+          CASE WHEN mime = 'video/mp4' THEN CAST(sum(least(4, frames)) AS BIGINT) END AS n_frames_sampled
+        FROM d GROUP BY mime"""),
     ),
 
     // ------------------------------------------------------------------

@@ -15,6 +15,74 @@ import org.apache.spark.sql.functions._
 object ScaleQueries {
 
   import Sketches._
+  import org.apache.spark.sql.SparkSession
+
+  /** Tmp dirs created by the layout queries, deleted on JVM exit — repeated
+    * verify/bench runs don't accumulate stale layouts (the pid in each path
+    * also keeps concurrent runs on the same SF from colliding).
+    */
+  private object TmpLayouts {
+    private val dirs = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.keys.foreach(p => delete(new java.io.File(p)))))
+    private def delete(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(delete)
+      f.delete(): Unit
+    }
+    def register(p: String): String = { dirs.put(p, ()); p }
+  }
+
+  private def layoutTag(d: String): String =
+    new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + ProcessHandle.current().pid()
+
+  // built-once-per-JVM layout paths, keyed by dataset dir
+  private val builtLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write events partitioned by day (repartition on the partition column
+    * first — one file per day, not days×tasks small files). Returns the dir.
+    */
+  private def buildEventsLayout(s: SparkSession, d: String): String = {
+    val out = TmpLayouts.register(
+      System.getProperty("java.io.tmpdir") + "/graft_evpart_" + layoutTag(d))
+    Tables.events(s, d)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    builtLayouts.put("evpart:" + d, out)
+    out
+  }
+
+  private def ensureEventsLayout(s: SparkSession, d: String): String =
+    builtLayouts.getOrElse("evpart:" + d, buildEventsLayout(s, d))
+
+  /** Write orders+customer as bucketBy(8) tables on the join key. Returns
+    * (ordersTable, customerTable) names.
+    */
+  private def buildBucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = layoutTag(d)
+    val base = TmpLayouts.register(
+      System.getProperty("java.io.tmpdir") + s"/graft_bkt_$tag")
+    val (ord, cust) = (s"graft_ord_$tag", s"graft_cust_$tag")
+    s.sql(s"DROP TABLE IF EXISTS $ord")
+    s.sql(s"DROP TABLE IF EXISTS $cust")
+    Tables.orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/ord").saveAsTable(ord)
+    Tables.customer(s, d).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/cust").saveAsTable(cust)
+    builtLayouts.put("bkt:" + d, s"$ord,$cust")
+    (ord, cust)
+  }
+
+  private def ensureBucketedTables(s: SparkSession, d: String): (String, String) =
+    builtLayouts.get("bkt:" + d) match {
+      case Some(names) =>
+        val Array(o, c) = names.split(','); (o, c)
+      case None => buildBucketedTables(s, d)
+    }
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -453,12 +521,7 @@ object ScaleQueries {
     GraftQuery(
       "layout02_partition_pruning",
       (s, d) => {
-        val out = System.getProperty("java.io.tmpdir") +
-          "/graft_evpart_" + new java.io.File(d).getName
-        Tables.events(s, d)
-          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-          .repartition(col("event_date"))
-          .write.mode("overwrite").partitionBy("event_date").parquet(out)
+        val out = buildEventsLayout(s, d)
         s.read.parquet(out)
           .filter(col("event_date").between(
             lit("2024-01-10").cast("date"), lit("2024-01-12").cast("date")))
@@ -484,18 +547,9 @@ object ScaleQueries {
     GraftQuery(
       "layout03_bucketed_join",
       (s, d) => {
-        val tag = new java.io.File(d).getName.replace('.', '_')
-        val base = System.getProperty("java.io.tmpdir") + s"/graft_bkt_$tag"
-        s.sql(s"DROP TABLE IF EXISTS graft_ord_$tag")
-        s.sql(s"DROP TABLE IF EXISTS graft_cust_$tag")
-        Tables.orders(s, d).write.mode("overwrite")
-          .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .option("path", s"$base/ord").saveAsTable(s"graft_ord_$tag")
-        Tables.customer(s, d).write.mode("overwrite")
-          .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .option("path", s"$base/cust").saveAsTable(s"graft_cust_$tag")
-        s.table(s"graft_ord_$tag")
-          .join(s.table(s"graft_cust_$tag"), col("o_custkey") === col("c_custkey"))
+        val (ord, cust) = buildBucketedTables(s, d)
+        s.table(ord)
+          .join(s.table(cust), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_orders"), D.intSum(col("o_totalprice")).as("total"))
       },
@@ -525,6 +579,51 @@ object ScaleQueries {
           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
           min(doc_id) AS first_doc
         FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // READ-side twin of layout02 (bench=true): the steady-state pruned-scan
+    // aggregate over the already-partitioned layout — what a consumer pays
+    // per query once the layout exists. The layout is built lazily on first
+    // use in this JVM; under Bench's min-of-2 protocol the build cost lands
+    // in the warm-up run, so the recorded number is the pure pruned read
+    // (3 of ~30 partition directories). Compare against the full-scan form
+    // (the ev-family cost) in BASELINE.md.
+    GraftQuery(
+      "layout05_pruned_read",
+      (s, d) => {
+        val out = ensureEventsLayout(s, d)
+        s.read.parquet(out)
+          .filter(col("event_date").between(
+            lit("2024-01-10").cast("date"), lit("2024-01-12").cast("date")))
+          .groupBy(col("event_date").cast("string").as("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n"), D.intSum(col("value")).as("total_value"))
+      },
+      Some(s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+          count(*) AS n, ${D.sqlIntSum("value")} AS total_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // READ-side twin of layout03 (bench=true): the shuffle-free co-located
+    // join over the already-bucketed tables — the steady-state fact/fact
+    // join cost once the one-time bucketing shuffle is paid at write time.
+    // Same lazy build + warm-up amortization as layout05.
+    GraftQuery(
+      "layout06_bucketed_read",
+      (s, d) => {
+        val (ord, cust) = ensureBucketedTables(s, d)
+        s.table(ord)
+          .join(s.table(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), D.intSum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+          ${D.sqlIntSum("o_totalprice")} AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1"""),
     ),
 
     // ------------------------------------------------------------------

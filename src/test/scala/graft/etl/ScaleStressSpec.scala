@@ -49,6 +49,36 @@ class ScaleStressSpec extends SparkSpec {
     info(f"1M edges, $nodes nodes → $parts components in $secs%.1f s")
   }
 
+  test("capped Jaccard keeps pair fan-out linear on a hot block") {
+    import graft.ops.Dedup
+    // one hot (lang, source) block of 400 near-identical docs (all-pairs
+    // would be 79,800 candidates) + a small 10-doc block under the cap.
+    val hot = spark.range(400L).select(
+      col("id").as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+      concat(lit("the same boilerplate text repeated in every document "),
+        (col("id") % 3).cast("string")).as("text"))
+    val small = spark.range(10L).select(
+      (col("id") + 1000L).as("doc_id"), lit("fr").as("lang"), lit("web").as("source"),
+      concat(lit("petit bloc distinct document numero "), col("id").cast("string")).as("text"))
+    val docs = hot.unionByName(small)
+      .select(col("doc_id"), col("lang"), col("source"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+
+    // minJac=0 exposes ALL candidate pairs the operator generated.
+    val pairs = Dedup.jaccardPairsBlocked(docs, Seq("lang", "source"),
+      0.0, 50, 16, 2, 8).collect()
+    val hotPairs = pairs.count(p => p.getAs[Long]("doc_a") < 1000L)
+    val smallPairs = pairs.count(p => p.getAs[Long]("doc_a") >= 1000L)
+    // hot block: star edges per LSH bucket — ≤ bands × n, NOT n²/2
+    assert(hotPairs > 0 && hotPairs <= 2 * 400, s"hot-block candidates $hotPairs")
+    // under-cap block: exact all-pairs (10 choose 2)
+    assert(smallPairs == 45, s"small-block candidates $smallPairs")
+    // scores are exact Jaccard on both paths: identical-text pairs hit 1.0
+    val exactOnes = pairs.filter(p => p.getAs[Double]("jac") == 1.0)
+    assert(exactOnes.nonEmpty)
+    info(s"hot block emitted $hotPairs candidates (all-pairs would be 79800)")
+  }
+
   test("KMV sketch estimates 5M-row distinct count in O(k) driver state") {
     // 5M rows, 1M distinct keys: the bottom-k path must stay a per-partition
     // top-k merge (no global sort, no driver blowup) and land within the
