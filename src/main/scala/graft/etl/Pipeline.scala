@@ -93,7 +93,10 @@ object DocumentEtl {
     docs.select(col("doc_id"), posexplode(extractBlocks(col("text"))).as(Seq("_p", "rec")))
       .select(
         col("doc_id"),
-        (col("doc_id") * 1000000L + col("rec.seq")).as("row_idx"),
+        // doc_id may be a full-range hash (readDocuments uses xxhash64) —
+        // reduce mod Long.MaxValue/1e6 before packing so the multiply can't
+        // overflow; small sequential ids are unaffected (pmod = identity).
+        (pmod(col("doc_id"), lit(9223372036854L)) * 1000000L + col("rec.seq")).as("row_idx"),
         col("rec.entries").as("entries"))
 
   /** E10 — the json_normalize pivot: records of ordered (key, cell) entries
@@ -243,9 +246,12 @@ object DocumentEtl {
     result.table.write.mode("overwrite").parquet(outDir)
 }
 
-/** S2 plug point — PDF/text extraction per (path, bytes). The container has
-  * no PDF library, so PDF support is a stub implementation behind this trait
-  * (SURVEY.md §2.1 S2); plain text/markdown is real.
+/** S2 plug point — PDF/text extraction per (path, bytes). Plain text and
+  * markdown read as UTF-8; PDFs extract through [[PdfText]] (a hand-rolled
+  * uncompressed/FlateDecode text-operator walker — the PyPDF2-class path the
+  * reference falls back to, backend/etl_pipeline.py:38-45); other extensions
+  * raise (S3). Swap the trait implementation to plug a full-fidelity PDF
+  * library in deployments that have one.
   */
 trait DocTextExtractor extends Serializable {
   def extract(path: String, content: Array[Byte]): String
@@ -257,8 +263,7 @@ object PlainTextExtractor extends DocTextExtractor {
     if (lower.endsWith(".txt") || lower.endsWith(".md"))
       new String(content, java.nio.charset.StandardCharsets.UTF_8)
     else if (lower.endsWith(".pdf"))
-      throw new UnsupportedOperationException(
-        "PDF text extraction requires a PDF-capable DocTextExtractor (not bundled)")
+      PdfText.extract(content)
     else
       throw new IllegalArgumentException(s"Unsupported file type: $path")
   }

@@ -1,0 +1,63 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
+
+/** S2 — PDF text extraction golden parity. The fixture
+  * (tools/make_pdf_fixture.py) exercises: uncompressed and FlateDecode
+  * content streams, direct and INDIRECT /Length, the page tree (Catalog →
+  * Pages → Kids order), Tj / TJ / ' show operators, Td / T* line moves,
+  * escaped parens, octal escapes, hex strings, and TJ kern-to-space.
+  */
+class PdfTextSpec extends SparkSpec {
+
+  private val fixture = "src/test/resources/fixtures/sample.pdf"
+  private val expectedFile = "src/test/resources/fixtures/sample_pdf_expected.txt"
+
+  private def pdfBytes = Files.readAllBytes(Paths.get(fixture))
+  private def expected = Files.readString(Paths.get(expectedFile)).stripLineEnd
+
+  test("extracts all pages in page-tree order, golden parity") {
+    val pages = PdfText.extractPages(pdfBytes)
+    assert(pages.length == 3)
+    assert(pages.mkString("\n") == expected)
+    // page-level goldens: flate page decodes, TJ kern >= 180 becomes a space
+    assert(pages(1).startsWith("[2024-01-01 00:00:00] INFO"))
+    assert(pages(2) == "kerned wordsjoin")
+  }
+
+  test("PlainTextExtractor routes .pdf through PdfText (S2 end of stub)") {
+    assert(PlainTextExtractor.extract("doc.pdf", pdfBytes) == expected)
+  }
+
+  test("textless and malformed PDFs raise, mirroring the reference guard") {
+    // structurally valid PDF with no text operators → the reference's
+    // "No extractable text found" error (backend/etl_pipeline.py:46-48)
+    val empty = ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n%%EOF\n").getBytes
+    val e1 = intercept[IllegalArgumentException] { PdfText.extract(empty) }
+    assert(e1.getMessage.contains("No extractable text"))
+
+    val e2 = intercept[IllegalArgumentException] { PdfText.extract("junk".getBytes) }
+    assert(e2.getMessage.contains("PDF"))
+  }
+
+  test("a .pdf document runs the full pipeline end-to-end") {
+    val dir = Files.createTempDirectory("graft-pdf")
+    Files.copy(Paths.get(fixture), dir.resolve("sample.pdf"))
+    val docs = DocumentEtl.readDocuments(spark, dir.toString)
+    assert(docs.collect().map(_.getAs[String]("text")).toSeq == Seq(expected))
+
+    val res = DocumentEtl.run(spark, docs)
+    val tags = res.table.select(col("`_source_type`")).collect()
+      .map(_.getString(0)).toSet
+    // the extracted text carries an embedded JSON object AND log lines —
+    // extraction stages E2 + E8 both fire on PDF-sourced text (cells are
+    // JSON-encoded, so string values carry their quotes)
+    assert(tags.contains("\"json\""))
+    assert(tags.contains("\"log\""))
+    assert(res.table.count() >= 3)
+  }
+}

@@ -24,7 +24,7 @@ class SourcesSinksSpec extends SparkSpec {
     assert(docs.select("doc_id").distinct().count() == 2)
   }
 
-  test("unsupported extension raises (S3 guard); pdf raises via stub (S2)") {
+  test("unsupported extension raises (S3 guard); non-PDF bytes as .pdf raise") {
     val dir = tempDir
     Files.writeString(dir.resolve("bad.xyz"), "data")
     val docs = DocumentEtl.readDocuments(spark, dir.toString)
@@ -32,6 +32,7 @@ class SourcesSinksSpec extends SparkSpec {
     assert(ex.getMessage.contains("Unsupported file type") ||
       Option(ex.getCause).exists(_.getMessage.contains("Unsupported file type")))
 
+    // real PDF extraction is covered by PdfTextSpec; junk bytes still raise
     assert(intercept[Exception] {
       PlainTextExtractor.extract("x.pdf", Array[Byte](1))
     }.getMessage.contains("PDF"))

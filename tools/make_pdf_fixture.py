@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Generate the PDF golden fixture for PdfTextSpec (no PDF library needed —
+the file is assembled byte-by-byte with a correct xref table).
+
+Exercises every code path of graft.etl.PdfText:
+  page 1: uncompressed stream, Tj + Td line moves, escaped parens, hex string
+  page 2: FlateDecode stream, T* and ' show operators, octal escape
+  page 3: uncompressed stream with an INDIRECT /Length, TJ kerning array
+
+Run from the repo root:  python3 tools/make_pdf_fixture.py
+"""
+import os
+import zlib
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "fixtures")
+
+page1 = b"""BT
+/F1 12 Tf
+72 720 Td
+({"id": 1, "name": "Alice \\(admin\\)", "score": 95}) Tj
+0 -14 Td
+(second line with ) Tj
+<4A534F4E> Tj
+ET"""
+
+page2_raw = b"""BT
+72 720 Td
+([2024-01-01 00:00:00] INFO startup complete) Tj
+T*
+([2024-01-01 00:00:05] WARN retry \\101ttempt) '
+ET"""
+page2 = zlib.compress(page2_raw)
+
+page3 = b"""BT
+72 720 Td
+[(kerned) -250 (words) -90 (join)] TJ
+ET"""
+
+expected = "\n".join([
+    '{"id": 1, "name": "Alice (admin)", "score": 95}',
+    "second line with JSON",
+    "[2024-01-01 00:00:00] INFO startup complete",
+    "[2024-01-01 00:00:05] WARN retry Attempt",
+    "kerned wordsjoin",
+])
+
+
+def build():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(page1), page1),
+        5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 6 0 R >>",
+        6: b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+           % (len(page2), page2),
+        7: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 8 0 R >>",
+        8: b"<< /Length 9 0 R >>\nstream\n%s\nendstream" % page3,
+        9: b"%d" % len(page3),
+    }
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for n in sorted(objs):
+        offsets[n] = len(buf)
+        buf += b"%d 0 obj\n%s\nendobj\n" % (n, objs[n])
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for n in sorted(objs):
+        buf += b"%010d 00000 n \n" % offsets[n]
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(buf)
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    pdf = build()
+    with open(os.path.join(OUT, "sample.pdf"), "wb") as f:
+        f.write(pdf)
+    with open(os.path.join(OUT, "sample_pdf_expected.txt"), "w") as f:
+        f.write(expected + "\n")
+    print("wrote %d-byte fixture + expected text to %s" % (len(pdf), OUT))
