@@ -106,6 +106,37 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("text"), p)
   }
 
+  private def shuffleCount(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    def shuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(shuffles).sum
+    }
+    shuffles(df.queryExecution.executedPlan)
+  }
+
+  test("etl11: the SCD2 lag/lead/row_number windows share ONE shuffle") {
+    assert(shuffleCount("etl11_scd2_history") <= 1)
+  }
+
+  test("etl12: the upsert merge is one shuffle, keyed on custkey") {
+    val df = SparkEntry.queries("etl12_upsert_merge")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(custkey"), p)
+    assert(shuffleCount("etl12_upsert_merge") <= 1)
+  }
+
+  test("sketch05: HLL registers max-merge partially before the shuffle") {
+    val p = planOf("sketch05_hll")
+    assert(p.contains("partial_max"), p)
+  }
+
   test("ev10: interval join filters both event types into the scans") {
     val p = planOf("ev10_interval_join")
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)") ||
