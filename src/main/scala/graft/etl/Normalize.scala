@@ -166,6 +166,12 @@ object Normalize {
       else if (s.matches("^\\d+$")) "integer"
       else if (s.matches("^\\d*\\.\\d+$")) "float"
       else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")) "boolean"
+      // dateutil quirk: negative numbers reach dateparse (the int/float
+      // regexes above don't match '-') and often PARSE — see
+      // [[Dates.NegNumDateRe]]. Mirrored so the schema vote agrees with the
+      // reference; normalize_value is unaffected (its int()/float() branches
+      // consume negatives before its dateparse).
+      else if (s.matches("^" + Dates.NegNumDateRe + "$")) "date"
       else if (Dates.parses(s)) "date"
       else "string"
   }
@@ -176,6 +182,25 @@ object Normalize {
   * `datetime.isoformat()` (what the reference stores for parsed datetimes).
   */
 object Dates {
+  /** dateutil quirk, exactly mirrored: NEGATIVE numbers reach dateutil.parse
+    * (infer_type's int/float regexes don't match '-') and often PARSE — the
+    * '-' tokenizes as a jump, the digits read as day/year. Acceptance is
+    * decided by token SHAPE (verified value-independent against dateutil):
+    *   - pure int: 1-4 digits (5+ digits fail; -0 forms fail); a trailing
+    *     dot tokenizes separately, so "-5." ≡ "-5";
+    *   - bare fraction ".F": 1-4 fraction digits;
+    *   - "I.F": fails when the token length hits dateutil's fixed-width
+    *     branches (len 6 → HHMMSS, len 8/12 → YYYYMMDD[HHMM] — the dot
+    *     breaks the int slices) or the int part has 5+ digits; per int-digit
+    *     count the allowed fraction-digit counts are
+    *       1 → {1,2,3,5},  2 → {1,2,4,6},  3 → {1,3,5,6},  4 → {2,4,5,6}
+    *     (capped at 6 fraction digits — all this corpus can produce).
+    * RE2-compatible (no lookahead) so DuckDB oracles run the same regex.
+    */
+  val NegNumDateRe: String =
+    "-([1-9]\\d{0,3}\\.?|\\.\\d{1,4}|[1-9]\\.(\\d{1,3}|\\d{5})|[1-9]\\d\\.(\\d{1,2}|\\d{4}|\\d{6})|" +
+      "[1-9]\\d{2}\\.(\\d|\\d{3}|\\d{5,6})|[1-9]\\d{3}\\.(\\d{2}|\\d{4,6}))"
+
   private val IsoDate = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
   private val IsoDateTime =
     "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d{1,6})?)?)(Z|[+-]\\d{2}:?\\d{2})?$".r

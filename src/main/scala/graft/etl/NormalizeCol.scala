@@ -112,9 +112,13 @@ object NormalizeCol {
 
   /** Column-level `infer_type` battery (regex-validated; month/day
     * plausibility is regex-level — the full validator is [[Dates]]).
+    *
+    * The last alternative mirrors the dateutil negative-number quirk —
+    * see [[Dates.NegNumDateRe]] for the full shape table.
     */
   val InferDateRe =
-    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?(Z|[+-]\\d{2}:?\\d{2})?)?|\\d{1,2}/\\d{1,2}/\\d{4})$"
+    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?(Z|[+-]\\d{2}:?\\d{2})?)?|\\d{1,2}/\\d{1,2}/\\d{4}|" +
+      Dates.NegNumDateRe + ")$"
 
   def inferType(c: Column): Column =
     when(c.isNull || trim(c) === "", "null")

@@ -13,10 +13,11 @@ class NormalizeModelSpec extends AnyFunSuite {
     Json.parse(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[JObj]
   }
 
-  /** dateutil parses these, our fixed-format battery deliberately does not
-    * (SURVEY.md §7.4 risk 3): they infer "string" instead of "date".
+  /** Formerly-deviating inputs: the battery now mirrors dateutil's
+    * negative-number acceptance (Dates.NegNumDateRe), so the set is empty
+    * and every golden infer case must match the reference exactly.
     */
-  private val inferDeviation = Set("-5", "-12.5")
+  private val inferDeviation = Set.empty[String]
 
   test("normalize_value matches the reference on the full battery") {
     val m = golden.fields.toMap
@@ -45,8 +46,16 @@ class NormalizeModelSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("documented deviations infer as string") {
-    inferDeviation.foreach { s => assert(Normalize.inferType(JStr(s)) == "string") }
+  test("negative numbers follow dateutil's shape table (NegNumDateRe)") {
+    // verified value-independent against dateutil: pure ints 1-4 digits
+    // parse; decimals fail on the fixed-width token lengths / 5-digit int
+    // parts; -0 forms fail
+    val dates = Seq("-5", "-12.5", "-9999", "-885.0", "-8464.08",
+      "-8310.14866", "-123.148", "-.5", "-32.123456")
+    val strings = Seq("-0", "-0.5", "-10000", "-8084.0", "-1234.5",
+      "-32.148", "-123.05", "-5.123456", "-99999.0", "-.55555")
+    dates.foreach(s => assert(Normalize.inferType(JStr(s)) == "date", s))
+    strings.foreach(s => assert(Normalize.inferType(JStr(s)) == "string", s))
   }
 
   test("python float repr edge cases") {

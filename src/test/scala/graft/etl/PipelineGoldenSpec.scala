@@ -15,11 +15,11 @@ class PipelineGoldenSpec extends SparkSpec {
     Json.parse(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[JObj]
   }
 
-  /** fixture → column → expected voted type where we consciously deviate
-    * (dateutil parses "-5"/"-12.5" as dates; our battery says string).
+  /** fixture → column → expected voted type where we consciously deviate.
+    * Empty since the battery gained the dateutil negative-number shapes
+    * (Dates.NegNumDateRe) — "-5"/"-12.5" now vote date, like the reference.
     */
-  private val typeDeviations: Map[String, Map[String, String]] =
-    Map("f4_norm_torture" -> Map("neg" -> "string"))
+  private val typeDeviations: Map[String, Map[String, String]] = Map.empty
 
   /** golden JSON value → expected JSON-cell string (None/NaN → null cell). */
   private def expectedCell(v: JVal): Option[String] = v match {

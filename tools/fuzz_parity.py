@@ -168,6 +168,15 @@ def battery_parse(s, *a, **k):
     s = str(s).strip()
     def d(y, m, dd):
         return _dt.datetime(int(y), int(m), int(dd))  # raises if invalid
+    # dateutil quirk mirrored by the engine battery (etl/Normalize.scala
+    # Dates.NegNumDateRe): negative numbers parse by token SHAPE — '-' is a
+    # jump, 1-4 digit ints read as day/year, decimals fail when the token
+    # length hits dateutil's fixed-width HHMMSS/YYYYMMDD branches or the int
+    # part has 5+ digits. Value irrelevant — only the infer_type tag matters.
+    if _re.match(r'^-([1-9]\d{0,3}\.?|\.\d{1,4}|[1-9]\.(\d{1,3}|\d{5})|'
+                 r'[1-9]\d\.(\d{1,2}|\d{4}|\d{6})|[1-9]\d{2}\.(\d|\d{3}|\d{5,6})|'
+                 r'[1-9]\d{3}\.(\d{2}|\d{4,6}))$', s):
+        return _dt.datetime(2000, 1, 1)
     m = _B_ISO.match(s)
     if m:
         return d(*m.groups())
