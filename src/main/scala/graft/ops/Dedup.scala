@@ -133,18 +133,36 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+
     val blocks = blockCols.map(col)
-    val w = Window.partitionBy(blocks: _*)
-    val sized = docs.withColumn("_bn", count(lit(1)).over(w))
 
-    val small = sized.filter(col("_bn") <= threshold)
-    val a = small.select(col("doc_id").as("doc_a") +: (blocks :+ col("sh").as("sh_a")): _*)
-    val b = small.select(col("doc_id").as("doc_b") +: (blocks :+ col("sh").as("sh_b")): _*)
-    val smallPairs = a.join(b, blockCols)
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    def allPairs(src: DataFrame): DataFrame = {
+      val a = src.select(col("doc_id").as("doc_a") +: (blocks :+ col("sh").as("sh_a")): _*)
+      val b = src.select(col("doc_id").as("doc_b") +: (blocks :+ col("sh").as("sh_b")): _*)
+      a.join(b, blockCols)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    }
 
-    val big = sized.filter(col("_bn") > threshold)
+    def score(pairs: DataFrame): DataFrame = pairs
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= minJac)
+
+    // Which blocks exceed the cap? Decided from a groupBy over the block
+    // keys — a schema-sized result (≤ #blocks rows at any corpus scale) and
+    // a schema-sized driver collect, NOT a count().over(Window) on the
+    // corpus (which would shuffle every row by block key and pile the hot
+    // block onto one partition — the exact skew this cap exists to avoid).
+    val sizes = docs.groupBy(blocks: _*).agg(count(lit(1)).as("_bn"))
+    val hot = broadcast(sizes.filter(col("_bn") > threshold).select(blocks: _*))
+    val anyHot = hot.limit(1).count() > 0
+
+    // Common case — no hot block: the plan is EXACTLY the plain blocked
+    // all-pairs self-join, zero cap overhead.
+    if (!anyHot) return score(allPairs(docs))
+
+    val small = docs.join(hot, blockCols, "left_anti")
+    val big = docs.join(hot, blockCols, "left_semi")
     val banded = big
       .withColumn("sig", minhash(col("sh"), seeds))
       .select(col("doc_id") +: col("sh") +: (blocks :+
@@ -159,8 +177,6 @@ object Dedup {
         col("hub.sh").as("sh_a"), col("sh").as("sh_b"))
       .dropDuplicates(Seq("doc_a", "doc_b")) // same pair may collide in many bands
 
-    smallPairs.unionByName(bigPairs)
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= minJac)
+    score(allPairs(small).unionByName(bigPairs))
   }
 }

@@ -28,6 +28,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
+  /** dot of a double-array column against driver-side literals (broadcast
+    * centroids etc.) — same sequential fold as [[dot]].
+    */
+  def dotLit(v: Column, w: Array[Double]): Column =
+    aggregate(zip_with(v, array(w.map(lit(_)): _*), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** exact top-k neighbors for each query vector (brute force).

@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{Clustering, Similarity, Sketches, TextAnalysis => TA}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators beyond the round-4 surface: eval-set
+  * decontamination, training sequence packing, weighted corpus sampling,
+  * and two more mergeable sketches (AMS F2 moment, KMV set operations).
+  * All beyond the reference's scope (the reference pipeline has no corpus
+  * operators), sized for the 100 TB training-data target, and — like the
+  * rest of the suite — exactly reproduced by a DuckDB oracle (md5-derived
+  * hashes, integer arithmetic, single-ordered float divisions).
+  */
+object CorpusQueries {
+
+  import Sketches.hashSlice
+
+  /** distinct-preserving 4-token shingle hashes of a text column: 1-based
+    * slice positions, space-joined, 60-bit md5 hash. The shared unit of
+    * decontamination (train/eval n-gram overlap).
+    */
+  private def tokenShingleHashes(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => TA.hash60(array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  private def sqlTokenShingleHashes(inner: String, n: Int): String =
+    // mirrors tokenShingleHashes: unnest positions 1..len-(n-1), n-token
+    // space-joined windows, hash60
+    s"""SELECT doc_id, lang, is_eval,
+        ${TA.Sql.hash60(s"array_to_string(toks[i:i+${n - 1}], ' ')")} AS sh
+      FROM ($inner), UNNEST(generate_series(1, len(toks) - ${n - 1})) AS u(i)
+      WHERE len(toks) >= $n"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // Eval-set decontamination: flag training documents that share ANY
+    // 4-token shingle with a held-out eval set (doc_id % 97 == 0 — the
+    // deterministic stand-in for a benchmark suite). The scale shape is the
+    // one that matters at 100 TB: the eval side is tiny (benchmarks are
+    // thousands of documents, the corpus is billions), so its distinct
+    // shingle set BROADCASTS and the train side is ONE scan + left-semi
+    // probe — the corpus never shuffles on shingles. Reported per language:
+    // train docs and contaminated train docs.
+    GraftQuery(
+      "decon01_eval_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("is_eval", col("doc_id") % 97 === 0)
+        val sh = docs.select(col("doc_id"), col("is_eval"),
+          explode(tokenShingleHashes(col("text"), 4)).as("sh"))
+        val evalSh = sh.filter(col("is_eval")).select(col("sh")).distinct()
+        val contam = sh.filter(!col("is_eval"))
+          .join(broadcast(evalSh), Seq("sh"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("hit", lit(1))
+        docs.filter(!col("is_eval"))
+          .join(contam, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_train"), count(col("hit")).as("n_contam"))
+      },
+      Some {
+        val base = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
+          s"${TA.Sql.tokens("text")} AS toks FROM documents"
+        s"""WITH sh AS (${sqlTokenShingleHashes(base, 4)}),
+          ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+          contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
+                     WHERE NOT s.is_eval)
+        SELECT lang, count(*) AS n_train,
+          count(CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 END) AS n_contam
+        FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Training sequence packing (GPT-style concat-and-split): documents are
+    // hash-assigned to 16 shards, concatenated in deterministic doc_id order
+    // within each shard, and split at a 512-token budget. Per shard:
+    // document/token totals, sequence count, and how many documents straddle
+    // a sequence boundary. The cumulative sum is a per-shard window — the
+    // shuffle key is the shard, so at 100 TB the packing parallelizes by
+    // shard count (thousands on a real export) and each shard's running
+    // offset is a single partition-local sort, never a global one.
+    GraftQuery(
+      "pack01_seq_packing",
+      (s, d) => {
+        val B = 512L
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          (TA.hash60(concat(lit("pack:"), col("doc_id").cast("string"))) % 16).as("shard"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            ceil(sum(col("n_tok")) / lit(B.toDouble)).cast("long").as("n_seqs"),
+            count(when(expr(s"start div $B") =!=
+              expr(s"(start + n_tok - 1) div $B"), lit(1))).as("n_straddle"))
+      },
+      Some {
+        val h = TA.Sql.hash60("concat('pack:', CAST(doc_id AS VARCHAR))")
+        s"""WITH d AS (SELECT doc_id, $h % 16 AS shard,
+              ${TA.Sql.tokenCount("text")} AS n_tok FROM documents),
+          c AS (SELECT shard, doc_id, n_tok,
+              coalesce(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+            FROM d)
+        SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_seqs,
+          count(CASE WHEN start // 512 <> (start + n_tok - 1) // 512 THEN 1 END) AS n_straddle
+        FROM c GROUP BY shard"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Weighted bottom-k corpus sampling: language-weighted priority sampling
+    // with EXACT integer keys. Classic weighted reservoirs order by
+    // u^(1/w) — floating-point and engine-divergent. Instead the key is
+    // (h % 2^57) · (8 / w) with weights w ∈ {1,2,4,8}: minimizing h/w is
+    // the same ordering, every key is an exact 61-bit integer, and the
+    // winner set is bit-identical in any engine. ORDER BY key LIMIT k plans
+    // as per-partition top-k + merge (TakeOrdered — O(k) memory, no global
+    // sort), the only sane way to draw a weighted sample from 100 TB.
+    GraftQuery(
+      "samp03_weighted",
+      (s, d) => {
+        val wMul = expr("""CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4
+          WHEN 'es' THEN 2 WHEN 'zh' THEN 1 ELSE 4 END""")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            ((TA.hash60(concat(lit("wsamp:"), col("doc_id").cast("string")))
+              % lit(1L << 57)) * wMul).as("key"))
+          .orderBy(col("key"), col("doc_id"))
+          .limit(100)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"))
+      },
+      Some {
+        val h = TA.Sql.hash60("concat('wsamp:', CAST(doc_id AS VARCHAR))")
+        s"""WITH k AS (SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, ($h % ${1L << 57}) *
+              (CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4
+                 WHEN 'es' THEN 2 WHEN 'zh' THEN 1 ELSE 4 END) AS key
+            FROM documents) ORDER BY key, doc_id LIMIT 100)
+        SELECT lang, count(*) AS n_sampled FROM k GROUP BY lang"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // AMS F2 moment sketch (self-join size / skew estimator): five ±1 sign
+    // estimators from bits 0..4 of one md5-derived word per key, each
+    // estimate = (Σ sign·count)², report the median against the exact
+    // Σ count². The whole sketch is ONE map-side-combinable aggregation
+    // producing 6 numbers — the way you measure key skew (the q17 salting
+    // trigger) on 100 TB without materializing the frequency table. All
+    // sums are exact integers; the median is the middle element of five.
+    GraftQuery(
+      "sketch07_ams_f2",
+      (s, d) => {
+        val keyed = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+          .withColumn("hw", hashSlice(
+            md5(concat(lit("f2:"), col("l_partkey").cast("string"))), 0))
+        val signs = (0 until 5).map { j =>
+          sum(when(shiftright(col("hw"), j).bitwiseAND(lit(1L)) === 1L,
+            col("cnt")).otherwise(-col("cnt"))).as(s"s$j")
+        }
+        keyed.agg(signs.head, signs.tail :+ sum(col("cnt") * col("cnt")).as("exact_f2"): _*)
+          .select(
+            sort_array(array((0 until 5).map(j =>
+              (col(s"s$j") * col(s"s$j")).cast("long")): _*)).getItem(2).as("est_f2"),
+            col("exact_f2"))
+      },
+      Some {
+        val hw = "CAST(concat('0x', substring(md5(concat('f2:', CAST(l_partkey AS VARCHAR))), 1, 8)) AS BIGINT)"
+        s"""WITH keyed AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+          b AS (SELECT cnt, $hw AS hw FROM keyed),
+          est AS (SELECT j, CAST(sum(CASE WHEN (hw >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS sj
+            FROM b, UNNEST(generate_series(0, 4)) AS u(j) GROUP BY j)
+        SELECT (SELECT list(sj * sj ORDER BY sj * sj)[3] FROM est) AS est_f2,
+          (SELECT CAST(sum(cnt * cnt) AS BIGINT) FROM keyed) AS exact_f2"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // KMV set operations: union and intersection cardinality estimates
+    // across two segments (orders shipping before vs after 1998-07-01) from
+    // their bottom-256 sketches ONLY — the sketches merge (union = bottom-k
+    // of the combined set; intersection = Jaccard over the merged bottom-k
+    // × est_union), so segment sketches computed once answer cross-segment
+    // overlap questions without rescanning either side. Exact counts
+    // alongside; the estimator divisions are single-ordered.
+    GraftQuery(
+      "sketch08_kmv_setops",
+      (s, d) => {
+        val k = 256
+        val split = lit("1998-07-01").cast("date")
+        def bottomK(df: org.apache.spark.sql.DataFrame) = df
+          .select(TA.hash60(concat(lit("su:"), col("k").cast("string"))).as("h"))
+          .distinct().orderBy(col("h")).limit(k)
+        val li = Tables.lineitem(s, d)
+        val a = li.filter(col("l_shipdate") < split).select(col("l_orderkey").as("k")).distinct()
+        val b = li.filter(col("l_shipdate") >= split).select(col("l_orderkey").as("k")).distinct()
+        val ka = bottomK(a).persist()
+        val kb = bottomK(b).persist()
+        val un = ka.union(kb).distinct().orderBy(col("h")).limit(k).persist()
+        val stats = un.agg(count(lit(1)).as("kk"), max(col("h")).as("kth"))
+          .withColumn("est_union", Sketches.kmvEstimate(col("kk"), col("kth")))
+        val shared = un.join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("n_shared"))
+        val exacts = a.withColumn("in_a", lit(1))
+          .join(b.withColumn("in_b", lit(1)), Seq("k"), "full")
+          .agg(count(lit(1)).as("exact_union"),
+            count(when(col("in_a").isNotNull && col("in_b").isNotNull, lit(1))).as("exact_inter"))
+        stats.crossJoin(shared).crossJoin(exacts)
+          .select(col("est_union"),
+            round(col("n_shared").cast("double") / col("kk") * col("est_union"))
+              .cast("long").as("est_inter"),
+            col("exact_union"), col("exact_inter"))
+      },
+      Some {
+        val h = TA.Sql.hash60("concat('su:', CAST(k AS VARCHAR))")
+        s"""WITH a AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_shipdate < DATE '1998-07-01'),
+          b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_shipdate >= DATE '1998-07-01'),
+          ka AS (SELECT $h AS h FROM a ORDER BY 1 LIMIT 256),
+          kb AS (SELECT $h AS h FROM b ORDER BY 1 LIMIT 256),
+          un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 256),
+          stats AS (SELECT count(*) AS kk, max(h) AS kth,
+              ${Sketches.sqlKmvEstimate("count(*)", "max(h)")} AS est_union FROM un),
+          shared AS (SELECT count(*) AS n_shared FROM un
+            WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+        SELECT est_union,
+          CAST(round(CAST(n_shared AS DOUBLE) / kk * est_union) AS BIGINT) AS est_inter,
+          (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS exact_union,
+          (SELECT count(*) FROM a WHERE k IN (SELECT k FROM b)) AS exact_inter
+        FROM stats, shared"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Lloyd k-means over the embeddings (k=8, 2 rounds, first-k init) —
+    // the IVF coarse-quantizer trainer behind sim02's cell structure. Each
+    // round is a PROJECTION against centroid literals (k·dim doubles —
+    // driver-sized at any corpus scale; no join, no shuffle to assign) plus
+    // one map-side-combinable groupBy into k·dim cells to update. Distances
+    // compare as ((v·v + c·c) − 2·(v·c)) with identical association in both
+    // engines; centroid updates are quantized-integer means — so the final
+    // assignment is bit-identical under the DuckDB oracle (see
+    // [[graft.ops.Clustering]]).
+    GraftQuery(
+      "clust01_kmeans",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .persist()
+        Clustering.kmeans(e, k = 8, dim = 64, iters = 2)
+          .groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+      },
+      Some {
+        val Q = Clustering.Quant
+        def distRank(cents: String) =
+          s"""SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c), cid) AS rn
+          FROM e CROSS JOIN $cents"""
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
+          a1 AS (${distRank("c0")}),
+          s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+          u1 AS (SELECT cid, d, CAST(sum(CAST(round(v[d+1]*$Q) AS BIGINT)) AS BIGINT) AS sq,
+              count(*) AS n
+            FROM s1, UNNEST(generate_series(0, 63)) AS g(d) GROUP BY cid, d),
+          c1 AS (SELECT cid, list((sq / $Q) / n ORDER BY d) AS c FROM u1 GROUP BY cid),
+          a2 AS (${distRank("c1")}),
+          s2 AS (SELECT vec_id, cid FROM a2 WHERE rn = 1)
+        SELECT cid AS cluster, count(*) AS n_vecs, min(vec_id) AS first_vec
+        FROM s2 GROUP BY cid"""
+      },
+    ),
+  )
+}

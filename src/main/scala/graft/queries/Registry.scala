@@ -12,6 +12,7 @@ object Registry {
     ExtQueries.all,
     StreamQueries.all,
     ScaleQueries.all,
+    CorpusQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {

@@ -253,5 +253,21 @@ object StreamQueries {
           ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 4 HOUR"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Stream-static dimension enrichment: click events joined to the
+    // customer dim (broadcast — the dim is small next to an unbounded
+    // stream), rolled up per market segment. The SAME function runs behind
+    // readStream (StreamingSpec parity case): Structured Streaming re-reads
+    // the static side per micro-batch, state is only the running aggregate.
+    // The canonical "enrich the firehose with reference data" operator.
+    GraftQuery(
+      "ev12_stream_static",
+      (s, d) => EventStreams.enrichClicks(Tables.events(s, d), Tables.customer(s, d)),
+      Some("""SELECT c_mktsegment, count(*) AS n_clicks,
+          sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'click' GROUP BY 1"""),
+    ),
   )
 }

@@ -122,6 +122,21 @@ object EventStreams {
       }
   }
 
+  /** Stream-static dimension enrichment: click events joined to the (small,
+    * broadcast) customer dim, rolled up per market segment. Works unchanged
+    * on a streaming `events` frame — stream-static equi-joins are supported
+    * directly and the static side is refreshed per micro-batch; the only
+    * state is the per-segment running aggregate (a handful of rows
+    * regardless of stream length).
+    */
+  def enrichClicks(events: DataFrame, customer: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_clicks"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+
   /** stateful per-user running aggregate via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) with processing-time
     * timeout; state is one small record per active user.

@@ -142,4 +142,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)") ||
       p.contains("EqualTo(event_type,click)"), p)
   }
+
+  test("decon01: eval shingle set broadcasts; the train side probes semi-join") {
+    val p = planOf("decon01_eval_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("samp03: weighted bottom-k plans as TakeOrdered, not a global sort") {
+    val p = planOf("samp03_weighted")
+    assert(p.contains("TakeOrdered"), p)
+  }
+
+  test("sketch07: F2 sign sums combine map-side before the single shuffle") {
+    val p = planOf("sketch07_ams_f2")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("pack01: the shard window and the shard rollup share one shuffle") {
+    assert(shuffleCount("pack01_seq_packing") <= 1)
+  }
+
+  test("ev12: the customer dim broadcasts; the stream side never shuffles pre-agg") {
+    val p = planOf("ev12_stream_static")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -150,6 +150,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment (ev12) matches batch on the same data") {
+    import spark.implicits._
+    val customer = Seq((1L, "AUTO"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = Seq(
+      UserEvent(1, ts(0), 1, "click", 1.25),
+      UserEvent(2, ts(1), 1, "view", 9.0), // not a click — excluded
+      UserEvent(3, ts(2), 2, "click", 2.5),
+      UserEvent(4, ts(3), 1, "click", 0.25))
+    val mem = MemoryStream[UserEvent](spark)
+    val out = enrichClicks(mem.toDF(), customer)
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      mem.addData(events.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(2): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("n_clicks"), r.getAs[Double]("total_value"))
+      val stream = spark.table("enrich").collect().map(key).toSet
+      val batch = enrichClicks(events.toDF(), customer).collect().map(key).toSet
+      assert(stream == batch && batch.nonEmpty, s"stream=$stream batch=$batch")
+    } finally q.stop()
+  }
+
   test("batch and stream hourlyStats agree on the events table") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val batch = hourlyStats(ev).orderBy("hour", "event_type").collect()
