@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** SparkSessionExtensions injector: registers the engine's custom Catalyst
   * expression AND SQL forms of its scalar text functions so any session
@@ -48,10 +48,10 @@ object GraftExtensions {
     // md5 of whitespace-normalized lowercase text (TextAnalysis.fingerprint)
     "graft_fingerprint" -> (c => new Md5(
       RegExpReplace(Lower(StringTrim(c)), Literal("\\s+"), Literal(" ")))),
-    // 60-bit md5-prefix integer (TextAnalysis.hash60)
-    "graft_hash60" -> (c => Cast(
-      Conv(Substring(new Md5(c), Literal(1), Literal(15)), Literal(16), Literal(10)),
-      LongType)),
+    // 60-bit md5-prefix integer (TextAnalysis.hash60) — the codegen'd
+    // Hash60 Expression, same value as the composed
+    // conv(substring(md5(x),1,15),16,10) form without the hex round-trip
+    "graft_hash60" -> (c => graft.ops.Hash60(Cast(c, StringType))),
     // whitespace token count (TextAnalysis.tokenCount)
     "graft_token_count" -> (c =>
       Size(StringSplit(StringTrim(c), Literal("\\s+"), Literal(-1)))),

@@ -87,8 +87,14 @@ object TextAnalysis {
 
   /** 60-bit integer content hash (hex-prefix of md5 → BIGINT), the unit for
     * minhash/simhash; identical in DuckDB via ('0x'||substr(md5(x),1,15))::BIGINT.
+    * Backed by the codegen'd [[Hash60]] Expression (no hex-string
+    * round-trip); [[hash60Composed]] keeps the built-in form for the
+    * equality spec.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = Hash60.apply(c)
+
+  /** the original built-ins-only form (spec reference). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** SQL mirrors for the oracles. */

@@ -627,6 +627,47 @@ object ScaleQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Schema-evolution (drifted-batch) read: two parquet batches written
+    // with different schemas — an early batch without o_orderdate, a later
+    // batch that added it — unified by a mergeSchema read with the batch id
+    // as a partition column. The missing column back-fills as NULL, exactly
+    // the contract a long-lived 100 TB table needs when producers add
+    // fields (no rewrite of old data, scans stay columnar, the merged
+    // schema is computed from file footers). bench=false: the query IS a
+    // two-batch layout write.
+    GraftQuery(
+      "etl13_schema_merge",
+      (s, d) => {
+        val out = TmpLayouts.register(
+          System.getProperty("java.io.tmpdir") + "/graft_drift_" + layoutTag(d))
+        val o = Tables.orders(s, d)
+        o.filter(year(col("o_orderdate")) < 1998)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/batch=1")
+        o.filter(year(col("o_orderdate")) >= 1998)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"))
+          .write.mode("overwrite").parquet(s"$out/batch=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("o_orderdate").isNull, lit(1))).as("n_null_date"),
+            D.intSum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""WITH m AS (
+          SELECT 1 AS batch, o_totalprice, CAST(NULL AS TIMESTAMP) AS o_orderdate
+            FROM orders WHERE year(o_orderdate) < 1998
+          UNION ALL
+          SELECT 2 AS batch, o_totalprice, o_orderdate
+            FROM orders WHERE year(o_orderdate) >= 1998)
+        SELECT batch, count(*) AS n,
+          count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS n_null_date,
+          ${D.sqlIntSum("o_totalprice")} AS total
+        FROM m GROUP BY batch"""),
+      bench = false,
+    ),
+
+    // ------------------------------------------------------------------
     // Stream-stream interval join (batch-equivalent oracle): click events
     // joined to the same user's purchases within the next 4 hours. The
     // IDENTICAL join runs under Structured Streaming with watermarks on
