@@ -269,5 +269,22 @@ object StreamQueries {
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.event_type = 'click' GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Per-user running totals (batch half): exact integer-cents sums. The
+    // streaming twin runs the SAME accumulation through Spark 4's
+    // transformWithState StatefulProcessor (EventStreams.userRunningTotals,
+    // RocksDB state store) and its final per-user update must equal this
+    // aggregate — TransformWithStateSpec asserts the parity.
+    GraftQuery(
+      "ev13_user_totals",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents")),
+      Some("""SELECT user_id, count(*) AS n_events,
+          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events GROUP BY 1"""),
+    ),
   )
 }

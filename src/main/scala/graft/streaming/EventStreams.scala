@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators over the events table shape
   * (event_id, ts, user_id, event_type, value, props). Each transform is a
@@ -136,6 +137,45 @@ object EventStreams {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_clicks"),
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-user running totals on Spark 4's transformWithState — the
+    * StatefulProcessor successor to mapGroupsWithState: named typed state
+    * slots from the handle (TTL- and timer-capable), value sums accumulated
+    * as EXACT integer cents so the running total is deterministic. State is
+    * one small record per user; streaming requires the RocksDB state store
+    * provider (TransformWithStateSpec sets it). The final per-user update
+    * equals the batch aggregate ev13 runs against its DuckDB oracle.
+    */
+  class RunningTotalProcessor extends StatefulProcessor[Long, UserEvent, UserTotal] {
+    @transient private var state: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotal](
+        "totals", Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (state.exists()) state.get() else UserTotal(key, 0L, 0L)
+      var n = prev.n_events
+      var cents = prev.total_cents
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      val next = UserTotal(key, n, cents)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** running per-user totals via the new arbitrary-state API (works on a
+    * streaming OR batch Dataset; each micro-batch emits refreshed totals).
+    */
+  def userRunningTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** stateful per-user running aggregate via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) with processing-time
