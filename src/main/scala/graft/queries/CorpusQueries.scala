@@ -247,6 +247,50 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Z-score outlier flags (the numeric quality-control pass of a data
+    // pipeline): two passes over the fact table — (1) per-group exact
+    // integer sums n/Σd/Σd² (one map-side-combinable groupBy; dollar-scaled
+    // longs keep Σd² < 2⁶³ through ~1000× this SF), (2) broadcast the
+    // 3-row stats back and flag |d − μ| > 2σ. μ and σ² are derived from the
+    // exact integers by FIXED-ORDER double ops mirrored textually in the
+    // oracle, so the flag — and the boundary cases — are bit-identical
+    // cross-engine. The standard scale shape: no sort, no window, the fact
+    // table never shuffles (stats broadcast).
+    GraftQuery(
+      "qc01_zscore_outliers",
+      (s, d) => {
+        val rows = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("grp"),
+          round(col("l_extendedprice")).cast("long").as("d"))
+        val stats = rows.groupBy(col("grp")).agg(
+          count(lit(1)).as("n"), sum(col("d")).as("s"),
+          sum(col("d") * col("d")).as("q"))
+        rows.join(broadcast(stats), Seq("grp"))
+          .withColumn("mean", col("s").cast("double") / col("n"))
+          .withColumn("variance",
+            col("q").cast("double") / col("n") - col("mean") * col("mean"))
+          .withColumn("is_out",
+            (col("d") - col("mean")) * (col("d") - col("mean")) >
+              lit(4.0) * col("variance"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("is_out"), lit(1))).as("n_outliers"),
+            min(col("mean")).as("mean_price"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag AS grp,
+            CAST(round(l_extendedprice) AS BIGINT) AS d FROM lineitem),
+          st AS (SELECT grp, count(*) AS n, CAST(sum(d) AS BIGINT) AS s,
+              CAST(sum(d*d) AS BIGINT) AS q FROM r GROUP BY 1),
+          j AS (SELECT r.grp, d, CAST(s AS DOUBLE)/n AS mean,
+              CAST(q AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n) AS variance
+            FROM r JOIN st USING (grp))
+        SELECT grp, count(*) AS n,
+          count(CASE WHEN (d - mean)*(d - mean) > 4.0*variance THEN 1 END) AS n_outliers,
+          min(mean) AS mean_price
+        FROM j GROUP BY grp"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Lloyd k-means over the embeddings (k=8, 2 rounds, first-k init) —
     // the IVF coarse-quantizer trainer behind sim02's cell structure. Each
     // round is a PROJECTION against centroid literals (k·dim doubles —

@@ -72,6 +72,17 @@ class CorpusSpec extends SparkSpec {
     assert(out.head.getAs[Long]("est_f2") > 0)
   }
 
+  test("qc01: outlier flags partition the rows; Chebyshev bounds the flag rate") {
+    val out = run("qc01_zscore_outliers").collect()
+    val total = graft.core.Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total)
+    out.foreach { r =>
+      // P(|X−μ| > 2σ) ≤ 1/4 (Chebyshev) — with exact μ/σ the flag count
+      // must respect it
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n") / 4 + 1)
+    }
+  }
+
   test("clust01: k-means assignment partitions the corpus into ≤ k clusters") {
     val out = run("clust01_kmeans").collect()
     val n = graft.core.Tables.embeddings(spark, sf).count()
