@@ -37,6 +37,29 @@ object CorpusQueries {
       FROM ($inner), UNNEST(generate_series(1, len(toks) - ${n - 1})) AS u(i)
       WHERE len(toks) >= $n"""
 
+  /** The clust01 2-round Lloyd CTE block (see [[graft.ops.Clustering]]),
+    * ending in `s2(vec_id, v, cid)` — the final assignment WITH the vector,
+    * so downstream oracles (clust01's counts, dedup09's within-cluster
+    * pairs) share one bit-identical clustering.
+    */
+  private def sqlKmeans2Ctes: String = {
+    val Q = Clustering.Quant
+    def distRank(cents: String) =
+      s"""SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+        ORDER BY list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c), cid) AS rn
+      FROM e CROSS JOIN $cents"""
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
+      a1 AS (${distRank("c0")}),
+      s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      u1 AS (SELECT cid, d, CAST(sum(CAST(round(v[d+1]*$Q) AS BIGINT)) AS BIGINT) AS sq,
+          count(*) AS n
+        FROM s1, UNNEST(generate_series(0, 63)) AS g(d) GROUP BY cid, d),
+      c1 AS (SELECT cid, list((sq / $Q) / n ORDER BY d) AS c FROM u1 GROUP BY cid),
+      a2 AS (${distRank("c1")}),
+      s2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1)"""
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------------
@@ -311,24 +334,108 @@ object CorpusQueries {
           .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
       },
       Some {
-        val Q = Clustering.Quant
-        def distRank(cents: String) =
-          s"""SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
-            ORDER BY list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c), cid) AS rn
-          FROM e CROSS JOIN $cents"""
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
-          a1 AS (${distRank("c0")}),
-          s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
-          u1 AS (SELECT cid, d, CAST(sum(CAST(round(v[d+1]*$Q) AS BIGINT)) AS BIGINT) AS sq,
-              count(*) AS n
-            FROM s1, UNNEST(generate_series(0, 63)) AS g(d) GROUP BY cid, d),
-          c1 AS (SELECT cid, list((sq / $Q) / n ORDER BY d) AS c FROM u1 GROUP BY cid),
-          a2 AS (${distRank("c1")}),
-          s2 AS (SELECT vec_id, cid FROM a2 WHERE rn = 1)
+        s"""WITH $sqlKmeans2Ctes
         SELECT cid AS cluster, count(*) AS n_vecs, min(vec_id) AS first_vec
         FROM s2 GROUP BY cid"""
       },
+    ),
+
+    // ------------------------------------------------------------------
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means first,
+    // then cosine pairs WITHIN each cluster only; of every near-duplicate
+    // pair, the higher vec_id is dropped. The clustering is what makes
+    // semantic dedup feasible at 100 TB: pair comparison is cluster-local
+    // (cid is the shuffle key), and k grows with the corpus so per-cluster
+    // pair counts stay bounded — never a global all-pairs. Norms are
+    // precomputed once per vector; the clustering itself is the
+    // bit-identical clust01 trainer, so the DuckDB oracle reproduces the
+    // exact assignment and the exact drop set.
+    GraftQuery(
+      "dedup09_semdedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .persist()
+        val assigned = Clustering.kmeans(e, k = 8, dim = 64, iters = 2)
+          .withColumn("n", Similarity.norm(col("v")))
+          .persist() // norm once per vector, not per pair
+        val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+          col("v").as("v_a"), col("n").as("n_a"))
+        val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+          col("v").as("v_b"), col("n").as("n_b"))
+        val dropped = a.join(b, Seq("cid"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(Similarity.dot(col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b")) >= 0.35)
+          .select(col("cid"), col("id_b").as("vec_id")).distinct()
+          .withColumn("dup", lit(1))
+        assigned.join(dropped, Seq("cid", "vec_id"), "left")
+          .groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"), count(col("dup")).as("n_dropped"),
+            (count(lit(1)) - count(col("dup"))).as("n_kept"))
+      },
+      Some {
+        s"""WITH $sqlKmeans2Ctes,
+          nrm AS (SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS n FROM s2),
+          dropped AS (SELECT DISTINCT b.cid, b.vec_id FROM nrm a JOIN nrm b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35)
+        SELECT s2.cid AS cluster, count(*) AS n_vecs,
+          count(d.vec_id) AS n_dropped,
+          count(*) - count(d.vec_id) AS n_kept
+        FROM s2 LEFT JOIN dropped d ON s2.cid = d.cid AND s2.vec_id = d.vec_id
+        GROUP BY s2.cid"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Batch-level drift QC (the feed-monitoring companion to qc01's
+    // row-level outliers): per (event_type, day) batch, flag days whose
+    // mean deviates from the full-history mean by more than 2 standard errors
+    // (z-test, (μ_d − μ)² > 4σ²/n). Same determinism contract as qc01:
+    // exact integer sums n/Σc/Σc² in two map-side-combinable groupBys
+    // (cents-scaled longs — Σc² < 2⁶³ through ~10000× this SF), the 5-row
+    // global stats broadcast back to the day-level frame, and μ/σ² derived
+    // by FIXED-ORDER double ops mirrored textually in the oracle. The fact
+    // table is scanned once per aggregate and never shuffled row-wise.
+    GraftQuery(
+      "qc02_batch_drift",
+      (s, d) => {
+        val rows = Tables.events(s, d).select(
+          col("event_type"),
+          to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val daily = rows.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sd"))
+        val glob = rows.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nn"), sum(col("cents")).as("ss"),
+            sum(col("cents") * col("cents")).as("qq"))
+        daily.join(broadcast(glob), Seq("event_type"))
+          .withColumn("mean_g", col("ss").cast("double") / col("nn"))
+          .withColumn("var_g",
+            col("qq").cast("double") / col("nn") - col("mean_g") * col("mean_g"))
+          .withColumn("mean_d", col("sd").cast("double") / col("n"))
+          .withColumn("is_drift",
+            (col("mean_d") - col("mean_g")) * (col("mean_d") - col("mean_g")) >
+              lit(4.0) * col("var_g") / col("n"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            count(when(col("is_drift"), lit(1))).as("n_drift_days"))
+      },
+      Some("""WITH r AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          daily AS (SELECT event_type, day, count(*) AS n,
+              CAST(sum(cents) AS BIGINT) AS sd FROM r GROUP BY 1, 2),
+          gs AS (SELECT event_type, count(*) AS nn, CAST(sum(cents) AS BIGINT) AS ss,
+              CAST(sum(cents * cents) AS BIGINT) AS qq FROM r GROUP BY 1),
+          j AS (SELECT d.event_type, n,
+              CAST(sd AS DOUBLE) / n AS mean_d, CAST(ss AS DOUBLE) / nn AS mean_g,
+              CAST(qq AS DOUBLE) / nn - (CAST(ss AS DOUBLE) / nn) * (CAST(ss AS DOUBLE) / nn) AS var_g
+            FROM daily d JOIN gs g USING (event_type))
+        SELECT event_type, count(*) AS n_days,
+          count(CASE WHEN (mean_d - mean_g) * (mean_d - mean_g) > 4.0 * var_g / n
+            THEN 1 END) AS n_drift_days
+        FROM j GROUP BY 1"""),
     ),
   )
 }

@@ -693,5 +693,83 @@ object ExtQueries {
           1.0 - sum_c2 / (n_tokens * n_tokens) AS simpson
         FROM a"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Incremental dedup: a NEW batch (doc_id % 10 == 0 — the stand-in for
+    // today's crawl) probed against the EXISTING corpus's MinHash band
+    // index, then exact-Jaccard-verified on band collisions only. This is
+    // the production ingest shape at 100 TB: the corpus index is built once
+    // and only the (small) batch is signed and shuffled per arrival —
+    // batch×band keys probe the index, the corpus text is touched only for
+    // the candidate ids, and nothing is ever all-pairs. Same signature
+    // constants as dedup03, same single-division Jaccard as dedup02, so the
+    // oracle reproduces candidates AND confirmations exactly.
+    GraftQuery(
+      "dedup10_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"),
+            Dedup.shingleHashes(col("text"), Shingle).as("sh"))
+          .withColumn("sig", Dedup.minhash(col("sh"), MinhashSeeds))
+          .persist() // sign once; both the index and the batch read it
+        val idx = docs.filter(col("doc_id") % 10 =!= 0)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        def banded(df: org.apache.spark.sql.DataFrame, id: String) = df
+          .select(col("doc_id").as(id),
+            explode(array((0 until Bands).map { bd =>
+              struct(lit(bd).as("band"),
+                Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
+            }: _*)).as("b"))
+          .select(col(id), col("b.band"), col("b.key"))
+        val cand = banded(batch, "new_id")
+          .join(banded(idx, "old_id"), Seq("band", "key"))
+          .select(col("new_id"), col("old_id")).distinct()
+          .persist()
+        val confirmed = cand
+          .join(batch.select(col("doc_id").as("new_id"), col("sh").as("sh_new")), "new_id")
+          .join(idx.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
+          .filter(Dedup.jaccard(col("sh_new"), col("sh_old")) >= 0.62)
+          .select(col("new_id")).distinct()
+          .withColumn("is_dup", lit(1))
+        val candFlag = cand.select(col("new_id")).distinct()
+          .withColumn("is_cand", lit(1))
+        batch.select(col("doc_id"), col("lang"))
+          .join(candFlag, col("doc_id") === candFlag("new_id"), "left")
+          .drop("new_id")
+          .join(confirmed, col("doc_id") === confirmed("new_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_batch"),
+            count(col("is_cand")).as("n_candidate"),
+            count(col("is_dup")).as("n_dup"))
+      },
+      Some {
+        val sigExprs = (0 until MinhashSeeds).map { i =>
+          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS m$i"
+        }.mkString(", ")
+        val bandKeys = (0 until Bands).map { bd =>
+          val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
+          s"concat_ws(',', ${cols.mkString(", ")}) AS band$bd"
+        }.mkString(", ")
+        val unions = (0 until Bands).map { bd =>
+          s"""SELECT n.doc_id AS new_id, o.doc_id AS old_id FROM keys n JOIN keys o
+            ON n.band$bd = o.band$bd
+            WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0"""
+        }.mkString(" UNION ")
+        val jac = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s)))"
+        s"""WITH sh AS (SELECT doc_id, lang, ${sqlShingleHashes("text")} AS s FROM documents),
+          sigs AS (SELECT doc_id, $sigExprs FROM sh),
+          keys AS (SELECT doc_id, $bandKeys FROM sigs),
+          cand AS ($unions),
+          conf AS (SELECT DISTINCT c.new_id FROM cand c
+            JOIN sh a ON a.doc_id = c.new_id JOIN sh b ON b.doc_id = c.old_id
+            WHERE $jac >= 0.62),
+          cd AS (SELECT DISTINCT new_id FROM cand)
+        SELECT lang, count(*) AS n_batch,
+          count(CASE WHEN doc_id IN (SELECT new_id FROM cd) THEN 1 END) AS n_candidate,
+          count(CASE WHEN doc_id IN (SELECT new_id FROM conf) THEN 1 END) AS n_dup
+        FROM documents WHERE doc_id % 10 = 0 GROUP BY lang"""
+      },
+    ),
   )
 }

@@ -167,4 +167,22 @@ class PlanSpec extends SparkSpec {
     val p = planOf("ev12_stream_static")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("qc02: global stats broadcast back; the day frame never sort-merge-joins") {
+    val p = planOf("qc02_batch_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup09: pairs are cluster-local equi-joins, never a cartesian product") {
+    val p = planOf("dedup09_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup10: the batch probes the band index by key, never all-pairs") {
+    val p = planOf("dedup10_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
