@@ -60,6 +60,70 @@ object Clustering {
       }
       .toSeq.sortBy(_._1)
 
+  /** SemDeDup drop set: ids dropped as near-duplicates (cosine ≥ `minCos`
+    * against a lower-id vector in the SAME cluster). The common case is the
+    * plain cluster-local all-pairs self-join — linear in cluster count,
+    * quadratic only within a cluster, which SemDeDup keeps bounded by
+    * growing k with the corpus. The cap is the 100 TB insurance for when a
+    * cluster goes hot anyway (degenerate embeddings, k chosen too small):
+    * clusters over `threshold` rows degrade to star edges per SRP band
+    * bucket — ≤ bands·n candidate pairs, never n²/2 — exactly the
+    * [[Dedup.jaccardPairsBlocked]] contract, with the same property that a
+    * corpus with no hot cluster emits the uncapped plan unchanged.
+    *
+    * `assigned` must carry (vec_id, v: array<double>, n: double norm, cid).
+    */
+  def semanticDrops(
+      assigned: DataFrame,
+      dim: Int,
+      minCos: Double,
+      threshold: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    def allPairs(src: DataFrame): DataFrame = {
+      val a = src.select(col("cid"), col("vec_id").as("id_a"),
+        col("v").as("v_a"), col("n").as("n_a"))
+      val b = src.select(col("cid"), col("vec_id").as("id_b"),
+        col("v").as("v_b"), col("n").as("n_b"))
+      a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+    }
+
+    def drops(pairs: DataFrame): DataFrame = pairs
+      .filter(Similarity.dot(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")) >= minCos)
+      .select(col("cid"), col("id_b").as("vec_id")).distinct()
+
+    // hot-cluster decision from a schema-sized groupBy (≤ k rows), never a
+    // count().over(Window) on the corpus
+    val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("_cn"))
+    val hot = broadcast(sizes.filter(col("_cn") > threshold).select(col("cid")))
+    val anyHot = hot.limit(1).count() > 0
+    if (!anyHot) return drops(allPairs(assigned))
+
+    val small = assigned.join(hot, Seq("cid"), "left_anti")
+    val big = assigned.join(hot, Seq("cid"), "left_semi")
+    val weights = Sketches.srpWeights(16, dim)
+    val banded = big
+      .withColumn("sig", Sketches.srpSignature(col("v"), weights))
+      .select(col("cid"), col("vec_id"), col("v"), col("n"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), 4 * b).bitwiseAND(lit(15)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("cid"), col("vec_id"), col("v"), col("n"),
+        col("bk.band"), col("bk.key"))
+    val hubW = Window.partitionBy(col("cid"), col("band"), col("key"))
+    val bigPairs = banded
+      .withColumn("hub", min(struct(col("vec_id"), col("v"), col("n"))).over(hubW))
+      .filter(col("vec_id") =!= col("hub.vec_id")) // hub = min id → id_a < id_b
+      .select(col("cid"), col("hub.vec_id").as("id_a"), col("vec_id").as("id_b"),
+        col("hub.v").as("v_a"), col("v").as("v_b"),
+        col("hub.n").as("n_a"), col("n").as("n_b"))
+      .dropDuplicates(Seq("id_a", "id_b")) // same pair may collide in many bands
+
+    drops(allPairs(small).unionByName(bigPairs))
+  }
+
   /** `iters` Lloyd rounds from the first-k init; returns the frame with the
     * final assignment in `cid`. `df` must carry (vec_id, v: array<double>).
     */

@@ -346,10 +346,13 @@ object CorpusQueries {
     // pair, the higher vec_id is dropped. The clustering is what makes
     // semantic dedup feasible at 100 TB: pair comparison is cluster-local
     // (cid is the shuffle key), and k grows with the corpus so per-cluster
-    // pair counts stay bounded — never a global all-pairs. Norms are
-    // precomputed once per vector; the clustering itself is the
-    // bit-identical clust01 trainer, so the DuckDB oracle reproduces the
-    // exact assignment and the exact drop set.
+    // pair counts stay bounded — never a global all-pairs. A cluster that
+    // goes hot anyway degrades to SRP star edges (see
+    // [[graft.ops.Clustering.semanticDrops]]; clusters here are ≤ ~700 rows
+    // at every test SF, so the uncapped plan — which the oracle mirrors —
+    // is what runs). Norms are precomputed once per vector; the clustering
+    // itself is the bit-identical clust01 trainer, so the DuckDB oracle
+    // reproduces the exact assignment and the exact drop set.
     GraftQuery(
       "dedup09_semdedup",
       (s, d) => {
@@ -359,15 +362,8 @@ object CorpusQueries {
         val assigned = Clustering.kmeans(e, k = 8, dim = 64, iters = 2)
           .withColumn("n", Similarity.norm(col("v")))
           .persist() // norm once per vector, not per pair
-        val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
-          col("v").as("v_a"), col("n").as("n_a"))
-        val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
-          col("v").as("v_b"), col("n").as("n_b"))
-        val dropped = a.join(b, Seq("cid"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(Similarity.dot(col("v_a"), col("v_b")) /
-            (col("n_a") * col("n_b")) >= 0.35)
-          .select(col("cid"), col("id_b").as("vec_id")).distinct()
+        val dropped = Clustering
+          .semanticDrops(assigned, dim = 64, minCos = 0.35, threshold = 4096)
           .withColumn("dup", lit(1))
         assigned.join(dropped, Seq("cid", "vec_id"), "left")
           .groupBy(col("cid").as("cluster"))

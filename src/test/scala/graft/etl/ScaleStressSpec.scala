@@ -79,6 +79,43 @@ class ScaleStressSpec extends SparkSpec {
     info(s"hot block emitted $hotPairs candidates (all-pairs would be 79800)")
   }
 
+  test("capped semantic dedup keeps pair fan-out linear on a hot cluster") {
+    import graft.ops.{Clustering, Similarity}
+    val dim = 8
+    // hot cluster 0: 500 near-identical vectors (all-pairs would be
+    // 124,750) — over the cap, so they route through SRP star edges.
+    // identical vectors share every band key, so each band is ONE star
+    // around the min id and everyone else is dropped.
+    val base = Array(3.0, -1.0, 2.0, 5.0, -2.0, 1.0, 4.0, -3.0)
+    val hot = spark.range(500L).select(
+      col("id").as("vec_id"), lit(0).as("cid"),
+      array(base.zipWithIndex.map { case (x, i) =>
+        lit(x) + when(lit(i) === 0, col("id").cast("double") * 1e-9).otherwise(lit(0.0))
+      }: _*).as("v"))
+    // small cluster 1: one-hot basis vectors (pairwise cos = 0) plus ONE
+    // duplicate of the first — under the cap, exact all-pairs, 1 drop.
+    val small = spark.range(9L).select(
+      (col("id") + 1000L).as("vec_id"), lit(1).as("cid"),
+      array((0 until dim).map(i =>
+        when(pmod(col("id"), lit(8L)) === i, lit(1.0)).otherwise(lit(0.0))): _*).as("v"))
+    val assigned = hot.unionByName(small)
+      .withColumn("n", Similarity.norm(col("v")))
+
+    val t0 = System.nanoTime()
+    val drops = Clustering.semanticDrops(assigned, dim, 0.35, threshold = 100)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val hotDrops = drops.count(_.getAs[Long]("vec_id") < 1000L)
+    val smallDrops = drops.count(_.getAs[Long]("vec_id") >= 1000L)
+    // hot cluster: every non-hub member of the (single) bucket star drops
+    assert(hotDrops == 499, s"hot-cluster drops $hotDrops")
+    // small cluster: exact all-pairs finds exactly the duplicated basis
+    // vector (id 1008 duplicates id 1000; orthogonal pairs are cos 0)
+    assert(smallDrops == 1, s"small-cluster drops $smallDrops")
+    assert(secs < 60, s"capped semantic dedup took $secs s")
+    info(f"hot cluster dropped $hotDrops via star edges in $secs%.1f s")
+  }
+
   test("KMV sketch estimates 5M-row distinct count in O(k) driver state") {
     // 5M rows, 1M distinct keys: the bottom-k path must stay a per-partition
     // top-k merge (no global sort, no driver blowup) and land within the
