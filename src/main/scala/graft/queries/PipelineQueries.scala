@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{TextAnalysis => TA}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Production-pipeline operators a large-scale data platform runs daily on
+  * top of the core engine: event-funnel and cohort-retention analytics, CDC
+  * snapshot diffing, referential-integrity QC, per-domain corpus caps, BM25
+  * retrieval, blocked edit-distance fuzzy matching, and small-file
+  * compaction planning. All beyond the reference's scope; every one keeps
+  * the suite's determinism contract (integer arithmetic, micro-rounded
+  * single-ordered float expressions, md5-derived priorities) so the DuckDB
+  * oracle reproduces the results hash-exactly.
+  */
+object PipelineQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // Windowed conversion funnel: signup → first click within 24 h → first
+    // purchase within 24 h of that click. Each stage is a keyed min-aggregate
+    // joined back on user_id, so the user_id shuffle partitioning is REUSED
+    // across stages; stage frames shrink monotonically (150 → 65 → 29 at
+    // sf0.01) and AQE broadcasts the later stage dims at scale. No windows,
+    // no per-user event sorting — at 100 TB the events table is scanned
+    // once per stage filter with column pruning down to (user_id, ts).
+    GraftQuery(
+      "ev14_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val sg = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+        val ck = ev.filter(col("event_type") === "click")
+          .join(sg, "user_id")
+          .filter(col("ts") >= col("s_ts") &&
+            col("ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .join(ck, "user_id")
+          .filter(col("ts") >= col("c_ts") &&
+            col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        sg.agg(count(lit(1)).as("users")).select(lit("signup").as("stage"), col("users"))
+          .unionAll(ck.agg(count(lit(1)).as("users"))
+            .select(lit("click").as("stage"), col("users")))
+          .unionAll(pu.agg(count(lit(1)).as("users"))
+            .select(lit("purchase").as("stage"), col("users")))
+      },
+      Some("""WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+              AND e.ts <= s.s_ts + INTERVAL 24 HOUR GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+              AND e.ts <= c.c_ts + INTERVAL 24 HOUR GROUP BY 1)
+        SELECT 'signup' AS stage, count(*) AS users FROM s
+        UNION ALL SELECT 'click', count(*) FROM c
+        UNION ALL SELECT 'purchase', count(*) FROM p"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Cohort retention: users bucketed by first-activity week, counted per
+    // (cohort_week, week_offset) of later activity. Two keyed aggregations
+    // on user_id (first-seen + distinct activity days) — both partial-agg
+    // map-side; the distinct-day frame is bounded by users × days, not by
+    // raw events. Weeks are epoch-floor integer divisions (both engines
+    // floor positive ints identically).
+    GraftQuery(
+      "ev15_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        val active = ev.distinct()
+        active.join(cohort, "user_id")
+          .groupBy(
+            expr("datediff(cohort_day, DATE '1970-01-01') DIV 7").as("cohort_week"),
+            expr("datediff(day, cohort_day) DIV 7").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("users"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY 1),
+          a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        SELECT date_diff('day', DATE '1970-01-01', cohort_day) // 7 AS cohort_week,
+          date_diff('day', cohort_day, day) // 7 AS week_offset,
+          count(DISTINCT a.user_id) AS users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // CDC snapshot diff: classify every business key across two table
+    // versions as insert / delete / update / same. The "new" snapshot is a
+    // deterministic mutation of customer (drop keys %13, bump balances %7,
+    // insert shifted keys %11) so the diff is reproducible. One full-outer
+    // hash join on the key — the canonical incremental-load validation at
+    // scale; balances compare in exact integer cents.
+    GraftQuery(
+      "etl14_cdc_diff",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val old = cust.select(col("c_custkey").as("ok"), cents.as("obal"))
+        val neu = cust.filter(col("c_custkey") % 13 =!= 0)
+          .select(col("c_custkey").as("nk"),
+            (cents + when(col("c_custkey") % 7 === 0, 1000L).otherwise(0L)).as("nbal"))
+          .unionAll(cust.filter(col("c_custkey") % 11 === 0)
+            .select((col("c_custkey") + 10000000L).as("nk"), lit(99900L).as("nbal")))
+        old.join(neu, col("ok") === col("nk"), "full_outer")
+          .select(
+            when(col("ok").isNull, "insert")
+              .when(col("nk").isNull, "delete")
+              .when(col("obal") =!= col("nbal"), "update")
+              .otherwise("same").as("op"),
+            coalesce(col("ok"), col("nk")).as("k"))
+          .groupBy(col("op"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      },
+      Some("""WITH old AS (SELECT c_custkey AS k,
+            CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+          newt AS (
+            SELECT c_custkey AS k, CAST(round(c_acctbal*100) AS BIGINT) +
+              CASE WHEN c_custkey % 7 = 0 THEN 1000 ELSE 0 END AS bal
+            FROM customer WHERE c_custkey % 13 <> 0
+            UNION ALL
+            SELECT c_custkey + 10000000 AS k, 99900 AS bal
+            FROM customer WHERE c_custkey % 11 = 0)
+        SELECT CASE WHEN o.k IS NULL THEN 'insert' WHEN n.k IS NULL THEN 'delete'
+            WHEN o.bal <> n.bal THEN 'update' ELSE 'same' END AS op,
+          count(*) AS n, CAST(sum(coalesce(o.k, n.k)) AS BIGINT) AS key_sum
+        FROM old o FULL OUTER JOIN newt n ON o.k = n.k GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Referential-integrity QC: orphaned orders after a simulated parent
+    // purge (customers %50 "deleted"). LEFT ANTI join — the fact side scans
+    // once with pruned columns; at 100 TB the live-parent key set rides a
+    // bloom pre-filter (sketch03 pattern) so only candidate orphans reach
+    // the anti-join shuffle. o_custkey is never NULL here, so ANTI ≡ NOT IN.
+    GraftQuery(
+      "qc03_referential",
+      (s, d) => {
+        val live = Tables.customer(s, d)
+          .filter(col("c_custkey") % 50 =!= 0).select(col("c_custkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .join(live, col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("orphans"), sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("""WITH live AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0)
+        SELECT o_orderstatus, count(*) AS orphans,
+          CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM live)
+        GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Per-domain corpus cap: keep at most 20 documents per source, chosen
+    // by deterministic md5 priority (salted hash60 of the doc id) — the
+    // standard web-crawl rebalance that stops one domain from dominating a
+    // training mix. One shuffle on source; the window is a per-domain top-K
+    // (bounded state per group at any scale).
+    GraftQuery(
+      "samp04_domain_cap",
+      (s, d) => {
+        val pri = TA.hash60(concat(lit("cap:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("source")).orderBy(pri.asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
+      },
+      Some(s"""SELECT source, count(*) AS kept,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+          SELECT source, doc_id, row_number() OVER (PARTITION BY source
+            ORDER BY ${TA.Sql.hash60("'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+          FROM documents) WHERE rn <= 20 GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // BM25 retrieval (k1=1.2, b=0.75): top-5 documents per query over the
+    // corpus. The query set is tiny and BROADCASTS onto the term-frequency
+    // frame, so only terms that appear in some query survive past the first
+    // join — the corpus shuffles once on term to build df (vocabulary-sized)
+    // and once on doc to sum scores. Per-term partial scores are rounded to
+    // integer micro-units (identical double expression trees in both
+    // engines, DuckDB float literals pinned to DOUBLE with e0), so the final
+    // sum is an order-independent integer.
+    GraftQuery(
+      "text10_bm25",
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq(
+          (1, "hash"), (1, "join"),
+          (2, "stream"), (2, "window"), (2, "agg"),
+          (3, "scan"), (3, "filter"), (3, "column"),
+        ).toDF("qid", "term")
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val df = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        val idf = log(lit(1.0) +
+          (col("nd").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        val tfn = (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl") * col("nd")) / col("tl")))
+        val scored = tf.join(broadcast(queries), "term")
+          .join(df, "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .select(col("qid"), col("doc_id"),
+            round(idf * tfn * lit(1000000.0)).cast("long").as("tsc"))
+          .groupBy(col("qid"), col("doc_id")).agg(sum(col("tsc")).as("score_micro"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      },
+      Some(s"""WITH q(qid, term) AS (VALUES (1,'hash'),(1,'join'),
+            (2,'stream'),(2,'window'),(2,'agg'),(3,'scan'),(3,'filter'),(3,'column')),
+          toks AS (SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+          df AS (SELECT term, count(*) AS df FROM
+            (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+          st AS (SELECT count(*) AS nd, sum(dl) AS tl FROM dl),
+          sc AS (SELECT q.qid, tf.doc_id,
+              CAST(round(ln(1.0e0 + (CAST(nd AS DOUBLE) - df + 0.5e0) / (df + 0.5e0)) *
+                ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + (0.75e0 * dl * nd) / tl))) *
+                1000000.0e0) AS BIGINT) AS tsc
+            FROM q JOIN tf ON q.term = tf.term JOIN df ON q.term = df.term
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+          agg AS (SELECT qid, doc_id,
+            CAST(sum(tsc) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2)
+        SELECT qid, doc_id, score_micro, rnk FROM (
+          SELECT qid, doc_id, score_micro, row_number() OVER (PARTITION BY qid
+            ORDER BY score_micro DESC, doc_id) AS rnk FROM agg) WHERE rnk <= 5"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Blocked fuzzy matching: edit distance ≤ 30 on 40-char prefixes within
+    // (lang, source, 20-char length band) blocks — the record-linkage shape
+    // (near-identical titles/headers) that exact and shingle dedup both
+    // miss. Blocking keys keep the equi-join linear in block size; the
+    // levenshtein DP runs only on post-join candidates and only over fixed
+    // 40-char prefixes (O(1600) per pair, not O(doc²)). A hot block would
+    // route through LSH candidates first exactly as dedup02 does.
+    GraftQuery(
+      "dedup11_fuzzy",
+      (s, d) => {
+        val pre = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"), col("source"),
+          expr("n_chars DIV 20").as("lb"),
+          substring(col("text"), 1, 40).as("pre"))
+        pre.as("a").join(pre.as("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+              col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            levenshtein(col("a.pre"), col("b.pre")).as("dist"))
+          .filter(col("dist") <= 30)
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source, n_chars // 20 AS lb,
+            substr(text, 1, 40) AS pre FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          levenshtein(a.pre, b.pre) AS dist
+        FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+          AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pre, b.pre) <= 30"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Small-file compaction planning: next-fit bin packing of per-source
+    // files (documents as stand-ins, n_chars as sizes) into ~4000-byte
+    // output bins via a running-sum window. The plan itself is what a
+    // 100 TB table-maintenance job computes before rewriting millions of
+    // small parquet files; one shuffle on source, cumulative sum is a
+    // single window pass per partition.
+    GraftQuery(
+      "layout07_compaction_bins",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("prev", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .groupBy(col("source"), expr("prev DIV 4000").as("bin"))
+          .agg(count(lit(1)).as("files"), sum(col("n_chars")).as("bytes"))
+      },
+      Some("""WITH c AS (SELECT source, doc_id, n_chars,
+            sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+          FROM documents)
+        SELECT source, CAST(COALESCE(prev, 0) // 4000 AS BIGINT) AS bin,
+          count(*) AS files, CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM c GROUP BY 1, 2"""),
+    ),
+  )
+}

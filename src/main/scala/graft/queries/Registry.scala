@@ -13,6 +13,7 @@ object Registry {
     StreamQueries.all,
     ScaleQueries.all,
     CorpusQueries.all,
+    PipelineQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {

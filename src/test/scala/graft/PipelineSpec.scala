@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Behavior + plan gates for the production-pipeline pack
+  * (PipelineQueries): funnel monotonicity, CDC diff partitioning the
+  * keyspace, referential orphans matching the purge rule, domain caps,
+  * BM25 broadcast shape, fuzzy-join blocking, compaction conservation.
+  */
+class PipelineSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def shuffles(p: SparkPlan): Int = {
+    val self = p match {
+      case _: ShuffleExchangeExec => 1
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case _ => 0
+    }
+    self + p.children.map(shuffles).sum
+  }
+
+  test("ev14: funnel stages are monotonically non-increasing") {
+    val rows = run("ev14_funnel").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("signup", "click", "purchase"))
+    assert(rows("signup") >= rows("click"))
+    assert(rows("click") >= rows("purchase"))
+  }
+
+  test("ev15: every user is active in their own cohort week (offset 0)") {
+    val df = run("ev15_retention")
+    val atZero = df.filter(col("week_offset") === 0)
+      .agg(sum(col("users"))).collect()(0).getLong(0)
+    val users = graft.core.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(atZero == users)
+  }
+
+  test("etl14: op classes partition the key universe and match the mutation rule") {
+    val cust = graft.core.Tables.customer(spark, sf)
+    val byOp = run("etl14_cdc_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDel = cust.filter(col("c_custkey") % 13 === 0).count()
+    val nIns = cust.filter(col("c_custkey") % 11 === 0).count()
+    // updates: %7 balance bump, surviving the %13 delete
+    val nUpd = cust.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0).count()
+    assert(byOp("delete") == nDel, byOp)
+    assert(byOp("insert") == nIns, byOp)
+    assert(byOp("update") == nUpd, byOp)
+    assert(byOp.values.sum == cust.count() + nIns, byOp)
+  }
+
+  test("qc03: orphan set is exactly the purged parents' orders") {
+    val orders = graft.core.Tables.orders(spark, sf)
+    val expected = orders.filter(col("o_custkey") % 50 === 0).count()
+    val got = run("qc03_referential").agg(sum(col("orphans"))).collect()(0).getLong(0)
+    assert(got == expected)
+  }
+
+  test("samp04: every source keeps at most 20 documents, one shuffle total") {
+    val df = run("samp04_domain_cap")
+    df.collect().foreach(r => assert(r.getAs[Long]("kept") <= 20, r))
+    // window by source + groupBy source share the source partitioning
+    assert(shuffles(df.queryExecution.executedPlan) <= 1,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("text10: the query set broadcasts; ranks are dense 1..k per query") {
+    val df = run("text10_bm25")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    val byQ = df.collect().groupBy(_.getAs[Int]("qid"))
+    byQ.values.foreach { rows =>
+      val rnks = rows.map(_.getAs[Int]("rnk")).sorted
+      assert(rnks.toSeq == (1 to rows.length), rnks.toSeq)
+      assert(rows.length <= 5)
+    }
+  }
+
+  test("dedup11: the blocked join is an equi-join, never a cartesian product") {
+    val df = run("dedup11_fuzzy")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"), r)
+      assert(r.getAs[Int]("dist") >= 0 && r.getAs[Int]("dist") <= 30, r)
+    }
+  }
+
+  test("layout07: bins conserve file counts and bytes per source") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val expect = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = run("layout07_compaction_bins").groupBy(col("source"))
+      .agg(sum(col("files")).as("n"), sum(col("bytes")).as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+}
