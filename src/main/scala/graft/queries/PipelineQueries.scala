@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, Tables}
-import graft.ops.{TextAnalysis => TA}
+import graft.ops.{Dedup, TextAnalysis => TA}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -249,8 +249,11 @@ object PipelineQueries {
     // (near-identical titles/headers) that exact and shingle dedup both
     // miss. Blocking keys keep the equi-join linear in block size; the
     // levenshtein DP runs only on post-join candidates and only over fixed
-    // 40-char prefixes (O(1600) per pair, not O(doc²)). A hot block would
-    // route through LSH candidates first exactly as dedup02 does.
+    // 40-char prefixes (O(1600) per pair, not O(doc²)). Blocks over the cap
+    // get an extra 8-char-prefix refinement key (Dedup.fuzzyPairsBlocked) —
+    // bounded fan-out on a 100 TB hot block, plan byte-identical to the
+    // plain self-join below it (all test SFs; ScaleStressSpec pins the
+    // capped path).
     GraftQuery(
       "dedup11_fuzzy",
       (s, d) => {
@@ -258,12 +261,8 @@ object PipelineQueries {
           col("doc_id"), col("lang"), col("source"),
           expr("n_chars DIV 20").as("lb"),
           substring(col("text"), 1, 40).as("pre"))
-        pre.as("a").join(pre.as("b"),
-            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-              col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            levenshtein(col("a.pre"), col("b.pre")).as("dist"))
-          .filter(col("dist") <= 30)
+        Dedup.fuzzyPairsBlocked(pre, Seq("lang", "source", "lb"), "pre",
+          maxDist = 30, threshold = 4000, refineLen = 8)
       },
       Some("""WITH d AS (SELECT doc_id, lang, source, n_chars // 20 AS lb,
             substr(text, 1, 40) AS pre FROM documents)
@@ -272,6 +271,41 @@ object PipelineQueries {
         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
           AND a.lb = b.lb AND a.doc_id < b.doc_id
         WHERE levenshtein(a.pre, b.pre) <= 30"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Percentile-based corpus curation: drop the bottom decile of documents
+    // per language, ranked by the composite quality score (ties broken by
+    // token count then doc id, so the ordering is total and the percentile
+    // cut deterministic). The canonical quality pre-filter before training:
+    // one shuffle on lang, the rank is a single window pass, and the
+    // percent_rank division is a single ordered float op — engine-exact.
+    GraftQuery(
+      "text11_quality_filter",
+      (s, d) => {
+        val qm = round(TA.qualityScore(col("text")) * 1000000.0).cast("long")
+        val scored = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            qm.as("qm"), TA.tokenCount(col("text")).as("ntok"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("qm").asc, col("ntok").asc, col("doc_id").asc)
+        scored.withColumn("pr", percent_rank().over(w))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("pr") >= 0.1, 1)).as("kept"),
+            sum(when(col("pr") >= 0.1, col("doc_id"))).as("id_sum"))
+      },
+      Some(s"""WITH s AS (SELECT lang, doc_id,
+            CAST(round((${TA.Sql.qualityScore("text")}) * 1000000.0e0) AS BIGINT) AS qm,
+            ${TA.Sql.tokenCount("text")} AS ntok FROM documents),
+          r AS (SELECT lang, doc_id,
+            percent_rank() OVER (PARTITION BY lang ORDER BY qm, ntok, doc_id) AS pr
+          FROM s)
+        SELECT lang, count(*) AS n_docs,
+          count(*) FILTER (WHERE pr >= 0.1e0) AS kept,
+          CAST(sum(doc_id) FILTER (WHERE pr >= 0.1e0) AS BIGINT) AS id_sum
+        FROM r GROUP BY 1"""),
     ),
 
     // ------------------------------------------------------------------

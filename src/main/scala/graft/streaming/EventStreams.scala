@@ -177,6 +177,53 @@ object EventStreams {
       .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-user funnel progress: 0 = nothing, 1 = signed up, 2 = first click
+    * within the window after signup, 3 = first purchase within the window
+    * after that click.
+    */
+  final case class FunnelStage(user_id: Long, stage: Int)
+  final case class FunnelState(s_us: Long, c_us: Long, p_us: Long)
+
+  /** Streaming conversion funnel — the stateful-stream half of batch query
+    * ev14: per user, first signup, then first click within `windowHours`,
+    * then first purchase within `windowHours` of that click. State is THREE
+    * timestamps per user (bounded at any scale; a TTL would evict users
+    * whose window has definitively lapsed). Events are processed in
+    * event-time order within each micro-batch; across batches the match
+    * with the batch query is exact when each user's events arrive in
+    * event-time order (the watermarked-replay contract —
+    * FunnelStreamSpec feeds the real events table and checks stage counts
+    * equal ev14's).
+    */
+  def funnelStages(events: Dataset[UserEvent],
+      windowHours: Int = 24): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowHours.toLong * 3600L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val m = micros(e.ts)
+            e.event_type match {
+              case "signup" if st.s_us < 0 => st = st.copy(s_us = m)
+              case "click" if st.s_us >= 0 && st.c_us < 0 &&
+                  m >= st.s_us && m <= st.s_us + winUs => st = st.copy(c_us = m)
+              case "purchase" if st.c_us >= 0 && st.p_us < 0 &&
+                  m >= st.c_us && m <= st.c_us + winUs => st = st.copy(p_us = m)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val stage = if (st.p_us >= 0) 3 else if (st.c_us >= 0) 2
+            else if (st.s_us >= 0) 1 else 0
+          FunnelStage(uid, stage)
+      }
+  }
+
   /** stateful per-user running aggregate via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) with processing-time
     * timeout; state is one small record per active user.

@@ -79,6 +79,36 @@ class ScaleStressSpec extends SparkSpec {
     info(s"hot block emitted $hotPairs candidates (all-pairs would be 79800)")
   }
 
+  test("capped fuzzy matching keeps pair fan-out bounded on a hot block") {
+    import graft.ops.Dedup
+    // one hot (lang, source) block of 300 docs drawn from 3 near-identical
+    // prefix families (all-pairs would be 44,850 comparisons) + a small
+    // 10-doc block under the cap.
+    val hot = spark.range(300L).select(
+      col("id").as("doc_id"), lit("en").as("lang"), lit("web").as("source"),
+      concat(lit("family"), (col("id") % 3).cast("string"),
+        lit(" boilerplate header text "), col("id").cast("string")).as("pre"))
+    val small = spark.range(10L).select(
+      (col("id") + 1000L).as("doc_id"), lit("fr").as("lang"), lit("web").as("source"),
+      concat(lit("petit bloc "), col("id").cast("string")).as("pre"))
+    val docs = hot.unionByName(small)
+
+    val capped = Dedup.fuzzyPairsBlocked(docs, Seq("lang", "source"), "pre",
+      maxDist = 40, threshold = 50, refineLen = 8).collect()
+    val hotPairs = capped.count(p => p.getAs[Long]("doc_a") < 1000L)
+    val smallPairs = capped.count(p => p.getAs[Long]("doc_a") >= 1000L)
+    // hot block: pairs only within same refined-prefix families — 3 groups
+    // of 100 → 3 × C(100,2) = 14,850, strictly under the 44,850 all-pairs
+    assert(hotPairs == 3 * 100 * 99 / 2, s"hot-block pairs $hotPairs")
+    // under-cap block: exact all-pairs (10 choose 2)
+    assert(smallPairs == 45, s"small-block pairs $smallPairs")
+
+    // under the cap the operator IS the plain blocked self-join: same rows
+    val plain = Dedup.fuzzyPairsBlocked(docs, Seq("lang", "source"), "pre",
+      maxDist = 40, threshold = 5000, refineLen = 8).collect()
+    assert(plain.length == 44850 + 45, s"uncapped pairs ${plain.length}")
+  }
+
   test("capped semantic dedup keeps pair fan-out linear on a hot cluster") {
     import graft.ops.{Clustering, Similarity}
     val dim = 8
