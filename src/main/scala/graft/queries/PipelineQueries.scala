@@ -274,6 +274,86 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Inverted-index build (the retrieval companion of text10's BM25): per
+    // term, document frequency and the head of the doc_id-sorted posting
+    // list. BOUNDED aggregation state: the posting head is a per-term top-K
+    // window (row_number ≤ 20), never a full collect_list over the corpus —
+    // at 100 TB the full index is the sort-based path (range-repartition on
+    // term, sortWithinPartitions, write runs); this query materializes the
+    // df stats plus the head-20 postings both aggs sharing one term shuffle.
+    GraftQuery(
+      "text12_inverted_index",
+      (s, d) => {
+        val pairs = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+          .distinct()
+        val df = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        val head = pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy(col("term"))
+          .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+        df.join(head, "term")
+      },
+      Some(s"""WITH pairs AS (SELECT DISTINCT doc_id, term FROM
+            (SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS term FROM documents))
+        SELECT term, count(*) AS df,
+          array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+        FROM pairs GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Weighted PageRank over the event-transition graph: edges are
+    // (event_type → next event_type) counts per user session order — the
+    // corpus-scale stage is ONE lag window over (user_id, ts) plus a keyed
+    // count; the rank iteration then runs on the tiny node graph (joins
+    // auto-broadcast). Fixed-point integer arithmetic throughout — per-edge
+    // contribution r·w DIV out-weight, damping as (85·Σ) DIV 100 — so three
+    // iterations are bit-identical cross-engine with no float summation
+    // order anywhere.
+    GraftQuery(
+      "graph01_pagerank",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val seq = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        val e = seq.filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val outw = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+        val ew = e.join(outw, "src")
+        var r = seq.select(col("event_type").as("node")).distinct()
+          .withColumn("r", lit(1000000L))
+        for (_ <- 1 to 3) {
+          r = ew.join(r, col("node") === col("src"))
+            .select(col("dst"), expr("(r * w) DIV tw").as("contrib"))
+            .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+            .select(col("dst").as("node"),
+              (lit(150000L) + expr("(85 * s) DIV 100")).as("r"))
+        }
+        r.select(col("node"), col("r").as("rank_micro"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type, lead(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
+          e AS (SELECT event_type AS src, nxt AS dst, count(*) AS w FROM seq
+            WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY 1),
+          r0 AS (SELECT event_type AS node, CAST(1000000 AS BIGINT) AS r
+            FROM (SELECT DISTINCT event_type FROM events)),
+          r1 AS (SELECT e.dst AS node,
+              150000 + (85 * CAST(sum((r0.r * e.w) // outw.tw) AS BIGINT)) // 100 AS r
+            FROM e JOIN outw USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+          r2 AS (SELECT e.dst AS node,
+              150000 + (85 * CAST(sum((r1.r * e.w) // outw.tw) AS BIGINT)) // 100 AS r
+            FROM e JOIN outw USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+          r3 AS (SELECT e.dst AS node,
+              150000 + (85 * CAST(sum((r2.r * e.w) // outw.tw) AS BIGINT)) // 100 AS r
+            FROM e JOIN outw USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1)
+        SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Percentile-based corpus curation: drop the bottom decile of documents
     // per language, ranked by the composite quality score (ties broken by
     // token count then doc id, so the ordering is total and the percentile

@@ -91,6 +91,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("text12: posting heads are capped at 20 and sorted ascending") {
+    run("text12_inverted_index").collect().foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length <= 20, r)
+      assert(ids.sameElements(ids.sorted), r)
+      assert(r.getAs[Long]("df") >= ids.length, r)
+    }
+  }
+
+  test("graph01: rank iteration joins broadcast; ranks stay near the mass sum") {
+    val df = run("graph01_pagerank")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    // damped fixed-point conserves mass up to integer-floor loss per node
+    val total = rows.map(_.getAs[Long]("rank_micro")).sum
+    assert(total > 4900000L && total <= 5000000L, total)
+  }
+
   test("layout07: bins conserve file counts and bytes per source") {
     val docs = graft.core.Tables.documents(spark, sf)
     val expect = docs.groupBy(col("source"))
