@@ -46,6 +46,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(sig == 15) // every dot is exactly 0 → bit set by the >= 0 rule
   }
 
+  test("fuzzy blocked pairs over an empty frame is empty, both cap paths") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "pre")
+    assert(Dedup.fuzzyPairsBlocked(empty, Seq("lang"), "pre", 30, 10, 8).count() == 0L)
+  }
+
+  test("funnel stages over an empty stream-batch emits nothing") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val empty = Seq.empty[EventStreams.UserEvent].toDS()
+    assert(EventStreams.funnelStages(empty).count() == 0L)
+  }
+
   test("passage chunking of short documents yields no passages, no error") {
     import spark.implicits._
     // under 8 tokens: the sequence() guard must produce an empty array, not
