@@ -69,6 +69,14 @@ object Dedup {
         i => hash60(c.substr(i, lit(k))) % MinhashP)))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Fused text→signature form (one-pass codegen Expression, see
+    * [[MinhashSig]]) — use when the shingle-hash set itself is not needed
+    * downstream (dedup03/dedup07); identical signatures to
+    * `minhash(shingleHashes(text, k), seeds)`.
+    */
+  def minhashSig(text: Column, k: Int, seeds: Int): Column =
+    MinhashSig(text, k, seeds)
+
   /** MinHash signature from a shingle-hash array. */
   def minhash(hashes: Column, seeds: Int): Column =
     array((0 until seeds).map { s =>

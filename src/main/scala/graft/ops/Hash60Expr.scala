@@ -53,14 +53,27 @@ object Hash60Kernel {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  /** first 15 hex digits of md5(utf8 bytes) as a 60-bit long. */
-  def hash(s: UTF8String): Long = {
+  /** the thread-local digest, reset — for callers (MinhashKernel) that
+    * stream bytes in without building a UTF8String per hash.
+    */
+  def digest(): java.security.MessageDigest = {
     val md = md5Local.get()
     md.reset()
-    val b = md.digest(s.getBytes)
+    md
+  }
+
+  /** fold digest bytes to the 60-bit value (first 15 hex digits). */
+  def fold(b: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
     (v << 4) | ((b(7) & 0xffL) >>> 4)
+  }
+
+  /** first 15 hex digits of md5(utf8 bytes) as a 60-bit long. */
+  def hash(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    fold(md.digest(s.getBytes))
   }
 }

@@ -234,7 +234,7 @@ object ExtQueries {
           .repartition(s.sparkContext.defaultParallelism)
           .select(
           col("doc_id"),
-          Dedup.minhash(Dedup.shingleHashes(col("text"), Shingle), MinhashSeeds).as("sig"))
+          Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist() // signature computed once, not re-inlined per band/side
         val banded = sigs.select(
           col("doc_id"),
@@ -490,7 +490,7 @@ object ExtQueries {
           .repartition(s.sparkContext.defaultParallelism)
           .select(
             col("doc_id"),
-            Dedup.minhash(Dedup.shingleHashes(col("text"), Shingle), MinhashSeeds).as("sig"))
+            Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist()
         val banded = sigs.select(
           col("doc_id"),

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The fused MinhashSig Expression must produce identical signatures to the
+  * composed form (minhash over distinct shingle hashes) — including
+  * multi-byte unicode and texts shorter than the shingle width.
+  */
+class MinhashSigSpec extends SparkSpec {
+
+  test("fused signature equals the composed form on corpus text + edges") {
+    import spark.implicits._
+    val edge = Seq("", " ", "abc", "abcd", "abcde", "ü中文ßeéxyz",
+      "the same boilerplate text " * 4, "x" * 500, "line\nbreak\ttab chars")
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).as[String].collect().toSeq
+    val rows = (edge ++ corpus).toDF("text")
+      .select(
+        Dedup.minhash(Dedup.shingleHashes(col("text"), 5), 16).as("composed"),
+        Dedup.minhashSig(col("text"), 5, 16).as("fused"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // composed yields per-seed nulls on short text; fused must match
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), r)
+    }
+  }
+
+  test("fused signature propagates null input and joins whole-stage codegen") {
+    import spark.implicits._
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(Dedup.minhashSig(col("text"), 5, 8).as("sig")).collect()
+    assert(n.head.isNullAt(0))
+    val df = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(Dedup.minhashSig(col("text"), 5, 16).as("sig"))
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}
