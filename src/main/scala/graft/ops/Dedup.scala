@@ -77,6 +77,12 @@ object Dedup {
   def minhashSig(text: Column, k: Int, seeds: Int): Column =
     MinhashSig(text, k, seeds)
 
+  /** Fused text→distinct-shingle-set form (codegen Expression, see
+    * [[ShingleSet]]) — same values/order as [[shingleHashes]], for the
+    * operators that consume the set itself (exact Jaccard, band probes).
+    */
+  def shingleHashesFused(text: Column, k: Int): Column = ShingleSet(text, k)
+
   /** MinHash signature from a shingle-hash array. */
   def minhash(hashes: Column, seeds: Int): Column =
     array((0 until seeds).map { s =>

@@ -46,6 +46,33 @@ object MinhashSig {
     Bridge.column(MinhashSig(Bridge.expression(c.cast("string")), k, seeds))
 }
 
+/** The distinct 31-bit shingle-hash set — [[Dedup.shingleHashes]] — as one
+  * codegen'd Expression, for the operators that need the SET itself
+  * (exact Jaccard, band-index probes) rather than just the signature.
+  * Same byte-slice hashing as [[MinhashKernel]]; first-seen order matches
+  * `array_distinct`'s, and short texts yield the composed form's empty
+  * array.
+  */
+case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashKernel.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.MinhashKernel.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+object ShingleSet {
+  def apply(c: Column, k: Int): Column =
+    Bridge.column(ShingleSet(Bridge.expression(c.cast("string")), k))
+}
+
 object MinhashKernel {
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
@@ -53,6 +80,51 @@ object MinhashKernel {
   private def coeffs(seeds: Int): (Array[Long], Array[Long]) =
     tables.computeIfAbsent(seeds, _ =>
       (Array.tabulate(seeds)(Dedup.minhashA), Array.tabulate(seeds)(Dedup.minhashB)))
+
+  /** code-point start offsets into the UTF-8 bytes (n+1 entries; null when
+    * the text has fewer than `k` code points).
+    */
+  private def charStarts(bytes: Array[Byte], k: Int): Array[Int] = {
+    var n = 0
+    var off = 0
+    while (off < bytes.length) {
+      n += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    if (n < k) return null
+    val starts = new Array[Int](n + 1)
+    off = 0
+    var ci = 0
+    while (off < bytes.length) {
+      starts(ci) = off
+      ci += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    starts(n) = bytes.length
+    starts
+  }
+
+  /** distinct k-char shingle hashes in first-seen order (array_distinct
+    * parity); empty array when the text is shorter than k.
+    */
+  def shingles(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val starts = charStarts(bytes, k)
+    if (starts == null) return new GenericArrayData(Array.empty[Long])
+    val n = starts.length - 1
+    val p = Dedup.MinhashP
+    val seen = new java.util.HashSet[java.lang.Long](Math.min(n, 1024))
+    val out = new java.util.ArrayList[Any](Math.min(n, 1024))
+    val md = Hash60Kernel.digest()
+    var pos = 0
+    while (pos <= n - k) {
+      md.update(bytes, starts(pos), starts(pos + k) - starts(pos))
+      val h = java.lang.Long.valueOf(Hash60Kernel.fold(md.digest()) % p)
+      if (seen.add(h)) out.add(h)
+      pos += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 
   /** signature of `s` over k-char shingles; all-null array when s is
     * shorter than k (mirrors the composed form's empty-shingle case).
@@ -64,24 +136,9 @@ object MinhashKernel {
     */
   def sig(s: UTF8String, k: Int, seeds: Int): ArrayData = {
     val bytes = s.getBytes
-    // code-point start offsets (n+1 entries, last = bytes.length)
-    var n = 0
-    var off = 0
-    while (off < bytes.length) {
-      n += 1
-      off += UTF8String.numBytesForFirstByte(bytes(off))
-    }
-    if (n < k) return new GenericArrayData(new Array[Any](seeds))
-    val starts = new Array[Int](n + 1)
-    off = 0
-    var ci = 0
-    while (off < bytes.length) {
-      starts(ci) = off
-      ci += 1
-      off += UTF8String.numBytesForFirstByte(bytes(off))
-    }
-    starts(n) = bytes.length
-
+    val starts = charStarts(bytes, k)
+    if (starts == null) return new GenericArrayData(new Array[Any](seeds))
+    val n = starts.length - 1
     val (as, bs) = coeffs(seeds)
     val p = Dedup.MinhashP
     val mins = Array.fill(seeds)(Long.MaxValue)

@@ -212,7 +212,7 @@ object ExtQueries {
           .repartition(s.sparkContext.defaultParallelism)
           .select(
           col("doc_id"), col("lang"), col("source"),
-          Dedup.shingleHashes(col("text"), Shingle).as("sh"))
+          Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
           .persist() // shingle once; both join sides + no optimizer re-inline
         Dedup.jaccardPairsBlocked(docs, Seq("lang", "source"), 0.62,
           JaccardBlockCap, MinhashSeeds, Bands, RowsPerBand)
@@ -710,7 +710,7 @@ object ExtQueries {
         val docs = Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"),
-            Dedup.shingleHashes(col("text"), Shingle).as("sh"))
+            Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
           .withColumn("sig", Dedup.minhash(col("sh"), MinhashSeeds))
           .persist() // sign once; both the index and the batch read it
         val idx = docs.filter(col("doc_id") % 10 =!= 0)

@@ -27,6 +27,20 @@ class MinhashSigSpec extends SparkSpec {
     }
   }
 
+  test("fused shingle set equals the composed form, order included") {
+    import spark.implicits._
+    val edge = Seq("", "abcd", "abcde", "aaaaaaaaaa", "ü中文ßeéxyz",
+      "repeat repeat repeat repeat")
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).as[String].collect().toSeq
+    val rows = (edge ++ corpus).toDF("text")
+      .select(
+        Dedup.shingleHashes(col("text"), 5).as("composed"),
+        Dedup.shingleHashesFused(col("text"), 5).as("fused"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
   test("fused signature propagates null input and joins whole-stage codegen") {
     import spark.implicits._
     val n = Seq[Option[String]](None).toDF("text")
