@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_morton"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "graft_morton"),
       (exprs: Seq[Expression]) => GraftExtensions.mortonTree(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[graft.ops.MinhashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => GraftExtensions.minhashSigTree(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[graft.ops.ShingleSet].getName, "graft_shingle_set"),
+      (exprs: Seq[Expression]) => GraftExtensions.shingleSetTree(exprs)))
   }
 }
 
@@ -88,6 +96,40 @@ object GraftExtensions {
     (bits(exprs.head, 0) ++ bits(exprs(1), 1)).reduce[Expression](Add(_, _))
   }
 
+  /** a FOLDABLE int parameter (literal or constant-foldable expression) —
+    * the shingle width / seed count of the fused dedup expressions.
+    */
+  private def intParam(name: String, e: Expression): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name expects an integer literal parameter, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$name expects a foldable integer parameter, got $e")
+  }
+
+  /** `graft_minhash_sig(text, k, seeds)` — the fused one-pass MinHash
+    * signature (codegen Expression) in SQL.
+    */
+  private[graft] def minhashSigTree(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_minhash_sig expects (text, k, seeds), got ${exprs.length} args")
+    graft.ops.MinhashSig(Cast(exprs.head, StringType),
+      intParam("graft_minhash_sig", exprs(1)), intParam("graft_minhash_sig", exprs(2)))
+  }
+
+  /** `graft_shingle_set(text, k)` — the fused distinct shingle-hash set. */
+  private[graft] def shingleSetTree(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_shingle_set expects (text, k), got ${exprs.length} args")
+    graft.ops.ShingleSet(Cast(exprs.head, StringType),
+      intParam("graft_shingle_set", exprs(1)))
+  }
+
   /** temp-function registration for an ALREADY-built session (specs, REPL —
     * extensions otherwise apply only at builder time).
     */
@@ -97,5 +139,7 @@ object GraftExtensions {
       Bridge.registerExpression(spark, name, exprs => oneArg(name, exprs, builder))
     }
     Bridge.registerExpression(spark, "graft_morton", mortonTree)
+    Bridge.registerExpression(spark, "graft_minhash_sig", minhashSigTree)
+    Bridge.registerExpression(spark, "graft_shingle_set", shingleSetTree)
   }
 }

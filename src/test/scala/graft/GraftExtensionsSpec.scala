@@ -32,6 +32,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq == api.map(_.toString).toSeq)
   }
 
+  test("graft_minhash_sig / graft_shingle_set SQL forms equal the Column forms") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "ab", "xyzxyzxyzxyz").toDF("text")
+    df.createOrReplaceTempView("gx_mh")
+    val sqlSig = spark.sql("SELECT graft_minhash_sig(text, 5, 8) AS s FROM gx_mh")
+      .collect().map(_.getSeq[Any](0))
+    val apiSig = df.select(graft.ops.Dedup.minhashSig(col("text"), 5, 8).as("s"))
+      .collect().map(_.getSeq[Any](0))
+    assert(sqlSig.toSeq == apiSig.toSeq)
+    val sqlSh = spark.sql("SELECT graft_shingle_set(text, 5) AS s FROM gx_mh")
+      .collect().map(_.getSeq[Long](0))
+    val apiSh = df.select(graft.ops.Dedup.shingleHashesFused(col("text"), 5).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sqlSh.toSeq == apiSh.toSeq)
+    intercept[Exception](spark.sql("SELECT graft_shingle_set(text) FROM gx_mh").collect())
+  }
+
   test("graft_morton SQL function equals the generated Column expression") {
     GraftExtensions.registerAll(spark)
     import spark.implicits._
