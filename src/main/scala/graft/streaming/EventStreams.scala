@@ -224,6 +224,73 @@ object EventStreams {
       }
   }
 
+  /** The BOUNDED-STATE form of [[funnelStages]]: same per-user state
+    * machine, plus event-time-timeout eviction — a user's window can no
+    * longer change once the watermark passes their live deadline
+    * (signup+window while awaiting the click, click+window while awaiting
+    * the purchase), so the state is finalized, emitted once more, and
+    * REMOVED. Completed funnels (purchase reached) and users with no
+    * signup drop their state immediately. At 100 TB/day event rates this
+    * is the difference between state proportional to *users inside an open
+    * window* and state proportional to *all users ever seen*.
+    * `watermarkDelay` is the out-of-order tolerance.
+    *
+    * Semantics note: because eviction forgets the user, a signup arriving
+    * AFTER the previous funnel's window lapsed starts a NEW funnel
+    * (re-registration — the production attribution behavior). Batch ev14
+    * anchors on the all-time first signup, so exact parity holds on
+    * streams with one signup per user (FunnelStreamSpec tests that); on
+    * raw streams the two differ exactly by re-registrations.
+    */
+  def funnelStagesEvicting(events: Dataset[UserEvent],
+      windowHours: Int = 24,
+      watermarkDelay: String = "10 seconds"): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowHours.toLong * 3600L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
+          def stageOf(st: FunnelState): Int =
+            if (st.p_us >= 0) 3 else if (st.c_us >= 0) 2
+            else if (st.s_us >= 0) 1 else 0
+          if (state.hasTimedOut) {
+            // watermark passed the live deadline: the stage is final
+            val st = state.get
+            state.remove()
+            FunnelStage(uid, stageOf(st))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val m = micros(e.ts)
+              e.event_type match {
+                case "signup" if st.s_us < 0 => st = st.copy(s_us = m)
+                case "click" if st.s_us >= 0 && st.c_us < 0 &&
+                    m >= st.s_us && m <= st.s_us + winUs => st = st.copy(c_us = m)
+                case "purchase" if st.c_us >= 0 && st.p_us < 0 &&
+                    m >= st.c_us && m <= st.c_us + winUs => st = st.copy(p_us = m)
+                case _ => ()
+              }
+            }
+            if (st.p_us >= 0 || st.s_us < 0) {
+              // funnel complete, or nothing to wait for: no state to keep
+              state.remove()
+            } else {
+              state.update(st)
+              val deadlineMs =
+                (if (st.c_us >= 0) st.c_us else st.s_us) / 1000L + winUs / 1000L
+              // timeouts must be set beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1000L))
+            }
+            FunnelStage(uid, stageOf(st))
+          }
+      }
+  }
+
   /** stateful per-user running aggregate via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) with processing-time
     * timeout; state is one small record per active user.

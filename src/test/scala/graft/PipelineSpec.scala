@@ -111,6 +111,15 @@ class PipelineSpec extends SparkSpec {
     assert(total > 4900000L && total <= 5000000L, total)
   }
 
+  test("dedup03/dedup02 plans use the fused codegen expressions") {
+    val p3 = SparkEntry.queries("dedup03_minhash_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("graft_minhash_sig"), p3)
+    val p2 = SparkEntry.queries("dedup02_ngram_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("graft_shingle_set"), p2)
+  }
+
   test("layout07: bins conserve file counts and bytes per source") {
     val docs = graft.core.Tables.documents(spark, sf)
     val expect = docs.groupBy(col("source"))
