@@ -134,6 +134,37 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Incremental aggregate maintenance: the stored per-customer totals
+    // (orders before the 1999 cutoff — the long history) merge with the new
+    // batch's partial aggregate (orders after) into refreshed totals. The
+    // incremental plan touches O(history-state + delta), never rescans the
+    // raw history — the foundation of every daily-refresh pipeline at
+    // 100 TB — and both layers aggregate in exact integer cents, so the
+    // merged result is REQUIRED to equal the DuckDB oracle's from-scratch
+    // full recompute (that equality is the whole correctness claim).
+    GraftQuery(
+      "etl15_incremental_agg",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cutoff = lit("1999-01-01").cast("date")
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+        val history = partials(orders.filter(col("o_orderdate") < cutoff))
+        val delta = partials(orders.filter(col("o_orderdate") >= cutoff))
+        history.unionAll(delta)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("total_cents")).as("total_cents"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Referential-integrity QC: orphaned orders after a simulated parent
     // purge (customers %50 "deleted"). LEFT ANTI join — the fact side scans
     // once with pruned columns; at 100 TB the live-parent key set rides a

@@ -111,6 +111,14 @@ class PipelineSpec extends SparkSpec {
     assert(total > 4900000L && total <= 5000000L, total)
   }
 
+  test("etl15: merged incremental totals cover every ordering customer once") {
+    val got = run("etl15_incremental_agg")
+    val custs = graft.core.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(got.count() == custs)
+    assert(got.groupBy(col("o_custkey")).count().filter(col("count") > 1).count() == 0)
+  }
+
   test("dedup03/dedup02 plans use the fused codegen expressions") {
     val p3 = SparkEntry.queries("dedup03_minhash_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
