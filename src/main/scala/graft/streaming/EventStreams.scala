@@ -291,6 +291,45 @@ object EventStreams {
       }
   }
 
+  /** One novel (user, cohort_week, week_offset) activity observation. */
+  final case class RetentionHit(user_id: Long, cohort_week: Long, week_offset: Long)
+  final case class RetentionState(cohort_day: Long, seen_offsets: Seq[Long])
+
+  /** Streaming cohort retention — the stateful twin of batch ev15: per
+    * user, the first-seen day fixes the cohort; each NEW week-offset of
+    * later activity emits one [[RetentionHit]], so `count(distinct
+    * user_id)` per (cohort_week, week_offset) downstream equals the batch
+    * query. State per user is the cohort day plus the offsets already
+    * seen — bounded by the analysis horizon in weeks, not by event volume.
+    * Like the funnel, exact batch parity assumes each user's events arrive
+    * in event-time order across batches (the ordered-replay contract).
+    */
+  def retentionHits(events: Dataset[UserEvent]): Dataset[RetentionHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def epochDay(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 86400000L)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[RetentionState]) =>
+          val days = it.map(e => epochDay(e.ts)).toSeq.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(RetentionState(days.head, Seq.empty))
+            val novel = Seq.newBuilder[RetentionHit]
+            days.foreach { d =>
+              val off = (d - st.cohort_day) / 7
+              if (!st.seen_offsets.contains(off)) {
+                st = st.copy(seen_offsets = st.seen_offsets :+ off)
+                novel += RetentionHit(uid, st.cohort_day / 7, off)
+              }
+            }
+            state.update(st)
+            novel.result().iterator
+          }
+      }
+  }
+
   /** stateful per-user running aggregate via mapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) with processing-time
     * timeout; state is one small record per active user.
