@@ -305,6 +305,88 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
+    // BPE tokenizer training (3 merge iterations): the corpus-scale stage
+    // is ONE token-frequency aggregate (at 100 TB that is the heavy job;
+    // everything after runs on the vocabulary-sized word table). Each
+    // iteration counts weighted adjacent symbol pairs, picks the best merge
+    // (count desc, pair asc — total order), and applies it with a plain
+    // string replace over double-space-joined symbol sequences: the two-
+    // space separator makes the padded pattern ' a  b ' boundary-safe (a
+    // symbol's tail can never false-match) while consecutive occurrences
+    // still merge left-to-right, which is exactly greedy BPE application.
+    // Every step is integer counts + deterministic string surgery — the
+    // DuckDB oracle reproduces the trainer bit-for-bit.
+    GraftQuery(
+      "vocab01_bpe_merges",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(TA.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        val s0 = words.withColumn("seq",
+          expr("concat(' ', left(regexp_replace(token, '(.)', '$1  '), " +
+            "length(regexp_replace(token, '(.)', '$1  ')) - 1))"))
+        def pairCounts(sq: org.apache.spark.sql.DataFrame) = sq
+          .select(col("freq"), split(trim(col("seq")), "  ").as("syms"))
+          .select(col("freq"), explode(expr(
+            // guard: Spark's sequence(1, 0) counts DOWN, so single-symbol
+            // sequences must short-circuit to an empty pair list
+            "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), " +
+              "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) " +
+              "ELSE array() END")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        def bestOf(p: org.apache.spark.sql.DataFrame) =
+          p.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        var sq = s0
+        var out: org.apache.spark.sql.DataFrame = null
+        for (it <- 1 to 3) {
+          val best = bestOf(pairCounts(sq))
+          val row = best.select(lit(it).as("it"), col("pair"), col("cnt"))
+          out = if (out == null) row else out.unionAll(row)
+          sq = sq.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+            .withColumn("seq", expr(
+              "replace(seq, concat(' ', replace(bp, ' ', '  '), ' '), " +
+                "concat(' ', replace(bp, ' ', ''), ' '))"))
+            .drop("bp")
+        }
+        out
+      },
+      Some(raw"""WITH words AS (
+          SELECT token, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents)
+          WHERE token <> '' GROUP BY 1),
+        s0 AS (SELECT token, freq,
+            ' ' || left(regexp_replace(token, '(.)', '\1  ', 'g'),
+              length(regexp_replace(token, '(.)', '\1  ', 'g')) - 1) AS seq
+          FROM words),
+        p1 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s0),
+            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
+        b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        s1 AS (SELECT token, freq, replace(seq,
+            ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS seq FROM s0),
+        p2 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s1),
+            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
+        b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        s2 AS (SELECT token, freq, replace(seq,
+            ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS seq FROM s1),
+        p3 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s2),
+            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
+        b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        SELECT 1 AS it, pair, cnt FROM b1
+        UNION ALL SELECT 2, pair, cnt FROM b2
+        UNION ALL SELECT 3, pair, cnt FROM b3"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Inverted-index build (the retrieval companion of text10's BM25): per
     // term, document frequency and the head of the doc_id-sorted posting
     // list. BOUNDED aggregation state: the posting head is a per-term top-K

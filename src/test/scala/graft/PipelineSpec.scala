@@ -111,6 +111,16 @@ class PipelineSpec extends SparkSpec {
     assert(total > 4900000L && total <= 5000000L, total)
   }
 
+  test("vocab01: three distinct merges with non-increasing weighted counts") {
+    val rows = run("vocab01_bpe_merges").orderBy(col("it")).collect()
+    assert(rows.length == 3)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, cnts.toSeq)
+    val pairs = rows.map(_.getAs[String]("pair"))
+    assert(pairs.distinct.length == 3, pairs.toSeq)
+    pairs.foreach(p => assert(p.split(" ").length == 2, p))
+  }
+
   test("etl15: merged incremental totals cover every ordering customer once") {
     val got = run("etl15_incremental_agg")
     val custs = graft.core.Tables.orders(spark, sf)
