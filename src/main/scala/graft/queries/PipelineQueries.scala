@@ -502,6 +502,56 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
+    // The composed curation pipeline — exact-dedup survivors → per-language
+    // quality decile filter → per-domain cap — in ONE declarative plan, the
+    // way a real corpus build chains the operators. Catalyst pipelines the
+    // three stages (fingerprint window → quality window → priority window)
+    // with one shuffle each on their natural keys; nothing materializes
+    // between stages. Per-language output: documents surviving all three
+    // gates, their characters, and the id checksum.
+    GraftQuery(
+      "pipe01_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // stage 1: exact-dedup survivors (lowest doc_id per fingerprint)
+        val fpW = Window.partitionBy(TA.fingerprint(col("text")))
+          .orderBy(col("doc_id"))
+        val survivors = docs.withColumn("rn", row_number().over(fpW))
+          .filter(col("rn") === 1).drop("rn")
+        // stage 2: drop the bottom quality decile per language
+        val qm = round(TA.qualityScore(col("text")) * 1000000.0).cast("long")
+        val qW = Window.partitionBy(col("lang"))
+          .orderBy(qm.asc, TA.tokenCount(col("text")).asc, col("doc_id").asc)
+        val quality = survivors.withColumn("pr", percent_rank().over(qW))
+          .filter(col("pr") >= 0.1).drop("pr")
+        // stage 3: at most 20 docs per source by md5 priority
+        val pri = TA.hash60(concat(lit("cap:"), col("doc_id").cast("string")))
+        val cW = Window.partitionBy(col("source")).orderBy(pri.asc, col("doc_id").asc)
+        val capped = quality.withColumn("rn", row_number().over(cW))
+          .filter(col("rn") <= 20)
+        capped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("chars"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some(s"""WITH survivors AS (
+          SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY ${TA.Sql.fingerprint("text")} ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        quality AS (
+          SELECT * FROM (SELECT *, percent_rank() OVER (PARTITION BY lang
+              ORDER BY CAST(round((${TA.Sql.qualityScore("text")}) * 1000000.0e0) AS BIGINT),
+                ${TA.Sql.tokenCount("text")}, doc_id) AS pr
+            FROM survivors) WHERE pr >= 0.1e0),
+        capped AS (
+          SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY ${TA.Sql.hash60("'cap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn2
+            FROM quality) WHERE rn2 <= 20)
+        SELECT lang, count(*) AS kept, CAST(sum(n_chars) AS BIGINT) AS chars,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM capped GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Small-file compaction planning: next-fit bin packing of per-source
     // files (documents as stand-ins, n_chars as sizes) into ~4000-byte
     // output bins via a running-sum window. The plan itself is what a

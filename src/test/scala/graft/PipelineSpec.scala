@@ -138,6 +138,14 @@ class PipelineSpec extends SparkSpec {
     assert(p2.contains("graft_shingle_set"), p2)
   }
 
+  test("pipe01: composed curation keeps at most the domain-cap budget") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val sources = docs.select(col("source")).distinct().count()
+    val kept = run("pipe01_curation").agg(sum(col("kept"))).collect()(0).getLong(0)
+    assert(kept <= sources * 20, s"kept=$kept sources=$sources")
+    assert(kept > 0)
+  }
+
   test("layout07: bins conserve file counts and bytes per source") {
     val docs = graft.core.Tables.documents(spark, sf)
     val expect = docs.groupBy(col("source"))
