@@ -214,6 +214,36 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Balanced class downsampling: every language keeps exactly the
+    // smallest language's document count, chosen by deterministic md5
+    // priority — the class-rebalance step before training a classifier.
+    // The min-class size is a 1-row broadcast; the keep decision is one
+    // per-language top-K window.
+    GraftQuery(
+      "samp05_balanced",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val minN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("n_min"))
+        val pri = TA.hash60(concat(lit("bal:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(col("lang")).orderBy(pri.asc, col("doc_id").asc)
+        docs.select(col("lang"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(minN))
+          .filter(col("rn") <= col("n_min"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
+      },
+      Some(s"""WITH n AS (SELECT min(cnt) AS n_min FROM
+            (SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+          r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+              ORDER BY ${TA.Sql.hash60("'bal:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+            FROM documents)
+        SELECT lang, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM r CROSS JOIN n WHERE rn <= n_min GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // BM25 retrieval (k1=1.2, b=0.75): top-5 documents per query over the
     // corpus. The query set is tiny and BROADCASTS onto the term-frequency
     // frame, so only terms that appear in some query survive past the first

@@ -138,6 +138,15 @@ class PipelineSpec extends SparkSpec {
     assert(p2.contains("graft_shingle_set"), p2)
   }
 
+  test("samp05: every language keeps exactly the min-class count") {
+    val rows = run("samp05_balanced").collect()
+    val kepts = rows.map(_.getAs[Long]("kept")).distinct
+    assert(kepts.length == 1, rows.mkString(","))
+    val minN = graft.core.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().agg(min(col("count"))).collect()(0).getLong(0)
+    assert(kepts.head == minN)
+  }
+
   test("pipe01: composed curation keeps at most the domain-cap budget") {
     val docs = graft.core.Tables.documents(spark, sf)
     val sources = docs.select(col("source")).distinct().count()
