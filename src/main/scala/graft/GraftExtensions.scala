@@ -117,7 +117,8 @@ object GraftExtensions {
     if (exprs.length != 3)
       throw new IllegalArgumentException(
         s"graft_minhash_sig expects (text, k, seeds), got ${exprs.length} args")
-    graft.ops.MinhashSig(Cast(exprs.head, StringType),
+    graft.ops.MinhashSig(
+      Coalesce(Seq(Cast(exprs.head, StringType), Literal.create("", StringType))),
       intParam("graft_minhash_sig", exprs(1)), intParam("graft_minhash_sig", exprs(2)))
   }
 
@@ -126,7 +127,8 @@ object GraftExtensions {
     if (exprs.length != 2)
       throw new IllegalArgumentException(
         s"graft_shingle_set expects (text, k), got ${exprs.length} args")
-    graft.ops.ShingleSet(Cast(exprs.head, StringType),
+    graft.ops.ShingleSet(
+      Coalesce(Seq(Cast(exprs.head, StringType), Literal.create("", StringType))),
       intParam("graft_shingle_set", exprs(1)))
   }
 

@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * skipping `array_distinct` changes nothing (`MinhashSigSpec` fuzzes
   * equality against the composed form, unicode included), and the DuckDB
   * oracles — which recompute the same a·x+b mod P chain — are untouched.
-  * Short texts (fewer chars than k) yield the composed form's
-  * all-null signature.
+  * Short texts (fewer chars than k) yield the composed form's all-null
+  * signature, and the Column builders coalesce NULL text to '' so NULL
+  * input ALSO matches the composed form (whose when() falls through to
+  * the empty-shingle branch on NULL) instead of propagating NULL.
   */
 case class MinhashSig(child: Expression, k: Int, seeds: Int) extends UnaryExpression {
 
@@ -43,7 +45,9 @@ case class MinhashSig(child: Expression, k: Int, seeds: Int) extends UnaryExpres
 
 object MinhashSig {
   def apply(c: Column, k: Int, seeds: Int): Column =
-    Bridge.column(MinhashSig(Bridge.expression(c.cast("string")), k, seeds))
+    Bridge.column(MinhashSig(
+      Bridge.expression(org.apache.spark.sql.functions.coalesce(
+        c.cast("string"), org.apache.spark.sql.functions.lit(""))), k, seeds))
 }
 
 /** The distinct 31-bit shingle-hash set — [[Dedup.shingleHashes]] — as one
@@ -70,7 +74,9 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
 
 object ShingleSet {
   def apply(c: Column, k: Int): Column =
-    Bridge.column(ShingleSet(Bridge.expression(c.cast("string")), k))
+    Bridge.column(ShingleSet(
+      Bridge.expression(org.apache.spark.sql.functions.coalesce(
+        c.cast("string"), org.apache.spark.sql.functions.lit(""))), k))
 }
 
 object MinhashKernel {

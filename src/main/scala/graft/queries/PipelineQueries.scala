@@ -314,7 +314,11 @@ object PipelineQueries {
     // get an extra 8-char-prefix refinement key (Dedup.fuzzyPairsBlocked) —
     // bounded fan-out on a 100 TB hot block, plan byte-identical to the
     // plain self-join below it (all test SFs; ScaleStressSpec pins the
-    // capped path).
+    // capped path). Like dedup02, the oracle below models the UNCAPPED
+    // all-pairs semantics: the correctness contract is that no block
+    // exceeds the cap at verification SFs (max block ≈ 11 rows at sf0.1
+    // vs threshold 4000); above the cap the operator intentionally trades
+    // recall for boundedness and the oracle no longer applies.
     GraftQuery(
       "dedup11_fuzzy",
       (s, d) => {

@@ -56,9 +56,7 @@ object EventStreams {
           val buf = state.getOption
             .map(graft.etl.ProfileBuffer.decode)
             .getOrElse(new graft.etl.ProfileBuffer)
-          var rows = 0L
           it.foreach { o =>
-            rows += 1
             if (o.cell == null || o.cell == "null" || o.cell == "NaN") buf.nulls += 1
             else buf.add(o.cell, o.row_idx)
           }
@@ -160,7 +158,14 @@ object EventStreams {
       val prev = if (state.exists()) state.get() else UserTotal(key, 0L, 0L)
       var n = prev.n_events
       var cents = prev.total_cents
-      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      // SQL round() is half-AWAY-FROM-ZERO; math.round is half-up (toward
+      // +inf), which differs on negative half-cents — mirror the batch
+      // aggregate exactly so refund streams keep the ev13 parity contract
+      rows.foreach { e =>
+        n += 1
+        val x = e.value * 100
+        cents += (if (x >= 0) math.round(x) else -math.round(-x))
+      }
       val next = UserTotal(key, n, cents)
       state.update(next)
       Iterator.single(next)
@@ -195,32 +200,49 @@ object EventStreams {
     * FunnelStreamSpec feeds the real events table and checks stage counts
     * equal ev14's).
     */
+  /** event-time in microseconds — the ordering precision shared by every
+    * stateful operator here (the events table is µs-precision; ms-level
+    * ordering would tie-break same-millisecond events wrongly).
+    */
+  private[streaming] def eventMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def funnelStageOf(st: FunnelState): Int =
+    if (st.p_us >= 0) 3 else if (st.c_us >= 0) 2
+    else if (st.s_us >= 0) 1 else 0
+
+  /** fold one micro-batch of a user's events (event-time order) into the
+    * funnel state — the ONE state machine both funnel variants share.
+    */
+  private def advanceFunnel(st0: FunnelState, evs: Iterator[UserEvent],
+      winUs: Long): FunnelState = {
+    var st = st0
+    evs.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id)).foreach { e =>
+      val m = eventMicros(e.ts)
+      e.event_type match {
+        case "signup" if st.s_us < 0 => st = st.copy(s_us = m)
+        case "click" if st.s_us >= 0 && st.c_us < 0 &&
+            m >= st.s_us && m <= st.s_us + winUs => st = st.copy(c_us = m)
+        case "purchase" if st.c_us >= 0 && st.p_us < 0 &&
+            m >= st.c_us && m <= st.c_us + winUs => st = st.copy(p_us = m)
+        case _ => ()
+      }
+    }
+    st
+  }
+
   def funnelStages(events: Dataset[UserEvent],
       windowHours: Int = 24): Dataset[FunnelStage] = {
     val spark = events.sparkSession
     import spark.implicits._
     val winUs = windowHours.toLong * 3600L * 1000000L
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            val m = micros(e.ts)
-            e.event_type match {
-              case "signup" if st.s_us < 0 => st = st.copy(s_us = m)
-              case "click" if st.s_us >= 0 && st.c_us < 0 &&
-                  m >= st.s_us && m <= st.s_us + winUs => st = st.copy(c_us = m)
-              case "purchase" if st.c_us >= 0 && st.p_us < 0 &&
-                  m >= st.c_us && m <= st.c_us + winUs => st = st.copy(p_us = m)
-              case _ => ()
-            }
-          }
+          val st = advanceFunnel(
+            state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)), it, winUs)
           state.update(st)
-          val stage = if (st.p_us >= 0) 3 else if (st.c_us >= 0) 2
-            else if (st.s_us >= 0) 1 else 0
-          FunnelStage(uid, stage)
+          FunnelStage(uid, funnelStageOf(st))
       }
   }
 
@@ -248,33 +270,18 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     val winUs = windowHours.toLong * 3600L * 1000000L
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
-          def stageOf(st: FunnelState): Int =
-            if (st.p_us >= 0) 3 else if (st.c_us >= 0) 2
-            else if (st.s_us >= 0) 1 else 0
           if (state.hasTimedOut) {
             // watermark passed the live deadline: the stage is final
             val st = state.get
             state.remove()
-            FunnelStage(uid, stageOf(st))
+            Iterator.single(FunnelStage(uid, funnelStageOf(st)))
           } else {
-            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-              val m = micros(e.ts)
-              e.event_type match {
-                case "signup" if st.s_us < 0 => st = st.copy(s_us = m)
-                case "click" if st.s_us >= 0 && st.c_us < 0 &&
-                    m >= st.s_us && m <= st.s_us + winUs => st = st.copy(c_us = m)
-                case "purchase" if st.c_us >= 0 && st.p_us < 0 &&
-                    m >= st.c_us && m <= st.c_us + winUs => st = st.copy(p_us = m)
-                case _ => ()
-              }
-            }
+            val st0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val st = advanceFunnel(st0, it, winUs)
             if (st.p_us >= 0 || st.s_us < 0) {
               // funnel complete, or nothing to wait for: no state to keep
               state.remove()
@@ -286,7 +293,13 @@ object EventStreams {
               state.setTimeoutTimestamp(
                 math.max(deadlineMs, state.getCurrentWatermarkMs() + 1000L))
             }
-            FunnelStage(uid, stageOf(st))
+            // emit ONLY on a stage transition: an Update-mode key-value
+            // consumer keeps the latest row per user, so re-emitting stage
+            // 0 after eviction (a routine post-window event) would
+            // regress a finalized stage
+            if (funnelStageOf(st) != funnelStageOf(st0))
+              Iterator.single(FunnelStage(uid, funnelStageOf(st)))
+            else Iterator.empty
           }
       }
   }
@@ -342,7 +355,7 @@ object EventStreams {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[UserSession]) =>
           val evs = it.toSeq
           val prev = state.getOption.getOrElse(UserSession(uid, 0L, ""))
-          val last = if (evs.nonEmpty) evs.maxBy(e => (e.ts.getTime, e.event_id)).event_type
+          val last = if (evs.nonEmpty) evs.maxBy(e => (eventMicros(e.ts), e.event_id)).event_type
                      else prev.last_type
           val next = UserSession(uid, prev.n_events + evs.size, last)
           state.update(next)

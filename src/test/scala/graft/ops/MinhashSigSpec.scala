@@ -41,11 +41,19 @@ class MinhashSigSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
   }
 
-  test("fused signature propagates null input and joins whole-stage codegen") {
+  test("fused forms match composed on NULL input and join whole-stage codegen") {
     import spark.implicits._
+    // composed forms fall through when()'s null condition to the
+    // empty-shingle branch — NULL text behaves like ''
     val n = Seq[Option[String]](None).toDF("text")
-      .select(Dedup.minhashSig(col("text"), 5, 8).as("sig")).collect()
-    assert(n.head.isNullAt(0))
+      .select(
+        Dedup.minhash(Dedup.shingleHashes(col("text"), 5), 8).as("composed"),
+        Dedup.minhashSig(col("text"), 5, 8).as("fused"),
+        Dedup.shingleHashes(col("text"), 5).as("composedSh"),
+        Dedup.shingleHashesFused(col("text"), 5).as("fusedSh"))
+      .collect().head
+    assert(n.getSeq[Any](0) == n.getSeq[Any](1), n)
+    assert(n.getSeq[Long](2) == n.getSeq[Long](3), n)
     val df = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(Dedup.minhashSig(col("text"), 5, 16).as("sig"))
     assert(df.queryExecution.executedPlan.toString.contains("*("))
