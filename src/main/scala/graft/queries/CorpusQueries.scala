@@ -22,7 +22,7 @@ object CorpusQueries {
     * decontamination (train/eval n-gram overlap).
     */
   private def tokenShingleHashes(text: org.apache.spark.sql.Column, n: Int) = {
-    val toks = split(trim(text), "\\s+")
+    val toks = TA.tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => TA.hash60(array_join(slice(toks, i, lit(n)), " "))))
@@ -37,6 +37,12 @@ object CorpusQueries {
       FROM ($inner), UNNEST(generate_series(1, len(toks) - ${n - 1})) AS u(i)
       WHERE len(toks) >= $n"""
 
+  /** clust01/dedup09 clustering shape — ONE definition for the Spark call
+    * sites and the oracle CTE below, so k/dim cannot silently diverge.
+    */
+  private val KmeansK = 8
+  private val KmeansDim = 64
+
   /** The clust01 2-round Lloyd CTE block (see [[graft.ops.Clustering]]),
     * ending in `s2(vec_id, v, cid)` — the final assignment WITH the vector,
     * so downstream oracles (clust01's counts, dedup09's within-cluster
@@ -49,12 +55,12 @@ object CorpusQueries {
         ORDER BY list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c), cid) AS rn
       FROM e CROSS JOIN $cents"""
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < $KmeansK),
       a1 AS (${distRank("c0")}),
       s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
       u1 AS (SELECT cid, d, CAST(sum(CAST(round(v[d+1]*$Q) AS BIGINT)) AS BIGINT) AS sq,
           count(*) AS n
-        FROM s1, UNNEST(generate_series(0, 63)) AS g(d) GROUP BY cid, d),
+        FROM s1, UNNEST(generate_series(0, ${KmeansDim - 1})) AS g(d) GROUP BY cid, d),
       c1 AS (SELECT cid, list((sq / $Q) / n ORDER BY d) AS c FROM u1 GROUP BY cid),
       a2 AS (${distRank("c1")}),
       s2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1)"""
@@ -329,7 +335,7 @@ object CorpusQueries {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .persist()
-        Clustering.kmeans(e, k = 8, dim = 64, iters = 2)
+        Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
           .groupBy(col("cid").as("cluster"))
           .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
       },
@@ -359,11 +365,11 @@ object CorpusQueries {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .persist()
-        val assigned = Clustering.kmeans(e, k = 8, dim = 64, iters = 2)
+        val assigned = Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
           .withColumn("n", Similarity.norm(col("v")))
           .persist() // norm once per vector, not per pair
         val dropped = Clustering
-          .semanticDrops(assigned, dim = 64, minCos = 0.35, threshold = 4096)
+          .semanticDrops(assigned, dim = KmeansDim, minCos = 0.35, threshold = 4096)
           .withColumn("dup", lit(1))
         assigned.join(dropped, Seq("cid", "vec_id"), "left")
           .groupBy(col("cid").as("cluster"))

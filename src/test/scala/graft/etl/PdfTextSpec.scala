@@ -44,6 +44,24 @@ class PdfTextSpec extends SparkSpec {
     assert(e2.getMessage.contains("PDF"))
   }
 
+  test("review regressions: multi-digit indirect /Length, >> in strings, bad numbers, octal overflow") {
+    // object 12 holds the stream length (multi-digit indirect ref: the old
+    // lookahead regex backtracked "/Length 12 0 R" into direct length 1);
+    // the dict also carries a string containing ">>", which must not
+    // terminate dictionary balancing early. The content stream has a
+    // malformed lone "-" token (skipped, not fatal) and an overflowing
+    // octal escape \407 ≡ 0x07... use \507 -> 'G' (0x147 & 0xff = 0x47).
+    val content = "BT (ab) Tj - (c) Tj (\\507) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Producer (sizes >> 10) /Length 12 0 R >>\nstream\n" +
+      content + "\nendstream\nendobj\n" +
+      "12 0 obj\n" + content.length + "\nendobj\n%%EOF\n").getBytes
+    assert(PdfText.extract(pdf) == "abcG")
+  }
+
   test("a .pdf document runs the full pipeline end-to-end") {
     val dir = Files.createTempDirectory("graft-pdf")
     Files.copy(Paths.get(fixture), dir.resolve("sample.pdf"))
