@@ -47,4 +47,5 @@ object Determinism {
     val f = math.pow(10, scale).toLong
     s"sum(CAST(round(($expr)*$f) AS BIGINT))/$f.0/count($expr)"
   }
+
 }

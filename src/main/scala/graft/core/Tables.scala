@@ -22,8 +22,11 @@ object Tables {
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * natively; read it as a long (legacy conf) and convert ns → µs
-    * TimestampType. The data is µs-precision, so this is lossless and
-    * matches DuckDB's view of the same file.
+    * TimestampType. The raw values DO carry sub-µs digits, but DuckDB
+    * (the oracle engine) reads the same column as µs TIMESTAMP with the
+    * SAME floor-truncation, so every ts comparison, ordering, and output
+    * sees identical µs values in both engines — parity is structural,
+    * not data-dependent.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,13 +25,30 @@ object ExtQueries {
   // 5k documents TOTAL), so oracle parity holds through sf0.1 by construction.
   private val JaccardBlockCap = 4096
 
-  private def sqlHash60(v: String) =
-    s"CAST(concat('0x', substring(md5($v), 1, 15)) AS BIGINT)"
+  /** explode a (id, sig) frame into (id, band, key) rows — the ONE LSH
+    * banding shared by dedup03 (pair join), dedup07 (star edges) and
+    * dedup10 (index probe); a band-scheme change edits exactly here.
+    */
+  private def bandedKeys(df: DataFrame, idCol: String): DataFrame = df
+    .select(col(idCol),
+      explode(array((0 until Bands).map { bd =>
+        struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
+      }: _*)).as("b"))
+    .select(col(idCol), col("b.band"), col("b.key"))
+
+  /** oracle mirrors of the signature (m0..mN) and band-key columns. */
+  private def sqlSigExprs: String = (0 until MinhashSeeds).map { i =>
+    s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS m$i"
+  }.mkString(", ")
+  private def sqlBandKeys: String = (0 until Bands).map { bd =>
+    val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
+    s"concat_ws(',', ${cols.mkString(", ")}) AS band$bd"
+  }.mkString(", ")
 
   /** DuckDB 31-bit shingle-hash set (mirror of Dedup.shingleHashes). */
   private def sqlShingleHashes(v: String) =
     s"list_distinct(list_transform(range(1, length($v) - ${Shingle - 2}), " +
-      s"i -> ${sqlHash60(s"substring($v, i, $Shingle)")} % ${Dedup.MinhashP}))"
+      s"i -> ${TA.Sql.hash60(s"substring($v, i, $Shingle)")} % ${Dedup.MinhashP}))"
 
   private def embDouble(c: Column): Column = Similarity.toDouble(c)
 
@@ -89,7 +106,8 @@ object ExtQueries {
         val chain = TA.LangMarkers.map { case (l, _) =>
           s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
         }.mkString(" ")
-        s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        val scoreCols = TA.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+        s"""SELECT doc_id, lang, $scoreCols,
           CASE $chain ELSE 'unknown' END AS guess,
           CAST(CASE $chain ELSE 'unknown' END = lang AS INT) AS hit
           FROM (SELECT doc_id, lang, $scores FROM documents)"""
@@ -104,7 +122,7 @@ object ExtQueries {
         TA.fingerprint(col("text")).as("fp"),
         TA.hash60(col("text")).as("h60")),
       Some(s"""SELECT doc_id, ${TA.Sql.fingerprint("text")} AS fp,
-        ${sqlHash60("text")} AS h60 FROM documents"""),
+        ${TA.Sql.hash60("text")} AS h60 FROM documents"""),
     ),
 
     // ------------------------------------------------------------------
@@ -236,12 +254,7 @@ object ExtQueries {
           col("doc_id"),
           Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist() // signature computed once, not re-inlined per band/side
-        val banded = sigs.select(
-          col("doc_id"),
-          explode(array((0 until Bands).map { bd =>
-            struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
-          }: _*)).as("b"))
-          .select(col("doc_id"), col("b.band"), col("b.key"))
+        val banded = bandedKeys(sigs, "doc_id")
         banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -249,13 +262,7 @@ object ExtQueries {
           .distinct()
       },
       Some {
-        val sigExprs = (0 until MinhashSeeds).map { i =>
-          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS m$i"
-        }.mkString(", ")
-        val bandKeys = (0 until Bands).map { bd =>
-          val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
-          s"concat_ws(',', ${cols.mkString(", ")}) AS band$bd"
-        }.mkString(", ")
+        val (sigExprs, bandKeys) = (sqlSigExprs, sqlBandKeys)
         val unions = (0 until Bands).map { bd =>
           s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
         }.mkString(" UNION ")
@@ -271,16 +278,34 @@ object ExtQueries {
     GraftQuery(
       "dedup04_simhash",
       (s, d) => {
+        // Hamming-LSH banding, LOSSLESS by pigeonhole: 12 disjoint 5-bit
+        // bands of the 60-bit signature — any pair within hamming 10 (< 12
+        // differing bits) leaves at least one band untouched, so the banded
+        // equi-join generates EVERY qualifying candidate and the exact
+        // hamming verify reproduces the all-pairs result (the oracle below
+        // stays the plain self-join). Fan-out is per (lang, band, 5-bit
+        // key) bucket — linear in bucket size — never O(block²).
         val docs = Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(
           col("doc_id"), col("lang"),
           Dedup.simhash(Dedup.tokenHashes(col("text"))).as("sh"))
           .persist() // hash once; both join sides reuse
-        val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-        val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
-        a.join(b, Seq("lang"))
+        val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
+          explode(array((0 until 12).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sh"), 5 * b).bitwiseAND(lit(31L)).as("key"))
+          }: _*)).as("b"))
+          .select(col("doc_id"), col("lang"), col("sh"),
+            col("b.band").as("band"), col("b.key").as("key"))
+        val a = banded.select(col("doc_id").as("doc_a"), col("lang"),
+          col("band"), col("key"), col("sh").as("sh_a"))
+        val b = banded.select(col("doc_id").as("doc_b"), col("lang"),
+          col("band"), col("key"), col("sh").as("sh_b"))
+        a.join(b, Seq("lang", "band", "key"))
           .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+          .dropDuplicates(Seq("doc_a", "doc_b")) // pairs collide in many bands
           .select(col("doc_a"), col("doc_b"),
             Dedup.hamming(col("sh_a"), col("sh_b")).cast("long").as("dist"))
           .filter(col("dist") <= 10)
@@ -290,7 +315,7 @@ object ExtQueries {
           s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH th AS (SELECT doc_id, lang,
-            list_transform(list_distinct(${TA.Sql.tokens("text")}), t -> ${sqlHash60("t")}) AS th
+            list_transform(list_distinct(${TA.Sql.tokens("text")}), t -> ${TA.Sql.hash60("t")}) AS th
           FROM documents),
           sh AS (SELECT doc_id, lang, $votes AS sh FROM th)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -302,6 +327,12 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // embedding-cosine near-dup within label blocks (exact doubles).
+    // Scale note: cosine admits no lossless banding (unlike dedup04's
+    // hamming pigeonhole), so this stays the exact all-pairs-within-label
+    // DEFINITION; the corpus-scale execution of the same semantics is
+    // dedup09 (SemDeDup: k-means-scoped pairs, hot clusters degrade to SRP
+    // star edges) — run that when a label block can exceed memory-feasible
+    // pair counts.
     GraftQuery(
       "dedup05_embedding",
       (s, d) => {
@@ -492,12 +523,7 @@ object ExtQueries {
             col("doc_id"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist()
-        val banded = sigs.select(
-          col("doc_id"),
-          explode(array((0 until Bands).map { bd =>
-            struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
-          }: _*)).as("b"))
-          .select(col("doc_id"), col("b.band"), col("b.key"))
+        val banded = bandedKeys(sigs, "doc_id")
         // STAR edges, not clique pairs: connect every bucket member to the
         // bucket's min doc. Identical connected components, but O(Σ|bucket|)
         // edges instead of O(Σ|bucket|²) — a hot LSH bucket (boilerplate docs)
@@ -513,13 +539,7 @@ object ExtQueries {
           .select(col("node").as("doc_id"), col("component"))
       },
       Some {
-        val sigExprs = (0 until MinhashSeeds).map { i =>
-          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS m$i"
-        }.mkString(", ")
-        val bandKeys = (0 until Bands).map { bd =>
-          val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
-          s"concat_ws(',', ${cols.mkString(", ")}) AS band$bd"
-        }.mkString(", ")
+        val (sigExprs, bandKeys) = (sqlSigExprs, sqlBandKeys)
         val unions = (0 until Bands).map { bd =>
           s"SELECT a.doc_id AS da, b.doc_id AS db FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
         }.mkString(" UNION ")
@@ -715,13 +735,8 @@ object ExtQueries {
           .persist() // sign once; both the index and the batch read it
         val idx = docs.filter(col("doc_id") % 10 =!= 0)
         val batch = docs.filter(col("doc_id") % 10 === 0)
-        def banded(df: org.apache.spark.sql.DataFrame, id: String) = df
-          .select(col("doc_id").as(id),
-            explode(array((0 until Bands).map { bd =>
-              struct(lit(bd).as("band"),
-                Dedup.bandKey(col("sig"), bd, RowsPerBand).as("key"))
-            }: _*)).as("b"))
-          .select(col(id), col("b.band"), col("b.key"))
+        def banded(df: org.apache.spark.sql.DataFrame, id: String) =
+          bandedKeys(df.withColumnRenamed("doc_id", id), id)
         val cand = banded(batch, "new_id")
           .join(banded(idx, "old_id"), Seq("band", "key"))
           .select(col("new_id"), col("old_id")).distinct()
@@ -744,13 +759,7 @@ object ExtQueries {
             count(col("is_dup")).as("n_dup"))
       },
       Some {
-        val sigExprs = (0 until MinhashSeeds).map { i =>
-          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS m$i"
-        }.mkString(", ")
-        val bandKeys = (0 until Bands).map { bd =>
-          val cols = (0 until RowsPerBand).map(r => s"CAST(m${bd * RowsPerBand + r} AS VARCHAR)")
-          s"concat_ws(',', ${cols.mkString(", ")}) AS band$bd"
-        }.mkString(", ")
+        val (sigExprs, bandKeys) = (sqlSigExprs, sqlBandKeys)
         val unions = (0 until Bands).map { bd =>
           s"""SELECT n.doc_id AS new_id, o.doc_id AS old_id FROM keys n JOIN keys o
             ON n.band$bd = o.band$bd

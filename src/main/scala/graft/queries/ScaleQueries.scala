@@ -33,9 +33,16 @@ object ScaleQueries {
     def register(p: String): String = { dirs.put(p, ()); p }
   }
 
-  private def layoutTag(d: String): String =
-    new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_") +
-      "_" + ProcessHandle.current().pid()
+  /** layout tag = sanitized basename + a hash of the ABSOLUTE path + pid:
+    * two datasets sharing a basename (/a/sf0.1 vs /b/sf0.1) must not map
+    * to the same tmp layout or bucketed-table names in one JVM.
+    */
+  private def layoutTag(d: String): String = {
+    val f = new java.io.File(d)
+    val pathHash = Integer.toHexString(f.getAbsolutePath.hashCode)
+    f.getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + pathHash + "_" + ProcessHandle.current().pid()
+  }
 
   // built-once-per-JVM layout paths, keyed by dataset dir
   private val builtLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -50,12 +57,14 @@ object ScaleQueries {
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       .repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
-    builtLayouts.put("evpart:" + d, out)
+    builtLayouts.put("evpart:" + d, out) // direct builds (layout02) also cache
     out
   }
 
   private def ensureEventsLayout(s: SparkSession, d: String): String =
-    builtLayouts.getOrElse("evpart:" + d, buildEventsLayout(s, d))
+    // atomic per key: two concurrent callers must not race overwrite-writes
+    // into the same directory (getOrElse was check-then-act)
+    builtLayouts.getOrElseUpdate("evpart:" + d, buildEventsLayout(s, d))
 
   /** Write orders+customer as bucketBy(8) tables on the join key. Returns
     * (ordersTable, customerTable) names.
@@ -77,12 +86,43 @@ object ScaleQueries {
     (ord, cust)
   }
 
-  private def ensureBucketedTables(s: SparkSession, d: String): (String, String) =
-    builtLayouts.get("bkt:" + d) match {
-      case Some(names) =>
-        val Array(o, c) = names.split(','); (o, c)
-      case None => buildBucketedTables(s, d)
-    }
+  private def ensureBucketedTables(s: SparkSession, d: String): (String, String) = {
+    val names = builtLayouts.getOrElseUpdate("bkt:" + d, {
+      val (o, c) = buildBucketedTables(s, d); s"$o,$c"
+    })
+    val Array(o, c) = names.split(','); (o, c)
+  }
+
+  /** the 3-day pruned-slice aggregate shared by layout02 (write+read)
+    * and layout05 (steady-state read) — ONE definition so the twins that
+    * BASELINE.md compares cannot drift apart.
+    */
+  private def prunedSliceAgg(s: SparkSession, layoutDir: String) =
+    s.read.parquet(layoutDir)
+      .filter(col("event_date").between(
+        lit("2024-01-10").cast("date"), lit("2024-01-12").cast("date")))
+      .groupBy(col("event_date").cast("string").as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), D.intSum(col("value")).as("total_value"))
+
+  private val sqlPrunedSliceAgg: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        count(*) AS n, ${D.sqlIntSum("value")} AS total_value
+      FROM events
+      WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+      GROUP BY 1, 2"""
+
+  /** the bucketed co-located join shared by layout03/layout06. */
+  private def bucketedJoinAgg(s: SparkSession, ord: String, cust: String) =
+    s.table(ord)
+      .join(s.table(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), D.intSum(col("o_totalprice")).as("total"))
+
+  private val sqlBucketedJoinAgg: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+        ${D.sqlIntSum("o_totalprice")} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -105,14 +145,20 @@ object ScaleQueries {
           .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
         bottom
           .agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
-          .withColumn("est_distinct", kmvEstimate(col("k"), col("kth_min")))
+          // under-capacity sketch holds EVERY distinct hash → exact count;
+          // keeps the three-implementations-one-answer contract with
+          // sketch04's Aggregator (whose finish() has the same branch)
+          .withColumn("est_distinct",
+            when(col("k") < 256, col("k"))
+              .otherwise(kmvEstimate(col("k"), col("kth_min"))))
           .crossJoin(exact)
       },
       Some {
         val h = sqlHash60("CAST(l_partkey AS VARCHAR)")
         s"""WITH b AS (SELECT DISTINCT $h AS h FROM lineitem ORDER BY h ASC LIMIT 256)
           SELECT count(*) AS k, max(h) AS kth_min,
-            ${sqlKmvEstimate("count(*)", "max(h)")} AS est_distinct,
+            CASE WHEN count(*) < 256 THEN count(*)
+              ELSE ${sqlKmvEstimate("count(*)", "max(h)")} END AS est_distinct,
             (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
           FROM b"""
       },
@@ -147,7 +193,7 @@ object ScaleQueries {
     GraftQuery(
       "sketch02_cm_topk",
       (s, d) => {
-        val D = 4
+        val CmDepth = 4
         val W = 1024
         val li = Tables.lineitem(s, d).select(col("l_partkey"))
         // CM is LINEAR in its input counts, so sketch the per-key partial
@@ -159,7 +205,7 @@ object ScaleQueries {
         val keyed = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_cnt"))
           .withColumn("hex", md5(concat(lit("cm:"), col("l_partkey").cast("string"))))
           .select(col("l_partkey"), col("exact_cnt"),
-            explode(array((0 until D).map { j =>
+            explode(array((0 until CmDepth).map { j =>
               struct(lit(j).as("j"), (hashSlice(col("hex"), j) % W).as("b"))
             }: _*)).as("e"))
           .select(col("l_partkey"), col("exact_cnt"), col("e.j"), col("e.b"))
@@ -520,19 +566,8 @@ object ScaleQueries {
     // bench=false: the query IS a write job (layout cost, not query cost).
     GraftQuery(
       "layout02_partition_pruning",
-      (s, d) => {
-        val out = buildEventsLayout(s, d)
-        s.read.parquet(out)
-          .filter(col("event_date").between(
-            lit("2024-01-10").cast("date"), lit("2024-01-12").cast("date")))
-          .groupBy(col("event_date").cast("string").as("event_date"), col("event_type"))
-          .agg(count(lit(1)).as("n"), D.intSum(col("value")).as("total_value"))
-      },
-      Some(s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
-          count(*) AS n, ${D.sqlIntSum("value")} AS total_value
-        FROM events
-        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
-        GROUP BY 1, 2"""),
+      (s, d) => prunedSliceAgg(s, buildEventsLayout(s, d)),
+      Some(sqlPrunedSliceAgg),
       bench = false,
     ),
 
@@ -546,17 +581,9 @@ object ScaleQueries {
     // writes), not steady-state query cost.
     GraftQuery(
       "layout03_bucketed_join",
-      (s, d) => {
-        val (ord, cust) = buildBucketedTables(s, d)
-        s.table(ord)
-          .join(s.table(cust), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"), D.intSum(col("o_totalprice")).as("total"))
-      },
-      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
-          ${D.sqlIntSum("o_totalprice")} AS total
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1"""),
+      (s, d) => { val (ord, cust) = buildBucketedTables(s, d)
+        bucketedJoinAgg(s, ord, cust) },
+      Some(sqlBucketedJoinAgg),
       bench = false,
     ),
 
@@ -591,19 +618,8 @@ object ScaleQueries {
     // (the ev-family cost) in BASELINE.md.
     GraftQuery(
       "layout05_pruned_read",
-      (s, d) => {
-        val out = ensureEventsLayout(s, d)
-        s.read.parquet(out)
-          .filter(col("event_date").between(
-            lit("2024-01-10").cast("date"), lit("2024-01-12").cast("date")))
-          .groupBy(col("event_date").cast("string").as("event_date"), col("event_type"))
-          .agg(count(lit(1)).as("n"), D.intSum(col("value")).as("total_value"))
-      },
-      Some(s"""SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
-          count(*) AS n, ${D.sqlIntSum("value")} AS total_value
-        FROM events
-        WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
-        GROUP BY 1, 2"""),
+      (s, d) => prunedSliceAgg(s, ensureEventsLayout(s, d)),
+      Some(sqlPrunedSliceAgg),
     ),
 
     // ------------------------------------------------------------------
@@ -613,17 +629,9 @@ object ScaleQueries {
     // Same lazy build + warm-up amortization as layout05.
     GraftQuery(
       "layout06_bucketed_read",
-      (s, d) => {
-        val (ord, cust) = ensureBucketedTables(s, d)
-        s.table(ord)
-          .join(s.table(cust), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"), D.intSum(col("o_totalprice")).as("total"))
-      },
-      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
-          ${D.sqlIntSum("o_totalprice")} AS total
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1"""),
+      (s, d) => { val (ord, cust) = ensureBucketedTables(s, d)
+        bucketedJoinAgg(s, ord, cust) },
+      Some(sqlBucketedJoinAgg),
     ),
 
     // ------------------------------------------------------------------

@@ -24,6 +24,25 @@ class PipelineSpec extends SparkSpec {
     self + p.children.map(shuffles).sum
   }
 
+  test("Tables.events µs truncation floors raw ns exactly (DuckDB's read does the same)") {
+    // both engines floor-truncate the parquet NANOS column to µs (DuckDB
+    // 1.0 reads it as plain TIMESTAMP), so ts comparisons agree by
+    // construction; this pins the Spark half of that contract.
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val raw = spark.read.parquet(s"$sf/events.parquet")
+        .selectExpr("event_id", "ts div 1000 as us").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val read = graft.core.Tables.events(spark, sf)
+        .selectExpr("event_id", "unix_micros(ts) as us").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(raw == read)
+    } finally prev.fold(spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")) {
+      v => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+    }
+  }
+
   test("ev14: funnel stages are monotonically non-increasing") {
     val rows = run("ev14_funnel").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.keySet == Set("signup", "click", "purchase"))
