@@ -103,11 +103,16 @@ object PipelineQueries {
         val cust = Tables.customer(s, d)
         val cents = round(col("c_acctbal") * 100).cast("long")
         val old = cust.select(col("c_custkey").as("ok"), cents.as("obal"))
+        // insert keys shift by max(custkey)+1 — PROVABLY disjoint from the
+        // live keyspace at any SF (a fixed offset collides once custkeys
+        // grow past it, double-classifying the colliding key in BOTH
+        // engines — invisible to the oracle gate)
+        val shift = broadcast(cust.agg((max(col("c_custkey")) + 1).as("shift")))
         val neu = cust.filter(col("c_custkey") % 13 =!= 0)
           .select(col("c_custkey").as("nk"),
             (cents + when(col("c_custkey") % 7 === 0, 1000L).otherwise(0L)).as("nbal"))
-          .unionAll(cust.filter(col("c_custkey") % 11 === 0)
-            .select((col("c_custkey") + 10000000L).as("nk"), lit(99900L).as("nbal")))
+          .unionAll(cust.filter(col("c_custkey") % 11 === 0).crossJoin(shift)
+            .select((col("c_custkey") + col("shift")).as("nk"), lit(99900L).as("nbal")))
         old.join(neu, col("ok") === col("nk"), "full_outer")
           .select(
             when(col("ok").isNull, "insert")
@@ -125,7 +130,8 @@ object PipelineQueries {
               CASE WHEN c_custkey % 7 = 0 THEN 1000 ELSE 0 END AS bal
             FROM customer WHERE c_custkey % 13 <> 0
             UNION ALL
-            SELECT c_custkey + 10000000 AS k, 99900 AS bal
+            SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer) AS k,
+              99900 AS bal
             FROM customer WHERE c_custkey % 11 = 0)
         SELECT CASE WHEN o.k IS NULL THEN 'insert' WHEN n.k IS NULL THEN 'delete'
             WHEN o.bal <> n.bal THEN 'update' ELSE 'same' END AS op,

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
 
 /** Bucketing demo: pre-bucketing both join sides on the key makes the join
@@ -10,15 +7,6 @@ import org.apache.spark.sql.functions._
   * (SURVEY scale notes). Asserted on the physical plan, not assumed.
   */
 class BucketedJoinSpec extends SparkSpec {
-
-  private def countShuffles(p: SparkPlan): Int = {
-    val self = p match {
-      case _: ShuffleExchangeExec => 1
-      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
-      case _ => 0
-    }
-    self + p.children.map(countShuffles).sum
-  }
 
   test("bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString

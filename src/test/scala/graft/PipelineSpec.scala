@@ -15,15 +15,6 @@ class PipelineSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  private def shuffles(p: SparkPlan): Int = {
-    val self = p match {
-      case _: ShuffleExchangeExec => 1
-      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-      case _ => 0
-    }
-    self + p.children.map(shuffles).sum
-  }
-
   test("Tables.events µs truncation floors raw ns exactly (DuckDB's read does the same)") {
     // both engines floor-truncate the parquet NANOS column to µs (DuckDB
     // 1.0 reads it as plain TIMESTAMP), so ts comparisons agree by
@@ -84,7 +75,7 @@ class PipelineSpec extends SparkSpec {
     val df = run("samp04_domain_cap")
     df.collect().foreach(r => assert(r.getAs[Long]("kept") <= 20, r))
     // window by source + groupBy source share the source partitioning
-    assert(shuffles(df.queryExecution.executedPlan) <= 1,
+    assert(countShuffles(df.queryExecution.executedPlan) <= 1,
       df.queryExecution.executedPlan.toString)
   }
 

@@ -45,15 +45,7 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("q06_running_revenue_per_supplier")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan
-    def shuffles(p: SparkPlan): Int = {
-      val self = p match {
-        case _: ShuffleExchangeExec => 1
-        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-        case _ => 0
-      }
-      self + p.children.map(shuffles).sum
-    }
-    assert(shuffles(plan) <= 1, plan.toString)
+    assert(countShuffles(plan) <= 1, plan.toString)
   }
 
   test("etl01: battery + normalize chain is one codegen'd projection (no shuffle)") {
@@ -109,15 +101,7 @@ class PlanSpec extends SparkSpec {
   private def shuffleCount(name: String): Int = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect()
-    def shuffles(p: SparkPlan): Int = {
-      val self = p match {
-        case _: ShuffleExchangeExec => 1
-        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-        case _ => 0
-      }
-      self + p.children.map(shuffles).sum
-    }
-    shuffles(df.queryExecution.executedPlan)
+    countShuffles(df.queryExecution.executedPlan)
   }
 
   test("etl11: the SCD2 lag/lead/row_number windows share ONE shuffle") {

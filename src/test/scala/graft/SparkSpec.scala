@@ -8,6 +8,26 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = () // shared session, keep alive across suites
+
+  /** Count shuffle exchanges, traversing AQE wrappers: on an EXECUTED
+    * adaptive plan the shuffles live inside leaf QueryStageExec nodes, so
+    * a children-only walk reports ZERO and any `<= n` gate passes
+    * vacuously. Reused exchanges count 0 (no new shuffle happens).
+    */
+  def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val self = p match {
+      case _: ShuffleExchangeLike => 1
+      case _ => 0
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case qs: QueryStageExec => Seq(qs.plan)
+      case other => other.children
+    }
+    self + kids.map(countShuffles).sum
+  }
 }
 
 object SparkSpec {

@@ -35,7 +35,6 @@ class RetentionStreamSpec extends SparkSpec {
     } finally q.stop()
 
     val streamed = spark.table("retention_hits")
-      .select(col("user_id"), col("cohort_week"), col("week_offset")).distinct()
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("users"))
       .collect()
