@@ -302,10 +302,17 @@ object ExtQueries {
           col("band"), col("key"), col("sh").as("sh_a"))
         val b = banded.select(col("doc_id").as("doc_b"), col("lang"),
           col("band"), col("key"), col("sh").as("sh_b"))
+        // emit each pair only from its FIRST colliding band (every earlier
+        // band's keys must differ) — exactly-once without a dropDuplicates
+        // shuffle of the candidate set
+        val firstBandOnly = (0 until 11).map { j =>
+          col("band") <= j ||
+            shiftright(col("sh_a"), 5 * j).bitwiseAND(lit(31L)) =!=
+              shiftright(col("sh_b"), 5 * j).bitwiseAND(lit(31L))
+        }.reduce(_ && _)
         a.join(b, Seq("lang", "band", "key"))
           .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-          .dropDuplicates(Seq("doc_a", "doc_b")) // pairs collide in many bands
+          .filter(firstBandOnly)
           .select(col("doc_a"), col("doc_b"),
             Dedup.hamming(col("sh_a"), col("sh_b")).cast("long").as("dist"))
           .filter(col("dist") <= 10)
