@@ -439,5 +439,51 @@ object CorpusQueries {
             THEN 1 END) AS n_drift_days
         FROM j GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // RAG-prep chunking (pack01's retrieval sibling): 128-token windows at
+    // stride 96 (32-token overlap). Everything is computed in closed form
+    // INSIDE the projection — chunk count by integer division, per-chunk
+    // token sums via a higher-order fold over the chunk indices — so the
+    // corpus is scanned once with NO explode and the only shuffle is the
+    // final 4-row language rollup. Integer arithmetic end-to-end.
+    GraftQuery(
+      "pack02_chunk_overlap",
+      (s, d) => {
+        val W = 128L; val St = 96L
+        val n = TA.tokenCount(col("text")).cast("long")
+        val nc = when(col("n_tok") <= W, lit(1L))
+          .otherwise(expr(s"(n_tok - $W + ${St - 1}) DIV $St") + 1L)
+        val chunkToks = expr(
+          s"aggregate(sequence(0L, n_chunks - 1), 0L, (acc, i) -> acc + least($W, n_tok - $St * i))")
+        val fullChunks = expr(
+          s"aggregate(sequence(0L, n_chunks - 1), 0L, (acc, i) -> acc + IF(n_tok - $St * i >= $W, 1L, 0L))")
+        Tables.documents(s, d)
+          .select(col("lang"), n.as("n_tok"))
+          .withColumn("n_chunks", nc)
+          .withColumn("chunk_toks", chunkToks)
+          .withColumn("full_chunks", fullChunks)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chunks")).as("n_chunks"),
+            sum(col("chunk_toks")).as("n_chunk_tokens"),
+            sum(col("full_chunks")).as("n_full_chunks"))
+      },
+      Some(s"""WITH t AS (SELECT lang, ${TA.Sql.tokenCount("text")} AS n_tok FROM documents),
+          c AS (SELECT lang, n_tok,
+              CASE WHEN n_tok <= 128 THEN 1 ELSE (n_tok - 128 + 95) // 96 + 1 END AS n_chunks
+            FROM t),
+          p AS (SELECT lang, n_tok, n_chunks,
+              list_sum(list_transform(generate_series(0, n_chunks - 1),
+                i -> least(128, n_tok - 96 * i))) AS chunk_toks,
+              list_sum(list_transform(generate_series(0, n_chunks - 1),
+                i -> CASE WHEN n_tok - 96 * i >= 128 THEN 1 ELSE 0 END)) AS full_chunks
+            FROM c)
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+          CAST(sum(chunk_toks) AS BIGINT) AS n_chunk_tokens,
+          CAST(sum(full_chunks) AS BIGINT) AS n_full_chunks
+        FROM p GROUP BY 1"""),
+    ),
   )
 }

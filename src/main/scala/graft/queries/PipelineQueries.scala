@@ -617,5 +617,114 @@ object PipelineQueries {
           count(*) AS files, CAST(sum(n_chars) AS BIGINT) AS bytes
         FROM c GROUP BY 1, 2"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Bigram-LM perplexity scoring (the CCNet-style quality signal: docs
+    // whose text the corpus LM finds surprising score high). One pass
+    // explodes bigrams; counts c(w1,w2) and c(w1) are map-side-combinable
+    // groupBys; scoring joins the bigram frame back on its n-gram keys —
+    // the honest 100 TB shape: both count tables are corpus-scale, so the
+    // joins shuffle ON THE N-GRAM KEY (never broadcast, never driver-side).
+    // Per-bigram cost −ln P(w2|w1) = ln(c1/c12) quantizes to integer
+    // micro-nats per row (the text06 contract); per-doc sums and the
+    // integer-division average/band are then exact cross-engine.
+    GraftQuery(
+      "text13_ngram_perplexity",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
+          .select(col("doc_id"), col("lang"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .persist()
+        val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("cost_micro",
+            round(log(col("n1").cast("double") / col("n12")) * 1000000.0).cast("long"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_bg"), sum(col("cost_micro")).as("nll_micro"))
+          .withColumn("avg_micro", expr("nll_micro DIV n_bg"))
+          .withColumn("band", expr("(nll_micro DIV n_bg) DIV 500000"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, ${TA.Sql.tokens("text")} AS toks FROM documents),
+          bg AS (SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+            FROM t, UNNEST(generate_series(1, len(toks)-1)) AS u(i)
+            WHERE len(toks) >= 2),
+          c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+          c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+          cost AS (SELECT doc_id, lang,
+              CAST(round(ln(CAST(n1 AS DOUBLE)/n12)*1000000.0) AS BIGINT) AS cost_micro
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+          per AS (SELECT doc_id, lang, count(*) AS n_bg,
+              CAST(sum(cost_micro) AS BIGINT) AS nll_micro FROM cost GROUP BY 1, 2)
+        SELECT doc_id, lang, n_bg, nll_micro, nll_micro // n_bg AS avg_micro,
+          (nll_micro // n_bg) // 500000 AS band
+        FROM per"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Triangle counting over the part co-purchase graph (graph01's sibling:
+    // clustering-coefficient-style community signal). The graph build is
+    // scale-safe by construction — pairs are generated WITHIN an order
+    // (schema-bounded ≤7 lines, so pair generation is linear in lineitem,
+    // never all-pairs) and thresholded at support ≥ 2 (the frequent-itemset
+    // cut that keeps the edge set sparse). Counting uses degree-ordered
+    // edge orientation — every wedge is enumerated at its lowest-degree
+    // vertex, the standard O(m^1.5) bound that survives skewed hubs — then
+    // one semi-join back to the edge set closes triangles. Integer-only.
+    GraftQuery(
+      "graph02_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .select(col("u"), col("v"))
+          .persist()
+        val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        val ord = e
+          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("s"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("t"))
+        val wedge = ord.as("x").join(ord.as("y"),
+            col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+          .select(least(col("x.t"), col("y.t")).as("u"),
+            greatest(col("x.t"), col("y.t")).as("v"))
+        val tri = wedge.join(e, Seq("u", "v"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          deg AS (SELECT u AS node, count(*) AS dg
+            FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t(u) GROUP BY 1),
+          o AS (SELECT
+              CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END AS s,
+              CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END AS t
+            FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+          wedge AS (SELECT least(a.t, b.t) AS u, greatest(a.t, b.t) AS v
+            FROM o a JOIN o b ON a.s = b.s AND a.t < b.t)
+        SELECT (SELECT count(*) FROM wedge w JOIN e USING (u, v)) AS n_triangles,
+          (SELECT count(*) FROM e) AS n_edges,
+          (SELECT count(*) FROM deg) AS n_nodes"""),
+    ),
   )
 }
