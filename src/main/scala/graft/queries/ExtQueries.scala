@@ -461,6 +461,102 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // MMR diversified re-rank (Carbonell & Goldstein '98, λ=0.5): take each
+    // query's top-10 relevance candidates, then pick 3 greedily, each pick
+    // penalized by its max similarity to the already-picked set. The greedy
+    // loop UNROLLS to three window passes over the candidate frames — the
+    // per-query candidate set is k (constant), so the pairwise-similarity
+    // join is k² per query, independent of corpus size; the corpus itself
+    // is touched only by the sim01-style broadcast relevance scan. Scores
+    // quantize to integer micro-cosines, ties break on n_id — argmaxes are
+    // exact cross-engine.
+    GraftQuery(
+      "sim05_mmr_rerank",
+      (s, d) => {
+        val micro = (c: org.apache.spark.sql.Column) =>
+          round(c * 1000000.0).cast("long")
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+          .withColumn("nn", Similarity.norm(col("vec")))
+        val q = e.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("vec").as("q_vec"), col("nn").as("q_n"))
+        val cW = Window.partitionBy(col("q_id"))
+          .orderBy(col("rel_micro").desc, col("n_id").asc)
+        val cand = broadcast(q).crossJoin(
+            e.select(col("id").as("n_id"), col("vec").as("n_vec"), col("nn").as("n_n")))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), col("n_vec"), col("n_n"),
+            micro(Similarity.dot(col("q_vec"), col("n_vec")) /
+              (col("q_n") * col("n_n"))).as("rel_micro"))
+          .withColumn("rn", row_number().over(cW)).filter(col("rn") <= 10)
+          .persist()
+        val pairs = cand.as("a").join(cand.as("b"),
+            col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+          .select(col("a.q_id").as("q_id"), col("a.n_id").as("i"), col("b.n_id").as("j"),
+            micro(Similarity.dot(col("a.n_vec"), col("b.n_vec")) /
+              (col("a.n_n") * col("b.n_n"))).as("sim_micro"))
+          .persist()
+        val slim = cand.select(col("q_id"), col("n_id"), col("rel_micro"), col("rn"))
+        val p1 = slim.filter(col("rn") === 1)
+          .select(col("q_id"), col("n_id").as("c1"), col("rel_micro").as("rel1"))
+        val w2 = Window.partitionBy(col("q_id")).orderBy(col("score2").desc, col("n_id").asc)
+        val p2 = slim.join(p1, "q_id").filter(col("n_id") =!= col("c1"))
+          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
+            col("sim_micro")), Seq("q_id", "n_id", "c1"))
+          .withColumn("score2", col("rel_micro") - col("sim_micro"))
+          .withColumn("rn2", row_number().over(w2)).filter(col("rn2") === 1)
+          .select(col("q_id"), col("n_id").as("c2"), col("rel_micro").as("rel2"))
+        val w3 = Window.partitionBy(col("q_id")).orderBy(col("score3").desc, col("n_id").asc)
+        val p3 = slim.join(p1, "q_id").join(p2, "q_id")
+          .filter(col("n_id") =!= col("c1") && col("n_id") =!= col("c2"))
+          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
+            col("sim_micro").as("sim1")), Seq("q_id", "n_id", "c1"))
+          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c2"),
+            col("sim_micro").as("sim2")), Seq("q_id", "n_id", "c2"))
+          .withColumn("score3", col("rel_micro") - greatest(col("sim1"), col("sim2")))
+          .withColumn("rn3", row_number().over(w3)).filter(col("rn3") === 1)
+          .select(col("q_id"), col("n_id").as("c3"), col("rel_micro").as("rel3"))
+        p1.select(col("q_id"), lit(1L).as("pick"), col("c1").as("n_id"),
+            col("rel1").as("rel_micro"))
+          .unionAll(p2.select(col("q_id"), lit(2L).as("pick"), col("c2").as("n_id"),
+            col("rel2").as("rel_micro")))
+          .unionAll(p3.select(col("q_id"), lit(3L).as("pick"), col("c3").as("n_id"),
+            col("rel3").as("rel_micro")))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT id, v, sqrt(list_dot_product(v,v)) AS nn FROM e),
+        scored AS (SELECT a.id AS q_id, b.id AS n_id, b.v AS bv, b.nn AS bn,
+            CAST(round(list_dot_product(a.v,b.v)/(a.nn*b.nn)*1000000.0) AS BIGINT) AS rel_micro
+          FROM n a JOIN n b ON a.id < 20 AND b.id <> a.id),
+        cand AS (SELECT * FROM (SELECT q_id, n_id, bv, bn, rel_micro,
+            row_number() OVER (PARTITION BY q_id ORDER BY rel_micro DESC, n_id) AS rn FROM scored)
+          WHERE rn <= 10),
+        pairs AS (SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+            CAST(round(list_dot_product(a.bv,b.bv)/(a.bn*b.bn)*1000000.0) AS BIGINT) AS sim_micro
+          FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+        p1 AS (SELECT q_id, n_id AS c1, rel_micro AS rel1 FROM cand WHERE rn = 1),
+        s2 AS (SELECT c.q_id, c.n_id, c.rel_micro,
+            row_number() OVER (PARTITION BY c.q_id
+              ORDER BY c.rel_micro - p.sim_micro DESC, c.n_id) AS rn2
+          FROM cand c JOIN p1 ON p1.q_id = c.q_id
+            JOIN pairs p ON p.q_id = c.q_id AND p.i = c.n_id AND p.j = p1.c1
+          WHERE c.n_id <> p1.c1),
+        p2 AS (SELECT q_id, n_id AS c2, rel_micro AS rel2 FROM s2 WHERE rn2 = 1),
+        s3 AS (SELECT c.q_id, c.n_id, c.rel_micro,
+            row_number() OVER (PARTITION BY c.q_id
+              ORDER BY c.rel_micro - greatest(pa.sim_micro, pb.sim_micro) DESC, c.n_id) AS rn3
+          FROM cand c JOIN p1 ON p1.q_id = c.q_id JOIN p2 ON p2.q_id = c.q_id
+            JOIN pairs pa ON pa.q_id = c.q_id AND pa.i = c.n_id AND pa.j = p1.c1
+            JOIN pairs pb ON pb.q_id = c.q_id AND pb.i = c.n_id AND pb.j = p2.c2
+          WHERE c.n_id <> p1.c1 AND c.n_id <> p2.c2),
+        p3 AS (SELECT q_id, n_id AS c3, rel_micro AS rel3 FROM s3 WHERE rn3 = 1)
+        SELECT q_id, CAST(1 AS BIGINT) AS pick, c1 AS n_id, rel1 AS rel_micro FROM p1
+        UNION ALL SELECT q_id, 2, c2, rel2 FROM p2
+        UNION ALL SELECT q_id, 3, c3, rel3 FROM p3"""),
+    ),
+
+    // ------------------------------------------------------------------
     // multimodal pipeline plumbing (the codec is a deterministic stub —
     // this container ships no media libraries): wrap text bytes as binary
     // blobs with mime metadata, decode/feature-extract per partition,
