@@ -485,5 +485,40 @@ object CorpusQueries {
           CAST(sum(full_chunks) AS BIGINT) AS n_full_chunks
         FROM p GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Temperature-based mixture weights (the UnifiedQA / Pile recipe,
+    // alpha = 0.5): per (lang, source) the char mass n_i is raised to
+    // n_i^alpha and renormalized, flattening the head so low-resource
+    // sources are up-sampled. The corpus-scale stage is ONE map-side-
+    // combinable groupBy; the weight table is mixture-sized (#groups) and
+    // the grand total joins back as a broadcast scalar. Determinism:
+    // sqrt is IEEE-exact on integer inputs in both engines, micro-scaled
+    // to BIGINT before the sum, and each weight is a single double
+    // division of two BIGINTs rounded once — no float accumulation.
+    GraftQuery(
+      "mix01_temperature",
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .withColumn("s_micro", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+        val t = c.agg(sum(col("s_micro")).as("total"))
+        c.crossJoin(broadcast(t)).select(
+          col("lang"), col("source"), col("n_docs"), col("chars"), col("s_micro"),
+          round(col("s_micro") * 1000000.0 / col("total")).cast("long").as("weight_ppm"),
+          round(col("s_micro") * 100000.0 / col("total")).cast("long").as("take"))
+      },
+      Some("""WITH c AS (SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY 1, 2),
+        s AS (SELECT lang, source, n_docs, chars,
+            CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS s_micro FROM c),
+        t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS total FROM s)
+        SELECT lang, source, n_docs, chars, s_micro,
+          CAST(round(s_micro * 1000000.0 / total) AS BIGINT) AS weight_ppm,
+          CAST(round(s_micro * 100000.0 / total) AS BIGINT) AS take
+        FROM s, t"""),
+    ),
   )
 }

@@ -557,6 +557,59 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Shingle-set containment (quote / doc-in-doc detection): Jaccard
+    // misses a short document embedded in a long one (the union dilutes
+    // it), so the signal is |A∩B| / min(|A|,|B|) ≥ 0.9. Candidates come
+    // from the SAME MinHash-LSH banding as dedup03 (band key = shuffle
+    // key, never all-pairs); the exact set intersection then runs only on
+    // collisions, re-ranked through two doc_id-keyed joins against the
+    // persisted shingle-set frame. The threshold compare is pure integer
+    // arithmetic (inter·10⁶ ≥ 9·10⁵·min) — no float anywhere.
+    GraftQuery(
+      "dedup12_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
+          .withColumn("sig", Dedup.minhash(col("sh"), MinhashSeeds))
+          .persist() // shingle once; banding + both re-rank sides reuse
+        val banded = bandedKeys(docs, "doc_id")
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), col("sh"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+            size(col("sa")).cast("long").as("size_a"),
+            size(col("sb")).cast("long").as("size_b"))
+          .filter(col("inter") * 1000000L >= lit(900000L) * least(col("size_a"), col("size_b")))
+      },
+      Some {
+        val (sigExprs, bandKeys) = (sqlSigExprs, sqlBandKeys)
+        val unions = (0 until Bands).map { bd =>
+          s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
+        }.mkString(" UNION ")
+        s"""WITH sh AS (SELECT doc_id, ${sqlShingleHashes("text")} AS s FROM documents),
+          sigs AS (SELECT doc_id, $sigExprs FROM sh),
+          keys AS (SELECT doc_id, $bandKeys FROM sigs),
+          cand AS ($unions)
+        SELECT c.doc_a, c.doc_b,
+          CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+          CAST(len(a.s) AS BIGINT) AS size_a,
+          CAST(len(b.s) AS BIGINT) AS size_b
+        FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS BIGINT) * 1000000 >=
+          900000 * least(len(a.s), len(b.s))"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // multimodal pipeline plumbing (the codec is a deterministic stub —
     // this container ships no media libraries): wrap text bytes as binary
     // blobs with mime metadata, decode/feature-extract per partition,

@@ -16,6 +16,85 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** BPE trainer shared by vocab01 (emits the merge table) and vocab02
+    * (encodes the corpus with the final vocabulary): the corpus-scale stage
+    * is ONE token-frequency aggregate; the 3 greedy merge iterations then
+    * run on the vocabulary-sized word table. Returns (merge rows
+    * `it|pair|cnt`, final `token|freq|seq` frame after all merges).
+    */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val words = Tables.documents(s, d)
+      .select(explode(TA.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val s0 = words.withColumn("seq",
+      expr("concat(' ', left(regexp_replace(token, '(.)', '$1  '), " +
+        "length(regexp_replace(token, '(.)', '$1  ')) - 1))"))
+    def pairCounts(sq: DataFrame) = sq
+      .select(col("freq"), split(trim(col("seq")), "  ").as("syms"))
+      .select(col("freq"), explode(expr(
+        // guard: Spark's sequence(1, 0) counts DOWN, so single-symbol
+        // sequences must short-circuit to an empty pair list
+        "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) " +
+          "ELSE array() END")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    def bestOf(p: DataFrame) =
+      p.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+    var sq = s0
+    var out: DataFrame = null
+    for (it <- 1 to 3) {
+      val best = bestOf(pairCounts(sq))
+      val row = best.select(lit(it).as("it"), col("pair"), col("cnt"))
+      out = if (out == null) row else out.unionAll(row)
+      sq = sq.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .withColumn("seq", expr(
+          "replace(seq, concat(' ', replace(bp, ' ', '  '), ' '), " +
+            "concat(' ', replace(bp, ' ', ''), ' '))"))
+        .drop("bp")
+    }
+    (out, sq)
+  }
+
+  /** oracle mirror of [[bpeTrain]]: CTE chain ending at the merge picks
+    * b1/b2/b3 and the fully-merged word table s3.
+    */
+  private val sqlBpeChain: String = raw"""words AS (
+          SELECT token, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents)
+          WHERE token <> '' GROUP BY 1),
+        s0 AS (SELECT token, freq,
+            ' ' || left(regexp_replace(token, '(.)', '\1  ', 'g'),
+              length(regexp_replace(token, '(.)', '\1  ', 'g')) - 1) AS seq
+          FROM words),
+        p1 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s0),
+            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
+        b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        s1 AS (SELECT token, freq, replace(seq,
+            ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS seq FROM s0),
+        p2 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s1),
+            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
+        b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        s2 AS (SELECT token, freq, replace(seq,
+            ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS seq FROM s1),
+        p3 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
+            CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s2),
+            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
+        b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        s3 AS (SELECT token, freq, replace(seq,
+            ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
+            ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS seq FROM s2)"""
+
   val all: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------------
@@ -358,72 +437,42 @@ object PipelineQueries {
     // DuckDB oracle reproduces the trainer bit-for-bit.
     GraftQuery(
       "vocab01_bpe_merges",
-      (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(explode(TA.tokens(col("text"))).as("token"))
-          .filter(col("token") =!= "")
-          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-        val s0 = words.withColumn("seq",
-          expr("concat(' ', left(regexp_replace(token, '(.)', '$1  '), " +
-            "length(regexp_replace(token, '(.)', '$1  ')) - 1))"))
-        def pairCounts(sq: org.apache.spark.sql.DataFrame) = sq
-          .select(col("freq"), split(trim(col("seq")), "  ").as("syms"))
-          .select(col("freq"), explode(expr(
-            // guard: Spark's sequence(1, 0) counts DOWN, so single-symbol
-            // sequences must short-circuit to an empty pair list
-            "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), " +
-              "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) " +
-              "ELSE array() END")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        def bestOf(p: org.apache.spark.sql.DataFrame) =
-          p.orderBy(col("cnt").desc, col("pair").asc).limit(1)
-        var sq = s0
-        var out: org.apache.spark.sql.DataFrame = null
-        for (it <- 1 to 3) {
-          val best = bestOf(pairCounts(sq))
-          val row = best.select(lit(it).as("it"), col("pair"), col("cnt"))
-          out = if (out == null) row else out.unionAll(row)
-          sq = sq.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-            .withColumn("seq", expr(
-              "replace(seq, concat(' ', replace(bp, ' ', '  '), ' '), " +
-                "concat(' ', replace(bp, ' ', ''), ' '))"))
-            .drop("bp")
-        }
-        out
-      },
-      Some(raw"""WITH words AS (
-          SELECT token, count(*) AS freq FROM (
-            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-            FROM documents)
-          WHERE token <> '' GROUP BY 1),
-        s0 AS (SELECT token, freq,
-            ' ' || left(regexp_replace(token, '(.)', '\1  ', 'g'),
-              length(regexp_replace(token, '(.)', '\1  ', 'g')) - 1) AS seq
-          FROM words),
-        p1 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
-            CAST(sum(freq) AS BIGINT) AS cnt
-          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s0),
-            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
-        b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        s1 AS (SELECT token, freq, replace(seq,
-            ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS seq FROM s0),
-        p2 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
-            CAST(sum(freq) AS BIGINT) AS cnt
-          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s1),
-            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
-        b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        s2 AS (SELECT token, freq, replace(seq,
-            ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS seq FROM s1),
-        p3 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
-            CAST(sum(freq) AS BIGINT) AS cnt
-          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s2),
-            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
-        b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+      (s, d) => bpeTrain(s, d)._1,
+      Some(s"""WITH $sqlBpeChain
         SELECT 1 AS it, pair, cnt FROM b1
         UNION ALL SELECT 2, pair, cnt FROM b2
         UNION ALL SELECT 3, pair, cnt FROM b3"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // BPE corpus encoding (the apply side of vocab01's trainer): every
+    // token's post-merge symbol count comes from the vocabulary table, so
+    // the corpus-scale stage is explode-tokens + ONE broadcast join against
+    // the vocabulary (always dimension-sized — it grows with distinct
+    // tokens, not corpus bytes) + a doc_id-keyed count/sum that partial-
+    // aggregates map-side. The compression signal (n_tokens vs n_symbols)
+    // is what a tokenizer-fertility audit reads per document at 100 TB.
+    GraftQuery(
+      "vocab02_bpe_encode",
+      (s, d) => {
+        val vocab = bpeTrain(s, d)._2
+          .select(col("token"), size(split(trim(col("seq")), "  ")).as("n_syms"))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        toks.join(broadcast(vocab), "token")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("n_syms")).as("n_symbols"))
+      },
+      Some(raw"""WITH $sqlBpeChain,
+        vocab AS (SELECT token, len(string_split(trim(seq), '  ')) AS n_syms FROM s3),
+        toks AS (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(v.n_syms) AS BIGINT) AS n_symbols
+        FROM toks t JOIN vocab v ON t.token = v.token
+        WHERE t.token <> '' GROUP BY 1"""),
     ),
 
     // ------------------------------------------------------------------
