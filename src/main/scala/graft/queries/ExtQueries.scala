@@ -571,8 +571,11 @@ object ExtQueries {
         val docs = Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
-            Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
-          .withColumn("sig", Dedup.minhash(col("sh"), MinhashSeeds))
+            Dedup.shingleHashesFused(col("text"), Shingle).as("sh"),
+            // fused one-pass signature (identical values to minhash(sh) —
+            // MinhashSigSpec); the composed form would re-traverse the
+            // shingle array 16 times per doc
+            Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist() // shingle once; banding + both re-rank sides reuse
         val banded = bandedKeys(docs, "doc_id")
         val cand = banded.as("x").join(banded.as("y"),

@@ -169,4 +169,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("mix01: the grand total joins back as a broadcast scalar; group agg is partial") {
+    val p = planOf("mix01_temperature")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("dedup12: candidates come from band equi-joins, never a cartesian product") {
+    val p = planOf("dedup12_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("vocab02: the vocabulary joins as a broadcast dimension") {
+    val p = planOf("vocab02_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sim05: only the 20-query probe side broadcasts; candidate joins are keyed") {
+    val p = planOf("sim05_mmr_rerank")
+    // the deliberate nested-loop join is broadcast(q) × corpus — O(N·|q|);
+    // it must be the broadcast form, never an unbroadcast cartesian, and
+    // the MMR stage joins are all q_id/candidate-keyed hash joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
