@@ -26,20 +26,31 @@ object Clustering {
 
   val Quant: Double = 1048576.0 // 2^20 — centroid component quantization
 
-  /** argmin cluster id over centroid literals for a double-array column. */
-  def assign(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
+  /** per-centroid squared distances, same association in both engines. */
+  private def distsTo(v: Column, cents: Seq[(Int, Array[Double])]): Seq[(Int, Column)] = {
     val dvv = Similarity.dot(v, v)
-    val dists = cents.map { case (cid, c) =>
+    cents.map { case (cid, c) =>
       // c·c folded sequentially on the driver — same left-to-right order
       // as the engines' list dot products
       val dcc = c.foldLeft(0.0)((acc, x) => acc + x * x)
       cid -> ((dvv + lit(dcc)) - lit(2.0) * Similarity.dotLit(v, c))
     }
+  }
+
+  /** argmin cluster id over centroid literals for a double-array column. */
+  def assign(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
+    val dists = distsTo(v, cents)
     val best = dists.map(_._2).reduce(least(_, _))
     dists.foldRight(lit(-1)) { case ((cid, dist), el) =>
       when(dist === best, lit(cid)).otherwise(el)
     } // foldRight → first (lowest-cid) match wins on ties
   }
+
+  /** squared distance to the NEAREST centroid — what the assignment ranked
+    * on; the per-row unit of inertia (model QC).
+    */
+  def minDist(v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    distsTo(v, cents).map(_._2).reduce(least(_, _))
 
   /** one update step: quantized per-dimension means of the assigned
     * vectors, collected to driver literals (k·dim values).
@@ -127,7 +138,15 @@ object Clustering {
   /** `iters` Lloyd rounds from the first-k init; returns the frame with the
     * final assignment in `cid`. `df` must carry (vec_id, v: array<double>).
     */
-  def kmeans(df: DataFrame, k: Int, dim: Int, iters: Int): DataFrame = {
+  def kmeans(df: DataFrame, k: Int, dim: Int, iters: Int): DataFrame =
+    kmeansWithCents(df, k, dim, iters)._1
+
+  /** kmeans plus the FINAL centroid literals — for consumers that score the
+    * model itself (inertia / max-distance QC) rather than the assignment.
+    */
+  def kmeansWithCents(
+      df: DataFrame, k: Int, dim: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Array[Double])]) = {
     var cents = df.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v"))
       .collect()
@@ -138,6 +157,6 @@ object Clustering {
       cents = updateCentroids(assigned, dim)
       assigned = df.withColumn("cid", assign(col("v"), cents))
     }
-    assigned
+    (assigned, cents)
   }
 }

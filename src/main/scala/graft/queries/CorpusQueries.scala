@@ -51,7 +51,9 @@ object CorpusQueries {
   private def sqlKmeans2Ctes: String = {
     val Q = Clustering.Quant
     def distRank(cents: String) =
-      s"""SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+      s"""SELECT vec_id, v, cid,
+        list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c) AS dst,
+        row_number() OVER (PARTITION BY vec_id
         ORDER BY list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c), cid) AS rn
       FROM e CROSS JOIN $cents"""
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -63,7 +65,7 @@ object CorpusQueries {
         FROM s1, UNNEST(generate_series(0, ${KmeansDim - 1})) AS g(d) GROUP BY cid, d),
       c1 AS (SELECT cid, list((sq / $Q) / n ORDER BY d) AS c FROM u1 GROUP BY cid),
       a2 AS (${distRank("c1")}),
-      s2 AS (SELECT vec_id, v, cid FROM a2 WHERE rn = 1)"""
+      s2 AS (SELECT vec_id, v, cid, dst FROM a2 WHERE rn = 1)"""
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -519,6 +521,91 @@ object CorpusQueries {
           CAST(round(s_micro * 1000000.0 / total) AS BIGINT) AS weight_ppm,
           CAST(round(s_micro * 100000.0 / total) AS BIGINT) AS take
         FROM s, t"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Expectation-suite QC (the Deequ/Great-Expectations shape): five
+    // declared checks — completeness, key uniqueness, value-domain,
+    // numeric bounds, regex pattern — evaluated in ONE aggregate pass over
+    // the fact table (the distinct-count check rides Spark's expand in the
+    // same job), then pivoted to a check-report of rows. At 100 TB the
+    // whole suite is one scan; each metric is an exact integer count and
+    // each ppm is a single rounded division of two BIGINTs.
+    GraftQuery(
+      "qc04_expectations",
+      (s, d) => {
+        val a = Tables.orders(s, d).agg(
+          count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("c_nn"),
+          countDistinct(col("o_orderkey")).as("u_key"),
+          count(when(col("o_orderstatus").isin("O", "F", "P"), lit(1))).as("c_status"),
+          count(when(col("o_totalprice").between(1000, 200000), lit(1))).as("c_price"),
+          count(when(col("o_orderpriority").rlike("^[1-3]-"), lit(1))).as("c_prio"))
+        def check(name: String, c: org.apache.spark.sql.Column) =
+          struct(lit(name).as("chk"),
+            round(c * 1000000.0 / col("n")).cast("long").as("observed_ppm"),
+            (col("n") - c).as("violations"))
+        a.select(explode(array(
+            check("completeness_priority", col("c_nn")),
+            check("uniqueness_orderkey", col("u_key")),
+            check("domain_status", col("c_status")),
+            check("bounds_totalprice", col("c_price")),
+            check("pattern_priority", col("c_prio")))).as("c"))
+          .select(col("c.chk").as("chk"), col("c.observed_ppm").as("observed_ppm"),
+            col("c.violations").as("violations"))
+          .withColumn("passed", (col("violations") === 0).cast("int"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS n,
+            count(o_orderpriority) AS c_nn,
+            count(DISTINCT o_orderkey) AS u_key,
+            count(*) FILTER (o_orderstatus IN ('O','F','P')) AS c_status,
+            count(*) FILTER (o_totalprice BETWEEN 1000 AND 200000) AS c_price,
+            count(*) FILTER (regexp_matches(o_orderpriority, '^[1-3]-')) AS c_prio
+          FROM orders),
+        r AS (
+          SELECT 'completeness_priority' AS chk,
+            CAST(round(c_nn*1000000.0/n) AS BIGINT) AS observed_ppm, n - c_nn AS violations FROM a
+          UNION ALL SELECT 'uniqueness_orderkey',
+            CAST(round(u_key*1000000.0/n) AS BIGINT), n - u_key FROM a
+          UNION ALL SELECT 'domain_status',
+            CAST(round(c_status*1000000.0/n) AS BIGINT), n - c_status FROM a
+          UNION ALL SELECT 'bounds_totalprice',
+            CAST(round(c_price*1000000.0/n) AS BIGINT), n - c_price FROM a
+          UNION ALL SELECT 'pattern_priority',
+            CAST(round(c_prio*1000000.0/n) AS BIGINT), n - c_prio FROM a)
+        SELECT chk, observed_ppm, violations,
+          CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+        FROM r"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // K-means model QC (inertia / worst-fit): per cluster, the exact sum
+    // and max of squared distance to the FINAL centroids — the number an
+    // IVF index build reads to decide whether k was large enough. Rides
+    // the clust01 trainer (bit-identical iterations); the scoring pass is
+    // one centroid-literal projection + one map-side-combinable groupBy,
+    // with each distance micro-rounded to BIGINT before the sum (never a
+    // float accumulation).
+    GraftQuery(
+      "clust02_inertia",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .persist()
+        val (assigned, cents) = Clustering.kmeansWithCents(e, KmeansK, KmeansDim, iters = 2)
+        assigned
+          .withColumn("dst_micro",
+            round(Clustering.minDist(col("v"), cents) * 1000000.0).cast("long"))
+          .groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("dst_micro")).as("inertia_micro"),
+            max(col("dst_micro")).as("max_dist_micro"))
+      },
+      Some(s"""WITH $sqlKmeans2Ctes
+        SELECT cid AS cluster, count(*) AS n_vecs,
+          CAST(sum(CAST(round(dst * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_micro,
+          max(CAST(round(dst * 1000000.0) AS BIGINT)) AS max_dist_micro
+        FROM s2 GROUP BY cid"""),
     ),
   )
 }

@@ -557,6 +557,39 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Flesch reading-ease readability (quality-signal family): words,
+    // sentence-ending punctuation runs, and vowel-group "syllables" are
+    // exact regexp counts; the score is ONE fixed-order double expression
+    // of two integer ratios, micro-rounded once — textually mirrored in
+    // the oracle (DuckDB decimal literals written as e0 doubles). A pure
+    // projection: no shuffle, no UDF, whole-stage codegen end to end.
+    GraftQuery(
+      "text14_readability",
+      (s, d) => {
+        val w = TA.tokenCount(col("text")).cast("long")
+        val sents = greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+        val syl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+        Tables.documents(s, d).select(
+          col("doc_id"), w.as("n_words"), sents.as("n_sents"), syl.as("n_syll"))
+          .withColumn("flesch_micro",
+            round((lit(206.835) - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+              - lit(84.6) * (col("n_syll").cast("double") / col("n_words"))) * 1000000.0)
+              .cast("long"))
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+            CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS n_words,
+            CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+          FROM documents)
+        SELECT doc_id, n_words, n_sents, n_syll,
+          CAST(round((206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sents)
+            - 84.6e0 * (CAST(n_syll AS DOUBLE) / n_words)) * 1000000.0) AS BIGINT)
+            AS flesch_micro
+        FROM c"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Shingle-set containment (quote / doc-in-doc detection): Jaccard
     // misses a short document embedded in a long one (the union dilutes
     // it), so the signal is |A∩B| / min(|A|,|B|) ≥ 0.9. Candidates come

@@ -187,6 +187,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("text14: readability scoring is a pure codegen projection, no shuffle") {
+    val df = SparkEntry.queries("text14_readability")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*("), p)
+  }
+
+  test("qc04: the expectation suite aggregates partially before one reduce") {
+    val p = planOf("qc04_expectations")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("clust02: inertia scoring assigns via centroid literals — no join at all") {
+    val p = planOf("clust02_inertia")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim05: only the 20-query probe side broadcasts; candidate joins are keyed") {
     val p = planOf("sim05_mmr_rerank")
     // the deliberate nested-loop join is broadcast(q) × corpus — O(N·|q|);
