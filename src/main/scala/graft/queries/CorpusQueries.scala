@@ -607,5 +607,36 @@ object CorpusQueries {
           max(CAST(round(dst * 1000000.0) AS BIGINT)) AS max_dist_micro
         FROM s2 GROUP BY cid"""),
     ),
+
+    // ------------------------------------------------------------------
+    // k-anonymity audit (privacy QC before a data release): group sizes
+    // over the quasi-identifier tuple (nation, segment, rounded balance
+    // band); any combination shared by fewer than k=5 individuals is
+    // re-identifiable. Two map-side-combinable aggregations — QI-tuple
+    // sizes, then a segment-level rollup of the risk — with the fact table
+    // scanned ONCE; the audit output is segment-sized at any corpus scale.
+    GraftQuery(
+      "qc05_kanonymity",
+      (s, d) => {
+        val g = Tables.customer(s, d)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(round(c_acctbal) AS BIGINT) DIV 1000").as("bal_band"))
+          .agg(count(lit(1)).as("sz"))
+        g.groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_combos"),
+            count(when(col("sz") < 5, lit(1))).as("risky_combos"),
+            sum(when(col("sz") < 5, col("sz")).otherwise(lit(0L))).as("risky_rows"),
+            min(col("sz")).as("min_group"),
+            max(col("sz")).as("max_group"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+            CAST(round(c_acctbal) AS BIGINT) // 1000 AS bal_band, count(*) AS sz
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT c_mktsegment AS segment, count(*) AS n_combos,
+          count(*) FILTER (sz < 5) AS risky_combos,
+          CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+          min(sz) AS min_group, max(sz) AS max_group
+        FROM g GROUP BY 1"""),
+    ),
   )
 }

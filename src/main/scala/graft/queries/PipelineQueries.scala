@@ -775,5 +775,89 @@ object PipelineQueries {
           (SELECT count(*) FROM e) AS n_edges,
           (SELECT count(*) FROM deg) AS n_nodes"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Market-basket association rules (support / confidence / lift): the
+    // corpus-scale stages are ONE distinct over (basket, item) and ONE
+    // basket-local self-join — baskets are bounded (≤7 lines per order),
+    // so the pair fan-out is linear in orders, never quadratic in items.
+    // The item-frequency and pair tables are vocabulary-sized (25 brands →
+    // ≤600 rules at ANY corpus scale) and join back as broadcasts. Every
+    // metric is one textually-mirrored double expression over exact BIGINT
+    // counts, rounded once.
+    GraftQuery(
+      "assoc01_basket_rules",
+      (s, d) => {
+        val b = Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+          .distinct()
+          .persist() // basket-item pairs feed n/i/pr without a re-scan
+        val n = b.agg(countDistinct(col("ok")).as("n_baskets"))
+        val i = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+        val pr = b.as("a").join(b.as("c"),
+            col("a.ok") === col("c.ok") && col("a.item") =!= col("c.item"))
+          .groupBy(col("a.item").as("ante"), col("c.item").as("cons"))
+          .agg(count(lit(1)).as("c_ab"))
+        pr
+          .join(broadcast(i.select(col("item").as("ante"), col("c_item").as("c_a"))), "ante")
+          .join(broadcast(i.select(col("item").as("cons"), col("c_item").as("c_b"))), "cons")
+          .crossJoin(broadcast(n))
+          .select(col("ante"), col("cons"), col("c_ab"),
+            round(col("c_ab") * 1000000.0 / col("n_baskets")).cast("long").as("supp_ppm"),
+            round(col("c_ab") * 1000000.0 / col("c_a")).cast("long").as("conf_ppm"),
+            round(col("c_ab").cast("double") * col("n_baskets") / col("c_a") / col("c_b")
+              * 1000000.0).cast("long").as("lift_micro"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+          i AS (SELECT item, count(*) AS c_item FROM b GROUP BY 1),
+          pr AS (SELECT a.item AS ante, c.item AS cons, count(*) AS c_ab
+            FROM b a JOIN b c ON a.ok = c.ok AND a.item <> c.item GROUP BY 1, 2)
+        SELECT pr.ante, pr.cons, pr.c_ab,
+          CAST(round(pr.c_ab * 1000000.0 / n.n_baskets) AS BIGINT) AS supp_ppm,
+          CAST(round(pr.c_ab * 1000000.0 / ia.c_item) AS BIGINT) AS conf_ppm,
+          CAST(round(CAST(pr.c_ab AS DOUBLE) * n.n_baskets / ia.c_item / ib.c_item
+            * 1000000.0) AS BIGINT) AS lift_micro
+        FROM pr JOIN i ia ON ia.item = pr.ante JOIN i ib ON ib.item = pr.cons, n"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Gap-filled daily resample (time-series regularization): each user's
+    // activity is re-emitted on a dense per-user calendar — days without
+    // events appear as explicit zero rows. The calendar explodes from the
+    // per-user (min_day, max_day) span (bounded by the corpus time window,
+    // never by row count) and the left join back to the daily counts is
+    // (user_id, day)-keyed — at 100 TB both sides shuffle once on the same
+    // key. Days render as strings so the cross-engine compare is
+    // type-stable.
+    GraftQuery(
+      "ev16_resample",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val per = days.groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val cal = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        cal.join(per, Seq("user_id", "day"), "left")
+          .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("n_events").isNull.cast("int").as("gap"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+          per AS (SELECT user_id, day, count(*) AS n_events FROM e GROUP BY 1, 2),
+          span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+          cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM span)
+        SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+          COALESCE(p.n_events, 0) AS n_events,
+          CAST(CASE WHEN p.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER) AS gap
+        FROM cal c LEFT JOIN per p ON p.user_id = c.user_id AND p.day = c.day"""),
+    ),
   )
 }

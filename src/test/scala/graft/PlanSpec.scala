@@ -205,6 +205,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("assoc01: pair generation is basket-keyed; rule metrics join as broadcasts") {
+    val p = planOf("assoc01_basket_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("qc05: the k-anonymity rollup aggregates partially before the shuffle") {
+    val p = planOf("qc05_kanonymity")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ev16: the calendar gap-fill join is (user, day)-keyed, never nested-loop") {
+    val p = planOf("ev16_resample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sim05: only the 20-query probe side broadcasts; candidate joins are keyed") {
     val p = planOf("sim05_mmr_rerank")
     // the deliberate nested-loop join is broadcast(q) × corpus — O(N·|q|);
