@@ -489,6 +489,52 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Materialized RAG chunk table (the table pack02 only plans): every
+    // (doc, window) becomes a row with its token span and a 60-bit
+    // CONTENT-ADDRESSED hash of the chunk text — the key a retrieval store
+    // dedups and upserts on. W=32 / stride=24 so multi-chunk splitting is
+    // actually exercised at test SFs. One projection + one bounded explode
+    // (chunks per doc = ceil(tokens/stride), linear in corpus tokens); no
+    // shuffle at all — at 100 TB this writes straight to the chunk store.
+    GraftQuery(
+      "pack03_chunk_table",
+      (s, d) => {
+        val W = 32; val St = 24
+        val toks = TA.tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n_tok"))
+          .withColumn("n_chunks",
+            when(col("n_tok") <= W, lit(1L))
+              .otherwise(expr(s"(n_tok - $W + ${St - 1}) DIV $St") + 1L))
+        base
+          .select(col("doc_id"), col("toks"), col("n_tok"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("toks"), col("chunk_id"),
+            (col("chunk_id") * St).as("start_tok"),
+            least(lit(W.toLong), col("n_tok") - col("chunk_id") * St).as("chunk_len"))
+          .withColumn("chunk_hash", TA.hash60(array_join(
+            expr(s"slice(toks, CAST(chunk_id * $St + 1 AS INT), CAST(chunk_len AS INT))"), " ")))
+          .drop("toks")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS toks,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, toks, n_tok,
+            CASE WHEN n_tok <= 32 THEN 1 ELSE (n_tok - 32 + 23) // 24 + 1 END AS n_chunks
+          FROM t),
+        x AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_id,
+            CAST(24 * i AS BIGINT) AS start_tok,
+            CAST(least(32, n_tok - 24 * i) AS BIGINT) AS chunk_len
+          FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i))
+        SELECT doc_id, chunk_id, start_tok, chunk_len,
+          ${TA.Sql.hash60(
+            "array_to_string(toks[CAST(start_tok + 1 AS INT) : CAST(start_tok + chunk_len AS INT)], ' ')")}
+            AS chunk_hash
+        FROM x"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Temperature-based mixture weights (the UnifiedQA / Pile recipe,
     // alpha = 0.5): per (lang, source) the char mass n_i is raised to
     // n_i^alpha and renormalized, flattening the head so low-resource

@@ -222,6 +222,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("pack03: the chunk table is explode + projection — no shuffle at all") {
+    val df = SparkEntry.queries("pack03_chunk_table")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("sim05: only the 20-query probe side broadcasts; candidate joins are keyed") {
     val p = planOf("sim05_mmr_rerank")
     // the deliberate nested-loop join is broadcast(q) × corpus — O(N·|q|);
