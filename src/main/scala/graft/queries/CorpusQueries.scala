@@ -684,5 +684,93 @@ object CorpusQueries {
           min(sz) AS min_group, max(sz) AS max_group
         FROM g GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1): the
+    // seven standard document heuristics — word-count band, mean-word-length
+    // band, symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    // alphabetic-word fraction, minimum stopword hits — each evaluated as an
+    // INTEGER cross-multiplication (never a float ratio), so the pass/fail
+    // bit is engine-exact. One projection over the corpus scan + one
+    // map-side-combinable groupBy: at 100 TB this is a pure scan-rate
+    // operator with a (lang, source)-sized output. The id_sum checksum over
+    // full-pass documents makes the oracle sensitive to exactly WHICH
+    // documents pass, not just how many.
+    GraftQuery(
+      "curate01_gopher_rules",
+      (s, d) => {
+        val c = col("text")
+        val toks = TA.tokens(c)
+        val nWords = size(toks)
+        // chars excluding the n-1 single-space separators of normalized text
+        val letters = length(c) - (nWords - 1)
+        val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
+        val nSym = size(regexp_extract_all(c, lit("#"), lit(0))) +
+          size(regexp_extract_all(c, lit("\\.\\.\\."), lit(0)))
+        val lines = split(c, "\n", -1)
+        val nLines = size(lines)
+        val nBullet = size(filter(lines, l =>
+          startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* "))))
+        val nEll = size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+        val rules = Seq(
+          "p_words" -> nWords.between(50, 100000),
+          "p_meanlen" -> (lit(3) * nWords <= letters && letters <= lit(10) * nWords),
+          "p_symbol" -> (lit(10) * nSym <= nWords),
+          "p_bullet" -> (lit(10) * nBullet <= lit(9) * nLines),
+          "p_ellipsis" -> (lit(10) * nEll <= lit(3) * nLines),
+          "p_alpha" -> (lit(5) * nAlpha >= lit(4) * nWords),
+          "p_stop" -> (TA.stopwordCount(c) >= 2))
+        val flagged = Tables.documents(s, d).select(
+          col("doc_id") +: col("lang") +: col("source") +:
+            rules.map { case (n, r) => r.cast("int").as(n) }: _*)
+        val passAll = rules.map(r => col(r._1) === 1).reduce(_ && _)
+        val aggs = count(lit(1)).as("n_docs") +:
+          rules.map { case (n, _) => sum(col(n)).as(n) } :+
+          count(when(passAll, lit(1))).as("n_pass_all") :+
+          coalesce(sum(when(passAll, col("doc_id"))), lit(0L)).as("id_sum")
+        flagged
+          .groupBy(col("lang"), col("source"))
+          .agg(aggs.head, aggs.tail: _*)
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH f AS (SELECT doc_id, lang, source,
+            len($toks) AS n_words,
+            length(text) - (len($toks) - 1) AS letters,
+            len(list_filter($toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+            len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+            len(string_split(text, chr(10))) AS n_lines,
+            len(list_filter(string_split(text, chr(10)),
+              l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS n_bullet,
+            len(list_filter(string_split(text, chr(10)),
+              l -> ends_with(rtrim(l), '...'))) AS n_ell,
+            ${TA.Sql.stopwordCount("text")} AS n_stop
+          FROM documents),
+        r AS (SELECT doc_id, lang, source,
+            CAST(n_words BETWEEN 50 AND 100000 AS INT) AS p_words,
+            CAST(3*n_words <= letters AND letters <= 10*n_words AS INT) AS p_meanlen,
+            CAST(10*n_sym <= n_words AS INT) AS p_symbol,
+            CAST(10*n_bullet <= 9*n_lines AS INT) AS p_bullet,
+            CAST(10*n_ell <= 3*n_lines AS INT) AS p_ellipsis,
+            CAST(5*n_alpha >= 4*n_words AS INT) AS p_alpha,
+            CAST(n_stop >= 2 AS INT) AS p_stop
+          FROM f)
+        SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(p_words) AS BIGINT) AS p_words,
+          CAST(sum(p_meanlen) AS BIGINT) AS p_meanlen,
+          CAST(sum(p_symbol) AS BIGINT) AS p_symbol,
+          CAST(sum(p_bullet) AS BIGINT) AS p_bullet,
+          CAST(sum(p_ellipsis) AS BIGINT) AS p_ellipsis,
+          CAST(sum(p_alpha) AS BIGINT) AS p_alpha,
+          CAST(sum(p_stop) AS BIGINT) AS p_stop,
+          count(*) FILTER (p_words=1 AND p_meanlen=1 AND p_symbol=1 AND p_bullet=1
+            AND p_ellipsis=1 AND p_alpha=1 AND p_stop=1) AS n_pass_all,
+          coalesce(CAST(sum(doc_id) FILTER (p_words=1 AND p_meanlen=1 AND p_symbol=1
+            AND p_bullet=1 AND p_ellipsis=1 AND p_alpha=1 AND p_stop=1) AS BIGINT), 0)
+            AS id_sum
+        FROM r GROUP BY 1, 2"""
+      },
+    ),
   )
 }
