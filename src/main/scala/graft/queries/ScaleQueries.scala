@@ -703,5 +703,68 @@ object ScaleQueries {
           ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 4 HOUR"""),
     ),
+
+    // ------------------------------------------------------------------
+    // k-NN graph build over the WHOLE embedding corpus (the SemDeDup /
+    // kNN-LM / graph-clustering substrate): every vector gets its top-3
+    // cosine neighbors among SRP-LSH candidates. Unlike sim04 (20 probe
+    // queries), both join sides are the full corpus, so the plan keeps the
+    // shuffled payload to IDS ONLY — band-key equi-join emits (q_id, n_id)
+    // pairs, the distinct dedupes across bands on ids alone, and vectors
+    // re-attach by two keyed joins before the exact re-rank. At 100 TB the
+    // band key-width is the build parameter that bounds bucket sizes (more
+    // bits → smaller buckets); pair work stays linear in Σ|bucket|², never
+    // a global N².
+    GraftQuery(
+      "sim06_knn_graph",
+      (s, d) => {
+        val weights = srpWeights(16, 64)
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
+          .withColumn("sig", srpSignature(col("v"), weights))
+          .withColumn("nrm", Similarity.norm(col("v")))
+          .persist()
+        val bandedK = e.select(col("id"), explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), 4 * b).bitwiseAND(lit(15)).as("key"))
+          }: _*)).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.key"))
+        val pairs = bandedK.select(col("id").as("q_id"), col("band"), col("key"))
+          .join(bandedK.select(col("id").as("n_id"), col("band"), col("key")),
+            Seq("band", "key"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"))
+          .distinct()
+        val cand = pairs
+          .join(e.select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n")),
+            Seq("q_id"))
+          .join(e.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_n")),
+            Seq("n_id"))
+          .select(col("q_id"), col("n_id"),
+            (Similarity.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+        cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      },
+      Some {
+        val sig = sqlSrpSignature("v", 16, 64)
+        val bandJoins = (0 until 4).map { b =>
+          s"""SELECT q.id AS q_id, n.id AS n_id FROM sigs q JOIN sigs n
+            ON q.id <> n.id
+            AND ((q.sig >> ${4 * b}) & 15) = ((n.sig >> ${4 * b}) & 15)"""
+        }.mkString(" UNION ")
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+          sigs AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm, $sig AS sig FROM e),
+          pairs AS ($bandJoins),
+          cand AS (SELECT p.q_id, p.n_id,
+              list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+            FROM pairs p JOIN sigs q ON q.id = p.q_id JOIN sigs n ON n.id = p.n_id)
+        SELECT q_id, n_id, cos, rnk FROM (
+          SELECT q_id, n_id, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+          FROM cand)
+        WHERE rnk <= 3"""
+      },
+    ),
   )
 }
