@@ -357,5 +357,64 @@ object EtlQueries {
           FROM all_rows)
         WHERE rn = 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // SCD2 point-in-time lookup: each lineitem resolves the customer's
+    // status AS OF its ship date against the etl11 slowly-changing history
+    // (valid_from ≤ ship < valid_to, open-ended last version). The dim
+    // attach is an EQUI-join on custkey with the interval as a residual
+    // filter — per-key history is a handful of versions at any corpus
+    // scale, so the join never degenerates to a range cross product; the
+    // fact table flows through one orderkey shuffle (to pick up custkey)
+    // and one custkey shuffle. Ships before a customer's first version
+    // surface as 'none' — the left-join contract an incremental warehouse
+    // needs for late facts.
+    GraftQuery(
+      "etl16_scd2_lookup",
+      (s, d) => {
+        val hw = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val hist = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey"))
+          .withColumn("prev", lag(col("o_orderstatus"), 1).over(hw))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+          .select(col("o_custkey").as("h_custkey"),
+            col("o_orderstatus").as("h_status"),
+            col("o_orderdate").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(hw).as("valid_to"))
+        val facts = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"),
+            col("l_quantity"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+        facts.join(hist,
+            col("o_custkey") === col("h_custkey") &&
+              col("valid_from") <= col("l_shipdate") &&
+              (col("valid_to").isNull || col("l_shipdate") < col("valid_to")),
+            "left")
+          .groupBy(coalesce(col("h_status"), lit("none")).as("status"),
+            col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            graft.core.Determinism.intSum(col("l_quantity")).as("qty_sum"))
+      },
+      Some(s"""WITH m AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+              lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders),
+          hist AS (SELECT o_custkey AS h_custkey, o_orderstatus AS h_status,
+              o_orderdate AS valid_from,
+              lead(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS valid_to
+            FROM (SELECT * FROM m WHERE prev IS NULL OR prev <> o_orderstatus)),
+          facts AS (SELECT l.l_shipdate, l.l_returnflag, l.l_quantity, o.o_custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT coalesce(h.h_status, 'none') AS status, f.l_returnflag,
+          count(*) AS n, ${graft.core.Determinism.sqlIntSum("f.l_quantity")} AS qty_sum
+        FROM facts f LEFT JOIN hist h
+          ON f.o_custkey = h.h_custkey AND h.valid_from <= f.l_shipdate
+          AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+        GROUP BY 1, 2"""),
+    ),
   )
 }
