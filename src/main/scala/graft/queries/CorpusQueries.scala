@@ -772,5 +772,107 @@ object CorpusQueries {
         FROM r GROUP BY 1, 2"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Length-bucketed batching audit: documents bin to the smallest
+    // power-of-two token capacity that holds them (the standard bucketing
+    // that keeps padding waste bounded when batching variable-length
+    // sequences). Per bucket: docs, real tokens, padded slots wasted, and
+    // waste ppm — the numbers that decide whether the bucket boundaries
+    // need to move. Pure integer arithmetic over one corpus projection +
+    // one ≤12-cell groupBy; at 100 TB it's a scan-rate operator.
+    GraftQuery(
+      "pack04_length_buckets",
+      (s, d) => {
+        val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+        val n = TA.tokenCount(col("text"))
+        val cap = caps.foldRight(lit(16384): org.apache.spark.sql.Column) {
+          (c, el) => when(n <= c, lit(c)).otherwise(el)
+        }
+        Tables.documents(s, d)
+          .select(cap.as("bin_cap"), n.cast("long").as("ntok"))
+          .groupBy(col("bin_cap"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+          .withColumn("waste", col("bin_cap") * col("n_docs") - col("tok_sum"))
+          .withColumn("waste_ppm",
+            round(col("waste") * lit(1000000.0) / (col("bin_cap") * col("n_docs")))
+              .cast("long"))
+      },
+      Some {
+        val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+        val chain = caps.map(c => s"WHEN n <= $c THEN $c").mkString(" ")
+        s"""WITH t AS (SELECT CASE $chain ELSE 16384 END AS bin_cap, n FROM
+            (SELECT ${TA.Sql.tokenCount("text")} AS n FROM documents)),
+          g AS (SELECT bin_cap, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_sum
+            FROM t GROUP BY 1)
+        SELECT bin_cap, n_docs, bin_cap * n_docs - tok_sum AS waste,
+          CAST(round((bin_cap * n_docs - tok_sum) * 1000000.0e0
+            / (bin_cap * n_docs)) AS BIGINT) AS waste_ppm, tok_sum
+        FROM g"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Population-stability-index drift audit (the standard scorecard drift
+    // metric, complementing qc02's mean-shift test): event values bin to 8
+    // fixed-width cells, the month splits in half by calendar day, and
+    // PSI = Σ (p_a − p_b)·ln(p_a/p_b) with add-one smoothing so empty
+    // cells stay finite. The bin grid is enumerated (type × 8) so absent
+    // cells contribute their smoothed term exactly; each term micro-rounds
+    // to an integer before the order-free sum. Two map-side-combinable
+    // aggregations + a broadcast of the (type, split)-sized totals — the
+    // fact table is scanned once, shuffled never.
+    GraftQuery(
+      "qc06_psi_drift",
+      (s, d) => {
+        val rows = Tables.events(s, d).select(
+          col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("in_a"),
+          least(lit(7), floor(col("value") / 25).cast("int")).as("bin"))
+        val binc = rows.groupBy(col("event_type"), col("bin"))
+          .agg(count(when(col("in_a"), lit(1))).as("ca"),
+            count(when(!col("in_a"), lit(1))).as("cb"))
+        val grid = rows.select(col("event_type")).distinct()
+          .select(col("event_type"), explode(sequence(lit(0), lit(7))).as("bin"))
+        val tot = rows.groupBy(col("event_type"))
+          .agg(count(when(col("in_a"), lit(1))).as("ta"),
+            count(when(!col("in_a"), lit(1))).as("tb"))
+        val pa = (col("ca") + 1).cast("double") / (col("ta") + 8).cast("double")
+        val pb = (col("cb") + 1).cast("double") / (col("tb") + 8).cast("double")
+        grid.join(binc, Seq("event_type", "bin"), "left")
+          .na.fill(0L, Seq("ca", "cb"))
+          .join(broadcast(tot), Seq("event_type"))
+          .withColumn("term_micro",
+            round((pa - pb) * log(pa / pb) * 1000000.0).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+            sum(col("term_micro")).as("psi_micro"))
+      },
+      Some("""WITH r AS (SELECT event_type,
+            day(ts) <= 15 AS in_a,
+            least(7, CAST(floor(value / 25) AS INT)) AS bin FROM events),
+          binc AS (SELECT event_type, bin,
+              count(CASE WHEN in_a THEN 1 END) AS ca,
+              count(CASE WHEN NOT in_a THEN 1 END) AS cb
+            FROM r GROUP BY 1, 2),
+          grid AS (SELECT event_type, g.bin FROM (SELECT DISTINCT event_type FROM r),
+            (SELECT unnest(generate_series(0, 7)) AS bin) g),
+          tot AS (SELECT event_type,
+              count(CASE WHEN in_a THEN 1 END) AS ta,
+              count(CASE WHEN NOT in_a THEN 1 END) AS tb
+            FROM r GROUP BY 1),
+          j AS (SELECT g.event_type,
+              coalesce(b.ca, 0) + 1 AS sa, coalesce(b.cb, 0) + 1 AS sb, ta, tb
+            FROM grid g LEFT JOIN binc b USING (event_type, bin)
+            JOIN tot USING (event_type)),
+          terms AS (SELECT event_type, ta, tb,
+              CAST(round((CAST(sa AS DOUBLE)/(ta+8) - CAST(sb AS DOUBLE)/(tb+8))
+                * ln((CAST(sa AS DOUBLE)/(ta+8)) / (CAST(sb AS DOUBLE)/(tb+8)))
+                * 1000000.0e0) AS BIGINT) AS term_micro
+            FROM j)
+        SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
+          CAST(sum(term_micro) AS BIGINT) AS psi_micro
+        FROM terms GROUP BY 1"""),
+    ),
   )
 }
