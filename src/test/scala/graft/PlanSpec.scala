@@ -236,4 +236,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("curate01: the Gopher rule battery is one projection + one partial agg") {
+    val df = SparkEntry.queries("curate01_gopher_rules")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    df.collect()
+    assert(countShuffles(plan) <= 1, plan.toString)
+    assert(plan.toString.contains("partial_"), plan.toString)
+  }
+
+  test("pack04: length bucketing is one partial-agg'd groupBy, no join") {
+    val df = SparkEntry.queries("pack04_length_buckets")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("sim06: band self-join is equi-keyed and vector re-attach is id-keyed — no nested loop") {
+    val p = planOf("sim06_knn_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("etl16: SCD2 lookup joins are all equi-keyed (interval is a residual filter)") {
+    val p = planOf("etl16_scd2_lookup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qc06: PSI totals attach by broadcast; the fact scan never shuffles rows") {
+    val p = planOf("qc06_psi_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
