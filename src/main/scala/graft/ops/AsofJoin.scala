@@ -52,6 +52,45 @@ object AsofJoin {
       payload: Seq[String]): DataFrame =
     asofImpl(left, right, key, leftTs, rightTs, payload, forward = true)
 
+  /** Nearest as-of (pandas merge_asof direction='nearest'): the right row
+    * minimizing |right.ts − left.ts| per key; BACKWARD WINS TIES. Still one
+    * shuffle — both direction scans are windows over the same key
+    * partitioning (Spark re-sorts within partitions for the second
+    * direction, no second exchange).
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val (unioned, lCols) = unionSides(left, right, key, leftTs, rightTs, payload)
+    def dirWindow(forward: Boolean) = {
+      val ord =
+        if (forward) Seq(col("_ts").desc, col("_side").asc)
+        else Seq(col("_ts").asc, col("_side").asc)
+      Window.partitionBy(col(key)).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val wb = dirWindow(forward = false)
+    val wf = dirWindow(forward = true)
+    val rightTsOnly = when(col("_side") === 0, col("_ts"))
+    val carried = payload.foldLeft(
+      unioned
+        .withColumn("_b_ts", last(rightTsOnly, ignoreNulls = true).over(wb))
+        .withColumn("_f_ts", last(rightTsOnly, ignoreNulls = true).over(wf))) { (d, p) =>
+      d.withColumn(s"_b_$p", last(col(s"_p_$p"), ignoreNulls = true).over(wb))
+        .withColumn(s"_f_$p", last(col(s"_p_$p"), ignoreNulls = true).over(wf))
+    }
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    val useBackward = col("_b_ts").isNotNull && (col("_f_ts").isNull ||
+      us(col("_ts")) - us(col("_b_ts")) <= us(col("_f_ts")) - us(col("_ts")))
+    carried.filter(col("_side") === 1)
+      .select((lCols.map(col) ++ payload.map(p =>
+        when(useBackward, col(s"_b_$p")).otherwise(col(s"_f_$p")).as(p))): _*)
+  }
+
   private def asofImpl(
       left: DataFrame,
       right: DataFrame,
@@ -60,6 +99,34 @@ object AsofJoin {
       rightTs: String,
       payload: Seq[String],
       forward: Boolean): DataFrame = {
+    val (unioned, lCols) = unionSides(left, right, key, leftTs, rightTs, payload)
+
+    // right rows sort before left rows at equal ts → inclusive semantics;
+    // forward mode scans in DESCENDING ts so "last non-null before me" means
+    // "earliest right at-or-after me"
+    val ord =
+      if (forward) Seq(col("_ts").desc, col("_side").asc)
+      else Seq(col("_ts").asc, col("_side").asc)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (d, p) =>
+      d.withColumn(s"_c_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select((lCols.map(col) ++ payload.map(p => col(s"_c_$p").as(p))): _*)
+  }
+
+  /** Tag-and-union both sides with aligned schemas: left rows get null
+    * payload slots, right rows get null left columns. Returns the unioned
+    * frame plus the original left column list.
+    */
+  private def unionSides(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): (DataFrame, Seq[String]) = {
 
     val lCols = left.columns.toSeq
     val l = left
@@ -79,19 +146,6 @@ object AsofJoin {
         (lCols.filterNot(_ == key).map(col) ++ payload.map(p => col(s"_p_$p")))): _*)
       .unionByName(rAligned.select((col(key) +: col("_ts") +: col("_side") +:
         (lCols.filterNot(_ == key).map(col) ++ payload.map(p => col(s"_p_$p")))): _*))
-
-    // right rows sort before left rows at equal ts → inclusive semantics;
-    // forward mode scans in DESCENDING ts so "last non-null before me" means
-    // "earliest right at-or-after me"
-    val ord =
-      if (forward) Seq(col("_ts").desc, col("_side").asc)
-      else Seq(col("_ts").asc, col("_side").asc)
-    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (d, p) =>
-      d.withColumn(s"_c_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .select((lCols.map(col) ++ payload.map(p => col(s"_c_$p").as(p))): _*)
+    (unioned, lCols)
   }
 }

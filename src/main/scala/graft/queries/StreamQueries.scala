@@ -286,5 +286,46 @@ object StreamQueries {
           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM events GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    // each click attaches the user's purchase closest in time, either
+    // direction, backward winning ties. One union + one user_id shuffle;
+    // both direction scans are windows over the SAME partitioning (the
+    // second is a partition-local re-sort, not a second exchange) — the
+    // linear-scan shape that survives 100 TB where a |Δt| range join
+    // cannot. Oracle: two DuckDB ASOF joins + the same tie rule.
+    GraftQuery(
+      "ev17_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("p_value"))
+        graft.ops.AsofJoin.asofNearest(clicks, purchases, "user_id", "ts", "p_ts",
+          Seq("p_ts", "p_value"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'),
+          p AS (SELECT user_id, ts AS p_ts,
+              sum(CAST(round(value*100) AS BIGINT))/100.0 AS p_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          b AS (SELECT c.event_id, p.p_ts AS b_ts, p.p_value AS b_v
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.p_ts <= c.ts),
+          f AS (SELECT c.event_id, p.p_ts AS f_ts, p.p_value AS f_v
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.p_ts >= c.ts)
+        SELECT c.event_id, c.user_id, c.ts,
+          CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+              OR epoch_us(c.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(c.ts))
+            THEN b_ts ELSE f_ts END AS p_ts,
+          CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+              OR epoch_us(c.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(c.ts))
+            THEN b_v ELSE f_v END AS p_value
+        FROM c JOIN b USING (event_id) JOIN f USING (event_id)"""),
+    ),
   )
 }
