@@ -972,5 +972,82 @@ object ExtQueries {
         FROM documents WHERE doc_id % 10 = 0 GROUP BY lang"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // MinHash estimator-accuracy audit: for every LSH candidate pair
+    // (dedup03's banding), the signature-estimated Jaccard (matching
+    // minima / 16, an exact multiple of 62 500 ppm) against the TRUE
+    // shingle Jaccard, bucketed by match count. This is the calibration
+    // table that justifies a banding scheme before a 100 TB dedup run —
+    // estimator bias/error measured on the corpus itself, per similarity
+    // bucket, at ≤17 output rows. Same banded candidate generation as
+    // dedup03 (band keys are the shuffle keys, no all-pairs work); the
+    // exact-Jaccard join touches candidates only.
+    GraftQuery(
+      "qc07_minhash_accuracy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            Dedup.shingleHashesFused(col("text"), Shingle).as("sh"),
+            Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
+          .persist()
+        val banded = bandedKeys(docs, "doc_id")
+        val pairs = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val joined = pairs
+          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+            col("sig").as("sig_a")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+            col("sig").as("sig_b")), Seq("doc_b"))
+        val nMatch = aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v)
+        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+        val scored = joined
+          .select(nMatch.as("n_match"), inter.as("inter"),
+            (size(col("sh_a")).cast("long") + size(col("sh_b")) - inter).as("un"))
+          .select(col("n_match"),
+            (col("n_match") * lit(1000000L / MinhashSeeds)).as("est_ppm"),
+            when(col("un") === 0, lit(1000000L))
+              .otherwise(round(col("inter") * 1000000.0 / col("un")).cast("long"))
+              .as("exact_ppm"))
+        scored.groupBy(col("n_match"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("exact_ppm")).as("exact_ppm_sum"),
+            round(sum(abs(col("est_ppm") - col("exact_ppm"))).cast("double")
+              / count(lit(1))).cast("long").as("mean_abs_err_ppm"))
+      },
+      Some {
+        val (sigExprs, bandKeys) = (sqlSigExprs, sqlBandKeys)
+        val unions = (0 until Bands).map { bd =>
+          s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
+        }.mkString(" UNION ")
+        val match16 = (0 until MinhashSeeds).map(i =>
+          s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH sh AS (SELECT doc_id, ${sqlShingleHashes("text")} AS s FROM documents),
+          sigs AS (SELECT doc_id, s, $sigExprs FROM sh),
+          keys AS (SELECT doc_id, $bandKeys FROM sigs),
+          pairs AS ($unions),
+          m AS (SELECT CAST($match16 AS BIGINT) AS n_match,
+              CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+              CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)) AS BIGINT) AS un
+            FROM pairs p JOIN sigs x ON x.doc_id = p.doc_a
+              JOIN sigs y ON y.doc_id = p.doc_b),
+          t AS (SELECT n_match, n_match * ${1000000L / MinhashSeeds} AS est_ppm,
+              CASE WHEN un = 0 THEN 1000000
+                ELSE CAST(round(inter * 1000000.0e0 / un) AS BIGINT) END AS exact_ppm
+            FROM m)
+        SELECT n_match, count(*) AS n_pairs,
+          CAST(sum(exact_ppm) AS BIGINT) AS exact_ppm_sum,
+          CAST(round(CAST(sum(abs(est_ppm - exact_ppm)) AS DOUBLE) / count(*))
+            AS BIGINT) AS mean_abs_err_ppm
+        FROM t GROUP BY 1"""
+      },
+    ),
   )
 }
