@@ -725,9 +725,14 @@ object ScaleQueries {
           .withColumn("sig", srpSignature(col("v"), weights))
           .withColumn("nrm", Similarity.norm(col("v")))
           .persist()
-        val bandedK = e.select(col("id"), explode(array((0 until 4).map { b =>
+        // 2 bands × 8 bits — wider keys than sim04's probe (4×4): with the
+        // corpus on BOTH sides, bucket population is N/2^bits, so the key
+        // width is what holds Σ|bucket|² down; 8-bit keys cut candidate
+        // volume ~30× at equal signature cost (recall trades accordingly —
+        // that's the standard graph-build knob).
+        val bandedK = e.select(col("id"), explode(array((0 until 2).map { b =>
             struct(lit(b).as("band"),
-              shiftright(col("sig"), 4 * b).bitwiseAND(lit(15)).as("key"))
+              shiftright(col("sig"), 8 * b).bitwiseAND(lit(255)).as("key"))
           }: _*)).as("bk"))
           .select(col("id"), col("bk.band"), col("bk.key"))
         val pairs = bandedK.select(col("id").as("q_id"), col("band"), col("key"))
@@ -748,10 +753,10 @@ object ScaleQueries {
       },
       Some {
         val sig = sqlSrpSignature("v", 16, 64)
-        val bandJoins = (0 until 4).map { b =>
+        val bandJoins = (0 until 2).map { b =>
           s"""SELECT q.id AS q_id, n.id AS n_id FROM sigs q JOIN sigs n
             ON q.id <> n.id
-            AND ((q.sig >> ${4 * b}) & 15) = ((n.sig >> ${4 * b}) & 15)"""
+            AND ((q.sig >> ${8 * b}) & 255) = ((n.sig >> ${8 * b}) & 255)"""
         }.mkString(" UNION ")
         s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
           sigs AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm, $sig AS sig FROM e),
