@@ -874,5 +874,86 @@ object CorpusQueries {
           CAST(sum(term_micro) AS BIGINT) AS psi_micro
         FROM terms GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit audit (fraud / synthetic-data QC): the leading
+    // digit of every order total against the Benford expectation
+    // log10(1 + 1/d). Organic monetary data follows the law; fabricated or
+    // truncated feeds drift visibly. One scan + a ≤9-cell map-side
+    // groupBy; the expectation is a per-digit constant both engines
+    // compute from the identical closed form, micro-rounded.
+    GraftQuery(
+      "qc08_benford",
+      (s, d) => {
+        val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int")
+        val counts = Tables.orders(s, d)
+          .filter(col("o_totalprice") >= 1)
+          .groupBy(digit.as("digit"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("total"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("obs_ppm", round(col("n") * 1000000.0 / col("total")).cast("long"))
+          .withColumn("exp_ppm",
+            round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)) * 1000000.0)
+              .cast("long"))
+          .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+            abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      },
+      Some("""WITH c AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n
+            FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT digit, n,
+          CAST(round(n * 1000000.0e0 / total) AS BIGINT) AS obs_ppm,
+          CAST(round(ln(1.0e0 + 1.0e0 / digit) / ln(10.0e0) * 1000000.0e0) AS BIGINT)
+            AS exp_ppm,
+          abs(CAST(round(n * 1000000.0e0 / total) AS BIGINT)
+            - CAST(round(ln(1.0e0 + 1.0e0 / digit) / ln(10.0e0) * 1000000.0e0)
+              AS BIGINT)) AS dev_ppm
+        FROM c, t"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Per-eval-document contamination pressure (the report a
+    // decontamination run publishes, decon01's aggregate turned around):
+    // for each held-out eval document, how many of its 4-token shingles
+    // also occur ANYWHERE in the training split. Plan shape for 100 TB:
+    // the eval shingle set is benchmark-sized → broadcasts into the train
+    // scan; the distinct HIT set is ≤ eval-sized → broadcasts back onto
+    // eval rows. The train corpus is scanned once and never shuffled.
+    GraftQuery(
+      "decon02_eval_pressure",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("is_eval", col("doc_id") % 97 === 0)
+        val sh = docs.select(col("doc_id"), col("lang"), col("is_eval"),
+          explode(tokenShingleHashes(col("text"), 4)).as("sh"))
+        val evalSh = sh.filter(col("is_eval"))
+        val hitSet = sh.filter(!col("is_eval")).select(col("sh"))
+          .join(broadcast(evalSh.select(col("sh")).distinct()), Seq("sh"), "left_semi")
+          .distinct()
+          .withColumn("hit", lit(1))
+        evalSh.join(broadcast(hitSet), Seq("sh"), "left")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(col("hit")).as("n_hit"))
+          .withColumn("hit_ppm",
+            round(col("n_hit") * 1000000.0 / col("n_shingles")).cast("long"))
+      },
+      Some {
+        val base = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
+          s"${TA.Sql.tokens("text")} AS toks FROM documents"
+        s"""WITH sh AS (${sqlTokenShingleHashes(base, 4)}),
+          hits AS (SELECT DISTINCT e.sh FROM sh e
+            WHERE e.is_eval AND e.sh IN (SELECT sh FROM sh WHERE NOT is_eval)),
+          ev AS (SELECT doc_id, lang, sh FROM sh WHERE is_eval)
+        SELECT doc_id, lang, count(*) AS n_shingles,
+          count(CASE WHEN sh IN (SELECT sh FROM hits) THEN 1 END) AS n_hit,
+          CAST(round(count(CASE WHEN sh IN (SELECT sh FROM hits) THEN 1 END)
+            * 1000000.0e0 / count(*)) AS BIGINT) AS hit_ppm
+        FROM ev GROUP BY 1, 2"""
+      },
+    ),
   )
 }

@@ -327,5 +327,41 @@ object StreamQueries {
             THEN b_v ELSE f_v END AS p_value
         FROM c JOIN b USING (event_id) JOIN f USING (event_id)"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active days per user
+    // (the classic streak/retention shape SQL interviews are made of, and
+    // the real input to engagement cohorts). The island key is the
+    // date-minus-row_number trick — one shuffle on user_id, no self-join,
+    // no recursive CTE; at 100 TB the per-user day lists are tiny and the
+    // whole query is two partial-agg'd groupBys after the window.
+    GraftQuery(
+      "ev18_gap_islands",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val islands = days
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+        islands.groupBy(col("user_id"))
+          .agg(sum(col("len")).as("n_active_days"),
+            count(lit(1)).as("n_islands"),
+            max(col("len")).as("max_streak"),
+            min(col("start")).as("first_day"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          i AS (SELECT user_id,
+              day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                AS INT) AS grp, day
+            FROM days),
+          islands AS (SELECT user_id, grp, count(*) AS len, min(day) AS start
+            FROM i GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+          count(*) AS n_islands, max(len) AS max_streak, min(start) AS first_day
+        FROM islands GROUP BY 1"""),
+    ),
   )
 }
