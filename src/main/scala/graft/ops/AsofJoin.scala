@@ -66,23 +66,25 @@ object AsofJoin {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val (unioned, lCols) = unionSides(left, right, key, leftTs, rightTs, payload)
-    def dirWindow(forward: Boolean) = {
-      val ord =
-        if (forward) Seq(col("_ts").desc, col("_side").asc)
-        else Seq(col("_ts").asc, col("_side").asc)
-      Window.partitionBy(col(key)).orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    }
-    val wb = dirWindow(forward = false)
-    val wf = dirWindow(forward = true)
+    // BOTH directions ride ONE ascending sort: backward is last-non-null over
+    // [unbounded preceding, current], forward is first-non-null over
+    // [current, unbounded following] — same partition+order spec, so Spark
+    // plans a single Window node and a single partition-local sort. At equal
+    // ts the right row sorts before the left row (side asc), so the forward
+    // frame misses it — harmless: the backward carry has it at gap 0, and
+    // backward wins every tie by definition.
+    val base = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_side").asc)
+    val wPast = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFut = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val rightTsOnly = when(col("_side") === 0, col("_ts"))
-    val carried = payload.foldLeft(
-      unioned
-        .withColumn("_b_ts", last(rightTsOnly, ignoreNulls = true).over(wb))
-        .withColumn("_f_ts", last(rightTsOnly, ignoreNulls = true).over(wf))) { (d, p) =>
-      d.withColumn(s"_b_$p", last(col(s"_p_$p"), ignoreNulls = true).over(wb))
-        .withColumn(s"_f_$p", last(col(s"_p_$p"), ignoreNulls = true).over(wf))
-    }
+    val carryCols =
+      (("_b_ts", last(rightTsOnly, ignoreNulls = true).over(wPast)) +:
+        payload.map(p => (s"_b_$p", last(col(s"_p_$p"), ignoreNulls = true).over(wPast)))) ++
+      (("_f_ts", first(rightTsOnly, ignoreNulls = true).over(wFut)) +:
+        payload.map(p => (s"_f_$p", first(col(s"_p_$p"), ignoreNulls = true).over(wFut))))
+    val carried = unioned.select(
+      col("*") +: carryCols.map { case (n, c) => c.as(n) }: _*)
     val us = (c: Column) => unix_micros(c.cast("timestamp"))
     val useBackward = col("_b_ts").isNotNull && (col("_f_ts").isNull ||
       us(col("_ts")) - us(col("_b_ts")) <= us(col("_f_ts")) - us(col("_ts")))

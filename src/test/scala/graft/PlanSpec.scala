@@ -269,4 +269,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("ev17: nearest as-of adds no shuffle beyond right-side prep + key window") {
+    val df = SparkEntry.queries("ev17_asof_nearest")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // purchases pre-agg (1) + the union's user_id window exchange (1); the
+    // second direction rides the same exchange as a partition-local re-sort
+    assert(countShuffles(plan) <= 2, plan.toString)
+    // both direction carries share one ascending order — Spark still splits
+    // the two FRAMES (preceding/following) into two Window nodes, but the
+    // sorts are identical and payload width adds nothing: exactly one node
+    // (and one partition-local sort) per direction, never one per column
+    val sorts = plan.toString.split("\n").count(_.contains(" Sort ["))
+    assert(sorts <= 2, plan.toString)
+    assert(plan.toString.split("\n").count(_.contains("- Window [")) <= 2,
+      plan.toString)
+  }
+
+  test("ev18: islands use the date-minus-rownum trick — no self-join, no recursion") {
+    val p = planOf("ev18_gap_islands")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("qc07: accuracy audit joins are band-key/id equi-joins, never nested loop") {
+    val p = planOf("qc07_minhash_accuracy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("decon02: eval shingles and the hit set broadcast; train corpus never shuffles") {
+    val p = planOf("decon02_eval_pressure")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -46,4 +46,26 @@ class AsofJoinSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("event"), r.getAs[String]("payload"))).toMap
     assert(out == Map(10L -> "a", 11L -> "a", 12L -> null, 20L -> "z"))
   }
+
+  test("nearest asof: closest either side, backward wins ties, no-right → null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L), // before both → forward ("a")
+      (1L, ts("2024-01-02 06:00:00"), 11L), // 6h after a, 18h before b → "a"
+      (1L, ts("2024-01-02 12:00:00"), 12L), // equidistant a/b → backward "a"
+      (1L, ts("2024-01-02 18:00:00"), 13L), // 18h after a, 6h before b → "b"
+      (1L, ts("2024-01-09 00:00:00"), 14L), // after both → backward "b"
+      (3L, ts("2024-01-01 00:00:00"), 30L)  // key with no right rows → null
+    ).toDF("k", "t", "event")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00"), "a"),
+      (1L, ts("2024-01-03 00:00:00"), "b"),
+      (2L, ts("2024-01-01 00:00:00"), "z")
+    ).toDF("k", "rt", "payload")
+
+    val out = AsofJoin.asofNearest(left, right, "k", "t", "rt", Seq("payload"))
+      .collect().map(r => (r.getAs[Long]("event"), r.getAs[String]("payload"))).toMap
+    assert(out == Map(10L -> "a", 11L -> "a", 12L -> "a", 13L -> "b",
+      14L -> "b", 30L -> null))
+  }
 }
