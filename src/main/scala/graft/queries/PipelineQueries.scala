@@ -859,5 +859,54 @@ object PipelineQueries {
           CAST(CASE WHEN p.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER) AS gap
         FROM cal c LEFT JOIN per p ON p.user_id = c.user_id AND p.day = c.day"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Vocabulary-coverage planning (the OOV-rate table a tokenizer build
+    // reads to pick its vocab size): corpus token frequencies ranked by
+    // (freq desc, token asc), then the share of ALL token occurrences
+    // covered by the top-100/500/1000 types. One explode + one
+    // map-side-combinable frequency groupBy; the ranked relation is
+    // vocabulary-sized (types, not occurrences), so the rank window and
+    // the final single-row aggregate are negligible at any corpus scale.
+    GraftQuery(
+      "vocab03_token_coverage",
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .persist()
+        // only the top-1000 types matter for coverage → TakeOrdered (O(k)
+        // executor memory), NEVER a global rank window over the vocabulary
+        val top = freq.orderBy(col("n").desc, col("tok").asc).limit(1000)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("n").desc, col("tok").asc)))
+          .agg(
+            sum(when(col("rnk") <= 100, col("n")).otherwise(0L)).as("cov100"),
+            sum(when(col("rnk") <= 500, col("n")).otherwise(0L)).as("cov500"),
+            sum(col("n")).as("cov1000"))
+        val tot = freq.agg(sum(col("n")).as("total_tokens"),
+          count(lit(1)).as("n_types"))
+        tot.crossJoin(broadcast(top))
+          .select(col("total_tokens"), col("n_types"),
+            round(col("cov100") * 1000000.0 / col("total_tokens")).cast("long")
+              .as("cov100_ppm"),
+            round(col("cov500") * 1000000.0 / col("total_tokens")).cast("long")
+              .as("cov500_ppm"),
+            round(col("cov1000") * 1000000.0 / col("total_tokens")).cast("long")
+              .as("cov1000_ppm"))
+      },
+      Some(s"""WITH f AS (SELECT tok, count(*) AS n FROM
+            (SELECT unnest(${TA.Sql.tokens("text")}) AS tok FROM documents)
+            GROUP BY 1),
+          r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk FROM f)
+        SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS n_types,
+          CAST(round(sum(CASE WHEN rnk <= 100 THEN n ELSE 0 END)
+            * 1000000.0e0 / sum(n)) AS BIGINT) AS cov100_ppm,
+          CAST(round(sum(CASE WHEN rnk <= 500 THEN n ELSE 0 END)
+            * 1000000.0e0 / sum(n)) AS BIGINT) AS cov500_ppm,
+          CAST(round(sum(CASE WHEN rnk <= 1000 THEN n ELSE 0 END)
+            * 1000000.0e0 / sum(n)) AS BIGINT) AS cov1000_ppm
+        FROM r"""),
+    ),
   )
 }

@@ -845,5 +845,42 @@ object RelationalQueries {
         s"""SELECT year(o_orderdate) AS yr, $cols FROM orders GROUP BY 1"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Statistical mode per group (pandas .mode / Presto mode()) — Spark has
+    // no modal aggregate, so it composes as count-then-rank with a TOTAL
+    // tie order (count desc, value asc). Two keyed aggregations; the
+    // value-level counts partial-aggregate map-side, and the rank window's
+    // partition count is the GROUP count — at 100 TB the ranked relation is
+    // (groups × distinct values), never row-scale.
+    GraftQuery(
+      "q36_mode",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("yr"))
+          .orderBy(col("n").desc, col("o_orderpriority").asc)
+        counts
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_group", sum(col("n")).over(
+            Window.partitionBy(col("yr"))))
+          .filter(col("rn") === 1)
+          .select(col("yr"), col("o_orderpriority").as("mode_priority"),
+            col("n").as("n_mode"), col("n_group"),
+            round(col("n") * 1000000.0 / col("n_group")).cast("long").as("share_ppm"))
+      },
+      Some("""WITH c AS (SELECT year(o_orderdate) AS yr, o_orderpriority,
+              count(*) AS n
+            FROM orders GROUP BY 1, 2),
+          r AS (SELECT yr, o_orderpriority, n,
+              row_number() OVER (PARTITION BY yr
+                ORDER BY n DESC, o_orderpriority ASC) AS rn,
+              CAST(sum(n) OVER (PARTITION BY yr) AS BIGINT) AS n_group
+            FROM c)
+        SELECT yr, o_orderpriority AS mode_priority, n AS n_mode, n_group,
+          CAST(round(n * 1000000.0e0 / n_group) AS BIGINT) AS share_ppm
+        FROM r WHERE rn = 1"""),
+    ),
   )
 }
