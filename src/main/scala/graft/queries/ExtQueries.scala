@@ -702,6 +702,50 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Multimodal resize stage, output-parity audited: every image blob runs
+    // through the per-partition resize operator (stub codec, REAL byte
+    // plumbing — binary in, binary out, shuffle-free) and the audit sums the
+    // actual output bytes. The oracle recomputes the stub's sampling formula
+    // from the source text in DuckDB, so a single byte out of place in the
+    // Spark-side Dataset[Blob] path fails the hash compare. Corpus is
+    // ASCII, so char positions = byte positions in both engines.
+    GraftQuery(
+      "mm02_resize_audit",
+      (s, d) => {
+        val imgs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val resized = graft.ops.Multimodal.resize(
+          graft.ops.Multimodal.attachBlobs(imgs, "doc_id", "payload", "image/png"),
+          64, 64)
+        resized.toDF()
+          .select(
+            length(col("content")).cast("long").as("out_len"),
+            expr("""aggregate(transform(sequence(1, 64),
+              i -> ascii(cast(substr(content, i, 1) as string))),
+              0L, (a, x) -> a + cast(x as bigint))""").as("bsum"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("out_len")).as("total_out_bytes"),
+            sum(col("bsum")).as("byte_checksum"))
+      },
+      // stub resize: 64·64/64 = 64 output bytes, out[i] = payload[(31·i +
+      // w + h) mod len] (0-based) — recomputed from text below (1-based
+      // substring, +1 shift)
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE doc_id % 2 = 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 64),
+                i -> ascii(substring(text, ((i*31 + 128) % len) + 1, 1))))
+                AS BIGINT) AS bsum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 64 AS BIGINT) AS total_out_bytes,
+          CAST(sum(bsum) AS BIGINT) AS byte_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     // pairs (iterative min-label propagation, one shuffle per round — the
     // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
