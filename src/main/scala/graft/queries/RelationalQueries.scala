@@ -882,5 +882,37 @@ object RelationalQueries {
           CAST(round(n * 1000000.0e0 / n_group) AS BIGINT) AS share_ppm
         FROM r WHERE rn = 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Time-RANGE window frame (not a row frame): per user, the trailing
+    // 1-hour event-value sum and event count AT EVERY EVENT — the
+    // rate-limiter / rolling-exposure shape. The frame is defined on the
+    // ORDER VALUE (µs since epoch), so same-timestamp peers are all in
+    // frame in both engines regardless of row order; the sum is exact
+    // integer cents. One user_id shuffle, partition-local ordered scan —
+    // at 100 TB the state per partition is the 1-hour horizon, never the
+    // full history.
+    GraftQuery(
+      "q37_trailing_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("trail_cents", sum(col("cents")).over(w))
+          .withColumn("n_in_window", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("trail_cents"), col("n_in_window"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+          CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+            AS trail_cents,
+          count(*) OVER w AS n_in_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
+    ),
   )
 }
