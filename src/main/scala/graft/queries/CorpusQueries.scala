@@ -955,5 +955,33 @@ object CorpusQueries {
         FROM ev GROUP BY 1, 2"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Feed-freshness audit (the first page of any pipeline dashboard): per
+    // event type, event count, last-seen timestamp, staleness in whole
+    // minutes behind the freshest feed, and a >30-min stale flag. One
+    // map-side-combinable groupBy + a 1-row broadcast back — integer
+    // minute arithmetic on µs timestamps, never a float.
+    GraftQuery(
+      "qc09_freshness",
+      (s, d) => {
+        val per = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+        val glob = per.agg(max(col("last_ts")).as("g_ts"))
+        per.crossJoin(broadcast(glob))
+          .withColumn("lag_min",
+            expr("(unix_micros(g_ts) - unix_micros(last_ts)) div 60000000"))
+          .select(col("event_type"), col("n"), col("last_ts"), col("lag_min"),
+            (col("lag_min") > 30).cast("int").as("is_stale"))
+      },
+      Some("""WITH per AS (SELECT event_type, count(*) AS n, max(ts) AS last_ts
+            FROM events GROUP BY 1),
+          g AS (SELECT max(last_ts) AS g_ts FROM per)
+        SELECT event_type, n, last_ts,
+          (epoch_us(g_ts) - epoch_us(last_ts)) // 60000000 AS lag_min,
+          CAST((epoch_us(g_ts) - epoch_us(last_ts)) // 60000000 > 30 AS INT)
+            AS is_stale
+        FROM per, g"""),
+    ),
   )
 }

@@ -857,6 +857,42 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Per-document token-distribution entropy H = Σ (c/n)·ln(n/c) — the
+    // information-theoretic repetition signal (CCNet-style compressibility
+    // proxy; text08's dup/top fractions are its crude cousins). Each term
+    // micro-rounds to an integer BEFORE the per-document sum, so the
+    // accumulated entropy is order-free and engine-exact. Same (doc, token)
+    // count shape as text08: one shuffle, counts partial-aggregate
+    // map-side, the term window is doc-local.
+    GraftQuery(
+      "text15_token_entropy",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+        counts
+          .withColumn("term_micro",
+            round(col("cnt").cast("double") / n
+              * log(n.cast("double") / col("cnt")) * 1000000.0).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            sum(col("term_micro")).as("entropy_micro"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        w AS (SELECT doc_id, cnt,
+            CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          CAST(sum(CAST(round(CAST(cnt AS DOUBLE) / n
+            * ln(CAST(n AS DOUBLE) / cnt) * 1000000.0e0) AS BIGINT)) AS BIGINT)
+            AS entropy_micro
+        FROM w GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // deterministic hash sampling per stratum: md5-hash of the key → stable
     // 10% sample, identical on every engine/cluster/run (the only sane way
     // to sample 100 TB reproducibly).
