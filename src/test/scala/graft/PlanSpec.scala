@@ -302,4 +302,28 @@ class PlanSpec extends SparkSpec {
     val p = planOf("decon02_eval_pressure")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q36/q37: mode counts partial-aggregate; the RANGE window is one shuffle") {
+    assert(planOf("q36_mode").contains("partial_"), planOf("q36_mode"))
+    val df = SparkEntry.queries("q37_trailing_window")(spark, sf)
+    df.collect()
+    assert(countShuffles(df.queryExecution.executedPlan) <= 1,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("vocab03: coverage ranks via TakeOrdered top-k, never a global rank window") {
+    val p = planOf("vocab03_token_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text15: entropy counts partial-aggregate; term window is doc-local") {
+    val p = planOf("text15_token_entropy")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("qc09: freshness global max attaches as a 1-row broadcast") {
+    val p = planOf("qc09_freshness")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
