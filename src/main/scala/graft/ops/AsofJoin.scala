@@ -77,20 +77,21 @@ object AsofJoin {
       .orderBy(col("_ts").asc, col("_side").asc)
     val wPast = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFut = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val rightTsOnly = when(col("_side") === 0, col("_ts"))
-    val carryCols =
-      (("_b_ts", last(rightTsOnly, ignoreNulls = true).over(wPast)) +:
-        payload.map(p => (s"_b_$p", last(col(s"_p_$p"), ignoreNulls = true).over(wPast)))) ++
-      (("_f_ts", first(rightTsOnly, ignoreNulls = true).over(wFut)) +:
-        payload.map(p => (s"_f_$p", first(col(s"_p_$p"), ignoreNulls = true).over(wFut))))
-    val carried = unioned.select(
-      col("*") +: carryCols.map { case (n, c) => c.as(n) }: _*)
+    // each direction carries the nearest right row as ONE struct — the
+    // carried ts and payload always come from the SAME row (a right row
+    // whose payload is null stays null, never borrows an older row's
+    // value), and payload width never adds window aggregates
+    val rightRow = when(col("_side") === 0,
+      struct(col("_ts").as("ts") +: payload.map(p => col(s"_p_$p").as(p)): _*))
+    val carried = unioned.select(col("*"),
+      last(rightRow, ignoreNulls = true).over(wPast).as("_b"),
+      first(rightRow, ignoreNulls = true).over(wFut).as("_f"))
     val us = (c: Column) => unix_micros(c.cast("timestamp"))
-    val useBackward = col("_b_ts").isNotNull && (col("_f_ts").isNull ||
-      us(col("_ts")) - us(col("_b_ts")) <= us(col("_f_ts")) - us(col("_ts")))
+    val useBackward = col("_b").isNotNull && (col("_f").isNull ||
+      us(col("_ts")) - us(col("_b.ts")) <= us(col("_f.ts")) - us(col("_ts")))
     carried.filter(col("_side") === 1)
       .select((lCols.map(col) ++ payload.map(p =>
-        when(useBackward, col(s"_b_$p")).otherwise(col(s"_f_$p")).as(p))): _*)
+        when(useBackward, col(s"_b.$p")).otherwise(col(s"_f.$p")).as(p))): _*)
   }
 
   private def asofImpl(

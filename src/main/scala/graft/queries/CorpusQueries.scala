@@ -785,29 +785,39 @@ object CorpusQueries {
       "pack04_length_buckets",
       (s, d) => {
         val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
-        val n = TA.tokenCount(col("text"))
+        val n = TA.tokenCount(col("text")).cast("long")
         val cap = caps.foldRight(lit(16384): org.apache.spark.sql.Column) {
           (c, el) => when(n <= c, lit(c)).otherwise(el)
         }
+        // beyond the largest capacity a document SPLITS across ceil(n/16384)
+        // max-size sequences, so its padded slots are 16384·ceil — waste
+        // stays a true non-negative padding count in every bucket
         Tables.documents(s, d)
-          .select(cap.as("bin_cap"), n.cast("long").as("ntok"))
+          .select(cap.as("bin_cap"), n.as("ntok"),
+            when(n <= caps.last, cap.cast("long"))
+              .otherwise(lit(16384L) * ceil(n.cast("double") / 16384.0).cast("long"))
+              .as("slots"))
           .groupBy(col("bin_cap"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
-          .withColumn("waste", col("bin_cap") * col("n_docs") - col("tok_sum"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"),
+            sum(col("slots")).as("slot_sum"))
+          .withColumn("waste", col("slot_sum") - col("tok_sum"))
           .withColumn("waste_ppm",
-            round(col("waste") * lit(1000000.0) / (col("bin_cap") * col("n_docs")))
-              .cast("long"))
+            round(col("waste") * lit(1000000.0) / col("slot_sum")).cast("long"))
+          .drop("slot_sum")
       },
       Some {
         val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
         val chain = caps.map(c => s"WHEN n <= $c THEN $c").mkString(" ")
-        s"""WITH t AS (SELECT CASE $chain ELSE 16384 END AS bin_cap, n FROM
-            (SELECT ${TA.Sql.tokenCount("text")} AS n FROM documents)),
-          g AS (SELECT bin_cap, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_sum
+        s"""WITH t AS (SELECT CASE $chain ELSE 16384 END AS bin_cap, n,
+            CASE WHEN n <= ${caps.last} THEN CASE $chain ELSE 16384 END
+              ELSE 16384 * CAST(ceil(n / 16384.0e0) AS BIGINT) END AS slots
+          FROM (SELECT ${TA.Sql.tokenCount("text")} AS n FROM documents)),
+          g AS (SELECT bin_cap, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_sum,
+              CAST(sum(slots) AS BIGINT) AS slot_sum
             FROM t GROUP BY 1)
-        SELECT bin_cap, n_docs, bin_cap * n_docs - tok_sum AS waste,
-          CAST(round((bin_cap * n_docs - tok_sum) * 1000000.0e0
-            / (bin_cap * n_docs)) AS BIGINT) AS waste_ppm, tok_sum
+        SELECT bin_cap, n_docs, tok_sum, slot_sum - tok_sum AS waste,
+          CAST(round((slot_sum - tok_sum) * 1000000.0e0 / slot_sum) AS BIGINT)
+            AS waste_ppm
         FROM g"""
       },
     ),
@@ -828,7 +838,8 @@ object CorpusQueries {
         val rows = Tables.events(s, d).select(
           col("event_type"),
           (dayofmonth(col("ts")) <= 15).as("in_a"),
-          least(lit(7), floor(col("value") / 25).cast("int")).as("bin"))
+          greatest(lit(0), least(lit(7), floor(col("value") / 25).cast("int")))
+            .as("bin"))
         val binc = rows.groupBy(col("event_type"), col("bin"))
           .agg(count(when(col("in_a"), lit(1))).as("ca"),
             count(when(!col("in_a"), lit(1))).as("cb"))
@@ -850,7 +861,8 @@ object CorpusQueries {
       },
       Some("""WITH r AS (SELECT event_type,
             day(ts) <= 15 AS in_a,
-            least(7, CAST(floor(value / 25) AS INT)) AS bin FROM events),
+            greatest(0, least(7, CAST(floor(value / 25) AS INT))) AS bin
+          FROM events),
           binc AS (SELECT event_type, bin,
               count(CASE WHEN in_a THEN 1 END) AS ca,
               count(CASE WHEN NOT in_a THEN 1 END) AS cb
@@ -929,6 +941,8 @@ object CorpusQueries {
           .withColumn("is_eval", col("doc_id") % 97 === 0)
         val sh = docs.select(col("doc_id"), col("lang"), col("is_eval"),
           explode(tokenShingleHashes(col("text"), 4)).as("sh"))
+          .persist() // shingle once; the broadcast build, train probe and
+                     // eval aggregate all reuse it
         val evalSh = sh.filter(col("is_eval"))
         val hitSet = sh.filter(!col("is_eval")).select(col("sh"))
           .join(broadcast(evalSh.select(col("sh")).distinct()), Seq("sh"), "left_semi")

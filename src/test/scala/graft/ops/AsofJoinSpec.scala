@@ -68,4 +68,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Map(10L -> "a", 11L -> "a", 12L -> "a", 13L -> "b",
       14L -> "b", 30L -> null))
   }
+
+  test("nearest asof: a null payload on the nearest row stays null (no row mixing)") {
+    import spark.implicits._
+    // right row at the matched ts carries a NULL payload; the carry must NOT
+    // skip back to the older row's value — ts and payload travel as one row
+    val left = Seq((1L, ts("2024-01-02 00:00:00"), 10L)).toDF("k", "t", "event")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "old"),
+      (1L, ts("2024-01-02 00:00:00"), null.asInstanceOf[String])
+    ).toDF("k", "rt", "payload")
+
+    val out = AsofJoin.asofNearest(left, right, "k", "t", "rt", Seq("payload"))
+      .collect().map(r => (r.getAs[Long]("event"), r.getAs[String]("payload"))).toMap
+    assert(out == Map(10L -> null))
+  }
 }
