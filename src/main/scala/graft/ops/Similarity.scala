@@ -94,4 +94,41 @@ object Similarity {
           struct((-col("cell_cos")).as("neg"), col("cell_id"))).as("best"))
       .select(col("id"), col("best.cell_id").as("cell_id"), col("best.vec").as("vec"))
   }
+
+  /** Candidate (q_id, n_id) pairs from a banded-signature frame
+    * (id, band, key) with a HOT-BUCKET CAP — the dedup02 contract applied
+    * to the kNN-graph build. Buckets under `cap` rows pair all-vs-all
+    * (and with no hot bucket the emitted plan is EXACTLY the plain
+    * band-key self-join — zero cap overhead); a degenerate bucket (e.g. a
+    * corpus of near-identical embeddings collapsing one band key) degrades
+    * to symmetric STAR edges around the bucket-min hub — O(|bucket|)
+    * instead of O(|bucket|²), the documented recall trade. The hot/cold
+    * decision is a bucket-sized groupBy + driver check (≤ bands·2^bits
+    * rows at ANY corpus scale), never a count-over-window on the corpus.
+    */
+  def bandedPairsCapped(banded: DataFrame, cap: Int): DataFrame = {
+    def allPairs(src: DataFrame): DataFrame =
+      src.select(col("id").as("q_id"), col("band"), col("key"))
+        .join(src.select(col("id").as("n_id"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+
+    val sizes = banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("_bn"))
+    val hot = broadcast(sizes.filter(col("_bn") > cap).select(col("band"), col("key")))
+    if (hot.limit(1).count() == 0) return allPairs(banded).distinct()
+
+    val cold = banded.join(hot, Seq("band", "key"), "left_anti")
+    val hotB = banded.join(hot, Seq("band", "key"), "left_semi")
+    val star = hotB
+      .withColumn("hub", min(col("id")).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("id") =!= col("hub"))
+      .select(col("hub").as("q_id"), col("id").as("n_id"))
+    // kNN graph candidates are directional: emit both orientations so every
+    // bucket member still collects neighbors
+    val sym = star.unionByName(
+      star.select(col("n_id").as("q_id"), col("q_id").as("n_id")))
+    allPairs(cold).unionByName(sym).distinct()
+  }
 }

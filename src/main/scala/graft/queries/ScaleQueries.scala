@@ -735,12 +735,10 @@ object ScaleQueries {
               shiftright(col("sig"), 8 * b).bitwiseAND(lit(255)).as("key"))
           }: _*)).as("bk"))
           .select(col("id"), col("bk.band"), col("bk.key"))
-        val pairs = bandedK.select(col("id").as("q_id"), col("band"), col("key"))
-          .join(bandedK.select(col("id").as("n_id"), col("band"), col("key")),
-            Seq("band", "key"))
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"))
-          .distinct()
+        // hot-bucket cap (dedup02 contract): with no degenerate bucket —
+        // every test SF — the plan is exactly the plain band-key self-join;
+        // a collapsed bucket degrades to symmetric star edges
+        val pairs = Similarity.bandedPairsCapped(bandedK, cap = 4096)
         val cand = pairs
           .join(e.select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n")),
             Seq("q_id"))

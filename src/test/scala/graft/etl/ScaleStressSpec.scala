@@ -167,4 +167,22 @@ class ScaleStressSpec extends SparkSpec {
     assert(secs < 60, s"KMV took $secs s for 5M rows")
     info(f"5M rows → distinct estimate ${estimate}%.0f in $secs%.1f s")
   }
+
+  test("capped kNN-graph banding keeps pair fan-out linear on a collapsed bucket") {
+    import org.apache.spark.sql.functions._
+    // 500 identical-signature vectors: every id lands in ONE bucket per
+    // band (the near-duplicate-embedding corpus). All-pairs would emit
+    // 500·499 = 249 500 directed candidates per band; the cap degrades the
+    // bucket to symmetric star edges around the hub.
+    val banded = spark.range(500L).select(col("id"))
+      .crossJoin(spark.range(2L).select(col("id").as("band")))
+      .withColumn("key", lit(0))
+      .select(col("id"), col("band").cast("int").as("band"), col("key"))
+    val capped = graft.ops.Similarity.bandedPairsCapped(banded, cap = 100)
+    // hub 0 ↔ each of 499 members, both orientations
+    assert(capped.count() == 998L, s"capped pair count ${capped.count()}")
+    // sanity: the uncapped path on the same input IS quadratic
+    val uncapped = graft.ops.Similarity.bandedPairsCapped(banded, cap = 1000000)
+    assert(uncapped.count() == 249500L, s"uncapped ${uncapped.count()}")
+  }
 }
