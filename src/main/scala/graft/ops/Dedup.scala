@@ -122,6 +122,59 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Over-cap bucket keys, collected to the driver ONCE and rebuilt as a
+    * broadcast local-relation frame. The key-size aggregate is
+    * schema/bucket-sized by design (≤ #blocks or bands·2^bits rows at any
+    * corpus scale), so the collect is tiny; the single job replaces the
+    * former `limit(1).count()` existence probe PLUS the aggregate being
+    * recomputed by both the anti and semi joins (the joins now hit a
+    * literal frame instead of re-running the groupBy).
+    */
+  private[ops] def hotKeys(src: DataFrame, keyCols: Seq[String], cap: Int): Option[DataFrame] = {
+    val sel = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > cap).select(keyCols.map(col): _*)
+    val rows = sel.collect()
+    if (rows.isEmpty) None
+    else Some(broadcast(src.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sel.schema)))
+  }
+
+  /** Ordered (doc_a < doc_b) candidate pairs from a banded-signature frame
+    * (`idCol`, band, key) with the HOT-BUCKET CAP — the LSH candidate
+    * enumeration behind dedup03/dedup12. Buckets of at most `cap` rows
+    * pair all-vs-all (and with no hot bucket the emitted plan is EXACTLY
+    * the plain band-key self-join — zero cap overhead, oracle-identical).
+    * A collapsed bucket (a boilerplate-duplicated corpus piling one band
+    * key — precisely the case LSH dedup exists for) degrades to STAR edges
+    * around the bucket-min hub: O(|bucket|) candidates instead of
+    * O(|bucket|²), with the hub ordering free (hub = bucket min, so every
+    * star edge is already doc_a < doc_b). The hot/cold decision is one
+    * bucket-sized driver collect ([[hotKeys]]), never a count-over-window
+    * on the corpus.
+    */
+  def bandedPairsCappedOrdered(banded: DataFrame, idCol: String, cap: Int): DataFrame = {
+    def allPairs(src: DataFrame): DataFrame =
+      src.select(col(idCol).as("doc_a"), col("band"), col("key"))
+        .join(src.select(col(idCol).as("doc_b"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+
+    hotKeys(banded, Seq("band", "key"), cap) match {
+      case None => allPairs(banded).distinct()
+      case Some(hot) =>
+        val cold = banded.join(hot, Seq("band", "key"), "left_anti")
+        val hotB = banded.join(hot, Seq("band", "key"), "left_semi")
+        val star = hotB
+          .withColumn("hub", min(col(idCol)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("key"))))
+          .filter(col(idCol) =!= col("hub"))
+          .select(col("hub").as("doc_a"), col(idCol).as("doc_b"))
+        allPairs(cold).unionByName(star).distinct()
+    }
+  }
+
   /** Exact n-gram Jaccard pairs within blocks, with a fan-out cap.
     *
     * Blocks of at most `threshold` rows run the exact all-pairs self-join
@@ -163,18 +216,18 @@ object Dedup {
       .filter(col("jac") >= minJac)
 
     // Which blocks exceed the cap? Decided from a groupBy over the block
-    // keys — a schema-sized result (≤ #blocks rows at any corpus scale) and
-    // a schema-sized driver collect, NOT a count().over(Window) on the
-    // corpus (which would shuffle every row by block key and pile the hot
-    // block onto one partition — the exact skew this cap exists to avoid).
-    val sizes = docs.groupBy(blocks: _*).agg(count(lit(1)).as("_bn"))
-    val hot = broadcast(sizes.filter(col("_bn") > threshold).select(blocks: _*))
-    val anyHot = hot.limit(1).count() > 0
+    // keys — a schema-sized result (≤ #blocks rows at any corpus scale),
+    // collected once and re-broadcast as a literal frame ([[hotKeys]]),
+    // NOT a count().over(Window) on the corpus (which would shuffle every
+    // row by block key and pile the hot block onto one partition — the
+    // exact skew this cap exists to avoid).
+    val hotOpt = hotKeys(docs, blockCols, threshold)
 
     // Common case — no hot block: the plan is EXACTLY the plain blocked
     // all-pairs self-join, zero cap overhead.
-    if (!anyHot) return score(allPairs(docs))
+    if (hotOpt.isEmpty) return score(allPairs(docs))
 
+    val hot = hotOpt.get
     val small = docs.join(hot, blockCols, "left_anti")
     val big = docs.join(hot, blockCols, "left_semi")
     val banded = big
@@ -226,14 +279,13 @@ object Dedup {
         .filter(col("dist") <= maxDist)
     }
 
-    val sizes = docs.groupBy(blocks: _*).agg(count(lit(1)).as("_bn"))
-    val hot = broadcast(sizes.filter(col("_bn") > threshold).select(blocks: _*))
-    if (hot.limit(1).count() == 0) pairs(docs, blockCols)
-    else {
-      val small = docs.join(hot, blockCols, "left_anti")
-      val big = docs.join(hot, blockCols, "left_semi")
-        .withColumn("_rk", substring(col(preCol), 1, refineLen))
-      pairs(small, blockCols).unionByName(pairs(big, blockCols :+ "_rk"))
+    hotKeys(docs, blockCols, threshold) match {
+      case None => pairs(docs, blockCols)
+      case Some(hot) =>
+        val small = docs.join(hot, blockCols, "left_anti")
+        val big = docs.join(hot, blockCols, "left_semi")
+          .withColumn("_rk", substring(col(preCol), 1, refineLen))
+        pairs(small, blockCols).unionByName(pairs(big, blockCols :+ "_rk"))
     }
   }
 }

@@ -103,8 +103,10 @@ object Similarity {
     * corpus of near-identical embeddings collapsing one band key) degrades
     * to symmetric STAR edges around the bucket-min hub — O(|bucket|)
     * instead of O(|bucket|²), the documented recall trade. The hot/cold
-    * decision is a bucket-sized groupBy + driver check (≤ bands·2^bits
-    * rows at ANY corpus scale), never a count-over-window on the corpus.
+    * decision is one bucket-sized driver collect (≤ bands·2^bits rows at
+    * ANY corpus scale, [[Dedup.hotKeys]] — collected once, re-broadcast as
+    * a literal frame so the size aggregate never recomputes), never a
+    * count-over-window on the corpus.
     */
   def bandedPairsCapped(banded: DataFrame, cap: Int): DataFrame = {
     def allPairs(src: DataFrame): DataFrame =
@@ -114,21 +116,21 @@ object Similarity {
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"))
 
-    val sizes = banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("_bn"))
-    val hot = broadcast(sizes.filter(col("_bn") > cap).select(col("band"), col("key")))
-    if (hot.limit(1).count() == 0) return allPairs(banded).distinct()
-
-    val cold = banded.join(hot, Seq("band", "key"), "left_anti")
-    val hotB = banded.join(hot, Seq("band", "key"), "left_semi")
-    val star = hotB
-      .withColumn("hub", min(col("id")).over(
-        Window.partitionBy(col("band"), col("key"))))
-      .filter(col("id") =!= col("hub"))
-      .select(col("hub").as("q_id"), col("id").as("n_id"))
-    // kNN graph candidates are directional: emit both orientations so every
-    // bucket member still collects neighbors
-    val sym = star.unionByName(
-      star.select(col("n_id").as("q_id"), col("q_id").as("n_id")))
-    allPairs(cold).unionByName(sym).distinct()
+    Dedup.hotKeys(banded, Seq("band", "key"), cap) match {
+      case None => allPairs(banded).distinct()
+      case Some(hot) =>
+        val cold = banded.join(hot, Seq("band", "key"), "left_anti")
+        val hotB = banded.join(hot, Seq("band", "key"), "left_semi")
+        val star = hotB
+          .withColumn("hub", min(col("id")).over(
+            Window.partitionBy(col("band"), col("key"))))
+          .filter(col("id") =!= col("hub"))
+          .select(col("hub").as("q_id"), col("id").as("n_id"))
+        // kNN graph candidates are directional: emit both orientations so
+        // every bucket member still collects neighbors
+        val sym = star.unionByName(
+          star.select(col("n_id").as("q_id"), col("q_id").as("n_id")))
+        allPairs(cold).unionByName(sym).distinct()
+    }
   }
 }

@@ -254,12 +254,13 @@ object ExtQueries {
           col("doc_id"),
           Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist() // signature computed once, not re-inlined per band/side
-        val banded = bandedKeys(sigs, "doc_id")
-        banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        // Candidate enumeration through the HOT-BUCKET CAP (one collapsed
+        // band key — a boilerplate-duplicated corpus — would make the raw
+        // band self-join quadratic in bucket size). With no hot bucket the
+        // plan is EXACTLY the plain band-key self-join, so the oracle below
+        // (plain banding) stays hash-identical at every test SF.
+        Dedup.bandedPairsCappedOrdered(bandedKeys(sigs, "doc_id"), "doc_id",
+          JaccardBlockCap)
       },
       Some {
         val (sigExprs, bandKeys) = (sqlSigExprs, sqlBandKeys)
@@ -610,12 +611,11 @@ object ExtQueries {
             // shingle array 16 times per doc
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist() // shingle once; banding + both re-rank sides reuse
-        val banded = bandedKeys(docs, "doc_id")
-        val cand = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        // Same hot-bucket cap as dedup03: a collapsed band bucket degrades
+        // to hub star edges (O(|bucket|)); with no hot bucket the plan is
+        // the plain band self-join, so the plain-banding oracle holds.
+        val cand = Dedup.bandedPairsCappedOrdered(bandedKeys(docs, "doc_id"),
+          "doc_id", JaccardBlockCap)
         val sets = docs.select(col("doc_id"), col("sh"))
         cand
           .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
@@ -1072,12 +1072,9 @@ object ExtQueries {
             Dedup.shingleHashesFused(col("text"), Shingle).as("sh"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
           .persist()
-        val banded = bandedKeys(docs, "doc_id")
-        val pairs = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        // same hot-bucket cap as dedup03 — plain band self-join when cold
+        val pairs = Dedup.bandedPairsCappedOrdered(bandedKeys(docs, "doc_id"),
+          "doc_id", JaccardBlockCap)
         val joined = pairs
           .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
             col("sig").as("sig_a")), Seq("doc_a"))

@@ -168,6 +168,39 @@ class ScaleStressSpec extends SparkSpec {
     info(f"5M rows → distinct estimate ${estimate}%.0f in $secs%.1f s")
   }
 
+  test("capped ordered LSH banding keeps pair fan-out linear on a collapsed bucket") {
+    import graft.ops.Dedup
+    // the dedup03/dedup12 candidate path: 500 identical signatures collapse
+    // into ONE bucket per band (boilerplate corpus) — plain banding would
+    // emit 500·499/2 = 124 750 ordered pairs; the cap degrades each bucket
+    // to star edges around the min-id hub. A second cold bucket of 10 ids
+    // must still pair all-vs-all (exact path unchanged under the cap).
+    val hotB = spark.range(500L).select(col("id"))
+      .crossJoin(spark.range(2L).select(col("id").cast("int").as("band")))
+      .withColumn("key", lit("collapsed"))
+      .select(col("id").as("doc_id"), col("band"), col("key"))
+    val coldB = spark.range(10L).select((col("id") + 10000L).as("doc_id"))
+      .crossJoin(spark.range(2L).select(col("id").cast("int").as("band")))
+      .withColumn("key", concat(lit("k"), (col("doc_id") % 5).cast("string")))
+      .select(col("doc_id"), col("band"), col("key"))
+    val banded = hotB.unionByName(coldB)
+
+    val capped = Dedup.bandedPairsCappedOrdered(banded, "doc_id", cap = 100)
+      .collect()
+    val hotPairs = capped.count(p => p.getAs[Long]("doc_a") < 10000L)
+    val coldPairs = capped.count(p => p.getAs[Long]("doc_a") >= 10000L)
+    // hot bucket: hub 0 → each of the 499 members (already ordered), NOT n²/2
+    assert(hotPairs == 499, s"hot-bucket ordered pairs $hotPairs")
+    // cold buckets: 5 keys × C(2,2 members)=1 pair each, distinct over bands
+    assert(coldPairs == 5, s"cold-bucket pairs $coldPairs")
+    // every emitted pair keeps the doc_a < doc_b contract on both paths
+    assert(capped.forall(p => p.getAs[Long]("doc_a") < p.getAs[Long]("doc_b")))
+
+    // under the cap the operator IS the plain ordered band self-join
+    val plain = Dedup.bandedPairsCappedOrdered(banded, "doc_id", cap = 1000000)
+    assert(plain.count() == 124750L + 5L, s"uncapped ${plain.count()}")
+  }
+
   test("capped kNN-graph banding keeps pair fan-out linear on a collapsed bucket") {
     import org.apache.spark.sql.functions._
     // 500 identical-signature vectors: every id lands in ONE bucket per
