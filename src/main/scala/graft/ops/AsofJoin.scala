@@ -80,15 +80,22 @@ object AsofJoin {
     // each direction carries the nearest right row as ONE struct — the
     // carried ts and payload always come from the SAME row (a right row
     // whose payload is null stays null, never borrows an older row's
-    // value), and payload width never adds window aggregates
+    // value), and payload width never adds window aggregates. The struct's
+    // timestamp slot uses a reserved name so a payload column literally
+    // named "ts" cannot create duplicate struct fields and miswire the
+    // _b/_f field resolution.
+    require(!payload.contains("_carried_ts"),
+      "payload column name _carried_ts is reserved by asofNearest")
     val rightRow = when(col("_side") === 0,
-      struct(col("_ts").as("ts") +: payload.map(p => col(s"_p_$p").as(p)): _*))
+      struct(col("_ts").as("_carried_ts") +:
+        payload.map(p => col(s"_p_$p").as(p)): _*))
     val carried = unioned.select(col("*"),
       last(rightRow, ignoreNulls = true).over(wPast).as("_b"),
       first(rightRow, ignoreNulls = true).over(wFut).as("_f"))
     val us = (c: Column) => unix_micros(c.cast("timestamp"))
     val useBackward = col("_b").isNotNull && (col("_f").isNull ||
-      us(col("_ts")) - us(col("_b.ts")) <= us(col("_f.ts")) - us(col("_ts")))
+      us(col("_ts")) - us(col("_b._carried_ts")) <=
+        us(col("_f._carried_ts")) - us(col("_ts")))
     carried.filter(col("_side") === 1)
       .select((lCols.map(col) ++ payload.map(p =>
         when(useBackward, col(s"_b.$p")).otherwise(col(s"_f.$p")).as(p))): _*)

@@ -139,6 +139,12 @@ object StubDecoder extends MediaDecoder {
 
   /** deterministic fake resize: output is w*h/64 bytes sampled from the
     * payload (stable function of content + target size).
+    *
+    * Empty-payload contract: an empty blob resizes to all-zero bytes (the
+    * sampling formula `payload[(31·i+w+h) mod len]` has no value at
+    * len = 0). SQL oracles recomputing this formula (mm02) must therefore
+    * exclude empty payloads symmetrically — their modulus divides by zero
+    * where this stub emits zeros.
     */
   def resize(b: Multimodal.Blob, w: Int, h: Int): Array[Byte] = {
     val n = math.max(1, w * h / 64)

@@ -714,7 +714,12 @@ object ExtQueries {
       (s, d) => {
         val imgs = Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
-          .filter(col("doc_id") % 2 === 0)
+          // empty payloads are excluded SYMMETRICALLY with the oracle: the
+          // stub resize defines out[i] = payload[(31·i+w+h) mod len], which
+          // has no value at len = 0 (the oracle's modulus would divide by
+          // zero) — the audit's parity must be structural, not dependent on
+          // the corpus happening to lack empty even-doc_id texts
+          .filter(col("doc_id") % 2 === 0 && length(col("text")) > 0)
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
         val resized = graft.ops.Multimodal.resize(
           graft.ops.Multimodal.attachBlobs(imgs, "doc_id", "payload", "image/png"),
@@ -733,7 +738,7 @@ object ExtQueries {
       // w + h) mod len] (0-based) — recomputed from text below (1-based
       // substring, +1 shift)
       Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
-            FROM documents WHERE doc_id % 2 = 0),
+            FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0),
           s AS (SELECT doc_id,
               CAST(list_sum(list_transform(range(0, 64),
                 i -> ascii(substring(text, ((i*31 + 128) % len) + 1, 1))))

@@ -287,8 +287,11 @@ object EventStreams {
               state.remove()
             } else {
               state.update(st)
-              val deadlineMs =
-                (if (st.c_us >= 0) st.c_us else st.s_us) / 1000L + winUs / 1000L
+              // ceil µs → ms: flooring could fire the timeout up to 1 ms
+              // BEFORE the µs-precise window edge, evicting state that an
+              // event in that final sub-millisecond still needs
+              val deadlineUs = (if (st.c_us >= 0) st.c_us else st.s_us) + winUs
+              val deadlineMs = (deadlineUs + 999L) / 1000L
               // timeouts must be set beyond the current watermark
               state.setTimeoutTimestamp(
                 math.max(deadlineMs, state.getCurrentWatermarkMs() + 1000L))
