@@ -321,6 +321,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  // ---- slow-five scale contracts (BASELINE.md prose, pinned as gates) ----
+  // The hot/cold cap decision in every dedup operator is a schema-sized
+  // groupBy + driver collect, NEVER count().over(Window) on the corpus —
+  // that form shuffles every row by bucket key and piles the hot bucket
+  // onto one partition (the round-4 dedup02 regression, 3.9 s → 1.9 s when
+  // removed). A reappearance must fail here, not in a bench read.
+  private def noCountOverWindow(p: String): Unit =
+    assert(!p.contains("count(1) windowspecdefinition"), p)
+
+  test("dedup02: no count-over-window; cold-path plan is the plain windowless self-join") {
+    val p = planOf("dedup02_ngram_jaccard")
+    noCountOverWindow(p)
+    // no block exceeds the cap at this SF → the emitted plan must be
+    // EXACTLY the plain blocked all-pairs join: no Window node at all
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup03: capped banding stays equi-keyed, no count-over-window, no nested loop") {
+    val p = planOf("dedup03_minhash_lsh")
+    noCountOverWindow(p)
+    assert(!p.contains("Window ["), p) // cold at every test SF
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup07: component edges come equi-keyed, no count-over-window, no nested loop") {
+    val p = planOf("dedup07_components")
+    noCountOverWindow(p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup09: no count-over-window anywhere in the semdedup plan") {
+    noCountOverWindow(planOf("dedup09_semdedup"))
+  }
+
+  test("clust01: assignment is a literal projection — no join, partial agg, no window") {
+    val p = planOf("clust01_kmeans")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    noCountOverWindow(p)
+  }
+
+  test("sim06: no count-over-window in the kNN-graph build") {
+    noCountOverWindow(planOf("sim06_knn_graph"))
+  }
+
   test("qc09: freshness global max attaches as a 1-row broadcast") {
     val p = planOf("qc09_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
