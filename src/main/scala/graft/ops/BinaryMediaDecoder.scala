@@ -1,0 +1,219 @@
+package graft.ops
+
+/** REAL pure-JVM codec behind [[MediaDecoder]] for the two uncompressed
+  * containers decodable without native libraries:
+  *
+  *  - `image/bmp` — Windows BITMAPINFOHEADER, 24 bits per pixel,
+  *    BI_RGB (uncompressed): header fields parsed little-endian from the
+  *    raw bytes, pixel rows read bottom-up with 4-byte row padding,
+  *    [[resize]] is a true nearest-neighbor resample that re-emits a
+  *    valid 24-bpp BMP, and [[frame]] returns one pixel row (top-based)
+  *    as packed BGR.
+  *  - `audio/wav` (and `audio/x-wav`) — RIFF/WAVE with PCM `fmt ` and
+  *    `data` chunks walked in order: channels / sample rate / bit depth
+  *    from the format chunk, [[frame]] returns one sample frame (all
+  *    channels at one instant).
+  *
+  * Anything else throws, mirroring the reference's unsupported-type guard
+  * (`/root/reference/backend/etl_pipeline.py` raises on extensions it has
+  * no parser for). [[StubDecoder]] remains the DEFAULT decoder for the
+  * oracle-checked mm01/mm02 queries — this class is the proof that the
+  * [[MediaDecoder]] plug point carries real codecs end to end with no
+  * change to the Spark-side plumbing.
+  *
+  * `Decoded` mapping for audio: `width` = sample rate (Hz), `height` =
+  * channel count, `n_frames` = PCM sample frames — the natural "shape"
+  * triple of an audio payload.
+  */
+object BinaryMediaDecoder extends MediaDecoder {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  // ---------------------------------------------------------------- BMP --
+  /** parsed 24-bpp BMP: (width, height, topDown, pixelDataOffset, rowStride) */
+  private final case class BmpHeader(
+      w: Int, h: Int, topDown: Boolean, dataOff: Int, stride: Int)
+
+  private def parseBmp(bytes: Array[Byte]): BmpHeader = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload (missing BM magic)")
+    val dataOff = le32(bytes, 10)
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    require(bpp == 24, s"unsupported BMP bit depth $bpp (24-bpp only)")
+    require(compression == 0, s"unsupported BMP compression $compression (BI_RGB only)")
+    require(w > 0 && hRaw != 0, s"degenerate BMP dimensions ${w}x$hRaw")
+    val h = math.abs(hRaw)
+    val stride = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    require(bytes.length >= dataOff + stride * h,
+      s"truncated BMP pixel data (${bytes.length} bytes, need ${dataOff + stride * h})")
+    BmpHeader(w, h, hRaw < 0, dataOff, stride)
+  }
+
+  /** byte offset of pixel (x, y) with y TOP-based regardless of storage order */
+  private def pixelOff(hd: BmpHeader, x: Int, y: Int): Int = {
+    val storedRow = if (hd.topDown) y else hd.h - 1 - y
+    hd.dataOff + storedRow * hd.stride + x * 3
+  }
+
+  /** re-emit a minimal valid 24-bpp bottom-up BMP from packed top-down BGR rows */
+  private def writeBmp(w: Int, h: Int, bgr: Array[Byte]): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    def putLe32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length); putLe32(10, 54)
+    putLe32(14, 40) // BITMAPINFOHEADER
+    putLe32(18, w); putLe32(22, h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    putLe32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(bgr, y * w * 3, out, 54 + (h - 1 - y) * stride, w * 3)
+      y += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- WAV --
+  /** parsed PCM WAV: (channels, sampleRate, bitsPerSample, dataOff, dataLen) */
+  private final case class WavHeader(
+      channels: Int, rate: Int, bits: Int, dataOff: Int, dataLen: Int)
+
+  private def parseWav(bytes: Array[Byte]): WavHeader = {
+    require(bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a WAV payload (missing RIFF/WAVE magic)")
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = le32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"truncated WAV chunk $id at $off")
+      id match {
+        case "fmt " =>
+          val audioFormat = le16(bytes, off + 8)
+          require(audioFormat == 1, s"unsupported WAV format $audioFormat (PCM only)")
+          fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12), le16(bytes, off + 22)))
+        case "data" => data = Some((off + 8, len))
+        case _ => // skip LIST/fact/etc.
+      }
+      off += 8 + len + (len & 1) // chunks pad to even offsets
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((dOff, dLen))) =>
+        require(ch > 0 && bits % 8 == 0, s"degenerate WAV shape ch=$ch bits=$bits")
+        WavHeader(ch, rate, bits, dOff, dLen)
+      case _ => throw new IllegalArgumentException("WAV missing fmt/data chunk")
+    }
+  }
+
+  // ------------------------------------------------------- MediaDecoder --
+  def decode(b: Multimodal.Blob): Multimodal.Decoded = b.mime match {
+    case "image/bmp" =>
+      val hd = parseBmp(b.content)
+      // features from REAL pixels: mean B/G/R, mean luma, the two aspect
+      // fractions, min/max luma — all in [0,1]
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      var minL = 255.0; var maxL = 0.0
+      var y = 0
+      while (y < hd.h) {
+        var x = 0
+        while (x < hd.w) {
+          val o = pixelOff(hd, x, y)
+          val (bb, gg, rr) = (u8(b.content, o), u8(b.content, o + 1), u8(b.content, o + 2))
+          sb += bb; sg += gg; sr += rr
+          val l = 0.299 * rr + 0.587 * gg + 0.114 * bb
+          if (l < minL) minL = l
+          if (l > maxL) maxL = l
+          x += 1
+        }
+        y += 1
+      }
+      val n = hd.w.toLong * hd.h
+      val feats = Array(
+        sb.toDouble / n / 255.0, sg.toDouble / n / 255.0, sr.toDouble / n / 255.0,
+        (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0,
+        hd.w.toDouble / (hd.w + hd.h), hd.h.toDouble / (hd.w + hd.h),
+        minL / 255.0, maxL / 255.0).map(_.toFloat)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1, feats)
+    case "audio/wav" | "audio/x-wav" =>
+      val hd = parseWav(b.content)
+      val frameBytes = hd.channels * hd.bits / 8
+      val nFrames = if (frameBytes == 0) 0 else hd.dataLen / frameBytes
+      // features: 8 evenly spaced normalized samples of channel 0
+      val feats = Array.tabulate(8) { i =>
+        if (nFrames == 0) 0.0f
+        else {
+          val fr = i.toLong * (nFrames - 1) / math.max(1, 7)
+          val o = hd.dataOff + fr.toInt * frameBytes
+          hd.bits match {
+            case 16 => (le16(b.content, o).toShort / 32768.0).toFloat
+            case 8 => ((u8(b.content, o) - 128) / 128.0).toFloat
+            case bits => throw new IllegalArgumentException(
+              s"unsupported WAV bit depth $bits (8/16 only)")
+          }
+        }
+      }
+      Multimodal.Decoded(b.blob_id, b.mime, hd.rate, hd.channels, nFrames, feats)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported media type: $other")
+  }
+
+  def frame(b: Multimodal.Blob, idx: Int): Array[Byte] = b.mime match {
+    case "image/bmp" =>
+      val hd = parseBmp(b.content)
+      require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
+      val row = new Array[Byte](hd.w * 3)
+      System.arraycopy(b.content, pixelOff(hd, 0, idx), row, 0, hd.w * 3)
+      row
+    case "audio/wav" | "audio/x-wav" =>
+      val hd = parseWav(b.content)
+      val fb = hd.channels * hd.bits / 8
+      require(idx >= 0 && (idx + 1) * fb <= hd.dataLen, s"sample frame $idx out of range")
+      val out = new Array[Byte](fb)
+      System.arraycopy(b.content, hd.dataOff + idx * fb, out, 0, fb)
+      out
+    case other =>
+      throw new IllegalArgumentException(s"unsupported media type: $other")
+  }
+
+  def resize(b: Multimodal.Blob, w: Int, h: Int): Array[Byte] = b.mime match {
+    case "image/bmp" =>
+      require(w > 0 && h > 0, s"degenerate target ${w}x$h")
+      val hd = parseBmp(b.content)
+      // nearest-neighbor: source index = floor(dst · src / dstSize), the
+      // standard integer mapping (exact, no float rounding ambiguity)
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * hd.h / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * hd.w / w).toInt
+          val so = pixelOff(hd, sx, sy)
+          val dO = (y * w + x) * 3
+          out(dO) = b.content(so); out(dO + 1) = b.content(so + 1)
+          out(dO + 2) = b.content(so + 2)
+          x += 1
+        }
+        y += 1
+      }
+      writeBmp(w, h, out)
+    case other =>
+      // audio has no 2-D resize; unsupported mimes mirror the decode guard
+      throw new IllegalArgumentException(s"resize unsupported for media type: $other")
+  }
+}

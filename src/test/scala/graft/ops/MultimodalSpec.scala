@@ -58,4 +58,121 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(f => (f.blob_id, f.frame_idx, f.content.toSeq)).toSet ==
       again.map(f => (f.blob_id, f.frame_idx, f.content.toSeq)).toSet)
   }
+
+  // ---- real codec: BinaryMediaDecoder over genuine BMP/WAV bytes ----
+
+  /** 4×3 24-bpp bottom-up BMP; pixel (x, y top-based) = BGR
+    * (10x+y, 20x+y, 40x+y) — distinct everywhere, so geometry mistakes
+    * (row order, stride padding) change observed values.
+    */
+  private def bmpFixture: Array[Byte] = {
+    val (w, h) = (4, 3)
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    def putLe32(i: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      out(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'; putLe32(2, out.length); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+    out(26) = 1; out(28) = 24; putLe32(34, stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = 54 + (h - 1 - y) * stride + x * 3 // bottom-up storage
+      out(o) = (10 * x + y).toByte; out(o + 1) = (20 * x + y).toByte
+      out(o + 2) = (40 * x + y).toByte
+    }
+    out
+  }
+
+  /** mono 16-bit 8000 Hz PCM WAV with samples 0, 1000, -1000, 32767,
+    * -32768, 12345 — canonical 44-byte header + data chunk.
+    */
+  private def wavFixture: Array[Byte] = {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 12345)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putAscii(i: Int, s: String): Unit = s.zipWithIndex.foreach {
+      case (c, k) => out(i + k) = c.toByte }
+    def putLe32(i: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      out(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def putLe16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte }
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataLen); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1) // PCM
+    putLe16(22, 1); putLe32(24, 8000); putLe32(28, 16000)
+    putLe16(32, 2); putLe16(34, 16)
+    putAscii(36, "data"); putLe32(40, dataLen)
+    samples.zipWithIndex.foreach { case (s, i) => putLe16(44 + i * 2, s & 0xffff) }
+    out
+  }
+
+  private def blobOf(bytes: Array[Byte], mime: String) =
+    Multimodal.Blob(1L, bytes, mime, Map.empty)
+
+  test("BinaryMediaDecoder decodes a real BMP: dimensions, luma range, pixel rows") {
+    val d = BinaryMediaDecoder.decode(blobOf(bmpFixture, "image/bmp"))
+    assert(d.width == 4 && d.height == 3 && d.n_frames == 1)
+    assert(d.features.length == 8)
+    // darkest pixel is (0,0)=BGR(0,0,0) → min luma 0; brightest is (3,2)
+    assert(d.features(6) == 0.0f)
+    val maxLuma = (0.299 * 122 + 0.587 * 62 + 0.114 * 32) / 255.0
+    assert(math.abs(d.features(7) - maxLuma) < 1e-6)
+    // frame = top-based pixel row 1: BGR(10x+1, 20x+1, 40x+1) for x=0..3
+    val row = BinaryMediaDecoder.frame(blobOf(bmpFixture, "image/bmp"), 1)
+    assert(row.toSeq == Seq[Byte](1, 1, 1, 11, 21, 41, 21, 41, 81, 31, 61, 121))
+  }
+
+  test("BinaryMediaDecoder resize is a true nearest-neighbor resample, re-decodable") {
+    val resized = BinaryMediaDecoder.resize(blobOf(bmpFixture, "image/bmp"), 2, 2)
+    // output is itself a valid BMP the decoder re-parses
+    val d = BinaryMediaDecoder.decode(blobOf(resized, "image/bmp"))
+    assert(d.width == 2 && d.height == 2)
+    // nearest-neighbor source pixels: sx = x·4/2 ∈ {0,2}, sy = y·3/2 ∈ {0,1}
+    // → top row (y=0) pulls (0,0),(2,0); bottom row (y=1) pulls (0,1),(2,1)
+    val top = BinaryMediaDecoder.frame(blobOf(resized, "image/bmp"), 0)
+    val bot = BinaryMediaDecoder.frame(blobOf(resized, "image/bmp"), 1)
+    assert(top.toSeq == Seq[Byte](0, 0, 0, 20, 40, 80))
+    assert(bot.toSeq == Seq[Byte](1, 1, 1, 21, 41, 81))
+  }
+
+  test("BinaryMediaDecoder decodes a real PCM WAV: rate, channels, frames, samples") {
+    val b = blobOf(wavFixture, "audio/wav")
+    val d = BinaryMediaDecoder.decode(b)
+    assert(d.width == 8000 && d.height == 1 && d.n_frames == 6)
+    // feature 0 = first sample (0), feature 7 = last sample (12345/32768)
+    assert(d.features(0) == 0.0f)
+    assert(math.abs(d.features(7) - 12345.0f / 32768.0f) < 1e-6)
+    // sample frame 3 = 32767 little-endian
+    assert(BinaryMediaDecoder.frame(b, 3).toSeq == Seq[Byte](-1, 127))
+    // audio has no 2-D resize
+    intercept[IllegalArgumentException](BinaryMediaDecoder.resize(b, 2, 2))
+  }
+
+  test("BinaryMediaDecoder rejects unsupported and malformed payloads") {
+    intercept[IllegalArgumentException](
+      BinaryMediaDecoder.decode(blobOf(bmpFixture, "image/png")))
+    intercept[IllegalArgumentException](
+      BinaryMediaDecoder.decode(blobOf(Array[Byte](1, 2, 3), "image/bmp")))
+    intercept[IllegalArgumentException](
+      BinaryMediaDecoder.decode(blobOf(Array[Byte](1, 2, 3), "audio/wav")))
+  }
+
+  test("real codec runs end-to-end through the Spark decode/resize plumbing") {
+    import spark.implicits._
+    // 6 real BMPs with distinct sizes via resize from the fixture
+    val blobs = (1 to 6).map { i =>
+      Multimodal.Blob(i.toLong,
+        BinaryMediaDecoder.resize(blobOf(bmpFixture, "image/bmp"), i + 1, i + 2),
+        "image/bmp", Map.empty)
+    }
+    val ds = spark.createDataset(blobs).repartition(3)
+    val dec = Multimodal.decode(ds, BinaryMediaDecoder).collect().sortBy(_.blob_id)
+    assert(dec.map(d => (d.width, d.height)).toSeq ==
+      (1 to 6).map(i => (i + 1, i + 2)))
+    val rs = Multimodal.resize(ds, 8, 8, BinaryMediaDecoder).collect()
+    assert(rs.length == 6)
+    rs.foreach { b =>
+      val d = BinaryMediaDecoder.decode(b.copy(mime = "image/bmp"))
+      assert(d.width == 8 && d.height == 8)
+      assert(b.meta("width") == "8" && b.meta("height") == "8")
+    }
+  }
 }
