@@ -263,35 +263,74 @@ object Yamls {
   }
 }
 
-/** Lenient HTML tag scanner standing in for BeautifulSoup's html.parser
-  * traversal (reference: backend/etl_pipeline.py:141-148): every element in
-  * document order whose subtree text (each text node stripped, concatenated)
-  * is longer than 3 chars becomes a row; `class`/`rel` attrs are
-  * multi-valued and render python-list-style.
+/** Lenient HTML tag scanner standing in for BeautifulSoup over the stdlib
+  * `html.parser` backend (reference: backend/etl_pipeline.py:141-148):
+  * every element in document order whose subtree text (each visible text
+  * node stripped, concatenated) is longer than 3 chars becomes a row.
+  *
+  * Modern-bs4 (≥4.9) semantics reproduced:
+  *  - script/style bodies are CDATA — raw text up to the matching close
+  *    tag, never entity-decoded — and, like strings typed Script /
+  *    Stylesheet / TemplateString in bs4, are EXCLUDED from `get_text()`
+  *    (exact-type filtering keeps only plain NavigableString); strings
+  *    under a `<template>` ancestor are likewise hidden;
+  *  - comments, declarations (`<!doctype …>`) and processing instructions
+  *    (`<?…?>`) parse as non-text nodes (Comment/Doctype/PI), invisible to
+  *    `get_text`;
+  *  - closing tags pop to the nearest matching open tag (implicitly
+  *    closing descendants); unmatched closers are ignored; void elements
+  *    (bs4 `empty_element_tags`) never push;
+  *  - multi-valued attributes follow bs4's `cdata_list_attributes` table
+  *    (global class/accesskey/dropzone + per-tag rel/rev/headers/…) and
+  *    split with `re.split('\\s+')` semantics — leading/trailing
+  *    whitespace yields EMPTY list items, as in bs4 — rendering
+  *    python-list-style.
+  *
+  * Documented deviations (HtmlGoldenSpec): only the core named entities +
+  * numeric (dec/hex) references decode — not the full HTML5 table — and
+  * references missing their semicolon stay literal.
   */
 object Html {
   final case class TagRow(name: String, text: String, attrs: Vector[(String, String)])
 
-  private val TagRe = Pattern.compile("<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>|<!--[\\s\\S]*?-->")
+  private val TagRe = Pattern.compile(
+    "<(/?)([a-zA-Z][a-zA-Z0-9._:\\-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>" +
+      "|<!--[\\s\\S]*?-->|<![^>]*>|<\\?[^>]*>")
   private val AttrRe = Pattern.compile("([a-zA-Z_:][-a-zA-Z0-9_:.]*)\\s*(?:=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+)))?")
+  /** bs4 HTMLTreeBuilder.empty_element_tags (html.parser backend). */
   private val Void = Set("area", "base", "br", "col", "embed", "hr", "img",
-    "input", "link", "meta", "param", "source", "track", "wbr")
-  private val MultiValued = Set("class", "rel")
+    "input", "keygen", "link", "menuitem", "meta", "param", "source", "track",
+    "wbr", "basefont", "bgsound", "command", "frame", "image", "isindex",
+    "nextid", "spacer")
+  /** bs4 cdata_list_attributes: '*' entries + per-tag entries. */
+  private val MultiGlobal = Set("class", "accesskey", "dropzone")
+  private val MultiPerTag: Map[String, Set[String]] = Map(
+    "a" -> Set("rel", "rev"), "link" -> Set("rel", "rev"),
+    "td" -> Set("headers"), "th" -> Set("headers"),
+    "form" -> Set("accept-charset"), "object" -> Set("archive"),
+    "area" -> Set("rel"), "icon" -> Set("sizes"),
+    "iframe" -> Set("sandbox"), "output" -> Set("for"))
+  /** bs4 string_containers: strings under these get non-visible types. */
+  private val StringContainers = Set("script", "style", "template")
   private val Entities = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
-    "quot" -> "\"", "apos" -> "'", "#39" -> "'", "nbsp" -> "\u00a0")
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> "\u00a0")
 
+  private final case class Text(s: String, hidden: Boolean)
   private final class Node(val name: String, val attrs: Vector[(String, String)]) {
-    val children = mutable.ArrayBuffer.empty[AnyRef] // Node | String
+    val children = mutable.ArrayBuffer.empty[AnyRef] // Node | Text
   }
 
   def tagRows(text: String): Vector[TagRow] = {
+    val lower = text.toLowerCase(Locale.ROOT)
     val root = new Node("", Vector.empty)
     val stack = mutable.ArrayBuffer(root)
     val order = mutable.ArrayBuffer.empty[Node]
+    def hiddenNow: Boolean = stack.exists(n => StringContainers.contains(n.name))
     val m = TagRe.matcher(text)
     var pos = 0
-    while (m.find()) {
-      if (m.start() > pos) stack.last.children += decode(text.substring(pos, m.start()))
+    while (pos <= text.length && m.find(pos)) {
+      if (m.start() > pos)
+        stack.last.children += Text(decode(text.substring(pos, m.start())), hiddenNow)
       pos = m.end()
       if (m.group(2) != null) {
         val name = m.group(2).toLowerCase(Locale.ROOT)
@@ -304,35 +343,65 @@ object Html {
           val node = new Node(name, parseAttrs(m.group(3)))
           stack.last.children += node
           order += node
-          if (m.group(4) != "/" && !Void.contains(name)) stack += node
+          if (m.group(4) != "/" && !Void.contains(name)) {
+            stack += node
+            if (name == "script" || name == "style") {
+              // CDATA content element (html.parser): raw text up to the
+              // matching close tag, no entity decoding, hidden from get_text
+              val close = lower.indexOf("</" + name, pos)
+              val end = if (close < 0) text.length else close
+              if (end > pos) node.children += Text(text.substring(pos, end), hidden = true)
+              pos = end
+            }
+          }
         }
       }
     }
-    if (pos < text.length) stack.last.children += decode(text.substring(pos))
+    if (pos < text.length) stack.last.children += Text(decode(text.substring(pos)), hiddenNow)
 
     order.iterator.flatMap { n =>
       val t = subtreeText(n)
       if (t.length > 3) {
+        val multi = MultiGlobal ++ MultiPerTag.getOrElse(n.name, Set.empty)
         val attrs = n.attrs.map { case (k, v) =>
-          if (MultiValued.contains(k))
-            k -> v.trim.split("\\s+").filter(_.nonEmpty).map(PyRender.pyReprStr)
-              .mkString("[", ", ", "]")
-          else k -> v
+          if (multi.contains(k)) {
+            // re.split(r'\s+', v) semantics: '' → []; leading/trailing
+            // whitespace contributes EMPTY items (the bs4 quirk)
+            val parts = if (v.isEmpty) Array.empty[String] else v.split("\\s+", -1)
+            k -> parts.map(PyRender.pyReprStr).mkString("[", ", ", "]")
+          } else k -> v
         }
         Some(TagRow(n.name, t, attrs))
       } else None
     }.toVector
   }
 
-  /** get_text(strip=True): strip each text node, drop empties, join with "". */
+  /** get_text(strip=True): strip each VISIBLE text node, drop empties,
+    * join with "" — hidden (Script/Stylesheet/TemplateString-typed)
+    * strings never contribute.
+    */
   private def subtreeText(n: Node): String = {
     val sb = new StringBuilder
     def walk(x: AnyRef): Unit = x match {
-      case s: String => sb.append(s.trim)
+      case Text(s, hidden) => if (!hidden) sb.append(pyStrip(s))
       case c: Node => c.children.foreach(walk)
     }
     n.children.foreach(walk)
     sb.toString
+  }
+
+  /** Python str.strip(): Unicode whitespace, including NBSP/NEL — wider
+    * than Java's trim (ASCII <= 0x20 only). Decoded `&nbsp;` at a text
+    * node's edge must strip exactly as it does in the reference.
+    */
+  private def pyStrip(s: String): String = {
+    def ws(c: Char) =
+      Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
+    var i = 0
+    var j = s.length
+    while (i < j && ws(s(i))) i += 1
+    while (j > i && ws(s(j - 1))) j -= 1
+    s.substring(i, j)
   }
 
   private def parseAttrs(s: String): Vector[(String, String)] = {
@@ -349,7 +418,7 @@ object Html {
 
   private def decode(s: String): String = {
     if (!s.contains('&')) return s
-    val m = Pattern.compile("&(#?\\w+);").matcher(s)
+    val m = Pattern.compile("&(#?[xX]?\\w+);").matcher(s)
     val sb = new StringBuilder
     var pos = 0
     while (m.find()) {
@@ -357,8 +426,12 @@ object Html {
       val ent = m.group(1)
       sb.append(Entities.getOrElse(ent,
         if (ent.startsWith("#")) {
-          try String.valueOf(ent.drop(1).toInt.toChar)
-          catch { case _: Exception => m.group(0) }
+          try {
+            val cp = if (ent.length > 1 && (ent(1) == 'x' || ent(1) == 'X'))
+              Integer.parseInt(ent.drop(2), 16)
+            else ent.drop(1).toInt
+            new String(Character.toChars(cp))
+          } catch { case _: Exception => m.group(0) }
         } else m.group(0)))
       pos = m.end()
     }

@@ -1,20 +1,24 @@
 #!/usr/bin/env python3
 """Capture golden outputs from the reference pipeline (/root/reference) for
 fixture inputs, WITHOUT copying reference code. bs4/deepdiff are unavailable
-offline; they're stubbed — the BeautifulSoup stub returns no tags, which is
-exactly what real bs4 does on non-HTML text, so goldens are exact for
-fixtures that contain no '<tag>' markup.
+offline; bs4 is substituted with tools/bs4_shim.py — an emulation of
+bs4 >= 4.9 built on the SAME stdlib html.parser backend real bs4 wraps
+(entity conversion, CDATA script/style handling, tolerant tag parsing all
+come from the stdlib parser itself; the shim re-implements only the tree
+building + get_text/attrs layer, with its fidelity notes in its docstring).
+On text without markup the shim yields no tags, exactly like real bs4, so
+the f1–f5 goldens are bit-identical to the old no-op stub's.
 
 Outputs JSON goldens under src/test/resources/goldens/.
 """
 import sys, os, json, types
 
-# --- stub bs4 / deepdiff before importing the reference module ---
+# --- substitute bs4 (shim) / stub deepdiff before importing the reference ---
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import bs4_shim
+
 bs4 = types.ModuleType("bs4")
-class _Soup:
-    def __init__(self, text, parser): pass
-    def find_all(self, x): return []
-bs4.BeautifulSoup = _Soup
+bs4.BeautifulSoup = bs4_shim.BeautifulSoup
 sys.modules["bs4"] = bs4
 dd = types.ModuleType("deepdiff")
 class _DD(dict):
@@ -125,3 +129,70 @@ for name, text in FIXTURES.items():
 with open(f"{OUT}/pipeline_goldens.json", "w") as f:
     json.dump(goldens, f, indent=1, default=str)
 print("wrote goldens:", list(goldens), "cols:", {k: len(v["columns"]) for k, v in goldens.items()})
+
+# ---- 3. adversarial HTML goldens (bs4-shim-backed reference run) ----
+HTML_FIXTURES = {
+    # well-formed basics: nesting, multi-valued class/rel, the >3 text filter
+    "f6_html_basic": (
+        '<div class="box main" id="d1">Hello <b>world</b> and <i>friends</i></div>\n'
+        '<p>abc</p>\n'
+        '<a href="/x?a=1&amp;b=2" rel="nofollow noopener">Link text here</a>\n'
+        '<ul><li>item one</li><li>item two</li></ul>\n'
+    ),
+    # malformed: uppercase tags, unclosed <p>s, attr values with embedded >,
+    # bare attrs, unquoted values, misnesting, unclosed element at EOF
+    "f7_html_malformed": (
+        '<DIV CLASS="A B"><p>first para<p>second para</DIV>\n'
+        "<span title=\"a > b\" data-x='1 > 2'>compare values</span>\n"
+        '<input disabled value=unquoted>\n'
+        '<b><i>misnested bold italic</b></i>\n'
+        '<section>unclosed section with <em>emphasis\n'
+    ),
+    # hidden strings: doctype, style/script CDATA bodies, comments,
+    # template subtrees, processing instructions — none visible to get_text
+    "f8_html_hidden": (
+        '<!DOCTYPE html>\n'
+        '<html><head><style>body { color: red; }</style>\n'
+        '<script type="text/javascript">if (a < b && c > d) { go("x&amp;y"); }</script>\n'
+        '</head><body>\n'
+        '<!-- a comment longer than three chars -->\n'
+        '<template><span>ghost content</span></template>\n'
+        '<div>visible text<?php echo "server"; ?></div>\n'
+        '</body></html>\n'
+    ),
+    # HTML inside JSON: the strict-JSON, embedded-JSON and HTML extractors
+    # all fire on the same text (composition check)
+    "f9_html_in_json": (
+        '{"title": "Report", '
+        '"body": "<div class=\'x\'>embedded markup text</div>", "n": 5}\n'
+    ),
+    # entities: core named + numeric dec/hex decode on both sides; the
+    # second paragraph needs the full HTML5 named table (&eacute;) — a
+    # DOCUMENTED deviation (engine keeps it literal)
+    "f10_html_entities": (
+        '<p>5 &lt; 6 &amp;&amp; 7 &gt; 3, &quot;q&quot; &#65;&#x42; ok</p>\n'
+        '<p>caf&eacute; needs the full table</p>\n'
+    ),
+}
+
+html_goldens = {}
+for name, text in HTML_FIXTURES.items():
+    path = f"/tmp/refrun/{name}.txt"
+    with open(path, "w") as f:
+        f.write(text)
+    df = ref.extract_structured_blocks(path)
+    df = ref.normalize_data(df)
+    df = ref.flatten_dataframe(df)
+    schema = ref.generate_schema(df)
+    schema.pop("schema_id"); schema.pop("generated_at")
+    rows = [{k: jval(v) for k, v in rec.items()} for rec in df.to_dict(orient="records")]
+    html_goldens[name] = {
+        "input": text,
+        "columns": list(df.columns),
+        "rows": rows,
+        "schema": schema,
+    }
+
+with open(f"{OUT}/html_goldens.json", "w") as f:
+    json.dump(html_goldens, f, indent=1, default=str)
+print("wrote html goldens:", {k: (len(v["columns"]), len(v["rows"])) for k, v in html_goldens.items()})
