@@ -185,25 +185,58 @@ object Dates {
   /** dateutil quirk, exactly mirrored: NEGATIVE numbers reach dateutil.parse
     * (infer_type's int/float regexes don't match '-') and often PARSE — the
     * '-' tokenizes as a jump, the digits read as day/year. Acceptance is
-    * decided by token SHAPE (verified value-independent against dateutil):
-    *   - pure int: 1-4 digits (5+ digits fail; -0 forms fail); a trailing
-    *     dot tokenizes separately, so "-5." ≡ "-5";
+    * decided by token SHAPE (verified value-independent against dateutil),
+    * plus two fixed-width VALUE-dependent branches (verified by full
+    * enumeration of all 10^6 six-digit strings against dateutil):
+    *   - pure int: 1-4 digits (5/7/8+ digits fail; -0 forms fail); a
+    *     trailing dot tokenizes separately, so "-5." ≡ "-5";
     *   - bare fraction ".F": 1-4 fraction digits;
     *   - "I.F": fails when the token length hits dateutil's fixed-width
-    *     branches (len 6 → HHMMSS, len 8/12 → YYYYMMDD[HHMM] — the dot
-    *     breaks the int slices) or the int part has 5+ digits; per int-digit
-    *     count the allowed fraction-digit counts are
+    *     branches (len 8/12 → YYYYMMDD[HHMM] — the dot breaks the int
+    *     slices) or the int part has 5 or 7+ digits; per int-digit count
+    *     the allowed fraction-digit counts are
     *       1 → {1,2,3,5},  2 → {1,2,4,6},  3 → {1,3,5,6},  4 → {2,4,5,6}
-    *     (capped at 6 fraction digits — all this corpus can produce).
+    *     (capped at 6 fraction digits — all this corpus can produce);
+    *   - 6-digit int with ANY fraction: dateutil's fixed-width HHMMSS.f
+    *     branch — parses iff HH<24, MM<60, SS<60 (time-of-day "today");
+    *   - bare 6 digits: split into three 2-digit fields resolved like
+    *     dateutil's ymd logic — first>31 → (year,month,day), first>12 →
+    *     (day,month,year), else (month,day,year); valid iff the month is
+    *     1-12 and the day fits the month (Feb 29 iff the 2-digit year mod
+    *     4 == 0 — exact for dateutil's ±50-year century window, where every
+    *     mapped year divisible by 4 is a leap year). See [[TripletRe]].
     * RE2-compatible (no lookahead) so DuckDB oracles run the same regex.
     */
+  private val MM31 = "(0[13578]|1[02])" // months with 31 days
+  private val MM30 = "(0[469]|11)"
+  private val MMAll = "(0[1-9]|1[0-2])"
+  private val MMNoFeb = "(0[13-9]|1[0-2])"
+  private val D31 = "(0[1-9]|[12]\\d|3[01])"
+  private val D30 = "(0[1-9]|[12]\\d|30)"
+  private val D28 = "(0[1-9]|1\\d|2[0-8])"
+  private val LeapYY = "([02468][048]|[13579][26])" // yy with Y(yy) % 4 == 0
+  private val LeapYear32 = "(3[26]|4[048]|5[26]|6[048]|7[26]|8[048]|9[26])"
+
+  /** Bare 6-digit M/D/Y-triplet acceptance (see NegNumDateRe scaladoc). */
+  val TripletRe: String =
+    s"($MM31$D31\\d{2}|$MM30$D30\\d{2}|02$D28\\d{2}|0229$LeapYY|" +
+      s"(1[3-9]|2[0-8])$MMAll\\d{2}|29($MMNoFeb\\d{2}|02$LeapYY)|" +
+      s"30$MMNoFeb\\d{2}|31$MM31\\d{2}|" +
+      s"(3[2-9]|[4-9]\\d)($MM31$D31|$MM30$D30|02$D28)|${LeapYear32}0229)"
+
   val NegNumDateRe: String =
     "-([1-9]\\d{0,3}\\.?|\\.\\d{1,4}|[1-9]\\.(\\d{1,3}|\\d{5})|[1-9]\\d\\.(\\d{1,2}|\\d{4}|\\d{6})|" +
-      "[1-9]\\d{2}\\.(\\d|\\d{3}|\\d{5,6})|[1-9]\\d{3}\\.(\\d{2}|\\d{4,6}))"
+      "[1-9]\\d{2}\\.(\\d|\\d{3}|\\d{5,6})|[1-9]\\d{3}\\.(\\d{2}|\\d{4,6})|" +
+      "([01]\\d|2[0-3])[0-5]\\d[0-5]\\d\\.\\d+|" + // HHMMSS.f fixed-width branch
+      TripletRe + ")"
 
   private val IsoDate = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
+  // seconds fraction: dateutil accepts '.' or ',' (ISO 8601 comma) after the
+  // SECONDS field only (after minutes it means fraction-of-minute — not
+  // battery-covered), any digit count (truncated to µs), and a bare
+  // trailing separator
   private val IsoDateTime =
-    "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d{1,6})?)?)(Z|[+-]\\d{2}:?\\d{2})?$".r
+    "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}(?::\\d{2}(?:[.,]\\d*)?)?)(Z|[+-]\\d{2}:?\\d{2})?$".r
   private val UsSlash = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})$".r
   private val MonthName =
     "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{1,2}),? (\\d{4})$".r
@@ -220,7 +253,14 @@ object Dates {
     s match {
       case IsoDate(y, m, d) =>
         valid(y.toInt, m.toInt, d.toInt).map(_ => s"$y-$m-${d}T00:00:00")
-      case IsoDateTime(date, time, tz) =>
+      case IsoDateTime(date, time0, tz) =>
+        // python isoformat renders microseconds 6-digit-padded (input frac
+        // truncated to 6) and omits them entirely when zero
+        val sep = time0.indexWhere(c => c == '.' || c == ',')
+        val (base, frac) =
+          if (sep < 0) (time0, "") else (time0.substring(0, sep), time0.substring(sep + 1))
+        val micro = frac.take(6).padTo(6, '0')
+        val time = base + (if (frac.nonEmpty && micro != "000000") "." + micro else "")
         val t = if (time.length == 5) time + ":00" else time
         val tzs = tz match {
           case null => ""

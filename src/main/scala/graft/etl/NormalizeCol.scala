@@ -117,7 +117,7 @@ object NormalizeCol {
     * see [[Dates.NegNumDateRe]] for the full shape table.
     */
   val InferDateRe =
-    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?(Z|[+-]\\d{2}:?\\d{2})?)?|\\d{1,2}/\\d{1,2}/\\d{4}|" +
+    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?|\\d{1,2}/\\d{1,2}/\\d{4}|" +
       Dates.NegNumDateRe + ")$"
 
   def inferType(c: Column): Column =

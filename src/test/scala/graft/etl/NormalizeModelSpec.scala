@@ -58,6 +58,33 @@ class NormalizeModelSpec extends AnyFunSuite {
     strings.foreach(s => assert(Normalize.inferType(JStr(s)) == "string", s))
   }
 
+  test("6-digit negatives follow dateutil's fixed-width branches") {
+    // HHMMSS.f branch: any fraction length, time-of-day validity
+    val hhmmss = Seq("-104109.0", "-100000.5", "-000000.5", "-235959.123",
+      "-102441.1234567")
+    val badTime = Seq("-240000.5", "-235960.5", "-236061.0", "-999999.9")
+    // bare triplet branch: three 2-digit fields resolved like ymd
+    val triplets = Seq("-102441", "-123060", "-311299", "-290260", "-391231",
+      "-022960", "-360229")
+    val badTriplets = Seq("-999999", "-236061", "-240000", "-000000",
+      "-310499", "-022959", "-350229", "-130060")
+    (hhmmss ++ triplets).foreach(s => assert(Normalize.inferType(JStr(s)) == "date", s))
+    (badTime ++ badTriplets).foreach(s => assert(Normalize.inferType(JStr(s)) == "string", s))
+  }
+
+  test("datetime comma/long seconds-fractions parse like dateutil isoformat") {
+    assert(Dates.parseIso("2025-11-11 20:30:00,123") == Some("2025-11-11T20:30:00.123000"))
+    assert(Dates.parseIso("2025-11-11 20:30:00.123") == Some("2025-11-11T20:30:00.123000"))
+    assert(Dates.parseIso("2025-11-11T20:30:00,1Z") == Some("2025-11-11T20:30:00.100000+00:00"))
+    // >6 digits truncate to µs; zero/empty fractions drop (python isoformat)
+    assert(Dates.parseIso("2025-11-11 20:30:00,1234567") == Some("2025-11-11T20:30:00.123456"))
+    assert(Dates.parseIso("2025-11-11 20:30:00.0") == Some("2025-11-11T20:30:00"))
+    assert(Dates.parseIso("2025-11-11 20:30:00,") == Some("2025-11-11T20:30:00"))
+    // fraction-of-minute form stays outside the battery (documented)
+    assert(Dates.parseIso("2025-11-11 20:30,123").isEmpty)
+    assert(Normalize.inferType(JStr("2025-11-11 20:30:00,123")) == "date")
+  }
+
   test("python float repr edge cases") {
     assert(PyRender.floatRepr(0.45) == "0.45")
     assert(PyRender.floatRepr(1234.0) == "1234.0")

@@ -156,7 +156,7 @@ import datetime as _dt
 import re as _re
 _MON = "(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
 _B_ISO = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})$')
-_B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}(\.\d{1,6})?)?(Z|[+-]\d{2}:?\d{2})?$')
+_B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}([.,]\d*)?)?(Z|[+-]\d{2}:?\d{2})?$')
 _B_MDY = _re.compile(r'^(\d{1,2})/(\d{1,2})/(\d{4})$')
 _B_MONDY = _re.compile(r'^%s[a-z]* (\d{1,2}),? (\d{4})$' % _MON, _re.I)
 _B_DMONY = _re.compile(r'^(\d{1,2}) %s[a-z]* (\d{4})$' % _MON, _re.I)
@@ -177,6 +177,31 @@ def battery_parse(s, *a, **k):
                  r'[1-9]\d\.(\d{1,2}|\d{4}|\d{6})|[1-9]\d{2}\.(\d|\d{3}|\d{5,6})|'
                  r'[1-9]\d{3}\.(\d{2}|\d{4,6}))$', s):
         return _dt.datetime(2000, 1, 1)
+    # dateutil fixed-width branches, mirrored value-dependently (engine:
+    # Dates.NegNumDateRe HHMMSS.f + TripletRe; verified by full enumeration):
+    # -HHMMSS.f parses iff the six digits form a valid time-of-day;
+    # bare -ABCDEF splits into three 2-digit fields resolved like ymd
+    # (A>31 → Y/M/D, A>12 → D/M/Y, else M/D/Y), Feb 29 iff year % 4 == 0.
+    m = _re.match(r'^-(\d{6})\.\d+$', s)
+    if m:
+        hh, mm, ss = int(m.group(1)[:2]), int(m.group(1)[2:4]), int(m.group(1)[4:6])
+        if hh < 24 and mm < 60 and ss < 60:
+            return _dt.datetime(2000, 1, 1)
+        raise ValueError(s)
+    m = _re.match(r'^-(\d{2})(\d{2})(\d{2})$', s)
+    if m:
+        a, b, c = (int(g) for g in m.groups())
+        if a > 31:
+            mo, dd, yy = b, c, a
+        elif a > 12:
+            mo, dd, yy = b, a, c
+        else:
+            mo, dd, yy = a, b, c
+        days = [31, 29 if yy % 4 == 0 else 28, 31, 30, 31, 30,
+                31, 31, 30, 31, 30, 31]
+        if 1 <= mo <= 12 and 1 <= dd <= days[mo - 1]:
+            return _dt.datetime(2000, 1, 1)
+        raise ValueError(s)
     m = _B_ISO.match(s)
     if m:
         return d(*m.groups())
