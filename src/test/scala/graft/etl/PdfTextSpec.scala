@@ -20,11 +20,32 @@ class PdfTextSpec extends SparkSpec {
 
   test("extracts all pages in page-tree order, golden parity") {
     val pages = PdfText.extractPages(pdfBytes)
-    assert(pages.length == 3)
+    assert(pages.length == 4)
     assert(pages.mkString("\n") == expected)
     // page-level goldens: flate page decodes, TJ kern >= 180 becomes a space
     assert(pages(1).startsWith("[2024-01-01 00:00:00] INFO"))
     assert(pages(2) == "kerned wordsjoin")
+    // CID/Type0: 2-byte codes through the FlateDecode ToUnicode CMap —
+    // bfchar (incl. multi-unit "ID"), bfrange hex-increment ("tuv") and
+    // array destinations ("xyz"), via hex AND literal show strings
+    assert(pages(3) == "CID tuv\nxyz")
+  }
+
+  test("Type0 font without ToUnicode decodes 2-byte codes as identity") {
+    // /Identity-H with no CMap: <0041 0042> reads as "AB" (PyPDF2's
+    // CMap-less CID reading), not Latin-1 of the raw bytes
+    val content = "BT /F1 12 Tf <00410042> Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length " + content.length + " >>\nstream\n" +
+      content + "\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>\nendobj\n" +
+      "%%EOF\n").getBytes
+    // /Resources sits on the Pages NODE, exercising /Parent inheritance
+    assert(PdfText.extract(pdf) == "AB")
   }
 
   test("PlainTextExtractor routes .pdf through PdfText (S2 end of stub)") {

@@ -6,6 +6,10 @@ Exercises every code path of graft.etl.PdfText:
   page 1: uncompressed stream, Tj + Td line moves, escaped parens, hex string
   page 2: FlateDecode stream, T* and ' show operators, octal escape
   page 3: uncompressed stream with an INDIRECT /Length, TJ kerning array
+  page 4: CID/Type0 font with a FlateDecode ToUnicode CMap — bfchar
+          (incl. a multi-unit destination), bfrange with hex-increment and
+          array destinations, 2-byte codes shown via hex AND literal
+          strings, font selected with Tf through /Resources
 
 Run from the repo root:  python3 tools/make_pdf_fixture.py
 """
@@ -37,19 +41,54 @@ page3 = b"""BT
 [(kerned) -250 (words) -90 (join)] TJ
 ET"""
 
+# CID page: 2-byte codes 0001..0006 via bfchar/bfrange-hex, 0010..0012 via
+# bfrange-array; shown once as a hex string and once as a literal string
+page4 = b"""BT
+/F9 12 Tf
+72 720 Td
+<000100020003000400050006> Tj
+T*
+(\x00\x10\x00\x11\x00\x12) Tj
+ET"""
+
+cmap_raw = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+3 beginbfchar
+<0001> <0043>
+<0002> <00490044>
+<0003> <0020>
+endbfchar
+2 beginbfrange
+<0004> <0006> <0074>
+<0010> <0012> [<0078> <0079> <007A>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+cmap = zlib.compress(cmap_raw)
+
 expected = "\n".join([
     '{"id": 1, "name": "Alice (admin)", "score": 95}',
     "second line with JSON",
     "[2024-01-01 00:00:00] INFO startup complete",
     "[2024-01-01 00:00:05] WARN retry Attempt",
     "kerned wordsjoin",
+    "CID tuv",
+    "xyz",
 ])
 
 
 def build():
     objs = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
-        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R 10 0 R] /Count 4 >>",
         3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
         4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(page1), page1),
         5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 6 0 R >>",
@@ -58,6 +97,14 @@ def build():
         7: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 8 0 R >>",
         8: b"<< /Length 9 0 R >>\nstream\n%s\nendstream" % page3,
         9: b"%d" % len(page3),
+        10: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F9 11 0 R >> >> /Contents 12 0 R >>",
+        11: b"<< /Type /Font /Subtype /Type0 /BaseFont /Graft-CID "
+            b"/Encoding /Identity-H /DescendantFonts [14 0 R] /ToUnicode 13 0 R >>",
+        12: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(page4), page4),
+        13: b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(cmap), cmap),
+        14: b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Graft-CID >>",
     }
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
