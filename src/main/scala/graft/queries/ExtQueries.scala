@@ -898,6 +898,57 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // fastText-style hashed linear classifier (the CCNet/quality-filter
+    // scoring shape): word unigrams feature-hash into 1024 buckets, each
+    // bucket carries an integer micro-weight, a document's label is the
+    // SIGN of its weight sum. Weights here derive deterministically from
+    // the bucket hash (this container ships no trained model); a real
+    // model swaps that one expression for a broadcast join against a
+    // 1024-row weight table — plan shape otherwise identical. Scale: one
+    // corpus scan, explode, two map-side-combinable groupBys (doc, then
+    // group); no division anywhere (Spark DIV truncates where DuckDB //
+    // floors — sign-of-sum sidesteps the negative-quotient mismatch).
+    GraftQuery(
+      "text16_hashed_classifier",
+      (s, d) => {
+        val K = 1024
+        val bucket = TA.hash60(col("w")) % K
+        val weight =
+          (TA.hash60(concat(lit("w:"), bucket.cast("string"))) % 2001) - 1000
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(TA.tokens(col("text"))).as("w"))
+          .select(col("doc_id"), col("lang"), col("source"), weight.as("wt"))
+          .groupBy(col("doc_id"), col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("score_sum"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("score_sum") > 0, lit(1))).as("n_pos"),
+            sum(col("n_toks")).as("tok_checksum"),
+            sum(col("score_sum")).as("score_checksum"),
+            coalesce(sum(when(col("score_sum") > 0, col("doc_id"))), lit(0L))
+              .as("id_sum_pos"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, lang, source, unnest(${TA.Sql.tokens("text")}) AS w
+          FROM documents),
+        b AS (SELECT doc_id, lang, source,
+            (${TA.Sql.hash60(s"'w:' || CAST(${TA.Sql.hash60("w")} % 1024 AS VARCHAR)")} % 2001) - 1000 AS wt
+          FROM t),
+        p AS (SELECT doc_id, lang, source, count(*) AS n_toks,
+            CAST(sum(wt) AS BIGINT) AS score_sum
+          FROM b GROUP BY 1, 2, 3)
+        SELECT lang, source, count(*) AS n_docs,
+          count(*) FILTER (score_sum > 0) AS n_pos,
+          CAST(sum(n_toks) AS BIGINT) AS tok_checksum,
+          CAST(sum(score_sum) AS BIGINT) AS score_checksum,
+          coalesce(CAST(sum(doc_id) FILTER (score_sum > 0) AS BIGINT), 0)
+            AS id_sum_pos
+        FROM p GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
     // deterministic hash sampling per stratum: md5-hash of the key → stable
     // 10% sample, identical on every engine/cluster/run (the only sane way
     // to sample 100 TB reproducibly).

@@ -321,6 +321,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("text16: classifier is scan + two partial aggs — no join, no window") {
+    val p = planOf("text16_hashed_classifier")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window ["), p)
+    assert(shuffleCount("text16_hashed_classifier") <= 3) // repartition + 2 groupBys
+  }
+
   // ---- slow-five scale contracts (BASELINE.md prose, pinned as gates) ----
   // The hot/cold cap decision in every dedup operator is a schema-sized
   // groupBy + driver collect, NEVER count().over(Window) on the corpus —
