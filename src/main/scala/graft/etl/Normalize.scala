@@ -25,7 +25,11 @@ import scala.util.matching.Regex
   * (format-free). We use a fixed, ordered format battery
   * ([[Dates.parseIso]]) — deterministic, codegen-friendly, and identical in
   * the DuckDB oracle. Values outside the battery fall through to the
-  * lowercase branch.
+  * lowercase branch. Known remaining vote-only gap (fully logged by the
+  * fuzz harness, see tools/fuzz_parity.py): comma-joined flattened lists
+  * like "123,123" hit dateutil's digit-comma-digit tokenizer merge, whose
+  * acceptance follows neither the decimal table nor any fixed-width
+  * branch — the battery votes string for these.
   */
 object Normalize {
   /** Obscure reference quirk: `normalize_data`'s numeric-column check ORs in
