@@ -971,6 +971,82 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Contamination REMOVAL (decon01 detects, this scrubs): every
+    // non-overlapping 4-token chunk of a training document whose exact
+    // token window occurs anywhere in the eval split is dropped; the
+    // report counts chunks scrubbed, documents touched, and tokens kept
+    // per language. Chunk hashes share tokenShingleHashes' format (1-based
+    // slice, space-join, hash60), so a chunk matches iff its window
+    // appears at ANY alignment in an eval document. Plan for 100 TB:
+    // eval shingles are benchmark-sized → broadcast; the train corpus is
+    // scanned once and only the lang-sized aggregates shuffle. The tail
+    // (len mod 4 tokens) is always kept, making toks_kept exact integer
+    // arithmetic: n_tokens - 4·n_dropped.
+    GraftQuery(
+      "decon03_scrub",
+      (s, d) => {
+        val W = 4
+        val docs = Tables.documents(s, d)
+          .withColumn("is_eval", col("doc_id") % 97 === 0)
+        val evalSh = docs.filter(col("is_eval"))
+          .select(explode(tokenShingleHashes(col("text"), W)).as("sh"))
+          .distinct()
+        val train = docs.filter(!col("is_eval"))
+          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+        val idx = when(size(col("toks")) >= W,
+            sequence(lit(0), (size(col("toks")) / W).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))
+        val chunks = train.select(col("doc_id"), col("lang"),
+          explode(transform(idx,
+            j => TA.hash60(array_join(slice(col("toks"), j * W + 1, lit(W)), " ")))).as("ch"))
+        val marked = chunks
+          .join(broadcast(evalSh), chunks("ch") === evalSh("sh"), "left")
+          .select(col("doc_id"), col("lang"), col("sh").isNotNull.as("hit"))
+        val chunkAgg = marked.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("hit"), lit(1))).as("n_dropped"),
+            countDistinct(when(col("hit"), col("doc_id"))).as("docs_touched"))
+        train.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_train"), sum(col("n_tok")).as("n_tokens"))
+          .join(chunkAgg, Seq("lang"), "left")
+          .select(col("lang"), col("n_train"), col("n_tokens"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            coalesce(col("docs_touched"), lit(0L)).as("docs_touched"),
+            (col("n_tokens") - lit(4L) * coalesce(col("n_dropped"), lit(0L)))
+              .as("toks_kept"))
+      },
+      Some {
+        val sh = TA.Sql.hash60("array_to_string(list_slice(toks, i, i + 3), ' ')")
+        val ck = TA.Sql.hash60("array_to_string(list_slice(toks, j*4 + 1, j*4 + 4), ' ')")
+        s"""WITH base AS (SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval,
+              ${TA.Sql.tokens("text")} AS toks FROM documents),
+          ev AS (SELECT DISTINCT $sh AS sh
+            FROM base, UNNEST(generate_series(1, len(toks) - 3)) AS u(i)
+            WHERE is_eval AND len(toks) >= 4),
+          tr AS (SELECT doc_id, lang, toks, len(toks) AS n_tok
+            FROM base WHERE NOT is_eval),
+          ch AS (SELECT doc_id, lang, $ck AS ch
+            FROM tr, UNNEST(range(len(toks) // 4)) AS u(j)),
+          mk AS (SELECT c.doc_id, c.lang, e.sh IS NOT NULL AS hit
+            FROM ch c LEFT JOIN ev e ON c.ch = e.sh),
+          ca AS (SELECT lang, count(*) AS n_chunks,
+              count(*) FILTER (hit) AS n_dropped,
+              count(DISTINCT CASE WHEN hit THEN doc_id END) AS docs_touched
+            FROM mk GROUP BY 1),
+          da AS (SELECT lang, count(*) AS n_train,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tr GROUP BY 1)
+        SELECT da.lang, n_train, n_tokens,
+          coalesce(n_chunks, 0) AS n_chunks,
+          coalesce(n_dropped, 0) AS n_dropped,
+          coalesce(docs_touched, 0) AS docs_touched,
+          n_tokens - 4 * coalesce(n_dropped, 0) AS toks_kept
+        FROM da LEFT JOIN ca USING (lang)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // Feed-freshness audit (the first page of any pipeline dashboard): per
     // event type, event count, last-seen timestamp, staleness in whole
     // minutes behind the freshest feed, and a >30-min stale flag. One

@@ -321,6 +321,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("decon03: eval shingles broadcast into the scrub; corpus never sort-merges") {
+    val p = planOf("decon03_scrub")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the chunk->eval probe must not shuffle the train corpus by hash key;
+    // the only SMJ-free exception is the final lang-sized agg join, which
+    // AQE may also broadcast — assert no sort-merge anywhere
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
   test("text16: classifier is scan + two partial aggs — no join, no window") {
     val p = planOf("text16_hashed_classifier")
     assert(p.contains("partial_"), p)
