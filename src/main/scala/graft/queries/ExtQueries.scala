@@ -799,6 +799,74 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Canonical-representative selection (the resolution step AFTER
+    // clustering: dedup07 finds near-dup clusters, this picks the survivor
+    // and counts the drops): per connected component, keep the member with
+    // the most tokens, ties broken by lowest doc_id — both deterministic
+    // integers, so the pick is engine-exact. The keeper join is a two-step
+    // (component max, then min-id at that max) textually mirrored in the
+    // oracle, avoiding struct-max semantics that differ across engines.
+    // Scale: everything after the component build is component-sized; the
+    // token counts ride the same corpus scan that feeds the signatures.
+    GraftQuery(
+      "dedup13_canonical",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"),
+            TA.tokenCount(col("text")).cast("long").as("n_toks"))
+          .persist()
+        val banded = bandedKeys(docs.select(col("doc_id"), col("sig")), "doc_id")
+        val hubW = Window.partitionBy(col("band"), col("key"))
+        val edges = banded
+          .withColumn("hub", min(col("doc_id")).over(hubW))
+          .filter(col("doc_id") =!= col("hub"))
+          .select(col("hub").as("a"), col("doc_id").as("b"))
+          .distinct()
+        val j = graft.ops.DedupGraph.connectedComponents(edges)
+          .select(col("node").as("doc_id"), col("component"))
+          .join(docs.select(col("doc_id"), col("n_toks")), Seq("doc_id"))
+        val m = j.groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"), max(col("n_toks")).as("keep_toks"))
+        val k = j.join(m, Seq("component"))
+          .filter(col("n_toks") === col("keep_toks"))
+          .groupBy(col("component")).agg(min(col("doc_id")).as("keep_doc"))
+        m.join(k, Seq("component"))
+          .select(col("component"), col("n_members"), col("keep_doc"),
+            col("keep_toks"), (col("n_members") - 1L).as("n_dropped"))
+      },
+      Some {
+        val (sigExprs, bandKeys) = (sqlSigExprs, sqlBandKeys)
+        val unions = (0 until Bands).map { bd =>
+          s"SELECT a.doc_id AS da, b.doc_id AS db FROM keys a JOIN keys b ON a.band$bd = b.band$bd AND a.doc_id < b.doc_id"
+        }.mkString(" UNION ")
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, ${sqlShingleHashes("text")} AS s FROM documents),
+          sigs AS (SELECT doc_id, $sigExprs FROM sh),
+          keys AS (SELECT doc_id, $bandKeys FROM sigs),
+          edges AS ($unions),
+          bi AS (SELECT da AS src, db AS dst FROM edges
+                 UNION ALL SELECT db, da FROM edges),
+          reach AS (SELECT src, dst FROM bi
+                    UNION
+                    SELECT r.src, b.dst FROM reach r JOIN bi b ON r.dst = b.src),
+          c AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                FROM reach GROUP BY src),
+          q AS (SELECT doc_id, CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS n_toks
+                FROM documents),
+          j AS (SELECT c.component, c.doc_id, q.n_toks FROM c JOIN q USING (doc_id)),
+          m AS (SELECT component, count(*) AS n_members, max(n_toks) AS keep_toks
+                FROM j GROUP BY 1),
+          k AS (SELECT j.component, min(j.doc_id) AS keep_doc
+                FROM j JOIN m ON j.component = m.component AND j.n_toks = m.keep_toks
+                GROUP BY 1)
+        SELECT m.component, m.n_members, k.keep_doc, m.keep_toks,
+          m.n_members - 1 AS n_dropped
+        FROM m JOIN k USING (component)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // PII scrubbing: redact phone-number-shaped spans from a text rendering
     // of customer records (the reduced test schema has no phone column, so a
     // deterministic phone-like string is derived from the keys); count
