@@ -570,6 +570,62 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Mixture quota planning (mix01's weights turned into an executable
+    // plan): a 10M-token budget is allocated across (lang, source) groups
+    // proportionally to the temperature weights using LARGEST-REMAINDER
+    // rounding, so the integer quotas sum EXACTLY to the budget — floor
+    // division loses < 1 token per group, and the leftover goes to the
+    // groups with the largest remainders (ties broken lexicographically).
+    // epochs_ppm = quota/available shows which groups must oversample
+    // (> 1e6 ppm = more than one pass). All arithmetic is exact BIGINT
+    // except the final ppm, one rounded division; the ranking window runs
+    // on the mixture-sized table, never the corpus. Budget stays at 1e7 so
+    // B * s_micro (~5e16) cannot overflow 64 bits at any test SF.
+    GraftQuery(
+      "mix02_epoch_plan",
+      (s, d) => {
+        val B = 10000000L
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("chars"))
+          .withColumn("s_micro", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+        val t = c.agg(sum(col("s_micro")).as("total"))
+        val j = c.crossJoin(broadcast(t))
+          .withColumn("base", expr(s"($B * s_micro) div total"))
+          .withColumn("rem", expr(s"($B * s_micro) % total"))
+        val l = j.agg((lit(B) - sum(col("base"))).as("leftover"))
+        val ranked = j.crossJoin(broadcast(l))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+          .withColumn("quota",
+            col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        ranked.select(col("lang"), col("source"), col("chars"), col("quota"),
+          round(col("quota") * 1000000.0 / col("chars")).cast("long").as("epochs_ppm"),
+          (col("quota") > col("chars")).cast("int").as("oversampled"))
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY 1, 2),
+          s AS (SELECT lang, source, chars,
+              CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS s_micro FROM c),
+          t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS total FROM s),
+          j AS (SELECT lang, source, chars,
+              (10000000 * s_micro) // total AS base,
+              (10000000 * s_micro) % total AS rem
+            FROM s, t),
+          l AS (SELECT 10000000 - CAST(sum(base) AS BIGINT) AS leftover FROM j),
+          r AS (SELECT j.*, leftover,
+              row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+            FROM j, l)
+        SELECT lang, source, chars,
+          CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
+          CAST(round((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            * 1000000.0 / chars) AS BIGINT) AS epochs_ppm,
+          CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END > chars AS INT)
+            AS oversampled
+        FROM r"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Expectation-suite QC (the Deequ/Great-Expectations shape): five
     // declared checks — completeness, key uniqueness, value-domain,
     // numeric bounds, regex pattern — evaluated in ONE aggregate pass over
