@@ -1250,5 +1250,169 @@ object ExtQueries {
         FROM t GROUP BY 1"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Global boilerplate scrub (C4-style "keep one occurrence"): every
+    // non-overlapping 8-token chunk whose exact window occurs in >= 2
+    // DISTINCT documents is boilerplate; the lowest-doc_id occurrence
+    // keeps it, every other document drops it. Differs from decon03 (an
+    // eval-set-driven scrub) in the selection side: the hot-chunk table
+    // is built from the corpus ITSELF — one map-side-combinable groupBy
+    // on the chunk hash — and is |corpus|/2-bounded, so it joins back by
+    // shuffle equi-join on the hash (NOT broadcast: at 100 TB the
+    // boilerplate table is itself large; the chunk hash is the shuffle
+    // key on both sides, and AQE splits any skewed hash range). The tail
+    // (len mod 8 tokens) is always kept, so toks_kept is exact integer
+    // arithmetic: n_tokens - 8·n_dropped.
+    GraftQuery(
+      "dedup14_boilerplate",
+      (s, d) => {
+        val W = 8
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+        val idx = when(size(col("toks")) >= W,
+            sequence(lit(0), (size(col("toks")) / W).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))
+        val chunks = docs.select(col("doc_id"), col("lang"),
+          explode(transform(idx,
+            j => TA.hash60(array_join(slice(col("toks"), j * W + 1, lit(W)), " ")))).as("ch"))
+        val hot = chunks.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+          .filter(col("df") >= 2)
+          .select(col("ch"), col("keeper"))
+        val marked = chunks.join(hot, Seq("ch"), "left")
+          .select(col("doc_id"), col("lang"),
+            (col("keeper").isNotNull && col("keeper") =!= col("doc_id")).as("drp"))
+        val chunkAgg = marked.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("drp"), lit(1))).as("n_dropped"),
+            countDistinct(when(col("drp"), col("doc_id"))).as("docs_touched"))
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .join(chunkAgg, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            coalesce(col("docs_touched"), lit(0L)).as("docs_touched"),
+            (col("n_tokens") - lit(8L) * coalesce(col("n_dropped"), lit(0L)))
+              .as("toks_kept"))
+      },
+      Some {
+        val ck = TA.Sql.hash60("array_to_string(list_slice(toks, j*8 + 1, j*8 + 8), ' ')")
+        s"""WITH t AS (SELECT doc_id, lang, ${TA.Sql.tokens("text")} AS toks
+              FROM documents),
+          ch AS (SELECT doc_id, lang, $ck AS ch
+            FROM t, UNNEST(range(len(toks) // 8)) AS u(j)),
+          hot AS (SELECT ch, min(doc_id) AS keeper FROM ch GROUP BY ch
+            HAVING count(DISTINCT doc_id) >= 2),
+          mk AS (SELECT c.doc_id, c.lang,
+              h.keeper IS NOT NULL AND h.keeper <> c.doc_id AS drp
+            FROM ch c LEFT JOIN hot h ON c.ch = h.ch),
+          ca AS (SELECT lang, count(*) AS n_chunks,
+              count(*) FILTER (drp) AS n_dropped,
+              count(DISTINCT CASE WHEN drp THEN doc_id END) AS docs_touched
+            FROM mk GROUP BY 1),
+          da AS (SELECT lang, count(*) AS n_docs,
+              CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t GROUP BY 1)
+        SELECT da.lang, n_docs, n_tokens,
+          coalesce(n_chunks, 0) AS n_chunks,
+          coalesce(n_dropped, 0) AS n_dropped,
+          coalesce(docs_touched, 0) AS docs_touched,
+          n_tokens - 8 * coalesce(n_dropped, 0) AS toks_kept
+        FROM da LEFT JOIN ca USING (lang)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Product quantization (IVF-PQ's compression tier): the 64-dim space
+    // splits into 8 subspaces of 8 dims; each subspace's codebook is the
+    // sub-slices of the first 16 corpus vectors (deterministic seeds, the
+    // sim02 convention); every vector encodes to 8 one-byte codes = 32×
+    // smaller than float64 storage. Queries score asymmetrically (ADC):
+    // exact query vs reconstructed corpus — numerically IDENTICAL to the
+    // LUT formulation, since ADC is by definition the distance to the
+    // reconstruction — shortlist top-8 by ADC, then exact-cosine re-rank
+    // to top-3. Scale: the codebook (8·16 rows) broadcasts; encode is a
+    // broadcast join + one map-side-combinable min_by per (vector,
+    // subspace) — the corpus never shuffles on anything but its own id;
+    // ADC is the sim01 broadcast-query scan shape. At 100 TB only codes
+    // ride the serving path (32× less I/O); the reconstruction here makes
+    // the oracle exact without a separate LUT operator.
+    GraftQuery(
+      "sim07_pq_adc",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+          .persist()
+        val sub = e.select(col("id"), explode(sequence(lit(0), lit(7))).as("m"), col("vec"))
+          .select(col("id"), col("m"),
+            slice(col("vec"), col("m") * 8 + 1, lit(8)).as("sv"))
+        val cb = sub.filter(col("id") < 16)
+          .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+        // reduced L2 key: ||s-c||² minus the per-(vector,subspace) constant
+        // s·s — identical argmin, mirrored TEXTUALLY in the oracle so both
+        // engines order by the same float values
+        val dkey = Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("sv"), col("cv"))
+        val enc = sub.join(broadcast(cb), Seq("m"))
+          .select(col("id"), col("m"), col("code"), dkey.as("dkey"))
+          .groupBy(col("id"), col("m"))
+          .agg(min_by(col("code"), struct(col("dkey"), col("code"))).as("code"))
+        val rec = enc.join(broadcast(cb), Seq("m", "code"))
+          .groupBy(col("id"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("m"), col("cv")))),
+            x => x.getField("cv"))).as("rvec"))
+        val corpus = rec.join(e, Seq("id"))
+          .select(col("id").as("n_id"), col("rvec"), col("vec").as("n_vec"))
+        val q = e.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("vec").as("q_vec"))
+        val adc = Similarity.dot(col("q_vec"), col("q_vec")) +
+          Similarity.dot(col("rvec"), col("rvec")) -
+          lit(2.0) * Similarity.dot(col("q_vec"), col("rvec"))
+        val sw = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+        val short = broadcast(q).crossJoin(corpus)
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), adc.as("adc"), col("q_vec"), col("n_vec"))
+          .withColumn("srn", row_number().over(sw)).filter(col("srn") <= 8)
+        val rw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+        short.select(col("q_id"), col("n_id"), col("adc"),
+            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+          .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        sub AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv
+          FROM e, UNNEST(range(8)) AS g(m)),
+        cb AS (SELECT m, CAST(id AS INT) AS code, sv AS cv FROM sub WHERE id < 16),
+        enc AS (SELECT id, m, code FROM (
+            SELECT s.id, s.m, c.code,
+              row_number() OVER (PARTITION BY s.id, s.m ORDER BY
+                list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv),
+                c.code) AS rn
+            FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+        rec AS (SELECT n.id, flatten(list(c.cv ORDER BY n.m)) AS rvec
+          FROM enc n JOIN cb c ON n.m = c.m AND n.code = c.code GROUP BY n.id),
+        corpus AS (SELECT e.id AS n_id, r.rvec, e.v AS n_vec
+          FROM rec r JOIN e ON e.id = r.id),
+        adc AS (SELECT q.id AS q_id, c.n_id,
+            list_dot_product(q.v, q.v) + list_dot_product(c.rvec, c.rvec)
+              - 2*list_dot_product(q.v, c.rvec) AS adc,
+            q.v AS q_vec, c.n_vec
+          FROM e q CROSS JOIN corpus c WHERE q.id < 20 AND q.id <> c.n_id),
+        short AS (SELECT q_id, n_id, adc, q_vec, n_vec FROM (
+            SELECT q_id, n_id, adc, q_vec, n_vec,
+              row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS srn
+            FROM adc) WHERE srn <= 8)
+      SELECT q_id, n_id, adc, cos, rnk FROM (
+        SELECT q_id, n_id, adc,
+          list_dot_product(q_vec, n_vec) / (sqrt(list_dot_product(q_vec, q_vec))
+            * sqrt(list_dot_product(n_vec, n_vec))) AS cos,
+          row_number() OVER (PARTITION BY q_id ORDER BY
+            list_dot_product(q_vec, n_vec) / (sqrt(list_dot_product(q_vec, q_vec))
+              * sqrt(list_dot_product(n_vec, n_vec))) DESC, n_id) AS rnk
+        FROM short) WHERE rnk <= 3"""),
+    ),
   )
 }

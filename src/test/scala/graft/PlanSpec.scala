@@ -387,6 +387,27 @@ class PlanSpec extends SparkSpec {
     noCountOverWindow(planOf("sim06_knn_graph"))
   }
 
+  test("dedup14: chunk scrub is equi-keyed on the chunk hash — partial aggs, no window") {
+    val p = planOf("dedup14_boilerplate")
+    // the hot-chunk table is corpus-derived (|corpus|/2-bounded, NOT
+    // broadcastable at 100 TB) — the join back must be an equi-join on the
+    // chunk hash, never a nested loop; both groupBys combine map-side
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    noCountOverWindow(p)
+  }
+
+  test("sim07: codebook joins broadcast; only the ADC probe is the nested-loop scan") {
+    val p = planOf("sim07_pq_adc")
+    // encode + reconstruction join the 128-row codebook → broadcast hash;
+    // the ADC stage is broadcast(20 queries) × corpus — the sim01 shape
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qc09: freshness global max attaches as a 1-row broadcast") {
     val p = planOf("qc09_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
