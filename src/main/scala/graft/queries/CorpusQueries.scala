@@ -626,6 +626,93 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Water-filling mixture allocation (mix02 without oversampling): a
+    // budget of half the corpus' total chars is allocated proportionally
+    // to the temperature weights, but a group can never receive more than
+    // it HAS (max one epoch). Each of 3 unrolled rounds allocates the
+    // remaining budget over the still-unsaturated groups by the mix02
+    // largest-remainder rule, clamps at availability, and returns the
+    // surplus to the pool — the classic water-filling fixed point; any
+    // residual after 3 rounds is reported as `unallocated` (deterministic
+    // whether or not the mixture has converged). All arithmetic is exact
+    // BIGINT (one IEEE sqrt per group, one rounded ppm division at the
+    // end); every round's global sums are 1-row broadcasts and the
+    // ranking windows run on the mixture-sized table, never the corpus.
+    GraftQuery(
+      "mix03_water_filling",
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("chars"))
+          .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+        val b = c.agg(expr("sum(chars) div 2").as("B"))
+        val w0 = c.crossJoin(broadcast(b))
+          .withColumn("cum", lit(0L)).withColumn("sat", lit(false))
+
+        def round1(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val stats = w.agg(
+            (max(col("B")) - sum(col("cum"))).as("R"),
+            coalesce(sum(when(!col("sat"), col("sm"))), lit(0L)).as("T"))
+          val j = w.crossJoin(broadcast(stats))
+            .withColumn("base", when(col("sat") || col("T") === 0, lit(0L))
+              .otherwise(expr("(R * sm) div T")))
+            .withColumn("rem", when(col("sat") || col("T") === 0, lit(-1L))
+              .otherwise(expr("(R * sm) % T")))
+          val lo = j.agg((max(col("R")) - sum(col("base"))).as("lo"))
+          val want = col("cum") + col("base") +
+            when(!col("sat") && col("T") > 0 && col("rk") <= col("lo"), 1L)
+              .otherwise(0L)
+          j.crossJoin(broadcast(lo))
+            .withColumn("rk", row_number().over(
+              Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+            .select(col("lang"), col("source"), col("chars"), col("sm"), col("B"),
+              least(want, col("chars")).as("cum"),
+              (col("sat") || want >= col("chars")).as("sat"))
+        }
+
+        val fin = round1(round1(round1(w0)))
+        val un = fin.agg((max(col("B")) - sum(col("cum"))).as("unallocated"))
+        fin.crossJoin(broadcast(un)).select(
+          col("lang"), col("source"), col("chars"), col("cum").as("quota"),
+          col("sat").cast("int").as("saturated"),
+          round(col("cum") * 1000000.0 / col("chars")).cast("long").as("fill_ppm"),
+          col("unallocated"))
+      },
+      Some {
+        def rnd(prev: String, n: Int): String = {
+          val bonus = s"CASE WHEN NOT sat AND T > 0 AND rk <= lo THEN 1 ELSE 0 END"
+          s"""st$n AS (SELECT max(B) - CAST(sum(cum) AS BIGINT) AS R,
+              CAST(coalesce(sum(sm) FILTER (WHERE NOT sat), 0) AS BIGINT) AS T
+            FROM $prev),
+          j$n AS (SELECT p.*, st$n.R, st$n.T,
+              CASE WHEN sat OR T = 0 THEN 0 ELSE (R * sm) // T END AS base,
+              CASE WHEN sat OR T = 0 THEN -1 ELSE (R * sm) % T END AS rem
+            FROM $prev p, st$n),
+          l$n AS (SELECT max(R) - CAST(sum(base) AS BIGINT) AS lo FROM j$n),
+          r$n AS (SELECT j$n.*, lo,
+              row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+            FROM j$n, l$n),
+          w$n AS (SELECT lang, source, chars, sm, B,
+              least(cum + base + $bonus, chars) AS cum,
+              sat OR cum + base + $bonus >= chars AS sat
+            FROM r$n)"""
+        }
+        s"""WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+              FROM documents GROUP BY 1, 2),
+          s AS (SELECT lang, source, chars,
+              CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS sm FROM c),
+          b AS (SELECT CAST(sum(chars) AS BIGINT) // 2 AS B FROM s),
+          w0 AS (SELECT lang, source, chars, sm, B,
+              CAST(0 AS BIGINT) AS cum, FALSE AS sat FROM s, b),
+          ${rnd("w0", 1)}, ${rnd("w1", 2)}, ${rnd("w2", 3)},
+          un AS (SELECT max(B) - CAST(sum(cum) AS BIGINT) AS unallocated FROM w3)
+        SELECT lang, source, chars, cum AS quota, CAST(sat AS INT) AS saturated,
+          CAST(round(cum * 1000000.0 / chars) AS BIGINT) AS fill_ppm, unallocated
+        FROM w3, un"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // Expectation-suite QC (the Deequ/Great-Expectations shape): five
     // declared checks — completeness, key uniqueness, value-domain,
     // numeric bounds, regex pattern — evaluated in ONE aggregate pass over

@@ -408,6 +408,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mix03: corpus agg is partial; every round's pool sums attach by broadcast") {
+    val p = planOf("mix03_water_filling")
+    // the only corpus-scale stage is the (lang, source) groupBy — map-side
+    // combined; the 3 water-filling rounds run on the mixture-sized table
+    // with 1-row broadcast joins for the pool/leftover scalars
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qc09: freshness global max attaches as a 1-row broadcast") {
     val p = planOf("qc09_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
