@@ -626,6 +626,69 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Embedding-space drift QC (qc02's z-test lifted to the vector
+    // modality): the corpus splits into a reference half and a batch half
+    // (vec_id parity — the deterministic stand-in for "last week vs this
+    // week's embedding run"); per label the two centroids are compared by
+    // squared L2 shift. Centroids use the kmeans integer-quantization
+    // contract: per-dimension sums of round(v_d·Q) are EXACT BIGINTs (one
+    // map-side-combinable groupBy over label×split×dim — the corpus never
+    // shuffles whole vectors), divided once; the shift is three sequential
+    // list_dot_products on dim-ordered arrays, so every float op has one
+    // fixed order in both engines. At 100 TB the explode is a projection
+    // (64 ints per vector) and everything after the first agg is
+    // label-sized.
+    GraftQuery(
+      "qc10_embedding_drift",
+      (s, d) => {
+        val Q = Clustering.Quant
+        val e = Tables.embeddings(s, d).select(col("label"),
+          (col("vec_id") % 2 === 1).as("is_batch"),
+          Similarity.toDouble(col("embedding")).as("v"))
+        val u = e.select(col("label"), col("is_batch"),
+            posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("label"), col("is_batch"), col("d"))
+          .agg(sum(round(col("x") * Q).cast("long")).as("sq"),
+            count(lit(1)).as("n"))
+        val cent = u.groupBy(col("label"), col("is_batch"))
+          .agg(transform(
+              array_sort(collect_list(struct(col("d"), col("sq"), col("n")))),
+              t => (t.getField("sq") / Q) / t.getField("n")).as("c"),
+            min(col("n")).as("n"))
+        val r = cent.filter(!col("is_batch"))
+          .select(col("label"), col("c").as("cr"), col("n").as("n_ref"))
+        val b = cent.filter(col("is_batch"))
+          .select(col("label"), col("c").as("cb"), col("n").as("n_batch"))
+        val shift2 = Similarity.dot(col("cr"), col("cr")) +
+          Similarity.dot(col("cb"), col("cb")) -
+          lit(2.0) * Similarity.dot(col("cr"), col("cb"))
+        r.join(b, Seq("label"))
+          .select(col("label"), col("n_ref"), col("n_batch"),
+            shift2.as("shift2"),
+            (shift2 > 0.001).cast("int").as("drifted"))
+      },
+      Some {
+        val Q = Clustering.Quant
+        s"""WITH e AS (SELECT label, vec_id % 2 = 1 AS is_batch,
+              embedding::DOUBLE[] AS v FROM embeddings),
+          u AS (SELECT label, is_batch, d,
+              CAST(sum(CAST(round(v[d+1]*$Q) AS BIGINT)) AS BIGINT) AS sq,
+              count(*) AS n
+            FROM e, UNNEST(generate_series(0, 63)) AS g(d) GROUP BY 1, 2, 3),
+          cent AS (SELECT label, is_batch, list((sq / $Q) / n ORDER BY d) AS c,
+              min(n) AS n FROM u GROUP BY 1, 2),
+          r AS (SELECT label, c AS cr, n AS n_ref FROM cent WHERE NOT is_batch),
+          b AS (SELECT label, c AS cb, n AS n_batch FROM cent WHERE is_batch)
+        SELECT label, n_ref, n_batch,
+          list_dot_product(cr, cr) + list_dot_product(cb, cb)
+            - 2*list_dot_product(cr, cb) AS shift2,
+          CAST(list_dot_product(cr, cr) + list_dot_product(cb, cb)
+            - 2*list_dot_product(cr, cb) > 0.001 AS INT) AS drifted
+        FROM r JOIN b USING (label)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // Water-filling mixture allocation (mix02 without oversampling): a
     // budget of half the corpus' total chars is allocated proportionally
     // to the temperature weights, but a group can never receive more than

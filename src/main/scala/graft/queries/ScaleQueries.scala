@@ -355,6 +355,106 @@ object ScaleQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Zone-map skip audit (WHY layout01 exists, quantified): the same
+    // lineitem rows are assigned to 64 files two ways — layout01's Z-order
+    // bucket vs the naive writer's key-hash bucket — and a fixed rectangle
+    // predicate (p, s each in their [20%, 30%] band) is planned against
+    // each layout's per-file min/max zone maps. A file is scanned iff its
+    // ranges overlap the rectangle; the audit reports files skipped and
+    // the row overshoot (scanned-but-not-matching) per layout. Z-order
+    // keeps BOTH dims' ranges narrow, so most files skip; the hash layout
+    // spreads every key range over every file, so nothing skips — the
+    // data-skipping argument a 100 TB table layout is chosen by, measured
+    // on the table itself. All counts are exact integers; the two summary
+    // rows agree on rows_match by construction.
+    GraftQuery(
+      "layout08_zonemap_skip",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+        val mx = li.agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+        val bounds = mx.select(
+          expr("(mp * 2) div 10").as("lo_p"), expr("(mp * 3) div 10").as("hi_p"),
+          expr("(ms * 2) div 10").as("lo_s"), expr("(ms * 3) div 10").as("hi_s"))
+        val rows = li.crossJoin(broadcast(mx)).crossJoin(broadcast(bounds))
+          .withColumn("p16", expr("(l_partkey * 65536) div (mp + 1)"))
+          .withColumn("s16", expr("(l_suppkey * 65536) div (ms + 1)"))
+          .withColumn("zb", shiftright(expr(sparkMorton("p16", "s16")), 26))
+          .withColumn("hb", col("l_orderkey") % 64)
+          .withColumn("mt",
+            col("l_partkey").between(col("lo_p"), col("hi_p")) &&
+            col("l_suppkey").between(col("lo_s"), col("hi_s")))
+        def summary(bucket: String, name: String) = rows
+          .groupBy(col(bucket).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+            min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
+            count(when(col("mt"), lit(1))).as("nm"))
+          .crossJoin(broadcast(bounds))
+          .withColumn("scanned", !(col("p_max") < col("lo_p") ||
+            col("p_min") > col("hi_p") || col("s_max") < col("lo_s") ||
+            col("s_min") > col("hi_s")))
+          .agg(count(lit(1)).as("n_files"),
+            count(when(col("scanned"), lit(1))).as("files_scanned"),
+            sum(col("n")).as("rows_total"),
+            coalesce(sum(when(col("scanned"), col("n"))), lit(0L)).as("rows_scanned"),
+            sum(col("nm")).as("rows_match"))
+          .select(lit(name).as("layout"), col("n_files"), col("files_scanned"),
+            col("rows_total"), col("rows_scanned"), col("rows_match"),
+            round((col("n_files") - col("files_scanned")) * 1000000.0 / col("n_files"))
+              .cast("long").as("skip_ppm"),
+            when(col("rows_scanned") === 0, 0L)
+              .otherwise(round((col("rows_scanned") - col("rows_match")) * 1000000.0
+                / col("rows_scanned")).cast("long")).as("overshoot_ppm"))
+        summary("zb", "zorder").unionByName(summary("hb", "keyhash"))
+      },
+      Some(s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+          bounds AS (SELECT (mp * 2) // 10 AS lo_p, (mp * 3) // 10 AS hi_p,
+              (ms * 2) // 10 AS lo_s, (ms * 3) // 10 AS hi_s FROM mx),
+          base AS (SELECT l_partkey, l_suppkey, l_orderkey,
+              (l_partkey * 65536) // (mp + 1) AS p16,
+              (l_suppkey * 65536) // (ms + 1) AS s16,
+              l_partkey BETWEEN lo_p AND hi_p AND l_suppkey BETWEEN lo_s AND hi_s AS mt
+            FROM lineitem, mx, bounds),
+          r AS (SELECT l_partkey, l_suppkey, mt,
+              (${duckMorton("p16", "s16")}) >> 26 AS zb,
+              l_orderkey % 64 AS hb
+            FROM base),
+          zstat AS (SELECT zb AS bucket, count(*) AS n,
+              min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+              min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+              count(*) FILTER (mt) AS nm FROM r GROUP BY 1),
+          hstat AS (SELECT hb AS bucket, count(*) AS n,
+              min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+              min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+              count(*) FILTER (mt) AS nm FROM r GROUP BY 1),
+          zsum AS (SELECT 'zorder' AS layout, count(*) AS n_files,
+              count(*) FILTER (NOT (p_max < lo_p OR p_min > hi_p
+                OR s_max < lo_s OR s_min > hi_s)) AS files_scanned,
+              CAST(sum(n) AS BIGINT) AS rows_total,
+              CAST(coalesce(sum(n) FILTER (NOT (p_max < lo_p OR p_min > hi_p
+                OR s_max < lo_s OR s_min > hi_s)), 0) AS BIGINT) AS rows_scanned,
+              CAST(sum(nm) AS BIGINT) AS rows_match
+            FROM zstat, bounds),
+          hsum AS (SELECT 'keyhash' AS layout, count(*) AS n_files,
+              count(*) FILTER (NOT (p_max < lo_p OR p_min > hi_p
+                OR s_max < lo_s OR s_min > hi_s)) AS files_scanned,
+              CAST(sum(n) AS BIGINT) AS rows_total,
+              CAST(coalesce(sum(n) FILTER (NOT (p_max < lo_p OR p_min > hi_p
+                OR s_max < lo_s OR s_min > hi_s)), 0) AS BIGINT) AS rows_scanned,
+              CAST(sum(nm) AS BIGINT) AS rows_match
+            FROM hstat, bounds),
+          u AS (SELECT * FROM zsum UNION ALL SELECT * FROM hsum)
+        SELECT layout, n_files, files_scanned, rows_total, rows_scanned, rows_match,
+          CAST(round((n_files - files_scanned) * 1000000.0 / n_files) AS BIGINT)
+            AS skip_ppm,
+          CASE WHEN rows_scanned = 0 THEN 0
+            ELSE CAST(round((rows_scanned - rows_match) * 1000000.0 / rows_scanned)
+              AS BIGINT) END AS overshoot_ppm
+        FROM u"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Stratified hash sampling: per-language rates (downsample the dominant
     // language, keep the tail) via the same deterministic md5 threshold as
     // samp01 — reproducible on any engine/cluster, no RNG state, and the

@@ -418,6 +418,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qc10: per-dim integer sums partial-aggregate; vectors never shuffle whole") {
+    val p = planOf("qc10_embedding_drift")
+    // the corpus-scale stage is the label×split×dim integer groupBy —
+    // map-side combined over exploded scalar ints, not whole vectors
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("layout08: both layout summaries ride one scan shape — partial aggs, broadcast bounds") {
+    val p = planOf("layout08_zonemap_skip")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qc09: freshness global max attaches as a 1-row broadcast") {
     val p = planOf("qc09_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
