@@ -1325,6 +1325,90 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Hybrid-retrieval fusion (RRF, k=60): the vector leg is exact-cosine
+    // top-10 (sim01's broadcast-query scan) and the lexical leg is
+    // token-set-Jaccard top-10 over the SAME id space (embeddings and
+    // documents share ids by construction); candidates fuse by reciprocal
+    // rank — score = Σ 1/(60+rank) over the lists a candidate appears in,
+    // a ONE-addition float (fixed order in both engines) — and the fused
+    // top-5 per query is reported with both leg ranks (NULL = candidate
+    // missing from that leg). Scale: each leg broadcasts the 10-query
+    // side and scans its corpus once; the fusion join and final windows
+    // touch only top-10-sized lists. At 100 TB the legs would be the
+    // library's index ops (sim02/sim04 for vectors, text10/text12 for
+    // lexical) — RRF itself never changes shape: it is list-sized.
+    GraftQuery(
+      "sim08_rrf_fusion",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+        val qv = e.filter(col("id") < 10)
+          .select(col("id").as("q_id"), col("vec").as("q_vec"))
+        val vw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+        val vec = broadcast(qv)
+          .crossJoin(e.select(col("id").as("n_id"), col("vec").as("n_vec")))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+          .withColumn("rank_vec", row_number().over(vw))
+          .filter(col("rank_vec") <= 10)
+          .select(col("q_id"), col("n_id"), col("rank_vec"))
+        val t = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), array_distinct(TA.tokens(col("text"))).as("tk"))
+        val qt = t.filter(col("id") < 10)
+          .select(col("id").as("q_id"), col("tk").as("q_tk"))
+        val inter = size(array_intersect(col("q_tk"), col("n_tk"))).cast("double")
+        val jac = inter / (size(col("q_tk")) + size(col("n_tk")) -
+          size(array_intersect(col("q_tk"), col("n_tk"))))
+        val lw = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("n_id").asc)
+        val lex = broadcast(qt)
+          .crossJoin(t.select(col("id").as("n_id"), col("tk").as("n_tk")))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), jac.as("jac"))
+          .withColumn("rank_lex", row_number().over(lw))
+          .filter(col("rank_lex") <= 10)
+          .select(col("q_id"), col("n_id"), col("rank_lex"))
+        val fused = vec.join(lex, Seq("q_id", "n_id"), "full")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (col("rank_vec") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rank_lex") + 60), lit(0.0)))
+        val fw = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id").asc)
+        fused.withColumn("rnk", row_number().over(fw)).filter(col("rnk") <= 5)
+          .select(col("q_id"), col("n_id"), col("rank_vec"), col("rank_lex"),
+            col("rrf"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS (SELECT q_id, n_id, rank_vec FROM (
+            SELECT q.id AS q_id, c.id AS n_id,
+              row_number() OVER (PARTITION BY q.id ORDER BY
+                list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) DESC, c.id) AS rank_vec
+            FROM e q CROSS JOIN e c WHERE q.id < 10 AND c.id <> q.id)
+          WHERE rank_vec <= 10),
+        t AS (SELECT doc_id AS id,
+            list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+          FROM documents),
+        b AS (SELECT q_id, n_id, rank_lex FROM (
+            SELECT q.id AS q_id, c.id AS n_id,
+              row_number() OVER (PARTITION BY q.id ORDER BY
+                CAST(len(list_intersect(q.tk, c.tk)) AS DOUBLE)
+                  / (len(q.tk) + len(c.tk) - len(list_intersect(q.tk, c.tk)))
+                  DESC, c.id) AS rank_lex
+            FROM t q CROSS JOIN t c WHERE q.id < 10 AND c.id <> q.id)
+          WHERE rank_lex <= 10),
+        f AS (SELECT coalesce(a.q_id, b.q_id) AS q_id,
+            coalesce(a.n_id, b.n_id) AS n_id, a.rank_vec, b.rank_lex,
+            coalesce(1.0 / (a.rank_vec + 60), 0.0)
+              + coalesce(1.0 / (b.rank_lex + 60), 0.0) AS rrf
+          FROM a FULL JOIN b ON a.q_id = b.q_id AND a.n_id = b.n_id)
+      SELECT q_id, n_id, rank_vec, rank_lex, rrf, rnk FROM (
+        SELECT q_id, n_id, rank_vec, rank_lex, rrf,
+          row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rnk
+        FROM f) WHERE rnk <= 5"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Product quantization (IVF-PQ's compression tier): the 64-dim space
     // splits into 8 subspaces of 8 dims; each subspace's codebook is the
     // sub-slices of the first 16 corpus vectors (deterministic seeds, the

@@ -482,6 +482,47 @@ object ScaleQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Deterministic train/val/test split assignment (every pipeline's
+    // first irreversible decision): doc_id hashes into 100 buckets —
+    // 90/5/5 — so membership is a pure projection, reproducible on any
+    // engine or cluster, stable under re-runs and appends (a new document
+    // never moves an old one between splits, the property RNG splits
+    // lack). The audit reports per (split, lang) document/token mass and
+    // each cell's share of the corpus in exact ppm — the table you check
+    // BEFORE training that the split didn't skew a language. One map-side
+    // combinable groupBy; the grand total is a 1-row broadcast.
+    GraftQuery(
+      "samp06_split_assign",
+      (s, d) => {
+        val h = TA.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+        val split = when(h < 90, "train").when(h < 95, "val").otherwise("test")
+        val docs = Tables.documents(s, d).select(col("lang"), split.as("split"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        val g = docs.groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        val tot = g.agg(sum(col("n_docs")).as("total_docs"))
+        g.crossJoin(broadcast(tot))
+          .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+            round(col("n_docs") * 1000000.0 / col("total_docs")).cast("long")
+              .as("frac_ppm"))
+      },
+      Some {
+        val h = sqlHash60("concat('split:', CAST(doc_id AS VARCHAR))")
+        s"""WITH d AS (SELECT lang,
+              CASE WHEN $h % 100 < 90 THEN 'train'
+                WHEN $h % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+              CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS n_tok
+            FROM documents),
+          g AS (SELECT split, lang, count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY 1, 2),
+          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM g)
+        SELECT split, lang, n_docs, n_tokens,
+          CAST(round(n_docs * 1000000.0 / total_docs) AS BIGINT) AS frac_ppm
+        FROM g, t"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // SRP (signed-random-projection / hyperplane) LSH for cosine ANN — the
     // Hamming-space alternative to IVF (sim02): 16 deterministic md5-derived
     // integer hyperplanes → 16-bit signature; equal signatures form

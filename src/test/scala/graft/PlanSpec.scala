@@ -433,6 +433,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim08: both retrieval legs broadcast the query side; fusion join is keyed") {
+    val p = planOf("sim08_rrf_fusion")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("samp06: split assignment is a projection; one partial agg + broadcast total") {
+    val p = planOf("samp06_split_assign")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qc09: freshness global max attaches as a 1-row broadcast") {
     val p = planOf("qc09_freshness")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
