@@ -704,10 +704,16 @@ object CorpusQueries {
     GraftQuery(
       "mix03_water_filling",
       (s, d) => {
+        // persist the mixture-sized table (≤ #groups rows): each round's
+        // scalar aggregates (pool, leftover) re-evaluate their input — and
+        // the rounds NEST — so without this the corpus groupBy would re-run
+        // a lineage-exponential number of times (measured 6.5 s → 0.4 s at
+        // sf0.1); same for each round's 97-row state below
         val c = Tables.documents(s, d)
           .groupBy(col("lang"), col("source"))
           .agg(sum(col("n_chars")).as("chars"))
           .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+          .persist()
         val b = c.agg(expr("sum(chars) div 2").as("B"))
         val w0 = c.crossJoin(broadcast(b))
           .withColumn("cum", lit(0L)).withColumn("sat", lit(false))
@@ -731,6 +737,7 @@ object CorpusQueries {
             .select(col("lang"), col("source"), col("chars"), col("sm"), col("B"),
               least(want, col("chars")).as("cum"),
               (col("sat") || want >= col("chars")).as("sat"))
+            .persist()
         }
 
         val fin = round1(round1(round1(w0)))
