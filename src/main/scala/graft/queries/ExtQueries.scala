@@ -1498,5 +1498,126 @@ object ExtQueries {
               * sqrt(list_dot_product(n_vec, n_vec))) DESC, n_id) AS rnk
         FROM short) WHERE rnk <= 3"""),
     ),
+
+    // ------------------------------------------------------------------
+    // sim09: IVF+PQ — the composed billion-scale ANN architecture (the
+    // IVFADC design of Jégou et al., "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011, as deployed in FAISS): sim02's coarse
+    // quantizer routes each query to its nprobe=2 nearest cells, sim07's
+    // product quantizer compresses every corpus vector to 8 one-byte codes,
+    // and the query scores ONLY the probed cells' posting lists by ADC
+    // before an exact-cosine re-rank of the shortlist. (PQ here encodes raw
+    // vectors, not residuals — the IVF-Flat-PQ variant — so the codebook
+    // stage is shared verbatim with sim07 and the oracle stays exact.)
+    // Scale: centroids (k≈√N rows) and the 8·16-row codebook broadcast;
+    // cell assignment and encode are broadcast joins + one map-side-
+    // combinable min_by each; candidate generation is an EQUI-JOIN on
+    // cell_id (the corpus is never cross-joined against the query set —
+    // each query touches ~nprobe/k of the postings); ADC reads only the
+    // 8-byte codes (32× less I/O than float64 vectors at 100 TB); exact
+    // vectors re-attach by keyed join for the top-8 shortlist only.
+    GraftQuery(
+      "sim09_ivfpq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+          .persist()
+        // coarse quantizer: 16 deterministic seed centroids (sim02 shape)
+        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
+        // PQ codebook + encode: shared shape with sim07
+        val sub = e.select(col("id"), explode(sequence(lit(0), lit(7))).as("m"), col("vec"))
+          .select(col("id"), col("m"),
+            slice(col("vec"), col("m") * 8 + 1, lit(8)).as("sv"))
+        val cb = sub.filter(col("id") < 16)
+          .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+        val dkey = Similarity.dot(col("cv"), col("cv")) -
+          lit(2.0) * Similarity.dot(col("sv"), col("cv"))
+        val enc = sub.join(broadcast(cb), Seq("m"))
+          .select(col("id"), col("m"), col("code"), dkey.as("dkey"))
+          .groupBy(col("id"), col("m"))
+          .agg(min_by(col("code"), struct(col("dkey"), col("code"))).as("code"))
+        val rec = enc.join(broadcast(cb), Seq("m", "code"))
+          .groupBy(col("id"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("m"), col("cv")))),
+            x => x.getField("cv"))).as("rvec"))
+        // inverted lists: cell_id → (n_id, reconstructed vector)
+        val posting = cells.select(col("id").as("n_id"), col("cell_id"))
+          .join(rec.select(col("id").as("n_id"), col("rvec")), Seq("n_id"))
+        // query routing: nprobe=2 best cells by centroid cosine
+        val seeds = e.filter(col("id") < 16)
+          .select(col("id").as("cell_id"), col("vec").as("cell_vec"))
+        val cw = Window.partitionBy(col("q_id"))
+          .orderBy(col("c_cos").desc, col("cell_id").asc)
+        val routed = e.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("vec").as("q_vec"))
+          .crossJoin(broadcast(seeds))
+          .select(col("q_id"), col("q_vec"), col("cell_id"),
+            Similarity.cosine(col("q_vec"), col("cell_vec")).as("c_cos"))
+          .withColumn("crn", row_number().over(cw)).filter(col("crn") <= 2)
+          .select(col("q_id"), col("q_vec"), col("cell_id"))
+        // ADC over probed cells only — equi-join, never a corpus cross join
+        val adc = Similarity.dot(col("q_vec"), col("q_vec")) +
+          Similarity.dot(col("rvec"), col("rvec")) -
+          lit(2.0) * Similarity.dot(col("q_vec"), col("rvec"))
+        val sw = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("n_id").asc)
+        val short = broadcast(routed).join(posting, Seq("cell_id"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), col("q_vec"), adc.as("adc"))
+          .withColumn("srn", row_number().over(sw)).filter(col("srn") <= 8)
+        // exact re-rank: true vectors re-attach by keyed join (top-8 only)
+        val rw = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        short.join(e.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+          .select(col("q_id"), col("n_id"), col("adc"),
+            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+          .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT id AS cell_id, v AS cv FROM e WHERE id < 16),
+        assign AS (SELECT id, cell_id FROM (
+            SELECT e.id, s.cell_id,
+              row_number() OVER (PARTITION BY e.id ORDER BY
+                list_dot_product(e.v, s.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                s.cell_id ASC) AS rn
+            FROM e CROSS JOIN seeds s) WHERE rn = 1),
+        sub AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv
+          FROM e, UNNEST(range(8)) AS g(m)),
+        cb AS (SELECT m, CAST(id AS INT) AS code, sv AS cv FROM sub WHERE id < 16),
+        enc AS (SELECT id, m, code FROM (
+            SELECT s.id, s.m, c.code,
+              row_number() OVER (PARTITION BY s.id, s.m ORDER BY
+                list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv),
+                c.code) AS rn
+            FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+        rec AS (SELECT n.id, flatten(list(c.cv ORDER BY n.m)) AS rvec
+          FROM enc n JOIN cb c ON n.m = c.m AND n.code = c.code GROUP BY n.id),
+        posting AS (SELECT a.id AS n_id, a.cell_id, r.rvec
+          FROM assign a JOIN rec r ON r.id = a.id),
+        routed AS (SELECT q_id, q_vec, cell_id FROM (
+            SELECT q.id AS q_id, q.v AS q_vec, s.cell_id,
+              row_number() OVER (PARTITION BY q.id ORDER BY
+                list_dot_product(q.v, s.cv) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                s.cell_id ASC) AS crn
+            FROM e q CROSS JOIN seeds s WHERE q.id < 20) WHERE crn <= 2),
+        short AS (SELECT q_id, n_id, adc, q_vec FROM (
+            SELECT r.q_id, p.n_id, r.q_vec,
+              list_dot_product(r.q_vec, r.q_vec) + list_dot_product(p.rvec, p.rvec)
+                - 2*list_dot_product(r.q_vec, p.rvec) AS adc,
+              row_number() OVER (PARTITION BY r.q_id ORDER BY
+                list_dot_product(r.q_vec, r.q_vec) + list_dot_product(p.rvec, p.rvec)
+                  - 2*list_dot_product(r.q_vec, p.rvec) ASC, p.n_id ASC) AS srn
+            FROM routed r JOIN posting p
+              ON r.cell_id = p.cell_id AND r.q_id <> p.n_id) WHERE srn <= 8)
+      SELECT q_id, n_id, adc, cos, rnk FROM (
+        SELECT s.q_id, s.n_id, s.adc,
+          list_dot_product(s.q_vec, e.v) / (sqrt(list_dot_product(s.q_vec, s.q_vec)) * sqrt(list_dot_product(e.v, e.v))) AS cos,
+          row_number() OVER (PARTITION BY s.q_id ORDER BY
+            list_dot_product(s.q_vec, e.v) / (sqrt(list_dot_product(s.q_vec, s.q_vec)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+            s.n_id ASC) AS rnk
+        FROM short s JOIN e ON e.id = s.n_id) WHERE rnk <= 3"""),
+    ),
   )
 }
