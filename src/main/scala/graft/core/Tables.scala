@@ -20,19 +20,31 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively; read it as a long (legacy conf) and convert ns → µs
-    * TimestampType. The raw values DO carry sub-µs digits, but DuckDB
-    * (the oracle engine) reads the same column as µs TIMESTAMP with the
-    * SAME floor-truncation, so every ts comparison, ordering, and output
-    * sees identical µs values in both engines — parity is structural,
-    * not data-dependent.
+  /** events.ts has shipped under two physical parquet encodings across
+    * testdata generations: TIMESTAMP(NANOS) (readable only as raw Long via
+    * the legacy conf) and TIMESTAMP(MICROS) (reads natively, NTZ or LTZ
+    * depending on isAdjustedToUTC). Branch on the loaded type so the loader
+    * survives driver-side regeneration:
+    *   - LongType           → raw ns; floor-truncate to µs TimestampType.
+    *     DuckDB (the oracle) reads the same column as µs TIMESTAMP with the
+    *     SAME floor, so parity is structural, not data-dependent.
+    *   - Timestamp(_NTZ)    → already µs; cast to session TimestampType
+    *     (session TZ is UTC, matching DuckDB's NTZ read — a pure re-tag).
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // no-op for µs-encoded files; required before the scan for ns-encoded ones
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, d, "events")
-    // integer `div` — a double division would lose precision on 1.7e18 ns
-    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val ts = df.schema("ts").dataType match {
+      // integer `div` — a double division would lose precision on 1.7e18 ns
+      case LongType                        => expr("timestamp_micros(ts div 1000)")
+      case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected physical type $other")
+    }
+    df.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

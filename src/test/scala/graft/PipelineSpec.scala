@@ -15,23 +15,41 @@ class PipelineSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("Tables.events µs truncation floors raw ns exactly (DuckDB's read does the same)") {
-    // both engines floor-truncate the parquet NANOS column to µs (DuckDB
-    // 1.0 reads it as plain TIMESTAMP), so ts comparisons agree by
-    // construction; this pins the Spark half of that contract.
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val raw = spark.read.parquet(s"$sf/events.parquet")
-        .selectExpr("event_id", "ts div 1000 as us").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val read = graft.core.Tables.events(spark, sf)
-        .selectExpr("event_id", "unix_micros(ts) as us").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(raw == read)
-    } finally prev.fold(spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")) {
-      v => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+  test("Tables.events is schema-adaptive: same µs values from ns-long and µs-timestamp encodings") {
+    import org.apache.spark.sql.types.TimestampType
+    // The driver has shipped events.ts under two physical encodings across
+    // testdata generations (TIMESTAMP(NANOS), then TIMESTAMP(MICROS)). The
+    // loader must yield identical µs TimestampType from either, matching
+    // DuckDB's floor-to-µs read. Synthesize the ns-long shape (under the
+    // nanosAsLong conf a NANOS column reads as LongType, indistinguishable
+    // from plain INT64 at the loader) so BOTH branches stay pinned even when
+    // the on-disk testdata only exercises one.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_ns").toString
+    val ns = Seq( // raw ns with sub-µs digits: loader must floor, not round
+      (1L, 1700000000123456789L), (2L, 1700000000999999999L), (3L, 1700000001000000001L))
+    spark.createDataFrame(ns).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val fromNs = graft.core.Tables.events(spark, tmp)
+    assert(fromNs.schema("ts").dataType == TimestampType)
+    val gotNs = fromNs.selectExpr("event_id", "unix_micros(ts) as us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNs == ns.map { case (id, n) => id -> n / 1000L }.toMap)
+
+    // the real testdata, whatever its current encoding, loads as µs TimestampType
+    // and agrees with a native timestamp read of the same file
+    val loaded = graft.core.Tables.events(spark, sf)
+    assert(loaded.schema("ts").dataType == TimestampType)
+    val rawTy = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    val rawUsExpr = rawTy match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _                                   => "unix_micros(cast(ts as timestamp))"
     }
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", s"$rawUsExpr as us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val read = loaded.selectExpr("event_id", "unix_micros(ts) as us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw == read)
   }
 
   test("ev14: funnel stages are monotonically non-increasing") {
