@@ -33,9 +33,10 @@ object Bench {
       }
       val a = once()
       val b = if (a < 0) a else math.min(a, once())
-      // queries persist() intermediates; drop them so cached blocks don't
-      // accumulate across the suite and GC-degrade later queries
-      spark.catalog.clearCache()
+      // builders register persisted intermediates in Caches; release them
+      // after each query so cached blocks don't accumulate across the suite
+      // and GC-degrade later queries (round-2 text08: 9.4 s polluted vs 1.05 s)
+      graft.core.Caches.release()
       name -> b
     }
     // 3-decimal per-query values keep the line short, and the headline keys

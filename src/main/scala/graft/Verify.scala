@@ -25,9 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries persist() intermediates — drop them so cached blocks don't
-      // accumulate (and GC-thrash) across the 70-query dump
-      spark.catalog.clearCache()
+      // builders register persisted intermediates in Caches — release them
+      // after each query's terminal write so cached blocks don't accumulate
+      // (and GC-thrash) across the 164-query dump
+      graft.core.Caches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,7 +67,8 @@ object DocumentEtl {
     // spread single-file inputs across cores first (CPU-bound UDF).
     val recs = extract(
       docs.repartition(spark.sparkContext.defaultParallelism))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caches.persistLevel(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (wide, cols) = pivot(spark, recs)
     val norm0 =
       if (mode == Sane)
@@ -75,8 +76,13 @@ object DocumentEtl {
           cols.map(c => normalizeCellSane(col(s"`$c`")).as(c)): _*)
       else normalizeData(spark, wide, cols)
     val normalized = flattenLists(norm0, cols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.core.Caches.persistLevel(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // generateSchema's aggregates materialize `normalized` fully, so the
+    // extraction cache has served its last consumer — free it now rather
+    // than holding doc-sized blocks for the caller's whole session
     val schema = Profile.generateSchema(normalized, cols, now)
+    recs.unpersist(blocking = false)
     val registry = registryDir.map(new SchemaRegistry(_))
     val diff = for {
       reg <- registry

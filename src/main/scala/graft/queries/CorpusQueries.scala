@@ -241,9 +241,9 @@ object CorpusQueries {
         val li = Tables.lineitem(s, d)
         val a = li.filter(col("l_shipdate") < split).select(col("l_orderkey").as("k")).distinct()
         val b = li.filter(col("l_shipdate") >= split).select(col("l_orderkey").as("k")).distinct()
-        val ka = bottomK(a).persist()
-        val kb = bottomK(b).persist()
-        val un = ka.union(kb).distinct().orderBy(col("h")).limit(k).persist()
+        val ka = bottomK(a).transform(graft.core.Caches.persist)
+        val kb = bottomK(b).transform(graft.core.Caches.persist)
+        val un = ka.union(kb).distinct().orderBy(col("h")).limit(k).transform(graft.core.Caches.persist)
         val stats = un.agg(count(lit(1)).as("kk"), max(col("h")).as("kth"))
           .withColumn("est_union", Sketches.kmvEstimate(col("kk"), col("kth")))
         val shared = un.join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
@@ -336,7 +336,7 @@ object CorpusQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
           .groupBy(col("cid").as("cluster"))
           .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
@@ -366,10 +366,10 @@ object CorpusQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val assigned = Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
           .withColumn("n", Similarity.norm(col("v")))
-          .persist() // norm once per vector, not per pair
+          .transform(graft.core.Caches.persist) // norm once per vector, not per pair
         val dropped = Clustering
           .semanticDrops(assigned, dim = KmeansDim, minCos = 0.35, threshold = 4096)
           .withColumn("dup", lit(1))
@@ -713,7 +713,7 @@ object CorpusQueries {
           .groupBy(col("lang"), col("source"))
           .agg(sum(col("n_chars")).as("chars"))
           .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val b = c.agg(expr("sum(chars) div 2").as("B"))
         val w0 = c.crossJoin(broadcast(b))
           .withColumn("cum", lit(0L)).withColumn("sat", lit(false))
@@ -737,7 +737,7 @@ object CorpusQueries {
             .select(col("lang"), col("source"), col("chars"), col("sm"), col("B"),
               least(want, col("chars")).as("cum"),
               (col("sat") || want >= col("chars")).as("sat"))
-            .persist()
+            .transform(graft.core.Caches.persist)
         }
 
         val fin = round1(round1(round1(w0)))
@@ -850,7 +850,7 @@ object CorpusQueries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val (assigned, cents) = Clustering.kmeansWithCents(e, KmeansK, KmeansDim, iters = 2)
         assigned
           .withColumn("dst_micro",
@@ -1154,7 +1154,7 @@ object CorpusQueries {
           .withColumn("is_eval", col("doc_id") % 97 === 0)
         val sh = docs.select(col("doc_id"), col("lang"), col("is_eval"),
           explode(tokenShingleHashes(col("text"), 4)).as("sh"))
-          .persist() // shingle once; the broadcast build, train probe and
+          .transform(graft.core.Caches.persist) // shingle once; the broadcast build, train probe and
                      // eval aggregate all reuse it
         val evalSh = sh.filter(col("is_eval"))
         val hitSet = sh.filter(!col("is_eval")).select(col("sh"))

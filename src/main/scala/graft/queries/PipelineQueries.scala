@@ -690,7 +690,7 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
           .select(col("doc_id"), col("lang"),
             col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
         val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
         bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -738,7 +738,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("sup"))
           .filter(col("sup") >= 2)
           .select(col("u"), col("v"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("dg"))
         val ord = e
@@ -792,7 +792,7 @@ object PipelineQueries {
           .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
           .distinct()
-          .persist() // basket-item pairs feed n/i/pr without a re-scan
+          .transform(graft.core.Caches.persist) // basket-item pairs feed n/i/pr without a re-scan
         val n = b.agg(countDistinct(col("ok")).as("n_baskets"))
         val i = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
         val pr = b.as("a").join(b.as("c"),
@@ -874,7 +874,7 @@ object PipelineQueries {
         val freq = Tables.documents(s, d)
           .select(explode(TA.tokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         // only the top-1000 types matter for coverage → TakeOrdered (O(k)
         // executor memory), NEVER a global rank window over the vocabulary
         val top = freq.orderBy(col("n").desc, col("tok").asc).limit(1000)

@@ -209,7 +209,7 @@ object ScaleQueries {
               struct(lit(j).as("j"), (hashSlice(col("hex"), j) % W).as("b"))
             }: _*)).as("e"))
           .select(col("l_partkey"), col("exact_cnt"), col("e.j"), col("e.b"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val sketch = keyed.groupBy(col("j"), col("b"))
           .agg(sum(col("exact_cnt")).as("c"))
         val est = keyed
@@ -544,7 +544,7 @@ object ScaleQueries {
           .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
           .withColumn("sig", srpSignature(col("v"), weights))
           .withColumn("nrm", Similarity.norm(col("v")))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val banded = e.select(col("id"), col("v"), col("nrm"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),
@@ -865,7 +865,7 @@ object ScaleQueries {
           .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
           .withColumn("sig", srpSignature(col("v"), weights))
           .withColumn("nrm", Similarity.norm(col("v")))
-          .persist()
+          .transform(graft.core.Caches.persist)
         // 2 bands × 8 bits — wider keys than sim04's probe (4×4): with the
         // corpus on BOTH sides, bucket population is N/2^bits, so the key
         // width is what holds Σ|bucket|² down; 8-bit keys cut candidate

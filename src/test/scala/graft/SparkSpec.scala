@@ -7,7 +7,9 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local SparkSession for specs. */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
-  override def afterAll(): Unit = () // shared session, keep alive across suites
+  // shared session stays alive across suites; drop builder-registered
+  // caches so one suite's intermediates don't occupy memory in the next
+  override def afterAll(): Unit = graft.core.Caches.release()
 
   /** Count shuffle exchanges, traversing AQE wrappers: on an EXECUTED
     * adaptive plan the shuffles live inside leaf QueryStageExec nodes, so
