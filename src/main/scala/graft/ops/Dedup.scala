@@ -288,4 +288,22 @@ object Dedup {
         pairs(small, blockCols).unionByName(pairs(big, blockCols :+ "_rk"))
     }
   }
+
+  /** Non-overlapping w-token chunk hashes per document — dedup14's
+    * boilerplate unit, one `(doc_id, lang, ch)` row per chunk; the
+    * `(len mod w)` token tail is never chunked. A pure projection over
+    * `(doc_id, lang, text)`, so the SAME transform drives the batch scrub
+    * (dedup14) and the streaming ingest variant
+    * ([[graft.streaming.CorpusStreams.chunkFrequency]]) — chunk-scheme
+    * changes edit exactly here.
+    */
+  def boilerplateChunks(docs: DataFrame, w: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val idx = when(size(toks) >= w,
+        sequence(lit(0), (size(toks) / w).cast("int") - 1))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"), col("lang"),
+      explode(transform(idx,
+        j => hash60(array_join(slice(toks, j * w + 1, lit(w)), " ")))).as("ch"))
+  }
 }

@@ -108,6 +108,40 @@ object Similarity {
     * a literal frame so the size aggregate never recomputes), never a
     * count-over-window on the corpus.
     */
+  /** PQ encode → reconstruct, the compression stage shared by sim07
+    * (PQ-ADC) and sim09 (IVF-PQ): split `(id, vec)` into `subspaces`
+    * sub-vectors of `subDim` dims, take the sub-slices of the first
+    * `seeds` vectors as each subspace's codebook (deterministic seeds,
+    * the sim02 convention), assign every sub-vector its nearest code by
+    * reduced L2 (`c·c − 2·s·c`, the per-vector constant s·s dropped —
+    * identical argmin, mirrored textually in the SQL oracle), and return
+    * `(id, rvec)` where rvec is the concatenated codeword reconstruction.
+    *
+    * Scale shape: the codebook (subspaces·seeds rows) broadcasts; encode
+    * is a broadcast join + one map-side-combinable min_by per (vector,
+    * subspace) — the corpus never shuffles on anything but its own id. A
+    * codebook-scheme change edits exactly here (+ [[graft.queries
+    * .ExtQueries.pqSqlCtes]], its SQL mirror).
+    */
+  def pqReconstruct(e: DataFrame, subspaces: Int, subDim: Int, seeds: Int): DataFrame = {
+    val sub = e
+      .select(col("id"), explode(sequence(lit(0), lit(subspaces - 1))).as("m"), col("vec"))
+      .select(col("id"), col("m"),
+        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
+    val cb = sub.filter(col("id") < seeds)
+      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val dkey = dot(col("cv"), col("cv")) - lit(2.0) * dot(col("sv"), col("cv"))
+    val enc = sub.join(broadcast(cb), Seq("m"))
+      .select(col("id"), col("m"), col("code"), dkey.as("dkey"))
+      .groupBy(col("id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dkey"), col("code"))).as("code"))
+    enc.join(broadcast(cb), Seq("m", "code"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("cv")))),
+        x => x.getField("cv"))).as("rvec"))
+  }
+
   def bandedPairsCapped(banded: DataFrame, cap: Int): DataFrame = {
     def allPairs(src: DataFrame): DataFrame =
       src.select(col("id").as("q_id"), col("band"), col("key"))

@@ -52,6 +52,25 @@ object ExtQueries {
 
   private def embDouble(c: Column): Column = Similarity.toDouble(c)
 
+  /** PQ encode SQL CTEs (sub/cb/enc/rec over a CTE `e(id, v)`) — the
+    * DuckDB mirror of [[Similarity.pqReconstruct]], shared by sim07 and
+    * sim09; a codebook-scheme change edits exactly that pair. The reduced
+    * L2 key (`c·c − 2·s·c`, per-vector constant s·s dropped) is mirrored
+    * TEXTUALLY so both engines order by the same float values.
+    */
+  private[queries] def pqSqlCtes: String =
+    """sub AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv
+          FROM e, UNNEST(range(8)) AS g(m)),
+        cb AS (SELECT m, CAST(id AS INT) AS code, sv AS cv FROM sub WHERE id < 16),
+        enc AS (SELECT id, m, code FROM (
+            SELECT s.id, s.m, c.code,
+              row_number() OVER (PARTITION BY s.id, s.m ORDER BY
+                list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv),
+                c.code) AS rn
+            FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+        rec AS (SELECT n.id, flatten(list(c.cv ORDER BY n.m)) AS rvec
+          FROM enc n JOIN cb c ON n.m = c.m AND n.code = c.code GROUP BY n.id)"""
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     GraftQuery(
@@ -231,7 +250,7 @@ object ExtQueries {
           .select(
           col("doc_id"), col("lang"), col("source"),
           Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
-          .persist() // shingle once; both join sides + no optimizer re-inline
+          .transform(graft.core.Caches.persist) // shingle once; both join sides + no optimizer re-inline
         Dedup.jaccardPairsBlocked(docs, Seq("lang", "source"), 0.62,
           JaccardBlockCap, MinhashSeeds, Bands, RowsPerBand)
       },
@@ -253,7 +272,7 @@ object ExtQueries {
           .select(
           col("doc_id"),
           Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
-          .persist() // signature computed once, not re-inlined per band/side
+          .transform(graft.core.Caches.persist) // signature computed once, not re-inlined per band/side
         // Candidate enumeration through the HOT-BUCKET CAP (one collapsed
         // band key — a boilerplate-duplicated corpus — would make the raw
         // band self-join quadratic in bucket size). With no hot bucket the
@@ -291,7 +310,7 @@ object ExtQueries {
           .select(
           col("doc_id"), col("lang"),
           Dedup.simhash(Dedup.tokenHashes(col("text"))).as("sh"))
-          .persist() // hash once; both join sides reuse
+          .transform(graft.core.Caches.persist) // hash once; both join sides reuse
         val banded = docs.select(col("doc_id"), col("lang"), col("sh"),
           explode(array((0 until 12).map { b =>
             struct(lit(b).as("band"),
@@ -349,7 +368,7 @@ object ExtQueries {
           .select(
           col("vec_id"), col("label"), embDouble(col("embedding")).as("v"))
           .withColumn("n", Similarity.norm(col("v")))
-          .persist() // norms once per vector, not per pair
+          .transform(graft.core.Caches.persist) // norms once per vector, not per pair
         val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("v_a"), col("n").as("n_a"))
         val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("v_b"), col("n").as("n_b"))
         a.join(b, Seq("label"))
@@ -436,7 +455,7 @@ object ExtQueries {
           .select(col("vec_id").as("id"),
             Similarity.quantizeInt8(embDouble(col("embedding"))).as("qv"))
           .withColumn("qn", Similarity.normInt8(col("qv")))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val q = e.filter(col("id") < 20)
           .select(col("id").as("q_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
         val c = e.select(col("id").as("n_id"), col("qv").as("n_qv"), col("qn").as("n_qn"))
@@ -491,13 +510,13 @@ object ExtQueries {
             micro(Similarity.dot(col("q_vec"), col("n_vec")) /
               (col("q_n") * col("n_n"))).as("rel_micro"))
           .withColumn("rn", row_number().over(cW)).filter(col("rn") <= 10)
-          .persist()
+          .transform(graft.core.Caches.persist)
         val pairs = cand.as("a").join(cand.as("b"),
             col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
           .select(col("a.q_id").as("q_id"), col("a.n_id").as("i"), col("b.n_id").as("j"),
             micro(Similarity.dot(col("a.n_vec"), col("b.n_vec")) /
               (col("a.n_n") * col("b.n_n"))).as("sim_micro"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val slim = cand.select(col("q_id"), col("n_id"), col("rel_micro"), col("rn"))
         val p1 = slim.filter(col("rn") === 1)
           .select(col("q_id"), col("n_id").as("c1"), col("rel_micro").as("rel1"))
@@ -610,7 +629,7 @@ object ExtQueries {
             // MinhashSigSpec); the composed form would re-traverse the
             // shingle array 16 times per doc
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
-          .persist() // shingle once; banding + both re-rank sides reuse
+          .transform(graft.core.Caches.persist) // shingle once; banding + both re-rank sides reuse
         // Same hot-bucket cap as dedup03: a collapsed band bucket degrades
         // to hub star edges (O(|bucket|)); with no hot bucket the plan is
         // the plain band self-join, so the plain-banding oracle holds.
@@ -763,7 +782,7 @@ object ExtQueries {
           .select(
             col("doc_id"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val banded = bandedKeys(sigs, "doc_id")
         // STAR edges, not clique pairs: connect every bucket member to the
         // bucket's min doc. Identical connected components, but O(Σ|bucket|)
@@ -816,7 +835,7 @@ object ExtQueries {
           .select(col("doc_id"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"),
             TA.tokenCount(col("text")).cast("long").as("n_toks"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         val banded = bandedKeys(docs.select(col("doc_id"), col("sig")), "doc_id")
         val hubW = Window.partitionBy(col("band"), col("key"))
         val edges = banded
@@ -1128,7 +1147,7 @@ object ExtQueries {
           .select(col("doc_id"), col("lang"),
             Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
           .withColumn("sig", Dedup.minhash(col("sh"), MinhashSeeds))
-          .persist() // sign once; both the index and the batch read it
+          .transform(graft.core.Caches.persist) // sign once; both the index and the batch read it
         val idx = docs.filter(col("doc_id") % 10 =!= 0)
         val batch = docs.filter(col("doc_id") % 10 === 0)
         def banded(df: org.apache.spark.sql.DataFrame, id: String) =
@@ -1136,7 +1155,7 @@ object ExtQueries {
         val cand = banded(batch, "new_id")
           .join(banded(idx, "old_id"), Seq("band", "key"))
           .select(col("new_id"), col("old_id")).distinct()
-          .persist()
+          .transform(graft.core.Caches.persist)
         val confirmed = cand
           .join(batch.select(col("doc_id").as("new_id"), col("sh").as("sh_new")), "new_id")
           .join(idx.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
@@ -1195,7 +1214,7 @@ object ExtQueries {
           .select(col("doc_id"),
             Dedup.shingleHashesFused(col("text"), Shingle).as("sh"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         // same hot-bucket cap as dedup03 — plain band self-join when cold
         val pairs = Dedup.bandedPairsCappedOrdered(bandedKeys(docs, "doc_id"),
           "doc_id", JaccardBlockCap)
@@ -1271,12 +1290,9 @@ object ExtQueries {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
           .withColumn("n_tok", size(col("toks")).cast("long"))
-        val idx = when(size(col("toks")) >= W,
-            sequence(lit(0), (size(col("toks")) / W).cast("int") - 1))
-          .otherwise(array().cast("array<int>"))
-        val chunks = docs.select(col("doc_id"), col("lang"),
-          explode(transform(idx,
-            j => TA.hash60(array_join(slice(col("toks"), j * W + 1, lit(W)), " ")))).as("ch"))
+        // chunking shared with the streaming ingest variant
+        // (CorpusStreams.chunkFrequency) — single edit site in Dedup
+        val chunks = Dedup.boilerplateChunks(Tables.documents(s, d), W)
         val hot = chunks.groupBy(col("ch"))
           .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
           .filter(col("df") >= 2)
@@ -1429,26 +1445,8 @@ object ExtQueries {
         val e = Tables.embeddings(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-          .persist()
-        val sub = e.select(col("id"), explode(sequence(lit(0), lit(7))).as("m"), col("vec"))
-          .select(col("id"), col("m"),
-            slice(col("vec"), col("m") * 8 + 1, lit(8)).as("sv"))
-        val cb = sub.filter(col("id") < 16)
-          .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-        // reduced L2 key: ||s-c||² minus the per-(vector,subspace) constant
-        // s·s — identical argmin, mirrored TEXTUALLY in the oracle so both
-        // engines order by the same float values
-        val dkey = Similarity.dot(col("cv"), col("cv")) -
-          lit(2.0) * Similarity.dot(col("sv"), col("cv"))
-        val enc = sub.join(broadcast(cb), Seq("m"))
-          .select(col("id"), col("m"), col("code"), dkey.as("dkey"))
-          .groupBy(col("id"), col("m"))
-          .agg(min_by(col("code"), struct(col("dkey"), col("code"))).as("code"))
-        val rec = enc.join(broadcast(cb), Seq("m", "code"))
-          .groupBy(col("id"))
-          .agg(flatten(transform(
-            array_sort(collect_list(struct(col("m"), col("cv")))),
-            x => x.getField("cv"))).as("rvec"))
+          .transform(graft.core.Caches.persist)
+        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
         val corpus = rec.join(e, Seq("id"))
           .select(col("id").as("n_id"), col("rvec"), col("vec").as("n_vec"))
         val q = e.filter(col("id") < 20)
@@ -1466,18 +1464,8 @@ object ExtQueries {
             Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
           .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
       },
-      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        sub AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv
-          FROM e, UNNEST(range(8)) AS g(m)),
-        cb AS (SELECT m, CAST(id AS INT) AS code, sv AS cv FROM sub WHERE id < 16),
-        enc AS (SELECT id, m, code FROM (
-            SELECT s.id, s.m, c.code,
-              row_number() OVER (PARTITION BY s.id, s.m ORDER BY
-                list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv),
-                c.code) AS rn
-            FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
-        rec AS (SELECT n.id, flatten(list(c.cv ORDER BY n.m)) AS rvec
-          FROM enc n JOIN cb c ON n.m = c.m AND n.code = c.code GROUP BY n.id),
+      Some(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        $pqSqlCtes,
         corpus AS (SELECT e.id AS n_id, r.rvec, e.v AS n_vec
           FROM rec r JOIN e ON e.id = r.id),
         adc AS (SELECT q.id AS q_id, c.n_id,
@@ -1509,7 +1497,9 @@ object ExtQueries {
     // before an exact-cosine re-rank of the shortlist. (PQ here encodes raw
     // vectors, not residuals — the IVF-Flat-PQ variant — so the codebook
     // stage is shared verbatim with sim07 and the oracle stays exact.)
-    // Scale: centroids (k≈√N rows) and the 8·16-row codebook broadcast;
+    // Scale: centroids (fixed at 16 deterministic seeds here, the sim02
+    // convention; k≈√N is the production-scale sizing) and the 8·16-row
+    // codebook broadcast;
     // cell assignment and encode are broadcast joins + one map-side-
     // combinable min_by each; candidate generation is an EQUI-JOIN on
     // cell_id (the corpus is never cross-joined against the query set —
@@ -1522,26 +1512,11 @@ object ExtQueries {
         val e = Tables.embeddings(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-          .persist()
+          .transform(graft.core.Caches.persist)
         // coarse quantizer: 16 deterministic seed centroids (sim02 shape)
         val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
-        // PQ codebook + encode: shared shape with sim07
-        val sub = e.select(col("id"), explode(sequence(lit(0), lit(7))).as("m"), col("vec"))
-          .select(col("id"), col("m"),
-            slice(col("vec"), col("m") * 8 + 1, lit(8)).as("sv"))
-        val cb = sub.filter(col("id") < 16)
-          .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-        val dkey = Similarity.dot(col("cv"), col("cv")) -
-          lit(2.0) * Similarity.dot(col("sv"), col("cv"))
-        val enc = sub.join(broadcast(cb), Seq("m"))
-          .select(col("id"), col("m"), col("code"), dkey.as("dkey"))
-          .groupBy(col("id"), col("m"))
-          .agg(min_by(col("code"), struct(col("dkey"), col("code"))).as("code"))
-        val rec = enc.join(broadcast(cb), Seq("m", "code"))
-          .groupBy(col("id"))
-          .agg(flatten(transform(
-            array_sort(collect_list(struct(col("m"), col("cv")))),
-            x => x.getField("cv"))).as("rvec"))
+        // PQ codebook + encode + reconstruct: the single shared stage
+        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
         // inverted lists: cell_id → (n_id, reconstructed vector)
         val posting = cells.select(col("id").as("n_id"), col("cell_id"))
           .join(rec.select(col("id").as("n_id"), col("rvec")), Seq("n_id"))
@@ -1575,7 +1550,7 @@ object ExtQueries {
             Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
           .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
       },
-      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         seeds AS (SELECT id AS cell_id, v AS cv FROM e WHERE id < 16),
         assign AS (SELECT id, cell_id FROM (
             SELECT e.id, s.cell_id,
@@ -1583,17 +1558,7 @@ object ExtQueries {
                 list_dot_product(e.v, s.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
                 s.cell_id ASC) AS rn
             FROM e CROSS JOIN seeds s) WHERE rn = 1),
-        sub AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv
-          FROM e, UNNEST(range(8)) AS g(m)),
-        cb AS (SELECT m, CAST(id AS INT) AS code, sv AS cv FROM sub WHERE id < 16),
-        enc AS (SELECT id, m, code FROM (
-            SELECT s.id, s.m, c.code,
-              row_number() OVER (PARTITION BY s.id, s.m ORDER BY
-                list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv),
-                c.code) AS rn
-            FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
-        rec AS (SELECT n.id, flatten(list(c.cv ORDER BY n.m)) AS rvec
-          FROM enc n JOIN cb c ON n.m = c.m AND n.code = c.code GROUP BY n.id),
+        $pqSqlCtes,
         posting AS (SELECT a.id AS n_id, a.cell_id, r.rvec
           FROM assign a JOIN rec r ON r.id = a.id),
         routed AS (SELECT q_id, q_vec, cell_id FROM (

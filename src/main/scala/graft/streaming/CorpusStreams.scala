@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming counterparts of the corpus-curation operators — the
+  * production ingest shape, where documents arrive continuously and the
+  * curation state must stay incremental instead of re-scanning the corpus.
+  */
+object CorpusStreams {
+
+  /** Incremental chunk-frequency table for dedup14's global boilerplate
+    * scrub: as documents stream in, maintain per-chunk
+    * `(ch, df, keeper)` where `df` counts DISTINCT documents containing
+    * the chunk and `keeper` is the lowest doc_id seen — exactly the batch
+    * `hot` table before its `df >= 2` filter, emitted in update mode.
+    *
+    * Shape: [[Dedup.boilerplateChunks]] (the batch-shared projection) →
+    * `dropDuplicates(ch, doc_id)` (streaming distinct state: one record
+    * per pair, what makes `count` equal `countDistinct(doc_id)`) →
+    * keyed agg of two longs per chunk. At production scale the pair-dedup
+    * store takes a watermark + TTL (boilerplate recurs promptly; a chunk
+    * unseen for the TTL window re-counts at worst once), and the df>=2
+    * emissions feed the scrub join downstream. Here both stay unbounded
+    * for exact parity with the batch table ([[graft.streaming
+    * .StreamingBoilerplateSpec]] feeds the corpus in micro-batches and
+    * compares final state row-for-row).
+    */
+  def chunkFrequency(docs: DataFrame, w: Int = 8): DataFrame =
+    Dedup.boilerplateChunks(docs, w)
+      .dropDuplicates("ch", "doc_id")
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper"))
+}
