@@ -25,11 +25,11 @@ import scala.util.matching.Regex
   * (format-free). We use a fixed, ordered format battery
   * ([[Dates.parseIso]]) — deterministic, codegen-friendly, and identical in
   * the DuckDB oracle. Values outside the battery fall through to the
-  * lowercase branch. Known remaining vote-only gap (fully logged by the
-  * fuzz harness, see tools/fuzz_parity.py): comma-joined flattened lists
-  * like "123,123" hit dateutil's digit-comma-digit tokenizer merge, whose
-  * acceptance follows neither the decimal table nor any fixed-width
-  * branch — the battery votes string for these.
+  * lowercase branch. The single-comma digit family ("123,123") is now
+  * batteryized exactly ([[Dates.commaIntDateVote]], round 7); the
+  * remaining vote-only gap (fully logged by the fuzz harness, see
+  * tools/fuzz_parity.py) is strings with ≥2 commas ("12,34,56"), whose
+  * multi-token ymd resolution stays out of battery scope.
   */
 object Normalize {
   /** Obscure reference quirk: `normalize_data`'s numeric-column check ORs in
@@ -177,6 +177,9 @@ object Normalize {
       // consume negatives before its dateparse).
       else if (s.matches("^" + Dates.NegNumDateRe + "$")) "date"
       else if (Dates.parses(s)) "date"
+      // digit-comma-digit family (comma-joined flattened lists) — vote
+      // only; see [[Dates.commaIntDateVote]]
+      else if (Dates.commaIntDateVote(s)) "date"
       else "string"
   }
 }
@@ -294,4 +297,60 @@ object Dates {
 
   private def valid(y: Int, m: Int, d: Int): Option[LocalDate] =
     try Some(LocalDate.of(y, m, d)) catch { case _: Exception => None }
+
+  /** dateutil's digit-comma-digit acceptance ("123,123", "58,0", …) — the
+    * comma-joined flattened-list family that reaches `infer_type`.
+    * Tokenizer rule (dateutil _timelex): a comma MERGES into a numeric
+    * token as a decimal point only when ≥2 digits precede it; a single
+    * leading digit splits into separate ymd tokens with the comma as a
+    * skippable jump. Acceptance then follows _parse_numeric_token's
+    * branches — verified against dateutil over 2 256 shape/boundary cases
+    * with 0 mismatches (probe harness: see tools/fuzz_parity.py mirror):
+    *
+    *   |A| ≥ 2 (merged "A.B", L = |A|+|B|+1):
+    *     L == 6            → reject (the HHMM int slices hit the '.');
+    *     |A| == 6          → HHMMSS[.f]: accept iff HH<24 ∧ MM<60 ∧ SS<60;
+    *     L ∈ {8,12,14}     → reject (the YYYYMMDD slices hit the '.');
+    *     else v = int(A)   → accept iff 1 ≤ v ≤ 9999 (≤31 day, else year).
+    *   |A| == 1 (tokens [a ',' B]):
+    *     |B| == 6          → HHMMSS: accept iff valid time ∧ a ≥ 1 (day a);
+    *     |B| ∈ {8,12,14}   → reject (a + Y/M/D = four ymd members);
+    *     else w = int(B)   → a = 0 ∨ w = 0 reject; w ≤ 31 → month a day w
+    *                         (Feb = 28); 32 ≤ w ≤ 9999 → year; else reject.
+    *
+    * VOTE-ONLY by construction: normalize_value strips commas and converts
+    * every digit-comma-digit string to an int before its dateparse
+    * fallback, so cell values never rewrite through this path. Documented
+    * run-date caveat (the reference resolves day-of-month against TODAY):
+    * days 29-31 and the year-branch default day are accepted as in a
+    * 31-day, non-leap-February run month. Strings with ≥2 commas (e.g.
+    * "1,000,000" → month 1 day 0 → reject in dateutil too; "12,34,56")
+    * remain the logged deviation family.
+    */
+  private val CommaNum = "(\\d+),(\\d+)".r
+  def commaIntDateVote(s: String): Boolean = s match {
+    case CommaNum(a, b) =>
+      def hms6(t: String) = t.substring(0, 2).toInt < 24 &&
+        t.substring(2, 4).toInt < 60 && t.substring(4, 6).toInt < 60
+      def numVal(t: String): Long = if (t.length > 18) Long.MaxValue else t.toLong
+      if (a.length >= 2) {
+        val len = a.length + b.length + 1
+        if (len == 6) false
+        else if (a.length == 6) hms6(a)
+        else if (len == 8 || len == 12 || len == 14) false
+        else { val v = numVal(a); v >= 1 && v <= 9999 }
+      } else {
+        val d = a.toInt // single digit: the first ymd member
+        if (b.length == 6) d >= 1 && hms6(b)
+        else if (b.length == 8 || b.length == 12 || b.length == 14) false
+        else {
+          val w = numVal(b)
+          val daysIn = Array(31, 28, 31, 30, 31, 30, 31, 31, 30)
+          if (d == 0 || w == 0) false
+          else if (w <= 31) w <= daysIn(d - 1)
+          else w <= 9999
+        }
+      }
+    case _ => false
+  }
 }

@@ -12,13 +12,14 @@ schema type vote (string vs dateutil-date), which FuzzCheck waives with a
 logged, battery-shape-checked waiver.
 
 KNOWN REMAINING DEVIATION FAMILY (schema vote only, logged, never silent):
-comma-joined flattened lists that reach infer_type as e.g. "123,123" hit
-dateutil's digit-comma-digit tokenizer merge. Its acceptance does NOT
-follow the negative-decimal table (probed: "6,0" fails while "058,0" and
-"194,8924115" parse), so the battery deliberately votes string for these;
-the dateutil-vs-battery delta prints as a `deviation` line here and a
-`DEVIATION` line in FuzzCheck. Observed rate: 1 column across 8x60
-fixtures (seeds 7/42/123/555/777/999/2024/31337).
+the SINGLE-comma digit family ("123,123", "58,0") was batteryized exactly
+in round 7 (battery_parse below / Dates.commaIntDateVote — dateutil's
+tokenizer merges a comma as a decimal point only after >=2 digits, then
+branches by merged length; verified 0 mismatches over 2256 cases). What
+remains out of scope is >=2-comma strings ("12,34,56"), whose multi-token
+ymd resolution the battery deliberately skips; those print as `deviation`
+lines here and `DEVIATION` lines in FuzzCheck. Observed deviation rate
+after round 7 at the pinned seeds (7/42/123/555/777/999/2024/31337): 0.
 
 Usage: python3 tools/fuzz_parity.py <out.json> [n_fixtures] [seed]
 """
@@ -228,6 +229,38 @@ def battery_parse(s, *a, **k):
     m = _B_DMONY.match(s)
     if m:
         return d(m.group(3), _MONTHS.index(m.group(2).lower()) + 1, m.group(1))
+    # digit-comma-digit family (round 7, vote-only) — exact mirror of
+    # etl/Normalize.scala Dates.commaIntDateVote; see its scaladoc for the
+    # dateutil tokenizer/branch derivation (0 mismatches over 2256 cases).
+    m = _re.match(r'^(\d+),(\d+)$', s)
+    if m:
+        A, B = m.group(1), m.group(2)
+        def _hms6(t):
+            return int(t[:2]) < 24 and int(t[2:4]) < 60 and int(t[4:6]) < 60
+        if len(A) >= 2:
+            L = len(A) + len(B) + 1
+            if L == 6:
+                ok = False
+            elif len(A) == 6:
+                ok = _hms6(A)
+            elif L in (8, 12, 14):
+                ok = False
+            else:
+                ok = 1 <= int(A) <= 9999
+        else:
+            a = int(A)
+            if len(B) == 6:
+                ok = a >= 1 and _hms6(B)
+            elif len(B) in (8, 12, 14):
+                ok = False
+            else:
+                w = int(B)
+                days = [31, 28, 31, 30, 31, 30, 31, 31, 30]
+                ok = (a >= 1 and w >= 1 and
+                      ((w <= days[a - 1]) if w <= 31 else w <= 9999))
+        if ok:
+            return _dt.datetime(2000, 1, 1)
+        raise ValueError(s)
     raise ValueError("outside battery: %r" % s)
 
 
