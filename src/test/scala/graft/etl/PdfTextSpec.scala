@@ -65,6 +65,19 @@ class PdfTextSpec extends SparkSpec {
     assert(e2.getMessage.contains("PDF"))
   }
 
+  test("encrypted PDFs raise the reference guard instead of extracting ciphertext") {
+    // fixture: valid structure, trailer /Encrypt, garbage string/stream
+    // bytes (tools/make_pdf_fixture.py build_encrypted). Both reference
+    // extractors fail on encrypted input and it raises the empty-text
+    // error — a silent garbage extraction here would poison the corpus.
+    val enc = Files.readAllBytes(Paths.get("src/test/resources/fixtures/encrypted.pdf"))
+    val e = intercept[IllegalArgumentException] { PdfText.extract(enc) }
+    assert(e.getMessage.contains("No extractable text"))
+    // and the guard keys on the trailer, not the garbage: the clean
+    // fixture still extracts
+    assert(PdfText.extract(pdfBytes).nonEmpty)
+  }
+
   test("review regressions: multi-digit indirect /Length, >> in strings, bad numbers, octal overflow") {
     // object 12 holds the stream length (multi-digit indirect ref: the old
     // lookahead regex backtracked "/Length 12 0 R" into direct length 1);

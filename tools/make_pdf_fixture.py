@@ -121,6 +121,37 @@ def build():
     return bytes(buf)
 
 
+def build_encrypted():
+    """Minimal RC4-style encrypted PDF: valid structure, /Encrypt in the
+    trailer, string/stream bytes replaced by ciphertext-looking garbage.
+    PdfText must refuse it with the reference's empty-text error rather
+    than walk the garbage."""
+    garbage = bytes((i * 37 + 11) % 256 for i in range(48))
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(garbage), garbage),
+        5: b"<< /Filter /Standard /V 1 /R 2 /O <0102030405060708090a0b0c0d0e0f10"
+           b"1112131415161718191a1b1c1d1e1f20> /U <0102030405060708090a0b0c0d0e0f10"
+           b"1112131415161718191a1b1c1d1e1f20> /P -44 >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for n in sorted(objs):
+        offsets[n] = len(buf)
+        buf += b"%d 0 obj\n%s\nendobj\n" % (n, objs[n])
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for n in sorted(objs):
+        buf += b"%010d 00000 n \n" % offsets[n]
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R /Encrypt 5 0 R "
+            b"/ID [<deadbeef> <deadbeef>] >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(buf)
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     pdf = build()
@@ -128,4 +159,7 @@ if __name__ == "__main__":
         f.write(pdf)
     with open(os.path.join(OUT, "sample_pdf_expected.txt"), "w") as f:
         f.write(expected + "\n")
-    print("wrote %d-byte fixture + expected text to %s" % (len(pdf), OUT))
+    with open(os.path.join(OUT, "encrypted.pdf"), "wb") as f:
+        f.write(build_encrypted())
+    print("wrote %d-byte fixture + expected text + encrypted.pdf to %s"
+          % (len(pdf), OUT))
