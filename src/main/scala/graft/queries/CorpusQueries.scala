@@ -1286,5 +1286,172 @@ object CorpusQueries {
             AS is_stale
         FROM per, g"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Greedy k-center coreset (Gonzalez's 2-approximation, the classic
+    // diversity-selection scheme for training-data subset curation):
+    // seed with the lowest vec_id, then k-1 rounds of "pick the vector
+    // FARTHEST from every selected center" (squared L2, argmax with
+    // min-vec_id tie-break), finishing with a nearest-center assignment
+    // whose per-center counts are the coreset cell weights. Scale: each
+    // round is ONE corpus scan against k centroid LITERALS (the kmeans
+    // shape — no join, no shuffle; the per-round driver collect is one
+    // row) plus a top-1 sort that AQE reduces to a per-partition top-1 +
+    // k-row merge; the assignment pass is the same literal scan with a
+    // map-side-combinable count. Cross-engine determinism mirrors clust01
+    // exactly: distances compare as ((v.v + c.c) - 2*(v.c)) with the
+    // SAME association and sequential dot-product folds in both engines,
+    // so argmax rows, assignment, and micro-quantized pick distances are
+    // bit-identical under the DuckDB oracle.
+    GraftQuery(
+      "samp07_kcenter",
+      (s, d) => {
+        import s.implicits._
+        val k = 4
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .transform(graft.core.Caches.persist)
+        val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
+        var cents = Seq(0 -> seed.getAs[scala.collection.Seq[Double]]("v").toArray)
+        var picks = Vector((0, seed.getAs[Long]("vec_id"), 0L))
+        for (r <- 1 until k) {
+          val nxt = e
+            .select(col("vec_id"), col("v"),
+              Clustering.minDist(col("v"), cents).as("dd"))
+            .orderBy(col("dd").desc, col("vec_id").asc).limit(1).collect()(0)
+          cents = cents :+ (r -> nxt.getAs[scala.collection.Seq[Double]]("v").toArray)
+          picks = picks :+ ((r, nxt.getAs[Long]("vec_id"),
+            math.round(nxt.getAs[Double]("dd") * 1e6)))
+        }
+        val weights = e.withColumn("cid", Clustering.assign(col("v"), cents))
+          .groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+        picks.toDF("pick", "center_id", "d_micro")
+          .join(weights, col("pick") === col("cid"), "left")
+          .select(col("pick"), col("center_id"), col("d_micro"),
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+      },
+      Some {
+        def dist(a: String, b: String) =
+          s"list_dot_product($a, $a) + list_dot_product($b, $b)" +
+            s" - 2*list_dot_product($a, $b)"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+          d1 AS (SELECT e.vec_id, e.v, ${dist("e.v", "c.v")} AS d FROM e, c0 c),
+          p1 AS (SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+          d2 AS (SELECT x.vec_id, x.v, least(x.d, ${dist("x.v", "c.v")}) AS d
+            FROM d1 x, p1 c),
+          p2 AS (SELECT vec_id, v, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+          d3 AS (SELECT x.vec_id, x.v, least(x.d, ${dist("x.v", "c.v")}) AS d
+            FROM d2 x, p2 c),
+          p3 AS (SELECT vec_id, v, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+          picks AS (
+            SELECT 0 AS pick, vec_id, v, 0.0 AS d FROM c0
+            UNION ALL SELECT 1, vec_id, v, d FROM p1
+            UNION ALL SELECT 2, vec_id, v, d FROM p2
+            UNION ALL SELECT 3, vec_id, v, d FROM p3),
+          asg AS (SELECT vec_id, pick FROM (
+              SELECT e.vec_id, p.pick,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${dist("e.v", "p.v")} ASC, p.pick ASC) AS rn
+              FROM e CROSS JOIN picks p) WHERE rn = 1),
+          na AS (SELECT pick, count(*) AS n_assigned FROM asg GROUP BY 1)
+        SELECT p.pick, p.vec_id AS center_id,
+          CAST(round(p.d * 1000000.0) AS BIGINT) AS d_micro,
+          coalesce(n_assigned, 0) AS n_assigned
+        FROM picks p LEFT JOIN na USING (pick)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Two-phase anneal schedule (the mid-training data-curriculum recipe:
+    // a long temperature-weighted pretrain phase, then a short "anneal"
+    // phase upweighting high-quality sources). Phase budgets split the
+    // mix01 char budget 90/10 by integer div. Pretrain allocates by the
+    // sqrt-temperature weights (mix01's sm); anneal allocates by
+    // quality-boosted weights — groups in the top half by mean doc length
+    // (rank over (chars div docs) desc with lang/source tie-break, the
+    // deterministic quality proxy) count 3x their chars. Both phases use
+    // mix02's largest-remainder rule, so each phase's quotas sum EXACTLY
+    // to its budget. All arithmetic is exact BIGINT (one IEEE sqrt per
+    // group); every global sum is a 1-row broadcast and the ranking
+    // windows run on the <=97-row mixture table, never the corpus —
+    // mix03's scale shape unchanged.
+    GraftQuery(
+      "mix04_anneal",
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("chars"), count(lit(1)).as("docs"))
+          .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+          .withColumn("mlen", expr("chars div docs"))
+          .transform(graft.core.Caches.persist)
+        val tot = c.agg(expr("sum(chars) div 2").as("B"), count(lit(1)).as("ng"))
+        val qw = Window.orderBy(col("mlen").desc, col("lang"), col("source"))
+        val w = c.crossJoin(broadcast(tot))
+          .withColumn("rkq", row_number().over(qw))
+          .withColumn("boost", expr("CASE WHEN rkq <= (ng + 1) div 2 THEN 1 ELSE 0 END"))
+          .withColumn("wa", col("chars") * when(col("boost") === 1, lit(3L)).otherwise(lit(1L)))
+          .withColumn("b_pre", expr("(B * 9) div 10"))
+          .withColumn("b_ann", expr("B - (B * 9) div 10"))
+          .transform(graft.core.Caches.persist)
+        // pretrain phase: largest-remainder over sm
+        val tp = w.agg(sum(col("sm")).as("tpre"))
+        val ap = w.crossJoin(broadcast(tp))
+          .withColumn("basep", expr("(b_pre * sm) div tpre"))
+          .withColumn("remp", expr("(b_pre * sm) % tpre"))
+        val lp = ap.agg((max(col("b_pre")) - sum(col("basep"))).as("lop"))
+        val qp = ap.crossJoin(broadcast(lp))
+          .withColumn("rkp", row_number().over(
+            Window.orderBy(col("remp").desc, col("lang"), col("source"))))
+          .withColumn("q_pre",
+            col("basep") + when(col("rkp") <= col("lop"), 1L).otherwise(0L))
+          .transform(graft.core.Caches.persist)
+        // anneal phase: largest-remainder over the boosted weights
+        val ta = w.agg(sum(col("wa")).as("tann"))
+        val aa = qp.crossJoin(broadcast(ta))
+          .withColumn("basea", expr("(b_ann * wa) div tann"))
+          .withColumn("rema", expr("(b_ann * wa) % tann"))
+        val la = aa.agg((max(col("b_ann")) - sum(col("basea"))).as("loa"))
+        aa.crossJoin(broadcast(la))
+          .withColumn("rka", row_number().over(
+            Window.orderBy(col("rema").desc, col("lang"), col("source"))))
+          .withColumn("q_ann",
+            col("basea") + when(col("rka") <= col("loa"), 1L).otherwise(0L))
+          .select(col("lang"), col("source"), col("chars"), col("boost"),
+            col("q_pre"), col("q_ann"), (col("q_pre") + col("q_ann")).as("q_total"))
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars,
+              count(*) AS docs FROM documents GROUP BY 1, 2),
+          s AS (SELECT lang, source, chars, docs,
+              CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS sm,
+              chars // docs AS mlen FROM c),
+          t AS (SELECT CAST(sum(chars) AS BIGINT) // 2 AS B, count(*) AS ng FROM s),
+          q AS (SELECT s.*, t.B, t.ng,
+              row_number() OVER (ORDER BY mlen DESC, lang, source) AS rkq FROM s, t),
+          w AS (SELECT *,
+              CASE WHEN rkq <= (ng + 1) // 2 THEN 1 ELSE 0 END AS boost,
+              chars * CASE WHEN rkq <= (ng + 1) // 2 THEN 3 ELSE 1 END AS wa,
+              (B * 9) // 10 AS b_pre, B - (B * 9) // 10 AS b_ann FROM q),
+          tp AS (SELECT CAST(sum(sm) AS BIGINT) AS tpre FROM w),
+          ap AS (SELECT w.*, (b_pre * sm) // tpre AS basep,
+              (b_pre * sm) % tpre AS remp FROM w, tp),
+          lp AS (SELECT max(b_pre) - CAST(sum(basep) AS BIGINT) AS lop FROM ap),
+          qp AS (SELECT ap.*, lop,
+              row_number() OVER (ORDER BY remp DESC, lang, source) AS rkp
+            FROM ap, lp),
+          pp AS (SELECT *, basep + CASE WHEN rkp <= lop THEN 1 ELSE 0 END AS q_pre
+            FROM qp),
+          ta AS (SELECT CAST(sum(wa) AS BIGINT) AS tann FROM w),
+          aa AS (SELECT pp.*, (b_ann * wa) // tann AS basea,
+              (b_ann * wa) % tann AS rema FROM pp, ta),
+          la AS (SELECT max(b_ann) - CAST(sum(basea) AS BIGINT) AS loa FROM aa),
+          ra AS (SELECT aa.*, loa,
+              row_number() OVER (ORDER BY rema DESC, lang, source) AS rka
+            FROM aa, la)
+        SELECT lang, source, chars, boost,
+          q_pre, basea + CASE WHEN rka <= loa THEN 1 ELSE 0 END AS q_ann,
+          q_pre + basea + CASE WHEN rka <= loa THEN 1 ELSE 0 END AS q_total
+        FROM ra"""),
+    ),
   )
 }

@@ -1341,6 +1341,100 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Exact substring dedup (Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better", ACL 2022 — the ExactSubstr
+    // operator): every OVERLAPPING W-token window (stride 1, vs
+    // dedup14's non-overlapping chunks) that appears in >= 2 distinct
+    // documents is a duplicated substring; the lowest-doc_id occurrence
+    // keeps it and every other document drops its copy. Dropped windows
+    // overlap heavily by construction, so per-document they merge into
+    // maximal spans (gaps-and-islands over a running max of span ends,
+    // the ev18 pattern) and toks_dropped is the UNION length, not
+    // W x hits. Scale: the window table is ~n_tokens rows (8x dedup14's),
+    // still a pure projection; the hot table is corpus-derived and joins
+    // back by window-hash equi-join (NOT broadcast at 100 TB — same call
+    // as dedup14; AQE splits skewed hash ranges); the span merge is a
+    // per-document window over doc_id partitioning, never global. The
+    // suffix-array machinery of the paper exists to find duplicates at
+    // BYTE granularity; at fixed token granularity the rolling window +
+    // hash groupBy computes the same drop set in two shuffles.
+    GraftQuery(
+      "dedup15_substring",
+      (s, d) => {
+        val W = 8
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+        val idx = when(size(col("toks")) >= W,
+            sequence(lit(0), size(col("toks")) - W))
+          .otherwise(array().cast("array<int>"))
+        val wins = docs.select(col("doc_id"), col("lang"),
+            explode(transform(idx, j => struct(j.as("j"),
+              TA.hash60(array_join(slice(col("toks"), j + 1, lit(W)), " ")).as("wh")))).as("w"))
+          .select(col("doc_id"), col("lang"), col("w.j").as("j"), col("w.wh").as("wh"))
+        val hot = wins.groupBy(col("wh"))
+          .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+          .filter(col("df") >= 2)
+          .select(col("wh"), col("keeper"))
+        val spans = wins.join(hot, Seq("wh"))
+          .filter(col("keeper") =!= col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("j").as("a"), (col("j") + W - 1).as("b"))
+        val ws = Window.partitionBy(col("doc_id")).orderBy(col("a"))
+        val isl = spans
+          .withColumn("runmax",
+            max(col("b")).over(ws.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("isl", sum(
+            (col("runmax").isNull || col("a") > col("runmax")).cast("int")).over(ws))
+        val perDoc = isl
+          .groupBy(col("doc_id"), col("lang"), col("isl"))
+          .agg((max(col("b")) - min(col("a")) + 1).cast("long").as("dropped"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("dropped")).as("toks_dropped"))
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .join(perDoc.groupBy(col("lang"))
+              .agg(countDistinct(col("doc_id")).as("docs_touched"),
+                sum(col("toks_dropped")).as("toks_dropped")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            coalesce(col("docs_touched"), lit(0L)).as("docs_touched"),
+            coalesce(col("toks_dropped"), lit(0L)).as("toks_dropped"),
+            (col("n_tokens") - coalesce(col("toks_dropped"), lit(0L))).as("toks_kept"))
+      },
+      Some {
+        val wk = TA.Sql.hash60("array_to_string(list_slice(toks, j + 1, j + 8), ' ')")
+        s"""WITH t AS (SELECT doc_id, lang, ${TA.Sql.tokens("text")} AS toks
+              FROM documents),
+          w AS (SELECT doc_id, lang, j, $wk AS wh
+            FROM t, UNNEST(range(len(toks) - 7)) AS u(j)),
+          hot AS (SELECT wh, min(doc_id) AS keeper FROM w GROUP BY wh
+            HAVING count(DISTINCT doc_id) >= 2),
+          sp AS (SELECT w.doc_id, w.lang, j AS a, j + 7 AS b
+            FROM w JOIN hot ON w.wh = hot.wh AND hot.keeper <> w.doc_id),
+          im AS (SELECT doc_id, lang, a, b,
+              max(b) OVER (PARTITION BY doc_id ORDER BY a
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+            FROM sp),
+          isl AS (SELECT doc_id, lang, a, b,
+              sum(CASE WHEN runmax IS NULL OR a > runmax THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY a) AS isl
+            FROM im),
+          pd AS (SELECT doc_id, lang, CAST(sum(dropped) AS BIGINT) AS toks_dropped
+            FROM (SELECT doc_id, lang, isl, max(b) - min(a) + 1 AS dropped
+                  FROM isl GROUP BY 1, 2, 3) GROUP BY 1, 2),
+          da AS (SELECT lang, count(*) AS n_docs,
+              CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+          pl AS (SELECT lang, count(DISTINCT doc_id) AS docs_touched,
+              CAST(sum(toks_dropped) AS BIGINT) AS toks_dropped FROM pd GROUP BY 1)
+        SELECT da.lang, n_docs, n_tokens,
+          coalesce(docs_touched, 0) AS docs_touched,
+          coalesce(pl.toks_dropped, 0) AS toks_dropped,
+          n_tokens - coalesce(pl.toks_dropped, 0) AS toks_kept
+        FROM da LEFT JOIN pl USING (lang)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // Hybrid-retrieval fusion (RRF, k=60): the vector leg is exact-cosine
     // top-10 (sim01's broadcast-query scan) and the lexical leg is
     // token-set-Jaccard top-10 over the SAME id space (embeddings and

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Structural invariants for the round-7 operator additions (exact
+  * substring dedup, k-center coreset, anneal schedule). Exact values are
+  * pinned by the DuckDB oracle gate; these assert the semantic properties
+  * that hold at ANY scale factor, so a refactor that breaks the contract
+  * fails here before the oracle run.
+  */
+class Round7OpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def df(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+  private def rows(name: String) = df(name).collect()
+
+  test("dedup15: span-union arithmetic is exact; no cartesian in the plan") {
+    val out = rows("dedup15_substring")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("toks_kept") ==
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("toks_dropped"), r)
+      // merged spans can never drop more than the doc set holds
+      assert(r.getAs[Long]("toks_dropped") <= r.getAs[Long]("n_tokens"), r)
+      assert(r.getAs[Long]("docs_touched") <= r.getAs[Long]("n_docs"), r)
+    }
+    // overlapping windows strictly extend dedup14's non-overlapping
+    // chunks, so the corpus-wide union drop can never be smaller
+    val d15 = out.map(_.getAs[Long]("toks_dropped")).sum
+    val d14 = rows("dedup14_boilerplate").map(r => 8L * r.getAs[Long]("n_dropped")).sum
+    assert(d15 >= d14, s"substring union $d15 < chunk drop $d14")
+    val p = df("dedup15_substring").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("samp07: distinct centers, non-increasing pick radii, weights partition the corpus") {
+    val out = rows("samp07_kcenter").sortBy(_.getAs[Int]("pick"))
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("center_id")).distinct.length == 4)
+    // greedy k-center: the max-min distance is non-increasing in k
+    val d = out.drop(1).map(_.getAs[Long]("d_micro"))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b }, d.toSeq)
+    assert(d.forall(_ > 0), d.toSeq)
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_assigned")).sum == n)
+  }
+
+  test("mix04: each phase's quotas sum exactly to its budget; boost is the top half") {
+    val out = rows("mix04_anneal")
+    val c = graft.core.Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("source"))
+      .count().count()
+    assert(out.length == c.toInt)
+    val chars = out.map(_.getAs[Long]("chars")).sum
+    val b = chars / 2
+    val bPre = b * 9 / 10
+    assert(out.map(_.getAs[Long]("q_pre")).sum == bPre)
+    assert(out.map(_.getAs[Long]("q_ann")).sum == b - bPre)
+    assert(out.map(_.getAs[Long]("q_total")).sum == b)
+    assert(out.count(_.getAs[Int]("boost") == 1) == (out.length + 1) / 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_pre") >= 0 && r.getAs[Long]("q_ann") >= 0, r)
+      assert(r.getAs[Long]("q_total") ==
+        r.getAs[Long]("q_pre") + r.getAs[Long]("q_ann"), r)
+    }
+  }
+}
