@@ -24,6 +24,28 @@ object PipelineQueries {
     * run on the vocabulary-sized word table. Returns (merge rows
     * `it|pair|cnt`, final `token|freq|seq` frame after all merges).
     */
+  /** Part co-purchase edge set (orders as baskets, support >= 2) — the
+    * graph base shared by graph02 (triangles) and graph03 (label
+    * propagation); pair generation is order-local (schema-bounded <= 7
+    * lines), so it is linear in lineitem, never all-pairs.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  /** DuckDB mirror of [[copurchaseEdges]] (CTEs `li`, `e`). */
+  private val sqlCopurchaseEdges: String =
+    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
   private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val words = Tables.documents(s, d)
       .select(explode(TA.tokens(col("text"))).as("token"))
@@ -730,15 +752,7 @@ object PipelineQueries {
     GraftQuery(
       "graph02_triangles",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 2)
-          .select(col("u"), col("v"))
-          .transform(graft.core.Caches.persist)
+        val e = copurchaseEdges(s, d).transform(graft.core.Caches.persist)
         val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("dg"))
         val ord = e
@@ -760,9 +774,7 @@ object PipelineQueries {
         tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       },
-      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-          e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
-            GROUP BY 1, 2 HAVING count(*) >= 2),
+      Some(s"""WITH $sqlCopurchaseEdges,
           deg AS (SELECT u AS node, count(*) AS dg
             FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t(u) GROUP BY 1),
           o AS (SELECT
@@ -774,6 +786,56 @@ object PipelineQueries {
         SELECT (SELECT count(*) FROM wedge w JOIN e USING (u, v)) AS n_triangles,
           (SELECT count(*) FROM e) AS n_edges,
           (SELECT count(*) FROM deg) AS n_nodes"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Label-propagation communities (Raghavan et al. 2007) over the same
+    // co-purchase graph: every node starts in its own community, then two
+    // SYNCHRONIZED rounds replace each node's label with its neighbors'
+    // majority label (ties -> smallest label, the determinism the async
+    // original lacks). Each round is one equi-join (messages) + one
+    // partial-agg'd count + one per-node window — the same per-round shape
+    // as dedup07's CC pass, bounded rounds instead of convergence. At
+    // 100 TB the label table shuffles by node id and the neighbor counts
+    // combine map-side; nothing is ever collected.
+    GraftQuery(
+      "graph03_label_prop",
+      (s, d) => {
+        val e = copurchaseEdges(s, d).transform(graft.core.Caches.persist)
+        val bi = e.select(col("u").as("n"), col("v").as("m"))
+          .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+          .transform(graft.core.Caches.persist) // both rounds scan it
+        var labels = bi.select(col("n").as("node")).distinct()
+          .withColumn("lbl", col("node"))
+        for (_ <- 1 to 2) {
+          val w = Window.partitionBy(col("n"))
+            .orderBy(col("c").desc, col("lbl").asc)
+          labels = bi.join(labels, col("m") === col("node"))
+            .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("n").as("node"), col("lbl"))
+        }
+        labels.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_node"))
+      },
+      Some(s"""WITH $sqlCopurchaseEdges,
+          bi AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
+          l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM bi),
+          r1 AS (SELECT node, lbl FROM (
+              SELECT bi.n AS node, l.lbl, count(*) AS c,
+                row_number() OVER (PARTITION BY bi.n
+                  ORDER BY count(*) DESC, l.lbl) AS rn
+              FROM bi JOIN l0 l ON bi.m = l.node GROUP BY bi.n, l.lbl)
+            WHERE rn = 1),
+          r2 AS (SELECT node, lbl FROM (
+              SELECT bi.n AS node, l.lbl, count(*) AS c,
+                row_number() OVER (PARTITION BY bi.n
+                  ORDER BY count(*) DESC, l.lbl) AS rn
+              FROM bi JOIN r1 l ON bi.m = l.node GROUP BY bi.n, l.lbl)
+            WHERE rn = 1)
+        SELECT lbl AS community, count(*) AS n_members, min(node) AS first_node
+        FROM r2 GROUP BY 1"""),
     ),
 
     // ------------------------------------------------------------------

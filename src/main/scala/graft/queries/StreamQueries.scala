@@ -363,5 +363,51 @@ object StreamQueries {
           count(*) AS n_islands, max(len) AS max_streak, min(start) AS first_day
         FROM islands GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Watermark-lateness audit (the batch health check behind every
+    // streaming job's allowed-lateness choice): replay each source's
+    // arrival order (event_id, the ingest sequence) and track the
+    // watermark a 10-minute-delay stream would carry — the running max
+    // event time over everything that arrived BEFORE this event, minus
+    // the delay. An event whose own timestamp is behind that watermark
+    // would have been dropped by the stream; the per-source late fraction
+    // and worst lateness size the allowed-lateness budget. Scale: the
+    // running max is a window PARTITIONED BY the source (exactly Spark's
+    // per-partition watermark semantics before the global min), so the
+    // audit shuffles once on event_type and never sorts globally; the
+    // summary is one partial-agg'd groupBy. Integer-exact: lateness in
+    // µs, the ppm fraction by BIGINT div.
+    GraftQuery(
+      "ev19_lateness_audit",
+      (s, d) => {
+        val delayUs = 600000000L // 10 min
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val marked = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tus"))
+          .withColumn("wm", max(col("tus")).over(w) - delayUs)
+          .withColumn("late", col("wm").isNotNull && col("tus") < col("wm"))
+        marked.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("late"), lit(1))).as("n_late"),
+            coalesce(max(when(col("late"), col("wm") - col("tus"))), lit(0L))
+              .as("max_late_us"))
+          .withColumn("late_ppm", expr("(n_late * 1000000) div n_events"))
+      },
+      Some("""WITH m AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
+              max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                - 600000000 AS wm
+            FROM events),
+          k AS (SELECT *, wm IS NOT NULL AND tus < wm AS late FROM m)
+        SELECT event_type, count(*) AS n_events,
+          count(*) FILTER (late) AS n_late,
+          CAST(coalesce(max(CASE WHEN late THEN wm - tus END), 0) AS BIGINT)
+            AS max_late_us,
+          (count(*) FILTER (late) * 1000000) // count(*) AS late_ppm
+        FROM k GROUP BY 1"""),
+    ),
   )
 }

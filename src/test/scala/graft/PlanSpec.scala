@@ -451,4 +451,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("dedup15: window table equi-joins the hot set; span merge windows by doc only") {
+    val p = planOf("dedup15_substring")
+    // hot-table build is a map-side-combinable distinct-count agg
+    assert(p.contains("partial_"), p)
+    // join back on the window hash, never a product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the gaps-and-islands pass partitions by doc_id, never a global window
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("samp07: assignment is a literal projection — the weight agg is partial") {
+    val p = planOf("samp07_kcenter")
+    assert(p.contains("partial_count"), p)
+    // the picked-center table is driver-sized and joins the corpus-side
+    // counts by broadcast (4 rows)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mix04: corpus agg is partial; phase totals attach by broadcast") {
+    val p = planOf("mix04_anneal")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

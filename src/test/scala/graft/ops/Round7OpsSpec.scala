@@ -45,6 +45,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_assigned")).sum == n)
   }
 
+  test("graph03: communities partition the node set") {
+    val out = rows("graph03_label_prop")
+    assert(out.nonEmpty)
+    val e = rows("graph02_triangles").head
+    assert(out.map(_.getAs[Long]("n_members")).sum == e.getAs[Long]("n_nodes"))
+    out.foreach(r => assert(r.getAs[Long]("n_members") >= 1, r))
+  }
+
+  test("ev19: lateness accounting is exact and covers every event") {
+    val out = rows("ev19_lateness_audit")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_events"), r)
+      assert(r.getAs[Long]("late_ppm") ==
+        r.getAs[Long]("n_late") * 1000000L / r.getAs[Long]("n_events"), r)
+      assert(r.getAs[Long]("max_late_us") >= 0, r)
+      // a late event implies a positive worst lateness
+      assert((r.getAs[Long]("n_late") == 0) == (r.getAs[Long]("max_late_us") == 0), r)
+    }
+    val total = graft.core.Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+  }
+
   test("mix04: each phase's quotas sum exactly to its budget; boost is the top half") {
     val out = rows("mix04_anneal")
     val c = graft.core.Tables.documents(spark, sf)
