@@ -910,5 +910,61 @@ object ScaleQueries {
         WHERE rnk <= 3"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Bucket-skew audit — the planning query behind every bucket-count
+    // choice (layout03/06's bucketed joins, shuffle partition sizing):
+    // ONE corpus scan audits three hash-bucket widths (16/64/256, via a
+    // 3-way explode that is a projection, not an extra scan) plus the
+    // natural key layout (bucket = source, the skew-prone choice), and
+    // reports per layout the bucket utilization, the largest bucket, its
+    // multiple of the mean (skew_ppm — the straggler factor a shuffle on
+    // that key would see), and its share of all rows. Exact BIGINT
+    // arithmetic; both groupBys combine map-side. The 100 TB use: pick
+    // the bucket count where skew_ppm flattens instead of re-shuffling
+    // blind.
+    GraftQuery(
+      "layout09_bucket_skew",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TA.hash60(concat(lit("bk:"), col("doc_id").cast("string"))).as("hh"))
+        val hashed = docs
+          .select(col("hh"), explode(array(lit(16), lit(64), lit(256))).as("nb"))
+          .select(lit("hash_id").as("layout"), col("nb"),
+            pmod(col("hh"), col("nb")).cast("string").as("bucket"))
+        val bySrc = docs.select(lit("key_source").as("layout"),
+          lit(0).as("nb"), col("source").as("bucket"))
+        hashed.unionByName(bySrc)
+          .groupBy(col("layout"), col("nb"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("layout"), col("nb"))
+          .agg(count(lit(1)).as("buckets_used"), sum(col("n")).as("rows_total"),
+            max(col("n")).as("max_bucket"))
+          .select(col("layout"),
+            when(col("layout") === "key_source", col("buckets_used"))
+              .otherwise(col("nb")).as("n_buckets"),
+            col("buckets_used"), col("rows_total"), col("max_bucket"),
+            expr("(max_bucket * buckets_used * 1000000) div rows_total").as("skew_ppm"),
+            expr("(max_bucket * 1000000) div rows_total").as("top_share_ppm"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              ${TA.Sql.hash60("'bk:' || CAST(doc_id AS VARCHAR)")} AS hh
+            FROM documents),
+          hb AS (SELECT 'hash_id' AS layout, nb, CAST(hh % nb AS VARCHAR) AS bucket
+            FROM d, (VALUES (16), (64), (256)) v(nb)),
+          sb AS (SELECT 'key_source' AS layout, 0 AS nb, source AS bucket FROM d),
+          c AS (SELECT layout, nb, bucket, count(*) AS n
+            FROM (SELECT * FROM hb UNION ALL SELECT * FROM sb) GROUP BY 1, 2, 3),
+          g AS (SELECT layout, nb, count(*) AS buckets_used,
+              CAST(sum(n) AS BIGINT) AS rows_total, max(n) AS max_bucket
+            FROM c GROUP BY 1, 2)
+        SELECT layout,
+          CASE WHEN layout = 'key_source' THEN buckets_used ELSE nb END AS n_buckets,
+          buckets_used, rows_total, max_bucket,
+          (max_bucket * buckets_used * 1000000) // rows_total AS skew_ppm,
+          (max_bucket * 1000000) // rows_total AS top_share_ppm
+        FROM g"""),
+    ),
   )
 }

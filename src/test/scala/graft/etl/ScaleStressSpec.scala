@@ -218,4 +218,37 @@ class ScaleStressSpec extends SparkSpec {
     val uncapped = graft.ops.Similarity.bandedPairsCapped(banded, cap = 1000000)
     assert(uncapped.count() == 249500L, s"uncapped ${uncapped.count()}")
   }
+
+  test("substring-dedup hot set stays window-sized on a fully duplicated corpus") {
+    import org.apache.spark.sql.functions._
+    // 2000 IDENTICAL 64-token docs: every window occurs in every doc, the
+    // worst case for overlapping-window dedup (dedup15's stages, inline).
+    // The hot table must stay WINDOW-count-sized (57 rows, never
+    // docs x windows or pairs), the join back linear, and the per-doc
+    // span merge collapses the 57 overlapping hits into ONE island.
+    val txt = (0 until 64).map(i => s"tok$i").mkString(" ")
+    val docs = spark.range(2000L).select(
+      col("id").as("doc_id"), lit("en").as("lang"), lit(txt).as("text"))
+    val w = 8
+    val toks = graft.ops.TextAnalysis.tokens(col("text"))
+    val idx = when(size(toks) >= w, sequence(lit(0), size(toks) - w))
+      .otherwise(array().cast("array<int>"))
+    val wins = docs.select(col("doc_id"),
+      explode(transform(idx, j => struct(j.as("j"),
+        graft.ops.TextAnalysis.hash60(
+          array_join(slice(toks, j + 1, lit(w)), " ")).as("wh")))).as("x"))
+      .select(col("doc_id"), col("x.j").as("j"), col("x.wh").as("wh"))
+    // candidate rows linear in docs x windows-per-doc, never pairs
+    assert(wins.count() == 2000L * 57)
+    val hot = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2)
+    assert(hot.count() == 57L) // 64 - 8 + 1 distinct windows, doc-count-free
+    // span merge: every non-keeper doc collapses to one full-doc island
+    val spans = wins.join(hot, Seq("wh")).filter(col("keeper") =!= col("doc_id"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(min(col("j")).as("a"), max(col("j") + w - 1).as("b"), count(lit(1)).as("n"))
+    assert(perDoc.count() == 1999L)
+    assert(perDoc.filter(col("a") === 0 && col("b") === 63 && col("n") === 57).count() == 1999L)
+  }
 }

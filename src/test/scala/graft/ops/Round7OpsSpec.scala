@@ -45,6 +45,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_assigned")).sum == n)
   }
 
+  test("layout09: totals conserve the corpus; skew is at least the mean") {
+    val out = rows("layout09_bucket_skew")
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(out.length == 4) // 16/64/256 hash widths + the source-key layout
+    out.foreach { r =>
+      assert(r.getAs[Long]("rows_total") == n, r)
+      assert(r.getAs[Long]("buckets_used") <= r.getAs[Long]("n_buckets"), r)
+      // max >= mean, so the straggler factor is always >= 1e6 ppm
+      assert(r.getAs[Long]("skew_ppm") >= 1000000L, r)
+      assert(r.getAs[Long]("top_share_ppm") <= 1000000L, r)
+    }
+  }
+
   test("graph03: communities partition the node set") {
     val out = rows("graph03_label_prop")
     assert(out.nonEmpty)
