@@ -1,6 +1,6 @@
 package graft.ops
 
-/** REAL pure-JVM codec behind [[MediaDecoder]] for the two uncompressed
+/** REAL pure-JVM codec behind [[MediaDecoder]] for the uncompressed
   * containers decodable without native libraries:
   *
   *  - `image/bmp` — Windows BITMAPINFOHEADER, 24 bits per pixel,
@@ -9,6 +9,10 @@ package graft.ops
   *    [[resize]] is a true nearest-neighbor resample that re-emits a
   *    valid 24-bpp BMP, and [[frame]] returns one pixel row (top-based)
   *    as packed BGR.
+  *  - `image/x-portable-pixmap` / `image/x-portable-graymap` — binary
+  *    PNM (P6 PPM / P5 PGM, maxval <= 255): ASCII header (with `#`
+  *    comments) + raw top-down samples; [[frame]] returns one pixel row
+  *    (RGB or gray), [[resize]] re-emits a valid PNM of the same magic.
   *  - `audio/wav` (and `audio/x-wav`) — RIFF/WAVE with PCM `fmt ` and
   *    `data` chunks walked in order: channels / sample rate / bit depth
   *    from the format chunk, [[frame]] returns one sample frame (all
@@ -86,6 +90,49 @@ object BinaryMediaDecoder extends MediaDecoder {
 
   // ---------------------------------------------------------------- WAV --
   /** parsed PCM WAV: (channels, sampleRate, bitsPerSample, dataOff, dataLen) */
+  // ------------------------------------------------------------- PNM ----
+  /** (dataOff, width, height, maxval, channels) for binary P5/P6. */
+  private final case class PnmHeader(dataOff: Int, w: Int, h: Int, maxval: Int, ch: Int)
+
+  private def parsePnm(bytes: Array[Byte]): PnmHeader = {
+    require(bytes.length >= 2 && bytes(0) == 'P' &&
+      (bytes(1) == '5' || bytes(1) == '6'), "not a binary PNM (P5/P6 magic)")
+    val ch = if (bytes(1) == '6') 3 else 1
+    var i = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments (to end of line), then read digits
+      var seeking = true
+      while (seeking && i < bytes.length) {
+        val c = (bytes(i) & 0xff).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else seeking = false
+      }
+      require(i < bytes.length && (bytes(i) & 0xff) >= '0' && (bytes(i) & 0xff) <= '9',
+        "malformed PNM header")
+      var v = 0
+      while (i < bytes.length && (bytes(i) & 0xff) >= '0' && (bytes(i) & 0xff) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val mx = nextInt()
+    require(mx > 0 && mx <= 255, s"PNM maxval $mx unsupported (1-byte samples only)")
+    i += 1 // exactly ONE whitespace byte separates the header from the raster
+    require(bytes.length - i >= w.toLong * h * ch, "PNM raster truncated")
+    PnmHeader(i, w, h, mx, ch)
+  }
+
+  private def writePnm(magicColor: Boolean, w: Int, h: Int, maxval: Int,
+      raster: Array[Byte]): Array[Byte] = {
+    val head = s"P${if (magicColor) 6 else 5}\n$w $h\n$maxval\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](head.length + raster.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(raster, 0, out, head.length, raster.length)
+    out
+  }
+
   private final case class WavHeader(
       channels: Int, rate: Int, bits: Int, dataOff: Int, dataLen: Int)
 
@@ -149,6 +196,31 @@ object BinaryMediaDecoder extends MediaDecoder {
         hd.w.toDouble / (hd.w + hd.h), hd.h.toDouble / (hd.w + hd.h),
         minL / 255.0, maxL / 255.0).map(_.toFloat)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1, feats)
+    case "image/x-portable-pixmap" | "image/x-portable-graymap" =>
+      val hd = parsePnm(b.content)
+      // same 8-dim feature shape as BMP: mean B/G/R (gray maps to all
+      // three), mean luma, aspect fractions, min/max luma — all in [0,1]
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      var minL = 255.0; var maxL = 0.0
+      var p = hd.dataOff
+      val end = hd.dataOff + hd.w * hd.h * hd.ch
+      while (p < end) {
+        val (rr, gg, bb) =
+          if (hd.ch == 3) (u8(b.content, p), u8(b.content, p + 1), u8(b.content, p + 2))
+          else { val g = u8(b.content, p); (g, g, g) }
+        sr += rr; sg += gg; sb += bb
+        val l = 0.299 * rr + 0.587 * gg + 0.114 * bb
+        if (l < minL) minL = l
+        if (l > maxL) maxL = l
+        p += hd.ch
+      }
+      val n = hd.w.toLong * hd.h
+      val feats = Array(
+        sb.toDouble / n / 255.0, sg.toDouble / n / 255.0, sr.toDouble / n / 255.0,
+        (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0,
+        hd.w.toDouble / (hd.w + hd.h), hd.h.toDouble / (hd.w + hd.h),
+        minL / 255.0, maxL / 255.0).map(_.toFloat)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1, feats)
     case "audio/wav" | "audio/x-wav" =>
       val hd = parseWav(b.content)
       val frameBytes = hd.channels * hd.bits / 8
@@ -178,6 +250,12 @@ object BinaryMediaDecoder extends MediaDecoder {
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
       val row = new Array[Byte](hd.w * 3)
       System.arraycopy(b.content, pixelOff(hd, 0, idx), row, 0, hd.w * 3)
+      row
+    case "image/x-portable-pixmap" | "image/x-portable-graymap" =>
+      val hd = parsePnm(b.content)
+      require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
+      val row = new Array[Byte](hd.w * hd.ch)
+      System.arraycopy(b.content, hd.dataOff + idx * hd.w * hd.ch, row, 0, row.length)
       row
     case "audio/wav" | "audio/x-wav" =>
       val hd = parseWav(b.content)
@@ -212,6 +290,26 @@ object BinaryMediaDecoder extends MediaDecoder {
         y += 1
       }
       writeBmp(w, h, out)
+    case "image/x-portable-pixmap" | "image/x-portable-graymap" =>
+      require(w > 0 && h > 0, s"degenerate target ${w}x$h")
+      val hd = parsePnm(b.content)
+      // nearest-neighbor with the same exact integer mapping as BMP
+      val out = new Array[Byte](w * h * hd.ch)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * hd.h / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * hd.w / w).toInt
+          val so = hd.dataOff + (sy * hd.w + sx) * hd.ch
+          val dO = (y * w + x) * hd.ch
+          var c = 0
+          while (c < hd.ch) { out(dO + c) = b.content(so + c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      writePnm(hd.ch == 3, w, h, hd.maxval, out)
     case other =>
       // audio has no 2-D resize; unsupported mimes mirror the decode guard
       throw new IllegalArgumentException(s"resize unsupported for media type: $other")

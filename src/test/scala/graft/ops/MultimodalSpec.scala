@@ -146,6 +146,41 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](BinaryMediaDecoder.resize(b, 2, 2))
   }
 
+  test("BinaryMediaDecoder decodes binary PNM (P6/P5): header, comments, rows, resize") {
+    // P6 2x2 RGB with a header comment: pixels R,G,B,white
+    val p6 = "P6\n# test comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, 0, 0, 0, -1, 0, 0, 0, -1, -1, -1, -1)
+    val d6 = BinaryMediaDecoder.decode(blobOf(p6, "image/x-portable-pixmap"))
+    assert(d6.width == 2 && d6.height == 2 && d6.n_frames == 1)
+    // mean of each channel over {255,0,0,255} = 510/4/255 = 0.5
+    assert(d6.features.take(3).forall(f => math.abs(f - 0.5f) < 1e-6), d6.features.toSeq)
+    assert(d6.features(7) == 1.0f) // white pixel -> max luma 1
+    // top row frame = RGB(255,0,0), RGB(0,255,0)
+    assert(BinaryMediaDecoder.frame(blobOf(p6, "image/x-portable-pixmap"), 0).toSeq ==
+      Seq[Byte](-1, 0, 0, 0, -1, 0))
+    // resize 1x1 picks (0,0) and re-emits a decodable P6
+    val r = BinaryMediaDecoder.resize(blobOf(p6, "image/x-portable-pixmap"), 1, 1)
+    val dr = BinaryMediaDecoder.decode(blobOf(r, "image/x-portable-pixmap"))
+    assert(dr.width == 1 && dr.height == 1)
+    assert(BinaryMediaDecoder.frame(blobOf(r, "image/x-portable-pixmap"), 0).toSeq ==
+      Seq[Byte](-1, 0, 0))
+
+    // P5 3x1 grayscale 0 / 128 / 255
+    val p5 = "P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, -128, -1)
+    val d5 = BinaryMediaDecoder.decode(blobOf(p5, "image/x-portable-graymap"))
+    assert(d5.width == 3 && d5.height == 1)
+    assert(d5.features(6) == 0.0f && d5.features(7) == 1.0f)
+    assert(math.abs(d5.features(3) - (0 + 128 + 255) / 3.0 / 255.0) < 1e-6)
+    assert(BinaryMediaDecoder.frame(blobOf(p5, "image/x-portable-graymap"), 0).toSeq ==
+      Seq[Byte](0, -128, -1))
+    // truncated raster and bad magic raise
+    intercept[IllegalArgumentException](BinaryMediaDecoder.decode(
+      blobOf("P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0),
+        "image/x-portable-graymap")))
+    intercept[IllegalArgumentException](BinaryMediaDecoder.decode(
+      blobOf("P4\n1 1\n".getBytes("US-ASCII"), "image/x-portable-pixmap")))
+  }
+
   test("BinaryMediaDecoder rejects unsupported and malformed payloads") {
     intercept[IllegalArgumentException](
       BinaryMediaDecoder.decode(blobOf(bmpFixture, "image/png")))
