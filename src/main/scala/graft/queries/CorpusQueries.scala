@@ -1453,5 +1453,45 @@ object CorpusQueries {
           q_pre + basea + CASE WHEN rka <= loa THEN 1 ELSE 0 END AS q_total
         FROM ra"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Metadata-consistency audit over duplicated content: group the
+    // corpus by the exact-content fingerprint (dedup01's unit) and flag
+    // groups whose copies disagree on lang or source — the label noise
+    // dedup-unaware annotation pipelines introduce (the same document
+    // crawled twice, tagged differently; training on both teaches the
+    // classifier noise). One map-side-combinable groupBy on the
+    // fingerprint, a 1-row summary; nothing leaves the executors until
+    // the final counts.
+    GraftQuery(
+      "qc11_fd_audit",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .groupBy(TA.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"))
+          .filter(col("n_docs") >= 2)
+        g.agg(
+          count(lit(1)).as("dup_groups"),
+          count(when(col("n_langs") > 1, lit(1))).as("lang_violations"),
+          count(when(col("n_sources") > 1, lit(1))).as("source_violations"),
+          coalesce(sum(when(col("n_langs") > 1, col("n_docs"))), lit(0L))
+            .as("docs_in_lang_violation"),
+          coalesce(max(col("n_langs")), lit(0L)).as("max_langs"))
+      },
+      Some(s"""WITH g AS (SELECT ${TA.Sql.fingerprint("text")} AS fp,
+              count(*) AS n_docs,
+              count(DISTINCT lang) AS n_langs,
+              count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY 1 HAVING count(*) >= 2)
+        SELECT count(*) AS dup_groups,
+          count(*) FILTER (n_langs > 1) AS lang_violations,
+          count(*) FILTER (n_sources > 1) AS source_violations,
+          CAST(coalesce(sum(n_docs) FILTER (n_langs > 1), 0) AS BIGINT)
+            AS docs_in_lang_violation,
+          coalesce(max(n_langs), 0) AS max_langs
+        FROM g"""),
+    ),
   )
 }

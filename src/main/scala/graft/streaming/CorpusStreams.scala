@@ -32,4 +32,18 @@ object CorpusStreams {
       .dropDuplicates("ch", "doc_id")
       .groupBy(col("ch"))
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper"))
+
+  /** Live mixture monitor — the streaming half of mix01's mass table:
+    * per-(lang, source) document and character counts with the
+    * sqrt-temperature weight, maintained incrementally as documents
+    * arrive. A plain keyed streaming aggregate (two longs of state per
+    * group, group count is mixture-sized at any corpus scale), emitted
+    * in update mode; the mix01-04 planners read the latest emission per
+    * group instead of re-scanning the corpus. Exact parity with the
+    * batch groupBy is pinned by [[graft.streaming.StreamingMixtureSpec]].
+    */
+  def mixtureMass(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
 }
