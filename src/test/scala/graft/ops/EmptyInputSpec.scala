@@ -74,4 +74,41 @@ class EmptyInputSpec extends SparkSpec {
         explode(transform(idx, i => array_join(slice(col("toks"), i * 8 + 1, lit(8)), " "))).as("p"))
     assert(out.count() == 0L)
   }
+
+  test("substring-dedup window generation is empty below the window width") {
+    import spark.implicits._
+    // docs shorter than w=8 tokens must emit ZERO overlapping windows
+    // (Spark's sequence(0, negative) would count DOWN without the guard)
+    val docs = Seq((1L, "en", "seven tokens only in this short doc"),
+      (2L, "en", ""), (3L, "en", "one")).toDF("doc_id", "lang", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val idx = when(size(toks) >= 8, sequence(lit(0), size(toks) - 8))
+      .otherwise(array().cast("array<int>"))
+    val wins = docs.select(col("doc_id"),
+      explode(transform(idx, j =>
+        TextAnalysis.hash60(array_join(slice(toks, j + 1, lit(8)), " ")))).as("wh"))
+    assert(wins.count() == 0L)
+  }
+
+  test("boilerplate chunking and chunk frequency are empty on an empty corpus") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(Dedup.boilerplateChunks(docs, 8).count() == 0L)
+    val freq = docs
+      .transform(d => Dedup.boilerplateChunks(d, 8))
+      .dropDuplicates("ch", "doc_id")
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keeper"))
+    assert(freq.count() == 0L)
+  }
+
+  test("label propagation over an empty edge list is empty") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Long)].toDF("u", "v")
+    val bi = e.select(col("u").as("n"), col("v").as("m"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+    val labels = bi.select(col("n").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    assert(labels.count() == 0L)
+  }
 }
