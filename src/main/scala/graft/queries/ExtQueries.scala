@@ -1678,5 +1678,51 @@ object ExtQueries {
             s.n_id ASC) AS rnk
         FROM short s JOIN e ON e.id = s.n_id) WHERE rnk <= 3"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Zipf vocabulary audit: rank the corpus vocabulary by frequency and
+    // compare each head term's count against the Zipf prediction
+    // f(rank) = f(1)/rank — the vocabulary health check that catches
+    // burned-in boilerplate (head terms far ABOVE the curve) and
+    // template-duplicated corpora (a flat head, dev_ppm near 0 for many
+    // ranks). Scale: one map-side-combinable token count; the ranking
+    // runs on the top-10 after a global top-k (vocabulary-sized input,
+    // k-sized window). Fully integer: shares and deviations by BIGINT
+    // div against the integer prediction.
+    GraftQuery(
+      "text17_zipf_audit",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(explode(TA.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+          .transform(graft.core.Caches.persist)
+        val tot = tf.agg(sum(col("freq")).as("total"))
+        val w = Window.orderBy(col("freq").desc, col("tok").asc)
+        val top = tf.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .crossJoin(broadcast(tot))
+        val f1w = Window.partitionBy(lit(1))
+        top
+          .withColumn("f1", max(when(col("rank") === 1, col("freq"))).over(f1w))
+          .select(col("rank"), col("tok"), col("freq"),
+            expr("(freq * 1000000) div total").as("share_ppm"),
+            expr("f1 div rank").as("zipf_pred"),
+            expr("((freq - f1 div rank) * 1000000) div (f1 div rank)").as("dev_ppm"))
+      },
+      Some(s"""WITH tf AS (SELECT tok, count(*) AS freq
+            FROM (SELECT unnest(${TA.Sql.tokens("text")}) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY 1),
+          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+          top AS (SELECT tok, freq,
+              row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+            FROM tf QUALIFY rank <= 10),
+          f1 AS (SELECT freq AS f1 FROM top WHERE rank = 1)
+        SELECT rank, tok, freq,
+          (freq * 1000000) // total AS share_ppm,
+          f1 // rank AS zipf_pred,
+          ((freq - f1 // rank) * 1000000) // (f1 // rank) AS dev_ppm
+        FROM top, tot, f1"""),
+    ),
   )
 }

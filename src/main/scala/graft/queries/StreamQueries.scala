@@ -409,5 +409,47 @@ object StreamQueries {
           (count(*) FILTER (late) * 1000000) // count(*) AS late_ppm
         FROM k GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Watermark sweep — ev19 evaluated at three allowed-lateness budgets
+    // (1 min / 10 min / 1 h) in ONE pass: the running per-source max is
+    // computed once by a single window, then a 3-way explode (a
+    // projection, not a re-scan or extra sort) grades each event against
+    // each budget. The output is the delay -> dropped-fraction curve an
+    // operator actually reads when tuning withWatermark: pick the
+    // smallest delay whose late_ppm is acceptable. Integer-exact.
+    GraftQuery(
+      "ev20_watermark_sweep",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tus"))
+          .withColumn("runmax", max(col("tus")).over(w))
+        base
+          .select(col("event_type"), col("tus"), col("runmax"),
+            explode(array(lit(60000000L), lit(600000000L), lit(3600000000L)))
+              .as("delay_us"))
+          .withColumn("late",
+            col("runmax").isNotNull && col("tus") < col("runmax") - col("delay_us"))
+          .groupBy(col("event_type"), col("delay_us"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("late"), lit(1))).as("n_late"))
+          .withColumn("late_ppm", expr("(n_late * 1000000) div n_events"))
+      },
+      Some("""WITH m AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
+              max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+            FROM events),
+          sw AS (SELECT event_type, tus, runmax, d.delay_us
+            FROM m, (VALUES (60000000), (600000000), (3600000000)) d(delay_us)),
+          k AS (SELECT event_type, delay_us,
+              runmax IS NOT NULL AND tus < runmax - delay_us AS late FROM sw)
+        SELECT event_type, delay_us, count(*) AS n_events,
+          count(*) FILTER (late) AS n_late,
+          (count(*) FILTER (late) * 1000000) // count(*) AS late_ppm
+        FROM k GROUP BY 1, 2"""),
+    ),
   )
 }

@@ -81,6 +81,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_events")).sum == total)
   }
 
+  test("text17: Zipf head is rank-ordered; rank 1 deviation is exactly zero") {
+    val out = rows("text17_zipf_audit").sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    val freqs = out.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, freqs.toSeq)
+    assert(out.head.getAs[Long]("dev_ppm") == 0L) // pred(1) = f1
+    out.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") <= 1000000L, r)
+      assert(r.getAs[Long]("zipf_pred") ==
+        out.head.getAs[Long]("freq") / r.getAs[Int]("rank"), r)
+    }
+  }
+
+  test("ev20: dropped fraction is monotone non-increasing in the delay budget") {
+    val out = rows("ev20_watermark_sweep")
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val byDelay = rs.sortBy(_.getAs[Long]("delay_us"))
+      assert(byDelay.map(_.getAs[Long]("delay_us")).toSeq ==
+        Seq(60000000L, 600000000L, 3600000000L), et)
+      assert(byDelay.map(_.getAs[Long]("n_events")).distinct.length == 1, et)
+      val late = byDelay.map(_.getAs[Long]("n_late"))
+      assert(late.zip(late.tail).forall { case (a, b) => a >= b }, s"$et ${late.toSeq}")
+    }
+  }
+
   test("mix04: each phase's quotas sum exactly to its budget; boost is the top half") {
     val out = rows("mix04_anneal")
     val c = graft.core.Tables.documents(spark, sf)
