@@ -320,15 +320,25 @@ object Dates {
     *
     * VOTE-ONLY by construction: normalize_value strips commas and converts
     * every digit-comma-digit string to an int before its dateparse
-    * fallback, so cell values never rewrite through this path. Documented
-    * run-date caveat (the reference resolves day-of-month against TODAY):
-    * days 29-31 and the year-branch default day are accepted as in a
-    * 31-day, non-leap-February run month. Strings with ≥2 commas (e.g.
-    * "1,000,000" → month 1 day 0 → reject in dateutil too; "12,34,56")
-    * remain the logged deviation family.
+    * fallback, so cell values never rewrite through this path.
+    *
+    * Day-of-month validity is resolved against the RUN DATE, exactly as
+    * dateutil does (its default is `datetime.now()`; a parsed day that does
+    * not exist in today's month/year makes `default.replace(...)` raise, so
+    * the vote falls back to string): a merged day v ∈ 29..31 is valid only
+    * if today's month has v days, and the month-day branch's February
+    * accepts day 29 only in a leap run year. The year branch (v ≥ 32) never
+    * raises — dateutil clamps the *default* day to the month end when the
+    * parse sets no day — so it stays unconditional. `today` is injectable
+    * for tests; production callers use the overload bound to the wall
+    * clock. Strings with ≥2 commas (e.g. "1,000,000" → month 1 day 0 →
+    * reject in dateutil too; "12,34,56") remain the logged deviation
+    * family.
     */
   private val CommaNum = "(\\d+),(\\d+)".r
-  def commaIntDateVote(s: String): Boolean = s match {
+  def commaIntDateVote(s: String): Boolean =
+    commaIntDateVote(s, java.time.LocalDate.now())
+  def commaIntDateVote(s: String, today: java.time.LocalDate): Boolean = s match {
     case CommaNum(a, b) =>
       def hms6(t: String) = t.substring(0, 2).toInt < 24 &&
         t.substring(2, 4).toInt < 60 && t.substring(4, 6).toInt < 60
@@ -338,16 +348,23 @@ object Dates {
         if (len == 6) false
         else if (a.length == 6) hms6(a)
         else if (len == 8 || len == 12 || len == 14) false
-        else { val v = numVal(a); v >= 1 && v <= 9999 }
+        else {
+          val v = numVal(a)
+          // v ≤ 31 reads as a day in TODAY's month; 32..9999 as a year
+          // (never raises: dateutil clamps the default day, see scaladoc)
+          if (v >= 1 && v <= 31) v <= java.time.YearMonth.from(today).lengthOfMonth()
+          else v >= 32 && v <= 9999
+        }
       } else {
         val d = a.toInt // single digit: the first ymd member
         if (b.length == 6) d >= 1 && hms6(b)
         else if (b.length == 8 || b.length == 12 || b.length == 14) false
         else {
           val w = numVal(b)
-          val daysIn = Array(31, 28, 31, 30, 31, 30, 31, 31, 30)
           if (d == 0 || w == 0) false
-          else if (w <= 31) w <= daysIn(d - 1)
+          // month d, day w — day validity in TODAY's year (Feb 29 iff leap)
+          else if (w <= 31)
+            w <= java.time.YearMonth.of(today.getYear, d).lengthOfMonth()
           else w <= 9999
         }
       }

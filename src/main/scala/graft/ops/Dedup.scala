@@ -297,8 +297,17 @@ object Dedup {
     * ([[graft.streaming.CorpusStreams.chunkFrequency]]) — chunk-scheme
     * changes edit exactly here.
     */
-  def boilerplateChunks(docs: DataFrame, w: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+  def boilerplateChunks(docs: DataFrame, w: Int): DataFrame =
+    boilerplateChunksTok(
+      docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks")), w)
+
+  /** Chunking over an already-tokenized `(doc_id, lang, toks)` frame —
+    * callers that tokenized for their own stats (dedup14) reuse that single
+    * scan instead of re-reading and re-tokenizing the corpus here.
+    */
+  def boilerplateChunksTok(docs: DataFrame, w: Int): DataFrame = {
+    val toks = col("toks")
     val idx = when(size(toks) >= w,
         sequence(lit(0), (size(toks) / w).cast("int") - 1))
       .otherwise(array().cast("array<int>"))

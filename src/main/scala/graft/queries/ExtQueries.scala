@@ -1291,8 +1291,10 @@ object ExtQueries {
           .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
           .withColumn("n_tok", size(col("toks")).cast("long"))
         // chunking shared with the streaming ingest variant
-        // (CorpusStreams.chunkFrequency) — single edit site in Dedup
-        val chunks = Dedup.boilerplateChunks(Tables.documents(s, d), W)
+        // (CorpusStreams.chunkFrequency) — single edit site in Dedup;
+        // reuses `docs`' tokenization so documents is scanned ONCE
+        val chunks = Dedup.boilerplateChunksTok(
+          docs.select(col("doc_id"), col("lang"), col("toks")), W)
         val hot = chunks.groupBy(col("ch"))
           .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
           .filter(col("df") >= 2)

@@ -945,7 +945,11 @@ object ScaleQueries {
             when(col("layout") === "key_source", col("buckets_used"))
               .otherwise(col("nb")).as("n_buckets"),
             col("buckets_used"), col("rows_total"), col("max_bucket"),
-            expr("(max_bucket * buckets_used * 1000000) div rows_total").as("skew_ppm"),
+            // divide BEFORE multiplying by buckets_used: max_bucket*1e6 is
+            // bounded by rows_total*1e6 (safe to ~9e12 rows), whereas the
+            // triple product overflows int64 once max_bucket*buckets_used
+            // nears 9e12 — exactly the skewed key_source layout at 100 TB
+            expr("((max_bucket * 1000000) div rows_total) * buckets_used").as("skew_ppm"),
             expr("(max_bucket * 1000000) div rows_total").as("top_share_ppm"))
       },
       Some(s"""WITH d AS (SELECT doc_id, source,
@@ -962,7 +966,7 @@ object ScaleQueries {
         SELECT layout,
           CASE WHEN layout = 'key_source' THEN buckets_used ELSE nb END AS n_buckets,
           buckets_used, rows_total, max_bucket,
-          (max_bucket * buckets_used * 1000000) // rows_total AS skew_ppm,
+          ((max_bucket * 1000000) // rows_total) * buckets_used AS skew_ppm,
           (max_bucket * 1000000) // rows_total AS top_share_ppm
         FROM g"""),
     ),

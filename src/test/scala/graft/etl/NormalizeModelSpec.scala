@@ -85,6 +85,34 @@ class NormalizeModelSpec extends AnyFunSuite {
     assert(Normalize.inferType(JStr("2025-11-11 20:30:00,123")) == "date")
   }
 
+  test("comma-date vote resolves day validity against the run date, like dateutil") {
+    import java.time.LocalDate
+    val jan31 = LocalDate.of(2026, 1, 31) // 31-day month, non-leap year
+    val sep15 = LocalDate.of(2026, 9, 15) // 30-day month
+    val febNl = LocalDate.of(2026, 2, 10) // 28-day February
+    val febLp = LocalDate.of(2024, 2, 10) // leap-year February
+    // merged "A.B": v <= 31 is a day in TODAY's month
+    assert(Dates.commaIntDateVote("31,5", jan31))
+    assert(!Dates.commaIntDateVote("31,5", sep15)) // Sep has no day 31
+    assert(!Dates.commaIntDateVote("30,5", febNl))
+    assert(Dates.commaIntDateVote("29,5", febLp)) // Feb 29 iff leap year
+    assert(!Dates.commaIntDateVote("29,5", febNl))
+    assert(Dates.commaIntDateVote("28,5", febNl)) // <= 28 is always a day
+    // v >= 32 is a year: dateutil clamps the default day, never raises
+    assert(Dates.commaIntDateVote("58,0", febNl))
+    assert(Dates.commaIntDateVote("999,1", sep15)) // year 999 (L==6 would reject "9999,1")
+    // month-day branch "m,dd": Feb 29 follows the RUN year's leapness
+    assert(Dates.commaIntDateVote("2,29", febLp))
+    assert(!Dates.commaIntDateVote("2,29", febNl))
+    assert(!Dates.commaIntDateVote("9,31", jan31)) // Sep 31 never exists
+    assert(Dates.commaIntDateVote("2,1999", jan31)) // month-year form
+    // fixed-width rejections are date-independent
+    assert(!Dates.commaIntDateVote("123,45", jan31)) // L == 6
+    assert(!Dates.commaIntDateVote("1234,567", jan31)) // L == 8
+    assert(Dates.commaIntDateVote("235959,5", jan31)) // HHMMSS.f
+    assert(!Dates.commaIntDateVote("245959,5", jan31))
+  }
+
   test("python float repr edge cases") {
     assert(PyRender.floatRepr(0.45) == "0.45")
     assert(PyRender.floatRepr(1234.0) == "1234.0")

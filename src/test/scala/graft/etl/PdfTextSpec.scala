@@ -78,6 +78,22 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(pdfBytes).nonEmpty)
   }
 
+  test("a document that merely MENTIONS /Encrypt is not falsely refused") {
+    // unencrypted PDF about PDF internals: its content stream and an info
+    // string both spell "/Encrypt 5 0 R" — the guard must key on the
+    // trailer/XRef dict, not on a full-byte-stream scan
+    val content = "BT (trailer /Encrypt 5 0 R or /Encrypt <<...>> syntax) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Subject (uses /Encrypt 9 0 R in examples) /Length " +
+      content.length + " >>\nstream\n" + content + "\nendstream\nendobj\n" +
+      "trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n").getBytes
+    assert(PdfText.extract(pdf) ==
+      "trailer /Encrypt 5 0 R or /Encrypt <<...>> syntax")
+  }
+
   test("review regressions: multi-digit indirect /Length, >> in strings, bad numbers, octal overflow") {
     // object 12 holds the stream length (multi-digit indirect ref: the old
     // lookahead regex backtracked "/Length 12 0 R" into direct length 1);

@@ -237,6 +237,10 @@ def battery_parse(s, *a, **k):
         A, B = m.group(1), m.group(2)
         def _hms6(t):
             return int(t[:2]) < 24 and int(t[2:4]) < 60 and int(t[4:6]) < 60
+        # day-of-month validity resolves against TODAY, as dateutil's
+        # default=now() does (mirror of Dates.commaIntDateVote(s, today))
+        import calendar as _cal
+        _today = _dt.date.today()
         if len(A) >= 2:
             L = len(A) + len(B) + 1
             if L == 6:
@@ -246,7 +250,11 @@ def battery_parse(s, *a, **k):
             elif L in (8, 12, 14):
                 ok = False
             else:
-                ok = 1 <= int(A) <= 9999
+                v = int(A)
+                if 1 <= v <= 31:
+                    ok = v <= _cal.monthrange(_today.year, _today.month)[1]
+                else:
+                    ok = 32 <= v <= 9999
         else:
             a = int(A)
             if len(B) == 6:
@@ -255,9 +263,9 @@ def battery_parse(s, *a, **k):
                 ok = False
             else:
                 w = int(B)
-                days = [31, 28, 31, 30, 31, 30, 31, 31, 30]
                 ok = (a >= 1 and w >= 1 and
-                      ((w <= days[a - 1]) if w <= 31 else w <= 9999))
+                      ((w <= _cal.monthrange(_today.year, a)[1])
+                       if w <= 31 else w <= 9999))
         if ok:
             return _dt.datetime(2000, 1, 1)
         raise ValueError(s)
