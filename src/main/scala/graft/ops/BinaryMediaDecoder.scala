@@ -1,8 +1,13 @@
 package graft.ops
 
-/** REAL pure-JVM codec behind [[MediaDecoder]] for the uncompressed
-  * containers decodable without native libraries:
+/** REAL pure-JVM codec behind [[MediaDecoder]] for the containers decodable
+  * without native libraries:
   *
+  *  - `image/png` — full zlib-compressed decode via [[Png]] (JDK
+  *    Inflater + the five filter reconstructions, CRC-validated chunks;
+  *    bit depth 8, color types 0/2/4/6, no interlace). [[resize]]
+  *    re-encodes a valid PNG of the same color type; [[frame]] returns
+  *    one reconstructed pixel row in storage sample order.
   *  - `image/bmp` — Windows BITMAPINFOHEADER, 24 bits per pixel,
   *    BI_RGB (uncompressed): header fields parsed little-endian from the
   *    raw bytes, pixel rows read bottom-up with 4-byte row padding,
@@ -167,8 +172,50 @@ object BinaryMediaDecoder extends MediaDecoder {
     }
   }
 
+  // ------------------------------------------------------------- PNG ----
+  /** 8-dim feature vector over a decoded PNG raster — same shape and luma
+    * convention as the BMP/PNM branches; gray maps to all three channels
+    * and alpha (color types 4/6) is ignored for the means, as the
+    * reference-side feature extractors convert to RGB before pooling.
+    */
+  private def pngFeatures(hd: Png.Header, px: Array[Byte]): Array[Float] = {
+    val ch = hd.channels
+    var (sb, sg, sr) = (0L, 0L, 0L)
+    var minL = 255.0; var maxL = 0.0
+    var p = 0
+    while (p < px.length) {
+      val (rr, gg, bb) = ch match {
+        case 1 | 2 => val g = px(p) & 0xff; (g, g, g)
+        case _ => (px(p) & 0xff, px(p + 1) & 0xff, px(p + 2) & 0xff)
+      }
+      sr += rr; sg += gg; sb += bb
+      val l = 0.299 * rr + 0.587 * gg + 0.114 * bb
+      if (l < minL) minL = l
+      if (l > maxL) maxL = l
+      p += ch
+    }
+    val n = hd.w.toLong * hd.h
+    Array(
+      sb.toDouble / n / 255.0, sg.toDouble / n / 255.0, sr.toDouble / n / 255.0,
+      (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0,
+      hd.w.toDouble / (hd.w + hd.h), hd.h.toDouble / (hd.w + hd.h),
+      minL / 255.0, maxL / 255.0).map(_.toFloat)
+  }
+
+  /** Decoded full raster (top-down, storage sample order) — the one-shot
+    * accessor pipeline audits use so a whole-image checksum costs ONE
+    * inflate, not one per row via [[frame]].
+    */
+  def pngRaster(b: Multimodal.Blob): (Png.Header, Array[Byte]) = {
+    require(b.mime == "image/png", s"pngRaster on mime ${b.mime}")
+    Png.decode(b.content)
+  }
+
   // ------------------------------------------------------- MediaDecoder --
   def decode(b: Multimodal.Blob): Multimodal.Decoded = b.mime match {
+    case "image/png" =>
+      val (hd, px) = Png.decode(b.content)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1, pngFeatures(hd, px))
     case "image/bmp" =>
       val hd = parseBmp(b.content)
       // features from REAL pixels: mean B/G/R, mean luma, the two aspect
@@ -199,9 +246,13 @@ object BinaryMediaDecoder extends MediaDecoder {
     case "image/x-portable-pixmap" | "image/x-portable-graymap" =>
       val hd = parsePnm(b.content)
       // same 8-dim feature shape as BMP: mean B/G/R (gray maps to all
-      // three), mean luma, aspect fractions, min/max luma — all in [0,1]
+      // three), mean luma, aspect fractions, min/max luma — all in [0,1],
+      // normalized by the header's maxval (PNM samples span 0..maxval,
+      // which parsePnm allows anywhere in 1..255 — a full-white pixel must
+      // yield luma 1.0 regardless of bit budget)
+      val mx = hd.maxval.toDouble
       var (sb, sg, sr) = (0L, 0L, 0L)
-      var minL = 255.0; var maxL = 0.0
+      var minL = mx; var maxL = 0.0
       var p = hd.dataOff
       val end = hd.dataOff + hd.w * hd.h * hd.ch
       while (p < end) {
@@ -216,10 +267,10 @@ object BinaryMediaDecoder extends MediaDecoder {
       }
       val n = hd.w.toLong * hd.h
       val feats = Array(
-        sb.toDouble / n / 255.0, sg.toDouble / n / 255.0, sr.toDouble / n / 255.0,
-        (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0,
+        sb.toDouble / n / mx, sg.toDouble / n / mx, sr.toDouble / n / mx,
+        (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / mx,
         hd.w.toDouble / (hd.w + hd.h), hd.h.toDouble / (hd.w + hd.h),
-        minL / 255.0, maxL / 255.0).map(_.toFloat)
+        minL / mx, maxL / mx).map(_.toFloat)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1, feats)
     case "audio/wav" | "audio/x-wav" =>
       val hd = parseWav(b.content)
@@ -245,6 +296,12 @@ object BinaryMediaDecoder extends MediaDecoder {
   }
 
   def frame(b: Multimodal.Blob, idx: Int): Array[Byte] = b.mime match {
+    case "image/png" =>
+      val (hd, px) = Png.decode(b.content)
+      require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
+      val row = new Array[Byte](hd.w * hd.channels)
+      System.arraycopy(px, idx * row.length, row, 0, row.length)
+      row
     case "image/bmp" =>
       val hd = parseBmp(b.content)
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
@@ -269,6 +326,27 @@ object BinaryMediaDecoder extends MediaDecoder {
   }
 
   def resize(b: Multimodal.Blob, w: Int, h: Int): Array[Byte] = b.mime match {
+    case "image/png" =>
+      require(w > 0 && h > 0, s"degenerate target ${w}x$h")
+      val (hd, px) = Png.decode(b.content)
+      val ch = hd.channels
+      // nearest-neighbor with the same exact integer mapping as BMP/PNM,
+      // re-encoded as a valid PNG of the SAME color type
+      val out = new Array[Byte](w * h * ch)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * hd.h / h).toInt
+        var x = 0
+        while (x < w) {
+          val so = (sy * hd.w + (x.toLong * hd.w / w).toInt) * ch
+          val dO = (y * w + x) * ch
+          var c = 0
+          while (c < ch) { out(dO + c) = px(so + c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      Png.encode(w, h, hd.colorType, out)
     case "image/bmp" =>
       require(w > 0 && h > 0, s"degenerate target ${w}x$h")
       val hd = parseBmp(b.content)

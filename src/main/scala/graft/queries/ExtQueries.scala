@@ -770,6 +770,72 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // REAL compressed-media decode, oracle-audited end to end: each doc's
+    // text bytes become a deterministic 16×16 raster (gray for even
+    // doc_ids, RGB for odd), ENCODED as a genuine zlib-deflate PNG (filter
+    // types cycling 0..4 per row) and DECODED back through the
+    // BinaryMediaDecoder plug point — JDK Inflater + the five PNG filter
+    // reconstructions, CRC-checked chunks. The audit sums the decoded
+    // pixel bytes; the oracle recomputes that sum straight from the text
+    // in DuckDB, so ONE wrong byte anywhere in the encode→deflate→
+    // inflate→unfilter path breaks the hash match. Scale: per-row map,
+    // shuffle-free until the 2-row aggregate; the raster checksum costs a
+    // single inflate per blob (pngRaster), not one per pixel row. Corpus
+    // is ASCII (the mm02 convention), so char positions = byte positions
+    // in both engines.
+    GraftQuery(
+      "mm03_png_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          // empty payloads excluded symmetrically with the oracle, as in
+          // mm02: the pixel formula indexes text mod len
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val blobs = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val ct = if (id % 2 == 0) 0 else 2 // gray : RGB
+          val n = 16 * 16 * graft.ops.Png.channelsOf(ct)
+          val px = Array.tabulate(n)(i => bytes((i * 7 + 3) % bytes.length))
+          graft.ops.Multimodal.Blob(
+            id, graft.ops.Png.encode(16, 16, ct, px), "image/png", Map.empty)
+        }
+        val audited = blobs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { b =>
+            val meta = dec.decode(b) // the MediaDecoder trait path (IHDR)
+            val (_, px) = graft.ops.BinaryMediaDecoder.pngRaster(b)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (if (px.length == 256) "gray" else "rgb",
+              meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("color", "w", "h", "psum")
+        audited.groupBy(col("color"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+            sum(col("psum")).as("pixel_checksum"))
+      },
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          px AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 768 END AS n, len, text
+            FROM img),
+          s AS (SELECT doc_id, n,
+              CAST(list_sum(list_transform(range(0, n),
+                i -> ascii(substring(text, ((i*7 + 3) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM px)
+        SELECT CASE WHEN n = 256 THEN 'gray' ELSE 'rgb' END AS color,
+          count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     // pairs (iterative min-label propagation, one shuffle per round — the
     // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
