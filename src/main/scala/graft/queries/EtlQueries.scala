@@ -416,5 +416,101 @@ object EtlQueries {
           AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
         GROUP BY 1, 2"""),
     ),
+
+    // ------------------------------------------------------------------
+    // The FLAGSHIP dataflow with an independent oracle: render the orders
+    // table as single-line JSON-array documents, run the full document
+    // pipeline (extract → json_normalize pivot → normalize_data → flatten
+    // → profile), and emit the per-column profile. Every stage's quirk is
+    // load-bearing and the oracle recomputes the outcome from `orders`
+    // directly in DuckDB:
+    //  - strict JSON (E1) parses each doc; the embedded-object (E2) and
+    //    embedded-array (E3) scans ALSO fire on the same text (reference
+    //    behavior: all extraction stages run), so every record appears
+    //    exactly 3× — once untagged, twice tagged _source_type='json'
+    //    (the E1 rows' missing tag fills to '' via branch (c)'s fillna);
+    //  - ok is all-numeric → dispatch branch (b) → the faithful chain's
+    //    PHONE branch claims the bare digits (the reference's documented
+    //    phone-regex quirk) → digit strings, voted integer;
+    //  - ck carries nulls → int→float coercion ("456" → "456.0", voted
+    //    float, nullable);
+    //  - dt renders from the timestamp source as "1995-03-15 00:00:00";
+    //    the ':' keeps it OUT of the phone branch, so the dateutil battery
+    //    rewrites it to isoformat → voted date;
+    //  - st/pri are plain strings → strip/lower → voted string.
+    // Single-line rendering keeps the CSV/YAML/log/code scanners out
+    // (their regexes need newlines/anchors absent here). Scale: the
+    // pipeline is the production path (per-partition extraction UDFs, one
+    // unpivot shuffle for the profile); the doc grouping is a plain
+    // groupBy. etl10 stays the golden-pinned corpus run; this row gives
+    // the same dataflow a DuckDB hash-match.
+    GraftQuery(
+      "etl17_doc_pipeline_profile",
+      (s, d) => {
+        val rec = format_string(
+          """{"ok": %d, "st": "%s", "dt": "%s", "pri": "%s", "ck": %s}""",
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("string"), col("o_orderpriority"),
+          when(col("o_orderkey") % 7 === 0, lit("null"))
+            .otherwise(col("o_custkey").cast("string")))
+        val docs = Tables.orders(s, d)
+          .select(pmod(col("o_orderkey"), lit(600)).as("doc_id"), rec.as("rec"))
+          .groupBy(col("doc_id"))
+          .agg(concat(lit("["), array_join(collect_list(col("rec")), ","), lit("]"))
+            .as("text"))
+        val res = graft.etl.DocumentEtl.run(s, docs.select(col("doc_id"), col("text")))
+        Profile.profileStats(res.table, res.columns,
+          c => graft.etl.EtlUdfs.inferTypeCell(c))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
+            o_orderpriority,
+            CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS ck
+          FROM orders),
+        -- the pipeline's post-normalize cell rendering per column (3 copies
+        -- of every record: E1 untagged + E2/E3 tagged 'json'):
+        --   ok  → phone-quirk digit STRING of the key (branch (b) chain)
+        --   st  → strip/lower
+        --   dt  → timestamp source renders "YYYY-MM-DD HH:MM:SS", which the
+        --         ':' keeps out of the phone branch → dateutil isoformat
+        --   pri → strip/lower
+        --   ck  → numeric float64 (int→float null coercion), py-repr "N.0"
+        --   _source_type → branch (c) fillna('') → E1 rows hold ''
+        long AS (
+          SELECT 'ok' AS col_name, CAST(o_orderkey AS VARCHAR) AS cell FROM o
+          UNION ALL SELECT 'st', lower(o_orderstatus) FROM o
+          UNION ALL SELECT 'dt', strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') FROM o
+          UNION ALL SELECT 'pri', lower(o_orderpriority) FROM o
+          UNION ALL SELECT 'ck', CAST(ck AS VARCHAR) || '.0' FROM o),
+        tripled AS (
+          SELECT col_name, cell FROM long, (VALUES (1), (2), (3)) c(copy)
+          UNION ALL
+          SELECT '_source_type', CASE WHEN copy <= 2 THEN 'json' ELSE '' END
+          FROM o, (VALUES (1), (2), (3)) c(copy)),
+        vals AS (SELECT col_name, cell, count(*) AS cnt FROM tripled GROUP BY 1, 2),
+        votes AS (
+          SELECT col_name, arg_min(tag, -tag_cnt) AS voted_type FROM (
+            SELECT col_name, tag, sum(cnt) AS tag_cnt FROM (
+              SELECT col_name, cnt, CASE
+                  WHEN cell IS NULL OR cell = '' THEN 'null'
+                  WHEN regexp_matches(cell, '^\d+$') THEN 'integer'
+                  WHEN regexp_matches(cell, '^\d*\.\d+$') THEN 'float'
+                  WHEN regexp_matches(cell, '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$') THEN 'date'
+                  ELSE 'string' END AS tag
+              FROM vals)
+            WHERE tag <> 'null' GROUP BY 1, 2) GROUP BY col_name),
+        stats AS (
+          SELECT col_name,
+            sum(CASE WHEN cell IS NULL THEN cnt ELSE 0 END) AS n_null,
+            sum(CASE WHEN cell IS NULL THEN 0 ELSE cnt END) AS n_nonnull,
+            count(CASE WHEN cell IS NULL THEN NULL ELSE 1 END) AS n_distinct,
+            max(CASE WHEN cell IS NULL THEN NULL ELSE cnt END) AS max_cnt
+          FROM vals GROUP BY col_name)
+        SELECT s.col_name, coalesce(v.voted_type, 'string') AS voted_type,
+          n_null > 0 AS nullable, n_distinct,
+          CAST(coalesce(max_cnt, 1) AS DOUBLE) /
+            (CASE WHEN n_nonnull = 0 THEN 1 ELSE n_nonnull END) AS confidence,
+          n_null = 0 AND n_distinct = n_nonnull AS is_pk
+        FROM stats s LEFT JOIN votes v USING (col_name)"""),
+    ),
   )
 }
