@@ -244,13 +244,65 @@ object Dates {
   // trailing separator
   private val IsoDateTime =
     "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}(?::\\d{2}(?:[.,]\\d*)?)?)(Z|[+-]\\d{2}:?\\d{2})?$".r
-  private val UsSlash = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})$".r
+  // (round 8: the former UsSlash case is subsumed by TripletDmy, which also
+  // accepts the day-first reading UsSlash rejected — "13/01/2024" → Jan 13)
+  /** Free-form numeric triplets, round 8 (dateutil `_ymd` resolution): '/'
+    * and '-' are interchangeable JUMP tokens (even mixed within one string,
+    * "2024-01/05"); '.' separates only when BOTH separators are dots —
+    * dateutil's lexer merges a single digit-dot-digit run into one decimal
+    * token ("2024.01-05" fails) but SPLITS a two-dot run back into ymd
+    * members ("2024.01.05" parses). A 4-digit member pins the year; among
+    * the two remaining members the first is the month unless it exceeds 12
+    * ("13-01-2024" → day 13, "05-01-2024" → May 1 — US month-first
+    * default). An optional time suffix rides behind ' ' or 'T' (see
+    * [[timeSuffix]]). 2-digit-year triplets stay OUT of battery: dateutil
+    * resolves them against the run date's ±50-year century window
+    * (documented deviation family, measured by DateParitySpec).
+    */
+  private val TripletYmd =
+    "^(\\d{4})([/.\\-])(\\d{1,2})([/.\\-])(\\d{1,2})((?:[T ].*)?)$".r
+  private val TripletDmy =
+    "^(\\d{1,2})([/.\\-])(\\d{1,2})([/.\\-])(\\d{4})((?:[T ].*)?)$".r
+  /** Dot separators must come in pairs (see scaladoc above). */
+  private def sepsOk(a: String, b: String): Boolean = (a == ".") == (b == ".")
   private val MonthName =
-    "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{1,2}),? (\\d{4})$".r
+    "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{1,2}),? (\\d{4})((?:[T ].*)?)$".r
   private val DayMonthName =
-    "^(?i)(\\d{1,2}) (jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{4})$".r
+    "^(?i)(\\d{1,2}) (jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{4})((?:[T ].*)?)$".r
   private val Months = Seq("jan", "feb", "mar", "apr", "may", "jun",
     "jul", "aug", "sep", "oct", "nov", "dec")
+
+  /** Time-of-day suffix shared by the triplet and month-name families:
+    * "" → midnight, "[T ]H:MM[:SS[.f]][ AM/PM]" → "HH:MM:SS[.ffffff]",
+    * anything else (bare hour, timezone, fraction-of-minute) → None.
+    * Meridiem follows dateutil: hour must be ≤ 12 ("13:30 PM" fails),
+    * PM maps h%12+12 ("0:30 PM" → 12:30), AM maps h%12 ("12:30 AM" →
+    * 00:30); 'a.m'/'p.m.'/'pm' spellings all tokenize. Fractions accept
+    * '.' or ',' and truncate to µs, zero-µs is omitted — isoformat rules,
+    * same as the ISO branch above.
+    */
+  private val TimeSfxRe =
+    "^[T ](\\d{1,2}):(\\d{2})(?::(\\d{2})(?:[.,](\\d+))?)? ?(?:([AaPp])\\.?[Mm]\\.?)?$".r
+  private def timeSuffix(sfx: String): Option[String] = sfx match {
+    case "" => Some("00:00:00")
+    case TimeSfxRe(h0, mi0, se0, fr0, ap0) =>
+      val h1 = h0.toInt
+      val mi = mi0.toInt
+      val se = Option(se0).map(_.toInt).getOrElse(0)
+      val ap = Option(ap0).map(_.toLowerCase(Locale.ROOT))
+      val hOk = if (ap.isDefined) h1 <= 12 else h1 < 24
+      if (!hOk || mi >= 60 || se >= 60) None
+      else {
+        val h = ap match {
+          case Some("p") => h1 % 12 + 12
+          case Some("a") => h1 % 12
+          case None => h1
+        }
+        val micro = Option(fr0).map(_.take(6).padTo(6, '0')).filter(_ != "000000")
+        Some(f"$h%02d:$mi%02d:$se%02d" + micro.map("." + _).getOrElse(""))
+      }
+    case _ => None
+  }
 
   def parses(s0: String): Boolean = parseIso(s0).isDefined
 
@@ -280,23 +332,32 @@ object Dates {
             t.substring(3, 5).toInt < 60)
           Some(s"${date}T$t$tzs")
         else None
-      case UsSlash(m, d, y) =>
-        valid(y.toInt, m.toInt, d.toInt)
-          .map(ld => f"${ld.getYear}%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02dT00:00:00")
-      case MonthName(mon, d, y) =>
+      case MonthName(mon, d, y, sfx) =>
         val m = Months.indexOf(mon.toLowerCase(Locale.ROOT)) + 1
-        valid(y.toInt, m, d.toInt)
-          .map(ld => f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT00:00:00")
-      case DayMonthName(d, mon, y) =>
+        for (ld <- valid(y.toInt, m, d.toInt); t <- timeSuffix(sfx))
+          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
+      case DayMonthName(d, mon, y, sfx) =>
         val m = Months.indexOf(mon.toLowerCase(Locale.ROOT)) + 1
-        valid(y.toInt, m, d.toInt)
-          .map(ld => f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT00:00:00")
+        for (ld <- valid(y.toInt, m, d.toInt); t <- timeSuffix(sfx))
+          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
+      case TripletYmd(y, s1, m, s2, d, sfx) if sepsOk(s1, s2) =>
+        for (ld <- valid(y.toInt, m.toInt, d.toInt); t <- timeSuffix(sfx))
+          yield f"${ld.getYear}%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02dT$t"
+      case TripletDmy(a0, s1, b0, s2, y, sfx) if sepsOk(s1, s2) =>
+        val a = a0.toInt; val b = b0.toInt
+        val (m, d) = if (a > 12) (b, a) else (a, b)
+        for (ld <- valid(y.toInt, m, d); t <- timeSuffix(sfx))
+          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
       case _ => None
     }
   }
 
+  /** Year 0 is valid proleptic-Gregorian for java.time but not for python's
+    * datetime (dateutil raises on year 0) — guard it out explicitly.
+    */
   private def valid(y: Int, m: Int, d: Int): Option[LocalDate] =
-    try Some(LocalDate.of(y, m, d)) catch { case _: Exception => None }
+    if (y < 1) None
+    else try Some(LocalDate.of(y, m, d)) catch { case _: Exception => None }
 
   /** dateutil's digit-comma-digit acceptance ("123,123", "58,0", …) — the
     * comma-joined flattened-list family that reaches `infer_type`.

@@ -110,14 +110,73 @@ object NormalizeCol {
         ELSE NULL END"""
   }
 
-  /** Column-level `infer_type` battery (regex-validated; month/day
-    * plausibility is regex-level — the full validator is [[Dates]]).
+  // ---- round-8 free-form date-family atoms (RE2-compatible: shared with
+  // the DuckDB oracle verbatim, so no lookarounds/backrefs). Calendar
+  // validity is encoded in the regex to the same standard as
+  // [[Dates.TripletRe]]: month-day coupling plus leap-year Feb 29, here
+  // against 4-digit years (a year is leap iff its last two digits are a
+  // nonzero multiple of 4, or they are 00 and the first two are).
+  // '/' and '-' mix freely; '.' only pairs with '.' (dateutil's lexer merges
+  // a lone digit.digit run into a decimal token — see Dates.TripletYmd doc)
+  private val M31a = "(0?[13578]|1[02])" // 31-day months, 1-2 digits
+  private val M30a = "(0?[469]|11)"
+  private val M12a = "(0?[1-9]|1[0-2])"
+  private val MNoFebA = "(0?[13-9]|1[0-2])"
+  private val D31a = "(0?[1-9]|[12]\\d|3[01])"
+  private val D30a = "(0?[1-9]|[12]\\d|30)"
+  private val D28a = "(0?[1-9]|1\\d|2[0-8])"
+  private val Y4nz = "(000[1-9]|00[1-9]\\d|0[1-9]\\d{2}|[1-9]\\d{3})" // year 0 invalid
+  private val Mult4nz = "(0[48]|[2468][048]|[13579][26])"
+  private val Leap4 = "(\\d{2}" + Mult4nz + "|" + Mult4nz + "00)"
+  /** M-D or D-M triplet with the year LAST: first member is the month
+    * unless > 12 (dateutil's US default), Feb 29 only in leap years.
+    */
+  private def tripletDmy(Sp: String): String =
+    "(" + M31a + Sp + D31a + Sp + Y4nz + "|" + M30a + Sp + D30a + Sp + Y4nz +
+      "|0?2" + Sp + D28a + Sp + Y4nz + "|0?2" + Sp + "29" + Sp + Leap4 +
+      "|(1[3-9]|2[0-8])" + Sp + M12a + Sp + Y4nz +
+      "|29" + Sp + "(" + MNoFebA + Sp + Y4nz + "|0?2" + Sp + Leap4 + ")" +
+      "|30" + Sp + MNoFebA + Sp + Y4nz + "|31" + Sp + M31a + Sp + Y4nz + ")"
+  /** 4-digit year FIRST (Y-M-D). */
+  private def tripletYmd(Sp: String): String =
+    "(" + Y4nz + Sp + M31a + Sp + D31a + "|" + Y4nz + Sp + M30a + Sp + D30a +
+      "|" + Y4nz + Sp + "0?2" + Sp + D28a + "|" + Leap4 + Sp + "0?2" + Sp + "29)"
+  private val TripletDmyRe =
+    "(" + tripletDmy("[/\\-]") + "|" + tripletDmy("\\.") + ")"
+  private val TripletYmdRe =
+    "(" + tripletYmd("[/\\-]") + "|" + tripletYmd("\\.") + ")"
+  /** Month-name families ("Jan 5, 2024" / "5 Jan 2024", abbreviated or
+    * full, any case), day-validity coupled to the named month.
+    */
+  private val Mon31 = "(?i:jan|mar|may|jul|aug|oct|dec)[a-zA-Z]*"
+  private val Mon30 = "(?i:apr|jun|sep|nov)[a-zA-Z]*"
+  private val MonFeb = "(?i:feb)[a-zA-Z]*"
+  private val MonthNameRe =
+    "((" + Mon31 + " " + D31a + "|" + Mon30 + " " + D30a + "|" + MonFeb + " " + D28a +
+      "),? " + Y4nz + "|" + MonFeb + " 29,? " + Leap4 + ")"
+  private val DayMonthNameRe =
+    "(" + D31a + " " + Mon31 + " " + Y4nz + "|" + D30a + " " + Mon30 + " " + Y4nz +
+      "|" + D28a + " " + MonFeb + " " + Y4nz + "|29 " + MonFeb + " " + Leap4 + ")"
+  /** Optional time-of-day suffix (mirrors [[Dates.timeSuffix]]): 24-hour
+    * H:MM[:SS[.f]] or 12-hour with an AM/PM token (hour ≤ 12 then).
+    */
+  private val TimeSfxA =
+    "([T ](([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?|" +
+      "(0?\\d|1[0-2]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)? ?[AaPp]\\.?[Mm]\\.?))?"
+
+  /** Column-level `infer_type` battery. The ISO alternative keeps its
+    * original regex-plausibility contract; the round-8 free-form families
+    * (numeric triplets, month names, time suffixes) are calendar-exact so
+    * the column vote agrees with the scalar model ([[Dates.parseIso]]) and
+    * the reference on invalid dates like "11/31/2024".
     *
     * The last alternative mirrors the dateutil negative-number quirk —
     * see [[Dates.NegNumDateRe]] for the full shape table.
     */
   val InferDateRe =
-    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?|\\d{1,2}/\\d{1,2}/\\d{4}|" +
+    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?|" +
+      TripletDmyRe + TimeSfxA + "|" + TripletYmdRe + TimeSfxA + "|" +
+      MonthNameRe + TimeSfxA + "|" + DayMonthNameRe + TimeSfxA + "|" +
       Dates.NegNumDateRe + ")$"
 
   def inferType(c: Column): Column =

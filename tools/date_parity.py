@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Date-battery parity corpus: enumerate free-form date shapes, record the
+REFERENCE verdict (dateutil.parser.parse → isoformat, or null) for each, and
+dump a golden JSON that graft's DateParitySpec replays against Dates.parseIso.
+
+Every generated string carries a COMPLETE year-month-day, so the verdict is
+run-date-independent; a tripwire parses each string twice with two different
+dateutil defaults and SKIPS (counts) any string whose result depends on the
+default. Families marked covered=false are documented out-of-battery shapes
+(2-digit years, bare-hour suffixes, timezone suffixes, weekday prefixes);
+they are measured, never asserted.
+
+Usage: python3 tools/date_parity.py src/test/resources/goldens/date_parity.json
+"""
+import json
+import sys
+from datetime import datetime
+
+from dateutil.parser import parse as dp
+
+D1 = datetime(2001, 1, 15)
+D2 = datetime(1999, 7, 31)
+
+entries = []
+skipped_unstable = 0
+
+
+def ref(s):
+    """Reference verdict, or raise if run-date-dependent."""
+    global skipped_unstable
+
+    def run(default):
+        try:
+            return dp(s, default=default).isoformat()
+        except Exception:
+            return None
+
+    a, b = run(D1), run(D2)
+    if a != b:
+        skipped_unstable += 1
+        return "UNSTABLE"
+    return a
+
+
+def add(s, family, covered=True):
+    v = ref(s)
+    if v == "UNSTABLE":
+        return
+    entries.append([s, family, covered, v])
+
+
+SEPS = ["/", "-", "."]
+
+# ---- numeric triplets, year last (M/D/Y vs D/M/Y resolution) ----
+for a in list(range(0, 33)) + [45, 99]:
+    for b in list(range(0, 33)) + [45, 99]:
+        for y in [2024, 2023]:
+            sep = SEPS[(a + b + y) % 3]
+            add(f"{a:02d}{sep}{a % 2 and b or b:02d}{sep}{y}"
+                if False else f"{a:02d}{sep}{b:02d}{sep}{y}", "dmy_sep")
+# 1-digit member forms + century/leap edges
+for (a, b, y) in [(1, 5, 2024), (5, 1, 2024), (2, 29, 2024), (2, 29, 2023),
+                  (29, 2, 2024), (29, 2, 1900), (29, 2, 2000), (2, 29, 1900),
+                  (2, 29, 2000), (2, 29, 1904), (13, 1, 2024), (1, 13, 2024),
+                  (12, 31, 9999), (31, 12, 1), (2, 28, 1900), (9, 9, 476)]:
+    for sep in SEPS:
+        add(f"{a}{sep}{b}{sep}{y:04d}", "dmy_sep")
+        add(f"{a:02d}{sep}{b:02d}{sep}{y:04d}", "dmy_sep")
+
+# ---- numeric triplets, year first ----
+for m in list(range(0, 14)) + [31]:
+    for d in list(range(0, 33)) + [45]:
+        for y in [2024, 2023]:
+            sep = SEPS[(m + d + y) % 3]
+            add(f"{y}{sep}{m:02d}{sep}{d:02d}", "ymd_sep")
+for (y, m, d) in [(2024, 1, 5), (2000, 2, 29), (1900, 2, 29), (2023, 2, 29),
+                  (1904, 2, 29), (9999, 12, 31), (1, 1, 1), (476, 9, 9)]:
+    for sep in SEPS:
+        add(f"{y:04d}{sep}{m}{sep}{d}", "ymd_sep")
+        add(f"{y:04d}{sep}{m:02d}{sep}{d:02d}", "ymd_sep")
+# '/' and '-' mix as jump tokens; a lone '.' merges into a decimal token
+# (fails), but dot-dot splits back into ymd members (parses)
+for s in ["2024-01/05", "2024/01-05", "05/01-2024", "05-01/2024"]:
+    add(s, "ymd_sep" if s.startswith("2024") else "dmy_sep")
+for s in ["2024.01-05", "2024-01.05", "2024/01.05", "2024.01/05",
+          "2024.1-5", "1.5-2024", "5.1/2024"]:
+    add(s, "ymd_sep" if s.startswith("2024") else "dmy_sep")
+for s in ["05.01-2024", "05-01.2024", "13.01/2024", "05/01.2024"]:
+    add(s, "dmy_sep")
+add("0000/01/01", "ymd_sep")
+add("0000-01-01", "ymd_sep")
+
+# ---- month-name forms ----
+MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+FULL = ["January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December"]
+for i, (ab, full) in enumerate(zip(MONTHS, FULL)):
+    for d in [0, 1, 5, 28, 29, 30, 31, 32]:
+        for y in [2024, 2023]:
+            add(f"{ab} {d}, {y}", "month_name")
+            add(f"{full} {d} {y}", "month_name")
+            add(f"{d} {ab.lower()} {y}", "day_month_name")
+            add(f"{d:02d} {full.upper()} {y}", "day_month_name")
+add("Feb 29, 2000", "month_name")
+add("Feb 29, 1900", "month_name")
+add("29 February 2000", "day_month_name")
+add("29 feb 1900", "day_month_name")
+
+# ---- time suffixes on valid base dates ----
+BASES = ["2024/01/05", "05/01/2024", "2024-1-5", "13.01.2024",
+         "Jan 5, 2024", "5 Jan 2024", "February 29 2024"]
+TIMES = ["0:30", "9:05", "09:05", "11:59", "12:00", "13:30", "23:59", "24:00",
+         "10:60", "10:30:45", "10:30:59", "10:30:60", "10:30:45.5",
+         "10:30:45.123", "10:30:45,123", "10:30:45.123456789",
+         "10:30 AM", "10:30 PM", "12:30 AM", "12:30 PM", "0:30 PM",
+         "13:30 PM", "13:30 AM", "10:30PM", "10:30 am", "10:30 p.m.",
+         "10:30 a.m", "10:30:45.123 PM", "10:05:00 AM"]
+for i, base in enumerate(BASES):
+    for j, t in enumerate(TIMES):
+        sep = "T" if (i + j) % 4 == 0 and " " not in base else " "
+        add(f"{base}{sep}{t}", "time_suffix")
+
+# ---- documented OUT-OF-BATTERY families (measured, not asserted) ----
+for s in ["05/01/24", "5/1/99", "01-01-76", "12/25/00"]:
+    add(s, "two_digit_year", covered=False)
+for s in ["2024/01/05 10", "Jan 5 2024 7", "05/01/2024 23"]:
+    add(s, "bare_hour", covered=False)
+for s in ["2024/01/05 10:30 +0500", "05 Jan 2024 10:30:00 GMT",
+          "2024-1-5 10:30 UTC", "Jan 5 2024 10:30 EST"]:
+    add(s, "tz_suffix", covered=False)
+for s in ["Tue, 05 Jan 2024", "Mon Jan 5 2024", "Sunday, January 5, 2024"]:
+    add(s, "weekday_prefix", covered=False)
+for s in ["Jan 5, 2024, 10:30", "2024/1/5  10:30", "5th Jan 2024",
+          "Jan. 5, 2024", "2024, Jan 5"]:
+    add(s, "punct_variants", covered=False)
+for s in ["12,34,56", "1,000,000"]:
+    add(s, "multi_comma", covered=False)
+
+out = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/goldens/date_parity.json"
+with open(out, "w") as f:
+    json.dump({"skipped_unstable": skipped_unstable, "entries": entries}, f,
+              separators=(",", ":"))
+n_cov = sum(1 for e in entries if e[2])
+n_parse = sum(1 for e in entries if e[3] is not None)
+print(f"wrote {len(entries)} entries ({n_cov} covered, {n_parse} parseable, "
+      f"{skipped_unstable} skipped as run-date-dependent) -> {out}")
