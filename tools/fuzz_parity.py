@@ -5,21 +5,30 @@ same format as ref_golden.py. graft.FuzzCheck then replays them through the
 Spark pipeline and compares cell-for-cell.
 
 Excluded from generation (documented engine deviations): dateutil-only date
-formats, float-repr extremes (|x| >= 1e16), non-ASCII beyond the currency
-symbols. Negative numbers ARE generated (round 2): numeric-dtype columns
-take the is_numeric_dtype gate; object-column "-5" diverges only in the
-schema type vote (string vs dateutil-date), which FuzzCheck waives with a
-logged, battery-shape-checked waiver.
+formats OUTSIDE the round-8 battery (2-digit-year triplets, bare-hour /
+timezone suffixes, weekday prefixes — see tools/date_parity.py), float-repr
+extremes (|x| >= 1e16), non-ASCII beyond the currency symbols. Negative
+numbers ARE generated (round 2): numeric-dtype columns take the
+is_numeric_dtype gate; object-column "-5" diverges only in the schema type
+vote (string vs dateutil-date), which FuzzCheck waives with a logged,
+battery-shape-checked waiver.
 
 KNOWN REMAINING DEVIATION FAMILY (schema vote only, logged, never silent):
 the SINGLE-comma digit family ("123,123", "58,0") was batteryized exactly
 in round 7 (battery_parse below / Dates.commaIntDateVote — dateutil's
 tokenizer merges a comma as a decimal point only after >=2 digits, then
-branches by merged length; verified 0 mismatches over 2256 cases). What
-remains out of scope is >=2-comma strings ("12,34,56"), whose multi-token
-ymd resolution the battery deliberately skips; those print as `deviation`
-lines here and `DEVIATION` lines in FuzzCheck. Observed deviation rate
-after round 7 at the pinned seeds (7/42/123/555/777/999/2024/31337): 0.
+branches by merged length; verified 0 mismatches over 2256 cases), and
+round 8 batteryized the free-form families the round-7 verdict listed as
+the remaining tail: numeric triplets in both member orders across '/',
+'-', '.' separators (incl. dateutil's dot-merge rule), month-name forms,
+and time-of-day suffixes with meridiem/fraction handling — QUIRKS now
+generates those shapes and battery_parse mirrors Dates.parseIso for them
+(tools/date_parity.py pins 4 600+ shapes at 0 deviations). What remains
+out of scope is >=2-comma strings ("12,34,56"), whose multi-token ymd
+resolution the battery deliberately skips, plus the excluded families
+above; those print as `deviation` lines here and `DEVIATION` lines in
+FuzzCheck. Observed deviation rate after round 7 at the pinned seeds
+(7/42/123/555/777/999/2024/31337): 0.
 
 Usage: python3 tools/fuzz_parity.py <out.json> [n_fixtures] [seed]
 """
@@ -53,7 +62,15 @@ QUIRKS = ["NA", "n/a", "null", "none", "nan", "", "true", "True", "YES", "1",
           "0042", "$1,234", "$1,234.56", "₹99", "1,000,000", "12.5",
           "3.14159", ".5", "1e5", "2025-11-01", "2025-11-11T20:30:00Z",
           "2025-11-11 20:30:00", "11/05/2024", "Jan 5, 2024", "$abc", "12abc",
-          "TRUE", "FALSE"]
+          "TRUE", "FALSE",
+          # round-8 battery families: day-first triplets, dot/dash
+          # separators, month names with times, meridiem + fractions,
+          # and invalid-calendar edges that must vote string
+          "13/01/2024", "2024/01/05", "13.01.2024", "05-01-2024",
+          "January 5, 2024 10:30", "Jan 5 2024 10:30 PM",
+          "5 January 2024 08:15", "05/01/2024 10:30:45.123",
+          "2024-1-5 10:30", "2/29/2024", "2/29/2023", "11/31/2024",
+          "29 Feb 2024", "Feb 30, 2024"]
 
 
 def scalar():
@@ -167,11 +184,30 @@ import re as _re
 _MON = "(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
 _B_ISO = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})$')
 _B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}([.,]\d*)?)?(Z|[+-]\d{2}:?\d{2})?$')
-_B_MDY = _re.compile(r'^(\d{1,2})/(\d{1,2})/(\d{4})$')
-_B_MONDY = _re.compile(r'^%s[a-z]* (\d{1,2}),? (\d{4})$' % _MON, _re.I)
-_B_DMONY = _re.compile(r'^(\d{1,2}) %s[a-z]* (\d{4})$' % _MON, _re.I)
+# round-8 free-form families (etl/Normalize.scala Dates.TripletYmd/Dmy +
+# timeSuffix): '/' and '-' mix as jump separators, '.' only pairs with '.'
+# (dateutil's decimal-merge rule); first member is the month unless > 12;
+# optional H:MM[:SS[.f]][ AM/PM] time suffix behind ' ' or 'T'
+_B_TRIP_YMD = _re.compile(r'^(\d{4})([/.\-])(\d{1,2})([/.\-])(\d{1,2})((?:[T ].*)?)$')
+_B_TRIP_DMY = _re.compile(r'^(\d{1,2})([/.\-])(\d{1,2})([/.\-])(\d{4})((?:[T ].*)?)$')
+_B_TIME = _re.compile(r'^[T ](\d{1,2}):(\d{2})(?::(\d{2})(?:[.,](\d+))?)? ?(?:([AaPp])\.?[Mm]\.?)?$')
+_B_MONDY = _re.compile(r'^%s[a-z]* (\d{1,2}),? (\d{4})((?:[T ].*)?)$' % _MON, _re.I)
+_B_DMONY = _re.compile(r'^(\d{1,2}) %s[a-z]* (\d{4})((?:[T ].*)?)$' % _MON, _re.I)
 _MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
            "jul", "aug", "sep", "oct", "nov", "dec"]
+
+
+def _b_sfx_ok(sfx):
+    """time-suffix acceptance, mirror of Dates.timeSuffix"""
+    if sfx == "":
+        return True
+    m = _B_TIME.match(sfx)
+    if not m:
+        return False
+    h, mi = int(m.group(1)), int(m.group(2))
+    se = int(m.group(3)) if m.group(3) else 0
+    ap = m.group(5)
+    return (h <= 12 if ap else h < 24) and mi < 60 and se < 60
 
 
 def battery_parse(s, *a, **k):
@@ -220,15 +256,28 @@ def battery_parse(s, *a, **k):
         if int(m.group(4)) >= 24 or int(m.group(5)) >= 60:
             raise ValueError(s)
         return d(m.group(1), m.group(2), m.group(3))
-    m = _B_MDY.match(s)
-    if m:
-        return d(m.group(3), m.group(1), m.group(2))
     m = _B_MONDY.match(s)
     if m:
+        if not _b_sfx_ok(m.group(4)):
+            raise ValueError(s)
         return d(m.group(3), _MONTHS.index(m.group(1).lower()) + 1, m.group(2))
     m = _B_DMONY.match(s)
     if m:
+        if not _b_sfx_ok(m.group(4)):
+            raise ValueError(s)
         return d(m.group(3), _MONTHS.index(m.group(2).lower()) + 1, m.group(1))
+    m = _B_TRIP_YMD.match(s)
+    if m:
+        if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
+            raise ValueError(s)
+        return d(m.group(1), m.group(3), m.group(5))
+    m = _B_TRIP_DMY.match(s)
+    if m:
+        if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
+            raise ValueError(s)
+        a, b = int(m.group(1)), int(m.group(3))
+        mo, dd = (b, a) if a > 12 else (a, b)
+        return d(m.group(5), mo, dd)
     # digit-comma-digit family (round 7, vote-only) — exact mirror of
     # etl/Normalize.scala Dates.commaIntDateVote; see its scaladoc for the
     # dateutil tokenizer/branch derivation (0 mismatches over 2256 cases).
