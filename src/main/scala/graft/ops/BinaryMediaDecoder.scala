@@ -8,6 +8,12 @@ package graft.ops
   *    bit depth 8, color types 0/2/4/6, no interlace). [[resize]]
   *    re-encodes a valid PNG of the same color type; [[frame]] returns
   *    one reconstructed pixel row in storage sample order.
+  *  - `image/jpeg` — baseline sequential-DCT decode via [[Jpeg]] (markers,
+  *    multi-slot DQT/DHT, restart intervals, Huffman entropy decode,
+  *    deterministic integer IDCT, 4:2:0/4:2:2 nearest upsample, JFIF
+  *    fixed-point YCbCr→RGB; progressive/arithmetic/12-bit refused).
+  *    DECODE-ONLY: [[frame]] returns a decoded row, [[resize]] throws —
+  *    resample post-decode into a lossless container instead.
   *  - `image/bmp` — Windows BITMAPINFOHEADER, 24 bits per pixel,
   *    BI_RGB (uncompressed): header fields parsed little-endian from the
   *    raw bytes, pixel rows read bottom-up with 4-byte row padding,
@@ -178,8 +184,14 @@ object BinaryMediaDecoder extends MediaDecoder {
     * and alpha (color types 4/6) is ignored for the means, as the
     * reference-side feature extractors convert to RGB before pooling.
     */
-  private def pngFeatures(hd: Png.Header, px: Array[Byte]): Array[Float] = {
-    val ch = hd.channels
+  private def pngFeatures(hd: Png.Header, px: Array[Byte]): Array[Float] =
+    rasterFeaturesRgb(hd.w, hd.h, hd.channels, px)
+
+  /** Shared 8-dim pooling over an interleaved RGB-ordered raster (gray and
+    * gray+alpha map the single gray sample to all three channels) — the
+    * same shape and luma convention as the BMP/PNM branches.
+    */
+  private def rasterFeaturesRgb(w: Int, h: Int, ch: Int, px: Array[Byte]): Array[Float] = {
     var (sb, sg, sr) = (0L, 0L, 0L)
     var minL = 255.0; var maxL = 0.0
     var p = 0
@@ -194,11 +206,11 @@ object BinaryMediaDecoder extends MediaDecoder {
       if (l > maxL) maxL = l
       p += ch
     }
-    val n = hd.w.toLong * hd.h
+    val n = w.toLong * h
     Array(
       sb.toDouble / n / 255.0, sg.toDouble / n / 255.0, sr.toDouble / n / 255.0,
       (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0,
-      hd.w.toDouble / (hd.w + hd.h), hd.h.toDouble / (hd.w + hd.h),
+      w.toDouble / (w + h), h.toDouble / (w + h),
       minL / 255.0, maxL / 255.0).map(_.toFloat)
   }
 
@@ -216,6 +228,10 @@ object BinaryMediaDecoder extends MediaDecoder {
     case "image/png" =>
       val (hd, px) = Png.decode(b.content)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1, pngFeatures(hd, px))
+    case "image/jpeg" =>
+      val (hd, px) = Jpeg.decode(b.content)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
+        rasterFeaturesRgb(hd.w, hd.h, hd.channels, px))
     case "image/bmp" =>
       val hd = parseBmp(b.content)
       // features from REAL pixels: mean B/G/R, mean luma, the two aspect
@@ -298,6 +314,12 @@ object BinaryMediaDecoder extends MediaDecoder {
   def frame(b: Multimodal.Blob, idx: Int): Array[Byte] = b.mime match {
     case "image/png" =>
       val (hd, px) = Png.decode(b.content)
+      require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
+      val row = new Array[Byte](hd.w * hd.channels)
+      System.arraycopy(px, idx * row.length, row, 0, row.length)
+      row
+    case "image/jpeg" =>
+      val (hd, px) = Jpeg.decode(b.content)
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
       val row = new Array[Byte](hd.w * hd.channels)
       System.arraycopy(px, idx * row.length, row, 0, row.length)
@@ -388,8 +410,25 @@ object BinaryMediaDecoder extends MediaDecoder {
         y += 1
       }
       writePnm(hd.ch == 3, w, h, hd.maxval, out)
+    case "image/jpeg" =>
+      // JPEG is DECODE-ONLY here: a faithful lossy re-encode needs the
+      // forward DCT + rate decisions of a full encoder, and silently
+      // re-compressing would degrade pixels a second time. Pipelines
+      // resize post-decode into a lossless container (the PNG/BMP/PNM
+      // paths above) — same division of labor as production image
+      // pipelines (decode once, transform in raw space).
+      throw new IllegalArgumentException(
+        "resize unsupported for image/jpeg (decode-only codec; resize the decoded raster via a lossless container)")
     case other =>
       // audio has no 2-D resize; unsupported mimes mirror the decode guard
       throw new IllegalArgumentException(s"resize unsupported for media type: $other")
+  }
+
+  /** Decoded full raster (interleaved RGB or gray) — the one-shot accessor
+    * pipeline audits use, sibling of [[pngRaster]].
+    */
+  def jpegRaster(b: Multimodal.Blob): (Jpeg.Header, Array[Byte]) = {
+    require(b.mime == "image/jpeg", s"jpegRaster on mime ${b.mime}")
+    Jpeg.decode(b.content)
   }
 }

@@ -836,6 +836,61 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // REAL lossy-format decode with an EXACT oracle: JPEG is DCT-lossy in
+    // general, but a grayscale image whose every 8×8 block is CONSTANT,
+    // quantized with a flat (all-ones) table, survives the round trip
+    // bit-exactly — only the DC coefficient is nonzero and the integer
+    // IDCT returns the block constant for the full 0..255 range (see
+    // ops/Jpeg.scala). Each doc's text bytes pick the four block values of
+    // a 16×16 gray raster; the blob is a GENUINE baseline JPEG (SOI/DQT/
+    // SOF0/DHT/SOS markers, Annex-K DC Huffman coding, byte stuffing)
+    // decoded back through the full general decoder — marker walk, Huffman
+    // entropy decode, dequantize, integer IDCT. The audit sums decoded
+    // pixels; the oracle recomputes 64·Σ block values straight from the
+    // text in DuckDB, so ONE wrong bit anywhere in the encode→entropy→
+    // IDCT path breaks the hash match. Scale: per-row map, shuffle-free
+    // until the 1-row aggregate; corpus is ASCII (the mm02 convention).
+    GraftQuery(
+      "mm04_jpeg_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val jpg = graft.ops.Jpeg.encodeGrayBlocks(16, 16,
+              (bx, by) => bytes(((by * 2 + bx) * 13 + 5) % bytes.length) & 0xff)
+            val blob = graft.ops.Multimodal.Blob(id, jpg, "image/jpeg", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val (_, px) = graft.ops.BinaryMediaDecoder.jpegRaster(blob)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 4),
+                b -> 64 * ascii(substring(text, ((b*13 + 5) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     // pairs (iterative min-label propagation, one shuffle per round — the
     // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
