@@ -411,45 +411,129 @@ object PdfText {
   private final case class TArr(items: Seq[Tok]) extends Tok
   private final case class TOp(op: String) extends Tok
 
+  /** Lines whose y-origins differ by at most this cluster together —
+    * pdfplumber's default `y_tolerance` (the reference's PRIMARY extractor;
+    * `/root/reference/backend/etl_pipeline.py:29-33` tries pdfplumber
+    * first and only falls back to PyPDF2's stream-order walk).
+    */
+  private val YTol = 3.0
+
+  /** One positioned text run: everything shown between two positioning
+    * operators, with the LINE origin at its start and its stream index.
+    */
+  private final case class Run(y: Double, x: Double, idx: Int, text: String)
+
+  /** Layout-aware text walker (round 8 — pdfplumber-class ordering, closing
+    * the round-7 "multi-column PDFs read in stream order" gap): the text
+    * matrix is tracked through BT, Tm, Td, TD, T* and TL, every show
+    * operator opens
+    * or extends a RUN at the current line origin, and page text is
+    * assembled by clustering runs into lines on y (tolerance [[YTol]]),
+    * lines top-to-bottom, runs within a line left-to-right (stream order
+    * breaks x-ties). Two-column pages therefore interleave by VISUAL line,
+    * like the reference's pdfplumber path, instead of emitting whole
+    * columns sequentially.
+    *
+    * Deliberate approximations (documented contract, spec-pinned):
+    *  - rotation/scale in Tm is ignored: the translation (e, f) is taken
+    *    as the line origin (glyph-accurate geometry needs font metrics the
+    *    extractor doesn't load; ORDERING only needs origins);
+    *  - stream-consecutive runs on one visual line concatenate EXACTLY as
+    *    the stream-order walker did (no synthesized space — preserves the
+    *    existing golden corpus); runs brought together by REORDERING join
+    *    with a single space, pdfplumber's word-gap behavior.
+    */
   private[etl] def contentText(cs: String, fonts: Map[String, FontDec] = Map.empty): String = {
-    val out = new StringBuilder
-    def newline(): Unit =
-      if (out.nonEmpty && out.charAt(out.length - 1) != '\n') out.append('\n')
-    var stack = List.empty[Tok]
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
+    var cur: StringBuilder = null
+    var curY = 0.0
+    var curX = 0.0
+    var lineX = 0.0
+    var lineY = 0.0
+    var leading = 0.0
     var inText = false
     // active font, set by Tf: CID fonts decode show-strings via their CMap
     var font: Option[FontDec] = None
-    def shown(s: String): String = font.map(_.decode(s)).getOrElse(s)
+    var stack = List.empty[Tok]
+    def closeRun(): Unit = if (cur != null) {
+      runs += Run(curY, curX, runs.length, cur.toString)
+      cur = null
+    }
+    def show(s0: String): Unit = {
+      val s = font.map(_.decode(s0)).getOrElse(s0)
+      if (cur == null) { cur = new StringBuilder; curY = lineY; curX = lineX }
+      cur.append(s)
+    }
+    // operands push left-to-right, so the stack head is the LAST operand:
+    // (second-to-last, last) for the two-number operators
+    def num2: Option[(Double, Double)] = stack match {
+      case TNum(b) :: TNum(a) :: _ => Some((a, b))
+      case _ => None
+    }
     foreachToken(cs) {
       case t @ (TStr(_) | TNum(_) | TArr(_) | TName(_)) => stack = t :: stack
       case TOp(op) =>
         op match {
-          case "BT" => inText = true
-          case "ET" => inText = false; newline()
+          case "BT" => inText = true; closeRun(); lineX = 0; lineY = 0
+          case "ET" => inText = false; closeRun()
           case "Tf" =>
             stack.collectFirst { case TName(n) => n }.foreach(n => font = fonts.get(n))
+          case "TL" if inText =>
+            stack.collectFirst { case TNum(v) => v }.foreach(leading = _)
           case "Tj" if inText =>
-            stack.collectFirst { case TStr(s) => s }.foreach(s => out.append(shown(s)))
+            stack.collectFirst { case TStr(s) => s }.foreach(show)
           case "'" | "\"" if inText =>
-            newline()
-            stack.collectFirst { case TStr(s) => s }.foreach(s => out.append(shown(s)))
+            closeRun(); lineY -= (if (leading != 0) leading else YTol + 1)
+            stack.collectFirst { case TStr(s) => s }.foreach(show)
           case "TJ" if inText =>
             stack.collectFirst { case TArr(items) => items }.foreach(_.foreach {
-              case TStr(s) => out.append(shown(s))
+              case TStr(s) => show(s)
               case TNum(v) if v <= -SpaceKern =>
-                if (out.nonEmpty && out.charAt(out.length - 1) != ' ') out.append(' ')
+                if (cur != null && cur.nonEmpty && cur.charAt(cur.length - 1) != ' ')
+                  cur.append(' ')
               case _ => ()
             })
           case "Td" | "TD" if inText =>
-            // operands pushed tx then ty → stack head is ty
-            stack.collectFirst { case TNum(ty) => ty }.foreach(ty => if (ty != 0) newline())
-          case "T*" if inText => newline()
-          case "Tm" if inText => newline()
+            closeRun()
+            num2.foreach { case (tx, ty) =>
+              lineX += tx; lineY += ty
+              if (op == "TD") leading = -ty
+            }
+          case "T*" if inText =>
+            // a zero text-leading is degenerate (the glyphs would overprint);
+            // the next-line operators still MEAN "next line", so advance by
+            // just over the cluster tolerance — preserves the stream-order
+            // walker's line breaks for TL-less streams
+            closeRun(); lineY -= (if (leading != 0) leading else YTol + 1)
+          case "Tm" if inText =>
+            closeRun()
+            // operands a b c d e f: translation only (see scaladoc)
+            num2.foreach { case (e, f) => lineX = e; lineY = f }
           case _ => ()
         }
         stack = Nil
     }
-    out.toString.split("\n", -1).map(l => l.replaceAll("\\s+$", ""))
+    closeRun()
+    // cluster into visual lines on y, top of page first (stable sort:
+    // stream order survives among equal ys)
+    var lines = Vector.empty[Vector[Run]]
+    runs.sortBy(-_.y).foreach { r =>
+      if (lines.nonEmpty && math.abs(lines.last.head.y - r.y) <= YTol)
+        lines = lines.init :+ (lines.last :+ r)
+      else lines = lines :+ Vector(r)
+    }
+    val assembled = lines.map { lr =>
+      val ordered = lr.sortBy(r => (r.x, r.idx))
+      val sb = new StringBuilder
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0 && r.idx != ordered(i - 1).idx + 1 &&
+            sb.nonEmpty && sb.charAt(sb.length - 1) != ' ' && !r.text.startsWith(" "))
+          sb.append(' ')
+        sb.append(r.text)
+      }
+      sb.toString
+    }.mkString("\n")
+    assembled.split("\n", -1).map(l => l.replaceAll("\\s+$", ""))
       .mkString("\n").replaceAll("\\n+$", "").replaceAll("^\\n+", "")
   }
 

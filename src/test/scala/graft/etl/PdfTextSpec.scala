@@ -94,6 +94,37 @@ class PdfTextSpec extends SparkSpec {
       "trailer /Encrypt 5 0 R or /Encrypt <<...>> syntax")
   }
 
+  test("two-column pages interleave by visual line (pdfplumber-class ordering)") {
+    // the stream writes the LEFT column completely, then the RIGHT column —
+    // the reference's primary extractor (pdfplumber) merges words with the
+    // same y into one visual line; a stream-order walker would emit the
+    // columns sequentially
+    val content =
+      "BT /F1 10 Tf 72 720 Td (left-a) Tj 0 -14 Td (left-b) Tj 0 -14 Td (left-c) Tj ET " +
+        "BT /F1 10 Tf 300 720 Td (right-a) Tj 0 -14 Td (right-b) Tj 0 -14 Td (right-c) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n" + content + "\nendstream\nendobj\n" +
+      "trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n").getBytes
+    assert(PdfText.extract(pdf) ==
+      "left-a right-a\nleft-b right-b\nleft-c right-c")
+
+    // near-equal baselines (within pdfplumber's y_tolerance=3) still read
+    // as ONE visual line, left to right, regardless of stream order
+    val jitter = "BT /F1 10 Tf 300 719 Td (world) Tj ET BT /F1 10 Tf 72 720 Td (hello) Tj ET"
+    val pdf2 = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      "4 0 obj\n<< /Length " + jitter.length +
+      " >>\nstream\n" + jitter + "\nendstream\nendobj\n" +
+      "trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n").getBytes
+    assert(PdfText.extract(pdf2) == "hello world")
+  }
+
   test("review regressions: multi-digit indirect /Length, >> in strings, bad numbers, octal overflow") {
     // object 12 holds the stream length (multi-digit indirect ref: the old
     // lookahead regex backtracked "/Length 12 0 R" into direct length 1);

@@ -56,8 +56,7 @@ for a in list(range(0, 33)) + [45, 99]:
     for b in list(range(0, 33)) + [45, 99]:
         for y in [2024, 2023]:
             sep = SEPS[(a + b + y) % 3]
-            add(f"{a:02d}{sep}{a % 2 and b or b:02d}{sep}{y}"
-                if False else f"{a:02d}{sep}{b:02d}{sep}{y}", "dmy_sep")
+            add(f"{a:02d}{sep}{b:02d}{sep}{y}", "dmy_sep")
 # 1-digit member forms + century/leap edges
 for (a, b, y) in [(1, 5, 2024), (5, 1, 2024), (2, 29, 2024), (2, 29, 2023),
                   (29, 2, 2024), (29, 2, 1900), (29, 2, 2000), (2, 29, 1900),
