@@ -265,10 +265,19 @@ object Dates {
     "^(\\d{1,2})([/.\\-])(\\d{1,2})([/.\\-])(\\d{4})((?:[T ].*)?)$".r
   /** Dot separators must come in pairs (see scaladoc above). */
   private def sepsOk(a: String, b: String): Boolean = (a == ".") == (b == ".")
+  /** dateutil's month vocabulary is EXACT — abbreviation, full name, or
+    * (September only) "sept"; any other suffix fails ("janx", "janu",
+    * "septem" all raise). Round 8 tightened the former `[a-z]*` tail to
+    * this alternation, verified by the garbage-suffix probes in
+    * tools/date_parity.py.
+    */
+  private val MonthAlt = "(jan(?:uary)?|feb(?:ruary)?|mar(?:ch)?|apr(?:il)?|may|" +
+    "jun(?:e)?|jul(?:y)?|aug(?:ust)?|sep(?:t(?:ember)?)?|oct(?:ober)?|" +
+    "nov(?:ember)?|dec(?:ember)?)"
   private val MonthName =
-    "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{1,2}),? (\\d{4})((?:[T ].*)?)$".r
+    ("^(?i)" + MonthAlt + " (\\d{1,2}),? (\\d{4})((?:[T ].*)?)$").r
   private val DayMonthName =
-    "^(?i)(\\d{1,2}) (jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* (\\d{4})((?:[T ].*)?)$".r
+    ("^(?i)(\\d{1,2}) " + MonthAlt + " (\\d{4})((?:[T ].*)?)$").r
   private val Months = Seq("jan", "feb", "mar", "apr", "may", "jun",
     "jul", "aug", "sep", "oct", "nov", "dec")
 
@@ -333,11 +342,11 @@ object Dates {
           Some(s"${date}T$t$tzs")
         else None
       case MonthName(mon, d, y, sfx) =>
-        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT)) + 1
+        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT).take(3)) + 1
         for (ld <- valid(y.toInt, m, d.toInt); t <- timeSuffix(sfx))
           yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
       case DayMonthName(d, mon, y, sfx) =>
-        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT)) + 1
+        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT).take(3)) + 1
         for (ld <- valid(y.toInt, m, d.toInt); t <- timeSuffix(sfx))
           yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
       case TripletYmd(y, s1, m, s2, d, sfx) if sepsOk(s1, s2) =>

@@ -148,9 +148,12 @@ object NormalizeCol {
   /** Month-name families ("Jan 5, 2024" / "5 Jan 2024", abbreviated or
     * full, any case), day-validity coupled to the named month.
     */
-  private val Mon31 = "(?i:jan|mar|may|jul|aug|oct|dec)[a-zA-Z]*"
-  private val Mon30 = "(?i:apr|jun|sep|nov)[a-zA-Z]*"
-  private val MonFeb = "(?i:feb)[a-zA-Z]*"
+  // dateutil's month vocabulary is exact: abbreviation, full name, or
+  // (September only) "sept" — garbage suffixes like "janx"/"septem" fail
+  private val Mon31 =
+    "(?i:jan(?:uary)?|mar(?:ch)?|may|jul(?:y)?|aug(?:ust)?|oct(?:ober)?|dec(?:ember)?)"
+  private val Mon30 = "(?i:apr(?:il)?|jun(?:e)?|sep(?:t(?:ember)?)?|nov(?:ember)?)"
+  private val MonFeb = "(?i:feb(?:ruary)?)"
   private val MonthNameRe =
     "((" + Mon31 + " " + D31a + "|" + Mon30 + " " + D30a + "|" + MonFeb + " " + D28a +
       "),? " + Y4nz + "|" + MonFeb + " 29,? " + Leap4 + ")"

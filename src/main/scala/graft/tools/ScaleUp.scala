@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *    ZERO cross-replica collisions — duplicate rates stay at the corpus's
   *    natural level instead of inflating ×N (which would turn a linearity
   *    measurement into a duplicate-blowup stress test).
-  *  - embeddings.embedding: rotated by r positions. Norms, coordinate
+  *  - embeddings.embedding: rotated by r mod 16 positions (the dim is 64,
+  *    TESTDATA.md — any factor ≤ 16 keeps rotations within bounds and
+  *    distinct per replica). Norms, coordinate
   *    distributions, and intra-replica geometry are exactly preserved;
   *    cross-replica cosines decorrelate.
   *

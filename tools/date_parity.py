@@ -105,6 +105,13 @@ add("Feb 29, 2000", "month_name")
 add("Feb 29, 1900", "month_name")
 add("29 February 2000", "day_month_name")
 add("29 feb 1900", "day_month_name")
+# dateutil's month vocabulary is EXACT (abbrev | full | 'sept'): garbage
+# suffixes and truncations must fail; 'sept'/'Sept' must parse
+for s in ["Sept 5, 2024", "sept 5 2024", "5 sept 2024", "SEPT 5 2024",
+          "janx 5 2024", "Janu 5 2024", "septem 5 2024", "januarys 5 2024",
+          "mayo 5 2024", "julie 5 2024", "Octob 5 2024", "decemberx 5 2024",
+          "5 janx 2024", "5 septem 2024", "june 5 2024", "JUNE 5 2024"]:
+    add(s, "month_name_vocab")
 
 # ---- time suffixes on valid base dates ----
 BASES = ["2024/01/05", "05/01/2024", "2024-1-5", "13.01.2024",

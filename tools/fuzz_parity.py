@@ -181,7 +181,11 @@ def jval(x):
 # documented deviation, fully characterized per column.
 import datetime as _dt
 import re as _re
-_MON = "(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+# exact month vocabulary (abbrev | full | 'sept'), mirroring dateutil —
+# garbage suffixes like "janx"/"septem" must NOT match
+_MON = ("(jan(?:uary)?|feb(?:ruary)?|mar(?:ch)?|apr(?:il)?|may|jun(?:e)?|"
+        "jul(?:y)?|aug(?:ust)?|sep(?:t(?:ember)?)?|oct(?:ober)?|"
+        "nov(?:ember)?|dec(?:ember)?)")
 _B_ISO = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})$')
 _B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}([.,]\d*)?)?(Z|[+-]\d{2}:?\d{2})?$')
 # round-8 free-form families (etl/Normalize.scala Dates.TripletYmd/Dmy +
@@ -260,12 +264,12 @@ def battery_parse(s, *a, **k):
     if m:
         if not _b_sfx_ok(m.group(4)):
             raise ValueError(s)
-        return d(m.group(3), _MONTHS.index(m.group(1).lower()) + 1, m.group(2))
+        return d(m.group(3), _MONTHS.index(m.group(1).lower()[:3]) + 1, m.group(2))
     m = _B_DMONY.match(s)
     if m:
         if not _b_sfx_ok(m.group(4)):
             raise ValueError(s)
-        return d(m.group(3), _MONTHS.index(m.group(2).lower()) + 1, m.group(1))
+        return d(m.group(3), _MONTHS.index(m.group(2).lower()[:3]) + 1, m.group(1))
     m = _B_TRIP_YMD.match(s)
     if m:
         if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
