@@ -28,6 +28,13 @@ package graft.ops
   *    `data` chunks walked in order: channels / sample rate / bit depth
   *    from the format chunk, [[frame]] returns one sample frame (all
   *    channels at one instant).
+  *  - `audio/mpeg` — MP3 metadata via the [[Mp3]] frame walker (real
+  *    sync/bitrate/sample-rate header parse per ISO/IEC 11172-3, ID3v2
+  *    skip, ID3v1 trailer, CBR/VBR): exact duration and shape WITHOUT
+  *    sample decode, which is how corpus scans handle compressed audio
+  *    at scale. [[frame]] returns one coded frame (header + payload);
+  *    `features` are coded-byte fingerprints, not PCM (Layer III
+  *    synthesis is documented out of scope in [[Mp3]]).
   *
   * Anything else throws, mirroring the reference's unsupported-type guard
   * (`/root/reference/backend/etl_pipeline.py` raises on extensions it has
@@ -307,8 +314,32 @@ object BinaryMediaDecoder extends MediaDecoder {
         }
       }
       Multimodal.Decoded(b.blob_id, b.mime, hd.rate, hd.channels, nFrames, feats)
+    case "audio/mpeg" =>
+      val info = Mp3.parse(b.content)
+      // features: 8 evenly spaced coded bytes of the audio region,
+      // normalized — a deterministic content fingerprint (the WAV branch
+      // samples PCM; MP3 sample decode is out of scope, see [[Mp3]])
+      val a0 = info.id3v2Bytes
+      val aLen = info.totalFrameBytes.toInt
+      val feats = Array.tabulate(8) { i =>
+        val o = a0 + (i.toLong * (aLen - 1) / math.max(1, 7)).toInt
+        (u8(b.content, o) / 255.0).toFloat
+      }
+      // the natural shape triple, mirroring WAV: width = sample rate,
+      // height = channels, n_frames = PCM samples (exact duration =
+      // n_frames / width seconds)
+      Multimodal.Decoded(b.blob_id, b.mime, info.sampleRate, info.channels,
+        info.totalSamples.toInt, feats)
     case other =>
       throw new IllegalArgumentException(s"unsupported media type: $other")
+  }
+
+  /** Parsed MP3 stream info — the one-shot accessor pipeline audits use,
+    * sibling of [[pngRaster]]/[[jpegRaster]].
+    */
+  def mp3Info(b: Multimodal.Blob): Mp3.Info = {
+    require(b.mime == "audio/mpeg", s"mp3Info on mime ${b.mime}")
+    Mp3.parse(b.content)
   }
 
   def frame(b: Multimodal.Blob, idx: Int): Array[Byte] = b.mime match {
@@ -342,6 +373,14 @@ object BinaryMediaDecoder extends MediaDecoder {
       require(idx >= 0 && (idx + 1) * fb <= hd.dataLen, s"sample frame $idx out of range")
       val out = new Array[Byte](fb)
       System.arraycopy(b.content, hd.dataOff + idx * fb, out, 0, fb)
+      out
+    case "audio/mpeg" =>
+      val info = Mp3.parse(b.content)
+      require(idx >= 0 && idx < info.nFrames,
+        s"frame $idx out of range 0..${info.nFrames - 1}")
+      val f = info.frames(idx)
+      val out = new Array[Byte](f.frameBytes)
+      System.arraycopy(b.content, f.offset, out, 0, f.frameBytes)
       out
     case other =>
       throw new IllegalArgumentException(s"unsupported media type: $other")

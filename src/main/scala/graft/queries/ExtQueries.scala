@@ -891,6 +891,97 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // REAL compressed-AUDIO metadata scan: each doc's text deterministically
+    // picks an MPEG-1 Layer III frame plan (sample rate by doc_id, 2-9
+    // frames, per-frame bitrate index + padding bit from text bytes, an
+    // ID3v2 tag of len%100 body bytes) which Mp3.encodeV1L3 emits as a
+    // GENUINE MP3 byte stream — real sync words, real header fields — and
+    // the Mp3 frame walker parses back: ID3v2 syncsafe skip, per-frame
+    // bitrate/sample-rate table lookups, the Layer III frame-length
+    // arithmetic (144000·kbps/rate + pad, truncating), VBR detection.
+    // Every audited number is READ from the parsed headers (a one-byte
+    // frame-length error desyncs the walk and breaks the hash), and
+    // payload_bytes pits the Scala frame-length arithmetic against an
+    // independent DuckDB re-implementation. This is the scan shape audio
+    // curation runs at 100 TB: exact duration/bitrate/shape metadata
+    // WITHOUT sample decode (Layer III synthesis documented out of scope
+    // in ops/Mp3.scala). Scale: per-row map, shuffle-free until the 3-row
+    // aggregate; corpus is ASCII (the mm02 convention).
+    GraftQuery(
+      "mm05_mp3_scan",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val len = bytes.length
+            val rateIdx = (id % 3).toInt
+            val nf = 2 + (len % 8)
+            val plan = (0 until nf).map { i =>
+              val brIdx = 1 + (((bytes((i * 11 + 7) % len) & 0xff) + i) % 14)
+              val pad = ((bytes((i * 5 + 2) % len) & 0xff) % 2) == 1
+              (brIdx, pad)
+            }
+            val payload = graft.ops.Mp3.encodeV1L3(rateIdx, plan, len % 100,
+              (f, i) => bytes(((f + 2) * 31 + i * 7) % len))
+            val blob = graft.ops.Multimodal.Blob(id, payload, "audio/mpeg", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val info = graft.ops.BinaryMediaDecoder.mp3Info(blob)
+            (meta.width.toLong, info.nFrames.toLong, meta.n_frames.toLong,
+              payload.length.toLong, info.sumBitrateKbps, info.nPadded.toLong,
+              if (info.vbr) 1L else 0L)
+          }
+        }.toDF("rate", "frames", "samples", "bytes", "kbps", "padded", "vbr")
+        audited.groupBy(col("rate"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("frames")).as("sum_frames"),
+            sum(col("samples")).as("sum_samples"),
+            sum(col("bytes")).as("sum_bytes"),
+            sum(col("kbps")).as("kbps_sum"),
+            sum(col("padded")).as("n_padded"),
+            sum(col("vbr")).as("n_vbr"))
+      },
+      // mirrors the generation plan + the MPEG-1 Layer III tables: bitrate
+      // list literal = indices 1..14 of ISO 11172-3 Table B.1; frame bytes
+      // = 144000·kbps//rate + pad; ID3v2 = 10 header + len%100 body bytes
+      // (absent when len%100 = 0); 1152 samples per MPEG-1 Layer III frame
+      Some("""WITH a AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          f AS (SELECT doc_id, text, len,
+              CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+              2 + (len % 8) AS nf,
+              CASE WHEN len % 100 > 0 THEN 10 + len % 100 ELSE 0 END AS id3
+            FROM a),
+          k AS (SELECT doc_id, rate, nf, id3,
+              list_transform(range(0, nf), i ->
+                ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+                  1 + ((ascii(substring(text, ((i*11 + 7) % len) + 1, 1)) + i) % 14)]) AS kbps,
+              list_transform(range(0, nf), i ->
+                ascii(substring(text, ((i*5 + 2) % len) + 1, 1)) % 2) AS pad
+            FROM f),
+          s AS (SELECT doc_id, rate, nf,
+              CAST(list_sum(kbps) AS BIGINT) AS kbps_sum,
+              CAST(list_sum(pad) AS BIGINT) AS n_padded,
+              CAST(id3 + list_sum(list_transform(range(0, nf), i ->
+                (144000 * kbps[i + 1]) // rate + pad[i + 1])) AS BIGINT) AS payload_bytes,
+              CASE WHEN len(list_distinct(kbps)) > 1 THEN 1 ELSE 0 END AS vbr
+            FROM k)
+        SELECT CAST(rate AS BIGINT) AS rate, count(*) AS n_blobs,
+          CAST(sum(nf) AS BIGINT) AS sum_frames,
+          CAST(sum(nf) * 1152 AS BIGINT) AS sum_samples,
+          CAST(sum(payload_bytes) AS BIGINT) AS sum_bytes,
+          CAST(sum(kbps_sum) AS BIGINT) AS kbps_sum,
+          CAST(sum(n_padded) AS BIGINT) AS n_padded,
+          CAST(sum(vbr) AS BIGINT) AS n_vbr
+        FROM s GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     // pairs (iterative min-label propagation, one shuffle per round — the
     // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
