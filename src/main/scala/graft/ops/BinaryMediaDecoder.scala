@@ -24,6 +24,12 @@ package graft.ops
   *    PNM (P6 PPM / P5 PGM, maxval <= 255): ASCII header (with `#`
   *    comments) + raw top-down samples; [[frame]] returns one pixel row
   *    (RGB or gray), [[resize]] re-emits a valid PNM of the same magic.
+  *  - `image/gif` — GIF87a/89a first frame via [[Gif]] (variable-width
+  *    LZW with dictionary growth and the KwKwK case, global/local color
+  *    tables, extension skip, 4-pass interlace). [[resize]] is exact in
+  *    palette space: nearest-neighbor on the INDEX raster re-encoded
+  *    against the original color table, so no re-quantization ever
+  *    happens; [[frame]] returns one RGB row.
   *  - `audio/wav` (and `audio/x-wav`) — RIFF/WAVE with PCM `fmt ` and
   *    `data` chunks walked in order: channels / sample rate / bit depth
   *    from the format chunk, [[frame]] returns one sample frame (all
@@ -239,6 +245,10 @@ object BinaryMediaDecoder extends MediaDecoder {
       val (hd, px) = Jpeg.decode(b.content)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
         rasterFeaturesRgb(hd.w, hd.h, hd.channels, px))
+    case "image/gif" =>
+      val (hd, px) = Gif.decode(b.content)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
+        rasterFeaturesRgb(hd.w, hd.h, 3, px))
     case "image/bmp" =>
       val hd = parseBmp(b.content)
       // features from REAL pixels: mean B/G/R, mean luma, the two aspect
@@ -334,6 +344,14 @@ object BinaryMediaDecoder extends MediaDecoder {
       throw new IllegalArgumentException(s"unsupported media type: $other")
   }
 
+  /** Decoded full RGB raster — the one-shot accessor pipeline audits use,
+    * sibling of [[pngRaster]]/[[jpegRaster]].
+    */
+  def gifRaster(b: Multimodal.Blob): (Gif.Header, Array[Byte]) = {
+    require(b.mime == "image/gif", s"gifRaster on mime ${b.mime}")
+    Gif.decode(b.content)
+  }
+
   /** Parsed MP3 stream info — the one-shot accessor pipeline audits use,
     * sibling of [[pngRaster]]/[[jpegRaster]].
     */
@@ -360,6 +378,12 @@ object BinaryMediaDecoder extends MediaDecoder {
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
       val row = new Array[Byte](hd.w * 3)
       System.arraycopy(b.content, pixelOff(hd, 0, idx), row, 0, hd.w * 3)
+      row
+    case "image/gif" =>
+      val (hd, px) = Gif.decode(b.content)
+      require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
+      val row = new Array[Byte](hd.w * 3)
+      System.arraycopy(px, idx * row.length, row, 0, row.length)
       row
     case "image/x-portable-pixmap" | "image/x-portable-graymap" =>
       val hd = parsePnm(b.content)
@@ -449,6 +473,27 @@ object BinaryMediaDecoder extends MediaDecoder {
         y += 1
       }
       writePnm(hd.ch == 3, w, h, hd.maxval, out)
+    case "image/gif" =>
+      require(w > 0 && h > 0, s"degenerate target ${w}x$h")
+      val (hd, palette, idxRaster) = Gif.decodeIndexed(b.content)
+      // EXACT resize in palette space: nearest-neighbor over the INDEX
+      // raster (same integer mapping as BMP/PNG/PNM), re-encoded against
+      // the ORIGINAL color table — no re-quantization, every output color
+      // existed in the input. Sub-4-color tables pad with black to the
+      // encoder's 4-entry minimum (indices are untouched, so pixels are).
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * hd.h / h).toInt
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = idxRaster(sy * hd.w + (x.toLong * hd.w / w).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val pal = if (palette.length >= 12) palette else palette.padTo(12, 0.toByte)
+      Gif.encode(w, h, pal, out)
     case "image/jpeg" =>
       // JPEG is DECODE-ONLY here: a faithful lossy re-encode needs the
       // forward DCT + rate decisions of a full encoder, and silently

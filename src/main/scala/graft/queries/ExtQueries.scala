@@ -982,6 +982,64 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // REAL LZW decode, oracle-audited end to end: each doc's text bytes
+    // pick a 4-color palette AND a 16×16 index raster; Gif.encode emits a
+    // genuine GIF89a (real LZW bit packing, clear codes, sub-block
+    // framing) and the general Gif decoder walks it back — variable-width
+    // code reads, dictionary bookkeeping, palette application. The audit
+    // sums the decoded RGB bytes; the oracle recomputes palette[idx]
+    // straight from the text in DuckDB, so one wrong bit anywhere in the
+    // pack→LZW→palette path breaks the hash. Scale: per-row map,
+    // shuffle-free until the 1-row aggregate; corpus is ASCII (the mm02
+    // convention).
+    GraftQuery(
+      "mm06_gif_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val len = bytes.length
+            val palette = Array.tabulate(12)(j => bytes((j * 5 + 1) % len))
+            val idx = Array.tabulate(16 * 16)(i => ((bytes((i * 3 + 2) % len) & 0xff) % 4).toByte)
+            val blob = graft.ops.Multimodal.Blob(
+              id, graft.ops.Gif.encode(16, 16, palette, idx), "image/gif", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val (_, px) = graft.ops.BinaryMediaDecoder.gifRaster(blob)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      // palette channel (entry j, channel c) = text[(3j+c)·5+1 mod len];
+      // pixel i's index = text[3i+2 mod len] mod 4; checksum = Σ_i Σ_c
+      // palette[idx_i·3+c]
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 256), i ->
+                list_sum(list_transform(range(0, 3), c ->
+                  ascii(substring(text,
+                    ((((ascii(substring(text, ((i*3 + 2) % len) + 1, 1)) % 4)
+                       * 3 + c) * 5 + 1) % len) + 1, 1)))))) AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     // pairs (iterative min-label propagation, one shuffle per round — the
     // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
