@@ -1040,6 +1040,61 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
+    // REAL codec through the REAL Spark operator: mm02 audits the
+    // Dataset[Blob] resize plumbing with the stub codec; this is the same
+    // output-parity audit with BinaryMediaDecoder plugged in — each doc's
+    // text becomes a genuine 16×16 P5 PGM, Multimodal.resize (the
+    // per-partition operator a training pipeline runs, not a direct
+    // function call) downsamples it 2× through the real PNM parse +
+    // nearest-neighbor + re-emit, and the audit checksums the actual
+    // output bytes. The oracle recomputes the NN mapping (out[y,x] =
+    // in[2y,2x]) straight from the text, and total_out_bytes pins the
+    // writer's exact header+raster length. Scale: two chained per-row
+    // maps, shuffle-free until the 1-row aggregate; corpus is ASCII.
+    GraftQuery(
+      "mm07_resize_real_codec",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val blobs = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val head = "P5\n16 16\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val px = Array.tabulate(16 * 16)(i => bytes((i * 7 + 3) % bytes.length))
+          graft.ops.Multimodal.Blob(id, head ++ px, "image/x-portable-graymap", Map.empty)
+        }
+        val resized = graft.ops.Multimodal.resize(
+          blobs, 8, 8, graft.ops.BinaryMediaDecoder)
+        resized.map { b =>
+          var sum = 0L
+          var i = b.content.length - 64 // "P5\n8 8\n255\n" header + 64 samples
+          while (i < b.content.length) { sum += b.content(i) & 0xff; i += 1 }
+          (b.content.length.toLong, sum)
+        }.toDF("out_len", "psum")
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("out_len")).as("total_out_bytes"),
+            sum(col("psum")).as("pixel_checksum"))
+      },
+      // NN 2× downsample: out pixel i (row i//8, col i%8) = source sample
+      // (32·(i//8) + 2·(i%8)), source sample j = text[7j+3 mod len];
+      // output file = 11 header bytes ("P5\n8 8\n255\n") + 64 samples
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 64), i ->
+                ascii(substring(text,
+                  ((((i // 8) * 32 + (i % 8) * 2) * 7 + 3) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 75 AS BIGINT) AS total_out_bytes,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // near-dup CLUSTERS: connected components over the MinHash-LSH candidate
     // pairs (iterative min-label propagation, one shuffle per round — the
     // "keep one per cluster" resolution step of a dedup pipeline). Oracle:
