@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * stages as partition-mapped operators.
   *
   * The Spark-side plumbing — schema, batching shape, partition parallelism,
-  * determinism — is real and tested; the actual codec is STUBBED behind
-  * [[MediaDecoder]] (this container ships no image/audio libraries). A
-  * production deployment plugs a JNI/library decoder into the same trait;
-  * nothing else changes. Work is per-row and embarrassingly parallel: no
-  * shuffle, scales linearly with corpus size, and binary columns stay
-  * columnar (parquet BYTE_ARRAY) end to end.
+  * determinism — is real and tested. Codecs plug in behind [[MediaDecoder]]:
+  * [[StubDecoder]] (the default, a deterministic fake whose metadata is
+  * SQL-recomputable, which is what the mm01/mm02 oracles audit) and
+  * [[BinaryMediaDecoder]] (real pure-JVM BMP/PNM/PNG/JPEG/GIF/WAV decode
+  * plus the MP3 metadata walk — the formats decodable without native
+  * libraries, which this container ships none of). A production deployment
+  * plugs a JNI/library decoder for the remaining formats (H.264 video,
+  * lossy-audio synthesis) into the same trait; nothing else changes. Work
+  * is per-row and embarrassingly parallel: no shuffle, scales linearly
+  * with corpus size, and binary columns stay columnar (parquet BYTE_ARRAY)
+  * end to end.
   */
 object Multimodal {
 

@@ -443,7 +443,11 @@ object EtlQueries {
     // pipeline is the production path (per-partition extraction UDFs, one
     // unpivot shuffle for the profile); the doc grouping is a plain
     // groupBy. etl10 stays the golden-pinned corpus run; this row gives
-    // the same dataflow a DuckDB hash-match.
+    // the same dataflow a DuckDB hash-match. The corpus samples orders
+    // 1/8 by key: the row exists to hash-verify the DATAFLOW (every
+    // branch/quirk above still fires — ck nulls land on every 56th key),
+    // not to re-bench the flagship at full volume; etl10 carries the
+    // pipeline's bench weight.
     GraftQuery(
       "etl17_doc_pipeline_profile",
       (s, d) => {
@@ -454,6 +458,7 @@ object EtlQueries {
           when(col("o_orderkey") % 7 === 0, lit("null"))
             .otherwise(col("o_custkey").cast("string")))
         val docs = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 8 === 0)
           .select(pmod(col("o_orderkey"), lit(600)).as("doc_id"), rec.as("rec"))
           .groupBy(col("doc_id"))
           .agg(concat(lit("["), array_join(collect_list(col("rec")), ","), lit("]"))
@@ -465,7 +470,7 @@ object EtlQueries {
       Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate,
             o_orderpriority,
             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS ck
-          FROM orders),
+          FROM orders WHERE o_orderkey % 8 = 0),
         -- the pipeline's post-normalize cell rendering per column (3 copies
         -- of every record: E1 untagged + E2/E3 tagged 'json'):
         --   ok  → phone-quirk digit STRING of the key (branch (b) chain)
