@@ -46,4 +46,38 @@ object CorpusStreams {
     docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
       .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+
+  /** Streaming media-ingest scan — the decode-on-arrival shape of a
+    * multimodal corpus feed: every arriving blob runs through the REAL
+    * codec ([[graft.ops.BinaryMediaDecoder]], opened once per partition —
+    * the same batch-shape contract as [[graft.ops.Multimodal.decode]])
+    * and a keyed aggregate maintains per-mime shape totals (blob count,
+    * summed width/height/frames, payload bytes). Decode is a stateless
+    * per-row map, so the only streaming state is one row of five longs
+    * per mime — bounded by the format vocabulary at any corpus scale.
+    * Update-mode emissions feed ingest dashboards / admission checks;
+    * exact parity with the batch groupBy is pinned by
+    * [[graft.streaming.StreamingMediaSpec]].
+    *
+    * Expects columns (blob_id long, content binary, mime string).
+    */
+  def mediaScan(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val decoded = blobs
+      .select(col("blob_id").cast("long"), col("content").cast("binary"), col("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        val dec = graft.ops.BinaryMediaDecoder.open()
+        it.map { case (id, content, mime) =>
+          val d = dec.decode(graft.ops.Multimodal.Blob(id, content, mime, Map.empty))
+          (d.mime, d.width.toLong, d.height.toLong, d.n_frames.toLong,
+            content.length.toLong)
+        }
+      }.toDF("mime", "w", "h", "frames", "bytes")
+    decoded.groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("w")).as("sum_w"),
+        sum(col("h")).as("sum_h"), sum(col("frames")).as("sum_frames"),
+        sum(col("bytes")).as("sum_bytes"))
+  }
 }
