@@ -399,10 +399,14 @@ object BinaryMediaDecoder extends MediaDecoder {
       System.arraycopy(b.content, hd.dataOff + idx * fb, out, 0, fb)
       out
     case "audio/mpeg" =>
+      // decode() reports n_frames in PCM SAMPLES (the duration unit, the
+      // WAV convention), so a frame index here is a sample instant; return
+      // the CODED frame containing it — what sampleFrames' evenly spaced
+      // instants want, since a lone PCM sample has no coded representation
       val info = Mp3.parse(b.content)
-      require(idx >= 0 && idx < info.nFrames,
-        s"frame $idx out of range 0..${info.nFrames - 1}")
-      val f = info.frames(idx)
+      require(idx >= 0 && idx < info.totalSamples,
+        s"sample $idx out of range 0..${info.totalSamples - 1}")
+      val f = info.frames(idx / info.frames.head.samples)
       val out = new Array[Byte](f.frameBytes)
       System.arraycopy(b.content, f.offset, out, 0, f.frameBytes)
       out

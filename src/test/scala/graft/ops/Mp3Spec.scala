@@ -131,10 +131,14 @@ class Mp3Spec extends AnyFunSuite {
     assert(d.n_frames == 2 * 1152) // PCM samples
     assert(d.features.length == 8)
     assert(d.features.forall(f => f >= 0.0f && f <= 1.0f))
-    // frame() returns the idx-th coded frame, header included
-    val f1 = BinaryMediaDecoder.frame(blob, 1)
+    // frame() takes a PCM-sample instant (decode's n_frames unit) and
+    // returns the CODED frame containing it, header included
+    val f1 = BinaryMediaDecoder.frame(blob, 1152) // first sample of frame 1
     assert(f1.length == 384) // 144000·128/48000
     assert((f1(0) & 0xff) == 0xff && (f1(1) & 0xe0) == 0xe0)
-    assertThrows[IllegalArgumentException](BinaryMediaDecoder.frame(blob, 2))
+    assert(BinaryMediaDecoder.frame(blob, 0).length == 384) // frame 0
+    assert(BinaryMediaDecoder.frame(blob, 2 * 1152 - 1).length == 384) // last sample
+    assertThrows[IllegalArgumentException](BinaryMediaDecoder.frame(blob, 2 * 1152))
   }
+
 }

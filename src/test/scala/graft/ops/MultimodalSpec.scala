@@ -210,4 +210,22 @@ class MultimodalSpec extends SparkSpec {
       assert(b.meta("width") == "8" && b.meta("height") == "8")
     }
   }
+
+  test("sampleFrames composes with the real codec on MP3 (PCM-instant indexing)") {
+    import spark.implicits._
+    val mk = (id: Long, n: Int) => Multimodal.Blob(id,
+      Mp3.encodeV1L3(0, Seq.fill(n)((9, false)), 0, (f, i) => ((f + i) % 83).toByte),
+      "audio/mpeg", Map.empty)
+    val blobs = Seq(mk(1L, 5), mk(2L, 2)).toDS()
+    val frames = Multimodal.sampleFrames(blobs, 4, BinaryMediaDecoder).collect()
+    // 4 evenly spaced PCM instants per blob (decode's n_frames unit);
+    // every returned payload is a genuine coded frame (sync word, CBR
+    // length 417 = 144000·128/44100)
+    assert(frames.length == 8)
+    assert(frames.forall(f => f.content.length == 417 &&
+      (f.content(0) & 0xff) == 0xff && (f.content(1) & 0xe0) == 0xe0))
+    // instants span the stream: first sample through the final one
+    val b1 = frames.filter(_.blob_id == 1L).map(_.frame_idx)
+    assert(b1.min == 0 && b1.max == 5 * 1152 - 1)
+  }
 }
