@@ -255,14 +255,37 @@ object Dates {
     * the two remaining members the first is the month unless it exceeds 12
     * ("13-01-2024" → day 13, "05-01-2024" → May 1 — US month-first
     * default). An optional time suffix rides behind ' ' or 'T' (see
-    * [[timeSuffix]]). 2-digit-year triplets stay OUT of battery: dateutil
-    * resolves them against the run date's ±50-year century window
-    * (documented deviation family, measured by DateParitySpec).
+    * [[timeSuffix]]). All-short (2-digit-year) triplets are the separate
+    * run-date-resolved battery below ([[TripletShort]]).
     */
   private val TripletYmd =
     "^(\\d{4})([/.\\-])(\\d{1,2})([/.\\-])(\\d{1,2})((?:[T ].*)?)$".r
   private val TripletDmy =
     "^(\\d{1,2})([/.\\-])(\\d{1,2})([/.\\-])(\\d{4})((?:[T ].*)?)$".r
+  /** All-short numeric triplets (every member 1-2 digits), round 8:
+    * dateutil resolves these against the RUN DATE. Member order
+    * (_ymd.resolve_ymd with no 4-digit hint, yearfirst/dayfirst off):
+    * first member > 31 → Y/M/D, > 12 → D/M/Y, else M/D/Y; a ≤2-digit
+    * year then converts through parserinfo.convertyear's ±50-year window
+    * around today (century = today/100·100, adjust ±100 when
+    * |year − today| ≥ 50 — see [[convertYear2]]). Separator and
+    * time-suffix rules are the 4-digit triplets'. `today` is injectable
+    * for the golden spec (tools/date_parity.py records its run date);
+    * production callers bind the wall clock, exactly like
+    * [[commaIntDateVote]]. 3-digit-year members (e.g. "05/01/999" —
+    * dateutil reads 999 as a pinned year) remain the logged out-of-battery
+    * tail.
+    */
+  private val TripletShort =
+    "^(\\d{1,2})([/.\\-])(\\d{1,2})([/.\\-])(\\d{1,2})((?:[T ].*)?)$".r
+
+  /** dateutil `parserinfo.convertyear` for a bare ≤2-digit year. */
+  private[etl] def convertYear2(y: Int, today: LocalDate): Int = {
+    val base = y + today.getYear / 100 * 100
+    if (math.abs(base - today.getYear) >= 50)
+      (if (base < today.getYear) base + 100 else base - 100)
+    else base
+  }
   /** Dot separators must come in pairs (see scaladoc above). */
   private def sepsOk(a: String, b: String): Boolean = (a == ".") == (b == ".")
   /** dateutil's month vocabulary is EXACT — abbreviation, full name, or
@@ -314,9 +337,16 @@ object Dates {
   }
 
   def parses(s0: String): Boolean = parseIso(s0).isDefined
+  def parses(s0: String, today: LocalDate): Boolean = parseIso(s0, today).isDefined
 
-  /** Parse to `datetime.isoformat()`-style string, or None. */
-  def parseIso(s0: String): Option[String] = {
+  /** Parse to `datetime.isoformat()`-style string, or None. The wall-clock
+    * overload matches the reference (dateutil binds `datetime.now()`); the
+    * `today` overload exists for the pinned-run-date golden spec.
+    */
+  def parseIso(s0: String): Option[String] =
+    parseIso(s0, java.time.LocalDate.now())
+
+  def parseIso(s0: String, today: LocalDate): Option[String] = {
     val s = s0.strip()
     s match {
       case IsoDate(y, m, d) =>
@@ -356,6 +386,13 @@ object Dates {
         val a = a0.toInt; val b = b0.toInt
         val (m, d) = if (a > 12) (b, a) else (a, b)
         for (ld <- valid(y.toInt, m, d); t <- timeSuffix(sfx))
+          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
+      case TripletShort(a0, s1, b0, s2, c0, sfx) if sepsOk(s1, s2) =>
+        val a = a0.toInt; val b = b0.toInt; val c = c0.toInt
+        val (y2, m, d) =
+          if (a > 31) (a, b, c) else if (a > 12) (c, b, a) else (c, a, b)
+        val y = convertYear2(y2, today)
+        for (ld <- valid(y, m, d); t <- timeSuffix(sfx))
           yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
       case _ => None
     }

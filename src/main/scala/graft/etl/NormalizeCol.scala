@@ -145,6 +145,27 @@ object NormalizeCol {
     "(" + tripletDmy("[/\\-]") + "|" + tripletDmy("\\.") + ")"
   private val TripletYmdRe =
     "(" + tripletYmd("[/\\-]") + "|" + tripletYmd("\\.") + ")"
+  // ---- all-short triplets (1-2-digit members, round 8): dateutil reads
+  // first>31 → Y/M/D, first>12 → D/M/Y, else M/D/Y, with the 2-digit year
+  // resolved through convertyear's ±50-year window around the run date
+  // (see Dates.TripletShort). Feb-29 coupling uses "yy % 4 == 0", exact
+  // under the current window by the same argument [[Dates.TripletRe]]
+  // documents for the bare-6-digit family (every mapped year divisible by
+  // 4 is a leap year while 00 ↦ 2000).
+  private val Y2 = "(\\d{1,2})"
+  private val Leap2 = "(0?[048]|[2468][048]|[13579][26])"
+  private val Y2first = "(3[2-9]|[4-9]\\d)"
+  private val Leap2first = "(3[26]|[468][048]|[579][26])"
+  private def tripletShort(Sp: String): String =
+    "(" + M31a + Sp + D31a + Sp + Y2 + "|" + M30a + Sp + D30a + Sp + Y2 +
+      "|0?2" + Sp + D28a + Sp + Y2 + "|0?2" + Sp + "29" + Sp + Leap2 +
+      "|(1[3-9]|2[0-8])" + Sp + M12a + Sp + Y2 +
+      "|29" + Sp + "(" + MNoFebA + Sp + Y2 + "|0?2" + Sp + Leap2 + ")" +
+      "|30" + Sp + MNoFebA + Sp + Y2 + "|31" + Sp + M31a + Sp + Y2 +
+      "|" + Y2first + Sp + "(" + M31a + Sp + D31a + "|" + M30a + Sp + D30a +
+      "|0?2" + Sp + D28a + ")|" + Leap2first + Sp + "0?2" + Sp + "29)"
+  private val TripletShortRe =
+    "(" + tripletShort("[/\\-]") + "|" + tripletShort("\\.") + ")"
   /** Month-name families ("Jan 5, 2024" / "5 Jan 2024", abbreviated or
     * full, any case), day-validity coupled to the named month.
     */
@@ -179,6 +200,7 @@ object NormalizeCol {
   val InferDateRe =
     "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?|" +
       TripletDmyRe + TimeSfxA + "|" + TripletYmdRe + TimeSfxA + "|" +
+      TripletShortRe + TimeSfxA + "|" +
       MonthNameRe + TimeSfxA + "|" + DayMonthNameRe + TimeSfxA + "|" +
       Dates.NegNumDateRe + ")$"
 

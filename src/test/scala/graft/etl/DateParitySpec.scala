@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * out-of-battery families).
   *
   * Covered families must match EXACTLY (acceptance and rendered isoformat).
-  * Out-of-battery families (covered=false: 2-digit years, bare-hour and
+  * Out-of-battery families (covered=false: 3-digit years, bare-hour and
   * timezone suffixes, weekday prefixes, punctuation variants, multi-comma
   * digit strings) are measured and bounded, never silently asserted away:
   * the battery must at least never PARSE one of them to a WRONG value — for
@@ -19,11 +19,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DateParitySpec extends AnyFunSuite {
 
+  /** The generator's run date: dateutil resolved 2-digit years against ITS
+    * wall clock, so the battery must replay with the same date (production
+    * callers bind the live clock, matching live dateutil).
+    */
+  private var runDate: java.time.LocalDate = null
+
   private val golden: (Int, Vector[(String, String, Boolean, Option[String])]) = {
     val in = getClass.getResourceAsStream("/goldens/date_parity.json")
     val JObj(fields) = Json.parse(new String(in.readAllBytes(), "UTF-8")): @unchecked
     val m = fields.toMap
     val skipped = m("skipped_unstable").asInstanceOf[JInt].i.toInt
+    runDate = java.time.LocalDate.parse(m("run_date").asInstanceOf[JStr].s)
     val entries = m("entries").asInstanceOf[JArr].items.map {
       case JArr(Vector(JStr(s), JStr(fam), JBool(cov), iso)) =>
         val exp = iso match {
@@ -38,7 +45,7 @@ class DateParitySpec extends AnyFunSuite {
 
   test("covered families match dateutil exactly (acceptance AND isoformat)") {
     val failures = golden._2.filter(_._3).flatMap { case (s, fam, _, exp) =>
-      val got = Dates.parseIso(s)
+      val got = Dates.parseIso(s, runDate)
       if (got != exp) Some(s"[$fam] input=${PyRender.pyReprStr(s)} expected=$exp got=$got")
       else None
     }
@@ -51,7 +58,7 @@ class DateParitySpec extends AnyFunSuite {
     // parse must agree with dateutil. (A 2-digit-year triplet that we read
     // as something else entirely would corrupt cells, not just votes.)
     val wrong = golden._2.filterNot(_._3).flatMap { case (s, fam, _, exp) =>
-      Dates.parseIso(s) match {
+      Dates.parseIso(s, runDate) match {
         case Some(got) if !exp.contains(got) =>
           Some(s"[$fam] input=${PyRender.pyReprStr(s)} dateutil=$exp battery=$got")
         case _ => None
@@ -62,7 +69,7 @@ class DateParitySpec extends AnyFunSuite {
 
   test("out-of-battery deviation rate is bounded and reported") {
     val unc = golden._2.filterNot(_._3)
-    val dev = unc.count { case (s, _, _, exp) => Dates.parseIso(s) != exp }
+    val dev = unc.count { case (s, _, _, exp) => Dates.parseIso(s, runDate) != exp }
     info(s"out-of-battery shapes: ${unc.size}, deviating: $dev " +
       s"(families: ${unc.map(_._2).distinct.mkString(", ")})")
     // all uncovered families are small probe sets; the bound documents that
@@ -85,7 +92,7 @@ class DateParitySpec extends AnyFunSuite {
     // corpus at all.
     val isoLoose = "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?$".r
     val failures = golden._2.filter(_._3).flatMap { case (s, fam, _, _) =>
-      val model = Dates.parses(s)
+      val model = Dates.parses(s, runDate)
       val column = s.matches(NormalizeCol.InferDateRe)
       if (model != column && isoLoose.findFirstIn(s).isEmpty)
         Some(s"[$fam] input=${PyRender.pyReprStr(s)} model=$model column=$column")

@@ -127,9 +127,36 @@ for i, base in enumerate(BASES):
         sep = "T" if (i + j) % 4 == 0 and " " not in base else " "
         add(f"{base}{sep}{t}", "time_suffix")
 
+# ---- all-short triplets (2-digit years), covered as of round 8 ----
+# dateutil resolves these against the RUN DATE (convertyear's +-50-year
+# century window), so the golden records run_date and DateParitySpec passes
+# it into Dates.parseIso — the two-default tripwire still applies (these
+# depend on today, not on the default).
+for a in list(range(0, 33)) + [45, 76, 99]:
+    for b in list(range(0, 33)) + [45, 99]:
+        for c in [0, 4, 24, 26, 75, 76]:
+            sep = SEPS[(a + b + c) % 3]
+            add(f"{a:02d}{sep}{b:02d}{sep}{c:02d}", "short_triplet")
+for (a, b, c) in [(1, 5, 4), (5, 1, 99), (2, 29, 24), (2, 29, 23), (29, 2, 24),
+                  (2, 29, 0), (29, 2, 0), (96, 2, 29), (0, 1, 1), (13, 1, 2),
+                  (1, 13, 2), (45, 6, 15), (99, 12, 31), (31, 12, 1),
+                  (32, 1, 1), (45, 45, 1), (75, 2, 29), (76, 2, 29)]:
+    for sep in SEPS:
+        add(f"{a}{sep}{b}{sep}{c}", "short_triplet")
+        add(f"{a:02d}{sep}{b:02d}{sep}{c:02d}", "short_triplet")
+# separator mixing / dot-merge rules, same as the 4-digit families
+for s in ["05/01-24", "05-01/24", "5.1.24", "05.01.24", "05.01-24", "5.1-24",
+          "05/01.24", "45.6.15", "45.6-15"]:
+    add(s, "short_triplet")
+# time suffixes ride along
+for t in ["10:30", "0:30 PM", "10:30:45.123", "24:00", "13:30 PM"]:
+    add(f"5/1/24 {t}", "short_triplet")
+    add(f"45-6-15 {t}", "short_triplet")
+add("5/1/24T10:30", "short_triplet")
+
 # ---- documented OUT-OF-BATTERY families (measured, not asserted) ----
-for s in ["05/01/24", "5/1/99", "01-01-76", "12/25/00"]:
-    add(s, "two_digit_year", covered=False)
+for s in ["05/01/999", "999/01/05", "5-1-123", "123/4/5"]:
+    add(s, "three_digit_year", covered=False)
 for s in ["2024/01/05 10", "Jan 5 2024 7", "05/01/2024 23"]:
     add(s, "bare_hour", covered=False)
 for s in ["2024/01/05 10:30 +0500", "05 Jan 2024 10:30:00 GMT",
@@ -145,7 +172,9 @@ for s in ["12,34,56", "1,000,000"]:
 
 out = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/goldens/date_parity.json"
 with open(out, "w") as f:
-    json.dump({"skipped_unstable": skipped_unstable, "entries": entries}, f,
+    json.dump({"skipped_unstable": skipped_unstable,
+               "run_date": datetime.now().date().isoformat(),
+               "entries": entries}, f,
               separators=(",", ":"))
 n_cov = sum(1 for e in entries if e[2])
 n_parse = sum(1 for e in entries if e[3] is not None)

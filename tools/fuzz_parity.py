@@ -5,8 +5,9 @@ same format as ref_golden.py. graft.FuzzCheck then replays them through the
 Spark pipeline and compares cell-for-cell.
 
 Excluded from generation (documented engine deviations): dateutil-only date
-formats OUTSIDE the round-8 battery (2-digit-year triplets, bare-hour /
-timezone suffixes, weekday prefixes — see tools/date_parity.py), float-repr
+formats OUTSIDE the battery (3-digit-year members, bare-hour /
+timezone suffixes, weekday prefixes — see tools/date_parity.py; 2-digit-year
+triplets joined the battery in round 8, run-date-resolved), float-repr
 extremes (|x| >= 1e16), non-ASCII beyond the currency symbols. Negative
 numbers ARE generated (round 2): numeric-dtype columns take the
 is_numeric_dtype gate; object-column "-5" diverges only in the schema type
@@ -70,7 +71,10 @@ QUIRKS = ["NA", "n/a", "null", "none", "nan", "", "true", "True", "YES", "1",
           "January 5, 2024 10:30", "Jan 5 2024 10:30 PM",
           "5 January 2024 08:15", "05/01/2024 10:30:45.123",
           "2024-1-5 10:30", "2/29/2024", "2/29/2023", "11/31/2024",
-          "29 Feb 2024", "Feb 30, 2024"]
+          "29 Feb 2024", "Feb 30, 2024",
+          # round-8 short triplets (2-digit years, run-date-resolved)
+          "05/01/24", "5/1/99", "13.01.02", "45-6-15", "2/29/24",
+          "2/29/23", "31/12/99", "05/01/24 10:30", "96.2.29", "00/01/02"]
 
 
 def scalar():
@@ -194,6 +198,7 @@ _B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}([.,]\d*
 # optional H:MM[:SS[.f]][ AM/PM] time suffix behind ' ' or 'T'
 _B_TRIP_YMD = _re.compile(r'^(\d{4})([/.\-])(\d{1,2})([/.\-])(\d{1,2})((?:[T ].*)?)$')
 _B_TRIP_DMY = _re.compile(r'^(\d{1,2})([/.\-])(\d{1,2})([/.\-])(\d{4})((?:[T ].*)?)$')
+_B_TRIP_SHORT = _re.compile(r'^(\d{1,2})([/.\-])(\d{1,2})([/.\-])(\d{1,2})((?:[T ].*)?)$')
 _B_TIME = _re.compile(r'^[T ](\d{1,2}):(\d{2})(?::(\d{2})(?:[.,](\d+))?)? ?(?:([AaPp])\.?[Mm]\.?)?$')
 _B_MONDY = _re.compile(r'^%s[a-z]* (\d{1,2}),? (\d{4})((?:[T ].*)?)$' % _MON, _re.I)
 _B_DMONY = _re.compile(r'^(\d{1,2}) %s[a-z]* (\d{4})((?:[T ].*)?)$' % _MON, _re.I)
@@ -282,6 +287,26 @@ def battery_parse(s, *a, **k):
         a, b = int(m.group(1)), int(m.group(3))
         mo, dd = (b, a) if a > 12 else (a, b)
         return d(m.group(5), mo, dd)
+    # all-short triplets (2-digit years), round 8 — mirror of
+    # Dates.TripletShort: first>31 -> Y/M/D, first>12 -> D/M/Y, else M/D/Y,
+    # year through convertyear's +-50-year window around TODAY (this
+    # process's clock, the same one live dateutil binds)
+    m = _B_TRIP_SHORT.match(s)
+    if m:
+        if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
+            raise ValueError(s)
+        a, b, c = int(m.group(1)), int(m.group(3)), int(m.group(5))
+        if a > 31:
+            yy, mo, dd = a, b, c
+        elif a > 12:
+            yy, mo, dd = c, b, a
+        else:
+            yy, mo, dd = c, a, b
+        t = _dt.date.today().year
+        yy += t // 100 * 100
+        if abs(yy - t) >= 50:
+            yy += 100 if yy < t else -100
+        return d(yy, mo, dd)
     # digit-comma-digit family (round 7, vote-only) — exact mirror of
     # etl/Normalize.scala Dates.commaIntDateVote; see its scaladoc for the
     # dateutil tokenizer/branch derivation (0 mismatches over 2256 cases).
