@@ -244,40 +244,37 @@ object Dates {
   // trailing separator
   private val IsoDateTime =
     "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}(?::\\d{2}(?:[.,]\\d*)?)?)(Z|[+-]\\d{2}:?\\d{2})?$".r
-  // (round 8: the former UsSlash case is subsumed by TripletDmy, which also
-  // accepts the day-first reading UsSlash rejected — "13/01/2024" → Jan 13)
-  /** Free-form numeric triplets, round 8 (dateutil `_ymd` resolution): '/'
-    * and '-' are interchangeable JUMP tokens (even mixed within one string,
-    * "2024-01/05"); '.' separates only when BOTH separators are dots —
-    * dateutil's lexer merges a single digit-dot-digit run into one decimal
-    * token ("2024.01-05" fails) but SPLITS a two-dot run back into ymd
-    * members ("2024.01.05" parses). A 4-digit member pins the year; among
-    * the two remaining members the first is the month unless it exceeds 12
-    * ("13-01-2024" → day 13, "05-01-2024" → May 1 — US month-first
-    * default). An optional time suffix rides behind ' ' or 'T' (see
-    * [[timeSuffix]]). All-short (2-digit-year) triplets are the separate
-    * run-date-resolved battery below ([[TripletShort]]).
+  /** Free-form numeric triplets, round 8 — dateutil's `_ymd.resolve_ymd`
+    * in ONE rule (unified this round after probing the mixed-width edges;
+    * the earlier 4-digit/all-short/3-digit split encoded the same
+    * resolution piecewise):
+    *
+    *  - separators: '/' and '-' are interchangeable JUMP tokens (mixed
+    *    freely, "2024-01/05"); '.' separates only when BOTH separators are
+    *    dots (a single digit-dot-digit run merges into a decimal token —
+    *    "2024.01-05" fails, "2024.01.05" parses);
+    *  - member order by the FIRST member: value > 31 or width ≥ 3 digits
+    *    → (year, month, day); value > 12 → (day, month, year); else
+    *    (month, day, year) — the US month-first default. Width counts
+    *    because `_ymd.append` labels any ≥3-digit STRING a year
+    *    ("013/1/5" → year 13), and resolve_ymd honors that label only at
+    *    index 0;
+    *  - at most ONE member may be ≥3 digits wide — a second year label
+    *    conflicts ("05/013/2024" fails even though day 13 would fit);
+    *  - a ≤2-digit year converts through convertyear's ±50-year window
+    *    around the RUN DATE ("5/1/24" → 2024, "5/1/76" → 1976) UNLESS any
+    *    member was ≥3 digits wide, which sets dateutil's
+    *    century_specified and pins the year as written ("05/01/099" →
+    *    year 99, "13/1/024" → 0024-01-13);
+    *  - an optional time suffix rides behind ' '/'T'/a spaced comma (see
+    *    [[timeSuffix]]).
+    *
+    * `today` is injectable for the golden spec (tools/date_parity.py
+    * records its run date); production callers bind the wall clock,
+    * exactly like [[commaIntDateVote]].
     */
-  private val TripletYmd =
-    "^(\\d{4})([/.\\-])(\\d{1,2})([/.\\-])(\\d{1,2})((?:[T ].*)?)$".r
-  private val TripletDmy =
-    "^(\\d{1,2})([/.\\-])(\\d{1,2})([/.\\-])(\\d{4})((?:[T ].*)?)$".r
-  /** All-short numeric triplets (every member 1-2 digits), round 8:
-    * dateutil resolves these against the RUN DATE. Member order
-    * (_ymd.resolve_ymd with no 4-digit hint, yearfirst/dayfirst off):
-    * first member > 31 → Y/M/D, > 12 → D/M/Y, else M/D/Y; a ≤2-digit
-    * year then converts through parserinfo.convertyear's ±50-year window
-    * around today (century = today/100·100, adjust ±100 when
-    * |year − today| ≥ 50 — see [[convertYear2]]). Separator and
-    * time-suffix rules are the 4-digit triplets'. `today` is injectable
-    * for the golden spec (tools/date_parity.py records its run date);
-    * production callers bind the wall clock, exactly like
-    * [[commaIntDateVote]]. 3-digit-year members (e.g. "05/01/999" —
-    * dateutil reads 999 as a pinned year) remain the logged out-of-battery
-    * tail.
-    */
-  private val TripletShort =
-    "^(\\d{1,2})([/.\\-])(\\d{1,2})([/.\\-])(\\d{1,2})((?:[T ].*)?)$".r
+  private val TripletAny =
+    "^(\\d{1,4})([/.\\-])(\\d{1,4})([/.\\-])(\\d{1,4})((?:[T ,].*)?)$".r
 
   /** dateutil `parserinfo.convertyear` for a bare ≤2-digit year. */
   private[etl] def convertYear2(y: Int, today: LocalDate): Int = {
@@ -285,6 +282,60 @@ object Dates {
     if (math.abs(base - today.getYear) >= 50)
       (if (base < today.getYear) base + 100 else base - 100)
     else base
+  }
+
+  // ---- month-name permutations (round 8): a month NAME plus two numbers
+  // parses in ANY member order ("2024 Jan 5", "5 2024 Jan", "Jan 2024 5"
+  // all probed). Numbers here carry INT semantics (dateutil appends the
+  // numeric VALUE in this path, so "015" is day 15 and "0015" year 15,
+  // unlike the separator-triplet string semantics): textual-order (a, b)
+  // resolve a > 31 → (year, day), else (day, year); a year < 100 converts
+  // through the run-date window, ≥ 100 stands ("Jan 5 100" → 0100).
+  // Separators are space / comma / slash / dash with optional spaces; a
+  // '.' is a jump only ADJACENT to the month name ("Jan. 5" parses,
+  // "Jan 5.2024" decimal-merges and fails), and month-attached digits
+  // split ("january5 2024", "5Jan 2024"). The attached-dot chain
+  // "Jan.5.2024" parses because the leading dot makes the lexer token
+  // ".5.2024" double-dotted, which splits back into members — covered as
+  // its own shape.
+  private val SepNum = "(?: ?[,/\\-]+ ?| )"
+  private val SepMon = "(?: ?[,/\\-]+ ?| ?\\. ?| |)"
+  // a number token may carry ONE trailing dot when a separator follows
+  // ("Jan 5. 2024" parses — the lexer reads "5." as integral 5.0 — while
+  // "Jan 5.2024" decimal-merges and fails; the mandatory separator between
+  // numbers keeps the merge case out)
+  private val NumG = "(\\d{1,4})\\.?"
+  private val SfxG = "((?:[T ,].*)?)"
+  private lazy val MonthPermA =
+    ("^(?i)" + MonthAlt + "\\.?" + SepMon + NumG + SepNum + NumG + SfxG + "$").r
+  private lazy val MonthPermB =
+    ("^(?i)" + NumG + SepMon + MonthAlt + "\\.?" + SepMon + NumG + SfxG + "$").r
+  private lazy val MonthPermC =
+    ("^(?i)" + NumG + SepNum + NumG + SepMon + MonthAlt + "\\.?" + SfxG + "$").r
+  private lazy val MonthPermDots =
+    ("^(?i)" + MonthAlt + "\\." + NumG + "\\." + NumG + SfxG + "$").r
+
+  /** Month-name member resolution, INT semantics (dateutil appends the
+    * numeric VALUE here, so "015" is day 15 and "0015" year 15, unlike the
+    * separator-triplet string semantics). (a, b) are the two numbers in
+    * textual order; `monthLast` flips the default: with the month name
+    * BEFORE or BETWEEN the numbers the pair reads (day, year) unless
+    * a > 31 ("Jan 24 29" → day 24 year 29, "Jan 45 6" → year 45 day 6);
+    * with the month name LAST it reads (year, day) unless b > 31
+    * ("29/23/Jan" → year 29 day 23, "6 45 Jan" → year 45 day 6) — probed,
+    * mirroring resolve_ymd's mstridx cases. A year < 100 converts through
+    * the run-date window, ≥ 100 stands ("Jan 5 100" → 0100).
+    */
+  private def monthPerm(name: String, aS: String, bS: String, sfx: String,
+      today: LocalDate, monthLast: Boolean = false): Option[String] = {
+    val m = Months.indexOf(name.toLowerCase(Locale.ROOT).take(3)) + 1
+    val a = aS.toInt; val b = bS.toInt
+    val (yRaw, d) =
+      if (monthLast) { if (b > 31) (b, a) else (a, b) }
+      else { if (a > 31) (a, b) else (b, a) }
+    val y = if (yRaw < 100) convertYear2(yRaw, today) else yRaw
+    for (ld <- valid(y, m, d); t <- timeSuffix(sfx))
+      yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
   }
   /** Dot separators must come in pairs (see scaladoc above). */
   private def sepsOk(a: String, b: String): Boolean = (a == ".") == (b == ".")
@@ -298,9 +349,9 @@ object Dates {
     "jun(?:e)?|jul(?:y)?|aug(?:ust)?|sep(?:t(?:ember)?)?|oct(?:ober)?|" +
     "nov(?:ember)?|dec(?:ember)?)"
   private val MonthName =
-    ("^(?i)" + MonthAlt + " (\\d{1,2}),? (\\d{4})((?:[T ].*)?)$").r
+    ("^(?i)" + MonthAlt + " (\\d{1,2}),? (\\d{4})((?:[T ,].*)?)$").r
   private val DayMonthName =
-    ("^(?i)(\\d{1,2}) " + MonthAlt + " (\\d{4})((?:[T ].*)?)$").r
+    ("^(?i)(\\d{1,2}) " + MonthAlt + " (\\d{4})((?:[T ,].*)?)$").r
   private val Months = Seq("jan", "feb", "mar", "apr", "may", "jun",
     "jul", "aug", "sep", "oct", "nov", "dec")
 
@@ -315,8 +366,35 @@ object Dates {
     */
   private val TimeSfxRe =
     "^[T ](\\d{1,2}):(\\d{2})(?::(\\d{2})(?:[.,](\\d+))?)? ?(?:([AaPp])\\.?[Mm]\\.?)?$".r
-  private def timeSuffix(sfx: String): Option[String] = sfx match {
+  /** Round-8 suffix tail (probed against dateutil): a comma with at least
+    * one adjacent space is a jump before the time ("2024, 10:30" and
+    * "2024/01/05 ,10:30" parse; ",10:30" with no space does not), a BARE
+    * hour parses when it is exactly two digits < 24 ("… 10" parses, "… 7"
+    * does not — a lone 1-digit number is an ambiguous ymd member), and a
+    * 1-2-digit hour with a meridiem follows the ≤12 rule ("… 7 PM",
+    * "… 0 PM" → 12:00).
+    */
+  private val CommaLead = "^(?: , | ,|, )(.*)$".r
+  private val BareHourRe = "^[T ](\\d{2})$".r
+  private val BareHourApRe = "^[T ](\\d{1,2}) ?([AaPp])\\.?[Mm]\\.?$".r
+  private def timeSuffix(sfx0: String): Option[String] = {
+    val sfx = sfx0 match {
+      case CommaLead(rest) => " " + rest
+      case other => other
+    }
+    timeSuffixBody(sfx)
+  }
+  private def timeSuffixBody(sfx: String): Option[String] = sfx match {
     case "" => Some("00:00:00")
+    case BareHourRe(h0) =>
+      if (h0.toInt < 24) Some(f"${h0.toInt}%02d:00:00") else None
+    case BareHourApRe(h0, ap0) =>
+      val h1 = h0.toInt
+      if (h1 > 12) None
+      else {
+        val h = if (ap0.toLowerCase == "p") h1 % 12 + 12 else h1 % 12
+        Some(f"$h%02d:00:00")
+      }
     case TimeSfxRe(h0, mi0, se0, fr0, ap0) =>
       val h1 = h0.toInt
       val mi = mi0.toInt
@@ -346,8 +424,29 @@ object Dates {
   def parseIso(s0: String): Option[String] =
     parseIso(s0, java.time.LocalDate.now())
 
+  // ---- round-8 tail: dateutil tokenizer-jump preprocessing. Each rewrite
+  // mirrors a measured _timelex/jump rule (all probed against live
+  // dateutil; pinned by tools/date_parity.py):
+  //  - whitespace runs collapse (the lexer skips space runs as one jump);
+  //  - trailing '.'/',' tokens (with optional spaces) are skippable jumps
+  //    ("2024/01/05 . , ." parses);
+  //  - leading weekday names — exact vocabulary, abbreviation or full, any
+  //    case, optional attached '.'/','/space, repeatable ("Mon Tue 5 Jan
+  //    2024" parses; "Tues" is NOT in the vocabulary and fails);
+  //  - ordinal suffixes on 1-2-digit numbers are jumps REGARDLESS of
+  //    agreement ("5st Jan 2024" parses; "5xx" does not).
+  private val WeekdayPrefix =
+    ("(?i)^(?:(?:mon(?:day)?|tue(?:sday)?|wed(?:nesday)?|thu(?:rsday)?|" +
+      "fri(?:day)?|sat(?:urday)?|sun(?:day)?)\\.?,? ?)+").r
+  private def preprocess(s0: String): String = {
+    val s1 = s0.strip().replaceAll("\\s+", " ")
+    val s2 = s1.replaceAll("( ?[.,])+$", "")
+    val s3 = WeekdayPrefix.replaceFirstIn(s2, "")
+    s3.replaceAll("(?i)\\b(\\d{1,2})(?:st|nd|rd|th)\\b", "$1")
+  }
+
   def parseIso(s0: String, today: LocalDate): Option[String] = {
-    val s = s0.strip()
+    val s = preprocess(s0)
     s match {
       case IsoDate(y, m, d) =>
         valid(y.toInt, m.toInt, d.toInt).map(_ => s"$y-$m-${d}T00:00:00")
@@ -371,29 +470,26 @@ object Dates {
             t.substring(3, 5).toInt < 60)
           Some(s"${date}T$t$tzs")
         else None
-      case MonthName(mon, d, y, sfx) =>
-        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT).take(3)) + 1
-        for (ld <- valid(y.toInt, m, d.toInt); t <- timeSuffix(sfx))
-          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
-      case DayMonthName(d, mon, y, sfx) =>
-        val m = Months.indexOf(mon.toLowerCase(Locale.ROOT).take(3)) + 1
-        for (ld <- valid(y.toInt, m, d.toInt); t <- timeSuffix(sfx))
-          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
-      case TripletYmd(y, s1, m, s2, d, sfx) if sepsOk(s1, s2) =>
-        for (ld <- valid(y.toInt, m.toInt, d.toInt); t <- timeSuffix(sfx))
-          yield f"${ld.getYear}%04d-${ld.getMonthValue}%02d-${ld.getDayOfMonth}%02dT$t"
-      case TripletDmy(a0, s1, b0, s2, y, sfx) if sepsOk(s1, s2) =>
-        val a = a0.toInt; val b = b0.toInt
-        val (m, d) = if (a > 12) (b, a) else (a, b)
-        for (ld <- valid(y.toInt, m, d); t <- timeSuffix(sfx))
-          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
-      case TripletShort(a0, s1, b0, s2, c0, sfx) if sepsOk(s1, s2) =>
-        val a = a0.toInt; val b = b0.toInt; val c = c0.toInt
-        val (y2, m, d) =
-          if (a > 31) (a, b, c) else if (a > 12) (c, b, a) else (c, a, b)
-        val y = convertYear2(y2, today)
-        for (ld <- valid(y, m, d); t <- timeSuffix(sfx))
-          yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
+      case MonthName(mon, d, y, sfx) => monthPerm(mon, d, y, sfx, today)
+      case DayMonthName(d, mon, y, sfx) => monthPerm(mon, d, y, sfx, today)
+      case TripletAny(a0, s1, b0, s2, c0, sfx) if sepsOk(s1, s2) =>
+        val wide = Seq(a0, b0, c0).count(_.length >= 3)
+        if (wide >= 2) None
+        else {
+          val a = a0.toInt; val b = b0.toInt; val c = c0.toInt
+          val (y0, m, d) =
+            if (a > 31 || a0.length >= 3) (a, b, c)
+            else if (a > 12) (c, b, a)
+            else (c, a, b)
+          val y = if (y0 < 100 && wide == 0) convertYear2(y0, today) else y0
+          for (ld <- valid(y, m, d); t <- timeSuffix(sfx))
+            yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
+        }
+      case MonthPermDots(mon, a0, b0, sfx) => monthPerm(mon, a0, b0, sfx, today)
+      case MonthPermA(mon, a0, b0, sfx) => monthPerm(mon, a0, b0, sfx, today)
+      case MonthPermB(a0, mon, b0, sfx) => monthPerm(mon, a0, b0, sfx, today)
+      case MonthPermC(a0, b0, mon, sfx) =>
+        monthPerm(mon, a0, b0, sfx, today, monthLast = true)
       case _ => None
     }
   }

@@ -182,16 +182,93 @@ object NormalizeCol {
     "(" + D31a + " " + Mon31 + " " + Y4nz + "|" + D30a + " " + Mon30 + " " + Y4nz +
       "|" + D28a + " " + MonFeb + " " + Y4nz + "|29 " + MonFeb + " " + Leap4 + ")"
   /** Optional time-of-day suffix (mirrors [[Dates.timeSuffix]]): 24-hour
-    * H:MM[:SS[.f]] or 12-hour with an AM/PM token (hour ≤ 12 then).
+    * H:MM[:SS[.f]] or 12-hour with an AM/PM token (hour ≤ 12 then); round-8
+    * tail adds the spaced-comma jump lead ("2024, 10:30", " ,10:30" — a
+    * bare ",10:30" stays out), a BARE exactly-2-digit hour, and a
+    * 1-2-digit hour with a meridiem.
     */
   private val TimeSfxA =
-    "([T ](([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?|" +
-      "(0?\\d|1[0-2]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)? ?[AaPp]\\.?[Mm]\\.?))?"
+    "((?:[T ]| , | ,|, )(([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?|" +
+      "((0?\\d|1[0-2]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?|0?\\d|1[0-2]) ?[AaPp]\\.?[Mm]\\.?|" +
+      "[01]\\d|2[0-3]))?"
+  // ---- 3-digit-year triplets (separator context: any ≥3-digit member is
+  // a PINNED year — value as written, leading zeros kept; "012/01/05" →
+  // year 12 which IS mod-4 leap-coupled after the no-conversion pin).
+  // First-position years take strict (month, day) order; last-position
+  // years resolve day-first like the other year-last families.
+  private val Y3nz = "(\\d\\d[1-9]|\\d[1-9]\\d|[1-9]\\d\\d)"
+  private val Leap3 = "([0-9](0[48]|[2468][048]|[13579][26])|[48]00)"
+  private def tripletY3(Sp: String): String =
+    "(" + Y3nz + Sp + M31a + Sp + D31a + "|" + Y3nz + Sp + M30a + Sp + D30a +
+      "|" + Y3nz + Sp + "0?2" + Sp + D28a + "|" + Leap3 + Sp + "0?2" + Sp + "29" +
+      "|" + M31a + Sp + D31a + Sp + Y3nz + "|" + M30a + Sp + D30a + Sp + Y3nz +
+      "|0?2" + Sp + D28a + Sp + Y3nz + "|0?2" + Sp + "29" + Sp + Leap3 +
+      "|(1[3-9]|2[0-8])" + Sp + M12a + Sp + Y3nz +
+      "|29" + Sp + "(" + MNoFebA + Sp + Y3nz + "|0?2" + Sp + Leap3 + ")" +
+      "|30" + Sp + MNoFebA + Sp + Y3nz + "|31" + Sp + M31a + Sp + Y3nz + ")"
+  /** 2-digit year-first (>31) with a leading-zero WIDE day member — the
+    * mixed-width probe "45-1-012" (year 45, month 1, day 12; the wide
+    * member pins century_specified, which the vote need not model).
+    */
+  private def tripletY2w(Sp: String): String =
+    "(" + Y2first + Sp + "(" + M31a + Sp + "0" + D31a + "|" + M30a + Sp +
+      "0" + D30a + "|0?2" + Sp + "0" + D28a + ")|" +
+      Leap2first + Sp + "0?2" + Sp + "029)"
+  private val TripletY3Re =
+    "(" + tripletY3("[/\\-]") + "|" + tripletY3("\\.") + "|" +
+      tripletY2w("[/\\-]") + "|" + tripletY2w("\\.") + ")"
+  // ---- month-name permutations (int semantics: tokens are VALUES, so
+  // "015" can be day 15 and "0015" year 15). Day/year resolution: month
+  // first or middle → (day, year) unless the first number exceeds 31;
+  // month last → (year, day) unless the second number exceeds 31. Years
+  // are any value (a < 100 converts; conversion preserves mod 4, and the
+  // excluded 100..900 non-leap centuries are encoded, so the Feb-29
+  // coupling below is calendar-exact under the run-date window).
+  private val SepP = "(?: ?[,/\\-]+ ?| )"
+  private val SepMp = "(?: ?[,/\\-]+ ?| ?\\. ?| |)"
+  private val Yv = "\\d{1,4}"
+  private val Ya = "(0{0,2}(3[2-9]|[4-9]\\d)|0?[1-9]\\d{2}|[1-9]\\d{3})"
+  private val LeapV = "(0{0,3}[048]|0{0,2}[2468][048]|0{0,2}[13579][26]|" +
+    "0?([1-9](0[48]|[2468][048]|[13579][26])|[48]00)|" + "\\d{2}" +
+    "(0[48]|[2468][048]|[13579][26])|(0[48]|[2468][048]|[13579][26])00)"
+  private def zd(core: String): String = "(0{0,2}(" + core + "))"
+  private val Dv31 = zd("0?[1-9]|[12]\\d|3[01]")
+  private val Dv30 = zd("0?[1-9]|[12]\\d|30")
+  private val Dv28 = zd("0?[1-9]|1\\d|2[0-8]")
+  private val Dv29 = zd("29")
+  /** one month-class worth of permutations: `mon` is the name alternation,
+    * `dv` the coupled day atom (Feb handled by the caller with the leap
+    * year slot)
+    */
+  private def permFor(mon: String, dv0: String, leapOnly: Boolean): String = {
+    // number atoms may carry ONE trailing dot before a separator (mirror
+    // of the scalar battery's NumG — "Jan 5. 2024", "Jan 5, 2024. 10:30")
+    val y = (if (leapOnly) LeapV else Yv) + "\\.?"
+    val dv = dv0 + "\\.?"
+    val ya = Ya + "\\.?"
+    val m = mon + "\\.?"
+    // month first: Mon d y | Mon Y>31 d ; month middle: d Mon y | Y>31 Mon d
+    // month last: y d Mon | d Y>31 Mon
+    val first = m + SepMp + dv + SepP + y + "|" +
+      (if (leapOnly) "" else m + SepMp + ya + SepP + dv + "|") +
+      m + "\\." + dv0 + "\\." + y // the attached-dot chain "Jan.5.2024"
+    val mid = dv + SepMp + m + SepMp + y + "|" +
+      (if (leapOnly) "" else ya + SepMp + m + SepMp + dv + "|")
+    val last = y + SepP + dv + SepMp + m + "|" +
+      (if (leapOnly) "" else dv + SepP + ya + SepMp + m)
+    "(" + first + "|" + mid + last + ")"
+  }
+  private val MonthPermRe = "(" +
+    permFor(Mon31, Dv31, leapOnly = false) + "|" +
+    permFor(Mon30, Dv30, leapOnly = false) + "|" +
+    permFor(MonFeb, Dv28, leapOnly = false) + "|" +
+    permFor(MonFeb, Dv29, leapOnly = true) + ")"
 
   /** Column-level `infer_type` battery. The ISO alternative keeps its
     * original regex-plausibility contract; the round-8 free-form families
-    * (numeric triplets, month names, time suffixes) are calendar-exact so
-    * the column vote agrees with the scalar model ([[Dates.parseIso]]) and
+    * (numeric triplets incl. 2- and 3-digit years, month-name
+    * permutations, time/bare-hour suffixes) are calendar-exact so the
+    * column vote agrees with the scalar model ([[Dates.parseIso]]) and
     * the reference on invalid dates like "11/31/2024".
     *
     * The last alternative mirrors the dateutil negative-number quirk —
@@ -200,16 +277,40 @@ object NormalizeCol {
   val InferDateRe =
     "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?|" +
       TripletDmyRe + TimeSfxA + "|" + TripletYmdRe + TimeSfxA + "|" +
-      TripletShortRe + TimeSfxA + "|" +
+      TripletShortRe + TimeSfxA + "|" + TripletY3Re + TimeSfxA + "|" +
       MonthNameRe + TimeSfxA + "|" + DayMonthNameRe + TimeSfxA + "|" +
+      MonthPermRe + TimeSfxA + "|" +
       Dates.NegNumDateRe + ")$"
+
+  // ---- vote-side mirror of the scalar battery's jump-token
+  // preprocessing (Dates.preprocess — each rewrite is a measured dateutil
+  // lexer rule): collapse whitespace runs, strip trailing '.'/',' jumps,
+  // leading weekday tokens (exact vocabulary), ordinal suffixes on
+  // 1-2-digit numbers. Applied symmetrically in the Column expression and
+  // the DuckDB SQL, so the two engines vote identically.
+  val WeekdayStripRe =
+    "^((?i)(mon(day)?|tue(sday)?|wed(nesday)?|thu(rsday)?|fri(day)?|" +
+      "sat(urday)?|sun(day)?)\\.?,? ?)+"
+  val OrdinalStripRe = "(?i)\\b(\\d{1,2})(st|nd|rd|th)\\b"
+  def voteNormalize(s: String): String =
+    s.trim.replaceAll("\\s+", " ").replaceAll("( ?[.,])+$", "")
+      .replaceFirst(WeekdayStripRe, "")
+      .replaceAll(OrdinalStripRe, "$1")
+  def voteNormalizeCol(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(c),
+      "\\s+", " "), "( ?[.,])+$", ""), WeekdayStripRe, ""),
+      OrdinalStripRe, "$1")
+  private def sqlVoteNormalize(v: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim($v),
+      '\\s+', ' ', 'g'), '( ?[.,])+$$', ''), '$WeekdayStripRe', ''),
+      '$OrdinalStripRe', '\\1', 'g')"""
 
   def inferType(c: Column): Column =
     when(c.isNull || trim(c) === "", "null")
       .when(trim(c).rlike("^\\d+$"), "integer")
       .when(trim(c).rlike("^\\d*\\.\\d+$"), "float")
       .when(lower(trim(c)).isin("true", "false"), "boolean")
-      .when(trim(c).rlike(InferDateRe), "date")
+      .when(voteNormalizeCol(c).rlike(InferDateRe), "date")
       .otherwise("string")
 
   def sqlInferType(v: String): String =
@@ -218,6 +319,6 @@ object NormalizeCol {
       WHEN regexp_matches(trim($v), '^\\d+$$') THEN 'integer'
       WHEN regexp_matches(trim($v), '^\\d*\\.\\d+$$') THEN 'float'
       WHEN lower(trim($v)) IN ('true', 'false') THEN 'boolean'
-      WHEN regexp_matches(trim($v), '$InferDateRe') THEN 'date'
+      WHEN regexp_matches(${sqlVoteNormalize(v)}, '$InferDateRe') THEN 'date'
       ELSE 'string' END"""
 }

@@ -93,7 +93,8 @@ class DateParitySpec extends AnyFunSuite {
     val isoLoose = "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?$".r
     val failures = golden._2.filter(_._3).flatMap { case (s, fam, _, _) =>
       val model = Dates.parses(s, runDate)
-      val column = s.matches(NormalizeCol.InferDateRe)
+      val column =
+        NormalizeCol.voteNormalize(s).matches(NormalizeCol.InferDateRe)
       if (model != column && isoLoose.findFirstIn(s).isEmpty)
         Some(s"[$fam] input=${PyRender.pyReprStr(s)} model=$model column=$column")
       else None

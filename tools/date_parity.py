@@ -154,19 +154,87 @@ for t in ["10:30", "0:30 PM", "10:30:45.123", "24:00", "13:30 PM"]:
     add(f"45-6-15 {t}", "short_triplet")
 add("5/1/24T10:30", "short_triplet")
 
-# ---- documented OUT-OF-BATTERY families (measured, not asserted) ----
-for s in ["05/01/999", "999/01/05", "5-1-123", "123/4/5"]:
-    add(s, "three_digit_year", covered=False)
-for s in ["2024/01/05 10", "Jan 5 2024 7", "05/01/2024 23"]:
-    add(s, "bare_hour", covered=False)
+# ---- 3-digit-year triplets (string semantics: any >=3-digit separator
+# member pins the year, leading zeros kept), covered as of round 8 ----
+for y3 in ["999", "099", "012", "100", "123"]:
+    for (m, d) in [(1, 5), (5, 13), (13, 1), (2, 29), (2, 28), (0, 1), (12, 31),
+                   (31, 12), (45, 1), (1, 45)]:
+        sep = SEPS[(int(y3) + m + d) % 3]
+        add(f"{y3}{sep}{m:02d}{sep}{d:02d}", "three_digit_year")
+        add(f"{m}{sep}{d}{sep}{y3}", "three_digit_year")
+for s in ["999/13/5", "999/5/13", "13/1/999", "05-01/999", "05.01.999",
+          "999.01.05", "999/01-05", "012/01/05", "05/01/099", "999/999/5",
+          "45/999/1", "05/999/01", "999/1/5 10:30", "5/1/999 0:30 PM"]:
+    add(s, "three_digit_year")
+
+# ---- bare-hour suffixes (covered as of round 8): exactly-2-digit hours
+# parse without a meridiem; 1-2-digit hours parse with one ----
+BH_BASES = ["2024/01/05", "05/01/2024", "5/1/24", "45-6-15", "13.01.2024",
+            "Jan 5, 2024", "5 Jan 2024", "999/01/05"]
+BH = ["10", "7", "0", "00", "23", "24", "99", "007",
+      "10 PM", "7 PM", "0 PM", "12 AM", "13 PM", "10PM", "10 p.m.", "7 a.m"]
+for i, base in enumerate(BH_BASES):
+    for j, t in enumerate(BH):
+        add(f"{base} {t}", "bare_hour")
+add("2024-01-05T7", "bare_hour")
+add("2024-01-05 10", "bare_hour")
+
+# ---- weekday prefixes (exact vocabulary, dot/comma attachments,
+# repetition), covered as of round 8 ----
+WD_BASES = ["05 Jan 2024", "Jan 5, 2024", "2024-01-05", "05/01/2024",
+            "5/1/24", "45-6-15", "Jan 5, 2024 10:30 PM"]
+WDS = ["Tue, ", "tue ", "TUESDAY, ", "Mon ", "Sat. ", "Sun,", "Wednesday ",
+       "thu, ", "Fri ", "Mon Tue ", "Tue., ", "mon. ", "Sat."]
+for i, base in enumerate(WD_BASES):
+    for j, w in enumerate(WDS):
+        add(f"{w}{base}", "weekday_prefix")
+for s in ["Tues 5 Jan 2024", "Xyz, 05 Jan 2024", "Thurs 5 Jan 2024",
+          "Mo 5 Jan 2024", "Fridays 5 Jan 2024"]:
+    add(s, "weekday_prefix")  # NOT in dateutil's vocabulary -> must fail
+
+# ---- punctuation jumps (trailing dots/commas, ordinals, month-adjacent
+# dots, attached month-digit, comma-before-time), covered as of round 8 ----
+for s in ["Jan. 5, 2024", "January. 5 2024", "Jan.5 2024", "Jan . 5 2024",
+          "5 Jan. 2024", "Jan 5. 2024", "may. 5 2024", "sept. 5 2024",
+          "Jan.5.2024", "Jan  5 2024", "5  Jan  2024", "2024/1/5  10:30",
+          "Jan 5, 2024, 10:30", "Jan 5, 2024,10:30", "2024/01/05,10:30",
+          "2024/01/05 , 10:30", "2024/01/05 ,10:30", "Jan 5, 2024. 10:30",
+          "2024/01/05.", "05/01/24.", "45-6-15.", "999/01/05.", "Jan 5 2024,",
+          "Jan 5 2024 ,", "Jan 5 2024 ,.", "2024/01/05 . , .", "05/01/24.,",
+          "2024/01/05 10.", "2024/01/05 10:30.", "2024/01/05 10:30:45.",
+          "5th Jan 2024", "Jan 5th 2024", "5st Jan 2024", "5nd Jan 2024",
+          "5xx Jan 2024", "Jan 5st 2024", "31st Jan 2024", "32nd Jan 2024",
+          "29th Feb 2024", "29th Feb 2023", "3rd May 2024", "22nd Jan 2024",
+          "13th Jan 2024", "5TH Jan 2024", "5th/1/24", "2024/5th/1",
+          "05th/01/24", "13th/01/2024", "2024-01-05th", "2024/1/5th",
+          "Jan 13th, 2024 10:30 PM", "monday, Jan 5th, 2024, 10:30 PM",
+          "january5 2024", "Jan5 2024", "5Jan 2024", "Mon Jan5 2024",
+          "Jan52024", "Jan 5.2024", "Jan. 5.2024", "Jan-5,2024", "Jan,5,2024",
+          "Jan, 5, 2024", "Jan / 5 / 2024", "Jan - 5 - 2024", "Jan -- 5 2024"]:
+    add(s, "punct_jump")
+
+# ---- month-name permutations (int semantics; any member order), covered
+# as of round 8 ----
+for mon in ["Jan", "feb", "September", "DEC", "may"]:
+    for (a, b) in [(5, 2024), (2024, 5), (5, 24), (24, 5), (45, 6), (6, 45),
+                   (31, 45), (45, 45), (5, 999), (999, 5), (5, 100), (100, 5),
+                   (15, 15), (0, 2024), (32, 2024), (2024, 32), (5, 0),
+                   (29, 24), (24, 29), (28, 23), (29, 23)]:
+        sep = [" ", "/", "-"][(a + b) % 3]
+        add(f"{mon}{sep}{a}{sep}{b}", "month_perm")
+        add(f"{a}{sep}{mon}{sep}{b}", "month_perm")
+        add(f"{a}{sep}{b}{sep}{mon}", "month_perm")
+for s in ["Jan 5 0015", "0015 Jan 5", "004 Jan 5", "Jan 5 004", "Jan 005 5",
+          "Jan 2024 015", "2024 Jan 05 10:30", "May 2024 31", "2024, Jan 5",
+          "45 Jan 2024", "Jan 2024 5 10:30 PM", "2024-Jan-05", "Jan/5/2024",
+          "05-Jan-24", "Jan-5-24", "2024 5 Jan", "5 2024 Jan", "2024 Jan 5"]:
+    add(s, "month_perm")
 for s in ["2024/01/05 10:30 +0500", "05 Jan 2024 10:30:00 GMT",
           "2024-1-5 10:30 UTC", "Jan 5 2024 10:30 EST"]:
     add(s, "tz_suffix", covered=False)
-for s in ["Tue, 05 Jan 2024", "Mon Jan 5 2024", "Sunday, January 5, 2024"]:
-    add(s, "weekday_prefix", covered=False)
-for s in ["Jan 5, 2024, 10:30", "2024/1/5  10:30", "5th Jan 2024",
-          "Jan. 5, 2024", "2024, Jan 5"]:
-    add(s, "punct_variants", covered=False)
+for s in ["wed 10:30 PM 5 Jan 2024", "Jan 5'24", "Jan '24 5",
+          "2nd 3rd 2024", "Jan 5 2024 10.30"]:
+    add(s, "time_first_or_apostrophe", covered=False)
 for s in ["12,34,56", "1,000,000"]:
     add(s, "multi_comma", covered=False)
 

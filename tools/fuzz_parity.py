@@ -74,7 +74,13 @@ QUIRKS = ["NA", "n/a", "null", "none", "nan", "", "true", "True", "YES", "1",
           "29 Feb 2024", "Feb 30, 2024",
           # round-8 short triplets (2-digit years, run-date-resolved)
           "05/01/24", "5/1/99", "13.01.02", "45-6-15", "2/29/24",
-          "2/29/23", "31/12/99", "05/01/24 10:30", "96.2.29", "00/01/02"]
+          "2/29/23", "31/12/99", "05/01/24 10:30", "96.2.29", "00/01/02",
+          # round-8 tail: weekday prefixes, punctuation jumps, 3-digit
+          # years, month permutations, bare hours
+          "Tue, 05 Jan 2024", "Sat. 5/1/24", "Jan. 5, 2024", "5th Jan 2024",
+          "2024/01/05 10", "Jan 5 2024 7 PM", "05/01/999", "13/1/999",
+          "Jan 5 99", "2024 Jan 5", "45 6 Jan", "Jan 5, 2024, 10:30",
+          "2024/01/05.", "january5 2024", "Jan -- 5 2024", "Tues 5 Jan 2024"]
 
 
 def scalar():
@@ -196,20 +202,37 @@ _B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}([.,]\d*
 # timeSuffix): '/' and '-' mix as jump separators, '.' only pairs with '.'
 # (dateutil's decimal-merge rule); first member is the month unless > 12;
 # optional H:MM[:SS[.f]][ AM/PM] time suffix behind ' ' or 'T'
-_B_TRIP_YMD = _re.compile(r'^(\d{4})([/.\-])(\d{1,2})([/.\-])(\d{1,2})((?:[T ].*)?)$')
-_B_TRIP_DMY = _re.compile(r'^(\d{1,2})([/.\-])(\d{1,2})([/.\-])(\d{4})((?:[T ].*)?)$')
-_B_TRIP_SHORT = _re.compile(r'^(\d{1,2})([/.\-])(\d{1,2})([/.\-])(\d{1,2})((?:[T ].*)?)$')
+_B_TRIP_ANY = _re.compile(r'^(\d{1,4})([/.\-])(\d{1,4})([/.\-])(\d{1,4})((?:[T ,].*)?)$')
 _B_TIME = _re.compile(r'^[T ](\d{1,2}):(\d{2})(?::(\d{2})(?:[.,](\d+))?)? ?(?:([AaPp])\.?[Mm]\.?)?$')
-_B_MONDY = _re.compile(r'^%s[a-z]* (\d{1,2}),? (\d{4})((?:[T ].*)?)$' % _MON, _re.I)
-_B_DMONY = _re.compile(r'^(\d{1,2}) %s[a-z]* (\d{4})((?:[T ].*)?)$' % _MON, _re.I)
+_SEPN = r'(?: ?[,/\-]+ ?| )'
+_SEPM = r'(?: ?[,/\-]+ ?| ?\. ?| |)'
+_NUMT = r'(\d{1,4})\.?'
+_SFXT = r'((?:[T ,].*)?)'
+_B_PERM_A = _re.compile(r'^%s\.?%s%s%s%s%s$' % (_MON, _SEPM, _NUMT, _SEPN, _NUMT, _SFXT), _re.I)
+_B_PERM_B = _re.compile(r'^%s%s%s\.?%s%s%s$' % (_NUMT, _SEPM, _MON, _SEPM, _NUMT, _SFXT), _re.I)
+_B_PERM_C = _re.compile(r'^%s%s%s%s%s\.?%s$' % (_NUMT, _SEPN, _NUMT, _SEPM, _MON, _SFXT), _re.I)
+_B_PERM_DOTS = _re.compile(r'^%s\.(\d{1,4})\.(\d{1,4})%s$' % (_MON, _SFXT), _re.I)
+_B_WD = (r'^((mon(day)?|tue(sday)?|wed(nesday)?|thu(rsday)?|'
+         r'fri(day)?|sat(urday)?|sun(day)?)\.?,? ?)+')
 _MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
            "jul", "aug", "sep", "oct", "nov", "dec"]
 
 
 def _b_sfx_ok(sfx):
-    """time-suffix acceptance, mirror of Dates.timeSuffix"""
+    """time-suffix acceptance, mirror of Dates.timeSuffix (round 8: a
+    spaced comma is a jump lead, a bare EXACTLY-2-digit hour parses, a
+    1-2-digit hour parses with a meridiem)"""
     if sfx == "":
         return True
+    m = _re.match(r'^(?: , | ,|, )(.*)$', sfx)
+    if m:
+        sfx = ' ' + m.group(1)
+    m = _re.match(r'^[T ](\d{2})$', sfx)
+    if m:
+        return int(m.group(1)) < 24
+    m = _re.match(r'^[T ](\d{1,2}) ?([AaPp])\.?[Mm]\.?$', sfx)
+    if m:
+        return int(m.group(1)) <= 12
     m = _B_TIME.match(sfx)
     if not m:
         return False
@@ -257,56 +280,73 @@ def battery_parse(s, *a, **k):
         if 1 <= mo <= 12 and 1 <= dd <= days[mo - 1]:
             return _dt.datetime(2000, 1, 1)
         raise ValueError(s)
-    m = _B_ISO.match(s)
+    # ---- round-8 unified battery (mirror of Dates.parseIso): dateutil
+    # jump-token preprocessing (collapse spaces, trailing './,' jumps,
+    # weekday prefixes, ordinal suffixes), then ISO / unified numeric
+    # triplet / month-name permutations with run-date year conversion.
+    s2 = _re.sub(r'\s+', ' ', s.strip())
+    s2 = _re.sub(r'( ?[.,])+$', '', s2)
+    s2 = _re.sub(_B_WD, '', s2, flags=_re.I)
+    s2 = _re.sub(r'\b(\d{1,2})(st|nd|rd|th)\b', r'\1', s2, flags=_re.I)
+
+    def conv2(y):
+        t = _dt.date.today().year
+        y += t // 100 * 100
+        if abs(y - t) >= 50:
+            y += 100 if y < t else -100
+        return y
+
+    m = _B_ISO.match(s2)
     if m:
         return d(*m.groups())
-    m = _B_DT.match(s)
+    m = _B_DT.match(s2)
     if m:
         if int(m.group(4)) >= 24 or int(m.group(5)) >= 60:
             raise ValueError(s)
         return d(m.group(1), m.group(2), m.group(3))
-    m = _B_MONDY.match(s)
+    m = _B_TRIP_ANY.match(s2)
     if m:
-        if not _b_sfx_ok(m.group(4)):
-            raise ValueError(s)
-        return d(m.group(3), _MONTHS.index(m.group(1).lower()[:3]) + 1, m.group(2))
-    m = _B_DMONY.match(s)
-    if m:
-        if not _b_sfx_ok(m.group(4)):
-            raise ValueError(s)
-        return d(m.group(3), _MONTHS.index(m.group(2).lower()[:3]) + 1, m.group(1))
-    m = _B_TRIP_YMD.match(s)
-    if m:
+        a0, b0, c0 = m.group(1), m.group(3), m.group(5)
         if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
             raise ValueError(s)
-        return d(m.group(1), m.group(3), m.group(5))
-    m = _B_TRIP_DMY.match(s)
-    if m:
-        if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
+        wide = sum(1 for t_ in (a0, b0, c0) if len(t_) >= 3)
+        if wide >= 2:
             raise ValueError(s)
-        a, b = int(m.group(1)), int(m.group(3))
-        mo, dd = (b, a) if a > 12 else (a, b)
-        return d(m.group(5), mo, dd)
-    # all-short triplets (2-digit years), round 8 — mirror of
-    # Dates.TripletShort: first>31 -> Y/M/D, first>12 -> D/M/Y, else M/D/Y,
-    # year through convertyear's +-50-year window around TODAY (this
-    # process's clock, the same one live dateutil binds)
-    m = _B_TRIP_SHORT.match(s)
-    if m:
-        if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
-            raise ValueError(s)
-        a, b, c = int(m.group(1)), int(m.group(3)), int(m.group(5))
-        if a > 31:
+        a, b, c = int(a0), int(b0), int(c0)
+        if a > 31 or len(a0) >= 3:
             yy, mo, dd = a, b, c
         elif a > 12:
             yy, mo, dd = c, b, a
         else:
             yy, mo, dd = c, a, b
-        t = _dt.date.today().year
-        yy += t // 100 * 100
-        if abs(yy - t) >= 50:
-            yy += 100 if yy < t else -100
+        if yy < 100 and wide == 0:
+            yy = conv2(yy)
         return d(yy, mo, dd)
+
+    def _perm(mon, a0, b0, sfx, month_last=False):
+        if not _b_sfx_ok(sfx):
+            raise ValueError(s)
+        a, b = int(a0), int(b0)
+        if month_last:
+            yy, dd = (b, a) if b > 31 else (a, b)
+        else:
+            yy, dd = (a, b) if a > 31 else (b, a)
+        if yy < 100:
+            yy = conv2(yy)
+        return d(yy, _MONTHS.index(mon.lower()[:3]) + 1, dd)
+    m = _B_PERM_DOTS.match(s2)
+    if m:
+        return _perm(m.group(1), m.group(2), m.group(3), m.group(4))
+    m = _B_PERM_A.match(s2)
+    if m:
+        return _perm(m.group(1), m.group(2), m.group(3), m.group(4))
+    m = _B_PERM_B.match(s2)
+    if m:
+        return _perm(m.group(2), m.group(1), m.group(3), m.group(4))
+    m = _B_PERM_C.match(s2)
+    if m:
+        return _perm(m.group(3), m.group(1), m.group(2), m.group(4),
+                     month_last=True)
     # digit-comma-digit family (round 7, vote-only) — exact mirror of
     # etl/Normalize.scala Dates.commaIntDateVote; see its scaladoc for the
     # dateutil tokenizer/branch derivation (0 mismatches over 2256 cases).
