@@ -310,7 +310,14 @@ object NormalizeCol {
       .when(trim(c).rlike("^\\d+$"), "integer")
       .when(trim(c).rlike("^\\d*\\.\\d+$"), "float")
       .when(lower(trim(c)).isin("true", "false"), "boolean")
-      .when(voteNormalizeCol(c).rlike(InferDateRe), "date")
+      // cheap gate: every date family carries a digit and uses only
+      // [0-9A-Za-z ,/.:'+-] (letters for month/weekday/meridiem names, '+'
+      // for ISO offsets) — a linear-scan charset test that excludes the
+      // bulk of alphanumeric non-dates ("Clerk#000000951") before the
+      // jump-token normalization + big battery regex run (And codegen
+      // short-circuits), keeping the hot path at round-7 cost
+      .when(trim(c).rlike("^[0-9A-Za-z ,/.:+\\-]*\\d[0-9A-Za-z ,/.:+\\-]*$") &&
+        voteNormalizeCol(c).rlike(InferDateRe), "date")
       .otherwise("string")
 
   def sqlInferType(v: String): String =
@@ -319,6 +326,7 @@ object NormalizeCol {
       WHEN regexp_matches(trim($v), '^\\d+$$') THEN 'integer'
       WHEN regexp_matches(trim($v), '^\\d*\\.\\d+$$') THEN 'float'
       WHEN lower(trim($v)) IN ('true', 'false') THEN 'boolean'
-      WHEN regexp_matches(${sqlVoteNormalize(v)}, '$InferDateRe') THEN 'date'
+      WHEN regexp_matches(trim($v), '^[0-9A-Za-z ,/.:+\\-]*\\d[0-9A-Za-z ,/.:+\\-]*$$')
+        AND regexp_matches(${sqlVoteNormalize(v)}, '$InferDateRe') THEN 'date'
       ELSE 'string' END"""
 }
