@@ -136,4 +136,37 @@ class NormalizeModelSpec extends AnyFunSuite {
     assert(PyRender.pyReprStr("it's") == "\"it's\"")
     assert(PyRender.pyReprStr("a\"b'c") == "'a\"b\\'c'")
   }
+
+  test("convertyear window holds at arbitrary run dates, not just today's") {
+    // the golden corpus (DateParitySpec) pins the battery at ITS run date;
+    // this pins dateutil's convertyear arithmetic across century windows
+    import java.time.LocalDate
+    def y(v: Int, runYear: Int): Int =
+      Dates.convertYear2(v, LocalDate.of(runYear, 6, 15))
+    // 2026 window: 1977..2075 (|year - today| < 50)
+    assert(y(24, 2026) == 2024 && y(75, 2026) == 2075)
+    assert(y(76, 2026) == 1976 && y(99, 2026) == 1999 && y(0, 2026) == 2000)
+    // the window slides: in 2090 the same tokens resolve a century later
+    assert(y(24, 2090) == 2124 && y(76, 2090) == 2076 && y(40, 2090) == 2140)
+    assert(y(41, 2090) == 2041) // |2041 - 2090| = 49 < 50 stays
+    // year 2000 exactly: window 1951..2049
+    assert(y(50, 2000) == 1950 || y(50, 2000) == 2050) // boundary |diff| = 50
+    assert(y(50, 2000) == 1950) // 2050 >= today -> subtract
+    assert(y(51, 2000) == 1951 && y(49, 2000) == 2049)
+    // a 19xx run date uses the 1900 century base
+    assert(y(24, 1999) == 2024 && y(60, 1999) == 1960)
+    // the scalar battery threads the injected date end to end
+    assert(Dates.parseIso("5/1/24", LocalDate.of(2090, 6, 15))
+      .contains("2124-05-01T00:00:00"))
+    assert(Dates.parseIso("Jan 5 24", LocalDate.of(2090, 6, 15))
+      .contains("2124-01-05T00:00:00"))
+    // wide members pin the century regardless of the run date
+    assert(Dates.parseIso("05/01/099", LocalDate.of(2090, 6, 15))
+      .contains("0099-05-01T00:00:00"))
+    // Feb-29 validity follows the RESOLVED year: 2/29/28 is leap in the
+    // 2026 window (2028) but the 2090 window maps it to 2128, also leap;
+    // 2/29/27 fails in both
+    assert(Dates.parses("2/29/28", LocalDate.of(2026, 1, 1)))
+    assert(!Dates.parses("2/29/27", LocalDate.of(2026, 1, 1)))
+  }
 }

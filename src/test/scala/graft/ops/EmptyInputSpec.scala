@@ -111,4 +111,15 @@ class EmptyInputSpec extends SparkSpec {
       .withColumn("lbl", col("node"))
     assert(labels.count() == 0L)
   }
+
+  test("media decode/resize/scan over an empty blob set yields empty results") {
+    import spark.implicits._
+    val blobs = spark.createDataset(Seq.empty[Multimodal.Blob])
+    assert(Multimodal.decode(blobs, BinaryMediaDecoder).count() == 0L)
+    assert(Multimodal.resize(blobs, 8, 8, BinaryMediaDecoder).count() == 0L)
+    assert(Multimodal.sampleFrames(blobs, 4, BinaryMediaDecoder).count() == 0L)
+    val scan = graft.streaming.CorpusStreams.mediaScan(
+      blobs.toDF().select(col("blob_id"), col("content"), col("mime")))
+    assert(scan.count() == 0L)
+  }
 }
