@@ -243,7 +243,7 @@ object Dates {
   // battery-covered), any digit count (truncated to µs), and a bare
   // trailing separator
   private val IsoDateTime =
-    "^(\\d{4}-\\d{2}-\\d{2})[T ](\\d{2}:\\d{2}(?::\\d{2}(?:[.,]\\d*)?)?)(Z|[+-]\\d{2}:?\\d{2})?$".r
+    "^(\\d{4}-\\d{2}-\\d{2})[Tt ](\\d{2}:\\d{2}(?::\\d{2}(?:[.,]\\d*)?)?)(Z|z|[+-]\\d{2}:?\\d{2})?$".r
   /** Free-form numeric triplets, round 8 — dateutil's `_ymd.resolve_ymd`
     * in ONE rule (unified this round after probing the mixed-width edges;
     * the earlier 4-digit/all-short/3-digit split encoded the same
@@ -274,7 +274,7 @@ object Dates {
     * exactly like [[commaIntDateVote]].
     */
   private val TripletAny =
-    "^(\\d{1,4})([/.\\-])(\\d{1,4})([/.\\-])(\\d{1,4})((?:[T ,].*)?)$".r
+    "^(\\d{1,4})([/.\\- ])(\\d{1,4})([/.\\- ])(\\d{1,4})((?:[Tt ,].*)?)$".r
 
   /** dateutil `parserinfo.convertyear` for a bare ≤2-digit year. */
   private[etl] def convertYear2(y: Int, today: LocalDate): Int = {
@@ -305,7 +305,7 @@ object Dates {
   // "Jan 5.2024" decimal-merges and fails; the mandatory separator between
   // numbers keeps the merge case out)
   private val NumG = "(\\d{1,4})\\.?"
-  private val SfxG = "((?:[T ,].*)?)"
+  private val SfxG = "((?:[Tt ,].*)?)"
   private lazy val MonthPermA =
     ("^(?i)" + MonthAlt + "\\.?" + SepMon + NumG + SepNum + NumG + SfxG + "$").r
   private lazy val MonthPermB =
@@ -337,7 +337,10 @@ object Dates {
     for (ld <- valid(y, m, d); t <- timeSuffix(sfx))
       yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
   }
-  /** Dot separators must come in pairs (see scaladoc above). */
+  /** Dot separators must come in pairs (see scaladoc above); a dot next
+    * to a space merges ambiguously and is rejected (the pair test covers
+    * it). Spaces mix freely with '/' and '-'.
+    */
   private def sepsOk(a: String, b: String): Boolean = (a == ".") == (b == ".")
   /** dateutil's month vocabulary is EXACT — abbreviation, full name, or
     * (September only) "sept"; any other suffix fails ("janx", "janu",
@@ -349,9 +352,9 @@ object Dates {
     "jun(?:e)?|jul(?:y)?|aug(?:ust)?|sep(?:t(?:ember)?)?|oct(?:ober)?|" +
     "nov(?:ember)?|dec(?:ember)?)"
   private val MonthName =
-    ("^(?i)" + MonthAlt + " (\\d{1,2}),? (\\d{4})((?:[T ,].*)?)$").r
+    ("^(?i)" + MonthAlt + " (\\d{1,2}),? (\\d{4})((?:[Tt ,].*)?)$").r
   private val DayMonthName =
-    ("^(?i)(\\d{1,2}) " + MonthAlt + " (\\d{4})((?:[T ,].*)?)$").r
+    ("^(?i)(\\d{1,2}) " + MonthAlt + " (\\d{4})((?:[Tt ,].*)?)$").r
   private val Months = Seq("jan", "feb", "mar", "apr", "may", "jun",
     "jul", "aug", "sep", "oct", "nov", "dec")
 
@@ -365,7 +368,7 @@ object Dates {
     * same as the ISO branch above.
     */
   private val TimeSfxRe =
-    "^[T ](\\d{1,2}):(\\d{2})(?::(\\d{2})(?:[.,](\\d+))?)? ?(?:([AaPp])\\.?[Mm]\\.?)?$".r
+    "^[Tt ](\\d{1,2}):(\\d{2})(?::(\\d{2})(?:[.,](\\d+))?)? ?(?:([AaPp])\\.?[Mm]\\.?)?$".r
   /** Round-8 suffix tail (probed against dateutil): a comma with at least
     * one adjacent space is a jump before the time ("2024, 10:30" and
     * "2024/01/05 ,10:30" parse; ",10:30" with no space does not), a BARE
@@ -375,14 +378,73 @@ object Dates {
     * "… 0 PM" → 12:00).
     */
   private val CommaLead = "^(?: , | ,|, )(.*)$".r
-  private val BareHourRe = "^[T ](\\d{2})$".r
-  private val BareHourApRe = "^[T ](\\d{1,2}) ?([AaPp])\\.?[Mm]\\.?$".r
-  private def timeSuffix(sfx0: String): Option[String] = {
+  private val BareHourRe = "^[Tt ](\\d{2})$".r
+  private val BareHourApRe = "^[Tt ](\\d{1,2}) ?([AaPp])\\.?[Mm]\\.?$".r
+  /** Timezone tail, round 8 (probed): after a parsed TIME (never a bare
+    * date), dateutil accepts a numeric offset — ±H, ±HH, ±HHMM, ±HH:MM,
+    * attached or spaced, minutes may exceed 59 and carry ("+2299" →
+    * +23:39), total must stay under 24 h ("+2399" fails) — rendered
+    * normalized in the isoformat; the names Z/UTC/GMT (exact case) map to
+    * +00:00; any OTHER all-uppercase ≤5-letter token is dateutil's
+    * could_be_tzname shape: accepted but NOT understood, yielding a naive
+    * result (the offset is simply absent). "GMT+5" POSIX inversions stay
+    * out of battery (documented).
+    */
+  private val TzTail =
+    ("^(.+?)(?: ?([+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2})| ?(Z|z|UTC|GMT)" +
+      "| ?([AaPp][Mm]?)| ?([A-Z]{1,5}))$").r
+  private def timeSuffix(sfx0: String): Option[String] =
+    timeSuffixTz(sfx0, allowTz = true)
+
+  private def timeSuffixTz(sfx0: String, allowTz: Boolean): Option[String] = {
     val sfx = sfx0 match {
       case CommaLead(rest) => " " + rest
       case other => other
     }
-    timeSuffixBody(sfx)
+    timeSuffixBody(sfx).orElse(sfx match {
+      case TzTail(rest, num, name, meridiem, other) =>
+        // the rest parses RECURSIVELY, so trailing meridiem tokens chain
+        // the way dateutil applies them sequentially ("10:30 AM P" → the
+        // P re-applies on hour 10 → 22:30; "10:30 PM A" → hour is
+        // already 22 when the A validates ≤ 12 → fail; both probed) —
+        // but at most ONE tz token total ("10:30 UTC GMT" and chained
+        // unknown names fail, so tz tails recurse with tz disallowed)
+        val restParsed =
+          if (meridiem != null) timeSuffixTz(rest, allowTz)
+          else if (allowTz) timeSuffixTz(rest, allowTz = false)
+          else None
+        restParsed.flatMap { base =>
+          if (meridiem != null) {
+            val h = base.substring(0, 2).toInt
+            if (h > 12) None
+            else {
+              val h2 =
+                if (meridiem.toLowerCase(Locale.ROOT).startsWith("p")) h % 12 + 12
+                else h % 12
+              Some(f"$h2%02d" + base.substring(2))
+            }
+          } else
+          if (num != null) {
+            val neg = num.charAt(0) == '-'
+            val digits = num.substring(1).replace(":", "")
+            val hm =
+              if (digits.length <= 2) Some((digits.toInt, 0))
+              else if (digits.length == 4)
+                Some((digits.substring(0, 2).toInt, digits.substring(2).toInt))
+              else None // 3-digit offsets fail in dateutil
+            hm.flatMap { case (h, mi) =>
+              val total = h * 60 + mi
+              if (total >= 24 * 60) None
+              else {
+                val sgn = if (neg && total > 0) "-" else "+"
+                Some(f"$base$sgn${total / 60}%02d:${total % 60}%02d")
+              }
+            }
+          } else if (name != null) Some(base + "+00:00")
+          else Some(base) // could_be_tzname shape, not understood: naive
+        }
+      case _ => None
+    })
   }
   private def timeSuffixBody(sfx: String): Option[String] = sfx match {
     case "" => Some("00:00:00")
@@ -438,11 +500,35 @@ object Dates {
   private val WeekdayPrefix =
     ("(?i)^(?:(?:mon(?:day)?|tue(?:sday)?|wed(?:nesday)?|thu(?:rsday)?|" +
       "fri(?:day)?|sat(?:urday)?|sun(?:day)?)\\.?,? ?)+").r
+  // PRECOMPILED rewrite patterns: preprocess runs per dateparse attempt in
+  // the scalar hot path, and String.replaceAll would recompile each regex
+  // on every call
+  private val PreSpaces = java.util.regex.Pattern.compile("\\s+")
+  private val PreTrail = java.util.regex.Pattern.compile("( ?[.,])+$")
+  private val PreOrd =
+    java.util.regex.Pattern.compile("(?i)\\b(\\d{1,2})(?:st|nd|rd|th)\\b")
+  private val PreApoDD = java.util.regex.Pattern.compile("(\\d)'+(\\d)")
+  private val PreApoLead = java.util.regex.Pattern.compile("(^| )'+(\\d)")
+  private val PreApoAD = java.util.regex.Pattern.compile("([A-Za-z])'+(\\d)")
+  private val PreApoDA = java.util.regex.Pattern.compile("(\\d)'+([A-Za-z])")
+
   private def preprocess(s0: String): String = {
-    val s1 = s0.strip().replaceAll("\\s+", " ")
-    val s2 = s1.replaceAll("( ?[.,])+$", "")
+    val s1 = PreSpaces.matcher(s0.strip()).replaceAll(" ")
+    val s2 = PreTrail.matcher(s1).replaceAll("")
     val s3 = WeekdayPrefix.replaceFirstIn(s2, "")
-    s3.replaceAll("(?i)\\b(\\d{1,2})(?:st|nd|rd|th)\\b", "$1")
+    val s4 = PreOrd.matcher(s3).replaceAll("$1")
+    // apostrophes are jump tokens in digit-adjacent positions ("Jan 5'24",
+    // "'24 Jan 5", "05'01'24", "Jan'5'2024" all parse; after a '-' they do
+    // NOT — "Jan-5-'24" fails, so the rewrites stay position-scoped):
+    // digit'digit reads as a member separator, a leading run before a
+    // digit vanishes, and an alpha-digit boundary apostrophe splits
+    if (s4.indexOf('\'') < 0) s4
+    else {
+      val a = PreApoDD.matcher(s4).replaceAll("$1/$2")
+      val b = PreApoLead.matcher(a).replaceAll("$1$2")
+      val c = PreApoAD.matcher(b).replaceAll("$1 $2")
+      PreApoDA.matcher(c).replaceAll("$1 $2")
+    }
   }
 
   def parseIso(s0: String, today: LocalDate): Option[String] = {
@@ -459,31 +545,54 @@ object Dates {
         val micro = frac.take(6).padTo(6, '0')
         val time = base + (if (frac.nonEmpty && micro != "000000") "." + micro else "")
         val t = if (time.length == 5) time + ":00" else time
+        // numeric offsets validate and normalize like the free-form tz
+        // tail: minutes carry ("+0560" → +06:00), total < 24 h ("+2399"
+        // fails) — probed on ISO-attached forms too
         val tzs = tz match {
-          case null => ""
-          case "Z" => "+00:00"
-          case o if o.length == 5 => o.substring(0, 3) + ":" + o.substring(3)
-          case o => o
+          case null => Some("")
+          case "Z" | "z" => Some("+00:00")
+          case o =>
+            val digits = o.substring(1).replace(":", "")
+            val total = digits.substring(0, 2).toInt * 60 + digits.substring(2).toInt
+            if (total >= 24 * 60) None
+            else {
+              val sgn = if (o.charAt(0) == '-' && total > 0) "-" else "+"
+              Some(f"$sgn${total / 60}%02d:${total % 60}%02d")
+            }
         }
         if (valid(date.substring(0, 4).toInt, date.substring(5, 7).toInt,
             date.substring(8, 10).toInt).isDefined && t.substring(0, 2).toInt < 24 &&
             t.substring(3, 5).toInt < 60)
-          Some(s"${date}T$t$tzs")
+          tzs.map(z => s"${date}T$t$z")
         else None
       case MonthName(mon, d, y, sfx) => monthPerm(mon, d, y, sfx, today)
       case DayMonthName(d, mon, y, sfx) => monthPerm(mon, d, y, sfx, today)
       case TripletAny(a0, s1, b0, s2, c0, sfx) if sepsOk(s1, s2) =>
-        val wide = Seq(a0, b0, c0).count(_.length >= 3)
-        if (wide >= 2) None
-        else {
-          val a = a0.toInt; val b = b0.toInt; val c = c0.toInt
+        // separator-joined members keep dateutil's STRING semantics (a
+        // ≥3-digit token pins the year as written); SPACE-separated
+        // members go through the int append path instead ("05 01 0024" →
+        // 2024 converted, "05/01/0024" → 0024 pinned — both probed), the
+        // same semantics the month-name families use
+        val spacey = s1 == " " || s2 == " "
+        val a = a0.toInt; val b = b0.toInt; val c = c0.toInt
+        if (spacey) {
           val (y0, m, d) =
-            if (a > 31 || a0.length >= 3) (a, b, c)
-            else if (a > 12) (c, b, a)
-            else (c, a, b)
-          val y = if (y0 < 100 && wide == 0) convertYear2(y0, today) else y0
+            if (a > 31) (a, b, c) else if (a > 12) (c, b, a) else (c, a, b)
+          val y = if (y0 < 100) convertYear2(y0, today) else y0
           for (ld <- valid(y, m, d); t <- timeSuffix(sfx))
             yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
+        } else {
+          val wide = Seq(a0, b0, c0).count(_.length >= 3)
+          if (wide >= 2) None
+          else {
+            val (y0, m, d) =
+              if (a > 31 || a0.length >= 3) (a, b, c)
+              else if (a > 12) (c, b, a)
+              else (c, a, b)
+            val y = if (y0 < 100 && wide == 0) convertYear2(y0, today) else y0
+            for (ld <- valid(y, m, d); t <- timeSuffix(sfx))
+              yield f"${ld.getYear}%04d-$m%02d-${ld.getDayOfMonth}%02dT$t"
+          }
         }
       case MonthPermDots(mon, a0, b0, sfx) => monthPerm(mon, a0, b0, sfx, today)
       case MonthPermA(mon, a0, b0, sfx) => monthPerm(mon, a0, b0, sfx, today)

@@ -141,10 +141,14 @@ object NormalizeCol {
   private def tripletYmd(Sp: String): String =
     "(" + Y4nz + Sp + M31a + Sp + D31a + "|" + Y4nz + Sp + M30a + Sp + D30a +
       "|" + Y4nz + Sp + "0?2" + Sp + D28a + "|" + Leap4 + Sp + "0?2" + Sp + "29)"
+  // '/' '-' and ' ' mix freely as member separators (space-separated
+  // numeric triplets parse with INT member semantics — the accept/reject
+  // surface coincides with these calendar atoms, see Dates.TripletAny);
+  // '.' still only pairs with '.'
   private val TripletDmyRe =
-    "(" + tripletDmy("[/\\-]") + "|" + tripletDmy("\\.") + ")"
+    "(" + tripletDmy("[/\\- ]") + "|" + tripletDmy("\\.") + ")"
   private val TripletYmdRe =
-    "(" + tripletYmd("[/\\-]") + "|" + tripletYmd("\\.") + ")"
+    "(" + tripletYmd("[/\\- ]") + "|" + tripletYmd("\\.") + ")"
   // ---- all-short triplets (1-2-digit members, round 8): dateutil reads
   // first>31 → Y/M/D, first>12 → D/M/Y, else M/D/Y, with the 2-digit year
   // resolved through convertyear's ±50-year window around the run date
@@ -165,7 +169,7 @@ object NormalizeCol {
       "|" + Y2first + Sp + "(" + M31a + Sp + D31a + "|" + M30a + Sp + D30a +
       "|0?2" + Sp + D28a + ")|" + Leap2first + Sp + "0?2" + Sp + "29)"
   private val TripletShortRe =
-    "(" + tripletShort("[/\\-]") + "|" + tripletShort("\\.") + ")"
+    "(" + tripletShort("[/\\- ]") + "|" + tripletShort("\\.") + ")"
   /** Month-name families ("Jan 5, 2024" / "5 Jan 2024", abbreviated or
     * full, any case), day-validity coupled to the named month.
     */
@@ -187,10 +191,42 @@ object NormalizeCol {
     * bare ",10:30" stays out), a BARE exactly-2-digit hour, and a
     * 1-2-digit hour with a meridiem.
     */
+  private val T24c = "([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?"
+  private val T12c = "(0?\\d|1[0-2]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?"
+  private val T12h12 = "(0?)?12:[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?"
+  private val MerDot = " ?[AaPp]\\.?[Mm]\\.?"
+  private val MerTok = " ?[AaPp][Mm]?"
+  private val MerAny = " ?[AaPp](\\.?[Mm]\\.?)?"
+  /** numeric tz offset bounded under 24 h: ±HHMM with minute carry
+    * ("+2299" valid), ±HH:MM, ±H, ±HH — mirror of the scalar tz tail
+    */
+  private val OffB =
+    "[+-]((([01]\\d|2[0-2]):?\\d{2})|23:?[0-5]\\d|[01]?\\d|2[0-3])"
+  /** ONE tz token after a time: bounded offset, Z/UTC/GMT, or dateutil's
+    * could_be_tzname shape (≤5 uppercase letters, naive result). The
+    * name class EXCLUDES meridiem-shaped tokens (A/P/AM/PM) — those are
+    * sequential meridiem re-applications with their own hour constraint,
+    * handled by the extra-meridiem alternatives below (RE2 has no
+    * lookahead, so the exclusion is enumerated).
+    */
+  private val TzName = "([B-OQ-Z]|[AP][A-LN-Z]|[B-OQ-Z][A-Z]|[A-Z]{3,5})"
+  private val TzTok = "( ?(" + OffB + "|Z|z|UTC|GMT|" + TzName + "))?"
+  /** Optional time-of-day suffix (mirrors [[Dates.timeSuffix]]): 24-hour
+    * H:MM[:SS[.f]] or 12-hour with meridiem forms; round-8 tail adds the
+    * spaced-comma jump lead, bare hours, tz tokens, and dateutil's
+    * sequential meridiem re-application ("10:30 AM P" parses to 22:30,
+    * "10:30 PM A" fails because the hour is 22 when A validates ≤ 12) —
+    * chains are valid when the FIRST extra token is a-type or the hour is
+    * exactly 12, the two shapes that keep every application ≤ 12.
+    */
   private val TimeSfxA =
-    "((?:[T ]| , | ,|, )(([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?|" +
-      "((0?\\d|1[0-2]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?|0?\\d|1[0-2]) ?[AaPp]\\.?[Mm]\\.?|" +
-      "[01]\\d|2[0-3]))?"
+    "((?:[Tt ]| , | ,|, )(" +
+      T24c + "|" + T12c + MerDot + "|" +
+      T12c + MerAny + "|" +
+      T12c + " ?[Aa][Mm]?" + MerTok + "|" +
+      T12h12 + MerTok + MerTok + "|" +
+      "[01]\\d|2[0-3]|" +
+      "(0?\\d|1[0-2])" + MerAny + ")" + TzTok + ")?"
   // ---- 3-digit-year triplets (separator context: any ≥3-digit member is
   // a PINNED year — value as written, leading zeros kept; "012/01/05" →
   // year 12 which IS mod-4 leap-coupled after the no-conversion pin).
@@ -215,8 +251,8 @@ object NormalizeCol {
       "0" + D30a + "|0?2" + Sp + "0" + D28a + ")|" +
       Leap2first + Sp + "0?2" + Sp + "029)"
   private val TripletY3Re =
-    "(" + tripletY3("[/\\-]") + "|" + tripletY3("\\.") + "|" +
-      tripletY2w("[/\\-]") + "|" + tripletY2w("\\.") + ")"
+    "(" + tripletY3("[/\\- ]") + "|" + tripletY3("\\.") + "|" +
+      tripletY2w("[/\\- ]") + "|" + tripletY2w("\\.") + ")"
   // ---- month-name permutations (int semantics: tokens are VALUES, so
   // "015" can be day 15 and "0015" year 15). Day/year resolution: month
   // first or middle → (day, year) unless the first number exceeds 31;
@@ -275,7 +311,7 @@ object NormalizeCol {
     * see [[Dates.NegNumDateRe]] for the full shape table.
     */
   val InferDateRe =
-    "^(\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|[+-]\\d{2}:?\\d{2})?)?|" +
+    "^(\\d{4}-\\d{2}-\\d{2}([Tt ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|z|[+-]\\d{2}:?\\d{2})?)?|" +
       TripletDmyRe + TimeSfxA + "|" + TripletYmdRe + TimeSfxA + "|" +
       TripletShortRe + TimeSfxA + "|" + TripletY3Re + TimeSfxA + "|" +
       MonthNameRe + TimeSfxA + "|" + DayMonthNameRe + TimeSfxA + "|" +
@@ -296,14 +332,24 @@ object NormalizeCol {
     s.trim.replaceAll("\\s+", " ").replaceAll("( ?[.,])+$", "")
       .replaceFirst(WeekdayStripRe, "")
       .replaceAll(OrdinalStripRe, "$1")
+      .replaceAll("(\\d)'+(\\d)", "$1/$2")
+      .replaceAll("(^| )'+(\\d)", "$1$2")
+      .replaceAll("([A-Za-z])'+(\\d)", "$1 $2")
+      .replaceAll("(\\d)'+([A-Za-z])", "$1 $2")
   def voteNormalizeCol(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(c),
-      "\\s+", " "), "( ?[.,])+$", ""), WeekdayStripRe, ""),
-      OrdinalStripRe, "$1")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(c),
+        "\\s+", " "), "( ?[.,])+$", ""), WeekdayStripRe, ""),
+        OrdinalStripRe, "$1"),
+      "(\\d)'+(\\d)", "$1/$2"), "(^| )'+(\\d)", "$1$2"),
+      "([A-Za-z])'+(\\d)", "$1 $2"), "(\\d)'+([A-Za-z])", "$1 $2")
   private def sqlVoteNormalize(v: String): String =
-    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim($v),
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim($v),
       '\\s+', ' ', 'g'), '( ?[.,])+$$', ''), '$WeekdayStripRe', ''),
-      '$OrdinalStripRe', '\\1', 'g')"""
+      '$OrdinalStripRe', '\\1', 'g'),
+      '(\\d)''+(\\d)', '\\1/\\2', 'g'), '(^| )''+(\\d)', '\\1\\2'),
+      '([A-Za-z])''+(\\d)', '\\1 \\2', 'g'), '(\\d)''+([A-Za-z])', '\\1 \\2', 'g')"""
 
   def inferType(c: Column): Column =
     when(c.isNull || trim(c) === "", "null")
@@ -316,7 +362,7 @@ object NormalizeCol {
       // bulk of alphanumeric non-dates ("Clerk#000000951") before the
       // jump-token normalization + big battery regex run (And codegen
       // short-circuits), keeping the hot path at round-7 cost
-      .when(trim(c).rlike("^[0-9A-Za-z ,/.:+\\-]*\\d[0-9A-Za-z ,/.:+\\-]*$") &&
+      .when(trim(c).rlike("^[0-9A-Za-z ,/.:+'\\-]*\\d[0-9A-Za-z ,/.:+'\\-]*$") &&
         voteNormalizeCol(c).rlike(InferDateRe), "date")
       .otherwise("string")
 
@@ -326,7 +372,7 @@ object NormalizeCol {
       WHEN regexp_matches(trim($v), '^\\d+$$') THEN 'integer'
       WHEN regexp_matches(trim($v), '^\\d*\\.\\d+$$') THEN 'float'
       WHEN lower(trim($v)) IN ('true', 'false') THEN 'boolean'
-      WHEN regexp_matches(trim($v), '^[0-9A-Za-z ,/.:+\\-]*\\d[0-9A-Za-z ,/.:+\\-]*$$')
+      WHEN regexp_matches(trim($v), '^[0-9A-Za-z ,/.:+''\\-]*\\d[0-9A-Za-z ,/.:+''\\-]*$$')
         AND regexp_matches(${sqlVoteNormalize(v)}, '$InferDateRe') THEN 'date'
       ELSE 'string' END"""
 }

@@ -231,10 +231,59 @@ for s in ["Jan 5 0015", "0015 Jan 5", "004 Jan 5", "Jan 5 004", "Jan 005 5",
     add(s, "month_perm")
 for s in ["2024/01/05 10:30 +0500", "05 Jan 2024 10:30:00 GMT",
           "2024-1-5 10:30 UTC", "Jan 5 2024 10:30 EST"]:
-    add(s, "tz_suffix", covered=False)
-for s in ["wed 10:30 PM 5 Jan 2024", "Jan 5'24", "Jan '24 5",
-          "2nd 3rd 2024", "Jan 5 2024 10.30"]:
-    add(s, "time_first_or_apostrophe", covered=False)
+    add(s, "tz_suffix_cov")
+# ---- space-separated numeric triplets (INT member semantics: "05 01
+# 0024" converts to 2024 while "05/01/0024" pins — probed), covered ----
+for (a, b, c) in [(5, 1, 24), (1, 2, 3), (10, 11, 12), (13, 1, 2024),
+                  (2024, 1, 5), (45, 6, 15), (5, 1, 999), (5, 1, 99),
+                  (2, 29, 24), (2, 29, 23), (29, 2, 96), (0, 1, 2),
+                  (5, 13, 24), (31, 12, 99), (99, 1, 2), (5, 45, 24)]:
+    add(f"{a} {b} {c}", "space_triplet")
+    add(f"{a:02d} {b:02d} {c:02d}", "space_triplet")
+for s in ["05 01 0024", "05 01 099", "05/01 24", "05 01/24", "45-6 15",
+          "05 01 24 10:30", "45 6 15 10", "05 1 24.", "2024 01 05 Z",
+          "5  1  24", "05 01 24 0:30 PM", "Mon 05 01 24"]:
+    add(s, "space_triplet")
+
+# ---- apostrophe jumps (digit-adjacent positions only; after '-' they
+# fail — probed), covered ----
+for s in ["Jan 5'24", "Jan '24 5", "5'24 Jan", "05'01'24", "2024'01'05",
+          "Jan'5'2024", "Jan 5 '24", "'24 Jan 5", "Jan '2024 5",
+          "5 Jan '24", "Jan-5-'24", "Jan 5, '24", "''24 Jan 5",
+          "Jan 5''24", "Jan 5 '2024", "05'01'24 10:30"]:
+    add(s, "apostrophe")
+
+# ---- timezone suffixes (after a TIME only), covered: numeric offsets
+# with carry + 24h bound, Z/UTC/GMT, and could_be_tzname naive shapes ----
+TZ_BASES = ["2024/01/05 10:30", "05/01/2024 10:30:45", "5/1/24 10:30",
+            "Jan 5, 2024 10:30 PM", "45-6-15 10", "2024-01-05T10:30:00",
+            "05 01 24 10:30"]
+TZS = ["+0500", "-0500", "+05:00", "+05", "+5", "+0560", "+2359", "+2399",
+       "+2299", "-0000", "+9900", "+123", "+12345", "Z", "UTC", "GMT",
+       "utc", "Est", "EST", "HELLO", "XYZAB", "XYZABC", "A", "E", "-1200",
+       "+1301"]
+for i, base in enumerate(TZ_BASES):
+    for j, tz in enumerate(TZS):
+        sep = "" if (i + j) % 3 == 0 and tz[0] in "+-Z" else " "
+        add(f"{base}{sep}{tz}", "tz_suffix_cov")
+for s in ["2024/01/05 UTC", "Jan 5 2024 GMT", "2024 01 05 Z",
+          "2024/01/05 10:30 UTC GMT", "2024/01/05 10:30 est",
+          "13:30 PM GMT", "2024/01/05 13:30 AM", "2024/01/05 13:30 PM"]:
+    add(s, "tz_suffix_cov")
+
+# ---- lowercase pipeline forms: the value chain lowercases string cells
+# before the vote, and dateutil accepts a lowercase 't' separator and the
+# lowercase 'z' UTC name (both in its vocabulary) while lowercase
+# utc/gmt/tznames fail ----
+for s in ["2024/01/05 10:30 z", "2024-01-05t10:30:00", "2024/01/05t10:30",
+          "jan 5 2024 10:30 z", "05 01 24 10:30 z", "2024/01/05 10:30 gmt",
+          "2024-01-05 10:30:45.123z", "2024-01-05t10:30:00+0560",
+          "2024/01/05 10:30z", "2024/01/05 10:30 est", "tue, 5 jan 2024"]:
+    add(s, "lowercase_pipeline")
+
+for s in ["wed 10:30 PM 5 Jan 2024", "2nd 3rd 2024", "Jan 5 2024 10.30",
+          "2024/01/05 10:30 GMT+5"]:
+    add(s, "time_first_or_posix", covered=False)
 for s in ["12,34,56", "1,000,000"]:
     add(s, "multi_comma", covered=False)
 

@@ -80,7 +80,12 @@ QUIRKS = ["NA", "n/a", "null", "none", "nan", "", "true", "True", "YES", "1",
           "Tue, 05 Jan 2024", "Sat. 5/1/24", "Jan. 5, 2024", "5th Jan 2024",
           "2024/01/05 10", "Jan 5 2024 7 PM", "05/01/999", "13/1/999",
           "Jan 5 99", "2024 Jan 5", "45 6 Jan", "Jan 5, 2024, 10:30",
-          "2024/01/05.", "january5 2024", "Jan -- 5 2024", "Tues 5 Jan 2024"]
+          "2024/01/05.", "january5 2024", "Jan -- 5 2024", "Tues 5 Jan 2024",
+          # round-8 tail: space triplets, apostrophes, tz suffixes
+          "05 01 24", "10 11 12", "45 6 15 10", "Jan 5'24", "05'01'24",
+          "'24 Jan 5", "2024/01/05 10:30 +0500", "5/1/24 10:30 GMT",
+          "Jan 5, 2024 10:30 PM EST", "2024/01/05 10:30 AM P",
+          "2024-01-05T10:30:00+0560", "2024/01/05 10:30 Z"]
 
 
 def scalar():
@@ -197,17 +202,17 @@ _MON = ("(jan(?:uary)?|feb(?:ruary)?|mar(?:ch)?|apr(?:il)?|may|jun(?:e)?|"
         "jul(?:y)?|aug(?:ust)?|sep(?:t(?:ember)?)?|oct(?:ober)?|"
         "nov(?:ember)?|dec(?:ember)?)")
 _B_ISO = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})$')
-_B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})(:\d{2}([.,]\d*)?)?(Z|[+-]\d{2}:?\d{2})?$')
+_B_DT = _re.compile(r'^(\d{4})-(\d{2})-(\d{2})[Tt ](\d{2}):(\d{2})(:\d{2}([.,]\d*)?)?(Z|z|[+-]\d{2}:?\d{2})?$')
 # round-8 free-form families (etl/Normalize.scala Dates.TripletYmd/Dmy +
 # timeSuffix): '/' and '-' mix as jump separators, '.' only pairs with '.'
 # (dateutil's decimal-merge rule); first member is the month unless > 12;
 # optional H:MM[:SS[.f]][ AM/PM] time suffix behind ' ' or 'T'
-_B_TRIP_ANY = _re.compile(r'^(\d{1,4})([/.\-])(\d{1,4})([/.\-])(\d{1,4})((?:[T ,].*)?)$')
-_B_TIME = _re.compile(r'^[T ](\d{1,2}):(\d{2})(?::(\d{2})(?:[.,](\d+))?)? ?(?:([AaPp])\.?[Mm]\.?)?$')
+_B_TRIP_ANY = _re.compile(r'^(\d{1,4})([/.\- ])(\d{1,4})([/.\- ])(\d{1,4})((?:[Tt ,].*)?)$')
+_B_TIME = _re.compile(r'^[Tt ](\d{1,2}):(\d{2})(?::(\d{2})(?:[.,](\d+))?)? ?(?:([AaPp])\.?[Mm]\.?)?$')
 _SEPN = r'(?: ?[,/\-]+ ?| )'
 _SEPM = r'(?: ?[,/\-]+ ?| ?\. ?| |)'
 _NUMT = r'(\d{1,4})\.?'
-_SFXT = r'((?:[T ,].*)?)'
+_SFXT = r'((?:[Tt ,].*)?)'
 _B_PERM_A = _re.compile(r'^%s\.?%s%s%s%s%s$' % (_MON, _SEPM, _NUMT, _SEPN, _NUMT, _SFXT), _re.I)
 _B_PERM_B = _re.compile(r'^%s%s%s\.?%s%s%s$' % (_NUMT, _SEPM, _MON, _SEPM, _NUMT, _SFXT), _re.I)
 _B_PERM_C = _re.compile(r'^%s%s%s%s%s\.?%s$' % (_NUMT, _SEPN, _NUMT, _SEPM, _MON, _SFXT), _re.I)
@@ -218,28 +223,62 @@ _MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
            "jul", "aug", "sep", "oct", "nov", "dec"]
 
 
-def _b_sfx_ok(sfx):
-    """time-suffix acceptance, mirror of Dates.timeSuffix (round 8: a
-    spaced comma is a jump lead, a bare EXACTLY-2-digit hour parses, a
-    1-2-digit hour parses with a meridiem)"""
+def _b_sfx_hour(sfx, allow_tz=True):
+    """time-suffix acceptance, mirror of Dates.timeSuffixTz: returns the
+    resulting HOUR (int) or None. Round-8 tail: spaced-comma jump leads,
+    bare hours, tz tokens (bounded offsets / Z/UTC/GMT / could_be_tzname
+    naive shapes, at most one), and sequential meridiem re-application
+    ("10:30 AM P" -> 22, "10:30 PM A" -> fail)."""
     if sfx == "":
-        return True
+        return 0
     m = _re.match(r'^(?: , | ,|, )(.*)$', sfx)
     if m:
         sfx = ' ' + m.group(1)
-    m = _re.match(r'^[T ](\d{2})$', sfx)
+    m = _re.match(r'^[Tt ](\d{2})$', sfx)
     if m:
-        return int(m.group(1)) < 24
-    m = _re.match(r'^[T ](\d{1,2}) ?([AaPp])\.?[Mm]\.?$', sfx)
+        h = int(m.group(1))
+        return h if h < 24 else None
+    m = _re.match(r'^[Tt ](\d{1,2}) ?([AaPp])\.?[Mm]\.?$', sfx)
     if m:
-        return int(m.group(1)) <= 12
+        h = int(m.group(1))
+        if h > 12:
+            return None
+        return h % 12 + (12 if m.group(2).lower() == 'p' else 0)
     m = _B_TIME.match(sfx)
-    if not m:
-        return False
-    h, mi = int(m.group(1)), int(m.group(2))
-    se = int(m.group(3)) if m.group(3) else 0
-    ap = m.group(5)
-    return (h <= 12 if ap else h < 24) and mi < 60 and se < 60
+    if m:
+        h, mi = int(m.group(1)), int(m.group(2))
+        se = int(m.group(3)) if m.group(3) else 0
+        ap = m.group(5)
+        if not ((h <= 12 if ap else h < 24) and mi < 60 and se < 60):
+            return None
+        return h % 12 + (12 if ap and ap.lower() == 'p' else 0) if ap else h
+    # tz / extra-meridiem tail split (one tz max, meridiems chain)
+    m = _re.match(r'^(.+?) ?([AaPp][Mm]?)$', sfx)
+    if m:
+        h = _b_sfx_hour(m.group(1), allow_tz)
+        if h is None or h > 12:
+            return None
+        return h % 12 + (12 if m.group(2)[0].lower() == 'p' else 0)
+    if allow_tz:
+        m = _re.match(r'^(.+?) ?([+-]\d{1,4}|[+-]\d{1,2}:\d{2})$', sfx)
+        if m:
+            h = _b_sfx_hour(m.group(1), allow_tz=False)
+            if h is None:
+                return None
+            digits = m.group(2)[1:].replace(':', '')
+            if len(digits) == 3 or len(digits) > 4:
+                return None
+            hh, mm = (int(digits), 0) if len(digits) <= 2 else (
+                int(digits[:2]), int(digits[2:]))
+            return h if hh * 60 + mm < 24 * 60 else None
+        m = _re.match(r'^(.+?) ?(Z|z|UTC|GMT|[A-Z]{1,5})$', sfx)
+        if m:
+            return _b_sfx_hour(m.group(1), allow_tz=False)
+    return None
+
+
+def _b_sfx_ok(sfx):
+    return _b_sfx_hour(sfx) is not None
 
 
 def battery_parse(s, *a, **k):
@@ -288,6 +327,10 @@ def battery_parse(s, *a, **k):
     s2 = _re.sub(r'( ?[.,])+$', '', s2)
     s2 = _re.sub(_B_WD, '', s2, flags=_re.I)
     s2 = _re.sub(r'\b(\d{1,2})(st|nd|rd|th)\b', r'\1', s2, flags=_re.I)
+    s2 = _re.sub(r"(\d)'+(\d)", r'\1/\2', s2)
+    s2 = _re.sub(r"(^| )'+(\d)", r'\1\2', s2)
+    s2 = _re.sub(r"([A-Za-z])'+(\d)", r'\1 \2', s2)
+    s2 = _re.sub(r"(\d)'+([A-Za-z])", r'\1 \2', s2)
 
     def conv2(y):
         t = _dt.date.today().year
@@ -309,10 +352,24 @@ def battery_parse(s, *a, **k):
         a0, b0, c0 = m.group(1), m.group(3), m.group(5)
         if (m.group(2) == ".") != (m.group(4) == ".") or not _b_sfx_ok(m.group(6)):
             raise ValueError(s)
+        a, b, c = int(a0), int(b0), int(c0)
+        spacey = m.group(2) == " " or m.group(4) == " "
+        if spacey:
+            # space-separated members take the INT append path: value-only
+            # resolution, century pinned by value > 100 (mirror of
+            # Dates.TripletAny's spacey branch)
+            if a > 31:
+                yy, mo, dd = a, b, c
+            elif a > 12:
+                yy, mo, dd = c, b, a
+            else:
+                yy, mo, dd = c, a, b
+            if yy < 100:
+                yy = conv2(yy)
+            return d(yy, mo, dd)
         wide = sum(1 for t_ in (a0, b0, c0) if len(t_) >= 3)
         if wide >= 2:
             raise ValueError(s)
-        a, b, c = int(a0), int(b0), int(c0)
         if a > 31 or len(a0) >= 3:
             yy, mo, dd = a, b, c
         elif a > 12:
