@@ -50,7 +50,20 @@ object Bench {
     val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000
     // "failed" makes crashes explicit: a query that starts erroring must not
     // read as a faster run (its -1 is excluded from the total).
-    println(s"""{"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}""")
+    val line = s"""{"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
+    println(line)
+    // durable copy: the stdout capture truncated BENCH_r08.json's single
+    // line to an unparseable tail, so the same JSON also lands in a file
+    // (argv override, else target/bench.json) — BASELINE.md protocol
+    val outPath = args.headOption.getOrElse("target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -276,11 +276,17 @@ object Dates {
   private val TripletAny =
     "^(\\d{1,4})([/.\\- ])(\\d{1,4})([/.\\- ])(\\d{1,4})((?:[Tt ,].*)?)$".r
 
-  /** dateutil `parserinfo.convertyear` for a bare ≤2-digit year. */
+  /** dateutil `parserinfo.convertyear` for a bare ≤2-digit year. The
+    * window is ASYMMETRIC — dateutil keeps base in [run-50, run+50): it
+    * subtracts 100 when base >= run+50 but adds 100 only when base is
+    * STRICTLY below run-50. E.g. at run year 2090 a bare '40' (base
+    * 2040 == run-50) is KEPT as 2040, while '39' (base 2039) wraps to
+    * 2139. Only observable for run years with year%100 >= 50 (2050+).
+    */
   private[etl] def convertYear2(y: Int, today: LocalDate): Int = {
     val base = y + today.getYear / 100 * 100
-    if (math.abs(base - today.getYear) >= 50)
-      (if (base < today.getYear) base + 100 else base - 100)
+    if (base >= today.getYear + 50) base - 100
+    else if (base < today.getYear - 50) base + 100
     else base
   }
 
@@ -426,12 +432,23 @@ object Dates {
           } else
           if (num != null) {
             val neg = num.charAt(0) == '-'
-            val digits = num.substring(1).replace(":", "")
             val hm =
-              if (digits.length <= 2) Some((digits.toInt, 0))
-              else if (digits.length == 4)
-                Some((digits.substring(0, 2).toInt, digits.substring(2).toInt))
-              else None // 3-digit offsets fail in dateutil
+              if (num.contains(":")) {
+                // dateutil's GMT±H:MM colon path reads the hour and
+                // minute TOKENS separately (int(l[i+1])·3600 +
+                // int(l[i+3])·60), so a 1-digit hour is fine ("+5:30" →
+                // +05:30) and minutes still carry ("+5:99" → +06:39) —
+                // the 3-digit rejection below applies to the UNSEPARATED
+                // form only (round-8 advisor finding)
+                val ci = num.indexOf(':')
+                Some((num.substring(1, ci).toInt, num.substring(ci + 1).toInt))
+              } else {
+                val digits = num.substring(1)
+                if (digits.length <= 2) Some((digits.toInt, 0))
+                else if (digits.length == 4)
+                  Some((digits.substring(0, 2).toInt, digits.substring(2).toInt))
+                else None // 3-digit offsets fail in dateutil
+              }
             hm.flatMap { case (h, mi) =>
               val total = h * 60 + mi
               if (total >= 24 * 60) None

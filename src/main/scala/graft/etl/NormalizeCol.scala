@@ -198,10 +198,12 @@ object NormalizeCol {
   private val MerTok = " ?[AaPp][Mm]?"
   private val MerAny = " ?[AaPp](\\.?[Mm]\\.?)?"
   /** numeric tz offset bounded under 24 h: ±HHMM with minute carry
-    * ("+2299" valid), ±HH:MM, ±H, ±HH — mirror of the scalar tz tail
+    * ("+2299" valid), ±HH:MM, ±H:MM (1-digit hour via dateutil's colon
+    * path — always < 24 h even with minute carry), ±H, ±HH — mirror of
+    * the scalar tz tail
     */
   private val OffB =
-    "[+-]((([01]\\d|2[0-2]):?\\d{2})|23:?[0-5]\\d|[01]?\\d|2[0-3])"
+    "[+-]((([01]\\d|2[0-2]):?\\d{2})|23:?[0-5]\\d|\\d:\\d{2}|[01]?\\d|2[0-3])"
   /** ONE tz token after a time: bounded offset, Z/UTC/GMT, or dateutil's
     * could_be_tzname shape (≤5 uppercase letters, naive result). The
     * name class EXCLUDES meridiem-shaped tokens (A/P/AM/PM) — those are
@@ -348,7 +350,7 @@ object NormalizeCol {
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim($v),
       '\\s+', ' ', 'g'), '( ?[.,])+$$', ''), '$WeekdayStripRe', ''),
       '$OrdinalStripRe', '\\1', 'g'),
-      '(\\d)''+(\\d)', '\\1/\\2', 'g'), '(^| )''+(\\d)', '\\1\\2'),
+      '(\\d)''+(\\d)', '\\1/\\2', 'g'), '(^| )''+(\\d)', '\\1\\2', 'g'),
       '([A-Za-z])''+(\\d)', '\\1 \\2', 'g'), '(\\d)''+([A-Za-z])', '\\1 \\2', 'g')"""
 
   def inferType(c: Column): Column =

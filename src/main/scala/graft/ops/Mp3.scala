@@ -159,15 +159,31 @@ object Mp3 {
   }
 
   /** Walk the whole payload: optional ID3v2 prefix, strictly adjacent
-    * frames, optional ID3v1 trailer. Mixed sample rates / channel counts
-    * across frames are refused (a legal stream keeps them constant).
+    * frames, optional ID3v1 trailer. Mixed sample rates / channel counts /
+    * samples-per-frame (version+layer) across frames are refused (a legal
+    * stream keeps them constant).
     */
   def parse(b: Array[Byte]): Info = {
     val id3 = id3v2Length(b)
     require(id3 <= b.length, "ID3v2 tag overruns payload")
-    val hasId3v1 = b.length - id3 >= 128 + 4 &&
+    val tagAtTrailer = b.length - id3 >= 128 + 4 &&
       b(b.length - 128) == 'T' && b(b.length - 127) == 'A' && b(b.length - 126) == 'G'
-    val end = if (hasId3v1) b.length - 128 else b.length
+    // 'TAG' at length-128 can be coincidental frame PAYLOAD bytes (audio
+    // data is arbitrary), so the sniff is only honored when the frame walk
+    // tiles exactly to the 128-byte trailer; otherwise re-walk the full
+    // payload as audio. A stream that fails BOTH walks reports the
+    // full-payload error (the no-tag reading is the weaker assumption).
+    if (tagAtTrailer) {
+      try walkFrames(b, id3, b.length - 128, hasId3v1 = true)
+      catch {
+        case _: IllegalArgumentException =>
+          walkFrames(b, id3, b.length, hasId3v1 = false)
+      }
+    } else walkFrames(b, id3, b.length, hasId3v1 = false)
+  }
+
+  private def walkFrames(b: Array[Byte], id3: Int, end: Int,
+      hasId3v1: Boolean): Info = {
     var off = id3
     val frames = Vector.newBuilder[FrameHeader]
     var n = 0
@@ -177,15 +193,22 @@ object Mp3 {
     var nPad = 0
     var rate = -1
     var ch = -1
+    var spf = -1
     var minKbps = Int.MaxValue
     var maxKbps = Int.MinValue
     while (off < end) {
       val f = parseHeader(b, off)
       require(off + f.frameBytes <= end, s"frame at $off overruns audio region")
-      if (rate < 0) { rate = f.sampleRate; ch = f.channels }
+      if (rate < 0) { rate = f.sampleRate; ch = f.channels; spf = f.samples }
       else {
         require(f.sampleRate == rate, s"sample rate changes mid-stream at $off")
         require(f.channels == ch, s"channel mode changes mid-stream at $off")
+        // constant samples-per-frame (i.e. constant version+layer): the
+        // frame() indexer maps a sample index to its frame by integer
+        // division, which is only sound when every frame carries the same
+        // sample count — a mixed Layer I/III stream at one rate would
+        // otherwise mis-index (round-8 advisor finding)
+        require(f.samples == spf, s"samples-per-frame changes mid-stream at $off")
       }
       frames += f
       n += 1; samples += f.samples; bytes += f.frameBytes

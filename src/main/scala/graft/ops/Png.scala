@@ -8,13 +8,25 @@ import java.util.zip.{CRC32, DataFormatException, Deflater, Inflater}
   * and exact per-row filter reconstruction for all five filter types
   * (None / Sub / Up / Average / Paeth).
   *
-  * Scope — the still-image subset a training-data pipeline actually feeds:
-  * bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
-  * 6 (RGBA), interlace 0. Palette (type 3), 1/2/4/16-bit depths and Adam7
-  * rejects with a typed error rather than decoding wrong pixels. The
-  * encoder cycles the filter type per row (`row mod 5`), so a single
-  * encode→decode round trip exercises every reconstruction branch — the
-  * property the codec specs and the mm03 oracle lean on.
+  * Scope (round 9 — every legal IHDR shape of the PNG spec): color types
+  * 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths
+  * 1/2/4/8/16 in their legal combinations; interlace 0 and Adam7. The
+  * decoder NORMALIZES storage exotica to one 8-bit raster so downstream
+  * feature/resize code sees a single representation:
+  *  - palette indices resolve through PLTE to an RGB raster (returned
+  *    header reports color type 2; a tRNS alpha table is dropped — the
+  *    pipeline's pooling ignores alpha, see BinaryMediaDecoder);
+  *  - sub-byte gray samples scale by 255/(2^d−1) (0→0, max→255);
+  *  - 16-bit samples keep the most significant byte (the standard 8-bit
+  *    reduction, same as Pillow's I;16→L convert);
+  *  - Adam7 passes unfilter independently and deinterleave into the
+  *    full-size raster.
+  * The returned [[Header]] therefore always has bitDepth 8 and a
+  * non-palette color type: it describes the DECODED raster, not the wire
+  * storage. The encoder (8-bit, types 0/2/4/6, no interlace) cycles the
+  * filter type per row (`row mod 5`), so a single encode→decode round
+  * trip exercises every reconstruction branch — the property the codec
+  * specs and the mm03 oracle lean on.
   */
 object Png {
 
@@ -33,7 +45,8 @@ object Png {
     case 6 => 4 // RGBA
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported PNG color type $other (0/2/4/6 only; no palette)")
+        s"PNG color type $other has no fixed channel count here (palette " +
+          "decodes to RGB — decode() never returns type 3)")
   }
 
   private def be32(b: Array[Byte], i: Int): Int =
@@ -58,12 +71,37 @@ object Png {
     * top-down, samples in storage order. Throws on malformed signatures,
     * truncated/CRC-corrupt chunks, unsupported shapes, and bad filter ids.
     */
+  /** storage channel count per wire color type (palette = 1 index/px) */
+  private def storageChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    case other =>
+      throw new IllegalArgumentException(s"illegal PNG color type $other")
+  }
+
+  /** legal (colorType, bitDepth) pairs per ISO 15948 table 11.1 */
+  private def requireLegalCombo(color: Int, depth: Int): Unit = {
+    val ok = color match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case 3 => Set(1, 2, 4, 8)(depth)
+      case _ => false
+    }
+    require(ok, s"illegal PNG color type $color / bit depth $depth combination")
+  }
+
+  /** Adam7 pass grid: (x0, dx, y0, dy) per pass, spec order. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
   def decode(bytes: Array[Byte]): (Header, Array[Byte]) = {
     require(bytes.length >= Signature.length + 12 &&
       Signature.indices.forall(i => bytes(i) == Signature(i)),
       "not a PNG payload (bad signature)")
     var off = Signature.length
-    var header: Header = null
+    var w = 0; var h = 0; var depth = 0; var color = 0; var interlace = 0
+    var sawIhdr = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd) {
@@ -79,28 +117,129 @@ object Png {
       typ match {
         case "IHDR" =>
           require(len == 13, s"bad IHDR length $len")
-          val w = be32(bytes, off + 8)
-          val h = be32(bytes, off + 12)
-          val depth = bytes(off + 16) & 0xff
-          val color = bytes(off + 17) & 0xff
-          val interlace = bytes(off + 20) & 0xff
+          w = be32(bytes, off + 8)
+          h = be32(bytes, off + 12)
+          depth = bytes(off + 16) & 0xff
+          color = bytes(off + 17) & 0xff
+          interlace = bytes(off + 20) & 0xff
           require(w > 0 && h > 0, s"degenerate PNG dimensions ${w}x$h")
-          require(depth == 8, s"unsupported PNG bit depth $depth (8 only)")
-          require(interlace == 0, "unsupported PNG interlacing (Adam7)")
-          header = Header(w, h, depth, color) // channelsOf rejects palette
-          header.channels
+          requireLegalCombo(color, depth)
+          require(interlace <= 1, s"illegal PNG interlace method $interlace")
+          sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr, "PNG PLTE before IHDR")
+          require(len % 3 == 0 && len > 0 && len <= 256 * 3,
+            s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "IDAT" =>
-          require(header != null, "PNG IDAT before IHDR")
+          require(sawIhdr, "PNG IDAT before IHDR")
           idat.write(bytes, off + 8, len)
         case "IEND" => sawEnd = true
-        case _ => // ancillary chunks (tEXt, pHYs, ...) skip; CRC checked above
+        case _ => // ancillary chunks (tEXt, pHYs, tRNS, ...) skip; CRC checked
       }
       off += 12 + len
     }
-    require(header != null, "PNG missing IHDR")
-    val raw = inflate(idat.toByteArray,
-      (header.w.toLong * header.channels + 1) * header.h)
-    unfilter(header, raw)
+    require(sawIhdr, "PNG missing IHDR")
+    val ch = storageChannels(color)
+    val bitspp = depth * ch
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 1, 0, 1)) else Adam7
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, dx, y0, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val expect = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + (pw.toLong * bitspp + 7) / 8)
+    }.sum
+    val raw = inflate(idat.toByteArray, expect)
+
+    // normalized 8-bit output raster, storage channel order
+    require(w.toLong * h * ch <= Int.MaxValue, "PNG raster too large")
+    val out = new Array[Byte](w * h * ch)
+    val maxSub = (1 << depth) - 1 // sub-byte gray scale divisor
+    var rawOff = 0
+    passes.foreach { case pass @ (x0, dx, y0, dy) =>
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = ((pw.toLong * bitspp + 7) / 8).toInt
+        val bpp = math.max(1, bitspp / 8) // filter unit, whole bytes
+        val pbuf = new Array[Byte](rowBytes * ph)
+        var y = 0
+        while (y < ph) {
+          val filter = raw(rawOff) & 0xff
+          val o = y * rowBytes
+          val po = o - rowBytes
+          var i = 0
+          while (i < rowBytes) {
+            val x = raw(rawOff + 1 + i) & 0xff
+            val left = if (i >= bpp) pbuf(o + i - bpp) & 0xff else 0
+            val up = if (y > 0) pbuf(po + i) & 0xff else 0
+            val ul = if (y > 0 && i >= bpp) pbuf(po + i - bpp) & 0xff else 0
+            val rec = filter match {
+              case 0 => x
+              case 1 => x + left
+              case 2 => x + up
+              case 3 => x + ((left + up) >> 1)
+              case 4 => x + paeth(left, up, ul)
+              case f => throw new IllegalArgumentException(
+                s"bad PNG filter type $f in pass row $y")
+            }
+            pbuf(o + i) = rec.toByte
+            i += 1
+          }
+          rawOff += 1 + rowBytes
+          y += 1
+        }
+        // deinterleave this pass's samples into the full-size raster
+        var py = 0
+        while (py < ph) {
+          val rowO = py * rowBytes
+          val outY = y0 + py * dy
+          var px = 0
+          while (px < pw) {
+            val outBase = (outY.toLong * w + (x0 + px.toLong * dx)).toInt * ch
+            var k = 0
+            while (k < ch) {
+              val v = depth match {
+                case 8 => pbuf(rowO + px * ch + k) & 0xff
+                case 16 => pbuf(rowO + (px * ch + k) * 2) & 0xff // MSB
+                case d => // sub-byte: ch == 1 (color 0 or 3 only)
+                  val bit = px * d
+                  val b = pbuf(rowO + (bit >> 3)) & 0xff
+                  val vRaw = (b >> (8 - d - (bit & 7))) & maxSub
+                  if (color == 3) vRaw // palette INDEX, no scaling
+                  else vRaw * 255 / maxSub
+              }
+              out(outBase + k) = v.toByte
+              k += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+      }
+    }
+    require(rawOff == raw.length,
+      s"PNG raster length mismatch (consumed $rawOff of ${raw.length})")
+
+    if (color == 3) {
+      // resolve palette indices through PLTE into an RGB raster
+      require(plte != null, "palette PNG missing PLTE chunk")
+      val n = plte.length / 3
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = out(i) & 0xff
+        require(idx < n, s"PNG palette index $idx out of range (PLTE has $n)")
+        rgb(i * 3) = plte(idx * 3)
+        rgb(i * 3 + 1) = plte(idx * 3 + 1)
+        rgb(i * 3 + 2) = plte(idx * 3 + 2)
+        i += 1
+      }
+      (Header(w, h, 8, 2), rgb)
+    } else (Header(w, h, 8, color), out)
   }
 
   private def inflate(data: Array[Byte], expect: Long): Array[Byte] = {
@@ -123,39 +262,6 @@ object Png {
     require(n == out.length,
       s"PNG IDAT inflated to $n bytes, expected ${out.length}")
     out
-  }
-
-  /** Reverse per-row filtering: scanline i is [filterByte][w*ch bytes]. */
-  private def unfilter(hd: Header, raw: Array[Byte]): (Header, Array[Byte]) = {
-    val bpp = hd.channels // bit depth 8: one byte per sample
-    val stride = hd.w * bpp
-    val out = new Array[Byte](stride * hd.h)
-    var y = 0
-    while (y < hd.h) {
-      val rowIn = y * (stride + 1)
-      val filter = raw(rowIn) & 0xff
-      val o = y * stride
-      val po = o - stride // prior row (y > 0)
-      var i = 0
-      while (i < stride) {
-        val x = raw(rowIn + 1 + i) & 0xff
-        val left = if (i >= bpp) out(o + i - bpp) & 0xff else 0
-        val up = if (y > 0) out(po + i) & 0xff else 0
-        val ul = if (y > 0 && i >= bpp) out(po + i - bpp) & 0xff else 0
-        val rec = filter match {
-          case 0 => x
-          case 1 => x + left
-          case 2 => x + up
-          case 3 => x + ((left + up) >> 1)
-          case 4 => x + paeth(left, up, ul)
-          case f => throw new IllegalArgumentException(s"bad PNG filter type $f in row $y")
-        }
-        out(o + i) = rec.toByte
-        i += 1
-      }
-      y += 1
-    }
-    (hd, out)
   }
 
   /** Paeth predictor (RFC 2083 §6.6) — exact integer arithmetic. */

@@ -1,0 +1,446 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal media operators (mm01-mm09): binary blob plumbing with the
+  * deterministic stub codec (mm01/mm02) and the REAL pure-JVM codecs —
+  * PNG/JPEG/GIF raster round trips, the MP3 frame walk, palette/Adam7
+  * decode, and the fault-tolerant mixed-corpus scan. Split out of
+  * ExtQueries in round 9 (registry hygiene); queries and oracles are
+  * byte-identical to their pre-split forms.
+  */
+object MediaQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    // multimodal pipeline plumbing (the codec is a deterministic stub —
+    // this container ships no media libraries): wrap text bytes as binary
+    // blobs with mime metadata, decode/feature-extract per partition,
+    // sample frames, aggregate per mime type. The stub derives all metadata
+    // from the portable 60-bit md5 hash of the payload, so the expected
+    // aggregates ARE SQL-expressible — the oracle recomputes them in DuckDB.
+    GraftQuery(
+      "mm01_media_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            when(col("doc_id") % 2 === 0, "image/png").otherwise("video/mp4").as("mime"))
+        val blobs = graft.ops.Multimodal.attachBlobs(
+            docs.filter(col("mime") === "image/png"), "doc_id", "payload", "image/png")
+          .union(graft.ops.Multimodal.attachBlobs(
+            docs.filter(col("mime") === "video/mp4"), "doc_id", "payload", "video/mp4"))
+        val dec = graft.ops.Multimodal.decode(blobs)
+        // frame sampling is a per-VIDEO stage; join back on blob_id for the
+        // mime rather than re-deriving the assignment rule above.
+        val videoBlobs = blobs.filter(col("mime") === "video/mp4")
+        val frameCounts = graft.ops.Multimodal.sampleFrames(videoBlobs, 4)
+          .join(blobs.select(col("blob_id"), col("mime")), Seq("blob_id"))
+          .groupBy(col("mime")).agg(count(lit(1)).as("n_frames_sampled"))
+        dec.groupBy(col("mime"))
+          .agg(
+            count(lit(1)).as("n_blobs"),
+            sum(col("width").cast("long")).as("sum_w"),
+            sum(col("n_frames").cast("long")).as("sum_frames"),
+            sum(round(element_at(col("features"), 1) * 1000).cast("long")).as("f0_millis"))
+          .join(frameCounts, Seq("mime"), "left")
+      },
+      // Mirrors the stub decoder exactly: h = low-60-bit md5 of the UTF-8
+      // payload; width = 16 + h%64; frames = 1 + (h>>16)%30 for video else 1;
+      // feature[0] = (h%1000)/1000 (float32 — round(f*1000) recovers h%1000);
+      // frame sampling takes min(4, frames) frames per video blob.
+      Some("""WITH b AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'video/mp4' END AS mime,
+            CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+          FROM documents),
+        d AS (
+          SELECT mime, 16 + h % 64 AS w,
+            CASE WHEN mime = 'video/mp4' THEN 1 + ((h >> 16) % 30) ELSE 1 END AS frames,
+            h % 1000 AS f0
+          FROM b)
+        SELECT mime, count(*) AS n_blobs,
+          CAST(sum(w) AS BIGINT) AS sum_w,
+          CAST(sum(frames) AS BIGINT) AS sum_frames,
+          CAST(sum(f0) AS BIGINT) AS f0_millis,
+          CASE WHEN mime = 'video/mp4' THEN CAST(sum(least(4, frames)) AS BIGINT) END AS n_frames_sampled
+        FROM d GROUP BY mime"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Multimodal resize stage, output-parity audited: every image blob runs
+    // through the per-partition resize operator (stub codec, REAL byte
+    // plumbing — binary in, binary out, shuffle-free) and the audit sums the
+    // actual output bytes. The oracle recomputes the stub's sampling formula
+    // from the source text in DuckDB, so a single byte out of place in the
+    // Spark-side Dataset[Blob] path fails the hash compare. Corpus is
+    // ASCII, so char positions = byte positions in both engines.
+    GraftQuery(
+      "mm02_resize_audit",
+      (s, d) => {
+        val imgs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          // empty payloads are excluded SYMMETRICALLY with the oracle: the
+          // stub resize defines out[i] = payload[(31·i+w+h) mod len], which
+          // has no value at len = 0 (the oracle's modulus would divide by
+          // zero) — the audit's parity must be structural, not dependent on
+          // the corpus happening to lack empty even-doc_id texts
+          .filter(col("doc_id") % 2 === 0 && length(col("text")) > 0)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val resized = graft.ops.Multimodal.resize(
+          graft.ops.Multimodal.attachBlobs(imgs, "doc_id", "payload", "image/png"),
+          64, 64)
+        resized.toDF()
+          .select(
+            length(col("content")).cast("long").as("out_len"),
+            expr("""aggregate(transform(sequence(1, 64),
+              i -> ascii(cast(substr(content, i, 1) as string))),
+              0L, (a, x) -> a + cast(x as bigint))""").as("bsum"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("out_len")).as("total_out_bytes"),
+            sum(col("bsum")).as("byte_checksum"))
+      },
+      // stub resize: 64·64/64 = 64 output bytes, out[i] = payload[(31·i +
+      // w + h) mod len] (0-based) — recomputed from text below (1-based
+      // substring, +1 shift)
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 64),
+                i -> ascii(substring(text, ((i*31 + 128) % len) + 1, 1))))
+                AS BIGINT) AS bsum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 64 AS BIGINT) AS total_out_bytes,
+          CAST(sum(bsum) AS BIGINT) AS byte_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // REAL compressed-media decode, oracle-audited end to end: each doc's
+    // text bytes become a deterministic 16×16 raster (gray for even
+    // doc_ids, RGB for odd), ENCODED as a genuine zlib-deflate PNG (filter
+    // types cycling 0..4 per row) and DECODED back through the
+    // BinaryMediaDecoder plug point — JDK Inflater + the five PNG filter
+    // reconstructions, CRC-checked chunks. The audit sums the decoded
+    // pixel bytes; the oracle recomputes that sum straight from the text
+    // in DuckDB, so ONE wrong byte anywhere in the encode→deflate→
+    // inflate→unfilter path breaks the hash match. Scale: per-row map,
+    // shuffle-free until the 2-row aggregate; the raster checksum costs a
+    // single inflate per blob (pngRaster), not one per pixel row. Corpus
+    // is ASCII (the mm02 convention), so char positions = byte positions
+    // in both engines.
+    GraftQuery(
+      "mm03_png_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          // empty payloads excluded symmetrically with the oracle, as in
+          // mm02: the pixel formula indexes text mod len
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val blobs = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val ct = if (id % 2 == 0) 0 else 2 // gray : RGB
+          val n = 16 * 16 * graft.ops.Png.channelsOf(ct)
+          val px = Array.tabulate(n)(i => bytes((i * 7 + 3) % bytes.length))
+          graft.ops.Multimodal.Blob(
+            id, graft.ops.Png.encode(16, 16, ct, px), "image/png", Map.empty)
+        }
+        val audited = blobs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { b =>
+            val meta = dec.decode(b) // the MediaDecoder trait path (IHDR)
+            val (_, px) = graft.ops.BinaryMediaDecoder.pngRaster(b)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (if (px.length == 256) "gray" else "rgb",
+              meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("color", "w", "h", "psum")
+        audited.groupBy(col("color"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+            sum(col("psum")).as("pixel_checksum"))
+      },
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          px AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 768 END AS n, len, text
+            FROM img),
+          s AS (SELECT doc_id, n,
+              CAST(list_sum(list_transform(range(0, n),
+                i -> ascii(substring(text, ((i*7 + 3) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM px)
+        SELECT CASE WHEN n = 256 THEN 'gray' ELSE 'rgb' END AS color,
+          count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // REAL lossy-format decode with an EXACT oracle: JPEG is DCT-lossy in
+    // general, but a grayscale image whose every 8×8 block is CONSTANT,
+    // quantized with a flat (all-ones) table, survives the round trip
+    // bit-exactly — only the DC coefficient is nonzero and the integer
+    // IDCT returns the block constant for the full 0..255 range (see
+    // ops/Jpeg.scala). Each doc's text bytes pick the four block values of
+    // a 16×16 gray raster; the blob is a GENUINE baseline JPEG (SOI/DQT/
+    // SOF0/DHT/SOS markers, Annex-K DC Huffman coding, byte stuffing)
+    // decoded back through the full general decoder — marker walk, Huffman
+    // entropy decode, dequantize, integer IDCT. The audit sums decoded
+    // pixels; the oracle recomputes 64·Σ block values straight from the
+    // text in DuckDB, so ONE wrong bit anywhere in the encode→entropy→
+    // IDCT path breaks the hash match. Scale: per-row map, shuffle-free
+    // until the 1-row aggregate; corpus is ASCII (the mm02 convention).
+    GraftQuery(
+      "mm04_jpeg_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val jpg = graft.ops.Jpeg.encodeGrayBlocks(16, 16,
+              (bx, by) => bytes(((by * 2 + bx) * 13 + 5) % bytes.length) & 0xff)
+            val blob = graft.ops.Multimodal.Blob(id, jpg, "image/jpeg", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val (_, px) = graft.ops.BinaryMediaDecoder.jpegRaster(blob)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 4),
+                b -> 64 * ascii(substring(text, ((b*13 + 5) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // REAL compressed-AUDIO metadata scan: each doc's text deterministically
+    // picks an MPEG-1 Layer III frame plan (sample rate by doc_id, 2-9
+    // frames, per-frame bitrate index + padding bit from text bytes, an
+    // ID3v2 tag of len%100 body bytes) which Mp3.encodeV1L3 emits as a
+    // GENUINE MP3 byte stream — real sync words, real header fields — and
+    // the Mp3 frame walker parses back: ID3v2 syncsafe skip, per-frame
+    // bitrate/sample-rate table lookups, the Layer III frame-length
+    // arithmetic (144000·kbps/rate + pad, truncating), VBR detection.
+    // Every audited number is READ from the parsed headers (a one-byte
+    // frame-length error desyncs the walk and breaks the hash), and
+    // payload_bytes pits the Scala frame-length arithmetic against an
+    // independent DuckDB re-implementation. This is the scan shape audio
+    // curation runs at 100 TB: exact duration/bitrate/shape metadata
+    // WITHOUT sample decode (Layer III synthesis documented out of scope
+    // in ops/Mp3.scala). Scale: per-row map, shuffle-free until the 3-row
+    // aggregate; corpus is ASCII (the mm02 convention).
+    GraftQuery(
+      "mm05_mp3_scan",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val len = bytes.length
+            val rateIdx = (id % 3).toInt
+            val nf = 2 + (len % 8)
+            val plan = (0 until nf).map { i =>
+              val brIdx = 1 + (((bytes((i * 11 + 7) % len) & 0xff) + i) % 14)
+              val pad = ((bytes((i * 5 + 2) % len) & 0xff) % 2) == 1
+              (brIdx, pad)
+            }
+            val payload = graft.ops.Mp3.encodeV1L3(rateIdx, plan, len % 100,
+              (f, i) => bytes(((f + 2) * 31 + i * 7) % len))
+            val blob = graft.ops.Multimodal.Blob(id, payload, "audio/mpeg", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val info = graft.ops.BinaryMediaDecoder.mp3Info(blob)
+            (meta.width.toLong, info.nFrames.toLong, meta.n_frames.toLong,
+              payload.length.toLong, info.sumBitrateKbps, info.nPadded.toLong,
+              if (info.vbr) 1L else 0L)
+          }
+        }.toDF("rate", "frames", "samples", "bytes", "kbps", "padded", "vbr")
+        audited.groupBy(col("rate"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("frames")).as("sum_frames"),
+            sum(col("samples")).as("sum_samples"),
+            sum(col("bytes")).as("sum_bytes"),
+            sum(col("kbps")).as("kbps_sum"),
+            sum(col("padded")).as("n_padded"),
+            sum(col("vbr")).as("n_vbr"))
+      },
+      // mirrors the generation plan + the MPEG-1 Layer III tables: bitrate
+      // list literal = indices 1..14 of ISO 11172-3 Table B.1; frame bytes
+      // = 144000·kbps//rate + pad; ID3v2 = 10 header + len%100 body bytes
+      // (absent when len%100 = 0); 1152 samples per MPEG-1 Layer III frame
+      Some("""WITH a AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          f AS (SELECT doc_id, text, len,
+              CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+              2 + (len % 8) AS nf,
+              CASE WHEN len % 100 > 0 THEN 10 + len % 100 ELSE 0 END AS id3
+            FROM a),
+          k AS (SELECT doc_id, rate, nf, id3,
+              list_transform(range(0, nf), i ->
+                ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+                  1 + ((ascii(substring(text, ((i*11 + 7) % len) + 1, 1)) + i) % 14)]) AS kbps,
+              list_transform(range(0, nf), i ->
+                ascii(substring(text, ((i*5 + 2) % len) + 1, 1)) % 2) AS pad
+            FROM f),
+          s AS (SELECT doc_id, rate, nf,
+              CAST(list_sum(kbps) AS BIGINT) AS kbps_sum,
+              CAST(list_sum(pad) AS BIGINT) AS n_padded,
+              CAST(id3 + list_sum(list_transform(range(0, nf), i ->
+                (144000 * kbps[i + 1]) // rate + pad[i + 1])) AS BIGINT) AS payload_bytes,
+              CASE WHEN len(list_distinct(kbps)) > 1 THEN 1 ELSE 0 END AS vbr
+            FROM k)
+        SELECT CAST(rate AS BIGINT) AS rate, count(*) AS n_blobs,
+          CAST(sum(nf) AS BIGINT) AS sum_frames,
+          CAST(sum(nf) * 1152 AS BIGINT) AS sum_samples,
+          CAST(sum(payload_bytes) AS BIGINT) AS sum_bytes,
+          CAST(sum(kbps_sum) AS BIGINT) AS kbps_sum,
+          CAST(sum(n_padded) AS BIGINT) AS n_padded,
+          CAST(sum(vbr) AS BIGINT) AS n_vbr
+        FROM s GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // REAL LZW decode, oracle-audited end to end: each doc's text bytes
+    // pick a 4-color palette AND a 16×16 index raster; Gif.encode emits a
+    // genuine GIF89a (real LZW bit packing, clear codes, sub-block
+    // framing) and the general Gif decoder walks it back — variable-width
+    // code reads, dictionary bookkeeping, palette application. The audit
+    // sums the decoded RGB bytes; the oracle recomputes palette[idx]
+    // straight from the text in DuckDB, so one wrong bit anywhere in the
+    // pack→LZW→palette path breaks the hash. Scale: per-row map,
+    // shuffle-free until the 1-row aggregate; corpus is ASCII (the mm02
+    // convention).
+    GraftQuery(
+      "mm06_gif_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val len = bytes.length
+            val palette = Array.tabulate(12)(j => bytes((j * 5 + 1) % len))
+            val idx = Array.tabulate(16 * 16)(i => ((bytes((i * 3 + 2) % len) & 0xff) % 4).toByte)
+            val blob = graft.ops.Multimodal.Blob(
+              id, graft.ops.Gif.encode(16, 16, palette, idx), "image/gif", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val (_, px) = graft.ops.BinaryMediaDecoder.gifRaster(blob)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      // palette channel (entry j, channel c) = text[(3j+c)·5+1 mod len];
+      // pixel i's index = text[3i+2 mod len] mod 4; checksum = Σ_i Σ_c
+      // palette[idx_i·3+c]
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 256), i ->
+                list_sum(list_transform(range(0, 3), c ->
+                  ascii(substring(text,
+                    ((((ascii(substring(text, ((i*3 + 2) % len) + 1, 1)) % 4)
+                       * 3 + c) * 5 + 1) % len) + 1, 1)))))) AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // REAL codec through the REAL Spark operator: mm02 audits the
+    // Dataset[Blob] resize plumbing with the stub codec; this is the same
+    // output-parity audit with BinaryMediaDecoder plugged in — each doc's
+    // text becomes a genuine 16×16 P5 PGM, Multimodal.resize (the
+    // per-partition operator a training pipeline runs, not a direct
+    // function call) downsamples it 2× through the real PNM parse +
+    // nearest-neighbor + re-emit, and the audit checksums the actual
+    // output bytes. The oracle recomputes the NN mapping (out[y,x] =
+    // in[2y,2x]) straight from the text, and total_out_bytes pins the
+    // writer's exact header+raster length. Scale: two chained per-row
+    // maps, shuffle-free until the 1-row aggregate; corpus is ASCII.
+    GraftQuery(
+      "mm07_resize_real_codec",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val blobs = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val head = "P5\n16 16\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val px = Array.tabulate(16 * 16)(i => bytes((i * 7 + 3) % bytes.length))
+          graft.ops.Multimodal.Blob(id, head ++ px, "image/x-portable-graymap", Map.empty)
+        }
+        val resized = graft.ops.Multimodal.resize(
+          blobs, 8, 8, graft.ops.BinaryMediaDecoder)
+        resized.map { b =>
+          var sum = 0L
+          var i = b.content.length - 64 // "P5\n8 8\n255\n" header + 64 samples
+          while (i < b.content.length) { sum += b.content(i) & 0xff; i += 1 }
+          (b.content.length.toLong, sum)
+        }.toDF("out_len", "psum")
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("out_len")).as("total_out_bytes"),
+            sum(col("psum")).as("pixel_checksum"))
+      },
+      // NN 2× downsample: out pixel i (row i//8, col i%8) = source sample
+      // (32·(i//8) + 2·(i%8)), source sample j = text[7j+3 mod len];
+      // output file = 11 header bytes ("P5\n8 8\n255\n") + 64 samples
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 64), i ->
+                ascii(substring(text,
+                  ((((i // 8) * 32 + (i % 8) * 2) * 7 + 3) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 75 AS BIGINT) AS total_out_bytes,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+  )
+}

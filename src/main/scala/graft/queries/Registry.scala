@@ -10,6 +10,7 @@ object Registry {
     RelationalQueries.all,
     EtlQueries.all,
     ExtQueries.all,
+    MediaQueries.all,
     StreamQueries.all,
     ScaleQueries.all,
     CorpusQueries.all,

@@ -215,9 +215,13 @@ object ScaleQueries {
         val est = keyed
           .join(broadcast(sketch), Seq("j", "b"))
           .groupBy(col("l_partkey"), col("exact_cnt")).agg(min(col("c")).as("est_cnt"))
+        // top-10 via TakeOrdered, then rank the 10 survivors with a
+        // k-bounded window — the per-key estimate table is ~|partkeys|
+        // rows (~20M at sf100), far too large for a single-task global
+        // rank window. Same pattern as vocab03.
         val w = Window.orderBy(col("est_cnt").desc, col("l_partkey").asc)
-        est.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 10)
+        est.orderBy(col("est_cnt").desc, col("l_partkey").asc).limit(10)
+          .withColumn("rnk", row_number().over(w))
       },
       Some {
         val buckets = (0 until 4).map { j =>

@@ -477,4 +477,58 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  // ---- registry-wide gate: no unpartitioned window over unbounded data ----
+  // An unpartitioned WindowExec sorts its ENTIRE input in one task — the
+  // one plan shape that cannot survive a 100× scale-up no matter how fast
+  // it is at sf0.1 (the round-8 text17/sketch02 finding). The gate walks
+  // every registered query's physical plan and demands that each
+  // partition-less window is k-BOUNDED: a GlobalLimit / TakeOrdered below
+  // it in the same subtree (the vocab03 pattern), or the query appears in
+  // the explicit allow-list of frames that are schema-sized by
+  // construction (mixture tables ≤97 rows, per-bin histograms, ≤k-row
+  // driver-sized pick tables) — never corpus-sized.
+  private val smallFrameWindowAllowed: Map[String, String] = Map(
+    // (query -> why the unpartitioned frame is bounded by construction;
+    // every other query must carry a GlobalLimit/TakeOrdered below the
+    // window — do NOT add entries here without a row-count argument)
+    "mix02_epoch_plan" -> "frame = lang×source mixture table, ≤97 rows at any corpus size",
+    "mix04_anneal" -> "frame = lang×source mixture table (≤97 rows) — the largest-remainder rank windows run after the corpus collapsed to one row per (lang, source)",
+    "sketch06_hist_quantile" -> "frame = fixed-width price histogram bins — bounded by the value DOMAIN (|price range|/W), not by row count",
+  )
+
+  private def unpartitionedWindows(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def kids(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case qs: QueryStageExec => Seq(qs.plan)
+      case other => other.children
+    }
+    def hasBoundBelow(n: SparkPlan): Boolean = {
+      val cls = n.getClass.getSimpleName
+      cls.contains("Limit") || cls.contains("TakeOrdered") ||
+        cls.contains("LocalTableScan") || kids(n).exists(hasBoundBelow)
+    }
+    def walk(n: SparkPlan): Seq[SparkPlan] = {
+      val self = n match {
+        case w: WindowExec if w.partitionSpec.isEmpty && !kids(w).exists(hasBoundBelow) => Seq(w)
+        case _ => Seq.empty
+      }
+      self ++ kids(n).flatMap(walk)
+    }
+    walk(p)
+  }
+
+  test("registry: every unpartitioned window is k-bounded or on an allow-listed small frame") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val wins =
+        try unpartitionedWindows(fn(spark, sf).queryExecution.sparkPlan)
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (wins.nonEmpty && !smallFrameWindowAllowed.contains(name))
+        Some(s"$name: ${wins.size} unbounded unpartitioned window(s)")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

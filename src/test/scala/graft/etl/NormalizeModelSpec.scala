@@ -146,9 +146,13 @@ class NormalizeModelSpec extends AnyFunSuite {
     // 2026 window: 1977..2075 (|year - today| < 50)
     assert(y(24, 2026) == 2024 && y(75, 2026) == 2075)
     assert(y(76, 2026) == 1976 && y(99, 2026) == 1999 && y(0, 2026) == 2000)
-    // the window slides: in 2090 the same tokens resolve a century later
-    assert(y(24, 2090) == 2124 && y(76, 2090) == 2076 && y(40, 2090) == 2140)
-    assert(y(41, 2090) == 2041) // |2041 - 2090| = 49 < 50 stays
+    // the window slides: in 2090 the same tokens resolve a century later.
+    // The kept range is ASYMMETRIC [run-50, run+50): base == run-50 stays
+    // (dateutil adds 100 only on a STRICT undershoot), so '40' in 2090 is
+    // 2040, not 2140 — the round-8 advisor finding.
+    assert(y(24, 2090) == 2124 && y(76, 2090) == 2076 && y(40, 2090) == 2040)
+    assert(y(39, 2090) == 2139) // strictly below run-50 wraps forward
+    assert(y(41, 2090) == 2041) // inside the window stays
     // year 2000 exactly: window 1951..2049
     assert(y(50, 2000) == 1950 || y(50, 2000) == 2050) // boundary |diff| = 50
     assert(y(50, 2000) == 1950) // 2050 >= today -> subtract

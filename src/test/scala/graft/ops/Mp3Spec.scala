@@ -122,6 +122,37 @@ class Mp3Spec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Mp3.parse(Array.emptyByteArray))
   }
 
+  test("coincidental 'TAG' bytes inside frame payload are NOT an ID3v1 trailer") {
+    // one CBR 44100 Hz frame (417 bytes); plant T/A/G at length-128 —
+    // inside the audio payload. No frame length tiles the 128-byte
+    // remainder, so honoring the sniff would make the walk throw; the
+    // parser must fall back to the full-payload reading (round-8 advisor
+    // finding: corpus-text filler made mm05 tasks crash data-dependently)
+    val payload = Mp3.encodeV1L3(0, Seq((9, false)), 0, (_, i) => (i % 29).toByte)
+    assert(payload.length == 417)
+    val off = payload.length - 128
+    payload(off) = 'T'; payload(off + 1) = 'A'; payload(off + 2) = 'G'
+    val info = Mp3.parse(payload)
+    assert(!info.id3v1)
+    assert(info.nFrames == 1)
+    assert(info.totalFrameBytes == 417L)
+    // a REAL trailer (frames tile exactly to length-128) still detects
+    val withV1 = Mp3.encodeV1L3(0, Seq((9, false)), 0, (_, _) => 0) ++
+      bytes('T', 'A', 'G') ++ new Array[Byte](125)
+    assert(Mp3.parse(withV1).id3v1)
+  }
+
+  test("mixed samples-per-frame (layer change at one rate) is refused") {
+    // V1 L3 @48000 idx9 (384 bytes, 1152 samples) then V1 L1 @48000 idx2
+    // (64 kbps -> 16 slots -> 64 bytes, 384 samples): same rate, same
+    // stereo mode, different samples-per-frame — frame() integer-division
+    // indexing would mis-map, so parse refuses the stream
+    val l3 = rawFrame(0xfb, (9 << 4) | (1 << 2), 0, 384)
+    val l1 = rawFrame(0xff, (2 << 4) | (1 << 2), 0, 64)
+    val e = intercept[IllegalArgumentException](Mp3.parse(l3 ++ l1))
+    assert(e.getMessage.contains("samples-per-frame"), e.getMessage)
+  }
+
   test("BinaryMediaDecoder maps audio/mpeg to the WAV-convention shape triple") {
     val payload = Mp3.encodeV1L3(1, Seq((9, false), (9, false)), 30, (_, i) => (i % 13).toByte)
     val blob = Multimodal.Blob(7L, payload, "audio/mpeg", Map.empty)

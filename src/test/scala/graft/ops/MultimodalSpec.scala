@@ -173,6 +173,17 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(d5.features(3) - (0 + 128 + 255) / 3.0 / 255.0) < 1e-6)
     assert(BinaryMediaDecoder.frame(blobOf(p5, "image/x-portable-graymap"), 0).toSeq ==
       Seq[Byte](0, -128, -1))
+    // maxval < 255: features normalize by the HEADER maxval, not 255 —
+    // full-white (sample == maxval) must still reach luma 1.0, and the
+    // mean scales by maxval (P5 2x1 over maxval 15: samples 0, 15)
+    val p5lo = "P5\n2 1\n15\n".getBytes("US-ASCII") ++ Array[Byte](0, 15)
+    val d5lo = BinaryMediaDecoder.decode(blobOf(p5lo, "image/x-portable-graymap"))
+    assert(d5lo.features(6) == 0.0f && d5lo.features(7) == 1.0f, d5lo.features.toSeq)
+    assert(math.abs(d5lo.features(3) - 0.5) < 1e-6, d5lo.features.toSeq)
+    // a maxval-scaled resize round-trips with the same maxval header
+    val rlo = BinaryMediaDecoder.resize(blobOf(p5lo, "image/x-portable-graymap"), 1, 1)
+    assert(new String(rlo.take(9), "US-ASCII").contains("15"))
+
     // truncated raster and bad magic raise
     intercept[IllegalArgumentException](BinaryMediaDecoder.decode(
       blobOf("P5\n3 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0),

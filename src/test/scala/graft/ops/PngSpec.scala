@@ -49,15 +49,77 @@ class PngSpec extends SparkSpec {
     }
   }
 
-  test("corrupt and unsupported payloads are refused, not mis-decoded") {
+  /** palette fixtures: palette[i] = ((7i+3)%256, (13i+5)%256, (29i+11)%256),
+    * index(x,y) = (3x+5y) % 16 — mirrors make_png_fixture.py
+    */
+  private def expectedPaletteRgb(w: Int, h: Int): Seq[Byte] =
+    (for (y <- 0 until h; x <- 0 until w) yield {
+      val i = (3 * x + 5 * y) % 16
+      Seq(((7 * i + 3) % 256).toByte, ((13 * i + 5) % 256).toByte,
+        ((29 * i + 11) % 256).toByte)
+    }).flatten
+
+  test("palette PNGs (depth 8 and sub-byte depth 4) decode through PLTE to RGB") {
+    val (hd8, px8) = Png.decode(fixture("png_pal.png"))
+    assert(hd8.w == 6 && hd8.h == 5 && hd8.colorType == 2 && hd8.bitDepth == 8)
+    assert(px8.toSeq == expectedPaletteRgb(6, 5))
+    val (hd4, px4) = Png.decode(fixture("png_pal4.png")) // odd width: padded bits
+    assert(hd4.w == 7 && hd4.h == 5 && hd4.colorType == 2)
+    assert(px4.toSeq == expectedPaletteRgb(7, 5))
+  }
+
+  test("Adam7 interlaced PNGs deinterlace pixel-exactly (truecolor and palette)") {
+    // 9x9 RGB: every one of the 7 passes is non-empty
+    val (hd, px) = Png.decode(fixture("png_interlace.png"))
+    assert(hd.w == 9 && hd.h == 9 && hd.colorType == 2)
+    assert(px.toSeq == expectedRaster(9, 9, 3).toSeq)
+    // depth-4 palette + Adam7 — sub-byte packing PER PASS row
+    val (hdp, pxp) = Png.decode(fixture("png_pal_interlace.png"))
+    assert(hdp.w == 9 && hdp.h == 6 && hdp.colorType == 2)
+    assert(pxp.toSeq == expectedPaletteRgb(9, 6))
+  }
+
+  test("sub-byte and 16-bit gray/RGB normalize to 8-bit samples") {
+    // depth 1: (x+y)%2 scales to 0/255
+    val (hd1, px1) = Png.decode(fixture("png_gray1.png"))
+    assert(hd1.w == 10 && hd1.h == 3 && hd1.colorType == 0 && hd1.bitDepth == 8)
+    assert(px1.toSeq == (for (y <- 0 until 3; x <- 0 until 10)
+      yield (if ((x + y) % 2 == 1) -1 else 0).toByte))
+    // depth 16 gray: MSB of (9973x + 4369y + 12345) % 65536
+    val (hd16, px16) = Png.decode(fixture("png_gray16.png"))
+    assert(hd16.w == 4 && hd16.h == 3)
+    assert(px16.toSeq == (for (y <- 0 until 3; x <- 0 until 4)
+      yield (((x * 9973 + y * 4369 + 12345) % 65536) >> 8).toByte))
+    // depth 16 RGB: MSB of (9973x + 4373y + 1571c + 777) % 65536
+    val (hdc, pxc) = Png.decode(fixture("png_rgb16.png"))
+    assert(hdc.w == 3 && hdc.h == 3 && hdc.colorType == 2)
+    assert(pxc.toSeq == (for (y <- 0 until 3; x <- 0 until 3; c <- 0 until 3)
+      yield (((x * 9973 + y * 4373 + c * 1571 + 777) % 65536) >> 8).toByte))
+  }
+
+  test("corrupt and malformed payloads are refused, not mis-decoded") {
     val crc = intercept[IllegalArgumentException](Png.decode(fixture("png_badcrc.png")))
     assert(crc.getMessage.contains("CRC"))
     val trunc = intercept[IllegalArgumentException](Png.decode(fixture("png_trunc.png")))
     assert(trunc.getMessage.toLowerCase.contains("trunc"))
-    val inter = intercept[IllegalArgumentException](Png.decode(fixture("png_interlace.png")))
-    assert(inter.getMessage.contains("interlac"))
-    val pal = intercept[IllegalArgumentException](Png.decode(fixture("png_pal.png")))
-    assert(pal.getMessage.contains("color type"))
+    // palette image whose PLTE is missing / whose index overruns the palette
+    val noPlte = chunkify(Seq(
+      ("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 3, 0, 0, 0)),
+      ("IDAT", deflate(Array[Byte](0, 9))), ("IEND", Array.emptyByteArray)))
+    val e1 = intercept[IllegalArgumentException](Png.decode(noPlte))
+    assert(e1.getMessage.contains("PLTE"))
+    val shortPlte = chunkify(Seq(
+      ("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 3, 0, 0, 0)),
+      ("PLTE", Array[Byte](1, 2, 3, 4, 5, 6)), // 2 entries
+      ("IDAT", deflate(Array[Byte](0, 9))), ("IEND", Array.emptyByteArray)))
+    val e2 = intercept[IllegalArgumentException](Png.decode(shortPlte))
+    assert(e2.getMessage.contains("out of range"))
+    // illegal depth/color combination (depth 16 palette)
+    val badCombo = chunkify(Seq(
+      ("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 16, 3, 0, 0, 0)),
+      ("IEND", Array.emptyByteArray)))
+    val e3 = intercept[IllegalArgumentException](Png.decode(badCombo))
+    assert(e3.getMessage.contains("illegal"))
     intercept[IllegalArgumentException](Png.decode("not a png at all".getBytes))
     // truncated mid-zlib-stream: valid chunks, garbage deflate data
     val fakeIdat = {
@@ -66,6 +128,15 @@ class PngSpec extends SparkSpec {
       chunkify(Seq(("IHDR", ihdr), ("IDAT", Array[Byte](1, 2, 3)), ("IEND", Array.emptyByteArray)))
     }
     intercept[IllegalArgumentException](Png.decode(fakeIdat))
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
   }
 
   private def chunkify(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {

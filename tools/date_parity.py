@@ -250,7 +250,10 @@ for s in ["05 01 0024", "05 01 099", "05/01 24", "05 01/24", "45-6 15",
 for s in ["Jan 5'24", "Jan '24 5", "5'24 Jan", "05'01'24", "2024'01'05",
           "Jan'5'2024", "Jan 5 '24", "'24 Jan 5", "Jan '2024 5",
           "5 Jan '24", "Jan-5-'24", "Jan 5, '24", "''24 Jan 5",
-          "Jan 5''24", "Jan 5 '2024", "05'01'24 10:30"]:
+          "Jan 5''24", "Jan 5 '2024", "05'01'24 10:30",
+          # TWO leading-apostrophe tokens: the vote rewrite must strip
+          # BOTH (regexp_replace 'g' symmetry, round-8 advisor finding)
+          "'5 Jan '24", "'24 Jan '5", "'5 '1 2024"]:
     add(s, "apostrophe")
 
 # ---- timezone suffixes (after a TIME only), covered: numeric offsets
@@ -261,7 +264,7 @@ TZ_BASES = ["2024/01/05 10:30", "05/01/2024 10:30:45", "5/1/24 10:30",
 TZS = ["+0500", "-0500", "+05:00", "+05", "+5", "+0560", "+2359", "+2399",
        "+2299", "-0000", "+9900", "+123", "+12345", "Z", "UTC", "GMT",
        "utc", "Est", "EST", "HELLO", "XYZAB", "XYZABC", "A", "E", "-1200",
-       "+1301"]
+       "+1301", "+5:30", "-5:30", "+5:99", "+9:00", "-0:30", "+23:59"]
 for i, base in enumerate(TZ_BASES):
     for j, tz in enumerate(TZS):
         sep = "" if (i + j) % 3 == 0 and tz[0] in "+-Z" else " "

@@ -333,10 +333,14 @@ def battery_parse(s, *a, **k):
     s2 = _re.sub(r"(\d)'+([A-Za-z])", r'\1 \2', s2)
 
     def conv2(y):
+        # dateutil convertyear: keep [t-50, t+50) — subtract on y >= t+50,
+        # add ONLY on a strict y < t-50 (asymmetric at the lower edge)
         t = _dt.date.today().year
         y += t // 100 * 100
-        if abs(y - t) >= 50:
-            y += 100 if y < t else -100
+        if y >= t + 50:
+            y -= 100
+        elif y < t - 50:
+            y += 100
         return y
 
     m = _B_ISO.match(s2)

@@ -13,10 +13,17 @@ Fixtures (src/test/resources/fixtures/):
                       and an ancillary tEXt chunk between them
   png_badcrc.png   png_rgb with one flipped bit in the IDAT CRC
   png_trunc.png    png_rgb cut mid-IDAT
-  png_interlace.png  1x1 Adam7-flagged (decoder must refuse)
-  png_pal.png      1x1 color type 3 (palette — decoder must refuse)
+  png_interlace.png  9x9 color type 2, Adam7 (all 7 passes non-empty)
+  png_pal.png      6x5 color type 3 depth 8, 16-entry palette
+  png_pal4.png     7x5 color type 3 depth 4 (sub-byte index packing)
+  png_pal_interlace.png  9x6 color type 3 depth 4, Adam7
+  png_gray1.png    10x3 color type 0 depth 1 (decoder scales to 0/255)
+  png_gray16.png   4x3 color type 0 depth 16 (decoder keeps the MSB)
+  png_rgb16.png    3x3 color type 2 depth 16
 
 Pixel formula (the spec mirrors it): sample(x, y, c) = (x*31 + y*17 + c*11 + 7) % 256
+Palette fixtures: palette[i] = ((7i+3)%256, (13i+5)%256, (29i+11)%256),
+index(x, y) = (3x + 5y) % 16.  16-bit: v16 per-fixture formula in the spec.
 """
 import os, struct, zlib
 
@@ -92,13 +99,63 @@ write("png_badcrc.png", bytes(bad))
 
 write("png_trunc.png", rgb[: len(rgb) - 20])
 
-onepx = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # interlace=1
-write("png_interlace.png",
-      b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", onepx) +
-      chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+# ---- round 9: every legal IHDR shape as REAL decodable fixtures --------
+A7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+      (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
 
-pal = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # color type 3
-write("png_pal.png",
-      b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", pal) +
-      chunk(b"PLTE", b"\xff\x00\x00") +
-      chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b""))
+def build2(w, h, depth, color_type, filters, sample, interlace=0, palette=None):
+    """General builder: any depth/color/interlace; sample(x,y,c) -> int
+    (a palette INDEX when color_type == 3)."""
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bitspp = depth * ch
+
+    def pack_row(pixels):
+        if depth == 8:
+            return bytes(v for t in pixels for v in t)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for t in pixels for v in t)
+        out = bytearray((len(pixels) * depth + 7) // 8)  # sub-byte, ch == 1
+        for i, (v,) in enumerate(pixels):
+            bit = i * depth
+            out[bit >> 3] |= v << (8 - depth - (bit & 7))
+        return bytes(out)
+
+    passes = [(0, 1, 0, 1)] if interlace == 0 else A7
+    raw = b""
+    fi = 0
+    for (x0, dx, y0, dy) in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        bpp = max(1, bitspp // 8)
+        prior = None
+        for py in range(ph):
+            y = y0 + py * dy
+            row = pack_row([tuple(sample(x0 + pxi * dx, y, c) for c in range(ch))
+                            for pxi in range(pw)])
+            raw += filt(filters[fi % len(filters)], row, prior, bpp)
+            fi += 1
+            prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+PAL16 = [((7 * i + 3) % 256, (13 * i + 5) % 256, (29 * i + 11) % 256)
+         for i in range(16)]
+def pal_idx(x, y, c):
+    return (3 * x + 5 * y) % 16
+
+write("png_interlace.png",
+      build2(9, 9, 8, 2, [0, 1, 2, 3, 4], px, interlace=1))
+write("png_pal.png", build2(6, 5, 8, 3, [0, 1, 2, 3, 4], pal_idx, palette=PAL16))
+write("png_pal4.png", build2(7, 5, 4, 3, [1, 4], pal_idx, palette=PAL16))
+write("png_pal_interlace.png",
+      build2(9, 6, 4, 3, [4, 2], pal_idx, interlace=1, palette=PAL16))
+write("png_gray1.png", build2(10, 3, 1, 0, [0, 2], lambda x, y, c: (x + y) % 2))
+write("png_gray16.png",
+      build2(4, 3, 16, 0, [1, 3], lambda x, y, c: (x * 9973 + y * 4369 + 12345) % 65536))
+write("png_rgb16.png",
+      build2(3, 3, 16, 2, [4], lambda x, y, c: (x * 9973 + y * 4373 + c * 1571 + 777) % 65536))
