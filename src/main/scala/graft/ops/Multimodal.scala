@@ -38,6 +38,60 @@ object Multimodal {
 
   final case class Frame(blob_id: Long, frame_idx: Int, content: Array[Byte])
 
+  /** One row per blob from [[decodeSafe]]: decoded metadata when `ok`,
+    * else a CLASSIFIED error kind (stable vocabulary — `unsupported` /
+    * `truncated` / `not_media` / `malformed`) plus the full message for
+    * debugging. The kind, not the free-form message, is the aggregation
+    * key, so oracles and dashboards stay stable across message rewording.
+    */
+  final case class DecodeResult(
+      blob_id: Long,
+      mime: String,
+      ok: Boolean,
+      err_kind: String,
+      err_detail: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Float])
+
+  private[ops] def errKind(msg: String): String = {
+    val m = if (msg == null) "" else msg.toLowerCase(java.util.Locale.ROOT)
+    if (m.contains("unsupported")) "unsupported"
+    else if (m.contains("trunc") || m.contains("overrun")) "truncated"
+    else if (m.contains("not a") || m.contains("signature") || m.contains("magic")) "not_media"
+    else "malformed"
+  }
+
+  /** Fault-TOLERANT decode: a refused or corrupt blob becomes a typed
+    * error ROW instead of a task failure — the media twin of the text
+    * pipeline's error-fallback extractor (E9). At 100 TB a web-crawl
+    * corpus always carries progressive JPEGs, truncated downloads, and
+    * mislabeled payloads; one bad blob must not kill a 1000-executor
+    * scan, and the error counts themselves are curation signal. Per-row,
+    * shuffle-free, same partition-mapped shape as [[decode]].
+    */
+  def decodeSafe(blobs: Dataset[Blob],
+      decoder: MediaDecoder = StubDecoder): Dataset[DecodeResult] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      val d = decoder.open()
+      it.map { b =>
+        try {
+          val r = d.decode(b)
+          DecodeResult(b.blob_id, b.mime, ok = true, "", "",
+            r.width, r.height, r.n_frames, r.features)
+        } catch {
+          case e: Exception =>
+            DecodeResult(b.blob_id, b.mime, ok = false,
+              errKind(e.getMessage), String.valueOf(e.getMessage),
+              0, 0, 0, Array.empty[Float])
+        }
+      }
+    }
+  }
+
   /** Wrap a (id, payload) DataFrame into the canonical multimodal schema. */
   def attachBlobs(df: DataFrame, idCol: String, payloadCol: String, mime: String): Dataset[Blob] = {
     val spark = df.sparkSession

@@ -273,6 +273,106 @@ object Png {
 
   // ------------------------------------------------------------ encode --
 
+  /** Encode an INDEXED image: `indices` is one palette index per pixel
+    * (top-down, `w*h` bytes, each < palette-entry count), `palette` is a
+    * flat RGB table (3 bytes per entry, ≤ 256 entries), `depth` the
+    * storage bit depth (1/2/4/8 — indices must fit), optionally Adam7
+    * interlaced. The palette-PNG counterpart of [[encode]]: the filter
+    * type cycles per emitted scanline, so a round trip exercises the
+    * sub-byte unpack, PLTE resolution, and (when interlaced) every
+    * deinterleave pass of [[decode]]. At corpus scale an indexed encode
+    * is the storage win for low-color rasters — 1-4 bits/px vs 24.
+    * decode(encodeIndexed(...)) returns the RGB expansion
+    * `palette(indices(i))`, per decode's normalization contract.
+    */
+  def encodeIndexed(w: Int, h: Int, depth: Int, palette: Array[Byte],
+      indices: Array[Byte], interlace: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, s"degenerate PNG dimensions ${w}x$h")
+    require(Set(1, 2, 4, 8)(depth), s"illegal palette bit depth $depth")
+    require(palette.length % 3 == 0 && palette.length > 0 &&
+      palette.length <= 256 * 3, s"bad palette length ${palette.length}")
+    val n = palette.length / 3
+    require(n <= (1 << depth), s"$n palette entries exceed depth-$depth range")
+    require(indices.length == w * h, s"index raster ${indices.length} != ${w}x$h")
+    indices.foreach(i => require((i & 0xff) < n,
+      s"palette index ${i & 0xff} out of range ($n entries)"))
+
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlace) Array((0, 1, 0, 1)) else Adam7
+    val raw = new java.io.ByteArrayOutputStream()
+    var fi = 0 // global scanline counter — filters cycle across passes
+    passes.foreach { case (x0, dx, y0, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = (pw * depth + 7) / 8
+        var prior: Array[Byte] = null
+        var py = 0
+        while (py < ph) {
+          val row = new Array[Byte](rowBytes)
+          var pxi = 0
+          while (pxi < pw) {
+            val v = indices((y0 + py * dy) * w + (x0 + pxi * dx)) & 0xff
+            val bit = pxi * depth
+            row(bit >> 3) = (row(bit >> 3) | (v << (8 - depth - (bit & 7)))).toByte
+            pxi += 1
+          }
+          val filter = fi % 5; fi += 1
+          raw.write(filter)
+          var i = 0
+          while (i < rowBytes) { // filter bpp = 1 (sub-byte/byte packing)
+            val x = row(i) & 0xff
+            val left = if (i >= 1) row(i - 1) & 0xff else 0
+            val up = if (prior != null) prior(i) & 0xff else 0
+            val ul = if (prior != null && i >= 1) prior(i - 1) & 0xff else 0
+            val enc = filter match {
+              case 0 => x
+              case 1 => x - left
+              case 2 => x - up
+              case 3 => x - ((left + up) >> 1)
+              case 4 => x - paeth(left, up, ul)
+            }
+            raw.write(enc & 0xff)
+            i += 1
+          }
+          prior = row
+          py += 1
+        }
+      }
+    }
+    val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    def_.setInput(raw.toByteArray)
+    def_.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) comp.write(buf, 0, def_.deflate(buf))
+    def_.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val hdr = new Array[Byte](4)
+      putBe32(hdr, 0, data.length)
+      out.write(hdr)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t)
+      out.write(data)
+      val c = new Array[Byte](4)
+      putBe32(c, 0, crcOf(t, data, data.length))
+      out.write(c)
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = depth.toByte
+    ihdr(9) = 3 // palette
+    ihdr(12) = if (interlace) 1 else 0 // compression 0, filter 0
+    chunk("IHDR", ihdr)
+    chunk("PLTE", palette)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Encode a top-down raster (`w*h*channelsOf(colorType)` bytes) as a
     * valid PNG. The filter type cycles `row mod 5`, so every decode filter
     * branch is exercised by any image of ≥5 rows; decode(encode(px)) == px

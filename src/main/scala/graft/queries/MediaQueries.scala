@@ -442,5 +442,119 @@ object MediaQueries {
           CAST(sum(psum) AS BIGINT) AS pixel_checksum
         FROM s"""),
     ),
+
+    // ------------------------------------------------------------------
+    // PALETTE + Adam7 round trip, oracle-audited end to end (round 9):
+    // each doc's text bytes pick a 16-entry RGB palette AND a 16×16
+    // depth-4 index raster; Png.encodeIndexed emits a genuine palette PNG
+    // (sub-byte bit packing, PLTE chunk, Adam7 interlace for even
+    // doc_ids) and the general Png decoder walks it back — per-pass
+    // unfiltering, 4-bit unpacking, deinterleave, PLTE resolution to RGB.
+    // The audit sums the decoded RGB bytes; the oracle recomputes
+    // palette[index] straight from the text in DuckDB, so one wrong bit
+    // anywhere in the pack→filter→deflate→inflate→deinterleave→PLTE path
+    // breaks the hash. Scale: per-row map, shuffle-free until the 2-row
+    // aggregate; corpus is ASCII (the mm02 convention).
+    GraftQuery(
+      "mm08_palette_adam7",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val len = bytes.length
+          val pal = Array.tabulate(16 * 3)(i => bytes(i % len))
+          val idx = Array.tabulate(16 * 16)(k => ((bytes((k * 5 + 1) % len) & 0xff) % 16).toByte)
+          val interlaced = id % 2 == 0
+          val png = graft.ops.Png.encodeIndexed(16, 16, 4, pal, idx, interlaced)
+          val (hd, px) = graft.ops.Png.decode(png)
+          require(hd.w == 16 && hd.h == 16 && hd.colorType == 2)
+          var sum = 0L; var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+          (if (interlaced) "adam7" else "linear", sum)
+        }.toDF("layout", "psum")
+        audited.groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("psum")).as("pixel_checksum"))
+      },
+      // palette[i][c] = text[(3i+c) mod len]; index(k) = text[(5k+1) mod
+      // len] mod 16; pixel sum = Σ_k Σ_c palette[index(k)][c]
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'adam7' ELSE 'linear' END AS layout,
+              CAST(list_sum(list_transform(range(0, 256), k ->
+                ascii(substring(text, (((ascii(substring(text, ((k*5 + 1) % len) + 1, 1)) % 16)*3 + 0) % len) + 1, 1)) +
+                ascii(substring(text, (((ascii(substring(text, ((k*5 + 1) % len) + 1, 1)) % 16)*3 + 1) % len) + 1, 1)) +
+                ascii(substring(text, (((ascii(substring(text, ((k*5 + 1) % len) + 1, 1)) % 16)*3 + 2) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT layout, count(*) AS n_blobs,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-TOLERANT mixed-corpus media scan (round 9): a quarter of the
+    // corpus decodes cleanly (4×4 gray PNG from text bytes), the rest is
+    // the realistic crawl debris — progressive JPEG (SOF2, a format the
+    // codec REFUSES by contract), truncated PNG downloads, and
+    // text-mislabeled-as-image. decodeSafe routes every refusal to a
+    // typed error ROW (the E9 error-fallback pattern) instead of failing
+    // the task, and the per-kind counts — themselves curation signal —
+    // are the audited output. One wrong classification or a task-killing
+    // throw anywhere breaks the row/hash match. Scale: per-row map,
+    // shuffle-free until the 4-row aggregate.
+    GraftQuery(
+      "mm09_mixed_media_errors",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val blobs = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val len = bytes.length
+          (id % 4) match {
+            case 0 => // valid: 4x4 gray PNG
+              val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
+              graft.ops.Multimodal.Blob(id,
+                graft.ops.Png.encode(4, 4, 0, px), "image/png", Map.empty)
+            case 1 => // progressive JPEG: SOI + SOF2 — typed refusal
+              graft.ops.Multimodal.Blob(id,
+                Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x04, 0x00, 0x00).map(_.toByte),
+                "image/jpeg", Map.empty)
+            case 2 => // truncated download: valid PNG cut mid-IEND
+              val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
+              graft.ops.Multimodal.Blob(id,
+                graft.ops.Png.encode(4, 4, 0, px).dropRight(10), "image/png", Map.empty)
+            case _ => // text bytes mislabeled as an image
+              graft.ops.Multimodal.Blob(id, bytes, "image/png", Map.empty)
+          }
+        }
+        val res = graft.ops.Multimodal.decodeSafe(blobs, graft.ops.BinaryMediaDecoder)
+        res.toDF()
+          .withColumn("kind", when(col("ok"), "ok").otherwise(col("err_kind")))
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_blobs"),
+            sum(col("width").cast("long")).as("sum_w"),
+            sum(col("height").cast("long")).as("sum_h"))
+      },
+      // kinds are a pure function of doc_id mod 4: ok (decoded 4×4),
+      // unsupported (SOF2 refusal), truncated (cut chunk), not_media
+      // (bad signature); error rows carry width = height = 0
+      Some("""WITH img AS (SELECT doc_id FROM documents WHERE length(text) > 0),
+          c AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'ok' WHEN 1 THEN 'unsupported'
+              WHEN 2 THEN 'truncated' ELSE 'not_media' END AS kind,
+              CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END AS w
+            FROM img)
+        SELECT kind, count(*) AS n_blobs,
+          CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(w) AS BIGINT) AS sum_h
+        FROM c GROUP BY 1"""),
+    ),
   )
 }

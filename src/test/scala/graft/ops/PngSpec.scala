@@ -97,6 +97,25 @@ class PngSpec extends SparkSpec {
       yield (((x * 9973 + y * 4373 + c * 1571 + 777) % 65536) >> 8).toByte))
   }
 
+  test("encodeIndexed round trip: palette expansion exact at all depths, ±Adam7") {
+    val pal = Array.tabulate(16 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    for (depth <- Seq(1, 2, 4, 8); interlace <- Seq(false, true);
+         (w, h) <- Seq((1, 1), (16, 16), (9, 7))) {
+      val n = 1 << math.min(depth, 4) // ≤ 16 entries available
+      val idx = Array.tabulate(w * h)(k => ((k * 5 + 1) % n).toByte)
+      val png = Png.encodeIndexed(w, h, depth, pal.take(n * 3), idx, interlace)
+      val (hd, px) = Png.decode(png)
+      assert(hd.w == w && hd.h == h && hd.colorType == 2, s"d=$depth i=$interlace")
+      val expect = idx.flatMap { i =>
+        Seq(pal((i & 0xff) * 3), pal((i & 0xff) * 3 + 1), pal((i & 0xff) * 3 + 2))
+      }
+      assert(px.toSeq == expect.toSeq, s"d=$depth i=$interlace ${w}x$h")
+    }
+    // index out of palette range refused at encode time
+    intercept[IllegalArgumentException](
+      Png.encodeIndexed(1, 1, 4, pal.take(6), Array[Byte](3)))
+  }
+
   test("corrupt and malformed payloads are refused, not mis-decoded") {
     val crc = intercept[IllegalArgumentException](Png.decode(fixture("png_badcrc.png")))
     assert(crc.getMessage.contains("CRC"))
