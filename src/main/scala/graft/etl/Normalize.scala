@@ -398,7 +398,19 @@ object Dates {
     */
   private val TzTail =
     ("^(.+?)(?: ?([+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2})| ?(Z|z|UTC|GMT)" +
-      "| ?([AaPp][Mm]?)| ?([A-Z]{1,5}))$").r
+      "| ?([AaPp][Mm]?)| ?([A-Z]{1,5})" +
+      // POSIX-style inversion (round 9, probed): a tz NAME with an
+      // ATTACHED signed offset is ONE token and the sign flips —
+      // "GMT+5" → -05:00, "XYZAB+3" → -03:00, "z+5" → -05:00 — for any
+      // name dateutil's could_be_tzname accepts EXCEPT meridiem-shaped
+      // A/P/AM/PM (those chain as meridiem + a NORMAL offset: "A+5" →
+      // +05:00). The numeric grammar (carry, <24 h, colon forms, 3-digit
+      // rejection) is identical to the plain tail.
+      // the lookbehind stops a phantom split of an alpha RUN (dateutil
+      // lexes "PM" as ONE token, so "PM+0500" is meridiem + a NORMAL
+      // offset, never "P" + posix "M+0500")
+      "| ?(?<![A-Za-z])(Z|z|UTC|GMT|[B-OQ-Z]|[AP][A-LN-Z]|[B-OQ-Z][A-Z]|[A-Z]{3,5})" +
+      "([+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2}))$").r
   private def timeSuffix(sfx0: String): Option[String] =
     timeSuffixTz(sfx0, allowTz = true)
 
@@ -408,7 +420,7 @@ object Dates {
       case other => other
     }
     timeSuffixBody(sfx).orElse(sfx match {
-      case TzTail(rest, num, name, meridiem, other) =>
+      case TzTail(rest, num, name, meridiem, other, pName, pNum) =>
         // the rest parses RECURSIVELY, so trailing meridiem tokens chain
         // the way dateutil applies them sequentially ("10:30 AM P" → the
         // P re-applies on hour 10 → 22:30; "10:30 PM A" → hour is
@@ -430,38 +442,48 @@ object Dates {
               Some(f"$h2%02d" + base.substring(2))
             }
           } else
-          if (num != null) {
-            val neg = num.charAt(0) == '-'
-            val hm =
-              if (num.contains(":")) {
-                // dateutil's GMT±H:MM colon path reads the hour and
-                // minute TOKENS separately (int(l[i+1])·3600 +
-                // int(l[i+3])·60), so a 1-digit hour is fine ("+5:30" →
-                // +05:30) and minutes still carry ("+5:99" → +06:39) —
-                // the 3-digit rejection below applies to the UNSEPARATED
-                // form only (round-8 advisor finding)
-                val ci = num.indexOf(':')
-                Some((num.substring(1, ci).toInt, num.substring(ci + 1).toInt))
-              } else {
-                val digits = num.substring(1)
-                if (digits.length <= 2) Some((digits.toInt, 0))
-                else if (digits.length == 4)
-                  Some((digits.substring(0, 2).toInt, digits.substring(2).toInt))
-                else None // 3-digit offsets fail in dateutil
-              }
-            hm.flatMap { case (h, mi) =>
-              val total = h * 60 + mi
-              if (total >= 24 * 60) None
-              else {
-                val sgn = if (neg && total > 0) "-" else "+"
-                Some(f"$base$sgn${total / 60}%02d:${total % 60}%02d")
-              }
-            }
-          } else if (name != null) Some(base + "+00:00")
+          if (num != null) numOffset(num, invert = false).map(base + _)
+          else if (pNum != null) numOffset(pNum, invert = true).map(base + _)
+          else if (name != null) Some(base + "+00:00")
           else Some(base) // could_be_tzname shape, not understood: naive
         }
       case _ => None
     })
+  }
+
+  /** Validate and normalize a signed numeric offset token to "±HH:MM".
+    * Grammar (probed): ±H, ±HH, ±HHMM, ±HH:MM, ±H:MM; minutes carry
+    * ("+2299" → +23:39, "+5:99" → +06:39); total must stay < 24 h;
+    * UNSEPARATED 3-digit forms fail. `invert` flips the sign — the POSIX
+    * convention dateutil applies when the offset is ATTACHED to a tz name
+    * ("GMT+5" → -05:00).
+    */
+  private def numOffset(num: String, invert: Boolean): Option[String] = {
+    val neg0 = num.charAt(0) == '-'
+    val neg = if (invert) !neg0 else neg0
+    val hm =
+      if (num.contains(":")) {
+        // dateutil's GMT±H:MM colon path reads the hour and minute
+        // TOKENS separately (int(l[i+1])·3600 + int(l[i+3])·60), so a
+        // 1-digit hour is fine ("+5:30" → +05:30) — the 3-digit
+        // rejection below applies to the UNSEPARATED form only
+        val ci = num.indexOf(':')
+        Some((num.substring(1, ci).toInt, num.substring(ci + 1).toInt))
+      } else {
+        val digits = num.substring(1)
+        if (digits.length <= 2) Some((digits.toInt, 0))
+        else if (digits.length == 4)
+          Some((digits.substring(0, 2).toInt, digits.substring(2).toInt))
+        else None // 3-digit offsets fail in dateutil
+      }
+    hm.flatMap { case (h, mi) =>
+      val total = h * 60 + mi
+      if (total >= 24 * 60) None
+      else {
+        val sgn = if (neg && total > 0) "-" else "+"
+        Some(f"$sgn${total / 60}%02d:${total % 60}%02d")
+      }
+    }
   }
   private def timeSuffixBody(sfx: String): Option[String] = sfx match {
     case "" => Some("00:00:00")
@@ -616,9 +638,48 @@ object Dates {
       case MonthPermB(a0, mon, b0, sfx) => monthPerm(mon, a0, b0, sfx, today)
       case MonthPermC(a0, b0, mon, sfx) =>
         monthPerm(mon, a0, b0, sfx, today, monthLast = true)
+      case TimeFirst(lead, rest) if !rest.contains(':') =>
+        // time-BEFORE-date order (round 9, probed): dateutil fills time
+        // and date fields independently of token order, so "10:30 PM
+        // 5 Jan 2024" ≡ "5 Jan 2024 10:30 PM". Model: peel a trailing
+        // tz token off the remainder (tz semantics need the CLOCK, which
+        // lives in the lead here — "…2024 GMT" applies +00:00 to the
+        // leading time), validate lead+tz through the shared suffix
+        // grammar (meridiem ≤12 rule, hour/offset bounds, posix names),
+        // parse the rest as a pure date, and splice. Guards keep the
+        // model inside the probed surface: no second clock time in the
+        // remainder (dateutil's later-time-wins overwrite — "10:30
+        // 10:40 Jan 5 2024" → 10:40 — stays out-of-battery) and the
+        // date must resolve to exactly T00:00:00 with no own suffix.
+        val (datePart, tzSfx) = rest match {
+          case TrailingTz(dp, tz) => (dp, " " + tz)
+          case _ => (rest, "")
+        }
+        for {
+          t <- timeSuffixTz(" " + lead + tzSfx, allowTz = true)
+          base <- parseIso(datePart, today)
+          if base.length == 19 && base.substring(11) == "00:00:00"
+        } yield base.substring(0, 11) + t
       case _ => None
     }
   }
+
+  /** Leading clock time (with optional meridiem) before a date: the time
+    * atom, an optional ','/'.' jump, one space, then the remainder.
+    * Bare-hour leads need a meridiem ("10 PM 5 Jan 2024" parses; a bare
+    * "10 5 Jan 2024" reads 10 as a date member instead).
+    */
+  private val TimeFirst =
+    ("^(\\d{1,2}:\\d{2}(?::\\d{2}(?:[.,]\\d+)?)? ?(?:[AaPp]\\.?[Mm]\\.?)?|" +
+      "\\d{1,2} ?[AaPp]\\.?[Mm]\\.?)[,.]? (.+)$").r
+
+  /** A trailing space-separated tz-shaped token on the time-first
+    * remainder: numeric offset, uppercase ≤5-letter name, or an attached
+    * name+offset posix form.
+    */
+  private val TrailingTz =
+    ("^(.+) ([+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2}|" +
+      "(?:Z|z|UTC|GMT|[A-Z]{1,5})(?:[+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2})?)$").r
 
   /** Year 0 is valid proleptic-Gregorian for java.time but not for python's
     * datetime (dateutil raises on year 0) — guard it out explicitly.
@@ -697,6 +758,167 @@ object Dates {
           else w <= 9999
         }
       }
+    case MultiComma() if s.count(_ == ',') >= 2 => multiCommaVote(s, today)
     case _ => false
+  }
+
+  /** ≥2-comma digit strings ("12,34,56", "1,000,000", "5,6,2024") —
+    * round 9, closing the last COVERAGE.md vote family. Faithful model of
+    * dateutil's pipeline for all-digit comma chains:
+    *
+    *  - LEXER (_timelex): a comma MERGES into a numeric token as a
+    *    decimal point iff ≥2 digits precede it and a digit follows, one
+    *    merge per token ("12,34,56" → tokens [12.34, ',', 56]); other
+    *    commas are skippable jumps; empty segments vanish.
+    *  - _parse_numeric_token per token: a 4th member of width 2/4 is a
+    *    clock HOUR[+MINUTE]; width-6 (or '.'-at-6) tokens split YYMMDD
+    *    when first else read HHMMSS[.f]; width 8/12/14 split
+    *    YYYYMMDD[HHMM[SS]]; anything else appends an ymd member whose
+    *    label is YEAR iff value > 100 (century pinned).
+    *  - _ymd.resolve_ymd (no month names, yearfirst=dayfirst=false) and
+    *    datetime.replace validation: month 1-12, parsed day must exist
+    *    in the (possibly defaulted) month, hour ≤ 23, min/sec ≤ 59; a
+    *    MISSING day is clamped to the month end (never fails) and
+    *    missing members come from the RUN DATE, so validity is
+    *    today-dependent exactly like the 1-comma family.
+    *
+    * Fuzz-verified against live dateutil by tools/fuzz_comma.py (~47k
+    * member combinations, 0 mismatches). VOTE-ONLY like the 1-comma
+    * family (normalize_value strips commas → int before its dateparse).
+    */
+  // any digit chain with >= 2 commas total (runs of commas are jump
+  // sequences: "5,,6,2024" parses; the count guard keeps "5,,6"-style
+  // 2-comma/2-member chains here too, out of the 1-comma table)
+  private val MultiComma = "\\d+(?:,+\\d+)+".r
+  private[etl] def multiCommaVote(s: String, today: java.time.LocalDate): Boolean = {
+    // ---- lex: merge/emit per _timelex
+    val segs = s.split(",", -1)
+    val toks = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < segs.length) {
+      if (segs(i).isEmpty) i += 1 // bare comma: jump
+      else if (segs(i).length >= 2 && i + 1 < segs.length && segs(i + 1).nonEmpty) {
+        toks += segs(i) + "." + segs(i + 1); i += 2
+      } else { toks += segs(i); i += 1 }
+    }
+    // ---- parse
+    def pint(x: String): Option[Int] =
+      if (x.nonEmpty && x.length <= 9 && x.forall(_.isDigit)) Some(x.toInt) else None
+    def bigVal(intPart: String): Long =
+      if (intPart.isEmpty) -1L
+      else if (intPart.length > 18) Long.MaxValue
+      else intPart.toLong
+    val ymd = scala.collection.mutable.ArrayBuffer[Long]()
+    var ystr = -1
+    var century = false
+    var hour = -1; var minute = -1; var second = -1
+    def appendVal(v: Long, fracPositive: Boolean): Boolean = {
+      // value append (jump branch): the year test compares the DECIMAL,
+      // so "100.5" (> 100) labels year while "100.0" does not
+      if (v > 100 || (v == 100 && fracPositive)) {
+        if (ystr >= 0) return false // second year label: ValueError
+        century = true; ystr = ymd.length
+      }
+      ymd += v; true
+    }
+    def appendStr(t: String, label: Char): Boolean = { // string append
+      if (t.length > 2) {
+        if (label == 'Y' || label == ' ') {
+          if (ystr >= 0) return false
+          century = true; ystr = ymd.length
+        }
+      } else if (label == 'Y') {
+        if (ystr >= 0) return false
+        ystr = ymd.length
+      }
+      ymd += t.toLong; true
+    }
+    var ok = true
+    toks.foreach { t =>
+      if (ok) {
+        val li = t.length
+        val dot = t.indexOf('.')
+        if (ymd.size == 3 && (li == 2 || li == 4) && hour < 0) {
+          // 4th member of width 2/4: clock hour [+ minute]
+          (pint(t.substring(0, 2)), if (li == 4) pint(t.substring(2, 4)) else Some(0)) match {
+            case (Some(h), Some(m)) => hour = h; minute = m
+            case _ => ok = false // a '.' inside the slices: int() raises
+          }
+        } else if (li == 6 || (li > 6 && dot == 6)) {
+          if (ymd.isEmpty && dot < 0) {
+            // YYMMDD member split (string appends, 2-digit, no labels)
+            ok = appendStr(t.substring(0, 2), ' ') &&
+              appendStr(t.substring(2, 4), ' ') && appendStr(t.substring(4), ' ')
+          } else {
+            // HHMMSS[.f] — overwrites any earlier clock fields
+            val rest = t.substring(4)
+            val (secStr, fracOk) =
+              if (rest.indexOf('.') >= 0)
+                (rest.substring(0, rest.indexOf('.')),
+                  rest.substring(rest.indexOf('.') + 1).forall(_.isDigit))
+              else (rest, true)
+            (pint(t.substring(0, 2)), pint(t.substring(2, 4)), pint(secStr)) match {
+              case (Some(h), Some(m), Some(sec)) if fracOk =>
+                hour = h; minute = m; second = sec
+              case _ => ok = false
+            }
+          }
+        } else if ((li == 8 || li == 12 || li == 14) && dot < 0) {
+          ok = appendStr(t.substring(0, 4), 'Y') &&
+            appendStr(t.substring(4, 6), ' ') && appendStr(t.substring(6, 8), ' ')
+          if (ok && li > 8) {
+            (pint(t.substring(8, 10)), pint(t.substring(10, 12))) match {
+              case (Some(h), Some(m)) => hour = h; minute = m
+              case _ => ok = false
+            }
+            if (ok && li > 12) pint(t.substring(12, 14)) match {
+              case Some(sec) => second = sec
+              case None => ok = false
+            }
+          }
+        } else if (li == 8 || li == 12 || li == 14) {
+          ok = false // '.' inside the fixed-width slices: int() raises
+        } else {
+          // jump branch: append the numeric VALUE (fraction discarded in
+          // the member, but it participates in the > 100 year test)
+          val intPart = if (dot < 0) t else t.substring(0, dot)
+          val fracPos = dot >= 0 && t.substring(dot + 1).exists(_ != '0')
+          val v = bigVal(intPart)
+          if (v < 0) ok = false else ok = appendVal(v, fracPos)
+        }
+      }
+    }
+    if (!ok || ymd.size > 3) return false
+    // ---- resolve_ymd (no month names; yearfirst = dayfirst = false)
+    var yearV = -1L; var monthV = -1L; var dayV = -1L
+    ymd.size match {
+      case 0 =>
+      case 1 =>
+        if (ystr == 0) yearV = ymd(0)
+        else if (ymd(0) > 31) yearV = ymd(0)
+        else dayV = ymd(0)
+      case 2 =>
+        if (ymd(0) > 31) { yearV = ymd(0); monthV = ymd(1) }
+        else if (ymd(1) > 31) { monthV = ymd(0); yearV = ymd(1) }
+        else { monthV = ymd(0); dayV = ymd(1) }
+      case _ =>
+        if (ymd(0) > 31 || ystr == 0) { yearV = ymd(0); monthV = ymd(1); dayV = ymd(2) }
+        else if (ymd(0) > 12) { dayV = ymd(0); monthV = ymd(1); yearV = ymd(2) }
+        else { monthV = ymd(0); dayV = ymd(1); yearV = ymd(2) }
+    }
+    // ---- build + validate against the run date
+    val yy: Long =
+      if (yearV < 0) today.getYear.toLong
+      else if (yearV < 100 && !century) convertYear2(yearV.toInt, today).toLong
+      else yearV
+    if (yy < 1 || yy > 9999) return false
+    val mm = if (monthV < 0) today.getMonthValue.toLong else monthV
+    if (mm < 1 || mm > 12) return false
+    if (dayV >= 0) {
+      val maxDay = java.time.YearMonth.of(yy.toInt, mm.toInt).lengthOfMonth()
+      if (dayV < 1 || dayV > maxDay) return false
+    } // a missing day clamps to the month end — never fails
+    if (hour > 23 || minute > 59 || second > 59) return false
+    true
   }
 }

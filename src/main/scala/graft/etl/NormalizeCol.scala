@@ -212,7 +212,15 @@ object NormalizeCol {
     * lookahead, so the exclusion is enumerated).
     */
   private val TzName = "([B-OQ-Z]|[AP][A-LN-Z]|[B-OQ-Z][A-Z]|[A-Z]{3,5})"
-  private val TzTok = "( ?(" + OffB + "|Z|z|UTC|GMT|" + TzName + "))?"
+  /** POSIX-style inversion (round 9): a tz NAME with an ATTACHED signed
+    * offset is one token with the sign flipped ("GMT+5" → -05:00,
+    * "XYZAB+3" → -03:00). The vote only needs acceptance — the offset
+    * grammar and < 24 h bound are OffB, identical either sign; the name
+    * class excludes meridiem-shaped A/P/AM/PM (those chain as meridiem +
+    * a NORMAL offset and are covered by the plain OffB alternative).
+    */
+  private val TzPosix = "(Z|z|UTC|GMT|" + TzName + ")" + OffB
+  private val TzTok = "( ?(" + OffB + "|Z|z|UTC|GMT|" + TzName + "|" + TzPosix + "))?"
   /** Optional time-of-day suffix (mirrors [[Dates.timeSuffix]]): 24-hour
     * H:MM[:SS[.f]] or 12-hour with meridiem forms; round-8 tail adds the
     * spaced-comma jump lead, bare hours, tz tokens, and dateutil's
@@ -312,12 +320,26 @@ object NormalizeCol {
     * The last alternative mirrors the dateutil negative-number quirk —
     * see [[Dates.NegNumDateRe]] for the full shape table.
     */
+  // ---- time-BEFORE-date order (round 9): a leading clock time (meridiem
+  // optional on the 24-h form, required ≤12-h on the bare-hour form), an
+  // optional ','/'.' jump, then any full-date family WITHOUT its own time
+  // (dateutil fills time and date fields independently of token order);
+  // an optional trailing tz token rides on the date. Mirrors the scalar
+  // battery's TimeFirst fallback.
+  private val TimePfxA =
+    "(" + T24c + "|" + T12c + " ?[AaPp]\\.?[Mm]\\.?|(0?\\d|1[0-2]) ?[AaPp]\\.?[Mm]\\.?)"
+  private def dateOnlyRe: String =
+    "(\\d{4}-\\d{2}-\\d{2}|" + TripletDmyRe + "|" + TripletYmdRe + "|" +
+      TripletShortRe + "|" + TripletY3Re + "|" + MonthNameRe + "|" +
+      DayMonthNameRe + "|" + MonthPermRe + ")"
+  private val TimeFirstA = TimePfxA + "[,.]? " + dateOnlyRe + TzTok
+
   val InferDateRe =
     "^(\\d{4}-\\d{2}-\\d{2}([Tt ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|z|[+-]\\d{2}:?\\d{2})?)?|" +
       TripletDmyRe + TimeSfxA + "|" + TripletYmdRe + TimeSfxA + "|" +
       TripletShortRe + TimeSfxA + "|" + TripletY3Re + TimeSfxA + "|" +
       MonthNameRe + TimeSfxA + "|" + DayMonthNameRe + TimeSfxA + "|" +
-      MonthPermRe + TimeSfxA + "|" +
+      MonthPermRe + TimeSfxA + "|" + TimeFirstA + "|" +
       Dates.NegNumDateRe + ")$"
 
   // ---- vote-side mirror of the scalar battery's jump-token

@@ -6,10 +6,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Training-data pipeline operators (dedup / similarity / text analysis)
-  * over the documents and embeddings tables, each with an exact DuckDB
-  * oracle: hashes are md5-prefix integers and vector math is double-cast
-  * sequential accumulation, both verified bit-identical across engines.
+/** Deduplication operators (exact → MinHash-LSH → SimHash → embedding →
+  * containment → boilerplate → substring tiers) over the documents and
+  * embeddings tables, each with an exact DuckDB oracle: hashes are
+  * md5-prefix integers and vector math is double-cast sequential
+  * accumulation, both verified bit-identical across engines. The media,
+  * text-analysis, and similarity families that used to live here moved to
+  * MediaQueries / TextQueries / SimQueries in round 9 (registry hygiene,
+  * no behavior change).
   */
 object ExtQueries {
 
@@ -52,97 +56,7 @@ object ExtQueries {
 
   private def embDouble(c: Column): Column = Similarity.toDouble(c)
 
-  /** PQ encode SQL CTEs (sub/cb/enc/rec over a CTE `e(id, v)`) — the
-    * DuckDB mirror of [[Similarity.pqReconstruct]], shared by sim07 and
-    * sim09; a codebook-scheme change edits exactly that pair. The reduced
-    * L2 key (`c·c − 2·s·c`, per-vector constant s·s dropped) is mirrored
-    * TEXTUALLY so both engines order by the same float values.
-    */
-  private[queries] def pqSqlCtes: String =
-    """sub AS (SELECT id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv
-          FROM e, UNNEST(range(8)) AS g(m)),
-        cb AS (SELECT m, CAST(id AS INT) AS code, sv AS cv FROM sub WHERE id < 16),
-        enc AS (SELECT id, m, code FROM (
-            SELECT s.id, s.m, c.code,
-              row_number() OVER (PARTITION BY s.id, s.m ORDER BY
-                list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv),
-                c.code) AS rn
-            FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
-        rec AS (SELECT n.id, flatten(list(c.cv ORDER BY n.m)) AS rvec
-          FROM enc n JOIN cb c ON n.m = c.m AND n.code = c.code GROUP BY n.id)"""
-
   val all: Seq[GraftQuery] = Seq(
-    // ------------------------------------------------------------------
-    GraftQuery(
-      "text01_token_stats",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        TA.regexTokenCount(col("text")).as("n_subwords"),
-        length(col("text")).as("len")),
-      Some(s"""SELECT doc_id, ${TA.Sql.tokenCount("text")} AS n_tokens,
-        ${TA.Sql.regexTokenCount("text")} AS n_subwords,
-        length(text) AS len FROM documents"""),
-    ),
-
-    // ------------------------------------------------------------------
-    GraftQuery(
-      "text02_quality",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"),
-        TA.punctCount(col("text")).as("n_punct"),
-        TA.digitCount(col("text")).as("n_digit"),
-        TA.stopwordCount(col("text")).as("n_stop"),
-        TA.meanTokenLen(col("text")).as("mean_tok_len"),
-        TA.qualityScore(col("text")).as("quality")),
-      Some(s"""SELECT doc_id, ${TA.Sql.punctCount("text")} AS n_punct,
-        ${TA.Sql.digitCount("text")} AS n_digit,
-        ${TA.Sql.stopwordCount("text")} AS n_stop,
-        ${TA.Sql.meanTokenLen("text")} AS mean_tok_len,
-        ${TA.Sql.qualityScore("text")} AS quality FROM documents"""),
-    ),
-
-    // ------------------------------------------------------------------
-    GraftQuery(
-      "text03_langid",
-      (s, d) => {
-        val scored = Tables.documents(s, d).select(
-          col("doc_id") +: col("lang") +:
-            TA.LangMarkers.map { case (l, _) => TA.langScore(col("text"), l).as(s"s_$l") }: _*)
-        val best = TA.LangMarkers.map { case (l, _) => col(s"s_$l") }.reduce(greatest(_, _))
-        val pick = TA.LangMarkers.foldRight(lit("unknown"): Column) { case ((l, _), el) =>
-          when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(el)
-        }
-        scored.withColumn("guess", pick)
-          .withColumn("hit", (col("guess") === col("lang")).cast("int"))
-      },
-      Some {
-        val scores = TA.LangMarkers.map { case (l, _) =>
-          s"${TA.Sql.langScore("text", l)} AS s_$l"
-        }.mkString(", ")
-        val best = TA.LangMarkers.map { case (l, _) => s"s_$l" }
-          .reduce((a, b) => s"greatest($a, $b)")
-        val chain = TA.LangMarkers.map { case (l, _) =>
-          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
-        }.mkString(" ")
-        val scoreCols = TA.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
-        s"""SELECT doc_id, lang, $scoreCols,
-          CASE $chain ELSE 'unknown' END AS guess,
-          CAST(CASE $chain ELSE 'unknown' END = lang AS INT) AS hit
-          FROM (SELECT doc_id, lang, $scores FROM documents)"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    GraftQuery(
-      "text04_fingerprint",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"),
-        TA.fingerprint(col("text")).as("fp"),
-        TA.hash60(col("text")).as("h60")),
-      Some(s"""SELECT doc_id, ${TA.Sql.fingerprint("text")} AS fp,
-        ${TA.Sql.hash60("text")} AS h60 FROM documents"""),
-    ),
 
     // ------------------------------------------------------------------
     GraftQuery(
@@ -152,73 +66,6 @@ object ExtQueries {
           CAST(sum(copies - 1) AS BIGINT) AS n_duplicates, max(copies) AS max_copies
         FROM (SELECT ${TA.Sql.fingerprint("text")} AS fp, count(*) AS copies,
           min(doc_id) AS canonical_doc FROM documents GROUP BY 1)"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // word-bigram top-k per language (n-gram frequency analysis).
-    GraftQuery(
-      "text05_bigram_topk",
-      (s, d) => {
-        val toks = TA.tokens(col("text"))
-        val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
-        Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("lang"), explode(bigrams).as("bigram"))
-          .groupBy(col("lang"), col("bigram"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-      },
-      Some(s"""WITH t AS (SELECT lang, ${TA.Sql.tokens("text")} AS toks FROM documents),
-        b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),
-          i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram FROM t),
-        c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2)
-        SELECT lang, bigram, n, rnk FROM (
-          SELECT lang, bigram, n,
-            row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rnk
-          FROM c) WHERE rnk <= 5"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // TF-IDF top terms per document. ln() differs across engines in the
-    // last ulp, so the score quantizes to an integer micro-score before
-    // ranking — ordering is then fully integer-deterministic.
-    GraftQuery(
-      "text06_tfidf_topk",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val terms = docs
-          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
-        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val df = terms.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
-          .withColumn("score_micro",
-            col("tf") * round(log(col("n_docs").cast("double") / col("df")) * 1000000.0).cast("long"))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score_micro").desc, col("term").asc)
-        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_micro"), col("rnk"))
-      },
-      Some(s"""WITH terms AS (
-          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS term FROM documents),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-        df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
-        n AS (SELECT count(*) AS n_docs FROM documents),
-        scored AS (
-          SELECT doc_id, term, tf, df,
-            tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0) AS BIGINT) AS score_micro
-          FROM tf JOIN df USING (term) CROSS JOIN n)
-        SELECT doc_id, term, tf, df, score_micro, rnk FROM (
-          SELECT doc_id, term, tf, df, score_micro,
-            row_number() OVER (PARTITION BY doc_id
-              ORDER BY score_micro DESC, term ASC) AS rnk
-          FROM scored) WHERE rnk <= 3"""),
     ),
 
     // ------------------------------------------------------------------
@@ -382,198 +229,6 @@ object ExtQueries {
           list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // brute-force cosine top-5 for the first 20 vectors (exact baseline).
-    GraftQuery(
-      "sim01_topk_bruteforce",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-        Similarity.bruteForceTopK(e.filter(col("id") < 20), e, 5)
-      },
-      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
-        SELECT q_id, n_id, cos, rnk FROM (
-          SELECT a.id AS q_id, b.id AS n_id,
-            list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos,
-            row_number() OVER (PARTITION BY a.id
-              ORDER BY list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC, b.id ASC) AS rnk
-          FROM e a JOIN e b ON a.id < 20 AND b.id <> a.id)
-        WHERE rnk <= 5"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // IVF-style: assign every vector to nearest of 16 seed centroids
-    // (vec_id 0-15), search top-3 within the query's cell only.
-    GraftQuery(
-      "sim02_ivf_topk",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
-        val q = cells.filter(col("id") < 20)
-          .select(col("id").as("q_id"), col("cell_id"), col("vec").as("q_vec"))
-        val cand = cells.select(col("id").as("n_id"), col("cell_id"), col("vec").as("n_vec"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-        q.join(cand, Seq("cell_id"))
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("cell_id"), col("n_id"),
-            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
-          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-      },
-      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (SELECT id AS cell_id, v AS cv FROM e WHERE id < 16),
-        assign AS (
-          SELECT id, cell_id, v FROM (
-            SELECT e.id, s.cell_id, e.v,
-              row_number() OVER (PARTITION BY e.id ORDER BY
-                list_dot_product(e.v, s.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
-                s.cell_id ASC) AS rn
-            FROM e CROSS JOIN seeds s) WHERE rn = 1),
-        scored AS (
-          SELECT q.id AS q_id, q.cell_id, c.id AS n_id,
-            list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-          FROM assign q JOIN assign c ON q.cell_id = c.cell_id AND q.id < 20 AND c.id <> q.id)
-        SELECT q_id, cell_id, n_id, cos, rnk FROM (
-          SELECT q_id, cell_id, n_id, cos,
-            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
-          FROM scored) WHERE rnk <= 3"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // int8-quantized similarity: symmetric per-vector quantization, exact
-    // integer dot products (bit-identical cross-engine — the compression
-    // layer of a large vector index), top-3 by quantized cosine.
-    GraftQuery(
-      "sim03_int8_quant",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"),
-            Similarity.quantizeInt8(embDouble(col("embedding"))).as("qv"))
-          .withColumn("qn", Similarity.normInt8(col("qv")))
-          .transform(graft.core.Caches.persist)
-        val q = e.filter(col("id") < 20)
-          .select(col("id").as("q_id"), col("qv").as("q_qv"), col("qn").as("q_qn"))
-        val c = e.select(col("id").as("n_id"), col("qv").as("n_qv"), col("qn").as("n_qn"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id").asc)
-        broadcast(q).crossJoin(c)
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"),
-            Similarity.cosineInt8(col("q_qv"), col("n_qv"), col("q_qn"), col("n_qn")).as("qcos"))
-          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-      },
-      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        m AS (SELECT id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
-        q AS (SELECT id, CASE WHEN ma = 0 THEN list_transform(v, x -> 0::BIGINT)
-              ELSE list_transform(v, x -> CAST(round(x * 127.0 / ma) AS BIGINT)) END AS qv FROM m),
-        n AS (SELECT id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q)
-        SELECT q_id, n_id, qcos, rnk FROM (
-          SELECT a.id AS q_id, b.id AS n_id,
-            list_dot_product(a.qv, b.qv) / (a.qn * b.qn) AS qcos,
-            row_number() OVER (PARTITION BY a.id
-              ORDER BY list_dot_product(a.qv, b.qv) / (a.qn * b.qn) DESC, b.id ASC) AS rnk
-          FROM n a JOIN n b ON a.id < 20 AND b.id <> a.id)
-        WHERE rnk <= 3"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // MMR diversified re-rank (Carbonell & Goldstein '98, λ=0.5): take each
-    // query's top-10 relevance candidates, then pick 3 greedily, each pick
-    // penalized by its max similarity to the already-picked set. The greedy
-    // loop UNROLLS to three window passes over the candidate frames — the
-    // per-query candidate set is k (constant), so the pairwise-similarity
-    // join is k² per query, independent of corpus size; the corpus itself
-    // is touched only by the sim01-style broadcast relevance scan. Scores
-    // quantize to integer micro-cosines, ties break on n_id — argmaxes are
-    // exact cross-engine.
-    GraftQuery(
-      "sim05_mmr_rerank",
-      (s, d) => {
-        val micro = (c: org.apache.spark.sql.Column) =>
-          round(c * 1000000.0).cast("long")
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-          .withColumn("nn", Similarity.norm(col("vec")))
-        val q = e.filter(col("id") < 20)
-          .select(col("id").as("q_id"), col("vec").as("q_vec"), col("nn").as("q_n"))
-        val cW = Window.partitionBy(col("q_id"))
-          .orderBy(col("rel_micro").desc, col("n_id").asc)
-        val cand = broadcast(q).crossJoin(
-            e.select(col("id").as("n_id"), col("vec").as("n_vec"), col("nn").as("n_n")))
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"), col("n_vec"), col("n_n"),
-            micro(Similarity.dot(col("q_vec"), col("n_vec")) /
-              (col("q_n") * col("n_n"))).as("rel_micro"))
-          .withColumn("rn", row_number().over(cW)).filter(col("rn") <= 10)
-          .transform(graft.core.Caches.persist)
-        val pairs = cand.as("a").join(cand.as("b"),
-            col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
-          .select(col("a.q_id").as("q_id"), col("a.n_id").as("i"), col("b.n_id").as("j"),
-            micro(Similarity.dot(col("a.n_vec"), col("b.n_vec")) /
-              (col("a.n_n") * col("b.n_n"))).as("sim_micro"))
-          .transform(graft.core.Caches.persist)
-        val slim = cand.select(col("q_id"), col("n_id"), col("rel_micro"), col("rn"))
-        val p1 = slim.filter(col("rn") === 1)
-          .select(col("q_id"), col("n_id").as("c1"), col("rel_micro").as("rel1"))
-        val w2 = Window.partitionBy(col("q_id")).orderBy(col("score2").desc, col("n_id").asc)
-        val p2 = slim.join(p1, "q_id").filter(col("n_id") =!= col("c1"))
-          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
-            col("sim_micro")), Seq("q_id", "n_id", "c1"))
-          .withColumn("score2", col("rel_micro") - col("sim_micro"))
-          .withColumn("rn2", row_number().over(w2)).filter(col("rn2") === 1)
-          .select(col("q_id"), col("n_id").as("c2"), col("rel_micro").as("rel2"))
-        val w3 = Window.partitionBy(col("q_id")).orderBy(col("score3").desc, col("n_id").asc)
-        val p3 = slim.join(p1, "q_id").join(p2, "q_id")
-          .filter(col("n_id") =!= col("c1") && col("n_id") =!= col("c2"))
-          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
-            col("sim_micro").as("sim1")), Seq("q_id", "n_id", "c1"))
-          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c2"),
-            col("sim_micro").as("sim2")), Seq("q_id", "n_id", "c2"))
-          .withColumn("score3", col("rel_micro") - greatest(col("sim1"), col("sim2")))
-          .withColumn("rn3", row_number().over(w3)).filter(col("rn3") === 1)
-          .select(col("q_id"), col("n_id").as("c3"), col("rel_micro").as("rel3"))
-        p1.select(col("q_id"), lit(1L).as("pick"), col("c1").as("n_id"),
-            col("rel1").as("rel_micro"))
-          .unionAll(p2.select(col("q_id"), lit(2L).as("pick"), col("c2").as("n_id"),
-            col("rel2").as("rel_micro")))
-          .unionAll(p3.select(col("q_id"), lit(3L).as("pick"), col("c3").as("n_id"),
-            col("rel3").as("rel_micro")))
-      },
-      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        n AS (SELECT id, v, sqrt(list_dot_product(v,v)) AS nn FROM e),
-        scored AS (SELECT a.id AS q_id, b.id AS n_id, b.v AS bv, b.nn AS bn,
-            CAST(round(list_dot_product(a.v,b.v)/(a.nn*b.nn)*1000000.0) AS BIGINT) AS rel_micro
-          FROM n a JOIN n b ON a.id < 20 AND b.id <> a.id),
-        cand AS (SELECT * FROM (SELECT q_id, n_id, bv, bn, rel_micro,
-            row_number() OVER (PARTITION BY q_id ORDER BY rel_micro DESC, n_id) AS rn FROM scored)
-          WHERE rn <= 10),
-        pairs AS (SELECT a.q_id, a.n_id AS i, b.n_id AS j,
-            CAST(round(list_dot_product(a.bv,b.bv)/(a.bn*b.bn)*1000000.0) AS BIGINT) AS sim_micro
-          FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
-        p1 AS (SELECT q_id, n_id AS c1, rel_micro AS rel1 FROM cand WHERE rn = 1),
-        s2 AS (SELECT c.q_id, c.n_id, c.rel_micro,
-            row_number() OVER (PARTITION BY c.q_id
-              ORDER BY c.rel_micro - p.sim_micro DESC, c.n_id) AS rn2
-          FROM cand c JOIN p1 ON p1.q_id = c.q_id
-            JOIN pairs p ON p.q_id = c.q_id AND p.i = c.n_id AND p.j = p1.c1
-          WHERE c.n_id <> p1.c1),
-        p2 AS (SELECT q_id, n_id AS c2, rel_micro AS rel2 FROM s2 WHERE rn2 = 1),
-        s3 AS (SELECT c.q_id, c.n_id, c.rel_micro,
-            row_number() OVER (PARTITION BY c.q_id
-              ORDER BY c.rel_micro - greatest(pa.sim_micro, pb.sim_micro) DESC, c.n_id) AS rn3
-          FROM cand c JOIN p1 ON p1.q_id = c.q_id JOIN p2 ON p2.q_id = c.q_id
-            JOIN pairs pa ON pa.q_id = c.q_id AND pa.i = c.n_id AND pa.j = p1.c1
-            JOIN pairs pb ON pb.q_id = c.q_id AND pb.i = c.n_id AND pb.j = p2.c2
-          WHERE c.n_id <> p1.c1 AND c.n_id <> p2.c2),
-        p3 AS (SELECT q_id, n_id AS c3, rel_micro AS rel3 FROM s3 WHERE rn3 = 1)
-        SELECT q_id, CAST(1 AS BIGINT) AS pick, c1 AS n_id, rel1 AS rel_micro FROM p1
-        UNION ALL SELECT q_id, 2, c2, rel2 FROM p2
-        UNION ALL SELECT q_id, 3, c3, rel3 FROM p3"""),
     ),
 
     // ------------------------------------------------------------------
@@ -781,156 +436,6 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
-    // PII scrubbing: redact phone-number-shaped spans from a text rendering
-    // of customer records (the reduced test schema has no phone column, so a
-    // deterministic phone-like string is derived from the keys); count
-    // redactions, fingerprint the scrubbed text. One codegen'd projection —
-    // at corpus scale this is a pure map stage.
-    GraftQuery(
-      "text07_pii_scrub",
-      (s, d) => {
-        val phoneRe = "\\d[\\d()\\s-]{6,}\\d"
-        val phone = concat(
-          (col("c_nationkey") + 10).cast("string"), lit("-"),
-          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
-          lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"))
-        val txt = concat_ws(" ", col("c_name"), phone, col("c_mktsegment"))
-        Tables.customer(s, d).select(
-          col("c_custkey"),
-          size(regexp_extract_all(txt, lit(phoneRe), lit(0))).as("n_phones"),
-          md5(regexp_replace(txt, phoneRe, "<PHONE>")).as("scrub_fp"))
-      },
-      Some("""WITH t AS (SELECT c_custkey, concat_ws(' ', c_name,
-            concat(CAST(c_nationkey + 10 AS VARCHAR), '-',
-              lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), '-',
-              lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')),
-            c_mktsegment) AS txt FROM customer)
-        SELECT c_custkey,
-          len(regexp_extract_all(txt, '\d[\d()\s-]{6,}\d')) AS n_phones,
-          md5(regexp_replace(txt, '\d[\d()\s-]{6,}\d', '<PHONE>', 'g')) AS scrub_fp
-        FROM t"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // repetition quality filters (Gopher/C4-style): token-level duplicate
-    // fraction and most-common-token share per document. Shape: explode →
-    // (doc, token) counts → per-doc rollup — one shuffle, map-side combined,
-    // the scalable layout for corpus-wide repetition stats.
-    GraftQuery(
-      "text08_repetition",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("doc_id"))
-          .agg(
-            sum(col("cnt")).as("n_tokens"),
-            count(lit(1)).as("n_distinct"),
-            max(col("cnt")).as("top_cnt"))
-          .select(
-            col("doc_id"), col("n_tokens"), col("n_distinct"),
-            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
-            (col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"))
-      },
-      Some(s"""WITH t AS (
-          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
-        c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
-        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-          count(*) AS n_distinct,
-          1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS dup_frac,
-          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS top_frac
-        FROM c GROUP BY doc_id"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Per-document token-distribution entropy H = Σ (c/n)·ln(n/c) — the
-    // information-theoretic repetition signal (CCNet-style compressibility
-    // proxy; text08's dup/top fractions are its crude cousins). Each term
-    // micro-rounds to an integer BEFORE the per-document sum, so the
-    // accumulated entropy is order-free and engine-exact. Same (doc, token)
-    // count shape as text08: one shuffle, counts partial-aggregate
-    // map-side, the term window is doc-local.
-    GraftQuery(
-      "text15_token_entropy",
-      (s, d) => {
-        val counts = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-        val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
-        counts
-          .withColumn("term_micro",
-            round(col("cnt").cast("double") / n
-              * log(n.cast("double") / col("cnt")) * 1000000.0).cast("long"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("cnt")).as("n_tokens"),
-            sum(col("term_micro")).as("entropy_micro"))
-      },
-      Some(s"""WITH t AS (
-          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
-        c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
-        w AS (SELECT doc_id, cnt,
-            CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c)
-        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-          CAST(sum(CAST(round(CAST(cnt AS DOUBLE) / n
-            * ln(CAST(n AS DOUBLE) / cnt) * 1000000.0e0) AS BIGINT)) AS BIGINT)
-            AS entropy_micro
-        FROM w GROUP BY 1"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // fastText-style hashed linear classifier (the CCNet/quality-filter
-    // scoring shape): word unigrams feature-hash into 1024 buckets, each
-    // bucket carries an integer micro-weight, a document's label is the
-    // SIGN of its weight sum. Weights here derive deterministically from
-    // the bucket hash (this container ships no trained model); a real
-    // model swaps that one expression for a broadcast join against a
-    // 1024-row weight table — plan shape otherwise identical. Scale: one
-    // corpus scan, explode, two map-side-combinable groupBys (doc, then
-    // group); no division anywhere (Spark DIV truncates where DuckDB //
-    // floors — sign-of-sum sidesteps the negative-quotient mismatch).
-    GraftQuery(
-      "text16_hashed_classifier",
-      (s, d) => {
-        val K = 1024
-        val bucket = TA.hash60(col("w")) % K
-        val weight =
-          (TA.hash60(concat(lit("w:"), bucket.cast("string"))) % 2001) - 1000
-        Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("lang"), col("source"),
-            explode(TA.tokens(col("text"))).as("w"))
-          .select(col("doc_id"), col("lang"), col("source"), weight.as("wt"))
-          .groupBy(col("doc_id"), col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("score_sum"))
-          .groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            count(when(col("score_sum") > 0, lit(1))).as("n_pos"),
-            sum(col("n_toks")).as("tok_checksum"),
-            sum(col("score_sum")).as("score_checksum"),
-            coalesce(sum(when(col("score_sum") > 0, col("doc_id"))), lit(0L))
-              .as("id_sum_pos"))
-      },
-      Some(s"""WITH t AS (
-          SELECT doc_id, lang, source, unnest(${TA.Sql.tokens("text")}) AS w
-          FROM documents),
-        b AS (SELECT doc_id, lang, source,
-            (${TA.Sql.hash60(s"'w:' || CAST(${TA.Sql.hash60("w")} % 1024 AS VARCHAR)")} % 2001) - 1000 AS wt
-          FROM t),
-        p AS (SELECT doc_id, lang, source, count(*) AS n_toks,
-            CAST(sum(wt) AS BIGINT) AS score_sum
-          FROM b GROUP BY 1, 2, 3)
-        SELECT lang, source, count(*) AS n_docs,
-          count(*) FILTER (score_sum > 0) AS n_pos,
-          CAST(sum(n_toks) AS BIGINT) AS tok_checksum,
-          CAST(sum(score_sum) AS BIGINT) AS score_checksum,
-          coalesce(CAST(sum(doc_id) FILTER (score_sum > 0) AS BIGINT), 0)
-            AS id_sum_pos
-        FROM p GROUP BY 1, 2"""),
-    ),
-
-    // ------------------------------------------------------------------
     // deterministic hash sampling per stratum: md5-hash of the key → stable
     // 10% sample, identical on every engine/cluster/run (the only sane way
     // to sample 100 TB reproducibly).
@@ -988,40 +493,6 @@ object ExtQueries {
         SELECT pas_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
           min(doc_id) AS first_doc
         FROM h GROUP BY pas_hash HAVING count(DISTINCT doc_id) >= 2"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Lexical diversity per document: type-token ratio + Simpson diversity
-    // (1 - Σ c² / n²). The entropy-free diversity pair — log() differs in
-    // the last ulp across engines, but TTR and Simpson are ratios of exact
-    // integer counts divided once, so they are bit-identical. Low diversity
-    // (high repetition) is a standard low-quality-document signal alongside
-    // text08's verbatim-repetition filters. One groupBy per (doc, token),
-    // one per doc — both map-side combinable.
-    GraftQuery(
-      "text09_lexical_diversity",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(
-            sum(col("c")).as("n_tokens"),
-            count(lit(1)).as("n_types"),
-            sum(col("c") * col("c")).as("sum_c2"))
-          .select(col("doc_id"), col("n_tokens"), col("n_types"),
-            (col("n_types") / col("n_tokens")).as("ttr"),
-            (lit(1.0) - col("sum_c2") / (col("n_tokens") * col("n_tokens"))).as("simpson"))
-      },
-      Some(s"""WITH t AS (SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
-          c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
-          a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
-              CAST(sum(c*c) AS BIGINT) AS sum_c2
-            FROM c GROUP BY 1)
-        SELECT doc_id, n_tokens, n_types,
-          n_types / n_tokens AS ttr,
-          1.0 - sum_c2 / (n_tokens * n_tokens) AS simpson
-        FROM a"""),
     ),
 
     // ------------------------------------------------------------------
@@ -1329,302 +800,6 @@ object ExtQueries {
           n_tokens - coalesce(pl.toks_dropped, 0) AS toks_kept
         FROM da LEFT JOIN pl USING (lang)"""
       },
-    ),
-
-    // ------------------------------------------------------------------
-    // Hybrid-retrieval fusion (RRF, k=60): the vector leg is exact-cosine
-    // top-10 (sim01's broadcast-query scan) and the lexical leg is
-    // token-set-Jaccard top-10 over the SAME id space (embeddings and
-    // documents share ids by construction); candidates fuse by reciprocal
-    // rank — score = Σ 1/(60+rank) over the lists a candidate appears in,
-    // a ONE-addition float (fixed order in both engines) — and the fused
-    // top-5 per query is reported with both leg ranks (NULL = candidate
-    // missing from that leg). Scale: each leg broadcasts the 10-query
-    // side and scans its corpus once; the fusion join and final windows
-    // touch only top-10-sized lists. At 100 TB the legs would be the
-    // library's index ops (sim02/sim04 for vectors, text10/text12 for
-    // lexical) — RRF itself never changes shape: it is list-sized.
-    GraftQuery(
-      "sim08_rrf_fusion",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-        val qv = e.filter(col("id") < 10)
-          .select(col("id").as("q_id"), col("vec").as("q_vec"))
-        val vw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-        val vec = broadcast(qv)
-          .crossJoin(e.select(col("id").as("n_id"), col("vec").as("n_vec")))
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"),
-            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
-          .withColumn("rank_vec", row_number().over(vw))
-          .filter(col("rank_vec") <= 10)
-          .select(col("q_id"), col("n_id"), col("rank_vec"))
-        val t = Tables.documents(s, d)
-          .select(col("doc_id").as("id"), array_distinct(TA.tokens(col("text"))).as("tk"))
-        val qt = t.filter(col("id") < 10)
-          .select(col("id").as("q_id"), col("tk").as("q_tk"))
-        val inter = size(array_intersect(col("q_tk"), col("n_tk"))).cast("double")
-        val jac = inter / (size(col("q_tk")) + size(col("n_tk")) -
-          size(array_intersect(col("q_tk"), col("n_tk"))))
-        val lw = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("n_id").asc)
-        val lex = broadcast(qt)
-          .crossJoin(t.select(col("id").as("n_id"), col("tk").as("n_tk")))
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"), jac.as("jac"))
-          .withColumn("rank_lex", row_number().over(lw))
-          .filter(col("rank_lex") <= 10)
-          .select(col("q_id"), col("n_id"), col("rank_lex"))
-        val fused = vec.join(lex, Seq("q_id", "n_id"), "full")
-          .withColumn("rrf",
-            coalesce(lit(1.0) / (col("rank_vec") + 60), lit(0.0)) +
-            coalesce(lit(1.0) / (col("rank_lex") + 60), lit(0.0)))
-        val fw = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id").asc)
-        fused.withColumn("rnk", row_number().over(fw)).filter(col("rnk") <= 5)
-          .select(col("q_id"), col("n_id"), col("rank_vec"), col("rank_lex"),
-            col("rrf"), col("rnk"))
-      },
-      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        a AS (SELECT q_id, n_id, rank_vec FROM (
-            SELECT q.id AS q_id, c.id AS n_id,
-              row_number() OVER (PARTITION BY q.id ORDER BY
-                list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))
-                  * sqrt(list_dot_product(c.v, c.v))) DESC, c.id) AS rank_vec
-            FROM e q CROSS JOIN e c WHERE q.id < 10 AND c.id <> q.id)
-          WHERE rank_vec <= 10),
-        t AS (SELECT doc_id AS id,
-            list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
-          FROM documents),
-        b AS (SELECT q_id, n_id, rank_lex FROM (
-            SELECT q.id AS q_id, c.id AS n_id,
-              row_number() OVER (PARTITION BY q.id ORDER BY
-                CAST(len(list_intersect(q.tk, c.tk)) AS DOUBLE)
-                  / (len(q.tk) + len(c.tk) - len(list_intersect(q.tk, c.tk)))
-                  DESC, c.id) AS rank_lex
-            FROM t q CROSS JOIN t c WHERE q.id < 10 AND c.id <> q.id)
-          WHERE rank_lex <= 10),
-        f AS (SELECT coalesce(a.q_id, b.q_id) AS q_id,
-            coalesce(a.n_id, b.n_id) AS n_id, a.rank_vec, b.rank_lex,
-            coalesce(1.0 / (a.rank_vec + 60), 0.0)
-              + coalesce(1.0 / (b.rank_lex + 60), 0.0) AS rrf
-          FROM a FULL JOIN b ON a.q_id = b.q_id AND a.n_id = b.n_id)
-      SELECT q_id, n_id, rank_vec, rank_lex, rrf, rnk FROM (
-        SELECT q_id, n_id, rank_vec, rank_lex, rrf,
-          row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rnk
-        FROM f) WHERE rnk <= 5"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Product quantization (IVF-PQ's compression tier): the 64-dim space
-    // splits into 8 subspaces of 8 dims; each subspace's codebook is the
-    // sub-slices of the first 16 corpus vectors (deterministic seeds, the
-    // sim02 convention); every vector encodes to 8 one-byte codes = 32×
-    // smaller than float64 storage. Queries score asymmetrically (ADC):
-    // exact query vs reconstructed corpus — numerically IDENTICAL to the
-    // LUT formulation, since ADC is by definition the distance to the
-    // reconstruction — shortlist top-8 by ADC, then exact-cosine re-rank
-    // to top-3. Scale: the codebook (8·16 rows) broadcasts; encode is a
-    // broadcast join + one map-side-combinable min_by per (vector,
-    // subspace) — the corpus never shuffles on anything but its own id;
-    // ADC is the sim01 broadcast-query scan shape. At 100 TB only codes
-    // ride the serving path (32× less I/O); the reconstruction here makes
-    // the oracle exact without a separate LUT operator.
-    GraftQuery(
-      "sim07_pq_adc",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-          .transform(graft.core.Caches.persist)
-        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
-        val corpus = rec.join(e, Seq("id"))
-          .select(col("id").as("n_id"), col("rvec"), col("vec").as("n_vec"))
-        val q = e.filter(col("id") < 20)
-          .select(col("id").as("q_id"), col("vec").as("q_vec"))
-        val adc = Similarity.dot(col("q_vec"), col("q_vec")) +
-          Similarity.dot(col("rvec"), col("rvec")) -
-          lit(2.0) * Similarity.dot(col("q_vec"), col("rvec"))
-        val sw = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
-        val short = broadcast(q).crossJoin(corpus)
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"), adc.as("adc"), col("q_vec"), col("n_vec"))
-          .withColumn("srn", row_number().over(sw)).filter(col("srn") <= 8)
-        val rw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-        short.select(col("q_id"), col("n_id"), col("adc"),
-            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
-          .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
-      },
-      Some(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        $pqSqlCtes,
-        corpus AS (SELECT e.id AS n_id, r.rvec, e.v AS n_vec
-          FROM rec r JOIN e ON e.id = r.id),
-        adc AS (SELECT q.id AS q_id, c.n_id,
-            list_dot_product(q.v, q.v) + list_dot_product(c.rvec, c.rvec)
-              - 2*list_dot_product(q.v, c.rvec) AS adc,
-            q.v AS q_vec, c.n_vec
-          FROM e q CROSS JOIN corpus c WHERE q.id < 20 AND q.id <> c.n_id),
-        short AS (SELECT q_id, n_id, adc, q_vec, n_vec FROM (
-            SELECT q_id, n_id, adc, q_vec, n_vec,
-              row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS srn
-            FROM adc) WHERE srn <= 8)
-      SELECT q_id, n_id, adc, cos, rnk FROM (
-        SELECT q_id, n_id, adc,
-          list_dot_product(q_vec, n_vec) / (sqrt(list_dot_product(q_vec, q_vec))
-            * sqrt(list_dot_product(n_vec, n_vec))) AS cos,
-          row_number() OVER (PARTITION BY q_id ORDER BY
-            list_dot_product(q_vec, n_vec) / (sqrt(list_dot_product(q_vec, q_vec))
-              * sqrt(list_dot_product(n_vec, n_vec))) DESC, n_id) AS rnk
-        FROM short) WHERE rnk <= 3"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // sim09: IVF+PQ — the composed billion-scale ANN architecture (the
-    // IVFADC design of Jégou et al., "Product Quantization for Nearest
-    // Neighbor Search", TPAMI 2011, as deployed in FAISS): sim02's coarse
-    // quantizer routes each query to its nprobe=2 nearest cells, sim07's
-    // product quantizer compresses every corpus vector to 8 one-byte codes,
-    // and the query scores ONLY the probed cells' posting lists by ADC
-    // before an exact-cosine re-rank of the shortlist. (PQ here encodes raw
-    // vectors, not residuals — the IVF-Flat-PQ variant — so the codebook
-    // stage is shared verbatim with sim07 and the oracle stays exact.)
-    // Scale: centroids (fixed at 16 deterministic seeds here, the sim02
-    // convention; k≈√N is the production-scale sizing) and the 8·16-row
-    // codebook broadcast;
-    // cell assignment and encode are broadcast joins + one map-side-
-    // combinable min_by each; candidate generation is an EQUI-JOIN on
-    // cell_id (the corpus is never cross-joined against the query set —
-    // each query touches ~nprobe/k of the postings); ADC reads only the
-    // 8-byte codes (32× less I/O than float64 vectors at 100 TB); exact
-    // vectors re-attach by keyed join for the top-8 shortlist only.
-    GraftQuery(
-      "sim09_ivfpq",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
-          .transform(graft.core.Caches.persist)
-        // coarse quantizer: 16 deterministic seed centroids (sim02 shape)
-        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
-        // PQ codebook + encode + reconstruct: the single shared stage
-        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
-        // inverted lists: cell_id → (n_id, reconstructed vector)
-        val posting = cells.select(col("id").as("n_id"), col("cell_id"))
-          .join(rec.select(col("id").as("n_id"), col("rvec")), Seq("n_id"))
-        // query routing: nprobe=2 best cells by centroid cosine
-        val seeds = e.filter(col("id") < 16)
-          .select(col("id").as("cell_id"), col("vec").as("cell_vec"))
-        val cw = Window.partitionBy(col("q_id"))
-          .orderBy(col("c_cos").desc, col("cell_id").asc)
-        val routed = e.filter(col("id") < 20)
-          .select(col("id").as("q_id"), col("vec").as("q_vec"))
-          .crossJoin(broadcast(seeds))
-          .select(col("q_id"), col("q_vec"), col("cell_id"),
-            Similarity.cosine(col("q_vec"), col("cell_vec")).as("c_cos"))
-          .withColumn("crn", row_number().over(cw)).filter(col("crn") <= 2)
-          .select(col("q_id"), col("q_vec"), col("cell_id"))
-        // ADC over probed cells only — equi-join, never a corpus cross join
-        val adc = Similarity.dot(col("q_vec"), col("q_vec")) +
-          Similarity.dot(col("rvec"), col("rvec")) -
-          lit(2.0) * Similarity.dot(col("q_vec"), col("rvec"))
-        val sw = Window.partitionBy(col("q_id"))
-          .orderBy(col("adc").asc, col("n_id").asc)
-        val short = broadcast(routed).join(posting, Seq("cell_id"))
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"), col("q_vec"), adc.as("adc"))
-          .withColumn("srn", row_number().over(sw)).filter(col("srn") <= 8)
-        // exact re-rank: true vectors re-attach by keyed join (top-8 only)
-        val rw = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("n_id").asc)
-        short.join(e.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
-          .select(col("q_id"), col("n_id"), col("adc"),
-            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
-          .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
-      },
-      Some(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (SELECT id AS cell_id, v AS cv FROM e WHERE id < 16),
-        assign AS (SELECT id, cell_id FROM (
-            SELECT e.id, s.cell_id,
-              row_number() OVER (PARTITION BY e.id ORDER BY
-                list_dot_product(e.v, s.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
-                s.cell_id ASC) AS rn
-            FROM e CROSS JOIN seeds s) WHERE rn = 1),
-        $pqSqlCtes,
-        posting AS (SELECT a.id AS n_id, a.cell_id, r.rvec
-          FROM assign a JOIN rec r ON r.id = a.id),
-        routed AS (SELECT q_id, q_vec, cell_id FROM (
-            SELECT q.id AS q_id, q.v AS q_vec, s.cell_id,
-              row_number() OVER (PARTITION BY q.id ORDER BY
-                list_dot_product(q.v, s.cv) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
-                s.cell_id ASC) AS crn
-            FROM e q CROSS JOIN seeds s WHERE q.id < 20) WHERE crn <= 2),
-        short AS (SELECT q_id, n_id, adc, q_vec FROM (
-            SELECT r.q_id, p.n_id, r.q_vec,
-              list_dot_product(r.q_vec, r.q_vec) + list_dot_product(p.rvec, p.rvec)
-                - 2*list_dot_product(r.q_vec, p.rvec) AS adc,
-              row_number() OVER (PARTITION BY r.q_id ORDER BY
-                list_dot_product(r.q_vec, r.q_vec) + list_dot_product(p.rvec, p.rvec)
-                  - 2*list_dot_product(r.q_vec, p.rvec) ASC, p.n_id ASC) AS srn
-            FROM routed r JOIN posting p
-              ON r.cell_id = p.cell_id AND r.q_id <> p.n_id) WHERE srn <= 8)
-      SELECT q_id, n_id, adc, cos, rnk FROM (
-        SELECT s.q_id, s.n_id, s.adc,
-          list_dot_product(s.q_vec, e.v) / (sqrt(list_dot_product(s.q_vec, s.q_vec)) * sqrt(list_dot_product(e.v, e.v))) AS cos,
-          row_number() OVER (PARTITION BY s.q_id ORDER BY
-            list_dot_product(s.q_vec, e.v) / (sqrt(list_dot_product(s.q_vec, s.q_vec)) * sqrt(list_dot_product(e.v, e.v))) DESC,
-            s.n_id ASC) AS rnk
-        FROM short s JOIN e ON e.id = s.n_id) WHERE rnk <= 3"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Zipf vocabulary audit: rank the corpus vocabulary by frequency and
-    // compare each head term's count against the Zipf prediction
-    // f(rank) = f(1)/rank — the vocabulary health check that catches
-    // burned-in boilerplate (head terms far ABOVE the curve) and
-    // template-duplicated corpora (a flat head, dev_ppm near 0 for many
-    // ranks). Scale: one map-side-combinable token count; the ranking
-    // runs on the top-10 after a global top-k (vocabulary-sized input,
-    // k-sized window). Fully integer: shares and deviations by BIGINT
-    // div against the integer prediction.
-    GraftQuery(
-      "text17_zipf_audit",
-      (s, d) => {
-        val tf = Tables.documents(s, d)
-          .select(explode(TA.tokens(col("text"))).as("tok"))
-          .filter(col("tok") =!= "")
-          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-          .transform(graft.core.Caches.persist)
-        val tot = tf.agg(sum(col("freq")).as("total"))
-        // only the top-10 types matter → TakeOrdered (O(k) executor
-        // memory), NEVER a global rank window over the full vocabulary
-        // (billions of types at 100 TB would sort in ONE task). Rank the
-        // k surviving rows with a k-bounded window, per the vocab03
-        // exemplar.
-        val w = Window.orderBy(col("freq").desc, col("tok").asc)
-        val top = tf.orderBy(col("freq").desc, col("tok").asc).limit(10)
-          .withColumn("rank", row_number().over(w))
-          .crossJoin(broadcast(tot))
-        val f1w = Window.partitionBy(lit(1))
-        top
-          .withColumn("f1", max(when(col("rank") === 1, col("freq"))).over(f1w))
-          .select(col("rank"), col("tok"), col("freq"),
-            expr("(freq * 1000000) div total").as("share_ppm"),
-            expr("f1 div rank").as("zipf_pred"),
-            expr("((freq - f1 div rank) * 1000000) div (f1 div rank)").as("dev_ppm"))
-      },
-      Some(s"""WITH tf AS (SELECT tok, count(*) AS freq
-            FROM (SELECT unnest(${TA.Sql.tokens("text")}) AS tok FROM documents)
-            WHERE tok <> '' GROUP BY 1),
-          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
-          top AS (SELECT tok, freq,
-              row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
-            FROM tf QUALIFY rank <= 10),
-          f1 AS (SELECT freq AS f1 FROM top WHERE rank = 1)
-        SELECT rank, tok, freq,
-          (freq * 1000000) // total AS share_ppm,
-          f1 // rank AS zipf_pred,
-          ((freq - f1 // rank) * 1000000) // (f1 // rank) AS dev_ppm
-        FROM top, tot, f1"""),
     ),
   )
 }

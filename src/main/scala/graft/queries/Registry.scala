@@ -11,6 +11,8 @@ object Registry {
     EtlQueries.all,
     ExtQueries.all,
     MediaQueries.all,
+    TextQueries.all,
+    SimQueries.all,
     StreamQueries.all,
     ScaleQueries.all,
     CorpusQueries.all,

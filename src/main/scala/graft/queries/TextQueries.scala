@@ -1,0 +1,393 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{TextAnalysis => TA}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (text01-text17): token stats, quality scoring,
+  * language ID, fingerprinting, tf-idf, PII scrub, repetition/entropy/
+  * readability metrics, hashed classifier, Zipf audit — each with an
+  * exact DuckDB oracle. Split out of ExtQueries in round 9 (registry
+  * hygiene); queries and oracles are byte-identical to their pre-split
+  * forms.
+  */
+object TextQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text01_token_stats",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.regexTokenCount(col("text")).as("n_subwords"),
+        length(col("text")).as("len")),
+      Some(s"""SELECT doc_id, ${TA.Sql.tokenCount("text")} AS n_tokens,
+        ${TA.Sql.regexTokenCount("text")} AS n_subwords,
+        length(text) AS len FROM documents"""),
+    ),
+
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text02_quality",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.punctCount(col("text")).as("n_punct"),
+        TA.digitCount(col("text")).as("n_digit"),
+        TA.stopwordCount(col("text")).as("n_stop"),
+        TA.meanTokenLen(col("text")).as("mean_tok_len"),
+        TA.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id, ${TA.Sql.punctCount("text")} AS n_punct,
+        ${TA.Sql.digitCount("text")} AS n_digit,
+        ${TA.Sql.stopwordCount("text")} AS n_stop,
+        ${TA.Sql.meanTokenLen("text")} AS mean_tok_len,
+        ${TA.Sql.qualityScore("text")} AS quality FROM documents"""),
+    ),
+
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text03_langid",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(
+          col("doc_id") +: col("lang") +:
+            TA.LangMarkers.map { case (l, _) => TA.langScore(col("text"), l).as(s"s_$l") }: _*)
+        val best = TA.LangMarkers.map { case (l, _) => col(s"s_$l") }.reduce(greatest(_, _))
+        val pick = TA.LangMarkers.foldRight(lit("unknown"): Column) { case ((l, _), el) =>
+          when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(el)
+        }
+        scored.withColumn("guess", pick)
+          .withColumn("hit", (col("guess") === col("lang")).cast("int"))
+      },
+      Some {
+        val scores = TA.LangMarkers.map { case (l, _) =>
+          s"${TA.Sql.langScore("text", l)} AS s_$l"
+        }.mkString(", ")
+        val best = TA.LangMarkers.map { case (l, _) => s"s_$l" }
+          .reduce((a, b) => s"greatest($a, $b)")
+        val chain = TA.LangMarkers.map { case (l, _) =>
+          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString(" ")
+        val scoreCols = TA.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+        s"""SELECT doc_id, lang, $scoreCols,
+          CASE $chain ELSE 'unknown' END AS guess,
+          CAST(CASE $chain ELSE 'unknown' END = lang AS INT) AS hit
+          FROM (SELECT doc_id, lang, $scores FROM documents)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    GraftQuery(
+      "text04_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        TA.hash60(col("text")).as("h60")),
+      Some(s"""SELECT doc_id, ${TA.Sql.fingerprint("text")} AS fp,
+        ${TA.Sql.hash60("text")} AS h60 FROM documents"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // word-bigram top-k per language (n-gram frequency analysis).
+    GraftQuery(
+      "text05_bigram_topk",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), explode(bigrams).as("bigram"))
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+      },
+      Some(s"""WITH t AS (SELECT lang, ${TA.Sql.tokens("text")} AS toks FROM documents),
+        b AS (SELECT lang, unnest(list_transform(range(1, len(toks)),
+          i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram FROM t),
+        c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2)
+        SELECT lang, bigram, n, rnk FROM (
+          SELECT lang, bigram, n,
+            row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rnk
+          FROM c) WHERE rnk <= 5"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // TF-IDF top terms per document. ln() differs across engines in the
+    // last ulp, so the score quantizes to an integer micro-score before
+    // ranking — ordering is then fully integer-deterministic.
+    GraftQuery(
+      "text06_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = docs
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = terms.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("score_micro",
+            col("tf") * round(log(col("n_docs").cast("double") / col("df")) * 1000000.0).cast("long"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("term").asc)
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_micro"), col("rnk"))
+      },
+      Some(s"""WITH terms AS (
+          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+            tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0) AS BIGINT) AS score_micro
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, score_micro, rnk FROM (
+          SELECT doc_id, term, tf, df, score_micro,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, term ASC) AS rnk
+          FROM scored) WHERE rnk <= 3"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // PII scrubbing: redact phone-number-shaped spans from a text rendering
+    // of customer records (the reduced test schema has no phone column, so a
+    // deterministic phone-like string is derived from the keys); count
+    // redactions, fingerprint the scrubbed text. One codegen'd projection —
+    // at corpus scale this is a pure map stage.
+    GraftQuery(
+      "text07_pii_scrub",
+      (s, d) => {
+        val phoneRe = "\\d[\\d()\\s-]{6,}\\d"
+        val phone = concat(
+          (col("c_nationkey") + 10).cast("string"), lit("-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+          lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"))
+        val txt = concat_ws(" ", col("c_name"), phone, col("c_mktsegment"))
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          size(regexp_extract_all(txt, lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(txt, phoneRe, "<PHONE>")).as("scrub_fp"))
+      },
+      Some("""WITH t AS (SELECT c_custkey, concat_ws(' ', c_name,
+            concat(CAST(c_nationkey + 10 AS VARCHAR), '-',
+              lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), '-',
+              lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')),
+            c_mktsegment) AS txt FROM customer)
+        SELECT c_custkey,
+          len(regexp_extract_all(txt, '\d[\d()\s-]{6,}\d')) AS n_phones,
+          md5(regexp_replace(txt, '\d[\d()\s-]{6,}\d', '<PHONE>', 'g')) AS scrub_fp
+        FROM t"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // repetition quality filters (Gopher/C4-style): token-level duplicate
+    // fraction and most-common-token share per document. Shape: explode →
+    // (doc, token) counts → per-doc rollup — one shuffle, map-side combined,
+    // the scalable layout for corpus-wide repetition stats.
+    GraftQuery(
+      "text08_repetition",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("cnt")).as("top_cnt"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
+            (col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct,
+          1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS dup_frac,
+          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS top_frac
+        FROM c GROUP BY doc_id"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Per-document token-distribution entropy H = Σ (c/n)·ln(n/c) — the
+    // information-theoretic repetition signal (CCNet-style compressibility
+    // proxy; text08's dup/top fractions are its crude cousins). Each term
+    // micro-rounds to an integer BEFORE the per-document sum, so the
+    // accumulated entropy is order-free and engine-exact. Same (doc, token)
+    // count shape as text08: one shuffle, counts partial-aggregate
+    // map-side, the term window is doc-local.
+    GraftQuery(
+      "text15_token_entropy",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+        counts
+          .withColumn("term_micro",
+            round(col("cnt").cast("double") / n
+              * log(n.cast("double") / col("cnt")) * 1000000.0).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            sum(col("term_micro")).as("entropy_micro"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        w AS (SELECT doc_id, cnt,
+            CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          CAST(sum(CAST(round(CAST(cnt AS DOUBLE) / n
+            * ln(CAST(n AS DOUBLE) / cnt) * 1000000.0e0) AS BIGINT)) AS BIGINT)
+            AS entropy_micro
+        FROM w GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // fastText-style hashed linear classifier (the CCNet/quality-filter
+    // scoring shape): word unigrams feature-hash into 1024 buckets, each
+    // bucket carries an integer micro-weight, a document's label is the
+    // SIGN of its weight sum. Weights here derive deterministically from
+    // the bucket hash (this container ships no trained model); a real
+    // model swaps that one expression for a broadcast join against a
+    // 1024-row weight table — plan shape otherwise identical. Scale: one
+    // corpus scan, explode, two map-side-combinable groupBys (doc, then
+    // group); no division anywhere (Spark DIV truncates where DuckDB //
+    // floors — sign-of-sum sidesteps the negative-quotient mismatch).
+    GraftQuery(
+      "text16_hashed_classifier",
+      (s, d) => {
+        val K = 1024
+        val bucket = TA.hash60(col("w")) % K
+        val weight =
+          (TA.hash60(concat(lit("w:"), bucket.cast("string"))) % 2001) - 1000
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(TA.tokens(col("text"))).as("w"))
+          .select(col("doc_id"), col("lang"), col("source"), weight.as("wt"))
+          .groupBy(col("doc_id"), col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("score_sum"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("score_sum") > 0, lit(1))).as("n_pos"),
+            sum(col("n_toks")).as("tok_checksum"),
+            sum(col("score_sum")).as("score_checksum"),
+            coalesce(sum(when(col("score_sum") > 0, col("doc_id"))), lit(0L))
+              .as("id_sum_pos"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, lang, source, unnest(${TA.Sql.tokens("text")}) AS w
+          FROM documents),
+        b AS (SELECT doc_id, lang, source,
+            (${TA.Sql.hash60(s"'w:' || CAST(${TA.Sql.hash60("w")} % 1024 AS VARCHAR)")} % 2001) - 1000 AS wt
+          FROM t),
+        p AS (SELECT doc_id, lang, source, count(*) AS n_toks,
+            CAST(sum(wt) AS BIGINT) AS score_sum
+          FROM b GROUP BY 1, 2, 3)
+        SELECT lang, source, count(*) AS n_docs,
+          count(*) FILTER (score_sum > 0) AS n_pos,
+          CAST(sum(n_toks) AS BIGINT) AS tok_checksum,
+          CAST(sum(score_sum) AS BIGINT) AS score_checksum,
+          coalesce(CAST(sum(doc_id) FILTER (score_sum > 0) AS BIGINT), 0)
+            AS id_sum_pos
+        FROM p GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Lexical diversity per document: type-token ratio + Simpson diversity
+    // (1 - Σ c² / n²). The entropy-free diversity pair — log() differs in
+    // the last ulp across engines, but TTR and Simpson are ratios of exact
+    // integer counts divided once, so they are bit-identical. Low diversity
+    // (high repetition) is a standard low-quality-document signal alongside
+    // text08's verbatim-repetition filters. One groupBy per (doc, token),
+    // one per doc — both map-side combinable.
+    GraftQuery(
+      "text09_lexical_diversity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("sum_c2"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            (col("n_types") / col("n_tokens")).as("ttr"),
+            (lit(1.0) - col("sum_c2") / (col("n_tokens") * col("n_tokens"))).as("simpson"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(${TA.Sql.tokens("text")}) AS tok FROM documents),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+              CAST(sum(c*c) AS BIGINT) AS sum_c2
+            FROM c GROUP BY 1)
+        SELECT doc_id, n_tokens, n_types,
+          n_types / n_tokens AS ttr,
+          1.0 - sum_c2 / (n_tokens * n_tokens) AS simpson
+        FROM a"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Zipf vocabulary audit: rank the corpus vocabulary by frequency and
+    // compare each head term's count against the Zipf prediction
+    // f(rank) = f(1)/rank — the vocabulary health check that catches
+    // burned-in boilerplate (head terms far ABOVE the curve) and
+    // template-duplicated corpora (a flat head, dev_ppm near 0 for many
+    // ranks). Scale: one map-side-combinable token count; the ranking
+    // runs on the top-10 after a global top-k (vocabulary-sized input,
+    // k-sized window). Fully integer: shares and deviations by BIGINT
+    // div against the integer prediction.
+    GraftQuery(
+      "text17_zipf_audit",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(explode(TA.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+          .transform(graft.core.Caches.persist)
+        val tot = tf.agg(sum(col("freq")).as("total"))
+        // only the top-10 types matter → TakeOrdered (O(k) executor
+        // memory), NEVER a global rank window over the full vocabulary
+        // (billions of types at 100 TB would sort in ONE task). Rank the
+        // k surviving rows with a k-bounded window, per the vocab03
+        // exemplar.
+        val w = Window.orderBy(col("freq").desc, col("tok").asc)
+        val top = tf.orderBy(col("freq").desc, col("tok").asc).limit(10)
+          .withColumn("rank", row_number().over(w))
+          .crossJoin(broadcast(tot))
+        val f1w = Window.partitionBy(lit(1))
+        top
+          .withColumn("f1", max(when(col("rank") === 1, col("freq"))).over(f1w))
+          .select(col("rank"), col("tok"), col("freq"),
+            expr("(freq * 1000000) div total").as("share_ppm"),
+            expr("f1 div rank").as("zipf_pred"),
+            expr("((freq - f1 div rank) * 1000000) div (f1 div rank)").as("dev_ppm"))
+      },
+      Some(s"""WITH tf AS (SELECT tok, count(*) AS freq
+            FROM (SELECT unnest(${TA.Sql.tokens("text")}) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY 1),
+          tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+          top AS (SELECT tok, freq,
+              row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+            FROM tf QUALIFY rank <= 10),
+          f1 AS (SELECT freq AS f1 FROM top WHERE rank = 1)
+        SELECT rank, tok, freq,
+          (freq * 1000000) // total AS share_ppm,
+          f1 // rank AS zipf_pred,
+          ((freq - f1 // rank) * 1000000) // (f1 // rank) AS dev_ppm
+        FROM top, tot, f1"""),
+    ),
+  )
+}

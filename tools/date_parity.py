@@ -284,10 +284,43 @@ for s in ["2024/01/05 10:30 z", "2024-01-05t10:30:00", "2024/01/05t10:30",
           "2024/01/05 10:30z", "2024/01/05 10:30 est", "tue, 5 jan 2024"]:
     add(s, "lowercase_pipeline")
 
-for s in ["wed 10:30 PM 5 Jan 2024", "2nd 3rd 2024", "Jan 5 2024 10.30",
-          "2024/01/05 10:30 GMT+5"]:
-    add(s, "time_first_or_posix", covered=False)
-for s in ["12,34,56", "1,000,000"]:
+# ---- time-BEFORE-date order (round 9), covered: a leading clock time
+# (meridiem optional on the 24-h form) then any full-date family; dateutil
+# fills time and date independently of token order. Trailing tz rides on
+# the date. ----
+for s in ["10:30 5 Jan 2024", "10:30 PM 5 Jan 2024", "wed 10:30 PM 5 Jan 2024",
+          "10:30PM 5 Jan 2024", "10 PM 5 Jan 2024", "7 AM 5 Jan 2024",
+          "10:30:45 5 Jan 2024", "10:30:45.5 5 Jan 2024", "10:30 pm 5 jan 2024",
+          "10:30 PM, 05/01/2024", "10:30, 05/01/2024", "10:30 PM. 5 Jan 2024",
+          "10:30 2024/01/05", "10:30 PM 2024-01-05", "10:30 05/01/2024",
+          "10:30 05 01 24", "10:30 PM 5 2024 Jan", "10:30 PM Jan 5, 2024",
+          "13:30 5 Jan 2024", "13:30 PM 5 Jan 2024", "25:00 5 Jan 2024",
+          "10:61 5 Jan 2024", "10:30 11/31/2024", "10:30 45-6-15",
+          "10:30 PM 5 Jan 2024 GMT", "10:30 PM 5 Jan 2024 +0500",
+          "12:30 AM 5 Jan 2024", "0:30 PM 5 Jan 2024", "10:30 Jan 5. 2024"]:
+    add(s, "time_first")
+# ---- POSIX-inverted zone arithmetic (round 9), covered: a tz NAME with
+# an ATTACHED signed offset is one token, sign flipped ("GMT+5" → -05:00,
+# any could_be_tzname inverts; meridiem-shaped A/P chain normally) ----
+for base in ["2024/01/05 10:30", "5 Jan 2024 10:30 PM", "05 01 24 10:30"]:
+    for tz in ["GMT+5", "GMT-5", "UTC+5:30", "GMT+0530", "z+5", "Z+5",
+               "XYZAB+3", "EST+2", "GMT+25", "GMT+123", "GMT+2299",
+               "GMT+5:99", "GMT-0", "UTC-0530", "A+5", "P-3", "GMT+12345"]:
+        add(f"{base} {tz}", "tz_posix")
+add("2024/01/05 GMT+5", "tz_posix")  # no time: numeric tz needs a clock
+# ---- exotic chains measured but OUT of battery: double clock times
+# (later-wins overwrite), spaced name+offset ("GMT +5"), sub-minute-lexer
+# shapes ("3:4", "10:30,5"), bare-hour after a time-first date ----
+for s in ["2nd 3rd 2024", "Jan 5 2024 10.30", "10:30 10:40 Jan 5 2024",
+          "2024/01/05 10:30 GMT +5", "2024/01/05 10:30 EST +2",
+          "3:4 5 Jan 2024", "10:30 PM wed 5 Jan 2024", "10:30 2024/01/05 PM",
+          "10:30 2024", "10:30+05:00 5 Jan 2024", "10:30 Z 5 Jan 2024"]:
+    add(s, "time_tz_chain", covered=False)
+# multi-comma digit strings are a VOTE-ONLY family (normalize_value strips
+# commas before its dateparse): the full acceptance surface is pinned by
+# goldens/comma_vote.json (tools/fuzz_comma.py, ~4.9k shapes) instead of
+# this value battery
+for s in ["12,34,56", "1,000,000", "5,6,2024"]:
     add(s, "multi_comma", covered=False)
 
 out = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/goldens/date_parity.json"
