@@ -498,10 +498,64 @@ object MediaQueries {
     ),
 
     // ------------------------------------------------------------------
+    // PROGRESSIVE JPEG (SOF2) round trip, oracle-audited end to end
+    // (round 9): the mm04 construction — each doc's text picks a 16×16
+    // grid of constant 8×8 blocks, flat quantizer, DC-only — emitted as a
+    // genuine four-scan Annex-G progressive stream (DC successive
+    // approximation Al=1→0, whole-band AC scans as EOB runs) and decoded
+    // through the general progressive path: coefficient accumulation
+    // across scans, EOBRUN skips, the DC refinement bit. DC-only + flat
+    // quantizer decodes EXACTLY (the mm04 lossless construction), so the
+    // oracle recomputes the decoded pixel sum straight from the text in
+    // DuckDB — one wrong bit in any scan breaks the hash. Scale: per-row
+    // map, shuffle-free until the 1-row aggregate.
+    GraftQuery(
+      "mm10_jpeg_progressive",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val jpg = graft.ops.Jpeg.encodeGrayBlocksProgressive(16, 16,
+              (bx, by) => bytes(((by * 2 + bx) * 13 + 5) % bytes.length) & 0xff)
+            val blob = graft.ops.Multimodal.Blob(id, jpg, "image/jpeg", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val (_, px) = graft.ops.BinaryMediaDecoder.jpegRaster(blob)
+            var sum = 0L; var i = 0
+            while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+            (meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      // identical formula to mm04 — the progressive bitstream must decode
+      // to the same DC-only pixels the baseline twin carries
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 4),
+                b -> 64 * ascii(substring(text, ((b*13 + 5) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Fault-TOLERANT mixed-corpus media scan (round 9): a quarter of the
     // corpus decodes cleanly (4×4 gray PNG from text bytes), the rest is
-    // the realistic crawl debris — progressive JPEG (SOF2, a format the
-    // codec REFUSES by contract), truncated PNG downloads, and
+    // the realistic crawl debris — arithmetic-coded JPEG (SOF9, a format
+    // the codec REFUSES by contract), truncated PNG downloads, and
     // text-mislabeled-as-image. decodeSafe routes every refusal to a
     // typed error ROW (the E9 error-fallback pattern) instead of failing
     // the task, and the per-kind counts — themselves curation signal —
@@ -524,9 +578,12 @@ object MediaQueries {
               val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
               graft.ops.Multimodal.Blob(id,
                 graft.ops.Png.encode(4, 4, 0, px), "image/png", Map.empty)
-            case 1 => // progressive JPEG: SOI + SOF2 — typed refusal
+            case 1 => // arithmetic-coded JPEG: SOI + SOF9 — typed refusal
+              // (progressive SOF2 DECODES since round 9, so the refused
+              // exemplar moved to the arithmetic mode the codec documents
+              // as out of scope)
               graft.ops.Multimodal.Blob(id,
-                Array(0xff, 0xd8, 0xff, 0xc2, 0x00, 0x04, 0x00, 0x00).map(_.toByte),
+                Array(0xff, 0xd8, 0xff, 0xc9, 0x00, 0x04, 0x00, 0x00).map(_.toByte),
                 "image/jpeg", Map.empty)
             case 2 => // truncated download: valid PNG cut mid-IEND
               val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
@@ -545,7 +602,7 @@ object MediaQueries {
             sum(col("height").cast("long")).as("sum_h"))
       },
       // kinds are a pure function of doc_id mod 4: ok (decoded 4×4),
-      // unsupported (SOF2 refusal), truncated (cut chunk), not_media
+      // unsupported (SOF9 refusal), truncated (cut chunk), not_media
       // (bad signature); error rows carry width = height = 0
       Some("""WITH img AS (SELECT doc_id FROM documents WHERE length(text) > 0),
           c AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'ok' WHEN 1 THEN 'unsupported'

@@ -11,7 +11,11 @@ import graft.etl.{JArr, JInt, JObj, JStr, Json}
   * byte-for-byte equality, not a tolerance. The fixtures cover gray,
   * 4:4:4 and 4:2:0 color with distinct Huffman/quant table slots and a
   * 16-bit DQT, restart intervals, non-MCU-aligned dimensions, a flat-DC
-  * stream, plus refusal cases (progressive SOF2, truncated entropy data).
+  * stream, SOF2 progressive twins (round 9: same coefficients as the
+  * baseline fixtures, encoded through the Annex-G scan script — DC
+  * successive approximation, banded AC first scans, AC refinement,
+  * EOB runs, progressive restarts), plus refusal cases (arithmetic
+  * SOF9, truncated entropy data).
   */
 class JpegSpec extends AnyFunSuite {
 
@@ -41,11 +45,24 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive JPEG is refused with a clear message") {
-    val e = intercept[IllegalArgumentException] {
-      Jpeg.decode(fixture("jpeg_progressive.jpg"))
+  test("progressive decode equals the baseline decode of the same coefficients") {
+    // the SOF2 twins carry IDENTICAL quantized coefficients, so two
+    // completely different bitstream paths (baseline streaming MCUs vs
+    // Annex-G multi-scan successive approximation) must agree exactly
+    for ((base, prog) <- Seq("jpeg_gray" -> "jpeg_prog_gray",
+        "jpeg_rgb444" -> "jpeg_prog_rgb444", "jpeg_odd420" -> "jpeg_prog_odd420")) {
+      val (hb, pb) = Jpeg.decode(fixture(base + ".jpg"))
+      val (hp, pp) = Jpeg.decode(fixture(prog + ".jpg"))
+      assert(hb == hp, s"$base vs $prog header")
+      assert(java.util.Arrays.equals(pb, pp), s"$base vs $prog pixels")
     }
-    assert(e.getMessage.contains("SOF2"))
+  }
+
+  test("arithmetic-coded JPEG is refused with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      Jpeg.decode(fixture("jpeg_arith.jpg"))
+    }
+    assert(e.getMessage.contains("SOF9"))
   }
 
   test("truncated entropy data throws, never returns garbage") {
@@ -71,6 +88,24 @@ class JpegSpec extends AnyFunSuite {
       assert(v == by * 16 + bx,
         s"block ($bx,$by) pixel ($x,$y): got $v want ${by * 16 + bx}")
     }
+  }
+
+  test("progressive block-constant encode decodes EXACTLY, equal to baseline") {
+    // the mm10 construction: four-scan SOF2 (DC SA 1→0, AC EOB runs)
+    // must reproduce the same lossless DC-only pixels as the baseline
+    // encoder — full 0..255 coverage via the 256-block sweep
+    val prog = Jpeg.encodeGrayBlocksProgressive(128, 128, (bx, by) => by * 16 + bx)
+    val base = Jpeg.encodeGrayBlocks(128, 128, (bx, by) => by * 16 + bx)
+    val (hp, pp) = Jpeg.decode(prog)
+    val (_, pb) = Jpeg.decode(base)
+    assert(hp == Jpeg.Header(128, 128, 1))
+    assert(java.util.Arrays.equals(pp, pb))
+    // and a non-trivial EOBRUN shape: 2x2 blocks (run of 4 = EOB2+extra)
+    val small = Jpeg.encodeGrayBlocksProgressive(16, 16, (bx, by) => 17 + bx * 40 + by * 80)
+    val (hs, ps) = Jpeg.decode(small)
+    assert(hs == Jpeg.Header(16, 16, 1))
+    for (by <- 0 until 2; bx <- 0 until 2; i <- 0 until 4)
+      assert((ps((by * 8) * 16 + bx * 8 + i) & 0xff) == 17 + bx * 40 + by * 80)
   }
 
   test("decode is deterministic (same bytes, same pixels)") {

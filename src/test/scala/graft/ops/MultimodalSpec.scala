@@ -197,8 +197,8 @@ class MultimodalSpec extends SparkSpec {
     val good = Png.encode(2, 2, 0, Array[Byte](1, 2, 3, 4))
     val blobs = spark.createDataset(Seq(
       Multimodal.Blob(1L, good, "image/png", Map.empty),
-      Multimodal.Blob(2L, Array(0xff, 0xd8, 0xff, 0xc2, 0, 4, 0, 0).map(_.toByte),
-        "image/jpeg", Map.empty), // progressive SOF2 -> unsupported
+      Multimodal.Blob(2L, Array(0xff, 0xd8, 0xff, 0xc9, 0, 4, 0, 0).map(_.toByte),
+        "image/jpeg", Map.empty), // arithmetic SOF9 -> unsupported
       Multimodal.Blob(3L, good.dropRight(10), "image/png", Map.empty), // truncated
       Multimodal.Blob(4L, "plain text".getBytes, "image/png", Map.empty), // bad magic
       Multimodal.Blob(5L, Array[Byte](1, 2, 3), "model/gltf", Map.empty))) // no branch
@@ -206,7 +206,7 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.blob_id -> r).toMap
     assert(res(1L).ok && res(1L).width == 2 && res(1L).err_kind == "")
     assert(!res(2L).ok && res(2L).err_kind == "unsupported")
-    assert(res(2L).err_detail.contains("SOF2"))
+    assert(res(2L).err_detail.contains("SOF9"))
     assert(!res(3L).ok && res(3L).err_kind == "truncated")
     assert(!res(4L).ok && res(4L).err_kind == "not_media")
     assert(!res(5L).ok && res(5L).err_kind == "unsupported") // unsupported media type

@@ -198,6 +198,301 @@ def decode_mirror(w, h, comps, quant):
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encoding --
+# Scan encoders mirroring libjpeg's jcphuff.c semantics (the de-facto
+# interop standard for T.81 Annex G): DC first/refine with point
+# transform, AC first with EOB runs, AC refine with buffered correction
+# bits. The progressive fixtures carry the SAME quantized coefficients as
+# their baseline twins, so the decoder must produce IDENTICAL pixels
+# through a completely different bitstream path.
+
+# Progressive AC table: Annex K has no EOBn symbols (baseline uses only
+# EOB0), so progressive streams need a custom table — libjpeg always
+# generates optimized tables for SOF2. Flat 8-bit canonical table over
+# every symbol a progressive AC scan can emit: EOBn (n 0..14), ZRL, and
+# (run, size) pairs with size 1..10. 176 codes < 255, no all-ones code.
+AC_PROG_VALS = ([n << 4 for n in range(15)] + [0xf0] +
+                [(r << 4) | s for r in range(16) for s in range(1, 11)])
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG = (AC_PROG_BITS, AC_PROG_VALS)
+
+
+class ProgWriter(BitWriter):
+    """BitWriter + EOB-run and correction-bit buffering for AC scans."""
+
+    def __init__(self, ac_codes=None):
+        super().__init__()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.corr = []  # buffered correction bits (AC refine)
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            c, l = self.ac_codes[n << 4]
+            self.put(c, l)
+            if n:
+                self.put(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.corr:
+            self.put(b, 1)
+        self.corr = []
+
+
+def encode_dc_scan(bw, units, preds, al, ah, dc_codes):
+    """units: list of (ci, dc_value); preds per component (shifted domain)."""
+    for ci, dc in units:
+        if ah == 0:
+            v = dc >> al  # arithmetic shift: DC point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            cat = category(diff)
+            c, l = dc_codes[ci][cat]
+            bw.put(c, l)
+            if cat:
+                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        else:
+            bw.put((dc >> al) & 1, 1)
+
+
+def encode_ac_first(bw, zz, ss, se, al):
+    """one block of an AC first scan (Ah == 0)."""
+    r = 0
+    any_emit = False
+    for k in range(ss, se + 1):
+        t = zz[k]
+        if t < 0:
+            t = (-t) >> al
+            t = -t
+        else:
+            t >>= al
+        if t == 0:
+            r += 1
+            continue
+        bw.emit_eobrun()
+        while r > 15:
+            c, l = bw.ac_codes[0xf0]
+            bw.put(c, l)
+            r -= 16
+        sz = category(t)
+        c, l = bw.ac_codes[(r << 4) | sz]
+        bw.put(c, l)
+        bw.put(t if t >= 0 else t + (1 << sz) - 1, sz)
+        r = 0
+        any_emit = True
+    if r > 0 or not any_emit:
+        bw.eobrun += 1
+        if bw.eobrun == 0x7fff:
+            bw.emit_eobrun()
+
+
+def encode_ac_refine(bw, zz, ss, se, al):
+    """one block of an AC refinement scan (Ah == Al + 1) — the EXACT
+    jcphuff.c control flow: ZRLs are emitted at the FIRST nonzero
+    coefficient encountered with r > 15 (history or new), because the
+    decoder consumes correction bits positionally during each code's
+    zero-run advance; buffering them past a pending ZRL desyncs the
+    stream (a bug this mirror had and the Scala decoder caught)."""
+    absv = [0] * 64
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(zz[k]) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k  # last NEWLY-nonzero coefficient
+    r = 0
+    pending = []  # correction bits owed to the NEXT emitted code
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        # emit required ZRLs unless they can fold into the EOB run
+        while r > 15 and k <= eob:
+            bw.emit_eobrun()
+            c, l = bw.ac_codes[0xf0]
+            bw.put(c, l)
+            r -= 16
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)  # history coefficient: correction bit
+            continue
+        # t == 1: newly nonzero
+        bw.emit_eobrun()
+        c, l = bw.ac_codes[(r << 4) | 1]
+        bw.put(c, l)
+        bw.put(0 if zz[k] < 0 else 1, 1)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        bw.eobrun += 1
+        bw.corr.extend(pending)
+        if bw.eobrun == 0x7fff or len(bw.corr) > 900:
+            bw.emit_eobrun()
+
+
+def build_progressive(name, w, h, comp_spec, quant_tables, seed=1, density=6,
+                      dri=0):
+    """SOF2 twin of build(): same deterministic coefficients, a
+    libjpeg-shaped scan script (interleaved DC first at Al=1, banded AC
+    first scans, DC refine, AC refinement passes down to Al=0)."""
+    hmax = max(c[1] for c in comp_spec)
+    vmax = max(c[2] for c in comp_spec)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for ci, (cid, hs, vs, qid, dslot, aslot) in enumerate(comp_spec):
+        blocks = {}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for v in range(vs):
+                    for u in range(hs):
+                        bx, by = mx * hs + u, my * vs + v
+                        blocks[(bx, by)] = coeffs_for(bx, by, ci, seed, density)
+        comps.append({"id": cid, "hs": hs, "vs": vs, "q": qid,
+                      "dc": dslot, "ac": aslot, "blocks": blocks})
+
+    # non-interleaved (per-component) block grids
+    def ni_dims(c):
+        cw = (w * c["hs"] + hmax - 1) // hmax
+        ch = (h * c["vs"] + vmax - 1) // vmax
+        return (cw + 7) // 8, (ch + 7) // 8
+
+    out = bytearray()
+    def u16(v): out.extend((v >> 8 & 0xff, v & 0xff))
+    def marker(m): out.extend((0xff, m))
+    marker(0xd8)
+    for qid, (prec, tab) in quant_tables.items():
+        marker(0xdb)
+        u16(2 + 1 + (128 if prec else 64))
+        out.append((prec << 4) | qid)
+        for k in range(64):
+            v = tab[ZIGZAG[k]]
+            if prec:
+                u16(v)
+            else:
+                out.append(v)
+    marker(0xc2)  # SOF2
+    u16(8 + 3 * len(comps))
+    out.append(8)
+    u16(h)
+    u16(w)
+    out.append(len(comps))
+    for c in comps:
+        out.extend((c["id"], (c["hs"] << 4) | c["vs"], c["q"]))
+    tables = []
+    for slot in sorted({c["dc"] for c in comps}):
+        tables.append((0, slot, DC_LUMA if slot == 0 else DC_CHROMA))
+    for slot in sorted({c["ac"] for c in comps}):
+        tables.append((1, slot, AC_PROG))
+    marker(0xc4)
+    u16(2 + sum(1 + 16 + len(t[2][1]) for t in tables))
+    for cls, slot, (bits, vals) in tables:
+        out.append((cls << 4) | slot)
+        out.extend(bits)
+        out.extend(vals)
+    if dri:
+        marker(0xdd); u16(4); u16(dri)
+
+    codes_dc = {c["dc"]: canonical(*(DC_LUMA if c["dc"] == 0 else DC_CHROMA))
+                for c in comps}
+    codes_ac = canonical(*AC_PROG)
+
+    def sos_header(scan_cis, ss, se, ah, al):
+        marker(0xda)
+        u16(6 + 2 * len(scan_cis))
+        out.append(len(scan_cis))
+        for ci in scan_cis:
+            c = comps[ci]
+            out.append(c["id"])
+            out.append((c["dc"] << 4) | c["ac"])
+        out.extend((ss, se, (ah << 4) | al))
+
+    rst_state = [0]
+
+    def dc_scan(ah, al):
+        sos_header(list(range(len(comps))), 0, 0, ah, al)
+        bw = BitWriter()
+        preds = [0] * len(comps)
+        dcc = {ci: codes_dc[comps[ci]["dc"]] for ci in range(len(comps))}
+        unit = 0
+        def restart():
+            nonlocal preds
+            bw.align_marker(0xd0 + (rst_state[0] % 8))
+            rst_state[0] += 1
+            preds = [0] * len(comps)
+        if len(comps) > 1:
+            for m in range(mcus_x * mcus_y):
+                if dri and m and m % dri == 0:
+                    restart()
+                mx, my = m % mcus_x, m // mcus_x
+                units = []
+                for ci, c in enumerate(comps):
+                    for v in range(c["vs"]):
+                        for u in range(c["hs"]):
+                            units.append(
+                                (ci, c["blocks"][(mx * c["hs"] + u, my * c["vs"] + v)][0]))
+                encode_dc_scan(bw, units, preds, al, ah, dcc)
+        else:
+            bwk, bhk = ni_dims(comps[0])
+            for by in range(bhk):
+                for bx in range(bwk):
+                    if dri and unit and unit % dri == 0:
+                        restart()
+                    encode_dc_scan(bw, [(0, comps[0]["blocks"][(bx, by)][0])],
+                                   preds, al, ah, dcc)
+                    unit += 1
+        bw.pad()
+        out.extend(bw.out)
+        rst_state[0] = 0
+
+    def ac_scan(ci, ss, se, ah, al):
+        sos_header([ci], ss, se, ah, al)
+        bw = ProgWriter(codes_ac)
+        bwk, bhk = ni_dims(comps[ci])
+        unit = 0
+        for by in range(bhk):
+            for bx in range(bwk):
+                if dri and unit and unit % dri == 0:
+                    # restart: flush the EOB run + buffered bits first
+                    bw.emit_eobrun()
+                    bw.align_marker(0xd0 + (rst_state[0] % 8))
+                    rst_state[0] += 1
+                zz = comps[ci]["blocks"][(bx, by)]
+                if ah == 0:
+                    encode_ac_first(bw, zz, ss, se, al)
+                else:
+                    encode_ac_refine(bw, zz, ss, se, al)
+                unit += 1
+        bw.emit_eobrun()
+        bw.pad()
+        out.extend(bw.out)
+        rst_state[0] = 0
+
+    # libjpeg-shaped scan script
+    dc_scan(0, 1)
+    ac_scan(0, 1, 5, 0, 2)
+    for ci in range(1, len(comps)):
+        ac_scan(ci, 1, 63, 0, 1)
+    ac_scan(0, 6, 63, 0, 2)
+    dc_scan(1, 0)
+    ac_scan(0, 1, 63, 2, 1)
+    ac_scan(0, 1, 63, 1, 0)
+    for ci in range(1, len(comps)):
+        ac_scan(ci, 1, 63, 1, 0)
+    marker(0xd9)
+
+    quant_nat = {qid: tab for qid, (_, tab) in quant_tables.items()}
+    pixels = decode_mirror(w, h, comps, quant_nat)
+    return bytes(out), {"name": name, "w": w, "h": h,
+                        "channels": 1 if len(comps) == 1 else 3,
+                        "pixels": base64.b64encode(pixels).decode()}
+
+
 # --------------------------------------------------------------- builder --
 
 def coeffs_for(bx, by, ci, seed, density):
@@ -332,6 +627,19 @@ def main():
               {0: (0, luma_q), 1: (1, chroma_q)}, seed=13),
         build("jpeg_flat_dc", 16, 16, [(1, 1, 1, 0, 0, 0)],
               {0: (0, flat)}, seed=21, density=0),
+        # ---- SOF2 progressive twins (round 9): SAME coefficients as the
+        # baseline fixtures above (same seed), so the decoder must produce
+        # byte-identical pixels through the Annex-G scan script ----
+        build_progressive("jpeg_prog_gray", 16, 16, [(1, 1, 1, 0, 0, 0)],
+                          {0: (0, luma_q)}, seed=3, dri=2),
+        build_progressive("jpeg_prog_rgb444", 24, 16,
+                          [(1, 1, 1, 0, 0, 0), (2, 1, 1, 1, 1, 1), (3, 1, 1, 1, 1, 1)],
+                          {0: (0, luma_q), 1: (1, chroma_q)}, seed=5),
+        build_progressive("jpeg_prog_odd420", 19, 13,
+                          [(1, 2, 2, 0, 0, 0), (2, 1, 1, 1, 1, 1), (3, 1, 1, 1, 1, 1)],
+                          {0: (0, luma_q), 1: (1, chroma_q)}, seed=13),
+        build_progressive("jpeg_prog_dense", 16, 24, [(1, 1, 1, 0, 0, 0)],
+                          {0: (0, luma_q)}, seed=34, density=20),
     ]
     for data, g in cases:
         with open(os.path.join(outdir, g["name"] + ".jpg"), "wb") as f:
@@ -339,16 +647,16 @@ def main():
         goldens.append(g)
         print(f"{g['name']}: {len(data)} bytes, {g['w']}x{g['h']}x{g['channels']}")
 
-    # refusal fixtures: progressive (SOF2) and truncated entropy data
+    # refusal fixtures: arithmetic coding (SOF9) and truncated entropy data
     rgb444, _ = cases[1]
-    prog = bytearray(rgb444)
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xc2
-    with open(os.path.join(outdir, "jpeg_progressive.jpg"), "wb") as f:
-        f.write(bytes(prog))
+    arith = bytearray(rgb444)
+    sof = arith.find(b"\xff\xc0")
+    arith[sof + 1] = 0xc9
+    with open(os.path.join(outdir, "jpeg_arith.jpg"), "wb") as f:
+        f.write(bytes(arith))
     with open(os.path.join(outdir, "jpeg_trunc.jpg"), "wb") as f:
         f.write(rgb444[: len(rgb444) * 2 // 3])
-    print("refusal fixtures: jpeg_progressive.jpg jpeg_trunc.jpg")
+    print("refusal fixtures: jpeg_arith.jpg jpeg_trunc.jpg")
 
     with open(os.path.join(outdir, "jpeg_goldens.json"), "w") as f:
         json.dump(goldens, f, separators=(",", ":"))
