@@ -55,7 +55,7 @@ object Multimodal {
       n_frames: Int,
       features: Array[Float])
 
-  private[ops] def errKind(msg: String): String = {
+  private[graft] def errKind(msg: String): String = {
     val m = if (msg == null) "" else msg.toLowerCase(java.util.Locale.ROOT)
     if (m.contains("unsupported")) "unsupported"
     else if (m.contains("trunc") || m.contains("overrun")) "truncated"

@@ -80,4 +80,41 @@ object CorpusStreams {
         sum(col("h")).as("sum_h"), sum(col("frames")).as("sum_frames"),
         sum(col("bytes")).as("sum_bytes"))
   }
+
+  /** Fault-TOLERANT streaming media scan (round 9) — the
+    * [[graft.ops.Multimodal.decodeSafe]] twin of [[mediaScan]]: a
+    * refused or corrupt blob becomes a typed error ROW instead of a
+    * failed micro-batch (one bad crawl blob must never kill the ingest
+    * query — at 100 TB the stream always carries debris), and the keyed
+    * aggregate tracks per-(mime, kind) totals with kind ∈ ok /
+    * unsupported / truncated / not_media / malformed. State stays
+    * bounded by |mime vocabulary| × 5 kinds at any corpus scale, and
+    * the error-kind counts are themselves the ingest-health signal an
+    * admission dashboard watches. Parity with the batch
+    * decodeSafe-groupBy is pinned by [[graft.streaming
+    * .StreamingMediaSpec]], including a poisoned corpus.
+    */
+  def mediaScanSafe(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val decoded = blobs
+      .select(col("blob_id").cast("long"), col("content").cast("binary"), col("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        val dec = graft.ops.BinaryMediaDecoder.open()
+        it.map { case (id, content, mime) =>
+          try {
+            val d = dec.decode(graft.ops.Multimodal.Blob(id, content, mime, Map.empty))
+            (d.mime, "ok", d.width.toLong, content.length.toLong)
+          } catch {
+            case e: Exception =>
+              (mime, graft.ops.Multimodal.errKind(e.getMessage), 0L,
+                content.length.toLong)
+          }
+        }
+      }.toDF("mime", "kind", "w", "bytes")
+    decoded.groupBy(col("mime"), col("kind"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("w")).as("sum_w"),
+        sum(col("bytes")).as("sum_bytes"))
+  }
 }

@@ -478,6 +478,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mm08/mm09/mm10: codec scans are per-row maps — partial agg, no join, no window") {
+    for (q <- Seq("mm08_palette_adam7", "mm09_mixed_media_errors",
+        "mm10_jpeg_progressive")) {
+      val p = planOf(q)
+      assert(p.contains("partial_"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("Window ["), s"$q: $p")
+    }
+  }
+
   // ---- registry-wide gate: no unpartitioned window over unbounded data ----
   // An unpartitioned WindowExec sorts its ENTIRE input in one task — the
   // one plan shape that cannot survive a 100× scale-up no matter how fast

@@ -90,4 +90,57 @@ class StreamingMediaSpec extends SparkSpec {
       assert(stateRows <= 3, s"aggregate state holds $stateRows rows (want <= 3)")
     } finally q.stop()
   }
+
+  test("POISONED stream survives: refusals become typed rows, parity with batch") {
+    import spark.implicits._
+    // the mm09 recipe: ok PNG / arithmetic-JPEG refusal / truncated PNG /
+    // text mislabeled as PNG — a quarter of each
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val corpus: Seq[(Long, Array[Byte], String)] = texts.map { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val len = bytes.length
+      (id % 4) match {
+        case 0 =>
+          val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
+          (id, graft.ops.Png.encode(4, 4, 0, px), "image/png")
+        case 1 =>
+          (id, Array(0xff, 0xd8, 0xff, 0xc9, 0, 4, 0, 0).map(_.toByte), "image/jpeg")
+        case 2 =>
+          val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
+          (id, graft.ops.Png.encode(4, 4, 0, px).dropRight(10), "image/png")
+        case _ => (id, bytes, "image/png")
+      }
+    }.toSeq
+
+    val in = MemoryStream[(Long, Array[Byte], String)](spark)
+    val q = CorpusStreams.mediaScanSafe(in.toDS().toDF("blob_id", "content", "mime"))
+      .writeStream.format("memory").queryName("mediascansafe")
+      .outputMode("update").start()
+    try {
+      corpus.grouped((corpus.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("mediascansafe").collect()
+        .map(r => ((r.getAs[String]("mime"), r.getAs[String]("kind")),
+          (r.getAs[Long]("n_blobs"), r.getAs[Long]("sum_w"), r.getAs[Long]("sum_bytes"))))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+      val batch = CorpusStreams.mediaScanSafe(corpus.toDF("blob_id", "content", "mime"))
+        .collect()
+        .map(r => ((r.getAs[String]("mime"), r.getAs[String]("kind")),
+          (r.getAs[Long]("n_blobs"), r.getAs[Long]("sum_w"), r.getAs[Long]("sum_bytes"))))
+        .toMap
+      assert(streamed.toMap == batch, s"streamed $streamed vs batch $batch")
+      // all four kinds present, ok rows carry real decoded widths (4 each)
+      val kinds = batch.keySet.map(_._2)
+      assert(kinds == Set("ok", "unsupported", "truncated", "not_media"), kinds)
+      val (okN, okW, _) = batch(("image/png", "ok"))
+      assert(okW == okN * 4)
+      // bounded state: (mime, kind) pairs, not blobs
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4, s"aggregate state holds $stateRows rows (want <= 4)")
+    } finally q.stop()
+  }
 }
