@@ -446,10 +446,39 @@ object Dates {
           else if (pNum != null) numOffset(pNum, invert = true).map(base + _)
           else if (name != null) Some(base + "+00:00")
           else Some(base) // could_be_tzname shape, not understood: naive
+        }.orElse {
+          // SPACED name-then-offset chain (round 9, probed): the rest may
+          // end with ONE tz name before a numeric offset. A KNOWN zone
+          // (Z/z/UTC/GMT) wins — dateutil's validate() RESETS a nonzero
+          // offset whenever the name is a UTC zone, so "10:30 GMT +5" is
+          // +00:00 and even out-of-range offsets pass ("GMT +25"); only
+          // the token SHAPE is checked (3-digit "GMT +123" still fails).
+          // An unknown name parses naive and the offset applies normally
+          // with full bounds ("EST +2" → +02:00, "EST +25" fails).
+          if (num == null || !allowTz) None
+          else rest match {
+            case NameTail(rest2, tzName) =>
+              timeSuffixTz(rest2, allowTz = false).flatMap { base =>
+                if (tzName == "Z" || tzName == "z" || tzName == "UTC" ||
+                    tzName == "GMT") {
+                  val digits = num.substring(1)
+                  val shapeOk = num.contains(":") ||
+                    digits.length <= 2 || digits.length == 4
+                  if (shapeOk) Some(base + "+00:00") else None
+                } else numOffset(num, invert = false).map(base + _)
+              }
+            case _ => None
+          }
         }
       case _ => None
     })
   }
+
+  /** rest ending in one SPACED tz-name token (meridiem shapes excluded —
+    * those chain through the meridiem branch and a normal offset).
+    */
+  private val NameTail =
+    "^(.+) (Z|z|UTC|GMT|[B-OQ-Z]|[AP][A-LN-Z]|[B-OQ-Z][A-Z]|[A-Z]{3,5})$".r
 
   /** Validate and normalize a signed numeric offset token to "±HH:MM".
     * Grammar (probed): ±H, ±HH, ±HHMM, ±HH:MM, ±H:MM; minutes carry

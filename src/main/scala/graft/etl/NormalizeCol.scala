@@ -220,7 +220,16 @@ object NormalizeCol {
     * a NORMAL offset and are covered by the plain OffB alternative).
     */
   private val TzPosix = "(Z|z|UTC|GMT|" + TzName + ")" + OffB
-  private val TzTok = "( ?(" + OffB + "|Z|z|UTC|GMT|" + TzName + "|" + TzPosix + "))?"
+  /** SPACED name-then-offset chains (round 9, probed): a KNOWN zone
+    * swallows the following offset (dateutil validate() resets it, so
+    * only the token SHAPE matters — "GMT +25" accepts, "GMT +123"
+    * rejects); an unknown name is naive and the offset applies with the
+    * normal OffB bounds ("EST +2" accepts, "EST +25" rejects).
+    */
+  private val TzChain =
+    "((Z|z|UTC|GMT) [+-](\\d{1,2}(:\\d{2})?|\\d{4})|" + TzName + " " + OffB + ")"
+  private val TzTok =
+    "( ?(" + OffB + "|Z|z|UTC|GMT|" + TzName + "|" + TzPosix + "|" + TzChain + "))?"
   /** Optional time-of-day suffix (mirrors [[Dates.timeSuffix]]): 24-hour
     * H:MM[:SS[.f]] or 12-hour with meridiem forms; round-8 tail adds the
     * spaced-comma jump lead, bare hours, tz tokens, and dateutil's

@@ -24,15 +24,21 @@ package graft.ops
   *    PNM (P6 PPM / P5 PGM, maxval <= 255): ASCII header (with `#`
   *    comments) + raw top-down samples; [[frame]] returns one pixel row
   *    (RGB or gray), [[resize]] re-emits a valid PNM of the same magic.
-  *  - `image/gif` — GIF87a/89a first frame via [[Gif]] (variable-width
-  *    LZW with dictionary growth and the KwKwK case, global/local color
-  *    tables, extension skip, 4-pass interlace). [[resize]] is exact in
-  *    palette space: nearest-neighbor on the INDEX raster re-encoded
-  *    against the original color table, so no re-quantization ever
-  *    happens; [[frame]] returns one RGB row.
-  *  - `audio/wav` (and `audio/x-wav`) — RIFF/WAVE with PCM `fmt ` and
+  *  - `image/gif` — GIF87a/89a via [[Gif]] (variable-width LZW with
+  *    dictionary growth and the KwKwK case, global/local color tables,
+  *    4-pass interlace, and — round 9 — the full ANIMATION walk:
+  *    `n_frames` is the real frame count from an LZW-free metadata scan,
+  *    [[frame]] returns the idx-th animation frame's RGB raster so
+  *    `Multimodal.sampleFrames` samples evenly across the animation).
+  *    Features pool the first frame; [[resize]] is exact in palette
+  *    space on the first frame: nearest-neighbor on the INDEX raster
+  *    re-encoded against the original color table, so no
+  *    re-quantization ever happens.
+  *  - `audio/wav` (and `audio/x-wav`) — RIFF/WAVE with `fmt ` and
   *    `data` chunks walked in order: channels / sample rate / bit depth
-  *    from the format chunk, [[frame]] returns one sample frame (all
+  *    from the format chunk; integer PCM at 8/16/24/32 bits AND IEEE
+  *    float32 (format 3) — round 9 widened the depths the pro-audio
+  *    corpus tail carries; [[frame]] returns one sample frame (all
   *    channels at one instant).
   *  - `audio/mpeg` — MP3 metadata via the [[Mp3]] frame walker (real
   *    sync/bitrate/sample-rate header parse per ISO/IEC 11172-3, ID3v2
@@ -158,7 +164,8 @@ object BinaryMediaDecoder extends MediaDecoder {
   }
 
   private final case class WavHeader(
-      channels: Int, rate: Int, bits: Int, dataOff: Int, dataLen: Int)
+      channels: Int, rate: Int, bits: Int, dataOff: Int, dataLen: Int,
+      float: Boolean)
 
   private def parseWav(bytes: Array[Byte]): WavHeader = {
     require(bytes.length >= 44 &&
@@ -166,7 +173,7 @@ object BinaryMediaDecoder extends MediaDecoder {
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
       "not a WAV payload (missing RIFF/WAVE magic)")
     var off = 12
-    var fmt: Option[(Int, Int, Int)] = None
+    var fmt: Option[(Int, Int, Int, Boolean)] = None
     var data: Option[(Int, Int)] = None
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(bytes, off, 4, "US-ASCII")
@@ -175,18 +182,23 @@ object BinaryMediaDecoder extends MediaDecoder {
         s"truncated WAV chunk $id at $off")
       id match {
         case "fmt " =>
+          // format 1 = integer PCM (8/16/24/32-bit — round 9 widened the
+          // depths the pro-audio corpus tail carries), 3 = IEEE float32
           val audioFormat = le16(bytes, off + 8)
-          require(audioFormat == 1, s"unsupported WAV format $audioFormat (PCM only)")
-          fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12), le16(bytes, off + 22)))
+          require(audioFormat == 1 || audioFormat == 3,
+            s"unsupported WAV format $audioFormat (PCM or IEEE float only)")
+          fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12),
+            le16(bytes, off + 22), audioFormat == 3))
         case "data" => data = Some((off + 8, len))
         case _ => // skip LIST/fact/etc.
       }
       off += 8 + len + (len & 1) // chunks pad to even offsets
     }
     (fmt, data) match {
-      case (Some((ch, rate, bits)), Some((dOff, dLen))) =>
+      case (Some((ch, rate, bits, float)), Some((dOff, dLen))) =>
         require(ch > 0 && bits % 8 == 0, s"degenerate WAV shape ch=$ch bits=$bits")
-        WavHeader(ch, rate, bits, dOff, dLen)
+        require(!float || bits == 32, s"IEEE-float WAV must be 32-bit, got $bits")
+        WavHeader(ch, rate, bits, dOff, dLen, float)
       case _ => throw new IllegalArgumentException("WAV missing fmt/data chunk")
     }
   }
@@ -247,7 +259,10 @@ object BinaryMediaDecoder extends MediaDecoder {
         rasterFeaturesRgb(hd.w, hd.h, hd.channels, px))
     case "image/gif" =>
       val (hd, px) = Gif.decode(b.content)
-      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
+      // n_frames is the REAL animation frame count (LZW-free metadata
+      // walk); features pool the first frame, the thumbnail convention
+      val (nFrames, _) = Gif.frameMeta(b.content)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, nFrames,
         rasterFeaturesRgb(hd.w, hd.h, 3, px))
     case "image/bmp" =>
       val hd = parseBmp(b.content)
@@ -315,11 +330,18 @@ object BinaryMediaDecoder extends MediaDecoder {
         else {
           val fr = i.toLong * (nFrames - 1) / math.max(1, 7)
           val o = hd.dataOff + fr.toInt * frameBytes
-          hd.bits match {
+          if (hd.float)
+            java.lang.Float.intBitsToFloat(le32(b.content, o))
+          else hd.bits match {
             case 16 => (le16(b.content, o).toShort / 32768.0).toFloat
             case 8 => ((u8(b.content, o) - 128) / 128.0).toFloat
+            case 24 => // sign-extended little-endian, normalized by 2^23
+              val v = (u8(b.content, o) | (u8(b.content, o + 1) << 8) |
+                (b.content(o + 2).toInt << 16))
+              (v / 8388608.0).toFloat
+            case 32 => (le32(b.content, o) / 2147483648.0).toFloat
             case bits => throw new IllegalArgumentException(
-              s"unsupported WAV bit depth $bits (8/16 only)")
+              s"unsupported WAV bit depth $bits (8/16/24/32 only)")
           }
         }
       }
@@ -380,11 +402,14 @@ object BinaryMediaDecoder extends MediaDecoder {
       System.arraycopy(b.content, pixelOff(hd, 0, idx), row, 0, hd.w * 3)
       row
     case "image/gif" =>
-      val (hd, px) = Gif.decode(b.content)
-      require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
-      val row = new Array[Byte](hd.w * 3)
-      System.arraycopy(px, idx * row.length, row, 0, row.length)
-      row
+      // GIF is the ANIMATED format here: frame(idx) returns the idx-th
+      // animation frame's RGB raster (its own rect, as transmitted), so
+      // Multimodal.sampleFrames samples evenly across the animation —
+      // round 9 (still-image formats keep their per-ROW frame contract)
+      val anim = Gif.decodeAnim(b.content)
+      require(idx >= 0 && idx < anim.frames.length,
+        s"frame $idx out of range 0..${anim.frames.length - 1}")
+      anim.frames(idx).rgb
     case "image/x-portable-pixmap" | "image/x-portable-graymap" =>
       val hd = parsePnm(b.content)
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")

@@ -552,6 +552,76 @@ object MediaQueries {
     ),
 
     // ------------------------------------------------------------------
+    // ANIMATED GIF round trip, oracle-audited end to end (round 9): each
+    // doc's text picks a 4-color palette, 2-5 frames of 16×16 index
+    // rasters, and per-frame delays; Gif.encodeAnim emits a genuine
+    // multi-frame GIF89a (graphic-control extensions, per-frame LZW) and
+    // the animation walker decodes it back — frameMeta counts frames and
+    // delays WITHOUT LZW decode (the curation metadata scan), decodeAnim
+    // recovers every frame's pixels. The audit sums decoded RGB bytes
+    // across ALL frames plus the delay total; the oracle recomputes both
+    // straight from the text in DuckDB. Scale: per-row map, shuffle-free
+    // until the 1-row aggregate; corpus is ASCII (the mm02 convention).
+    GraftQuery(
+      "mm11_gif_anim",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val len = bytes.length
+          val k = 2 + (len % 4)
+          val pal = Array.tabulate(12)(j => bytes((j * 5 + 1) % len))
+          val frames = (0 until k).map { f =>
+            (Array.tabulate(16 * 16)(i =>
+              ((bytes((i * 3 + f * 7 + 2) % len) & 0xff) % 4).toByte),
+              1 + (bytes((f * 13 + 3) % len) & 0xff) % 100)
+          }
+          val gif = graft.ops.Gif.encodeAnim(16, 16, pal, frames)
+          val (nFrames, totalDelay) = graft.ops.Gif.frameMeta(gif)
+          val anim = graft.ops.Gif.decodeAnim(gif)
+          require(anim.frames.length == nFrames)
+          var sum = 0L
+          anim.frames.foreach { fr =>
+            val rgb = fr.rgb
+            var i = 0
+            while (i < rgb.length) { sum += rgb(i) & 0xff; i += 1 }
+          }
+          (nFrames.toLong, totalDelay.toLong, sum)
+        }.toDF("frames", "delay_cs", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("frames")).as("sum_frames"),
+          sum(col("delay_cs")).as("sum_delay_cs"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      // k = 2 + len%4 frames; palette[j] = text[(5j+1) mod len];
+      // index(f, i) = text[(3i + 7f + 2) mod len] mod 4;
+      // delay(f) = 1 + text[(13f + 3) mod len] mod 100
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len,
+              2 + length(text) % 4 AS k
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id, k,
+              CAST(list_sum(list_transform(range(0, k), f ->
+                1 + ascii(substring(text, ((f*13 + 3) % len) + 1, 1)) % 100))
+                AS BIGINT) AS delay_cs,
+              CAST(list_sum(list_transform(range(0, k), f ->
+                list_sum(list_transform(range(0, 256), i ->
+                  ascii(substring(text, (((ascii(substring(text, ((i*3 + f*7 + 2) % len) + 1, 1)) % 4)*3 + 0)*5 + 1) % len + 1, 1)) +
+                  ascii(substring(text, (((ascii(substring(text, ((i*3 + f*7 + 2) % len) + 1, 1)) % 4)*3 + 1)*5 + 1) % len + 1, 1)) +
+                  ascii(substring(text, (((ascii(substring(text, ((i*3 + f*7 + 2) % len) + 1, 1)) % 4)*3 + 2)*5 + 1) % len + 1, 1))))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(sum(k) AS BIGINT) AS sum_frames,
+          CAST(sum(delay_cs) AS BIGINT) AS sum_delay_cs,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Fault-TOLERANT mixed-corpus media scan (round 9): a quarter of the
     // corpus decodes cleanly (4×4 gray PNG from text bytes), the rest is
     // the realistic crawl debris — arithmetic-coded JPEG (SOF9, a format

@@ -131,21 +131,66 @@ class GifSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Gif.decode(short))
   }
 
-  test("BinaryMediaDecoder: decode features, row frames, exact palette-space resize") {
+  test("BinaryMediaDecoder: decode features, animation frames, exact palette-space resize") {
     val w = 8; val h = 4
     val idx = Array.tabulate(w * h)(i => ((i / w) % 4).toByte) // row-colored
     val blob = Multimodal.Blob(3L, Gif.encode(w, h, pal4, idx), "image/gif", Map.empty)
     val d = BinaryMediaDecoder.decode(blob)
     assert(d.width == w && d.height == h && d.n_frames == 1)
     assert(d.features.length == 8)
-    // row 1 is all red
-    val row1 = BinaryMediaDecoder.frame(blob, 1)
-    assert(row1.grouped(3).forall(p => (p(0) & 0xff) == 255 && p(1) == 0 && p(2) == 0))
+    // frame(0) on a single-frame GIF is the whole decoded RGB raster
+    val f0 = BinaryMediaDecoder.frame(blob, 0)
+    assert(f0.sameElements(Gif.decode(blob.content)._2))
+    intercept[IllegalArgumentException](BinaryMediaDecoder.frame(blob, 1))
     // downsample 2×: nearest-neighbor keeps rows 0 and 2 (black, green)
     val resized = BinaryMediaDecoder.resize(blob, 4, 2)
     val (rh, rpal, ridx) = Gif.decodeIndexed(resized)
     assert(rh == Gif.Header(4, 2, 4, interlaced = false))
     assert(rpal.sameElements(pal4))
     assert(ridx.sameElements(Array[Byte](0, 0, 0, 0, 2, 2, 2, 2)))
+  }
+
+  test("animated GIF: frameMeta counts without decode; decodeAnim round-trips frames") {
+    val w = 8; val h = 6
+    val frames = (0 until 5).map { f =>
+      (Array.tabulate(w * h)(i => (((i * 7 + f * 3) % 4)).toByte), 10 + f * 5)
+    }
+    val gif = Gif.encodeAnim(w, h, pal4, frames)
+    val (n, delay) = Gif.frameMeta(gif)
+    assert(n == 5 && delay == (10 + 15 + 20 + 25 + 30))
+    val anim = Gif.decodeAnim(gif)
+    assert(anim.screenW == w && anim.screenH == h && anim.frames.length == 5)
+    anim.frames.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.w == w && fr.h == h && fr.x == 0 && fr.y == 0)
+      assert(fr.delayCs == frames(i)._2, s"frame $i delay")
+      assert(fr.indices.sameElements(frames(i)._1), s"frame $i pixels")
+    }
+    // decode()/decodeIndexed keep the first-frame contract
+    val (hd, px) = Gif.decode(gif)
+    assert(hd == Gif.Header(w, h, 4, interlaced = false))
+    assert(px.sameElements(anim.frames.head.rgb))
+  }
+
+  test("animated GIF through the Multimodal surface: n_frames and frame sampling") {
+    val session = graft.SparkSpec.session
+    import session.implicits._
+    val w = 8; val h = 8
+    val frames = (0 until 7).map { f =>
+      (Array.tabulate(w * h)(i => ((i + f) % 4).toByte), 4)
+    }
+    val blob = Multimodal.Blob(9L, Gif.encodeAnim(w, h, pal4, frames),
+      "image/gif", Map.empty)
+    val d = BinaryMediaDecoder.decode(blob)
+    assert(d.n_frames == 7)
+    // frame(3) is the 4th animation frame's RGB, as transmitted
+    val f3 = BinaryMediaDecoder.frame(blob, 3)
+    val expect = Gif.decodeAnim(blob.content).frames(3).rgb
+    assert(f3.sameElements(expect))
+    // sampleFrames samples evenly over the ANIMATION (idx 0, 3, 6)
+    val ds = session.createDataset(Seq(blob))
+    val sampled = Multimodal.sampleFrames(ds, 3, BinaryMediaDecoder)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    assert(sampled(1).content.sameElements(expect))
   }
 }

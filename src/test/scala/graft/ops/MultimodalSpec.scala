@@ -146,6 +146,58 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](BinaryMediaDecoder.resize(b, 2, 2))
   }
 
+  /** generic WAV builder for the widened depth/format coverage */
+  private def wavOf(fmt: Int, bits: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val frameBytes = frames.headOption.map(_.length).getOrElse(0)
+    val dataLen = frames.length * frameBytes
+    val out = new Array[Byte](44 + dataLen)
+    def putAscii(i: Int, s: String): Unit = s.zipWithIndex.foreach {
+      case (c, k) => out(i + k) = c.toByte }
+    def putLe32(i: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      out(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def putLe16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte
+      out(i + 1) = ((v >> 8) & 0xff).toByte }
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataLen); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, fmt)
+    putLe16(22, 1); putLe32(24, 8000); putLe32(28, 8000 * bits / 8)
+    putLe16(32, bits / 8); putLe16(34, bits)
+    putAscii(36, "data"); putLe32(40, dataLen)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      System.arraycopy(f, 0, out, 44 + i * frameBytes, frameBytes) }
+    out
+  }
+
+  test("WAV depth tail (round 9): 24/32-bit PCM and IEEE float32 decode") {
+    // 24-bit: -2^23 (min), 0, 2^23-1 (max) little-endian
+    val w24 = wavOf(1, 24, Array(
+      Array[Byte](0, 0, -128), Array[Byte](0, 0, 0), Array[Byte](-1, -1, 127)))
+    val d24 = BinaryMediaDecoder.decode(blobOf(w24, "audio/wav"))
+    assert(d24.n_frames == 3 && d24.width == 8000)
+    assert(d24.features(0) == -1.0f)
+    assert(math.abs(d24.features(7) - (8388607.0 / 8388608.0)) < 1e-6)
+    // 32-bit int PCM: min / max
+    def le32b(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val w32 = wavOf(1, 32, Array(le32b(Int.MinValue), le32b(Int.MaxValue)))
+    val d32 = BinaryMediaDecoder.decode(blobOf(w32, "audio/wav"))
+    assert(d32.features(0) == -1.0f)
+    assert(math.abs(d32.features(7) - 1.0f) < 1e-6)
+    // IEEE float32 (format 3): raw float bits pass through
+    val wf = wavOf(3, 32, Array(
+      le32b(java.lang.Float.floatToIntBits(0.25f) & 0xffffffffL),
+      le32b(java.lang.Float.floatToIntBits(-0.5f) & 0xffffffffL)))
+    val df = BinaryMediaDecoder.decode(blobOf(wf, "audio/wav"))
+    assert(df.features(0) == 0.25f && df.features(7) == -0.5f)
+    // float WAV must be 32-bit; format 2 (ADPCM) stays refused
+    intercept[IllegalArgumentException](
+      BinaryMediaDecoder.decode(blobOf(wavOf(3, 16,
+        Array(Array[Byte](0, 0))), "audio/wav")))
+    intercept[IllegalArgumentException](
+      BinaryMediaDecoder.decode(blobOf(wavOf(2, 16,
+        Array(Array[Byte](0, 0))), "audio/wav")))
+  }
+
   test("BinaryMediaDecoder decodes binary PNM (P6/P5): header, comments, rows, resize") {
     // P6 2x2 RGB with a header comment: pixels R,G,B,white
     val p6 = "P6\n# test comment\n2 2\n255\n".getBytes("US-ASCII") ++

@@ -308,11 +308,26 @@ for base in ["2024/01/05 10:30", "5 Jan 2024 10:30 PM", "05 01 24 10:30"]:
                "GMT+5:99", "GMT-0", "UTC-0530", "A+5", "P-3", "GMT+12345"]:
         add(f"{base} {tz}", "tz_posix")
 add("2024/01/05 GMT+5", "tz_posix")  # no time: numeric tz needs a clock
+# ---- SPACED name-then-offset chains (round 9), covered: a known zone
+# wins and only the offset SHAPE is checked (dateutil validate() resets
+# the offset for UTC-zone names); unknown names are naive and the offset
+# applies with the normal bounds ----
+for base in ["2024/01/05 10:30", "5 Jan 2024 10:30 PM"]:
+    for tz in ["GMT +5", "UTC +5", "Z +5", "z +5", "GMT -5", "GMT +25",
+               "GMT +99", "GMT +123", "GMT +5:99", "Z +0560", "GMT +12345",
+               "EST +2", "EST -0", "EST +2:30", "EST +0230", "EST +2299",
+               "EST +25", "EST +123", "XYZAB +3", "XYZAB -0:30", "HELLO -4",
+               "A +5", "EST GMT", "GMT EST"]:
+        add(f"{base} {tz}", "tz_chain")
+add("2024/01/05 10:30 +5 GMT", "tz_chain")
+add("2024/01/05 10:30 PM EST +2", "tz_chain")
+# meridiem AFTER a name+offset chain: the scalar recursion handles it but
+# the column grammar stops at one trailing tz token — measured, uncovered
+add("2024/01/05 10:30 EST +2 PM", "time_tz_chain", covered=False)
 # ---- exotic chains measured but OUT of battery: double clock times
-# (later-wins overwrite), spaced name+offset ("GMT +5"), sub-minute-lexer
-# shapes ("3:4", "10:30,5"), bare-hour after a time-first date ----
+# (later-wins overwrite), sub-minute-lexer shapes ("3:4", "10:30,5"),
+# weekday after a leading time, bare-hour after a time-first date ----
 for s in ["2nd 3rd 2024", "Jan 5 2024 10.30", "10:30 10:40 Jan 5 2024",
-          "2024/01/05 10:30 GMT +5", "2024/01/05 10:30 EST +2",
           "3:4 5 Jan 2024", "10:30 PM wed 5 Jan 2024", "10:30 2024/01/05 PM",
           "10:30 2024", "10:30+05:00 5 Jan 2024", "10:30 Z 5 Jan 2024"]:
     add(s, "time_tz_chain", covered=False)
