@@ -14,7 +14,9 @@ package graft.ops
   *    fixed-point YCbCr→RGB; progressive/arithmetic/12-bit refused).
   *    DECODE-ONLY: [[frame]] returns a decoded row, [[resize]] throws —
   *    resample post-decode into a lossless container instead.
-  *  - `image/bmp` — Windows BITMAPINFOHEADER, 24 bits per pixel,
+  *  - `image/bmp` — Windows BITMAPINFOHEADER, 8-bpp palette / 24 / 32
+  *    bits per pixel (round 9 widened; alpha dropped, palette resolved
+  *    to BGR; resize re-emits 24-bpp), BI_RGB,
   *    BI_RGB (uncompressed): header fields parsed little-endian from the
   *    raw bytes, pixel rows read bottom-up with 4-byte row padding,
   *    [[resize]] is a true nearest-neighbor resample that re-emits a
@@ -67,32 +69,72 @@ object BinaryMediaDecoder extends MediaDecoder {
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
 
   // ---------------------------------------------------------------- BMP --
-  /** parsed 24-bpp BMP: (width, height, topDown, pixelDataOffset, rowStride) */
+  /** parsed BI_RGB BMP: 8-bpp palette (round 9), 24-bpp, or 32-bpp;
+    * `palette` is BGR triples for the 8-bit form, null otherwise.
+    */
   private final case class BmpHeader(
-      w: Int, h: Int, topDown: Boolean, dataOff: Int, stride: Int)
+      w: Int, h: Int, topDown: Boolean, dataOff: Int, stride: Int,
+      bpp: Int, palette: Array[Byte])
 
   private def parseBmp(bytes: Array[Byte]): BmpHeader = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP payload (missing BM magic)")
     val dataOff = le32(bytes, 10)
+    val headerSize = le32(bytes, 14)
     val w = le32(bytes, 18)
     val hRaw = le32(bytes, 22)
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
-    require(bpp == 24, s"unsupported BMP bit depth $bpp (24-bpp only)")
+    require(bpp == 8 || bpp == 24 || bpp == 32,
+      s"unsupported BMP bit depth $bpp (8/24/32-bpp only)")
     require(compression == 0, s"unsupported BMP compression $compression (BI_RGB only)")
     require(w > 0 && hRaw != 0, s"degenerate BMP dimensions ${w}x$hRaw")
     val h = math.abs(hRaw)
-    val stride = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
-    require(bytes.length >= dataOff + stride * h,
+    val stride = (w * (bpp / 8) + 3) & ~3 // rows pad to 4-byte boundaries
+    require(bytes.length >= dataOff.toLong + stride.toLong * h,
       s"truncated BMP pixel data (${bytes.length} bytes, need ${dataOff + stride * h})")
-    BmpHeader(w, h, hRaw < 0, dataOff, stride)
+    val palette =
+      if (bpp != 8) null
+      else {
+        // color table of BGRA quads right after the info header
+        require(headerSize >= 40, s"BMP header size $headerSize too small")
+        val declared = le32(bytes, 46)
+        val n = if (declared == 0) 256 else declared
+        require(n > 0 && n <= 256, s"bad BMP color table size $n")
+        val tableOff = 14 + headerSize
+        require(bytes.length >= tableOff + 4 * n, "truncated BMP color table")
+        val p = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          p(i * 3) = bytes(tableOff + i * 4) // B
+          p(i * 3 + 1) = bytes(tableOff + i * 4 + 1) // G
+          p(i * 3 + 2) = bytes(tableOff + i * 4 + 2) // R (alpha dropped)
+          i += 1
+        }
+        p
+      }
+    BmpHeader(w, h, hRaw < 0, dataOff, stride, bpp, palette)
   }
 
   /** byte offset of pixel (x, y) with y TOP-based regardless of storage order */
   private def pixelOff(hd: BmpHeader, x: Int, y: Int): Int = {
     val storedRow = if (hd.topDown) y else hd.h - 1 - y
-    hd.dataOff + storedRow * hd.stride + x * 3
+    hd.dataOff + storedRow * hd.stride + x * (hd.bpp / 8)
+  }
+
+  /** packed 0xBBGGRR of pixel (x, y): palette lookup for 8-bpp, direct
+    * bytes for 24/32-bpp (alpha ignored)
+    */
+  private def bmpBgr(hd: BmpHeader, bytes: Array[Byte], x: Int, y: Int): Int = {
+    val o = pixelOff(hd, x, y)
+    if (hd.bpp == 8) {
+      val idx = bytes(o) & 0xff
+      require(idx * 3 < hd.palette.length,
+        s"BMP palette index $idx outside ${hd.palette.length / 3}-color table")
+      (hd.palette(idx * 3) & 0xff) | ((hd.palette(idx * 3 + 1) & 0xff) << 8) |
+        ((hd.palette(idx * 3 + 2) & 0xff) << 16)
+    } else
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) | ((bytes(o + 2) & 0xff) << 16)
   }
 
   /** re-emit a minimal valid 24-bpp bottom-up BMP from packed top-down BGR rows */
@@ -274,8 +316,8 @@ object BinaryMediaDecoder extends MediaDecoder {
       while (y < hd.h) {
         var x = 0
         while (x < hd.w) {
-          val o = pixelOff(hd, x, y)
-          val (bb, gg, rr) = (u8(b.content, o), u8(b.content, o + 1), u8(b.content, o + 2))
+          val p = bmpBgr(hd, b.content, x, y)
+          val bb = p & 0xff; val gg = (p >> 8) & 0xff; val rr = (p >> 16) & 0xff
           sb += bb; sg += gg; sr += rr
           val l = 0.299 * rr + 0.587 * gg + 0.114 * bb
           if (l < minL) minL = l
@@ -399,17 +441,23 @@ object BinaryMediaDecoder extends MediaDecoder {
       val hd = parseBmp(b.content)
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
       val row = new Array[Byte](hd.w * 3)
-      System.arraycopy(b.content, pixelOff(hd, 0, idx), row, 0, hd.w * 3)
+      var x = 0
+      while (x < hd.w) {
+        val p = bmpBgr(hd, b.content, x, idx)
+        row(x * 3) = (p & 0xff).toByte
+        row(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+        row(x * 3 + 2) = ((p >> 16) & 0xff).toByte
+        x += 1
+      }
       row
     case "image/gif" =>
       // GIF is the ANIMATED format here: frame(idx) returns the idx-th
       // animation frame's RGB raster (its own rect, as transmitted), so
       // Multimodal.sampleFrames samples evenly across the animation —
-      // round 9 (still-image formats keep their per-ROW frame contract)
-      val anim = Gif.decodeAnim(b.content)
-      require(idx >= 0 && idx < anim.frames.length,
-        s"frame $idx out of range 0..${anim.frames.length - 1}")
-      anim.frames(idx).rgb
+      // round 9 (still-image formats keep their per-ROW frame contract).
+      // Earlier frames skip by sub-block framing, so sampling stays
+      // O(blocks) + one LZW decode per sampled frame.
+      Gif.decodeFrame(b.content, idx).rgb
     case "image/x-portable-pixmap" | "image/x-portable-graymap" =>
       val hd = parsePnm(b.content)
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
@@ -473,10 +521,11 @@ object BinaryMediaDecoder extends MediaDecoder {
         var x = 0
         while (x < w) {
           val sx = (x.toLong * hd.w / w).toInt
-          val so = pixelOff(hd, sx, sy)
+          val p = bmpBgr(hd, b.content, sx, sy)
           val dO = (y * w + x) * 3
-          out(dO) = b.content(so); out(dO + 1) = b.content(so + 1)
-          out(dO + 2) = b.content(so + 2)
+          out(dO) = (p & 0xff).toByte
+          out(dO + 1) = ((p >> 8) & 0xff).toByte
+          out(dO + 2) = ((p >> 16) & 0xff).toByte
           x += 1
         }
         y += 1

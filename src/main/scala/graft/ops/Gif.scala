@@ -159,6 +159,61 @@ object Gif {
     Anim(s.w, s.h, out)
   }
 
+  /** Decode ONLY the idx-th frame: earlier frames' pixel data skips by
+    * sub-block framing without LZW decode, so sampling k frames of an
+    * N-frame animation costs O(N) block walks + k LZW decodes, not k·N
+    * decodes — the [[graft.ops.BinaryMediaDecoder.frame]] path.
+    */
+  def decodeFrame(bytes: Array[Byte], idx: Int): Frame = {
+    require(idx >= 0, s"frame index $idx")
+    val s = parseScreen(bytes)
+    var off = s.off
+    var delay = 0
+    var n = 0
+    while (true) {
+      require(off < bytes.length, "truncated GIF (no trailer)")
+      u8(bytes, off) match {
+        case 0x21 =>
+          if (off + 5 < bytes.length && u8(bytes, off + 1) == 0xf9 &&
+              u8(bytes, off + 2) == 4)
+            delay = le16(bytes, off + 4)
+          off += 2
+          require(off < bytes.length, "truncated extension")
+          var sub = u8(bytes, off)
+          while (sub != 0) {
+            off += 1 + sub
+            require(off < bytes.length, "truncated extension sub-blocks")
+            sub = u8(bytes, off)
+          }
+          off += 1
+        case 0x2c if n == idx =>
+          return decodeFrameAt(bytes, off, s, delay)._1
+        case 0x2c => // skip this frame's data without decoding
+          require(off + 10 <= bytes.length, "truncated image descriptor")
+          val ipacked = u8(bytes, off + 9)
+          off += 10
+          if ((ipacked & 0x80) != 0) off += 3 * (2 << (ipacked & 7))
+          off += 1
+          require(off < bytes.length, "truncated image data")
+          var sub = u8(bytes, off)
+          while (sub != 0) {
+            off += 1 + sub
+            require(off < bytes.length, "truncated image data sub-block")
+            sub = u8(bytes, off)
+          }
+          off += 1
+          delay = 0
+          n += 1
+        case 0x3b =>
+          throw new IllegalArgumentException(
+            s"frame $idx out of range (GIF has $n frames)")
+        case other => throw new IllegalArgumentException(
+          f"unknown GIF block 0x$other%02x at offset $off")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** (frame count, total delay in centiseconds) WITHOUT LZW decode — the
     * metadata walk corpus curation runs per blob: data sub-blocks skip by
     * their length framing, so cost is O(blocks), not O(pixels).

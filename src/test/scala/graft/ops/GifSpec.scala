@@ -169,6 +169,14 @@ class GifSpec extends AnyFunSuite {
     val (hd, px) = Gif.decode(gif)
     assert(hd == Gif.Header(w, h, 4, interlaced = false))
     assert(px.sameElements(anim.frames.head.rgb))
+    // decodeFrame skips earlier frames' LZW and agrees with the full walk
+    for (i <- 0 until 5) {
+      val f = Gif.decodeFrame(gif, i)
+      assert(f.indices.sameElements(anim.frames(i).indices), s"frame $i")
+      assert(f.delayCs == anim.frames(i).delayCs, s"frame $i delay")
+    }
+    val e = intercept[IllegalArgumentException](Gif.decodeFrame(gif, 5))
+    assert(e.getMessage.contains("out of range"))
   }
 
   test("animated GIF through the Multimodal surface: n_frames and frame sampling") {

@@ -167,6 +167,64 @@ class MultimodalSpec extends SparkSpec {
     out
   }
 
+  test("BMP depth tail (round 9): 8-bpp palette and 32-bpp BI_RGB decode") {
+    // 8-bpp: 5x2 top-down, 4-entry palette (black, red BGR, green, white),
+    // stride pads 5 -> 8
+    val pal8 = {
+      val (w, h) = (5, 2)
+      val stride = (w + 3) & ~3
+      val out = new Array[Byte](54 + 16 + stride * h)
+      def putLe32(i: Int, v: Int): Unit = (0 until 4).foreach(k =>
+        out(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+      out(0) = 'B'; out(1) = 'M'; putLe32(2, out.length); putLe32(10, 54 + 16)
+      putLe32(14, 40); putLe32(18, w); putLe32(22, -h) // top-down
+      out(26) = 1; out(28) = 8; putLe32(46, 4) // 4 colors
+      // BGRA palette entries
+      val colors = Seq((0, 0, 0), (0, 0, 255), (0, 255, 0), (255, 255, 255))
+      colors.zipWithIndex.foreach { case ((bb, gg, rr), i) =>
+        out(54 + i * 4) = bb.toByte; out(54 + i * 4 + 1) = gg.toByte
+        out(54 + i * 4 + 2) = rr.toByte
+      }
+      // row 0: 0 1 2 3 0 ; row 1: 3 3 3 3 3
+      val rows = Seq(Seq(0, 1, 2, 3, 0), Seq(3, 3, 3, 3, 3))
+      rows.zipWithIndex.foreach { case (r, y) =>
+        r.zipWithIndex.foreach { case (v, x) => out(70 + y * stride + x) = v.toByte } }
+      out
+    }
+    val d8 = BinaryMediaDecoder.decode(blobOf(pal8, "image/bmp"))
+    assert(d8.width == 5 && d8.height == 2)
+    assert(d8.features(6) == 0.0f && d8.features(7) == 1.0f) // black..white luma
+    // row 1 is all white after palette resolution
+    val row1 = BinaryMediaDecoder.frame(blobOf(pal8, "image/bmp"), 1)
+    assert(row1.forall(_ == -1.toByte))
+    // resize re-emits 24-bpp: 1x1 keeps pixel (0,0) = black
+    val r8 = BinaryMediaDecoder.resize(blobOf(pal8, "image/bmp"), 1, 1)
+    assert(BinaryMediaDecoder.frame(blobOf(r8, "image/bmp"), 0).toSeq ==
+      Seq[Byte](0, 0, 0))
+
+    // 32-bpp BGRA bottom-up: 2x1, alpha ignored
+    val b32 = {
+      val out = new Array[Byte](54 + 8)
+      def putLe32(i: Int, v: Int): Unit = (0 until 4).foreach(k =>
+        out(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+      out(0) = 'B'; out(1) = 'M'; putLe32(2, out.length); putLe32(10, 54)
+      putLe32(14, 40); putLe32(18, 2); putLe32(22, 1)
+      out(26) = 1; out(28) = 32
+      // pixel 0: BGR(10,20,30) A=99 ; pixel 1: BGR(200,150,100) A=0
+      out(54) = 10; out(55) = 20; out(56) = 30; out(57) = 99
+      out(58) = 200.toByte; out(59) = 150.toByte; out(60) = 100.toByte
+      out
+    }
+    val d32 = BinaryMediaDecoder.decode(blobOf(b32, "image/bmp"))
+    assert(d32.width == 2 && d32.height == 1)
+    val row = BinaryMediaDecoder.frame(blobOf(b32, "image/bmp"), 0)
+    assert(row.toSeq == Seq[Byte](10, 20, 30, 200.toByte, 150.toByte, 100.toByte))
+    // 16-bpp stays refused
+    val b16 = b32.clone(); b16(28) = 16
+    intercept[IllegalArgumentException](
+      BinaryMediaDecoder.decode(blobOf(b16, "image/bmp")))
+  }
+
   test("WAV depth tail (round 9): 24/32-bit PCM and IEEE float32 decode") {
     // 24-bit: -2^23 (min), 0, 2^23-1 (max) little-endian
     val w24 = wavOf(1, 24, Array(
