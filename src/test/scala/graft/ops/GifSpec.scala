@@ -179,6 +179,25 @@ class GifSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("long animation: metadata walk and single-frame decode stay cheap") {
+    // 500 frames: frameMeta must not LZW-decode (sub-ms per block), and
+    // decodeFrame(last) must skip 499 frames' pixel data by framing alone
+    val w = 16; val h = 16
+    val frames = (0 until 500).map { f =>
+      (Array.tabulate(w * h)(i => ((i + f) % 4).toByte), 3)
+    }
+    val gif = Gif.encodeAnim(w, h, pal4, frames)
+    val t0 = System.nanoTime()
+    val (n, delay) = Gif.frameMeta(gif)
+    val metaMs = (System.nanoTime() - t0) / 1e6
+    assert(n == 500 && delay == 1500)
+    val last = Gif.decodeFrame(gif, 499)
+    assert(last.indices.sameElements(frames(499)._1))
+    // generous bound: the walk is O(blocks); a full 500-frame LZW decode
+    // would be ~100× slower than a single frame's
+    assert(metaMs < 200, s"frameMeta took $metaMs ms")
+  }
+
   test("animated GIF through the Multimodal surface: n_frames and frame sampling") {
     val session = graft.SparkSpec.session
     import session.implicits._
