@@ -244,6 +244,10 @@ object NormalizeCol {
       T12c + MerAny + "|" +
       T12c + " ?[Aa][Mm]?" + MerTok + "|" +
       T12h12 + MerTok + MerTok + "|" +
+      // meridiem AFTER a spaced name+offset chain (round 9, probed):
+      // "10:30 EST +2 PM" — the 12-hour atom bounds the hour the trailing
+      // meridiem re-applies to, mirroring the scalar recursion
+      T12c + " " + TzChain + MerAny + "|" +
       "[01]\\d|2[0-3]|" +
       "(0?\\d|1[0-2])" + MerAny + ")" + TzTok + ")?"
   // ---- 3-digit-year triplets (separator context: any ≥3-digit member is

@@ -321,9 +321,12 @@ for base in ["2024/01/05 10:30", "5 Jan 2024 10:30 PM"]:
         add(f"{base} {tz}", "tz_chain")
 add("2024/01/05 10:30 +5 GMT", "tz_chain")
 add("2024/01/05 10:30 PM EST +2", "tz_chain")
-# meridiem AFTER a name+offset chain: the scalar recursion handles it but
-# the column grammar stops at one trailing tz token — measured, uncovered
-add("2024/01/05 10:30 EST +2 PM", "time_tz_chain", covered=False)
+# meridiem AFTER a name+offset chain (covered since the column grammar
+# grew the T12c-bounded chain+meridiem alternative)
+for s in ["2024/01/05 10:30 EST +2 PM", "2024/01/05 13:30 EST +2 PM",
+          "2024/01/05 10:30 GMT +5 PM", "2024/01/05 10:30 EST +2 A",
+          "2024/01/05 10:30 EST +2 P", "2024/01/05 12:30 EST +2 PM"]:
+    add(s, "tz_chain")
 # ---- exotic chains measured but OUT of battery: double clock times
 # (later-wins overwrite), sub-minute-lexer shapes ("3:4", "10:30,5"),
 # weekday after a leading time, bare-hour after a time-first date ----
