@@ -24,33 +24,45 @@ object Bench {
     // headline set only: queries flagged bench=false are layout BUILDS
     // (partitioned/bucketed table writes) — verified for correctness by the
     // driver gate, excluded from the steady-state query benchmark
+    // dev-only iteration filter (comma-separated name prefixes); the
+    // driver sets no filter, so the recorded bench is always the full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val results = graft.queries.Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.exists(q.name.startsWith)))
       .map(q => q.name -> q.run).sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
-      val a = once()
-      val b = if (a < 0) a else math.min(a, once())
+      val r1 = once()
+      val r2 = if (r1 < 0) r1 else once()
+      val b = if (r1 < 0) r1 else math.min(r1, r2)
       // builders register persisted intermediates in Caches; release them
       // after each query so cached blocks don't accumulate across the suite
       // and GC-degrade later queries (round-2 text08: 9.4 s polluted vs 1.05 s)
       graft.core.Caches.release()
-      name -> b
+      (name, b, Seq(r1, r2))
     }
     // 3-decimal per-query values keep the line short, and the headline keys
     // (metric/value/failed/sf) go LAST: harnesses that keep only the tail of
     // the process output still see the totals even if the head of this line
     // is cut off. JSON object key order is insignificant, so parsers are
     // unaffected.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // both raw runs per query, so a host-noise outlier is self-identifying
+    // in the record: a genuine regression is slow in BOTH runs, a noise
+    // window shows one slow + one in-band run (BASELINE.md protocol)
+    val runsJson = results.map { case (k, _, rs) =>
+      "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = math.rint(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // "failed" makes crashes explicit: a query that starts erroring must not
     // read as a faster run (its -1 is excluded from the total).
-    val line = s"""{"unit":"sec","queries":$qs,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
+    val line = s"""{"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
     println(line)
     // durable copy: the stdout capture truncated BENCH_r08.json's single
     // line to an unparseable tail, so the same JSON also lands in a file

@@ -137,6 +137,7 @@ object GraftExtensions {
     */
   def registerAll(spark: SparkSession): Unit = {
     graft.etl.NormalizeValue.register(spark)
+    graft.etl.InferTypeTag.register(spark)
     sqlBuilders.foreach { case (name, builder) =>
       Bridge.registerExpression(spark, name, exprs => oneArg(name, exprs, builder))
     }

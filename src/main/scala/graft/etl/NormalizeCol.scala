@@ -347,13 +347,59 @@ object NormalizeCol {
       DayMonthNameRe + "|" + MonthPermRe + ")"
   private val TimeFirstA = TimePfxA + "[,.]? " + dateOnlyRe + TzTok
 
-  val InferDateRe =
-    "^(\\d{4}-\\d{2}-\\d{2}([Tt ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|z|[+-]\\d{2}:?\\d{2})?)?|" +
+  // ---- prefix-gated split of the battery (round 10): TimeFirstA
+  // re-enumerates EVERY date family behind a clock prefix, which roughly
+  // doubled the per-row match cost of the combined alternation (the
+  // round-9 etl02 regression). But a time-first match can only start with
+  // a clock ("10:30…") or a bare hour + meridiem ("3 PM…") — a 2-token
+  // prefix testable by a tiny regex. The hot vote therefore runs the
+  // battery WITHOUT TimeFirstA, and only rows passing the cheap prefix
+  // gate also probe the time-first alternative. `InferDateRe` (the union)
+  // is unchanged for the parity battery and scalar mirrors:
+  //   match(InferDateRe) ⟺ match(InferDateMainRe) ∨ match(TimeFirstRe),
+  // and every ^TimeFirstA$ match starts with TimePfxA, which starts with
+  // T24c/T12c ("\d{1,2}:") or the bare-hour meridiem ("\d{1,2} ?[AaPp]"),
+  // so the gate never drops a true match (asserted battery-wide in
+  // DateParitySpec).
+  private val MainAlts =
+    "\\d{4}-\\d{2}-\\d{2}([Tt ]\\d{2}:\\d{2}(:\\d{2}([.,]\\d*)?)?(Z|z|[+-]\\d{2}:?\\d{2})?)?|" +
       TripletDmyRe + TimeSfxA + "|" + TripletYmdRe + TimeSfxA + "|" +
       TripletShortRe + TimeSfxA + "|" + TripletY3Re + TimeSfxA + "|" +
       MonthNameRe + TimeSfxA + "|" + DayMonthNameRe + TimeSfxA + "|" +
-      MonthPermRe + TimeSfxA + "|" + TimeFirstA + "|" +
-      Dates.NegNumDateRe + ")$"
+      MonthPermRe + TimeSfxA + "|" + Dates.NegNumDateRe
+  /** Rewrite every capturing `(` to `(?:` — none of the battery
+    * alternatives uses backreferences or group extraction, but a Java
+    * `Matcher` allocates (and zeroes) group arrays sized by the pattern's
+    * capture count on EVERY match call: with the battery's hundreds of
+    * groups that was ~9 µs/row even on rows the first (ISO) alternative
+    * accepts immediately. Non-capturing groups cut the per-row cost an
+    * order of magnitude; the accepted language is identical (asserted
+    * battery-wide in DateParitySpec), and RE2-style engines (the DuckDB
+    * oracle) accept `(?:` unchanged.
+    */
+  private[graft] def nonCapturing(re: String): String = {
+    val sb = new StringBuilder(re.length + 256)
+    var i = 0
+    var inClass = false
+    while (i < re.length) {
+      val c = re.charAt(i)
+      if (c == '\\' && i + 1 < re.length) { sb.append(c).append(re.charAt(i + 1)); i += 2 }
+      else {
+        if (inClass) { if (c == ']') inClass = false; sb.append(c) }
+        else if (c == '[') { inClass = true; sb.append(c) }
+        else if (c == '(' && !(i + 1 < re.length && re.charAt(i + 1) == '?')) sb.append("(?:")
+        else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private[graft] val InferDateMainRe = nonCapturing("^(" + MainAlts + ")$")
+  private[graft] val TimeFirstRe = nonCapturing("^" + TimeFirstA + "$")
+  private[graft] val TimeFirstGateRe = "^\\d{1,2}(?: ?[AaPp]|:)"
+
+  val InferDateRe = nonCapturing("^(" + MainAlts + "|" + TimeFirstA + ")$")
 
   // ---- vote-side mirror of the scalar battery's jump-token
   // preprocessing (Dates.preprocess — each rewrite is a measured dateutil
@@ -388,19 +434,37 @@ object NormalizeCol {
       '(\\d)''+(\\d)', '\\1/\\2', 'g'), '(^| )''+(\\d)', '\\1\\2', 'g'),
       '([A-Za-z])''+(\\d)', '\\1 \\2', 'g'), '(\\d)''+([A-Za-z])', '\\1 \\2', 'g')"""
 
-  def inferType(c: Column): Column =
+  /** Charset pre-gate: every date family carries a digit and uses only
+    * [0-9A-Za-z ,/.:'+-] (letters for month/weekday/meridiem names, '+'
+    * for ISO offsets) — a linear-scan test that excludes the bulk of
+    * alphanumeric non-dates ("Clerk#000000951") before the jump-token
+    * normalization + battery regex run.
+    */
+  private[graft] val CharsetGateRe = "^[0-9A-Za-z ,/.:+'\\-]*\\d[0-9A-Za-z ,/.:+'\\-]*$"
+
+  /** The hot path is the FUSED kernel ([[InferTypeTag]]): one custom
+    * codegen Expression running trim → int/float/bool probes → charset
+    * gate → jump-token normalization → prefix-gated battery in a single
+    * Java pass with precompiled patterns — the 8-step `regexp_replace`
+    * Column chain paid an UTF8String↔String round-trip per step per row
+    * (~40 µs/row on date-shaped cells, the round-9 etl02 cost).
+    * [[inferTypeColumnChain]] keeps the declarative form as the oracle's
+    * structural mirror; InferTypeSpec pins kernel ≡ chain cell-for-cell.
+    */
+  def inferType(c: Column): Column = InferTypeTag(c)
+
+  /** The Column-chain mirror of [[sqlInferType]] (same expression shape
+    * the DuckDB oracle runs); semantically identical to [[inferType]].
+    */
+  def inferTypeColumnChain(c: Column): Column =
     when(c.isNull || trim(c) === "", "null")
       .when(trim(c).rlike("^\\d+$"), "integer")
       .when(trim(c).rlike("^\\d*\\.\\d+$"), "float")
       .when(lower(trim(c)).isin("true", "false"), "boolean")
-      // cheap gate: every date family carries a digit and uses only
-      // [0-9A-Za-z ,/.:'+-] (letters for month/weekday/meridiem names, '+'
-      // for ISO offsets) — a linear-scan charset test that excludes the
-      // bulk of alphanumeric non-dates ("Clerk#000000951") before the
-      // jump-token normalization + big battery regex run (And codegen
-      // short-circuits), keeping the hot path at round-7 cost
-      .when(trim(c).rlike("^[0-9A-Za-z ,/.:+'\\-]*\\d[0-9A-Za-z ,/.:+'\\-]*$") &&
-        voteNormalizeCol(c).rlike(InferDateRe), "date")
+      .when(trim(c).rlike(CharsetGateRe) &&
+        (voteNormalizeCol(c).rlike(InferDateMainRe) ||
+          (voteNormalizeCol(c).rlike(TimeFirstGateRe) &&
+            voteNormalizeCol(c).rlike(TimeFirstRe))), "date")
       .otherwise("string")
 
   def sqlInferType(v: String): String =
@@ -410,6 +474,8 @@ object NormalizeCol {
       WHEN regexp_matches(trim($v), '^\\d*\\.\\d+$$') THEN 'float'
       WHEN lower(trim($v)) IN ('true', 'false') THEN 'boolean'
       WHEN regexp_matches(trim($v), '^[0-9A-Za-z ,/.:+''\\-]*\\d[0-9A-Za-z ,/.:+''\\-]*$$')
-        AND regexp_matches(${sqlVoteNormalize(v)}, '$InferDateRe') THEN 'date'
+        AND (regexp_matches(${sqlVoteNormalize(v)}, '$InferDateMainRe')
+          OR (regexp_matches(${sqlVoteNormalize(v)}, '$TimeFirstGateRe')
+            AND regexp_matches(${sqlVoteNormalize(v)}, '$TimeFirstRe'))) THEN 'date'
       ELSE 'string' END"""
 }

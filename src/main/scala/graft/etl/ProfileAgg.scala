@@ -169,7 +169,12 @@ final class ProfileBuffer {
 object ProfileBuffer {
   private val IntRe = java.util.regex.Pattern.compile("^\\d+$")
   private val FloatRe = java.util.regex.Pattern.compile("^\\d*\\.\\d+$")
-  private val DateRe = java.util.regex.Pattern.compile(NormalizeCol.InferDateRe)
+  // prefix-gated split (see NormalizeCol.InferDateMainRe): the main
+  // battery runs on every candidate; the time-first re-enumeration only
+  // on strings starting with a clock / bare-hour-meridiem shape
+  private val DateMainRe = java.util.regex.Pattern.compile(NormalizeCol.InferDateMainRe)
+  private val TimeFirstGateRe = java.util.regex.Pattern.compile(NormalizeCol.TimeFirstGateRe)
+  private val TimeFirstRe = java.util.regex.Pattern.compile(NormalizeCol.TimeFirstRe)
 
   /** Raw-string `infer_type` tag — mirrors [[NormalizeCol.inferType]]
     * (Spark `trim` strips ASCII spaces only; `find()` not `matches()` so the
@@ -182,7 +187,8 @@ object ProfileBuffer {
     else if (IntRe.matcher(t).find()) "integer"
     else if (FloatRe.matcher(t).find()) "float"
     else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")) "boolean"
-    else if (DateRe.matcher(t).find()) "date"
+    else if (DateMainRe.matcher(t).find() ||
+      (TimeFirstGateRe.matcher(t).find() && TimeFirstRe.matcher(t).find())) "date"
     else "string"
   }
 

@@ -549,24 +549,34 @@ object ScaleQueries {
           .withColumn("sig", srpSignature(col("v"), weights))
           .withColumn("nrm", Similarity.norm(col("v")))
           .transform(graft.core.Caches.persist)
-        val banded = e.select(col("id"), col("v"), col("nrm"),
+        // ids-only through the band join and pair-distinct (the sim06
+        // pattern): a band can match in up to 4 ways, so the same (q, n)
+        // pair repeats — dedup BEFORE touching vectors, or the exchange
+        // hashes ~1 KB of 64-dim payload per candidate row (~16× the
+        // bytes). Vectors re-attach after: the query side (< 20 rows) by
+        // broadcast, the neighbor side by ONE keyed join against the
+        // persisted embedding table.
+        val banded = e.select(col("id"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), 4 * b).bitwiseAND(lit(15)).as("key"))
           }: _*)).as("bk"))
-          .select(col("id"), col("v"), col("nrm"), col("bk.band"), col("bk.key"))
-        val q = banded.filter(col("id") < 20)
-          .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n"),
-            col("band"), col("key"))
-        val cand = broadcast(q).join(banded, Seq("band", "key"))
+          .select(col("id"), col("bk.band"), col("bk.key"))
+        val qb = banded.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("band"), col("key"))
+        val cand = broadcast(qb).join(banded, Seq("band", "key"))
           .filter(col("q_id") =!= col("id"))
-          .select(col("q_id"), col("id").as("n_id"), col("q_v"), col("v"),
-            col("q_n"), col("nrm"))
+          .select(col("q_id"), col("id").as("n_id"))
           .distinct()
+        val qvec = e.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n"))
+        val scored = cand
+          .join(e.select(col("id").as("n_id"), col("v"), col("nrm")), Seq("n_id"))
+          .join(broadcast(qvec), Seq("q_id"))
           .select(col("q_id"), col("n_id"),
             (Similarity.dot(col("q_v"), col("v")) / (col("q_n") * col("nrm"))).as("cos"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-        cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       },
       Some {
         val sig = sqlSrpSignature("v", 16, 64)

@@ -102,4 +102,23 @@ class DateParitySpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size} model/column splits:\n" + failures.take(40).mkString("\n"))
   }
+
+  test("prefix-gated split ≡ union battery on every golden shape (covered AND not)") {
+    // the round-10 hot path runs InferDateMainRe, then TimeFirstRe only
+    // behind TimeFirstGateRe — this replays the ENTIRE golden corpus and
+    // demands the split verdict is bit-identical to the union regex the
+    // scalar mirrors still use (the gate may never drop a true match)
+    val splits = golden._2.flatMap { case (s, fam, _, _) =>
+      val n = NormalizeCol.voteNormalize(s)
+      val union = n.matches(NormalizeCol.InferDateRe)
+      val gated = n.matches(NormalizeCol.InferDateMainRe) ||
+        (java.util.regex.Pattern.compile(NormalizeCol.TimeFirstGateRe).matcher(n).find() &&
+          n.matches(NormalizeCol.TimeFirstRe))
+      if (union != gated)
+        Some(s"[$fam] input=${PyRender.pyReprStr(s)} union=$union gated=$gated")
+      else None
+    }
+    assert(splits.isEmpty,
+      s"${splits.size} union/gated splits:\n" + splits.take(40).mkString("\n"))
+  }
 }
