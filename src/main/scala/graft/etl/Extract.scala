@@ -74,8 +74,13 @@ object Extract {
         case _ =>
       }
     }
-    // E6: HTML tag rows
-    Html.tagRows(text).foreach { t =>
+    // E6: HTML tag rows. A malformed marked section (`<![foo]>`) raises
+    // in stdlib html.parser — the reference does NOT catch it, so the
+    // whole request dies there (etl_pipeline.py:141 is try-less); sane
+    // mode here skips the HTML extractor for the document instead of
+    // killing the job (documented deviation, SaneModeSpec).
+    (try Html.tagRows(text)
+    catch { case _: HtmlParser.MarkedSectionError => Vector.empty }).foreach { t =>
       val attrs = t.attrs.map { case (k, v) => s"_html_attr_$k" -> JStr(v) }
       out += (Vector(
         "_html_tag" -> JStr(t.name),
@@ -290,13 +295,16 @@ object Yamls {
   * numeric (dec/hex) references decode — not the full HTML5 table — and
   * references missing their semicolon stay literal.
   */
+/** BeautifulSoup('html.parser') tree-building + `find_all(True)` /
+  * `get_text(strip=True)` semantics over the faithful stdlib-tokenizer
+  * port ([[HtmlParser]]) — the engine side of the reference's HTML row
+  * extraction (`etl_pipeline.py:141-148`). Battery-pinned against the
+  * genuine stdlib tokenizer by HtmlParitySpec
+  * (goldens/html_parity.json, tools/html_parity.py).
+  */
 object Html {
   final case class TagRow(name: String, text: String, attrs: Vector[(String, String)])
 
-  private val TagRe = Pattern.compile(
-    "<(/?)([a-zA-Z][a-zA-Z0-9._:\\-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>" +
-      "|<!--[\\s\\S]*?-->|<![^>]*>|<\\?[^>]*>")
-  private val AttrRe = Pattern.compile("([a-zA-Z_:][-a-zA-Z0-9_:.]*)\\s*(?:=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+)))?")
   /** bs4 HTMLTreeBuilder.empty_element_tags (html.parser backend). */
   private val Void = Set("area", "base", "br", "col", "embed", "hr", "img",
     "input", "keygen", "link", "menuitem", "meta", "param", "source", "track",
@@ -312,65 +320,66 @@ object Html {
     "iframe" -> Set("sandbox"), "output" -> Set("for"))
   /** bs4 string_containers: strings under these get non-visible types. */
   private val StringContainers = Set("script", "style", "template")
-  private val Entities = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
-    "quot" -> "\"", "apos" -> "'", "nbsp" -> "\u00a0")
 
   private final case class Text(s: String, hidden: Boolean)
-  private final class Node(val name: String, val attrs: Vector[(String, String)]) {
+  private final class Node(val name: String) {
+    // dict semantics: duplicate attribute keeps the FIRST position, LAST
+    // value (bs4 on_duplicate_attribute='replace' over a Python dict)
+    val attrs = mutable.LinkedHashMap.empty[String, String]
     val children = mutable.ArrayBuffer.empty[AnyRef] // Node | Text
   }
 
   def tagRows(text: String): Vector[TagRow] = {
-    val lower = text.toLowerCase(Locale.ROOT)
-    val root = new Node("", Vector.empty)
+    val root = new Node("")
     val stack = mutable.ArrayBuffer(root)
     val order = mutable.ArrayBuffer.empty[Node]
-    def hiddenNow: Boolean = stack.exists(n => StringContainers.contains(n.name))
-    val m = TagRe.matcher(text)
-    var pos = 0
-    while (pos <= text.length && m.find(pos)) {
-      if (m.start() > pos)
-        stack.last.children += Text(decode(text.substring(pos, m.start())), hiddenNow)
-      pos = m.end()
-      if (m.group(2) != null) {
-        val name = m.group(2).toLowerCase(Locale.ROOT)
-        if (m.group(1) == "/") {
-          // closing tag: pop to matching open tag if present
-          val idx = stack.lastIndexWhere(_.name == name)
-          if (idx > 0) stack.remove(idx + 1, stack.length - idx - 1) // implicit closes
-          if (idx > 0) stack.remove(idx)
-        } else {
-          val node = new Node(name, parseAttrs(m.group(3)))
-          stack.last.children += node
-          order += node
-          if (m.group(4) != "/" && !Void.contains(name)) {
-            stack += node
-            if (name == "script" || name == "style") {
-              // CDATA content element (html.parser): raw text up to the
-              // matching close tag, no entity decoding, hidden from get_text
-              val close = lower.indexOf("</" + name, pos)
-              val end = if (close < 0) text.length else close
-              if (end > pos) node.children += Text(text.substring(pos, end), hidden = true)
-              pos = end
-            }
-          }
-        }
-      }
+    val buf = new StringBuilder
+
+    // bs4 endData: adjacent handle_data chunks join into ONE
+    // NavigableString at the next tag/comment/decl/PI boundary, so
+    // get_text(strip=True) strips the joined run once
+    def endData(): Unit = if (buf.nonEmpty) {
+      val hidden = stack.exists(n => StringContainers.contains(n.name))
+      stack.last.children += Text(buf.toString, hidden)
+      buf.clear()
     }
-    if (pos < text.length) stack.last.children += Text(decode(text.substring(pos)), hiddenNow)
+    def open(name: String, attrs: List[(String, Option[String])], push: Boolean): Unit = {
+      endData()
+      val node = new Node(name)
+      attrs.foreach { case (k, v) => node.attrs.update(k, v.getOrElse("")) }
+      stack.last.children += node
+      order += node
+      if (push && !Void.contains(name)) stack += node
+    }
+    HtmlParser.parse(text, new HtmlParser.Handler {
+      def starttag(name: String, attrs: List[(String, Option[String])]): Unit =
+        open(name, attrs, push = true)
+      def startendtag(name: String, attrs: List[(String, Option[String])]): Unit =
+        open(name, attrs, push = false)
+      def endtag(name: String): Unit = {
+        endData()
+        // pop to the nearest matching open tag if present (implicit closes)
+        val idx = stack.lastIndexWhere(_.name == name)
+        if (idx > 0) stack.remove(idx, stack.length - idx)
+      }
+      def data(s: String): Unit = if (s.nonEmpty) buf.append(s)
+      def marker(): Unit = endData()
+    })
+    endData() // close()
 
     order.iterator.flatMap { n =>
       val t = subtreeText(n)
       if (t.length > 3) {
         val multi = MultiGlobal ++ MultiPerTag.getOrElse(n.name, Set.empty)
-        val attrs = n.attrs.map { case (k, v) =>
+        val attrs = n.attrs.iterator.map { case (k, v) =>
           if (multi.contains(k)) {
-            // re.split(r'\s+', v) semantics: '' → []; leading/trailing
-            // whitespace contributes EMPTY items (the bs4 quirk)
-            val parts = if (v.isEmpty) Array.empty[String] else v.split("\\s+", -1)
+            // re.split(r'\s+', v) semantics (PYTHON \s = Unicode
+            // White_Space): '' → []; leading/trailing whitespace
+            // contributes EMPTY items (the bs4 quirk)
+            val parts = if (v.isEmpty) Array.empty[String] else PyWsRe.split(v, -1)
             k -> parts.map(PyRender.pyReprStr).mkString("[", ", ", "]")
           } else k -> v
-        }
+        }.toVector
         Some(TagRow(n.name, t, attrs))
       } else None
     }.toVector
@@ -394,7 +403,7 @@ object Html {
     * than Java's trim (ASCII <= 0x20 only). Decoded `&nbsp;` at a text
     * node's edge must strip exactly as it does in the reference.
     */
-  private def pyStrip(s: String): String = {
+  private[etl] def pyStrip(s: String): String = {
     def ws(c: Char) =
       Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
     var i = 0
@@ -404,38 +413,7 @@ object Html {
     s.substring(i, j)
   }
 
-  private def parseAttrs(s: String): Vector[(String, String)] = {
-    if (s == null || s.trim.isEmpty) return Vector.empty
-    val m = AttrRe.matcher(s)
-    val b = Vector.newBuilder[(String, String)]
-    while (m.find()) {
-      val name = m.group(1).toLowerCase(Locale.ROOT)
-      val v = Option(m.group(3)).orElse(Option(m.group(4))).orElse(Option(m.group(5))).getOrElse("")
-      b += name -> decode(v)
-    }
-    b.result()
-  }
-
-  private def decode(s: String): String = {
-    if (!s.contains('&')) return s
-    val m = Pattern.compile("&(#?[xX]?\\w+);").matcher(s)
-    val sb = new StringBuilder
-    var pos = 0
-    while (m.find()) {
-      sb.append(s.substring(pos, m.start()))
-      val ent = m.group(1)
-      sb.append(Entities.getOrElse(ent,
-        if (ent.startsWith("#")) {
-          try {
-            val cp = if (ent.length > 1 && (ent(1) == 'x' || ent(1) == 'X'))
-              Integer.parseInt(ent.drop(2), 16)
-            else ent.drop(1).toInt
-            new String(Character.toChars(cp))
-          } catch { case _: Exception => m.group(0) }
-        } else m.group(0)))
-      pos = m.end()
-    }
-    sb.append(s.substring(pos))
-    sb.toString
-  }
+  /** Python `re.split(r'\s+', v)` whitespace (Unicode White_Space). */
+  private val PyWsRe = Pattern.compile(
+    "[\\x09-\\x0D\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+")
 }

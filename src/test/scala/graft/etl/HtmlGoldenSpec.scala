@@ -15,11 +15,10 @@ import org.apache.spark.sql.functions.col
   * invisible, HTML-inside-JSON extractor composition, named + numeric
   * (dec/hex) entities.
   *
-  * DOCUMENTED DEVIATION (the only one): the engine decodes the core named
-  * entities + numeric references, not the full HTML5 named table — an
-  * `&eacute;` the reference turns into 'é' stays literal here
-  * (`deviations` below pins the engine-side value so a silent behavior
-  * change still fails).
+  * No deviations since round 10: the engine runs a faithful port of the
+  * stdlib tokenizer + html.unescape (full WHATWG named table), measured
+  * shape-by-shape by HtmlParitySpec; these fixture goldens check the
+  * END-TO-END pipeline composition (extractor order, pivot, schema).
   */
 class HtmlGoldenSpec extends SparkSpec {
 
@@ -28,16 +27,17 @@ class HtmlGoldenSpec extends SparkSpec {
     Json.parse(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[JObj]
   }
 
-  /** fixture → (rowIdx, column) → engine-expected cell where we deviate. */
-  private val deviations: Map[String, Map[(Int, String), String]] = Map(
-    "f10_html_entities" -> Map(
-      (1, "_html_text") -> "caf&eacute; needs the full table"))
-
-  /** fixtures whose schema block we compare (f10's _html_text examples
-    * embed the deviating cell, so its schema is checked row-wise only).
+  /** fixture → (rowIdx, column) → engine-expected cell where we deviate.
+    * EMPTY since round 10: [[HtmlUnescape]] resolves the full WHATWG html5
+    * named table (exported from the stdlib into html5_entities.tsv), so
+    * the f10 `&eacute;` deviation is closed — the engine and the
+    * reference agree on every fixture cell.
     */
+  private val deviations: Map[String, Map[(Int, String), String]] = Map.empty
+
   private val schemaChecked = Set(
-    "f6_html_basic", "f7_html_malformed", "f8_html_hidden", "f9_html_in_json")
+    "f6_html_basic", "f7_html_malformed", "f8_html_hidden", "f9_html_in_json",
+    "f10_html_entities")
 
   private def expectedCell(v: JVal): Option[String] = v match {
     case JNull => None

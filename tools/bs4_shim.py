@@ -77,6 +77,7 @@ class _Builder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.soup = soup
         self.stack = [soup._root]
+        self._buf = []
 
     def _make(self, name, attrs):
         multi = CDATA_LIST_GLOBAL | CDATA_LIST_PER_TAG.get(name, set())
@@ -89,7 +90,21 @@ class _Builder(HTMLParser):
             d[k] = v
         return Tag(name, d)
 
+    # bs4 BeautifulSoup.endData: adjacent handle_data chunks buffer in
+    # current_data and join into ONE NavigableString at the next tag /
+    # comment / decl / PI event — "a <3 b" is a single string "a <3 b",
+    # not three — so get_text(strip=True) strips the JOINED run once.
+    # (`</>` is consumed with no handler call, so it does NOT flush.)
+    def _end_data(self):
+        if not self._buf:
+            return
+        data = ''.join(self._buf)
+        self._buf = []
+        hidden = any(t.name in STRING_CONTAINERS for t in self.stack)
+        self.stack[-1].children.append(('hidden' if hidden else 'text', data))
+
     def handle_starttag(self, name, attrs):
+        self._end_data()
         tag = self._make(name, attrs)
         self.stack[-1].children.append(tag)
         self.soup._order.append(tag)
@@ -97,11 +112,13 @@ class _Builder(HTMLParser):
             self.stack.append(tag)
 
     def handle_startendtag(self, name, attrs):
+        self._end_data()
         tag = self._make(name, attrs)
         self.stack[-1].children.append(tag)
         self.soup._order.append(tag)
 
     def handle_endtag(self, name):
+        self._end_data()
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == name:
                 del self.stack[i:]
@@ -110,19 +127,30 @@ class _Builder(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
-        hidden = any(t.name in STRING_CONTAINERS for t in self.stack)
-        self.stack[-1].children.append(('hidden' if hidden else 'text', data))
+        self._buf.append(data)
 
     # Comment / Doctype / ProcessingInstruction: excluded from get_text by
-    # bs4's exact-type string filtering — represented as non-text children
+    # bs4's exact-type string filtering — represented as non-text children;
+    # each flushes the text buffer exactly like bs4's typed-string endData
     def handle_comment(self, data):
+        self._end_data()
         self.stack[-1].children.append(('hidden', data))
 
     def handle_decl(self, decl):
+        self._end_data()
         self.stack[-1].children.append(('hidden', decl))
 
     def handle_pi(self, data):
+        self._end_data()
         self.stack[-1].children.append(('hidden', data))
+
+    def unknown_decl(self, data):
+        self._end_data()
+        self.stack[-1].children.append(('hidden', data))
+
+    def close(self):
+        super().close()
+        self._end_data()
 
 
 class BeautifulSoup:
