@@ -374,7 +374,7 @@ object Dates {
     * same as the ISO branch above.
     */
   private val TimeSfxRe =
-    "^[Tt ](\\d{1,2}):(\\d{2})(?::(\\d{2})(?:[.,](\\d+))?)? ?(?:([AaPp])\\.?[Mm]\\.?)?$".r
+    "^[Tt ](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:[.,](\\d+))?)? ?(?:([AaPp])\\.?[Mm]\\.?)?$".r
   /** Round-8 suffix tail (probed against dateutil): a comma with at least
     * one adjacent space is a jump before the time ("2024, 10:30" and
     * "2024/01/05 ,10:30" parse; ",10:30" with no space does not), a BARE
@@ -697,10 +697,32 @@ object Dates {
     * atom, an optional ','/'.' jump, one space, then the remainder.
     * Bare-hour leads need a meridiem ("10 PM 5 Jan 2024" parses; a bare
     * "10 5 Jan 2024" reads 10 as a date member instead).
+    *
+    * Round 10 (probed): minutes and seconds may be ONE digit — the
+    * dateutil lexer reads "3:4" as 03:04 (bounds still < 60, "3:60"
+    * fails) — and the lead may carry its own timezone, exactly the
+    * trailing-tz token set applied to the leading clock: ATTACHED
+    * ("10:30+05:00", "10:30Z", "10:30z", "10:30GMT") or ONE spaced chunk
+    * — a signed offset (" +5", " -0530", " +5:30"), a known zone
+    * (" Z", " GMT"), a POSIX-inverted attached pair (" GMT+5" → -05:00),
+    * or a known-zone chain (" GMT +5" → reset to +00:00, shape-checked).
+    * This SPLITTER only bounds token shapes; all validation (offset
+    * carry/bounds, meridiem ≤ 12, zone resets) happens in the shared
+    * [[timeSuffixTz]] recursion, so lead-position tz semantics are
+    * bit-identical to suffix-position ones. Generic NAME tokens in lead
+    * position ("10:30 EST 5 Jan 2024") stay OUT of the splitter — they
+    * collide with month/weekday vocabulary, which dateutil checks first
+    * — so those decline (documented in COVERAGE.md).
     */
   private val TimeFirst =
-    ("^(\\d{1,2}:\\d{2}(?::\\d{2}(?:[.,]\\d+)?)? ?(?:[AaPp]\\.?[Mm]\\.?)?|" +
-      "\\d{1,2} ?[AaPp]\\.?[Mm]\\.?)[,.]? (.+)$").r
+    ("^((?:\\d{1,2}:\\d{1,2}(?::\\d{1,2}(?:[.,]\\d+)?)?" +
+      "(?:[+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2}|(?:Z|z|UTC|GMT)(?:[+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2})?)?" +
+      "(?: ?[AaPp]\\.?[Mm]\\.?)?" +
+      "|\\d{1,2} ?[AaPp]\\.?[Mm]\\.?)" +
+      "(?: (?:Z|z|UTC|GMT)(?:[+-]\\d{1,4}|[+-]\\d{1,2}:\\d{2})?" +
+      "(?: [+-](?:\\d{1,2}(?::\\d{2})?|\\d{4}))?" +
+      "| [+-]\\d{1,4}| [+-]\\d{1,2}:\\d{2})?" +
+      ")[,.]? (.+)$").r
 
   /** A trailing space-separated tz-shaped token on the time-first
     * remainder: numeric offset, uppercase ≤5-letter name, or an attached

@@ -191,9 +191,14 @@ object NormalizeCol {
     * bare ",10:30" stays out), a BARE exactly-2-digit hour, and a
     * 1-2-digit hour with a meridiem.
     */
-  private val T24c = "([01]?\\d|2[0-3]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?"
-  private val T12c = "(0?\\d|1[0-2]):[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?"
-  private val T12h12 = "(0?)?12:[0-5]\\d(:[0-5]\\d([.,]\\d+)?)?"
+  // minute/second atoms are 1-2 digits (round 10, probed: the dateutil
+  // lexer reads "3:4" as 03:04 and "3:4:5" as 03:04:05; bounds stay < 60
+  // — a 2-digit value starting 6-9 leaves a dangling digit and fails).
+  // Fractions attach to SECONDS only; fraction-of-minute ("3:4.5" →
+  // 03:04:30) stays out of battery (documented, COVERAGE.md).
+  private val T24c = "([01]?\\d|2[0-3]):[0-5]?\\d(:[0-5]?\\d([.,]\\d+)?)?"
+  private val T12c = "(0?\\d|1[0-2]):[0-5]?\\d(:[0-5]?\\d([.,]\\d+)?)?"
+  private val T12h12 = "(0?)?12:[0-5]?\\d(:[0-5]?\\d([.,]\\d+)?)?"
   private val MerDot = " ?[AaPp]\\.?[Mm]\\.?"
   private val MerTok = " ?[AaPp][Mm]?"
   private val MerAny = " ?[AaPp](\\.?[Mm]\\.?)?"
@@ -339,8 +344,21 @@ object NormalizeCol {
   // (dateutil fills time and date fields independently of token order);
   // an optional trailing tz token rides on the date. Mirrors the scalar
   // battery's TimeFirst fallback.
+  // round 10: a leading clock may carry its OWN tz — attached (offset,
+  // known zone, or POSIX name+offset pair: "10:30+05:00", "10:30Z",
+  // "10:30GMT+5") or ONE spaced chunk (" +5", " Z", " GMT+5", " GMT +5"
+  // chain) — the same token set the trailing TzTok accepts, shape-checked
+  // here and value-validated by the scalar model's shared recursion.
+  // Attached-tz-with-meridiem runs through the T12c alternative so the
+  // meridiem's ≤ 12 hour rule stays structural ("23:30z PM" rejects).
+  // Generic NAME tokens stay out of lead position (month/weekday
+  // collision — dateutil checks those vocabularies first).
+  private val AttTzA = "(" + OffB + "|(Z|z|UTC|GMT)(" + OffB + ")?)"
+  private val LeadTzSp =
+    "( (Z|z|UTC|GMT)(" + OffB + ")?( [+-](\\d{1,2}(:\\d{2})?|\\d{4}))?| " + OffB + ")?"
   private val TimePfxA =
-    "(" + T24c + "|" + T12c + " ?[AaPp]\\.?[Mm]\\.?|(0?\\d|1[0-2]) ?[AaPp]\\.?[Mm]\\.?)"
+    "((" + T24c + AttTzA + "?|" + T12c + AttTzA + "? ?[AaPp]\\.?[Mm]\\.?|" +
+      "(0?\\d|1[0-2]) ?[AaPp]\\.?[Mm]\\.?)" + LeadTzSp + ")"
   private def dateOnlyRe: String =
     "(\\d{4}-\\d{2}-\\d{2}|" + TripletDmyRe + "|" + TripletYmdRe + "|" +
       TripletShortRe + "|" + TripletY3Re + "|" + MonthNameRe + "|" +

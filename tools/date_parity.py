@@ -327,12 +327,59 @@ for s in ["2024/01/05 10:30 EST +2 PM", "2024/01/05 13:30 EST +2 PM",
           "2024/01/05 10:30 GMT +5 PM", "2024/01/05 10:30 EST +2 A",
           "2024/01/05 10:30 EST +2 P", "2024/01/05 12:30 EST +2 PM"]:
     add(s, "tz_chain")
+# ---- sub-minute clocks (round 10), covered: the lexer reads 1-digit
+# minutes/seconds ("3:4" → 03:04), bounds stay < 60, meridiem keeps the
+# ≤ 12 hour rule, fractions ride on seconds; covered in suffix AND
+# time-first order, with comma jumps and tz tails composing as usual.
+# Fraction-of-MINUTE ("3:4.5" → 03:04:30) stays out (see below). ----
+for s in ["5 Jan 2024 3:4", "5 Jan 2024 13:4", "5 Jan 2024 3:4 PM",
+          "5 Jan 2024 13:4 PM", "5 Jan 2024 3:75", "5 Jan 2024 3:4:5",
+          "5 Jan 2024 3:04:5", "5 Jan 2024 03:4", "5 Jan 2024 3:4:5.5",
+          "5 Jan 2024 3:4:75", "5 Jan 2024 0:4", "5 Jan 2024 3:4 GMT",
+          "5 Jan 2024 3:4 +05:00", "5 Jan 2024 3:4 A", "5 Jan 2024, 3:4",
+          "5 Jan 2024 ,3:4", "2024-01-05 3:4", "2024-01-05T3:4",
+          "03:4 5 Jan 2024", "3:04 5 Jan 2024", "0:4 5 Jan 2024",
+          "3:4 5 Jan 2024", "3:4:5 5 Jan 2024", "3:4:5 PM 5 Jan 2024",
+          "12:4 PM 5 Jan 2024", "13:4 5 Jan 2024", "13:4:5 5 Jan 2024",
+          "23:4 5 Jan 2024", "24:4 5 Jan 2024", "3:60 5 Jan 2024"]:
+    add(s, "sub_minute")
+# ---- leading-clock tz (round 10), covered: the trailing-tz token set
+# applied to a LEADING clock — attached offsets/zones/POSIX pairs,
+# spaced offsets, known zones, chains — validated by the same shared
+# suffix recursion, so carry/bounds/resets/inversion are identical.
+# Generic NAME tokens in lead position ("10:30 EST <date>") stay out:
+# they collide with the month/weekday vocabularies dateutil checks
+# first. ----
+for s in ["10:30+05:00 5 Jan 2024", "10:30-05:00 5 Jan 2024",
+          "10:30+0530 5 Jan 2024", "10:30+5 5 Jan 2024",
+          "10:30+123 5 Jan 2024", "10:30+530 5 Jan 2024",
+          "10:30+25:00 5 Jan 2024", "10:30Z 5 Jan 2024", "10:30z 5 Jan 2024",
+          "10:30GMT 5 Jan 2024", "10:30GMT+5 5 Jan 2024",
+          "10:30 Z 5 Jan 2024", "10:30 z 5 Jan 2024", "10:30 GMT 5 Jan 2024",
+          "10:30 UTC 5 Jan 2024", "10:30 +5 5 Jan 2024",
+          "10:30 -0530 5 Jan 2024", "10:30 +123 5 Jan 2024",
+          "10:30 +5:30 5 Jan 2024", "10:30 +5:99 5 Jan 2024",
+          "10:30 +2299 5 Jan 2024", "10:30 +2399 5 Jan 2024",
+          "10:30 GMT+5 5 Jan 2024", "10:30 UTC+5 5 Jan 2024",
+          "10:30 z+5 5 Jan 2024", "10:30 Z+5 5 Jan 2024",
+          "10:30 GMT +5 5 Jan 2024", "10:30 GMT +25 5 Jan 2024",
+          "10:30 GMT +123 5 Jan 2024", "10:30 GMT +12345 5 Jan 2024",
+          "10:30 GMT +5:99 5 Jan 2024", "10:30 UTC -0530 5 Jan 2024",
+          "10:30 GMT -0 5 Jan 2024", "10:30 AM Z 5 Jan 2024",
+          "10 PM Z 5 Jan 2024", "10 PM +5 5 Jan 2024",
+          "10:30 PM +05:00 5 Jan 2024", "10:30z PM 5 Jan 2024",
+          "10:30+05:00 PM 5 Jan 2024", "10:30Z AM 5 Jan 2024"]:
+    add(s, "time_lead_tz")
 # ---- exotic chains measured but OUT of battery: double clock times
-# (later-wins overwrite), sub-minute-lexer shapes ("3:4", "10:30,5"),
-# weekday after a leading time, bare-hour after a time-first date ----
+# (later-wins overwrite), fraction-of-minute ("3:4.5" → 03:04:30,
+# "10:30,5" → 10:30:30), dot-separated clocks, weekday after a leading
+# time, generic tz NAMES in lead position, two-tz chains ----
 for s in ["2nd 3rd 2024", "Jan 5 2024 10.30", "10:30 10:40 Jan 5 2024",
-          "3:4 5 Jan 2024", "10:30 PM wed 5 Jan 2024", "10:30 2024/01/05 PM",
-          "10:30 2024", "10:30+05:00 5 Jan 2024", "10:30 Z 5 Jan 2024"]:
+          "10:30 PM wed 5 Jan 2024", "10:30 2024/01/05 PM",
+          "10:30 2024", "3:4.5 5 Jan 2024", "5 Jan 2024 3:4.5",
+          "10:30,5 Jan 5 2024", "10:30 EST 5 Jan 2024",
+          "10:30 XYZAB 5 Jan 2024", "10:30 Z 5 Jan 2024 GMT",
+          "10:30+05:00 5 Jan 2024 +3"]:
     add(s, "time_tz_chain", covered=False)
 # multi-comma digit strings are a VOTE-ONLY family (normalize_value strips
 # commas before its dateparse): the full acceptance surface is pinned by
