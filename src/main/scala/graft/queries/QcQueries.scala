@@ -1,0 +1,843 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{Clustering, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus QUALITY surface, split out of CorpusQueries in round 10 (file
+  * size hygiene; every query body byte-identical): distribution QC and
+  * drift audits (qc01-qc11), mixture planning (mix01-mix04), clustering
+  * (clust01/clust02) and the SemDeDup embedding dedup that shares their
+  * k-means CTE (dedup09). All beyond the reference's scope, sized for
+  * the 100 TB target, each exactly reproduced by a DuckDB oracle.
+  */
+object QcQueries {
+
+  /** clust01/dedup09 clustering shape — ONE definition for the Spark call
+    * sites and the oracle CTE below, so k/dim cannot silently diverge.
+    */
+  private val KmeansK = 8
+  private val KmeansDim = 64
+
+  /** The clust01 2-round Lloyd CTE block (see [[graft.ops.Clustering]]),
+    * ending in `s2(vec_id, v, cid)` — the final assignment WITH the vector,
+    * so downstream oracles (clust01's counts, dedup09's within-cluster
+    * pairs) share one bit-identical clustering.
+    */
+  private def sqlKmeans2Ctes: String = {
+    val Q = Clustering.Quant
+    def distRank(cents: String) =
+      s"""SELECT vec_id, v, cid,
+        list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c) AS dst,
+        row_number() OVER (PARTITION BY vec_id
+        ORDER BY list_dot_product(v,v) + list_dot_product(c,c) - 2*list_dot_product(v,c), cid) AS rn
+      FROM e CROSS JOIN $cents"""
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < $KmeansK),
+      a1 AS (${distRank("c0")}),
+      s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rn = 1),
+      u1 AS (SELECT cid, d, CAST(sum(CAST(round(v[d+1]*$Q) AS BIGINT)) AS BIGINT) AS sq,
+          count(*) AS n
+        FROM s1, UNNEST(generate_series(0, ${KmeansDim - 1})) AS g(d) GROUP BY cid, d),
+      c1 AS (SELECT cid, list((sq / $Q) / n ORDER BY d) AS c FROM u1 GROUP BY cid),
+      a2 AS (${distRank("c1")}),
+      s2 AS (SELECT vec_id, v, cid, dst FROM a2 WHERE rn = 1)"""
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // Z-score outlier flags (the numeric quality-control pass of a data
+    // pipeline): two passes over the fact table — (1) per-group exact
+    // integer sums n/Σd/Σd² (one map-side-combinable groupBy; dollar-scaled
+    // longs keep Σd² < 2⁶³ through ~1000× this SF), (2) broadcast the
+    // 3-row stats back and flag |d − μ| > 2σ. μ and σ² are derived from the
+    // exact integers by FIXED-ORDER double ops mirrored textually in the
+    // oracle, so the flag — and the boundary cases — are bit-identical
+    // cross-engine. The standard scale shape: no sort, no window, the fact
+    // table never shuffles (stats broadcast).
+    GraftQuery(
+      "qc01_zscore_outliers",
+      (s, d) => {
+        val rows = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("grp"),
+          round(col("l_extendedprice")).cast("long").as("d"))
+        val stats = rows.groupBy(col("grp")).agg(
+          count(lit(1)).as("n"), sum(col("d")).as("s"),
+          sum(col("d") * col("d")).as("q"))
+        rows.join(broadcast(stats), Seq("grp"))
+          .withColumn("mean", col("s").cast("double") / col("n"))
+          .withColumn("variance",
+            col("q").cast("double") / col("n") - col("mean") * col("mean"))
+          .withColumn("is_out",
+            (col("d") - col("mean")) * (col("d") - col("mean")) >
+              lit(4.0) * col("variance"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("is_out"), lit(1))).as("n_outliers"),
+            min(col("mean")).as("mean_price"))
+      },
+      Some("""WITH r AS (SELECT l_returnflag AS grp,
+            CAST(round(l_extendedprice) AS BIGINT) AS d FROM lineitem),
+          st AS (SELECT grp, count(*) AS n, CAST(sum(d) AS BIGINT) AS s,
+              CAST(sum(d*d) AS BIGINT) AS q FROM r GROUP BY 1),
+          j AS (SELECT r.grp, d, CAST(s AS DOUBLE)/n AS mean,
+              CAST(q AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n) AS variance
+            FROM r JOIN st USING (grp))
+        SELECT grp, count(*) AS n,
+          count(CASE WHEN (d - mean)*(d - mean) > 4.0*variance THEN 1 END) AS n_outliers,
+          min(mean) AS mean_price
+        FROM j GROUP BY grp"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Lloyd k-means over the embeddings (k=8, 2 rounds, first-k init) —
+    // the IVF coarse-quantizer trainer behind sim02's cell structure. Each
+    // round is a PROJECTION against centroid literals (k·dim doubles —
+    // driver-sized at any corpus scale; no join, no shuffle to assign) plus
+    // one map-side-combinable groupBy into k·dim cells to update. Distances
+    // compare as ((v·v + c·c) − 2·(v·c)) with identical association in both
+    // engines; centroid updates are quantized-integer means — so the final
+    // assignment is bit-identical under the DuckDB oracle (see
+    // [[graft.ops.Clustering]]).
+    GraftQuery(
+      "clust01_kmeans",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .transform(graft.core.Caches.persist)
+        Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
+          .groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+      },
+      Some {
+        s"""WITH $sqlKmeans2Ctes
+        SELECT cid AS cluster, count(*) AS n_vecs, min(vec_id) AS first_vec
+        FROM s2 GROUP BY cid"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means first,
+    // then cosine pairs WITHIN each cluster only; of every near-duplicate
+    // pair, the higher vec_id is dropped. The clustering is what makes
+    // semantic dedup feasible at 100 TB: pair comparison is cluster-local
+    // (cid is the shuffle key), and k grows with the corpus so per-cluster
+    // pair counts stay bounded — never a global all-pairs. A cluster that
+    // goes hot anyway degrades to SRP star edges (see
+    // [[graft.ops.Clustering.semanticDrops]]; clusters here are ≤ ~700 rows
+    // at every test SF, so the uncapped plan — which the oracle mirrors —
+    // is what runs). Norms are precomputed once per vector; the clustering
+    // itself is the bit-identical clust01 trainer, so the DuckDB oracle
+    // reproduces the exact assignment and the exact drop set.
+    GraftQuery(
+      "dedup09_semdedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .transform(graft.core.Caches.persist)
+        val assigned = Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
+          .withColumn("n", Similarity.norm(col("v")))
+          .transform(graft.core.Caches.persist) // norm once per vector, not per pair
+        val dropped = Clustering
+          .semanticDrops(assigned, dim = KmeansDim, minCos = 0.35, threshold = 4096)
+          .withColumn("dup", lit(1))
+        assigned.join(dropped, Seq("cid", "vec_id"), "left")
+          .groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"), count(col("dup")).as("n_dropped"),
+            (count(lit(1)) - count(col("dup"))).as("n_kept"))
+      },
+      Some {
+        s"""WITH $sqlKmeans2Ctes,
+          nrm AS (SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS n FROM s2),
+          dropped AS (SELECT DISTINCT b.cid, b.vec_id FROM nrm a JOIN nrm b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.35)
+        SELECT s2.cid AS cluster, count(*) AS n_vecs,
+          count(d.vec_id) AS n_dropped,
+          count(*) - count(d.vec_id) AS n_kept
+        FROM s2 LEFT JOIN dropped d ON s2.cid = d.cid AND s2.vec_id = d.vec_id
+        GROUP BY s2.cid"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Batch-level drift QC (the feed-monitoring companion to qc01's
+    // row-level outliers): per (event_type, day) batch, flag days whose
+    // mean deviates from the full-history mean by more than 2 standard errors
+    // (z-test, (μ_d − μ)² > 4σ²/n). Same determinism contract as qc01:
+    // exact integer sums n/Σc/Σc² in two map-side-combinable groupBys
+    // (cents-scaled longs — Σc² < 2⁶³ through ~10000× this SF), the 5-row
+    // global stats broadcast back to the day-level frame, and μ/σ² derived
+    // by FIXED-ORDER double ops mirrored textually in the oracle. The fact
+    // table is scanned once per aggregate and never shuffled row-wise.
+    GraftQuery(
+      "qc02_batch_drift",
+      (s, d) => {
+        val rows = Tables.events(s, d).select(
+          col("event_type"),
+          to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val daily = rows.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sd"))
+        val glob = rows.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nn"), sum(col("cents")).as("ss"),
+            sum(col("cents") * col("cents")).as("qq"))
+        daily.join(broadcast(glob), Seq("event_type"))
+          .withColumn("mean_g", col("ss").cast("double") / col("nn"))
+          .withColumn("var_g",
+            col("qq").cast("double") / col("nn") - col("mean_g") * col("mean_g"))
+          .withColumn("mean_d", col("sd").cast("double") / col("n"))
+          .withColumn("is_drift",
+            (col("mean_d") - col("mean_g")) * (col("mean_d") - col("mean_g")) >
+              lit(4.0) * col("var_g") / col("n"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            count(when(col("is_drift"), lit(1))).as("n_drift_days"))
+      },
+      Some("""WITH r AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+          daily AS (SELECT event_type, day, count(*) AS n,
+              CAST(sum(cents) AS BIGINT) AS sd FROM r GROUP BY 1, 2),
+          gs AS (SELECT event_type, count(*) AS nn, CAST(sum(cents) AS BIGINT) AS ss,
+              CAST(sum(cents * cents) AS BIGINT) AS qq FROM r GROUP BY 1),
+          j AS (SELECT d.event_type, n,
+              CAST(sd AS DOUBLE) / n AS mean_d, CAST(ss AS DOUBLE) / nn AS mean_g,
+              CAST(qq AS DOUBLE) / nn - (CAST(ss AS DOUBLE) / nn) * (CAST(ss AS DOUBLE) / nn) AS var_g
+            FROM daily d JOIN gs g USING (event_type))
+        SELECT event_type, count(*) AS n_days,
+          count(CASE WHEN (mean_d - mean_g) * (mean_d - mean_g) > 4.0 * var_g / n
+            THEN 1 END) AS n_drift_days
+        FROM j GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Temperature-based mixture weights (the UnifiedQA / Pile recipe,
+    // alpha = 0.5): per (lang, source) the char mass n_i is raised to
+    // n_i^alpha and renormalized, flattening the head so low-resource
+    // sources are up-sampled. The corpus-scale stage is ONE map-side-
+    // combinable groupBy; the weight table is mixture-sized (#groups) and
+    // the grand total joins back as a broadcast scalar. Determinism:
+    // sqrt is IEEE-exact on integer inputs in both engines, micro-scaled
+    // to BIGINT before the sum, and each weight is a single double
+    // division of two BIGINTs rounded once — no float accumulation.
+    GraftQuery(
+      "mix01_temperature",
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .withColumn("s_micro", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+        val t = c.agg(sum(col("s_micro")).as("total"))
+        c.crossJoin(broadcast(t)).select(
+          col("lang"), col("source"), col("n_docs"), col("chars"), col("s_micro"),
+          round(col("s_micro") * 1000000.0 / col("total")).cast("long").as("weight_ppm"),
+          round(col("s_micro") * 100000.0 / col("total")).cast("long").as("take"))
+      },
+      Some("""WITH c AS (SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY 1, 2),
+        s AS (SELECT lang, source, n_docs, chars,
+            CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS s_micro FROM c),
+        t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS total FROM s)
+        SELECT lang, source, n_docs, chars, s_micro,
+          CAST(round(s_micro * 1000000.0 / total) AS BIGINT) AS weight_ppm,
+          CAST(round(s_micro * 100000.0 / total) AS BIGINT) AS take
+        FROM s, t"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Mixture quota planning (mix01's weights turned into an executable
+    // plan): a 10M-token budget is allocated across (lang, source) groups
+    // proportionally to the temperature weights using LARGEST-REMAINDER
+    // rounding, so the integer quotas sum EXACTLY to the budget — floor
+    // division loses < 1 token per group, and the leftover goes to the
+    // groups with the largest remainders (ties broken lexicographically).
+    // epochs_ppm = quota/available shows which groups must oversample
+    // (> 1e6 ppm = more than one pass). All arithmetic is exact BIGINT
+    // except the final ppm, one rounded division; the ranking window runs
+    // on the mixture-sized table, never the corpus. Budget stays at 1e7 so
+    // B * s_micro (~5e16) cannot overflow 64 bits at any test SF.
+    GraftQuery(
+      "mix02_epoch_plan",
+      (s, d) => {
+        val B = 10000000L
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("chars"))
+          .withColumn("s_micro", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+        val t = c.agg(sum(col("s_micro")).as("total"))
+        val j = c.crossJoin(broadcast(t))
+          .withColumn("base", expr(s"($B * s_micro) div total"))
+          .withColumn("rem", expr(s"($B * s_micro) % total"))
+        val l = j.agg((lit(B) - sum(col("base"))).as("leftover"))
+        val ranked = j.crossJoin(broadcast(l))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+          .withColumn("quota",
+            col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        ranked.select(col("lang"), col("source"), col("chars"), col("quota"),
+          round(col("quota") * 1000000.0 / col("chars")).cast("long").as("epochs_ppm"),
+          (col("quota") > col("chars")).cast("int").as("oversampled"))
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY 1, 2),
+          s AS (SELECT lang, source, chars,
+              CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS s_micro FROM c),
+          t AS (SELECT CAST(sum(s_micro) AS BIGINT) AS total FROM s),
+          j AS (SELECT lang, source, chars,
+              (10000000 * s_micro) // total AS base,
+              (10000000 * s_micro) % total AS rem
+            FROM s, t),
+          l AS (SELECT 10000000 - CAST(sum(base) AS BIGINT) AS leftover FROM j),
+          r AS (SELECT j.*, leftover,
+              row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+            FROM j, l)
+        SELECT lang, source, chars,
+          CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
+          CAST(round((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            * 1000000.0 / chars) AS BIGINT) AS epochs_ppm,
+          CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END > chars AS INT)
+            AS oversampled
+        FROM r"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Embedding-space drift QC (qc02's z-test lifted to the vector
+    // modality): the corpus splits into a reference half and a batch half
+    // (vec_id parity — the deterministic stand-in for "last week vs this
+    // week's embedding run"); per label the two centroids are compared by
+    // squared L2 shift. Centroids use the kmeans integer-quantization
+    // contract: per-dimension sums of round(v_d·Q) are EXACT BIGINTs (one
+    // map-side-combinable groupBy over label×split×dim — the corpus never
+    // shuffles whole vectors), divided once; the shift is three sequential
+    // list_dot_products on dim-ordered arrays, so every float op has one
+    // fixed order in both engines. At 100 TB the explode is a projection
+    // (64 ints per vector) and everything after the first agg is
+    // label-sized.
+    GraftQuery(
+      "qc10_embedding_drift",
+      (s, d) => {
+        val Q = Clustering.Quant
+        val e = Tables.embeddings(s, d).select(col("label"),
+          (col("vec_id") % 2 === 1).as("is_batch"),
+          Similarity.toDouble(col("embedding")).as("v"))
+        val u = e.select(col("label"), col("is_batch"),
+            posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("label"), col("is_batch"), col("d"))
+          .agg(sum(round(col("x") * Q).cast("long")).as("sq"),
+            count(lit(1)).as("n"))
+        val cent = u.groupBy(col("label"), col("is_batch"))
+          .agg(transform(
+              array_sort(collect_list(struct(col("d"), col("sq"), col("n")))),
+              t => (t.getField("sq") / Q) / t.getField("n")).as("c"),
+            min(col("n")).as("n"))
+        val r = cent.filter(!col("is_batch"))
+          .select(col("label"), col("c").as("cr"), col("n").as("n_ref"))
+        val b = cent.filter(col("is_batch"))
+          .select(col("label"), col("c").as("cb"), col("n").as("n_batch"))
+        val shift2 = Similarity.dot(col("cr"), col("cr")) +
+          Similarity.dot(col("cb"), col("cb")) -
+          lit(2.0) * Similarity.dot(col("cr"), col("cb"))
+        r.join(b, Seq("label"))
+          .select(col("label"), col("n_ref"), col("n_batch"),
+            shift2.as("shift2"),
+            (shift2 > 0.001).cast("int").as("drifted"))
+      },
+      Some {
+        val Q = Clustering.Quant
+        s"""WITH e AS (SELECT label, vec_id % 2 = 1 AS is_batch,
+              embedding::DOUBLE[] AS v FROM embeddings),
+          u AS (SELECT label, is_batch, d,
+              CAST(sum(CAST(round(v[d+1]*$Q) AS BIGINT)) AS BIGINT) AS sq,
+              count(*) AS n
+            FROM e, UNNEST(generate_series(0, 63)) AS g(d) GROUP BY 1, 2, 3),
+          cent AS (SELECT label, is_batch, list((sq / $Q) / n ORDER BY d) AS c,
+              min(n) AS n FROM u GROUP BY 1, 2),
+          r AS (SELECT label, c AS cr, n AS n_ref FROM cent WHERE NOT is_batch),
+          b AS (SELECT label, c AS cb, n AS n_batch FROM cent WHERE is_batch)
+        SELECT label, n_ref, n_batch,
+          list_dot_product(cr, cr) + list_dot_product(cb, cb)
+            - 2*list_dot_product(cr, cb) AS shift2,
+          CAST(list_dot_product(cr, cr) + list_dot_product(cb, cb)
+            - 2*list_dot_product(cr, cb) > 0.001 AS INT) AS drifted
+        FROM r JOIN b USING (label)"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Water-filling mixture allocation (mix02 without oversampling): a
+    // budget of half the corpus' total chars is allocated proportionally
+    // to the temperature weights, but a group can never receive more than
+    // it HAS (max one epoch). Each of 3 unrolled rounds allocates the
+    // remaining budget over the still-unsaturated groups by the mix02
+    // largest-remainder rule, clamps at availability, and returns the
+    // surplus to the pool — the classic water-filling fixed point; any
+    // residual after 3 rounds is reported as `unallocated` (deterministic
+    // whether or not the mixture has converged). All arithmetic is exact
+    // BIGINT (one IEEE sqrt per group, one rounded ppm division at the
+    // end); every round's global sums are 1-row broadcasts and the
+    // ranking windows run on the mixture-sized table, never the corpus.
+    GraftQuery(
+      "mix03_water_filling",
+      (s, d) => {
+        // persist the mixture-sized table (≤ #groups rows): each round's
+        // scalar aggregates (pool, leftover) re-evaluate their input — and
+        // the rounds NEST — so without this the corpus groupBy would re-run
+        // a lineage-exponential number of times (measured 6.5 s → 0.4 s at
+        // sf0.1); same for each round's 97-row state below
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("chars"))
+          .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+          .transform(graft.core.Caches.persist)
+        val b = c.agg(expr("sum(chars) div 2").as("B"))
+        val w0 = c.crossJoin(broadcast(b))
+          .withColumn("cum", lit(0L)).withColumn("sat", lit(false))
+
+        def round1(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val stats = w.agg(
+            (max(col("B")) - sum(col("cum"))).as("R"),
+            coalesce(sum(when(!col("sat"), col("sm"))), lit(0L)).as("T"))
+          val j = w.crossJoin(broadcast(stats))
+            .withColumn("base", when(col("sat") || col("T") === 0, lit(0L))
+              .otherwise(expr("(R * sm) div T")))
+            .withColumn("rem", when(col("sat") || col("T") === 0, lit(-1L))
+              .otherwise(expr("(R * sm) % T")))
+          val lo = j.agg((max(col("R")) - sum(col("base"))).as("lo"))
+          val want = col("cum") + col("base") +
+            when(!col("sat") && col("T") > 0 && col("rk") <= col("lo"), 1L)
+              .otherwise(0L)
+          j.crossJoin(broadcast(lo))
+            .withColumn("rk", row_number().over(
+              Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+            .select(col("lang"), col("source"), col("chars"), col("sm"), col("B"),
+              least(want, col("chars")).as("cum"),
+              (col("sat") || want >= col("chars")).as("sat"))
+            .transform(graft.core.Caches.persist)
+        }
+
+        val fin = round1(round1(round1(w0)))
+        val un = fin.agg((max(col("B")) - sum(col("cum"))).as("unallocated"))
+        fin.crossJoin(broadcast(un)).select(
+          col("lang"), col("source"), col("chars"), col("cum").as("quota"),
+          col("sat").cast("int").as("saturated"),
+          round(col("cum") * 1000000.0 / col("chars")).cast("long").as("fill_ppm"),
+          col("unallocated"))
+      },
+      Some {
+        def rnd(prev: String, n: Int): String = {
+          val bonus = s"CASE WHEN NOT sat AND T > 0 AND rk <= lo THEN 1 ELSE 0 END"
+          s"""st$n AS (SELECT max(B) - CAST(sum(cum) AS BIGINT) AS R,
+              CAST(coalesce(sum(sm) FILTER (WHERE NOT sat), 0) AS BIGINT) AS T
+            FROM $prev),
+          j$n AS (SELECT p.*, st$n.R, st$n.T,
+              CASE WHEN sat OR T = 0 THEN 0 ELSE (R * sm) // T END AS base,
+              CASE WHEN sat OR T = 0 THEN -1 ELSE (R * sm) % T END AS rem
+            FROM $prev p, st$n),
+          l$n AS (SELECT max(R) - CAST(sum(base) AS BIGINT) AS lo FROM j$n),
+          r$n AS (SELECT j$n.*, lo,
+              row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+            FROM j$n, l$n),
+          w$n AS (SELECT lang, source, chars, sm, B,
+              least(cum + base + $bonus, chars) AS cum,
+              sat OR cum + base + $bonus >= chars AS sat
+            FROM r$n)"""
+        }
+        s"""WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+              FROM documents GROUP BY 1, 2),
+          s AS (SELECT lang, source, chars,
+              CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS sm FROM c),
+          b AS (SELECT CAST(sum(chars) AS BIGINT) // 2 AS B FROM s),
+          w0 AS (SELECT lang, source, chars, sm, B,
+              CAST(0 AS BIGINT) AS cum, FALSE AS sat FROM s, b),
+          ${rnd("w0", 1)}, ${rnd("w1", 2)}, ${rnd("w2", 3)},
+          un AS (SELECT max(B) - CAST(sum(cum) AS BIGINT) AS unallocated FROM w3)
+        SELECT lang, source, chars, cum AS quota, CAST(sat AS INT) AS saturated,
+          CAST(round(cum * 1000000.0 / chars) AS BIGINT) AS fill_ppm, unallocated
+        FROM w3, un"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // Expectation-suite QC (the Deequ/Great-Expectations shape): five
+    // declared checks — completeness, key uniqueness, value-domain,
+    // numeric bounds, regex pattern — evaluated in ONE aggregate pass over
+    // the fact table (the distinct-count check rides Spark's expand in the
+    // same job), then pivoted to a check-report of rows. At 100 TB the
+    // whole suite is one scan; each metric is an exact integer count and
+    // each ppm is a single rounded division of two BIGINTs.
+    GraftQuery(
+      "qc04_expectations",
+      (s, d) => {
+        val a = Tables.orders(s, d).agg(
+          count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("c_nn"),
+          countDistinct(col("o_orderkey")).as("u_key"),
+          count(when(col("o_orderstatus").isin("O", "F", "P"), lit(1))).as("c_status"),
+          count(when(col("o_totalprice").between(1000, 200000), lit(1))).as("c_price"),
+          count(when(col("o_orderpriority").rlike("^[1-3]-"), lit(1))).as("c_prio"))
+        def check(name: String, c: org.apache.spark.sql.Column) =
+          struct(lit(name).as("chk"),
+            round(c * 1000000.0 / col("n")).cast("long").as("observed_ppm"),
+            (col("n") - c).as("violations"))
+        a.select(explode(array(
+            check("completeness_priority", col("c_nn")),
+            check("uniqueness_orderkey", col("u_key")),
+            check("domain_status", col("c_status")),
+            check("bounds_totalprice", col("c_price")),
+            check("pattern_priority", col("c_prio")))).as("c"))
+          .select(col("c.chk").as("chk"), col("c.observed_ppm").as("observed_ppm"),
+            col("c.violations").as("violations"))
+          .withColumn("passed", (col("violations") === 0).cast("int"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS n,
+            count(o_orderpriority) AS c_nn,
+            count(DISTINCT o_orderkey) AS u_key,
+            count(*) FILTER (o_orderstatus IN ('O','F','P')) AS c_status,
+            count(*) FILTER (o_totalprice BETWEEN 1000 AND 200000) AS c_price,
+            count(*) FILTER (regexp_matches(o_orderpriority, '^[1-3]-')) AS c_prio
+          FROM orders),
+        r AS (
+          SELECT 'completeness_priority' AS chk,
+            CAST(round(c_nn*1000000.0/n) AS BIGINT) AS observed_ppm, n - c_nn AS violations FROM a
+          UNION ALL SELECT 'uniqueness_orderkey',
+            CAST(round(u_key*1000000.0/n) AS BIGINT), n - u_key FROM a
+          UNION ALL SELECT 'domain_status',
+            CAST(round(c_status*1000000.0/n) AS BIGINT), n - c_status FROM a
+          UNION ALL SELECT 'bounds_totalprice',
+            CAST(round(c_price*1000000.0/n) AS BIGINT), n - c_price FROM a
+          UNION ALL SELECT 'pattern_priority',
+            CAST(round(c_prio*1000000.0/n) AS BIGINT), n - c_prio FROM a)
+        SELECT chk, observed_ppm, violations,
+          CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+        FROM r"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // K-means model QC (inertia / worst-fit): per cluster, the exact sum
+    // and max of squared distance to the FINAL centroids — the number an
+    // IVF index build reads to decide whether k was large enough. Rides
+    // the clust01 trainer (bit-identical iterations); the scoring pass is
+    // one centroid-literal projection + one map-side-combinable groupBy,
+    // with each distance micro-rounded to BIGINT before the sum (never a
+    // float accumulation).
+    GraftQuery(
+      "clust02_inertia",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+          .transform(graft.core.Caches.persist)
+        val (assigned, cents) = Clustering.kmeansWithCents(e, KmeansK, KmeansDim, iters = 2)
+        assigned
+          .withColumn("dst_micro",
+            round(Clustering.minDist(col("v"), cents) * 1000000.0).cast("long"))
+          .groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("dst_micro")).as("inertia_micro"),
+            max(col("dst_micro")).as("max_dist_micro"))
+      },
+      Some(s"""WITH $sqlKmeans2Ctes
+        SELECT cid AS cluster, count(*) AS n_vecs,
+          CAST(sum(CAST(round(dst * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_micro,
+          max(CAST(round(dst * 1000000.0) AS BIGINT)) AS max_dist_micro
+        FROM s2 GROUP BY cid"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // k-anonymity audit (privacy QC before a data release): group sizes
+    // over the quasi-identifier tuple (nation, segment, rounded balance
+    // band); any combination shared by fewer than k=5 individuals is
+    // re-identifiable. Two map-side-combinable aggregations — QI-tuple
+    // sizes, then a segment-level rollup of the risk — with the fact table
+    // scanned ONCE; the audit output is segment-sized at any corpus scale.
+    GraftQuery(
+      "qc05_kanonymity",
+      (s, d) => {
+        val g = Tables.customer(s, d)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(round(c_acctbal) AS BIGINT) DIV 1000").as("bal_band"))
+          .agg(count(lit(1)).as("sz"))
+        g.groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_combos"),
+            count(when(col("sz") < 5, lit(1))).as("risky_combos"),
+            sum(when(col("sz") < 5, col("sz")).otherwise(lit(0L))).as("risky_rows"),
+            min(col("sz")).as("min_group"),
+            max(col("sz")).as("max_group"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+            CAST(round(c_acctbal) AS BIGINT) // 1000 AS bal_band, count(*) AS sz
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT c_mktsegment AS segment, count(*) AS n_combos,
+          count(*) FILTER (sz < 5) AS risky_combos,
+          CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+          min(sz) AS min_group, max(sz) AS max_group
+        FROM g GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Population-stability-index drift audit (the standard scorecard drift
+    // metric, complementing qc02's mean-shift test): event values bin to 8
+    // fixed-width cells, the month splits in half by calendar day, and
+    // PSI = Σ (p_a − p_b)·ln(p_a/p_b) with add-one smoothing so empty
+    // cells stay finite. The bin grid is enumerated (type × 8) so absent
+    // cells contribute their smoothed term exactly; each term micro-rounds
+    // to an integer before the order-free sum. Two map-side-combinable
+    // aggregations + a broadcast of the (type, split)-sized totals — the
+    // fact table is scanned once, shuffled never.
+    GraftQuery(
+      "qc06_psi_drift",
+      (s, d) => {
+        val rows = Tables.events(s, d).select(
+          col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("in_a"),
+          greatest(lit(0), least(lit(7), floor(col("value") / 25).cast("int")))
+            .as("bin"))
+        val binc = rows.groupBy(col("event_type"), col("bin"))
+          .agg(count(when(col("in_a"), lit(1))).as("ca"),
+            count(when(!col("in_a"), lit(1))).as("cb"))
+        val grid = rows.select(col("event_type")).distinct()
+          .select(col("event_type"), explode(sequence(lit(0), lit(7))).as("bin"))
+        val tot = rows.groupBy(col("event_type"))
+          .agg(count(when(col("in_a"), lit(1))).as("ta"),
+            count(when(!col("in_a"), lit(1))).as("tb"))
+        val pa = (col("ca") + 1).cast("double") / (col("ta") + 8).cast("double")
+        val pb = (col("cb") + 1).cast("double") / (col("tb") + 8).cast("double")
+        grid.join(binc, Seq("event_type", "bin"), "left")
+          .na.fill(0L, Seq("ca", "cb"))
+          .join(broadcast(tot), Seq("event_type"))
+          .withColumn("term_micro",
+            round((pa - pb) * log(pa / pb) * 1000000.0).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+            sum(col("term_micro")).as("psi_micro"))
+      },
+      Some("""WITH r AS (SELECT event_type,
+            day(ts) <= 15 AS in_a,
+            greatest(0, least(7, CAST(floor(value / 25) AS INT))) AS bin
+          FROM events),
+          binc AS (SELECT event_type, bin,
+              count(CASE WHEN in_a THEN 1 END) AS ca,
+              count(CASE WHEN NOT in_a THEN 1 END) AS cb
+            FROM r GROUP BY 1, 2),
+          grid AS (SELECT event_type, g.bin FROM (SELECT DISTINCT event_type FROM r),
+            (SELECT unnest(generate_series(0, 7)) AS bin) g),
+          tot AS (SELECT event_type,
+              count(CASE WHEN in_a THEN 1 END) AS ta,
+              count(CASE WHEN NOT in_a THEN 1 END) AS tb
+            FROM r GROUP BY 1),
+          j AS (SELECT g.event_type,
+              coalesce(b.ca, 0) + 1 AS sa, coalesce(b.cb, 0) + 1 AS sb, ta, tb
+            FROM grid g LEFT JOIN binc b USING (event_type, bin)
+            JOIN tot USING (event_type)),
+          terms AS (SELECT event_type, ta, tb,
+              CAST(round((CAST(sa AS DOUBLE)/(ta+8) - CAST(sb AS DOUBLE)/(tb+8))
+                * ln((CAST(sa AS DOUBLE)/(ta+8)) / (CAST(sb AS DOUBLE)/(tb+8)))
+                * 1000000.0e0) AS BIGINT) AS term_micro
+            FROM j)
+        SELECT event_type, max(ta) AS n_a, max(tb) AS n_b,
+          CAST(sum(term_micro) AS BIGINT) AS psi_micro
+        FROM terms GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit audit (fraud / synthetic-data QC): the leading
+    // digit of every order total against the Benford expectation
+    // log10(1 + 1/d). Organic monetary data follows the law; fabricated or
+    // truncated feeds drift visibly. One scan + a ≤9-cell map-side
+    // groupBy; the expectation is a per-digit constant both engines
+    // compute from the identical closed form, micro-rounded.
+    GraftQuery(
+      "qc08_benford",
+      (s, d) => {
+        val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int")
+        val counts = Tables.orders(s, d)
+          .filter(col("o_totalprice") >= 1)
+          .groupBy(digit.as("digit"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("total"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("obs_ppm", round(col("n") * 1000000.0 / col("total")).cast("long"))
+          .withColumn("exp_ppm",
+            round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)) * 1000000.0)
+              .cast("long"))
+          .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+            abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      },
+      Some("""WITH c AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n
+            FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT digit, n,
+          CAST(round(n * 1000000.0e0 / total) AS BIGINT) AS obs_ppm,
+          CAST(round(ln(1.0e0 + 1.0e0 / digit) / ln(10.0e0) * 1000000.0e0) AS BIGINT)
+            AS exp_ppm,
+          abs(CAST(round(n * 1000000.0e0 / total) AS BIGINT)
+            - CAST(round(ln(1.0e0 + 1.0e0 / digit) / ln(10.0e0) * 1000000.0e0)
+              AS BIGINT)) AS dev_ppm
+        FROM c, t"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Feed-freshness audit (the first page of any pipeline dashboard): per
+    // event type, event count, last-seen timestamp, staleness in whole
+    // minutes behind the freshest feed, and a >30-min stale flag. One
+    // map-side-combinable groupBy + a 1-row broadcast back — integer
+    // minute arithmetic on µs timestamps, never a float.
+    GraftQuery(
+      "qc09_freshness",
+      (s, d) => {
+        val per = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+        val glob = per.agg(max(col("last_ts")).as("g_ts"))
+        per.crossJoin(broadcast(glob))
+          .withColumn("lag_min",
+            expr("(unix_micros(g_ts) - unix_micros(last_ts)) div 60000000"))
+          .select(col("event_type"), col("n"), col("last_ts"), col("lag_min"),
+            (col("lag_min") > 30).cast("int").as("is_stale"))
+      },
+      Some("""WITH per AS (SELECT event_type, count(*) AS n, max(ts) AS last_ts
+            FROM events GROUP BY 1),
+          g AS (SELECT max(last_ts) AS g_ts FROM per)
+        SELECT event_type, n, last_ts,
+          (epoch_us(g_ts) - epoch_us(last_ts)) // 60000000 AS lag_min,
+          CAST((epoch_us(g_ts) - epoch_us(last_ts)) // 60000000 > 30 AS INT)
+            AS is_stale
+        FROM per, g"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Two-phase anneal schedule (the mid-training data-curriculum recipe:
+    // a long temperature-weighted pretrain phase, then a short "anneal"
+    // phase upweighting high-quality sources). Phase budgets split the
+    // mix01 char budget 90/10 by integer div. Pretrain allocates by the
+    // sqrt-temperature weights (mix01's sm); anneal allocates by
+    // quality-boosted weights — groups in the top half by mean doc length
+    // (rank over (chars div docs) desc with lang/source tie-break, the
+    // deterministic quality proxy) count 3x their chars. Both phases use
+    // mix02's largest-remainder rule, so each phase's quotas sum EXACTLY
+    // to its budget. All arithmetic is exact BIGINT (one IEEE sqrt per
+    // group); every global sum is a 1-row broadcast and the ranking
+    // windows run on the <=97-row mixture table, never the corpus —
+    // mix03's scale shape unchanged.
+    GraftQuery(
+      "mix04_anneal",
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("chars"), count(lit(1)).as("docs"))
+          .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
+          .withColumn("mlen", expr("chars div docs"))
+          .transform(graft.core.Caches.persist)
+        val tot = c.agg(expr("sum(chars) div 2").as("B"), count(lit(1)).as("ng"))
+        val qw = Window.orderBy(col("mlen").desc, col("lang"), col("source"))
+        val w = c.crossJoin(broadcast(tot))
+          .withColumn("rkq", row_number().over(qw))
+          .withColumn("boost", expr("CASE WHEN rkq <= (ng + 1) div 2 THEN 1 ELSE 0 END"))
+          .withColumn("wa", col("chars") * when(col("boost") === 1, lit(3L)).otherwise(lit(1L)))
+          .withColumn("b_pre", expr("(B * 9) div 10"))
+          .withColumn("b_ann", expr("B - (B * 9) div 10"))
+          .transform(graft.core.Caches.persist)
+        // pretrain phase: largest-remainder over sm
+        val tp = w.agg(sum(col("sm")).as("tpre"))
+        val ap = w.crossJoin(broadcast(tp))
+          .withColumn("basep", expr("(b_pre * sm) div tpre"))
+          .withColumn("remp", expr("(b_pre * sm) % tpre"))
+        val lp = ap.agg((max(col("b_pre")) - sum(col("basep"))).as("lop"))
+        val qp = ap.crossJoin(broadcast(lp))
+          .withColumn("rkp", row_number().over(
+            Window.orderBy(col("remp").desc, col("lang"), col("source"))))
+          .withColumn("q_pre",
+            col("basep") + when(col("rkp") <= col("lop"), 1L).otherwise(0L))
+          .transform(graft.core.Caches.persist)
+        // anneal phase: largest-remainder over the boosted weights
+        val ta = w.agg(sum(col("wa")).as("tann"))
+        val aa = qp.crossJoin(broadcast(ta))
+          .withColumn("basea", expr("(b_ann * wa) div tann"))
+          .withColumn("rema", expr("(b_ann * wa) % tann"))
+        val la = aa.agg((max(col("b_ann")) - sum(col("basea"))).as("loa"))
+        aa.crossJoin(broadcast(la))
+          .withColumn("rka", row_number().over(
+            Window.orderBy(col("rema").desc, col("lang"), col("source"))))
+          .withColumn("q_ann",
+            col("basea") + when(col("rka") <= col("loa"), 1L).otherwise(0L))
+          .select(col("lang"), col("source"), col("chars"), col("boost"),
+            col("q_pre"), col("q_ann"), (col("q_pre") + col("q_ann")).as("q_total"))
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars,
+              count(*) AS docs FROM documents GROUP BY 1, 2),
+          s AS (SELECT lang, source, chars, docs,
+              CAST(round(sqrt(chars) * 1000000.0) AS BIGINT) AS sm,
+              chars // docs AS mlen FROM c),
+          t AS (SELECT CAST(sum(chars) AS BIGINT) // 2 AS B, count(*) AS ng FROM s),
+          q AS (SELECT s.*, t.B, t.ng,
+              row_number() OVER (ORDER BY mlen DESC, lang, source) AS rkq FROM s, t),
+          w AS (SELECT *,
+              CASE WHEN rkq <= (ng + 1) // 2 THEN 1 ELSE 0 END AS boost,
+              chars * CASE WHEN rkq <= (ng + 1) // 2 THEN 3 ELSE 1 END AS wa,
+              (B * 9) // 10 AS b_pre, B - (B * 9) // 10 AS b_ann FROM q),
+          tp AS (SELECT CAST(sum(sm) AS BIGINT) AS tpre FROM w),
+          ap AS (SELECT w.*, (b_pre * sm) // tpre AS basep,
+              (b_pre * sm) % tpre AS remp FROM w, tp),
+          lp AS (SELECT max(b_pre) - CAST(sum(basep) AS BIGINT) AS lop FROM ap),
+          qp AS (SELECT ap.*, lop,
+              row_number() OVER (ORDER BY remp DESC, lang, source) AS rkp
+            FROM ap, lp),
+          pp AS (SELECT *, basep + CASE WHEN rkp <= lop THEN 1 ELSE 0 END AS q_pre
+            FROM qp),
+          ta AS (SELECT CAST(sum(wa) AS BIGINT) AS tann FROM w),
+          aa AS (SELECT pp.*, (b_ann * wa) // tann AS basea,
+              (b_ann * wa) % tann AS rema FROM pp, ta),
+          la AS (SELECT max(b_ann) - CAST(sum(basea) AS BIGINT) AS loa FROM aa),
+          ra AS (SELECT aa.*, loa,
+              row_number() OVER (ORDER BY rema DESC, lang, source) AS rka
+            FROM aa, la)
+        SELECT lang, source, chars, boost,
+          q_pre, basea + CASE WHEN rka <= loa THEN 1 ELSE 0 END AS q_ann,
+          q_pre + basea + CASE WHEN rka <= loa THEN 1 ELSE 0 END AS q_total
+        FROM ra"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Metadata-consistency audit over duplicated content: group the
+    // corpus by the exact-content fingerprint (dedup01's unit) and flag
+    // groups whose copies disagree on lang or source — the label noise
+    // dedup-unaware annotation pipelines introduce (the same document
+    // crawled twice, tagged differently; training on both teaches the
+    // classifier noise). One map-side-combinable groupBy on the
+    // fingerprint, a 1-row summary; nothing leaves the executors until
+    // the final counts.
+    GraftQuery(
+      "qc11_fd_audit",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .groupBy(TA.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"))
+          .filter(col("n_docs") >= 2)
+        g.agg(
+          count(lit(1)).as("dup_groups"),
+          count(when(col("n_langs") > 1, lit(1))).as("lang_violations"),
+          count(when(col("n_sources") > 1, lit(1))).as("source_violations"),
+          coalesce(sum(when(col("n_langs") > 1, col("n_docs"))), lit(0L))
+            .as("docs_in_lang_violation"),
+          coalesce(max(col("n_langs")), lit(0L)).as("max_langs"))
+      },
+      Some(s"""WITH g AS (SELECT ${TA.Sql.fingerprint("text")} AS fp,
+              count(*) AS n_docs,
+              count(DISTINCT lang) AS n_langs,
+              count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY 1 HAVING count(*) >= 2)
+        SELECT count(*) AS dup_groups,
+          count(*) FILTER (n_langs > 1) AS lang_violations,
+          count(*) FILTER (n_sources > 1) AS source_violations,
+          CAST(coalesce(sum(n_docs) FILTER (n_langs > 1), 0) AS BIGINT)
+            AS docs_in_lang_violation,
+          coalesce(max(n_langs), 0) AS max_langs
+        FROM g"""),
+    ),
+  )
+}

@@ -16,6 +16,7 @@ object Registry {
     StreamQueries.all,
     ScaleQueries.all,
     CorpusQueries.all,
+    QcQueries.all,
     PipelineQueries.all,
   )
 
