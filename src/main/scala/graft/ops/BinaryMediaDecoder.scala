@@ -299,6 +299,12 @@ object BinaryMediaDecoder extends MediaDecoder {
       val (hd, px) = Jpeg.decode(b.content)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
         rasterFeaturesRgb(hd.w, hd.h, hd.channels, px))
+    case "image/webp" =>
+      // full VP8L lossless decode (RGBA); lossy VP8 refuses inside
+      // Webp.decode with a typed "unsupported" message → decodeSafe row
+      val (hd, px) = Webp.decode(b.content)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
+        rasterFeaturesRgb(hd.w, hd.h, 4, px))
     case "image/gif" =>
       val (hd, px) = Gif.decode(b.content)
       // n_frames is the REAL animation frame count (LZW-free metadata
@@ -437,6 +443,12 @@ object BinaryMediaDecoder extends MediaDecoder {
       val row = new Array[Byte](hd.w * hd.channels)
       System.arraycopy(px, idx * row.length, row, 0, row.length)
       row
+    case "image/webp" =>
+      val (hd, px) = Webp.decode(b.content)
+      require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
+      val row = new Array[Byte](hd.w * 4)
+      System.arraycopy(px, idx * row.length, row, 0, row.length)
+      row
     case "image/bmp" =>
       val hd = parseBmp(b.content)
       require(idx >= 0 && idx < hd.h, s"row $idx out of range 0..${hd.h - 1}")
@@ -572,6 +584,23 @@ object BinaryMediaDecoder extends MediaDecoder {
       }
       val pal = if (palette.length >= 12) palette else palette.padTo(12, 0.toByte)
       Gif.encode(w, h, pal, out)
+    case "image/webp" =>
+      // VP8L is lossless, so resize re-encodes exactly: nearest-neighbor
+      // resample of the decoded RGBA raster back through encodeLossless
+      val (hd, px) = Webp.decode(b.content)
+      val out = new Array[Byte](w * h * 4)
+      var y = 0
+      while (y < h) {
+        val sy = y * hd.h / h
+        var x = 0
+        while (x < w) {
+          val sx = x * hd.w / w
+          System.arraycopy(px, (sy * hd.w + sx) * 4, out, (y * w + x) * 4, 4)
+          x += 1
+        }
+        y += 1
+      }
+      Webp.encodeLossless(w, h, out)
     case "image/jpeg" =>
       // JPEG is DECODE-ONLY here: a faithful lossy re-encode needs the
       // forward DCT + rate decisions of a full encoder, and silently
@@ -592,5 +621,11 @@ object BinaryMediaDecoder extends MediaDecoder {
   def jpegRaster(b: Multimodal.Blob): (Jpeg.Header, Array[Byte]) = {
     require(b.mime == "image/jpeg", s"jpegRaster on mime ${b.mime}")
     Jpeg.decode(b.content)
+  }
+
+  /** Decoded full RGBA raster — sibling of [[pngRaster]]/[[jpegRaster]]. */
+  def webpRaster(b: Multimodal.Blob): (Webp.Header, Array[Byte]) = {
+    require(b.mime == "image/webp", s"webpRaster on mime ${b.mime}")
+    Webp.decode(b.content)
   }
 }

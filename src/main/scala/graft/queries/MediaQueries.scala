@@ -622,6 +622,71 @@ object MediaQueries {
     ),
 
     // ------------------------------------------------------------------
+    // WebP VP8L round trip, oracle-audited end to end (round 10): each
+    // doc's text fills an 8×8 RGBA raster, Webp.encodeLossless emits a
+    // genuine RIFF/VP8L stream (canonical Huffman trees via the
+    // code-length code; even doc_ids route through the subtract-green
+    // transform) and the FULL spec decoder recovers it through the
+    // MediaDecoder plug point. The audit sums every decoded RGBA byte;
+    // the oracle recomputes the sum straight from the text in DuckDB —
+    // a transform/tree/bit-order error anywhere breaks the hash. Scale:
+    // per-row map, shuffle-free until the 1-row aggregate.
+    GraftQuery(
+      "mm12_webp_lossless",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            def at(j: Int) = bytes(j % bytes.length) & 0xff
+            val rgba = new Array[Byte](8 * 8 * 4)
+            var i = 0
+            while (i < 64) {
+              rgba(i * 4) = at(7 * i + 1).toByte
+              rgba(i * 4 + 1) = at(5 * i + 2).toByte
+              rgba(i * 4 + 2) = at(3 * i + 4).toByte
+              rgba(i * 4 + 3) = 0xff.toByte
+              i += 1
+            }
+            val webp = graft.ops.Webp.encodeLossless(8, 8, rgba,
+              subtractGreen = id % 2 == 0)
+            val blob = graft.ops.Multimodal.Blob(id, webp, "image/webp", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path
+            val (_, px) = graft.ops.BinaryMediaDecoder.webpRaster(blob)
+            var sum = 0L
+            var k = 0
+            while (k < px.length) { sum += px(k) & 0xff; k += 1 }
+            (meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      // pixel i: R=text[(7i+1)%len], G=text[(5i+2)%len], B=text[(3i+4)%len],
+      // A=255 — decoded sum = Σ(R+G+B) + 64·255 per doc
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 64), i ->
+                ascii(substring(text, ((i*7 + 1) % len) + 1, 1)) +
+                ascii(substring(text, ((i*5 + 2) % len) + 1, 1)) +
+                ascii(substring(text, ((i*3 + 4) % len) + 1, 1)))) + 64*255
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 8 AS BIGINT) AS sum_w,
+          CAST(count(*) * 8 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Fault-TOLERANT mixed-corpus media scan (round 9): a quarter of the
     // corpus decodes cleanly (4×4 gray PNG from text bytes), the rest is
     // the realistic crawl debris — arithmetic-coded JPEG (SOF9, a format

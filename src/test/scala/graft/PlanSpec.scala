@@ -495,9 +495,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("mm08-mm11: codec scans are per-row maps — partial agg, no join, no window") {
+  test("mm08-mm12: codec scans are per-row maps — partial agg, no join, no window") {
     for (q <- Seq("mm08_palette_adam7", "mm09_mixed_media_errors",
-        "mm10_jpeg_progressive", "mm11_gif_anim")) {
+        "mm10_jpeg_progressive", "mm11_gif_anim", "mm12_webp_lossless")) {
       val p = planOf(q)
       assert(p.contains("partial_"), s"$q: $p")
       assert(!p.contains("Join"), s"$q: $p")

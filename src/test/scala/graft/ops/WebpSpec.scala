@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VP8L decode against the INDEPENDENT Python encoder's fixtures
+  * (tools/make_webp_fixture.py — bit conventions re-derived from the
+  * public spec, not shared code), plus Scala-side encode round trips,
+  * container metadata, and malformed-payload refusals.
+  */
+class WebpSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    require(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def rgbaAt(px: Array[Byte], w: Int, x: Int, y: Int): (Int, Int, Int, Int) = {
+    val i = (y * w + x) * 4
+    (px(i) & 0xff, px(i + 1) & 0xff, px(i + 2) & 0xff, px(i + 3) & 0xff)
+  }
+
+  test("literal RGB fixture decodes to the exact formula raster") {
+    val (hd, px) = Webp.decode(fixture("webp_rgb.webp"))
+    assert(hd.w == 8 && hd.h == 5 && hd.lossless)
+    for (y <- 0 until 5; x <- 0 until 8)
+      assert(rgbaAt(px, 8, x, y) ==
+        (((7 * x + 13 * y) % 256, (3 * x + 5 * y) % 256, (11 * x + y) % 256, 255)),
+        s"($x,$y)")
+  }
+
+  test("subtract-green fixture inverts to the same raster as the literal one") {
+    val (_, a) = Webp.decode(fixture("webp_rgb.webp"))
+    val (_, b) = Webp.decode(fixture("webp_sg.webp"))
+    assert(a.sameElements(b))
+  }
+
+  test("2-symbol SIMPLE codes assign code 0 to the FIRST READ symbol, not the smaller") {
+    val (hd, px) = Webp.decode(fixture("webp_simple2.webp"))
+    assert(hd.w == 4 && hd.h == 3)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val g = if ((x + y) % 2 == 0) 200 else 10
+      val r = if (x % 2 == 0) 99 else 1
+      assert(rgbaAt(px, 4, x, y) == ((r, g, 7, 255)), s"($x,$y)")
+    }
+  }
+
+  test("color-cache fixture: cache hits reproduce the 4-color cycle") {
+    val (hd, px) = Webp.decode(fixture("webp_cache.webp"))
+    assert(hd.w == 8 && hd.h == 6)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val i = (x + y) % 4
+      assert(rgbaAt(px, 8, x, y) == ((40 * i + 5, 80 * i + 3, 20 * i + 7, 255)), s"($x,$y)")
+    }
+  }
+
+  test("LZ77 fixture: dist+120 row copy and a plane-code-2 run") {
+    val (hd, px) = Webp.decode(fixture("webp_lz77.webp"))
+    assert(hd.w == 8 && hd.h == 4)
+    def rowFormula(x: Int) = (((7 * x) % 256, (3 * x) % 256, (11 * x) % 256, 255))
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val pos = y * 8 + x
+      val want = if (pos >= 29) rowFormula(4) else rowFormula(x)
+      assert(rgbaAt(px, 8, x, y) == want, s"($x,$y)")
+    }
+  }
+
+  test("palette fixture: color-indexing with 2-bit bundling") {
+    val (hd, px) = Webp.decode(fixture("webp_palette.webp"))
+    assert(hd.w == 12 && hd.h == 5)
+    for (y <- 0 until 5; x <- 0 until 12) {
+      val i = (x + 2 * y) % 4
+      assert(rgbaAt(px, 12, x, y) == ((60 * i + 9, 50 * i + 2, 30 * i + 4, 255)), s"($x,$y)")
+    }
+  }
+
+  test("predictor fixture: modes L/T/avg(L,T)/Select across 4x4 blocks") {
+    val (hd, px) = Webp.decode(fixture("webp_pred.webp"))
+    assert(hd.w == 8 && hd.h == 5)
+    for (y <- 0 until 5; x <- 0 until 8)
+      assert(rgbaAt(px, 8, x, y) ==
+        (((5 * x + y) % 256, (2 * x + 3 * y) % 256, (x + 7 * y) % 256, 255)), s"($x,$y)")
+  }
+
+  test("lossy VP8 parses exact metadata and refuses pixel decode") {
+    val bytes = fixture("webp_lossy.webp")
+    val hd = Webp.meta(bytes)
+    assert(hd.w == 24 && hd.h == 10 && !hd.lossless)
+    val e = intercept[IllegalArgumentException](Webp.decode(bytes))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("encode round trip: literal and subtract-green, with real alpha") {
+    val w = 13; val h = 7
+    val rgba = new Array[Byte](w * h * 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 4
+      rgba(i) = ((17 * x + 29 * y + 3) % 256).toByte
+      rgba(i + 1) = ((5 * x * x + y) % 256).toByte
+      rgba(i + 2) = ((x + 31 * y) % 256).toByte
+      rgba(i + 3) = ((200 + 7 * x + y) % 256).toByte
+    }
+    for (sg <- Seq(false, true)) {
+      val bytes = Webp.encodeLossless(w, h, rgba, subtractGreen = sg)
+      val (hd, out) = Webp.decode(bytes)
+      assert(hd.w == w && hd.h == h && hd.hasAlpha)
+      assert(out.sameElements(rgba), s"subtractGreen=$sg")
+    }
+  }
+
+  test("encode round trip: 1x1 and single-color images (degenerate trees)") {
+    val one = Array[Byte](10, 20, 30, -1)
+    val (hd1, out1) = Webp.decode(Webp.encodeLossless(1, 1, one))
+    assert(hd1.w == 1 && hd1.h == 1 && out1.sameElements(one))
+    val flat = Array.fill(6 * 4 * 4)(0.toByte)
+    for (i <- flat.indices if i % 4 == 3) flat(i) = -1
+    val (hd2, out2) = Webp.decode(Webp.encodeLossless(6, 4, flat))
+    assert(hd2.w == 6 && hd2.h == 4 && out2.sameElements(flat))
+  }
+
+  test("the generated plane-code table matches the spec's listed prefix") {
+    val specPrefix = Seq(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0))
+    assert(Webp.PlaneCodes.length == 120)
+    assert(Webp.PlaneCodes.take(24).toSeq == specPrefix)
+  }
+
+  test("malformed payloads refuse with typed messages") {
+    val good = fixture("webp_rgb.webp")
+    assert(intercept[IllegalArgumentException](
+      Webp.decode("not a webp at all".getBytes)).getMessage.contains("signature"))
+    assert(intercept[IllegalArgumentException](
+      Webp.decode(good.take(20))).getMessage.toLowerCase.contains("trunc"))
+    // corrupt the VP8L signature byte
+    val bad = good.clone(); bad(20) = 0x00
+    intercept[IllegalArgumentException](Webp.decode(bad))
+  }
+}
