@@ -106,9 +106,17 @@ object InferTypeKernel {
     if (i == 0 && j == s.length) s else s.substring(i, j)
   }
 
-  def tag(v: UTF8String): UTF8String = {
-    if (v == null) return TagNull
-    val t = trimSpaces(v.toString)
+  def tag(v: UTF8String): UTF8String =
+    if (v == null) TagNull else tagOf(v.toString)
+
+  /** Scalar entry for JVM-side mirrors (ProfileBuffer.rawTag): identical
+    * decision chain, returned as the interned tag's String.
+    */
+  def tagString(v: String): String =
+    if (v == null) "null" else tagOf(v).toString
+
+  private def tagOf(s0: String): UTF8String = {
+    val t = trimSpaces(s0)
     if (t.isEmpty) return TagNull
     if (IntP.matcher(t).find()) return TagInt
     if (FloatP.matcher(t).find()) return TagFloat

@@ -167,37 +167,19 @@ final class ProfileBuffer {
 }
 
 object ProfileBuffer {
-  private val IntRe = java.util.regex.Pattern.compile("^\\d+$")
-  private val FloatRe = java.util.regex.Pattern.compile("^\\d*\\.\\d+$")
-  // prefix-gated split (see NormalizeCol.InferDateMainRe): the main
-  // battery runs on every candidate; the time-first re-enumeration only
-  // on strings starting with a clock / bare-hour-meridiem shape
-  private val DateMainRe = java.util.regex.Pattern.compile(NormalizeCol.InferDateMainRe)
-  private val TimeFirstGateRe = java.util.regex.Pattern.compile(NormalizeCol.TimeFirstGateRe)
-  private val TimeFirstRe = java.util.regex.Pattern.compile(NormalizeCol.TimeFirstRe)
-
-  /** Raw-string `infer_type` tag — mirrors [[NormalizeCol.inferType]]
-    * (Spark `trim` strips ASCII spaces only; `find()` not `matches()` so the
-    * anchored patterns behave exactly like `rlike`, where `$` also matches
-    * before a trailing line terminator — "123\n" is integer in both).
+  /** Raw-string `infer_type` tag — the SAME decision chain as the Column
+    * vote, via [[InferTypeKernel.tagString]]. Round 10 closed a latent
+    * divergence here: the old inline probes ran the date battery on the
+    * raw trimmed string WITHOUT the charset gate or the jump-token
+    * normalization, so a date cell like "Mon, 10 Feb 2025" would tag
+    * `date` through `NormalizeCol.inferType` (etl03's path and the
+    * DuckDB oracle) but `string` through this one-pass path (etl09) —
+    * unobservable on the date-free orders fixture, but a real split.
+    * Sharing the kernel makes the two paths identical by construction
+    * (and InferTypeSpec pins kernel ≡ Column chain on the parity
+    * corpus).
     */
-  def rawTag(v: String): String = {
-    val t = trimSpaces(v)
-    if (t.isEmpty) "null"
-    else if (IntRe.matcher(t).find()) "integer"
-    else if (FloatRe.matcher(t).find()) "float"
-    else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")) "boolean"
-    else if (DateMainRe.matcher(t).find() ||
-      (TimeFirstGateRe.matcher(t).find() && TimeFirstRe.matcher(t).find())) "date"
-    else "string"
-  }
-
-  private def trimSpaces(s: String): String = {
-    var i = 0; var j = s.length
-    while (i < j && s.charAt(i) == ' ') i += 1
-    while (j > i && s.charAt(j - 1) == ' ') j -= 1
-    s.substring(i, j)
-  }
+  def rawTag(v: String): String = InferTypeKernel.tagString(v)
 
   def decode(bytes: Array[Byte]): ProfileBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))

@@ -708,7 +708,7 @@ object MediaQueries {
         val blobs = docs.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
           val len = bytes.length
-          (id % 4) match {
+          (id % 5) match {
             case 0 => // valid: 4x4 gray PNG
               val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
               graft.ops.Multimodal.Blob(id,
@@ -724,8 +724,18 @@ object MediaQueries {
               val px = Array.tabulate(16)(i => bytes((i * 3 + 1) % len))
               graft.ops.Multimodal.Blob(id,
                 graft.ops.Png.encode(4, 4, 0, px).dropRight(10), "image/png", Map.empty)
-            case _ => // text bytes mislabeled as an image
+            case 3 => // text bytes mislabeled as an image
               graft.ops.Multimodal.Blob(id, bytes, "image/png", Map.empty)
+            case _ => // lossy-VP8 WebP (round 10): metadata parses, pixel
+              // decode refuses with the documented "unsupported" message
+              val body = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+                24, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+              val riff = "RIFF".getBytes("US-ASCII") ++
+                Array[Byte]((4 + 8 + body.length).toByte, 0, 0, 0) ++
+                "WEBP".getBytes("US-ASCII") ++
+                "VP8 ".getBytes("US-ASCII") ++
+                Array[Byte](body.length.toByte, 0, 0, 0) ++ body
+              graft.ops.Multimodal.Blob(id, riff, "image/webp", Map.empty)
           }
         }
         val res = graft.ops.Multimodal.decodeSafe(blobs, graft.ops.BinaryMediaDecoder)
@@ -736,13 +746,15 @@ object MediaQueries {
             sum(col("width").cast("long")).as("sum_w"),
             sum(col("height").cast("long")).as("sum_h"))
       },
-      // kinds are a pure function of doc_id mod 4: ok (decoded 4×4),
-      // unsupported (SOF9 refusal), truncated (cut chunk), not_media
-      // (bad signature); error rows carry width = height = 0
+      // kinds are a pure function of doc_id mod 5: ok (decoded 4×4),
+      // unsupported (SOF9 arithmetic JPEG and lossy-VP8 WebP merge into
+      // one kind row), truncated (cut chunk), not_media (bad signature);
+      // error rows carry width = height = 0
       Some("""WITH img AS (SELECT doc_id FROM documents WHERE length(text) > 0),
-          c AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'ok' WHEN 1 THEN 'unsupported'
-              WHEN 2 THEN 'truncated' ELSE 'not_media' END AS kind,
-              CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END AS w
+          c AS (SELECT CASE doc_id % 5 WHEN 0 THEN 'ok' WHEN 1 THEN 'unsupported'
+              WHEN 2 THEN 'truncated' WHEN 3 THEN 'not_media'
+              ELSE 'unsupported' END AS kind,
+              CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END AS w
             FROM img)
         SELECT kind, count(*) AS n_blobs,
           CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(w) AS BIGINT) AS sum_h

@@ -79,10 +79,23 @@ object ScaleUp {
     replicate("embeddings", (df, r) =>
       if (r == 0) df
       else {
+        // per-replica isometry: rotate by r mod 64, REVERSE when
+        // (r/64) is odd → 128 distinct coordinate permutations (round
+        // 10; the old `r mod 16` rotation repeated every 16 replicas,
+        // so a ×100 corpus carried ~6 IDENTICAL copies of every vector
+        // — bucket-joined ANN then measured a duplicates blowup, not
+        // the algorithm). Permutations preserve norms, coordinate
+        // distributions and intra-replica geometry exactly; cross-
+        // replica cosines decorrelate.
+        val rot = r % 64
+        val rotated =
+          if (rot == 0) col("embedding")
+          else expr(s"""concat(slice(embedding, $rot + 1, size(embedding) - $rot),
+                   slice(embedding, 1, $rot))""")
+        val perm = if ((r / 64) % 2 == 1) reverse(rotated) else rotated
         df.select(
           (col("vec_id") + lit(r * VEC)).as("vec_id"),
-          expr(s"""concat(slice(embedding, ${r % 16} + 1, size(embedding) - ${r % 16}),
-                   slice(embedding, 1, ${r % 16}))""").as("embedding"),
+          perm.as("embedding"),
           col("label"))
       })
 

@@ -60,21 +60,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("sim04: pair-distinct dedups ids only — no vector payload in its exchange") {
+  test("sim04/sim06: pair-distinct dedups ids only — no vector payload in its exchange") {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.types.ArrayType
-    val plan = SparkEntry.queries("sim04_srp_lsh")(spark, sf).queryExecution.sparkPlan
-    // the distinct lowers to keys-only HashAggregates; every exchange
-    // below one must carry scalar ids/bands only — a 64-dim vector in
-    // that schema means candidates are deduped with ~1 KB payload rows
-    val distinctAggs = plan.collect {
-      case a: BaseAggregateExec if a.aggregateExpressions.isEmpty => a
+    for (q <- Seq("sim04_srp_lsh", "sim06_knn_graph")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      // the distinct lowers to keys-only HashAggregates; every exchange
+      // below one must carry scalar ids/bands only — a 64-dim vector in
+      // that schema means candidates are deduped with ~1 KB payload rows
+      val distinctAggs = plan.collect {
+        case a: BaseAggregateExec if a.aggregateExpressions.isEmpty => a
+      }
+      assert(distinctAggs.nonEmpty, s"$q: $plan")
+      val offending = distinctAggs.flatMap(_.collect {
+        case ex: ShuffleExchangeExec if ex.output.exists(_.dataType.isInstanceOf[ArrayType]) => ex
+      })
+      assert(offending.isEmpty, s"$q:\n" + offending.mkString("\n"))
     }
-    assert(distinctAggs.nonEmpty, plan.toString)
-    val offending = distinctAggs.flatMap(_.collect {
-      case ex: ShuffleExchangeExec if ex.output.exists(_.dataType.isInstanceOf[ArrayType]) => ex
-    })
-    assert(offending.isEmpty, offending.mkString("\n"))
   }
 
   test("text07: PII scrub is a pure projection — no shuffle at all") {

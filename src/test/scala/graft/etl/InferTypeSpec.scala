@@ -46,4 +46,18 @@ class InferTypeSpec extends SparkSpec {
       s"input=${PyRender.pyReprStr(String.valueOf(r.get(0)))} fused=${r.get(1)} chain=${r.get(2)}")
       .mkString("\n"))
   }
+
+  test("ProfileBuffer.rawTag (the one-pass profiler's tagger) shares the kernel verdict") {
+    // the round-10 contract: etl03's Column path and etl09's
+    // TypedImperativeAggregate path must tag every cell identically —
+    // including the date battery's charset gate and jump-token
+    // normalization the old inline rawTag probes skipped
+    val inputs = (goldenInputs ++ adversarial).distinct.filter(_ != null)
+    val diff = inputs.filter(s =>
+      ProfileBuffer.rawTag(s) != InferTypeKernel.tagString(s))
+    assert(diff.isEmpty, diff.take(20).map(PyRender.pyReprStr).mkString("\n"))
+    // and a date shape the OLD rawTag would have mis-tagged as string:
+    assert(ProfileBuffer.rawTag("Mon, 10 Feb 2025") == "date")
+    assert(ProfileBuffer.rawTag("2025-11-05.") == "date")
+  }
 }

@@ -344,6 +344,34 @@ def shapes():
         S.append('<a t="%s">attr ent body</a>' % e)
         S.append('<a class="%s x">attr ent multi</a>' % e)
 
+    # --- deterministic soup fuzz: 600 shapes assembled from a token
+    # vocabulary by a seeded LCG — catches interactions the
+    # hand-enumerated families miss (tokenizer state machine crossings,
+    # entity/tag/comment adjacency, surprise pops) ---
+    vocab = [
+        '<div>', '</div>', '<p>', '</p>', '<span class="a b">', '</span>',
+        '<br>', '<img src=x>', '<b>', '</b>', '<i>', '</i>', '<a href="#">',
+        '</a>', '<li>', '</li>', '<table>', '</table>', '<tr>', '</tr>',
+        '<td>', '</td>', '<script>', '</script>', '<style>', '</style>',
+        '<template>', '</template>', '<!-- c -->', '<!---->', '<!DOCTYPE html>',
+        '<?pi?>', '<![CDATA[x]]>', 'word', 'longer words here', 'ab', 'x',
+        '1 < 2', '&amp;', '&eacute;', '&unknown;', '&#65;', '&amp', '&',
+        '<', '>', '<a b="v>', '</ x>', '<1bad>', '</>', '<div', ' ', '\n',
+        '\t', '  ', '<DIV>', '</DIV>', '<a b c>', '<a b="x" b="y">',
+        '<input value="q">', '&nbsp;', '<em>deep <u>under</u></em>',
+    ]
+    seed = 0x2545F4914F6CDD1D
+    state = 12345
+
+    def lcg():
+        nonlocal state
+        state = (state * 6364136223846793005 + seed) % (1 << 64)
+        return state >> 33
+
+    for _ in range(600):
+        k = 3 + lcg() % 12
+        S.append(''.join(vocab[lcg() % len(vocab)] for _ in range(k)))
+
     # --- combinatorial: broken-tag tails ---
     frags = ['<a', '<a ', '<a b', '<a b=', '<a b="v', "<a b='v", '<a b="v"',
              '<a b=v', '<a /', '<a b="v" /']
