@@ -3,12 +3,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Bench main (driver contract): times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query runs twice and
-  * reports the faster run (BASELINE.md protocol: warm timings — the first
-  * iteration pays JIT/codegen warm-up that a long-lived cluster never sees);
-  * `value` is the sum of per-query warm times.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Protocol (round 11): the suite runs as TWO FULL PASSES — pass 1 times
+  * every query once in name order, then pass 2 times every query once
+  * again — and each query's two samples are paired ACROSS passes. The
+  * round-10 back-to-back pairing could not self-identify host noise: a
+  * multi-minute load window inflated both adjacent runs and the pair
+  * agreed on garbage (driver r10 recorded etl02 [25.1, 21.8] s where fresh
+  * JVMs measure 1.0 s). With pass-separated samples the same window lands
+  * on at most one of them, so noise shows as a disagreeing pair. Each
+  * sample also records /proc/loadavg (1-min) and its start offset from
+  * bench start, so a load burst is visible in the record itself.
+  *
+  * `value` is the sum of per-query best-of-two times (warm timings — pass 1
+  * pays JIT/codegen warm-up that a long-lived cluster never sees).
   */
 object Bench {
+  private def loadAvg(): Double =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      s.split("\\s+")(0).toDouble
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,26 +41,36 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // headline set only: queries flagged bench=false are layout BUILDS
     // (partitioned/bucketed table writes) — verified for correctness by the
-    // driver gate, excluded from the steady-state query benchmark
+    // driver gate, excluded from the steady-state query benchmark.
     // dev-only iteration filter (comma-separated name prefixes); the
     // driver sets no filter, so the recorded bench is always the full set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
-    val results = graft.queries.Registry.all.filter(_.bench)
+    val queries = graft.queries.Registry.all.filter(_.bench)
       .filter(q => only.forall(_.exists(q.name.startsWith)))
-      .map(q => q.name -> q.run).sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val r1 = once()
-      val r2 = if (r1 < 0) r1 else once()
-      val b = if (r1 < 0) r1 else math.min(r1, r2)
+      .map(q => q.name -> q.run).sortBy(_._1)
+
+    val t0 = System.nanoTime()
+    final case class Sample(sec: Double, load: Double, startOff: Double)
+    def onePass(): Seq[Sample] = queries.map { case (_, fn) =>
+      val load = loadAvg()
+      val off = (System.nanoTime() - t0) / 1e9
+      val s0 = System.nanoTime()
+      val sec =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - s0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       // builders register persisted intermediates in Caches; release them
       // after each query so cached blocks don't accumulate across the suite
       // and GC-degrade later queries (round-2 text08: 9.4 s polluted vs 1.05 s)
       graft.core.Caches.release()
-      (name, b, Seq(r1, r2))
+      Sample(sec, load, off)
+    }
+    val pass1 = onePass()
+    val pass2 = onePass()
+
+    val results = queries.zip(pass1.zip(pass2)).map { case ((name, _), (a, b)) =>
+      val ok = Seq(a.sec, b.sec).filter(_ >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.min
+      (name, best, Seq(a, b))
     }
     // 3-decimal per-query values keep the line short, and the headline keys
     // (metric/value/failed/sf) go LAST: harnesses that keep only the tail of
@@ -50,19 +78,30 @@ object Bench {
     // is cut off. JSON object key order is insignificant, so parsers are
     // unaffected.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def r2d(v: Double): Double = math.rint(v * 100) / 100
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // both raw runs per query, so a host-noise outlier is self-identifying
-    // in the record: a genuine regression is slow in BOTH runs, a noise
-    // window shows one slow + one in-band run (BASELINE.md protocol)
-    val runsJson = results.map { case (k, _, rs) =>
-      "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]"
+    // both raw runs per query — PAIRED ACROSS FULL PASSES, so a bursty
+    // noise window cannot inflate both samples of the same query: a genuine
+    // regression is slow in BOTH passes, noise shows a disagreeing pair
+    val runsJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":[" + ss.map(s => r3(s.sec)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // per-sample 1-min loadavg at query start: a sample taken under load
+    // is adjudicable from the record alone (VERDICT r10 item 2)
+    val loadJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":[" + ss.map(s => r2d(s.load)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // per-sample start offset (sec since bench start) — locates each sample
+    // on the wall clock so an external noise window can be lined up
+    val tJson = results.map { case (k, _, ss) =>
+      "\"" + k + "\":[" + ss.map(s => r2d(s.startOff)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // "failed" makes crashes explicit: a query that starts erroring must not
     // read as a faster run (its -1 is excluded from the total).
-    val line = s"""{"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
+    val line = s"""{"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"t":$tJson,"protocol":"two-pass","sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
     println(line)
     // durable copy: the stdout capture truncated BENCH_r08.json's single
     // line to an unparseable tail, so the same JSON also lands in a file

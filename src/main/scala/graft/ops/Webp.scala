@@ -317,7 +317,9 @@ object Webp {
       metaImage = decodeImageStream(br, mw, mh)
       var mx = 0
       metaImage.foreach { p =>
-        val idx = (p >> 8) & 0xffffff
+        // group index is (red << 8) | green = (pixel >> 8) & 0xffff; a wider
+        // mask keeps the alpha byte and can inflate numGroups to ~16M
+        val idx = (p >> 8) & 0xffff
         if (idx > mx) mx = idx
       }
       numGroups = mx + 1
@@ -347,7 +349,7 @@ object Webp {
       val y = pos / xsize
       val grp =
         if (metaImage == null) 0
-        else (metaImage((y >> metaBits) * mw + (x >> metaBits)) >> 8) & 0xffffff
+        else (metaImage((y >> metaBits) * mw + (x >> metaBits)) >> 8) & 0xffff
       val s = greens(grp).next(br)
       if (s < 256) {
         val red = reds(grp).next(br)
@@ -565,7 +567,10 @@ object Webp {
       pb += math.abs(pred - ch(t, s))
       s += 8
     }
-    if (pa <= pb) l else t
+    // libwebp (Predictor11: Select(top, left, topleft)) returns TOP on a
+    // tie — pa_minus_pb <= 0 picks `a` = T. Strict `<` here, or libwebp-
+    // encoded files decode wrong pixels that propagate forward.
+    if (pa < pb) l else t
   }
   private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
     def ch(p: Int, s: Int) = (p >>> s) & 0xff

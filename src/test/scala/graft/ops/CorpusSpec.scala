@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import graft.queries.CorpusQueries
+import graft.queries.Registry
 import org.apache.spark.sql.functions._
 
 /** Invariant checks for the corpus-preparation pack (decontamination,
@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
 class CorpusSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  // Resolve through the full Registry, not a single pack: queries move
+  // between pack files as families split, and a pack-scoped lookup strands
+  // the spec (round-10 regression: qc01/clust01 moved to QcQueries).
   private def run(name: String) =
-    CorpusQueries.all.find(_.name == name).get.run(spark, sf)
+    Registry.all.find(_.name == name).get.run(spark, sf)
 
   test("decon01: partitions train docs completely and flags a subset") {
     val out = run("decon01_eval_overlap").collect()
@@ -38,7 +41,7 @@ class CorpusSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")))
     val dir = java.nio.file.Files.createTempDirectory("decon").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = CorpusQueries.all.find(_.name == "decon01_eval_overlap").get
+    val out = Registry.all.find(_.name == "decon01_eval_overlap").get
       .run(spark, dir).collect()
     assert(out.length == 1)
     assert(out.head.getAs[Long]("n_train") == 2)

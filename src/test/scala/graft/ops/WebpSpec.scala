@@ -82,6 +82,18 @@ class WebpSpec extends AnyFunSuite {
         (((5 * x + y) % 256, (2 * x + 3 * y) % 256, (x + 7 * y) % 256, 255)), s"($x,$y)")
   }
 
+  test("Select predictor returns TOP on a pa==pb tie (libwebp tie-break)") {
+    // at (1,1): L=(255,5,5,5), T=(255,15,15,15), TL=(255,10,10,10) ->
+    // pa == pb == 15 with L != T; libwebp picks T, so the true pixel is
+    // (255,20,20,20). A decoder picking L reconstructs (255,10,10,10).
+    val (hd, px) = Webp.decode(fixture("webp_pred_tie.webp"))
+    assert(hd.w == 2 && hd.h == 2)
+    assert(rgbaAt(px, 2, 0, 0) == ((10, 10, 10, 255)))
+    assert(rgbaAt(px, 2, 1, 0) == ((15, 15, 15, 255)))
+    assert(rgbaAt(px, 2, 0, 1) == ((5, 5, 5, 255)))
+    assert(rgbaAt(px, 2, 1, 1) == ((20, 20, 20, 255)))
+  }
+
   test("lossy VP8 parses exact metadata and refuses pixel decode") {
     val bytes = fixture("webp_lossy.webp")
     val hd = Webp.meta(bytes)

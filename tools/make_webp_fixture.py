@@ -386,7 +386,9 @@ def _select(l, t, tl):
         pred = (l >> s & 255) + (t >> s & 255) - (tl >> s & 255)
         pa += abs(pred - (l >> s & 255))
         pb += abs(pred - (t >> s & 255))
-    return l if pa <= pb else t
+    # libwebp returns TOP on ties (Select(top, left, tl): pa_minus_pb <= 0
+    # picks top); strict < keeps the fixture aligned with real encoders.
+    return l if pa < pb else t
 
 
 def fx_pred():
@@ -428,6 +430,42 @@ def fx_pred():
     return riff_vp8l(bw.done())
 
 
+def fx_pred_tie():
+    """Select (mode 11) TIE-BREAK pin: at (1,1), L=(255,5,5,5),
+    T=(255,15,15,15), TL=(255,10,10,10) -> pa == pb == 15 with L != T.
+    libwebp picks T on the tie; a decoder that picks L produces
+    (255,10,10,10) instead of the true (255,20,20,20)."""
+    w, h = 2, 2
+    bits = 2                                  # one 4x4 block -> whole image
+    px = [argb(255, 10, 10, 10), argb(255, 15, 15, 15),
+          argb(255, 5, 5, 5), argb(255, 20, 20, 20)]
+    res = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xff000000
+            elif y == 0:
+                pred = px[i - 1]
+            elif x == 0:
+                pred = px[i - w]
+            else:
+                pred = _select(px[i - 1], px[i - w], px[i - w - 1])
+            res.append(argb(((px[i] >> 24) - (pred >> 24)) & 255,
+                            ((px[i] >> 16) - (pred >> 16)) & 255,
+                            ((px[i] >> 8) - (pred >> 8)) & 255,
+                            (px[i] - pred) & 255))
+    bw = Bw()
+    header_bits(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)                           # predictor transform
+    bw.write(bits - 2, 3)
+    emit_image(bw, ops_for_pixels([argb(0, 0, 11, 0)]), 0)
+    bw.write(0, 1)                           # no more transforms
+    emit_image(bw, ops_for_pixels(res), 0, level0=True)
+    return riff_vp8l(bw.done())
+
+
 def fx_lossy():
     w, h = 24, 10
     tag = (0).to_bytes(3, 'little')          # keyframe, version 0
@@ -449,6 +487,7 @@ def main():
         'webp_lz77.webp': fx_lz77(),
         'webp_palette.webp': fx_palette(),
         'webp_pred.webp': fx_pred(),
+        'webp_pred_tie.webp': fx_pred_tie(),
         'webp_lossy.webp': fx_lossy(),
     }
     for name, data in out.items():
