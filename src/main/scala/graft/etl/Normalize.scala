@@ -599,8 +599,41 @@ object Dates {
     }
   }
 
+  /** Cheap charset + digit gate in front of the whole battery (the
+    * InferTypeKernel treatment applied to the scalar path, round 11): a
+    * parseable string can only contain letters, digits, whitespace and
+    * the separator set `,./:+'-` and must contain a digit, so anything
+    * else skips the regex cascade AND the chain fallback entirely.
+    * Battery-accepted strings always pass (month/tz names are ASCII
+    * letters; every family's separators are in the set), so the gate is
+    * acceptance-neutral — DateParitySpec replays the full golden corpus
+    * through this path.
+    */
+  private def gateOk(s: String): Boolean = {
+    var digit = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') digit = true
+      else if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          c == ' ' || c == ',' || c == '.' || c == '/' || c == ':' ||
+          c == '+' || c == '-' || c == '\'' || Character.isWhitespace(c)))
+        return false
+      i += 1
+    }
+    digit
+  }
+
   def parseIso(s0: String, today: LocalDate): Option[String] = {
+    if (!gateOk(s0)) return None
     val s = preprocess(s0)
+    // the pinned regex families decide first (covered golden shapes are
+    // bit-identical through them); the token-chain model ([[DateChain]])
+    // closes the out-of-battery chain shapes they decline
+    regexFamilies(s, today).orElse(DateChain.parse(s, today))
+  }
+
+  private def regexFamilies(s: String, today: LocalDate): Option[String] = {
     s match {
       case IsoDate(y, m, d) =>
         valid(y.toInt, m.toInt, d.toInt).map(_ => s"$y-$m-${d}T00:00:00")

@@ -80,8 +80,10 @@ class NormalizeModelSpec extends AnyFunSuite {
     assert(Dates.parseIso("2025-11-11 20:30:00,1234567") == Some("2025-11-11T20:30:00.123456"))
     assert(Dates.parseIso("2025-11-11 20:30:00.0") == Some("2025-11-11T20:30:00"))
     assert(Dates.parseIso("2025-11-11 20:30:00,") == Some("2025-11-11T20:30:00"))
-    // fraction-of-minute form stays outside the battery (documented)
-    assert(Dates.parseIso("2025-11-11 20:30,123").isEmpty)
+    // fraction-of-minute: closed by the round-11 DateChain fallback —
+    // second = int(60·frac), no microseconds (dateutil _parse_min_sec)
+    assert(Dates.parseIso("2025-11-11 20:30,123") == Some("2025-11-11T20:30:07"))
+    assert(Dates.parseIso("2025-11-11 20:30,5") == Some("2025-11-11T20:30:30"))
     assert(Normalize.inferType(JStr("2025-11-11 20:30:00,123")) == "date")
   }
 

@@ -31,6 +31,32 @@ class PdfTextSpec extends SparkSpec {
     assert(pages(3) == "CID tuv\nxyz")
   }
 
+  test("decodes every §7.4 text-stream filter, golden parity (round 11)") {
+    // filters.pdf (tools/make_pdf_fixture.py build_filters): one page per
+    // decode path — LZWDecode crossing the 9→10-bit EarlyChange boundary,
+    // ASCII85Decode, ASCIIHexDecode with whitespace + EOD, RunLengthDecode
+    // runs + literals, a chained [/ASCII85Decode /FlateDecode], and
+    // FlateDecode under a PNG /Predictor 12 with mixed row tags. The
+    // python encoders are written independently from the spec, so an
+    // off-by-one on either side garbles the text here.
+    val bytes = Files.readAllBytes(Paths.get("src/test/resources/fixtures/filters.pdf"))
+    val exp = Files.readString(
+      Paths.get("src/test/resources/fixtures/filters_pdf_expected.txt")).stripLineEnd
+    val pages = PdfText.extractPages(bytes)
+    assert(pages.length == 6)
+    assert(pages.mkString("\n") == exp)
+  }
+
+  test("an unsupported stream filter is REFUSED, never walked raw") {
+    // /DCTDecode content (image codec): pdfplumber decodes images but a
+    // text walk over raw DCT bytes would be silent garbage — the S2-style
+    // typed refusal is the contract (round-10 verdict item 4)
+    val bytes = Files.readAllBytes(
+      Paths.get("src/test/resources/fixtures/unsupported_filter.pdf"))
+    val e = intercept[IllegalArgumentException](PdfText.extract(bytes))
+    assert(e.getMessage.contains("unsupported PDF stream filter /DCTDecode"))
+  }
+
   test("Type0 font without ToUnicode decodes 2-byte codes as identity") {
     // /Identity-H with no CMap: <0041 0042> reads as "AB" (PyPDF2's
     // CMap-less CID reading), not Latin-1 of the raw bytes

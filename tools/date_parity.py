@@ -370,22 +370,80 @@ for s in ["10:30+05:00 5 Jan 2024", "10:30-05:00 5 Jan 2024",
           "10:30 PM +05:00 5 Jan 2024", "10:30z PM 5 Jan 2024",
           "10:30+05:00 PM 5 Jan 2024", "10:30Z AM 5 Jan 2024"]:
     add(s, "time_lead_tz")
-# ---- exotic chains measured but OUT of battery: double clock times
-# (later-wins overwrite), fraction-of-minute ("3:4.5" → 03:04:30,
-# "10:30,5" → 10:30:30), dot-separated clocks, weekday after a leading
-# time, generic tz NAMES in lead position, two-tz chains ----
+# ---- token-chain shapes (round 11): closed by graft's DateChain fallback
+# (a faithful port of dateutil's token pipeline), pinned at 0 deviations by
+# DateParitySpec. Marked covered=False because the RE2 column-vote grammar
+# (shared with the DuckDB oracle) deliberately does not model them — the
+# scalar battery does. Families: double clock times (later-wins overwrite,
+# seconds reset, microsecond persistence), fraction-of-MINUTE clocks,
+# dot-separated clocks, weekday after a leading time, generic tz NAMES in
+# lead position, two-tz chains, numeric-offset overwrites, hms labels,
+# multi-comma digit dates ----
 for s in ["2nd 3rd 2024", "Jan 5 2024 10.30", "10:30 10:40 Jan 5 2024",
           "10:30 PM wed 5 Jan 2024", "10:30 2024/01/05 PM",
           "10:30 2024", "3:4.5 5 Jan 2024", "5 Jan 2024 3:4.5",
           "10:30,5 Jan 5 2024", "10:30 EST 5 Jan 2024",
           "10:30 XYZAB 5 Jan 2024", "10:30 Z 5 Jan 2024 GMT",
-          "10:30+05:00 5 Jan 2024 +3"]:
+          "10:30+05:00 5 Jan 2024 +3",
+          # double clocks
+          "10:40 10:30 Jan 5 2024", "10:30 10:40 10:50 Jan 5 2024",
+          "Jan 5 2024 10:30 10:40", "10:30 PM 10:40 Jan 5 2024",
+          "10:30 10:40 PM Jan 5 2024", "10:30:15 10:40 Jan 5 2024",
+          "10:30 10:40:15 Jan 5 2024", "10:30:15 10:40:20 Jan 5 2024",
+          "22:30 10:40 PM Jan 5 2024", "10:30 PM 10:40 AM Jan 5 2024",
+          "10:30+05:00 10:40 Jan 5 2024", "10:30 10:40+05:00 Jan 5 2024",
+          "Jan 5 2024 10:30 PM 10:40", "10:30:15.5 10:40 Jan 5 2024",
+          "10:30:15 10:40:20.5 Jan 5 2024", "3:4:5.5 10:40 Jan 5 2024",
+          "10:30 EST 10:40 5 Jan 2024",
+          # fraction-of-minute
+          "5 Jan 2024 10:30,5", "10:30.5 PM Jan 5 2024",
+          "Jan 5 2024 10:30.5 PM", "3:4.75 5 Jan 2024", "3:4.125 5 Jan 2024",
+          "3:4.999999 5 Jan 2024", "3:4.0 5 Jan 2024", "3:59.9 5 Jan 2024",
+          "3:60.5 5 Jan 2024", "3:4.5.6 5 Jan 2024", "10:30.5+05:00 Jan 5 2024",
+          "10:30.5Z Jan 5 2024", "5 Jan 2024 3:4,5", "5 Jan 2024T3:4.5",
+          "3:4.5,5 Jan 2024", "3:4.5:6 Jan 5 2024",
+          # bare-number meridiem (the unbounded "12 am" path)
+          "15 pm 5 Jan 2024", "13 pm 5 Jan 2024", "0 am 5 Jan 2024",
+          "12 am 5 Jan 2024", "25 pm 5 Jan 2024", "10:30 AM PM 5 Jan 2024",
+          # generic tz names in lead position
+          "10:30 est 5 Jan 2024", "10:30 MAY 5 2024", "10:30 JAN 5 2024",
+          "10:30 WED 5 Jan 2024", "10:30 EST GMT 5 Jan 2024",
+          "10:30 EST +2 5 Jan 2024", "10:30 EST 5 Jan 2024 +2",
+          "10:30 EST+2 5 Jan 2024", "10:30 PM EST 5 Jan 2024",
+          "10:30 EST PM 5 Jan 2024", "10:30 ABCDEF 5 Jan 2024",
+          "10:30 E1T 5 Jan 2024", "5 Jan 2024 10:30 EST",
+          "10:30 A 5 Jan 2024", "10:30 P 5 Jan 2024", "10:30 M 5 Jan 2024",
+          "10:30 T 5 Jan 2024", "10:30 ET 5 Jan 2024", "10:30 ABCDE 5 Jan 2024",
+          "10:30 AB 5 Jan 2024",
+          # tz overwrite chains
+          "10:30+05:00 5 Jan 2024 Z", "10:30 +5 5 Jan 2024 +3",
+          "10:30Z 5 Jan 2024 +3", "10:30+05:00 5 Jan 2024 EST",
+          "10:30 EST 5 Jan 2024 GMT", "5 Jan 2024 10:30 +5 +3",
+          "5 Jan 2024 10:30+05:00 +3", "10:30+05:00 +3 5 Jan 2024",
+          "10:30+05:00 5 Jan 2024 +25", "10:30+05:00 5 Jan 2024 +123",
+          "10:30 Z+5 5 Jan 2024 +3", "10:30 GMT+5 5 Jan 2024 EST",
+          "10:30 EST+2 5 Jan 2024 Z", "10:30 -3 5 Jan 2024",
+          "-3 10:30 5 Jan 2024", "+3 10:30 5 Jan 2024",
+          "10:30 5 Jan 2024 - 3", "Jan 5 2024 10:30 GMT+5 +2",
+          # hms labels
+          "5h Jan 5 2024", "5h30m Jan 5 2024", "12h04 Jan 5 2024",
+          "10.5h Jan 5 2024", "5 h Jan 5 2024", "Jan 5 2024 5h",
+          "5h 6m 7s Jan 5 2024", "5.5s Jan 5 2024", "30m Jan 5 2024",
+          "10h30m45s Jan 5 2024",
+          # separator/space members interleaved with clocks
+          "10:30 2024/01/05", "10:30 2024.01.05", "10:30 01-Jan-2024",
+          "10:30 Jan-05-2024", "10:30 5-Jan-2024", "01-01/99 10:30",
+          "Jan of 01 5 10:30", "10:30 5 of Jan 2024", "10:30 05 01 0024",
+          "10:30 05/01/0024", "013 1 5 10:30", "10:30 100.5 1 5"]:
     add(s, "time_tz_chain", covered=False)
-# multi-comma digit strings are a VOTE-ONLY family (normalize_value strips
-# commas before its dateparse): the full acceptance surface is pinned by
-# goldens/comma_vote.json (tools/fuzz_comma.py, ~4.9k shapes) instead of
-# this value battery
-for s in ["12,34,56", "1,000,000", "5,6,2024"]:
+# multi-comma digit strings: the ACCEPTANCE surface is pinned by
+# goldens/comma_vote.json (tools/fuzz_comma.py, ~4.9k shapes); the VALUE
+# surface (full-ymd chains) is handled by the DateChain fallback and
+# pinned here
+for s in ["12,34,56", "1,000,000", "5,6,2024", "5,6,2024,10",
+          "5,6,2024 10:30", "10:30 5,6,2024", "5,6,2024,1030",
+          "5,6,2024,103045", "5,6,02024", "5,,6,2024", "13,6,2024",
+          "45,6,2024", "5,6,99", "2024,5,6", "31,12,2024"]:
     add(s, "multi_comma", covered=False)
 
 out = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/goldens/date_parity.json"
