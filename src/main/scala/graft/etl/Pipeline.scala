@@ -39,11 +39,20 @@ object DocumentEtl {
       ex(col("path"), col("content")).as("text"))
   }
 
+  /** Pipeline output. `schema` and `diff` are LAZY: without a registry the
+    * profiling aggregates behind them only run when a caller reads them, so
+    * consumers that re-profile the table themselves (or only need the
+    * normalized rows) don't pay a schema pass they discard. With a
+    * registry, `run` forces both eagerly (the save is a run side effect).
+    */
   final case class Result(
       table: DataFrame, // (row_idx, <output cols as JSON cells>)
       columns: Seq[String],
-      schema: EngineSchema,
-      diff: Option[JVal])
+      private val schemaThunk: () => EngineSchema,
+      private val diffThunk: () => Option[JVal]) {
+    lazy val schema: EngineSchema = schemaThunk()
+    lazy val diff: Option[JVal] = diffThunk()
+  }
 
   /** Normalization mode: Faithful reproduces the reference's branch-order
     * quirks (default, golden/oracle target); Sane applies the cleaned-up
@@ -78,18 +87,31 @@ object DocumentEtl {
     val normalized = flattenLists(norm0, cols)
       .transform(graft.core.Caches.persistLevel(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // generateSchema's aggregates materialize `normalized` fully, so the
-    // extraction cache has served its last consumer — free it now rather
-    // than holding doc-sized blocks for the caller's whole session
-    val schema = Profile.generateSchema(normalized, cols, now)
-    recs.unpersist(blocking = false)
-    val registry = registryDir.map(new SchemaRegistry(_))
-    val diff = for {
-      reg <- registry
-      old <- reg.load(sourceId)
-    } yield SchemaDiff.diff(old.toJson, schema.toJson)
-    registry.foreach(_.save(sourceId, schema))
-    Result(normalized, cols, schema, diff)
+    registryDir match {
+      case Some(dir) =>
+        // registry mode is EAGER: the schema must be generated and saved
+        // as a side effect of the run (and the diff reads the OLD entry
+        // before the save). generateSchema's aggregates materialize
+        // `normalized` fully, so the extraction cache has served its last
+        // consumer — free it after.
+        val schema = Profile.generateSchema(normalized, cols, now)
+        recs.unpersist(blocking = false)
+        val reg = new SchemaRegistry(dir)
+        val diff = reg.load(sourceId)
+          .map(old => SchemaDiff.diff(old.toJson, schema.toJson))
+        reg.save(sourceId, schema)
+        Result(normalized, cols, () => schema, () => diff)
+      case None =>
+        // no registry: defer the schema aggregates until a caller actually
+        // reads `.schema` — consumers that only need the normalized table
+        // (e.g. a downstream profile/stats job) skip a full profiling pass.
+        // Materialize the `normalized` cache cheaply first so the
+        // extraction cache can be freed without risking recompute.
+        normalized.count()
+        recs.unpersist(blocking = false)
+        Result(normalized, cols,
+          () => Profile.generateSchema(normalized, cols, now), () => None)
+    }
   }
 
   /** extract + explode: one row per extracted record, with a global

@@ -140,8 +140,16 @@ object StreamQueries {
     // its cell-exact verification is the golden corpus, PipelineGoldenSpec).
     GraftQuery(
       "etl10_doc_pipeline",
-      (s, d) => graft.etl.DocumentEtl.run(
-        s, Tables.documents(s, d).select(col("doc_id"), col("text"))).table,
+      (s, d) => {
+        val res = graft.etl.DocumentEtl.run(
+          s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+        // the flagship benches the WHOLE reference pipeline including the
+        // schema profile — force the (lazy) schema like a production run
+        // that persists it would; etl17 is the variant that profiles via
+        // the oracle-matched stats instead and skips this pass
+        res.schema
+        res.table
+      },
       None,
     ),
 
