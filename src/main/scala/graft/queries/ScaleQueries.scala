@@ -17,6 +17,58 @@ object ScaleQueries {
   import Sketches._
   import org.apache.spark.sql.SparkSession
 
+  /** sim06's kNN-graph build. The band-key WIDTH is a function of the
+    * corpus size (round-11, retiring the fixed-knob footgun): at a fixed
+    * width B the bucket population is N/2^B, so candidate volume
+    * Σ|bucket|² grows quadratically in N — the width must grow with
+    * log₂N to hold per-bucket population (≈2⁴ vectors) constant.
+    *
+    *   bits = max(8, ⌈log₂N⌉ − 4)
+    *
+    * N comes from one metadata-cheap count (parquet footers — the same
+    * schema-sized decision class as the pivot's key scan). At the sf0.01
+    * and sf0.1 gates (N = 500 / 2000) the formula gives exactly the
+    * historical 8-bit keys, so the small-SF plans are byte-identical
+    * (PlanSpec pins them) and the DuckDB oracle's fixed 8-bit SQL stays
+    * correct at the driver's sf0.01 gate; at ×100 (N = 200k) it gives
+    * 14-bit keys — the configuration a real 100× build runs, measured
+    * linear by `graft.tools.KnnScale` (BASELINE.md). The SRP signature is
+    * sized to 2·bits so the two bands never overlap.
+    */
+  def knnGraphBuild(s: SparkSession, d: String, k: Int = 3,
+      nBands: Int = 2): org.apache.spark.sql.DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val bits = math.max(8,
+      math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt - 4)
+    require(nBands * bits <= 60, "signature budget exceeded")
+    val mask = (1L << bits) - 1
+    val weights = srpWeights(nBands * bits, 64)
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("sig", srpSignature(col("v"), weights))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .transform(graft.core.Caches.persist)
+    val bandedK = e.select(col("id"), explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), bits * b).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    // hot-bucket cap (dedup02 contract): with no degenerate bucket —
+    // every test SF — the plan is exactly the plain band-key self-join;
+    // a collapsed bucket degrades to symmetric star edges
+    val pairs = Similarity.bandedPairsCapped(bandedK, cap = 4096)
+    val cand = pairs
+      .join(e.select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n")),
+        Seq("q_id"))
+      .join(e.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_n")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (Similarity.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Tmp dirs created by the layout queries, deleted on JVM exit — repeated
     * verify/bench runs don't accumulate stale layouts (the pid in each path
     * also keeps concurrent runs on the same SF from colliding).
@@ -872,38 +924,7 @@ object ScaleQueries {
     // a global N².
     GraftQuery(
       "sim06_knn_graph",
-      (s, d) => {
-        val weights = srpWeights(16, 64)
-        val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
-          .withColumn("sig", srpSignature(col("v"), weights))
-          .withColumn("nrm", Similarity.norm(col("v")))
-          .transform(graft.core.Caches.persist)
-        // 2 bands × 8 bits — wider keys than sim04's probe (4×4): with the
-        // corpus on BOTH sides, bucket population is N/2^bits, so the key
-        // width is what holds Σ|bucket|² down; 8-bit keys cut candidate
-        // volume ~30× at equal signature cost (recall trades accordingly —
-        // that's the standard graph-build knob).
-        val bandedK = e.select(col("id"), explode(array((0 until 2).map { b =>
-            struct(lit(b).as("band"),
-              shiftright(col("sig"), 8 * b).bitwiseAND(lit(255)).as("key"))
-          }: _*)).as("bk"))
-          .select(col("id"), col("bk.band"), col("bk.key"))
-        // hot-bucket cap (dedup02 contract): with no degenerate bucket —
-        // every test SF — the plan is exactly the plain band-key self-join;
-        // a collapsed bucket degrades to symmetric star edges
-        val pairs = Similarity.bandedPairsCapped(bandedK, cap = 4096)
-        val cand = pairs
-          .join(e.select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n")),
-            Seq("q_id"))
-          .join(e.select(col("id").as("n_id"), col("v").as("n_v"), col("nrm").as("n_n")),
-            Seq("n_id"))
-          .select(col("q_id"), col("n_id"),
-            (Similarity.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n"))).as("cos"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-        cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-      },
+      (s, d) => knnGraphBuild(s, d),
       Some {
         val sig = sqlSrpSignature("v", 16, 64)
         val bandJoins = (0 until 2).map { b =>

@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   * at ×100 with 8 + ⌈log₂ 100⌉ ≈ 15-bit keys, and the wall-clock ratio
   * should land ~linear-in-N (BASELINE.md records the round-10 numbers).
   *
-  * Usage: runMain graft.tools.KnnScale <dir> <nBands> <bitsPerBand> [k]
+  * Round 11: the registry query now computes the key width from the
+  * corpus size itself (`ScaleQueries.knnGraphBuild`, bits = max(8,
+  * ⌈log₂N⌉−4)) — pass `auto` as <bitsPerBand> to run the UNMODIFIED
+  * registry build at any scale and verify the self-scaling knob; numeric
+  * widths remain for measuring off-design configurations (e.g. the
+  * fixed-8-bit quadratic blow-up that motivated the change).
+  *
+  * Usage: runMain graft.tools.KnnScale <dir> <nBands> <bitsPerBand|auto> [k]
   * Prints ONE JSON line {"dir":…, "bands":…, "bits":…, "edges":…,
   * "candidates":…, "sec":…} (warm-run protocol: two runs, min).
   */
@@ -27,9 +34,8 @@ object KnnScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nBands = args(1).toInt
-    val bits = args(2).toInt
+    val auto = args(2) == "auto"
     val k = if (args.length > 3) args(3).toInt else 3
-    require(nBands * bits <= 60, "signature budget exceeded")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,10 +48,28 @@ object KnnScale {
     spark.sparkContext.setLogLevel("WARN")
 
     import graft.ops.{Similarity, Sketches}
+    val n = graft.core.Tables.embeddings(spark, dir).count()
+    val bits =
+      if (auto) math.max(8,
+        math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt - 4)
+      else args(2).toInt
+    require(nBands * bits <= 60, "signature budget exceeded")
     val totalBits = nBands * bits
     val mask = (1L << bits) - 1
 
+    def runAuto(): (Long, Long, Double) = {
+      // the REGISTRY query, unmodified — its knob self-scales from N
+      val t0 = System.nanoTime()
+      val res = graft.queries.ScaleQueries.knnGraphBuild(spark, dir, k, nBands)
+        .transform(graft.core.Caches.persist)
+      val edges = res.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.core.Caches.release()
+      (edges, -1L, sec)
+    }
+
     def run(): (Long, Long, Double) = {
+      if (auto) return runAuto()
       val t0 = System.nanoTime()
       val weights = Sketches.srpWeights(totalBits, 64)
       val e = graft.core.Tables.embeddings(spark, dir)
