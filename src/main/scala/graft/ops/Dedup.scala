@@ -175,18 +175,32 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram Jaccard pairs within blocks, with a fan-out cap.
+  /** Exact n-gram Jaccard pairs within blocks, with a CORPUS-SCALED
+    * fan-out cap (round 11).
     *
-    * Blocks of at most `threshold` rows run the exact all-pairs self-join
-    * (quadratic in BLOCK size — fine when blocks are bounded). Larger blocks
-    * degrade gracefully: candidates come from MinHash-LSH banding inside the
-    * block, and each LSH bucket emits STAR edges to its min-doc hub —
-    * O(Σ|bucket|) candidates even when a hot bucket holds every row (the
-    * boilerplate-document case that makes plain all-pairs a scale-killer).
-    * Both paths then score candidates with EXACT Jaccard and apply `minJac`,
+    * Blocks of at most `cap` rows run the exact all-pairs self-join
+    * (quadratic in BLOCK size); larger blocks degrade gracefully:
+    * candidates come from MinHash-LSH banding inside the block, and each
+    * LSH bucket emits STAR edges to its min-doc hub — O(Σ|bucket|)
+    * candidates even when a hot bucket holds every row.
+    *
+    * The cap is `max(capFloor, ⌈8·√(N/B)⌉)` where N = corpus rows and
+    * B = number of blocks (from the same schema-sized groupBy that finds
+    * the hot blocks). A FIXED cap bounds the worst block but not the
+    * aggregate: when every block grows with the corpus, all-pairs work is
+    * Σ n_b² — the round-11 ×100 measurement clocked the fixed-4096-cap
+    * form at 835× wall on 100× data (BASELINE.md). With the scaled cap,
+    * Σ min(n_b, cap)² ≤ B·cap² ≈ 64·N — LINEAR in corpus size by
+    * construction, with `capFloor` preserving the exact-all-pairs regime
+    * for small-block corpora (every test SF: max block ≤ 112 ≤ floor, so
+    * the emitted plan is byte-identical to plain blocked all-pairs and
+    * the DuckDB oracle stays exact).
+    *
+    * Both paths score candidates with EXACT Jaccard and apply `minJac`,
     * so reported similarities are never approximate; only recall on
-    * over-threshold blocks narrows to LSH-reachable (transitively hub-linked)
-    * pairs — the right trade at 100 TB, where an uncapped hot block is O(n²).
+    * over-cap blocks narrows to LSH-reachable (transitively hub-linked)
+    * pairs — the right trade at 100 TB, where an uncapped hot block is
+    * O(n²).
     *
     * `docs` must carry `doc_id`, the block columns, and `sh` (a
     * [[shingleHashes]] array).
@@ -195,7 +209,7 @@ object Dedup {
       docs: DataFrame,
       blockCols: Seq[String],
       minJac: Double,
-      threshold: Int,
+      capFloor: Int,
       seeds: Int,
       bands: Int,
       rowsPerBand: Int): DataFrame = {
@@ -215,13 +229,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= minJac)
 
-    // Which blocks exceed the cap? Decided from a groupBy over the block
-    // keys — a schema-sized result (≤ #blocks rows at any corpus scale),
-    // collected once and re-broadcast as a literal frame ([[hotKeys]]),
-    // NOT a count().over(Window) on the corpus (which would shuffle every
-    // row by block key and pile the hot block onto one partition — the
-    // exact skew this cap exists to avoid).
-    val hotOpt = hotKeys(docs, blockCols, threshold)
+    // ONE schema-sized groupBy decides everything: block count + corpus
+    // size derive the scaled cap, and the over-cap keys re-broadcast as a
+    // literal frame — never a count().over(Window) on the corpus (which
+    // would shuffle every row by block key and pile the hot block onto
+    // one partition, the exact skew this cap exists to avoid).
+    val stats = docs.groupBy(blocks: _*).agg(count(lit(1)).as("_bn"))
+    val rows = stats.collect()
+    val n = rows.iterator.map(r => r.getLong(r.length - 1)).sum
+    val cap = math.max(capFloor,
+      math.ceil(8.0 * math.sqrt(n.toDouble / math.max(rows.length, 1))).toInt)
+    val hotRows = rows.filter(r => r.getLong(r.length - 1) > cap)
+    val hotOpt =
+      if (hotRows.isEmpty) None
+      else {
+        val keysOnly = stats.select(blocks: _*)
+        Some(broadcast(docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hotRows.map(r =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1))): _*),
+          keysOnly.schema)))
+      }
 
     // Common case — no hot block: the plan is EXACTLY the plain blocked
     // all-pairs self-join, zero cap overhead.

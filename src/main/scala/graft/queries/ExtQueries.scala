@@ -29,6 +29,12 @@ object ExtQueries {
   // 5k documents TOTAL), so oracle parity holds through sf0.1 by construction.
   private val JaccardBlockCap = 4096
 
+  // dedup02's all-pairs cap FLOOR: the effective cap is
+  // max(floor, 8·√(N/B)) computed inside Dedup.jaccardPairsBlocked, so
+  // aggregate all-pairs work stays linear in corpus size while every test
+  // SF (max block 112) keeps the exact all-pairs plan byte-identical.
+  private val JaccardBlockFloor = 512
+
   /** explode a (id, sig) frame into (id, band, key) rows — the ONE LSH
     * banding shared by dedup03 (pair join), dedup07 (star edges) and
     * dedup10 (index probe); a band-scheme change edits exactly here.
@@ -82,13 +88,16 @@ object ExtQueries {
     ),
 
     // ------------------------------------------------------------------
-    // pairwise n-gram Jaccard within (lang, source) blocks, with a fan-out
-    // cap: blocks beyond JaccardBlockCap rows route through LSH star
-    // candidates instead of all-pairs (Dedup.jaccardPairsBlocked), so a hot
-    // (en, web) block at 100 TB stays O(Σ|bucket|) instead of O(n²). Under
-    // the cap (all test SFs — documents tops out well below it) the result
-    // is EXACTLY the all-pairs oracle below; ScaleStressSpec pins the capped
-    // path's bounded fan-out on a synthetic hot block.
+    // pairwise n-gram Jaccard within (lang, source) blocks, with the
+    // CORPUS-SCALED fan-out cap (round 11): blocks beyond
+    // max(floor, 8·√(N/B)) rows route through LSH star candidates instead
+    // of all-pairs (Dedup.jaccardPairsBlocked), so aggregate all-pairs
+    // work stays ≤ 64·N — linear by construction. Under the floor (all
+    // test SFs — documents tops out at 112/block) the result is EXACTLY
+    // the all-pairs oracle below; ScaleStressSpec pins the capped path's
+    // bounded fan-out on a synthetic hot block, and the round-11 ×100
+    // measurement (BASELINE.md) is the motivating failure: the fixed
+    // 4096-cap form ran 835× on 100× data.
     GraftQuery(
       "dedup02_ngram_jaccard",
       (s, d) => {
@@ -99,7 +108,7 @@ object ExtQueries {
           Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
           .transform(graft.core.Caches.persist) // shingle once; both join sides + no optimizer re-inline
         Dedup.jaccardPairsBlocked(docs, Seq("lang", "source"), 0.62,
-          JaccardBlockCap, MinhashSeeds, Bands, RowsPerBand)
+          JaccardBlockFloor, MinhashSeeds, Bands, RowsPerBand)
       },
       Some(s"""WITH sh AS (SELECT doc_id, lang, source, ${sqlShingleHashes("text")} AS s FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
