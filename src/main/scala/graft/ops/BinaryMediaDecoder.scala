@@ -300,8 +300,9 @@ object BinaryMediaDecoder extends MediaDecoder {
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
         rasterFeaturesRgb(hd.w, hd.h, hd.channels, px))
     case "image/webp" =>
-      // full VP8L lossless decode (RGBA); lossy VP8 refuses inside
-      // Webp.decode with a typed "unsupported" message → decodeSafe row
+      // full VP8L lossless decode (RGBA) AND full lossy VP8 keyframe
+      // decode (round 11, graft.ops.Vp8); inter-frame VP8 refuses with a
+      // typed "unsupported" message → decodeSafe row
       val (hd, px) = Webp.decode(b.content)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
         rasterFeaturesRgb(hd.w, hd.h, 4, px))

@@ -89,7 +89,10 @@ object Webp {
         // RFC 6386 uncompressed data chunk: 3-byte frame tag (keyframe
         // bit 0 == 0), 3-byte sync 0x9d 0x01 0x2a, 14-bit w/h (le)
         require(len >= 10, "truncated VP8 frame header")
-        require((u8(bytes, off) & 1) == 0, "malformed VP8 (first frame not a keyframe)")
+        // inter frames carry no sync/dims and need reference buffers a
+        // single-image decode cannot have — typed as unsupported
+        require((u8(bytes, off) & 1) == 0,
+          "unsupported WebP: VP8 inter frame (needs reference frames)")
         require(u8(bytes, off + 3) == 0x9d && u8(bytes, off + 4) == 0x01 &&
           u8(bytes, off + 5) == 0x2a, "malformed VP8 (bad sync code)")
         val w = le32(bytes, off + 6) & 0x3fff
@@ -400,11 +403,50 @@ object Webp {
   private final case class Indexing(palette: Array[Int], widthBits: Int, xsizeAtApply: Int)
     extends Transform
 
-  /** Full VP8L decode to (header, RGBA raster — 4 bytes/px, top-down). */
+  /** Decode a lossy (VP8 keyframe) payload to YUV420 planes — the honest
+    * decoder output (no resampling/colorspace choices baked in); see
+    * [[Vp8.decodeKeyframe]] for the full keyframe pipeline.
+    */
+  private def clampByte(v: Int): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  def decodeLossyYuv(bytes: Array[Byte]): Vp8.Yuv = {
+    val (off, len) = chunks(bytes).collectFirst { case ("VP8 ", o, l) => (o, l) }
+      .getOrElse(throw new IllegalArgumentException("malformed WebP (no VP8 chunk)"))
+    Vp8.decodeKeyframe(java.util.Arrays.copyOfRange(bytes, off, off + len))
+  }
+
+  /** Full pixel decode to (header, RGBA raster — 4 bytes/px, top-down):
+    * VP8L losslessly; lossy VP8 keyframes through [[Vp8.decodeKeyframe]]
+    * with nearest-neighbor chroma upsample and the JFIF fixed-point
+    * YCbCr→RGB (libwebp's "fancy" bilinear upsampler is a renderer
+    * choice, not bitstream semantics — the YUV planes from
+    * [[decodeLossyYuv]] are the spec-exact output and what mm13 audits).
+    */
   def decode(bytes: Array[Byte]): (Header, Array[Byte]) = {
     val hd = meta(bytes)
-    require(hd.lossless,
-      "unsupported WebP: lossy VP8 (DCT) pixel decode — metadata only")
+    if (!hd.lossless) {
+      val yuv = decodeLossyYuv(bytes)
+      val out = new Array[Byte](yuv.width * yuv.height * 4)
+      val uvw = yuv.uvStride
+      var y = 0
+      while (y < yuv.height) {
+        var x = 0
+        while (x < yuv.width) {
+          val yy = yuv.y(y * yuv.width + x) & 0xff
+          val cb = (yuv.u((y / 2) * uvw + x / 2) & 0xff) - 128
+          val cr = (yuv.v((y / 2) * uvw + x / 2) & 0xff) - 128
+          val i = (y * yuv.width + x) * 4
+          out(i) = clampByte(yy + ((91881 * cr + 32768) >> 16))
+          out(i + 1) = clampByte(yy - ((22554 * cb + 46802 * cr + 32768) >> 16))
+          out(i + 2) = clampByte(yy + ((116130 * cb + 32768) >> 16))
+          out(i + 3) = 0xff.toByte
+          x += 1
+        }
+        y += 1
+      }
+      return (hd, out)
+    }
     val (off, len) = chunks(bytes).collectFirst { case ("VP8L", o, l) => (o, l) }.get
     val br = new Br(bytes, off + 1 + 4, off + len) // skip sig byte + header bits
     // re-read nothing: meta() consumed header from fixed LE bytes

@@ -687,6 +687,73 @@ object MediaQueries {
     ),
 
     // ------------------------------------------------------------------
+    // LOSSY WebP (VP8 keyframe) round trip, oracle-audited end to end
+    // (round 11): each doc's text picks 16 flat 4x4 Y tiles; the subset
+    // encoder emits a genuine VP8 keyframe (B_PRED/B_DC modes, qindex 0,
+    // bool-coded headers + coefficient tokens against the shared default
+    // tables) and the FULL keyframe decoder — bool decoder, mode trees,
+    // token contexts, dequant, inverse DCT, intra prediction — recovers
+    // the pixels. At qindex 0 the flat-tile construction is EXACTLY
+    // lossless (dc level = 2·residual, the mm04/mm10 pattern), so the
+    // oracle recomputes the decoded Y-plane sum straight from the text in
+    // DuckDB — one wrong bit anywhere in the coder chain breaks the hash.
+    // Scale: per-row map, shuffle-free until the 1-row aggregate.
+    GraftQuery(
+      "mm13_vp8_lossy",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          val dec = graft.ops.BinaryMediaDecoder.open()
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val tiles = Array.tabulate(16)(i =>
+              bytes((i * 11 + 3) % bytes.length) & 0xff)
+            val payload = graft.ops.Vp8.encodeDcLossless16(tiles)
+            val chunk = "VP8 ".getBytes("US-ASCII") ++
+              Array[Byte]((payload.length & 0xff).toByte,
+                ((payload.length >> 8) & 0xff).toByte,
+                ((payload.length >> 16) & 0xff).toByte, 0) ++
+              payload ++
+              (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+            val webp = "RIFF".getBytes("US-ASCII") ++
+              Array[Byte](((4 + chunk.length) & 0xff).toByte,
+                (((4 + chunk.length) >> 8) & 0xff).toByte,
+                (((4 + chunk.length) >> 16) & 0xff).toByte, 0) ++
+              "WEBP".getBytes("US-ASCII") ++ chunk
+            val blob = graft.ops.Multimodal.Blob(id, webp, "image/webp", Map.empty)
+            val meta = dec.decode(blob) // the MediaDecoder trait path (RGBA)
+            val yuv = graft.ops.Webp.decodeLossyYuv(webp)
+            var sum = 0L
+            var k = 0
+            while (k < yuv.y.length) { sum += yuv.y(k) & 0xff; k += 1 }
+            (meta.width.toLong, meta.height.toLong, sum)
+          }
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      // tile i = text[(11i + 3) % len]; the decoded 16×16 Y plane holds
+      // each tile 16 times — lossless by construction at qindex 0
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 16), i ->
+                16 * ascii(substring(text, ((i*11 + 3) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Fault-TOLERANT mixed-corpus media scan (round 9): a quarter of the
     // corpus decodes cleanly (4×4 gray PNG from text bytes), the rest is
     // the realistic crawl debris — arithmetic-coded JPEG (SOF9, a format
@@ -726,9 +793,10 @@ object MediaQueries {
                 graft.ops.Png.encode(4, 4, 0, px).dropRight(10), "image/png", Map.empty)
             case 3 => // text bytes mislabeled as an image
               graft.ops.Multimodal.Blob(id, bytes, "image/png", Map.empty)
-            case _ => // lossy-VP8 WebP (round 10): metadata parses, pixel
-              // decode refuses with the documented "unsupported" message
-              val body = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+            case _ => // VP8 INTER frame (round 11: keyframes now decode, so
+              // the honestly-unsupported class is a frame that needs
+              // reference buffers — typed "unsupported" refusal)
+              val body = Array[Byte](1, 0, 0, 0x9d.toByte, 0x01, 0x2a,
                 24, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0)
               val riff = "RIFF".getBytes("US-ASCII") ++
                 Array[Byte]((4 + 8 + body.length).toByte, 0, 0, 0) ++
@@ -747,9 +815,9 @@ object MediaQueries {
             sum(col("height").cast("long")).as("sum_h"))
       },
       // kinds are a pure function of doc_id mod 5: ok (decoded 4×4),
-      // unsupported (SOF9 arithmetic JPEG and lossy-VP8 WebP merge into
-      // one kind row), truncated (cut chunk), not_media (bad signature);
-      // error rows carry width = height = 0
+      // unsupported (SOF9 arithmetic JPEG and inter-frame VP8 WebP merge
+      // into one kind row), truncated (cut chunk), not_media (bad
+      // signature); error rows carry width = height = 0
       Some("""WITH img AS (SELECT doc_id FROM documents WHERE length(text) > 0),
           c AS (SELECT CASE doc_id % 5 WHEN 0 THEN 'ok' WHEN 1 THEN 'unsupported'
               WHEN 2 THEN 'truncated' WHEN 3 THEN 'not_media'

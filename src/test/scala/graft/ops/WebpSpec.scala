@@ -94,12 +94,31 @@ class WebpSpec extends AnyFunSuite {
     assert(rgbaAt(px, 2, 1, 1) == ((20, 20, 20, 255)))
   }
 
-  test("lossy VP8 parses exact metadata and refuses pixel decode") {
+  test("lossy VP8 parses exact metadata and decodes (round 11)") {
     val bytes = fixture("webp_lossy.webp")
     val hd = Webp.meta(bytes)
     assert(hd.w == 24 && hd.h == 10 && !hd.lossless)
-    val e = intercept[IllegalArgumentException](Webp.decode(bytes))
+    // the fixture's zero-length first partition reads as all-zero bits:
+    // a legal (if degenerate) keyframe that decodes to the border-predicted
+    // image — full pixel decode now succeeds instead of refusing
+    val (hd2, px) = Webp.decode(bytes)
+    assert(hd2.w == 24 && px.length == 24 * 10 * 4)
+    // inter frames are the class that genuinely cannot decode standalone
+    val inter = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/vp8_interframe.webp"))
+    val e = intercept[IllegalArgumentException](Webp.decode(inter))
     assert(e.getMessage.contains("unsupported"))
+    assert(intercept[IllegalArgumentException](Webp.meta(inter))
+      .getMessage.contains("unsupported"))
+  }
+
+  test("lossy VP8 fixture decodes through the container path (Vp8Spec twin)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/vp8_bpred.webp"))
+    val yuv = Webp.decodeLossyYuv(bytes)
+    assert(yuv.width == 48 && yuv.height == 32)
+    val (hd, px) = Webp.decode(bytes) // RGBA conversion path
+    assert(hd.w == 48 && px.length == 48 * 32 * 4)
   }
 
   test("encode round trip: literal and subtract-green, with real alpha") {
