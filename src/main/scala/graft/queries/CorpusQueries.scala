@@ -491,12 +491,16 @@ object CorpusQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .withColumn("is_eval", col("doc_id") % 97 === 0)
-        val sh = docs.select(col("doc_id"), col("lang"), col("is_eval"),
-          explode(tokenShingleHashes(col("text"), 4)).as("sh"))
-          .transform(graft.core.Caches.persist) // shingle once; the broadcast build, train probe and
-                     // eval aggregate all reuse it
-        val evalSh = sh.filter(col("is_eval"))
-        val hitSet = sh.filter(!col("is_eval")).select(col("sh"))
+        // Persist ONLY the eval slice (benchmark-sized, 1/97 of docs) —
+        // it feeds both the broadcast build and the final aggregate. The
+        // train shingle stream is corpus-scale and must never be
+        // materialized: it streams through the semi-join exactly once.
+        val evalSh = docs.filter(col("is_eval"))
+          .select(col("doc_id"), col("lang"),
+            explode(tokenShingleHashes(col("text"), 4)).as("sh"))
+          .transform(graft.core.Caches.persist)
+        val hitSet = docs.filter(!col("is_eval"))
+          .select(explode(tokenShingleHashes(col("text"), 4)).as("sh"))
           .join(broadcast(evalSh.select(col("sh")).distinct()), Seq("sh"), "left_semi")
           .distinct()
           .withColumn("hit", lit(1))

@@ -692,13 +692,16 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // Bigram-LM perplexity scoring (the CCNet-style quality signal: docs
     // whose text the corpus LM finds surprising score high). One pass
-    // explodes bigrams; counts c(w1,w2) and c(w1) are map-side-combinable
-    // groupBys; scoring joins the bigram frame back on its n-gram keys —
-    // the honest 100 TB shape: both count tables are corpus-scale, so the
-    // joins shuffle ON THE N-GRAM KEY (never broadcast, never driver-side).
-    // Per-bigram cost −ln P(w2|w1) = ln(c1/c12) quantizes to integer
-    // micro-nats per row (the text06 contract); per-doc sums and the
-    // integer-division average/band are then exact cross-engine.
+    // explodes bigrams; c(w1,w2) is a map-side-combinable groupBy, and the
+    // context count c(w1) = Σ_w2 c(w1,w2) is derived FROM the bigram table
+    // (a per-w1 window over the distinct-bigram frame), so the instance
+    // stream is aggregated exactly once. Scoring joins the instance stream
+    // against the pre-joined (w1,w2)→cost table — one instance-scale
+    // shuffle on the n-gram key (never broadcast: the cost table is
+    // corpus-vocabulary-sized), then the per-doc aggregate. Per-bigram
+    // cost −ln P(w2|w1) = ln(c1/c12) quantizes to integer micro-nats per
+    // row (the text06 contract); per-doc sums and the integer-division
+    // average/band are then exact cross-engine.
     GraftQuery(
       "text13_ngram_perplexity",
       (s, d) => {
@@ -714,10 +717,12 @@ object PipelineQueries {
             col("b.w1").as("w1"), col("b.w2").as("w2"))
           .transform(graft.core.Caches.persist)
         val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
-        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-        bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-          .withColumn("cost_micro",
-            round(log(col("n1").cast("double") / col("n12")) * 1000000.0).cast("long"))
+        val cost = c12
+          .withColumn("n1", sum(col("n12")).over(Window.partitionBy(col("w1"))))
+          .select(col("w1"), col("w2"),
+            round(log(col("n1").cast("double") / col("n12")) * 1000000.0)
+              .cast("long").as("cost_micro"))
+        bg.join(cost, Seq("w1", "w2"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("n_bg"), sum(col("cost_micro")).as("nll_micro"))
           .withColumn("avg_micro", expr("nll_micro DIV n_bg"))
