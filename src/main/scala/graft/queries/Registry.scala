@@ -18,6 +18,9 @@ object Registry {
     CorpusQueries.all,
     QcQueries.all,
     PipelineQueries.all,
+    WarcQueries.all,
+    UrlQueries.all,
+    TarQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {

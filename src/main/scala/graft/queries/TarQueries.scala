@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{Hash60Kernel, Tar, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** WebDataset shard operators (tar01-tar02): USTAR training-shard round
+  * trip and the fault-tolerant shard scan. WebDataset (tar shards,
+  * `{key}.{ext}` members, consecutive same-key members = one sample) is
+  * the de-facto container for multimodal training data; these pin the
+  * pure-JVM [[graft.ops.Tar]] writer/reader and the sample-grouping
+  * convention against DuckDB recomputing every aggregate from the raw
+  * documents table. Same shapes as the warc pack: schema-bounded build
+  * groups, per-shard map, one small-keyed aggregate.
+  */
+object TarQueries {
+
+  private val M = 1000000007L
+
+  private def h60(s: String): Long =
+    Hash60Kernel.fold(Hash60Kernel.digest().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+
+  private def sqlH60Mod(v: String) = s"(${TA.Sql.hash60(v)} % $M)"
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** docs grouped into shards of ≤8 samples: (source, g, [(id, text, lang)]). */
+  private def shardGroups(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(col("source"), expr("doc_id DIV 8").as("g"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("text").as("_2"), col("lang").as("_3")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String, String)])]
+  }
+
+  private def buildShard(recs: Seq[(Long, String, String)]): Array[Byte] =
+    Tar.write(recs.flatMap { case (id, text, lang) =>
+      Seq(Tar.TarEntry(s"$id.txt", ascii(text)), Tar.TarEntry(s"$id.cls", ascii(lang)))
+    })
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // WebDataset round trip: each doc becomes a {id}.txt + {id}.cls
+    // member pair inside a USTAR shard; the reader re-parses headers
+    // (checksum-verified), re-groups members into samples by stem, and
+    // the per-class aggregate pins sample completeness, payload bytes,
+    // and an md5 checksum of every text body against DuckDB.
+    GraftQuery(
+      "tar01_webdataset_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            Tar.samples(Tar.read(buildShard(recs))).map { case (_, parts) =>
+              val complete = parts.keySet == Set("txt", "cls")
+              val txt = new String(parts.getOrElse("txt", Array.emptyByteArray),
+                java.nio.charset.StandardCharsets.US_ASCII)
+              val cls = new String(parts.getOrElse("cls", Array.emptyByteArray),
+                java.nio.charset.StandardCharsets.US_ASCII)
+              (cls, complete, txt.length.toLong, txt)
+            }
+          }
+          .toDF("lang", "complete", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            count(when(col("complete"), lit(1))).as("n_complete"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples, count(*) AS n_complete,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant shard scan: a deterministic slice of shards is
+    // poisoned (header byte flip → checksum refusal; tail truncation →
+    // truncated refusal) and each rotten SHARD becomes one typed error
+    // row; healthy shards still contribute exact sample counts and
+    // checksums. The warc03/mm09 contract on the shard container.
+    GraftQuery(
+      "tar02_poisoned_shards",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val clean = buildShard(recs)
+            val bytes = (h60(s"$source:$g") % 7) match {
+              case 0 => // flip a name byte: the stored header checksum no longer matches
+                val b = clean.clone(); b(3) = (b(3) ^ 0x15).toByte; b
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 700)
+              case _ => clean
+            }
+            Tar.readSafe(bytes) match {
+              case Right(entries) =>
+                val smp = Tar.samples(entries)
+                val bc = smp.map { case (_, parts) =>
+                  h60(new String(parts("txt"),
+                    java.nio.charset.StandardCharsets.US_ASCII)) % M
+                }.sum
+                (source, "ok", smp.size.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_samples", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_checksum", lit(1))).as("n_cksum"),
+            count(when(col("outcome") === "truncated", lit(1))).as("n_trunc"),
+            sum(when(col("outcome") === "ok", col("n_samples")).otherwise(0L))
+              .as("samples_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_cksum,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_trunc,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS samples_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
+  )
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{Url, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier URL operators (url01-url03): canonicalization, host /
+  * registered-domain extraction, and robots.txt politeness evaluation —
+  * the stages between a WARC scan and a fetch queue. Each query
+  * synthesizes deterministically-messy inputs from the documents table,
+  * runs the REAL parser/normalizer ([[graft.ops.Url]], written from
+  * RFC 3986 / RFC 9309), and aggregates md5 checksums of the outputs; the
+  * DuckDB oracle reconstructs the EXPECTED clean output directly from the
+  * same (doc_id, source) arithmetic — so the operators must undo exactly
+  * the mess they were handed, byte for byte.
+  *
+  * Scale shape: all three are per-row projections (no UDF state, no
+  * lookup joins) until the final small-keyed aggregate — the frontier
+  * shape that never shuffles the corpus.
+  */
+object UrlQueries {
+
+  private val M = 1000000007L // Σ(hash60 mod M) stays inside int64 at any SF
+
+  private def sqlH60Mod(v: String) = s"(${TA.Sql.hash60(v)} % $M)"
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("source")).as[(Long, String)]
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // RFC 3986 §6 canonicalization: five deterministic mess classes
+    // (dot segments, percent-encoded unreserved, default port, case,
+    // fragment) each normalize back to one predictable canonical form;
+    // the oracle builds that form straight from (source, doc_id), so the
+    // checksum only matches if every class is undone exactly.
+    GraftQuery(
+      "url01_canonicalize",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).map { case (id, source) =>
+            val messy = (id % 5) match {
+              case 0 => s"https://$source.example.com/a/./b/../doc/$id"
+              case 1 => s"https://$source.example.com/%64oc/$id" // %64 = 'd'
+              case 2 => s"https://$source.example.com:443/doc/$id"
+              case 3 => s"HTTPS://$source.EXAMPLE.COM/doc/$id"
+              case _ => s"https://$source.example.com/doc/$id#sec2"
+            }
+            (source, Url.canonicalize(messy), messy)
+          }
+          .toDF("source", "canon", "messy")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(TA.hash60(col("canon")) % M).as("canon_check"),
+            count(when(col("canon") =!= col("messy"), lit(1))).as("n_changed"))
+      },
+      Some(s"""WITH c AS (SELECT source,
+            'https://' || source || '.example.com' ||
+              CASE WHEN doc_id % 5 = 0 THEN '/a/doc/' ELSE '/doc/' END ||
+              CAST(doc_id AS VARCHAR) AS canon
+          FROM documents)
+        SELECT source, count(*) AS n,
+          CAST(sum(${sqlH60Mod("canon")}) AS BIGINT) AS canon_check,
+          count(*) AS n_changed
+        FROM c GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Host + registered-domain (eTLD+1) extraction: four host shapes —
+    // single-label suffix, multi-label suffix (co.uk), two-label
+    // wildcard-style suffix (github.io), and an unknown TLD exercising
+    // the PSL fallback — grouped by registrable domain, the key a crawl
+    // frontier shuffles on. Port stripping rides along (every URL
+    // carries :8080).
+    GraftQuery(
+      "url02_domain_stats",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).map { case (id, source) =>
+            val h = (id % 4) match {
+              case 0 => s"$source.example.com"
+              case 1 => s"a.$source.shop.co.uk"
+              case 2 => s"cdn.$source.pages.github.io"
+              case _ => s"$source.internal"
+            }
+            val hostOut = Url.host(s"https://$h:8080/x/$id")
+            (Url.registeredDomain(hostOut), hostOut)
+          }
+          .toDF("reg_domain", "host")
+          .groupBy(col("reg_domain"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("host")).as("n_hosts"),
+            sum(TA.hash60(col("host")) % M).as("host_check"))
+      },
+      Some(s"""WITH h AS (SELECT
+            CASE doc_id % 4
+              WHEN 0 THEN source || '.example.com'
+              WHEN 1 THEN 'a.' || source || '.shop.co.uk'
+              WHEN 2 THEN 'cdn.' || source || '.pages.github.io'
+              ELSE source || '.internal' END AS host,
+            CASE doc_id % 4
+              WHEN 0 THEN 'example.com'
+              WHEN 1 THEN 'shop.co.uk'
+              WHEN 2 THEN 'pages.github.io'
+              ELSE source || '.internal' END AS reg_domain
+          FROM documents)
+        SELECT reg_domain, count(*) AS n,
+          count(DISTINCT host) AS n_hosts,
+          CAST(sum(${sqlH60Mod("host")}) AS BIGINT) AS host_check
+        FROM h GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // robots.txt politeness (RFC 9309): per-source robots with a banned
+    // bot, a named group for OUR crawler (longest-UA-match selection),
+    // and a '*' fallback whose rules DIFFER — plus longest-path-match
+    // precedence with allow-wins-ties inside the named group. The oracle
+    // recomputes both verdict columns from doc_id arithmetic: graftbot is
+    // blocked under /private/ and /tmp/ but fine on /doc/ (its group has
+    // no /doc/ rule — a group-selection bug that leaks '*' rules flips
+    // this), while an unnamed bot sees the exact inverse.
+    GraftQuery(
+      "url03_robots_eval",
+      (s, d) => {
+        import s.implicits._
+        val robotsText =
+          """# synthetic politeness policy
+            |User-agent: badbot
+            |Disallow: /
+            |
+            |USER-AGENT: graftbot
+            |User-agent: otherbot
+            |Disallow: /private/
+            |Allow: /private/ok/
+            |Disallow: /tmp/
+            |Crawl-delay: 2
+            |
+            |User-agent: *
+            |Disallow: /doc/
+            |""".stripMargin
+        docs(s, d).mapPartitions { it =>
+            val robots = Url.parseRobots(robotsText) // parse once per partition
+            it.map { case (id, source) =>
+              val path = (id % 6) match {
+                case 0 => s"/private/doc/$id"
+                case 1 => s"/private/ok/doc/$id"
+                case 2 => s"/tmp/doc/$id"
+                case _ => s"/doc/$id"
+              }
+              val url = s"https://$source.example.com$path"
+              (source, url,
+                robots.allowed("graftbot/1.0 (+https://example.com)", path),
+                robots.allowed("randombot/2.0", path))
+            }
+          }
+          .toDF("source", "url", "graft_ok", "rand_ok")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("graft_ok"), lit(1))).as("n_graft_ok"),
+            count(when(col("rand_ok"), lit(1))).as("n_rand_ok"),
+            sum(when(col("graft_ok"), TA.hash60(col("url")) % M).otherwise(0L))
+              .as("fetch_check"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id, source,
+            'https://' || source || '.example.com' ||
+              CASE doc_id % 6 WHEN 0 THEN '/private/doc/'
+                WHEN 1 THEN '/private/ok/doc/' WHEN 2 THEN '/tmp/doc/'
+                ELSE '/doc/' END || CAST(doc_id AS VARCHAR) AS url,
+            doc_id % 6 = 1 OR doc_id % 6 >= 3 AS graft_ok,
+            doc_id % 6 < 3 AS rand_ok
+          FROM documents)
+        SELECT source, count(*) AS n,
+          count(CASE WHEN graft_ok THEN 1 END) AS n_graft_ok,
+          count(CASE WHEN rand_ok THEN 1 END) AS n_rand_ok,
+          CAST(sum(CASE WHEN graft_ok THEN ${sqlH60Mod("url")} ELSE 0 END)
+            AS BIGINT) AS fetch_check
+        FROM p GROUP BY 1"""),
+    ),
+  )
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{Hash60Kernel, Warc, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** WARC crawl-ingestion operators (warc01-warc03): the Common Crawl
+  * container front door, exercised end to end — synthesize deterministic
+  * `.warc.gz` files from the documents table (one gzip member per record,
+  * the standard seekable layout), read them back through the pure-JVM
+  * [[graft.ops.Warc]] reader (gzip member split + CRC audit, WARC record
+  * grammar, HTTP/1.1 response framing), and aggregate what a crawl-ingest
+  * job extracts. The oracle recomputes every aggregate straight from the
+  * source text in DuckDB, so one wrong byte anywhere in the
+  * build→gzip→split→inflate→record-parse→HTTP-strip path breaks the hash
+  * match (the mm03 round-trip contract applied to the container layer).
+  *
+  * Scale shape: file build groups are schema-bounded (≤8 docs), parsing is
+  * a per-file map, and nothing shuffles between the group build and the
+  * final per-source aggregate — at 100 TB the same parser runs as a
+  * per-file flatMap over a binaryFile scan ([[graft.ops.WarcSource]]),
+  * which never shuffles at all.
+  */
+object WarcQueries {
+
+  /** checksum modulus: keeps Σ(hash60 mod M) inside int64 at any corpus
+    * scale (5e6 docs × 1e9 ≈ 5e15 ≪ 2⁶³)
+    */
+  private val M = 1000000007L
+
+  private def h60(s: String): Long =
+    Hash60Kernel.fold(Hash60Kernel.digest().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+
+  private def sqlH60Mod(v: String) = s"(${TA.Sql.hash60(v)} % $M)"
+
+  /** docs grouped into crawl files of ≤8 pages: (source, g, [(id, text)]),
+    * records sorted by doc_id inside the file.
+    */
+  private def fileGroups(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    // no pre-repartition: the groupBy is the one full-text shuffle, and its
+    // map side partial-aggregates nothing here (collect_list), so an extra
+    // exchange would just move the corpus twice
+    Tables.documents(s, d)
+      .groupBy(col("source"), expr("doc_id DIV 8").as("g"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))
+      .as[(String, Long, Seq[(Long, String)])]
+  }
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // WARC round trip: every doc becomes an HTTP-200 response record in a
+    // multi-record .warc.gz (warcinfo + responses, one gzip member each);
+    // the reader splits members (CRC32+ISIZE audited), parses the record
+    // grammar, strips the HTTP envelope, and the per-source aggregate pins
+    // record counts, file counts (via warcinfo), body bytes, and md5-based
+    // checksums of both bodies and target URIs against DuckDB recomputing
+    // them from the raw table.
+    GraftQuery(
+      "warc01_warc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val parsed = fileGroups(s, d).map { case (source, g, recs) =>
+            val pages = recs.map { case (id, text) =>
+              (s"https://$source/doc/$id", 200,
+                Seq("Content-Type" -> "text/plain; charset=utf-8"), ascii(text))
+            }
+            (source, Warc.buildCrawlFile(s"$source-$g.warc.gz", pages))
+          }
+          .flatMap { case (source, bytes) =>
+            Warc.read(bytes).map { r =>
+              if (r.warcType == "response") {
+                val h = Warc.parseHttpResponse(r.body)
+                (source, r.warcType, r.targetUri,
+                  new String(h.body, java.nio.charset.StandardCharsets.US_ASCII))
+              } else (source, r.warcType, "", "")
+            }
+          }
+          .toDF("source", "rec_type", "uri", "body")
+        parsed.groupBy(col("source")).agg(
+          count(when(col("rec_type") === "response", lit(1))).as("n_records"),
+          count(when(col("rec_type") === "warcinfo", lit(1))).as("n_files"),
+          sum(when(col("rec_type") === "response", length(col("body")))
+            .otherwise(0)).cast("long").as("body_bytes"),
+          sum(when(col("rec_type") === "response", TA.hash60(col("body")) % M)
+            .otherwise(0L)).as("body_check"),
+          sum(when(col("rec_type") === "response", TA.hash60(col("uri")) % M)
+            .otherwise(0L)).as("uri_check"))
+      },
+      Some(s"""SELECT source,
+          count(*) AS n_records,
+          count(DISTINCT doc_id // 8) AS n_files,
+          CAST(sum(length(text)) AS BIGINT) AS body_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS body_check,
+          CAST(sum(${sqlH60Mod("'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS uri_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // HTTP-layer crawl triage: statuses vary per page (doc_id%7 → 404 /
+    // 301-with-Location / 200), every response carries a custom header,
+    // and the ingest keeps only 200s with a text/* Content-Type — the
+    // standard crawl-extraction rule. Pins status-line parsing, arbitrary
+    // header extraction (X-Crawl-Depth round-trips an integer,
+    // Location round-trips a URI), and the keep rule, per status code.
+    GraftQuery(
+      "warc02_http_triage",
+      (s, d) => {
+        import s.implicits._
+        val parsed = fileGroups(s, d).map { case (source, g, recs) =>
+            val pages = recs.map { case (id, text) =>
+              val depth = "X-Crawl-Depth" -> (id % 5).toString
+              (id % 7) match {
+                case 0 => (s"https://$source/doc/$id", 404,
+                  Seq("Content-Type" -> "text/html; charset=utf-8", depth),
+                  ascii("not found"))
+                case 1 => (s"https://$source/doc/$id", 301,
+                  Seq("Location" -> s"https://$source/doc/${id + 1}", depth),
+                  Array.emptyByteArray)
+                case _ => (s"https://$source/doc/$id", 200,
+                  Seq("Content-Type" -> "text/plain; charset=utf-8", depth),
+                  ascii(text))
+              }
+            }
+            (source, Warc.buildCrawlFile(s"$source-$g.warc.gz", pages))
+          }
+          .flatMap { case (_, bytes) =>
+            Warc.read(bytes).collect {
+              case r if r.warcType == "response" =>
+                val h = Warc.parseHttpResponse(r.body)
+                val ctype = h.header("Content-Type").getOrElse("")
+                val kept = h.status == 200 && ctype.startsWith("text/")
+                (h.status,
+                  h.header("X-Crawl-Depth").map(_.toLong).getOrElse(-1L),
+                  if (kept)
+                    new String(h.body, java.nio.charset.StandardCharsets.US_ASCII)
+                  else "",
+                  h.header("Location").getOrElse(""),
+                  kept)
+            }
+          }
+          .toDF("status", "depth", "body", "location", "kept")
+        parsed.groupBy(col("status")).agg(
+          count(lit(1)).as("n"),
+          sum(col("depth")).as("depth_sum"),
+          sum(when(col("kept"), TA.hash60(col("body")) % M).otherwise(0L))
+            .as("kept_body_check"),
+          sum(when(col("status") === 301, TA.hash60(col("location")) % M)
+            .otherwise(0L)).as("loc_check"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id, source, text,
+            CASE WHEN doc_id % 7 = 0 THEN 404
+                 WHEN doc_id % 7 = 1 THEN 301 ELSE 200 END AS status
+          FROM documents)
+        SELECT status, count(*) AS n,
+          CAST(sum(doc_id % 5) AS BIGINT) AS depth_sum,
+          CAST(sum(CASE WHEN status = 200 THEN ${sqlH60Mod("text")} ELSE 0 END)
+            AS BIGINT) AS kept_body_check,
+          CAST(sum(CASE WHEN status = 301 THEN
+            ${sqlH60Mod("'https://' || source || '/doc/' || CAST(doc_id + 1 AS VARCHAR)")}
+            ELSE 0 END) AS BIGINT) AS loc_check
+        FROM p GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant WARC scan (mm09's contract at the container layer):
+    // a deterministic slice of files is poisoned — CRC trailer corrupted
+    // or member truncated — and the safe reader turns each rotten FILE
+    // into a typed error row (fail-stop per file) instead of a task
+    // failure; healthy files still contribute their exact record counts
+    // and body checksums. At 100 TB a crawl bucket ALWAYS carries
+    // truncated uploads; the error-kind counts are the curation signal.
+    GraftQuery(
+      "warc03_poisoned_scan",
+      (s, d) => {
+        import s.implicits._
+        val perFile = fileGroups(s, d).map { case (source, g, recs) =>
+          val pages = recs.map { case (id, text) =>
+            (s"https://$source/doc/$id", 200,
+              Seq("Content-Type" -> "text/plain; charset=utf-8"), ascii(text))
+          }
+          val clean = Warc.buildCrawlFile(s"$source-$g.warc.gz", pages)
+          val bytes = (h60(s"$source:$g") % 5) match {
+            case 0 => // corrupt the last member's CRC32 trailer byte
+              val b = clean.clone()
+              b(b.length - 8) = (b(b.length - 8) ^ 0x5a).toByte
+              b
+            case 1 => java.util.Arrays.copyOf(clean, clean.length - 5) // truncate
+            case _ => clean
+          }
+          Warc.readSafe(bytes) match {
+            case Right(rs) =>
+              val resp = rs.filter(_.warcType == "response")
+              val bc = resp.map { r =>
+                h60(new String(Warc.parseHttpResponse(r.body).body,
+                  java.nio.charset.StandardCharsets.US_ASCII)) % M
+              }.sum
+              (source, "ok", resp.size.toLong, bc)
+            case Left(kind) => (source, kind, 0L, 0L)
+          }
+        }.toDF("source", "outcome", "n_resp", "bc")
+        perFile.groupBy(col("source")).agg(
+          count(lit(1)).as("n_files"),
+          count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+          count(when(col("outcome") === "crc_mismatch", lit(1))).as("n_crc"),
+          count(when(col("outcome") === "truncated", lit(1))).as("n_trunc"),
+          sum(when(col("outcome") === "ok", col("n_resp")).otherwise(0L)).as("rec_ok"),
+          sum(when(col("outcome") === "ok", col("bc")).otherwise(0L)).as("body_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 5 AS p
+          FROM g)
+        SELECT source, count(*) AS n_files,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_crc,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_trunc,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS rec_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS body_check
+        FROM c GROUP BY 1"""),
+    ),
+  )
+}
