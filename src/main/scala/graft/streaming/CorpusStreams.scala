@@ -117,4 +117,39 @@ object CorpusStreams {
       .agg(count(lit(1)).as("n_blobs"), sum(col("w")).as("sum_w"),
         sum(col("bytes")).as("sum_bytes"))
   }
+
+  /** Streaming WARC ingest — crawl files land continuously (the file-drop
+    * shape of a live fetch fleet) and each is parsed on arrival through
+    * the fail-stop [[graft.ops.Warc.readSafe]] reader: healthy files
+    * yield one row per HTTP response record, a rotten file yields ONE
+    * typed error row (`outcome` = the stable refusal vocabulary) instead
+    * of a failed micro-batch. The keyed aggregate tracks per-(outcome,
+    * status) record counts and body bytes — state is bounded by the
+    * refusal-kind × status-code vocabulary at any corpus scale, and the
+    * error-kind counts are the fetch-health signal. Parsing is a
+    * stateless per-file flatMap, so the operator inherits mediaScan's
+    * scaling story. Batch parity (incl. a poisoned corpus) is pinned by
+    * [[graft.streaming.WarcStreamSpec]].
+    *
+    * Expects columns (file string, content binary).
+    */
+  def warcScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        graft.ops.Warc.readSafe(bytes) match {
+          case Right(rs) => rs.collect {
+            case r if r.warcType == "response" =>
+              val h = graft.ops.Warc.parseHttpResponse(r.body)
+              ("ok", h.status, h.body.length.toLong)
+          }
+          case Left(kind) => Seq((kind, 0, 0L))
+        }
+      }.toDF("outcome", "status", "body_bytes")
+    recs.groupBy(col("outcome"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("body_bytes")).as("sum_bytes"))
+  }
 }
