@@ -844,27 +844,34 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
-    // Market-basket association rules (support / confidence / lift): the
-    // corpus-scale stages are ONE distinct over (basket, item) and ONE
-    // basket-local self-join — baskets are bounded (≤7 lines per order),
-    // so the pair fan-out is linear in orders, never quadratic in items.
-    // The item-frequency and pair tables are vocabulary-sized (25 brands →
-    // ≤600 rules at ANY corpus scale) and join back as broadcasts. Every
-    // metric is one textually-mirrored double expression over exact BIGINT
-    // counts, rounded once.
+    // Market-basket association rules (support / confidence / lift): ONE
+    // corpus-scale shuffle total — lineitem⨝part groups straight into
+    // per-basket item SETS (collect_set partial-aggregates map-side, so
+    // the exchange carries deduped sets, not line items), and every later
+    // stage is basket-local: pair fan-out is an in-row array expression
+    // over the ≤7-item set (linear in orders, never a self-join), item
+    // frequencies and pair counts partial-aggregate into
+    // vocabulary-sized tables (25 brands → ≤600 rules at ANY corpus
+    // scale) that join back as broadcasts. Every metric is one
+    // textually-mirrored double expression over exact BIGINT counts,
+    // rounded once.
     GraftQuery(
       "assoc01_basket_rules",
       (s, d) => {
-        val b = Tables.lineitem(s, d)
+        val baskets = Tables.lineitem(s, d)
           .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-          .distinct()
-          .transform(graft.core.Caches.persist) // basket-item pairs feed n/i/pr without a re-scan
-        val n = b.agg(countDistinct(col("ok")).as("n_baskets"))
-        val i = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
-        val pr = b.as("a").join(b.as("c"),
-            col("a.ok") === col("c.ok") && col("a.item") =!= col("c.item"))
-          .groupBy(col("a.item").as("ante"), col("c.item").as("cons"))
+          .groupBy(col("ok"))
+          .agg(sort_array(collect_set(col("item"))).as("items"))
+          .transform(graft.core.Caches.persist) // baskets feed n/i/pr without a re-scan
+        val n = baskets.agg(count(lit(1)).as("n_baskets"))
+        val i = baskets.select(explode(col("items")).as("item"))
+          .groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+        val pairs = flatten(transform(col("items"),
+          a => transform(filter(col("items"), c => c =!= a),
+            c => struct(a.as("ante"), c.as("cons")))))
+        val pr = baskets.select(explode(pairs).as("p"))
+          .groupBy(col("p.ante").as("ante"), col("p.cons").as("cons"))
           .agg(count(lit(1)).as("c_ab"))
         pr
           .join(broadcast(i.select(col("item").as("ante"), col("c_item").as("c_a"))), "ante")

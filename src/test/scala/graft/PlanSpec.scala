@@ -322,6 +322,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("url: frontier ops are pure projections — no join, no window, no sort") {
+    Seq("url01_canonicalize", "url02_domain_stats", "url03_robots_eval").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q joins: $p")
+      assert(!p.contains("Window"), s"$q windows: $p")
+    }
+  }
+
+  test("warc/tar: container round trips are two shuffles — group build + final agg") {
+    Seq("warc01_warc_roundtrip", "tar01_webdataset_roundtrip",
+      "tar02_poisoned_shards").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      assert(countShuffles(df.queryExecution.executedPlan) <= 2,
+        s"$q: " + df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("q36/q37: mode counts partial-aggregate; the RANGE window is one shuffle") {
     assert(planOf("q36_mode").contains("partial_"), planOf("q36_mode"))
     val df = SparkEntry.queries("q37_trailing_window")(spark, sf)

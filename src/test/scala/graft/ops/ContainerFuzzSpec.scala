@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Total-robustness locks on the container/frontier parsers: a 100 TB
+  * crawl scan feeds these ARBITRARY bytes, so the safe readers must
+  * refuse with a typed kind — never throw, never loop — on random
+  * garbage AND on single-byte mutations of valid files (the harder
+  * class: almost-valid input). Url.canonicalize must be total on any
+  * string.
+  */
+class ContainerFuzzSpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 600).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+
+  private val validWarc: Array[Byte] = Warc.buildCrawlFile("f.warc.gz",
+    (0L until 3L).map(i => (s"https://s/doc/$i", 200,
+      Seq("Content-Type" -> "text/plain"), s"body text $i".getBytes(US_ASCII))))
+
+  private val validTar: Array[Byte] = Tar.write(
+    (0L until 3L).flatMap(i => Seq(
+      Tar.TarEntry(s"$i.txt", s"payload $i".getBytes(US_ASCII)),
+      Tar.TarEntry(s"$i.cls", "en".getBytes(US_ASCII)))))
+
+  test("Warc.readSafe is total on random bytes") {
+    check(Prop.forAll(bytesGen) { b =>
+      Warc.readSafe(b).isLeft || Warc.readSafe(b).isRight // no throw
+    })
+  }
+
+  test("Warc.readSafe is total under single-byte mutations of a valid file") {
+    check(Prop.forAll(
+      Gen.chooseNum(0, validWarc.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validWarc.clone(); m(pos) = (m(pos) ^ x).toByte
+      Warc.readSafe(m) match {
+        case Left(kind) =>
+          Set("bad_gzip", "truncated", "crc_mismatch", "bad_record").contains(kind)
+        case Right(_) => true // mutation may hit a byte the grammar ignores
+      }
+    }, n = 500)
+  }
+
+  test("Warc truncation: refuse, or parse a clean record PREFIX (resumability)") {
+    // one gzip member per record means a cut at a member boundary IS a
+    // valid shorter file — the property a resumable crawl upload relies
+    // on. A cut anywhere else must refuse; silent partial records never.
+    val full = Warc.read(validWarc).map(r => new String(r.body, US_ASCII))
+    check(Prop.forAll(Gen.chooseNum(0, validWarc.length - 1)) { n =>
+      Warc.readSafe(java.util.Arrays.copyOf(validWarc, n)) match {
+        case Left(_) => true
+        case Right(rs) =>
+          val got = rs.map(r => new String(r.body, US_ASCII))
+          got == full.take(got.size) && got.size < full.size
+      }
+    })
+  }
+
+  test("Tar.readSafe is total on random bytes and mutations") {
+    check(Prop.forAll(bytesGen) { b => Tar.readSafe(b); true })
+    check(Prop.forAll(
+      Gen.chooseNum(0, validTar.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validTar.clone(); m(pos) = (m(pos) ^ x).toByte
+      Tar.readSafe(m) match {
+        case Left(kind) =>
+          Set("bad_checksum", "truncated", "bad_octal", "bad_header").contains(kind)
+        case Right(_) => true
+      }
+    }, n = 500)
+  }
+
+  test("Tar.readSafe refuses truncation at any offset short of the terminator") {
+    check(Prop.forAll(Gen.chooseNum(0, validTar.length - 1025)) { n =>
+      Tar.readSafe(java.util.Arrays.copyOf(validTar, n)).isLeft
+    })
+  }
+
+  test("Url.canonicalize and host are total on arbitrary strings") {
+    val weird = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.asciiPrintableStr.map("https://" + _),
+      Gen.asciiPrintableStr.map("http://h/" + _),
+      Gen.const("https://"), Gen.const("://x"), Gen.const("http://a.com/%"),
+      Gen.const("http://a.com/%zz"), Gen.const("http://:80/.."))
+    check(Prop.forAll(weird) { s =>
+      Url.canonicalize(s); Url.host(s); Url.registeredDomain(s); true
+    }, n = 500)
+  }
+
+  test("robots parsing is total on arbitrary text") {
+    check(Prop.forAll(Gen.asciiStr) { s =>
+      val r = Url.parseRobots(s)
+      r.allowed("anybot", "/x"); true
+    })
+  }
+}
