@@ -227,5 +227,50 @@ object WarcQueries {
           CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS body_check
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Main-text extraction from crawl HTML (the trafilatura/jusText role
+    // between a WARC scan and the documents table): each doc's text is
+    // embedded — HTML-escaped — in a deterministic page skeleton with
+    // title, nav/footer/script/style boilerplate, and block structure;
+    // [[graft.etl.HtmlText]] parses it back through the stdlib-faithful
+    // HtmlParser port, drops boilerplate subtrees, splits at block tags,
+    // and whitespace-normalizes. The oracle rebuilds the expected title/
+    // body straight from the raw text (so escape→parse→unescape→extract
+    // must round-trip byte-exactly) and prices the skipped boilerplate
+    // bytes per row.
+    GraftQuery(
+      "html01_main_text",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .map { case (id, source, text) =>
+            val page =
+              s"""<html><head><title>Doc $id</title><style>p{color:red}</style><script>var x=1;</script></head><body><nav><a href="/">home</a><a href="/about">about</a></nav><main><h1>Doc $id</h1><p>${graft.etl.HtmlText.escape(text)}</p></main><footer>copyright $source</footer></body></html>"""
+            val e = graft.etl.HtmlText.extract(page)
+            (source, e.title, e.body, e.boilerplateBytes)
+          }
+          .toDF("source", "title", "body", "boiler")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(TA.hash60(col("title")) % M).as("title_check"),
+            sum(TA.hash60(col("body")) % M).as("body_check"),
+            sum(col("boiler")).as("boilerplate_bytes"))
+      },
+      Some(s"""WITH x AS (SELECT doc_id, source,
+            'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+            'Doc ' || CAST(doc_id AS VARCHAR) ||
+              CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN ''
+                   ELSE ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS body
+          FROM documents)
+        SELECT source, count(*) AS n,
+          CAST(sum(${sqlH60Mod("title")}) AS BIGINT) AS title_check,
+          CAST(sum(${sqlH60Mod("body")}) AS BIGINT) AS body_check,
+          CAST(sum(39 + length(source)) AS BIGINT) AS boilerplate_bytes
+        FROM x GROUP BY 1"""),
+    ),
   )
 }
