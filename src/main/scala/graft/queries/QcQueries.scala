@@ -839,5 +839,49 @@ object QcQueries {
           coalesce(max(n_langs), 0) AS max_langs
         FROM g"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Exact ROC-AUC audit (classifier-calibration QC: is a quality score
+    // actually separating the classes it gates on?): AUC computed as the
+    // Mann-Whitney pair statistic over a SCORE HISTOGRAM — wins count 2,
+    // ties count 1, all integers — so the result is exact at any corpus
+    // scale with no per-row ranking: the corpus collapses into one
+    // map-side-combinable groupBy on the integer score, the cumulative
+    // window runs over the histogram (bounded by the score DOMAIN, never
+    // row count — the sketch06 contract), and one rounded ppm division
+    // ends it. A global rank-the-corpus window — the textbook AUC plan —
+    // would be the exact shape the registry-wide PlanSpec gate bans.
+    GraftQuery(
+      "qc12_auc_audit",
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .select(expr("n_chars DIV 16").as("score"),
+            (col("lang") === "en").as("pos"))
+          .groupBy(col("score"))
+          .agg(count(when(col("pos"), lit(1))).as("p"),
+            count(when(!col("pos"), lit(1))).as("m"))
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cumm", coalesce(sum(col("m")).over(w), lit(0L)))
+          .agg(sum(col("p")).as("n_pos"), sum(col("m")).as("n_neg"),
+            sum(col("p") * (col("cumm") * 2) + col("p") * col("m")).as("num2"))
+          .select(col("n_pos"), col("n_neg"), col("num2"),
+            round(col("num2") * 1000000.0 / (lit(2) * col("n_pos") * col("n_neg")))
+              .cast("long").as("auc_ppm"))
+      },
+      Some("""WITH h AS (SELECT n_chars // 16 AS score,
+            count(CASE WHEN lang = 'en' THEN 1 END) AS p,
+            count(CASE WHEN lang <> 'en' THEN 1 END) AS m
+          FROM documents GROUP BY 1),
+        c AS (SELECT p, m, COALESCE(sum(m) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumm
+          FROM h),
+        a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+            CAST(sum(m) AS BIGINT) AS n_neg,
+            CAST(sum(p * (2 * cumm) + p * m) AS BIGINT) AS num2 FROM c)
+        SELECT n_pos, n_neg, num2,
+          CAST(round(num2 * 1000000.0 / (2 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
+        FROM a"""),
+    ),
   )
 }

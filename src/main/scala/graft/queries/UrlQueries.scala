@@ -182,5 +182,63 @@ object UrlQueries {
             AS BIGINT) AS fetch_check
         FROM p GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // sitemap.xml discovery (the frontier's INPUT: robots points at
+    // sitemaps, sitemaps enumerate fetchable URLs with freshness hints):
+    // multi-url sitemap files are synthesized per (source, doc_id DIV 8)
+    // group — loc (a third carry an entity-escaped query string, which
+    // the spec REQUIRES), lastmod dates, optional changefreq, priority —
+    // and parsed back through [[graft.etl.Sitemap]] (the HtmlParser
+    // tokenizer). The per-source aggregate pins every field: the oracle
+    // recomputes loc checksums (AFTER unescaping), lastmod day sums,
+    // changefreq counts, and priority tenths from doc_id arithmetic.
+    GraftQuery(
+      "url04_sitemap_discovery",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy(col("source"), expr("doc_id DIV 8").as("g"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[(String, Long, Seq[Long])]
+          .flatMap { case (source, _, ids) =>
+            val entries = ids.map { id =>
+              val q = if (id % 3 == 0) s"?a=$id&amp;b=2" else ""
+              val cf = if (id % 4 == 0) "<changefreq>daily</changefreq>" else ""
+              f"<url><loc>https://$source.example.com/doc/$id$q</loc>" +
+                f"<lastmod>2026-01-${1 + id % 28}%02d</lastmod>$cf" +
+                f"<priority>0.${id % 10}</priority></url>"
+            }
+            val xml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              entries.mkString + "</urlset>"
+            graft.etl.Sitemap.parse(xml).map { u =>
+              (source, u.loc, u.lastmod.takeRight(2).toLong,
+                u.changefreq == "daily", u.priority.stripPrefix("0.").toLong)
+            }
+          }
+          .toDF("source", "loc", "day", "daily", "tenths")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_urls"),
+            sum(TA.hash60(col("loc")) % M).as("loc_check"),
+            sum(col("day")).as("day_sum"),
+            count(when(col("daily"), lit(1))).as("n_daily"),
+            sum(col("tenths")).as("prio_tenths"))
+      },
+      Some(s"""WITH u AS (SELECT source,
+            'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+              CASE WHEN doc_id % 3 = 0
+                THEN '?a=' || CAST(doc_id AS VARCHAR) || '&b=2' ELSE '' END AS loc,
+            1 + doc_id % 28 AS day, doc_id % 4 = 0 AS daily,
+            doc_id % 10 AS tenths
+          FROM documents)
+        SELECT source, count(*) AS n_urls,
+          CAST(sum(${sqlH60Mod("loc")}) AS BIGINT) AS loc_check,
+          CAST(sum(day) AS BIGINT) AS day_sum,
+          count(CASE WHEN daily THEN 1 END) AS n_daily,
+          CAST(sum(tenths) AS BIGINT) AS prio_tenths
+        FROM u GROUP BY 1"""),
+    ),
   )
 }

@@ -542,6 +542,7 @@ class PlanSpec extends SparkSpec {
     "mix02_epoch_plan" -> "frame = lang×source mixture table, ≤97 rows at any corpus size",
     "mix04_anneal" -> "frame = lang×source mixture table (≤97 rows) — the largest-remainder rank windows run after the corpus collapsed to one row per (lang, source)",
     "sketch06_hist_quantile" -> "frame = fixed-width price histogram bins — bounded by the value DOMAIN (|price range|/W), not by row count",
+    "qc12_auc_audit" -> "frame = integer score histogram (n_chars DIV 16) — bounded by the score DOMAIN, not by row count",
   )
 
   private def unpartitionedWindows(p: SparkPlan): Seq[SparkPlan] = {
