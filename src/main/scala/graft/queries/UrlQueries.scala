@@ -40,18 +40,22 @@ object UrlQueries {
     GraftQuery(
       "url01_canonicalize",
       (s, d) => {
-        import s.implicits._
-        docs(s, d).map { case (id, source) =>
-            val messy = (id % 5) match {
-              case 0 => s"https://$source.example.com/a/./b/../doc/$id"
-              case 1 => s"https://$source.example.com/%64oc/$id" // %64 = 'd'
-              case 2 => s"https://$source.example.com:443/doc/$id"
-              case 3 => s"HTTPS://$source.EXAMPLE.COM/doc/$id"
-              case _ => s"https://$source.example.com/doc/$id#sec2"
-            }
-            (source, Url.canonicalize(messy), messy)
-          }
-          .toDF("source", "canon", "messy")
+        // end-to-end codegen: the mess synthesis is a when-chain of
+        // concats and the normalizer is the UrlCanonicalize Expression —
+        // no typed map, so the whole projection stays in one
+        // WholeStageCodegen span (PlanSpec-gated)
+        val id = col("doc_id").cast("string")
+        val base = concat(lit("https://"), col("source"), lit(".example.com"))
+        val m5 = col("doc_id") % 5
+        val messy = when(m5 === 0, concat(base, lit("/a/./b/../doc/"), id))
+          .when(m5 === 1, concat(base, lit("/%64oc/"), id)) // %64 = 'd'
+          .when(m5 === 2, concat(base, lit(":443/doc/"), id))
+          .when(m5 === 3, concat(lit("HTTPS://"), col("source"),
+            lit(".EXAMPLE.COM/doc/"), id))
+          .otherwise(concat(base, lit("/doc/"), id, lit("#sec2")))
+        Tables.documents(s, d)
+          .select(col("source"), messy.as("messy"))
+          .withColumn("canon", graft.ops.UrlCanonicalize(col("messy")))
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n"),
