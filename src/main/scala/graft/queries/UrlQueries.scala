@@ -244,5 +244,72 @@ object UrlQueries {
           CAST(sum(tenths) AS BIGINT) AS prio_tenths
         FROM u GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // The composed crawl frontier in ONE declarative plan (the pipe01
+    // pattern applied to this family): discovered URLs arrive in two
+    // messy spellings per canonical target (default port / dot segments),
+    // normalize through the codegen'd UrlCanonicalize Expression, dedup
+    // by canonical URL (keeper = min doc_id — the standard first-seen
+    // rule), then a robots.txt politeness policy PARSED AT PLAN TIME and
+    // compiled into a longest-match-ordered predicate column (how a real
+    // fetch job ships a policy to executors: rules are driver-sized, the
+    // predicate rides whole-stage codegen; the '*' group disallows
+    // everything, so group selection is load-bearing at compile time).
+    // Two shuffles end to end: the canonical dedup and the per-source
+    // report.
+    GraftQuery(
+      "url05_frontier_pipeline",
+      (s, d) => {
+        val k = expr("doc_id DIV 2")
+        val path = when(k % 3 === 0,
+          concat(lit("/private/doc/"), k.cast("string")))
+          .otherwise(concat(lit("/doc/"), k.cast("string")))
+        val messy = when(col("doc_id") % 2 === 0,
+          concat(lit("https://"), col("source"), lit(".example.com:443"), path))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".example.com/a/.."), path))
+        // plan-time policy compile: named group beats the ban-everything '*'
+        val robots = Url.parseRobots(
+          "User-agent: graftbot\nDisallow: /private/\n\nUser-agent: *\nDisallow: /\n")
+        val rules = robots.groupFor("graftbot/1.0")
+        def compiledAllow(p: org.apache.spark.sql.Column) =
+          rules.sortBy(-_.path.length).foldRight(lit(true): org.apache.spark.sql.Column) {
+            (r, acc) => when(p.startsWith(r.path), lit(r.allow)).otherwise(acc)
+          }
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), path.as("path"),
+            graft.ops.UrlCanonicalize(messy).as("canon"))
+          .groupBy(col("source"), col("canon"), col("path"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+          .withColumn("allowed", compiledAllow(col("path")))
+          .groupBy(col("source"))
+          .agg(
+            sum(col("cnt")).as("n_discovered"),
+            count(lit(1)).as("n_unique"),
+            count(when(col("allowed"), lit(1))).as("n_allowed"),
+            sum(when(col("allowed"), TA.hash60(col("canon")) % M).otherwise(0L))
+              .as("fetch_check"),
+            sum(when(col("allowed"), col("keeper")).otherwise(0L)).as("keeper_sum"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 2 AS k,
+            min(doc_id) AS keeper, count(*) AS cnt
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, keeper, cnt,
+            'https://' || source || '.example.com' ||
+              CASE WHEN k % 3 = 0 THEN '/private/doc/' ELSE '/doc/' END ||
+              CAST(k AS VARCHAR) AS canon,
+            k % 3 <> 0 AS allowed
+          FROM g)
+        SELECT source,
+          CAST(sum(cnt) AS BIGINT) AS n_discovered,
+          count(*) AS n_unique,
+          count(CASE WHEN allowed THEN 1 END) AS n_allowed,
+          CAST(sum(CASE WHEN allowed THEN ${sqlH60Mod("canon")} ELSE 0 END)
+            AS BIGINT) AS fetch_check,
+          CAST(sum(CASE WHEN allowed THEN keeper ELSE 0 END) AS BIGINT)
+            AS keeper_sum
+        FROM c GROUP BY 1"""),
+    ),
   )
 }
