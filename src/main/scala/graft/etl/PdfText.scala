@@ -510,7 +510,7 @@ object PdfText {
     * 9→12 bits, CLEAR=256, EOD=257; with EarlyChange (default 1) the code
     * width bumps one entry before the table fills.
     */
-  private[etl] def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length * 3)
     val table = new Array[Array[Byte]](4096)
     var next = 258

@@ -299,6 +299,12 @@ object BinaryMediaDecoder extends MediaDecoder {
       val (hd, px) = Jpeg.decode(b.content)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
         rasterFeaturesRgb(hd.w, hd.h, hd.channels, px))
+    case "image/tiff" =>
+      // baseline TIFF (round 11, graft.ops.Tiff): none/PackBits/LZW
+      // strips, both byte orders, horizontal predictor
+      val (hd, px) = Tiff.decode(b.content)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1,
+        rasterFeaturesRgb(hd.w, hd.h, hd.channels, px))
     case "image/webp" =>
       // full VP8L lossless decode (RGBA) AND full lossy VP8 keyframe
       // decode (round 11, graft.ops.Vp8); inter-frame VP8 refuses with a

@@ -828,5 +828,65 @@ object MediaQueries {
           CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(w) AS BIGINT) AS sum_h
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // TIFF round trip over the full option grid (the scan/scientific
+    // raster format a crawl corpus still carries): each doc's text bytes
+    // become the mm03 formula raster (gray for even doc_ids, RGB for
+    // odd), ENCODED as a genuine multi-strip TIFF whose compression
+    // (none / PackBits / LZW+predictor, by doc_id%3) and byte order
+    // (MM for doc_id%5=0) vary per blob, and DECODED back through
+    // graft.ops.Tiff (strip reassembly, PackBits, the shared PDF/TIFF
+    // early-change LZW, horizontal-predictor reconstruction). The audit
+    // sums decoded pixel bytes per (color, compression); the oracle
+    // recomputes that sum straight from the text — one wrong byte in any
+    // encode→compress→decompress→unpredict path breaks the hash match.
+    GraftQuery(
+      "mm14_tiff_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.mapPartitions { it =>
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val ch = if (id % 2 == 0) 1 else 3
+            val px = Array.tabulate(16 * 16 * ch)(i => bytes((i * 7 + 3) % bytes.length))
+            val comp = (id % 3) match { case 0 => 1; case 1 => 32773; case _ => 5 }
+            val t = graft.ops.Tiff.encode(16, 16, ch, px, comp,
+              bigEndian = id % 5 == 0, predictor = if (comp == 5) 2 else 1,
+              rowsPerStrip = 4)
+            val (hd, out) = graft.ops.Tiff.decode(t)
+            var sum = 0L; var i2 = 0
+            while (i2 < out.length) { sum += out(i2) & 0xff; i2 += 1 }
+            (if (ch == 1) "gray" else "rgb",
+              comp match { case 1 => "none"; case 32773 => "packbits"; case _ => "lzw" },
+              hd.w.toLong, sum)
+          }
+        }.toDF("color", "comp", "w", "psum")
+        audited.groupBy(col("color"), col("comp"))
+          .agg(count(lit(1)).as("n_blobs"), sum(col("w")).as("sum_w"),
+            sum(col("psum")).as("pixel_checksum"))
+      },
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          px AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 768 END AS n, len, text,
+              CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'rgb' END AS color,
+              CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
+                ELSE 'lzw' END AS comp
+            FROM img),
+          s AS (SELECT color, comp,
+              CAST(list_sum(list_transform(range(0, n),
+                i -> ascii(substring(text, ((i*7 + 3) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM px)
+        SELECT color, comp, count(*) AS n_blobs,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum
+        FROM s GROUP BY 1, 2"""),
+    ),
   )
 }
