@@ -132,5 +132,43 @@ object TarQueries {
           CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ZIP shard round trip (the third container: document dumps / office
+    // archives): same sample layout as tar01 but through the JDK deflate
+    // path ([[graft.ops.Zip]] — deterministic timestamps, streamed
+    // sequential read, no central-directory seek, the shape a 100 TB
+    // scan wants). One wrong byte through deflate/inflate or a dropped
+    // member breaks the per-class checksums.
+    GraftQuery(
+      "zip01_zip_shards",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val members = recs.flatMap { case (id, text, lang) =>
+              Seq(graft.ops.Zip.ZipMember(s"$id.txt", ascii(text)),
+                graft.ops.Zip.ZipMember(s"$id.cls", ascii(lang)))
+            }
+            val back = graft.ops.Zip.read(graft.ops.Zip.write(members))
+            back.grouped(2).map { pair =>
+              val txt = pair.find(_.name.endsWith(".txt")).get
+              val cls = pair.find(_.name.endsWith(".cls")).get
+              (new String(cls.body, java.nio.charset.StandardCharsets.US_ASCII),
+                txt.body.length.toLong,
+                new String(txt.body, java.nio.charset.StandardCharsets.US_ASCII))
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
   )
 }

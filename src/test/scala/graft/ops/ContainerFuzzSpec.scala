@@ -83,6 +83,24 @@ class ContainerFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("Zip: deterministic bytes, total readSafe under garbage and mutation") {
+    val members = (0L until 4L).map(i =>
+      Zip.ZipMember(s"$i.txt", s"content $i".getBytes(US_ASCII)))
+    val a = Zip.write(members); val b = Zip.write(members)
+    assert(a.toSeq == b.toSeq) // reproducible shards
+    assert(Zip.read(a).map(m => (m.name, new String(m.body, US_ASCII))) ==
+      members.map(m => (m.name, new String(m.body, US_ASCII))))
+    check(Prop.forAll(bytesGen) { bs => Zip.readSafe(bs); true })
+    check(Prop.forAll(Gen.chooseNum(0, a.length - 1), Gen.chooseNum(1, 255)) {
+      (pos, x) =>
+        val m = a.clone(); m(pos) = (m(pos) ^ x).toByte
+        Zip.readSafe(m) match {
+          case Left(kind) => Set("bad_zip", "truncated").contains(kind)
+          case Right(_) => true
+        }
+    }, n = 300)
+  }
+
   test("Url.canonicalize and host are total on arbitrary strings") {
     val weird = Gen.oneOf(
       Gen.asciiPrintableStr,
