@@ -25,11 +25,14 @@ object CorpusQueries {
     * decontamination (train/eval n-gram overlap).
     */
   private def tokenShingleHashes(text: org.apache.spark.sql.Column, n: Int) = {
-    val toks = TA.tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => TA.hash60(array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<bigint>"))
+    // let-bind the split via a 1-element transform: referencing the raw
+    // split() inside the positions lambda would re-run the regex for every
+    // slice — O(tokens²) per row (the text13 finding, round 11)
+    element_at(transform(array(TA.tokens(text)), toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => TA.hash60(array_join(slice(toks, i, lit(n)), " "))))
+        .otherwise(array().cast("array<bigint>"))), 1)
   }
 
   private def sqlTokenShingleHashes(inner: String, n: Int): String =

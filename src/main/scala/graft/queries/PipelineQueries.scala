@@ -705,26 +705,41 @@ object PipelineQueries {
     GraftQuery(
       "text13_ngram_perplexity",
       (s, d) => {
-        val toks = TA.tokens(col("text"))
+        // tokenize into a MATERIALIZED column first: referencing the raw
+        // split() inside the transform lambda re-evaluates the regex split
+        // for EVERY element_at — O(tokens²) splits per row, measured 4.6 s
+        // for a 266k-bigram corpus; bound to a column it runs once per row
+        val toks = col("toks")
         val bigrams = when(size(toks) >= 2,
           transform(sequence(lit(1), size(toks) - 1),
             i => struct(element_at(toks, i).as("w1"),
               element_at(toks, i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-        val bg = Tables.documents(s, d)
+        // ONE pass over the instance stream: reduce straight to
+        // per-(doc, bigram) counts (map-side combined), persist THAT —
+        // serialized, it is the smallest frame every later stage can be
+        // derived from (c12 = Σk by bigram; per-doc sums weight by k) —
+        // instead of the raw exploded stream (cache-heavy) or no cache
+        // (re-tokenizes the corpus per consumer; measured 9.5 s vs 0.8 s)
+        val bgc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
           .select(col("doc_id"), col("lang"),
             col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .transform(graft.core.Caches.persist)
-        val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+          .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("k"))
+          .transform(graft.core.Caches.persistLevel(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+        val c12 = bgc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("n12"))
         val cost = c12
           .withColumn("n1", sum(col("n12")).over(Window.partitionBy(col("w1"))))
           .select(col("w1"), col("w2"),
             round(log(col("n1").cast("double") / col("n12")) * 1000000.0)
               .cast("long").as("cost_micro"))
-        bg.join(cost, Seq("w1", "w2"))
+        bgc.join(cost, Seq("w1", "w2"))
           .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).as("n_bg"), sum(col("cost_micro")).as("nll_micro"))
+          .agg(sum(col("k")).as("n_bg"),
+            sum(col("k") * col("cost_micro")).as("nll_micro"))
           .withColumn("avg_micro", expr("nll_micro DIV n_bg"))
           .withColumn("band", expr("(nll_micro DIV n_bg) DIV 500000"))
       },

@@ -93,7 +93,9 @@ object TextQueries {
     GraftQuery(
       "text05_bigram_topk",
       (s, d) => {
-        val toks = TA.tokens(col("text"))
+        // tokens bound to a column first — unbound split() inside the
+        // lambda re-runs the regex per element_at (the text13 finding)
+        val toks = col("toks")
         val bigrams = when(size(toks) >= 2,
           transform(sequence(lit(1), size(toks) - 1),
             i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
@@ -101,6 +103,7 @@ object TextQueries {
         val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
         Tables.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism)
+          .select(col("lang"), TA.tokens(col("text")).as("toks"))
           .select(col("lang"), explode(bigrams).as("bigram"))
           .groupBy(col("lang"), col("bigram"))
           .agg(count(lit(1)).as("n"))
