@@ -65,7 +65,11 @@ object GraftExtensions {
       Size(StringSplit(StringTrim(c), Literal("\\s+"), Literal(-1)))),
     // BPE-ish subword count (TextAnalysis.regexTokenCount)
     "graft_subword_count" -> (c =>
-      Size(RegExpExtractAll(c, Literal("[A-Za-z]+|\\d+|[^A-Za-z\\d\\s]"), Literal(0)))))
+      Size(RegExpExtractAll(c, Literal("[A-Za-z]+|\\d+|[^A-Za-z\\d\\s]"), Literal(0)))),
+    // RFC 3986 canonicalization (round 11 — the codegen'd UrlCanonicalize
+    // Expression behind url01/url05)
+    "graft_url_canonicalize" -> (c =>
+      graft.ops.UrlCanonicalize(Cast(c, StringType))))
 
   /** reject wrong arity at ANALYSIS time — `exprs.head` alone would
     * silently ignore extra arguments (plausible wrong results) and throw a

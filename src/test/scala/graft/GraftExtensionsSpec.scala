@@ -32,6 +32,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.map(_.toString).toSeq == api.map(_.toString).toSeq)
   }
 
+  test("graft_url_canonicalize SQL form equals the scalar canonicalizer") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    val urls = Seq("HTTPS://A.Example.COM:443/a/./b/../Doc#f",
+      "http://h/%64oc", "not a url")
+    urls.toDF("u").createOrReplaceTempView("gx_u")
+    val got = spark.sql("SELECT graft_url_canonicalize(u) AS c FROM gx_u")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == urls.map(graft.ops.Url.canonicalize))
+  }
+
   test("graft_minhash_sig / graft_shingle_set SQL forms equal the Column forms") {
     GraftExtensions.registerAll(spark)
     import spark.implicits._
