@@ -272,5 +272,72 @@ object WarcQueries {
           CAST(sum(39 + length(source)) AS BIGINT) AS boilerplate_bytes
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // The whole crawl-to-corpus path in ONE plan — what this engine is
+    // FOR: crawl files (every page fetched twice: origin + a mirror host,
+    // the duplication a real crawl always carries) → WARC parse → keep
+    // text/200 → HTML main-text extraction → quality gate (≥5 body
+    // tokens) → EXACT fingerprint dedup (mirrors collapse) → per-source
+    // corpus report. Typed per-file parsing flows into a declarative
+    // tail; the only shuffles are the build groupBy, the fingerprint
+    // dedup, and the report. The oracle rebuilds every number from the
+    // raw table: fetched = 2×docs, kept = 2×quality docs, unique =
+    // quality docs (the mirror MUST collapse), body checksum over the
+    // surviving text.
+    GraftQuery(
+      "pipe02_crawl_to_corpus",
+      (s, d) => {
+        import s.implicits._
+        val parsed = fileGroups(s, d).map { case (source, g, recs) =>
+            val pages = recs.flatMap { case (id, text) =>
+              val page =
+                s"""<html><head><title>Doc $id</title></head><body><nav><a href="/">home</a></nav><main><h1>Doc $id</h1><p>${graft.etl.HtmlText.escape(text)}</p></main><footer>(c) $source</footer></body></html>"""
+              Seq(s"https://$source.example.com/doc/$id",
+                s"https://mirror-$source.example.net/doc/$id").map(uri =>
+                (uri, 200, Seq("Content-Type" -> "text/html; charset=utf-8"),
+                  ascii(page)))
+            }
+            (source, Warc.buildCrawlFile(s"$source-$g.warc.gz", pages))
+          }
+          .flatMap { case (source, bytes) =>
+            Warc.read(bytes).collect {
+              case r if r.warcType == "response" =>
+                val h = Warc.parseHttpResponse(r.body)
+                (source, h.status,
+                  h.header("Content-Type").getOrElse(""),
+                  new String(h.body, java.nio.charset.StandardCharsets.US_ASCII))
+            }
+          }
+          .filter(t => t._2 == 200 && t._3.startsWith("text/"))
+          .map { case (source, _, _, html) =>
+            (source, graft.etl.HtmlText.extract(html).body)
+          }
+          .toDF("source", "body")
+        parsed
+          .withColumn("kept", TA.tokenCount(col("body")) >= 5)
+          .groupBy(col("source"), col("kept"), TA.fingerprint(col("body")).as("fp"))
+          .agg(count(lit(1)).as("cnt"), min(TA.hash60(col("body")) % M).as("h"))
+          .groupBy(col("source"))
+          .agg(
+            sum(col("cnt")).as("n_fetched"),
+            sum(when(col("kept"), col("cnt")).otherwise(0L)).as("n_kept"),
+            count(when(col("kept"), lit(1))).as("n_unique"),
+            sum(when(col("kept"), col("h")).otherwise(0L)).as("body_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            ${TA.Sql.tokenCount("text")} >= 3 AS kept,
+            'Doc ' || CAST(doc_id AS VARCHAR) ||
+              CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN ''
+                   ELSE ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS body
+          FROM documents)
+        SELECT source,
+          CAST(2 * count(*) AS BIGINT) AS n_fetched,
+          CAST(2 * count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+          count(CASE WHEN kept THEN 1 END) AS n_unique,
+          CAST(sum(CASE WHEN kept THEN ${sqlH60Mod("body")} ELSE 0 END)
+            AS BIGINT) AS body_check
+        FROM x GROUP BY 1"""),
+    ),
   )
 }
