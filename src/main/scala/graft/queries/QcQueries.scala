@@ -883,5 +883,44 @@ object QcQueries {
           CAST(round(num2 * 1000000.0 / (2 * n_pos * n_neg)) AS BIGINT) AS auc_ppm
         FROM a"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Calibration table (qc12's companion: AUC says the score RANKS, this
+    // says whether its bins mean what they claim): fixed-width score bins
+    // (value-DOMAIN-bounded, never rank-based), per-bin observed positive
+    // rate in exact ppm, and lift vs the corpus base rate — the base rate
+    // is a 1-row cross join, every other number one map-side-combinable
+    // groupBy. No window at all; the corpus never shuffles twice.
+    GraftQuery(
+      "qc13_calibration",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(expr("n_chars DIV 64").as("bin"),
+            (col("lang") === "en").as("pos"))
+          .transform(graft.core.Caches.persist) // two tiny aggregates share one scan
+        val base = scored.agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("pos"), lit(1))).as("pos_all"))
+        scored.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("pos"), lit(1))).as("n_pos"))
+          .crossJoin(broadcast(base))
+          .select(col("bin"), col("n"), col("n_pos"),
+            round(col("n_pos") * 1000000.0 / col("n")).cast("long").as("pos_ppm"),
+            round((col("n_pos").cast("double") * col("n_all")) /
+              (col("n") * col("pos_all")) * 1000000.0).cast("long").as("lift_micro"))
+      },
+      Some("""WITH s AS (SELECT n_chars // 64 AS bin, lang = 'en' AS pos
+            FROM documents),
+          base AS (SELECT count(*) AS n_all,
+              count(CASE WHEN pos THEN 1 END) AS pos_all FROM s),
+          b AS (SELECT bin, count(*) AS n,
+              count(CASE WHEN pos THEN 1 END) AS n_pos FROM s GROUP BY 1)
+        SELECT bin, n, n_pos,
+          CAST(round(n_pos * 1000000.0 / n) AS BIGINT) AS pos_ppm,
+          CAST(round((CAST(n_pos AS DOUBLE) * n_all) / (n * pos_all)
+            * 1000000.0) AS BIGINT) AS lift_micro
+        FROM b, base"""),
+    ),
   )
 }
