@@ -785,10 +785,18 @@ object PipelineQueries {
             when(col("du") < col("dv") ||
               (col("du") === col("dv") && col("u") < col("v")), col("v"))
               .otherwise(col("u")).as("t"))
-        val wedge = ord.as("x").join(ord.as("y"),
-            col("x.s") === col("y.s") && col("x.t") < col("y.t"))
-          .select(least(col("x.t"), col("y.t")).as("u"),
-            greatest(col("x.t"), col("y.t")).as("v"))
+        // wedges via per-vertex adjacency SETS + in-row pair expansion
+        // (the assoc01 shape): one shuffle on s instead of a self-join's
+        // two, and the sorted list gives u<v directly. Out-degrees are
+        // bounded by the degree orientation, so the in-row fan-out is the
+        // wedge count itself — never more.
+        val adj = ord.groupBy(col("s")).agg(sort_array(collect_list(col("t"))).as("ts"))
+        val ts = col("ts")
+        val wedgePairs = flatten(transform(ts, (t1, i) =>
+          transform(slice(ts, i + 2, greatest(size(ts) - i - 1, lit(0))),
+            t2 => struct(t1.as("u"), t2.as("v")))))
+        val wedge = adj.select(explode(wedgePairs).as("w"))
+          .select(col("w.u").as("u"), col("w.v").as("v"))
         val tri = wedge.join(e, Seq("u", "v"), "left_semi")
           .agg(count(lit(1)).as("n_triangles"))
         tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
