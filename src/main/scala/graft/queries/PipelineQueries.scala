@@ -30,11 +30,20 @@ object PipelineQueries {
     * lines), so it is linear in lineitem, never all-pairs.
     */
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    // per-order part SETS + in-row pair expansion (the assoc01/graph02
+    // shape, round 11): ONE corpus shuffle (collect_set partial-aggregates
+    // and dedups map-side) instead of distinct + a self-join's two
+    // exchanges; baskets are schema-bounded (≤7 lines), so the in-row
+    // fan-out is the pair count itself. Sorted sets yield u<v directly.
+    val adj = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    val ps = col("ps")
+    val pairs = flatten(transform(ps, (a, i) =>
+      transform(slice(ps, i + 2, greatest(size(ps) - i - 1, lit(0))),
+        b => struct(a.as("u"), b.as("v")))))
+    adj.select(explode(pairs).as("x"))
+      .groupBy(col("x.u").as("u"), col("x.v").as("v"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
       .select(col("u"), col("v"))
