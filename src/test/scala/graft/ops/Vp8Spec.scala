@@ -56,6 +56,28 @@ class Vp8Spec extends AnyFunSuite {
     assert(got.v.map(_ & 0xff).toSeq == ev, "V plane")
   }
 
+  // THIRD-PARTY parity (round 12): bitstreams encoded by the real libwebp
+  // (tools/make_libwebp_fixture.py, ctypes against the system .so), expected
+  // planes from libwebp's OWN WebPDecodeYUV. The in-repo python encoder and
+  // this decoder share tools/vp8_tables.py, so their round trips cannot
+  // detect wrong table values — these streams can: they exercise the full
+  // default probability tables (no in-stream updates for most positions),
+  // kf_bmode_probs at every context, and libwebp's own mode/filter choices.
+  private val libwebpFixtures = Seq("libwebp_grad_q75_32x24",
+    "libwebp_check_q50_48x32", "libwebp_tex_q90_21x13",
+    "libwebp_noise_q20_64x48")
+
+  for (name <- libwebpFixtures)
+    test(s"decodes the REAL-libwebp stream $name bit-exactly to libwebp's own planes") {
+      val webp = Files.readAllBytes(Paths.get(s"$dir/vp8_$name.webp"))
+      val (w, h, ey, eu, ev) = readPlanes(name)
+      val got = Vp8.decodeKeyframe(vp8Payload(webp))
+      assert(got.width == w && got.height == h)
+      assert(got.y.map(_ & 0xff).toSeq == ey, "Y plane")
+      assert(got.u.map(_ & 0xff).toSeq == eu, "U plane")
+      assert(got.v.map(_ & 0xff).toSeq == ev, "V plane")
+    }
+
   test("an inter (non-key) frame refuses with the typed error") {
     val webp = Files.readAllBytes(Paths.get(s"$dir/vp8_interframe.webp"))
     val e = intercept[IllegalArgumentException](Vp8.decodeKeyframe(vp8Payload(webp)))

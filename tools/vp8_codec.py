@@ -294,7 +294,11 @@ def dequant_factors(y_ac_qi, y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d):
 
 # ------------------------------------------------------------- prediction
 
-B_DC, B_TM, B_VE, B_HE, B_LD, B_RD, B_VR, B_VL, B_HD, B_HU = range(10)
+# round-12 numbering fix: the spec/libwebp intra_bmode order is RD=4, VR=5,
+# LD=6 (verified against libwebp's compiled kVP8PredLuma4 dispatch and the
+# context-indexed kf_bmode_probs rows); round 11 had LD=4,RD=5,VR=6, which
+# mis-rowed the [above][left] prob lookups for exactly those three modes.
+B_DC, B_TM, B_VE, B_HE, B_RD, B_VR, B_LD, B_VL, B_HD, B_HU = range(10)
 DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = range(5)
 
 
