@@ -277,14 +277,23 @@ object Tiff {
         if (e != null) prev = e
         else {
           emit(prev)
-          if (next < 4096) {
-            dict.put(key, next); next += 1
-            // EarlyChange=1: the decoder's table lags one entry, so the
-            // encoder bumps exactly when its next code hits 2^width
-            // (the tools/make_pdf_fixture.py convention, fixture-proven)
-            if (next >= (1 << width) && width < 12) width += 1
-          }
+          dict.put(key, next); next += 1
+          // EarlyChange=1: the decoder's table lags one entry, so the
+          // encoder bumps exactly when its next code hits 2^width
+          // (the tools/make_pdf_fixture.py convention, fixture-proven)
+          if (next >= (1 << width) && width < 12) width += 1
           prev = c
+          // TIFF §13: emit ClearCode and reinitialize one entry BEFORE
+          // the table saturates (EarlyChange makes code 4095 unusable),
+          // so strict third-party decoders that expect a CLEAR before
+          // overflow can consume graft-encoded strips (round-12 fix:
+          // the encoder previously just stopped adding entries at 4096
+          // and never cleared). `prev` is a raw literal here, so it
+          // stays valid across the reset.
+          if (next >= 4094) {
+            emit(256)
+            dict.clear(); next = 258; width = 9
+          }
         }
       }
       i += 1

@@ -157,12 +157,17 @@ object Url {
     */
   final case class Robots(groups: Map[String, Seq[RobotsRule]]) {
 
-    /** RFC 9309 §2.2.1: the group whose user-agent line is the longest
-      * match for the crawler's product token wins; "*" is the fallback.
+    /** RFC 9309 §2.2.1: group names match the crawler's product TOKENS
+      * case-insensitively — the `name` in `name/version` segments of the
+      * UA string, where a token is letters/digits/`-`/`_` — never raw
+      * substrings of the whole UA (round-12 fix: `ua.contains(k)` let a
+      * group named "bot" capture nearly every crawler, and tokens inside
+      * a UA's comment/URL part select groups). Longest matching group
+      * name wins; "*" is the fallback.
       */
     def groupFor(userAgent: String): Seq[RobotsRule] = {
-      val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
-      val named = groups.keys.filter(k => k != "*" && ua.contains(k))
+      val tokens = Robots.productTokens(userAgent)
+      val named = groups.keys.filter(k => k != "*" && tokens.contains(k))
       if (named.nonEmpty) groups(named.maxBy(_.length))
       else groups.getOrElse("*", Seq.empty)
     }
@@ -177,6 +182,27 @@ object Url {
         val maxLen = matching.map(_.path.length).max
         matching.filter(_.path.length == maxLen).exists(_.allow)
       }
+    }
+  }
+
+  object Robots {
+    /** Lowercased product tokens of a crawler UA: for each whitespace- or
+      * `;`-separated segment, the leading letters/digits/`-`/`_` run before
+      * any `/version` — so `"FooBot/2.1 (+https://foo.example)"` yields
+      * `foobot` and the URL inside the comment yields nothing usable as a
+      * group name collision.
+      */
+    def productTokens(userAgent: String): Set[String] = {
+      userAgent.toLowerCase(java.util.Locale.ROOT)
+        .split("[\\s;,()]+")
+        .iterator
+        .map { seg =>
+          val head = seg.takeWhile(ch =>
+            ch.isLetterOrDigit || ch == '-' || ch == '_')
+          head
+        }
+        .filter(_.nonEmpty)
+        .toSet
     }
   }
 

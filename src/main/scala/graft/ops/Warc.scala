@@ -289,4 +289,18 @@ object Warc {
       case e: WarcError => Left(e.kind)
       case _: Exception => Left("bad_record")
     }
+
+  /** Per-record safe HTTP parse: a structurally valid WARC can still carry
+    * a malformed HTTP payload (unterminated header line, non-numeric
+    * status, colon-less header). The safe scan contract is one typed error
+    * ROW per rotten record, not a task-killing throw — so this is the only
+    * HTTP entry point the *Safe scans may use (round-12 fix: they
+    * previously called [[parseHttpResponse]] raw inside the Right branch).
+    */
+  def parseHttpResponseSafe(body: Array[Byte]): Either[String, HttpResponse] =
+    try Right(parseHttpResponse(body))
+    catch {
+      case e: WarcError => Left(e.kind)
+      case _: Exception => Left("bad_record")
+    }
 }

@@ -32,7 +32,10 @@ object WarcSource {
 
   /** Fault-tolerant twin: a rotten file contributes one typed error row
     * (`ok = false`, `err_kind` from [[Warc.readSafe]]'s stable vocabulary)
-    * instead of failing the scan.
+    * instead of failing the scan — and a structurally valid file whose
+    * individual HTTP payload is malformed contributes one typed error row
+    * for THAT record (round-12 fix: the HTTP parse previously ran raw
+    * inside the Right branch, so one bad record killed the whole scan).
     */
   def responsesSafe(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -42,8 +45,11 @@ object WarcSource {
         Warc.readSafe(bytes) match {
           case Right(rs) => rs.collect {
             case r if r.warcType == "response" =>
-              val h = Warc.parseHttpResponse(r.body)
-              (file, true, "", r.targetUri, h.status, h.body)
+              Warc.parseHttpResponseSafe(r.body) match {
+                case Right(h) => (file, true, "", r.targetUri, h.status, h.body)
+                case Left(kind) =>
+                  (file, false, kind, r.targetUri, 0, Array.emptyByteArray)
+              }
           }
           case Left(kind) =>
             Seq((file, false, kind, "", 0, Array.emptyByteArray))

@@ -142,9 +142,14 @@ object CorpusStreams {
       .flatMap { case (_, bytes) =>
         graft.ops.Warc.readSafe(bytes) match {
           case Right(rs) => rs.collect {
+            // per-record safe HTTP parse (round-12 fix): a malformed HTTP
+            // payload inside a valid WARC yields a typed outcome row for
+            // that record instead of failing the micro-batch
             case r if r.warcType == "response" =>
-              val h = graft.ops.Warc.parseHttpResponse(r.body)
-              ("ok", h.status, h.body.length.toLong)
+              graft.ops.Warc.parseHttpResponseSafe(r.body) match {
+                case Right(h) => ("ok", h.status, h.body.length.toLong)
+                case Left(kind) => (kind, 0, 0L)
+              }
           }
           case Left(kind) => Seq((kind, 0, 0L))
         }

@@ -84,6 +84,41 @@ class TiffSpec extends AnyFunSuite {
     assert(graft.etl.PdfText.lzwDecode(Tiff.lzwEncode(data), 1).toSeq == data.toSeq)
   }
 
+  test("LZW encode emits ClearCode at table saturation (TIFF §13), round-trips") {
+    // enough novel data to add >3836 dictionary entries: a long
+    // non-repeating byte walk saturates the table and must trigger the
+    // mid-stream CLEAR that strict third-party decoders expect before
+    // overflow (round-12 fix). Verify by (a) exact round trip and (b)
+    // replaying the code stream: a 256 after the leading one, with the
+    // width reset to 9 bits after it.
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(64 * 1024)((rnd.nextInt(251)).toByte)
+    val enc = Tiff.lzwEncode(data)
+    assert(graft.etl.PdfText.lzwDecode(enc, 1).toSeq == data.toSeq)
+    // minimal code-stream replay mirroring the decoder's width schedule
+    var bitBuf = 0L; var bitCnt = 0; var i = 0; var width = 9
+    var next = 258; var clears = -1 // the leading CLEAR doesn't count
+    var sawEod = false; var havePrev = false
+    while (!sawEod && (bitCnt >= width || i < enc.length)) {
+      while (bitCnt < width && i < enc.length) {
+        bitBuf = (bitBuf << 8) | (enc(i) & 0xffL); bitCnt += 8; i += 1
+      }
+      if (bitCnt < width) sawEod = true
+      else {
+        val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { clears += 1; next = 258; width = 9; havePrev = false }
+        else if (code == 257) sawEod = true
+        else {
+          if (havePrev && next < 4096) next += 1
+          if (next + 1 >= (1 << width) && width < 12) width += 1
+          havePrev = true
+        }
+      }
+    }
+    assert(clears >= 1, "no mid-stream ClearCode before table saturation")
+  }
+
   test("typed refusals: not_media / truncated / unsupported") {
     val nm = intercept[IllegalArgumentException](Tiff.decode("PNGnotatiff!".getBytes))
     assert(Multimodal.errKind(nm.getMessage) == "not_media")

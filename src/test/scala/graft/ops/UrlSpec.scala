@@ -79,9 +79,38 @@ class UrlSpec extends AnyFunSuite {
 
   test("robots: shared UA run, banned bot, empty disallow, no-match default") {
     assert(!robots.allowed("otherbot", "/private/x")) // second UA of the run
-    assert(!robots.allowed("the-badbot-crawler", "/anything"))
+    assert(!robots.allowed("badbot/3.0 (crawler)", "/anything"))
     assert(robots.allowed("graftbot", "/")) // no matching rule → allowed
     val eAllow = Url.parseRobots("User-agent: *\nDisallow:\n")
     assert(eAllow.allowed("any", "/x")) // empty Disallow = allow all
+  }
+
+  test("robots: groups match product TOKENS, not substrings of the UA (RFC 9309)") {
+    // round-12 fix: `ua.contains(group)` let a group named "bot" capture
+    // nearly every crawler and let tokens inside the UA's comment/URL
+    // part select groups. Matching is now against the `name` of
+    // `name/version` product tokens, case-insensitively.
+    val r = Url.parseRobots(
+      """User-agent: bot
+        |Disallow: /
+        |
+        |User-agent: badbot
+        |Disallow: /
+        |
+        |User-agent: googlebot
+        |Disallow: /nogoogle/
+        |""".stripMargin)
+    // "bot" is a substring of graftbot but NOT one of its product tokens
+    assert(r.allowed("graftbot/1.0", "/x"))
+    // hyphenated UA token != "badbot" (exact token match, not containment)
+    assert(r.allowed("the-badbot-crawler/2.0", "/x"))
+    // a group token appearing only inside the UA's comment URL must not match
+    assert(r.allowed("mybot/1.0 (+https://badbot.example/info)", "/x"))
+    // the classic browser-style crawler UA still selects its group
+    assert(!r.allowed(
+      "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+      "/nogoogle/page"))
+    // exact token match is case-insensitive
+    assert(!r.allowed("BadBot/9", "/anything"))
   }
 }

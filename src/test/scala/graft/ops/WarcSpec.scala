@@ -135,6 +135,40 @@ class WarcSourceSpec extends graft.SparkSpec {
     }
   }
 
+  test("responsesSafe() types a malformed HTTP payload per RECORD, scan survives") {
+    // the round-12 advisor case: the WARC container is structurally VALID
+    // (gzip members, CRCs, headers all fine) but one record's HTTP payload
+    // is rotten — non-numeric status, then a colon-less header. The safe
+    // scan must emit one typed error row per rotten record and keep the
+    // good record, never throw.
+    val dir = java.nio.file.Files.createTempDirectory("warchttp")
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      def resp(uri: String, http: Array[Byte]): Array[Byte] = Warc.writeRecord(
+        Seq("WARC-Type" -> "response", "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Record-ID" -> s"<urn:graft:resp:$uri>", "WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/http;msgtype=response"), http)
+      out.write(Warc.gzipMember(resp("https://h/ok",
+        Warc.writeHttpResponse(200, "OK", Seq("Content-Type" -> "text/plain"),
+          "fine".getBytes(US_ASCII)))))
+      out.write(Warc.gzipMember(resp("https://h/badstatus",
+        "HTTP/1.1 ABC NotANumber\r\n\r\n".getBytes(US_ASCII))))
+      out.write(Warc.gzipMember(resp("https://h/badheader",
+        "HTTP/1.1 200 OK\r\nNoColonHere\r\n\r\nbody".getBytes(US_ASCII))))
+      java.nio.file.Files.write(dir.resolve("mixed.warc.gz"), out.toByteArray)
+      val rows = WarcSource.responsesSafe(spark, dir.toString)
+        .select("ok", "err_kind", "uri").collect()
+      assert(rows.length == 3)
+      val (okRows, errRows) = rows.partition(_.getBoolean(0))
+      assert(okRows.map(_.getString(2)).toSeq == Seq("https://h/ok"))
+      assert(errRows.map(_.getString(1)).toSet == Set("bad_record"))
+      assert(errRows.map(_.getString(2)).toSet ==
+        Set("https://h/badstatus", "https://h/badheader"))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
   test("responsesSafe() survives a poisoned file and types the error") {
     val dir = java.nio.file.Files.createTempDirectory("warcsafe")
     try {
