@@ -888,5 +888,77 @@ object MediaQueries {
           CAST(sum(psum) AS BIGINT) AS pixel_checksum
         FROM s GROUP BY 1, 2"""),
     ),
+
+    // ------------------------------------------------------------------
+    // REAL audio decode (round 12): RIFF/WAVE PCM is the one audio
+    // container decodable to true samples without an entropy coder, and
+    // sample-level curation signals (energy, zero-crossing rate, peak)
+    // are what an audio pipeline keeps per clip. Each doc's text
+    // synthesizes 16-bit mono PCM (sample i = (ascii·2−219)·100 — odd
+    // factor, so samples are never zero and the crossing count is a pure
+    // adjacent-sign-change count), ENCODED as a genuine 44-byte-header
+    // WAV and DECODED back through graft.ops.Wav; every seventh doc's
+    // header is then patched to IEEE-float (format tag 3), which must
+    // surface as a typed `unsupported` row, not a task failure. The
+    // oracle recomputes every feature from the same text arithmetic in
+    // DuckDB — one wrong byte in the header math, the sample codec, or
+    // the feature scan breaks the hash. Scale: per-row map, shuffle-free
+    // until the 2-row aggregate.
+    GraftQuery(
+      "mm15_wav_audio",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val n = 48 + (id % 16).toInt * 4
+          val samples = Array.tabulate(n)(i =>
+            ((bytes((i * 5 + 1) % bytes.length) & 0xff) * 2 - 219) * 100)
+          val wav = graft.ops.Wav.encode(8000, 16, Array(samples))
+          if (id % 7 == 0) wav(20) = 3 // IEEE float: typed refusal class
+          try {
+            val (hd, chans) = graft.ops.Wav.decode(wav)
+            val (ns, sumAbs, zc, peak) = graft.ops.Wav.features(chans(0))
+            ("ok", 1L, ns, sumAbs, zc, peak)
+          } catch {
+            case e: IllegalArgumentException =>
+              (graft.ops.Multimodal.errKind(e.getMessage), 1L, 0L, 0L, 0L, 0L)
+          }
+        }.toDF("outcome", "one", "n_samples", "sum_abs", "zc", "peak")
+        audited.groupBy(col("outcome"))
+          .agg(sum(col("one")).as("n_blobs"),
+            sum(col("n_samples")).as("sum_samples"),
+            sum(col("sum_abs")).as("sum_energy"),
+            sum(col("zc")).as("sum_crossings"),
+            max(col("peak")).as("max_peak"))
+      },
+      // sample i = (ascii(text[(5i+1) mod len])·2 − 219)·100, n = 48 + 4·(id%16);
+      // zero crossings = adjacent sign changes (samples are never zero)
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          smp AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN 'unsupported' ELSE 'ok' END AS outcome,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE
+                list_transform(range(0, 48 + (doc_id % 16) * 4),
+                  i -> (ascii(substring(text, ((i*5 + 1) % len) + 1, 1)) * 2 - 219) * 100)
+              END AS s
+            FROM img),
+          f AS (SELECT outcome,
+              COALESCE(CAST(length(s) AS BIGINT), 0) AS ns,
+              COALESCE(CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT), 0) AS sum_abs,
+              COALESCE(CAST(length(list_filter(range(1, length(s)),
+                i -> (s[i] > 0) <> (s[i+1] > 0))) AS BIGINT), 0) AS zc,
+              COALESCE(CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT), 0) AS peak
+            FROM smp)
+        SELECT outcome, count(*) AS n_blobs,
+          CAST(sum(ns) AS BIGINT) AS sum_samples,
+          CAST(sum(sum_abs) AS BIGINT) AS sum_energy,
+          CAST(sum(zc) AS BIGINT) AS sum_crossings,
+          CAST(max(peak) AS BIGINT) AS max_peak
+        FROM f GROUP BY 1"""),
+    ),
   )
 }
