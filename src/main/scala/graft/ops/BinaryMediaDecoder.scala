@@ -36,12 +36,12 @@ package graft.ops
   *    space on the first frame: nearest-neighbor on the INDEX raster
   *    re-encoded against the original color table, so no
   *    re-quantization ever happens.
-  *  - `audio/wav` (and `audio/x-wav`) — RIFF/WAVE with `fmt ` and
-  *    `data` chunks walked in order: channels / sample rate / bit depth
-  *    from the format chunk; integer PCM at 8/16/24/32 bits AND IEEE
-  *    float32 (format 3) — round 9 widened the depths the pro-audio
-  *    corpus tail carries; [[frame]] returns one sample frame (all
-  *    channels at one instant).
+  *  - `audio/wav` (and `audio/x-wav`) — RIFF/WAVE via [[Wav]] (the one
+  *    WAV parser in the repo since round 12): integer PCM at 8/16/24/32
+  *    bits AND IEEE float32 (format 3) — round 9 widened the depths the
+  *    pro-audio corpus tail carries; [[frame]] returns one sample frame
+  *    (all channels at one instant). Full integer sample decode and the
+  *    oracle-exact feature math live in [[Wav]] (mm15).
   *  - `audio/mpeg` — MP3 metadata via the [[Mp3]] frame walker (real
   *    sync/bitrate/sample-rate header parse per ISO/IEC 11172-3, ID3v2
   *    skip, ID3v1 trailer, CBR/VBR): exact duration and shape WITHOUT
@@ -160,8 +160,6 @@ object BinaryMediaDecoder extends MediaDecoder {
     out
   }
 
-  // ---------------------------------------------------------------- WAV --
-  /** parsed PCM WAV: (channels, sampleRate, bitsPerSample, dataOff, dataLen) */
   // ------------------------------------------------------------- PNM ----
   /** (dataOff, width, height, maxval, channels) for binary P5/P6. */
   private final case class PnmHeader(dataOff: Int, w: Int, h: Int, maxval: Int, ch: Int)
@@ -203,46 +201,6 @@ object BinaryMediaDecoder extends MediaDecoder {
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(raster, 0, out, head.length, raster.length)
     out
-  }
-
-  private final case class WavHeader(
-      channels: Int, rate: Int, bits: Int, dataOff: Int, dataLen: Int,
-      float: Boolean)
-
-  private def parseWav(bytes: Array[Byte]): WavHeader = {
-    require(bytes.length >= 44 &&
-      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
-      "not a WAV payload (missing RIFF/WAVE magic)")
-    var off = 12
-    var fmt: Option[(Int, Int, Int, Boolean)] = None
-    var data: Option[(Int, Int)] = None
-    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = new String(bytes, off, 4, "US-ASCII")
-      val len = le32(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length,
-        s"truncated WAV chunk $id at $off")
-      id match {
-        case "fmt " =>
-          // format 1 = integer PCM (8/16/24/32-bit — round 9 widened the
-          // depths the pro-audio corpus tail carries), 3 = IEEE float32
-          val audioFormat = le16(bytes, off + 8)
-          require(audioFormat == 1 || audioFormat == 3,
-            s"unsupported WAV format $audioFormat (PCM or IEEE float only)")
-          fmt = Some((le16(bytes, off + 10), le32(bytes, off + 12),
-            le16(bytes, off + 22), audioFormat == 3))
-        case "data" => data = Some((off + 8, len))
-        case _ => // skip LIST/fact/etc.
-      }
-      off += 8 + len + (len & 1) // chunks pad to even offsets
-    }
-    (fmt, data) match {
-      case (Some((ch, rate, bits, float)), Some((dOff, dLen))) =>
-        require(ch > 0 && bits % 8 == 0, s"degenerate WAV shape ch=$ch bits=$bits")
-        require(!float || bits == 32, s"IEEE-float WAV must be 32-bit, got $bits")
-        WavHeader(ch, rate, bits, dOff, dLen, float)
-      case _ => throw new IllegalArgumentException("WAV missing fmt/data chunk")
-    }
   }
 
   // ------------------------------------------------------------- PNG ----
@@ -376,31 +334,33 @@ object BinaryMediaDecoder extends MediaDecoder {
         minL / mx, maxL / mx).map(_.toFloat)
       Multimodal.Decoded(b.blob_id, b.mime, hd.w, hd.h, 1, feats)
     case "audio/wav" | "audio/x-wav" =>
-      val hd = parseWav(b.content)
-      val frameBytes = hd.channels * hd.bits / 8
-      val nFrames = if (frameBytes == 0) 0 else hd.dataLen / frameBytes
+      // round 12: header walk delegates to the one WAV parser in the repo
+      // (graft.ops.Wav); this branch keeps only the normalized 8-point
+      // feature sampler (which also reads IEEE-float payloads that
+      // Wav.decode's integer-exact API refuses)
+      val hd = Wav.parse(b.content)
+      val frameBytes = hd.frameBytes
+      val nFrames = hd.nSamples
       // features: 8 evenly spaced normalized samples of channel 0
       val feats = Array.tabulate(8) { i =>
         if (nFrames == 0) 0.0f
         else {
           val fr = i.toLong * (nFrames - 1) / math.max(1, 7)
           val o = hd.dataOff + fr.toInt * frameBytes
-          if (hd.float)
+          if (hd.isFloat)
             java.lang.Float.intBitsToFloat(le32(b.content, o))
-          else hd.bits match {
+          else hd.bitsPerSample match {
             case 16 => (le16(b.content, o).toShort / 32768.0).toFloat
             case 8 => ((u8(b.content, o) - 128) / 128.0).toFloat
             case 24 => // sign-extended little-endian, normalized by 2^23
               val v = (u8(b.content, o) | (u8(b.content, o + 1) << 8) |
                 (b.content(o + 2).toInt << 16))
               (v / 8388608.0).toFloat
-            case 32 => (le32(b.content, o) / 2147483648.0).toFloat
-            case bits => throw new IllegalArgumentException(
-              s"unsupported WAV bit depth $bits (8/16/24/32 only)")
+            case _ => (le32(b.content, o) / 2147483648.0).toFloat
           }
         }
       }
-      Multimodal.Decoded(b.blob_id, b.mime, hd.rate, hd.channels, nFrames, feats)
+      Multimodal.Decoded(b.blob_id, b.mime, hd.sampleRate, hd.channels, nFrames, feats)
     case "audio/mpeg" =>
       val info = Mp3.parse(b.content)
       // features: 8 evenly spaced coded bytes of the audio region,
@@ -484,8 +444,8 @@ object BinaryMediaDecoder extends MediaDecoder {
       System.arraycopy(b.content, hd.dataOff + idx * hd.w * hd.ch, row, 0, row.length)
       row
     case "audio/wav" | "audio/x-wav" =>
-      val hd = parseWav(b.content)
-      val fb = hd.channels * hd.bits / 8
+      val hd = Wav.parse(b.content)
+      val fb = hd.frameBytes
       require(idx >= 0 && (idx + 1) * fb <= hd.dataLen, s"sample frame $idx out of range")
       val out = new Array[Byte](fb)
       System.arraycopy(b.content, hd.dataOff + idx * fb, out, 0, fb)

@@ -34,6 +34,15 @@ class WavSpec extends AnyFunSuite {
     assert(out(0).toSeq == Seq(32767, -32768, 5))
   }
 
+  test("24- and 32-bit PCM round trips are sample-exact at the width extremes") {
+    val s24 = Array(-(1 << 23), (1 << 23) - 1, 0, 123456, -654321)
+    val (h24, o24) = Wav.decode(Wav.encode(48000, 24, Array(s24)))
+    assert(h24.bitsPerSample == 24 && o24(0).toSeq == s24.toSeq)
+    val s32 = Array(Int.MinValue, Int.MaxValue, 0, 7)
+    val (h32, o32) = Wav.decode(Wav.encode(96000, 32, Array(s32)))
+    assert(h32.bitsPerSample == 32 && o32(0).toSeq == s32.toSeq)
+  }
+
   test("side chunks (LIST before data) are skipped with the even-pad rule") {
     val base = Wav.encode(8000, 16, Array(Array(1, -2, 3, -4)))
     // splice an odd-length LIST chunk between fmt and data
@@ -62,14 +71,18 @@ class WavSpec extends AnyFunSuite {
     val good = Wav.encode(8000, 16, Array(sine(32, 9000, 7)))
     def kindOf(b: Array[Byte]): String =
       Multimodal.errKind(intercept[IllegalArgumentException](Wav.decode(b)).getMessage)
-    // format tag 3 = IEEE float, 6 = ALAW, 0xFFFE = EXTENSIBLE
+    // format tag 3 on a 16-bit file = malformed float width; 6 = ALAW,
+    // 0xFFFE = EXTENSIBLE — all typed unsupported
     for (tag <- Seq(3, 6, 0xFE)) {
       val f = good.clone(); f(20) = tag.toByte; f(21) = (if (tag == 0xFE) 0xFF else 0).toByte
       assert(kindOf(f) == "unsupported", s"format tag $tag")
     }
-    // 24-bit samples: unsupported width
-    val w24 = good.clone(); w24(34) = 24
-    assert(kindOf(w24) == "unsupported")
+    // a well-formed float32 file PARSES (BinaryMediaDecoder samples it)
+    // but integer sample decode refuses typed
+    val fl = Wav.encode(8000, 32, Array(Array(1, 2, 3, 4)))
+    fl(20) = 3
+    assert(Wav.parse(fl).isFloat)
+    assert(kindOf(fl) == "unsupported")
     // truncated mid-data and mid-header
     assert(kindOf(java.util.Arrays.copyOf(good, good.length - 7)) == "truncated")
     assert(kindOf(java.util.Arrays.copyOf(good, 10)) == "truncated")
