@@ -128,6 +128,81 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // SFT data prep (round 12): the step between a curated corpus and a
+    // fine-tuning run — render synthetic chat transcripts (2/4/6
+    // alternating user/assistant turns sliced from each doc) through a
+    // deterministic chat template and account the LOSS MASK: assistant
+    // tokens train, user tokens mask, and the rendered string itself is
+    // checksummed so one wrong byte of template assembly breaks the
+    // match. Pure codegen'd higher-order functions (sequence/transform/
+    // filter/aggregate) over an array-of-structs turn column — no UDF, no
+    // shuffle until the per-source aggregate; at 100 TB this is a single
+    // projection pass.
+    GraftQuery(
+      "pack05_sft_loss_mask",
+      (s, d) => {
+        val M = 1000000007L
+        val base = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .withColumn("n_turns", lit(2) + (col("doc_id") % 3).cast("int") * 2)
+          .withColumn("turns",
+            transform(sequence(lit(0), col("n_turns") - 1), i =>
+              struct(
+                when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+                col("text").substr((i * 17 % length(col("text")) + 1).cast("int"),
+                  (lit(24) + (col("doc_id") + i) % 13).cast("int")).as("txt"))))
+          .withColumn("render", concat_ws("",
+            transform(col("turns"), t =>
+              concat(lit("<|"), t.getField("role"), lit("|>"),
+                t.getField("txt"), lit("<|end|>")))))
+          .select(
+            col("source"),
+            aggregate(col("turns"), lit(0L),
+              (acc, t) => acc + TA.tokenCount(t.getField("txt")).cast("long"))
+              .as("tok_total"),
+            aggregate(filter(col("turns"), t => t.getField("role") === "assistant"),
+              lit(0L),
+              (acc, t) => acc + TA.tokenCount(t.getField("txt")).cast("long"))
+              .as("tok_train"),
+            (TA.hash60(col("render")) % M).as("render_h"))
+        base.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok_total")).as("sum_tokens"),
+            sum(col("tok_train")).as("sum_trainable"),
+            sum(col("tok_total") - col("tok_train")).as("sum_masked"),
+            sum(col("render_h")).as("render_check"))
+      },
+      // turn i slice: substring(text, (17i mod len)+1, 24 + (doc_id+i) mod 13);
+      // role alternates user/assistant from user; template
+      // <|role|>txt<|end|> concatenated in turn order
+      Some(s"""WITH d AS (SELECT doc_id, source, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          t AS (SELECT doc_id, source,
+              list_transform(range(0, 2 + (doc_id % 3) * 2), i -> struct_pack(
+                role := CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+                txt := substring(text, CAST((i * 17) % len AS INTEGER) + 1,
+                  CAST(24 + (doc_id + i) % 13 AS INTEGER)))) AS turns
+            FROM d),
+          r AS (SELECT source,
+              CAST(list_sum(list_transform(turns,
+                t -> ${TA.Sql.tokenCount("t.txt")})) AS BIGINT) AS tok_total,
+              COALESCE(CAST(list_sum(list_transform(
+                list_filter(turns, t -> t.role = 'assistant'),
+                t -> ${TA.Sql.tokenCount("t.txt")})) AS BIGINT), 0) AS tok_train,
+              (${TA.Sql.hash60("array_to_string(list_transform(turns, " +
+        "t -> '<|' || t.role || '|>' || t.txt || '<|end|>'), '')")} % 1000000007)
+                AS render_h
+            FROM t)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(tok_total) AS BIGINT) AS sum_tokens,
+          CAST(sum(tok_train) AS BIGINT) AS sum_trainable,
+          CAST(sum(tok_total - tok_train) AS BIGINT) AS sum_masked,
+          CAST(sum(render_h) AS BIGINT) AS render_check
+        FROM r GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Weighted bottom-k corpus sampling: language-weighted priority sampling
     // with EXACT integer keys. Classic weighted reservoirs order by
     // u^(1/w) — floating-point and engine-divergent. Instead the key is
