@@ -128,6 +128,62 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Preference-pair (DPO/RLHF) data prep (round 12): group candidate
+    // completions by prompt, take the best- and worst-scored per group as
+    // the (chosen, rejected) pair, and audit pair counts, score margins,
+    // and an id-derived pair checksum. Prompt groups are (source,
+    // doc_id DIV 8); the quality score is an md5-derived 60-bit integer
+    // (practically collision-free, so argmax/argmin are deterministic in
+    // any engine). Plan shape: ONE shuffle on the group key with
+    // map-side-combinable max_by/min_by partials, then the tiny
+    // per-source rollup — the grouped-argmax pattern that builds
+    // preference datasets at corpus scale.
+    GraftQuery(
+      "pref01_dpo_pairs",
+      (s, d) => {
+        val M = 1000000007L
+        val scored = Tables.documents(s, d).select(
+          col("source"),
+          expr("doc_id DIV 8").as("g"),
+          col("doc_id"),
+          TA.hash60(concat(lit("score:"), col("doc_id").cast("string"))).as("score"))
+        val pairs = scored.groupBy(col("source"), col("g"))
+          .agg(
+            count(lit(1)).as("n_cands"),
+            max_by(col("doc_id"), col("score")).as("chosen"),
+            min_by(col("doc_id"), col("score")).as("rejected"),
+            max(col("score")).as("s_max"),
+            min(col("score")).as("s_min"))
+        pairs.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            count(when(col("n_cands") >= 2, lit(1))).as("n_pairs"),
+            sum(when(col("n_cands") >= 2, (col("s_max") - col("s_min")) % M)
+              .otherwise(0L)).as("sum_margin"),
+            sum(when(col("n_cands") >= 2,
+              (col("chosen") * 31 + col("rejected")) % M).otherwise(0L))
+              .as("pair_check"))
+      },
+      Some {
+        val score = TA.Sql.hash60("concat('score:', CAST(doc_id AS VARCHAR))")
+        s"""WITH scored AS (SELECT source, doc_id // 8 AS g, doc_id,
+              $score AS score FROM documents),
+          p AS (SELECT source, g, count(*) AS n_cands,
+              max_by(doc_id, score) AS chosen, min_by(doc_id, score) AS rejected,
+              max(score) AS s_max, min(score) AS s_min
+            FROM scored GROUP BY 1, 2)
+        SELECT source, count(*) AS n_groups,
+          count(CASE WHEN n_cands >= 2 THEN 1 END) AS n_pairs,
+          CAST(sum(CASE WHEN n_cands >= 2 THEN (s_max - s_min) % 1000000007
+            ELSE 0 END) AS BIGINT) AS sum_margin,
+          CAST(sum(CASE WHEN n_cands >= 2
+            THEN (chosen * 31 + rejected) % 1000000007 ELSE 0 END)
+            AS BIGINT) AS pair_check
+        FROM p GROUP BY 1"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // SFT data prep (round 12): the step between a curated corpus and a
     // fine-tuning run — render synthetic chat transcripts (2/4/6
     // alternating user/assistant turns sliced from each doc) through a
