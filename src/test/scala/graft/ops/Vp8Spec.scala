@@ -65,7 +65,8 @@ class Vp8Spec extends AnyFunSuite {
   // kf_bmode_probs at every context, and libwebp's own mode/filter choices.
   private val libwebpFixtures = Seq("libwebp_grad_q75_32x24",
     "libwebp_check_q50_48x32", "libwebp_tex_q90_21x13",
-    "libwebp_noise_q20_64x48")
+    "libwebp_noise_q20_64x48", "libwebp_rand_q5_40x28",
+    "libwebp_grad_q100_128x96")
 
   for (name <- libwebpFixtures)
     test(s"decodes the REAL-libwebp stream $name bit-exactly to libwebp's own planes") {

@@ -101,6 +101,12 @@ def main():
         # low quality: strong quantization, segment/filter header paths
         ("noise_q20_64x48", 64, 48, 20,
          lambda x, y: ((x * 97 + y * 31) % 255, (x * 13 + y * 71) % 255, (x * 41 ^ y) % 255)),
+        # extreme quantization floor: q5 random-ish content
+        ("rand_q5_40x28", 40, 28, 5,
+         lambda x, y: ((x * 193 + y * 89) % 256, (x * 57 ^ y * 101) % 256, (x * 11 + y * 149) % 256)),
+        # q100 fine quantization over many macroblocks (8x6 MB grid)
+        ("grad_q100_128x96", 128, 96, 100,
+         lambda x, y: (x * 2, y * 2, (x + y))),
     ]
     for name, w, h, q, f in cases:
         webp = encode_rgb(img(w, h, f), w, h, q)
