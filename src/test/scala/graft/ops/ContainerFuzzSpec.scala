@@ -119,4 +119,33 @@ class ContainerFuzzSpec extends AnyFunSuite {
       r.allowed("anybot", "/x"); true
     })
   }
+
+  private val validWav: Array[Byte] =
+    Wav.encode(8000, 16, Array(Array.tabulate(64)(i => (i * 997 % 4001) - 2000)))
+
+  test("Wav decode refuses typed on random bytes and single-byte mutations") {
+    val kinds = Set("unsupported", "truncated", "not_media", "malformed")
+    check(Prop.forAll(bytesGen) { b =>
+      try { Wav.decode(b); true }
+      catch { case e: IllegalArgumentException =>
+        kinds.contains(Multimodal.errKind(e.getMessage)) }
+    })
+    check(Prop.forAll(
+      Gen.chooseNum(0, validWav.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validWav.clone(); m(pos) = (m(pos) ^ x).toByte
+      try { Wav.decode(m); true } // data-byte mutations still decode
+      catch { case e: IllegalArgumentException =>
+        kinds.contains(Multimodal.errKind(e.getMessage)) }
+    }, n = 500)
+  }
+
+  test("Wav decode refuses typed at every truncation offset") {
+    (0 until validWav.length).foreach { n =>
+      try { Wav.decode(java.util.Arrays.copyOf(validWav, n)); () }
+      catch { case e: IllegalArgumentException =>
+        assert(Set("unsupported", "truncated", "not_media", "malformed")
+          .contains(Multimodal.errKind(e.getMessage)), s"cut at $n")
+      }
+    }
+  }
 }
