@@ -74,6 +74,7 @@ object Gif {
     require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF payload (signature '$sig')")
     val screenW = le16(bytes, 6)
     val screenH = le16(bytes, 8)
+    Multimodal.checkPixelBudget(screenW.toLong, screenH.toLong, "GIF")
     val packed = u8(bytes, 10)
     var off = 13
     var gct: Array[Byte] = null

@@ -308,6 +308,7 @@ object Jpeg {
             s"unsupported JPEG precision ${bytes(pos + 4) & 0xff} (8-bit only)")
           h = u16(pos + 5); w = u16(pos + 7)
           require(w > 0 && h > 0, s"degenerate JPEG dimensions ${w}x$h")
+          Multimodal.checkPixelBudget(w.toLong, h.toLong, "JPEG")
           val nc = bytes(pos + 9) & 0xff
           require(nc == 1 || nc == 3,
             s"unsupported JPEG component count $nc (gray or YCbCr only)")

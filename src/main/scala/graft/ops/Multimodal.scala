@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Decompression-bomb guard (round 12): a tiny crafted container can
+    * legally claim enormous dimensions (VP8L/VP8 carry 14-bit dims →
+    * 16383², a ~1 GB raster from a 50-byte file; GIF/PNG/TIFF dims are
+    * 16/32-bit), and the raster allocation happens BEFORE any content
+    * parse can fail. One such blob per executor is an OOM-kill on a
+    * 100 TB crawl scan, so every raster codec checks its header dims
+    * against this budget before allocating and refuses with the typed
+    * `unsupported` kind (the PIL `DECOMPRESSION_BOMB` convention).
+    * Override with -Dgraft.media.maxDecodePixels=N for trusted corpora.
+    */
+  val MaxDecodePixels: Long =
+    sys.props.get("graft.media.maxDecodePixels").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
+  /** Throws the typed refusal when a claimed raster exceeds the budget. */
+  def checkPixelBudget(w: Long, h: Long, codec: String): Unit =
+    if (w > 0 && h > 0 && w * h > MaxDecodePixels)
+      throw new IllegalArgumentException(
+        s"unsupported $codec: ${w}x$h exceeds the $MaxDecodePixels-pixel decode budget")
+
   final case class Blob(
       blob_id: Long,
       content: Array[Byte],

@@ -123,6 +123,7 @@ object Png {
           color = bytes(off + 17) & 0xff
           interlace = bytes(off + 20) & 0xff
           require(w > 0 && h > 0, s"degenerate PNG dimensions ${w}x$h")
+          Multimodal.checkPixelBudget(w, h, "PNG")
           requireLegalCombo(color, depth)
           require(interlace <= 1, s"illegal PNG interlace method $interlace")
           sawIhdr = true

@@ -69,7 +69,8 @@ object Tiff {
     def one(tag: Int): Option[Long] = values(tag).map(_.head)
     val w = one(256).getOrElse(fail("not a TIFF image: no ImageWidth")).toInt
     val h = one(257).getOrElse(fail("not a TIFF image: no ImageLength")).toInt
-    if (w <= 0 || h <= 0 || w.toLong * h > 64_000_000L) fail(s"malformed TIFF dims ${w}x$h")
+    if (w <= 0 || h <= 0) fail(s"malformed TIFF dims ${w}x$h")
+    Multimodal.checkPixelBudget(w.toLong, h.toLong, "TIFF")
     val spp = one(277).getOrElse(1L).toInt
     if (spp != 1 && spp != 3) fail(s"unsupported TIFF SamplesPerPixel $spp")
     val bits = values(258).getOrElse(IndexedSeq.fill(spp)(1L))

@@ -425,6 +425,10 @@ object Webp {
     */
   def decode(bytes: Array[Byte]): (Header, Array[Byte]) = {
     val hd = meta(bytes)
+    // decompression-bomb guard BEFORE the w*h*4 raster allocation: VP8L's
+    // 14-bit dims let a ~50-byte file legally claim 16383² (a ~1 GB RGBA
+    // raster); see Multimodal.MaxDecodePixels
+    Multimodal.checkPixelBudget(hd.w.toLong, hd.h.toLong, "WebP")
     if (!hd.lossless) {
       val yuv = decodeLossyYuv(bytes)
       val out = new Array[Byte](yuv.width * yuv.height * 4)
