@@ -632,15 +632,20 @@ object PdfText {
     out.toByteArray
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
-      else if (inf.needsInput() || inf.needsDictionary())
+      if (n > 0) {
+        out.write(buf, 0, n)
+        // FlateDecode-bomb guard (round 12): see graft.core.Budget
+        if (out.size().toLong > graft.core.Budget.maxInflatedBytes)
+          throw new IllegalArgumentException(
+            s"FlateDecode stream inflates past ${graft.core.Budget.maxInflatedBytes} bytes")
+      } else if (inf.needsInput() || inf.needsDictionary())
         throw new IllegalArgumentException("truncated FlateDecode stream")
     }
     inf.end()

@@ -19,7 +19,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * never shuffles until the extracted documents aggregate.
   *
   * Failure semantics are fail-stop per file with TYPED error kinds
-  * (`bad_gzip`, `truncated`, `crc_mismatch`, `bad_record`) — the media
+  * (`bad_gzip`, `truncated`, `crc_mismatch`, `bad_record`, `too_large`
+  * for gzip-bomb members past [[graft.core.Budget]]) — the media
   * family's decodeSafe contract (one rotten file must not kill the scan,
   * and the error counts are themselves curation signal).
   */
@@ -141,8 +142,15 @@ object Warc {
             try inf.inflate(buf)
             catch { case e: java.util.zip.DataFormatException =>
               fail("bad_gzip", s"deflate error at member $off: ${e.getMessage}") }
-          if (n > 0) out.write(buf, 0, n)
-          else if (inf.needsInput() || inf.needsDictionary())
+          if (n > 0) {
+            out.write(buf, 0, n)
+            // gzip-bomb guard: DEFLATE expands up to ~1032:1, so the
+            // trailer/CRC can't bound memory — the output size must
+            // (graft.core.Budget, round 12)
+            if (out.size().toLong > graft.core.Budget.maxInflatedBytes)
+              fail("too_large", s"gzip member at $off inflates past " +
+                s"${graft.core.Budget.maxInflatedBytes} bytes")
+          } else if (inf.needsInput() || inf.needsDictionary())
             fail("truncated", s"deflate stream ends early at member $off")
         }
         val consumed = inf.getBytesRead.toInt

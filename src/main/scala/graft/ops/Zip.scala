@@ -39,7 +39,7 @@ object Zip {
     try {
       var e = z.getNextEntry
       while (e != null) {
-        if (!e.isDirectory) out += ZipMember(e.getName, z.readAllBytes())
+        if (!e.isDirectory) out += ZipMember(e.getName, readCapped(z, e.getName))
         z.closeEntry()
         e = z.getNextEntry
       }
@@ -50,6 +50,27 @@ object Zip {
         throw new Warc.WarcError("truncated", "zip stream ends early")
     } finally z.close()
     out.result()
+  }
+
+  /** Entry bytes with the zip-bomb guard: a tiny DEFLATE entry can
+    * legally inflate ~1032x, so the read is capped by
+    * [[graft.core.Budget.maxInflatedBytes]] (round 12) — the declared
+    * uncompressed size in the local header is attacker-controlled and
+    * can't be trusted as the bound.
+    */
+  private def readCapped(z: ZipInputStream, name: String): Array[Byte] = {
+    val cap = graft.core.Budget.maxInflatedBytes
+    val out = new ByteArrayOutputStream(4096)
+    val buf = new Array[Byte](8192)
+    var n = z.read(buf)
+    while (n > 0) {
+      out.write(buf, 0, n)
+      if (out.size().toLong > cap)
+        throw new Warc.WarcError("too_large",
+          s"zip entry '$name' inflates past $cap bytes")
+      n = z.read(buf)
+    }
+    out.toByteArray
   }
 
   /** Fail-stop safe read: `Right(members)` or `Left(errorKind)`. */

@@ -106,4 +106,58 @@ class MediaBombSpec extends AnyFunSuite {
     val (hd, out) = Png.decode(Png.encode(1000, 1000, 0, px))
     assert(hd.w == 1000 && hd.h == 1000 && out.length == px.length)
   }
+
+  // ------------------------------------------------------- inflate bombs --
+  // DEFLATE expands up to ~1032:1, so a small compressed payload can demand
+  // hundreds of MB before any CRC/trailer check — graft.core.Budget caps the
+  // OUTPUT of every inflating reader. The budget is lowered temporarily so
+  // the bombs stay kilobytes.
+
+  private def withBudget[T](bytes: Long)(f: => T): T = {
+    val old = graft.core.Budget.maxInflatedBytes
+    graft.core.Budget.maxInflatedBytes = bytes
+    try f finally graft.core.Budget.maxInflatedBytes = old
+  }
+
+  private def gzipOf(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(raw); g.close()
+    bos.toByteArray
+  }
+
+  test("gzip bomb: a WARC member inflating past the budget refuses too_large") {
+    val bomb = gzipOf(Array.fill(8 * 1024 * 1024)(0.toByte)) // ~8 KB compressed
+    assert(bomb.length < 64 * 1024)
+    withBudget(4L * 1024 * 1024) {
+      assert(Warc.readSafe(bomb) == Left("too_large"))
+    }
+    // and the same member under the default budget still inflates fine
+    assert(Warc.gunzipMembers(bomb).head.length == 8 * 1024 * 1024)
+  }
+
+  test("zip bomb: an entry inflating past the budget refuses too_large") {
+    val zip = Zip.write(Seq(Zip.ZipMember("zeros.bin",
+      Array.fill(8 * 1024 * 1024)(0.toByte))))
+    withBudget(4L * 1024 * 1024) {
+      assert(Zip.readSafe(zip) == Left("too_large"))
+    }
+    assert(Zip.read(zip).head.body.length == 8 * 1024 * 1024)
+  }
+
+  test("PDF FlateDecode bomb: an inflating stream refuses typed") {
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(Array.fill(8 * 1024 * 1024)(0.toByte)); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    withBudget(4L * 1024 * 1024) {
+      val e = intercept[IllegalArgumentException](graft.etl.PdfText.inflate(deflated))
+      assert(e.getMessage.contains("inflates past"))
+    }
+    assert(graft.etl.PdfText.inflate(deflated).length == 8 * 1024 * 1024)
+  }
 }
