@@ -274,6 +274,65 @@ object WarcQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Web-TABLE mining (round 12: the table-QA / structured-extraction
+    // corpus op): each doc's text seeds a deterministic page carrying a
+    // (2 + doc_id%4)-row x 3-col HTML table among script/nav boilerplate;
+    // graft.etl.Extract.Html.tagRows (the stdlib-parser port behind the
+    // reference's E6 extractor) parses the page and the query keeps only
+    // the <td> cells — integer-valued by construction, so the oracle
+    // recomputes every cell from text arithmetic: one wrong tag boundary,
+    // text association, or dropped cell breaks the sums. Per-row map,
+    // shuffle-free until the per-source aggregate.
+    GraftQuery(
+      "html02_table_mining",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .map { case (id, source, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val rows = 2 + (id % 4).toInt
+            val tbl = (0 until rows).map { r =>
+              val tds = (0 until 3).map { c =>
+                // +10000 keeps every cell 5 digits: the E6 extractor
+                // (reference parity) drops tag rows with text length <= 3
+                val v = (bytes(((r * 3 + c) * 7) % bytes.length) & 0xff) * (r + 1) + c + 10000
+                s"<td>$v</td>"
+              }.mkString
+              s"<tr>$tds</tr>"
+            }.mkString
+            val page = s"""<html><body><script>var t=[1,2];</script><nav><a href="/">x</a></nav><table>$tbl</table></body></html>"""
+            val cells = graft.etl.Html.tagRows(page)
+              .filter(_.name == "td").map(_.text.trim.toLong)
+            (source, cells.length.toLong, cells.sum)
+          }
+          .toDF("source", "n_cells", "cell_sum")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_cells")).as("total_cells"),
+            sum(col("cell_sum")).as("value_check"))
+      },
+      // cell(r,c) = ascii(text[((r*3+c)*7) mod len]) * (r+1) + c over
+      // (2 + doc_id%4) rows x 3 cols
+      Some("""WITH d AS (SELECT doc_id, source, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          c AS (SELECT doc_id, source,
+              CAST(3 * (2 + doc_id % 4) AS BIGINT) AS n_cells,
+              CAST(list_sum(flatten(list_transform(range(0, 2 + doc_id % 4),
+                r -> list_transform(range(0, 3), col ->
+                  ascii(substring(text, (((r*3 + col) * 7) % len) + 1, 1))
+                    * (r + 1) + col + 10000)))) AS BIGINT) AS cell_sum
+            FROM d)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_cells) AS BIGINT) AS total_cells,
+          CAST(sum(cell_sum) AS BIGINT) AS value_check
+        FROM c GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // The whole crawl-to-corpus path in ONE plan — what this engine is
     // FOR: crawl files (every page fetched twice: origin + a mirror host,
     // the duplication a real crawl always carries) → WARC parse → keep
