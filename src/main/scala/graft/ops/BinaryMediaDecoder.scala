@@ -552,8 +552,11 @@ object BinaryMediaDecoder extends MediaDecoder {
       val pal = if (palette.length >= 12) palette else palette.padTo(12, 0.toByte)
       Gif.encode(w, h, pal, out)
     case "image/webp" =>
-      // VP8L is lossless, so resize re-encodes exactly: nearest-neighbor
-      // resample of the decoded RGBA raster back through encodeLossless
+      // nearest-neighbor resample of the decoded RGBA raster re-encoded
+      // through encodeLossless — exact for VP8L input, and for lossy VP8
+      // keyframes (decodable since round 11, libwebp-bit-exact since
+      // round 12) this is the thumbnail-into-a-lossless-container path
+      // the JPEG branch below documents: decode once, never re-lossy
       val (hd, px) = Webp.decode(b.content)
       val out = new Array[Byte](w * h * 4)
       var y = 0

@@ -79,6 +79,23 @@ class Vp8Spec extends AnyFunSuite {
       assert(got.v.map(_ & 0xff).toSeq == ev, "V plane")
     }
 
+  test("a REAL-libwebp lossy stream resizes through the lossless container path") {
+    // decode VP8 → nearest-neighbor → re-encode VP8L: the thumbnailing
+    // shape a corpus pipeline runs; the resized pixels must be exactly
+    // the nearest-neighbor picks from the (libwebp-bit-exact) decode
+    val webp = Files.readAllBytes(Paths.get(s"$dir/vp8_libwebp_grad_q75_32x24.webp"))
+    val blob = Multimodal.Blob(1L, webp, "image/webp", Map.empty)
+    val (hd0, px0) = Webp.decode(webp)
+    val small = BinaryMediaDecoder.resize(blob, 8, 6)
+    val (hd1, px1) = Webp.decode(small)
+    assert(hd1.w == 8 && hd1.h == 6 && hd1.lossless)
+    for (y <- 0 until 6; x <- 0 until 8; ch <- 0 until 4) {
+      val sx = x * hd0.w / 8; val sy = y * hd0.h / 6
+      assert(px1((y * 8 + x) * 4 + ch) == px0((sy * hd0.w + sx) * 4 + ch),
+        s"($x,$y,$ch)")
+    }
+  }
+
   test("an inter (non-key) frame refuses with the typed error") {
     val webp = Files.readAllBytes(Paths.get(s"$dir/vp8_interframe.webp"))
     val e = intercept[IllegalArgumentException](Vp8.decodeKeyframe(vp8Payload(webp)))
