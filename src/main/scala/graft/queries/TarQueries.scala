@@ -170,5 +170,108 @@ object TarQueries {
           CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
         FROM documents GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Compressed-JSONL shard round trip (the distribution format modern
+    // crawl corpora actually ship: `.jsonl.zst`, with LZ4 frames as the
+    // low-CPU hot-shard twin). Shards alternate codec by group parity,
+    // the reader sniffs the frame magic ([[graft.ops.Zstd.decompressAny]])
+    // — the mixed-codec directory case a long-lived corpus accumulates —
+    // and every decompress is capped by Budget.maxInflatedBytes
+    // mid-stream (zstd RLE blocks out-amplify DEFLATE's 1032:1). One
+    // wrong byte through either codec breaks the per-class checksums.
+    GraftQuery(
+      "zst01_zstd_jsonl",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val raw = ascii(jsonl)
+            val frame = if (g % 2 == 0) graft.ops.Zstd.compress(raw)
+                        else graft.ops.Zstd.compressLz4(raw)
+            val back = new String(graft.ops.Zstd.decompressAny(frame),
+              java.nio.charset.StandardCharsets.US_ASCII)
+            back.split('\n').iterator.map { line =>
+              val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+              val txt = obj("text").asInstanceOf[graft.etl.JStr].s
+              (obj("lang").asInstanceOf[graft.etl.JStr].s, txt.length.toLong, txt)
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant compressed-shard scan: a deterministic slice of
+    // frames is poisoned (magic flip → bad_magic refusal; tail
+    // truncation → bad_frame, caught by the codec's own integrity
+    // checks mid-stream) and each rotten FRAME becomes one typed error
+    // row; healthy shards still contribute exact counts and checksums.
+    // The tar02/warc03/mm09 contract on the compression layer.
+    GraftQuery(
+      "zst02_poisoned_zstd",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val raw = ascii(jsonl)
+            val clean = if (g % 2 == 0) graft.ops.Zstd.compress(raw)
+                        else graft.ops.Zstd.compressLz4(raw)
+            val frame = (h60(s"$source:$g") % 7) match {
+              case 0 => val b = clean.clone(); b(0) = (b(0) ^ 0x5a).toByte; b
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 9)
+              case _ => clean
+            }
+            graft.ops.Zstd.decompressAnySafe(frame) match {
+              case Right(bytes) =>
+                val lines = new String(bytes,
+                  java.nio.charset.StandardCharsets.US_ASCII).split('\n')
+                val bc = lines.iterator.map { line =>
+                  val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+                  h60(obj("text").asInstanceOf[graft.etl.JStr].s) % M
+                }.sum
+                (source, "ok", lines.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_magic", lit(1))).as("n_magic"),
+            count(when(col("outcome") === "bad_frame", lit(1))).as("n_frame"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_magic,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_frame,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
   )
 }

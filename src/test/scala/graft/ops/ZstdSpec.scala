@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Locks on the zstd / LZ4-frame shard codec (graft.ops.Zstd): exact
+  * round trips, deterministic frames, magic sniffing, the typed-refusal
+  * contract on poisoned frames, the inflate-bomb cap, and ContainerFuzz-
+  * style totality on arbitrary bytes and single-byte mutations.
+  */
+class ZstdSpec extends AnyFunSuite {
+
+  private val payload: Array[Byte] =
+    (0 until 200).map(i => s"""{"id":$i,"text":"doc body $i"}""").mkString("\n")
+      .getBytes(US_ASCII)
+
+  private def withBudget[A](bytes: Long)(f: => A): A = {
+    val old = graft.core.Budget.maxInflatedBytes
+    graft.core.Budget.maxInflatedBytes = bytes
+    try f finally graft.core.Budget.maxInflatedBytes = old
+  }
+
+  test("zstd round trip is exact and frames are deterministic") {
+    val a = Zstd.compress(payload)
+    val b = Zstd.compress(payload)
+    assert(java.util.Arrays.equals(a, b))
+    assert(java.util.Arrays.equals(Zstd.decompress(a), payload))
+    assert(a.length < payload.length) // it actually compressed
+  }
+
+  test("lz4 round trip is exact and frames are deterministic") {
+    val a = Zstd.compressLz4(payload)
+    val b = Zstd.compressLz4(payload)
+    assert(java.util.Arrays.equals(a, b))
+    assert(java.util.Arrays.equals(Zstd.decompressLz4(a), payload))
+  }
+
+  test("decompressAny sniffs the codec by magic") {
+    assert(java.util.Arrays.equals(Zstd.decompressAny(Zstd.compress(payload)), payload))
+    assert(java.util.Arrays.equals(Zstd.decompressAny(Zstd.compressLz4(payload)), payload))
+    assert(Zstd.isZstd(Zstd.compress(payload)))
+    assert(Zstd.isLz4(Zstd.compressLz4(payload)))
+  }
+
+  test("magic flip refuses bad_magic; truncation refuses bad_frame") {
+    for (mk <- Seq(() => Zstd.compress(payload), () => Zstd.compressLz4(payload))) {
+      val clean = mk()
+      val flipped = clean.clone(); flipped(0) = (flipped(0) ^ 0x5a).toByte
+      assert(Zstd.decompressAnySafe(flipped) == Left("bad_magic"))
+      val cut = java.util.Arrays.copyOf(clean, clean.length - 9)
+      assert(Zstd.decompressAnySafe(cut) == Left("bad_frame"))
+    }
+  }
+
+  test("an RLE zstd bomb refuses too_large at the budget, not at OOM") {
+    // 16 MiB of zeros compresses to a few hundred bytes; with a 1 MiB
+    // budget the reader must stop mid-stream with the typed refusal.
+    val zeros = new Array[Byte](16 * 1024 * 1024)
+    val bomb = Zstd.compress(zeros)
+    assert(bomb.length < 20000)
+    withBudget(1024 * 1024) {
+      assert(Zstd.decompressAnySafe(bomb) == Left("too_large"))
+    }
+    // and under the default budget the same frame is fine
+    assert(Zstd.decompressAnySafe(bomb).map(_.length) == Right(zeros.length))
+  }
+
+  test("empty payload round-trips through both codecs") {
+    assert(Zstd.decompress(Zstd.compress(Array.emptyByteArray)).isEmpty)
+    assert(Zstd.decompressLz4(Zstd.compressLz4(Array.emptyByteArray)).isEmpty)
+  }
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 600).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+
+  test("decompressAnySafe is total on random bytes") {
+    check(Prop.forAll(bytesGen) { b =>
+      Zstd.decompressAnySafe(b).isLeft || Zstd.decompressAnySafe(b).isRight
+    })
+  }
+
+  test("decompressAnySafe is total under single-byte mutations of valid frames") {
+    for (clean <- Seq(Zstd.compress(payload), Zstd.compressLz4(payload))) {
+      check(Prop.forAll(
+        Gen.chooseNum(0, clean.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+        val m = clean.clone(); m(pos) = (m(pos) ^ x).toByte
+        Zstd.decompressAnySafe(m) match {
+          case Left(kind) =>
+            Set("bad_magic", "bad_frame", "too_large").contains(kind)
+          case Right(out) => out.length <= graft.core.Budget.maxInflatedBytes
+        }
+      }, n = 400)
+    }
+  }
+}
