@@ -922,5 +922,104 @@ object QcQueries {
             * 1000000.0) AS BIGINT) AS lift_micro
         FROM b, base"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Exact two-sample Kolmogorov-Smirnov drift test (the distribution-
+    // shift audit run between ingestion batches before a corpus refresh
+    // ships): per event_type, D = max_x |F_even(x) − F_odd(x)| between
+    // the even- and odd-batch value distributions. Everything stays in
+    // integers until the final division: values are dollar-scaled to
+    // cent longs, the ECDF difference is |cum0·n1 − cum1·n0| over the
+    // PRE-AGGREGATED (type, cent) domain, and D = d_num/(n0·n1) is one
+    // IEEE divide both engines perform on identical exact integers.
+    // Scale shape: the fact table collapses via one map-side-combinable
+    // groupBy to at most |types|·|distinct cents| rows — a BOUNDED
+    // domain independent of corpus size — so the per-type cumulative
+    // window sorts sketch-sized input, never the 100 TB fact table, and
+    // the 5-row totals broadcast back.
+    GraftQuery(
+      "qc14_ks_drift",
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .select(col("event_type"), (col("event_id") % 2).as("b"),
+            round(col("value") * 100).cast("long").as("v"))
+          .groupBy(col("event_type"), col("v"))
+          .agg(count(when(col("b") === 0, lit(1))).as("c0"),
+            count(when(col("b") === 1, lit(1))).as("c1"))
+          .transform(graft.core.Caches.persist) // window + totals share one build
+        val t = g.groupBy(col("event_type"))
+          .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        g.select(col("event_type"),
+            sum(col("c0")).over(w).as("cum0"),
+            sum(col("c1")).over(w).as("cum1"))
+          .join(broadcast(t), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+            max(abs(col("cum0") * col("n1") - col("cum1") * col("n0"))).as("d_num"))
+          .select(col("event_type"), col("n0"), col("n1"), col("d_num"),
+            (col("d_num").cast("double") / (col("n0") * col("n1"))).as("ks"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id % 2 AS b,
+            CAST(round(value*100) AS BIGINT) AS v FROM events),
+          g AS (SELECT event_type, v,
+            count(CASE WHEN b = 0 THEN 1 END) AS c0,
+            count(CASE WHEN b = 1 THEN 1 END) AS c1 FROM e GROUP BY 1, 2),
+          t AS (SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+            CAST(sum(c1) AS BIGINT) AS n1 FROM g GROUP BY 1),
+          c AS (SELECT event_type,
+            CAST(sum(c0) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum0,
+            CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cum1
+          FROM g),
+          m AS (SELECT c.event_type, max(t.n0) AS n0, max(t.n1) AS n1,
+            CAST(max(abs(cum0*t.n1 - cum1*t.n0)) AS BIGINT) AS d_num
+          FROM c JOIN t USING (event_type) GROUP BY 1)
+        SELECT event_type, n0, n1, d_num,
+          CAST(d_num AS DOUBLE) / (n0*n1) AS ks FROM m"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Chi-squared independence audit (lang × source): is the language
+    // mix homogeneous across ingestion sources, or does one source skew
+    // the corpus? Observed counts are exact longs from ONE contingency
+    // groupBy; expected counts e = (row·col)/N and each cell's
+    // (o−e)²/e term are fixed-order double ops on those exact integers,
+    // micro-scaled to longs before the cross-engine sum (the intSum
+    // discipline). Scale shape: the fact table collapses to a
+    // |langs|×|sources| contingency table; marginals broadcast back —
+    // nothing corpus-sized ever shuffles twice.
+    GraftQuery(
+      "qc15_chi2_independence",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+          .transform(graft.core.Caches.persist) // marginals + terms share one build
+        val rows = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val cols = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        val tot = cells.agg(sum(col("o")).as("n"))
+        val e = (col("r") * col("c")).cast("double") / col("n")
+        val term = (col("o") - e) * (col("o") - e) / e
+        cells.join(broadcast(rows), "lang").join(broadcast(cols), "source")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("lang"))
+          .agg(sum(col("o")).as("n_lang"),
+            count(lit(1)).as("n_cells"),
+            sum(round(term * 1000000.0).cast("long")).as("chi2_micro"))
+      },
+      Some("""WITH cells AS (SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY 1, 2),
+          r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+          c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+          n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+          t AS (SELECT lang, o,
+            (o - CAST(r.r*c.c AS DOUBLE)/n.n) * (o - CAST(r.r*c.c AS DOUBLE)/n.n)
+              / (CAST(r.r*c.c AS DOUBLE)/n.n) AS term
+          FROM cells JOIN r USING (lang) JOIN c USING (source), n)
+        SELECT lang, CAST(sum(o) AS BIGINT) AS n_lang,
+          count(*) AS n_cells,
+          CAST(sum(CAST(round(term*1000000.0) AS BIGINT)) AS BIGINT) AS chi2_micro
+        FROM t GROUP BY 1"""),
+    ),
   )
 }
