@@ -184,6 +184,92 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Bradley-Terry strength fit over preference duels (round 12): the
+    // model behind reward-model eval boards and matchup-based data
+    // curation. Global prompt groups (doc_id DIV 8) span sources; the
+    // best/worst-scored doc per group make one (winner, loser) duel
+    // between their SOURCES, the corpus collapses to the |sources|²
+    // win matrix in one shuffle, and TWO minorization-maximization
+    // rounds (p_i ← W_i / Σ_j n_ij/(p_i+p_j), start p=1) run over that
+    // schema-sized matrix on the driver — per-opponent terms are
+    // nano-scaled to exact longs before summing so the fit is
+    // bit-identical to the oracle's CTE chain regardless of summation
+    // order. Scale shape: the 100 TB corpus is touched once (grouped
+    // argmax/argmin with map-side-combinable partials); everything
+    // after is O(|sources|²).
+    GraftQuery(
+      "pref02_bradley_terry",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(
+          expr("doc_id DIV 8").as("g"),
+          col("source"),
+          TA.hash60(concat(lit("score:"), col("doc_id").cast("string"))).as("score"))
+        val duels = scored.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_cands"),
+            max_by(col("source"), col("score")).as("w"),
+            min_by(col("source"), col("score")).as("l"))
+          .filter(col("n_cands") >= 2 && col("w") =!= col("l"))
+          .groupBy(col("w"), col("l")).agg(count(lit(1)).as("cnt"))
+        // the win matrix is |sources|² — schema-sized by construction
+        val m: Map[(String, String), Long] = duels.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val players = m.keysIterator.flatMap(k => Iterator(k._1, k._2)).toSeq.distinct.sorted
+        val wins: Map[String, Long] =
+          players.map(i => i -> m.iterator.filter(_._1._1 == i).map(_._2).sum).toMap
+        val nij: Map[(String, String), Long] = (for {
+          i <- players; j <- players if i != j
+        } yield (i, j) -> (m.getOrElse((i, j), 0L) + m.getOrElse((j, i), 0L))).toMap
+        var p: Map[String, Double] = players.map(_ -> 1.0).toMap
+        for (_ <- 0 until 2) {
+          p = players.map { i =>
+            val si = players.filter(_ != i).map { j =>
+              math.round(nij(i -> j).toDouble / (p(i) + p(j)) * 1000000000.0)
+            }.sum
+            i -> (if (si == 0L) 0.0 else wins(i).toDouble * 1000000000.0 / si)
+          }.toMap
+        }
+        val out = players.map { i =>
+          (i, wins(i), players.filter(_ != i).map(j => nij(i -> j)).sum,
+            math.round(p(i) * 1000000.0))
+        }
+        import s.implicits._
+        out.toDF("source", "wins", "games", "strength_micro")
+      },
+      Some {
+        val score = TA.Sql.hash60("concat('score:', CAST(doc_id AS VARCHAR))")
+        s"""WITH scored AS (SELECT doc_id // 8 AS g, source,
+              $score AS score FROM documents),
+          duel AS (SELECT g, count(*) AS n_cands,
+              max_by(source, score) AS w, min_by(source, score) AS l
+            FROM scored GROUP BY 1),
+          m AS (SELECT w, l, count(*) AS cnt FROM duel
+            WHERE n_cands >= 2 AND w <> l GROUP BY 1, 2),
+          wins AS (SELECT w AS i, CAST(sum(cnt) AS BIGINT) AS wi FROM m GROUP BY 1),
+          n AS (SELECT i, j, CAST(sum(cnt) AS BIGINT) AS nij FROM
+            (SELECT w AS i, l AS j, cnt FROM m
+             UNION ALL SELECT l AS i, w AS j, cnt FROM m) GROUP BY 1, 2),
+          players AS (SELECT DISTINCT i FROM n),
+          p0 AS (SELECT i, 1.0 AS p FROM players),
+          s1 AS (SELECT n.i, CAST(sum(CAST(round(nij/(pi.p+pj.p)*1000000000.0)
+              AS BIGINT)) AS BIGINT) AS s
+            FROM n JOIN p0 pi ON n.i = pi.i JOIN p0 pj ON n.j = pj.i GROUP BY 1),
+          p1 AS (SELECT s1.i, CASE WHEN s1.s = 0 THEN 0.0
+              ELSE CAST(coalesce(w.wi, 0) AS DOUBLE)*1000000000.0/s1.s END AS p
+            FROM s1 LEFT JOIN wins w ON s1.i = w.i),
+          s2 AS (SELECT n.i, CAST(sum(CAST(round(nij/(pi.p+pj.p)*1000000000.0)
+              AS BIGINT)) AS BIGINT) AS s
+            FROM n JOIN p1 pi ON n.i = pi.i JOIN p1 pj ON n.j = pj.i GROUP BY 1),
+          p2 AS (SELECT s2.i, CASE WHEN s2.s = 0 THEN 0.0
+              ELSE CAST(coalesce(w.wi, 0) AS DOUBLE)*1000000000.0/s2.s END AS p
+            FROM s2 LEFT JOIN wins w ON s2.i = w.i)
+        SELECT p2.i AS source, CAST(coalesce(w.wi, 0) AS BIGINT) AS wins,
+          (SELECT CAST(sum(nij) AS BIGINT) FROM n WHERE n.i = p2.i) AS games,
+          CAST(round(p2.p*1000000.0) AS BIGINT) AS strength_micro
+        FROM p2 LEFT JOIN wins w ON p2.i = w.i"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
     // SFT data prep (round 12): the step between a curated corpus and a
     // fine-tuning run — render synthetic chat transcripts (2/4/6
     // alternating user/assistant turns sliced from each doc) through a
