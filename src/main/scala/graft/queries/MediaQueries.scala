@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, Tables}
+import graft.ops.{TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /** Multimodal media operators (mm01-mm09): binary blob plumbing with the
@@ -959,6 +960,96 @@ object MediaQueries {
           CAST(sum(zc) AS BIGINT) AS sum_crossings,
           CAST(max(peak) AS BIGINT) AS max_peak
         FROM f GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Perceptual-hash image dedup (round 12): the image-modality twin of
+    // dedup04's simhash — a 63-bit pHash per image, exact-duplicate
+    // buckets, pair counts. The classic pHash thresholds low-frequency
+    // DCT coefficients against their median; this one uses the
+    // Walsh-Hadamard transform instead (the same spectral-signature
+    // idea, but EXACT in 64-bit integers: ±1 basis, no cosines), so the
+    // oracle recomputes every hash bit-for-bit in SQL. DC is excluded,
+    // which makes the hash invariant to global brightness shifts BY
+    // LINEARITY — each group's four variants (pixel = LCG(group, i) +
+    // doc_id%4) land in one bucket through the REAL PNG encode→deflate→
+    // decode→unfilter path, so one wrong pixel byte anywhere breaks
+    // both the hash checksum and the bucket structure. Banded hamming
+    // search over these hashes is dedup04's machinery (12×5-bit bands);
+    // this query pins the pixel→hash contract. Scale: per-row map, one
+    // map-side-combinable groupBy on the 8-byte hash — the exchange
+    // carries (hash, count), never pixels.
+    GraftQuery(
+      "mm16_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val M = 1000000007L
+        val ids = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id")).as[Long]
+        val hashes = ids.mapPartitions { it =>
+          val md = graft.ops.Hash60Kernel.digest()
+          it.map { id =>
+            val gk = id / 4
+            val px = Array.tabulate(64) { i =>
+              md.reset()
+              val h = graft.ops.Hash60Kernel.fold(md.digest(
+                s"px:$gk:$i".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+              (h % 200 + id % 4).toByte
+            }
+            val blob = graft.ops.Multimodal.Blob(
+              id, graft.ops.Png.encode(8, 8, 0, px), "image/png", Map.empty)
+            val (_, back) = graft.ops.BinaryMediaDecoder.pngRaster(blob)
+            // 2D natural-order WHT over the DECODED raster, AC only
+            val coeffs = Array.tabulate(63) { k =>
+              val c = k + 1; val u = c / 8; val v = c % 8
+              var sum = 0L; var i = 0
+              while (i < 64) {
+                val sign = 1 - 2 * ((Integer.bitCount(u & (i / 8)) +
+                  Integer.bitCount(v & (i % 8))) & 1)
+                sum += sign * (back(i) & 0xff).toLong
+                i += 1
+              }
+              sum
+            }
+            val med = coeffs.sorted.apply(31)
+            var hash = 0L; var k = 0
+            while (k < 63) {
+              if (coeffs(k) > med) hash |= 1L << k
+              k += 1
+            }
+            hash
+          }
+        }.toDF("hash")
+        val buckets = hashes.groupBy(col("hash")).agg(count(lit(1)).as("n"))
+        buckets.agg(
+          sum(col("n")).as("n_images"),
+          count(lit(1)).as("n_hashes"),
+          sum(expr("n * (n - 1) DIV 2")).as("dup_pairs"),
+          sum((col("hash") % M) * col("n")).as("hash_check"))
+      },
+      Some(s"""WITH px AS (SELECT doc_id,
+            list_transform(range(0, 64), i ->
+              ${TA.Sql.hash60("concat('px:', CAST(doc_id // 4 AS VARCHAR), ':', CAST(i AS VARCHAR))")}
+                % 200 + doc_id % 4) AS p
+          FROM documents),
+          h AS (SELECT
+            list_transform(range(1, 64), c -> CAST(list_sum(list_transform(range(0, 64),
+              i -> p[i + 1]
+                * (1 - 2 * ((bit_count((c // 8) & (i // 8))
+                  + bit_count((c % 8) & (i % 8))) % 2)))) AS BIGINT)) AS coeffs
+          FROM px),
+          m AS (SELECT coeffs, list_sort(coeffs)[32] AS med FROM h),
+          hh AS (SELECT CAST(list_sum(list_transform(range(1, 64),
+              c -> CASE WHEN coeffs[c] > med
+                THEN (CAST(1 AS BIGINT) << (c - 1)) ELSE 0 END)) AS BIGINT) AS hash
+            FROM m),
+          b AS (SELECT hash, count(*) AS n FROM hh GROUP BY 1)
+        SELECT CAST(sum(n) AS BIGINT) AS n_images,
+          count(*) AS n_hashes,
+          CAST(sum(n * (n - 1) // 2) AS BIGINT) AS dup_pairs,
+          CAST(sum((hash % 1000000007) * n) AS BIGINT) AS hash_check
+        FROM b"""),
     ),
   )
 }
