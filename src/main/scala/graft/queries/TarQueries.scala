@@ -273,5 +273,124 @@ object TarQueries {
           CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Avro record-shard round trip ([[graft.ops.Avro]], the Avro 1.11
+    // object-container format data platforms emit before columnar
+    // conversion): each shard group becomes one container of flat records
+    // (long id, string lang/text, double score, boolean keep) with the
+    // codec alternating deflate/null by group parity (the mixed-codec
+    // directory case), then is strictly re-read. The per-lang aggregate
+    // pins record completeness, payload bytes, an md5-derived checksum of
+    // every text body, and — through the container's little-endian IEEE
+    // encoding — an EXACT double sum (scores are multiples of 1/8 far
+    // below 2^53, so addition is associative and engine-exact) plus the
+    // boolean field's count. Same 100 TB shape as zip01/zst01: schema-
+    // bounded build groups, per-shard map, one small-keyed aggregate.
+    GraftQuery(
+      "avro01_record_shards",
+      (s, d) => {
+        import s.implicits._
+        val schema = graft.ops.Avro.Schema("doc", Vector(
+          "id" -> "long", "lang" -> "string", "text" -> "string",
+          "score" -> "double", "keep" -> "boolean"))
+        shardGroups(s, d).flatMap { case (_, g, recs) =>
+            val rows = recs.map { case (id, text, lang) =>
+              graft.ops.Avro.Record(Vector(
+                id, lang, text, (id % 1000L) * 0.125, id % 3 == 0))
+            }
+            val codec = if (g % 2 == 0) "deflate" else "null"
+            val shard = graft.ops.Avro.write(schema, rows, codec, blockSize = 4)
+            val (_, back) = graft.ops.Avro.read(shard)
+            back.iterator.map { r =>
+              (r.values(1).asInstanceOf[String],
+                r.values(2).asInstanceOf[String].length.toLong,
+                r.values(2).asInstanceOf[String],
+                r.values(3).asInstanceOf[Double],
+                r.values(4).asInstanceOf[Boolean])
+            }
+          }
+          .toDF("lang", "txt_len", "txt", "score", "keep")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"),
+            sum(col("score")).as("score_sum"),
+            count(when(col("keep"), lit(1))).as("n_keep"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check,
+          sum((doc_id % 1000) * CAST(0.125 AS DOUBLE)) AS score_sum,
+          count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_keep
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant Avro shard scan: a deterministic slice of containers
+    // is poisoned — magic flip (bad_magic before any allocation), tail
+    // truncation (the final sync marker ends early → truncated), sync-
+    // marker corruption (the block-boundary integrity check → bad_sync)
+    // — and each rotten container becomes ONE typed error row while
+    // healthy shards contribute exact counts and checksums. The
+    // tar02/warc03/zst02 contract on the Avro layer.
+    GraftQuery(
+      "avro02_poisoned_avro",
+      (s, d) => {
+        import s.implicits._
+        val schema = graft.ops.Avro.Schema("doc", Vector(
+          "id" -> "long", "text" -> "string"))
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val rows = recs.map { case (id, text, _) =>
+              graft.ops.Avro.Record(Vector(id, text))
+            }
+            val clean = graft.ops.Avro.write(schema, rows,
+              if (g % 2 == 0) "deflate" else "null", blockSize = 4)
+            val shard = (h60(s"$source:$g") % 7) match {
+              case 0 => val b = clean.clone(); b(0) = (b(0) ^ 0x5a).toByte; b
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 9)
+              case 2 =>
+                val b = clean.clone()
+                b(b.length - 1) = (b(b.length - 1) ^ 0x11).toByte
+                b
+              case _ => clean
+            }
+            graft.ops.Avro.readSafe(shard) match {
+              case Right((_, back)) =>
+                val bc = back.iterator
+                  .map(r => h60(r.values(1).asInstanceOf[String]) % M).sum
+                (source, "ok", back.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_magic", lit(1))).as("n_magic"),
+            count(when(col("outcome") === "truncated", lit(1))).as("n_trunc"),
+            count(when(col("outcome") === "bad_sync", lit(1))).as("n_sync"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 3 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_magic,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_trunc,
+          count(CASE WHEN p = 2 THEN 1 END) AS n_sync,
+          CAST(sum(CASE WHEN p >= 3 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 3 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
   )
 }
