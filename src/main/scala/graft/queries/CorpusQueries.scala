@@ -896,5 +896,96 @@ object CorpusQueries {
         FROM picks p LEFT JOIN na USING (pick)"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    // Models via Importance Resampling"): score every raw document by how
+    // much its hashed-bigram profile resembles a small trusted target set
+    // (here sources src0/src1), then select the target-like ones. Two
+    // passes, both scan-shaped: pass A explodes bigrams and builds the
+    // 512-bucket feature table (one map-side-combinable groupBy producing
+    // ≤512 rows — collected to the DRIVER, never a corpus shuffle); the
+    // per-bucket importance weight is a single rounded ppm division of
+    // two exact add-one counts, so it is engine-exact. Pass B compiles
+    // those 512 weights into an array LITERAL (the url05 plan-time-
+    // compile pattern) and scores each document in ONE whole-stage-
+    // codegen projection: aggregate(bigrams, Σ weight[h(b) mod 512]) —
+    // exact 64-bit sums — then one rounded division per doc for its mean
+    // weight in ppm. At 100 TB pass B is pure scan rate with zero
+    // shuffles; the output groupBy is (lang, source)-sized. A document is
+    // SELECTED when its mean bucket weight exceeds 1e6 (more target- than
+    // raw-mass). The id_sum checksum pins exactly WHICH documents pass.
+    GraftQuery(
+      "curate02_dsir",
+      (s, d) => {
+        val K = 512
+        val toks = TA.tokens(col("text"))
+        val bg = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val bucket = (b: org.apache.spark.sql.Column) => pmod(TA.hash60(b), lit(K.toLong))
+        val docs = Tables.documents(s, d)
+        // pass A: 512-bucket target/raw counts -> exact ppm weights
+        val isTgt = col("source").isin("src0", "src1")
+        val w = docs.select(explode(bg).as("b"), isTgt.as("tgt"))
+          .groupBy(bucket(col("b")).as("k"))
+          .agg(count(when(col("tgt"), lit(1))).as("t"),
+            count(when(!col("tgt"), lit(1))).as("r"))
+          .select(col("k"),
+            round(lit(1e6) * (col("t") + 1) / (col("r") + 1)).cast("long").as("lam"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val weights = (0 until K).map(k => w.getOrElse(k.toLong, 1000000L))
+        // pass B: one projection, zero shuffles before the tiny groupBy
+        val wlit = typedLit(weights)
+        val scored = docs.select(col("doc_id"), col("lang"), col("source"),
+            bg.as("bg"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(col("bg")).as("nb"),
+            aggregate(col("bg"), lit(0L), (acc, b) =>
+              acc + element_at(wlit, (bucket(b) + 1).cast("int"))).as("wsum"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            when(col("nb") > 0,
+              round(col("wsum").cast("double") / col("nb")).cast("long"))
+              .otherwise(0L).as("score_ppm"))
+        scored
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("score_ppm") > 1000000L, lit(1))).as("n_sel"),
+            sum(col("score_ppm")).as("score_sum"),
+            coalesce(sum(when(col("score_ppm") > 1000000L, col("doc_id"))),
+              lit(0L)).as("id_sum"))
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH tok AS (SELECT doc_id, lang, source, $toks AS t FROM documents),
+          bg AS (SELECT doc_id, lang, source,
+              CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE [] END AS bgs
+            FROM tok),
+          ex AS (SELECT doc_id, source, unnest(bgs) AS b FROM bg),
+          kb AS (SELECT ${TA.Sql.hash60("b")} % 512 AS k,
+              source IN ('src0', 'src1') AS tgt FROM ex),
+          w AS (SELECT k, CAST(round(1e6 * (count(CASE WHEN tgt THEN 1 END) + 1)
+                / (count(CASE WHEN NOT tgt THEN 1 END) + 1)) AS BIGINT) AS lam
+            FROM kb GROUP BY 1),
+          dx AS (SELECT doc_id, ${TA.Sql.hash60("b")} % 512 AS k FROM ex),
+          ds AS (SELECT dx.doc_id, count(*) AS nb,
+              CAST(sum(coalesce(lam, 1000000)) AS BIGINT) AS wsum
+            FROM dx LEFT JOIN w USING (k) GROUP BY 1),
+          sc AS (SELECT b.doc_id, b.lang, b.source,
+              CASE WHEN coalesce(nb, 0) > 0
+                THEN CAST(round(CAST(wsum AS DOUBLE) / nb) AS BIGINT)
+                ELSE 0 END AS score_ppm
+            FROM bg b LEFT JOIN ds ON b.doc_id = ds.doc_id)
+        SELECT lang, source, count(*) AS n_docs,
+          count(CASE WHEN score_ppm > 1000000 THEN 1 END) AS n_sel,
+          CAST(sum(score_ppm) AS BIGINT) AS score_sum,
+          coalesce(CAST(sum(CASE WHEN score_ppm > 1000000 THEN doc_id END)
+            AS BIGINT), 0) AS id_sum
+        FROM sc GROUP BY 1, 2"""
+      },
+    ),
   )
 }
