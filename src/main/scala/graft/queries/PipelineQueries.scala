@@ -1014,5 +1014,91 @@ object PipelineQueries {
             * 1000000.0e0 / sum(n)) AS BIGINT) AS cov1000_ppm
         FROM r"""),
     ),
+
+    // ------------------------------------------------------------------
+    // WordPiece tokenizer train + encode ([[graft.ops.WordPiece]]; the
+    // BERT tokenizer's greedy longest-match-first algorithm with `##`
+    // continuation marks, completing the tokenizer family next to BPE's
+    // vocab01/vocab02). Training: every marked substring occurrence
+    // (length ≤ 4) of every DISTINCT word, weighted by the word's corpus
+    // count, thresholded at total_tokens/500 occurrences. Encoding: the
+    // reference greedy — longest vocabulary piece at each position,
+    // whole-word [UNK] on any miss. Both run on the distinct-word table;
+    // the corpus contributes ONE map-side-combinable word count and one
+    // broadcast join back, so at 100 TB this is scan + word-table work.
+    // The oracle replays the greedy loop as a recursive CTE over a
+    // precomputed (word, pos) -> longest-match table; seg_check pins the
+    // piece count of every individual word, not just the totals.
+    GraftQuery(
+      "vocab04_wordpiece",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            explode(TA.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+        val wcDf = graft.core.Caches.persist(
+          toks.groupBy(col("w")).agg(count(lit(1)).as("n")))
+        val wcDs = wcDf.as[(String, Long)]
+        val totalTokens = wcDf.agg(sum(col("n"))).head.getLong(0)
+        val thresh = totalTokens / 500
+        val pieceSet = wcDs
+          .flatMap { case (w, n) =>
+            graft.ops.WordPiece.substrings(w).map(p => (p, n)) }
+          .toDF("piece", "pn")
+          .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
+          .filter(col("cnt") >= thresh)
+          .select(col("piece")).as[String].collect().toSet
+        val bc = s.sparkContext.broadcast(pieceSet)
+        val seg = wcDs.map { case (w, _) =>
+            val (np, unk) = graft.ops.WordPiece.encode(w, bc.value)
+            (w, np, unk) }
+          .toDF("w", "np", "unk")
+        toks.join(broadcast(seg), "w")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("np")).as("piece_sum"),
+            sum(col("unk")).as("unk_words"),
+            sum(col("np") * (TA.hash60(col("w")) % 1000L)).as("seg_check"))
+          .withColumn("vocab_size", lit(pieceSet.size.toLong))
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH toksr AS (SELECT lang, source, unnest($toks) AS w FROM documents),
+          toks AS (SELECT * FROM toksr WHERE w <> ''),
+          tot AS (SELECT count(*) AS n_tok FROM toks),
+          wc AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+          sube AS (SELECT w, n, i, L,
+              CASE WHEN i = 1 THEN substr(w, i, L)
+                ELSE '##' || substr(w, i, L) END AS piece
+            FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
+                 (SELECT unnest(range(1, 5)) AS L)
+            WHERE i + L - 1 <= length(w)),
+          pieces AS (SELECT piece FROM sube GROUP BY 1
+            HAVING sum(n) >= (SELECT n_tok // 500 FROM tot)),
+          bm AS (SELECT s.w, s.i AS pos, max(s.L) AS step
+            FROM sube s JOIN pieces p ON s.piece = p.piece GROUP BY 1, 2),
+          st AS (
+            WITH RECURSIVE r(w, pos, np, unk) AS (
+              SELECT w, 1, 0, 0 FROM wc
+              UNION ALL
+              SELECT r.w,
+                CASE WHEN bm.step IS NULL THEN length(r.w)+1
+                  ELSE r.pos + bm.step END,
+                CASE WHEN bm.step IS NULL THEN 1 ELSE r.np + 1 END,
+                CASE WHEN bm.step IS NULL THEN 1 ELSE r.unk END
+              FROM r LEFT JOIN bm ON r.w = bm.w AND r.pos = bm.pos
+              WHERE r.pos <= length(r.w) AND r.unk = 0)
+            SELECT w, np, unk FROM r WHERE pos > length(w) OR unk = 1),
+          seg AS (SELECT w, CASE WHEN unk = 1 THEN 1 ELSE np END AS np, unk
+            FROM st)
+        SELECT lang, source, count(*) AS n_words,
+          CAST(sum(np) AS BIGINT) AS piece_sum,
+          CAST(sum(unk) AS BIGINT) AS unk_words,
+          CAST(sum(np * (${TA.Sql.hash60("t.w")} % 1000)) AS BIGINT) AS seg_check,
+          (SELECT count(*) FROM pieces) AS vocab_size
+        FROM toks t JOIN seg USING (w) GROUP BY 1, 2"""
+      },
+    ),
   )
 }
