@@ -1021,5 +1021,64 @@ object QcQueries {
           CAST(sum(CAST(round(term*1000000.0) AS BIGINT)) AS BIGINT) AS chi2_micro
         FROM t GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Cohen's kappa inter-rater agreement (the annotation-QA number an
+    // RLHF labeling pipeline reports per language before trusting its
+    // raters): two deterministic binary raters over each document — A =
+    // curate01's word-count band, B = its minimum-stopword rule — and the
+    // chance-corrected agreement kappa = (po - pe) / (1 - pe), computed
+    // as ONE rounded ppm division of two exact 64-bit integers:
+    // kappa_ppm = round(1e6 * (agree*n - (a1*b1 + a0*b0))
+    //                        / (n*n    - (a1*b1 + a0*b0))),
+    // so no float ever accumulates (n ≤ tens of millions keeps n² well
+    // inside 64 bits at any test scale). One corpus projection + one
+    // lang-sized map-side-combinable groupBy: pure scan rate at 100 TB.
+    GraftQuery(
+      "qc16_cohens_kappa",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val a = size(toks).between(50, 100000).cast("long")
+        val b = (TA.stopwordCount(col("text")) >= 2).cast("long")
+        val base = Tables.documents(s, d)
+          .select(col("lang"), a.as("a"), b.as("b"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("a")).as("a_pos"),
+            sum(col("b")).as("b_pos"),
+            sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+        base.select(col("lang"), col("n_docs"), col("a_pos"), col("b_pos"),
+          col("n_agree"), {
+            val n = col("n_docs")
+            val chance = col("a_pos") * col("b_pos") +
+              (n - col("a_pos")) * (n - col("b_pos"))
+            val den = n * n - chance
+            when(den === 0L, lit(0L))
+              .otherwise(round(lit(1e6) * (col("n_agree") * n - chance) / den)
+                .cast("long"))
+              .as("kappa_ppm")
+          })
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH r AS (SELECT lang,
+            CAST(len($toks) BETWEEN 50 AND 100000 AS BIGINT) AS a,
+            CAST(${TA.Sql.stopwordCount("text")} >= 2 AS BIGINT) AS b
+          FROM documents),
+        g AS (SELECT lang, count(*) AS n_docs,
+            CAST(sum(a) AS BIGINT) AS a_pos, CAST(sum(b) AS BIGINT) AS b_pos,
+            CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          FROM r GROUP BY 1)
+        SELECT lang, n_docs, a_pos, b_pos, n_agree,
+          CASE WHEN n_docs * n_docs - (a_pos * b_pos
+              + (n_docs - a_pos) * (n_docs - b_pos)) = 0 THEN 0
+            ELSE CAST(round(1e6 * (n_agree * n_docs - (a_pos * b_pos
+                + (n_docs - a_pos) * (n_docs - b_pos)))
+              / (n_docs * n_docs - (a_pos * b_pos
+                + (n_docs - a_pos) * (n_docs - b_pos)))) AS BIGINT)
+          END AS kappa_ppm
+        FROM g"""
+      },
+    ),
   )
 }
