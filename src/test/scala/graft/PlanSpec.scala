@@ -579,4 +579,25 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("curate02: DSIR pass B is join-free with one small-keyed shuffle") {
+    // pass A (the 512-bucket weight build) runs eagerly when the query is
+    // constructed; the RETURNED plan is pass B — the compiled-weights
+    // projection plus the (lang, source) groupBy. At 100 TB that plan
+    // must stay scan-shaped: no join of any kind (the weights live in an
+    // array literal, not a table) and exactly one exchange, fed by a
+    // partial aggregate.
+    val p = planOf("curate02_dsir")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("vocab04: corpus side joins the word segmentation via broadcast") {
+    // the seg table is word-sized; the corpus side must never shuffle for
+    // the join — broadcast only, then one exchange for the final groupBy.
+    val p = planOf("vocab04_wordpiece")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }
