@@ -157,4 +157,41 @@ object CorpusStreams {
     recs.groupBy(col("outcome"), col("status"))
       .agg(count(lit(1)).as("n"), sum(col("body_bytes")).as("sum_bytes"))
   }
+
+  /** Streaming Avro shard ingest — record shards land continuously and
+    * each decodes on arrival through the fail-stop
+    * [[graft.ops.Avro.readSafe]] reader: healthy shards yield one row per
+    * record, a rotten shard yields ONE typed error row (`outcome` = the
+    * container family's refusal vocabulary) instead of a failed
+    * micro-batch. The keyed aggregate tracks per-(outcome, lang) record
+    * counts and text bytes — state bounded by refusal-kinds × languages
+    * at any corpus scale. Parsing is a stateless per-file flatMap
+    * (warcScan's scaling story on the Avro layer). Expects shards whose
+    * schema leads with (id long, lang string, text string); anything
+    * else refuses as `bad_schema` — a typed row, not a crash.
+    *
+    * Expects columns (file string, content binary).
+    */
+  def avroScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        graft.ops.Avro.readSafe(bytes) match {
+          case Right((schema, rs))
+              if schema.fields.take(3).map(_._2) ==
+                Vector("long", "string", "string") =>
+            rs.map { r =>
+              ("ok", r.values(1).asInstanceOf[String],
+                r.values(2).asInstanceOf[String].length.toLong)
+            }
+          case Right(_) => Seq(("bad_schema", "", 0L))
+          case Left(kind) => Seq((kind, "", 0L))
+        }
+      }.toDF("outcome", "lang", "text_bytes")
+    recs.groupBy(col("outcome"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("text_bytes")).as("sum_bytes"))
+  }
 }
