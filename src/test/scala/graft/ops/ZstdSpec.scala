@@ -71,6 +71,44 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decompressLz4(Zstd.compressLz4(Array.emptyByteArray)).isEmpty)
   }
 
+  test("lz4 frames interop with lz4-java's stream implementation, both ways") {
+    // the frame walk is hand-rolled (the stream classes cost ~4 ms per
+    // construction); this differential pins it to the reference library
+    for (p <- Seq(payload, Array.emptyByteArray,
+        Array.fill(200000)(7.toByte), // multi-block, highly compressible
+        (0 until 70000).map(i => (i * 31 + (i >> 3)).toByte).toArray)) { // incompressible-ish, > 1 block
+      // ours -> lz4-java
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(Zstd.compressLz4(p)))
+      val drained = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { drained.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      assert(java.util.Arrays.equals(drained.toByteArray, p))
+      // lz4-java -> ours
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new net.jpountz.lz4.LZ4FrameOutputStream(out)
+      z.write(p); z.close()
+      assert(java.util.Arrays.equals(Zstd.decompressLz4(out.toByteArray), p))
+    }
+  }
+
+  test("lz4 reader verifies header, block, and content checksums") {
+    val clean = Zstd.compressLz4(payload)
+    // header checksum byte: offset 4 (magic) + FLG + BD + 8-byte size = index 14
+    val hb = clean.clone(); hb(14) = (hb(14) ^ 0x01).toByte
+    assert(Zstd.decompressAnySafe(hb) == Left("bad_frame"))
+    // content checksum: last 4 bytes
+    val cb = clean.clone(); cb(cb.length - 2) = (cb(cb.length - 2) ^ 0x40).toByte
+    assert(Zstd.decompressAnySafe(cb) == Left("bad_frame"))
+    // a declared-size bomb refuses BEFORE decoding any block
+    val zeros = Zstd.compressLz4(new Array[Byte](4 * 1024 * 1024))
+    withBudget(1024 * 1024) {
+      assert(Zstd.decompressAnySafe(zeros) == Left("too_large"))
+    }
+  }
+
   private def check(p: Prop, n: Int = 200): Unit = {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
     assert(res.passed, res.status.toString)
