@@ -919,13 +919,17 @@ object CorpusQueries {
       "curate02_dsir",
       (s, d) => {
         val K = 512
-        val toks = TA.tokens(col("text"))
-        val bg = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-          .otherwise(array().cast("array<string>"))
+        // tokens materialize as their own projection column FIRST: lambda
+        // bodies get no common-subexpression elimination, so building
+        // bigrams straight off split(text) re-splits the document per
+        // element — O(len²) per doc (measured 7.7 s -> 0.6 s at sf0.1)
+        val bg = expr("CASE WHEN size(t) >= 2 THEN zip_with(" +
+          "slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), " +
+          "(a, b) -> concat(a, ' ', b)) ELSE cast(array() AS array<string>) END")
         val bucket = (b: org.apache.spark.sql.Column) => pmod(TA.hash60(b), lit(K.toLong))
         val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            TA.tokens(col("text")).as("t"))
         // pass A: 512-bucket target/raw counts -> exact ppm weights
         val isTgt = col("source").isin("src0", "src1")
         val w = docs.select(explode(bg).as("b"), isTgt.as("tgt"))
