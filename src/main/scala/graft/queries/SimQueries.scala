@@ -478,5 +478,65 @@ object SimQueries {
             s.n_id ASC) AS rnk
         FROM short s JOIN e ON e.id = s.n_id) WHERE rnk <= 3"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Hard-negative mining for retrieval/embedding training (the batch
+    // that matters for contrastive fine-tuning): for each query vector,
+    // the top-5 most-similar DIFFERENT-label vectors (the hard negatives)
+    // plus the best same-label similarity (pos_cos), and an in_margin
+    // flag marking negatives inside the 0.1 contrastive margin — exactly
+    // the rows a triplet/InfoNCE sampler would emit. Query side (20 rows)
+    // broadcasts; the corpus is scanned once per leg with map-side
+    // partial max for the positive leg; per-query top-5 runs on the
+    // 20×N joined slice, never the corpus alone. Same bit-identical
+    // sequential-fold cosine as sim01.
+    GraftQuery(
+      "sim10_hard_negatives",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"),
+            col("label"))
+        val q = e.filter(col("id") < 20).select(col("id").as("q_id"),
+          col("vec").as("q_vec"), Similarity.norm(col("vec")).as("q_n"),
+          col("label").as("q_label"))
+        val c = e.select(col("id").as("n_id"), col("vec").as("n_vec"),
+          Similarity.norm(col("vec")).as("n_n"), col("label").as("n_label"))
+        val scored = broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+            (Similarity.dot(col("q_vec"), col("n_vec")) /
+              (col("q_n") * col("n_n"))).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        val neg = scored.filter(col("n_label") =!= col("q_label"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+        val pos = scored.filter(col("n_label") === col("q_label"))
+          .groupBy(col("q_id")).agg(max(col("cos")).as("pos_cos"))
+        neg.join(pos, "q_id")
+          .select(col("q_id"), col("n_id"), col("cos"), col("rnk"),
+            col("pos_cos"),
+            (col("cos") > col("pos_cos") - lit(0.1)).cast("int").as("in_margin"))
+      },
+      Some {
+        val cos = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+          neg AS (SELECT q_id, n_id, cos, rnk FROM (
+              SELECT a.id AS q_id, b.id AS n_id, $cos AS cos,
+                row_number() OVER (PARTITION BY a.id
+                  ORDER BY $cos DESC, b.id ASC) AS rnk
+              FROM e a JOIN e b ON a.id < 20 AND b.id <> a.id
+                AND b.label <> a.label)
+            WHERE rnk <= 5),
+          pos AS (SELECT a.id AS q_id, max($cos) AS pos_cos
+            FROM e a JOIN e b ON a.id < 20 AND b.id <> a.id
+              AND b.label = a.label
+            GROUP BY 1)
+        SELECT n.q_id, n.n_id, n.cos, n.rnk, p.pos_cos,
+          CAST(n.cos > p.pos_cos - CAST(0.1 AS DOUBLE) AS INT) AS in_margin
+        FROM neg n JOIN pos p USING (q_id)"""
+      },
+    ),
   )
 }
