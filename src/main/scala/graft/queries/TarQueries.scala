@@ -392,5 +392,112 @@ object TarQueries {
           CAST(sum(CASE WHEN p >= 3 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // TFRecord shard round trip ([[graft.ops.TfRecord]], the TensorFlow
+    // training-data container: length-framed records with masked-CRC32C
+    // integrity on BOTH the length and the payload): each shard group
+    // becomes one shard of JSON-document records, strictly re-read
+    // (every checksum verified). One wrong bit anywhere breaks either a
+    // CRC or the per-lang text checksums. Completes the training-shard
+    // container set (tar/WebDataset, ZIP, Avro, zstd-JSONL, TFRecord)
+    // with the family's 100 TB shape: schema-bounded build groups,
+    // per-shard map, one small-keyed aggregate.
+    GraftQuery(
+      "tfr01_tfrecord_shards",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val payloads = recs.map { case (id, text, lang) =>
+              ascii(s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}""")
+            }
+            val back = graft.ops.TfRecord.read(graft.ops.TfRecord.write(payloads))
+            back.iterator.map { p =>
+              val obj = graft.etl.Json.parse(new String(p,
+                java.nio.charset.StandardCharsets.US_ASCII))
+                .asInstanceOf[graft.etl.JObj].fields.toMap
+              val txt = obj("text").asInstanceOf[graft.etl.JStr].s
+              (obj("lang").asInstanceOf[graft.etl.JStr].s, txt.length.toLong, txt)
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant TFRecord scan: a deterministic slice of shards is
+    // poisoned — length-CRC flip (the header integrity check), payload
+    // corruption (the data CRC catches it), tail truncation — and each
+    // rotten shard becomes ONE typed error row; healthy shards still
+    // contribute exact counts and checksums. The zst02/avro02 contract
+    // on the TFRecord layer.
+    GraftQuery(
+      "tfr02_poisoned_tfrecord",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val payloads = recs.map { case (id, text, _) =>
+              ascii(s"""{"id":$id,"text":${graft.etl.Json.quote(text)}}""")
+            }
+            val clean = graft.ops.TfRecord.write(payloads)
+            val shard = (h60(s"$source:$g") % 7) match {
+              case 0 => val b = clean.clone(); b(9) = (b(9) ^ 0x01).toByte; b
+              case 1 => // corrupt a byte INSIDE the first payload (offset
+                // 12+2 — always within the >=12-char JSON doc), so the
+                // refusal is deterministically the data CRC, never the
+                // length header's
+                val b = clean.clone(); b(14) = (b(14) ^ 0x5a).toByte; b
+              case 2 => java.util.Arrays.copyOf(clean, clean.length - 3)
+              case _ => clean
+            }
+            graft.ops.TfRecord.readSafe(shard) match {
+              case Right(back) =>
+                val bc = back.iterator.map { p =>
+                  val obj = graft.etl.Json.parse(new String(p,
+                    java.nio.charset.StandardCharsets.US_ASCII))
+                    .asInstanceOf[graft.etl.JObj].fields.toMap
+                  h60(obj("text").asInstanceOf[graft.etl.JStr].s) % M
+                }.sum
+                (source, "ok", back.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_length_crc", lit(1))).as("n_lencrc"),
+            count(when(col("outcome") === "bad_data_crc", lit(1))).as("n_datacrc"),
+            count(when(col("outcome") === "truncated", lit(1))).as("n_trunc"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 3 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_lencrc,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_datacrc,
+          count(CASE WHEN p = 2 THEN 1 END) AS n_trunc,
+          CAST(sum(CASE WHEN p >= 3 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 3 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
   )
 }
