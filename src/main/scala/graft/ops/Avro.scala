@@ -36,12 +36,18 @@ object Avro {
 
   private val Magic = Array[Byte]('O', 'b', 'j', 1)
 
-  /** One writer schema: ordered (fieldName, primitiveType) pairs. */
+  /** One writer schema: ordered (fieldName, type) pairs. A type is a
+    * primitive name, or a primitive suffixed `?` for the nullable union
+    * `["null", T]` (the ubiquitous real-world Avro optional-field form).
+    */
   final case class Schema(name: String, fields: Vector[(String, String)]) {
     require(fields.nonEmpty, "empty record schema")
     def json: String = {
       val fs = fields.map { case (n, t) =>
-        s"""{"name":${Json.quote(n)},"type":${Json.quote(t)}}"""
+        val tj =
+          if (t.endsWith("?")) s"""["null",${Json.quote(t.dropRight(1))}]"""
+          else Json.quote(t)
+        s"""{"name":${Json.quote(n)},"type":$tj}"""
       }.mkString(",")
       s"""{"type":"record","name":${Json.quote(name)},"fields":[$fs]}"""
     }
@@ -49,6 +55,9 @@ object Avro {
 
   private val PrimTypes =
     Set("long", "int", "string", "bytes", "boolean", "double", "float")
+
+  private def typeOk(t: String): Boolean =
+    PrimTypes(t) || (t.endsWith("?") && PrimTypes(t.dropRight(1)))
 
   /** Records are positional: `values(i)` matches `schema.fields(i)`.
     * Value runtime classes: Long, Int, String, Array[Byte], Boolean,
@@ -78,6 +87,10 @@ object Avro {
 
   private def writeValue(out: ByteArrayOutputStream, t: String, v: Any): Unit =
     (t, v) match {
+      case (opt, _) if opt.endsWith("?") =>
+        // nullable union ["null", T]: branch index (zigzag long), value
+        if (v == null) writeVarLong(out, 0L)
+        else { writeVarLong(out, 1L); writeValue(out, opt.dropRight(1), v) }
       case ("long", x: Long)       => writeVarLong(out, x)
       case ("long", x: Int)        => writeVarLong(out, x.toLong)
       case ("int", x: Int)         => writeVarLong(out, x.toLong)
@@ -132,6 +145,12 @@ object Avro {
   }
 
   private def readValue(c: Cursor, t: String): Any = t match {
+    case opt if opt.endsWith("?") =>
+      c.readVarLong("union index") match {
+        case 0L => null
+        case 1L => readValue(c, opt.dropRight(1))
+        case i => throw new Warc.WarcError("bad_record", s"union branch $i of 2")
+      }
     case "long"    => c.readVarLong("long")
     case "int"     =>
       val v = c.readVarLong("int")
@@ -177,7 +196,7 @@ object Avro {
   def write(schema: Schema, records: Seq[Record], codec: String = "deflate",
             blockSize: Int = 1000): Array[Byte] = {
     require(codec == "null" || codec == "deflate", s"unsupported codec $codec")
-    require(schema.fields.forall(f => PrimTypes(f._2)),
+    require(schema.fields.forall(f => typeOk(f._2)),
       s"unsupported field type in ${schema.fields}")
     val out = new ByteArrayOutputStream(4096)
     out.write(Magic, 0, Magic.length)
@@ -287,8 +306,15 @@ object Avro {
             val fm = f.fields.toMap
             (fm.get("name"), fm.get("type")) match {
               case (Some(JStr(n)), Some(JStr(t))) if PrimTypes(t) => (n, t)
+              // the nullable union ["null", T] — any other union shape
+              // (reordered, >2 branches, nested) refuses
+              case (Some(JStr(n)), Some(JArr(Vector(JStr("null"), JStr(t)))))
+                  if PrimTypes(t) => (n, t + "?")
               case (_, Some(JStr(t))) =>
                 throw new Warc.WarcError("bad_meta", s"unsupported field type $t")
+              case (_, Some(a: JArr)) =>
+                throw new Warc.WarcError("bad_meta",
+                  s"unsupported union shape ${Json.render(a)}")
               case _ =>
                 throw new Warc.WarcError("bad_meta", "malformed schema field")
             }

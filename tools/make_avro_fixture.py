@@ -37,6 +37,10 @@ def avro_bytes(b: bytes) -> bytes:
 
 
 def encode_value(t, v):
+    if isinstance(t, list):  # ["null", T] nullable union
+        if v is None:
+            return zigzag(0)
+        return zigzag(1) + encode_value(t[1], v)
     if t in ("long", "int"):
         return zigzag(v)
     if t == "string":
@@ -118,11 +122,26 @@ def main():
              "fields": [{"name": "v", "type": "long"}]},
             [(x,) for x in (0, -1, 1, 63, -64, 64, 2 ** 40, -(2 ** 40))],
             "null", block=1),
+        # nullable-union fields (the ubiquitous optional-column form)
+        "avro_optional.avro": container(
+            {"type": "record", "name": "o",
+             "fields": [{"name": "id", "type": "long"},
+                        {"name": "note", "type": ["null", "string"]},
+                        {"name": "w", "type": ["null", "double"]}]},
+            [(i,
+              None if i % 3 == 0 else f"note-{i}",
+              None if i % 2 == 0 else i * 0.25)
+             for i in range(9)],
+            "deflate", block=4),
     }
     expected = {
         "rows": [[r[0], r[1], r[2], r[3], r[4], r[5].hex(), r[6]]
                  for r in rows],
         "minimal": [0, -1, 1, 63, -64, 64, 2 ** 40, -(2 ** 40)],
+        "optional": [[i,
+                      None if i % 3 == 0 else f"note-{i}",
+                      None if i % 2 == 0 else i * 0.25]
+                     for i in range(9)],
     }
     os.makedirs(OUT, exist_ok=True)
     for name, data in cases.items():
