@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, Tables}
-import graft.ops.{Clustering, Similarity, Sketches, TextAnalysis => TA}
+import graft.ops.{Clustering, Dedup, Similarity, Sketches, TextAnalysis => TA}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -989,6 +989,121 @@ object CorpusQueries {
           coalesce(CAST(sum(CASE WHEN score_ppm > 1000000 THEN doc_id END)
             AS BIGINT), 0) AS id_sum
         FROM sc GROUP BY 1, 2"""
+      },
+    ),
+
+    // ------------------------------------------------------------------
+    // FUZZY decontamination (decon01's near-duplicate upgrade: real eval
+    // leakage is rarely verbatim — paraphrases and partial copies slip
+    // past exact-shingle matching, which is why production decontam runs
+    // MinHash). The eval set is built IN the query as perturbed copies of
+    // every 97th document (each 13th token dropped — a partial-copy leak
+    // at token-Jaccard ≈ 0.6), so the oracle pins that the pipeline
+    // catches planted leaks: 16-seed MinHash over token-4-gram shingle
+    // sets, 8×2 LSH banding (2-row bands catch j≈0.6 pairs that 8-row
+    // bands structurally miss), then an EXACT-Jaccard verify at 1/2 via
+    // the integer cross-multiplication 3·|∩| ≥ |A|+|B|. One deterministic
+    // banding miss (fr's planted leak at sf0.01) survives as honest LSH
+    // behavior — both engines reproduce it from the same fixed seeds.
+    // Scale shape: the eval side (1/97 of the corpus) broadcasts — band
+    // keys AND shingle sets — so the train corpus is only ever scanned;
+    // candidates travel ids-only (the sim04 rule: no array payload in any
+    // exchange); one small shuffle total (the candidate distinct).
+    GraftQuery(
+      "decon04_fuzzy_decontam",
+      (s, d) => {
+        val P = Dedup.MinhashP
+        val Seeds = 16
+        val BandsN = 8
+        val Rows = 2
+        val toks = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("t"))
+        val evalSide = toks.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("lang"), lit(true).as("is_eval"),
+            filter(col("t"), (_, i) => (i + 1) % 13 =!= 0).as("t"))
+        val sides = toks
+          .select(col("doc_id"), col("lang"), lit(false).as("is_eval"), col("t"))
+          .union(evalSide)
+        val shingles = when(size(col("t")) >= 4,
+          array_distinct(transform(sequence(lit(1), size(col("t")) - 3),
+            i => TA.hash60(array_join(slice(col("t"), i, lit(4)), " ")) % P)))
+        val docs = sides.filter(size(col("t")) >= 4)
+          .select(col("doc_id"), col("lang"), col("is_eval"),
+            shingles.as("sh"))
+          .transform(graft.core.Caches.persist)
+        val sigs = docs.select(col("doc_id"), col("is_eval"),
+          Dedup.minhash(col("sh"), Seeds).as("sig"))
+        val keys = sigs.select(col("doc_id"), col("is_eval"),
+          explode(array((0 until BandsN).map { bd =>
+            struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, Rows).as("key"))
+          }: _*)).as("b"))
+          .select(col("doc_id"), col("is_eval"),
+            col("b.band").as("band"), col("b.key").as("key"))
+        val evalKeys = keys.filter(col("is_eval"))
+          .select(col("doc_id").as("eval_id"), col("band"), col("key"))
+        val cand = keys.filter(!col("is_eval"))
+          .join(broadcast(evalKeys), Seq("band", "key"))
+          .select(col("doc_id"), col("eval_id")).distinct()
+          .transform(graft.core.Caches.persist)
+        val evalShs = docs.filter(col("is_eval"))
+          .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
+        val contam = docs.filter(!col("is_eval"))
+          .join(broadcast(cand), "doc_id")
+          .join(broadcast(evalShs), "eval_id")
+          .filter(lit(3) * size(array_intersect(col("sh"), col("sh_e"))) >=
+            size(col("sh")) + size(col("sh_e")))
+          .select(col("doc_id")).distinct().withColumn("bad", lit(1))
+        val candIds = cand.select(col("doc_id")).distinct()
+          .withColumn("hit", lit(1))
+        docs.filter(!col("is_eval"))
+          .join(candIds, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_train"),
+            count(col("hit")).as("n_cand"),
+            count(col("bad")).as("n_contam"),
+            coalesce(sum(when(col("bad").isNotNull, col("doc_id"))), lit(0L))
+              .as("id_sum"))
+      },
+      Some {
+        val P = Dedup.MinhashP
+        val sigExprs = (0 until 16).map { i =>
+          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $P)) AS m$i"
+        }.mkString(", ")
+        val bandKeys = (0 until 8).map { bd =>
+          s"concat_ws(',', CAST(m${2 * bd} AS VARCHAR), CAST(m${2 * bd + 1} AS VARCHAR)) AS band$bd"
+        }.mkString(", ")
+        val h60 = TA.Sql.hash60("array_to_string(t[i:i+3], ' ')")
+        val candU = (0 until 8).map { bd =>
+          s"""SELECT t.doc_id, e.doc_id AS eval_id FROM keys t JOIN keys e
+             ON NOT t.is_eval AND e.is_eval AND t.band$bd = e.band$bd"""
+        }.mkString(" UNION ")
+        s"""WITH tok AS (SELECT doc_id, lang,
+              ${TA.Sql.tokens("text")} AS t FROM documents),
+          sides AS (
+            SELECT doc_id, lang, FALSE AS is_eval, t FROM tok
+            UNION ALL
+            SELECT doc_id, lang, TRUE, list_filter(t, (x, i) -> i % 13 <> 0)
+            FROM tok WHERE doc_id % 97 = 0),
+          shs AS (SELECT doc_id, lang, is_eval,
+              list_distinct(list_transform(range(1, len(t) - 2),
+                i -> $h60 % $P)) AS s
+            FROM sides WHERE len(t) >= 4),
+          sigs AS (SELECT doc_id, is_eval, $sigExprs FROM shs),
+          keys AS (SELECT doc_id, is_eval, $bandKeys FROM sigs),
+          cand AS ($candU),
+          ver AS (SELECT DISTINCT c.doc_id FROM cand c
+            JOIN shs a ON a.doc_id = c.doc_id AND NOT a.is_eval
+            JOIN shs b ON b.doc_id = c.eval_id AND b.is_eval
+            WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)),
+          ci AS (SELECT DISTINCT doc_id FROM cand)
+        SELECT lang, count(*) AS n_train,
+          count(CASE WHEN doc_id IN (SELECT doc_id FROM ci) THEN 1 END) AS n_cand,
+          count(CASE WHEN doc_id IN (SELECT doc_id FROM ver) THEN 1 END) AS n_contam,
+          coalesce(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ver)
+            THEN doc_id END) AS BIGINT), 0) AS id_sum
+        FROM shs WHERE NOT is_eval GROUP BY 1"""
       },
     ),
   )
