@@ -288,6 +288,89 @@ object Avro {
       case _: Exception => Left("bad_record")
     }
 
+  /** Reader-schema field spec: name, type, and (for fields absent from a
+    * writer's schema) the default value — `None` means the field is
+    * REQUIRED and resolution against a writer lacking it refuses.
+    */
+  final case class ReaderField(name: String, tpe: String, default: Option[Any])
+
+  /** Schema resolution (the Avro spec's "Schema Resolution" section): read
+    * a container through a READER schema that may differ from the shard's
+    * writer schema — the contract long-lived corpora depend on, because a
+    * reader written today must consume shards written under last year's
+    * schema. Implemented rules:
+    *
+    *  - fields match by NAME, not position (writers may reorder);
+    *  - writer fields absent from the reader are decoded and DISCARDED
+    *    (they must still be consumed — the block grammar demands it);
+    *  - reader fields absent from the writer take their default, and a
+    *    reader field with no default refuses `bad_schema`;
+    *  - promotions: int→long, int→double, long→double, float→double,
+    *    string→bytes, bytes→string, and T→T? (required to nullable);
+    *    anything else refuses `bad_schema`.
+    *
+    * Returns records in READER field order.
+    */
+  def readResolved(bytes: Array[Byte], reader: Seq[ReaderField]): Vector[Record] = {
+    val (writer, recs) = read(bytes)
+    val writerIdx = writer.fields.zipWithIndex.map { case ((n, t), i) => n -> (t, i) }.toMap
+    val plan: Seq[Either[Any, (Int, String, String)]] = reader.map { rf =>
+      writerIdx.get(rf.name) match {
+        case Some((wt, wi)) =>
+          if (!promotes(wt, rf.tpe))
+            throw new Warc.WarcError("bad_schema",
+              s"field ${rf.name}: writer $wt does not resolve to reader ${rf.tpe}")
+          Right((wi, wt, rf.tpe))
+        case None => rf.default match {
+          case Some(d) => Left(d)
+          case None => throw new Warc.WarcError("bad_schema",
+            s"required reader field ${rf.name} missing from writer schema")
+        }
+      }
+    }
+    recs.map { r =>
+      Record(plan.toVector.map {
+        case Left(default) => default
+        case Right((wi, wt, rt)) => promote(r.values(wi), wt, rt)
+      })
+    }
+  }
+
+  /** readResolved with the typed-refusal contract. */
+  def readResolvedSafe(bytes: Array[Byte],
+      reader: Seq[ReaderField]): Either[String, Vector[Record]] =
+    try Right(readResolved(bytes, reader))
+    catch {
+      case e: Warc.WarcError => Left(e.kind)
+      case _: Exception => Left("bad_record")
+    }
+
+  private def promotes(writer: String, reader: String): Boolean = {
+    if (writer == reader) return true
+    if (reader.endsWith("?")) return promotes(writer.stripSuffix("?"), reader.dropRight(1))
+    (writer, reader) match {
+      case ("int", "long") | ("int", "double") | ("long", "double") |
+           ("float", "double") | ("string", "bytes") | ("bytes", "string") => true
+      case _ => false
+    }
+  }
+
+  private def promote(v: Any, writer: String, reader: String): Any = {
+    if (v == null) return null
+    val w = writer.stripSuffix("?")
+    val r = reader.stripSuffix("?")
+    if (w == r) v
+    else (w, r) match {
+      case ("int", "long") => v.asInstanceOf[Int].toLong
+      case ("int", "double") => v.asInstanceOf[Int].toDouble
+      case ("long", "double") => v.asInstanceOf[Long].toDouble
+      case ("float", "double") => v.asInstanceOf[Float].toDouble
+      case ("string", "bytes") => v.asInstanceOf[String].getBytes(UTF_8)
+      case ("bytes", "string") => new String(v.asInstanceOf[Array[Byte]], UTF_8)
+      case other => throw new IllegalStateException(s"unreachable promotion $other")
+    }
+  }
+
   private def parseSchema(json: String): Schema = {
     val obj = Json.parseOpt(json) match {
       case Some(o: JObj) => o.fields.toMap

@@ -128,6 +128,45 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
+  test("schema resolution: reorder, defaults, promotions, refusals") {
+    val writer = Avro.Schema("d", Vector("id" -> "int", "body" -> "string",
+      "w" -> "float", "old" -> "long"))
+    val shard = Avro.write(writer, (0 until 6).map(i =>
+      Avro.Record(Vector(i, s"text-$i", i / 2f, i.toLong * 100))), "deflate")
+
+    // reader: reordered, promoted (int->long, float->double,
+    // string->bytes), drops `old`, adds defaulted `lang` and nullable `tag`
+    val reader = Seq(
+      Avro.ReaderField("body", "bytes", None),
+      Avro.ReaderField("id", "long", None),
+      Avro.ReaderField("w", "double", None),
+      Avro.ReaderField("lang", "string", Some("en")),
+      Avro.ReaderField("tag", "string?", Some(null)))
+    val recs = Avro.readResolved(shard, reader)
+    assert(recs.length == 6)
+    val r3 = recs(3)
+    assert(new String(r3.values(0).asInstanceOf[Array[Byte]], UTF_8) == "text-3")
+    assert(r3.values(1) == 3L)                  // int -> long
+    assert(r3.values(2) == (3 / 2f).toDouble)   // float -> double, exact
+    assert(r3.values(3) == "en")                // defaulted
+    assert(r3.values(4) == null)                // nullable default
+
+    // required-to-nullable promotion (T -> T?) resolves
+    val opt = Avro.readResolved(shard,
+      Seq(Avro.ReaderField("body", "string?", None)))
+    assert(opt.head.values.head == "text-0")
+
+    // a required reader field the writer lacks refuses bad_schema
+    assert(Avro.readResolvedSafe(shard,
+      Seq(Avro.ReaderField("missing", "long", None))) == Left("bad_schema"))
+    // an illegal promotion (long -> int) refuses bad_schema
+    assert(Avro.readResolvedSafe(shard,
+      Seq(Avro.ReaderField("old", "int", None))) == Left("bad_schema"))
+    // rot still surfaces its own typed kind through the resolved path
+    val bad = shard.clone(); bad(0) = 'X'.toByte
+    assert(Avro.readResolvedSafe(bad, reader) == Left("bad_magic"))
+  }
+
   /** hand-built empty container around an arbitrary schema string. */
   private def rawContainer(schemaJson: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
