@@ -1106,5 +1106,113 @@ object CorpusQueries {
         FROM shs WHERE NOT is_eval GROUP BY 1"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // The corpus -> training-shards pipeline in ONE composed plan (the
+    // back half of the story pipe02's crawl->corpus front half starts):
+    // quality gate (token band + stopword floor) -> eval decontamination
+    // (any shared 4-token shingle with the eval slice drops the doc; the
+    // eval slice itself never trains) -> exact dedup (min doc_id per
+    // normalized fingerprint) -> hash-assignment to 16 pack shards with a
+    // 512-token sequence budget -> REAL TFRecord container round trip per
+    // bounded file group (shard -> many files, the shape a 100 TB export
+    // actually writes; group size is schema-bounded so no collect ever
+    // holds more than 128 documents). The per-shard audit pins surviving
+    // docs/tokens/sequences, file counts, EXACT container bytes (16 bytes
+    // of framing per record + payload), and an md5-derived checksum of
+    // every payload AFTER the round trip — DuckDB reproduces all of it,
+    // so a wrong byte anywhere in the 5-stage chain is a hash mismatch.
+    GraftQuery(
+      "pipe03_training_shard_prep",
+      (s, d) => {
+        import s.implicits._
+        val M = 1000000007L
+        def h60s(x: String): Long =
+          graft.ops.Hash60Kernel.fold(graft.ops.Hash60Kernel.digest().digest(
+            x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            TA.tokenCount(col("text")).cast("long").as("n_tok"),
+            (col("doc_id") % 97 === 0).as("is_eval"))
+          .transform(graft.core.Caches.persist)
+        val kept = base.filter(col("n_tok").between(30, 100000) &&
+          TA.stopwordCount(col("text")) >= 2)
+        val evalSh = base.filter(col("is_eval"))
+          .select(explode(tokenShingleHashes(col("text"), 4)).as("sh")).distinct()
+        val contam = kept.filter(!col("is_eval"))
+          .select(col("doc_id"), explode(tokenShingleHashes(col("text"), 4)).as("sh"))
+          .join(broadcast(evalSh), Seq("sh"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val clean = kept.filter(!col("is_eval"))
+          .join(contam, Seq("doc_id"), "left_anti")
+        val deduped = clean
+          .withColumn("fp", TA.fingerprint(col("text")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+        val packed = deduped.select(col("doc_id"), col("text"), col("n_tok"),
+          (TA.hash60(concat(lit("pack:"), col("doc_id").cast("string"))) % 16)
+            .as("shard"))
+        packed
+          .groupBy(col("shard"), expr("doc_id DIV 128").as("g"))
+          .agg(sort_array(collect_list(struct(
+              col("doc_id").as("_1"), col("text").as("_2")))).as("recs"),
+            sum(col("n_tok")).as("toks"))
+          .as[(Long, Long, Seq[(Long, String)], Long)]
+          .map { case (shard, _, recs, toks) =>
+            val payloads = recs.map(r =>
+              r._2.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            val file = graft.ops.TfRecord.write(payloads)
+            val back = graft.ops.TfRecord.read(file)
+            val check = back.iterator.map(p => h60s(new String(p,
+              java.nio.charset.StandardCharsets.US_ASCII)) % M).sum
+            (shard, recs.size.toLong, toks, file.length.toLong, check)
+          }
+          .toDF("shard", "n_docs", "tok_sum", "bytes", "check")
+          .groupBy(col("shard"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("tok_sum")).as("tok_sum"),
+            ceil(sum(col("tok_sum")) / lit(512.0)).cast("long").as("n_seqs"),
+            count(lit(1)).as("n_files"),
+            sum(col("bytes")).as("shard_bytes"),
+            sum(col("check")).as("txt_check"))
+      },
+      Some {
+        val base = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
+          s"${TA.Sql.tokens("text")} AS toks FROM documents"
+        val keptBase = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
+          s"${TA.Sql.tokens("text")} AS toks FROM kept"
+        s"""WITH b AS (SELECT doc_id, lang, text,
+              ${TA.Sql.tokenCount("text")} AS n_tok,
+              doc_id % 97 = 0 AS is_eval,
+              ${TA.Sql.stopwordCount("text")} AS n_stop
+            FROM documents),
+          kept AS (SELECT * FROM b
+            WHERE n_tok BETWEEN 30 AND 100000 AND n_stop >= 2),
+          evsh AS (SELECT DISTINCT sh FROM (${sqlTokenShingleHashes(base, 4)})
+            WHERE is_eval),
+          ksh AS (${sqlTokenShingleHashes(keptBase, 4)}),
+          contam AS (SELECT DISTINCT k.doc_id FROM ksh k JOIN evsh USING (sh)
+            WHERE NOT k.is_eval),
+          clean AS (SELECT * FROM kept WHERE NOT is_eval
+            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+          dedup AS (SELECT * FROM (SELECT doc_id, text, n_tok,
+              row_number() OVER (PARTITION BY ${TA.Sql.fingerprint("text")}
+                ORDER BY doc_id) AS rn
+            FROM clean) WHERE rn = 1),
+          packed AS (SELECT doc_id, text, n_tok,
+              ${TA.Sql.hash60("concat('pack:', CAST(doc_id AS VARCHAR))")} % 16
+                AS shard
+            FROM dedup)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+          CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_seqs,
+          count(DISTINCT doc_id // 128) AS n_files,
+          CAST(16 * count(*) + sum(length(text)) AS BIGINT) AS shard_bytes,
+          CAST(sum((CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT))
+            % 1000000007) AS BIGINT) AS txt_check
+        FROM packed GROUP BY 1"""
+      },
+    ),
   )
 }
