@@ -593,6 +593,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("decon04: candidate exchanges carry ids only (sim04 rule), eval side broadcasts") {
+    val df = SparkEntry.queries("decon04_fuzzy_decontam")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    // every shuffle in the plan must be free of array payloads — the
+    // shingle sets and signatures ride only projections and broadcasts
+    val offending = plan.collect {
+      case ex: ShuffleExchangeExec
+          if ex.output.exists(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType]) => ex
+    }
+    assert(offending.isEmpty, offending.mkString("\n"))
+    assert(plan.toString.contains("BroadcastHashJoin") ||
+      plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
+  }
+
+  test("pipe03: decontam probes via broadcast semi-join; dedup window is keyed") {
+    val p = planOf("pipe03_training_shard_prep")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p) // the contaminated-doc exclusion
+    assert(!p.contains("SortMergeJoin"), p) // nothing shuffles corpus-vs-corpus
+  }
+
   test("vocab04: corpus side joins the word segmentation via broadcast") {
     // the seg table is word-sized; the corpus side must never shuffle for
     // the join — broadcast only, then one exchange for the final groupBy.
