@@ -1100,5 +1100,102 @@ object PipelineQueries {
         FROM toks t JOIN seg USING (w) GROUP BY 1, 2"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility audit — the comparison table a tokenizer
+    // SELECTION actually reads: both trained tokenizers (vocab01's BPE
+    // after its 3 merges; vocab04's WordPiece inventory + greedy encode)
+    // run over the same corpus, reported per language as pieces-per-word
+    // and chars-per-piece in exact rounded ppm. Both per-word tables are
+    // vocabulary-sized and BROADCAST; the corpus contributes one token
+    // explode and one lang-sized groupBy, so the audit is scan-rate at
+    // any corpus size. The oracle replays BOTH training chains (the BPE
+    // merge CTEs and the WordPiece recursive greedy) and must agree on
+    // every per-lang integer before the single rounded divisions.
+    GraftQuery(
+      "vocab05_fertility",
+      (s, d) => {
+        import s.implicits._
+        val bpe = bpeTrain(s, d)._2
+          .select(col("token").as("w"),
+            size(split(trim(col("seq")), "  ")).as("bpe_syms"))
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+        val wcDf = graft.core.Caches.persist(
+          toks.groupBy(col("w")).agg(count(lit(1)).as("n")))
+        val wcDs = wcDf.as[(String, Long)]
+        val thresh = wcDf.agg(sum(col("n"))).head.getLong(0) / 500
+        val pieceSet = wcDs
+          .flatMap { case (w, n) =>
+            graft.ops.WordPiece.substrings(w).map(p => (p, n)) }
+          .toDF("piece", "pn")
+          .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
+          .filter(col("cnt") >= thresh)
+          .select(col("piece")).as[String].collect().toSet
+        val bc = s.sparkContext.broadcast(pieceSet)
+        val seg = wcDs.map { case (w, _) =>
+            (w, graft.ops.WordPiece.encode(w, bc.value)._1) }
+          .toDF("w", "wp_pieces")
+        toks.join(broadcast(seg), "w").join(broadcast(bpe), "w")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("bpe_syms")).as("bpe_syms"),
+            sum(col("wp_pieces")).as("wp_pieces"),
+            sum(length(col("w"))).as("char_sum"))
+          .select(col("lang"), col("n_words"), col("bpe_syms"),
+            col("wp_pieces"), col("char_sum"),
+            round(lit(1e6) * col("bpe_syms") / col("n_words")).cast("long")
+              .as("bpe_ppw_ppm"),
+            round(lit(1e6) * col("wp_pieces") / col("n_words")).cast("long")
+              .as("wp_ppw_ppm"),
+            round(lit(1e6) * col("char_sum") / col("wp_pieces")).cast("long")
+              .as("chars_per_wp_ppm"))
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH $sqlBpeChain,
+          bpe AS (SELECT token AS w,
+              len(string_split(trim(seq), '  ')) AS bpe_syms FROM s3),
+          toksr AS (SELECT lang, unnest($toks) AS w FROM documents),
+          ctoks AS (SELECT * FROM toksr WHERE w <> ''),
+          tot AS (SELECT count(*) AS n_tok FROM ctoks),
+          wc AS (SELECT w, count(*) AS n FROM ctoks GROUP BY 1),
+          sube AS (SELECT w, n, i, L,
+              CASE WHEN i = 1 THEN substr(w, i, L)
+                ELSE '##' || substr(w, i, L) END AS piece
+            FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
+                 (SELECT unnest(range(1, 5)) AS L)
+            WHERE i + L - 1 <= length(w)),
+          pieces AS (SELECT piece FROM sube GROUP BY 1
+            HAVING sum(n) >= (SELECT n_tok // 500 FROM tot)),
+          bm AS (SELECT s.w, s.i AS pos, max(s.L) AS step
+            FROM sube s JOIN pieces p ON s.piece = p.piece GROUP BY 1, 2),
+          st AS (
+            WITH RECURSIVE r(w, pos, np, unk) AS (
+              SELECT w, 1, 0, 0 FROM wc
+              UNION ALL
+              SELECT r.w,
+                CASE WHEN bm.step IS NULL THEN length(r.w)+1
+                  ELSE r.pos + bm.step END,
+                CASE WHEN bm.step IS NULL THEN 1 ELSE r.np + 1 END,
+                CASE WHEN bm.step IS NULL THEN 1 ELSE r.unk END
+              FROM r LEFT JOIN bm ON r.w = bm.w AND r.pos = bm.pos
+              WHERE r.pos <= length(r.w) AND r.unk = 0)
+            SELECT w, np, unk FROM r WHERE pos > length(w) OR unk = 1),
+          seg AS (SELECT w, CASE WHEN unk = 1 THEN 1 ELSE np END AS wp_pieces
+            FROM st),
+          g AS (SELECT lang, count(*) AS n_words,
+              CAST(sum(bpe_syms) AS BIGINT) AS bpe_syms,
+              CAST(sum(wp_pieces) AS BIGINT) AS wp_pieces,
+              CAST(sum(length(t.w)) AS BIGINT) AS char_sum
+            FROM ctoks t JOIN seg USING (w) JOIN bpe USING (w) GROUP BY 1)
+        SELECT lang, n_words, bpe_syms, wp_pieces, char_sum,
+          CAST(round(1e6 * bpe_syms / n_words) AS BIGINT) AS bpe_ppw_ppm,
+          CAST(round(1e6 * wp_pieces / n_words) AS BIGINT) AS wp_ppw_ppm,
+          CAST(round(1e6 * char_sum / wp_pieces) AS BIGINT) AS chars_per_wp_ppm
+        FROM g"""
+      },
+    ),
   )
 }
