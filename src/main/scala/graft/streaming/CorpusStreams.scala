@@ -194,4 +194,27 @@ object CorpusStreams {
     recs.groupBy(col("outcome"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("text_bytes")).as("sum_bytes"))
   }
+
+  /** Streaming TFRecord shard ingest — the [[avroScan]] contract on the
+    * TFRecord layer: healthy shards yield one row per record (ordinal +
+    * payload size), a rotten shard yields ONE typed error row from the
+    * codec's refusal vocabulary (both CRC kinds, truncation, budget).
+    * State is bounded by the refusal vocabulary; parsing is a stateless
+    * per-file flatMap. Expects columns (file string, content binary).
+    */
+  def tfRecordScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        graft.ops.TfRecord.readSafe(bytes) match {
+          case Right(rs) => rs.map(p => ("ok", p.length.toLong))
+          case Left(kind) => Seq((kind, 0L))
+        }
+      }.toDF("outcome", "payload_bytes")
+    recs.groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n"), sum(col("payload_bytes")).as("sum_bytes"))
+  }
 }
