@@ -499,5 +499,75 @@ object TarQueries {
           CAST(sum(CASE WHEN p >= 3 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Multimodal WebDataset shards end to end: each document becomes a
+    // THREE-member training sample — {id}.png (a REAL PNG, encoded by the
+    // fixture-proven codec from a raster the text determines), {id}.txt
+    // (the caption), {id}.cls (the class) — packed into USTAR shards,
+    // re-read through the WebDataset sample grouping, the image DECODED
+    // back through the real PNG path, and audited per class: decoded
+    // dimensions, a pixel checksum, and caption checksums. The oracle
+    // recomputes the pixel sums from the TEXT (the mm03 construction:
+    // pixels are a formula over the caption bytes, so DuckDB never needs
+    // a PNG decoder) — one wrong byte through encode → tar → untar →
+    // decode breaks a checksum. This is the multimodal training-shard
+    // path (image+caption WebDataset) a vision-language corpus ships.
+    GraftQuery(
+      "pipe04_multimodal_shards",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val entries = recs.filter(_._2.nonEmpty).flatMap { case (id, text, lang) =>
+              val bytes = ascii(text)
+              val ct = if (id % 2 == 0) 0 else 2 // gray : RGB
+              val n = 16 * 16 * graft.ops.Png.channelsOf(ct)
+              val px = Array.tabulate(n)(i => bytes((i * 7 + 3) % bytes.length))
+              Seq(
+                Tar.TarEntry(s"$id.png", graft.ops.Png.encode(16, 16, ct, px)),
+                Tar.TarEntry(s"$id.txt", bytes),
+                Tar.TarEntry(s"$id.cls", ascii(lang)))
+            }
+            val back = Tar.samples(Tar.read(Tar.write(entries)))
+            back.iterator.map { case (_, parts) =>
+              val (hdr, px) = graft.ops.Png.decode(parts("png"))
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+              val caption = new String(parts("txt"),
+                java.nio.charset.StandardCharsets.US_ASCII)
+              (new String(parts("cls"), java.nio.charset.StandardCharsets.US_ASCII),
+                hdr.w.toLong, hdr.h.toLong, sum, h60(caption) % M,
+                caption.length.toLong)
+            }
+          }
+          .toDF("lang", "w", "h", "psum", "cap_check", "cap_len")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("w")).as("sum_w"),
+            sum(col("h")).as("sum_h"),
+            sum(col("psum")).as("pixel_checksum"),
+            sum(col("cap_check")).as("caption_check"),
+            sum(col("cap_len")).as("caption_bytes"))
+      },
+      Some(s"""WITH img AS (SELECT doc_id, lang, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          px AS (SELECT doc_id, lang, text, len,
+              CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 768 END AS n
+            FROM img),
+          s AS (SELECT doc_id, lang, text,
+              CAST(list_sum(list_transform(range(0, n),
+                i -> ascii(substring(text, ((i*7 + 3) % len) + 1, 1))))
+                AS BIGINT) AS psum
+            FROM px)
+        SELECT lang, count(*) AS n_samples,
+          CAST(count(*) * 16 AS BIGINT) AS sum_w,
+          CAST(count(*) * 16 AS BIGINT) AS sum_h,
+          CAST(sum(psum) AS BIGINT) AS pixel_checksum,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS caption_check,
+          CAST(sum(length(text)) AS BIGINT) AS caption_bytes
+        FROM s GROUP BY 1"""),
+    ),
   )
 }
