@@ -501,6 +501,154 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // NumPy .npz embedding-shard round trip ([[graft.ops.Npy]] — the
+    // np.save/np.savez container an embedding dump or tokenized corpus
+    // actually ships to a training stack): each shard group of the
+    // embeddings table becomes one .npz of `ids` (int64 [n]) + `vecs`
+    // (float32 [n, 64] C-order), strictly re-read; per-bucket aggregates
+    // pin the ids, dimensions, and a fixed-point checksum of every
+    // float32 element (f32→f64 is exact, ×1024 is an exponent shift,
+    // HALF_UP-away-from-zero matches DuckDB's round — the Determinism
+    // .intSum contract). NpySpec separately pins the writer BYTE-equal
+    // to real np.save output. Same 100 TB shape as the container family:
+    // schema-bounded build groups, per-shard map, one small aggregate.
+    GraftQuery(
+      "npy01_npz_shards",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .flatMap { case (g, recs) =>
+            val n = recs.length
+            val dim = recs.head._2.length
+            val ids = recs.map(_._1).toArray
+            val flat = new Array[Float](n * dim)
+            var i = 0
+            recs.foreach { case (_, v) =>
+              v.foreach { x => flat(i) = x; i += 1 }
+            }
+            val npz = graft.ops.Npy.writeNpz(Seq(
+              "ids" -> graft.ops.Npy.writeLongs(ids),
+              "vecs" -> graft.ops.Npy.writeFloats(Seq(n.toLong, dim.toLong), flat)))
+            val back = graft.ops.Npy.readNpz(npz).toMap
+            val bids = back("ids").longs
+            val va = back("vecs")
+            val bdim = va.shape(1).toInt
+            val vs = va.floats
+            bids.iterator.zipWithIndex.map { case (id, r) =>
+              var vc = 0L
+              var j = r * bdim
+              val end = j + bdim
+              while (j < end) {
+                // exact binary expansion (never valueOf: the shortest
+                // decimal repr can cross a .5 boundary the true value
+                // doesn't) + HALF_UP = away-from-zero = DuckDB round
+                vc += new java.math.BigDecimal(vs(j).toDouble * 1024.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                j += 1
+              }
+              (g % 8, id, bdim.toLong, vc)
+            }
+          }
+          .toDF("bucket", "id", "dim", "vc")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("id")).as("id_sum"),
+            sum(col("dim")).as("dim_sum"),
+            sum(col("vc")).as("val_check"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          x AS (SELECT (vec_id // 32) % 8 AS bucket, vec_id, len(v) AS dim,
+              CAST(list_sum(list_transform(v,
+                y -> CAST(round(y * 1024) AS BIGINT))) AS BIGINT) AS vc
+            FROM e)
+        SELECT bucket, count(*) AS n_vecs,
+          CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          CAST(sum(dim) AS BIGINT) AS dim_sum,
+          CAST(sum(vc) AS BIGINT) AS val_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant .npz scan: a deterministic slice of shards is
+    // poisoned INSIDE the container — npy magic flip (bad_magic), descr
+    // patched to an unsupported dtype (unsupported_dtype), data tail
+    // dropped so the buffer no longer matches the declared shape
+    // (size_mismatch) — and each rotten shard becomes ONE typed error
+    // row while healthy shards contribute exact counts and checksums.
+    // The tar02/zst02/avro02/tfr02 contract on the NumPy layer (the
+    // poisons live at the npy level: ZIP-layer rot kinds are pinned by
+    // ZstdSpec/NpySpec instead, where JDK-version-stable).
+    GraftQuery(
+      "npy02_poisoned_npz",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .map { case (g, recs) =>
+            val n = recs.length
+            val dim = recs.head._2.length
+            val ids = recs.map(_._1).toArray
+            val flat = new Array[Float](n * dim)
+            var i = 0
+            recs.foreach { case (_, v) => v.foreach { x => flat(i) = x; i += 1 } }
+            val idsNpy = graft.ops.Npy.writeLongs(ids)
+            val vecsNpy = graft.ops.Npy.writeFloats(Seq(n.toLong, dim.toLong), flat)
+            val (a, b) = (h60(s"npz:$g") % 7) match {
+              case 0 =>
+                val m = idsNpy.clone(); m(0) = (m(0) ^ 0x5a).toByte; (m, vecsNpy)
+              case 1 =>
+                val m = vecsNpy.clone()
+                val at = (0 until m.length - 2).indexWhere(k =>
+                  m(k) == '<' && m(k + 1) == 'f' && m(k + 2) == '4')
+                m(at + 1) = 'u'; (idsNpy, m)
+              case 2 => (idsNpy, java.util.Arrays.copyOf(vecsNpy, vecsNpy.length - 8))
+              case _ => (idsNpy, vecsNpy)
+            }
+            val npz = graft.ops.Npy.writeNpz(Seq("ids" -> a, "vecs" -> b))
+            graft.ops.Npy.readNpzSafe(npz) match {
+              case Right(arrays) =>
+                val m = arrays.toMap
+                val bids = m("ids").longs
+                ("ok", 1L, bids.length.toLong, bids.sum)
+              case Left(kind) => (kind, 1L, 0L, 0L)
+            }
+          }
+          .toDF("outcome", "one", "n_vecs", "id_sum")
+          .groupBy()
+          .agg(
+            sum(col("one")).as("n_shards"),
+            sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("n_ok"),
+            sum(when(col("outcome") === "bad_magic", 1L).otherwise(0L)).as("n_magic"),
+            sum(when(col("outcome") === "unsupported_dtype", 1L).otherwise(0L)).as("n_dtype"),
+            sum(when(col("outcome") === "size_mismatch", 1L).otherwise(0L)).as("n_size"),
+            sum(when(col("outcome") === "ok", col("n_vecs")).otherwise(0L)).as("vecs_ok"),
+            sum(when(col("outcome") === "ok", col("id_sum")).otherwise(0L)).as("ids_ok"))
+      },
+      Some(s"""WITH g AS (SELECT vec_id // 32 AS g, count(*) AS n,
+            CAST(sum(vec_id) AS BIGINT) AS ids
+          FROM embeddings GROUP BY 1),
+        c AS (SELECT g, n, ids,
+            ${TA.Sql.hash60("'npz:' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT count(*) AS n_shards,
+          count(CASE WHEN p >= 3 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_magic,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_dtype,
+          count(CASE WHEN p = 2 THEN 1 END) AS n_size,
+          CAST(sum(CASE WHEN p >= 3 THEN n ELSE 0 END) AS BIGINT) AS vecs_ok,
+          CAST(sum(CASE WHEN p >= 3 THEN ids ELSE 0 END) AS BIGINT) AS ids_ok
+        FROM c"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Multimodal WebDataset shards end to end: each document becomes a
     // THREE-member training sample — {id}.png (a REAL PNG, encoded by the
     // fixture-proven codec from a raster the text determines), {id}.txt
