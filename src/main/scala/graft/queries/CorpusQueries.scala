@@ -1214,5 +1214,103 @@ object CorpusQueries {
         FROM packed GROUP BY 1"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Curriculum staging (round 12): quantile-binned difficulty stages —
+    // per source, rank documents by token count (ties by doc_id for a
+    // total order) and cut into 4 equal-frequency stages with ntile (the
+    // standard short-to-long curriculum a pre-training run feeds in
+    // order). Differs from pack04's FIXED length buckets: boundaries
+    // here are data-dependent order statistics. The per-(source, stage)
+    // manifest pins counts, token budgets, and the stage's exact token
+    // range. Scale shape: windows partition by source (parallel across
+    // the corpus's natural key), then a schema-sized rollup; a skewed
+    // giant source is the documented limit (one partition's sort).
+    GraftQuery(
+      "pack06_curriculum",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("tok").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(TA.tokens(col("text"))).cast("long").as("tok"))
+          .withColumn("stage", ntile(4).over(w))
+          .groupBy(col("source"), col("stage"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("tok_sum"),
+            min(col("tok")).as("tok_min"),
+            max(col("tok")).as("tok_max"))
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id,
+            CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS tok
+          FROM documents),
+        st AS (SELECT source, tok,
+            ntile(4) OVER (PARTITION BY source
+              ORDER BY tok ASC, doc_id ASC) AS stage
+          FROM t)
+        SELECT source, stage, count(*) AS n_docs,
+          CAST(sum(tok) AS BIGINT) AS tok_sum,
+          CAST(min(tok) AS BIGINT) AS tok_min,
+          CAST(max(tok) AS BIGINT) AS tok_max
+        FROM st GROUP BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Best-of-n rejection sampling (round 12): the RFT/STaR data-prep
+    // op — per candidate group (source, doc_id DIV 4), keep the argmax-
+    // scored completion ONLY if it clears the acceptance threshold, and
+    // audit per source: group count, acceptance rate numerator, kept
+    // token budget, and a kept-id checksum. The score is an md5-derived
+    // 60-bit integer (deterministic argmax in any engine); the threshold
+    // keeps ~60% of groups. Same one-shuffle grouped-argmax shape as
+    // pref01 with the accept/reject audit a rejection-sampling run
+    // actually reports.
+    GraftQuery(
+      "pref03_rejection_sampling",
+      (s, d) => {
+        val M = 1000000007L
+        val T = 922000000000000000L // ~0.8 of the 60-bit score space (keeps ~1-0.8^4 = 59% of 4-groups)
+        val scored = Tables.documents(s, d).select(
+          col("source"),
+          expr("doc_id DIV 4").as("g"),
+          col("doc_id"),
+          size(TA.tokens(col("text"))).cast("long").as("tok"),
+          TA.hash60(concat(lit("rs:"), col("doc_id").cast("string"))).as("score"))
+        val best = scored.groupBy(col("source"), col("g"))
+          .agg(
+            count(lit(1)).as("n_cands"),
+            max(col("score")).as("s_best"),
+            max_by(col("doc_id"), col("score")).as("kept_id"),
+            max_by(col("tok"), col("score")).as("kept_tok"))
+        best.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            count(when(col("s_best") >= T, lit(1))).as("n_accepted"),
+            sum(when(col("s_best") >= T, col("kept_tok")).otherwise(0L))
+              .as("kept_tokens"),
+            sum(when(col("s_best") >= T, col("kept_id") % M).otherwise(0L))
+              .as("kept_check"))
+      },
+      Some {
+        val score = TA.Sql.hash60("concat('rs:', CAST(doc_id AS VARCHAR))")
+        s"""WITH scored AS (SELECT source, doc_id // 4 AS g, doc_id,
+              CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS tok,
+              $score AS score FROM documents),
+          b AS (SELECT source, g, count(*) AS n_cands,
+              max(score) AS s_best,
+              max_by(doc_id, score) AS kept_id,
+              max_by(tok, score) AS kept_tok
+            FROM scored GROUP BY 1, 2)
+        SELECT source, count(*) AS n_groups,
+          count(CASE WHEN s_best >= 922000000000000000 THEN 1 END)
+            AS n_accepted,
+          CAST(sum(CASE WHEN s_best >= 922000000000000000
+            THEN kept_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+          CAST(sum(CASE WHEN s_best >= 922000000000000000
+            THEN kept_id % 1000000007 ELSE 0 END) AS BIGINT) AS kept_check
+        FROM b GROUP BY 1"""
+      },
+    ),
   )
 }

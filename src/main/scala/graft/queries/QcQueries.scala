@@ -1080,5 +1080,69 @@ object QcQueries {
         FROM g"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Data card (round 12): the per-source summary a released corpus
+    // ships alongside its shards — document counts, token totals, empty
+    // docs, language spread, dominant language (ties to the lex-smallest
+    // lang), and the LOWER MEDIAN token count (the order statistic at
+    // rank (n+1)/2, exact and engine-independent, unlike interpolating
+    // percentile functions). Three per-source partials (one scan each,
+    // map-side-combinable or source-partitioned windows) joined on the
+    // schema-sized source key: a 100 TB corpus is read once per partial,
+    // everything downstream is |sources| rows.
+    GraftQuery(
+      "qc17_data_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("source"), col("lang"), col("doc_id"), col("n_chars"),
+          size(TA.tokens(col("text"))).cast("long").as("tok"))
+        val base = docs.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tok_sum"),
+          count(when(col("n_chars") === 0, lit(1))).as("n_empty"),
+          countDistinct(col("lang")).as("n_langs"))
+        val langW = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang").asc)
+        val topLang = docs.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(langW))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        val medW = Window.partitionBy(col("source"))
+          .orderBy(col("tok").asc, col("doc_id").asc)
+        val cntW = Window.partitionBy(col("source"))
+        val median = docs
+          .select(col("source"), col("tok"),
+            row_number().over(medW).as("rn"),
+            count(lit(1)).over(cntW).as("cnt"))
+          // DIV, not `/`: Spark's Column `/` is ALWAYS double division,
+          // so an even n would yield rn === 2.5 and match nothing
+          .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+          .select(col("source"), col("tok").as("tok_p50"))
+        base.join(topLang, Seq("source")).join(median, Seq("source"))
+      },
+      Some(s"""WITH t AS (SELECT source, lang, doc_id, n_chars,
+            CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS tok
+          FROM documents),
+        b AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(tok) AS BIGINT) AS tok_sum,
+            count(CASE WHEN n_chars = 0 THEN 1 END) AS n_empty,
+            count(DISTINCT lang) AS n_langs
+          FROM t GROUP BY 1),
+        l AS (SELECT source, lang AS top_lang FROM (
+            SELECT source, lang, count(*) AS n,
+              row_number() OVER (PARTITION BY source
+                ORDER BY count(*) DESC, lang ASC) AS rn
+            FROM t GROUP BY source, lang) WHERE rn = 1),
+        m AS (SELECT source, tok AS tok_p50 FROM (
+            SELECT source, tok,
+              row_number() OVER (PARTITION BY source
+                ORDER BY tok ASC, doc_id ASC) AS rn,
+              count(*) OVER (PARTITION BY source) AS cnt
+            FROM t) WHERE rn = (cnt + 1) // 2)
+        SELECT b.source, n_docs, tok_sum, n_empty, n_langs, top_lang, tok_p50
+        FROM b JOIN l USING (source) JOIN m USING (source)"""),
+    ),
   )
 }

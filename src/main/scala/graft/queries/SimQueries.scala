@@ -538,5 +538,59 @@ object SimQueries {
         FROM neg n JOIN pos p USING (q_id)"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // EXACT cosine range search with metric cell pruning (round 12): all
+    // (query, neighbor) pairs with cos ≥ τ — the radius query behind
+    // DBSCAN-style corpus clustering and near-dup sweeps, where top-k is
+    // the wrong primitive. Soundness, not heuristics: on unit vectors
+    // the plain R^d triangle inequality gives d(q,v) ≥ d(q,c) − r_c for
+    // any member v of the cell with centroid c and radius r_c =
+    // max_v d(c,v), so a cell is skipped ONLY when even its nearest
+    // possible member fails τ (with 1e-9 float slack) — the survivors
+    // get the exact cosine check, so the result is IDENTICAL to brute
+    // force and the oracle IS brute force (the pruning never needs a SQL
+    // mirror). Scale shape: seeds+radii broadcast (|cells| rows), the
+    // corpus partitions by cell_id once, per-query work is
+    // |admissible cells| not |corpus|; worst case (τ→−1) degrades to
+    // the brute-force cross join, the documented contract.
+    GraftQuery(
+      "sim11_range_search",
+      (s, d) => {
+        val tau = 0.15
+        val eps = 1e-9
+        val dmax = math.sqrt(2.0 - 2.0 * tau) + eps
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+        val seeds = e.filter(col("id") < 16)
+          .select(col("id").as("cell_id"), col("vec").as("cvec"))
+        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
+        // unit-sphere distance to the cell centroid: sqrt(2 - 2cos)
+        def sphereDist(a: Column, b: Column): Column =
+          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * Similarity.cosine(a, b)))
+        val members = cells.join(broadcast(seeds), Seq("cell_id"))
+          .select(col("cell_id"), col("id").as("n_id"), col("vec").as("n_vec"),
+            sphereDist(col("vec"), col("cvec")).as("dcv"))
+        val radii = members.groupBy(col("cell_id")).agg(max(col("dcv")).as("r"))
+        val q = e.filter(col("id") % 5 === 0)
+          .select(col("id").as("q_id"), col("vec").as("q_vec"))
+        val probe = q
+          .crossJoin(broadcast(seeds.join(radii, Seq("cell_id"))))
+          .filter(sphereDist(col("q_vec"), col("cvec")) - col("r") <= lit(dmax))
+          .select(col("q_id"), col("q_vec"), col("cell_id"))
+        probe.join(members.select(col("cell_id"), col("n_id"), col("n_vec")),
+            Seq("cell_id"))
+          .select(col("q_id"), col("n_id"),
+            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+          .filter(col("q_id") =!= col("n_id") && col("cos") >= lit(tau))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.id AS q_id, b.id AS n_id,
+          list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM e a JOIN e b ON a.id % 5 = 0 AND b.id <> a.id
+        WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) >= CAST(0.15 AS DOUBLE)"""),
+    ),
   )
 }
