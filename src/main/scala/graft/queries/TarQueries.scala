@@ -649,6 +649,191 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Arrow IPC stream-shard round trip ([[graft.ops.ArrowIpc]] — the
+    // zero-copy interchange container training stacks, DuckDB and
+    // dataloaders consume natively; reader pinned bit-exact against
+    // real pyarrow fixtures, writer read back by pyarrow 16 in the
+    // round-12 differential): each shard group of documents becomes one
+    // stream of (id int64, lang utf8, text utf8, score float64, keep
+    // bool) split into two record batches (multi-batch framing on every
+    // shard), strictly re-read. Aggregates mirror avro01's exactly —
+    // one wrong byte through flatbuffer metadata, validity bitmaps, or
+    // offset buffers breaks a checksum. The container-family 100 TB
+    // shape: schema-bounded build groups, per-shard map, one small
+    // aggregate.
+    GraftQuery(
+      "arrow01_ipc_shards",
+      (s, d) => {
+        import s.implicits._
+        val fields = Vector(
+          graft.ops.ArrowIpc.AField("id", "i64", nullable = false),
+          graft.ops.ArrowIpc.AField("lang", "utf8", nullable = false),
+          graft.ops.ArrowIpc.AField("text", "utf8", nullable = false),
+          graft.ops.ArrowIpc.AField("score", "f64", nullable = false),
+          graft.ops.ArrowIpc.AField("keep", "bool", nullable = false))
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            import graft.ops.ArrowIpc._
+            def cols(rs: Seq[(Long, String, String)]): Vector[ACol] = Vector(
+              ALongCol("id", null, rs.map(_._1).toArray),
+              AStrCol("lang", null, rs.map(_._3).toArray),
+              AStrCol("text", null, rs.map(_._2).toArray),
+              ADoubleCol("score", null,
+                rs.map(r => (r._1 % 1000L) * 0.125).toArray),
+              ABoolCol("keep", null, rs.map(_._1 % 3 == 0).toArray))
+            val (front, rest) = recs.splitAt(recs.length / 2)
+            val bytes = graft.ops.ArrowIpc.write(fields,
+              Seq(cols(front), cols(rest)).filter(_.head.size > 0))
+            graft.ops.ArrowIpc.read(bytes).iterator.flatMap { b =>
+              val lang = b.cols(1).asInstanceOf[AStrCol].v
+              val text = b.cols(2).asInstanceOf[AStrCol].v
+              val score = b.cols(3).asInstanceOf[ADoubleCol].v
+              val keep = b.cols(4).asInstanceOf[ABoolCol].v
+              (0 until b.nRows).iterator.map { i =>
+                (lang(i), text(i).length.toLong, text(i), score(i), keep(i))
+              }
+            }
+          }
+          .toDF("lang", "txt_len", "txt", "score", "keep")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"),
+            sum(col("score")).as("score_sum"),
+            count(when(col("keep"), lit(1))).as("n_keep"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check,
+          sum((doc_id % 1000) * CAST(0.125 AS DOUBLE)) AS score_sum,
+          count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_keep
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Arrow IPC embedding interchange: the embeddings table as
+    // (id int64, vec list<float32>) streams — the EXACT shape a vector
+    // index or retrieval trainer ingests — round-tripped per shard with
+    // npy01's fixed-point element checksum (f32→f64 exact, ×1024
+    // exponent shift, away-from-zero round = DuckDB's). Pins the list
+    // offsets + child-data path at corpus scale.
+    GraftQuery(
+      "arrow02_embedding_ipc",
+      (s, d) => {
+        import s.implicits._
+        val fields = Vector(
+          graft.ops.ArrowIpc.AField("id", "i64", nullable = false),
+          graft.ops.ArrowIpc.AField("vec", "list<f32>", nullable = false))
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .flatMap { case (g, recs) =>
+            import graft.ops.ArrowIpc._
+            val bytes = graft.ops.ArrowIpc.write(fields, Seq(Vector[ACol](
+              ALongCol("id", null, recs.map(_._1).toArray),
+              AFloatListCol("vec", null,
+                recs.map(_._2.toArray).toArray, null))))
+            graft.ops.ArrowIpc.read(bytes).iterator.flatMap { b =>
+              val ids = b.cols(0).asInstanceOf[ALongCol].v
+              val vecs = b.cols(1).asInstanceOf[AFloatListCol].v
+              (0 until b.nRows).iterator.map { i =>
+                var vc = 0L
+                vecs(i).foreach { x =>
+                  vc += new java.math.BigDecimal(x.toDouble * 1024.0)
+                    .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                }
+                (g % 8, ids(i), vecs(i).length.toLong, vc)
+              }
+            }
+          }
+          .toDF("bucket", "id", "dim", "vc")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("id")).as("id_sum"),
+            sum(col("dim")).as("dim_sum"),
+            sum(col("vc")).as("val_check"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          x AS (SELECT (vec_id // 32) % 8 AS bucket, vec_id, len(v) AS dim,
+              CAST(list_sum(list_transform(v,
+                y -> CAST(round(y * 1024) AS BIGINT))) AS BIGINT) AS vc
+            FROM e)
+        SELECT bucket, count(*) AS n_vecs,
+          CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          CAST(sum(dim) AS BIGINT) AS dim_sum,
+          CAST(sum(vc) AS BIGINT) AS val_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant Arrow stream scan: a deterministic slice of shards
+    // is poisoned — leading continuation-marker flip (bad_stream before
+    // any parse), tail truncation mid-body (every declared buffer is
+    // bounds-checked against the body → truncated) — and each rotten
+    // stream becomes ONE typed error row; healthy shards contribute
+    // exact counts and checksums. The tar02/zst02/avro02/tfr02/npy02
+    // contract on the Arrow layer.
+    GraftQuery(
+      "arrow03_poisoned_ipc",
+      (s, d) => {
+        import s.implicits._
+        val fields = Vector(
+          graft.ops.ArrowIpc.AField("id", "i64", nullable = false),
+          graft.ops.ArrowIpc.AField("text", "utf8", nullable = false))
+        shardGroups(s, d).map { case (source, g, recs) =>
+            import graft.ops.ArrowIpc._
+            val clean = graft.ops.ArrowIpc.write(fields, Seq(Vector[ACol](
+              ALongCol("id", null, recs.map(_._1).toArray),
+              AStrCol("text", null, recs.map(_._2).toArray))))
+            val shard = (h60(s"arrow:$source:$g") % 7) match {
+              case 0 => val b = clean.clone(); b(0) = (b(0) ^ 0x5a).toByte; b
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 24)
+              case _ => clean
+            }
+            graft.ops.ArrowIpc.readSafe(shard) match {
+              case Right(bs) =>
+                var n = 0L
+                var bc = 0L
+                bs.foreach { b =>
+                  val text = b.cols(1).asInstanceOf[AStrCol].v
+                  n += b.nRows
+                  text.foreach(t => bc += h60(t) % M)
+                }
+                (source, "ok", n, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_stream", lit(1))).as("n_stream"),
+            count(when(col("outcome") === "truncated", lit(1))).as("n_trunc"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("'arrow:' || source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_stream,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_trunc,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Multimodal WebDataset shards end to end: each document becomes a
     // THREE-member training sample — {id}.png (a REAL PNG, encoded by the
     // fixture-proven codec from a raster the text determines), {id}.txt
