@@ -572,7 +572,11 @@ object SimQueries {
           .select(col("cell_id"), col("id").as("n_id"), col("vec").as("n_vec"),
             sphereDist(col("vec"), col("cvec")).as("dcv"))
         val radii = members.groupBy(col("cell_id")).agg(max(col("dcv")).as("r"))
-        val q = e.filter(col("id") % 5 === 0)
+        // query side bounded (id < 500 ∧ id % 5 = 0 → ≤100 queries at ANY
+        // corpus scale — the sim01 convention): a range query's OUTPUT is
+        // inherently |queries|·density·N, so an unbounded query side would
+        // make the operator quadratic no matter how good the pruning
+        val q = e.filter(col("id") % 5 === 0 && col("id") < 500)
           .select(col("id").as("q_id"), col("vec").as("q_vec"))
         val probe = q
           .crossJoin(broadcast(seeds.join(radii, Seq("cell_id"))))
@@ -588,7 +592,7 @@ object SimQueries {
         SELECT a.id AS q_id, b.id AS n_id,
           list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
             * sqrt(list_dot_product(b.v, b.v))) AS cos
-        FROM e a JOIN e b ON a.id % 5 = 0 AND b.id <> a.id
+        FROM e a JOIN e b ON a.id % 5 = 0 AND a.id < 500 AND b.id <> a.id
         WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
             * sqrt(list_dot_product(b.v, b.v))) >= CAST(0.15 AS DOUBLE)"""),
     ),

@@ -217,4 +217,44 @@ object CorpusStreams {
     recs.groupBy(col("outcome"))
       .agg(count(lit(1)).as("n"), sum(col("payload_bytes")).as("sum_bytes"))
   }
+
+  /** Streaming Arrow IPC shard ingest — the [[avroScan]] contract on the
+    * Arrow layer: healthy streams yield one row per record across all
+    * record batches, a rotten stream yields ONE typed error row from
+    * [[graft.ops.ArrowIpc.readSafe]]'s refusal vocabulary (bad_stream /
+    * truncated / too_large / unsupported_*) instead of a failed
+    * micro-batch. Expects streams whose schema leads with (id int64,
+    * lang utf8, text utf8); anything else refuses as `bad_schema`.
+    * State is bounded by refusal-kinds × languages; parsing is a
+    * stateless per-file flatMap. Expects columns (file string, content
+    * binary).
+    */
+  def arrowScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    import graft.ops.ArrowIpc
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        ArrowIpc.readSafe(bytes) match {
+          case Right(bs) =>
+            val shaped = bs.forall { b =>
+              b.cols.length >= 3 && b.cols.head.isInstanceOf[ArrowIpc.ALongCol] &&
+                b.cols(1).isInstanceOf[ArrowIpc.AStrCol] &&
+                b.cols(2).isInstanceOf[ArrowIpc.AStrCol]
+            }
+            if (!shaped) Seq(("bad_schema", "", 0L))
+            else bs.iterator.flatMap { b =>
+              val lang = b.cols(1).asInstanceOf[ArrowIpc.AStrCol].v
+              val text = b.cols(2).asInstanceOf[ArrowIpc.AStrCol].v
+              (0 until b.nRows).iterator.map(i =>
+                ("ok", lang(i), text(i).length.toLong))
+            }.toSeq
+          case Left(kind) => Seq((kind, "", 0L))
+        }
+      }.toDF("outcome", "lang", "text_bytes")
+    recs.groupBy(col("outcome"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("text_bytes")).as("sum_bytes"))
+  }
 }
