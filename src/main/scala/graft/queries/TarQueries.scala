@@ -834,6 +834,112 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // MessagePack record-shard round trip ([[graft.ops.Msgpack]] — the
+    // compact binary sibling of JSONL that feature stores and
+    // training-data shards ship; encoder BYTE-identical to the
+    // independent python spec transcription, MsgpackSpec): each shard
+    // group becomes back-to-back {id, lang, text, score, keep} records
+    // in canonical smallest encodings, strictly re-decoded through the
+    // JSON value model. Aggregates mirror avro01/arrow01 exactly. The
+    // container-family 100 TB shape.
+    GraftQuery(
+      "mp01_msgpack_shards",
+      (s, d) => {
+        import s.implicits._
+        import graft.etl.{JBool, JFloat, JInt, JObj, JStr}
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val shard = graft.ops.Msgpack.encodeAll(recs.map { case (id, text, lang) =>
+              JObj(Vector(
+                "id" -> JInt(BigInt(id)), "lang" -> JStr(lang),
+                "text" -> JStr(text),
+                "score" -> JFloat((id % 1000L) * 0.125),
+                "keep" -> JBool(id % 3 == 0)))
+            })
+            graft.ops.Msgpack.decodeAll(shard).iterator.map { v =>
+              val f = v.asInstanceOf[JObj].fields.toMap
+              val txt = f("text").asInstanceOf[JStr].s
+              (f("lang").asInstanceOf[JStr].s, txt.length.toLong, txt,
+                f("score").asInstanceOf[JFloat].d,
+                f("keep").asInstanceOf[JBool].b)
+            }
+          }
+          .toDF("lang", "txt_len", "txt", "score", "keep")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"),
+            sum(col("score")).as("score_sum"),
+            count(when(col("keep"), lit(1))).as("n_keep"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check,
+          sum((doc_id % 1000) * CAST(0.125 AS DOUBLE)) AS score_sum,
+          count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_keep
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant MessagePack scan: a deterministic slice of shards
+    // is poisoned — 0xc1 (the spec's never-used byte) spliced at the
+    // front (bad_type), tail truncation mid-record (truncated) — and
+    // each rotten shard becomes ONE typed error row while healthy
+    // shards contribute exact counts and checksums. The container
+    // family's contract on the msgpack layer.
+    GraftQuery(
+      "mp02_poisoned_msgpack",
+      (s, d) => {
+        import s.implicits._
+        import graft.etl.{JInt, JObj, JStr}
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val clean = graft.ops.Msgpack.encodeAll(recs.map { case (id, text, _) =>
+              JObj(Vector("id" -> JInt(BigInt(id)), "text" -> JStr(text)))
+            })
+            val shard = (h60(s"mp:$source:$g") % 7) match {
+              case 0 => Array(0xc1.toByte) ++ clean
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 3)
+              case _ => clean
+            }
+            graft.ops.Msgpack.decodeAllSafe(shard) match {
+              case Right(vs) =>
+                var bc = 0L
+                vs.foreach { v =>
+                  val f = v.asInstanceOf[JObj].fields.toMap
+                  bc += h60(f("text").asInstanceOf[JStr].s) % M
+                }
+                (source, "ok", vs.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_type", lit(1))).as("n_badtype"),
+            count(when(col("outcome") === "truncated", lit(1))).as("n_trunc"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("'mp:' || source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_badtype,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_trunc,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Multimodal WebDataset shards end to end: each document becomes a
     // THREE-member training sample — {id}.png (a REAL PNG, encoded by the
     // fixture-proven codec from a raster the text determines), {id}.txt
