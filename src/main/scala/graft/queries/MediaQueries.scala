@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{GraftQuery, Tables}
-import graft.ops.{TextAnalysis => TA}
+import graft.ops.{Hash60Kernel, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /** Multimodal media operators (mm01-mm09): binary blob plumbing with the
@@ -1050,6 +1050,76 @@ object MediaQueries {
           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS dup_pairs,
           CAST(sum((hash % 1000000007) * n) AS BIGINT) AS hash_check
         FROM b"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // FLAC metadata audit ([[graft.ops.Flac]], round 12 — completing the
+    // audio trio: MP3 frame walk mm05, WAV PCM mm15, FLAC here): each
+    // document becomes one FLAC whose STREAMINFO and Vorbis TITLE tag
+    // are deterministic formulas over (doc_id, text), written by our
+    // encoder and strictly re-parsed (FlacSpec separately pins the
+    // parser against the independent python fixture writer). Per-rate
+    // aggregates pin the bit-packed STREAMINFO fields (20-bit rate,
+    // 3-bit channels, 5-bit depth, 36-bit sample count), duration
+    // seconds, and a TITLE checksum — one wrong bit through the packing
+    // or the comment block's little-endian island breaks a sum. A
+    // corpus-audit scan shape: per-row encode+parse, one tiny aggregate.
+    GraftQuery(
+      "mm17_flac_meta",
+      (s, d) => {
+        import s.implicits._
+        val M = 1000000007L
+        val rates = Array(8000, 16000, 22050, 44100, 48000)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .map { case (id, text, nChars) =>
+            val rate = rates((id % 5).toInt)
+            val ch = 1 + (id % 2).toInt
+            val bps = if (id % 3 == 0) 24 else 16
+            val samples = nChars * 100L + (id % 97L)
+            val md5 = Hash60Kernel.digest().digest(
+              text.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            val title = text.take(64)
+            val bytes = graft.ops.Flac.write(rate, ch, bps, samples, md5,
+              vendor = "graft", comments = Seq("TITLE" -> title),
+              paddingBytes = 16)
+            val m = graft.ops.Flac.read(bytes)
+            (m.sampleRate, m.channels.toLong, m.bitsPerSample.toLong,
+              m.totalSamples,
+              m.totalSamples / m.sampleRate,
+              Hash60Kernel.fold(Hash60Kernel.digest().digest(
+                m.comments.head._2.getBytes(
+                  java.nio.charset.StandardCharsets.US_ASCII))) % M,
+              m.nBlocks.toLong)
+          }
+          .toDF("rate", "ch", "bps", "samples", "dur_s", "tc", "blocks")
+          .groupBy(col("rate"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("ch")).as("ch_sum"),
+            count(when(col("bps") === 24, lit(1))).as("n_hidepth"),
+            sum(col("samples")).as("sample_sum"),
+            sum(col("dur_s")).as("dur_sum"),
+            sum(col("tc")).as("title_check"),
+            sum(col("blocks")).as("block_sum"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+            CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+            1 + doc_id % 2 AS ch,
+            CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS bps,
+            n_chars * 100 + doc_id % 97 AS samples,
+            ${TA.Sql.hash60("substring(text, 1, 64)")} % 1000000007 AS tc
+          FROM documents)
+        SELECT rate, count(*) AS n_files,
+          CAST(sum(ch) AS BIGINT) AS ch_sum,
+          count(CASE WHEN bps = 24 THEN 1 END) AS n_hidepth,
+          CAST(sum(samples) AS BIGINT) AS sample_sum,
+          CAST(sum(samples // rate) AS BIGINT) AS dur_sum,
+          CAST(sum(tc) AS BIGINT) AS title_check,
+          CAST(count(*) * 3 AS BIGINT) AS block_sum
+        FROM f GROUP BY 1"""),
     ),
   )
 }
