@@ -47,6 +47,11 @@ object ArrowIpc {
   /** list<float32>; `elemNull(i)` is null when list i has no null elements. */
   final case class AFloatListCol(name: String, valid: Array[Boolean],
       v: Array[Array[Float]], elemNull: Array[Array[Boolean]]) extends ACol { def size = v.length }
+  /** list<float64> — the full-precision twin (reconstructed vectors,
+    * scores); element nulls unsupported here (refuse on read).
+    */
+  final case class ADoubleListCol(name: String, valid: Array[Boolean],
+      v: Array[Array[Double]]) extends ACol { def size = v.length }
 
   final case class Batch(nRows: Int, cols: Vector[ACol])
 
@@ -298,8 +303,11 @@ object ArrowIpc {
         val chF = fb.field(fld, 5)
         if (chF < 0 || fb.vecLen(chF) != 1) fail("unsupported_type", s"list arity ($name)")
         val child = parseField(fb, fb.indirect(fb.vecPos(chF)), topLevel = false)
-        if (child.typ != "f32") fail("unsupported_type", s"list<${child.typ}> ($name)")
-        "list<f32>"
+        child.typ match {
+          case "f32" => "list<f32>"
+          case "f64" => "list<f64>"
+          case o     => fail("unsupported_type", s"list<$o> ($name)")
+        }
       case o => fail("unsupported_type", s"type union $o ($name)")
     }
     AField(name, typ, nullable)
@@ -407,6 +415,27 @@ object ArrowIpc {
             i += 1
           }
           AFloatListCol(f.name, valid, vs, en)
+        case "list<f64>" =>
+          val (oo, olen) = nextBuf()
+          if (n > 0 && olen < (n + 1) * 4) fail("truncated", s"list offsets ${f.name}")
+          val (cn, cnc) = nextNode()
+          val cvalid = readValidity(cn, cnc)
+          if (cvalid != null) fail("unsupported_type", s"f64 list element nulls ${f.name}")
+          val (od, dlen) = nextBuf()
+          if (dlen < cn * 8) fail("truncated", s"list data ${f.name}")
+          val vs = new Array[Array[Double]](n)
+          var i = 0
+          while (i < n) {
+            if (valid != null && !valid(i)) { vs(i) = null }
+            else {
+              val a = leI(bytes, oo + i * 4); val b = leI(bytes, oo + (i + 1) * 4)
+              if (a < 0 || b < a || b > cn) fail("bad_stream", s"list offsets ${f.name}")
+              vs(i) = Array.tabulate(b - a)(j =>
+                java.lang.Double.longBitsToDouble(leL(bytes, od + (a + j) * 8)))
+            }
+            i += 1
+          }
+          ADoubleListCol(f.name, valid, vs)
         case o => fail("unsupported_type", o)
       }
     }
@@ -476,8 +505,9 @@ object ArrowIpc {
 
   private def buildField(b: FbBuilder, f: AField): Int = {
     val (childVec, tType, tOff) =
-      if (f.typ == "list<f32>") {
-        val child = buildField(b, AField("item", "f32", nullable = true))
+      if (f.typ == "list<f32>" || f.typ == "list<f64>") {
+        val child = buildField(b,
+          AField("item", if (f.typ == "list<f32>") "f32" else "f64", nullable = true))
         b.startVector(4, 1, 4)
         b.pushRef(child)
         val cv = b.endVector(1)
@@ -617,6 +647,26 @@ object ArrowIpc {
             i += 1
           }
           addBuf(le32a(flat.map(java.lang.Float.floatToIntBits)))
+        case ADoubleListCol(_, _, v) =>
+          val offs = new Array[Int](v.length + 1)
+          var cn = 0
+          var i = 0
+          while (i < v.length) {
+            if (v(i) != null) cn += v(i).length
+            offs(i + 1) = cn
+            i += 1
+          }
+          addBuf(le32a(offs))
+          nodes += ((cn.toLong, 0L))
+          bufs += ((body.size.toLong, 0L)) // child validity: no nulls
+          val flat = new Array[Double](cn)
+          var k = 0
+          i = 0
+          while (i < v.length) {
+            if (v(i) != null) { v(i).foreach { x => flat(k) = x; k += 1 } }
+            i += 1
+          }
+          addBuf(le64a(flat.map(java.lang.Double.doubleToLongBits)))
       }
     }
     val nodeV = nodes.result()

@@ -596,5 +596,118 @@ object SimQueries {
         WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
             * sqrt(list_dot_product(b.v, b.v))) >= CAST(0.15 AS DOUBLE)"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Vector-index build → SHIP → serve, end to end (round 12): sim09's
+    // IVF-PQ index (cell assignments + PQ-reconstructed vectors) is
+    // SERIALIZED into Arrow IPC shard streams (list<f64> keeps the
+    // reconstruction bit-exact), reloaded through the pyarrow-pinned
+    // reader, and only THEN queried — the real lifecycle where a builder
+    // job persists the index and a serving job loads it. The oracle is
+    // sim09's verbatim: the shipped index must answer IDENTICALLY to the
+    // never-serialized one, so one wrong byte through flatbuffer
+    // metadata, offsets, or f64 buffers flips a neighbor. Scale shape:
+    // postings shard by cell group (per-shard map, no extra shuffle);
+    // everything after is sim09's broadcast-routed equi-join plan.
+    GraftQuery(
+      "pipe05_index_ship",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
+          .transform(graft.core.Caches.persist)
+        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
+        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
+        val posting = cells.select(col("id").as("n_id"), col("cell_id"))
+          .join(rec.select(col("id").as("n_id"), col("rvec")), Seq("n_id"))
+        // ship: postings → Arrow IPC shards (4 cell groups) → reload
+        val shipped = posting
+          .groupBy((col("cell_id") % 4).as("g"))
+          .agg(collect_list(struct(col("cell_id").as("_1"),
+            col("n_id").as("_2"), col("rvec").as("_3"))).as("recs"))
+          .as[(Long, Seq[(Long, Long, Seq[Double])])]
+          .flatMap { case (_, recs) =>
+            import graft.ops.ArrowIpc._
+            val fields = Vector(
+              AField("cell_id", "i64", nullable = false),
+              AField("n_id", "i64", nullable = false),
+              AField("rvec", "list<f64>", nullable = false))
+            val bytes = graft.ops.ArrowIpc.write(fields, Seq(Vector[ACol](
+              ALongCol("cell_id", null, recs.map(_._1).toArray),
+              ALongCol("n_id", null, recs.map(_._2).toArray),
+              ADoubleListCol("rvec", null, recs.map(_._3.toArray).toArray))))
+            graft.ops.ArrowIpc.read(bytes).iterator.flatMap { b =>
+              val cid = b.cols(0).asInstanceOf[ALongCol].v
+              val nid = b.cols(1).asInstanceOf[ALongCol].v
+              val rv = b.cols(2).asInstanceOf[ADoubleListCol].v
+              (0 until b.nRows).iterator.map(i => (cid(i), nid(i), rv(i).toSeq))
+            }
+          }
+          .toDF("cell_id", "n_id", "rvec")
+        // serve: sim09's query path over the RELOADED index
+        val seeds = e.filter(col("id") < 16)
+          .select(col("id").as("cell_id"), col("vec").as("cell_vec"))
+        val cw = Window.partitionBy(col("q_id"))
+          .orderBy(col("c_cos").desc, col("cell_id").asc)
+        val routed = e.filter(col("id") < 20)
+          .select(col("id").as("q_id"), col("vec").as("q_vec"))
+          .crossJoin(broadcast(seeds))
+          .select(col("q_id"), col("q_vec"), col("cell_id"),
+            Similarity.cosine(col("q_vec"), col("cell_vec")).as("c_cos"))
+          .withColumn("crn", row_number().over(cw)).filter(col("crn") <= 2)
+          .select(col("q_id"), col("q_vec"), col("cell_id"))
+        val adc = Similarity.dot(col("q_vec"), col("q_vec")) +
+          Similarity.dot(col("rvec"), col("rvec")) -
+          lit(2.0) * Similarity.dot(col("q_vec"), col("rvec"))
+        val sw = Window.partitionBy(col("q_id"))
+          .orderBy(col("adc").asc, col("n_id").asc)
+        val short = broadcast(routed).join(shipped, Seq("cell_id"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), col("q_vec"), adc.as("adc"))
+          .withColumn("srn", row_number().over(sw)).filter(col("srn") <= 8)
+        val rw = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id").asc)
+        short.join(e.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+          .select(col("q_id"), col("n_id"), col("adc"),
+            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+          .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
+      },
+      // the shipped index must answer exactly like the live one: sim09's
+      // oracle, verbatim
+      Some(s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (SELECT id AS cell_id, v AS cv FROM e WHERE id < 16),
+        assign AS (SELECT id, cell_id FROM (
+            SELECT e.id, s.cell_id,
+              row_number() OVER (PARTITION BY e.id ORDER BY
+                list_dot_product(e.v, s.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                s.cell_id ASC) AS rn
+            FROM e CROSS JOIN seeds s) WHERE rn = 1),
+        $pqSqlCtes,
+        posting AS (SELECT a.id AS n_id, a.cell_id, r.rvec
+          FROM assign a JOIN rec r ON r.id = a.id),
+        routed AS (SELECT q_id, q_vec, cell_id FROM (
+            SELECT q.id AS q_id, q.v AS q_vec, s.cell_id,
+              row_number() OVER (PARTITION BY q.id ORDER BY
+                list_dot_product(q.v, s.cv) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                s.cell_id ASC) AS crn
+            FROM e q CROSS JOIN seeds s WHERE q.id < 20) WHERE crn <= 2),
+        short AS (SELECT q_id, n_id, adc, q_vec FROM (
+            SELECT r.q_id, p.n_id, r.q_vec,
+              list_dot_product(r.q_vec, r.q_vec) + list_dot_product(p.rvec, p.rvec)
+                - 2*list_dot_product(r.q_vec, p.rvec) AS adc,
+              row_number() OVER (PARTITION BY r.q_id ORDER BY
+                list_dot_product(r.q_vec, r.q_vec) + list_dot_product(p.rvec, p.rvec)
+                  - 2*list_dot_product(r.q_vec, p.rvec) ASC, p.n_id ASC) AS srn
+            FROM routed r JOIN posting p
+              ON r.cell_id = p.cell_id AND r.q_id <> p.n_id) WHERE srn <= 8)
+      SELECT q_id, n_id, adc, cos, rnk FROM (
+        SELECT s.q_id, s.n_id, s.adc,
+          list_dot_product(s.q_vec, e.v) / (sqrt(list_dot_product(s.q_vec, s.q_vec)) * sqrt(list_dot_product(e.v, e.v))) AS cos,
+          row_number() OVER (PARTITION BY s.q_id ORDER BY
+            list_dot_product(s.q_vec, e.v) / (sqrt(list_dot_product(s.q_vec, s.q_vec)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+            s.n_id ASC) AS rnk
+        FROM short s JOIN e ON e.id = s.n_id) WHERE rnk <= 3"""),
+    ),
   )
 }

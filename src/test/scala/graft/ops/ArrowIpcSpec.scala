@@ -90,6 +90,24 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(vc.elemNull(3).toVector == Vector(false, true))
   }
 
+  test("pyarrow list<float64> decodes bit-exactly; writer round-trips it") {
+    val bs = ArrowIpc.read(fixture("arrow_f64.arrows"))
+    val exp = obj("arrow_f64")
+    val c = bs.head.cols(1).asInstanceOf[ADoubleListCol]
+    assert(c.v.map(_.toVector).toVector ==
+      arr(exp("rvec")).map(a => arr(a).map(num)))
+    // writer round trip at full double precision
+    val fields = Vector(
+      AField("id", "i64", nullable = false),
+      AField("rvec", "list<f64>", nullable = true))
+    val cols = Vector[ACol](
+      ALongCol("id", null, Array(7L)),
+      ADoubleListCol("rvec", null, Array(Array(math.Pi, -1e300, 2.0))))
+    val back = ArrowIpc.read(ArrowIpc.write(fields, Seq(cols)))
+    assert(back.head.cols(1).asInstanceOf[ADoubleListCol].v(0).toVector ==
+      Vector(math.Pi, -1e300, 2.0))
+  }
+
   test("empty batch round trips (schema + 0 rows + EOS)") {
     val bs = ArrowIpc.read(fixture("arrow_empty.arrows"))
     assert(bs.length == 1 && bs.head.nRows == 0)

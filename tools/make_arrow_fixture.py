@@ -97,6 +97,20 @@ def main():
         "vec": [[1.0], None, [], [2.0, None]],
     }
 
+    f64s = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("rvec", pa.list_(pa.float64())),
+    ])
+    fb = pa.record_batch([
+        pa.array([1, 2], pa.int64()),
+        pa.array([[0.5, -1e300, 2.0 ** 53], []], pa.list_(pa.float64())),
+    ], schema=f64s)
+    write_stream(os.path.join(OUT, "arrow_f64.arrows"), f64s, [fb])
+    exp["arrow_f64"] = {
+        "id": [1, 2],
+        "rvec": [[0.5, -1e300, 2.0 ** 53], []],
+    }
+
     es = pa.schema([pa.field("id", pa.int64()), pa.field("t", pa.utf8())])
     write_stream(os.path.join(OUT, "arrow_empty.arrows"), es,
                  [pa.record_batch([pa.array([], pa.int64()),
