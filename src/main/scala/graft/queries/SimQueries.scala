@@ -570,6 +570,10 @@ object SimQueries {
           sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * Similarity.cosine(a, b)))
         val members = cells.join(broadcast(seeds), Seq("cell_id"))
           .select(col("cell_id"), col("id").as("n_id"), col("vec").as("n_vec"),
+            // norm precomputed ONCE per vector (sim01's shape): sqrt is
+            // deterministic per value, so dot/(qn*nn) is bit-identical
+            // to the oracle's per-pair expression
+            Similarity.norm(col("vec")).as("nn"),
             sphereDist(col("vec"), col("cvec")).as("dcv"))
         val radii = members.groupBy(col("cell_id")).agg(max(col("dcv")).as("r"))
         // query side bounded (id < 500 ∧ id % 5 = 0 → ≤100 queries at ANY
@@ -577,15 +581,17 @@ object SimQueries {
         // inherently |queries|·density·N, so an unbounded query side would
         // make the operator quadratic no matter how good the pruning
         val q = e.filter(col("id") % 5 === 0 && col("id") < 500)
-          .select(col("id").as("q_id"), col("vec").as("q_vec"))
+          .select(col("id").as("q_id"), col("vec").as("q_vec"),
+            Similarity.norm(col("vec")).as("qn"))
         val probe = q
           .crossJoin(broadcast(seeds.join(radii, Seq("cell_id"))))
           .filter(sphereDist(col("q_vec"), col("cvec")) - col("r") <= lit(dmax))
-          .select(col("q_id"), col("q_vec"), col("cell_id"))
-        probe.join(members.select(col("cell_id"), col("n_id"), col("n_vec")),
+          .select(col("q_id"), col("q_vec"), col("qn"), col("cell_id"))
+        probe.join(members.select(col("cell_id"), col("n_id"), col("n_vec"), col("nn")),
             Seq("cell_id"))
           .select(col("q_id"), col("n_id"),
-            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+            (Similarity.dot(col("q_vec"), col("n_vec")) / (col("qn") * col("nn")))
+              .as("cos"))
           .filter(col("q_id") =!= col("n_id") && col("cos") >= lit(tau))
       },
       Some("""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -649,6 +649,137 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // safetensors embedding-shard round trip ([[graft.ops.Safetensors]]
+    // — the tensor container the model ecosystem ships; u64-LE header
+    // length + JSON header + raw LE buffer): each shard group of the
+    // embeddings table becomes one file of `vecs` (F32 [n, 64]) + `ids`
+    // (I64 [n]) with provenance __metadata__, strictly re-read (exact
+    // offset-coverage validation). Aggregates mirror npy01's fixed-point
+    // element checksum. The container-family 100 TB shape.
+    GraftQuery(
+      "st01_safetensors_shards",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .flatMap { case (g, recs) =>
+            val n = recs.length
+            val dim = recs.head._2.length
+            val flat = new Array[Float](n * dim)
+            var i = 0
+            recs.foreach { case (_, v) => v.foreach { x => flat(i) = x; i += 1 } }
+            val shard = graft.ops.Safetensors.write(
+              Seq(
+                "vecs" -> graft.ops.Safetensors.floatTensor(
+                  Seq(n.toLong, dim.toLong), flat),
+                "ids" -> graft.ops.Safetensors.longTensor(recs.map(_._1).toArray)),
+              metadata = Seq("shard" -> g.toString, "source" -> "graft"))
+            val (ts, meta) = graft.ops.Safetensors.read(shard)
+            require(meta("shard") == g.toString)
+            val m = ts.toMap
+            val ids = m("ids").longs
+            val vs = m("vecs").floats
+            val bdim = m("vecs").shape(1).toInt
+            ids.iterator.zipWithIndex.map { case (id, r) =>
+              var vc = 0L
+              var j = r * bdim
+              val end = j + bdim
+              while (j < end) {
+                vc += new java.math.BigDecimal(vs(j).toDouble * 1024.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                j += 1
+              }
+              (g % 8, id, bdim.toLong, vc)
+            }
+          }
+          .toDF("bucket", "id", "dim", "vc")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("id")).as("id_sum"),
+            sum(col("dim")).as("dim_sum"),
+            sum(col("vc")).as("val_check"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          x AS (SELECT (vec_id // 32) % 8 AS bucket, vec_id, len(v) AS dim,
+              CAST(list_sum(list_transform(v,
+                y -> CAST(round(y * 1024) AS BIGINT))) AS BIGINT) AS vc
+            FROM e)
+        SELECT bucket, count(*) AS n_vecs,
+          CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          CAST(sum(dim) AS BIGINT) AS dim_sum,
+          CAST(sum(vc) AS BIGINT) AS val_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant safetensors scan: a deterministic slice of shards
+    // is poisoned — header-JSON byte flip (bad_header), dtype patched to
+    // an unmodeled one (unsupported_dtype), buffer tail dropped
+    // (truncated: the last tensor's declared extent runs past the
+    // buffer) — and each rotten shard becomes ONE typed error row while
+    // healthy shards contribute exact counts. The container family's
+    // contract on the safetensors layer.
+    GraftQuery(
+      "st02_poisoned_safetensors",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .map { case (g, recs) =>
+            val clean = graft.ops.Safetensors.write(Seq(
+              "ids" -> graft.ops.Safetensors.longTensor(recs.map(_._1).toArray)))
+            val shard = (h60(s"st:$g") % 7) match {
+              case 0 => val b = clean.clone(); b(9) = (b(9) ^ 0x15).toByte; b
+              case 1 =>
+                val b = clean.clone()
+                val at = (0 until b.length - 2).indexWhere(k =>
+                  b(k) == 'I' && b(k + 1) == '6' && b(k + 2) == '4')
+                b(at) = 'U'; b
+              case 2 => java.util.Arrays.copyOf(clean, clean.length - 8)
+              case _ => clean
+            }
+            graft.ops.Safetensors.readSafe(shard) match {
+              case Right((ts, _)) =>
+                val ids = ts.toMap.apply("ids").longs
+                ("ok", 1L, ids.length.toLong, ids.sum)
+              case Left(kind) => (kind, 1L, 0L, 0L)
+            }
+          }
+          .toDF("outcome", "one", "n_vecs", "id_sum")
+          .groupBy()
+          .agg(
+            sum(col("one")).as("n_shards"),
+            sum(when(col("outcome") === "ok", 1L).otherwise(0L)).as("n_ok"),
+            sum(when(col("outcome") === "bad_header", 1L).otherwise(0L)).as("n_header"),
+            sum(when(col("outcome") === "unsupported_dtype", 1L).otherwise(0L)).as("n_dtype"),
+            sum(when(col("outcome") === "truncated", 1L).otherwise(0L)).as("n_trunc"),
+            sum(when(col("outcome") === "ok", col("n_vecs")).otherwise(0L)).as("vecs_ok"),
+            sum(when(col("outcome") === "ok", col("id_sum")).otherwise(0L)).as("ids_ok"))
+      },
+      Some(s"""WITH g AS (SELECT vec_id // 32 AS g, count(*) AS n,
+            CAST(sum(vec_id) AS BIGINT) AS ids
+          FROM embeddings GROUP BY 1),
+        c AS (SELECT g, n, ids,
+            ${TA.Sql.hash60("'st:' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT count(*) AS n_shards,
+          count(CASE WHEN p >= 3 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_header,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_dtype,
+          count(CASE WHEN p = 2 THEN 1 END) AS n_trunc,
+          CAST(sum(CASE WHEN p >= 3 THEN n ELSE 0 END) AS BIGINT) AS vecs_ok,
+          CAST(sum(CASE WHEN p >= 3 THEN ids ELSE 0 END) AS BIGINT) AS ids_ok
+        FROM c"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Arrow IPC stream-shard round trip ([[graft.ops.ArrowIpc]] — the
     // zero-copy interchange container training stacks, DuckDB and
     // dataloaders consume natively; reader pinned bit-exact against
