@@ -67,7 +67,9 @@ object ArrowIpc {
     */
   private final class Fb(b: Array[Byte], off: Int, len: Int) {
     private def ck(o: Int, n: Int): Int = {
-      if (o < 0 || o + n > len) fail("bad_stream", s"flatbuffer offset $o+$n outside $len")
+      // Long math: a mutated length can make o + n wrap Int and sneak past
+      if (o < 0 || n < 0 || o.toLong + n > len)
+        fail("bad_stream", s"flatbuffer offset $o+$n outside $len")
       off + o
     }
     def u8(o: Int): Int = b(ck(o, 1)) & 0xff
@@ -95,6 +97,17 @@ object ArrowIpc {
     }
     def vecLen(o: Int): Int = i32(indirect(o))
     def vecPos(o: Int): Int = indirect(o) + 4
+    /** (count, elementsPos) with the count BOUNDS-CHECKED against the
+      * metadata slice — a mutated count otherwise drives giant
+      * allocations before any per-element read can fail
+      */
+    def vec(o: Int, elemSize: Int): (Int, Int) = {
+      val p = indirect(o)
+      val n = i32(p)
+      if (n < 0 || p + 4 + n.toLong * elemSize > len)
+        fail("bad_stream", s"vector $n x $elemSize outside $len")
+      (n, p + 4)
+    }
   }
 
   // -------------------------------------------- flatbuffers (building) --
@@ -137,7 +150,7 @@ object ArrowIpc {
       prep(4, bs.length)
       head -= bs.length
       System.arraycopy(bs, 0, buf, head, bs.length)
-      rawI32(bs.length) // wait — rawI32 decrements head; see pushI32 note
+      rawI32(bs.length) // length prefix lands below the bytes (lowest abs)
       used
     }
     /** begin a vector of `count` elems of `elemSize` (structs included);
@@ -265,9 +278,8 @@ object ArrowIpc {
     if (endian != 0) fail("unsupported_endianness", s"endianness $endian")
     val fVecF = fb.field(sch, 1)
     if (fVecF < 0) return Vector.empty
-    val n = fb.vecLen(fVecF)
-    val vp = fb.vecPos(fVecF)
-    (0 until n).toVector.map { i =>
+    val (n, vp) = fb.vec(fVecF, 4)
+    Vector.tabulate(n) { i =>
       val fld = fb.indirect(vp + i * 4)
       parseField(fb, fld, topLevel = true)
     }
@@ -322,10 +334,8 @@ object ArrowIpc {
     val nodesF = fb.field(rb, 1)
     val bufsF = fb.field(rb, 2)
     if (nodesF < 0 || bufsF < 0) fail("bad_stream", "batch missing nodes/buffers")
-    val nNodes = fb.vecLen(nodesF)
-    val nodesP = fb.vecPos(nodesF)
-    val nBufs = fb.vecLen(bufsF)
-    val bufsP = fb.vecPos(bufsF)
+    val (nNodes, nodesP) = fb.vec(nodesF, 16)
+    val (nBufs, bufsP) = fb.vec(bufsF, 16)
     var node = 0
     var buf = 0
     def nextNode(): (Int, Long) = {
@@ -350,7 +360,7 @@ object ArrowIpc {
       val (o, len) = nextBuf()
       if (nullCount == 0L || len == 0) null
       else {
-        if (len * 8 < n) fail("truncated", s"validity bitmap $len bytes for $n")
+        if (len.toLong * 8 < n.toLong) fail("truncated", s"validity bitmap $len bytes for $n")
         Array.tabulate(n)(i => (bytes(o + (i >> 3)) & (1 << (i & 7))) != 0)
       }
     }
@@ -360,30 +370,30 @@ object ArrowIpc {
       f.typ match {
         case "i64" =>
           val (o, len) = nextBuf()
-          if (len < n * 8) fail("truncated", s"i64 data ${f.name}")
+          if (len.toLong < n.toLong * 8) fail("truncated", s"i64 data ${f.name}")
           ALongCol(f.name, valid, Array.tabulate(n)(i => leL(bytes, o + i * 8)))
         case "i32" =>
           val (o, len) = nextBuf()
-          if (len < n * 4) fail("truncated", s"i32 data ${f.name}")
+          if (len.toLong < n.toLong * 4) fail("truncated", s"i32 data ${f.name}")
           AIntCol(f.name, valid, Array.tabulate(n)(i => leI(bytes, o + i * 4)))
         case "f64" =>
           val (o, len) = nextBuf()
-          if (len < n * 8) fail("truncated", s"f64 data ${f.name}")
+          if (len.toLong < n.toLong * 8) fail("truncated", s"f64 data ${f.name}")
           ADoubleCol(f.name, valid,
             Array.tabulate(n)(i => java.lang.Double.longBitsToDouble(leL(bytes, o + i * 8))))
         case "f32" =>
           val (o, len) = nextBuf()
-          if (len < n * 4) fail("truncated", s"f32 data ${f.name}")
+          if (len.toLong < n.toLong * 4) fail("truncated", s"f32 data ${f.name}")
           AFloatCol(f.name, valid,
             Array.tabulate(n)(i => java.lang.Float.intBitsToFloat(leI(bytes, o + i * 4))))
         case "bool" =>
           val (o, len) = nextBuf()
-          if (n > 0 && len * 8 < n) fail("truncated", s"bool data ${f.name}")
+          if (n > 0 && len.toLong * 8 < n.toLong) fail("truncated", s"bool data ${f.name}")
           ABoolCol(f.name, valid,
             Array.tabulate(n)(i => (bytes(o + (i >> 3)) & (1 << (i & 7))) != 0))
         case "utf8" =>
           val (oo, olen) = nextBuf()
-          if (n > 0 && olen < (n + 1) * 4) fail("truncated", s"utf8 offsets ${f.name}")
+          if (n > 0 && olen.toLong < (n.toLong + 1) * 4) fail("truncated", s"utf8 offsets ${f.name}")
           val (od, _) = nextBuf()
           AStrCol(f.name, valid, Array.tabulate(n) { i =>
             if (valid != null && !valid(i)) null
@@ -395,11 +405,11 @@ object ArrowIpc {
           })
         case "list<f32>" =>
           val (oo, olen) = nextBuf()
-          if (n > 0 && olen < (n + 1) * 4) fail("truncated", s"list offsets ${f.name}")
+          if (n > 0 && olen.toLong < (n.toLong + 1) * 4) fail("truncated", s"list offsets ${f.name}")
           val (cn, cnc) = nextNode()
           val cvalid = readValidity(cn, cnc)
           val (od, dlen) = nextBuf()
-          if (dlen < cn * 4) fail("truncated", s"list data ${f.name}")
+          if (dlen.toLong < cn.toLong * 4) fail("truncated", s"list data ${f.name}")
           val vs = new Array[Array[Float]](n)
           val en = if (cvalid == null) null else new Array[Array[Boolean]](n)
           var i = 0
@@ -417,12 +427,12 @@ object ArrowIpc {
           AFloatListCol(f.name, valid, vs, en)
         case "list<f64>" =>
           val (oo, olen) = nextBuf()
-          if (n > 0 && olen < (n + 1) * 4) fail("truncated", s"list offsets ${f.name}")
+          if (n > 0 && olen.toLong < (n.toLong + 1) * 4) fail("truncated", s"list offsets ${f.name}")
           val (cn, cnc) = nextNode()
           val cvalid = readValidity(cn, cnc)
           if (cvalid != null) fail("unsupported_type", s"f64 list element nulls ${f.name}")
           val (od, dlen) = nextBuf()
-          if (dlen < cn * 8) fail("truncated", s"list data ${f.name}")
+          if (dlen.toLong < cn.toLong * 8) fail("truncated", s"list data ${f.name}")
           val vs = new Array[Array[Double]](n)
           var i = 0
           while (i < n) {

@@ -155,14 +155,18 @@ object Safetensors {
         val elems =
           try shape.foldLeft(1L)(Math.multiplyExact)
           catch { case _: ArithmeticException => fail("bad_header", s"$name: shape overflow") }
-        if (elems * width > graft.core.Budget.maxInflatedBytes)
+        val need =
+          try Math.multiplyExact(elems, width.toLong)
+          catch { case _: ArithmeticException => fail("bad_header", s"$name: size overflow") }
+        if (need > graft.core.Budget.maxInflatedBytes)
           fail("bad_header", s"$name: $elems elements past budget")
         val (a, b) = m.get("data_offsets") match {
-          case Some(JArr(Vector(JInt(x), JInt(y)))) if x >= 0 && y >= x =>
+          case Some(JArr(Vector(JInt(x), JInt(y))))
+              if x >= 0 && y >= x && x.isValidLong && y.isValidLong =>
             (x.toLong, y.toLong)
           case _ => fail("bad_header", s"$name: bad data_offsets")
         }
-        if (b - a != elems * width) fail("bad_offsets", s"$name: ${b - a} != $elems x $width")
+        if (b - a != need) fail("bad_offsets", s"$name: ${b - a} != $elems x $width")
         if (b > bufLen) fail("truncated", s"$name: offset $b past buffer $bufLen")
         tensors += ((name,
           Tensor(dtype, shape,

@@ -1,0 +1,90 @@
+package graft.tools
+
+import graft.ops.{ArrowIpc, Flac, Msgpack, Npy, Safetensors}
+import graft.ops.ArrowIpc.{ACol, AField, ALongCol, AStrCol}
+
+/** Exhaustive single-byte-mutation harness for the safe readers: every
+  * (position, xor) pair of a valid file must yield a TYPED refusal or a
+  * successful parse — never a throw, never a slow path (a mutated
+  * declared count driving a giant allocation is a denial-of-service on
+  * a 100 TB scan; this harness caught exactly that in the round-12
+  * Arrow reader: Int-overflowing size checks and an unchecked
+  * fields-vector count). ContainerFuzzSpec carries the randomized
+  * always-on version; run this before shipping a new container codec:
+  *
+  *   sbt "runMain graft.tools.FuzzHunt"
+  */
+object FuzzHunt {
+
+  private def hunt(name: String, valid: Array[Byte], kinds: Set[String],
+      parse: Array[Byte] => Either[String, Any]): Int = {
+    var bad = 0
+    for (pos <- valid.indices; x <- 1 until 256) {
+      val m = valid.clone(); m(pos) = (m(pos) ^ x).toByte
+      val t0 = System.nanoTime()
+      try {
+        parse(m) match {
+          case Left(k) if !kinds.contains(k) =>
+            bad += 1; if (bad < 10) println(s"[$name] KIND pos=$pos x=$x kind=$k")
+          case _ => ()
+        }
+      } catch {
+        case e: Throwable =>
+          bad += 1
+          if (bad < 10) println(s"[$name] THROW pos=$pos x=$x ${e.getClass.getName}")
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (ms > 100) { bad += 1; println(s"[$name] SLOW pos=$pos x=$x ${ms.toInt}ms") }
+    }
+    println(s"[$name] bad: $bad over ${valid.length * 255} mutations")
+    bad
+  }
+
+  def main(args: Array[String]): Unit = {
+    var total = 0
+
+    total += hunt("arrow",
+      ArrowIpc.write(
+        Vector(AField("id", "i64", nullable = false),
+          AField("t", "utf8", nullable = true)),
+        Seq(Vector[ACol](
+          ALongCol("id", null, Array(1L, 2L, 3L)),
+          AStrCol("t", Array(true, false, true), Array("a", null, "ccc"))))),
+      Set("bad_stream", "truncated", "too_large", "bad_schema",
+        "unsupported_type", "unsupported_dictionary",
+        "unsupported_compression", "unsupported_endianness"),
+      ArrowIpc.readSafe)
+
+    total += hunt("npz",
+      Npy.writeNpz(Seq(
+        "ids" -> Npy.writeLongs(Array(1L, 2L, 3L)),
+        "vecs" -> Npy.writeFloats(Seq(3L, 2L), Array(1f, 2f, 3f, 4f, 5f, 6f)))),
+      Set("bad_magic", "bad_version", "bad_header", "unsupported_dtype",
+        "fortran_order", "size_mismatch", "too_large", "bad_zip", "truncated"),
+      Npy.readNpzSafe)
+
+    total += hunt("msgpack",
+      Msgpack.encodeAll(Seq(graft.etl.JObj(Vector(
+        "id" -> graft.etl.JInt(BigInt(7)),
+        "t" -> graft.etl.JStr("hello"),
+        "xs" -> graft.etl.JArr(Vector(graft.etl.JFloat(1.5), graft.etl.JNull)))))),
+      Set("truncated", "bad_type", "too_large", "trailing_garbage"),
+      Msgpack.decodeAllSafe)
+
+    total += hunt("safetensors",
+      Safetensors.write(Seq(
+        "ids" -> Safetensors.longTensor(Array(1L, 2L)),
+        "v" -> Safetensors.floatTensor(Seq(2L, 2L), Array(1f, 2f, 3f, 4f)))),
+      Set("bad_header", "unsupported_dtype", "bad_offsets", "truncated"),
+      Safetensors.readSafe)
+
+    total += hunt("flac",
+      Flac.write(44100, 2, 16, 1000L, new Array[Byte](16),
+        vendor = "v", comments = Seq("TITLE" -> "t"), paddingBytes = 8),
+      Set("bad_magic", "truncated", "bad_streaminfo", "bad_comment", "too_large"),
+      Flac.readSafe)
+
+    println(s"TOTAL bad: $total")
+    if (total > 0) sys.exit(1)
+  }
+}

@@ -148,4 +148,136 @@ class ContainerFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- round-12 session-3 codecs: npy/npz, Arrow IPC, msgpack,
+  // safetensors, FLAC — same total-robustness contract ----
+
+  private val validNpz: Array[Byte] = Npy.writeNpz(Seq(
+    "ids" -> Npy.writeLongs(Array(1L, 2L, 3L)),
+    "vecs" -> Npy.writeFloats(Seq(3L, 2L), Array(1f, 2f, 3f, 4f, 5f, 6f))))
+
+  test("Npy readSafe/readNpzSafe are total on garbage and mutations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Npy.readSafe(b).isLeft || Npy.readSafe(b).isRight
+    })
+    check(Prop.forAll(bytesGen) { b =>
+      Npy.readNpzSafe(b).isLeft || Npy.readNpzSafe(b).isRight
+    })
+    val kinds = Set("bad_magic", "bad_version", "bad_header",
+      "unsupported_dtype", "fortran_order", "size_mismatch", "too_large",
+      "bad_zip", "truncated")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validNpz.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validNpz.clone(); m(pos) = (m(pos) ^ x).toByte
+      Npy.readNpzSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+  }
+
+  private val validArrow: Array[Byte] = {
+    import ArrowIpc._
+    ArrowIpc.write(
+      Vector(AField("id", "i64", nullable = false),
+        AField("t", "utf8", nullable = true)),
+      Seq(Vector[ACol](
+        ALongCol("id", null, Array(1L, 2L, 3L)),
+        AStrCol("t", Array(true, false, true), Array("a", null, "ccc")))))
+  }
+
+  test("ArrowIpc.readSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      ArrowIpc.readSafe(b).isLeft || ArrowIpc.readSafe(b).isRight
+    })
+    val kinds = Set("bad_stream", "truncated", "too_large", "bad_schema",
+      "unsupported_type", "unsupported_dictionary",
+      "unsupported_compression", "unsupported_endianness")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validArrow.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validArrow.clone(); m(pos) = (m(pos) ^ x).toByte
+      ArrowIpc.readSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    (0 until validArrow.length).foreach { n =>
+      ArrowIpc.readSafe(java.util.Arrays.copyOf(validArrow, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(_)   => fail(s"cut at $n parsed (EOS can't survive a cut)")
+      }
+    }
+  }
+
+  private val validMsgpack: Array[Byte] = Msgpack.encodeAll(Seq(
+    graft.etl.JObj(Vector(
+      "id" -> graft.etl.JInt(BigInt(7)),
+      "t" -> graft.etl.JStr("hello"),
+      "xs" -> graft.etl.JArr(Vector(graft.etl.JFloat(1.5), graft.etl.JNull))))))
+
+  test("Msgpack.decodeAllSafe is total on garbage and mutations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Msgpack.decodeAllSafe(b).isLeft || Msgpack.decodeAllSafe(b).isRight
+    })
+    val kinds = Set("truncated", "bad_type", "too_large", "trailing_garbage")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validMsgpack.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validMsgpack.clone(); m(pos) = (m(pos) ^ x).toByte
+      Msgpack.decodeAllSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+  }
+
+  private val validSt: Array[Byte] = Safetensors.write(Seq(
+    "ids" -> Safetensors.longTensor(Array(1L, 2L)),
+    "v" -> Safetensors.floatTensor(Seq(2L, 2L), Array(1f, 2f, 3f, 4f))))
+
+  test("Safetensors.readSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Safetensors.readSafe(b).isLeft || Safetensors.readSafe(b).isRight
+    })
+    val kinds = Set("bad_header", "unsupported_dtype", "bad_offsets", "truncated")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validSt.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validSt.clone(); m(pos) = (m(pos) ^ x).toByte
+      Safetensors.readSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    (0 until validSt.length).foreach { n =>
+      Safetensors.readSafe(java.util.Arrays.copyOf(validSt, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(_)   => fail(s"cut at $n parsed (coverage check can't pass)")
+      }
+    }
+  }
+
+  private val validFlac: Array[Byte] = Flac.write(44100, 2, 16, 1000L,
+    new Array[Byte](16), vendor = "v", comments = Seq("TITLE" -> "t"),
+    paddingBytes = 8)
+
+  test("Flac.readSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Flac.readSafe(b).isLeft || Flac.readSafe(b).isRight
+    })
+    val kinds = Set("bad_magic", "truncated", "bad_streaminfo",
+      "bad_comment", "too_large")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validFlac.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validFlac.clone(); m(pos) = (m(pos) ^ x).toByte
+      Flac.readSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    (0 until validFlac.length).foreach { n =>
+      Flac.readSafe(java.util.Arrays.copyOf(validFlac, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(_)   => fail(s"cut at $n parsed (last block can't end early)")
+      }
+    }
+  }
 }
