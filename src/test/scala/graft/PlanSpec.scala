@@ -622,4 +622,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("sim11: probed queries broadcast into a cell equi-join, never a cartesian") {
+    // the range search's exact phase must be |admissible cells| work per
+    // query: the query×cell probe side broadcasts, candidates arrive by
+    // cell_id equi-join, and no plan node is a cross/nested-loop join
+    // over the corpus.
+    val p = planOf("sim11_range_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipe05: the served index joins by cell_id; routed queries broadcast") {
+    // after the Arrow ship/reload, the serve path must keep sim09's
+    // shape: broadcast-routed queries, postings probed by cell equi-join,
+    // shortlist re-rank by keyed join — never a corpus cross join.
+    val p = planOf("pipe05_index_ship")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
