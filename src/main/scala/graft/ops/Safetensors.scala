@@ -47,10 +47,82 @@ object Safetensors {
       require(dtype == "I32", s"not I32: $dtype")
       val out = new Array[Int](elems.toInt); le.asIntBuffer.get(out); out
     }
+    /** F16 payload dequantized to float (exact: every half is a float) */
+    def halfFloats: Array[Float] = {
+      require(dtype == "F16", s"not F16: $dtype")
+      val out = new Array[Float](elems.toInt)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Safetensors.halfToFloat(
+          ((data(i * 2) & 0xff) | ((data(i * 2 + 1) & 0xff) << 8)).toShort)
+        i += 1
+      }
+      out
+    }
+    /** BF16 payload widened to float (exact: bf16 is f32's top 16 bits) */
+    def bfloats: Array[Float] = {
+      require(dtype == "BF16", s"not BF16: $dtype")
+      val out = new Array[Float](elems.toInt)
+      var i = 0
+      while (i < out.length) {
+        out(i) = java.lang.Float.intBitsToFloat(
+          ((data(i * 2) & 0xff) | ((data(i * 2 + 1) & 0xff) << 8)) << 16)
+        i += 1
+      }
+      out
+    }
   }
 
   private val Widths: Map[String, Int] =
-    Map("F32" -> 4, "F64" -> 8, "I32" -> 4, "I64" -> 8)
+    Map("F32" -> 4, "F64" -> 8, "I32" -> 4, "I64" -> 8,
+      "F16" -> 2, "BF16" -> 2)
+
+  // ---- half-precision conversion (IEEE 754 binary16, RN-even — pinned
+  // bit-for-bit against numpy's astype(float16) in SafetensorsSpec) ----
+
+  /** f32 → f16 bits with round-to-nearest-even. All intermediate
+    * arithmetic is EXACT (f32→f64 widening + power-of-two scaling), and
+    * Math.rint IS round-half-to-even, so no bit-twiddling tie logic.
+    */
+  def floatToHalf(v: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(v)
+    val s = (bits >>> 16) & 0x8000
+    val abs = java.lang.Float.intBitsToFloat(bits & 0x7fffffff)
+    if (java.lang.Float.isNaN(v)) return (s | 0x7e00).toShort
+    if (abs.isInfinite || abs >= 65520.0f) return (s | 0x7c00).toShort
+    if (abs < 6.103515625e-5f) { // below 2^-14: subnormal halves are n/2^24
+      val n = Math.rint(abs.toDouble * 16777216.0).toInt
+      return (s | n).toShort // n == 1024 lands exactly on the first normal
+    }
+    val e2 = Math.getExponent(abs) // floor(log2), exact
+    var n = Math.rint(abs.toDouble * math.pow(2.0, 10 - e2)).toInt // in [1024, 2048]
+    var he = e2 + 15
+    if (n == 2048) { n = 1024; he += 1 }
+    if (he >= 31) (s | 0x7c00).toShort
+    else (s | (he << 10) | (n - 1024)).toShort
+  }
+
+  /** f16 bits → float, exact. */
+  def halfToFloat(h: Short): Float = {
+    val s = if ((h & 0x8000) != 0) -1.0f else 1.0f
+    val e = (h >> 10) & 0x1f
+    val m = h & 0x3ff
+    if (e == 0x1f) {
+      if (m != 0) Float.NaN
+      else if (s < 0) Float.NegativeInfinity else Float.PositiveInfinity
+    } else if (e == 0) s * m * 5.9604644775390625e-8f // 2^-24
+    else s * (1024 + m) * math.pow(2.0, e - 25).toFloat
+  }
+
+  /** f32 → bf16 bits with round-to-nearest-even (the TF convention). */
+  def floatToBf16(v: Float): Short = {
+    val x = java.lang.Float.floatToIntBits(v)
+    if ((x & 0x7fffffff) > 0x7f800000) (((x >>> 16) | 0x40) & 0xffff).toShort
+    else {
+      val lsb = (x >>> 16) & 1
+      ((x + 0x7fff + lsb) >>> 16).toShort
+    }
+  }
 
   final class StError(val kind: String, msg: String)
       extends RuntimeException(s"$kind: $msg")
@@ -66,6 +138,28 @@ object Safetensors {
   def longTensor(v: Array[Long]): Tensor = {
     val b = ByteBuffer.allocate(v.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     b.asLongBuffer.put(v); Tensor("I64", Vector(v.length.toLong), b.array())
+  }
+  /** F16 tensor: values converted RN-even (numpy astype(float16) parity) */
+  def halfTensor(shape: Seq[Long], v: Array[Float]): Tensor = {
+    val b = new Array[Byte](v.length * 2)
+    var i = 0
+    while (i < v.length) {
+      val h = floatToHalf(v(i))
+      b(i * 2) = (h & 0xff).toByte; b(i * 2 + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    Tensor("F16", shape.toVector, b)
+  }
+  /** BF16 tensor: values converted RN-even (the TF convention) */
+  def bf16Tensor(shape: Seq[Long], v: Array[Float]): Tensor = {
+    val b = new Array[Byte](v.length * 2)
+    var i = 0
+    while (i < v.length) {
+      val h = floatToBf16(v(i))
+      b(i * 2) = (h & 0xff).toByte; b(i * 2 + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    Tensor("BF16", shape.toVector, b)
   }
 
   /** Canonical serialization: tensors laid out in the given order at

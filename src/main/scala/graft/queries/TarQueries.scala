@@ -716,6 +716,77 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Half-precision safetensors shards ([[graft.ops.Safetensors]] F16,
+    // round 12): the format real embedding dumps actually use. Vectors
+    // quantize to the k/256 grid (exactly representable in binary16 for
+    // |x| < 8, so the f32→f16→f32 trip is LOSSLESS by construction and
+    // the oracle needs no half-float math: round(y·256)·4 IS the
+    // dequantized checksum), ship as F16 tensors — the conversion
+    // pinned BIT-identical to numpy astype(float16) by SafetensorsSpec
+    // — and re-read through the dequantizing accessor. One wrong bit in
+    // the RN-even conversion or the 2-byte layout breaks val_check.
+    GraftQuery(
+      "st03_half_precision",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .flatMap { case (g, recs) =>
+            val n = recs.length
+            val dim = recs.head._2.length
+            val grid = new Array[Float](n * dim)
+            var i = 0
+            recs.foreach { case (_, v) =>
+              v.foreach { x =>
+                // k/256 grid, HALF_UP away-from-zero = DuckDB round
+                val k = new java.math.BigDecimal(x.toDouble * 256.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                grid(i) = (k / 256.0).toFloat // exact: |k| < 2048
+                i += 1
+              }
+            }
+            val shard = graft.ops.Safetensors.write(Seq(
+              "half" -> graft.ops.Safetensors.halfTensor(
+                Seq(n.toLong, dim.toLong), grid),
+              "ids" -> graft.ops.Safetensors.longTensor(recs.map(_._1).toArray)))
+            val (ts, _) = graft.ops.Safetensors.read(shard)
+            val m = ts.toMap
+            val ids = m("ids").longs
+            val hs = m("half").halfFloats
+            ids.iterator.zipWithIndex.map { case (id, r) =>
+              var vc = 0L
+              var j = r * dim
+              val end = j + dim
+              while (j < end) {
+                vc += new java.math.BigDecimal(hs(j).toDouble * 1024.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                j += 1
+              }
+              (g % 8, id, vc)
+            }
+          }
+          .toDF("bucket", "id", "vc")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("id")).as("id_sum"),
+            sum(col("vc")).as("val_check"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          x AS (SELECT (vec_id // 32) % 8 AS bucket, vec_id,
+              CAST(list_sum(list_transform(v,
+                y -> CAST(round(y * 256) AS BIGINT) * 4)) AS BIGINT) AS vc
+            FROM e)
+        SELECT bucket, count(*) AS n_vecs,
+          CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          CAST(sum(vc) AS BIGINT) AS val_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Fault-tolerant safetensors scan: a deterministic slice of shards
     // is poisoned — header-JSON byte flip (bad_header), dtype patched to
     // an unmodeled one (unsupported_dtype), buffer tail dropped

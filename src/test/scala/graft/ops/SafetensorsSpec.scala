@@ -86,6 +86,42 @@ class SafetensorsSpec extends AnyFunSuite {
       metadata = Seq("k" -> "v")).toSeq == bytes.toSeq)
   }
 
+  test("f32→f16 conversion is BIT-identical to numpy astype(float16)") {
+    val e = obj("f16_conv")
+    val f32s = nums(e("f32_bits")).map(x => BigDecimal(x).toLongExact.toInt)
+    val f16s = nums(e("f16_bits")).map(x => BigDecimal(x).toLongExact.toInt)
+    val backs = nums(e("back_f32_bits")).map(x => BigDecimal(x).toLongExact.toInt)
+    f32s.indices.foreach { i =>
+      val in = java.lang.Float.intBitsToFloat(f32s(i))
+      val got = Safetensors.floatToHalf(in) & 0xffff
+      assert(got == f16s(i),
+        s"i=$i in=$in: got ${got.toHexString}, numpy ${f16s(i).toHexString}")
+      val back = Safetensors.halfToFloat(f16s(i).toShort)
+      assert(java.lang.Float.floatToIntBits(back) == backs(i),
+        s"i=$i decode: got $back, numpy bits ${backs(i).toHexString}")
+    }
+  }
+
+  test("F16 fixture decodes bit-exactly; F16/BF16 round-trip through our writer") {
+    val (ts, _) = Safetensors.read(fixture("st_half.safetensors"))
+    val h = ts.toMap.apply("h")
+    assert(h.dtype == "F16")
+    val bits = nums(obj("st_half")("h_bits")).map(x => BigDecimal(x).toLongExact.toInt)
+    val gotBits = (0 until h.elems.toInt).map(i =>
+      (h.data(i * 2) & 0xff) | ((h.data(i * 2 + 1) & 0xff) << 8))
+    assert(gotBits == bits)
+    // round trip: dequantize, re-encode, bits identical
+    val rt = Safetensors.write(Seq("h" ->
+      Safetensors.halfTensor(h.shape, h.halfFloats)))
+    val back = Safetensors.read(rt)._1.head._2
+    assert(back.data.toSeq == h.data.toSeq)
+    // bf16: grid values (k/128) survive exactly
+    val vs = Array(-0.5f, 0.25f, 1.0f, -0.9921875f, 0f)
+    val bt = Safetensors.bf16Tensor(Seq(5L), vs)
+    val bb = Safetensors.read(Safetensors.write(Seq("b" -> bt)))._1.head._2
+    assert(bb.dtype == "BF16" && bb.bfloats.toVector == vs.toVector)
+  }
+
   test("typed refusals: truncation, header, dtype, offsets, coverage, bomb") {
     val good = Safetensors.write(Seq(
       "t" -> Safetensors.longTensor(Array(1L, 2L, 3L))))

@@ -27,7 +27,7 @@ def write_st(path, tensors, metadata=None):
     off = 0
     bufs = []
     for name, arr in tensors:
-        dt = {"float32": "F32", "float64": "F64",
+        dt = {"float32": "F32", "float64": "F64", "float16": "F16",
               "int32": "I32", "int64": "I64"}[str(arr.dtype)]
         b = arr.tobytes()  # C-order little-endian on this platform
         header[name] = {"dtype": dt, "shape": list(arr.shape),
@@ -70,6 +70,31 @@ def main():
         "scalar": 42.5,
         "empty_shape": [0, 8],
     }
+
+    # F16: numpy is the conversion reference — tricky f32 inputs and the
+    # bit patterns astype(float16) (RN-even) produces for them, plus a
+    # fixture file whose F16 payload the Scala reader must dequantize
+    # bit-exactly.
+    tricky = np.array([
+        0.0, -0.0, 1.0, -2.5, 65504.0, 65519.9, 65520.0, -65520.0,
+        6.103515625e-05,            # smallest normal half
+        5.960464477539063e-08,      # smallest subnormal half
+        2.980232238769531e-08,      # half of it: tie -> even -> 0
+        8.940696716308594e-08,      # 1.5 subnormal units: tie -> even -> 2
+        6.097555160522461e-05,      # just below smallest normal
+        1.0009765625, 1.00048828125,  # 1 + ulp, 1 + ulp/2 (tie -> even)
+        1.0014648438,               # between: rounds up
+        3.14159265, -0.33333333, 1e-7, -1e-7, 1234.5678,
+    ], dtype=np.float32)
+    h = tricky.astype(np.float16)
+    exp["f16_conv"] = {
+        "f32_bits": [int(x) for x in tricky.view(np.uint32)],
+        "f16_bits": [int(x) for x in h.view(np.uint16)],
+        "back_f32_bits": [int(x) for x in h.astype(np.float32).view(np.uint32)],
+    }
+    write_st(os.path.join(OUT, "st_half.safetensors"),
+             [("h", h), ("ids", np.array([1, 2], dtype=np.int64))])
+    exp["st_half"] = {"h_bits": [int(x) for x in h.view(np.uint16)]}
 
     with open(os.path.join(OUT, "st_expected.json"), "w") as f:
         json.dump(exp, f, indent=1)
