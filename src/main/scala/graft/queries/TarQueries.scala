@@ -1142,6 +1142,58 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // tf.Example-in-TFRecord round trip ([[graft.ops.TfExample]] inside
+    // [[graft.ops.TfRecord]] — the ACTUAL two-layer format TensorFlow
+    // training data ships: protobuf Example records under masked-CRC32C
+    // framing; tfr01 pinned the frame with JSON payloads, this pins the
+    // real payload): each document becomes an Example{id: Int64List,
+    // lang/text: BytesList, score: FloatList} (codec pinned against the
+    // independent python wire transcription incl. unpacked variants —
+    // TfExampleSpec), framed, re-read through BOTH layers. One wrong
+    // varint, packed-float byte, or CRC breaks the per-lang checksums.
+    GraftQuery(
+      "tfr03_tfexample_shards",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.TfExample._
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val payloads = recs.map { case (id, text, lang) =>
+              graft.ops.TfExample.encode(Vector(
+                "id" -> Int64Feature(Vector(id)),
+                "lang" -> BytesFeature(Vector(ascii(lang))),
+                "text" -> BytesFeature(Vector(ascii(text))),
+                "score" -> FloatFeature(Vector(((id % 1000L) * 0.125).toFloat))))
+            }
+            val back = graft.ops.TfRecord.read(graft.ops.TfRecord.write(payloads))
+            back.iterator.map { p =>
+              val m = graft.ops.TfExample.decode(p).toMap
+              val txt = new String(m("text").asInstanceOf[BytesFeature].vs.head,
+                java.nio.charset.StandardCharsets.US_ASCII)
+              (new String(m("lang").asInstanceOf[BytesFeature].vs.head,
+                java.nio.charset.StandardCharsets.US_ASCII),
+                txt.length.toLong, txt,
+                m("score").asInstanceOf[FloatFeature].vs.head.toDouble,
+                m("id").asInstanceOf[Int64Feature].vs.head)
+            }
+          }
+          .toDF("lang", "txt_len", "txt", "score", "id")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"),
+            sum(col("score")).as("score_sum"),
+            sum(col("id") % M).as("id_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check,
+          sum((doc_id % 1000) * CAST(0.125 AS DOUBLE)) AS score_sum,
+          CAST(sum(doc_id % 1000000007) AS BIGINT) AS id_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Multimodal WebDataset shards end to end: each document becomes a
     // THREE-member training sample — {id}.png (a REAL PNG, encoded by the
     // fixture-proven codec from a raster the text determines), {id}.txt

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{ArrowIpc, Flac, Msgpack, Npy, Safetensors}
+import graft.ops.{ArrowIpc, Flac, Msgpack, Npy, Safetensors, TfExample}
 import graft.ops.ArrowIpc.{ACol, AField, ALongCol, AStrCol}
 
 /** Exhaustive single-byte-mutation harness for the safe readers: every
@@ -83,6 +83,15 @@ object FuzzHunt {
         vendor = "v", comments = Seq("TITLE" -> "t"), paddingBytes = 8),
       Set("bad_magic", "truncated", "bad_streaminfo", "bad_comment", "too_large"),
       Flac.readSafe)
+
+    total += hunt("tfexample",
+      TfExample.encode(Vector(
+        "id" -> TfExample.Int64Feature(Vector(7L, -1L)),
+        "text" -> TfExample.BytesFeature(Vector(
+          "hello".getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+        "score" -> TfExample.FloatFeature(Vector(1.5f, -0.25f)))),
+      Set("truncated", "bad_varint", "bad_wire", "too_large"),
+      TfExample.decodeSafe)
 
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)

@@ -255,6 +255,27 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private val validTfEx: Array[Byte] = TfExample.encode(Vector(
+    "id" -> TfExample.Int64Feature(Vector(7L, -1L)),
+    "text" -> TfExample.BytesFeature(Vector(
+      "hello world".getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+    "score" -> TfExample.FloatFeature(Vector(1.5f, -0.25f))))
+
+  test("TfExample.decodeSafe is total on garbage and mutations") {
+    check(Prop.forAll(bytesGen) { b =>
+      TfExample.decodeSafe(b).isLeft || TfExample.decodeSafe(b).isRight
+    })
+    val kinds = Set("truncated", "bad_varint", "bad_wire", "too_large")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validTfEx.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validTfEx.clone(); m(pos) = (m(pos) ^ x).toByte
+      TfExample.decodeSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+  }
+
   private val validFlac: Array[Byte] = Flac.write(44100, 2, 16, 1000L,
     new Array[Byte](16), vendor = "v", comments = Seq("TITLE" -> "t"),
     paddingBytes = 8)
