@@ -200,11 +200,55 @@ object Zstd {
     result
   }
 
-  /** Codec sniff by magic: the mixed-codec shard directory case. */
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x1f && bytes(1) == 0x8b.toByte
+
+  /** gzip (RFC 1952), including CONCATENATED members — the layout
+    * `.jsonl.gz` corpus dumps ship (one member per flush point; readers
+    * that stop at the first member silently truncate). Inflation is
+    * capped mid-stream by [[graft.core.Budget.maxInflatedBytes]];
+    * per-member CRC32 + ISIZE are verified by the JDK stream.
+    */
+  def decompressGzip(bytes: Array[Byte]): Array[Byte] = {
+    if (!isGzip(bytes))
+      throw new Warc.WarcError("bad_magic", "not a gzip member")
+    var in: java.util.zip.GZIPInputStream = null
+    try {
+      // the constructor itself parses the header — keep it inside the try
+      in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes)) // JDK handles concatenation
+      drainCapped(in, "gzip")
+    } catch {
+      case e: Warc.WarcError => throw e
+      case e: java.util.zip.ZipException =>
+        throw new Warc.WarcError("bad_frame", String.valueOf(e.getMessage))
+      case _: java.io.EOFException =>
+        throw new Warc.WarcError("bad_frame", "gzip stream ends early")
+    } finally if (in != null) in.close()
+  }
+
+  /** gzip writer (one member; concatenate outputs for the multi-member
+    * layout). Deterministic: no mtime, no name, fixed level.
+    */
+  def compressGzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    val a = out.toByteArray
+    a(4) = 0; a(5) = 0; a(6) = 0; a(7) = 0 // zero MTIME for determinism
+    a(9) = 0 // OS byte: unknown->0 varies by JDK; pin it
+    a
+  }
+
+  /** Codec sniff by magic: the mixed-codec shard directory case
+    * (zstd / LZ4 frame / gzip — round 12 adds gzip, the third codec a
+    * long-lived corpus directory accumulates).
+    */
   def decompressAny(bytes: Array[Byte]): Array[Byte] =
     if (isZstd(bytes)) decompress(bytes)
     else if (isLz4(bytes)) decompressLz4(bytes)
-    else throw new Warc.WarcError("bad_magic", "neither zstd nor lz4")
+    else if (isGzip(bytes)) decompressGzip(bytes)
+    else throw new Warc.WarcError("bad_magic", "neither zstd, lz4, nor gzip")
 
   /** `Right(bytes)` or `Left(errorKind)` — the one-error-row-per-shard
     * contract for fault-tolerant scans.

@@ -189,8 +189,19 @@ object TarQueries {
               s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}"""
             }.mkString("\n")
             val raw = ascii(jsonl)
-            val frame = if (g % 2 == 0) graft.ops.Zstd.compress(raw)
-                        else graft.ops.Zstd.compressLz4(raw)
+            // rotate all three codecs a long-lived corpus directory
+            // accumulates (round 12 adds gzip, incl. one CONCATENATED
+            // two-member frame per third shard — the flush-point layout
+            // .jsonl.gz dumps ship; first-member-only readers truncate)
+            val frame = (g % 3) match {
+              case 0 => graft.ops.Zstd.compress(raw)
+              case 1 => graft.ops.Zstd.compressLz4(raw)
+              case _ =>
+                val cut = raw.length / 2
+                graft.ops.Zstd.compressGzip(java.util.Arrays.copyOf(raw, cut)) ++
+                  graft.ops.Zstd.compressGzip(
+                    java.util.Arrays.copyOfRange(raw, cut, raw.length))
+            }
             val back = new String(graft.ops.Zstd.decompressAny(frame),
               java.nio.charset.StandardCharsets.US_ASCII)
             back.split('\n').iterator.map { line =>

@@ -218,6 +218,39 @@ object CorpusStreams {
       .agg(count(lit(1)).as("n"), sum(col("payload_bytes")).as("sum_bytes"))
   }
 
+  /** Streaming MessagePack shard ingest — the [[avroScan]]/[[arrowScan]]
+    * contract on the msgpack layer: healthy shards yield one row per
+    * record (expects {lang, text, ...} string fields; anything else is a
+    * per-record `bad_schema` row), a rotten shard yields ONE typed error
+    * row from the codec's refusal vocabulary. State bounded by
+    * refusal-kinds × languages; parsing is a stateless per-file flatMap.
+    * Expects columns (file string, content binary).
+    */
+  def msgpackScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    import graft.etl.{JObj, JStr}
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        graft.ops.Msgpack.decodeAllSafe(bytes) match {
+          case Right(vs) => vs.map {
+            case JObj(fields) =>
+              val m = fields.toMap
+              (m.get("lang"), m.get("text")) match {
+                case (Some(JStr(l)), Some(JStr(t))) => ("ok", l, t.length.toLong)
+                case _                              => ("bad_schema", "", 0L)
+              }
+            case _ => ("bad_schema", "", 0L)
+          }
+          case Left(kind) => Seq((kind, "", 0L))
+        }
+      }.toDF("outcome", "lang", "text_bytes")
+    recs.groupBy(col("outcome"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("text_bytes")).as("sum_bytes"))
+  }
+
   /** Streaming Arrow IPC shard ingest — the [[avroScan]] contract on the
     * Arrow layer: healthy streams yield one row per record across all
     * record batches, a rotten stream yields ONE typed error row from

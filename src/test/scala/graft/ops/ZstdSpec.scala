@@ -124,8 +124,37 @@ class ZstdSpec extends AnyFunSuite {
     })
   }
 
+  test("gzip round trip: single member, CONCATENATED members, determinism") {
+    val one = Zstd.compressGzip(payload)
+    assert(Zstd.decompressGzip(one).toSeq == payload.toSeq)
+    assert(Zstd.compressGzip(payload).toSeq == one.toSeq) // deterministic
+    // concatenated members decode as one logical stream (the .jsonl.gz
+    // flush-point layout; a first-member-only reader would truncate)
+    val cut = payload.length / 3
+    val multi = Zstd.compressGzip(java.util.Arrays.copyOf(payload, cut)) ++
+      Zstd.compressGzip(java.util.Arrays.copyOfRange(payload, cut, payload.length))
+    assert(Zstd.decompressGzip(multi).toSeq == payload.toSeq)
+    // decompressAny sniffs gzip too
+    assert(Zstd.decompressAny(one).toSeq == payload.toSeq)
+  }
+
+  test("gzip refusals: magic, CRC, truncation, inflate cap") {
+    val one = Zstd.compressGzip(payload)
+    def mut(i: Int, x: Int) = { val b = one.clone(); b(i) = (b(i) ^ x).toByte; b }
+    assert(Zstd.decompressAnySafe(mut(0, 0x5a)) == Left("bad_magic"))
+    // flip a payload byte: the member CRC32 catches it
+    assert(Zstd.decompressAnySafe(mut(one.length / 2, 0x11)) == Left("bad_frame"))
+    assert(Zstd.decompressAnySafe(java.util.Arrays.copyOf(one, one.length - 5)) ==
+      Left("bad_frame"))
+    val old = graft.core.Budget.maxInflatedBytes
+    graft.core.Budget.maxInflatedBytes = 8
+    try assert(Zstd.decompressAnySafe(one) == Left("too_large"))
+    finally graft.core.Budget.maxInflatedBytes = old
+  }
+
   test("decompressAnySafe is total under single-byte mutations of valid frames") {
-    for (clean <- Seq(Zstd.compress(payload), Zstd.compressLz4(payload))) {
+    for (clean <- Seq(Zstd.compress(payload), Zstd.compressLz4(payload),
+        Zstd.compressGzip(payload))) {
       check(Prop.forAll(
         Gen.chooseNum(0, clean.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
         val m = clean.clone(); m(pos) = (m(pos) ^ x).toByte
