@@ -16,7 +16,15 @@ import org.apache.spark.sql.SparkSession
   * sample also records /proc/loadavg (1-min) and its start offset from
   * bench start, so a load burst is visible in the record itself.
   *
-  * `value` is the sum of per-query best-of-two times (warm timings — pass 1
+  * Round 13 adds the LOADAVG GATE: after both passes, any query whose
+  * best sample started at 1-min loadavg above the threshold (default 8.0,
+  * env SPARK_GRAFT_LOAD_THRESHOLD) is re-run in a bounded third phase —
+  * wait (≤45 s per attempt, ≤300 s total) for load to decay, then sample
+  * again, up to twice. Queries whose final best sample still saw
+  * contention are listed in `noisy:[...]`, so the record adjudicates
+  * itself without a judge re-run.
+  *
+  * `value` is the sum of per-query best times (warm timings — pass 1
   * pays JIT/codegen warm-up that a long-lived cluster never sees).
   */
 object Bench {
@@ -70,10 +78,56 @@ object Bench {
     val pass1 = onePass()
     val pass2 = onePass()
 
-    val results = queries.zip(pass1.zip(pass2)).map { case ((name, _), (a, b)) =>
-      val ok = Seq(a.sec, b.sec).filter(_ >= 0)
-      val best = if (ok.isEmpty) -1.0 else ok.min
-      (name, best, Seq(a, b))
+    // Loadavg gate (round 13, VERDICT r12 item 3): a pair where even the
+    // BEST sample started under contention is an inflated record, not a
+    // measurement. Re-run such queries in a third phase, waiting (bounded)
+    // for 1-min loadavg to decay below the threshold first. Self-load on
+    // local[32] sits at median ~6 mid-suite with idle ~3; external
+    // contention reads 10-15+, so 8.0 separates the two (r12 data). A
+    // query whose final best sample STILL saw load > thr lands in
+    // `noisy:[...]` so the record adjudicates itself.
+    val thr = sys.env.get("SPARK_GRAFT_LOAD_THRESHOLD")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(8.0)
+    def bestOf(ss: Seq[Sample]): Sample = {
+      val ok = ss.filter(_.sec >= 0)
+      if (ok.isEmpty) ss.head else ok.minBy(_.sec)
+    }
+    val retryDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000 // 300 s budget
+    def retryOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Seq[Sample] = {
+      val out = Vector.newBuilder[Sample]
+      var attempts = 0
+      var clean = false
+      while (!clean && attempts < 2 && System.nanoTime() < retryDeadline) {
+        // bounded decay wait: 1-min loadavg needs tens of seconds to drain
+        var waited = 0
+        while (loadAvg() > thr && waited < 45 && System.nanoTime() < retryDeadline) {
+          Thread.sleep(5000); waited += 5
+        }
+        val load = loadAvg()
+        val off = (System.nanoTime() - t0) / 1e9
+        val s0 = System.nanoTime()
+        val sec =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - s0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        graft.core.Caches.release()
+        out += Sample(sec, load, off)
+        attempts += 1
+        clean = load <= thr && sec >= 0
+      }
+      out.result()
+    }
+    val results = queries.zip(pass1.zip(pass2)).map { case ((name, fn), (a, b)) =>
+      val base = Seq(a, b)
+      val all =
+        if (bestOf(base).load <= thr && base.exists(_.sec >= 0)) base
+        else base ++ retryOne(fn)
+      val ok = all.filter(_.sec >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.map(_.sec).min
+      (name, best, all)
+    }
+    val noisy = results.collect {
+      case (name, best, ss) if best >= 0 && bestOf(ss).load > thr => name
     }
     // 3-decimal per-query values keep the line short, and the headline keys
     // (metric/value/failed/sf) go LAST: harnesses that keep only the tail of
@@ -104,7 +158,8 @@ object Bench {
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // "failed" makes crashes explicit: a query that starts erroring must not
     // read as a faster run (its -1 is excluded from the total).
-    val line = s"""{"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"t":$tJson,"protocol":"two-pass","sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"t":$tJson,"protocol":"two-pass+retry","load_threshold":$thr,"noisy":$noisyJson,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
     println(line)
     // durable copy: the stdout capture truncated BENCH_r08.json's single
     // line to an unparseable tail, so the same JSON also lands in a file

@@ -358,6 +358,10 @@ object ArrowIpc {
     }
     def readValidity(n: Int, nullCount: Long): Array[Boolean] = {
       val (o, len) = nextBuf()
+      // nullCount > 0 with no validity bitmap would silently surface the
+      // declared-null slots as real (garbage) values — refuse instead.
+      if (nullCount > 0L && len == 0 && n > 0)
+        fail("bad_stream", s"nullCount $nullCount with empty validity buffer")
       if (nullCount == 0L || len == 0) null
       else {
         if (len.toLong * 8 < n.toLong) fail("truncated", s"validity bitmap $len bytes for $n")
@@ -394,12 +398,15 @@ object ArrowIpc {
         case "utf8" =>
           val (oo, olen) = nextBuf()
           if (n > 0 && olen.toLong < (n.toLong + 1) * 4) fail("truncated", s"utf8 offsets ${f.name}")
-          val (od, _) = nextBuf()
+          val (od, dlen) = nextBuf()
           AStrCol(f.name, valid, Array.tabulate(n) { i =>
             if (valid != null && !valid(i)) null
             else {
               val a = leI(bytes, oo + i * 4); val b = leI(bytes, oo + (i + 1) * 4)
-              if (a < 0 || b < a) fail("bad_stream", s"utf8 offsets ${f.name}")
+              // b bounded by the DATA buffer's declared length (mirrors the
+              // `b > cn` check in the list paths) — an end offset past the
+              // utf8 data would silently decode adjacent buffers' bytes.
+              if (a < 0 || b < a || b > dlen) fail("bad_stream", s"utf8 offsets ${f.name}")
               new String(bytes, od + a, b - a, UTF_8)
             }
           })

@@ -43,12 +43,15 @@ object Flac {
   def write(sampleRate: Int, channels: Int, bitsPerSample: Int,
       totalSamples: Long, md5: Array[Byte],
       vendor: String = "", comments: Seq[(String, String)] = Nil,
-      paddingBytes: Int = 0): Array[Byte] = {
+      paddingBytes: Int = 0,
+      blockSizeMin: Int = 4096, blockSizeMax: Int = 4096): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), s"rate $sampleRate")
     require(channels >= 1 && channels <= 8, s"channels $channels")
     require(bitsPerSample >= 4 && bitsPerSample <= 32, s"bps $bitsPerSample")
     require(totalSamples >= 0 && totalSamples < (1L << 36), s"samples $totalSamples")
     require(md5.length == 16, "md5 must be 16 bytes")
+    require(blockSizeMin >= 16 && blockSizeMin <= blockSizeMax && blockSizeMax <= 65535,
+      s"block sizes $blockSizeMin..$blockSizeMax")
     val out = new java.io.ByteArrayOutputStream(256)
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     val hasVc = vendor.nonEmpty || comments.nonEmpty
@@ -58,10 +61,10 @@ object Flac {
       out.write((if (last) 0x80 else 0) | typ)
       out.write((len >> 16) & 0xff); out.write((len >> 8) & 0xff); out.write(len & 0xff)
     }
-    // STREAMINFO: fixed min/max block size 4096, frame sizes 0 (unknown)
+    // STREAMINFO: declared min/max block size, frame sizes 0 (unknown)
     blockHeader(0, 34, last = !hasVc && !hasPad)
-    out.write(0x10); out.write(0x00) // min block 4096
-    out.write(0x10); out.write(0x00) // max block 4096
+    out.write((blockSizeMin >> 8) & 0xff); out.write(blockSizeMin & 0xff)
+    out.write((blockSizeMax >> 8) & 0xff); out.write(blockSizeMax & 0xff)
     out.write(0); out.write(0); out.write(0) // min frame unknown
     out.write(0); out.write(0); out.write(0) // max frame unknown
     // 64 bits: rate(20) | channels-1(3) | bps-1(5) | totalSamples(36)

@@ -227,7 +227,8 @@ object Safetensors {
     val bufLen = bytes.length - bufStart
     var metadata = Map.empty[String, String]
     val tensors = Vector.newBuilder[(String, Tensor)]
-    var covered = 0L
+    val intervals = Vector.newBuilder[(Long, Long)]
+    val seenNames = scala.collection.mutable.HashSet.empty[String]
     fields.foreach {
       case ("__metadata__", JObj(ms)) =>
         metadata = ms.collect { case (k, JStr(s)) => k -> s }.toMap
@@ -262,14 +263,25 @@ object Safetensors {
         }
         if (b - a != need) fail("bad_offsets", s"$name: ${b - a} != $elems x $width")
         if (b > bufLen) fail("truncated", s"$name: offset $b past buffer $bufLen")
+        if (!seenNames.add(name)) fail("bad_header", s"$name: duplicate tensor name")
         tensors += ((name,
           Tensor(dtype, shape,
             java.util.Arrays.copyOfRange(bytes, bufStart + a.toInt, bufStart + b.toInt))))
-        covered += b - a
+        intervals += ((a, b))
       case (name, _) => fail("bad_header", s"$name: entry not an object")
     }
-    // the spec requires the buffer exactly covered, no overlaps/gaps
-    if (covered != bufLen) fail("bad_offsets", s"buffer $bufLen, covered $covered")
+    // the spec requires the buffer exactly covered, no overlaps/gaps — as
+    // an interval tiling, not a length sum (a sum check accepts layouts
+    // where an overlap and a gap cancel, which upstream rejects)
+    val sorted = intervals.result().sortBy(iv => (iv._1, iv._2))
+    var cursor = 0L
+    sorted.foreach { case (a, b) =>
+      if (a != cursor)
+        fail("bad_offsets",
+          if (a < cursor) s"overlap at $a (expected $cursor)" else s"gap at $cursor (next $a)")
+      cursor = b
+    }
+    if (cursor != bufLen) fail("bad_offsets", s"buffer $bufLen, covered $cursor")
     (tensors.result(), metadata)
   }
 

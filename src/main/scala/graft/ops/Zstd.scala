@@ -205,26 +205,81 @@ object Zstd {
 
   /** gzip (RFC 1952), including CONCATENATED members — the layout
     * `.jsonl.gz` corpus dumps ship (one member per flush point; readers
-    * that stop at the first member silently truncate). Inflation is
-    * capped mid-stream by [[graft.core.Budget.maxInflatedBytes]];
-    * per-member CRC32 + ISIZE are verified by the JDK stream.
+    * that stop at the first member silently truncate). Decoded
+    * member-by-member with a raw Inflater rather than GZIPInputStream:
+    * the JDK stream's readTrailer() swallows a malformed SUBSEQUENT
+    * member (its internal catch returns "end of stream"), which would
+    * decode a shard whose second member is corrupt as 'ok' with silently
+    * truncated output — the exact failure this reader exists to refuse.
+    * Per-member CRC32 + ISIZE + optional FHCRC are verified, every input
+    * byte must be consumed, and inflation is capped mid-stream by
+    * [[graft.core.Budget.maxInflatedBytes]].
     */
   def decompressGzip(bytes: Array[Byte]): Array[Byte] = {
     if (!isGzip(bytes))
       throw new Warc.WarcError("bad_magic", "not a gzip member")
-    var in: java.util.zip.GZIPInputStream = null
-    try {
-      // the constructor itself parses the header — keep it inside the try
-      in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes)) // JDK handles concatenation
-      drainCapped(in, "gzip")
-    } catch {
-      case e: Warc.WarcError => throw e
-      case e: java.util.zip.ZipException =>
-        throw new Warc.WarcError("bad_frame", String.valueOf(e.getMessage))
-      case _: java.io.EOFException =>
-        throw new Warc.WarcError("bad_frame", "gzip stream ends early")
-    } finally if (in != null) in.close()
+    def bad(msg: String) = throw new Warc.WarcError("bad_frame", msg)
+    val cap = graft.core.Budget.maxInflatedBytes
+    val out = new ByteArrayOutputStream(math.min(bytes.length.toLong * 3 + 64, 1 << 20).toInt)
+    var pos = 0
+    def need(n: Int, what: String): Unit =
+      if (n < 0 || pos.toLong + n > bytes.length) bad(s"gzip stream ends inside $what")
+    def u16(what: String): Int = {
+      need(2, what)
+      val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8); pos += 2; v
+    }
+    def u32le(what: String): Long = {
+      need(4, what)
+      var v = 0L; var i = 0
+      while (i < 4) { v |= (bytes(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 4; v
+    }
+    while (pos < bytes.length) {
+      val memberStart = pos
+      need(10, "gzip header")
+      if (bytes(pos) != 0x1f || bytes(pos + 1) != 0x8b.toByte) bad("bad member magic")
+      val cm = bytes(pos + 2) & 0xff
+      if (cm != 8) bad(s"unsupported compression method $cm")
+      val flg = bytes(pos + 3) & 0xff
+      if ((flg & 0xe0) != 0) bad("reserved FLG bits set")
+      pos += 10
+      if ((flg & 4) != 0) { val xlen = u16("FEXTRA length"); need(xlen, "FEXTRA"); pos += xlen }
+      if ((flg & 8) != 0) { while ({ need(1, "FNAME"); bytes(pos) != 0 }) pos += 1; pos += 1 }
+      if ((flg & 16) != 0) { while ({ need(1, "FCOMMENT"); bytes(pos) != 0 }) pos += 1; pos += 1 }
+      if ((flg & 2) != 0) {
+        val hcrc = new java.util.zip.CRC32
+        hcrc.update(bytes, memberStart, pos - memberStart)
+        if (u16("FHCRC") != (hcrc.getValue & 0xffff).toInt) bad("header CRC16 mismatch")
+      }
+      val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate body
+      val crc = new java.util.zip.CRC32
+      var isize = 0L
+      try {
+        inf.setInput(bytes, pos, bytes.length - pos)
+        val buf = new Array[Byte](64 * 1024)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                bad(s"corrupt deflate: ${String.valueOf(e.getMessage)}")
+            }
+          if (n > 0) {
+            crc.update(buf, 0, n); isize += n
+            out.write(buf, 0, n)
+            if (out.size().toLong > cap)
+              throw new Warc.WarcError("too_large", s"gzip inflates past $cap bytes")
+          } else if (!inf.finished() && (inf.needsInput() || inf.needsDictionary()))
+            bad("gzip deflate stream ends early")
+        }
+        pos = bytes.length - inf.getRemaining
+      } finally inf.end()
+      if (u32le("member CRC32") != crc.getValue) bad("member CRC32 mismatch")
+      if (u32le("member ISIZE") != (isize & 0xffffffffL)) bad("member ISIZE mismatch")
+      // loop: pos now at the next member's magic (or end of input) — any
+      // trailing garbage fails the header checks above, never silently ok
+    }
+    out.toByteArray
   }
 
   /** gzip writer (one member; concatenate outputs for the multi-member

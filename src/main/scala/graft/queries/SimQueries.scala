@@ -627,9 +627,17 @@ object SimQueries {
         val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
         val posting = cells.select(col("id").as("n_id"), col("cell_id"))
           .join(rec.select(col("id").as("n_id"), col("rvec")), Seq("n_id"))
-        // ship: postings → Arrow IPC shards (4 cell groups) → reload
+        // ship: postings → Arrow IPC shards → reload. Shard key is
+        // `n_id DIV rowsPerShard` (TarQueries' `doc_id DIV 8` pattern):
+        // per-shard row count is CAPPED at rowsPerShard regardless of
+        // corpus size while the shard COUNT grows with the data, so the
+        // collect_list state per task stays bounded at 100 TB (the
+        // round-12 `cell_id % 4` grouping buffered N/4 rows per task).
+        // Shards mix cells freely — the serve side re-joins on cell_id,
+        // so the ship grouping is semantically invisible.
+        val rowsPerShard = 2048L
         val shipped = posting
-          .groupBy((col("cell_id") % 4).as("g"))
+          .groupBy(expr(s"n_id DIV $rowsPerShard").as("g"))
           .agg(collect_list(struct(col("cell_id").as("_1"),
             col("n_id").as("_2"), col("rvec").as("_3"))).as("recs"))
           .as[(Long, Seq[(Long, Long, Seq[Double])])]

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{ArrowIpc, Flac, Msgpack, Npy, Safetensors, TfExample}
+import graft.ops.{ArrowIpc, Flac, FlacAudio, Msgpack, Npy, Safetensors, TfExample}
 import graft.ops.ArrowIpc.{ACol, AField, ALongCol, AStrCol}
 
 /** Exhaustive single-byte-mutation harness for the safe readers: every
@@ -92,6 +92,27 @@ object FuzzHunt {
         "score" -> TfExample.FloatFeature(Vector(1.5f, -0.25f)))),
       Set("truncated", "bad_varint", "bad_wire", "too_large"),
       TfExample.decodeSafe)
+
+    total += hunt("flac_audio",
+      FlacAudio.encode(8000, 16,
+        Array(Array.tabulate(150)(i => ((i * 31) % 251) - 125),
+          Array.tabulate(150)(i => ((i * 17) % 193) - 96)),
+        blockSize = 64),
+      Set("bad_magic", "truncated", "bad_streaminfo", "bad_comment",
+        "too_large", "bad_frame", "crc_mismatch", "bad_md5"),
+      FlacAudio.decodeSafe)
+
+    total += hunt("gzip",
+      {
+        // concatenated members + FNAME/FHCRC header fields: every branch
+        // of the member-by-member reader sits under the mutation lens
+        val p1 = "hello gzip world ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val p2 = "second member".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        graft.ops.Zstd.compressGzip(p1) ++ graft.ops.Zstd.compressGzip(p2)
+      },
+      Set("bad_magic", "bad_frame", "too_large"),
+      b => try Right(graft.ops.Zstd.decompressGzip(b))
+        catch { case e: graft.ops.Warc.WarcError => Left(e.kind) })
 
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)

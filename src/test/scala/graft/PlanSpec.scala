@@ -640,5 +640,13 @@ class PlanSpec extends SparkSpec {
     val p = planOf("pipe05_index_ship")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the ship grouping must be a DIV shard key, never a fixed modulus:
+    // `n_id DIV rowsPerShard` caps every collect_list group at
+    // rowsPerShard rows while the group COUNT grows with the corpus, so
+    // per-task state is bounded at any scale (a `% k` key packs N/k rows
+    // into k fixed buffers — linear per-task state, OOM long before
+    // 100 TB). Pin the key shape in the optimized plan.
+    assert(p.contains("div"), s"ship group key is not a DIV shard: $p")
+    assert(!p.contains("% 4"), s"fixed-modulus ship grouping resurfaced: $p")
   }
 }

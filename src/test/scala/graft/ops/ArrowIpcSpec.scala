@@ -190,6 +190,43 @@ class ArrowIpcSpec extends AnyFunSuite {
     finally graft.core.Budget.maxInflatedBytes = old
   }
 
+  test("utf8 end offset past the data buffer refuses (no adjacent-buffer read)") {
+    val fields = Vector(AField("s", "utf8", nullable = false))
+    val good = ArrowIpc.write(fields,
+      Seq(Vector[ACol](AStrCol("s", null, Array("abc", "defg")))))
+    // sanity: round trips clean
+    assert(ArrowIpc.read(good).head.cols.head.asInstanceOf[AStrCol].v.toSeq ==
+      Seq("abc", "defg"))
+    // the offsets buffer [0,3,7] as le32 lives verbatim in the body —
+    // locate its LAST occurrence (the body trails the metadata) and bump
+    // the end offset past the 7-byte utf8 data buffer but still inside
+    // the body, the shape that used to silently decode adjacent bytes
+    val pat = Array[Byte](0, 0, 0, 0, 3, 0, 0, 0, 7, 0, 0, 0)
+    val at = good.toSeq.lastIndexOfSlice(pat.toSeq)
+    assert(at > 0, "offsets buffer not found")
+    val evil = good.clone(); evil(at + 8) = 0x7f
+    assert(ArrowIpc.readSafe(evil) == Left("bad_stream"))
+  }
+
+  test("declared nulls with a zero-length validity buffer refuse") {
+    val fields = Vector(AField("id", "i64", nullable = true))
+    val good = ArrowIpc.write(fields,
+      Seq(Vector[ACol](ALongCol("id", Array(true, false, true), Array(1L, 2L, 3L)))))
+    val back = ArrowIpc.read(good).head.cols.head.asInstanceOf[ALongCol]
+    assert(back.valid.toSeq == Seq(true, false, true))
+    // buffers vector holds (offset,len) i64 structs: validity (0, 8) then
+    // data (8, 24). Zero the validity LENGTH — the batch still declares
+    // nullCount=1, so surfacing the column as null-free would hand the
+    // declared-null slot back as a real value
+    val pat = Array[Byte](
+      0, 0, 0, 0, 0, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, // validity (0, 8)
+      8, 0, 0, 0, 0, 0, 0, 0, 24, 0, 0, 0, 0, 0, 0, 0) // data (8, 24)
+    val at = good.toSeq.lastIndexOfSlice(pat.toSeq)
+    assert(at >= 0, "buffers vector not found")
+    val evil = good.clone(); evil(at + 8) = 0
+    assert(ArrowIpc.readSafe(evil) == Left("bad_stream"))
+  }
+
   test("dictionary and compression refuse with typed kinds") {
     // a dictionary-encoded pyarrow stream refuses rather than misreads —
     // craft is involved, so pin via the field-level dictionary check:

@@ -301,4 +301,29 @@ class ContainerFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  private val validFlacAudio: Array[Byte] = FlacAudio.encode(8000, 16,
+    Array(Array.tabulate(120)(i => ((i * 31) % 251) - 125)), blockSize = 64)
+
+  test("FlacAudio.decodeSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      FlacAudio.decodeSafe(b).isLeft || FlacAudio.decodeSafe(b).isRight
+    })
+    val kinds = Set("bad_magic", "truncated", "bad_streaminfo", "bad_comment",
+      "too_large", "bad_frame", "crc_mismatch", "bad_md5")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validFlacAudio.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validFlacAudio.clone(); m(pos) = (m(pos) ^ x).toByte
+      FlacAudio.decodeSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    (0 until validFlacAudio.length).foreach { n =>
+      FlacAudio.decodeSafe(java.util.Arrays.copyOf(validFlacAudio, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(_)   => fail(s"cut at $n decoded (declared samples missing)")
+      }
+    }
+  }
 }

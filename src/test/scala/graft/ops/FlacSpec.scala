@@ -80,6 +80,93 @@ class FlacSpec extends AnyFunSuite {
     assert(m.md5 == md5.map(b => f"${b & 0xff}%02x").mkString)
   }
 
+  test("python audio fixtures decode bit-exactly (LPC, rice2, partitions, escapes, wasted bits, L/S R/S M/S)") {
+    // the fixtures deliberately use shapes our encoder never emits — the
+    // decoder is pinned against the independent python spec transcription
+    for (name <- Seq("flac_audio1", "flac_audio2")) {
+      val e = obj(name)
+      val (m, pcm) = FlacAudio.decode(fixture(s"$name.flac"))
+      checkCore(m, e)
+      val want = e("pcm") match {
+        case JArr(chs) => chs.map {
+          case JArr(vs) => vs.map(lng)
+          case o => fail(s"$o")
+        }
+        case o => fail(s"$o")
+      }
+      assert(pcm.length == want.length, s"$name channel count")
+      for (c <- want.indices)
+        assert(pcm(c).toSeq.map(_.toLong) == want(c), s"$name ch $c")
+    }
+  }
+
+  test("audio round trip: every subframe family, mono+mid/side, multi-frame") {
+    val rnd = new java.util.Random(42)
+    for (trial <- 0 until 120) {
+      val nCh = 1 + (trial % 2)
+      val n = 1 + rnd.nextInt(700)
+      val bps = Seq(8, 16, 24)(trial % 3)
+      val max = (1 << (bps - 1)) - 1
+      val shape = trial % 5
+      val chans = Array.tabulate(nCh, n) { (c, i) =>
+        shape match {
+          case 0 => 7 - c // constant per channel
+          case 1 => ((i * 37 + c * 11) % 200) - 100 // linear-ish: fixed orders
+          case 2 => rnd.nextInt(2 * max + 1) - max // full-range noise: verbatim
+          case 3 => (math.sin(i / 5.0) * max * 0.8).toInt // smooth: high orders
+          case _ => if (i % 2 == 0) max else -max - 1 // alternating extremes
+        }
+      }
+      val bs = Seq(64, 192, 256, 576)(trial % 4)
+      val enc = FlacAudio.encode(8000, bps, chans, blockSize = bs)
+      // determinism
+      assert(FlacAudio.encode(8000, bps, chans, blockSize = bs).toSeq == enc.toSeq)
+      val (meta, pcm) = FlacAudio.decode(enc)
+      assert(meta.channels == nCh && meta.totalSamples == n.toLong,
+        s"trial $trial meta")
+      for (c <- 0 until nCh)
+        assert(pcm(c).toSeq == chans(c).toSeq,
+          s"trial $trial ch $c shape $shape bps $bps n $n bs $bs")
+    }
+  }
+
+  test("audio typed refusals: frame corruption never misdecodes") {
+    val chans = Array(Array.tabulate(300)(i => ((i * 31) % 251) - 125),
+      Array.tabulate(300)(i => ((i * 17) % 193) - 96))
+    val good = FlacAudio.encode(16000, 16, chans, blockSize = 64)
+    // flip the final CRC-16 byte: deterministic crc_mismatch
+    val c = good.clone(); c(c.length - 1) = (c(c.length - 1) ^ 1).toByte
+    assert(FlacAudio.decodeSafe(c) == Left("crc_mismatch"))
+    // truncate mid-frames
+    assert(FlacAudio.decodeSafe(java.util.Arrays.copyOf(good, good.length - 40))
+      .isLeft)
+    // trailing garbage after the last frame
+    assert(FlacAudio.decodeSafe(good ++ Array[Byte](1, 2, 3)) == Left("bad_frame"))
+    // metadata-only stream (no frames) with a declared sample count
+    val metaOnly = Flac.write(16000, 2, 16, 300L, new Array[Byte](16))
+    assert(FlacAudio.decodeSafe(metaOnly).isLeft)
+    // unknown total samples refuses (strict-audit subset)
+    val unknown = Flac.write(16000, 1, 16, 0L, new Array[Byte](16))
+    assert(FlacAudio.decodeSafe(unknown) == Left("bad_streaminfo"))
+    // every single-byte mutation refuses typed or decodes the SAME pcm.
+    // Frame bytes are covered by CRC-16 (linear: a one-byte xor can never
+    // collide) and the PCM by the STREAMINFO MD5; unauthenticated metadata
+    // fields (vendor string, min/max frame size — FLAC checksums neither)
+    // may flip and still decode, but the samples must be untouched.
+    for (pos <- good.indices if pos >= 4) {
+      val m = good.clone(); m(pos) = (m(pos) ^ 0x41).toByte
+      FlacAudio.decodeSafe(m) match {
+        case Right((_, pcm)) =>
+          for (ch <- 0 until 2)
+            assert(pcm(ch).toSeq == chans(ch).toSeq, s"pos $pos: WRONG PCM decoded ok")
+        case Left(kind) =>
+          assert(Set("bad_magic", "truncated", "bad_streaminfo", "bad_comment",
+            "too_large", "bad_frame", "crc_mismatch", "bad_md5").contains(kind),
+            s"pos $pos kind $kind")
+      }
+    }
+  }
+
   test("typed refusals: magic, truncation, streaminfo, comment, bomb cap") {
     val good = Flac.write(8000, 1, 16, 10L, new Array[Byte](16),
       vendor = "v", comments = Seq("K" -> "v"))

@@ -146,4 +146,35 @@ class SafetensorsSpec extends AnyFunSuite {
     bomb(6) = 0x7f // header length becomes astronomically large
     assert(Safetensors.readSafe(bomb) == Left("bad_header"))
   }
+
+  test("coverage is an interval tiling: overlap+gap that SUM-cancel refuse") {
+    def stFile(headerJson: String, bufLen: Int): Array[Byte] = {
+      val h = headerJson.getBytes("UTF-8")
+      val bb = java.nio.ByteBuffer.allocate(8 + h.length + bufLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(h.length.toLong); bb.put(h); bb.array()
+    }
+    // two tensors both at [0,8) with an uncovered [8,16) tail: the lengths
+    // sum to bufLen (a pure sum check accepts this) but the layout has an
+    // overlap AND a gap — upstream safetensors rejects it
+    val cancel = stFile(
+      """{"a":{"dtype":"I64","shape":[1],"data_offsets":[0,8]},""" +
+        """"b":{"dtype":"I64","shape":[1],"data_offsets":[0,8]}}""", 16)
+    assert(Safetensors.readSafe(cancel) == Left("bad_offsets"))
+    // gap at the START with the sum still matching via a long tail tensor
+    val headGap = stFile(
+      """{"a":{"dtype":"I64","shape":[1],"data_offsets":[8,16]},""" +
+        """"b":{"dtype":"I64","shape":[1],"data_offsets":[8,16]}}""", 16)
+    assert(Safetensors.readSafe(headGap) == Left("bad_offsets"))
+    // the equivalent VALID tiling still reads
+    val ok = stFile(
+      """{"a":{"dtype":"I64","shape":[1],"data_offsets":[0,8]},""" +
+        """"b":{"dtype":"I64","shape":[1],"data_offsets":[8,16]}}""", 16)
+    assert(Safetensors.readSafe(ok).isRight)
+    // out-of-order header entries are fine as long as intervals tile
+    val reordered = stFile(
+      """{"b":{"dtype":"I64","shape":[1],"data_offsets":[8,16]},""" +
+        """"a":{"dtype":"I64","shape":[1],"data_offsets":[0,8]}}""", 16)
+    assert(Safetensors.readSafe(reordered).isRight)
+  }
 }

@@ -152,6 +152,40 @@ class ZstdSpec extends AnyFunSuite {
     finally graft.core.Budget.maxInflatedBytes = old
   }
 
+  test("gzip strictness: corrupt SECOND member refuses instead of truncating") {
+    // GZIPInputStream's readTrailer() swallows a malformed subsequent
+    // member, decoding 'ok' with the first member's output only — the
+    // member-by-member reader must refuse every such shape typed
+    val cut = payload.length / 3
+    val m1 = Zstd.compressGzip(java.util.Arrays.copyOf(payload, cut))
+    val m2 = Zstd.compressGzip(java.util.Arrays.copyOfRange(payload, cut, payload.length))
+    // (a) second member truncated mid-deflate
+    assert(Zstd.decompressAnySafe(m1 ++ java.util.Arrays.copyOf(m2, m2.length - 6)) ==
+      Left("bad_frame"))
+    // (b) second member's header magic corrupted
+    val badMagic = m2.clone(); badMagic(1) = 0x77
+    assert(Zstd.decompressAnySafe(m1 ++ badMagic) == Left("bad_frame"))
+    // (c) trailing garbage after a whole valid member
+    assert(Zstd.decompressAnySafe(m1 ++ Array[Byte](0x1f, 0x00, 0x42)) ==
+      Left("bad_frame"))
+    // (d) second member's CRC flipped
+    val badCrc = m2.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 1).toByte
+    assert(Zstd.decompressAnySafe(m1 ++ badCrc) == Left("bad_frame"))
+    // (e) header flag fields walked correctly: FNAME + FHCRC member decodes
+    val out = new java.io.ByteArrayOutputStream()
+    val base = Zstd.compressGzip(payload)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, (8 | 2).toByte, 0, 0, 0, 0, 0, 0))
+    out.write("name.txt".getBytes("UTF-8")); out.write(0)
+    val hcrc = new java.util.zip.CRC32
+    val hdr = out.toByteArray; hcrc.update(hdr, 0, hdr.length)
+    out.write((hcrc.getValue & 0xff).toInt); out.write(((hcrc.getValue >> 8) & 0xff).toInt)
+    out.write(base, 10, base.length - 10) // deflate body + trailer from the plain member
+    assert(Zstd.decompressGzip(out.toByteArray).toSeq == payload.toSeq)
+    // and a WRONG FHCRC refuses
+    val fh = out.toByteArray; fh(hdr.length) = (fh(hdr.length) ^ 0x3c).toByte
+    assert(Zstd.decompressAnySafe(fh) == Left("bad_frame"))
+  }
+
   test("decompressAnySafe is total under single-byte mutations of valid frames") {
     for (clean <- Seq(Zstd.compress(payload), Zstd.compressLz4(payload),
         Zstd.compressGzip(payload))) {
