@@ -58,11 +58,32 @@ object PdfText {
   private val TrailerRegion = """(?s)\btrailer\b(.*?)(?=\bstartxref\b|\z)""".r
   private val XRefType = """/Type\s*/XRef\b""".r
 
-  private def isEncrypted(masked: String, objs: Map[Int, PdfObj]): Boolean =
-    TrailerRegion.findAllMatchIn(masked)
-      .exists(m => EncryptRe.findFirstIn(m.group(1)).isDefined) ||
-      objs.valuesIterator.exists(o => XRefType.findFirstIn(o.dict).isDefined &&
-        EncryptRe.findFirstIn(o.dict).isDefined)
+  /** The document's /Encrypt dict text plus the first /ID element, when
+    * encryption is declared: (dict, id0). The Encrypt dict's own strings
+    * (O/U) are never encrypted, so reading it from the parsed objects is
+    * safe.
+    */
+  private def encryptionContext(masked: String,
+      objs: Map[Int, PdfObj]): Option[(String, Array[Byte])] = {
+    val regions = TrailerRegion.findAllMatchIn(masked).map(_.group(1)).toVector ++
+      objs.valuesIterator.collect {
+        case o if XRefType.findFirstIn(o.dict).isDefined => o.dict
+      }
+    val encDict = regions.iterator.flatMap { t =>
+      EncryptRe.findFirstMatchIn(t).map { m =>
+        val g = m.group(1)
+        if (g.startsWith("<<")) {
+          val s = m.start(1)
+          t.substring(s, balancedDictEnd(t, s))
+        } else objs.get(g.trim.split("\\s+")(0).toInt).map(_.dict).getOrElse("")
+      }
+    }.find(_.nonEmpty)
+    encDict.map { d =>
+      val id0 = regions.iterator.map(PdfCrypt.firstFileId)
+        .find(_.nonEmpty).getOrElse(Array.emptyByteArray)
+      (d, id0)
+    }
+  }
 
   /** Per-page extracted text, in page-tree order. */
   def extractPages(bytes: Array[Byte]): Seq[String] = {
@@ -70,24 +91,39 @@ object PdfText {
     if (!src.startsWith("%PDF"))
       throw new IllegalArgumentException("not a PDF (missing %PDF header)")
     val objs = parseObjects(src)
-    // Encrypted documents: every string/stream body is RC4/AES ciphertext,
-    // so the plain-text walk below would "succeed" with garbage. Both of
-    // the reference's extractors fail on these (no password support) and it
-    // raises its empty-text guard (backend/etl_pipeline.py:46-48) — mirror
-    // that instead of silently extracting noise. (Object dicts stay
-    // plaintext under standard security handlers — only strings and stream
-    // bodies encrypt — so parsing objects first is safe.)
-    if (isEncrypted(maskStreamBodies(src), objs))
-      throw new IllegalArgumentException(
-        "No extractable text found in PDF. Is this a scanned/image PDF or empty? Extraction failed.")
-    orderedPages(objs).map(p => pageText(objs, p))
+    // Encrypted documents: every string/stream body is RC4/AES ciphertext.
+    // Standard-security-handler files with an EMPTY user password (a
+    // meaningful share of real PDFs) decrypt transparently — the same
+    // capability the reference gets through pdfplumber → pdfminer.six
+    // (backend/etl_pipeline.py:27-35). Anything else (a real password,
+    // AES-256 revisions, exotic filters) keeps the typed refusal: the
+    // plain-text walk below would otherwise "succeed" with garbage.
+    val decrypted = encryptionContext(maskStreamBodies(src), objs) match {
+      case None => objs
+      case Some((encDict, id0)) =>
+        PdfCrypt.forEmptyUserPassword(encDict, id0) match {
+          case Left(_) =>
+            throw new IllegalArgumentException(
+              "No extractable text found in PDF. Is this a scanned/image PDF or empty? Extraction failed.")
+          case Right(h) =>
+            // streams decrypt per object (xref streams never encrypt);
+            // dict-level strings aren't read by the text walk, and
+            // content/ToUnicode strings live INSIDE decrypted streams
+            objs.map { case (n, o) =>
+              n -> (if (o.stream.isEmpty || XRefType.findFirstIn(o.dict).isDefined) o
+              else o.copy(stream = o.stream.map(PdfCrypt.decrypt(h, o.num, o.gen, _))))
+            }
+        }
+    }
+    orderedPages(decrypted).map(p => pageText(decrypted, p))
   }
 
   // ------------------------------------------------------------------ model
 
-  private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+  private final case class PdfObj(num: Int, gen: Int, dict: String,
+      stream: Option[Array[Byte]])
 
-  private val ObjHead = """(\d+)\s+\d+\s+obj""".r
+  private val ObjHead = """(\d+)\s+(\d+)\s+obj""".r
   private val Ref = """(\d+)\s+\d+\s+R""".r
 
   /** Blank out stream bodies (the bytes between standalone `stream` /
@@ -125,6 +161,7 @@ object PdfText {
       if (!head.find(pos)) pos = src.length
       else {
           val num = head.group(1).toInt
+          val gen = head.group(2).toInt
           var i = head.end
           // object body: optional dict, then optional stream
           val (dict, afterDict) =
@@ -151,7 +188,7 @@ object PdfText {
             i = if (i < 0) src.length else i + "endstream".length
           }
           val end = src.indexOf("endobj", i)
-          out(num) = PdfObj(num, dict, stream)
+          out(num) = PdfObj(num, gen, dict, stream)
           pos = if (end < 0) src.length else end + "endobj".length
       }
     }

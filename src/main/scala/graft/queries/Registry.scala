@@ -11,6 +11,7 @@ object Registry {
     EtlQueries.all,
     ExtQueries.all,
     MediaQueries.all,
+    AudioQueries.all,
     TextQueries.all,
     SimQueries.all,
     StreamQueries.all,

@@ -104,6 +104,27 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(pdfBytes).nonEmpty)
   }
 
+  test("empty-user-password encryption decrypts transparently (RC4-40/128, AESV2, V4-RC4)") {
+    // fixtures from tools/make_pdf_encrypted_fixture.py — an independent
+    // python transcription of ISO 32000-1 §7.6 (Algorithms 2/3/4/5 +
+    // per-object keys). The reference reads these through pdfminer.six's
+    // standard handler (backend/etl_pipeline.py:27-35); each variant must
+    // extract EXACTLY the unencrypted twin's text.
+    def fx(n: String) =
+      Files.readAllBytes(Paths.get(s"src/test/resources/fixtures/$n"))
+    val plain = PdfText.extract(fx("pdf_enc_plain.pdf"))
+    assert(plain.contains("fee schedule") && plain.contains("deflated then ciphered"))
+    for (variant <- Seq("pdf_enc_rc4_40.pdf", "pdf_enc_rc4_128.pdf",
+        "pdf_enc_aesv2.pdf", "pdf_enc_v4_rc4.pdf"))
+      assert(PdfText.extract(fx(variant)) == plain, variant)
+    // a REAL user password still refuses — decrypting with the wrong key
+    // would extract exactly the silent garbage the guard exists to stop
+    val e = intercept[IllegalArgumentException] {
+      PdfText.extract(fx("pdf_enc_password.pdf"))
+    }
+    assert(e.getMessage.contains("No extractable text"))
+  }
+
   test("a document that merely MENTIONS /Encrypt is not falsely refused") {
     // unencrypted PDF about PDF internals: its content stream and an info
     // string both spell "/Encrypt 5 0 R" — the guard must key on the
