@@ -5,344 +5,22 @@ import graft.ops.{Clustering, Dedup, Similarity, Sketches, TextAnalysis => TA}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Corpus-PREPARATION operators beyond the round-4 surface: eval-set
-  * decontamination (decon01-03), training sequence packing (pack01-04),
-  * weighted/k-center corpus sampling (samp03/samp07), quality curation
-  * (curate01), and two more mergeable sketches (AMS F2 moment, KMV set
-  * operations). The QC/drift/mixture/clustering half lives in
-  * [[QcQueries]] (round-10 file-size split; query bodies byte-identical).
-  * All beyond the reference's scope (the reference pipeline has no corpus
-  * operators), sized for the 100 TB training-data target, and — like the
-  * rest of the suite — exactly reproduced by a DuckDB oracle (md5-derived
-  * hashes, integer arithmetic, single-ordered float divisions).
+/** Corpus SAMPLING + sketch operators: weighted/k-center corpus sampling
+  * (samp03/samp07) and two more mergeable sketches (AMS F2 moment, KMV
+  * set operations). Siblings from the round-10/13 file-size splits (query
+  * bodies byte-identical across splits): QC/drift in [[QcQueries]],
+  * mixtures/clustering in [[MixtureQueries]], decontamination/curation in
+  * [[DeconQueries]], packing/preference data in [[PackingQueries]]. All
+  * beyond the reference's scope, sized for the 100 TB training-data
+  * target, and — like the rest of the suite — exactly reproduced by a
+  * DuckDB oracle (md5-derived hashes, integer arithmetic, single-ordered
+  * float divisions).
   */
 object CorpusQueries {
 
   import Sketches.hashSlice
 
-  /** distinct-preserving 4-token shingle hashes of a text column: 1-based
-    * slice positions, space-joined, 60-bit md5 hash. The shared unit of
-    * decontamination (train/eval n-gram overlap).
-    */
-  private def tokenShingleHashes(text: org.apache.spark.sql.Column, n: Int) = {
-    // let-bind the split via a 1-element transform: referencing the raw
-    // split() inside the positions lambda would re-run the regex for every
-    // slice — O(tokens²) per row (the text13 finding, round 11)
-    element_at(transform(array(TA.tokens(text)), toks =>
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => TA.hash60(array_join(slice(toks, i, lit(n)), " "))))
-        .otherwise(array().cast("array<bigint>"))), 1)
-  }
-
-  private def sqlTokenShingleHashes(inner: String, n: Int): String =
-    // mirrors tokenShingleHashes: unnest positions 1..len-(n-1), n-token
-    // space-joined windows, hash60
-    s"""SELECT doc_id, lang, is_eval,
-        ${TA.Sql.hash60(s"array_to_string(toks[i:i+${n - 1}], ' ')")} AS sh
-      FROM ($inner), UNNEST(generate_series(1, len(toks) - ${n - 1})) AS u(i)
-      WHERE len(toks) >= $n"""
-
   val all: Seq[GraftQuery] = Seq(
-
-    // ------------------------------------------------------------------
-    // Eval-set decontamination: flag training documents that share ANY
-    // 4-token shingle with a held-out eval set (doc_id % 97 == 0 — the
-    // deterministic stand-in for a benchmark suite). The scale shape is the
-    // one that matters at 100 TB: the eval side is tiny (benchmarks are
-    // thousands of documents, the corpus is billions), so its distinct
-    // shingle set BROADCASTS and the train side is ONE scan + left-semi
-    // probe — the corpus never shuffles on shingles. Reported per language:
-    // train docs and contaminated train docs.
-    GraftQuery(
-      "decon01_eval_overlap",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("is_eval", col("doc_id") % 97 === 0)
-        val sh = docs.select(col("doc_id"), col("is_eval"),
-          explode(tokenShingleHashes(col("text"), 4)).as("sh"))
-        val evalSh = sh.filter(col("is_eval")).select(col("sh")).distinct()
-        val contam = sh.filter(!col("is_eval"))
-          .join(broadcast(evalSh), Seq("sh"), "left_semi")
-          .select(col("doc_id")).distinct()
-          .withColumn("hit", lit(1))
-        docs.filter(!col("is_eval"))
-          .join(contam, Seq("doc_id"), "left")
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_train"), count(col("hit")).as("n_contam"))
-      },
-      Some {
-        val base = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
-          s"${TA.Sql.tokens("text")} AS toks FROM documents"
-        s"""WITH sh AS (${sqlTokenShingleHashes(base, 4)}),
-          ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
-          contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (sh)
-                     WHERE NOT s.is_eval)
-        SELECT lang, count(*) AS n_train,
-          count(CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 END) AS n_contam
-        FROM documents WHERE doc_id % 97 <> 0 GROUP BY lang"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Training sequence packing (GPT-style concat-and-split): documents are
-    // hash-assigned to 16 shards, concatenated in deterministic doc_id order
-    // within each shard, and split at a 512-token budget. Per shard:
-    // document/token totals, sequence count, and how many documents straddle
-    // a sequence boundary. The cumulative sum is a per-shard window — the
-    // shuffle key is the shard, so at 100 TB the packing parallelizes by
-    // shard count (thousands on a real export) and each shard's running
-    // offset is a single partition-local sort, never a global one.
-    GraftQuery(
-      "pack01_seq_packing",
-      (s, d) => {
-        val B = 512L
-        val base = Tables.documents(s, d).select(
-          col("doc_id"),
-          (TA.hash60(concat(lit("pack:"), col("doc_id").cast("string"))) % 16).as("shard"),
-          TA.tokenCount(col("text")).cast("long").as("n_tok"))
-        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        base.withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-          .groupBy(col("shard"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).as("n_tokens"),
-            ceil(sum(col("n_tok")) / lit(B.toDouble)).cast("long").as("n_seqs"),
-            count(when(expr(s"start div $B") =!=
-              expr(s"(start + n_tok - 1) div $B"), lit(1))).as("n_straddle"))
-      },
-      Some {
-        val h = TA.Sql.hash60("concat('pack:', CAST(doc_id AS VARCHAR))")
-        s"""WITH d AS (SELECT doc_id, $h % 16 AS shard,
-              ${TA.Sql.tokenCount("text")} AS n_tok FROM documents),
-          c AS (SELECT shard, doc_id, n_tok,
-              coalesce(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
-            FROM d)
-        SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-          CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_seqs,
-          count(CASE WHEN start // 512 <> (start + n_tok - 1) // 512 THEN 1 END) AS n_straddle
-        FROM c GROUP BY shard"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Preference-pair (DPO/RLHF) data prep (round 12): group candidate
-    // completions by prompt, take the best- and worst-scored per group as
-    // the (chosen, rejected) pair, and audit pair counts, score margins,
-    // and an id-derived pair checksum. Prompt groups are (source,
-    // doc_id DIV 8); the quality score is an md5-derived 60-bit integer
-    // (practically collision-free, so argmax/argmin are deterministic in
-    // any engine). Plan shape: ONE shuffle on the group key with
-    // map-side-combinable max_by/min_by partials, then the tiny
-    // per-source rollup — the grouped-argmax pattern that builds
-    // preference datasets at corpus scale.
-    GraftQuery(
-      "pref01_dpo_pairs",
-      (s, d) => {
-        val M = 1000000007L
-        val scored = Tables.documents(s, d).select(
-          col("source"),
-          expr("doc_id DIV 8").as("g"),
-          col("doc_id"),
-          TA.hash60(concat(lit("score:"), col("doc_id").cast("string"))).as("score"))
-        val pairs = scored.groupBy(col("source"), col("g"))
-          .agg(
-            count(lit(1)).as("n_cands"),
-            max_by(col("doc_id"), col("score")).as("chosen"),
-            min_by(col("doc_id"), col("score")).as("rejected"),
-            max(col("score")).as("s_max"),
-            min(col("score")).as("s_min"))
-        pairs.groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_groups"),
-            count(when(col("n_cands") >= 2, lit(1))).as("n_pairs"),
-            sum(when(col("n_cands") >= 2, (col("s_max") - col("s_min")) % M)
-              .otherwise(0L)).as("sum_margin"),
-            sum(when(col("n_cands") >= 2,
-              (col("chosen") * 31 + col("rejected")) % M).otherwise(0L))
-              .as("pair_check"))
-      },
-      Some {
-        val score = TA.Sql.hash60("concat('score:', CAST(doc_id AS VARCHAR))")
-        s"""WITH scored AS (SELECT source, doc_id // 8 AS g, doc_id,
-              $score AS score FROM documents),
-          p AS (SELECT source, g, count(*) AS n_cands,
-              max_by(doc_id, score) AS chosen, min_by(doc_id, score) AS rejected,
-              max(score) AS s_max, min(score) AS s_min
-            FROM scored GROUP BY 1, 2)
-        SELECT source, count(*) AS n_groups,
-          count(CASE WHEN n_cands >= 2 THEN 1 END) AS n_pairs,
-          CAST(sum(CASE WHEN n_cands >= 2 THEN (s_max - s_min) % 1000000007
-            ELSE 0 END) AS BIGINT) AS sum_margin,
-          CAST(sum(CASE WHEN n_cands >= 2
-            THEN (chosen * 31 + rejected) % 1000000007 ELSE 0 END)
-            AS BIGINT) AS pair_check
-        FROM p GROUP BY 1"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Bradley-Terry strength fit over preference duels (round 12): the
-    // model behind reward-model eval boards and matchup-based data
-    // curation. Global prompt groups (doc_id DIV 8) span sources; the
-    // best/worst-scored doc per group make one (winner, loser) duel
-    // between their SOURCES, the corpus collapses to the |sources|²
-    // win matrix in one shuffle, and TWO minorization-maximization
-    // rounds (p_i ← W_i / Σ_j n_ij/(p_i+p_j), start p=1) run over that
-    // schema-sized matrix on the driver — per-opponent terms are
-    // nano-scaled to exact longs before summing so the fit is
-    // bit-identical to the oracle's CTE chain regardless of summation
-    // order. Scale shape: the 100 TB corpus is touched once (grouped
-    // argmax/argmin with map-side-combinable partials); everything
-    // after is O(|sources|²).
-    GraftQuery(
-      "pref02_bradley_terry",
-      (s, d) => {
-        val scored = Tables.documents(s, d).select(
-          expr("doc_id DIV 8").as("g"),
-          col("source"),
-          TA.hash60(concat(lit("score:"), col("doc_id").cast("string"))).as("score"))
-        val duels = scored.groupBy(col("g"))
-          .agg(count(lit(1)).as("n_cands"),
-            max_by(col("source"), col("score")).as("w"),
-            min_by(col("source"), col("score")).as("l"))
-          .filter(col("n_cands") >= 2 && col("w") =!= col("l"))
-          .groupBy(col("w"), col("l")).agg(count(lit(1)).as("cnt"))
-        // the win matrix is |sources|² — schema-sized by construction
-        val m: Map[(String, String), Long] = duels.collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-        val players = m.keysIterator.flatMap(k => Iterator(k._1, k._2)).toSeq.distinct.sorted
-        val wins: Map[String, Long] =
-          players.map(i => i -> m.iterator.filter(_._1._1 == i).map(_._2).sum).toMap
-        val nij: Map[(String, String), Long] = (for {
-          i <- players; j <- players if i != j
-        } yield (i, j) -> (m.getOrElse((i, j), 0L) + m.getOrElse((j, i), 0L))).toMap
-        var p: Map[String, Double] = players.map(_ -> 1.0).toMap
-        for (_ <- 0 until 2) {
-          p = players.map { i =>
-            val si = players.filter(_ != i).map { j =>
-              math.round(nij(i -> j).toDouble / (p(i) + p(j)) * 1000000000.0)
-            }.sum
-            i -> (if (si == 0L) 0.0 else wins(i).toDouble * 1000000000.0 / si)
-          }.toMap
-        }
-        val out = players.map { i =>
-          (i, wins(i), players.filter(_ != i).map(j => nij(i -> j)).sum,
-            math.round(p(i) * 1000000.0))
-        }
-        import s.implicits._
-        out.toDF("source", "wins", "games", "strength_micro")
-      },
-      Some {
-        val score = TA.Sql.hash60("concat('score:', CAST(doc_id AS VARCHAR))")
-        s"""WITH scored AS (SELECT doc_id // 8 AS g, source,
-              $score AS score FROM documents),
-          duel AS (SELECT g, count(*) AS n_cands,
-              max_by(source, score) AS w, min_by(source, score) AS l
-            FROM scored GROUP BY 1),
-          m AS (SELECT w, l, count(*) AS cnt FROM duel
-            WHERE n_cands >= 2 AND w <> l GROUP BY 1, 2),
-          wins AS (SELECT w AS i, CAST(sum(cnt) AS BIGINT) AS wi FROM m GROUP BY 1),
-          n AS (SELECT i, j, CAST(sum(cnt) AS BIGINT) AS nij FROM
-            (SELECT w AS i, l AS j, cnt FROM m
-             UNION ALL SELECT l AS i, w AS j, cnt FROM m) GROUP BY 1, 2),
-          players AS (SELECT DISTINCT i FROM n),
-          p0 AS (SELECT i, 1.0 AS p FROM players),
-          s1 AS (SELECT n.i, CAST(sum(CAST(round(nij/(pi.p+pj.p)*1000000000.0)
-              AS BIGINT)) AS BIGINT) AS s
-            FROM n JOIN p0 pi ON n.i = pi.i JOIN p0 pj ON n.j = pj.i GROUP BY 1),
-          p1 AS (SELECT s1.i, CASE WHEN s1.s = 0 THEN 0.0
-              ELSE CAST(coalesce(w.wi, 0) AS DOUBLE)*1000000000.0/s1.s END AS p
-            FROM s1 LEFT JOIN wins w ON s1.i = w.i),
-          s2 AS (SELECT n.i, CAST(sum(CAST(round(nij/(pi.p+pj.p)*1000000000.0)
-              AS BIGINT)) AS BIGINT) AS s
-            FROM n JOIN p1 pi ON n.i = pi.i JOIN p1 pj ON n.j = pj.i GROUP BY 1),
-          p2 AS (SELECT s2.i, CASE WHEN s2.s = 0 THEN 0.0
-              ELSE CAST(coalesce(w.wi, 0) AS DOUBLE)*1000000000.0/s2.s END AS p
-            FROM s2 LEFT JOIN wins w ON s2.i = w.i)
-        SELECT p2.i AS source, CAST(coalesce(w.wi, 0) AS BIGINT) AS wins,
-          (SELECT CAST(sum(nij) AS BIGINT) FROM n WHERE n.i = p2.i) AS games,
-          CAST(round(p2.p*1000000.0) AS BIGINT) AS strength_micro
-        FROM p2 LEFT JOIN wins w ON p2.i = w.i"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // SFT data prep (round 12): the step between a curated corpus and a
-    // fine-tuning run — render synthetic chat transcripts (2/4/6
-    // alternating user/assistant turns sliced from each doc) through a
-    // deterministic chat template and account the LOSS MASK: assistant
-    // tokens train, user tokens mask, and the rendered string itself is
-    // checksummed so one wrong byte of template assembly breaks the
-    // match. Pure codegen'd higher-order functions (sequence/transform/
-    // filter/aggregate) over an array-of-structs turn column — no UDF, no
-    // shuffle until the per-source aggregate; at 100 TB this is a single
-    // projection pass.
-    GraftQuery(
-      "pack05_sft_loss_mask",
-      (s, d) => {
-        val M = 1000000007L
-        val base = Tables.documents(s, d)
-          .filter(length(col("text")) > 0)
-          .withColumn("n_turns", lit(2) + (col("doc_id") % 3).cast("int") * 2)
-          .withColumn("turns",
-            transform(sequence(lit(0), col("n_turns") - 1), i =>
-              struct(
-                when(i % 2 === 0, "user").otherwise("assistant").as("role"),
-                col("text").substr((i * 17 % length(col("text")) + 1).cast("int"),
-                  (lit(24) + (col("doc_id") + i) % 13).cast("int")).as("txt"))))
-          .withColumn("render", concat_ws("",
-            transform(col("turns"), t =>
-              concat(lit("<|"), t.getField("role"), lit("|>"),
-                t.getField("txt"), lit("<|end|>")))))
-          .select(
-            col("source"),
-            aggregate(col("turns"), lit(0L),
-              (acc, t) => acc + TA.tokenCount(t.getField("txt")).cast("long"))
-              .as("tok_total"),
-            aggregate(filter(col("turns"), t => t.getField("role") === "assistant"),
-              lit(0L),
-              (acc, t) => acc + TA.tokenCount(t.getField("txt")).cast("long"))
-              .as("tok_train"),
-            (TA.hash60(col("render")) % M).as("render_h"))
-        base.groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("tok_total")).as("sum_tokens"),
-            sum(col("tok_train")).as("sum_trainable"),
-            sum(col("tok_total") - col("tok_train")).as("sum_masked"),
-            sum(col("render_h")).as("render_check"))
-      },
-      // turn i slice: substring(text, (17i mod len)+1, 24 + (doc_id+i) mod 13);
-      // role alternates user/assistant from user; template
-      // <|role|>txt<|end|> concatenated in turn order
-      Some(s"""WITH d AS (SELECT doc_id, source, text, length(text) AS len
-            FROM documents WHERE length(text) > 0),
-          t AS (SELECT doc_id, source,
-              list_transform(range(0, 2 + (doc_id % 3) * 2), i -> struct_pack(
-                role := CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
-                txt := substring(text, CAST((i * 17) % len AS INTEGER) + 1,
-                  CAST(24 + (doc_id + i) % 13 AS INTEGER)))) AS turns
-            FROM d),
-          r AS (SELECT source,
-              CAST(list_sum(list_transform(turns,
-                t -> ${TA.Sql.tokenCount("t.txt")})) AS BIGINT) AS tok_total,
-              COALESCE(CAST(list_sum(list_transform(
-                list_filter(turns, t -> t.role = 'assistant'),
-                t -> ${TA.Sql.tokenCount("t.txt")})) AS BIGINT), 0) AS tok_train,
-              (${TA.Sql.hash60("array_to_string(list_transform(turns, " +
-        "t -> '<|' || t.role || '|>' || t.txt || '<|end|>'), '')")} % 1000000007)
-                AS render_h
-            FROM t)
-        SELECT source, count(*) AS n_docs,
-          CAST(sum(tok_total) AS BIGINT) AS sum_tokens,
-          CAST(sum(tok_train) AS BIGINT) AS sum_trainable,
-          CAST(sum(tok_total - tok_train) AS BIGINT) AS sum_masked,
-          CAST(sum(render_h) AS BIGINT) AS render_check
-        FROM r GROUP BY 1"""),
-    ),
 
     // ------------------------------------------------------------------
     // Weighted bottom-k corpus sampling: language-weighted priority sampling
@@ -470,359 +148,6 @@ object CorpusQueries {
     ),
 
     // ------------------------------------------------------------------
-    // RAG-prep chunking (pack01's retrieval sibling): 128-token windows at
-    // stride 96 (32-token overlap). Everything is computed in closed form
-    // INSIDE the projection — chunk count by integer division, per-chunk
-    // token sums via a higher-order fold over the chunk indices — so the
-    // corpus is scanned once with NO explode and the only shuffle is the
-    // final 4-row language rollup. Integer arithmetic end-to-end.
-    GraftQuery(
-      "pack02_chunk_overlap",
-      (s, d) => {
-        val W = 128L; val St = 96L
-        val n = TA.tokenCount(col("text")).cast("long")
-        val nc = when(col("n_tok") <= W, lit(1L))
-          .otherwise(expr(s"(n_tok - $W + ${St - 1}) DIV $St") + 1L)
-        val chunkToks = expr(
-          s"aggregate(sequence(0L, n_chunks - 1), 0L, (acc, i) -> acc + least($W, n_tok - $St * i))")
-        val fullChunks = expr(
-          s"aggregate(sequence(0L, n_chunks - 1), 0L, (acc, i) -> acc + IF(n_tok - $St * i >= $W, 1L, 0L))")
-        Tables.documents(s, d)
-          .select(col("lang"), n.as("n_tok"))
-          .withColumn("n_chunks", nc)
-          .withColumn("chunk_toks", chunkToks)
-          .withColumn("full_chunks", fullChunks)
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-            sum(col("n_chunks")).as("n_chunks"),
-            sum(col("chunk_toks")).as("n_chunk_tokens"),
-            sum(col("full_chunks")).as("n_full_chunks"))
-      },
-      Some(s"""WITH t AS (SELECT lang, ${TA.Sql.tokenCount("text")} AS n_tok FROM documents),
-          c AS (SELECT lang, n_tok,
-              CASE WHEN n_tok <= 128 THEN 1 ELSE (n_tok - 128 + 95) // 96 + 1 END AS n_chunks
-            FROM t),
-          p AS (SELECT lang, n_tok, n_chunks,
-              list_sum(list_transform(generate_series(0, n_chunks - 1),
-                i -> least(128, n_tok - 96 * i))) AS chunk_toks,
-              list_sum(list_transform(generate_series(0, n_chunks - 1),
-                i -> CASE WHEN n_tok - 96 * i >= 128 THEN 1 ELSE 0 END)) AS full_chunks
-            FROM c)
-        SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-          CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
-          CAST(sum(chunk_toks) AS BIGINT) AS n_chunk_tokens,
-          CAST(sum(full_chunks) AS BIGINT) AS n_full_chunks
-        FROM p GROUP BY 1"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Materialized RAG chunk table (the table pack02 only plans): every
-    // (doc, window) becomes a row with its token span and a 60-bit
-    // CONTENT-ADDRESSED hash of the chunk text — the key a retrieval store
-    // dedups and upserts on. W=32 / stride=24 so multi-chunk splitting is
-    // actually exercised at test SFs. One projection + one bounded explode
-    // (chunks per doc = ceil(tokens/stride), linear in corpus tokens); no
-    // shuffle at all — at 100 TB this writes straight to the chunk store.
-    GraftQuery(
-      "pack03_chunk_table",
-      (s, d) => {
-        val W = 32; val St = 24
-        val toks = TA.tokens(col("text"))
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n_tok"))
-          .withColumn("n_chunks",
-            when(col("n_tok") <= W, lit(1L))
-              .otherwise(expr(s"(n_tok - $W + ${St - 1}) DIV $St") + 1L))
-        base
-          .select(col("doc_id"), col("toks"), col("n_tok"),
-            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
-          .select(col("doc_id"), col("toks"), col("chunk_id"),
-            (col("chunk_id") * St).as("start_tok"),
-            least(lit(W.toLong), col("n_tok") - col("chunk_id") * St).as("chunk_len"))
-          .withColumn("chunk_hash", TA.hash60(array_join(
-            expr(s"slice(toks, CAST(chunk_id * $St + 1 AS INT), CAST(chunk_len AS INT))"), " ")))
-          .drop("toks")
-      },
-      Some(raw"""WITH t AS (SELECT doc_id,
-            regexp_split_to_array(trim(text), '\s+') AS toks,
-            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
-          FROM documents),
-        c AS (SELECT doc_id, toks, n_tok,
-            CASE WHEN n_tok <= 32 THEN 1 ELSE (n_tok - 32 + 23) // 24 + 1 END AS n_chunks
-          FROM t),
-        x AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_id,
-            CAST(24 * i AS BIGINT) AS start_tok,
-            CAST(least(32, n_tok - 24 * i) AS BIGINT) AS chunk_len
-          FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS g(i))
-        SELECT doc_id, chunk_id, start_tok, chunk_len,
-          ${TA.Sql.hash60(
-            "array_to_string(toks[CAST(start_tok + 1 AS INT) : CAST(start_tok + chunk_len AS INT)], ' ')")}
-            AS chunk_hash
-        FROM x"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1): the
-    // seven standard document heuristics — word-count band, mean-word-length
-    // band, symbol-to-word ratio, bullet-line and ellipsis-line fractions,
-    // alphabetic-word fraction, minimum stopword hits — each evaluated as an
-    // INTEGER cross-multiplication (never a float ratio), so the pass/fail
-    // bit is engine-exact. One projection over the corpus scan + one
-    // map-side-combinable groupBy: at 100 TB this is a pure scan-rate
-    // operator with a (lang, source)-sized output. The id_sum checksum over
-    // full-pass documents makes the oracle sensitive to exactly WHICH
-    // documents pass, not just how many.
-    GraftQuery(
-      "curate01_gopher_rules",
-      (s, d) => {
-        val c = col("text")
-        val toks = TA.tokens(c)
-        val nWords = size(toks)
-        // chars excluding the n-1 single-space separators of normalized text
-        val letters = length(c) - (nWords - 1)
-        val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
-        val nSym = size(regexp_extract_all(c, lit("#"), lit(0))) +
-          size(regexp_extract_all(c, lit("\\.\\.\\."), lit(0)))
-        val lines = split(c, "\n", -1)
-        val nLines = size(lines)
-        val nBullet = size(filter(lines, l =>
-          startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* "))))
-        val nEll = size(filter(lines, l => endswith(rtrim(l), lit("..."))))
-        val rules = Seq(
-          "p_words" -> nWords.between(50, 100000),
-          "p_meanlen" -> (lit(3) * nWords <= letters && letters <= lit(10) * nWords),
-          "p_symbol" -> (lit(10) * nSym <= nWords),
-          "p_bullet" -> (lit(10) * nBullet <= lit(9) * nLines),
-          "p_ellipsis" -> (lit(10) * nEll <= lit(3) * nLines),
-          "p_alpha" -> (lit(5) * nAlpha >= lit(4) * nWords),
-          "p_stop" -> (TA.stopwordCount(c) >= 2))
-        val flagged = Tables.documents(s, d).select(
-          col("doc_id") +: col("lang") +: col("source") +:
-            rules.map { case (n, r) => r.cast("int").as(n) }: _*)
-        val passAll = rules.map(r => col(r._1) === 1).reduce(_ && _)
-        val aggs = count(lit(1)).as("n_docs") +:
-          rules.map { case (n, _) => sum(col(n)).as(n) } :+
-          count(when(passAll, lit(1))).as("n_pass_all") :+
-          coalesce(sum(when(passAll, col("doc_id"))), lit(0L)).as("id_sum")
-        flagged
-          .groupBy(col("lang"), col("source"))
-          .agg(aggs.head, aggs.tail: _*)
-      },
-      Some {
-        val toks = TA.Sql.tokens("text")
-        s"""WITH f AS (SELECT doc_id, lang, source,
-            len($toks) AS n_words,
-            length(text) - (len($toks) - 1) AS letters,
-            len(list_filter($toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
-            len(regexp_extract_all(text, '#'))
-              + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
-            len(string_split(text, chr(10))) AS n_lines,
-            len(list_filter(string_split(text, chr(10)),
-              l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS n_bullet,
-            len(list_filter(string_split(text, chr(10)),
-              l -> ends_with(rtrim(l), '...'))) AS n_ell,
-            ${TA.Sql.stopwordCount("text")} AS n_stop
-          FROM documents),
-        r AS (SELECT doc_id, lang, source,
-            CAST(n_words BETWEEN 50 AND 100000 AS INT) AS p_words,
-            CAST(3*n_words <= letters AND letters <= 10*n_words AS INT) AS p_meanlen,
-            CAST(10*n_sym <= n_words AS INT) AS p_symbol,
-            CAST(10*n_bullet <= 9*n_lines AS INT) AS p_bullet,
-            CAST(10*n_ell <= 3*n_lines AS INT) AS p_ellipsis,
-            CAST(5*n_alpha >= 4*n_words AS INT) AS p_alpha,
-            CAST(n_stop >= 2 AS INT) AS p_stop
-          FROM f)
-        SELECT lang, source, count(*) AS n_docs,
-          CAST(sum(p_words) AS BIGINT) AS p_words,
-          CAST(sum(p_meanlen) AS BIGINT) AS p_meanlen,
-          CAST(sum(p_symbol) AS BIGINT) AS p_symbol,
-          CAST(sum(p_bullet) AS BIGINT) AS p_bullet,
-          CAST(sum(p_ellipsis) AS BIGINT) AS p_ellipsis,
-          CAST(sum(p_alpha) AS BIGINT) AS p_alpha,
-          CAST(sum(p_stop) AS BIGINT) AS p_stop,
-          count(*) FILTER (p_words=1 AND p_meanlen=1 AND p_symbol=1 AND p_bullet=1
-            AND p_ellipsis=1 AND p_alpha=1 AND p_stop=1) AS n_pass_all,
-          coalesce(CAST(sum(doc_id) FILTER (p_words=1 AND p_meanlen=1 AND p_symbol=1
-            AND p_bullet=1 AND p_ellipsis=1 AND p_alpha=1 AND p_stop=1) AS BIGINT), 0)
-            AS id_sum
-        FROM r GROUP BY 1, 2"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Length-bucketed batching audit: documents bin to the smallest
-    // power-of-two token capacity that holds them (the standard bucketing
-    // that keeps padding waste bounded when batching variable-length
-    // sequences). Per bucket: docs, real tokens, padded slots wasted, and
-    // waste ppm — the numbers that decide whether the bucket boundaries
-    // need to move. Pure integer arithmetic over one corpus projection +
-    // one ≤12-cell groupBy; at 100 TB it's a scan-rate operator.
-    GraftQuery(
-      "pack04_length_buckets",
-      (s, d) => {
-        val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
-        val n = TA.tokenCount(col("text")).cast("long")
-        val cap = caps.foldRight(lit(16384): org.apache.spark.sql.Column) {
-          (c, el) => when(n <= c, lit(c)).otherwise(el)
-        }
-        // beyond the largest capacity a document SPLITS across ceil(n/16384)
-        // max-size sequences, so its padded slots are 16384·ceil — waste
-        // stays a true non-negative padding count in every bucket
-        Tables.documents(s, d)
-          .select(cap.as("bin_cap"), n.as("ntok"),
-            when(n <= caps.last, cap.cast("long"))
-              .otherwise(lit(16384L) * ceil(n.cast("double") / 16384.0).cast("long"))
-              .as("slots"))
-          .groupBy(col("bin_cap"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"),
-            sum(col("slots")).as("slot_sum"))
-          .withColumn("waste", col("slot_sum") - col("tok_sum"))
-          .withColumn("waste_ppm",
-            round(col("waste") * lit(1000000.0) / col("slot_sum")).cast("long"))
-          .drop("slot_sum")
-      },
-      Some {
-        val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
-        val chain = caps.map(c => s"WHEN n <= $c THEN $c").mkString(" ")
-        s"""WITH t AS (SELECT CASE $chain ELSE 16384 END AS bin_cap, n,
-            CASE WHEN n <= ${caps.last} THEN CASE $chain ELSE 16384 END
-              ELSE 16384 * CAST(ceil(n / 16384.0e0) AS BIGINT) END AS slots
-          FROM (SELECT ${TA.Sql.tokenCount("text")} AS n FROM documents)),
-          g AS (SELECT bin_cap, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_sum,
-              CAST(sum(slots) AS BIGINT) AS slot_sum
-            FROM t GROUP BY 1)
-        SELECT bin_cap, n_docs, tok_sum, slot_sum - tok_sum AS waste,
-          CAST(round((slot_sum - tok_sum) * 1000000.0e0 / slot_sum) AS BIGINT)
-            AS waste_ppm
-        FROM g"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Per-eval-document contamination pressure (the report a
-    // decontamination run publishes, decon01's aggregate turned around):
-    // for each held-out eval document, how many of its 4-token shingles
-    // also occur ANYWHERE in the training split. Plan shape for 100 TB:
-    // the eval shingle set is benchmark-sized → broadcasts into the train
-    // scan; the distinct HIT set is ≤ eval-sized → broadcasts back onto
-    // eval rows. The train corpus is scanned once and never shuffled.
-    GraftQuery(
-      "decon02_eval_pressure",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("is_eval", col("doc_id") % 97 === 0)
-        // Persist ONLY the eval slice (benchmark-sized, 1/97 of docs) —
-        // it feeds both the broadcast build and the final aggregate. The
-        // train shingle stream is corpus-scale and must never be
-        // materialized: it streams through the semi-join exactly once.
-        val evalSh = docs.filter(col("is_eval"))
-          .select(col("doc_id"), col("lang"),
-            explode(tokenShingleHashes(col("text"), 4)).as("sh"))
-          .transform(graft.core.Caches.persist)
-        val hitSet = docs.filter(!col("is_eval"))
-          .select(explode(tokenShingleHashes(col("text"), 4)).as("sh"))
-          .join(broadcast(evalSh.select(col("sh")).distinct()), Seq("sh"), "left_semi")
-          .distinct()
-          .withColumn("hit", lit(1))
-        evalSh.join(broadcast(hitSet), Seq("sh"), "left")
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(count(lit(1)).as("n_shingles"),
-            count(col("hit")).as("n_hit"))
-          .withColumn("hit_ppm",
-            round(col("n_hit") * 1000000.0 / col("n_shingles")).cast("long"))
-      },
-      Some {
-        val base = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
-          s"${TA.Sql.tokens("text")} AS toks FROM documents"
-        s"""WITH sh AS (${sqlTokenShingleHashes(base, 4)}),
-          hits AS (SELECT DISTINCT e.sh FROM sh e
-            WHERE e.is_eval AND e.sh IN (SELECT sh FROM sh WHERE NOT is_eval)),
-          ev AS (SELECT doc_id, lang, sh FROM sh WHERE is_eval)
-        SELECT doc_id, lang, count(*) AS n_shingles,
-          count(CASE WHEN sh IN (SELECT sh FROM hits) THEN 1 END) AS n_hit,
-          CAST(round(count(CASE WHEN sh IN (SELECT sh FROM hits) THEN 1 END)
-            * 1000000.0e0 / count(*)) AS BIGINT) AS hit_ppm
-        FROM ev GROUP BY 1, 2"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Contamination REMOVAL (decon01 detects, this scrubs): every
-    // non-overlapping 4-token chunk of a training document whose exact
-    // token window occurs anywhere in the eval split is dropped; the
-    // report counts chunks scrubbed, documents touched, and tokens kept
-    // per language. Chunk hashes share tokenShingleHashes' format (1-based
-    // slice, space-join, hash60), so a chunk matches iff its window
-    // appears at ANY alignment in an eval document. Plan for 100 TB:
-    // eval shingles are benchmark-sized → broadcast; the train corpus is
-    // scanned once and only the lang-sized aggregates shuffle. The tail
-    // (len mod 4 tokens) is always kept, making toks_kept exact integer
-    // arithmetic: n_tokens - 4·n_dropped.
-    GraftQuery(
-      "decon03_scrub",
-      (s, d) => {
-        val W = 4
-        val docs = Tables.documents(s, d)
-          .withColumn("is_eval", col("doc_id") % 97 === 0)
-        val evalSh = docs.filter(col("is_eval"))
-          .select(explode(tokenShingleHashes(col("text"), W)).as("sh"))
-          .distinct()
-        val train = docs.filter(!col("is_eval"))
-          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
-          .withColumn("n_tok", size(col("toks")).cast("long"))
-        val idx = when(size(col("toks")) >= W,
-            sequence(lit(0), (size(col("toks")) / W).cast("int") - 1))
-          .otherwise(array().cast("array<int>"))
-        val chunks = train.select(col("doc_id"), col("lang"),
-          explode(transform(idx,
-            j => TA.hash60(array_join(slice(col("toks"), j * W + 1, lit(W)), " ")))).as("ch"))
-        val marked = chunks
-          .join(broadcast(evalSh), chunks("ch") === evalSh("sh"), "left")
-          .select(col("doc_id"), col("lang"), col("sh").isNotNull.as("hit"))
-        val chunkAgg = marked.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_chunks"),
-            count(when(col("hit"), lit(1))).as("n_dropped"),
-            countDistinct(when(col("hit"), col("doc_id"))).as("docs_touched"))
-        train.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_train"), sum(col("n_tok")).as("n_tokens"))
-          .join(chunkAgg, Seq("lang"), "left")
-          .select(col("lang"), col("n_train"), col("n_tokens"),
-            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-            coalesce(col("docs_touched"), lit(0L)).as("docs_touched"),
-            (col("n_tokens") - lit(4L) * coalesce(col("n_dropped"), lit(0L)))
-              .as("toks_kept"))
-      },
-      Some {
-        val sh = TA.Sql.hash60("array_to_string(list_slice(toks, i, i + 3), ' ')")
-        val ck = TA.Sql.hash60("array_to_string(list_slice(toks, j*4 + 1, j*4 + 4), ' ')")
-        s"""WITH base AS (SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval,
-              ${TA.Sql.tokens("text")} AS toks FROM documents),
-          ev AS (SELECT DISTINCT $sh AS sh
-            FROM base, UNNEST(generate_series(1, len(toks) - 3)) AS u(i)
-            WHERE is_eval AND len(toks) >= 4),
-          tr AS (SELECT doc_id, lang, toks, len(toks) AS n_tok
-            FROM base WHERE NOT is_eval),
-          ch AS (SELECT doc_id, lang, $ck AS ch
-            FROM tr, UNNEST(range(len(toks) // 4)) AS u(j)),
-          mk AS (SELECT c.doc_id, c.lang, e.sh IS NOT NULL AS hit
-            FROM ch c LEFT JOIN ev e ON c.ch = e.sh),
-          ca AS (SELECT lang, count(*) AS n_chunks,
-              count(*) FILTER (hit) AS n_dropped,
-              count(DISTINCT CASE WHEN hit THEN doc_id END) AS docs_touched
-            FROM mk GROUP BY 1),
-          da AS (SELECT lang, count(*) AS n_train,
-              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tr GROUP BY 1)
-        SELECT da.lang, n_train, n_tokens,
-          coalesce(n_chunks, 0) AS n_chunks,
-          coalesce(n_dropped, 0) AS n_dropped,
-          coalesce(docs_touched, 0) AS docs_touched,
-          n_tokens - 4 * coalesce(n_dropped, 0) AS toks_kept
-        FROM da LEFT JOIN ca USING (lang)"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
     // Greedy k-center coreset (Gonzalez's 2-approximation, the classic
     // diversity-selection scheme for training-data subset curation):
     // seed with the lowest vec_id, then k-1 rounds of "pick the vector
@@ -897,420 +222,5 @@ object CorpusQueries {
       },
     ),
 
-    // ------------------------------------------------------------------
-    // DSIR data selection (Xie et al. 2023, "Data Selection for Language
-    // Models via Importance Resampling"): score every raw document by how
-    // much its hashed-bigram profile resembles a small trusted target set
-    // (here sources src0/src1), then select the target-like ones. Two
-    // passes, both scan-shaped: pass A explodes bigrams and builds the
-    // 512-bucket feature table (one map-side-combinable groupBy producing
-    // ≤512 rows — collected to the DRIVER, never a corpus shuffle); the
-    // per-bucket importance weight is a single rounded ppm division of
-    // two exact add-one counts, so it is engine-exact. Pass B compiles
-    // those 512 weights into an array LITERAL (the url05 plan-time-
-    // compile pattern) and scores each document in ONE whole-stage-
-    // codegen projection: aggregate(bigrams, Σ weight[h(b) mod 512]) —
-    // exact 64-bit sums — then one rounded division per doc for its mean
-    // weight in ppm. At 100 TB pass B is pure scan rate with zero
-    // shuffles; the output groupBy is (lang, source)-sized. A document is
-    // SELECTED when its mean bucket weight exceeds 1e6 (more target- than
-    // raw-mass). The id_sum checksum pins exactly WHICH documents pass.
-    GraftQuery(
-      "curate02_dsir",
-      (s, d) => {
-        val K = 512
-        // tokens materialize as their own projection column FIRST: lambda
-        // bodies get no common-subexpression elimination, so building
-        // bigrams straight off split(text) re-splits the document per
-        // element — O(len²) per doc (measured 7.7 s -> 0.6 s at sf0.1)
-        val bg = expr("CASE WHEN size(t) >= 2 THEN zip_with(" +
-          "slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), " +
-          "(a, b) -> concat(a, ' ', b)) ELSE cast(array() AS array<string>) END")
-        val bucket = (b: org.apache.spark.sql.Column) => pmod(TA.hash60(b), lit(K.toLong))
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"),
-            TA.tokens(col("text")).as("t"))
-        // pass A: 512-bucket target/raw counts -> exact ppm weights
-        val isTgt = col("source").isin("src0", "src1")
-        val w = docs.select(explode(bg).as("b"), isTgt.as("tgt"))
-          .groupBy(bucket(col("b")).as("k"))
-          .agg(count(when(col("tgt"), lit(1))).as("t"),
-            count(when(!col("tgt"), lit(1))).as("r"))
-          .select(col("k"),
-            round(lit(1e6) * (col("t") + 1) / (col("r") + 1)).cast("long").as("lam"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val weights = (0 until K).map(k => w.getOrElse(k.toLong, 1000000L))
-        // pass B: one projection, zero shuffles before the tiny groupBy
-        val wlit = typedLit(weights)
-        val scored = docs.select(col("doc_id"), col("lang"), col("source"),
-            bg.as("bg"))
-          .select(col("doc_id"), col("lang"), col("source"),
-            size(col("bg")).as("nb"),
-            aggregate(col("bg"), lit(0L), (acc, b) =>
-              acc + element_at(wlit, (bucket(b) + 1).cast("int"))).as("wsum"))
-          .select(col("doc_id"), col("lang"), col("source"),
-            when(col("nb") > 0,
-              round(col("wsum").cast("double") / col("nb")).cast("long"))
-              .otherwise(0L).as("score_ppm"))
-        scored
-          .groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            count(when(col("score_ppm") > 1000000L, lit(1))).as("n_sel"),
-            sum(col("score_ppm")).as("score_sum"),
-            coalesce(sum(when(col("score_ppm") > 1000000L, col("doc_id"))),
-              lit(0L)).as("id_sum"))
-      },
-      Some {
-        val toks = TA.Sql.tokens("text")
-        s"""WITH tok AS (SELECT doc_id, lang, source, $toks AS t FROM documents),
-          bg AS (SELECT doc_id, lang, source,
-              CASE WHEN len(t) >= 2
-                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-                ELSE [] END AS bgs
-            FROM tok),
-          ex AS (SELECT doc_id, source, unnest(bgs) AS b FROM bg),
-          kb AS (SELECT ${TA.Sql.hash60("b")} % 512 AS k,
-              source IN ('src0', 'src1') AS tgt FROM ex),
-          w AS (SELECT k, CAST(round(1e6 * (count(CASE WHEN tgt THEN 1 END) + 1)
-                / (count(CASE WHEN NOT tgt THEN 1 END) + 1)) AS BIGINT) AS lam
-            FROM kb GROUP BY 1),
-          dx AS (SELECT doc_id, ${TA.Sql.hash60("b")} % 512 AS k FROM ex),
-          ds AS (SELECT dx.doc_id, count(*) AS nb,
-              CAST(sum(coalesce(lam, 1000000)) AS BIGINT) AS wsum
-            FROM dx LEFT JOIN w USING (k) GROUP BY 1),
-          sc AS (SELECT b.doc_id, b.lang, b.source,
-              CASE WHEN coalesce(nb, 0) > 0
-                THEN CAST(round(CAST(wsum AS DOUBLE) / nb) AS BIGINT)
-                ELSE 0 END AS score_ppm
-            FROM bg b LEFT JOIN ds ON b.doc_id = ds.doc_id)
-        SELECT lang, source, count(*) AS n_docs,
-          count(CASE WHEN score_ppm > 1000000 THEN 1 END) AS n_sel,
-          CAST(sum(score_ppm) AS BIGINT) AS score_sum,
-          coalesce(CAST(sum(CASE WHEN score_ppm > 1000000 THEN doc_id END)
-            AS BIGINT), 0) AS id_sum
-        FROM sc GROUP BY 1, 2"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // FUZZY decontamination (decon01's near-duplicate upgrade: real eval
-    // leakage is rarely verbatim — paraphrases and partial copies slip
-    // past exact-shingle matching, which is why production decontam runs
-    // MinHash). The eval set is built IN the query as perturbed copies of
-    // every 97th document (each 13th token dropped — a partial-copy leak
-    // at token-Jaccard ≈ 0.6), so the oracle pins that the pipeline
-    // catches planted leaks: 16-seed MinHash over token-4-gram shingle
-    // sets, 8×2 LSH banding (2-row bands catch j≈0.6 pairs that 8-row
-    // bands structurally miss), then an EXACT-Jaccard verify at 1/2 via
-    // the integer cross-multiplication 3·|∩| ≥ |A|+|B|. One deterministic
-    // banding miss (fr's planted leak at sf0.01) survives as honest LSH
-    // behavior — both engines reproduce it from the same fixed seeds.
-    // Scale shape: the eval side (1/97 of the corpus) broadcasts — band
-    // keys AND shingle sets — so the train corpus is only ever scanned;
-    // candidates travel ids-only (the sim04 rule: no array payload in any
-    // exchange); one small shuffle total (the candidate distinct).
-    GraftQuery(
-      "decon04_fuzzy_decontam",
-      (s, d) => {
-        val P = Dedup.MinhashP
-        val Seeds = 16
-        val BandsN = 8
-        val Rows = 2
-        val toks = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("t"))
-        val evalSide = toks.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id"), col("lang"), lit(true).as("is_eval"),
-            filter(col("t"), (_, i) => (i + 1) % 13 =!= 0).as("t"))
-        val sides = toks
-          .select(col("doc_id"), col("lang"), lit(false).as("is_eval"), col("t"))
-          .union(evalSide)
-        val shingles = when(size(col("t")) >= 4,
-          array_distinct(transform(sequence(lit(1), size(col("t")) - 3),
-            i => TA.hash60(array_join(slice(col("t"), i, lit(4)), " ")) % P)))
-        val docs = sides.filter(size(col("t")) >= 4)
-          .select(col("doc_id"), col("lang"), col("is_eval"),
-            shingles.as("sh"))
-          .transform(graft.core.Caches.persist)
-        val sigs = docs.select(col("doc_id"), col("is_eval"),
-          Dedup.minhash(col("sh"), Seeds).as("sig"))
-        val keys = sigs.select(col("doc_id"), col("is_eval"),
-          explode(array((0 until BandsN).map { bd =>
-            struct(lit(bd).as("band"), Dedup.bandKey(col("sig"), bd, Rows).as("key"))
-          }: _*)).as("b"))
-          .select(col("doc_id"), col("is_eval"),
-            col("b.band").as("band"), col("b.key").as("key"))
-        val evalKeys = keys.filter(col("is_eval"))
-          .select(col("doc_id").as("eval_id"), col("band"), col("key"))
-        val cand = keys.filter(!col("is_eval"))
-          .join(broadcast(evalKeys), Seq("band", "key"))
-          .select(col("doc_id"), col("eval_id")).distinct()
-          .transform(graft.core.Caches.persist)
-        val evalShs = docs.filter(col("is_eval"))
-          .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))
-        val contam = docs.filter(!col("is_eval"))
-          .join(broadcast(cand), "doc_id")
-          .join(broadcast(evalShs), "eval_id")
-          .filter(lit(3) * size(array_intersect(col("sh"), col("sh_e"))) >=
-            size(col("sh")) + size(col("sh_e")))
-          .select(col("doc_id")).distinct().withColumn("bad", lit(1))
-        val candIds = cand.select(col("doc_id")).distinct()
-          .withColumn("hit", lit(1))
-        docs.filter(!col("is_eval"))
-          .join(candIds, Seq("doc_id"), "left")
-          .join(contam, Seq("doc_id"), "left")
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_train"),
-            count(col("hit")).as("n_cand"),
-            count(col("bad")).as("n_contam"),
-            coalesce(sum(when(col("bad").isNotNull, col("doc_id"))), lit(0L))
-              .as("id_sum"))
-      },
-      Some {
-        val P = Dedup.MinhashP
-        val sigExprs = (0 until 16).map { i =>
-          s"list_min(list_transform(s, x -> (${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % $P)) AS m$i"
-        }.mkString(", ")
-        val bandKeys = (0 until 8).map { bd =>
-          s"concat_ws(',', CAST(m${2 * bd} AS VARCHAR), CAST(m${2 * bd + 1} AS VARCHAR)) AS band$bd"
-        }.mkString(", ")
-        val h60 = TA.Sql.hash60("array_to_string(t[i:i+3], ' ')")
-        val candU = (0 until 8).map { bd =>
-          s"""SELECT t.doc_id, e.doc_id AS eval_id FROM keys t JOIN keys e
-             ON NOT t.is_eval AND e.is_eval AND t.band$bd = e.band$bd"""
-        }.mkString(" UNION ")
-        s"""WITH tok AS (SELECT doc_id, lang,
-              ${TA.Sql.tokens("text")} AS t FROM documents),
-          sides AS (
-            SELECT doc_id, lang, FALSE AS is_eval, t FROM tok
-            UNION ALL
-            SELECT doc_id, lang, TRUE, list_filter(t, (x, i) -> i % 13 <> 0)
-            FROM tok WHERE doc_id % 97 = 0),
-          shs AS (SELECT doc_id, lang, is_eval,
-              list_distinct(list_transform(range(1, len(t) - 2),
-                i -> $h60 % $P)) AS s
-            FROM sides WHERE len(t) >= 4),
-          sigs AS (SELECT doc_id, is_eval, $sigExprs FROM shs),
-          keys AS (SELECT doc_id, is_eval, $bandKeys FROM sigs),
-          cand AS ($candU),
-          ver AS (SELECT DISTINCT c.doc_id FROM cand c
-            JOIN shs a ON a.doc_id = c.doc_id AND NOT a.is_eval
-            JOIN shs b ON b.doc_id = c.eval_id AND b.is_eval
-            WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)),
-          ci AS (SELECT DISTINCT doc_id FROM cand)
-        SELECT lang, count(*) AS n_train,
-          count(CASE WHEN doc_id IN (SELECT doc_id FROM ci) THEN 1 END) AS n_cand,
-          count(CASE WHEN doc_id IN (SELECT doc_id FROM ver) THEN 1 END) AS n_contam,
-          coalesce(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM ver)
-            THEN doc_id END) AS BIGINT), 0) AS id_sum
-        FROM shs WHERE NOT is_eval GROUP BY 1"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // The corpus -> training-shards pipeline in ONE composed plan (the
-    // back half of the story pipe02's crawl->corpus front half starts):
-    // quality gate (token band + stopword floor) -> eval decontamination
-    // (any shared 4-token shingle with the eval slice drops the doc; the
-    // eval slice itself never trains) -> exact dedup (min doc_id per
-    // normalized fingerprint) -> hash-assignment to 16 pack shards with a
-    // 512-token sequence budget -> REAL TFRecord container round trip per
-    // bounded file group (shard -> many files, the shape a 100 TB export
-    // actually writes; group size is schema-bounded so no collect ever
-    // holds more than 128 documents). The per-shard audit pins surviving
-    // docs/tokens/sequences, file counts, EXACT container bytes (16 bytes
-    // of framing per record + payload), and an md5-derived checksum of
-    // every payload AFTER the round trip — DuckDB reproduces all of it,
-    // so a wrong byte anywhere in the 5-stage chain is a hash mismatch.
-    GraftQuery(
-      "pipe03_training_shard_prep",
-      (s, d) => {
-        import s.implicits._
-        val M = 1000000007L
-        def h60s(x: String): Long =
-          graft.ops.Hash60Kernel.fold(graft.ops.Hash60Kernel.digest().digest(
-            x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("text"),
-            TA.tokenCount(col("text")).cast("long").as("n_tok"),
-            (col("doc_id") % 97 === 0).as("is_eval"))
-          .transform(graft.core.Caches.persist)
-        val kept = base.filter(col("n_tok").between(30, 100000) &&
-          TA.stopwordCount(col("text")) >= 2)
-        val evalSh = base.filter(col("is_eval"))
-          .select(explode(tokenShingleHashes(col("text"), 4)).as("sh")).distinct()
-        val contam = kept.filter(!col("is_eval"))
-          .select(col("doc_id"), explode(tokenShingleHashes(col("text"), 4)).as("sh"))
-          .join(broadcast(evalSh), Seq("sh"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val clean = kept.filter(!col("is_eval"))
-          .join(contam, Seq("doc_id"), "left_anti")
-        val deduped = clean
-          .withColumn("fp", TA.fingerprint(col("text")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-          .filter(col("rn") === 1)
-        val packed = deduped.select(col("doc_id"), col("text"), col("n_tok"),
-          (TA.hash60(concat(lit("pack:"), col("doc_id").cast("string"))) % 16)
-            .as("shard"))
-        packed
-          .groupBy(col("shard"), expr("doc_id DIV 128").as("g"))
-          .agg(sort_array(collect_list(struct(
-              col("doc_id").as("_1"), col("text").as("_2")))).as("recs"),
-            sum(col("n_tok")).as("toks"))
-          .as[(Long, Long, Seq[(Long, String)], Long)]
-          .map { case (shard, _, recs, toks) =>
-            val payloads = recs.map(r =>
-              r._2.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-            val file = graft.ops.TfRecord.write(payloads)
-            val back = graft.ops.TfRecord.read(file)
-            val check = back.iterator.map(p => h60s(new String(p,
-              java.nio.charset.StandardCharsets.US_ASCII)) % M).sum
-            (shard, recs.size.toLong, toks, file.length.toLong, check)
-          }
-          .toDF("shard", "n_docs", "tok_sum", "bytes", "check")
-          .groupBy(col("shard"))
-          .agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("tok_sum")).as("tok_sum"),
-            ceil(sum(col("tok_sum")) / lit(512.0)).cast("long").as("n_seqs"),
-            count(lit(1)).as("n_files"),
-            sum(col("bytes")).as("shard_bytes"),
-            sum(col("check")).as("txt_check"))
-      },
-      Some {
-        val base = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
-          s"${TA.Sql.tokens("text")} AS toks FROM documents"
-        val keptBase = "SELECT doc_id, lang, doc_id % 97 = 0 AS is_eval, " +
-          s"${TA.Sql.tokens("text")} AS toks FROM kept"
-        s"""WITH b AS (SELECT doc_id, lang, text,
-              ${TA.Sql.tokenCount("text")} AS n_tok,
-              doc_id % 97 = 0 AS is_eval,
-              ${TA.Sql.stopwordCount("text")} AS n_stop
-            FROM documents),
-          kept AS (SELECT * FROM b
-            WHERE n_tok BETWEEN 30 AND 100000 AND n_stop >= 2),
-          evsh AS (SELECT DISTINCT sh FROM (${sqlTokenShingleHashes(base, 4)})
-            WHERE is_eval),
-          ksh AS (${sqlTokenShingleHashes(keptBase, 4)}),
-          contam AS (SELECT DISTINCT k.doc_id FROM ksh k JOIN evsh USING (sh)
-            WHERE NOT k.is_eval),
-          clean AS (SELECT * FROM kept WHERE NOT is_eval
-            AND doc_id NOT IN (SELECT doc_id FROM contam)),
-          dedup AS (SELECT * FROM (SELECT doc_id, text, n_tok,
-              row_number() OVER (PARTITION BY ${TA.Sql.fingerprint("text")}
-                ORDER BY doc_id) AS rn
-            FROM clean) WHERE rn = 1),
-          packed AS (SELECT doc_id, text, n_tok,
-              ${TA.Sql.hash60("concat('pack:', CAST(doc_id AS VARCHAR))")} % 16
-                AS shard
-            FROM dedup)
-        SELECT shard, count(*) AS n_docs,
-          CAST(sum(n_tok) AS BIGINT) AS tok_sum,
-          CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_seqs,
-          count(DISTINCT doc_id // 128) AS n_files,
-          CAST(16 * count(*) + sum(length(text)) AS BIGINT) AS shard_bytes,
-          CAST(sum((CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT))
-            % 1000000007) AS BIGINT) AS txt_check
-        FROM packed GROUP BY 1"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Curriculum staging (round 12): quantile-binned difficulty stages —
-    // per source, rank documents by token count (ties by doc_id for a
-    // total order) and cut into 4 equal-frequency stages with ntile (the
-    // standard short-to-long curriculum a pre-training run feeds in
-    // order). Differs from pack04's FIXED length buckets: boundaries
-    // here are data-dependent order statistics. The per-(source, stage)
-    // manifest pins counts, token budgets, and the stage's exact token
-    // range. Scale shape: windows partition by source (parallel across
-    // the corpus's natural key), then a schema-sized rollup; a skewed
-    // giant source is the documented limit (one partition's sort).
-    GraftQuery(
-      "pack06_curriculum",
-      (s, d) => {
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("tok").asc, col("doc_id").asc)
-        Tables.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            size(TA.tokens(col("text"))).cast("long").as("tok"))
-          .withColumn("stage", ntile(4).over(w))
-          .groupBy(col("source"), col("stage"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("tok")).as("tok_sum"),
-            min(col("tok")).as("tok_min"),
-            max(col("tok")).as("tok_max"))
-      },
-      Some(s"""WITH t AS (SELECT source, doc_id,
-            CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS tok
-          FROM documents),
-        st AS (SELECT source, tok,
-            ntile(4) OVER (PARTITION BY source
-              ORDER BY tok ASC, doc_id ASC) AS stage
-          FROM t)
-        SELECT source, stage, count(*) AS n_docs,
-          CAST(sum(tok) AS BIGINT) AS tok_sum,
-          CAST(min(tok) AS BIGINT) AS tok_min,
-          CAST(max(tok) AS BIGINT) AS tok_max
-        FROM st GROUP BY 1, 2"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Best-of-n rejection sampling (round 12): the RFT/STaR data-prep
-    // op — per candidate group (source, doc_id DIV 4), keep the argmax-
-    // scored completion ONLY if it clears the acceptance threshold, and
-    // audit per source: group count, acceptance rate numerator, kept
-    // token budget, and a kept-id checksum. The score is an md5-derived
-    // 60-bit integer (deterministic argmax in any engine); the threshold
-    // keeps ~60% of groups. Same one-shuffle grouped-argmax shape as
-    // pref01 with the accept/reject audit a rejection-sampling run
-    // actually reports.
-    GraftQuery(
-      "pref03_rejection_sampling",
-      (s, d) => {
-        val M = 1000000007L
-        val T = 922000000000000000L // ~0.8 of the 60-bit score space (keeps ~1-0.8^4 = 59% of 4-groups)
-        val scored = Tables.documents(s, d).select(
-          col("source"),
-          expr("doc_id DIV 4").as("g"),
-          col("doc_id"),
-          size(TA.tokens(col("text"))).cast("long").as("tok"),
-          TA.hash60(concat(lit("rs:"), col("doc_id").cast("string"))).as("score"))
-        val best = scored.groupBy(col("source"), col("g"))
-          .agg(
-            count(lit(1)).as("n_cands"),
-            max(col("score")).as("s_best"),
-            max_by(col("doc_id"), col("score")).as("kept_id"),
-            max_by(col("tok"), col("score")).as("kept_tok"))
-        best.groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_groups"),
-            count(when(col("s_best") >= T, lit(1))).as("n_accepted"),
-            sum(when(col("s_best") >= T, col("kept_tok")).otherwise(0L))
-              .as("kept_tokens"),
-            sum(when(col("s_best") >= T, col("kept_id") % M).otherwise(0L))
-              .as("kept_check"))
-      },
-      Some {
-        val score = TA.Sql.hash60("concat('rs:', CAST(doc_id AS VARCHAR))")
-        s"""WITH scored AS (SELECT source, doc_id // 4 AS g, doc_id,
-              CAST(${TA.Sql.tokenCount("text")} AS BIGINT) AS tok,
-              $score AS score FROM documents),
-          b AS (SELECT source, g, count(*) AS n_cands,
-              max(score) AS s_best,
-              max_by(doc_id, score) AS kept_id,
-              max_by(tok, score) AS kept_tok
-            FROM scored GROUP BY 1, 2)
-        SELECT source, count(*) AS n_groups,
-          count(CASE WHEN s_best >= 922000000000000000 THEN 1 END)
-            AS n_accepted,
-          CAST(sum(CASE WHEN s_best >= 922000000000000000
-            THEN kept_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
-          CAST(sum(CASE WHEN s_best >= 922000000000000000
-            THEN kept_id % 1000000007 ELSE 0 END) AS BIGINT) AS kept_check
-        FROM b GROUP BY 1"""
-      },
-    ),
   )
 }

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * top of the core engine: event-funnel and cohort-retention analytics, CDC
   * snapshot diffing, referential-integrity QC, per-domain corpus caps, BM25
   * retrieval, blocked edit-distance fuzzy matching, and small-file
-  * compaction planning. All beyond the reference's scope; every one keeps
+  * compaction planning. The tokenizer/vocabulary family split to
+  * [[VocabQueries]] and the graph family to [[GraphQueries]] in round 13
+  * (bodies byte-identical). All beyond the reference's scope; every one keeps
   * the suite's determinism contract (integer arithmetic, micro-rounded
   * single-ordered float expressions, md5-derived priorities) so the DuckDB
   * oracle reproduces the results hash-exactly.
@@ -18,113 +20,7 @@ object PipelineQueries {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
-  /** BPE trainer shared by vocab01 (emits the merge table) and vocab02
-    * (encodes the corpus with the final vocabulary): the corpus-scale stage
-    * is ONE token-frequency aggregate; the 3 greedy merge iterations then
-    * run on the vocabulary-sized word table. Returns (merge rows
-    * `it|pair|cnt`, final `token|freq|seq` frame after all merges).
-    */
-  /** Part co-purchase edge set (orders as baskets, support >= 2) — the
-    * graph base shared by graph02 (triangles) and graph03 (label
-    * propagation); pair generation is order-local (schema-bounded <= 7
-    * lines), so it is linear in lineitem, never all-pairs.
-    */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    // per-order part SETS + in-row pair expansion (the assoc01/graph02
-    // shape, round 11): ONE corpus shuffle (collect_set partial-aggregates
-    // and dedups map-side) instead of distinct + a self-join's two
-    // exchanges; baskets are schema-bounded (≤7 lines), so the in-row
-    // fan-out is the pair count itself. Sorted sets yield u<v directly.
-    val adj = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
-    val ps = col("ps")
-    val pairs = flatten(transform(ps, (a, i) =>
-      transform(slice(ps, i + 2, greatest(size(ps) - i - 1, lit(0))),
-        b => struct(a.as("u"), b.as("v")))))
-    adj.select(explode(pairs).as("x"))
-      .groupBy(col("x.u").as("u"), col("x.v").as("v"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select(col("u"), col("v"))
-  }
 
-  /** DuckDB mirror of [[copurchaseEdges]] (CTEs `li`, `e`). */
-  private val sqlCopurchaseEdges: String =
-    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-          e AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
-            GROUP BY 1, 2 HAVING count(*) >= 2)"""
-
-  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val words = Tables.documents(s, d)
-      .select(explode(TA.tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val s0 = words.withColumn("seq",
-      expr("concat(' ', left(regexp_replace(token, '(.)', '$1  '), " +
-        "length(regexp_replace(token, '(.)', '$1  ')) - 1))"))
-    def pairCounts(sq: DataFrame) = sq
-      .select(col("freq"), split(trim(col("seq")), "  ").as("syms"))
-      .select(col("freq"), explode(expr(
-        // guard: Spark's sequence(1, 0) counts DOWN, so single-symbol
-        // sequences must short-circuit to an empty pair list
-        "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), " +
-          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))) " +
-          "ELSE array() END")).as("pair"))
-      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-    def bestOf(p: DataFrame) =
-      p.orderBy(col("cnt").desc, col("pair").asc).limit(1)
-    var sq = s0
-    var out: DataFrame = null
-    for (it <- 1 to 3) {
-      val best = bestOf(pairCounts(sq))
-      val row = best.select(lit(it).as("it"), col("pair"), col("cnt"))
-      out = if (out == null) row else out.unionAll(row)
-      sq = sq.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .withColumn("seq", expr(
-          "replace(seq, concat(' ', replace(bp, ' ', '  '), ' '), " +
-            "concat(' ', replace(bp, ' ', ''), ' '))"))
-        .drop("bp")
-    }
-    (out, sq)
-  }
-
-  /** oracle mirror of [[bpeTrain]]: CTE chain ending at the merge picks
-    * b1/b2/b3 and the fully-merged word table s3.
-    */
-  private val sqlBpeChain: String = raw"""words AS (
-          SELECT token, count(*) AS freq FROM (
-            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-            FROM documents)
-          WHERE token <> '' GROUP BY 1),
-        s0 AS (SELECT token, freq,
-            ' ' || left(regexp_replace(token, '(.)', '\1  ', 'g'),
-              length(regexp_replace(token, '(.)', '\1  ', 'g')) - 1) AS seq
-          FROM words),
-        p1 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
-            CAST(sum(freq) AS BIGINT) AS cnt
-          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s0),
-            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
-        b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        s1 AS (SELECT token, freq, replace(seq,
-            ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS seq FROM s0),
-        p2 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
-            CAST(sum(freq) AS BIGINT) AS cnt
-          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s1),
-            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
-        b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        s2 AS (SELECT token, freq, replace(seq,
-            ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM b2), ' ', '') || ' ') AS seq FROM s1),
-        p3 AS (SELECT syms[i] || ' ' || syms[i+1] AS pair,
-            CAST(sum(freq) AS BIGINT) AS cnt
-          FROM (SELECT freq, string_split(trim(seq), '  ') AS syms FROM s2),
-            UNNEST(generate_series(1, len(syms) - 1)) AS g(i) GROUP BY 1),
-        b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
-        s3 AS (SELECT token, freq, replace(seq,
-            ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
-            ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS seq FROM s2)"""
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -455,58 +351,6 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
-    // BPE tokenizer training (3 merge iterations): the corpus-scale stage
-    // is ONE token-frequency aggregate (at 100 TB that is the heavy job;
-    // everything after runs on the vocabulary-sized word table). Each
-    // iteration counts weighted adjacent symbol pairs, picks the best merge
-    // (count desc, pair asc — total order), and applies it with a plain
-    // string replace over double-space-joined symbol sequences: the two-
-    // space separator makes the padded pattern ' a  b ' boundary-safe (a
-    // symbol's tail can never false-match) while consecutive occurrences
-    // still merge left-to-right, which is exactly greedy BPE application.
-    // Every step is integer counts + deterministic string surgery — the
-    // DuckDB oracle reproduces the trainer bit-for-bit.
-    GraftQuery(
-      "vocab01_bpe_merges",
-      (s, d) => bpeTrain(s, d)._1,
-      Some(s"""WITH $sqlBpeChain
-        SELECT 1 AS it, pair, cnt FROM b1
-        UNION ALL SELECT 2, pair, cnt FROM b2
-        UNION ALL SELECT 3, pair, cnt FROM b3"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // BPE corpus encoding (the apply side of vocab01's trainer): every
-    // token's post-merge symbol count comes from the vocabulary table, so
-    // the corpus-scale stage is explode-tokens + ONE broadcast join against
-    // the vocabulary (always dimension-sized — it grows with distinct
-    // tokens, not corpus bytes) + a doc_id-keyed count/sum that partial-
-    // aggregates map-side. The compression signal (n_tokens vs n_symbols)
-    // is what a tokenizer-fertility audit reads per document at 100 TB.
-    GraftQuery(
-      "vocab02_bpe_encode",
-      (s, d) => {
-        val vocab = bpeTrain(s, d)._2
-          .select(col("token"), size(split(trim(col("seq")), "  ")).as("n_syms"))
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
-          .filter(col("token") =!= "")
-        toks.join(broadcast(vocab), "token")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"), sum(col("n_syms")).as("n_symbols"))
-      },
-      Some(raw"""WITH $sqlBpeChain,
-        vocab AS (SELECT token, len(string_split(trim(seq), '  ')) AS n_syms FROM s3),
-        toks AS (SELECT doc_id,
-            unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-          FROM documents)
-        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          CAST(sum(v.n_syms) AS BIGINT) AS n_symbols
-        FROM toks t JOIN vocab v ON t.token = v.token
-        WHERE t.token <> '' GROUP BY 1"""),
-    ),
-
-    // ------------------------------------------------------------------
     // Inverted-index build (the retrieval companion of text10's BM25): per
     // term, document frequency and the head of the doc_id-sorted posting
     // list. BOUNDED aggregation state: the posting head is a per-term top-K
@@ -533,57 +377,6 @@ object PipelineQueries {
         SELECT term, count(*) AS df,
           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
         FROM pairs GROUP BY 1"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Weighted PageRank over the event-transition graph: edges are
-    // (event_type → next event_type) counts per user session order — the
-    // corpus-scale stage is ONE lag window over (user_id, ts) plus a keyed
-    // count; the rank iteration then runs on the tiny node graph (joins
-    // auto-broadcast). Fixed-point integer arithmetic throughout — per-edge
-    // contribution r·w DIV out-weight, damping as (85·Σ) DIV 100 — so three
-    // iterations are bit-identical cross-engine with no float summation
-    // order anywhere.
-    GraftQuery(
-      "graph01_pagerank",
-      (s, d) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val seq = Tables.events(s, d)
-          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-          .withColumn("nxt", lead(col("event_type"), 1).over(w))
-        val e = seq.filter(col("nxt").isNotNull)
-          .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
-          .agg(count(lit(1)).as("w"))
-        val outw = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-        val ew = e.join(outw, "src")
-        var r = seq.select(col("event_type").as("node")).distinct()
-          .withColumn("r", lit(1000000L))
-        for (_ <- 1 to 3) {
-          r = ew.join(r, col("node") === col("src"))
-            .select(col("dst"), expr("(r * w) DIV tw").as("contrib"))
-            .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-            .select(col("dst").as("node"),
-              (lit(150000L) + expr("(85 * s) DIV 100")).as("r"))
-        }
-        r.select(col("node"), col("r").as("rank_micro"))
-      },
-      Some("""WITH seq AS (SELECT user_id, event_type, lead(event_type) OVER
-            (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
-          e AS (SELECT event_type AS src, nxt AS dst, count(*) AS w FROM seq
-            WHERE nxt IS NOT NULL GROUP BY 1, 2),
-          outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY 1),
-          r0 AS (SELECT event_type AS node, CAST(1000000 AS BIGINT) AS r
-            FROM (SELECT DISTINCT event_type FROM events)),
-          r1 AS (SELECT e.dst AS node,
-              150000 + (85 * CAST(sum((r0.r * e.w) // outw.tw) AS BIGINT)) // 100 AS r
-            FROM e JOIN outw USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
-          r2 AS (SELECT e.dst AS node,
-              150000 + (85 * CAST(sum((r1.r * e.w) // outw.tw) AS BIGINT)) // 100 AS r
-            FROM e JOIN outw USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
-          r3 AS (SELECT e.dst AS node,
-              150000 + (85 * CAST(sum((r2.r * e.w) // outw.tw) AS BIGINT)) // 100 AS r
-            FROM e JOIN outw USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1)
-        SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3"""),
     ),
 
     // ------------------------------------------------------------------
@@ -769,167 +562,6 @@ object PipelineQueries {
     ),
 
     // ------------------------------------------------------------------
-    // Triangle counting over the part co-purchase graph (graph01's sibling:
-    // clustering-coefficient-style community signal). The graph build is
-    // scale-safe by construction — pairs are generated WITHIN an order
-    // (schema-bounded ≤7 lines, so pair generation is linear in lineitem,
-    // never all-pairs) and thresholded at support ≥ 2 (the frequent-itemset
-    // cut that keeps the edge set sparse). Counting uses degree-ordered
-    // edge orientation — every wedge is enumerated at its lowest-degree
-    // vertex, the standard O(m^1.5) bound that survives skewed hubs — then
-    // one semi-join back to the edge set closes triangles. Integer-only.
-    GraftQuery(
-      "graph02_triangles",
-      (s, d) => {
-        val e = copurchaseEdges(s, d).transform(graft.core.Caches.persist)
-        val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-        val ord = e
-          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
-          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
-          .select(
-            when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")), col("u"))
-              .otherwise(col("v")).as("s"),
-            when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")), col("v"))
-              .otherwise(col("u")).as("t"))
-        // wedges via per-vertex adjacency SETS + in-row pair expansion
-        // (the assoc01 shape): one shuffle on s instead of a self-join's
-        // two, and the sorted list gives u<v directly. Out-degrees are
-        // bounded by the degree orientation, so the in-row fan-out is the
-        // wedge count itself — never more.
-        val adj = ord.groupBy(col("s")).agg(sort_array(collect_list(col("t"))).as("ts"))
-        val ts = col("ts")
-        val wedgePairs = flatten(transform(ts, (t1, i) =>
-          transform(slice(ts, i + 2, greatest(size(ts) - i - 1, lit(0))),
-            t2 => struct(t1.as("u"), t2.as("v")))))
-        val wedge = adj.select(explode(wedgePairs).as("w"))
-          .select(col("w.u").as("u"), col("w.v").as("v"))
-        val tri = wedge.join(e, Seq("u", "v"), "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
-        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      },
-      Some(s"""WITH $sqlCopurchaseEdges,
-          deg AS (SELECT u AS node, count(*) AS dg
-            FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t(u) GROUP BY 1),
-          o AS (SELECT
-              CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END AS s,
-              CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END AS t
-            FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
-          wedge AS (SELECT least(a.t, b.t) AS u, greatest(a.t, b.t) AS v
-            FROM o a JOIN o b ON a.s = b.s AND a.t < b.t)
-        SELECT (SELECT count(*) FROM wedge w JOIN e USING (u, v)) AS n_triangles,
-          (SELECT count(*) FROM e) AS n_edges,
-          (SELECT count(*) FROM deg) AS n_nodes"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Label-propagation communities (Raghavan et al. 2007) over the same
-    // co-purchase graph: every node starts in its own community, then two
-    // SYNCHRONIZED rounds replace each node's label with its neighbors'
-    // majority label (ties -> smallest label, the determinism the async
-    // original lacks). Each round is one equi-join (messages) + one
-    // partial-agg'd count + one per-node window — the same per-round shape
-    // as dedup07's CC pass, bounded rounds instead of convergence. At
-    // 100 TB the label table shuffles by node id and the neighbor counts
-    // combine map-side; nothing is ever collected.
-    GraftQuery(
-      "graph03_label_prop",
-      (s, d) => {
-        val e = copurchaseEdges(s, d).transform(graft.core.Caches.persist)
-        val bi = e.select(col("u").as("n"), col("v").as("m"))
-          .unionAll(e.select(col("v").as("n"), col("u").as("m")))
-          .transform(graft.core.Caches.persist) // both rounds scan it
-        var labels = bi.select(col("n").as("node")).distinct()
-          .withColumn("lbl", col("node"))
-        for (_ <- 1 to 2) {
-          val w = Window.partitionBy(col("n"))
-            .orderBy(col("c").desc, col("lbl").asc)
-          labels = bi.join(labels, col("m") === col("node"))
-            .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("n").as("node"), col("lbl"))
-        }
-        labels.groupBy(col("lbl").as("community"))
-          .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_node"))
-      },
-      Some(s"""WITH $sqlCopurchaseEdges,
-          bi AS (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),
-          l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM bi),
-          r1 AS (SELECT node, lbl FROM (
-              SELECT bi.n AS node, l.lbl, count(*) AS c,
-                row_number() OVER (PARTITION BY bi.n
-                  ORDER BY count(*) DESC, l.lbl) AS rn
-              FROM bi JOIN l0 l ON bi.m = l.node GROUP BY bi.n, l.lbl)
-            WHERE rn = 1),
-          r2 AS (SELECT node, lbl FROM (
-              SELECT bi.n AS node, l.lbl, count(*) AS c,
-                row_number() OVER (PARTITION BY bi.n
-                  ORDER BY count(*) DESC, l.lbl) AS rn
-              FROM bi JOIN r1 l ON bi.m = l.node GROUP BY bi.n, l.lbl)
-            WHERE rn = 1)
-        SELECT lbl AS community, count(*) AS n_members, min(node) AS first_node
-        FROM r2 GROUP BY 1"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // Market-basket association rules (support / confidence / lift): ONE
-    // corpus-scale shuffle total — lineitem⨝part groups straight into
-    // per-basket item SETS (collect_set partial-aggregates map-side, so
-    // the exchange carries deduped sets, not line items), and every later
-    // stage is basket-local: pair fan-out is an in-row array expression
-    // over the ≤7-item set (linear in orders, never a self-join), item
-    // frequencies and pair counts partial-aggregate into
-    // vocabulary-sized tables (25 brands → ≤600 rules at ANY corpus
-    // scale) that join back as broadcasts. Every metric is one
-    // textually-mirrored double expression over exact BIGINT counts,
-    // rounded once.
-    GraftQuery(
-      "assoc01_basket_rules",
-      (s, d) => {
-        val baskets = Tables.lineitem(s, d)
-          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-          .groupBy(col("ok"))
-          .agg(sort_array(collect_set(col("item"))).as("items"))
-          .transform(graft.core.Caches.persist) // baskets feed n/i/pr without a re-scan
-        val n = baskets.agg(count(lit(1)).as("n_baskets"))
-        val i = baskets.select(explode(col("items")).as("item"))
-          .groupBy(col("item")).agg(count(lit(1)).as("c_item"))
-        val pairs = flatten(transform(col("items"),
-          a => transform(filter(col("items"), c => c =!= a),
-            c => struct(a.as("ante"), c.as("cons")))))
-        val pr = baskets.select(explode(pairs).as("p"))
-          .groupBy(col("p.ante").as("ante"), col("p.cons").as("cons"))
-          .agg(count(lit(1)).as("c_ab"))
-        pr
-          .join(broadcast(i.select(col("item").as("ante"), col("c_item").as("c_a"))), "ante")
-          .join(broadcast(i.select(col("item").as("cons"), col("c_item").as("c_b"))), "cons")
-          .crossJoin(broadcast(n))
-          .select(col("ante"), col("cons"), col("c_ab"),
-            round(col("c_ab") * 1000000.0 / col("n_baskets")).cast("long").as("supp_ppm"),
-            round(col("c_ab") * 1000000.0 / col("c_a")).cast("long").as("conf_ppm"),
-            round(col("c_ab").cast("double") * col("n_baskets") / col("c_a") / col("c_b")
-              * 1000000.0).cast("long").as("lift_micro"))
-      },
-      Some("""WITH b AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
-            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-          n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
-          i AS (SELECT item, count(*) AS c_item FROM b GROUP BY 1),
-          pr AS (SELECT a.item AS ante, c.item AS cons, count(*) AS c_ab
-            FROM b a JOIN b c ON a.ok = c.ok AND a.item <> c.item GROUP BY 1, 2)
-        SELECT pr.ante, pr.cons, pr.c_ab,
-          CAST(round(pr.c_ab * 1000000.0 / n.n_baskets) AS BIGINT) AS supp_ppm,
-          CAST(round(pr.c_ab * 1000000.0 / ia.c_item) AS BIGINT) AS conf_ppm,
-          CAST(round(CAST(pr.c_ab AS DOUBLE) * n.n_baskets / ia.c_item / ib.c_item
-            * 1000000.0) AS BIGINT) AS lift_micro
-        FROM pr JOIN i ia ON ia.item = pr.ante JOIN i ib ON ib.item = pr.cons, n"""),
-    ),
-
-    // ------------------------------------------------------------------
     // Gap-filled daily resample (time-series regularization): each user's
     // activity is re-emitted on a dense per-user calendar — days without
     // events appear as explicit zero rows. The calendar explodes from the
@@ -966,236 +598,5 @@ object PipelineQueries {
         FROM cal c LEFT JOIN per p ON p.user_id = c.user_id AND p.day = c.day"""),
     ),
 
-    // ------------------------------------------------------------------
-    // Vocabulary-coverage planning (the OOV-rate table a tokenizer build
-    // reads to pick its vocab size): corpus token frequencies ranked by
-    // (freq desc, token asc), then the share of ALL token occurrences
-    // covered by the top-100/500/1000 types. One explode + one
-    // map-side-combinable frequency groupBy; the ranked relation is
-    // vocabulary-sized (types, not occurrences), so the rank window and
-    // the final single-row aggregate are negligible at any corpus scale.
-    GraftQuery(
-      "vocab03_token_coverage",
-      (s, d) => {
-        val freq = Tables.documents(s, d)
-          .select(explode(TA.tokens(col("text"))).as("tok"))
-          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-          .transform(graft.core.Caches.persist)
-        // only the top-1000 types matter for coverage → TakeOrdered (O(k)
-        // executor memory), NEVER a global rank window over the vocabulary
-        val top = freq.orderBy(col("n").desc, col("tok").asc).limit(1000)
-          .withColumn("rnk", row_number().over(
-            Window.orderBy(col("n").desc, col("tok").asc)))
-          .agg(
-            sum(when(col("rnk") <= 100, col("n")).otherwise(0L)).as("cov100"),
-            sum(when(col("rnk") <= 500, col("n")).otherwise(0L)).as("cov500"),
-            sum(col("n")).as("cov1000"))
-        val tot = freq.agg(sum(col("n")).as("total_tokens"),
-          count(lit(1)).as("n_types"))
-        tot.crossJoin(broadcast(top))
-          .select(col("total_tokens"), col("n_types"),
-            round(col("cov100") * 1000000.0 / col("total_tokens")).cast("long")
-              .as("cov100_ppm"),
-            round(col("cov500") * 1000000.0 / col("total_tokens")).cast("long")
-              .as("cov500_ppm"),
-            round(col("cov1000") * 1000000.0 / col("total_tokens")).cast("long")
-              .as("cov1000_ppm"))
-      },
-      Some(s"""WITH f AS (SELECT tok, count(*) AS n FROM
-            (SELECT unnest(${TA.Sql.tokens("text")}) AS tok FROM documents)
-            GROUP BY 1),
-          r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk FROM f)
-        SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS n_types,
-          CAST(round(sum(CASE WHEN rnk <= 100 THEN n ELSE 0 END)
-            * 1000000.0e0 / sum(n)) AS BIGINT) AS cov100_ppm,
-          CAST(round(sum(CASE WHEN rnk <= 500 THEN n ELSE 0 END)
-            * 1000000.0e0 / sum(n)) AS BIGINT) AS cov500_ppm,
-          CAST(round(sum(CASE WHEN rnk <= 1000 THEN n ELSE 0 END)
-            * 1000000.0e0 / sum(n)) AS BIGINT) AS cov1000_ppm
-        FROM r"""),
-    ),
-
-    // ------------------------------------------------------------------
-    // WordPiece tokenizer train + encode ([[graft.ops.WordPiece]]; the
-    // BERT tokenizer's greedy longest-match-first algorithm with `##`
-    // continuation marks, completing the tokenizer family next to BPE's
-    // vocab01/vocab02). Training: every marked substring occurrence
-    // (length ≤ 4) of every DISTINCT word, weighted by the word's corpus
-    // count, thresholded at total_tokens/500 occurrences. Encoding: the
-    // reference greedy — longest vocabulary piece at each position,
-    // whole-word [UNK] on any miss. Both run on the distinct-word table;
-    // the corpus contributes ONE map-side-combinable word count and one
-    // broadcast join back, so at 100 TB this is scan + word-table work.
-    // The oracle replays the greedy loop as a recursive CTE over a
-    // precomputed (word, pos) -> longest-match table; seg_check pins the
-    // piece count of every individual word, not just the totals.
-    GraftQuery(
-      "vocab04_wordpiece",
-      (s, d) => {
-        import s.implicits._
-        val toks = Tables.documents(s, d)
-          .select(col("lang"), col("source"),
-            explode(TA.tokens(col("text"))).as("w"))
-          .filter(col("w") =!= "")
-        val wcDf = graft.core.Caches.persist(
-          toks.groupBy(col("w")).agg(count(lit(1)).as("n")))
-        val wcDs = wcDf.as[(String, Long)]
-        val totalTokens = wcDf.agg(sum(col("n"))).head.getLong(0)
-        val thresh = totalTokens / 500
-        val pieceSet = wcDs
-          .flatMap { case (w, n) =>
-            graft.ops.WordPiece.substrings(w).map(p => (p, n)) }
-          .toDF("piece", "pn")
-          .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
-          .filter(col("cnt") >= thresh)
-          .select(col("piece")).as[String].collect().toSet
-        val bc = s.sparkContext.broadcast(pieceSet)
-        val seg = wcDs.map { case (w, _) =>
-            val (np, unk) = graft.ops.WordPiece.encode(w, bc.value)
-            (w, np, unk) }
-          .toDF("w", "np", "unk")
-        toks.join(broadcast(seg), "w")
-          .groupBy(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("np")).as("piece_sum"),
-            sum(col("unk")).as("unk_words"),
-            sum(col("np") * (TA.hash60(col("w")) % 1000L)).as("seg_check"))
-          .withColumn("vocab_size", lit(pieceSet.size.toLong))
-      },
-      Some {
-        val toks = TA.Sql.tokens("text")
-        s"""WITH toksr AS (SELECT lang, source, unnest($toks) AS w FROM documents),
-          toks AS (SELECT * FROM toksr WHERE w <> ''),
-          tot AS (SELECT count(*) AS n_tok FROM toks),
-          wc AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
-          sube AS (SELECT w, n, i, L,
-              CASE WHEN i = 1 THEN substr(w, i, L)
-                ELSE '##' || substr(w, i, L) END AS piece
-            FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
-                 (SELECT unnest(range(1, 5)) AS L)
-            WHERE i + L - 1 <= length(w)),
-          pieces AS (SELECT piece FROM sube GROUP BY 1
-            HAVING sum(n) >= (SELECT n_tok // 500 FROM tot)),
-          bm AS (SELECT s.w, s.i AS pos, max(s.L) AS step
-            FROM sube s JOIN pieces p ON s.piece = p.piece GROUP BY 1, 2),
-          st AS (
-            WITH RECURSIVE r(w, pos, np, unk) AS (
-              SELECT w, 1, 0, 0 FROM wc
-              UNION ALL
-              SELECT r.w,
-                CASE WHEN bm.step IS NULL THEN length(r.w)+1
-                  ELSE r.pos + bm.step END,
-                CASE WHEN bm.step IS NULL THEN 1 ELSE r.np + 1 END,
-                CASE WHEN bm.step IS NULL THEN 1 ELSE r.unk END
-              FROM r LEFT JOIN bm ON r.w = bm.w AND r.pos = bm.pos
-              WHERE r.pos <= length(r.w) AND r.unk = 0)
-            SELECT w, np, unk FROM r WHERE pos > length(w) OR unk = 1),
-          seg AS (SELECT w, CASE WHEN unk = 1 THEN 1 ELSE np END AS np, unk
-            FROM st)
-        SELECT lang, source, count(*) AS n_words,
-          CAST(sum(np) AS BIGINT) AS piece_sum,
-          CAST(sum(unk) AS BIGINT) AS unk_words,
-          CAST(sum(np * (${TA.Sql.hash60("t.w")} % 1000)) AS BIGINT) AS seg_check,
-          (SELECT count(*) FROM pieces) AS vocab_size
-        FROM toks t JOIN seg USING (w) GROUP BY 1, 2"""
-      },
-    ),
-
-    // ------------------------------------------------------------------
-    // Tokenizer fertility audit — the comparison table a tokenizer
-    // SELECTION actually reads: both trained tokenizers (vocab01's BPE
-    // after its 3 merges; vocab04's WordPiece inventory + greedy encode)
-    // run over the same corpus, reported per language as pieces-per-word
-    // and chars-per-piece in exact rounded ppm. Both per-word tables are
-    // vocabulary-sized and BROADCAST; the corpus contributes one token
-    // explode and one lang-sized groupBy, so the audit is scan-rate at
-    // any corpus size. The oracle replays BOTH training chains (the BPE
-    // merge CTEs and the WordPiece recursive greedy) and must agree on
-    // every per-lang integer before the single rounded divisions.
-    GraftQuery(
-      "vocab05_fertility",
-      (s, d) => {
-        import s.implicits._
-        val bpe = bpeTrain(s, d)._2
-          .select(col("token").as("w"),
-            size(split(trim(col("seq")), "  ")).as("bpe_syms"))
-        val toks = Tables.documents(s, d)
-          .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
-          .filter(col("w") =!= "")
-        val wcDf = graft.core.Caches.persist(
-          toks.groupBy(col("w")).agg(count(lit(1)).as("n")))
-        val wcDs = wcDf.as[(String, Long)]
-        val thresh = wcDf.agg(sum(col("n"))).head.getLong(0) / 500
-        val pieceSet = wcDs
-          .flatMap { case (w, n) =>
-            graft.ops.WordPiece.substrings(w).map(p => (p, n)) }
-          .toDF("piece", "pn")
-          .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
-          .filter(col("cnt") >= thresh)
-          .select(col("piece")).as[String].collect().toSet
-        val bc = s.sparkContext.broadcast(pieceSet)
-        val seg = wcDs.map { case (w, _) =>
-            (w, graft.ops.WordPiece.encode(w, bc.value)._1) }
-          .toDF("w", "wp_pieces")
-        toks.join(broadcast(seg), "w").join(broadcast(bpe), "w")
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("bpe_syms")).as("bpe_syms"),
-            sum(col("wp_pieces")).as("wp_pieces"),
-            sum(length(col("w"))).as("char_sum"))
-          .select(col("lang"), col("n_words"), col("bpe_syms"),
-            col("wp_pieces"), col("char_sum"),
-            round(lit(1e6) * col("bpe_syms") / col("n_words")).cast("long")
-              .as("bpe_ppw_ppm"),
-            round(lit(1e6) * col("wp_pieces") / col("n_words")).cast("long")
-              .as("wp_ppw_ppm"),
-            round(lit(1e6) * col("char_sum") / col("wp_pieces")).cast("long")
-              .as("chars_per_wp_ppm"))
-      },
-      Some {
-        val toks = TA.Sql.tokens("text")
-        s"""WITH $sqlBpeChain,
-          bpe AS (SELECT token AS w,
-              len(string_split(trim(seq), '  ')) AS bpe_syms FROM s3),
-          toksr AS (SELECT lang, unnest($toks) AS w FROM documents),
-          ctoks AS (SELECT * FROM toksr WHERE w <> ''),
-          tot AS (SELECT count(*) AS n_tok FROM ctoks),
-          wc AS (SELECT w, count(*) AS n FROM ctoks GROUP BY 1),
-          sube AS (SELECT w, n, i, L,
-              CASE WHEN i = 1 THEN substr(w, i, L)
-                ELSE '##' || substr(w, i, L) END AS piece
-            FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
-                 (SELECT unnest(range(1, 5)) AS L)
-            WHERE i + L - 1 <= length(w)),
-          pieces AS (SELECT piece FROM sube GROUP BY 1
-            HAVING sum(n) >= (SELECT n_tok // 500 FROM tot)),
-          bm AS (SELECT s.w, s.i AS pos, max(s.L) AS step
-            FROM sube s JOIN pieces p ON s.piece = p.piece GROUP BY 1, 2),
-          st AS (
-            WITH RECURSIVE r(w, pos, np, unk) AS (
-              SELECT w, 1, 0, 0 FROM wc
-              UNION ALL
-              SELECT r.w,
-                CASE WHEN bm.step IS NULL THEN length(r.w)+1
-                  ELSE r.pos + bm.step END,
-                CASE WHEN bm.step IS NULL THEN 1 ELSE r.np + 1 END,
-                CASE WHEN bm.step IS NULL THEN 1 ELSE r.unk END
-              FROM r LEFT JOIN bm ON r.w = bm.w AND r.pos = bm.pos
-              WHERE r.pos <= length(r.w) AND r.unk = 0)
-            SELECT w, np, unk FROM r WHERE pos > length(w) OR unk = 1),
-          seg AS (SELECT w, CASE WHEN unk = 1 THEN 1 ELSE np END AS wp_pieces
-            FROM st),
-          g AS (SELECT lang, count(*) AS n_words,
-              CAST(sum(bpe_syms) AS BIGINT) AS bpe_syms,
-              CAST(sum(wp_pieces) AS BIGINT) AS wp_pieces,
-              CAST(sum(length(t.w)) AS BIGINT) AS char_sum
-            FROM ctoks t JOIN seg USING (w) JOIN bpe USING (w) GROUP BY 1)
-        SELECT lang, n_words, bpe_syms, wp_pieces, char_sum,
-          CAST(round(1e6 * bpe_syms / n_words) AS BIGINT) AS bpe_ppw_ppm,
-          CAST(round(1e6 * wp_pieces / n_words) AS BIGINT) AS wp_ppw_ppm,
-          CAST(round(1e6 * char_sum / wp_pieces) AS BIGINT) AS chars_per_wp_ppm
-        FROM g"""
-      },
-    ),
   )
 }

@@ -17,11 +17,18 @@ object Registry {
     StreamQueries.all,
     ScaleQueries.all,
     CorpusQueries.all,
+    PackingQueries.all,
+    DeconQueries.all,
     QcQueries.all,
+    MixtureQueries.all,
     PipelineQueries.all,
+    VocabQueries.all,
+    GraphQueries.all,
     WarcQueries.all,
     UrlQueries.all,
     TarQueries.all,
+    RecordShardQueries.all,
+    TensorShardQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {
