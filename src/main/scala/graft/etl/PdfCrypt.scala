@@ -135,7 +135,13 @@ object PdfCrypt {
   /** Derive and VERIFY the file key for the empty user password; Left is
     * the typed reason the document stays refused.
     */
-  def forEmptyUserPassword(enc: String, id0: Array[Byte]): Either[String, Handler] = {
+  def forEmptyUserPassword(enc: String, id0: Array[Byte]): Either[String, Handler] =
+    // corrupt dicts (non-hex O/U bytes, overflowing integers) must refuse,
+    // not escape as NumberFormatException into a 1000-executor scan
+    try forEmptyUserPassword0(enc, id0)
+    catch { case e: Exception => Left(s"unparseable encrypt dict: ${e.getClass.getSimpleName}") }
+
+  private def forEmptyUserPassword0(enc: String, id0: Array[Byte]): Either[String, Handler] = {
     if (!nameValue(enc, "Filter").contains("Standard"))
       return Left(s"unsupported security filter ${nameValue(enc, "Filter")}")
     val v = intValue(enc, "V").getOrElse(0L).toInt

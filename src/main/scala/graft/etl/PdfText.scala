@@ -675,7 +675,16 @@ object PdfText {
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
     val buf = new Array[Byte](8192)
     while (!inf.finished()) {
-      val n = inf.inflate(buf)
+      // a corrupt deflate body (bad zlib header, bit rot, or an encrypted
+      // stream decrypted with garbage) must refuse typed, not leak
+      // DataFormatException into the scan
+      val n =
+        try inf.inflate(buf)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt FlateDecode stream: ${String.valueOf(e.getMessage)}")
+        }
       if (n > 0) {
         out.write(buf, 0, n)
         // FlateDecode-bomb guard (round 12): see graft.core.Budget

@@ -102,6 +102,17 @@ object FuzzHunt {
         "too_large", "bad_frame", "crc_mismatch", "bad_md5"),
       FlacAudio.decodeSafe)
 
+    total += hunt("webp_anim",
+      graft.ops.WebpAnim.encodeAnim(12, 8, (3, 5, 7, 255), 2, Seq(
+        graft.ops.WebpAnim.EncFrame(0, 0, 40, disposeBg = false, 12, 8,
+          Array.tabulate(12 * 8 * 4)(i =>
+            if (i % 4 == 3) 0xff.toByte else ((i * 13) % 251).toByte)),
+        graft.ops.WebpAnim.EncFrame(4, 2, 60, disposeBg = true, 4, 4,
+          Array.tabulate(4 * 4 * 4)(i =>
+            if (i % 4 == 3) 0xff.toByte else ((i * 29) % 251).toByte)))),
+      Set("unsupported", "truncated", "not_media", "malformed"),
+      graft.ops.WebpAnim.decodeSafe)
+
     total += hunt("gzip",
       {
         // concatenated members + FNAME/FHCRC header fields: every branch

@@ -125,6 +125,22 @@ class PdfTextSpec extends SparkSpec {
     assert(e.getMessage.contains("No extractable text"))
   }
 
+  test("encrypted-PDF mutations: typed refusal or text, never a raw throw") {
+    // single-byte corruption anywhere (encrypt dict, O/U hex, AES stream,
+    // xref, trailer) must surface as the pipeline's typed
+    // IllegalArgumentException path — a NumberFormatException or crypto
+    // exception escaping here would kill a corpus scan task
+    val enc = Files.readAllBytes(Paths.get("src/test/resources/fixtures/pdf_enc_aesv2.pdf"))
+    for (pos <- enc.indices) {
+      val m = enc.clone(); m(pos) = (m(pos) ^ 0x41).toByte
+      try { PdfText.extract(m); () }
+      catch {
+        case _: IllegalArgumentException => () // the typed refusal path
+        case e: Throwable => fail(s"pos $pos: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("a document that merely MENTIONS /Encrypt is not falsely refused") {
     // unencrypted PDF about PDF internals: its content stream and an info
     // string both spell "/Encrypt 5 0 R" — the guard must key on the

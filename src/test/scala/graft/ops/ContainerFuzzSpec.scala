@@ -302,6 +302,33 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private val validAnim: Array[Byte] = WebpAnim.encodeAnim(12, 8,
+    (3, 5, 7, 255), 2, Seq(
+      WebpAnim.EncFrame(0, 0, 40, disposeBg = false, 12, 8,
+        Array.tabulate(12 * 8 * 4)(i =>
+          if (i % 4 == 3) 0xff.toByte else ((i * 13) % 251).toByte))))
+
+  test("WebpAnim.decodeSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      WebpAnim.decodeSafe(b).isLeft || WebpAnim.decodeSafe(b).isRight
+    })
+    val kinds = Set("unsupported", "truncated", "not_media", "malformed")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validAnim.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validAnim.clone(); m(pos) = (m(pos) ^ x).toByte
+      WebpAnim.decodeSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    (0 until validAnim.length).foreach { n =>
+      WebpAnim.decodeSafe(java.util.Arrays.copyOf(validAnim, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(_)   => fail(s"cut at $n decoded")
+      }
+    }
+  }
+
   private val validFlacAudio: Array[Byte] = FlacAudio.encode(8000, 16,
     Array(Array.tabulate(120)(i => ((i * 31) % 251) - 125)), blockSize = 64)
 
