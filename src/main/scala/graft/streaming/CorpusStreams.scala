@@ -290,4 +290,70 @@ object CorpusStreams {
     recs.groupBy(col("outcome"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("text_bytes")).as("sum_bytes"))
   }
+
+  /** Streaming FLAC clip ingest — the codec-twin contract on the audio
+    * layer (round 13): healthy clips decode to true PCM through
+    * [[graft.ops.FlacAudio.decodeSafe]] (fixed/LPC predictors, Rice
+    * residuals, stereo decorrelation, CRC-8/16 + MD5 verified) and yield
+    * one feature row; a rotten clip yields ONE typed error row from the
+    * refusal vocabulary (bad_frame / crc_mismatch / bad_md5 / truncated /
+    * …) instead of a failed micro-batch. State bounded by refusal-kinds ×
+    * sample-rates; decode is a stateless per-file map. Expects columns
+    * (file string, content binary).
+    */
+  def flacScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .map { case (_, bytes) =>
+        graft.ops.FlacAudio.decodeSafe(bytes) match {
+          case Right((meta, pcm)) =>
+            var ns = 0L; var sumAbs = 0L
+            pcm.foreach { ch =>
+              val (a, b, _, _) = graft.ops.FlacAudio.features(ch)
+              ns += a; sumAbs += b
+            }
+            ("ok", meta.sampleRate, ns, sumAbs)
+          case Left(kind) => (kind, 0, 0L, 0L)
+        }
+      }.toDF("outcome", "rate", "n_samples", "sum_abs")
+    recs.groupBy(col("outcome"), col("rate"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("sum_abs")).as("sum_energy"))
+  }
+
+  /** Streaming animated-WebP ingest (round 13): healthy animations
+    * decode + COMPOSE through [[graft.ops.WebpAnim.decodeSafe]] and yield
+    * one row with the composed-canvas checksum; a rotten container yields
+    * ONE typed error row (unsupported / truncated / not_media /
+    * malformed). State bounded by refusal-kinds × frame-counts; decode
+    * is a stateless per-file map. Expects columns (file string, content
+    * binary).
+    */
+  def webpAnimScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .map { case (_, bytes) =>
+        graft.ops.WebpAnim.decodeSafe(bytes) match {
+          case Right((meta, states)) =>
+            var sum = 0L
+            states.foreach { c =>
+              var k = 0
+              while (k < c.length) { sum += c(k) & 0xff; k += 1 }
+            }
+            ("ok", states.length, meta.frames.map(_.durationMs.toLong).sum, sum)
+          case Left(kind) => (kind, 0, 0L, 0L)
+        }
+      }.toDF("outcome", "frames", "dur_ms", "csum")
+    recs.groupBy(col("outcome"), col("frames"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dur_ms")).as("sum_duration"),
+        sum(col("csum")).as("canvas_checksum"))
+  }
 }
