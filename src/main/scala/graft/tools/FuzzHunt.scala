@@ -125,6 +125,19 @@ object FuzzHunt {
       b => try Right(graft.ops.Zstd.decompressGzip(b))
         catch { case e: graft.ops.Warc.WarcError => Left(e.kind) })
 
+    total += hunt("bzip2",
+      {
+        // two concatenated streams at different levels: the multi-stream
+        // walk, RLE1 runs, MTF zero runs, and both Huffman tables all sit
+        // under the mutation lens
+        val p1 = ("bzip2 mutation fodder " * 8 + "aaaaaaaaaaaaaaaa")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val p2 = "second stream".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        graft.ops.Bzip2.compress(p1, 1) ++ graft.ops.Bzip2.compress(p2, 9)
+      },
+      Set("bad_magic", "bad_frame", "too_large", "unsupported"),
+      graft.ops.Bzip2.decompressSafe)
+
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)
   }

@@ -353,4 +353,36 @@ class ContainerFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  private val validBzip2: Array[Byte] =
+    Bzip2.compress(("bzip2 fuzz fodder " * 6 + "zzzzzzzzzzzz").getBytes(US_ASCII), 1) ++
+      Bzip2.compress("second stream".getBytes(US_ASCII), 9)
+
+  test("Bzip2.decompressSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Bzip2.decompressSafe(b).isLeft || Bzip2.decompressSafe(b).isRight
+    })
+    val kinds = Set("bad_magic", "bad_frame", "too_large", "unsupported")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validBzip2.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validBzip2.clone(); m(pos) = (m(pos) ^ x).toByte
+      Bzip2.decompressSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    // truncation: refuse, or decode a clean stream PREFIX (a cut exactly
+    // at a stream boundary IS a valid shorter multi-stream file — the
+    // WARC resumability property on the bzip2 layer)
+    val full = Bzip2.decompress(validBzip2)
+    (0 until validBzip2.length).foreach { n =>
+      Bzip2.decompressSafe(java.util.Arrays.copyOf(validBzip2, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(d) =>
+          assert(d.length < full.length &&
+            java.util.Arrays.equals(d, java.util.Arrays.copyOf(full, d.length)),
+            s"cut at $n decoded a non-prefix")
+      }
+    }
+  }
 }
