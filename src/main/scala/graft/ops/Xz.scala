@@ -239,8 +239,11 @@ object Xz {
             val unpacked = ((control & 0x1f) << 16 | (u8() << 8) | u8()) + 1
             val packed = ((u8() << 8) | u8()) + 1
             val reset = (control >>> 5) & 3
+            // the props byte (reset >= 2) is NOT counted in the chunk's
+            // compressed size — it sits between the size fields and data
+            val props = if (reset >= 2) u8() else -1
             need(packed)
-            block.lzmaChunk(bytes, off, packed, unpacked, reset)
+            block.lzmaChunk(bytes, off, packed, unpacked, reset, props)
             off += packed
           } else bad(f"LZMA2 control byte 0x$control%02x")
         }
@@ -294,8 +297,8 @@ object Xz {
       bad("stream footer CRC mismatch")
     val backward = u32le()
     val realBackward = (backward + 1) * 4
-    // backward size points at the index start
-    if (footerBodyOff - indexStart != realBackward)
+    // backward size = the index's total size (footer CRC field excluded)
+    if (footerBodyOff - 4 - indexStart != realBackward)
       bad("footer backward size mismatch")
     need(4)
     if ((bytes(off) & 0xff) != 0 || (bytes(off + 1) & 0xff) != checkId)
@@ -339,7 +342,8 @@ object Xz {
       if (lzma != null) lzma.invalidate()
     }
 
-    def lzmaChunk(src: Array[Byte], off: Int, packed: Int, unpacked: Int, reset: Int): Unit = {
+    def lzmaChunk(src: Array[Byte], off: Int, packed: Int, unpacked: Int,
+        reset: Int, props: Int): Unit = {
       ensure(unpacked)
       reset match {
         case 0 =>
@@ -349,20 +353,15 @@ object Xz {
           if (lzma == null || !propsKnown) bad("LZMA chunk before props")
           lzma.resetState()
         case 2 =>
-          val props = src(off) & 0xff
           lzma = newDecoder(props)
           propsKnown = true
         case 3 =>
-          val props = src(off) & 0xff
           dictStart = n
           lzma = newDecoder(props)
           propsKnown = true
       }
-      val hasProps = reset >= 2
-      val dataOff = off + (if (hasProps) 1 else 0)
-      val dataLen = packed - (if (hasProps) 1 else 0)
-      if (dataLen < 5) bad("LZMA chunk shorter than range-coder init")
-      n = lzma.decode(src, dataOff, dataLen, buf, n, unpacked, dictStart, dictSize)
+      if (packed < 5) bad("LZMA chunk shorter than range-coder init")
+      n = lzma.decode(src, off, packed, buf, n, unpacked, dictStart, dictSize)
     }
 
     private def newDecoder(props: Int): LzmaDecoder = {
@@ -455,31 +454,40 @@ object Xz {
         code = ((code << 8) | nextByte()) & 0xffffffffL
       }
 
+    // normalization runs at the END of each decode step, as in the
+    // reference decoder — the placement determines exactly how many bytes
+    // a chunk consumes, which the strict inPos == inEnd check relies on
     private def decodeBit(probs: Array[Short], idx: Int): Int = {
-      normalize()
       val p = probs(idx)
       val bound = (range >>> 11) * p
-      if (code < bound) {
-        range = bound
-        probs(idx) = (p + ((2048 - p) >>> 5)).toShort
-        0
-      } else {
-        range -= bound
-        code -= bound
-        probs(idx) = (p - (p >>> 5)).toShort
-        1
-      }
+      val bit =
+        if (code < bound) {
+          range = bound
+          probs(idx) = (p + ((2048 - p) >>> 5)).toShort
+          0
+        } else {
+          range -= bound
+          code -= bound
+          probs(idx) = (p - (p >>> 5)).toShort
+          1
+        }
+      normalize()
+      bit
     }
 
     private def decodeDirect(nBits: Int): Int = {
       var res = 0
       var i = nBits
       while (i > 0) {
-        normalize()
         range >>>= 1
-        val t = (code - range) >>> 63 // 1 if code < range else 0
-        if (t == 0) code -= range
-        res = (res << 1) | (1 - t).toInt
+        code -= range
+        if (code < 0) {
+          code += range
+          res <<= 1
+        } else {
+          res = (res << 1) | 1
+        }
+        normalize()
         i -= 1
       }
       res
@@ -568,16 +576,21 @@ object Xz {
             if (slot < 4) rep0 = slot
             else {
               val nDirect = (slot >> 1) - 1
-              var dist = (2 | (slot & 1)) << nDirect
+              // distances are 32-bit UNSIGNED (slot 63 → 3 << 30 overflows
+              // a signed Int); computed in a Long, validated, then stored
+              var dist = (2L | (slot & 1)) << nDirect
               if (slot < 14)
-                dist += bitTreeReverse(specPos, dist - slot - 1, nDirect)
+                // base PosDecoders + dist - slot, probe indices m ≥ 1
+                dist += bitTreeReverse(specPos, (dist - slot).toInt, nDirect)
               else {
-                dist += decodeDirect(nDirect - 4) << 4
+                dist += decodeDirect(nDirect - 4).toLong << 4
                 dist += bitTreeReverse(align, 0, 4)
               }
-              if (dist == -1 || (dist.toLong & 0xffffffffL) == 0xffffffffL)
+              if (dist == 0xffffffffL)
                 bad("end marker inside a sized LZMA2 chunk")
-              rep0 = dist
+              if (dist + 1 > dictSize) bad("match distance past dict size")
+              if (dstPos.toLong - dist - 1 < dictStart) bad("match before dict start")
+              rep0 = dist.toInt
             }
             state = if (state < 7) 7 else 10
           } else {

@@ -291,6 +291,108 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // xz shard round trip: the tukaani reference encoder writes (rotating
+    // preset and integrity-check type — CRC32 / CRC64 / SHA-256, the
+    // layouts real `.jsonl.xz` dumps ship), the hand-rolled
+    // [[graft.ops.Xz]] reader decodes (xz container walk, LZMA2 chunking,
+    // from-scratch LZMA range decoder). One wrong byte through the range
+    // coder breaks the per-class checksums.
+    GraftQuery(
+      "xz01_xz_jsonl",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val raw = ascii(jsonl)
+            val frame = (g % 3) match {
+              case 0 => graft.ops.Xz.compress(raw, 1, 1)  // CRC32
+              case 1 => graft.ops.Xz.compress(raw, 6, 4)  // CRC64
+              case _ => graft.ops.Xz.compress(raw, 0, 10) // SHA-256
+            }
+            val back = new String(graft.ops.Xz.decompress(frame),
+              java.nio.charset.StandardCharsets.US_ASCII)
+            back.split('\n').iterator.map { line =>
+              val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+              val txt = obj("text").asInstanceOf[graft.etl.JStr].s
+              (obj("lang").asInstanceOf[graft.etl.JStr].s, txt.length.toLong, txt)
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant xz shard scan: magic flip → bad_magic; tail
+    // truncation → bad_frame (footer/index walk refuses before any byte
+    // is trusted); each rotten stream is one typed error row, healthy
+    // shards contribute exact counts and checksums. The zst02/bz02
+    // contract on the xz layer.
+    GraftQuery(
+      "xz02_poisoned_xz",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val raw = ascii(jsonl)
+            val clean = graft.ops.Xz.compress(raw, 1, if (g % 2 == 0) 1 else 4)
+            val frame = (h60(s"$source:$g") % 7) match {
+              case 0 => val b = clean.clone(); b(0) = (b(0) ^ 0x5a).toByte; b
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 7)
+              case _ => clean
+            }
+            graft.ops.Xz.decompressSafe(frame) match {
+              case Right(bytes) =>
+                val lines = new String(bytes,
+                  java.nio.charset.StandardCharsets.US_ASCII).split('\n')
+                val bc = lines.iterator.map { line =>
+                  val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+                  h60(obj("text").asInstanceOf[graft.etl.JStr].s) % M
+                }.sum
+                (source, "ok", lines.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_magic", lit(1))).as("n_magic"),
+            count(when(col("outcome") === "bad_frame", lit(1))).as("n_frame"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_magic,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_frame,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // bzip2 shard round trip through the hand-rolled codec (the container
     // long-lived public dumps ship: Wikipedia `.xml.bz2`, pbzip2 output).
     // Shards rotate the block-size level, and every third shard is TWO

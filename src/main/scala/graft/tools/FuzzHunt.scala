@@ -138,6 +138,20 @@ object FuzzHunt {
       Set("bad_magic", "bad_frame", "too_large", "unsupported"),
       graft.ops.Bzip2.decompressSafe)
 
+    total += hunt("xz",
+      {
+        // two concatenated streams (CRC32 + CRC64) with stream padding:
+        // the container walk, index/footer checks, LZMA2 chunking, and
+        // the LZMA range decoder all sit under the mutation lens
+        val p1 = ("xz mutation fodder " * 8 + "aaaaaaaaaaaaaaaa")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val p2 = "second stream".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        graft.ops.Xz.compress(p1, 1, 1) ++ Array.fill(4)(0.toByte) ++
+          graft.ops.Xz.compress(p2, 6, 4)
+      },
+      Set("bad_magic", "bad_frame", "too_large", "unsupported"),
+      graft.ops.Xz.decompressSafe)
+
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)
   }

@@ -385,4 +385,34 @@ class ContainerFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  private val validXz: Array[Byte] =
+    Xz.compress(("xz fuzz fodder " * 6 + "zzzzzzzzzzzz").getBytes(US_ASCII), 1, 1) ++
+      Xz.compress("second stream".getBytes(US_ASCII), 0, 4)
+
+  test("Xz.decompressSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Xz.decompressSafe(b).isLeft || Xz.decompressSafe(b).isRight
+    })
+    val kinds = Set("bad_magic", "bad_frame", "too_large", "unsupported")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validXz.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validXz.clone(); m(pos) = (m(pos) ^ x).toByte
+      Xz.decompressSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    // truncation: refuse, or decode a clean stream PREFIX (stream boundary)
+    val full = Xz.decompress(validXz)
+    (0 until validXz.length).foreach { n =>
+      Xz.decompressSafe(java.util.Arrays.copyOf(validXz, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(d) =>
+          assert(d.length < full.length &&
+            java.util.Arrays.equals(d, java.util.Arrays.copyOf(full, d.length)),
+            s"cut at $n decoded a non-prefix")
+      }
+    }
+  }
 }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Locks on the xz/LZMA2/LZMA reader (graft.ops.Xz).
+  *
+  * Independence is pinned two ways: fixtures compressed by CPython's
+  * `lzma` (real liblzma, tools/make_xz_fixture.py — every check type,
+  * custom lc/lp/pb chains, incompressible and run-heavy payloads,
+  * multi-chunk blocks, padded multi-stream files) decode bit-exact, and
+  * the tukaani reference encoder on Spark's classpath (which also backs
+  * Xz.compress) is round-tripped across presets and forced multi-block
+  * layouts. Plus the standing codec contract: typed refusals, the
+  * inflate-bomb budget cap, mutation totality.
+  */
+class XzSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private val payload: Array[Byte] =
+    (0 until 500).map(i => s"""{"id":$i,"text":"xz spec body $i rolls on"}""")
+      .mkString("\n").getBytes(US_ASCII)
+
+  private def withBudget[A](bytes: Long)(f: => A): A = {
+    val old = graft.core.Budget.maxInflatedBytes
+    graft.core.Budget.maxInflatedBytes = bytes
+    try f finally graft.core.Budget.maxInflatedBytes = old
+  }
+
+  test("liblzma fixtures decode bit-exact (checks, lc/lp/pb chains, chunks, runs, rand, multi-stream, tiny, empty)") {
+    for (name <- Seq("xz_crc32", "xz_crc64", "xz_sha256", "xz_nocheck",
+        "xz_lc0lp2", "xz_lc1lp1pb0", "xz_rand", "xz_runs", "xz_chunks",
+        "xz_multi", "xz_empty", "xz_tiny")) {
+      val raw = fixture(s"$name.raw")
+      val got = Xz.decompress(fixture(s"$name.xz"))
+      assert(java.util.Arrays.equals(got, raw), s"$name mismatch")
+    }
+  }
+
+  test("our round trip (tukaani writer -> hand-rolled reader) across presets and checks") {
+    for (preset <- Seq(0, 1, 6, 9); check <- Seq(0, 1, 4, 10)) {
+      val frame = Xz.compress(payload, preset, check)
+      assert(java.util.Arrays.equals(Xz.decompress(frame), payload),
+        s"preset=$preset check=$check")
+    }
+    // deterministic frames
+    assert(java.util.Arrays.equals(Xz.compress(payload), Xz.compress(payload)))
+  }
+
+  test("multi-block streams (flush boundaries) decode exactly") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(3), 4)
+    val third = payload.length / 3
+    out.write(payload, 0, third); out.endBlock()
+    out.write(payload, third, third); out.endBlock()
+    out.write(payload, 2 * third, payload.length - 2 * third)
+    out.close()
+    assert(java.util.Arrays.equals(Xz.decompress(bos.toByteArray), payload))
+  }
+
+  test("tukaani round-trips nothing we refuse: stress payload shapes") {
+    for (p <- Seq(Array.emptyByteArray,
+        Array.fill(300000)(7.toByte),
+        (0 until 260000).map(i => (i * 31 + (i >> 5)).toByte).toArray,
+        "ab".* (60000).getBytes(US_ASCII))) {
+      assert(java.util.Arrays.equals(Xz.decompress(Xz.compress(p, 1, 1)), p))
+    }
+  }
+
+  test("concatenated streams with and without stream padding decode as one payload") {
+    val a = "first xz stream ".* (200).getBytes(US_ASCII)
+    val b = "second xz stream ".* (200).getBytes(US_ASCII)
+    val plain = Xz.compress(a, 1, 1) ++ Xz.compress(b, 1, 10)
+    assert(java.util.Arrays.equals(Xz.decompress(plain), a ++ b))
+    val padded = Xz.compress(a, 1, 4) ++ Array.fill(8)(0.toByte) ++ Xz.compress(b, 1, 1) ++
+      Array.fill(4)(0.toByte)
+    assert(java.util.Arrays.equals(Xz.decompress(padded), a ++ b))
+  }
+
+  test("magic flip refuses bad_magic; truncation / bit rot refuse typed") {
+    val clean = Xz.compress(payload, 1, 1)
+    val flipped = clean.clone(); flipped(0) = (flipped(0) ^ 0x5a).toByte
+    assert(Xz.decompressSafe(flipped) == Left("bad_magic"))
+    val cut = java.util.Arrays.copyOf(clean, clean.length - 7)
+    assert(Xz.decompressSafe(cut) == Left("bad_frame"))
+    val rot = clean.clone(); rot(clean.length / 2) = (rot(clean.length / 2) ^ 0x10).toByte
+    assert(Xz.decompressSafe(rot).isLeft)
+  }
+
+  test("misaligned stream padding and trailing garbage refuse bad_frame") {
+    val s = Xz.compress(payload, 0, 1)
+    assert(Xz.decompressSafe(s ++ Array.fill(3)(0.toByte)).isLeft)
+    assert(Xz.decompressSafe(s ++ "JUNK".getBytes(US_ASCII)) == Left("bad_frame"))
+  }
+
+  test("non-LZMA2 filter chains refuse unsupported (delta fixture via tukaani)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val opts = new org.tukaani.xz.LZMA2Options(1)
+    val chain = Array[org.tukaani.xz.FilterOptions](
+      new org.tukaani.xz.DeltaOptions(1), opts)
+    val out = new org.tukaani.xz.XZOutputStream(bos, chain, 1)
+    out.write(payload); out.close()
+    assert(Xz.decompressSafe(bos.toByteArray) == Left("unsupported"))
+  }
+
+  test("an LZMA bomb refuses too_large at the budget, not at OOM") {
+    val zeros = new Array[Byte](16 * 1024 * 1024)
+    val bomb = Xz.compress(zeros, 6, 1)
+    assert(bomb.length < 10000, s"bomb is ${bomb.length}")
+    withBudget(1024 * 1024) {
+      assert(Xz.decompressSafe(bomb) == Left("too_large"))
+    }
+    assert(Xz.decompressSafe(bomb).map(_.length) == Right(zeros.length))
+  }
+
+  test("every single-byte mutation of a valid frame is typed, never a throw") {
+    val clean = Xz.compress(
+      (0 until 50).map(i => s"mutation fodder line $i").mkString("\n")
+        .getBytes(US_ASCII), 1, 1)
+    val kinds = Set("bad_magic", "bad_frame", "too_large", "unsupported")
+    for (pos <- clean.indices; x <- Seq(0x01, 0x5a, 0x80, 0xff)) {
+      val m = clean.clone(); m(pos) = (m(pos) ^ x).toByte
+      Xz.decompressSafe(m) match {
+        case Left(k) => assert(kinds.contains(k), s"pos=$pos x=$x kind=$k")
+        case Right(_) => ()
+      }
+    }
+  }
+
+  test("empty payload round-trips") {
+    assert(Xz.decompress(Xz.compress(Array.emptyByteArray)).isEmpty)
+  }
+}
