@@ -74,10 +74,103 @@ object Xz {
   def compress(bytes: Array[Byte], preset: Int = 6, check: Int = 1): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 256)
     val opts = new org.tukaani.xz.LZMA2Options(preset)
+    // the preset dictionaries (8 MiB at preset 6) are allocated PER
+    // STREAM; on a million-shard scan that allocation dominates
+    // wall-clock (measured 31.6 s for the sf0.1 shard sweep). A dict no
+    // larger than the payload is byte-for-byte sufficient — match
+    // distances cannot reach further back — so clamp it (tukaani's
+    // minimum is 4 KiB). Output stays deterministic for a fixed input.
+    val dict = math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN,
+      math.min(opts.getDictSize, Integer.highestOneBit(math.max(1, bytes.length)) * 2))
+    opts.setDictSize(dict)
     val out = new org.tukaani.xz.XZOutputStream(bos, opts, check)
     out.write(bytes)
     out.close()
     bos.toByteArray
+  }
+
+  // ------------------------------------------------ legacy .lzma (alone)
+
+  /** One legacy `.lzma` (LZMA_ALONE) stream via the tukaani reference
+    * encoder: 13-byte header (props, LE32 dict size, LE64 size), raw
+    * LZMA body. `sizeKnown = false` writes the all-FF unknown-size header
+    * terminated by the end marker — the layout CPython's
+    * `lzma.FORMAT_ALONE` always emits.
+    */
+  def compressAlone(bytes: Array[Byte], preset: Int = 6,
+      sizeKnown: Boolean = true): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val opts = new org.tukaani.xz.LZMA2Options(preset)
+    val dict = math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN,
+      math.min(opts.getDictSize, Integer.highestOneBit(math.max(1, bytes.length)) * 2))
+    opts.setDictSize(dict)
+    val out = new org.tukaani.xz.LZMAOutputStream(bos, opts,
+      if (sizeKnown) bytes.length.toLong else -1L)
+    out.write(bytes)
+    out.close()
+    bos.toByteArray
+  }
+
+  def decompressAloneSafe(bytes: Array[Byte]): Either[String, Array[Byte]] =
+    try Right(decompressAlone(bytes))
+    catch { case e: WarcError => Left(e.kind) }
+
+  /** Strict legacy `.lzma` decode: both the size-declared layout (no end
+    * marker — what the reference encoder writes) and the unknown-size
+    * end-marker layout (what liblzma/CPython write). The declared size is
+    * budget-checked BEFORE allocation; unknown-size output grows under
+    * the same budget. There is no magic in this format, so a wrong first
+    * byte refuses on the props range rather than a magic check.
+    */
+  def decompressAlone(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 13 + 5) bad("truncated alone header")
+    val props = bytes(0) & 0xff
+    if (props >= 9 * 5 * 5) bad(s"props byte $props")
+    val lc = props % 9
+    val lp = (props / 9) % 5
+    val pb = props / 45
+    if (lc + lp > 4) throw new WarcError("unsupported", s"lc+lp > 4 (lc=$lc lp=$lp)")
+    var dictSize = 0L
+    var i = 0
+    while (i < 4) { dictSize |= (bytes(1 + i) & 0xffL) << (8 * i); i += 1 }
+    if (dictSize < 4096) dictSize = 4096
+    var declared = 0L
+    i = 0
+    while (i < 8) { declared |= (bytes(5 + i) & 0xffL) << (8 * i); i += 1 }
+    val cap = graft.core.Budget.maxInflatedBytes
+    val dec = new LzmaDecoder(lc, lp, pb)
+    dec.initRc(bytes, 13, bytes.length - 13)
+    if (declared != -1L) {
+      // size-declared layout (-1 = unknown; any other negative is rot)
+      if (declared < 0)
+        throw new WarcError("too_large", s"alone header declares $declared bytes")
+      if (declared > cap)
+        throw new WarcError("too_large", s"alone header declares $declared bytes past the budget")
+      if (declared > Int.MaxValue - 8) throw new WarcError("too_large", "alone stream > 2 GiB")
+      val n = declared.toInt
+      val out = new Array[Byte](n)
+      val pos = dec.run(out, 0, n, n, 0, dictSize, allowMarker = true)
+      if (dec.sawMarker && pos != n) bad("end marker before the declared size")
+      if (pos != n) bad("alone stream ended early")
+      if (!dec.consumed) bad("alone stream has trailing garbage")
+      out
+    } else {
+      // unknown size: grow under the budget until the end marker
+      var buf = new Array[Byte](64 * 1024)
+      var pos = 0
+      while (!dec.sawMarker) {
+        val soft = buf.length - 280 // ≥ max match length of headroom
+        pos = dec.run(buf, pos, soft, buf.length, 0, dictSize, allowMarker = true)
+        if (!dec.sawMarker) {
+          if (buf.length.toLong * 2 > cap + 280L)
+            throw new WarcError("too_large", s"alone stream inflates past $cap bytes")
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        }
+      }
+      if (pos > cap) throw new WarcError("too_large", s"alone stream inflates past $cap bytes")
+      if (!dec.consumed) bad("alone stream has trailing garbage")
+      java.util.Arrays.copyOf(buf, pos)
+    }
   }
 
   // ------------------------------------------------------------- decode
@@ -205,7 +298,17 @@ object Xz {
         val declaredUncomp = if (hasUncompSize) varint() else -1L
         if (declaredUncomp > cap)
           throw new WarcError("too_large", s"block declares $declaredUncomp bytes past the budget")
-        if (nFilters != 1) throw new WarcError("unsupported", s"$nFilters-filter chain")
+        // filter chains: [LZMA2] or [delta, LZMA2] (the chain `xz
+        // --delta` emits for binary dumps). Encoding order is delta →
+        // LZMA2, so decode reverses: LZMA2 first, then delta
+        // reconstruction. BCJ and longer chains refuse `unsupported`.
+        if (nFilters > 2) throw new WarcError("unsupported", s"$nFilters-filter chain")
+        var deltaDist = 0
+        if (nFilters == 2) {
+          if (varint() != 0x03) throw new WarcError("unsupported", "non-delta first filter")
+          if (varint() != 1) bad("delta props size")
+          deltaDist = u8() + 1
+        }
         val filterId = varint()
         if (filterId != 0x21) throw new WarcError("unsupported", f"filter 0x$filterId%x")
         if (varint() != 1) bad("LZMA2 props size")
@@ -248,6 +351,15 @@ object Xz {
           } else bad(f"LZMA2 control byte 0x$control%02x")
         }
         val blockData = block.result()
+        if (deltaDist > 0) {
+          // delta reconstruction: each byte is a difference from the byte
+          // `dist` positions earlier (block check runs on the result)
+          var i = deltaDist
+          while (i < blockData.length) {
+            blockData(i) = (blockData(i) + blockData(i - deltaDist)).toByte
+            i += 1
+          }
+        }
         val compSize = (off - dataStart).toLong
         if (hasCompSize && declaredComp != compSize)
           bad(s"block compressed size $compSize != declared $declaredComp")
@@ -531,16 +643,40 @@ object Xz {
       */
     def decode(src: Array[Byte], off: Int, len: Int, dst: Array[Byte],
         dstPos0: Int, unpacked: Int, dictStart: Int, dictSize: Long): Int = {
+      initRc(src, off, len)
+      val dstPos = run(dst, dstPos0, dstPos0 + unpacked, dstPos0 + unpacked,
+        dictStart, dictSize, allowMarker = false)
+      if (inPos != inEnd) bad("LZMA chunk did not consume its declared size")
+      dstPos
+    }
+
+    def initRc(src: Array[Byte], off: Int, len: Int): Unit = {
       in = src; inPos = off; inEnd = off + len
       // rc init: one zero byte then 4 code bytes, big-endian
       if (nextByte() != 0) bad("range coder init byte")
       range = 0xffffffffL
       code = ((nextByte().toLong << 24) | (nextByte() << 16) | (nextByte() << 8) |
         nextByte()) & 0xffffffffL
+    }
 
+    /** set by [[run]] when an end marker (dist 0xFFFFFFFF) is decoded. */
+    var sawMarker = false
+
+    /** all input consumed (the alone container's trailing-garbage check). */
+    def consumed: Boolean = inPos == inEnd
+
+    /** Decode into dst until `softEnd` bytes exist (or the end marker,
+      * when allowed — the `.lzma` alone-container termination). Copies
+      * may run up to `hardEnd` (callers leave ≥273 bytes of headroom
+      * between the two so a match never needs a mid-copy buffer grow);
+      * the LZMA2 path passes softEnd == hardEnd (exact chunk sizes).
+      */
+    def run(dst: Array[Byte], dstPos0: Int, softEnd: Int, hardEnd: Int,
+        dictStart: Int, dictSize: Long, allowMarker: Boolean): Int = {
+      sawMarker = false
       var dstPos = dstPos0
-      val dstEnd = dstPos0 + unpacked
-      while (dstPos < dstEnd) {
+      val dstEnd = hardEnd
+      while (dstPos < softEnd && !sawMarker) {
         val posState = (dstPos - dictStart) & posMask
         if (decodeBit(isMatch, (state << 4) + posState) == 0) {
           // literal
@@ -586,11 +722,15 @@ object Xz {
                 dist += decodeDirect(nDirect - 4).toLong << 4
                 dist += bitTreeReverse(align, 0, 4)
               }
-              if (dist == 0xffffffffL)
-                bad("end marker inside a sized LZMA2 chunk")
-              if (dist + 1 > dictSize) bad("match distance past dict size")
-              if (dstPos.toLong - dist - 1 < dictStart) bad("match before dict start")
-              rep0 = dist.toInt
+              if (dist == 0xffffffffL) {
+                if (!allowMarker) bad("end marker inside a sized LZMA2 chunk")
+                sawMarker = true
+                matchLen = -2 // no bytes to copy; outer loop exits
+              } else {
+                if (dist + 1 > dictSize) bad("match distance past dict size")
+                if (dstPos.toLong - dist - 1 < dictStart) bad("match before dict start")
+                rep0 = dist.toInt
+              }
             }
             state = if (state < 7) 7 else 10
           } else {
@@ -629,7 +769,6 @@ object Xz {
           }
         }
       }
-      if (inPos != inEnd) bad("LZMA chunk did not consume its declared size")
       dstPos
     }
   }

@@ -517,5 +517,6 @@ object EtlQueries {
           n_null = 0 AND n_distinct = n_nonnull AS is_pk
         FROM stats s LEFT JOIN votes v USING (col_name)"""),
     ),
+
   )
 }

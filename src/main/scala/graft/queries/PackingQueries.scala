@@ -513,5 +513,55 @@ object PackingQueries {
         FROM b GROUP BY 1"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Fill-in-the-middle transformation (round 13): the PSM rearrangement
+    // code-pretraining pipelines apply — a hash-selected half of the
+    // corpus is split prefix/middle/suffix at thirds and re-emitted as
+    // <PRE>prefix<SUF>suffix<MID>middle, the rest passes through. Pure
+    // per-row string arithmetic (substring indices are identical in both
+    // engines), shuffle-free until the source rollup; the checksum pins
+    // the exact transformed bytes.
+    GraftQuery(
+      "pack07_fim",
+      (s, d) => {
+        val M = 1000000007L
+        // integer cut points at thirds (`div`, matching DuckDB's `//`)
+        val fim = concat(
+          lit("<PRE>"), expr("substring(text, 1, length(text) div 3)"),
+          lit("<SUF>"), expr("substring(text, length(text)*2 div 3 + 1)"),
+          lit("<MID>"), expr(
+            "substring(text, length(text) div 3 + 1, length(text)*2 div 3 - length(text) div 3)"))
+        val pick = TA.hash60(concat(lit("fim:"), col("doc_id").cast("string"))) % 2 === 0
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            when(pick, fim).otherwise(col("text")).as("out"),
+            pick.cast("long").as("is_fim"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("is_fim")).as("n_fim"),
+            sum(length(col("out"))).as("out_chars"),
+            sum(TA.hash60(col("out")) % M).as("out_check"))
+      },
+      Some(s"""WITH t AS (
+          SELECT source, doc_id, text, length(text) AS len,
+            CASE WHEN ${TA.Sql.hash60("'fim:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+              THEN 1 ELSE 0 END AS is_fim
+          FROM documents),
+        o AS (
+          SELECT source, is_fim,
+            CASE WHEN is_fim = 1 THEN
+              '<PRE>' || substring(text, 1, len // 3) ||
+              '<SUF>' || substring(text, len * 2 // 3 + 1) ||
+              '<MID>' || substring(text, len // 3 + 1, len * 2 // 3 - len // 3)
+            ELSE text END AS out
+          FROM t)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(is_fim) AS BIGINT) AS n_fim,
+          CAST(sum(length(out)) AS BIGINT) AS out_chars,
+          CAST(sum(${TA.Sql.hash60("out")} % 1000000007) AS BIGINT) AS out_check
+        FROM o GROUP BY 1"""),
+    ),
   )
 }

@@ -397,5 +397,106 @@ object RecordShardQueries {
           CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // CBOR record-shard round trip (RFC 8949 / RFC 8742 sequences — the
+    // COSE/WebAuthn-world record format, the remaining sibling of the
+    // msgpack layer). Same shard contract as mp01: every modeled form
+    // exercised per record, one wrong byte anywhere breaks the
+    // per-class checksums.
+    GraftQuery(
+      "cb01_cbor_shards",
+      (s, d) => {
+        import s.implicits._
+        import graft.etl.{JBool, JFloat, JInt, JObj, JStr}
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val shard = graft.ops.Cbor.encodeAll(recs.map { case (id, text, lang) =>
+              JObj(Vector(
+                "id" -> JInt(BigInt(id)), "lang" -> JStr(lang),
+                "text" -> JStr(text),
+                "score" -> JFloat((id % 1000L) * 0.125),
+                "keep" -> JBool(id % 3 == 0)))
+            })
+            graft.ops.Cbor.decodeAll(shard).iterator.map { v =>
+              val f = v.asInstanceOf[JObj].fields.toMap
+              val txt = f("text").asInstanceOf[JStr].s
+              (f("lang").asInstanceOf[JStr].s, txt.length.toLong, txt,
+                f("score").asInstanceOf[JFloat].d,
+                f("keep").asInstanceOf[JBool].b)
+            }
+          }
+          .toDF("lang", "txt_len", "txt", "score", "keep")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"),
+            sum(col("score")).as("score_sum"),
+            count(when(col("keep"), lit(1))).as("n_keep"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check,
+          sum((doc_id % 1000) * CAST(0.125 AS DOUBLE)) AS score_sum,
+          count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_keep
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant CBOR scan: the mp02 contract on the CBOR layer —
+    // an unmodeled byte-string head spliced at the front (bad_type),
+    // tail truncation mid-record (truncated); each rotten shard is ONE
+    // typed error row, healthy shards contribute exact counts.
+    GraftQuery(
+      "cb02_poisoned_cbor",
+      (s, d) => {
+        import s.implicits._
+        import graft.etl.{JInt, JObj, JStr}
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val clean = graft.ops.Cbor.encodeAll(recs.map { case (id, text, _) =>
+              JObj(Vector("id" -> JInt(BigInt(id)), "text" -> JStr(text)))
+            })
+            val shard = (h60(s"cb:$source:$g") % 7) match {
+              case 0 => Array(0x40.toByte) ++ clean // bstr head: bad_type
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 3)
+              case _ => clean
+            }
+            graft.ops.Cbor.decodeAllSafe(shard) match {
+              case Right(vs) =>
+                var bc = 0L
+                vs.foreach { v =>
+                  val f = v.asInstanceOf[JObj].fields.toMap
+                  bc += h60(f("text").asInstanceOf[JStr].s) % M
+                }
+                (source, "ok", vs.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_type", lit(1))).as("n_badtype"),
+            count(when(col("outcome") === "truncated", lit(1))).as("n_trunc"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("'cb:' || source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_badtype,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_trunc,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
   )
 }

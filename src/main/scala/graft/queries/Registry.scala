@@ -29,6 +29,8 @@ object Registry {
     TarQueries.all,
     RecordShardQueries.all,
     TensorShardQueries.all,
+    ChatQueries.all,
+    MediaMetaQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {

@@ -914,5 +914,41 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""),
     ),
+
+    // ------------------------------------------------------------------
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT (the
+    // SQL:1999 lateral-join surface; Catalyst decorrelates the limit
+    // into a partitioned rank under the hood). Top-3 customers by
+    // balance per nation — the same answer a window rank produces (q29
+    // family), pinned here through the LATERAL entry path because it is
+    // a distinct operator a SQL user reaches for.
+    GraftQuery(
+      "q38_lateral_topn",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g38_nation")
+        Tables.customer(s, d).createOrReplaceTempView("g38_customer")
+        s.sql("""
+          SELECT n.n_name AS nation, t.custkey, t.bal_cents
+          FROM g38_nation n,
+          LATERAL (
+            SELECT c_custkey AS custkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM g38_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY bal_cents DESC, custkey
+            LIMIT 3
+          ) t""")
+      },
+      Some("""SELECT n.n_name AS nation, t.custkey, t.bal_cents
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey AS custkey,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, custkey
+          LIMIT 3
+        ) t"""),
+    ),
   )
 }

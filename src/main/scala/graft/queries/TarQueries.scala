@@ -333,6 +333,44 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Legacy `.lzma` (LZMA_ALONE) shard round trip: pre-xz dumps ship
+    // this container (no magic, 13-byte header, raw LZMA body). Shards
+    // alternate the size-declared layout (what the tukaani reference
+    // encoder writes) and the unknown-size end-marker layout (what
+    // liblzma/CPython always write) — both through the hand-rolled LZMA
+    // decoder's marker-aware path.
+    GraftQuery(
+      "xz03_alone_jsonl",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val raw = ascii(jsonl)
+            val frame = graft.ops.Xz.compressAlone(raw, 1, sizeKnown = g % 2 == 0)
+            val back = new String(graft.ops.Xz.decompressAlone(frame),
+              java.nio.charset.StandardCharsets.US_ASCII)
+            back.split('\n').iterator.map { line =>
+              val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+              val txt = obj("text").asInstanceOf[graft.etl.JStr].s
+              (obj("lang").asInstanceOf[graft.etl.JStr].s, txt.length.toLong, txt)
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Fault-tolerant xz shard scan: magic flip → bad_magic; tail
     // truncation → bad_frame (footer/index walk refuses before any byte
     // is trusted); each rotten stream is one typed error row, healthy
@@ -354,6 +392,107 @@ object TarQueries {
               case _ => clean
             }
             graft.ops.Xz.decompressSafe(frame) match {
+              case Right(bytes) =>
+                val lines = new String(bytes,
+                  java.nio.charset.StandardCharsets.US_ASCII).split('\n')
+                val bc = lines.iterator.map { line =>
+                  val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+                  h60(obj("text").asInstanceOf[graft.etl.JStr].s) % M
+                }.sum
+                (source, "ok", lines.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_magic", lit(1))).as("n_magic"),
+            count(when(col("outcome") === "bad_frame", lit(1))).as("n_frame"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p = 0 THEN 1 END) AS n_magic,
+          count(CASE WHEN p = 1 THEN 1 END) AS n_frame,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // snappy framed-shard round trip through the hand-rolled codec (the
+    // Hadoop-ecosystem `.sz` intermediate-shard layout): 64 KiB chunks
+    // with masked CRC32C, every third shard two CONCATENATED framed
+    // streams (a second stream-identifier chunk mid-file is legal and
+    // must restart cleanly). One wrong byte through the tag walk breaks
+    // the per-class checksums.
+    GraftQuery(
+      "sn01_snappy_jsonl",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val raw = ascii(jsonl)
+            val frame =
+              if (g % 3 == 2) {
+                val cut = raw.length / 2
+                graft.ops.Snappy.compress(java.util.Arrays.copyOf(raw, cut)) ++
+                  graft.ops.Snappy.compress(
+                    java.util.Arrays.copyOfRange(raw, cut, raw.length))
+              } else graft.ops.Snappy.compress(raw)
+            val back = new String(graft.ops.Snappy.decompress(frame),
+              java.nio.charset.StandardCharsets.US_ASCII)
+            back.split('\n').iterator.map { line =>
+              val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+              val txt = obj("text").asInstanceOf[graft.etl.JStr].s
+              (obj("lang").asInstanceOf[graft.etl.JStr].s, txt.length.toLong, txt)
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant snappy shard scan: the zst02/bz02/xz02 contract on
+    // the snappy framing layer (magic flip → bad_magic; truncation →
+    // bad_frame via the chunk walk / CRC32C).
+    GraftQuery(
+      "sn02_poisoned_snappy",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val clean = graft.ops.Snappy.compress(ascii(jsonl))
+            val frame = (h60(s"$source:$g") % 7) match {
+              case 0 => val b = clean.clone(); b(0) = (b(0) ^ 0x5a).toByte; b
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 5)
+              case _ => clean
+            }
+            graft.ops.Snappy.decompressSafe(frame) match {
               case Right(bytes) =>
                 val lines = new String(bytes,
                   java.nio.charset.StandardCharsets.US_ASCII).split('\n')

@@ -392,5 +392,45 @@ object TextQueries {
           ((freq - f1 // rank) * 1000000) // (f1 // rank) AS dev_ppm
         FROM top, tot, f1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Unicode NFC normalization (round 13): the canonicalization pass a
+    // multilingual corpus runs before dedup/tokenization — visually
+    // identical strings with decomposed combining marks (U+0301 etc.)
+    // must hash identically. The corpus is ASCII, so decomposed
+    // sequences are injected deterministically (every 'a' → 'a'+U+0301)
+    // and then NFC-composed back via java.text.Normalizer (the JVM's
+    // Unicode implementation) — DuckDB recomputes with its independent
+    // nfc_normalize. Per-row map, shuffle-free until the source rollup;
+    // hash60 is md5-over-UTF-8 in both engines so the checksum pins the
+    // exact composed bytes.
+    GraftQuery(
+      "text18_nfc_normalize",
+      (s, d) => {
+        import s.implicits._
+        val t2 = Tables.documents(s, d)
+          .select(col("source"),
+            regexp_replace(col("text"), "a", "a\u0301").as("t2"))
+        val nfc = t2.as[(String, String)].map { case (src, v) =>
+          (src, v, java.text.Normalizer.normalize(v, java.text.Normalizer.Form.NFC))
+        }.toDF("source", "t2", "nf")
+        nfc.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("t2"))).as("pre_chars"),
+            sum(length(col("nf"))).as("post_chars"),
+            sum(when(col("t2") =!= col("nf"), 1L).otherwise(0L)).as("n_changed"),
+            sum(TA.hash60(col("nf")) % TarQueries.M).as("nfc_check"))
+      },
+      Some(s"""WITH t AS (
+          SELECT source, replace(text, 'a', 'a' || chr(769)) AS t2 FROM documents),
+        n AS (SELECT source, t2, nfc_normalize(t2) AS nf FROM t)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(length(t2)) AS BIGINT) AS pre_chars,
+          CAST(sum(length(nf)) AS BIGINT) AS post_chars,
+          CAST(count(CASE WHEN t2 <> nf THEN 1 END) AS BIGINT) AS n_changed,
+          CAST(sum(${TA.Sql.hash60("nf")} % ${TarQueries.M}) AS BIGINT) AS nfc_check
+        FROM n GROUP BY 1"""),
+    ),
   )
 }

@@ -356,4 +356,47 @@ object CorpusStreams {
         sum(col("dur_ms")).as("sum_duration"),
         sum(col("csum")).as("canvas_checksum"))
   }
+
+  /** Streaming ingest of compressed JSONL shards across EVERY codec the
+    * corpus layer supports — zstd, LZ4, gzip members, bzip2 streams, xz
+    * streams, snappy framed — sniffed per shard by magic (the mixed-codec directory a
+    * long-lived corpus accumulates). Healthy shards yield one row per
+    * JSONL record; a rotten shard yields ONE typed error row from the
+    * codec's refusal vocabulary instead of a failed micro-batch. State
+    * bounded by refusal-kinds × languages; decode is a stateless
+    * per-file flatMap. Expects columns (file string, content binary).
+    */
+  def compressedJsonlScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    import graft.etl.{JObj, JStr}
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        val decoded: Either[String, Array[Byte]] =
+          if (graft.ops.Bzip2.isBzip2(bytes)) graft.ops.Bzip2.decompressSafe(bytes)
+          else if (graft.ops.Xz.isXz(bytes)) graft.ops.Xz.decompressSafe(bytes)
+          else if (graft.ops.Snappy.isSnappyFramed(bytes)) graft.ops.Snappy.decompressSafe(bytes)
+          else graft.ops.Zstd.decompressAnySafe(bytes)
+        decoded match {
+          case Right(raw) =>
+            new String(raw, java.nio.charset.StandardCharsets.US_ASCII)
+              .split('\n').toSeq.map { line =>
+                graft.etl.Json.parseOpt(line) match {
+                  case Some(JObj(fields)) =>
+                    val m = fields.toMap
+                    (m.get("lang"), m.get("text")) match {
+                      case (Some(JStr(l)), Some(JStr(t))) => ("ok", l, t.length.toLong)
+                      case _                              => ("bad_schema", "", 0L)
+                    }
+                  case _ => ("bad_schema", "", 0L)
+                }
+              }
+          case Left(kind) => Seq((kind, "", 0L))
+        }
+      }.toDF("outcome", "lang", "text_bytes")
+    recs.groupBy(col("outcome"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("text_bytes")).as("sum_bytes"))
+  }
 }

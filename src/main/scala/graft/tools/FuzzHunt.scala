@@ -152,6 +152,46 @@ object FuzzHunt {
       Set("bad_magic", "bad_frame", "too_large", "unsupported"),
       graft.ops.Xz.decompressSafe)
 
+    total += hunt("snappy",
+      {
+        // two concatenated framed streams + a padding chunk: stream-id
+        // restart, the tag walk, CRC32C, and chunk skipping all sit
+        // under the mutation lens
+        val p1 = ("snappy mutation fodder " * 8 + "aaaaaaaaaaaaaaaa")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val p2 = "second stream".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        graft.ops.Snappy.compress(p1) ++
+          Array[Byte](0xfe.toByte, 2, 0, 0, 0, 0) ++
+          graft.ops.Snappy.compress(p2)
+      },
+      Set("bad_magic", "bad_frame", "too_large", "unsupported"),
+      graft.ops.Snappy.decompressSafe)
+
+    total += hunt("lzma_alone",
+      // the magic-less legacy container: every header byte (props, dict
+      // size, the all-FF unknown size) and the marker-terminated LZMA
+      // body sit under the mutation lens
+      graft.ops.Xz.compressAlone(
+        ("alone mutation fodder " * 8 + "aaaaaaaaaaaaaaaa")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), 1, sizeKnown = false),
+      Set("bad_magic", "bad_frame", "too_large", "unsupported"),
+      graft.ops.Xz.decompressAloneSafe)
+
+    total += hunt("exif",
+      graft.ops.Exif.buildJpeg(6, "2024:02:29 12:00:00", "maker",
+        Some((45L, 2L)), littleEndian = true, comment = "fuzz body"),
+      Set("not_media", "truncated", "malformed"),
+      b => graft.ops.Exif.parseSafe(b))
+
+    total += hunt("cbor",
+      graft.ops.Cbor.encodeAll(Seq(graft.etl.JObj(Vector(
+        "id" -> graft.etl.JInt(BigInt(7)),
+        "t" -> graft.etl.JStr("hello"),
+        "xs" -> graft.etl.JArr(Vector(graft.etl.JFloat(1.5), graft.etl.JNull,
+          graft.etl.JBool(true))))))),
+      Set("truncated", "bad_type", "too_large"),
+      graft.ops.Cbor.decodeAllSafe)
+
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)
   }

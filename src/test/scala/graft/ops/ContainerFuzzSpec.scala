@@ -386,6 +386,73 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private val validSnappy: Array[Byte] =
+    Snappy.compress(("snappy fuzz fodder " * 6 + "zzzzzzzzzzzz").getBytes(US_ASCII)) ++
+      Snappy.compress("second stream".getBytes(US_ASCII))
+
+  test("Snappy.decompressSafe is total on garbage, mutations, truncations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Snappy.decompressSafe(b).isLeft || Snappy.decompressSafe(b).isRight
+    })
+    val kinds = Set("bad_magic", "bad_frame", "too_large", "unsupported")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validSnappy.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validSnappy.clone(); m(pos) = (m(pos) ^ x).toByte
+      Snappy.decompressSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+    val full = Snappy.decompress(validSnappy)
+    (0 until validSnappy.length).foreach { n =>
+      Snappy.decompressSafe(java.util.Arrays.copyOf(validSnappy, n)) match {
+        case Left(kind) => assert(kinds.contains(kind), s"cut at $n: $kind")
+        case Right(d) =>
+          assert(d.length < full.length &&
+            java.util.Arrays.equals(d, java.util.Arrays.copyOf(full, d.length)),
+            s"cut at $n decoded a non-prefix")
+      }
+    }
+  }
+
+  private val validCbor: Array[Byte] =
+    Cbor.encodeAll((0 until 6).map(i => graft.etl.JObj(Vector(
+      "id" -> graft.etl.JInt(BigInt(i)), "t" -> graft.etl.JStr(s"doc $i")))))
+
+  test("Cbor.decodeAllSafe is total on garbage and mutations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Cbor.decodeAllSafe(b).isLeft || Cbor.decodeAllSafe(b).isRight
+    })
+    val kinds = Set("truncated", "bad_type", "too_large")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validCbor.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validCbor.clone(); m(pos) = (m(pos) ^ x).toByte
+      Cbor.decodeAllSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+  }
+
+  private val validExif: Array[Byte] =
+    Exif.buildJpeg(6, "2024:02:29 12:00:00", "maker", Some((45L, 2L)),
+      littleEndian = false, comment = "fuzz body")
+
+  test("Exif.parseSafe is total on garbage and mutations") {
+    check(Prop.forAll(bytesGen) { b =>
+      Exif.parseSafe(b).isLeft || Exif.parseSafe(b).isRight
+    })
+    val kinds = Set("not_media", "truncated", "malformed")
+    check(Prop.forAll(
+      Gen.chooseNum(0, validExif.length - 1), Gen.chooseNum(1, 255)) { (pos, x) =>
+      val m = validExif.clone(); m(pos) = (m(pos) ^ x).toByte
+      Exif.parseSafe(m) match {
+        case Left(kind) => kinds.contains(kind)
+        case Right(_)   => true
+      }
+    }, n = 500)
+  }
+
   private val validXz: Array[Byte] =
     Xz.compress(("xz fuzz fodder " * 6 + "zzzzzzzzzzzz").getBytes(US_ASCII), 1, 1) ++
       Xz.compress("second stream".getBytes(US_ASCII), 0, 4)

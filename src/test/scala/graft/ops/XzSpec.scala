@@ -98,11 +98,72 @@ class XzSpec extends AnyFunSuite {
     assert(Xz.decompressSafe(s ++ "JUNK".getBytes(US_ASCII)) == Left("bad_frame"))
   }
 
-  test("non-LZMA2 filter chains refuse unsupported (delta fixture via tukaani)") {
+  test("delta+LZMA2 chains decode exactly (xz --delta layout, tukaani-written)") {
+    for (dist <- Seq(1, 4, 16)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val chain = Array[org.tukaani.xz.FilterOptions](
+        new org.tukaani.xz.DeltaOptions(dist), new org.tukaani.xz.LZMA2Options(1))
+      val out = new org.tukaani.xz.XZOutputStream(bos, chain, 1)
+      out.write(payload); out.close()
+      assert(java.util.Arrays.equals(Xz.decompress(bos.toByteArray), payload),
+        s"delta dist=$dist")
+    }
+  }
+
+  test("liblzma delta fixture decodes bit-exact") {
+    val raw = fixture("xz_delta.raw")
+    assert(java.util.Arrays.equals(Xz.decompress(fixture("xz_delta.xz")), raw))
+  }
+
+  test("legacy .lzma alone fixtures (liblzma, unknown-size + end marker) decode bit-exact") {
+    for (name <- Seq("lzma_alone", "lzma_alone_lp2")) {
+      val raw = fixture(s"$name.raw")
+      assert(java.util.Arrays.equals(Xz.decompressAlone(fixture(s"$name.lzma")), raw),
+        s"$name mismatch")
+    }
+  }
+
+  test("alone round trip (tukaani writer): size-declared and marker-terminated") {
+    for (p <- Seq(payload, Array.emptyByteArray, Array.fill(200000)(7.toByte));
+        sizeKnown <- Seq(true, false)) {
+      val frame = Xz.compressAlone(p, 1, sizeKnown)
+      assert(java.util.Arrays.equals(Xz.decompressAlone(frame), p),
+        s"len=${p.length} sizeKnown=$sizeKnown")
+    }
+  }
+
+  test("alone refusals: truncation, trailing garbage, bombs, bad props") {
+    val clean = Xz.compressAlone(payload, 1, sizeKnown = false)
+    assert(Xz.decompressAloneSafe(java.util.Arrays.copyOf(clean, clean.length - 4))
+      .isLeft)
+    assert(Xz.decompressAloneSafe(clean ++ Array[Byte](1, 2, 3)) == Left("bad_frame"))
+    val badProps = clean.clone(); badProps(0) = 0xe1.toByte // 225
+    assert(Xz.decompressAloneSafe(badProps) == Left("bad_frame"))
+    // declared-size bomb: 1 TiB in the header, budget refusal before allocation
+    val bomb = Xz.compressAlone(payload, 1, sizeKnown = true)
+    val lied = bomb.clone()
+    for (i <- 5 until 13) lied(i) = (if (i < 10) 0xff else 0x00).toByte
+    assert(Xz.decompressAloneSafe(lied) == Left("too_large"))
+    // unknown-size RLE bomb under a small budget
+    val zeros = Xz.compressAlone(new Array[Byte](8 * 1024 * 1024), 6, sizeKnown = false)
+    withBudget(1024 * 1024) {
+      assert(Xz.decompressAloneSafe(zeros) == Left("too_large"))
+    }
+    // mutation totality
+    val kinds = Set("bad_magic", "bad_frame", "too_large", "unsupported")
+    for (pos <- clean.indices; x <- Seq(0x01, 0x5a, 0xff)) {
+      val m = clean.clone(); m(pos) = (m(pos) ^ x).toByte
+      Xz.decompressAloneSafe(m) match {
+        case Left(k) => assert(kinds.contains(k), s"pos=$pos x=$x kind=$k")
+        case Right(_) => ()
+      }
+    }
+  }
+
+  test("BCJ filter chains refuse unsupported (x86 fixture via tukaani)") {
     val bos = new java.io.ByteArrayOutputStream()
-    val opts = new org.tukaani.xz.LZMA2Options(1)
     val chain = Array[org.tukaani.xz.FilterOptions](
-      new org.tukaani.xz.DeltaOptions(1), opts)
+      new org.tukaani.xz.X86Options(), new org.tukaani.xz.LZMA2Options(1))
     val out = new org.tukaani.xz.XZOutputStream(bos, chain, 1)
     out.write(payload); out.close()
     assert(Xz.decompressSafe(bos.toByteArray) == Left("unsupported"))

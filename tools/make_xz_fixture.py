@@ -83,3 +83,24 @@ print(f"xz_multi: raw {len(a+b)} -> xz {len(ca) + 4 + len(cb)}")
 
 write("xz_empty", b"", lzma.compress(b"", check=lzma.CHECK_CRC32))
 write("xz_tiny", b"q", lzma.compress(b"q", check=lzma.CHECK_CRC64))
+
+# delta + lzma2 chain (`xz --delta=dist=4` layout for binary dumps)
+wav_ish = bytes((i * 7 + (i // 4) * 13) % 256 for i in range(50000))
+write("xz_delta", wav_ish, lzma.compress(wav_ish, check=lzma.CHECK_CRC32, filters=[
+    {"id": lzma.FILTER_DELTA, "dist": 4},
+    {"id": lzma.FILTER_LZMA2, "preset": 6}]))
+
+# legacy .lzma (FORMAT_ALONE): CPython always writes the unknown-size
+# header terminated by the end marker
+alone = jsonlish(400, seed=21)
+for name, comp in [
+        ("lzma_alone", lzma.compress(alone, format=lzma.FORMAT_ALONE, preset=6)),
+        ("lzma_alone_lp2", lzma.compress(alone, format=lzma.FORMAT_ALONE, filters=[
+            {"id": lzma.FILTER_LZMA1, "preset": 1, "lc": 2, "lp": 2, "pb": 1,
+             "dict_size": 1 << 16}]))]:
+    with open(os.path.join(OUT, name + ".raw"), "wb") as f:
+        f.write(alone)
+    with open(os.path.join(OUT, name + ".lzma"), "wb") as f:
+        f.write(comp)
+    assert lzma.decompress(comp, format=lzma.FORMAT_ALONE) == alone, name
+    print(f"{name}: raw {len(alone)} -> lzma {len(comp)}")
