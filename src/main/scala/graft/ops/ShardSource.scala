@@ -87,7 +87,7 @@ object ShardSource {
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        new String(Zstd.decompressAny(bytes), UTF_8)
+        new String(Zstd.decompressSniff(bytes), UTF_8)
           .split('\n').iterator.zipWithIndex.map { case (l, i) => (file, i, l) }
       }.toDF("file", "idx", "line")
   }
@@ -98,7 +98,7 @@ object ShardSource {
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        Zstd.decompressAnySafe(bytes) match {
+        Zstd.decompressSniffSafe(bytes) match {
           case Right(raw) => new String(raw, UTF_8).split('\n')
             .iterator.zipWithIndex.map { case (l, i) => (file, true, "", i, l) }
           case Left(kind) => Iterator((file, false, kind, -1, ""))

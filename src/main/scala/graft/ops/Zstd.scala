@@ -315,6 +315,27 @@ object Zstd {
       case _: Exception => Left("bad_frame")
     }
 
+  /** Full-matrix codec sniff (round 13): decompressAny's three native
+    * codecs plus the hand-rolled bzip2, xz and snappy-framed readers —
+    * every magic-bearing compression container the corpus layer decodes
+    * (legacy `.lzma` has NO magic and stays an explicit
+    * [[Xz.decompressAlone]] call). The file-level JSONL source and the
+    * mixed-codec streaming scan both route through this, so one sniff
+    * order is the single source of truth.
+    */
+  def decompressSniff(bytes: Array[Byte]): Array[Byte] =
+    if (Bzip2.isBzip2(bytes)) Bzip2.decompress(bytes)
+    else if (Xz.isXz(bytes)) Xz.decompress(bytes)
+    else if (Snappy.isSnappyFramed(bytes)) Snappy.decompress(bytes)
+    else decompressAny(bytes)
+
+  def decompressSniffSafe(bytes: Array[Byte]): Either[String, Array[Byte]] =
+    try Right(decompressSniff(bytes))
+    catch {
+      case e: Warc.WarcError => Left(e.kind)
+      case _: Exception => Left("bad_frame")
+    }
+
   private def drainCapped(in: java.io.InputStream, codec: String): Array[Byte] = {
     val cap = graft.core.Budget.maxInflatedBytes
     val out = new ByteArrayOutputStream(4096)

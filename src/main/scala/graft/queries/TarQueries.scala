@@ -431,6 +431,60 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Dictionary-compressed per-RECORD zstd (round 13): the random-access
+    // corpus layout — each document is its own tiny frame (seekable
+    // without decompressing a shard), which only compresses well with a
+    // shared ZDICT dictionary. The dictionary is trained ONCE on a
+    // deterministic bounded sample (256 docs by doc_id — a driver-side
+    // collect of ~100 KB at ANY corpus size), broadcast, and each
+    // partition loads it into reused native contexts (one ctx pair per
+    // partition, not per record — the zstd-jni allocation lesson from
+    // round 12). DuckDB recomputes the checksum from the raw table: a
+    // wrong byte through train/compress/decompress breaks it.
+    GraftQuery(
+      "zst03_dict_jsonl",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+        val sample = docs.filter(_._2 < 256).collect().sortBy(_._2)
+          .map(_._3.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val dictBuf = new Array[Byte](16 * 1024)
+        val dictLen = com.github.luben.zstd.Zstd.trainFromBuffer(sample, dictBuf)
+        val dictBytes =
+          if (dictLen > 0 && !com.github.luben.zstd.Zstd.isError(dictLen))
+            java.util.Arrays.copyOf(dictBuf, dictLen.toInt)
+          else Array.emptyByteArray // degenerate corpus: dict-less frames
+        val dictB = s.sparkContext.broadcast(dictBytes)
+        docs.mapPartitions { it =>
+          val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+          cctx.setLevel(3)
+          val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+          if (dictB.value.nonEmpty) { cctx.loadDict(dictB.value); dctx.loadDict(dictB.value) }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ => cctx.close(); dctx.close() })
+          it.map { case (source, id, text) =>
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val frame = cctx.compress(raw)
+            val back = dctx.decompress(frame, raw.length)
+            val ok = java.util.Arrays.equals(back, raw)
+            (source, if (ok) 1L else 0L,
+              h60(new String(back, java.nio.charset.StandardCharsets.US_ASCII)) % M)
+          }
+        }.toDF("source", "ok", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ok")).as("n_roundtrip"),
+            sum(col("bc")).as("txt_check"))
+      },
+      Some(s"""SELECT source, count(*) AS n_docs, count(*) AS n_roundtrip,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // snappy framed-shard round trip through the hand-rolled codec (the
     // Hadoop-ecosystem `.sz` intermediate-shard layout): 64 KiB chunks
     // with masked CRC32C, every third shard two CONCATENATED framed

@@ -432,5 +432,54 @@ object TextQueries {
           CAST(sum(${TA.Sql.hash60("nf")} % ${TarQueries.M}) AS BIGINT) AS nfc_check
         FROM n GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Luhn credit-card audit + selective scrub (round 13): the PII class
+    // text07's phone pass cannot catch — a 16-digit span is only PII when
+    // its Luhn checksum validates (every card number does; ~10% of random
+    // digit runs do). Candidates are embedded deterministically per
+    // customer, validity is the actual mod-10 double-every-second-digit
+    // sum computed identically in both engines, and ONLY validating
+    // spans are masked — over-scrubbing order ids and tracking numbers
+    // is the classic false-positive this op exists to avoid. Per-row
+    // map, shuffle-free.
+    GraftQuery(
+      "text19_luhn_audit",
+      (s, d) => {
+        val cand = "lpad(CAST((c_custkey * 2654435761) % 10000000000000000 AS STRING), 16, '0')"
+        val luhn = s"""aggregate(transform(sequence(1, 16),
+            i -> CASE WHEN i % 2 = 0
+              THEN IF(CAST(substring($cand, 17 - i, 1) AS INT) * 2 > 9,
+                CAST(substring($cand, 17 - i, 1) AS INT) * 2 - 9,
+                CAST(substring($cand, 17 - i, 1) AS INT) * 2)
+              ELSE CAST(substring($cand, 17 - i, 1) AS INT) END),
+          0, (a, x) -> a + x)"""
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          expr(s"concat_ws(' ', c_name, $cand, c_mktsegment)").as("txt"),
+          expr(s"($luhn) % 10 = 0").as("is_card"))
+          .select(
+            col("c_custkey"),
+            col("is_card").cast("int").as("is_card"),
+            md5(when(col("is_card"),
+              expr(s"replace(txt, $cand, '<CARD>')")).otherwise(col("txt")))
+              .as("scrub_fp"))
+      },
+      Some("""WITH t AS (SELECT c_custkey, c_name, c_mktsegment,
+            lpad(CAST((c_custkey * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0') AS cand
+          FROM customer),
+        v AS (SELECT c_custkey, cand,
+            concat_ws(' ', c_name, cand, c_mktsegment) AS txt,
+            list_sum(list_transform(range(1, 17),
+              i -> CASE WHEN i % 2 = 0
+                THEN CASE WHEN CAST(substring(cand, 17 - i, 1) AS INT) * 2 > 9
+                  THEN CAST(substring(cand, 17 - i, 1) AS INT) * 2 - 9
+                  ELSE CAST(substring(cand, 17 - i, 1) AS INT) * 2 END
+                ELSE CAST(substring(cand, 17 - i, 1) AS INT) END)) % 10 = 0 AS is_card
+          FROM t)
+        SELECT c_custkey, CAST(is_card AS INT) AS is_card,
+          md5(CASE WHEN is_card THEN replace(txt, cand, '<CARD>') ELSE txt END) AS scrub_fp
+        FROM v"""),
+    ),
   )
 }

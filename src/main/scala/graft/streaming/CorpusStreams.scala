@@ -374,11 +374,7 @@ object CorpusStreams {
       .select(col("file"), col("content").cast("binary"))
       .as[(String, Array[Byte])]
       .flatMap { case (_, bytes) =>
-        val decoded: Either[String, Array[Byte]] =
-          if (graft.ops.Bzip2.isBzip2(bytes)) graft.ops.Bzip2.decompressSafe(bytes)
-          else if (graft.ops.Xz.isXz(bytes)) graft.ops.Xz.decompressSafe(bytes)
-          else if (graft.ops.Snappy.isSnappyFramed(bytes)) graft.ops.Snappy.decompressSafe(bytes)
-          else graft.ops.Zstd.decompressAnySafe(bytes)
+        val decoded = graft.ops.Zstd.decompressSniffSafe(bytes)
         decoded match {
           case Right(raw) =>
             new String(raw, java.nio.charset.StandardCharsets.US_ASCII)

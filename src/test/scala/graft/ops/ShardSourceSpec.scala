@@ -85,4 +85,27 @@ class ShardSourceSpec extends graft.SparkSpec {
       safe.unpersist()
     }
   }
+
+  test("jsonlLines sniffs the FULL codec matrix: gzip, bzip2, xz, snappy per file") {
+    withDir("allcodecs") { dir =>
+      val lines = (0 until 6).map(i => s"""{"i":$i}""").mkString("\n").getBytes(UTF_8)
+      java.nio.file.Files.write(dir.resolve("a.jsonl.gz"), Zstd.compressGzip(lines))
+      java.nio.file.Files.write(dir.resolve("b.jsonl.bz2"), Bzip2.compress(lines, 1))
+      java.nio.file.Files.write(dir.resolve("c.jsonl.xz"), Xz.compress(lines, 1, 1))
+      java.nio.file.Files.write(dir.resolve("d.jsonl.sz"), Snappy.compress(lines))
+      val strict = ShardSource.jsonlLines(spark, dir.toString)
+      assert(strict.count() == 24)
+      assert(strict.filter(col("idx") === 3).select("line").collect()
+        .map(_.getString(0)).toSeq == Seq.fill(4)("""{"i":3}"""))
+      // one rotten bzip2 stream types a bad_frame row, rest unaffected
+      val cut = java.util.Arrays.copyOf(Bzip2.compress(lines, 1),
+        Bzip2.compress(lines, 1).length - 6)
+      java.nio.file.Files.write(dir.resolve("e.jsonl.bz2"), cut)
+      val safe = ShardSource.jsonlLinesSafe(spark, dir.toString).cache()
+      assert(safe.filter(col("ok")).count() == 24)
+      assert(safe.filter(!col("ok")).select("err_kind").collect()
+        .map(_.getString(0)).toSeq == Seq("bad_frame"))
+      safe.unpersist()
+    }
+  }
 }
