@@ -606,5 +606,75 @@ object DeconQueries {
         FROM sc GROUP BY 1, 2"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // License detection + copyleft filtering (round 13): the curation
+    // rule every CODE corpus applies before pretraining — classify
+    // documents by canonical license phrases (SPDX-style fingerprints),
+    // keep permissive (MIT/Apache-2.0), DROP copyleft (GPL), and
+    // checksum exactly what survives. License tails are planted on a
+    // hash-selected slice (the text07 injection convention: both engines
+    // derive the same corpus); detection is pure per-row `contains`, so
+    // the scan is shuffle-free until the source rollup and at 100 TB the
+    // phrase table extends to the full SPDX set as a broadcast with the
+    // same plan.
+    GraftQuery(
+      "curate03_license_detect",
+      (s, d) => {
+        val mit = "Permission is hereby granted, free of charge, to any person obtaining a copy"
+        val apache = "Licensed under the Apache License, Version 2.0"
+        val gpl = "under the terms of the GNU General Public License"
+        val sel = TA.hash60(concat(lit("lic:"), col("doc_id").cast("string"))) % 10
+        val t2 = concat(col("text"),
+          when(sel === 0, lit(" " + mit))
+            .when(sel === 1, lit(" " + apache))
+            .when(sel === 2, lit(" " + gpl))
+            .otherwise(lit("")))
+        val lic = when(col("t2").contains(mit), "mit")
+          .when(col("t2").contains(apache), "apache-2.0")
+          .when(col("t2").contains(gpl), "gpl-3.0")
+          .otherwise("none")
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), t2.as("t2"))
+          .withColumn("license", lic)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("license") === "mit", 1)).as("n_mit"),
+            count(when(col("license") === "apache-2.0", 1)).as("n_apache"),
+            count(when(col("license") === "gpl-3.0", 1)).as("n_copyleft_dropped"),
+            count(when(col("license") === "none", 1)).as("n_unlicensed"),
+            sum(when(col("license") =!= "gpl-3.0",
+              TA.hash60(col("t2")) % TarQueries.M).otherwise(0L)).as("kept_check"))
+      },
+      Some {
+        val mit = "Permission is hereby granted, free of charge, to any person obtaining a copy"
+        val apache = "Licensed under the Apache License, Version 2.0"
+        val gpl = "under the terms of the GNU General Public License"
+        s"""WITH t AS (
+          SELECT source, doc_id,
+            text || CASE ${TA.Sql.hash60("'lic:' || CAST(doc_id AS VARCHAR)")} % 10
+              WHEN 0 THEN ' $mit'
+              WHEN 1 THEN ' $apache'
+              WHEN 2 THEN ' $gpl'
+              ELSE '' END AS t2
+          FROM documents),
+        c AS (SELECT source, t2,
+            CASE WHEN contains(t2, '$mit') THEN 'mit'
+              WHEN contains(t2, '$apache') THEN 'apache-2.0'
+              WHEN contains(t2, '$gpl') THEN 'gpl-3.0'
+              ELSE 'none' END AS license
+          FROM t)
+        SELECT source, count(*) AS n_docs,
+          count(CASE WHEN license = 'mit' THEN 1 END) AS n_mit,
+          count(CASE WHEN license = 'apache-2.0' THEN 1 END) AS n_apache,
+          count(CASE WHEN license = 'gpl-3.0' THEN 1 END) AS n_copyleft_dropped,
+          count(CASE WHEN license = 'none' THEN 1 END) AS n_unlicensed,
+          CAST(sum(CASE WHEN license <> 'gpl-3.0'
+            THEN ${TA.Sql.hash60("t2")} % ${TarQueries.M} ELSE 0 END) AS BIGINT)
+            AS kept_check
+        FROM c GROUP BY 1"""
+      },
+    ),
   )
 }

@@ -431,6 +431,46 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Compressed tar shards (round 13): `.tar.gz` / `.tar.bz2` / `.tar.xz`
+    // — the layout most public dataset dumps actually ship — composed
+    // from the codec matrix ([[graft.ops.Zstd.decompressSniff]]) over the
+    // USTAR reader. Rotating the outer codec per shard exercises every
+    // decode path under the tar member grammar; one wrong byte at either
+    // layer breaks the per-class checksums.
+    GraftQuery(
+      "tar03_targz_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, g, recs) =>
+            val tarBytes = buildShard(recs)
+            val frame = (g % 3) match {
+              case 0 => graft.ops.Zstd.compressGzip(tarBytes)
+              case 1 => graft.ops.Bzip2.compress(tarBytes, 1)
+              case _ => graft.ops.Xz.compress(tarBytes, 1, 1)
+            }
+            val back = graft.ops.Tar.read(graft.ops.Zstd.decompressSniff(frame))
+            back.grouped(2).map { pair =>
+              val txt = pair.find(_.name.endsWith(".txt")).get
+              val cls = pair.find(_.name.endsWith(".cls")).get
+              (new String(cls.body, java.nio.charset.StandardCharsets.US_ASCII),
+                txt.body.length.toLong,
+                new String(txt.body, java.nio.charset.StandardCharsets.US_ASCII))
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Dictionary-compressed per-RECORD zstd (round 13): the random-access
     // corpus layout — each document is its own tiny frame (seekable
     // without decompressing a shard), which only compresses well with a

@@ -200,4 +200,44 @@ class ZstdSpec extends AnyFunSuite {
       }, n = 400)
     }
   }
+
+  test("decompressSniff covers the full codec matrix and keeps the Any kinds") {
+    for (frame <- Seq(Zstd.compress(payload), Zstd.compressLz4(payload),
+        Zstd.compressGzip(payload), Bzip2.compress(payload, 1),
+        Xz.compress(payload, 1, 1), Snappy.compress(payload))) {
+      assert(java.util.Arrays.equals(Zstd.decompressSniff(frame), payload))
+    }
+    assert(Zstd.decompressSniffSafe("not a frame".getBytes(US_ASCII))
+      == Left("bad_magic"))
+  }
+
+  test("ZDICT per-record frames: the dictionary actually pays (zst03's premise)") {
+    // small structured records, the per-record random-access layout
+    val docs = (0 until 300).map(i =>
+      s"""{"id":$i,"kind":"record","status":"active","note":"entry number $i"}"""
+        .getBytes(US_ASCII))
+    val buf = new Array[Byte](16 * 1024)
+    val n = com.github.luben.zstd.Zstd.trainFromBuffer(docs.toArray, buf)
+    assert(n > 0 && !com.github.luben.zstd.Zstd.isError(n), s"train: $n")
+    val dict = java.util.Arrays.copyOf(buf, n.toInt)
+    val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+    cctx.setLevel(3); cctx.loadDict(dict)
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    dctx.loadDict(dict)
+    val plain = new com.github.luben.zstd.ZstdCompressCtx()
+    plain.setLevel(3)
+    try {
+      var withDict = 0L
+      var withoutDict = 0L
+      docs.foreach { d =>
+        val f = cctx.compress(d)
+        withDict += f.length
+        withoutDict += plain.compress(d).length
+        assert(java.util.Arrays.equals(dctx.decompress(f, d.length), d))
+      }
+      // per-record frames only make sense because the dict wins; pin it
+      assert(withDict < withoutDict * 8 / 10,
+        s"dict $withDict vs plain $withoutDict — dictionary not paying")
+    } finally { cctx.close(); dctx.close(); plain.close() }
+  }
 }
