@@ -428,11 +428,9 @@ object Bzip2 {
     bw.write('B', 8); bw.write('Z', 8); bw.write('h', 8); bw.write('0' + level, 8)
 
     var combined = 0
+    // empty input: header + footer with combined CRC 0, exactly what
+    // libbz2 emits (the while loop below simply never runs)
     var off = 0
-    if (bytes.isEmpty) {
-      // an empty stream is header + footer with combined CRC 0 (what
-      // libbz2 emits for empty input)
-    }
     while (off < bytes.length) {
       // RLE1-encode up to blockLimit bytes, cutting only at run
       // boundaries so the block CRC covers whole plain-data runs

@@ -21,8 +21,11 @@ package graft.ops
   * bombs cheap), typed fail-stop refusals (`bad_magic` / `bad_frame` /
   * `too_large` / `unsupported`), and multi-stream concatenation (xz files
   * concatenate like gzip members; stream padding between them is legal).
-  * Non-LZMA2 filter chains (delta, BCJ) and reserved flags refuse
-  * `unsupported` rather than guessing.
+  * Supported filter chains: [LZMA2] and [delta, LZMA2] (the `xz --delta`
+  * layout, reconstructed post-decode); BCJ chains and reserved flags
+  * refuse `unsupported` rather than guessing. The legacy magic-less
+  * `.lzma` alone container decodes via [[decompressAlone]] in both its
+  * size-declared and end-marker layouts.
   */
 object Xz {
 
@@ -327,7 +330,6 @@ object Xz {
 
         // ---- LZMA2 chunk walk
         val dataStart = off
-        val beforeBlock = out.size()
         val block = new Lzma2BlockDecoder(dictSize, cap - out.size())
         var endOfChunks = false
         while (!endOfChunks) {
@@ -397,7 +399,6 @@ object Xz {
         out.write(blockData, 0, blockData.length)
         val unpaddedSize = (headerSize + compSize + checkSize).toLong
         blocks += ((unpaddedSize, blockData.length.toLong))
-        val _ = beforeBlock
       }
     }
 
