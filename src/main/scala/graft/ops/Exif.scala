@@ -31,7 +31,12 @@ object Exif {
 
   def parseSafe(jpeg: Array[Byte]): Either[String, Meta] =
     try Right(parse(jpeg))
-    catch { case e: Warc.WarcError => Left(e.kind) }
+    catch {
+      case e: Warc.WarcError => Left(e.kind)
+      // backstop: a crafted offset that slips past a bounds check must
+      // surface as a typed refusal, never fail the whole scan
+      case _: RuntimeException => Left("malformed")
+    }
 
   /** Parse the first EXIF APP1 segment; a JPEG without one yields the
     * empty Meta (absence of metadata is not an error).
@@ -69,10 +74,7 @@ object Exif {
         if (p + 4 > jpeg.length) fail("truncated", "segment length cut")
         val len = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
         if (len < 2 || p + 2 + len > jpeg.length) fail("malformed", s"segment length $len")
-        val isExif = marker == 0xe1 && len >= 8 &&
-          jpeg(p + 4) == 'E' && jpeg(p + 5) == 'x' && jpeg(p + 6) == 'i' &&
-          jpeg(p + 7) == 'f' && jpeg(p + 8) == 0
-        if (!isExif) out.write(jpeg, p, 2 + len)
+        if (!isExifApp1(jpeg, p, marker, len)) out.write(jpeg, p, 2 + len)
         p += 2 + len
       }
     }
@@ -87,6 +89,14 @@ object Exif {
     2
   }
 
+  /** One predicate for the APP1 EXIF identifier (`Exif\0\0`, 6 bytes) so
+    * scrub and audit agree on what counts as EXIF.
+    */
+  private def isExifApp1(jpeg: Array[Byte], p: Int, marker: Int, len: Int): Boolean =
+    marker == 0xe1 && len >= 8 &&
+      jpeg(p + 4) == 'E' && jpeg(p + 5) == 'x' && jpeg(p + 6) == 'i' &&
+      jpeg(p + 7) == 'f' && jpeg(p + 8) == 0 && jpeg(p + 9) == 0
+
   /** walk the marker segments for APP1 `Exif\0\0`; returns (tiffOff, tiffLen). */
   private def findExifPayload(jpeg: Array[Byte]): Option[(Int, Int)] = {
     var p = checkSoi(jpeg)
@@ -100,9 +110,7 @@ object Exif {
         if (p + 4 > jpeg.length) fail("truncated", "segment length cut")
         val len = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
         if (len < 2 || p + 2 + len > jpeg.length) fail("malformed", s"segment length $len")
-        if (marker == 0xe1 && len >= 8 &&
-            jpeg(p + 4) == 'E' && jpeg(p + 5) == 'x' && jpeg(p + 6) == 'i' &&
-            jpeg(p + 7) == 'f' && jpeg(p + 8) == 0 && jpeg(p + 9) == 0)
+        if (isExifApp1(jpeg, p, marker, len))
           return Some((p + 10, len - 8))
         p += 2 + len
       }
@@ -117,14 +125,16 @@ object Exif {
       case ('M', 'M') => false
       case _ => fail("malformed", "bad TIFF byte order")
     }
+    // bounds math in Long: an IFD offset near Int.MaxValue must refuse
+    // typed, not wrap negative and index out of the array
     def u16(o: Int): Int = {
-      if (o < 0 || o + 2 > tiffLen) fail("truncated", s"u16 at $o")
+      if (o < 0 || o.toLong + 2 > tiffLen) fail("truncated", s"u16 at $o")
       val a = b(tiffOff + o) & 0xff
       val c = b(tiffOff + o + 1) & 0xff
       if (le) a | (c << 8) else (a << 8) | c
     }
     def u32(o: Int): Long = {
-      if (o < 0 || o + 4 > tiffLen) fail("truncated", s"u32 at $o")
+      if (o < 0 || o.toLong + 4 > tiffLen) fail("truncated", s"u32 at $o")
       if (le) u16(o).toLong | (u16(o + 2).toLong << 16)
       else (u16(o).toLong << 16) | u16(o + 2).toLong
     }
@@ -145,7 +155,7 @@ object Exif {
         if (o > Int.MaxValue) fail("malformed", "ascii offset")
         o.toInt
       }
-      if (dataOff < 0 || dataOff + n > tiffLen) fail("truncated", "ascii value cut")
+      if (dataOff < 0 || dataOff.toLong + n > tiffLen) fail("truncated", "ascii value cut")
       val end = {
         var e = dataOff
         while (e < dataOff + n && b(tiffOff + e) != 0) e += 1

@@ -137,12 +137,16 @@ object Snappy {
         case 0 => // literal
           var len = (tag >>> 2) + 1
           if (len > 60) {
+            // accumulate in Long: 4 extra bytes FF FF FF FF would wrap an
+            // Int to -1 then +1 to 0 and slip past the guard as an empty
+            // literal, where reference decoders refuse the block
             val extra = len - 60
-            len = 0
+            var acc = 0L
             var i = 0
-            while (i < extra) { len |= u8() << (8 * i); i += 1 }
-            len += 1
-            if (len < 0) bad("literal length overflow")
+            while (i < extra) { acc |= u8().toLong << (8 * i); i += 1 }
+            acc += 1
+            if (acc < 1 || acc > Int.MaxValue) bad("literal length overflow")
+            len = acc.toInt
           }
           if (p + len > block.length) bad("literal overruns block")
           if (o + len > n) bad("literal overruns declared length")

@@ -74,18 +74,25 @@ object Xz {
     * fixed preset. `check`: 0 = none, 1 = CRC32, 4 = CRC64, 10 = SHA-256
     * (the spec's check ids).
     */
+  /** Dict-size clamp for the per-stream preset dictionaries (8 MiB at
+    * preset 6), allocated PER STREAM: on a million-shard scan that
+    * allocation dominates wall-clock (measured 31.6 s for the sf0.1
+    * shard sweep). A dict no larger than the payload is byte-for-byte
+    * sufficient — match distances cannot reach further back — so clamp
+    * it (tukaani's minimum is 4 KiB). Math in Long: highestOneBit(len)*2
+    * overflows to negative for inputs >= 1 GiB, which would collapse the
+    * dict to the 4 KiB minimum and wreck the ratio on exactly the
+    * largest shards.
+    */
+  private[ops] def clampDictSize(presetDict: Int, inputLen: Int): Int =
+    math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN.toLong,
+      math.min(presetDict.toLong,
+        Integer.highestOneBit(math.max(1, inputLen)).toLong * 2)).toInt
+
   def compress(bytes: Array[Byte], preset: Int = 6, check: Int = 1): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 256)
     val opts = new org.tukaani.xz.LZMA2Options(preset)
-    // the preset dictionaries (8 MiB at preset 6) are allocated PER
-    // STREAM; on a million-shard scan that allocation dominates
-    // wall-clock (measured 31.6 s for the sf0.1 shard sweep). A dict no
-    // larger than the payload is byte-for-byte sufficient — match
-    // distances cannot reach further back — so clamp it (tukaani's
-    // minimum is 4 KiB). Output stays deterministic for a fixed input.
-    val dict = math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN,
-      math.min(opts.getDictSize, Integer.highestOneBit(math.max(1, bytes.length)) * 2))
-    opts.setDictSize(dict)
+    opts.setDictSize(clampDictSize(opts.getDictSize, bytes.length))
     val out = new org.tukaani.xz.XZOutputStream(bos, opts, check)
     out.write(bytes)
     out.close()
@@ -104,9 +111,7 @@ object Xz {
       sizeKnown: Boolean = true): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
     val opts = new org.tukaani.xz.LZMA2Options(preset)
-    val dict = math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN,
-      math.min(opts.getDictSize, Integer.highestOneBit(math.max(1, bytes.length)) * 2))
-    opts.setDictSize(dict)
+    opts.setDictSize(clampDictSize(opts.getDictSize, bytes.length))
     val out = new org.tukaani.xz.LZMAOutputStream(bos, opts,
       if (sizeKnown) bytes.length.toLong else -1L)
     out.write(bytes)

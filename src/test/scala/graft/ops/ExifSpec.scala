@@ -99,4 +99,39 @@ class ExifSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** SOI + one APP1 whose payload is `ident` ++ `tiff` + EOI. */
+  private def app1Jpeg(ident: Array[Byte], tiff: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    val len = ident.length + tiff.length + 2
+    out.write(0xff); out.write(0xe1)
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(ident); out.write(tiff)
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  test("IFD offset near Int.MaxValue refuses typed instead of escaping parseSafe") {
+    // TIFF header: "II", 42, IFD0 pointer 0x7FFFFFFE — Int bounds math
+    // would wrap `o + 2` negative and index out of the array
+    val tiff = Array[Byte]('I', 'I', 42, 0,
+      0xfe.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    val jpeg = app1Jpeg(Array[Byte]('E', 'x', 'i', 'f', 0, 0), tiff)
+    Exif.parseSafe(jpeg) match {
+      case Left(k) => assert(Set("truncated", "malformed").contains(k))
+      case Right(m) => fail(s"accepted lying IFD offset: $m")
+    }
+  }
+
+  test("scrub and audit share the EXIF predicate: nonzero pad byte is not EXIF") {
+    // APP1 `Exif\0` + pad 0x01: findExifPayload never matched it; scrub
+    // must agree and keep the segment byte-exact
+    val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, 0, 0)
+    val jpeg = app1Jpeg(Array[Byte]('E', 'x', 'i', 'f', 0, 1), tiff)
+    assert(Exif.parse(jpeg) ==
+      Exif.Meta(None, None, None, None, hasGps = false, hasExifIfd = false))
+    assert(java.util.Arrays.equals(Exif.scrub(jpeg), jpeg),
+      "scrub removed a segment the audit does not count as EXIF")
+  }
 }

@@ -132,4 +132,14 @@ class SnappySpec extends AnyFunSuite {
   test("empty payload round-trips (bare stream identifier)") {
     assert(Snappy.decompress(Snappy.compress(Array.emptyByteArray)).isEmpty)
   }
+
+  test("4-byte literal length 0xFFFFFFFF refuses instead of wrapping to empty") {
+    // declared length 0, then tag 0xFC (literal, 4 extra length bytes)
+    // FF FF FF FF: Int math wrapped this to len 0 and accepted the block
+    // where reference snappy decoders refuse it
+    val block = Array[Byte](0x00, 0xfc.toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    val e = intercept[Warc.WarcError](Snappy.decompressBlock(block))
+    assert(e.kind == "bad_frame")
+  }
 }

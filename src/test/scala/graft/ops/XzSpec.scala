@@ -196,4 +196,15 @@ class XzSpec extends AnyFunSuite {
   test("empty payload round-trips") {
     assert(Xz.decompress(Xz.compress(Array.emptyByteArray)).isEmpty)
   }
+
+  test("dict-size clamp holds at >= 1 GiB inputs (no Int overflow collapse)") {
+    val preset = 8 << 20 // preset-6 default dict, 8 MiB
+    // small inputs: clamp to the payload scale, never below the 4 KiB floor
+    assert(Xz.clampDictSize(preset, 100) == org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN)
+    assert(Xz.clampDictSize(preset, 1 << 20) == 2 << 20)
+    // >= 1 GiB: highestOneBit*2 overflows Int — the clamp must keep the
+    // full preset dict, not collapse to the 4 KiB minimum
+    assert(Xz.clampDictSize(preset, (1 << 30) + 7) == preset)
+    assert(Xz.clampDictSize(preset, Int.MaxValue) == preset)
+  }
 }
