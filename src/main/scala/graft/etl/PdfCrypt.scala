@@ -2,18 +2,22 @@ package graft.etl
 
 import java.nio.charset.StandardCharsets.ISO_8859_1
 
-/** PDF standard security handler (ISO 32000-1 §7.6.3) for documents
-  * encrypted with an EMPTY user password — the "encrypted but openable by
-  * anyone" class that is a meaningful fraction of real-world PDFs. The
-  * reference pipeline reads these transparently through pdfplumber →
-  * pdfminer.six (reference: backend/etl_pipeline.py:27-35); this is the
-  * same capability from the public spec: RC4-40 (R2/V1), RC4-128 (R3/V2),
-  * and the V4 crypt-filter forms /V2 (RC4) and /AESV2 (AES-128-CBC).
+/** PDF standard security handler (ISO 32000-1 §7.6.3 + ISO 32000-2
+  * §7.6.4) for documents encrypted with an EMPTY user password — the
+  * "encrypted but openable by anyone" class that is a meaningful fraction
+  * of real-world PDFs. The reference pipeline reads these transparently
+  * through pdfplumber → pdfminer.six (reference:
+  * backend/etl_pipeline.py:27-35); this is the same capability from the
+  * public spec: RC4-40 (R2/V1), RC4-128 (R3/V2), the V4 crypt-filter
+  * forms /V2 (RC4) and /AESV2 (AES-128-CBC), and the V5 AES-256 forms —
+  * revision 5 (single SHA-256, Adobe's /AESV3 extension) and revision 6
+  * (ISO 32000-2 Algorithm 2.B iterated SHA-256/384/512 hash), both with
+  * the /U validation-salt check and the /Perms "adb" sanity decrypt.
   *
-  * Anything else — a real user password, revision 5/6 (AES-256), a
-  * non-Standard filter, a malformed O/U entry — yields `Left(reason)` and
-  * the caller keeps its typed refusal: decrypting wrongly would produce
-  * exactly the silent garbage the extractor exists to refuse.
+  * Anything else — a real user password, a non-Standard filter, a
+  * malformed O/U entry — yields `Left(reason)` and the caller keeps its
+  * typed refusal: decrypting wrongly would produce exactly the silent
+  * garbage the extractor exists to refuse.
   */
 object PdfCrypt {
 
@@ -64,7 +68,9 @@ object PdfCrypt {
     * text so the recovered bytes are exact.
     */
   private def stringValue(dict: String, key: String): Option[Array[Byte]] = {
-    val at = ("""/""" + key + """\s*""").r.findFirstMatchIn(dict)
+    // the (?![A-Za-z0-9]) boundary keeps /U from matching inside /UE and
+    // /O inside /OE when the longer name comes first in the dict
+    val at = ("""/""" + key + """(?![A-Za-z0-9])\s*""").r.findFirstMatchIn(dict)
       .map(_.end).getOrElse(return None)
     dict.charAt(at) match {
       case '(' =>
@@ -114,11 +120,12 @@ object PdfCrypt {
   }
 
   private def intValue(dict: String, key: String): Option[Long] =
-    ("""/""" + key + """\s+(-?\d+)""").r.findFirstMatchIn(dict)
+    ("""/""" + key + """(?![A-Za-z0-9])\s+(-?\d+)""").r.findFirstMatchIn(dict)
       .map(_.group(1).toLong)
 
   private def nameValue(dict: String, key: String): Option[String] =
-    ("""/""" + key + """\s*/(\w+)""").r.findFirstMatchIn(dict).map(_.group(1))
+    ("""/""" + key + """(?![A-Za-z0-9])\s*/(\w+)""").r.findFirstMatchIn(dict)
+      .map(_.group(1))
 
   /** First element of the trailer `/ID [ <…> <…> ]` array. */
   def firstFileId(trailer: String): Array[Byte] =
@@ -129,6 +136,84 @@ object PdfCrypt {
         p.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       }
       .getOrElse(Array.emptyByteArray)
+
+  // ------------------------------------------------------ AES-256 helpers
+
+  private def digest(alg: String, data: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance(alg).digest(data)
+
+  private def aesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data, off, len)
+  }
+
+  /** ISO 32000-2 §7.6.4.3.4 Algorithm 2.B: the revision-6 password hash.
+    * Revision 5 (Adobe's pre-ISO /AESV3) is the plain SHA-256 prefix of
+    * the same computation. `udata` is the 48-byte /U entry for the
+    * owner-password case and empty for the user-password case.
+    */
+  private[etl] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = digest("SHA-256", pwd ++ salt ++ udata)
+    if (r == 5) return k
+    var count = 0
+    var done = false
+    while (!done) {
+      count += 1
+      val part = pwd ++ k ++ udata
+      val k1 = new Array[Byte](part.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(part, 0, k1, i * part.length, part.length); i += 1 }
+      val e = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
+        k.take(16), k.slice(16, 32), k1, 0, k1.length)
+      // first 16 bytes of E as a big-endian integer mod 3 == byte-sum
+      // mod 3 (256 ≡ 1 mod 3)
+      var sum = 0
+      i = 0
+      while (i < 16) { sum += e(i) & 0xff; i += 1 }
+      k = (sum % 3) match {
+        case 0 => digest("SHA-256", e)
+        case 1 => digest("SHA-384", e)
+        case _ => digest("SHA-512", e)
+      }
+      done = count >= 64 && (e(e.length - 1) & 0xff) <= count - 32
+    }
+    k.take(32)
+  }
+
+  /** §7.6.4.4.10-11: validate the empty user password against /U and
+    * unwrap the 256-bit file key from /UE; then (when present) the
+    * Algorithm-13 /Perms sanity decrypt — bytes 9..11 must read "adb".
+    */
+  private def forEmptyUserPasswordV5(enc: String, r: Int): Either[String, Handler] = {
+    val u = stringValue(enc, "U").getOrElse(return Left("missing /U"))
+    if (u.length < 48) return Left("short /U for R5/R6")
+    val empty = Array.emptyByteArray
+    val vsalt = u.slice(32, 40)
+    val ksalt = u.slice(40, 48)
+    if (!java.util.Arrays.equals(hash2B(empty, vsalt, empty, r), u.take(32)))
+      return Left("user password is not empty")
+    val ue = stringValue(enc, "UE").getOrElse(return Left("missing /UE"))
+    if (ue.length < 32) return Left("short /UE")
+    val ik = hash2B(empty, ksalt, empty, r)
+    val key = aesCbc(javax.crypto.Cipher.DECRYPT_MODE,
+      ik, new Array[Byte](16), ue, 0, 32)
+    stringValue(enc, "Perms") match {
+      case Some(pm) if pm.length >= 16 =>
+        val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"))
+        val dec = c.doFinal(pm, 0, 16)
+        if (dec(9) != 'a' || dec(10) != 'd' || dec(11) != 'b')
+          return Left("/Perms check failed")
+      case Some(_) => return Left("short /Perms")
+      case None => () // absent in some writers; /U already verified the key
+    }
+    Right(Handler(key, "aesv3"))
+  }
 
   // --------------------------------------------------------- key recovery
 
@@ -146,6 +231,16 @@ object PdfCrypt {
       return Left(s"unsupported security filter ${nameValue(enc, "Filter")}")
     val v = intValue(enc, "V").getOrElse(0L).toInt
     val r = intValue(enc, "R").getOrElse(0L).toInt
+    if (v == 5 && (r == 5 || r == 6)) {
+      val stmf = nameValue(enc, "StmF").getOrElse("Identity")
+      if (stmf == "Identity")
+        return forEmptyUserPasswordV5(enc, r).map(h => h.copy(streamCipher = "identity"))
+      if (stmf != "StdCF") return Left(s"unsupported stream filter $stmf")
+      nameValue(enc, "CFM") match {
+        case Some("AESV3") => return forEmptyUserPasswordV5(enc, r)
+        case other => return Left(s"unsupported CFM $other")
+      }
+    }
     if (!(v == 1 && r == 2) && !(v == 2 && (r == 2 || r == 3)) && !(v == 4 && r == 4))
       return Left(s"unsupported standard handler V=$v R=$r")
     val o = stringValue(enc, "O").getOrElse(return Left("missing /O"))
@@ -211,24 +306,27 @@ object PdfCrypt {
     h.streamCipher match {
       case "identity" => data
       case cipher =>
-        val salt =
-          if (cipher == "aesv2") Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
-          else Array.emptyByteArray
-        val okey = md5(h.key,
-          Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
-            ((num >> 16) & 0xff).toByte,
-            (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte),
-          salt).take(math.min(h.key.length + 5, 16))
+        // AESV3 uses the 256-bit file key directly (ISO 32000-2
+        // §7.6.3.1: no per-object MD5 derivation in V5)
+        val okey =
+          if (cipher == "aesv3") h.key
+          else {
+            val salt =
+              if (cipher == "aesv2") Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
+              else Array.emptyByteArray
+            md5(h.key,
+              Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+                ((num >> 16) & 0xff).toByte,
+                (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte),
+              salt).take(math.min(h.key.length + 5, 16))
+          }
         if (cipher == "rc4") rc4(okey, data)
         else {
           if (data.length < 32 || data.length % 16 != 0)
             throw new IllegalArgumentException(
               "No extractable text found in PDF. Is this a scanned/image PDF or empty? Extraction failed.")
-          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-          c.init(javax.crypto.Cipher.DECRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(okey, "AES"),
-            new javax.crypto.spec.IvParameterSpec(data.take(16)))
-          val plain = c.doFinal(data, 16, data.length - 16)
+          val plain = aesCbc(javax.crypto.Cipher.DECRYPT_MODE,
+            okey, data.take(16), data, 16, data.length - 16)
           val padN = plain(plain.length - 1) & 0xff
           if (padN < 1 || padN > 16 || padN > plain.length)
             throw new IllegalArgumentException(

@@ -125,6 +125,36 @@ class PdfTextSpec extends SparkSpec {
     assert(e.getMessage.contains("No extractable text"))
   }
 
+  test("AES-256 empty-user-password encryption decrypts (R6 Algorithm 2.B, R5)") {
+    // ISO 32000-2 §7.6.4.4.10-11 fixtures from the same independent
+    // python transcription: R6's iterated SHA-256/384/512 hash with
+    // /Perms verification, and the pre-ISO R5 single-SHA-256 form whose
+    // dict lists /UE before /U (name-boundary lookup) and omits /Perms
+    def fx(n: String) =
+      Files.readAllBytes(Paths.get(s"src/test/resources/fixtures/$n"))
+    val plain = PdfText.extract(fx("pdf_enc_plain.pdf"))
+    for (variant <- Seq("pdf_enc_aes256_r6.pdf", "pdf_enc_aes256_r5.pdf"))
+      assert(PdfText.extract(fx(variant)) == plain, variant)
+    // R6 with a REAL user password still refuses
+    val e = intercept[IllegalArgumentException] {
+      PdfText.extract(fx("pdf_enc_aes256_pw.pdf"))
+    }
+    assert(e.getMessage.contains("No extractable text"))
+  }
+
+  test("AES-256 R6 mutations: typed refusal or text, never a raw throw") {
+    val enc = Files.readAllBytes(
+      Paths.get("src/test/resources/fixtures/pdf_enc_aes256_r6.pdf"))
+    for (pos <- enc.indices) {
+      val m = enc.clone(); m(pos) = (m(pos) ^ 0x41).toByte
+      try { PdfText.extract(m); () }
+      catch {
+        case _: IllegalArgumentException => () // the typed refusal path
+        case e: Throwable => fail(s"pos $pos: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("encrypted-PDF mutations: typed refusal or text, never a raw throw") {
     // single-byte corruption anywhere (encrypt dict, O/U hex, AES stream,
     // xref, trailer) must surface as the pipeline's typed

@@ -10,6 +10,10 @@ Fixtures (all share the same two pages of text):
   pdf_enc_aesv2.pdf     V4 R4, /CFM /AESV2 (AES-128-CBC), empty user pw
   pdf_enc_v4_rc4.pdf    V4 R4, /CFM /V2 (RC4 through a crypt filter)
   pdf_enc_password.pdf  V2 R3 with user password "secret" → must refuse
+  pdf_enc_aes256_r6.pdf V5 R6, /CFM /AESV3 (ISO 32000-2 Algorithm 2.B),
+                        empty user password, /Perms present
+  pdf_enc_aes256_r5.pdf V5 R5 (Adobe pre-ISO single-SHA-256), empty user pw
+  pdf_enc_aes256_pw.pdf V5 R6 with user password "secret" → must refuse
 
 Run from repo root: python3 tools/make_pdf_encrypted_fixture.py
 """
@@ -88,6 +92,44 @@ def obj_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
     return hashlib.md5(d).digest()[:min(len(key) + 5, 16)]
 
 
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (r=6); r=5 is the plain SHA-256 prefix."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    if r == 5:
+        return k
+    count = 0
+    while True:
+        count += 1
+        k1 = (pwd + k + udata) * 64
+        enc = Cipher(algorithms.AES(k[:16]), modes.CBC(k[16:32])).encryptor()
+        e = enc.update(k1) + enc.finalize()
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        if count >= 64 and e[-1] <= count - 32:
+            return k[:32]
+
+
+def aes_cbc_raw(key: bytes, iv: bytes, data: bytes, decrypt=False) -> bytes:
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    op = c.decryptor() if decrypt else c.encryptor()
+    return op.update(data) + op.finalize()
+
+
+def v5_entries(user_pwd: bytes, owner_pwd: bytes, file_key: bytes,
+               p: int, r: int):
+    """(/U, /UE, /O, /OE, /Perms) for the V5 handler, salts fixed."""
+    uvs, uks = bytes(range(8)), bytes(range(8, 16))
+    ovs, oks = bytes(range(16, 24)), bytes(range(24, 32))
+    u = hash_2b(user_pwd, uvs, b"", r) + uvs + uks
+    ue = aes_cbc_raw(hash_2b(user_pwd, uks, b"", r), bytes(16), file_key)
+    o = hash_2b(owner_pwd, ovs, u, r) + ovs + oks
+    oe = aes_cbc_raw(hash_2b(owner_pwd, oks, u, r), bytes(16), file_key)
+    perms_plain = (struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"T"
+                   + b"adb" + b"seed")
+    enc = Cipher(algorithms.AES(file_key), modes.ECB()).encryptor()
+    perms = enc.update(perms_plain) + enc.finalize()
+    return u, ue, o, oe, perms
+
+
 def aes_encrypt(okey: bytes, data: bytes, iv: bytes) -> bytes:
     padn = 16 - len(data) % 16
     enc = Cipher(algorithms.AES(okey), modes.CBC(iv)).encryptor()
@@ -111,12 +153,12 @@ PAGE2 = b"""BT
 ET"""
 
 
-def build(path, enc_dict=None, key=None, aes=False, id0=b""):
+def build(path, enc_dict=None, key=None, aes=False, id0=b"", v5=False):
     """Assemble the fixture; when key is set, strings+streams encrypt."""
     def crypt(num, body):
         if key is None:
             return body
-        ok = obj_key(key, num, 0, aes)
+        ok = key if v5 else obj_key(key, num, 0, aes)
         if aes:
             iv = hashlib.md5(path.encode() + bytes([num])).digest()  # fixed per object
             return aes_encrypt(ok, body, iv)
@@ -213,6 +255,41 @@ def main():
           b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O " + pdf_str(o)
           + b" /U " + pdf_str(u) + b" /P %d >>" % p,
           key=k, id0=id0)
+
+    # V5 R6: AES-256 via Algorithm 2.B, empty user password
+    fk = bytes.fromhex(
+        "00112233445566778899aabbccddeeff0f1e2d3c4b5a69788796a5b4c3d2e1f0")
+    u, ue, o, oe, perms = v5_entries(b"", b"owner", fk, p, 6)
+    enc = (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+           b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>"
+           b" /StmF /StdCF /StrF /StdCF"
+           b" /O " + pdf_str(o) + b" /OE " + pdf_str(oe)
+           + b" /U " + pdf_str(u) + b" /UE " + pdf_str(ue)
+           + b" /Perms " + pdf_str(perms) + b" /P %d >>" % p)
+    build("pdf_enc_aes256_r6.pdf", enc, key=fk, aes=True, id0=id0, v5=True)
+
+    # V5 R5: the pre-ISO single-SHA-256 revision; /UE listed BEFORE /U to
+    # exercise the name-boundary lookup (no /Perms — some R5 writers omit it)
+    fk5 = bytes.fromhex(
+        "f0e1d2c3b4a5968778695a4b3c2d1e0fff00ee11dd22cc33bb44aa5599668877")
+    u, ue, o, oe, _ = v5_entries(b"", b"owner", fk5, p, 5)
+    enc = (b"<< /Filter /Standard /V 5 /R 5 /Length 256"
+           b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>"
+           b" /StmF /StdCF /StrF /StdCF"
+           b" /UE " + pdf_str(ue) + b" /U " + pdf_str(u)
+           + b" /OE " + pdf_str(oe) + b" /O " + pdf_str(o)
+           + b" /P %d >>" % p)
+    build("pdf_enc_aes256_r5.pdf", enc, key=fk5, aes=True, id0=id0, v5=True)
+
+    # V5 R6 with a REAL user password: must stay refused
+    u, ue, o, oe, perms = v5_entries(b"secret", b"owner", fk, p, 6)
+    enc = (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+           b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>"
+           b" /StmF /StdCF /StrF /StdCF"
+           b" /O " + pdf_str(o) + b" /OE " + pdf_str(oe)
+           + b" /U " + pdf_str(u) + b" /UE " + pdf_str(ue)
+           + b" /Perms " + pdf_str(perms) + b" /P %d >>" % p)
+    build("pdf_enc_aes256_pw.pdf", enc, key=fk, aes=True, id0=id0, v5=True)
 
     print("encrypted pdf fixtures written to", OUT)
 
