@@ -11,11 +11,13 @@ object Registry {
     EtlQueries.all,
     ExtQueries.all,
     MediaQueries.all,
+    WebpQueries.all,
     AudioQueries.all,
     TextQueries.all,
     SimQueries.all,
     StreamQueries.all,
     ScaleQueries.all,
+    SketchQueries.all,
     CorpusQueries.all,
     PackingQueries.all,
     DeconQueries.all,
