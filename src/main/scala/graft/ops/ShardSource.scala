@@ -79,15 +79,16 @@ object ShardSource {
       }.toDF("file", "ok", "err_kind", "idx", "payload")
   }
 
-  /** One row per line across every zstd/LZ4-frame JSONL shard under
-    * `path` (codec sniffed by magic per file — the mixed directory case).
+  /** One row per line across every compressed JSONL shard under `path`
+    * (codec sniffed by magic per file — the mixed directory case; `.br`
+    * routes by extension since brotli carries no magic).
     */
   def jsonlLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        new String(Zstd.decompressSniff(bytes), UTF_8)
+        new String(Zstd.decompressNamed(file, bytes), UTF_8)
           .split('\n').iterator.zipWithIndex.map { case (l, i) => (file, i, l) }
       }.toDF("file", "idx", "line")
   }
@@ -98,7 +99,7 @@ object ShardSource {
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
-        Zstd.decompressSniffSafe(bytes) match {
+        Zstd.decompressNamedSafe(file, bytes) match {
           case Right(raw) => new String(raw, UTF_8).split('\n')
             .iterator.zipWithIndex.map { case (l, i) => (file, true, "", i, l) }
           case Left(kind) => Iterator((file, false, kind, -1, ""))

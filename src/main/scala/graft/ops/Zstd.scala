@@ -336,6 +336,22 @@ object Zstd {
       case _: Exception => Left("bad_frame")
     }
 
+  /** Extension-aware sibling of [[decompressSniff]] for sources that know
+    * the filename: brotli (RFC 7932) carries NO magic bytes, so `.br`
+    * routes by name (the web convention — `Content-Encoding: br`,
+    * `.jsonl.br` dumps); everything else goes through the magic sniff.
+    */
+  def decompressNamed(file: String, bytes: Array[Byte]): Array[Byte] =
+    if (file.endsWith(".br")) Brotli.decompress(bytes)
+    else decompressSniff(bytes)
+
+  def decompressNamedSafe(file: String, bytes: Array[Byte]): Either[String, Array[Byte]] =
+    try Right(decompressNamed(file, bytes))
+    catch {
+      case e: Warc.WarcError => Left(e.kind)
+      case _: Exception => Left("bad_frame")
+    }
+
   private def drainCapped(in: java.io.InputStream, codec: String): Array[Byte] = {
     val cap = graft.core.Budget.maxInflatedBytes
     val out = new ByteArrayOutputStream(4096)

@@ -733,5 +733,103 @@ object TarQueries {
         FROM c GROUP BY 1"""),
     ),
 
+    // ------------------------------------------------------------------
+    // Brotli shard round trip (round 14): `.jsonl.br` dumps and
+    // `Content-Encoding: br` crawl bodies are the one common web-corpus
+    // compression the codec matrix lacked. The writer emits uncompressed
+    // meta-blocks (valid RFC 7932 §9.2 — no independent JVM encoder
+    // exists here; BrotliSpec pins the writer byte-exact against a
+    // libbrotli-validated construction and the READER against reference
+    // streams at q1/5/9/11 with dictionary transforms). Round trip runs
+    // the real header walk, MLEN accounting, and trailing-garbage gate
+    // per shard. Scale: per-shard map, one small-keyed aggregate.
+    GraftQuery(
+      "br01_brotli_jsonl",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val frame = graft.ops.Brotli.compress(ascii(jsonl))
+            val back = new String(graft.ops.Brotli.decompress(frame),
+              java.nio.charset.StandardCharsets.US_ASCII)
+            back.split('\n').iterator.map { line =>
+              val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+              val txt = obj("text").asInstanceOf[graft.etl.JStr].s
+              (obj("lang").asInstanceOf[graft.etl.JStr].s, txt.length.toLong, txt)
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Fault-tolerant brotli shard scan: brotli has NO magic or checksum,
+    // so the poisons target what the format CAN refuse — trailing bytes
+    // after the final meta-block and truncation mid-block — and each
+    // rotten stream becomes one typed `bad_frame` row while healthy
+    // shards contribute exact counts and checksums. The zst02/bz02
+    // contract on the brotli layer.
+    GraftQuery(
+      "br02_poisoned_brotli",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).map { case (source, g, recs) =>
+            val jsonl = recs.map { case (id, text, lang) =>
+              s"""{"id":$id,"text":${graft.etl.Json.quote(text)}}"""
+            }.mkString("\n")
+            val clean = graft.ops.Brotli.compress(ascii(jsonl))
+            val frame = (h60(s"$source:$g") % 7) match {
+              case 0 => clean :+ 0x41.toByte
+              case 1 => java.util.Arrays.copyOf(clean, clean.length - 3)
+              case _ => clean
+            }
+            graft.ops.Brotli.decompressSafe(frame) match {
+              case Right(bytes) =>
+                val lines = new String(bytes,
+                  java.nio.charset.StandardCharsets.US_ASCII).split('\n')
+                val bc = lines.iterator.map { line =>
+                  val obj = graft.etl.Json.parse(line).asInstanceOf[graft.etl.JObj].fields.toMap
+                  h60(obj("text").asInstanceOf[graft.etl.JStr].s) % M
+                }.sum
+                (source, "ok", lines.length.toLong, bc)
+              case Left(kind) => (source, kind, 0L, 0L)
+            }
+          }
+          .toDF("source", "outcome", "n_docs", "bc")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            count(when(col("outcome") === "ok", lit(1))).as("n_ok"),
+            count(when(col("outcome") === "bad_frame", lit(1))).as("n_frame"),
+            sum(when(col("outcome") === "ok", col("n_docs")).otherwise(0L))
+              .as("docs_ok"),
+            sum(when(col("outcome") === "ok", col("bc")).otherwise(0L))
+              .as("txt_check"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g, count(*) AS n,
+            CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS bc
+          FROM documents GROUP BY 1, 2),
+        c AS (SELECT source, n, bc,
+            ${TA.Sql.hash60("source || ':' || CAST(g AS VARCHAR)")} % 7 AS p
+          FROM g)
+        SELECT source, count(*) AS n_shards,
+          count(CASE WHEN p >= 2 THEN 1 END) AS n_ok,
+          count(CASE WHEN p <= 1 THEN 1 END) AS n_frame,
+          CAST(sum(CASE WHEN p >= 2 THEN n ELSE 0 END) AS BIGINT) AS docs_ok,
+          CAST(sum(CASE WHEN p >= 2 THEN bc ELSE 0 END) AS BIGINT) AS txt_check
+        FROM c GROUP BY 1"""),
+    ),
+
   )
 }

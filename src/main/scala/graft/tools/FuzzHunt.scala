@@ -177,6 +177,19 @@ object FuzzHunt {
       Set("bad_magic", "bad_frame", "too_large", "unsupported"),
       graft.ops.Xz.decompressAloneSafe)
 
+    total += hunt("brotli",
+      // magic-less format: the window header, meta-block framing, MLEN
+      // nibbles and the trailing-garbage gate all sit under the mutation
+      // lens; mutations that land in raw data decode silently (brotli
+      // carries no checksum), mutations that flip framing bits must
+      // refuse typed. BrotliSpec separately sweeps a libbrotli q9 stream
+      // to cover the compressed-block paths.
+      graft.ops.Brotli.compress(
+        ("brotli mutation fodder " * 8 + "aaaaaaaaaaaaaaaa")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      Set("bad_frame", "too_large", "unsupported"),
+      graft.ops.Brotli.decompressSafe)
+
     total += hunt("exif",
       graft.ops.Exif.buildJpeg(6, "2024:02:29 12:00:00", "maker",
         Some((45L, 2L)), littleEndian = true, comment = "fuzz body"),

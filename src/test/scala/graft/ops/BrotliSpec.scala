@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII}
+
+import graft.etl.{JArr, JInt, JStr, JVal, Json}
+
+/** Locks on the hand-rolled brotli reader/writer (graft.ops.Brotli):
+  * differential decode of reference-library streams across qualities and
+  * window sizes (manifest-hashed), the §8 transform-table transcription
+  * against the table extracted from libbrotli, writer byte-equality with
+  * a python-built libbrotli-validated stream, round trips, the budget
+  * cap, and mutation/truncation totality. Fixtures from
+  * tools/make_brotli_fixture.py.
+  */
+class BrotliSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def sha256(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  private lazy val manifest: Map[String, (String, Long)] =
+    Json.parse(new String(fixture("brotli_manifest.json"), US_ASCII)) match {
+      case graft.etl.JObj(fs) => fs.toMap.map { case (k, v) =>
+        val m = v.asInstanceOf[graft.etl.JObj].fields.toMap
+        k -> (m("sha256").asInstanceOf[JStr].s,
+          m("len").asInstanceOf[JInt].i.toLong)
+      }
+      case other => fail(s"bad manifest: $other")
+    }
+
+  test("the §8 transform table matches the one extracted from libbrotli") {
+    val expected = Json.parse(
+      new String(fixture("brotli_transforms.json"), ISO_8859_1)) match {
+      case JArr(rows) => rows.map { r =>
+        val Seq(p, k, s) = r.asInstanceOf[JArr].items
+        (p.asInstanceOf[JStr].s, k.asInstanceOf[JInt].i.toInt,
+          s.asInstanceOf[JStr].s)
+      }
+      case other => fail(s"bad transforms json: $other")
+    }
+    assert(Brotli.transformTable.size == 121)
+    for (((got, want), i) <- Brotli.transformTable.zip(expected).zipWithIndex)
+      assert(got == want, s"transform $i")
+  }
+
+  test("reference-library streams decode exactly (q1/5/9/11, w10..24, 7 payload shapes)") {
+    val brFixtures = manifest.keys.filter(_.endsWith(".br"))
+      .filterNot(_ == "brotli_uncompressed_writer.br").toSeq.sorted
+    assert(brFixtures.size >= 30)
+    for (name <- brFixtures) {
+      val (wantHash, wantLen) = manifest(name)
+      val out = Brotli.decompress(fixture(name))
+      assert(out.length.toLong == wantLen, s"$name length")
+      assert(sha256(out) == wantHash, s"$name hash")
+    }
+  }
+
+  test("writer emits byte-exactly the python-built libbrotli-validated stream") {
+    val raw = fixture("brotli_uncompressed_writer.raw")
+    val want = fixture("brotli_uncompressed_writer.br")
+    assert(java.util.Arrays.equals(Brotli.compress(raw), want))
+    assert(java.util.Arrays.equals(Brotli.decompress(want), raw))
+  }
+
+  test("our round trip across payload shapes, incl. chunk boundaries") {
+    val shapes = Seq(
+      Array.emptyByteArray,
+      "x".getBytes(US_ASCII),
+      ("line " * 20000).getBytes(US_ASCII),
+      Array.fill(65536)(0x5a.toByte),          // exactly one full chunk
+      Array.fill(65537)(0x5a.toByte),          // chunk + 1
+      (0 until 200000).map(i => (i * 31).toByte).toArray)
+    for (p <- shapes) {
+      val c = Brotli.compress(p)
+      assert(java.util.Arrays.equals(Brotli.compress(p), c)) // deterministic
+      assert(java.util.Arrays.equals(Brotli.decompress(c), p), s"len ${p.length}")
+    }
+  }
+
+  private def withBudget[A](bytes: Long)(f: => A): A = {
+    val old = graft.core.Budget.maxInflatedBytes
+    graft.core.Budget.maxInflatedBytes = bytes
+    try f finally graft.core.Budget.maxInflatedBytes = old
+  }
+
+  test("an inflate bomb refuses too_large at the budget, not at OOM") {
+    val bomb = fixture("brotli_bomb.br") // ~50 MB of zeros, few hundred bytes
+    withBudget(1 << 20) {
+      assert(Brotli.decompressSafe(bomb) == Left("too_large"))
+    }
+    // and decodes fine when the budget allows it
+    withBudget(64L << 20) {
+      assert(Brotli.decompressSafe(bomb).map(_.length) == Right(50000000))
+    }
+  }
+
+  test("trailing garbage after the final meta-block refuses bad_frame") {
+    val clean = fixture("brotli_text_q5_w22.br")
+    assert(Brotli.decompressSafe(clean :+ 0x41.toByte) == Left("bad_frame"))
+    assert(Brotli.decompressSafe(Array.emptyByteArray) == Left("bad_frame"))
+  }
+
+  test("every truncation refuses typed, never a raw throw") {
+    val clean = fixture("brotli_jsonl_q5_w22.br")
+    val (wantHash, _) = manifest("brotli_jsonl_q5_w22.br")
+    for (n <- 0 until clean.length) {
+      Brotli.decompressSafe(java.util.Arrays.copyOf(clean, n)) match {
+        case Left(k) => assert(Set("bad_frame", "too_large").contains(k), s"cut $n: $k")
+        case Right(out) =>
+          // brotli carries no checksum; a prefix that happens to parse is
+          // allowed only if it decodes to something (cannot be the full payload)
+          assert(sha256(out) != wantHash, s"cut $n decoded the full payload")
+      }
+    }
+  }
+
+  test("every single-byte mutation is typed or decodes (no integrity in the format), never a raw throw") {
+    val clean = fixture("brotli_utf8_q9_w22.br")
+    val kinds = Set("bad_frame", "too_large", "unsupported")
+    withBudget(16L << 20) {
+      for (pos <- clean.indices; x <- Seq(0x01, 0x5a, 0x80, 0xff)) {
+        val m = clean.clone(); m(pos) = (m(pos) ^ x).toByte
+        Brotli.decompressSafe(m) match {
+          case Left(k) => assert(kinds.contains(k), s"pos=$pos x=$x kind=$k")
+          case Right(_) => () // brotli has no checksum: silent divergence is spec-allowed
+        }
+      }
+    }
+  }
+
+  test("dictionary-transform battery: q11 streams over English text exercise word refs") {
+    // quality 11 over English text uses static-dictionary references and
+    // transforms heavily; the manifest hash check above pins the decode,
+    // this pins a couple of cases explicitly through compress-side checks
+    val (wantHash, wantLen) = manifest("brotli_text_q11_w24.br")
+    val out = Brotli.decompress(fixture("brotli_text_q11_w24.br"))
+    assert(out.length.toLong == wantLen && sha256(out) == wantHash)
+    assert(new String(out, US_ASCII).contains(
+      "the quick document 399 describes information"))
+  }
+}
