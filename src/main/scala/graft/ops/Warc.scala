@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.io.ByteArrayOutputStream
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** WARC (Web ARChive, ISO 28500 / WARC 1.0) container support — the format
@@ -289,6 +289,103 @@ object Warc {
     }
     out.toByteArray
   }
+
+  // ------------------------------------------------------------------
+  // WET / WAT derivatives (the Common Crawl sidecar formats: WET carries
+  // the extracted plain text as `conversion` records, WAT carries
+  // per-page metadata JSON as `metadata` records — both WARC-framed, so
+  // the record walk above is reused verbatim)
+  // ------------------------------------------------------------------
+
+  /** A WET file: warcinfo + one `conversion` record per page, plain-text
+    * body (the Common Crawl `*.warc.wet.gz` layout).
+    */
+  def buildWetFile(filename: String,
+      pages: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val info = writeRecord(
+      Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "WARC-Record-ID" -> s"<urn:graft:wetinfo:$filename>",
+        "WARC-Filename" -> filename,
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc/1.0\r\nextractedFrom: crawl\r\n".getBytes(US_ASCII))
+    out.write(gzipMember(info))
+    pages.foreach { case (uri, text) =>
+      val rec = writeRecord(
+        Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Record-ID" -> s"<urn:graft:conv:$uri>",
+          "WARC-Refers-To" -> s"<urn:graft:resp:$uri>",
+          "WARC-Target-URI" -> uri,
+          "Content-Type" -> "text/plain"),
+        text)
+      out.write(gzipMember(rec))
+    }
+    out.toByteArray
+  }
+
+  /** A WAT file: warcinfo + one `metadata` record per page whose body is
+    * the envelope JSON (the Common Crawl `*.warc.wat.gz` layout).
+    */
+  def buildWatFile(filename: String,
+      pages: Seq[(String, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val info = writeRecord(
+      Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "WARC-Record-ID" -> s"<urn:graft:watinfo:$filename>",
+        "WARC-Filename" -> filename,
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc/1.0\r\n".getBytes(US_ASCII))
+    out.write(gzipMember(info))
+    pages.foreach { case (uri, json) =>
+      val rec = writeRecord(
+        Seq(
+          "WARC-Type" -> "metadata",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Record-ID" -> s"<urn:graft:meta:$uri>",
+          "WARC-Refers-To" -> s"<urn:graft:resp:$uri>",
+          "WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/json"),
+        json.getBytes(UTF_8))
+      out.write(gzipMember(rec))
+    }
+    out.toByteArray
+  }
+
+  /** WET view: the `conversion` records as (targetUri, text). A record
+    * claiming conversion without a target URI is malformed.
+    */
+  def wetRecords(bytes: Array[Byte]): Seq[(String, String)] =
+    read(bytes).filter(_.warcType == "conversion").map { r =>
+      if (r.targetUri.isEmpty) fail("bad_record", "conversion without WARC-Target-URI")
+      (r.targetUri, new String(r.body, UTF_8))
+    }
+
+  /** WAT view: the `metadata` records as (targetUri, rawJson). */
+  def watRecords(bytes: Array[Byte]): Seq[(String, String)] =
+    read(bytes).filter(_.warcType == "metadata").map { r =>
+      if (r.targetUri.isEmpty) fail("bad_record", "metadata without WARC-Target-URI")
+      (r.targetUri, new String(r.body, UTF_8))
+    }
+
+  def wetRecordsSafe(bytes: Array[Byte]): Either[String, Seq[(String, String)]] =
+    try Right(wetRecords(bytes))
+    catch {
+      case e: WarcError => Left(e.kind)
+      case _: Exception => Left("bad_record")
+    }
+
+  def watRecordsSafe(bytes: Array[Byte]): Either[String, Seq[(String, String)]] =
+    try Right(watRecords(bytes))
+    catch {
+      case e: WarcError => Left(e.kind)
+      case _: Exception => Left("bad_record")
+    }
 
   /** Fail-stop safe read: `Right(records)` or `Left(errorKind)`. */
   def readSafe(bytes: Array[Byte]): Either[String, Seq[WarcRecord]] =

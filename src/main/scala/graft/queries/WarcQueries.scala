@@ -398,5 +398,70 @@ object WarcQueries {
             AS BIGINT) AS body_check
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // WET/WAT derivatives (round 14): the two Common Crawl sidecar
+    // formats a real crawl-data user touches most after raw WARC — WET
+    // carries extracted text as `conversion` records, WAT carries
+    // per-page metadata JSON (`metadata` records, envelope layout). Each
+    // doc group becomes one WET file and one WAT file (both WARC-framed,
+    // one gzip member per record); the reader walks both through the same
+    // record grammar, parses the WAT envelope JSON, and JOINS text to
+    // metadata by target URI — the canonical "build a corpus from WET,
+    // enrich from WAT" ingest. Scale: both sides are per-file flatMaps
+    // over what would be a binaryFile scan; the join shuffles on the URI
+    // key only (uri, small metadata), never the text side's full bytes
+    // twice, and the final aggregate is per-source.
+    GraftQuery(
+      "warc04_wet_wat",
+      (s, d) => {
+        import s.implicits._
+        val groups = graft.core.Caches.persist(fileGroups(s, d))
+        def uri(source: String, id: Long) = s"https://example.org/$source/$id"
+        val wet = groups.flatMap { case (source, g, recs) =>
+          val file = Warc.buildWetFile(s"$source-$g.warc.wet.gz",
+            recs.map { case (id, text) => (uri(source, id), ascii(text)) })
+          Warc.wetRecords(file).map { case (u, text) => (source, u, text) }
+        }.toDF("source", "uri", "text")
+        val wat = groups.flatMap { case (source, g, recs) =>
+          val file = Warc.buildWatFile(s"$source-$g.warc.wat.gz",
+            recs.map { case (id, text) =>
+              val links = (0L until (id % 5)).map(k =>
+                s"""{"url":"/doc/$id/link$k"}""").mkString(",")
+              (uri(source, id),
+                s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":${graft.etl.Json.quote(uri(source, id))}},""" +
+                s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{""" +
+                s""""Head":{"Title":${graft.etl.Json.quote(s"Doc $id")}},"Links":[$links]}}}}}""")
+            })
+          Warc.watRecords(file).map { case (u, json) =>
+            def obj(v: graft.etl.JVal, k: String): graft.etl.JVal =
+              v.asInstanceOf[graft.etl.JObj].fields.toMap.apply(k)
+            val env = obj(graft.etl.Json.parse(json), "Envelope")
+            val html = obj(obj(obj(env, "Payload-Metadata"),
+              "HTTP-Response-Metadata"), "HTML-Metadata")
+            val title = obj(obj(html, "Head"), "Title")
+              .asInstanceOf[graft.etl.JStr].s
+            val nLinks = obj(html, "Links")
+              .asInstanceOf[graft.etl.JArr].items.length
+            (u, title, nLinks.toLong)
+          }
+        }.toDF("uri", "title", "n_links")
+        wet.join(wat, Seq("uri"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_pages"),
+            sum(length(col("text"))).as("txt_bytes"),
+            sum(TA.hash60(col("text")) % M).as("txt_check"),
+            sum(col("n_links")).as("links_total"),
+            sum(TA.hash60(col("title")) % M).as("title_check"))
+      },
+      Some(s"""SELECT source, count(*) AS n_pages,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check,
+          CAST(sum(doc_id % 5) AS BIGINT) AS links_total,
+          CAST(sum(${sqlH60Mod("'Doc ' || CAST(doc_id AS VARCHAR)")})
+            AS BIGINT) AS title_check
+        FROM documents GROUP BY 1"""),
+    ),
   )
 }

@@ -103,6 +103,34 @@ class WarcSpec extends AnyFunSuite {
     val overrun = "WARC/1.0\r\nContent-Length: 99\r\n\r\nshort".getBytes(US_ASCII)
     assert(Warc.readSafe(overrun) == Left("bad_record"))
   }
+
+  test("WET round trip: conversion records carry uri + extracted text") {
+    val pages = Seq(
+      ("https://a/1", "extracted text one".getBytes(US_ASCII)),
+      ("https://a/2", "körper zwei".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val file = Warc.buildWetFile("x.warc.wet.gz", pages)
+    // WARC-framed: the generic reader sees warcinfo + 2 conversions
+    val recs = Warc.read(file)
+    assert(recs.map(_.warcType) == Seq("warcinfo", "conversion", "conversion"))
+    assert(Warc.wetRecords(file) ==
+      Seq(("https://a/1", "extracted text one"), ("https://a/2", "körper zwei")))
+    // a conversion record without a target URI refuses typed
+    val bad = Warc.gzipMember(Warc.writeRecord(
+      Seq("WARC-Type" -> "conversion", "Content-Type" -> "text/plain"),
+      "orphan".getBytes(US_ASCII)))
+    assert(Warc.wetRecordsSafe(bad) == Left("bad_record"))
+  }
+
+  test("WAT round trip: metadata records carry uri + envelope JSON") {
+    val json = """{"Envelope":{"WARC-Header-Metadata":{}}}"""
+    val file = Warc.buildWatFile("x.warc.wat.gz", Seq(("https://a/1", json)))
+    assert(Warc.watRecords(file) == Seq(("https://a/1", json)))
+    // WET view of a WAT file is empty (type filter), and vice versa
+    assert(Warc.wetRecords(file).isEmpty)
+    // rotten container refuses typed through the safe twin
+    val cut = java.util.Arrays.copyOf(file, file.length - 5)
+    assert(Warc.watRecordsSafe(cut).isLeft)
+  }
 }
 
 /** File-level ingest plumbing on real temp files (the 100 TB shape:
@@ -187,4 +215,5 @@ class WarcSourceSpec extends graft.SparkSpec {
       dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
     }
   }
+
 }
