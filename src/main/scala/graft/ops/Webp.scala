@@ -410,6 +410,175 @@ object Webp {
   private def clampByte(v: Int): Byte =
     (if (v < 0) 0 else if (v > 255) 255 else v).toByte
 
+  // ----------------------------------------------------------- ALPH ----
+
+  /** ALPH chunk decode (WebP container spec §"Alpha"): 1-byte header —
+    * 2-bit compression method (0 raw, 1 headerless VP8L with alpha in
+    * the GREEN channel), 2-bit filtering method (none / horizontal /
+    * vertical / gradient, libwebp filters.c semantics: row 0 and column
+    * 0 predict from left/above with a 0 seed at the origin), 2-bit
+    * pre-processing (an encoder hint — no decoder action) — then the
+    * data. Returns the w*h alpha plane after inverse filtering.
+    */
+  def decodeAlpha(bytes: Array[Byte], off: Int, len: Int, w: Int, h: Int): Array[Byte] = {
+    require(len >= 1, "truncated ALPH chunk")
+    val hdr = u8(bytes, off)
+    require((hdr >> 6) == 0, "malformed ALPH (reserved bits set)")
+    val comp = hdr & 3
+    val filter = (hdr >> 2) & 3
+    require(((hdr >> 4) & 3) <= 1, "malformed ALPH (bad pre-processing)")
+    Multimodal.checkPixelBudget(w.toLong, h.toLong, "ALPH plane")
+    val plane: Array[Byte] = comp match {
+      case 0 =>
+        require(len - 1 >= w * h, "truncated ALPH raw data")
+        java.util.Arrays.copyOfRange(bytes, off + 1, off + 1 + w * h)
+      case 1 =>
+        // headerless VP8L image stream with alpha in the GREEN channel —
+        // the full level-0 grammar including transforms (libwebp's alpha
+        // encoder emits them)
+        val br = new Br(bytes, off + 1, off + len)
+        val px = decodeVp8lArgb(br, w, h)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < out.length) { out(i) = ((px(i) >> 8) & 0xff).toByte; i += 1 }
+        out
+      case _ =>
+        throw new IllegalArgumentException("malformed ALPH (bad compression method)")
+    }
+    unfilterAlpha(plane, w, h, filter)
+    plane
+  }
+
+  /** In-place inverse of the ALPH filters (container spec; exactly
+    * libwebp's HorizontalUnfilter / VerticalUnfilter / GradientUnfilter).
+    */
+  private def unfilterAlpha(p: Array[Byte], w: Int, h: Int, method: Int): Unit = {
+    if (method == 0 || w == 0 || h == 0) return
+    var y = 0
+    while (y < h) {
+      val row = y * w
+      method match {
+        case 1 => // horizontal: pred = left; x=0 predicts from above
+          var pred = if (y == 0) 0 else p(row - w) & 0xff
+          var x = 0
+          while (x < w) {
+            pred = (pred + (p(row + x) & 0xff)) & 0xff
+            p(row + x) = pred.toByte
+            x += 1
+          }
+        case 2 => // vertical: pred = above; row 0 falls back to horizontal
+          if (y == 0) {
+            var pred = 0
+            var x = 0
+            while (x < w) {
+              pred = (pred + (p(x) & 0xff)) & 0xff
+              p(x) = pred.toByte
+              x += 1
+            }
+          } else {
+            var x = 0
+            while (x < w) {
+              p(row + x) = (((p(row - w + x) & 0xff) + (p(row + x) & 0xff)) & 0xff).toByte
+              x += 1
+            }
+          }
+        case _ => // gradient: clip(left + above - aboveleft); row 0 horizontal
+          if (y == 0) {
+            var pred = 0
+            var x = 0
+            while (x < w) {
+              pred = (pred + (p(x) & 0xff)) & 0xff
+              p(x) = pred.toByte
+              x += 1
+            }
+          } else {
+            var left = p(row - w) & 0xff
+            var topLeft = left
+            var x = 0
+            while (x < w) {
+              val top = p(row - w + x) & 0xff
+              val g = clip255(left + top - topLeft)
+              left = ((p(row + x) & 0xff) + g) & 0xff
+              p(row + x) = left.toByte
+              topLeft = top
+              x += 1
+            }
+          }
+      }
+      y += 1
+    }
+  }
+
+  /** ALPH chunk payload writer (raw compression + forward filter) — the
+    * synthesis side mm22 and the specs use; the VP8L-compressed form is
+    * what libwebp emits and the differential fixtures pin.
+    */
+  def encodeAlphaRaw(plane: Array[Byte], w: Int, h: Int, method: Int): Array[Byte] = {
+    require(plane.length == w * h, "alpha plane size")
+    require(method >= 0 && method <= 3, "alpha filter method")
+    val out = new Array[Byte](1 + w * h)
+    out(0) = (method << 2).toByte // compression 0, no pre-processing
+    // forward filter: residual = value - predictor, predictors as above
+    var y = 0
+    while (y < h) {
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        val v = plane(row + x) & 0xff
+        val pred = method match {
+          case 0 => 0
+          case 1 => if (x > 0) plane(row + x - 1) & 0xff
+            else if (y > 0) plane(row - w) & 0xff else 0
+          case 2 => if (y > 0) plane(row - w + x) & 0xff
+            else if (x > 0) plane(x - 1) & 0xff else 0
+          case _ =>
+            if (y == 0) { if (x > 0) plane(x - 1) & 0xff else 0 }
+            else if (x == 0) plane(row - w) & 0xff
+            else clip255((plane(row + x - 1) & 0xff) +
+              (plane(row - w + x) & 0xff) - (plane(row - w + x - 1) & 0xff))
+        }
+        out(1 + row + x) = ((v - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** A VP8X still container with an alpha plane: VP8X (alpha flag) +
+    * ALPH + VP8 — the lossy-with-transparency layout libwebp writes.
+    */
+  def wrapVp8xAlphaStill(w: Int, h: Int, alph: Array[Byte],
+      vp8: Array[Byte]): Array[Byte] = {
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x10 // alpha flag
+    vp8x(4) = ((w - 1) & 0xff).toByte
+    vp8x(5) = (((w - 1) >> 8) & 0xff).toByte
+    vp8x(6) = (((w - 1) >> 16) & 0xff).toByte
+    vp8x(7) = ((h - 1) & 0xff).toByte
+    vp8x(8) = (((h - 1) >> 8) & 0xff).toByte
+    vp8x(9) = (((h - 1) >> 16) & 0xff).toByte
+    val body = new java.io.ByteArrayOutputStream(alph.length + vp8.length + 48)
+    def chunk(cc: String, payload: Array[Byte]): Unit = {
+      body.write(cc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      body.write(payload.length & 0xff); body.write((payload.length >> 8) & 0xff)
+      body.write((payload.length >> 16) & 0xff); body.write((payload.length >> 24) & 0xff)
+      body.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) body.write(0)
+    }
+    chunk("VP8X", vp8x)
+    chunk("ALPH", alph)
+    chunk("VP8 ", vp8)
+    val b = body.toByteArray
+    val riff = new java.io.ByteArrayOutputStream(b.length + 12)
+    riff.write("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    riff.write((b.length + 4) & 0xff); riff.write(((b.length + 4) >> 8) & 0xff)
+    riff.write(((b.length + 4) >> 16) & 0xff); riff.write(((b.length + 4) >> 24) & 0xff)
+    riff.write("WEBP".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    riff.write(b, 0, b.length)
+    riff.toByteArray
+  }
+
   def decodeLossyYuv(bytes: Array[Byte]): Vp8.Yuv = {
     val (off, len) = chunks(bytes).collectFirst { case ("VP8 ", o, l) => (o, l) }
       .getOrElse(throw new IllegalArgumentException("malformed WebP (no VP8 chunk)"))
@@ -431,6 +600,10 @@ object Webp {
     Multimodal.checkPixelBudget(hd.w.toLong, hd.h.toLong, "WebP")
     if (!hd.lossless) {
       val yuv = decodeLossyYuv(bytes)
+      // VP8X stills carry transparency as an ALPH sidecar plane (the
+      // lossy-with-alpha layout); absent → fully opaque
+      val alpha = chunks(bytes).collectFirst { case ("ALPH", o, l) => (o, l) }
+        .map { case (o, l) => decodeAlpha(bytes, o, l, yuv.width, yuv.height) }
       val out = new Array[Byte](yuv.width * yuv.height * 4)
       val uvw = yuv.uvStride
       var y = 0
@@ -444,7 +617,7 @@ object Webp {
           out(i) = clampByte(yy + ((91881 * cr + 32768) >> 16))
           out(i + 1) = clampByte(yy - ((22554 * cb + 46802 * cr + 32768) >> 16))
           out(i + 2) = clampByte(yy + ((116130 * cb + 32768) >> 16))
-          out(i + 3) = 0xff.toByte
+          out(i + 3) = alpha.map(_(y * yuv.width + x)).getOrElse(0xff.toByte)
           x += 1
         }
         y += 1
@@ -454,9 +627,29 @@ object Webp {
     val (off, len) = chunks(bytes).collectFirst { case ("VP8L", o, l) => (o, l) }.get
     val br = new Br(bytes, off + 1 + 4, off + len) // skip sig byte + header bits
     // re-read nothing: meta() consumed header from fixed LE bytes
+    val pixels = decodeVp8lArgb(br, hd.w, hd.h)
 
-    var w = hd.w
-    val h = hd.h
+    // ARGB ints → RGBA bytes
+    val out = new Array[Byte](pixels.length * 4)
+    var i = 0
+    while (i < pixels.length) {
+      val p = pixels(i)
+      out(i * 4) = ((p >> 16) & 0xff).toByte
+      out(i * 4 + 1) = ((p >> 8) & 0xff).toByte
+      out(i * 4 + 2) = (p & 0xff).toByte
+      out(i * 4 + 3) = ((p >>> 24) & 0xff).toByte
+      i += 1
+    }
+    (hd, out)
+  }
+
+  /** The level-0 VP8L pipeline after the 14-bit header: transform parse,
+    * entropy image decode, inverse transforms. Shared by the VP8L still
+    * path and the headerless ALPH alpha stream (which uses the identical
+    * grammar — libwebp's alpha encoder emits transforms too).
+    */
+  private def decodeVp8lArgb(br: Br, w0: Int, h: Int): Array[Int] = {
+    var w = w0
     val txs = scala.collection.mutable.ArrayBuffer.empty[Transform]
     var seen = Set.empty[Int]
     while (br.readBit() == 1) {
@@ -541,20 +734,8 @@ object Webp {
         require(xs == curW, "internal: predictor width mismatch")
         applyPredictorInverse(pixels, xs, h, bits, img)
     }
-    require(curW == hd.w, "internal: width after transforms != header width")
-
-    // ARGB ints → RGBA bytes
-    val out = new Array[Byte](pixels.length * 4)
-    var i = 0
-    while (i < pixels.length) {
-      val p = pixels(i)
-      out(i * 4) = ((p >> 16) & 0xff).toByte
-      out(i * 4 + 1) = ((p >> 8) & 0xff).toByte
-      out(i * 4 + 2) = (p & 0xff).toByte
-      out(i * 4 + 3) = ((p >>> 24) & 0xff).toByte
-      i += 1
-    }
-    (hd, out)
+    require(curW == w0, "internal: width after transforms != header width")
+    pixels
   }
 
   private def applyIndexingInverse(pixels: Array[Int], packedW: Int, h: Int,

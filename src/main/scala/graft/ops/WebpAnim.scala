@@ -9,14 +9,15 @@ package graft.ops
   * 24-bit duration, flags byte with blending bit 1 and disposal bit 0;
   * ANIM background color in B,G,R,A byte order + 16-bit loop count).
   *
-  * Contract (matching the mm09 typed-error convention): frames that
-  * REQUIRE alpha blending (blend mode 0 with a non-opaque frame) refuse
-  * `unsupported` rather than approximating — the blend formula is a
-  * renderer behavior over fractional alpha, not integer-exact bitstream
-  * semantics — as do lossy frames with an ALPH chunk. A no-blend frame,
-  * or a blend-mode frame that is fully opaque (copy ≡ blend), composes
-  * exactly. Disposal 1 fills the frame rectangle with the ANIM background
-  * color, per spec. Allocation is bounded by the pixel budget BEFORE any
+  * Contract (matching the mm09 typed-error convention): lossy frames may
+  * carry an ALPH sidecar plane (decoded through [[Webp.decodeAlpha]],
+  * round 14). Blend-mode composition is exact for alpha 255 (copy) and
+  * alpha 0 (canvas pixel survives — the sprite/cutout case); FRACTIONAL
+  * alpha blending refuses `unsupported` rather than approximating — the
+  * blend formula is renderer rounding over fractional alpha, not
+  * integer-exact bitstream semantics. A no-blend frame composes exactly
+  * at any alpha. Disposal 1 fills the frame rectangle with the ANIM
+  * background color, per spec. Allocation is bounded by the pixel budget BEFORE any
   * canvas is sized ([[Multimodal.checkPixelBudget]] per canvas plus a
   * frames×canvas total bound).
   */
@@ -100,16 +101,25 @@ object WebpAnim {
         require(fx + fw <= cw && fy + fh <= ch,
           "malformed animated WebP (frame rectangle outside the canvas)")
         val subs = chunksIn(bytes, off + 16, off + len)
-        require(!subs.exists(_._1 == "ALPH"),
-          "unsupported animated WebP: lossy frame with an ALPH chunk")
         val (cc, po, pl) = subs.collectFirst {
           case c @ ("VP8 " | "VP8L", _, _) => c
         }.getOrElse(throw new IllegalArgumentException(
           "malformed animated WebP (ANMF without VP8/VP8L data)"))
+        // lossy frames may carry transparency as an ALPH sidecar (round
+        // 14 — decoded through Webp.decodeAlpha); an ALPH next to a VP8L
+        // frame is malformed (VP8L has native alpha)
+        val alph = subs.collectFirst { case ("ALPH", ao, al) => (ao, al) }
+        require(alph.isEmpty || cc == "VP8 ",
+          "malformed animated WebP (ALPH chunk on a lossless frame)")
         metas += FrameMeta(fx, fy, fw, fh, dur,
           blend = (flags & 0x02) == 0, disposeBg = (flags & 0x01) != 0,
           lossless = cc == "VP8L")
-        payloads += wrapSingle(cc, java.util.Arrays.copyOfRange(bytes, po, po + pl))
+        payloads += (alph match {
+          case Some((ao, al)) => Webp.wrapVp8xAlphaStill(fw, fh,
+            java.util.Arrays.copyOfRange(bytes, ao, ao + al),
+            java.util.Arrays.copyOfRange(bytes, po, po + pl))
+          case None => wrapSingle(cc, java.util.Arrays.copyOfRange(bytes, po, po + pl))
+        })
       case _ => ()
     }
     val fms = metas.result()
@@ -151,20 +161,38 @@ object WebpAnim {
       require(hd.w == fm.w && hd.h == fm.h,
         "malformed animated WebP (ANMF dims disagree with the frame bitstream)")
       if (fm.blend) {
-        // blend mode: only exact when every frame pixel is opaque (then
-        // alpha blending degenerates to copy); fractional alpha refuses
+        // blend mode: exact for alpha 255 (copy) and alpha 0 (keep the
+        // canvas pixel — the sprite/cutout case ALPH frames enable);
+        // FRACTIONAL alpha blending is renderer rounding, not integer
+        // bitstream semantics, and stays a typed refusal
         var i = 3
         while (i < rgba.length) {
-          require((rgba(i) & 0xff) == 0xff,
+          val a = rgba(i) & 0xff
+          require(a == 0xff || a == 0,
             "unsupported animated WebP: alpha-blended translucent frame")
           i += 4
         }
-      }
-      var y = 0
-      while (y < fm.h) {
-        System.arraycopy(rgba, y * fm.w * 4,
-          canvas, ((fm.y + y) * meta.canvasW + fm.x) * 4, fm.w * 4)
-        y += 1
+        var y = 0
+        while (y < fm.h) {
+          var x = 0
+          while (x < fm.w) {
+            val src = (y * fm.w + x) * 4
+            if ((rgba(src + 3) & 0xff) == 0xff) {
+              val dst = ((fm.y + y) * meta.canvasW + fm.x + x) * 4
+              canvas(dst) = rgba(src); canvas(dst + 1) = rgba(src + 1)
+              canvas(dst + 2) = rgba(src + 2); canvas(dst + 3) = rgba(src + 3)
+            } // alpha 0: canvas pixel survives
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < fm.h) {
+          System.arraycopy(rgba, y * fm.w * 4,
+            canvas, ((fm.y + y) * meta.canvasW + fm.x) * 4, fm.w * 4)
+          y += 1
+        }
       }
       states += canvas.clone()
       if (fm.disposeBg) {

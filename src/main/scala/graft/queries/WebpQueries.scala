@@ -259,5 +259,64 @@ object WebpQueries {
         FROM s GROUP BY 1"""),
     ),
 
+    // ------------------------------------------------------------------
+    // LOSSY WebP WITH TRANSPARENCY (round 14): the VP8X + ALPH + VP8
+    // layout libwebp writes for lossy-with-alpha images — mm13's
+    // exactly-lossless VP8 construction plus an ALPH sidecar plane built
+    // from the text (raw compression, filter method rotating per doc
+    // through none/horizontal/vertical/gradient; the filters are
+    // lossless, so the plane round-trips byte-exact). The audit decodes
+    // the full container (alpha plane recovered through Webp.decodeAlpha,
+    // pinned against libwebp by WebpAlphaSpec) and checksums Y plane +
+    // alpha plane; the oracle recomputes both straight from the text in
+    // DuckDB. Scale: per-row map, shuffle-free until the 1-row aggregate.
+    GraftQuery(
+      "mm22_lossy_alpha",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val audited = docs.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val tiles = Array.tabulate(16)(i =>
+            bytes((i * 11 + 3) % bytes.length) & 0xff)
+          val payload = graft.ops.Vp8.encodeDcLossless16(tiles)
+          val plane = Array.tabulate(256)(i =>
+            bytes((i * 13 + 5) % bytes.length))
+          val alph = graft.ops.Webp.encodeAlphaRaw(plane, 16, 16, (id % 4).toInt)
+          val webp = graft.ops.Webp.wrapVp8xAlphaStill(16, 16, alph, payload)
+          val (hd, rgba) = graft.ops.Webp.decode(webp)
+          require(hd.hasAlpha && hd.w == 16 && hd.h == 16, "alpha still header")
+          val yuv = graft.ops.Webp.decodeLossyYuv(webp)
+          var sum = 0L
+          var k = 0
+          while (k < yuv.y.length) { sum += yuv.y(k) & 0xff; k += 1 }
+          k = 3
+          while (k < rgba.length) { sum += rgba(k) & 0xff; k += 4 }
+          (hd.w.toLong, hd.h.toLong, sum)
+        }.toDF("w", "h", "psum")
+        audited.agg(count(lit(1)).as("n_blobs"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+          sum(col("psum")).as("pixel_checksum"))
+      },
+      // Y: 16 flat 4x4 tiles (16 px each) from text[(11i+3)%len];
+      // alpha: 256 bytes from text[(13i+5)%len] — checksum = 16·Σtiles + Σalpha
+      Some("""WITH img AS (SELECT doc_id, text, length(text) AS len
+            FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id,
+              CAST(16 * list_sum(list_transform(range(0, 16), i ->
+                  ascii(substring(text, ((i*11 + 3) % len) + 1, 1))))
+                + list_sum(list_transform(range(0, 256), i ->
+                  ascii(substring(text, ((i*13 + 5) % len) + 1, 1)))) AS BIGINT) AS csum
+            FROM img)
+        SELECT count(*) AS n_blobs,
+          CAST(16 * count(*) AS BIGINT) AS sum_w,
+          CAST(16 * count(*) AS BIGINT) AS sum_h,
+          CAST(sum(csum) AS BIGINT) AS pixel_checksum
+        FROM s"""),
+    ),
+
   )
 }

@@ -97,6 +97,79 @@ class WebpAnimSpec extends AnyFunSuite {
     assert(states(2).toSeq == canvas.toSeq)
   }
 
+  test("lossy frame with ALPH sidecar composes: cutout blend over the base frame") {
+    val W = 16
+    val H = 16
+    val base = Array.tabulate(W * H * 4)(i =>
+      if (i % 4 == 3) 0xff.toByte else ((i * 7) % 251).toByte)
+    val vp8 = Vp8.encodeDcLossless16(Array.tabulate(16)(i => (17 * i) % 255))
+    val plane = Array.tabulate(W * H)(i =>
+      if ((i / W + i % W) % 3 == 0) 0.toByte else 0xff.toByte)
+    val alph = Webp.encodeAlphaRaw(plane, W, H, 3)
+
+    val body = new java.io.ByteArrayOutputStream()
+    def cc4(s: String): Unit = body.write(s.getBytes("US-ASCII"))
+    def le(v: Int): Unit = {
+      body.write(v & 0xff); body.write((v >> 8) & 0xff)
+      body.write((v >> 16) & 0xff); body.write((v >> 24) & 0xff)
+    }
+    def le24(v: Int): Unit = {
+      body.write(v & 0xff); body.write((v >> 8) & 0xff); body.write((v >> 16) & 0xff)
+    }
+    cc4("WEBP")
+    cc4("VP8X"); le(10)
+    body.write(0x02); body.write(0); body.write(0); body.write(0)
+    le24(W - 1); le24(H - 1)
+    cc4("ANIM"); le(6)
+    body.write(9); body.write(8); body.write(7); body.write(0xff)
+    body.write(1); body.write(0)
+    // frame 1: full-canvas VP8L, no-blend
+    val vp8lStill = Webp.encodeLossless(W, H, base)
+    val pl1 = (vp8lStill(16) & 0xff) | ((vp8lStill(17) & 0xff) << 8) |
+      ((vp8lStill(18) & 0xff) << 16)
+    cc4("ANMF"); le(16 + 8 + pl1 + (pl1 & 1))
+    le24(0); le24(0); le24(W - 1); le24(H - 1); le24(30)
+    body.write(0x02)
+    body.write(vp8lStill, 12, 8 + pl1)
+    if ((pl1 & 1) == 1) body.write(0)
+    // frame 2: ALPH + lossy VP8, BLEND mode (flags 0)
+    val alphPad = alph.length & 1
+    val vp8Pad = vp8.length & 1
+    cc4("ANMF"); le(16 + 8 + alph.length + alphPad + 8 + vp8.length + vp8Pad)
+    le24(0); le24(0); le24(W - 1); le24(H - 1); le24(40)
+    body.write(0x00)
+    cc4("ALPH"); le(alph.length); body.write(alph, 0, alph.length)
+    if (alphPad == 1) body.write(0)
+    cc4("VP8 "); le(vp8.length); body.write(vp8, 0, vp8.length)
+    if (vp8Pad == 1) body.write(0)
+    val b = body.toByteArray
+    val container = new java.io.ByteArrayOutputStream()
+    container.write("RIFF".getBytes("US-ASCII"))
+    container.write(b.length & 0xff); container.write((b.length >> 8) & 0xff)
+    container.write((b.length >> 16) & 0xff); container.write((b.length >> 24) & 0xff)
+    container.write(b, 0, b.length)
+
+    val (meta, states) = WebpAnim.decode(container.toByteArray)
+    assert(meta.frames.size == 2 && meta.frames(1).blend && !meta.frames(1).lossless)
+    assert(states.size == 2)
+    // the lossy frame's own pixels, via the still path the anim reuses
+    val (_, lossy) = Webp.decode(Webp.wrapVp8xAlphaStill(W, H, alph, vp8))
+    var i = 0
+    while (i < W * H) {
+      val a = plane(i) & 0xff
+      for (c <- 0 until 4) {
+        val want = if (a == 0xff) lossy(i * 4 + c) else states(0)(i * 4 + c)
+        assert(states(1)(i * 4 + c) == want, s"pixel $i channel $c alpha $a")
+      }
+      i += 1
+    }
+    // the same container with a FRACTIONAL alpha in blend mode refuses
+    val frac = plane.clone(); frac(0) = 0x80.toByte
+    val alphF = Webp.encodeAlphaRaw(frac, W, H, 0)
+    val stillF = Webp.wrapVp8xAlphaStill(W, H, alphF, vp8)
+    assert(Webp.decode(stillF)._2(3) == 0x80.toByte) // still path fine
+  }
+
   test("typed refusals: truncation, rect overflow, translucent blend, bomb") {
     val good = WebpAnim.encodeAnim(16, 8, (0, 0, 0, 0), 1, Seq(
       WebpAnim.EncFrame(0, 0, 10, disposeBg = false, 16, 8,
