@@ -67,7 +67,7 @@ object PdfCrypt {
     * in a dictionary source. Operates on the raw ISO-8859-1-faithful dict
     * text so the recovered bytes are exact.
     */
-  private def stringValue(dict: String, key: String): Option[Array[Byte]] = {
+  private[etl] def stringValue(dict: String, key: String): Option[Array[Byte]] = {
     // the (?![A-Za-z0-9]) boundary keeps /U from matching inside /UE and
     // /O inside /OE when the longer name comes first in the dict
     val at = ("""/""" + key + """(?![A-Za-z0-9])\s*""").r.findFirstMatchIn(dict)
@@ -95,6 +95,8 @@ object PdfCrypt {
                     }
                     out.write(v & 0xff); i = p
                   case '\n' => i += 2 // line continuation
+                  case '\r' => // continuation, CR or CRLF form (§7.3.4.2)
+                    i += (if (i + 2 < dict.length && dict.charAt(i + 2) == '\n') 3 else 2)
                   case c => out.write(c); i += 2
                 }
               } else i += 1
@@ -103,6 +105,11 @@ object PdfCrypt {
               depth -= 1
               if (depth > 0) out.write(')')
               i += 1
+            case '\r' =>
+              // a raw EOL inside a literal string reads back as ONE LF
+              // regardless of its CR / CRLF form (ISO 32000-1 §7.3.4.2)
+              out.write('\n')
+              i += (if (i + 1 < dict.length && dict.charAt(i + 1) == '\n') 2 else 1)
             case c => out.write(c); i += 1
           }
         }
@@ -252,7 +259,10 @@ object PdfCrypt {
       if (bits % 8 != 0 || bits < 40 || bits > 128) return Left(s"bad /Length $bits")
       bits / 8
     }
-    val encryptMetadata = !enc.contains("/EncryptMetadata false")
+    // whitespace-tolerant like the other lookups — `/EncryptMetadata\nfalse`
+    // is a legal token stream a substring match would misread as true
+    val encryptMetadata =
+      !"""/EncryptMetadata(?![A-Za-z0-9])\s*false""".r.findFirstIn(enc).isDefined
     // V4 crypt filters: only the /StdCF-through-StmF/StrF shape, with
     // /V2 (RC4) or /AESV2 — anything fancier stays refused
     val cipher =

@@ -139,10 +139,13 @@ object Brotli {
   // ------------------------------------------------------------ bitstream
 
   private final class BitReader(b: Array[Byte]) {
-    private var pos = 0 // bit position
+    // bit position in Long: a shard >= 256 MiB has > 2^31 bits, and an
+    // Int position would wrap past the bounds guard (the Bzip2 reader
+    // made the same choice for the same reason)
+    private var pos = 0L
     private val nbits = b.length.toLong * 8
 
-    def bitPos: Long = pos.toLong
+    def bitPos: Long = pos
 
     def read(n: Int): Int = {
       if (pos + n > nbits) bad("truncated stream")
@@ -150,7 +153,7 @@ object Brotli {
       var i = 0
       while (i < n) {
         val p = pos + i
-        v |= (((b(p >> 3) >> (p & 7)) & 1) << i)
+        v |= (((b((p >> 3).toInt) >> (p & 7).toInt) & 1) << i)
         i += 1
       }
       pos += n
@@ -165,7 +168,7 @@ object Brotli {
       var i = 0
       while (i < n) {
         val p = pos + i
-        if (p < nbits) v |= (((b(p >> 3) >> (p & 7)) & 1) << i)
+        if (p < nbits) v |= (((b((p >> 3).toInt) >> (p & 7).toInt) & 1) << i)
         i += 1
       }
       v
@@ -185,12 +188,12 @@ object Brotli {
 
     def bytePos: Int = {
       require((pos & 7) == 0)
-      pos >> 3
+      (pos >> 3).toInt
     }
 
     def skipBytes(n: Int): Unit = {
       if (pos + n.toLong * 8 > nbits) bad("truncated metadata skip")
-      pos += n * 8
+      pos += n.toLong * 8
     }
 
     def atEndByteExact: Boolean = {
@@ -198,7 +201,8 @@ object Brotli {
       // be zero and no further bytes may follow
       val rem = nbits - pos
       if (rem >= 8) false
-      else (pos until nbits.toInt).forall(p => ((b(p >> 3) >> (p & 7)) & 1) == 0)
+      else (pos until nbits).forall(p =>
+        ((b((p >> 3).toInt) >> (p & 7).toInt) & 1) == 0)
     }
   }
 
@@ -447,10 +451,14 @@ object Brotli {
     def ensure(n: Int): Unit = {
       if (len.toLong + n > cap)
         throw new WarcError("too_large", s"brotli inflates past $cap bytes")
+      // a JVM array cannot exceed ~Int.MaxValue: with a raised budget the
+      // refusal must still be typed, not an OOM/AIOOBE past the clamp
+      if (len.toLong + n > Int.MaxValue - 8)
+        throw new WarcError("too_large", "brotli inflates past the 2 GiB array bound")
       if (len + n > buf.length) {
         var nl = buf.length.toLong * 2
         while (nl < len.toLong + n) nl *= 2
-        buf = java.util.Arrays.copyOf(buf, math.min(nl, Int.MaxValue.toLong).toInt)
+        buf = java.util.Arrays.copyOf(buf, math.min(nl, Int.MaxValue.toLong - 8).toInt)
       }
     }
 

@@ -64,16 +64,21 @@ object Bzip2 {
   }
 
   // ------------------------------------------------------------ bit I/O
-  private final class BitReader(bytes: Array[Byte]) {
+  /** MSB-first reader over `bytes` starting at byte offset `base` — the
+    * offset spares the per-stream tail copy a pbzip2 file with hundreds
+    * of concatenated streams would otherwise pay (O(streams × remaining)
+    * allocation).
+    */
+  private final class BitReader(bytes: Array[Byte], base: Int = 0) {
     private var bitPos = 0L
-    private val totalBits = bytes.length.toLong * 8
+    private val totalBits = (bytes.length.toLong - base) * 8
 
     def read(n: Int): Int = {
       if (bitPos + n > totalBits) bad("truncated bitstream")
       var v = 0
       var k = 0
       while (k < n) {
-        val byteIdx = (bitPos >> 3).toInt
+        val byteIdx = base + (bitPos >> 3).toInt
         val bit = (bytes(byteIdx) >> (7 - (bitPos & 7).toInt)) & 1
         v = (v << 1) | bit
         bitPos += 1
@@ -138,7 +143,8 @@ object Bzip2 {
     var off = 0
     while (off < bytes.length) {
       if (bytes.length - off < 4 ||
-          !isBzip2(java.util.Arrays.copyOfRange(bytes, off, math.min(off + 4, bytes.length))))
+          bytes(off) != 'B' || bytes(off + 1) != 'Z' || bytes(off + 2) != 'h' ||
+          bytes(off + 3) < '1' || bytes(off + 3) > '9')
         bad("trailing garbage after stream footer")
       off += decodeStream(bytes, off, out)
     }
@@ -154,7 +160,7 @@ object Bzip2 {
       out: java.io.ByteArrayOutputStream): Int = {
     val level = bytes(off + 3) - '0'
     val blockLimit = level * 100000
-    val br = new BitReader(java.util.Arrays.copyOfRange(bytes, off + 4, bytes.length))
+    val br = new BitReader(bytes, off + 4)
     var combined = 0
     var done = false
     while (!done) {

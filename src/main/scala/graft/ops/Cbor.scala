@@ -105,8 +105,11 @@ object Cbor {
 
   private final class Reader(b: Array[Byte]) {
     var pos = 0
+    // bound math in Long: near the 2 GiB array limit `pos + n` wraps an
+    // Int and a lying length would slip past into copyOfRange
     private def need(n: Int): Unit =
-      if (pos + n > b.length) fail("truncated", s"need $n at $pos of ${b.length}")
+      if (n < 0 || pos.toLong + n > b.length)
+        fail("truncated", s"need $n at $pos of ${b.length}")
     def u8(): Int = { need(1); val v = b(pos) & 0xff; pos += 1; v }
     def beN(n: Int): Long = {
       need(n)
@@ -126,10 +129,26 @@ object Cbor {
   }
 
   private def capLen(n: Long, what: String): Int = {
-    if (n < 0 || n > graft.core.Budget.maxInflatedBytes)
+    // the Int.MaxValue bound stands on its own: with a raised budget a
+    // 2^32 declaration must refuse, not truncate to 0 via toInt
+    if (n < 0 || n > graft.core.Budget.maxInflatedBytes || n > Int.MaxValue - 8)
       fail("too_large", s"declared $what length $n")
     n.toInt
   }
+
+  /** Strict UTF-8 (RFC 8949 well-formedness): malformed bytes refuse
+    * typed instead of silently becoming U+FFFD.
+    */
+  private def utf8Strict(bytes: Array[Byte]): String =
+    try {
+      val dec = UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        fail("bad_type", "text string is not well-formed UTF-8")
+    }
 
   /** head argument for additional-info `info`; refuses indefinite (31). */
   private def arg(r: Reader, info: Int, what: String): Long = info match {
@@ -156,7 +175,7 @@ object Cbor {
       case 2 => fail("bad_type", "byte string not modeled")
       case 3 =>
         val n = capLen(arg(r, info, "text"), "text")
-        JStr(new String(r.bytes(n), UTF_8))
+        JStr(utf8Strict(r.bytes(n)))
       case 4 =>
         val n = capLen(arg(r, info, "array"), "array")
         val out = Vector.newBuilder[JVal]

@@ -94,4 +94,19 @@ class CborSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("malformed UTF-8 in a text string refuses bad_type, never U+FFFD") {
+    // major type 3 length 1, byte 0xFF: RFC 8949 well-formedness says
+    // this is not a valid item — the strict reader must not silently
+    // substitute the replacement character
+    assert(Cbor.decodeAllSafe(Array[Byte](0x61, 0xff.toByte)) == Left("bad_type"))
+    // truncated 2-byte sequence and a lone continuation byte likewise
+    assert(Cbor.decodeAllSafe(Array[Byte](0x62, 0xc3.toByte, 0x28)) == Left("bad_type"))
+    assert(Cbor.decodeAllSafe(Array[Byte](0x61, 0x80.toByte)) == Left("bad_type"))
+    // well-formed multi-byte text still decodes
+    val ok = "Größe".getBytes(UTF_8)
+    val head = Array[Byte]((0x60 | ok.length).toByte)
+    assert(Cbor.decodeAllSafe(head ++ ok) ==
+      Right(Seq(graft.etl.JStr("Größe"))))
+  }
 }
