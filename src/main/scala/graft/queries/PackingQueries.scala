@@ -563,5 +563,75 @@ object PackingQueries {
           CAST(sum(${TA.Sql.hash60("out")} % 1000000007) AS BIGINT) AS out_check
         FROM o GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // T5-style span corruption (round 14): the denoising objective's data
+    // prep — length-2 token spans starting at every position ≡ doc_id%8
+    // (mod 8) are replaced by numbered sentinels in the INPUT, and the
+    // TARGET is the sentinel-prefixed dropped spans, exactly the
+    // (inputs, targets) pair of the original objective. Sentinel k and
+    // span start are pure arithmetic (k = start DIV 8), so both sides
+    // build the strings with the same integer lambdas — Spark
+    // transform/filter/sequence, DuckDB list_transform/list_filter/range
+    // — and the checksums must agree byte-for-byte. Scale: per-row
+    // projection (whole-stage codegen, no UDF), shuffle-free to the
+    // per-source rollup.
+    GraftQuery(
+      "pack08_span_corruption",
+      (s, d) => {
+        val M = 1000000007L
+        val base = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("source"), TA.tokens(col("text")).as("toks"),
+            (col("doc_id") % 8).cast("int").as("r"))
+          .withColumn("n", size(col("toks")))
+        val out = base.select(
+          col("source"),
+          expr("""array_join(filter(transform(toks, (t, i) ->
+              CASE WHEN i % 8 = r THEN concat('<extra_id_', CAST(i DIV 8 AS STRING), '>')
+                   WHEN i % 8 = (r + 1) % 8 AND i > 0 THEN CAST(NULL AS STRING)
+                   ELSE t END), x -> x IS NOT NULL), ' ')""").as("input"),
+          expr("""CASE WHEN n > r THEN array_join(transform(
+                sequence(0, CAST((n - 1 - r) DIV 8 AS INT)), k ->
+                concat('<extra_id_', CAST(k AS STRING), '> ',
+                  element_at(toks, 8 * k + r + 1),
+                  CASE WHEN 8 * k + r + 1 < n
+                    THEN concat(' ', element_at(toks, 8 * k + r + 2))
+                    ELSE '' END)), ' ')
+            ELSE '' END""").as("target"),
+          expr("CASE WHEN n > r THEN (n - 1 - r) DIV 8 + 1 ELSE 0 END")
+            .cast("long").as("n_spans"))
+        out.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(TA.hash60(col("input")) % M).as("input_check"),
+          sum(TA.hash60(col("target")) % M).as("target_check"))
+      },
+      Some(s"""WITH t AS (SELECT source,
+            ${TA.Sql.tokens("text")} AS toks,
+            CAST(doc_id % 8 AS INT) AS r
+          FROM documents WHERE length(trim(text)) > 0),
+        x AS (SELECT source, r, toks, len(toks) AS n FROM t),
+        o AS (SELECT source,
+            array_to_string(list_filter(list_transform(range(0, n), i ->
+              CASE WHEN i % 8 = r THEN '<extra_id_' || CAST(i // 8 AS VARCHAR) || '>'
+                   WHEN i % 8 = (r + 1) % 8 AND i > 0 THEN NULL
+                   ELSE toks[CAST(i + 1 AS INT)] END), y -> y IS NOT NULL), ' ') AS input,
+            CASE WHEN n > r THEN array_to_string(list_transform(
+                range(0, (n - 1 - r) // 8 + 1), k ->
+                '<extra_id_' || CAST(k AS VARCHAR) || '> '
+                  || toks[CAST(8 * k + r + 1 AS INT)]
+                  || CASE WHEN 8 * k + r + 1 < n
+                    THEN ' ' || toks[CAST(8 * k + r + 2 AS INT)]
+                    ELSE '' END), ' ')
+              ELSE '' END AS target,
+            CASE WHEN n > r THEN (n - 1 - r) // 8 + 1 ELSE 0 END AS n_spans
+          FROM x)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_spans) AS BIGINT) AS n_spans,
+          CAST(sum(${TA.Sql.hash60("input")} % 1000000007) AS BIGINT) AS input_check,
+          CAST(sum(${TA.Sql.hash60("target")} % 1000000007) AS BIGINT) AS target_check
+        FROM o GROUP BY 1"""),
+    ),
   )
 }

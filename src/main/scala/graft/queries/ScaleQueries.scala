@@ -704,5 +704,66 @@ object ScaleQueries {
           (max_bucket * 1000000) // rows_total AS top_share_ppm
         FROM g"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Lakehouse commit-log replay (round 14): reconstruct a table
+    // snapshot from a Delta-style transaction log — JSON action lines
+    // (add/remove file, version-ordered), replayed to the live file set.
+    // Every doc contributes an `add`; every id%3==0 doc's file is later
+    // `remove`d (compaction). The log round-trips through to_json →
+    // from_json (schema-checked), then the replay is one per-file
+    // `max_by(action, version)` — at 100 TB the log keys by file path
+    // (millions of entries, kilobytes each), so the replay shuffles the
+    // LOG, never the data files, and the snapshot rollup is per table.
+    GraftQuery(
+      "layout10_commit_log",
+      (s, d) => {
+        import s.implicits._
+        val M = 1000000007L
+        val acts = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .select(col("source"), explode(array(
+            struct(col("doc_id").as("version"), lit("add").as("action"),
+              concat(lit("f"), col("doc_id"), lit(".parquet")).as("file"),
+              (lit(100L) + col("doc_id") % 50).as("size")),
+            struct((col("doc_id") + 1000000L).as("version"),
+              when(col("doc_id") % 3 === 0, lit("remove")).otherwise(lit("noop")).as("action"),
+              concat(lit("f"), col("doc_id"), lit(".parquet")).as("file"),
+              lit(0L).as("size")))).as("a"))
+          .filter(col("a.action") =!= "noop")
+          .select(col("source"), to_json(col("a")).as("line"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "version BIGINT, action STRING, file STRING, size BIGINT")
+        val replay = acts
+          .select(col("source"), from_json(col("line"), schema).as("a"))
+          .select(col("source"), col("a.*"))
+        replay
+          .groupBy(col("source"), col("file"))
+          .agg(expr("max_by(action, version)").as("last_action"),
+            max(col("size")).as("size"), count(lit(1)).as("n_actions"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("n_actions")).as("n_actions"),
+            count(when(col("last_action") === "add", lit(1))).as("n_live"),
+            sum(when(col("last_action") === "add", col("size")).otherwise(0L))
+              .as("bytes_live"),
+            sum(when(col("last_action") === "add",
+              TA.hash60(col("file")) % M).otherwise(0L)).as("live_check"))
+      },
+      Some(s"""WITH f AS (SELECT source, doc_id,
+            'f' || CAST(doc_id AS VARCHAR) || '.parquet' AS file,
+            100 + doc_id % 50 AS size,
+            CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_actions,
+            CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS live
+          FROM documents)
+        SELECT source, count(*) AS n_files,
+          CAST(sum(n_actions) AS BIGINT) AS n_actions,
+          CAST(sum(live) AS BIGINT) AS n_live,
+          CAST(sum(CASE WHEN live = 1 THEN size ELSE 0 END) AS BIGINT) AS bytes_live,
+          CAST(sum(CASE WHEN live = 1 THEN ${TA.Sql.hash60("file")} % 1000000007 ELSE 0 END)
+            AS BIGINT) AS live_check
+        FROM f GROUP BY 1"""),
+    ),
   )
 }

@@ -418,11 +418,16 @@ object WarcQueries {
         import s.implicits._
         val groups = graft.core.Caches.persist(fileGroups(s, d))
         def uri(source: String, id: Long) = s"https://example.org/$source/$id"
+        // text reduces to (bytes, hash) IN the per-file map, so the join
+        // exchange never carries document bodies — only the uri key and
+        // two longs ride the shuffle
         val wet = groups.flatMap { case (source, g, recs) =>
           val file = Warc.buildWetFile(s"$source-$g.warc.wet.gz",
             recs.map { case (id, text) => (uri(source, id), ascii(text)) })
-          Warc.wetRecords(file).map { case (u, text) => (source, u, text) }
-        }.toDF("source", "uri", "text")
+          Warc.wetRecords(file).map { case (u, text) =>
+            (source, u, text.length.toLong, h60(text) % M)
+          }
+        }.toDF("source", "uri", "txt_bytes", "txt_check")
         val wat = groups.flatMap { case (source, g, recs) =>
           val file = Warc.buildWatFile(s"$source-$g.warc.wat.gz",
             recs.map { case (id, text) =>
@@ -450,8 +455,8 @@ object WarcQueries {
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_pages"),
-            sum(length(col("text"))).as("txt_bytes"),
-            sum(TA.hash60(col("text")) % M).as("txt_check"),
+            sum(col("txt_bytes")).as("txt_bytes"),
+            sum(col("txt_check")).as("txt_check"),
             sum(col("n_links")).as("links_total"),
             sum(TA.hash60(col("title")) % M).as("title_check"))
       },
@@ -462,6 +467,65 @@ object WarcQueries {
           CAST(sum(${sqlH60Mod("'Doc ' || CAST(doc_id AS VARCHAR)")})
             AS BIGINT) AS title_check
         FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // CDXJ capture index (round 14): the lookup sidecar a web archive is
+    // randomly accessed through — one line per capture (SURT key,
+    // 14-digit timestamp, JSON metadata). Each doc becomes a
+    // deliberately-messy URL (mixed case, www prefix, unsorted query
+    // params) captured TWICE; the real SURT canonicalizer + CDXJ
+    // writer/parser (graft.ops.Cdx, pinned by CdxSpec) run per row, then
+    // the classic index query: latest capture per SURT key (max_by over
+    // one key shuffle). The oracle reconstructs the EXPECTED canonical
+    // key and latest timestamp straight from (doc_id, source) arithmetic
+    // — the UrlQueries contract: the operator must undo exactly the mess
+    // it was handed. Scale: per-row map → one keyed dedup shuffle → one
+    // small per-source rollup.
+    GraftQuery(
+      "warc05_cdx_latest",
+      (s, d) => {
+        import s.implicits._
+        val caps = Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .flatMap { case (id, src) =>
+            val url = s"HTTP://WWW.$src.org/Doc/$id?b=${id % 7}&a=${id % 3}"
+            val surt = graft.ops.Cdx.surt(url)
+            Seq(0, 1).map { k =>
+              val ts = f"2026${if (k == 0) "0101" else "0315"}${id % 24}%02d0000"
+              val line = graft.ops.Cdx.writeLine(graft.ops.Cdx.Capture(
+                surt, ts, url.toLowerCase, "text/html", 200,
+                s"sha1:${id * 2 + k}", 100L + id % 50, id * 7, s"$src.warc.gz"))
+              val c = graft.ops.Cdx.parseLine(line)
+              (src, c.surt, c.timestamp.toLong, c.digest)
+            }
+          }
+          .toDF("source", "surt", "ts", "digest")
+        caps
+          .groupBy(col("source"), col("surt"))
+          .agg(count(lit(1)).as("n_caps"), max(col("ts")).as("latest_ts"),
+            expr("max_by(digest, ts)").as("latest_digest"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_urls"),
+            sum(col("n_caps")).as("n_captures"),
+            sum(TA.hash60(col("surt")) % M).as("surt_check"),
+            sum(col("latest_ts")).as("ts_sum"),
+            sum(TA.hash60(col("latest_digest")) % M).as("digest_check"))
+      },
+      Some(s"""WITH c AS (SELECT source, doc_id,
+            'org,' || source || ')/doc/' || CAST(doc_id AS VARCHAR)
+              || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+              || '&b=' || CAST(doc_id % 7 AS VARCHAR) AS surt,
+            20260315000000 + (doc_id % 24) * 10000 AS latest_ts,
+            'sha1:' || CAST(doc_id * 2 + 1 AS VARCHAR) AS latest_digest
+          FROM documents)
+        SELECT source, count(*) AS n_urls,
+          CAST(2 * count(*) AS BIGINT) AS n_captures,
+          CAST(sum(${sqlH60Mod("surt")}) AS BIGINT) AS surt_check,
+          CAST(sum(latest_ts) AS BIGINT) AS ts_sum,
+          CAST(sum(${sqlH60Mod("latest_digest")}) AS BIGINT) AS digest_check
+        FROM c GROUP BY 1"""),
     ),
   )
 }

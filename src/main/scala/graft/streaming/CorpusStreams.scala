@@ -359,12 +359,14 @@ object CorpusStreams {
 
   /** Streaming ingest of compressed JSONL shards across EVERY codec the
     * corpus layer supports — zstd, LZ4, gzip members, bzip2 streams, xz
-    * streams, snappy framed — sniffed per shard by magic (the mixed-codec directory a
-    * long-lived corpus accumulates). Healthy shards yield one row per
-    * JSONL record; a rotten shard yields ONE typed error row from the
-    * codec's refusal vocabulary instead of a failed micro-batch. State
-    * bounded by refusal-kinds × languages; decode is a stateless
-    * per-file flatMap. Expects columns (file string, content binary).
+    * streams, snappy framed, all sniffed per shard by magic, plus
+    * brotli `.br` shards routed by extension (brotli has no magic) —
+    * the mixed-codec directory a long-lived corpus accumulates. Healthy
+    * shards yield one row per JSONL record; a rotten shard yields ONE
+    * typed error row from the codec's refusal vocabulary instead of a
+    * failed micro-batch. State bounded by refusal-kinds × languages;
+    * decode is a stateless per-file flatMap. Expects columns
+    * (file string, content binary).
     */
   def compressedJsonlScan(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
@@ -373,8 +375,8 @@ object CorpusStreams {
     val recs = files
       .select(col("file"), col("content").cast("binary"))
       .as[(String, Array[Byte])]
-      .flatMap { case (_, bytes) =>
-        val decoded = graft.ops.Zstd.decompressSniffSafe(bytes)
+      .flatMap { case (file, bytes) =>
+        val decoded = graft.ops.Zstd.decompressNamedSafe(file, bytes)
         decoded match {
           case Right(raw) =>
             new String(raw, java.nio.charset.StandardCharsets.US_ASCII)

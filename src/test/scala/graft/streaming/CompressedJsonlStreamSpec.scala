@@ -5,13 +5,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Stream/batch parity for the mixed-codec compressed-JSONL ingest:
-  * shards built from the sf0.001 documents rotating ALL SIX codecs
+  * shards built from the sf0.001 documents rotating ALL SEVEN codecs
   * (zstd, LZ4, concatenated gzip members, multi-stream bzip2, xz,
-  * snappy framed), a
-  * deterministic slice poisoned per codec (magic flip / truncation), fed
-  * in micro-batches through [[CorpusStreams.compressedJsonlScan]] —
-  * final per-(outcome, lang) totals must equal the batch run and the
-  * aggregate state must stay vocabulary-bounded.
+  * snappy framed — sniffed by magic — plus brotli `.br` shards routed
+  * by extension), a deterministic slice poisoned per codec (magic flip
+  * / truncation), fed in micro-batches through
+  * [[CorpusStreams.compressedJsonlScan]] — final per-(outcome, lang)
+  * totals must equal the batch run and the aggregate state must stay
+  * vocabulary-bounded.
   */
 class CompressedJsonlStreamSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
@@ -24,7 +25,7 @@ class CompressedJsonlStreamSpec extends SparkSpec {
       val jsonl = grp.map { case (id, lang, text) =>
         s"""{"id":$id,"lang":${graft.etl.Json.quote(lang)},"text":${graft.etl.Json.quote(text)}}"""
       }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      val clean = (gi % 6) match {
+      val clean = (gi % 7) match {
         case 0 => graft.ops.Zstd.compress(jsonl)
         case 1 => graft.ops.Zstd.compressLz4(jsonl)
         case 2 =>
@@ -34,14 +35,18 @@ class CompressedJsonlStreamSpec extends SparkSpec {
               java.util.Arrays.copyOfRange(jsonl, cut, jsonl.length))
         case 3 => graft.ops.Bzip2.compress(jsonl, 1)
         case 4 => graft.ops.Xz.compress(jsonl, 1, if (gi % 2 == 0) 1 else 4)
-        case _ => graft.ops.Snappy.compress(jsonl)
+        case 5 => graft.ops.Snappy.compress(jsonl)
+        case _ => graft.ops.Brotli.compress(jsonl)
       }
       val bytes = (gi % 11) match {
+        // brotli has no magic to flip: its poison twin is trailing
+        // garbage, which the final-byte gate refuses as bad_frame
+        case 0 if gi % 7 == 6 => clean :+ 0x41.toByte
         case 0 => val b = clean.clone(); b(0) = (b(0) ^ 0x5a).toByte; b
         case 1 => java.util.Arrays.copyOf(clean, clean.length - 5)
         case _ => clean
       }
-      (s"s$gi.comp", bytes)
+      (if (gi % 7 == 6) s"s$gi.jsonl.br" else s"s$gi.comp", bytes)
     }.toSeq
   }
 
