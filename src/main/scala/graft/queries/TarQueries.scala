@@ -734,6 +734,66 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // Zstd SEEKABLE archives (round 14): the random-access layout for
+    // big compressed shards (facebook/zstd contrib format — bounded
+    // frames + a skippable-frame seek table). Each shard becomes a
+    // seekable archive with 512-byte frames; the query serves a narrow
+    // byte range per shard through the seek table and PROVES the
+    // skipping: frames_read (covering frames only) and n_frames both
+    // aggregate, and the oracle recomputes the slice, the frame
+    // arithmetic, and the totals straight from the payload — a reader
+    // that silently replays from the start would still match the slice
+    // but fail frames_read. Scale: this is how "read bytes [a,b) of a
+    // 2 GB shard" stays O(range) instead of O(shard) at 100 TB.
+    GraftQuery(
+      "zst04_seekable_range",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).map { case (source, _, recs) =>
+            val payload = recs.map { case (id, text, _) => s"doc $id $text" }
+              .mkString("\n")
+            val raw = ascii(payload)
+            val arch = graft.ops.ZstdSeekable.compress(raw, frameSize = 512)
+            val table = graft.ops.ZstdSeekable.seekTable(arch)
+            val off = raw.length / 3
+            val len = math.min(64, raw.length - off)
+            val (got, framesRead) = graft.ops.ZstdSeekable.readRange(arch, table, off, len)
+            (source, raw.length.toLong,
+              h60(new String(got, java.nio.charset.StandardCharsets.US_ASCII)) % M,
+              framesRead.toLong, table.numFrames.toLong)
+          }
+          .toDF("source", "bytes", "slice_check", "frames_read", "n_frames")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_shards"),
+            sum(col("bytes")).as("bytes_total"),
+            sum(col("slice_check")).as("slices_check"),
+            sum(col("frames_read")).as("frames_read"),
+            sum(col("n_frames")).as("frames_total"))
+      },
+      Some(s"""WITH g AS (SELECT source, doc_id // 8 AS g,
+            string_agg('doc ' || CAST(doc_id AS VARCHAR) || ' ' || text,
+              chr(10) ORDER BY doc_id) AS payload
+          FROM documents GROUP BY 1, 2),
+        x AS (SELECT source, length(payload) AS bytes,
+            length(payload) // 3 AS o,
+            least(64, length(payload) - length(payload) // 3) AS l,
+            payload
+          FROM g),
+        f AS (SELECT source, bytes,
+            ${sqlH60Mod("substring(payload, o + 1, l)")} AS slice_check,
+            (o + l - 1) // 512 - o // 512 + 1 AS frames_read,
+            (bytes - 1) // 512 + 1 AS n_frames
+          FROM x)
+        SELECT source, count(*) AS n_shards,
+          CAST(sum(bytes) AS BIGINT) AS bytes_total,
+          CAST(sum(slice_check) AS BIGINT) AS slices_check,
+          CAST(sum(frames_read) AS BIGINT) AS frames_read,
+          CAST(sum(n_frames) AS BIGINT) AS frames_total
+        FROM f GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Brotli shard round trip (round 14): `.jsonl.br` dumps and
     // `Content-Encoding: br` crawl bodies are the one common web-corpus
     // compression the codec matrix lacked. The writer emits uncompressed

@@ -55,4 +55,40 @@ class PlanShapeSpec extends SparkSpec {
       assert(countShuffles(df.queryExecution.executedPlan) <= 1, name)
     }
   }
+
+  // ------------------------------------------------------- round 14 ----
+
+  test("round-14 codec/per-row queries keep the shard-map + rollup shape") {
+    for ((name, maxShuffles) <- Seq(
+        "br01_brotli_jsonl" -> 2, "br02_poisoned_brotli" -> 2,
+        "pack08_span_corruption" -> 1,
+        // mm22 carries mm13's deliberate pre-map repartition (spread the
+        // per-row codec work) plus its single rollup
+        "mm22_lossy_alpha" -> 2)) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      assert(countShuffles(df.queryExecution.executedPlan) <= maxShuffles, name)
+    }
+  }
+
+  test("warc05 and layout10 stay at two shuffles (key dedup/replay, then rollup)") {
+    for (name <- Seq("warc05_cdx_latest", "layout10_commit_log")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      assert(countShuffles(df.queryExecution.executedPlan) <= 2, name)
+    }
+  }
+
+  test("warc04's uri join exchange carries no document bodies") {
+    val df = SparkEntry.queries("warc04_wet_wat")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the WET side must reduce text to (txt_bytes, txt_check) BEFORE the
+    // join: a `text` attribute inside any Exchange output is the
+    // 15.7x-ratio regression this gate exists to stop
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
+      s"text column rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
