@@ -1,0 +1,303 @@
+package graft.ops
+
+/** GGUF container support (the llama.cpp model/tensor format; public
+  * spec: ggml's docs/gguf.md, version 3) — the one tensor container the
+  * shard matrix (safetensors / npy / tfrecord / arrow) still lacked, and
+  * the format local-inference model dumps actually ship. Little-endian
+  * throughout: "GGUF" magic, u32 version, u64 tensor/metadata counts,
+  * typed metadata KVs (scalars, strings, typed arrays), a tensor
+  * directory (name, dims, ggml type, data-relative offset), then the
+  * data section aligned to `general.alignment` (default 32).
+  *
+  * Supported tensor types: F32 (0) and F16 (1) — the unquantized forms a
+  * data pipeline writes and audits. The k-quant / block-quant forms
+  * refuse `unsupported` with the type id rather than guessing block
+  * layouts. Contract matches [[Safetensors]]: strict bounded reader
+  * (counts/offsets validated before any allocation, overlap-free
+  * monotone tensor regions, alignment enforced, budget-capped), typed
+  * refusals, deterministic writer. GgufSpec pins the reader against
+  * fixtures from an independent python transcription of the same spec
+  * and runs the mutation sweep.
+  */
+object Gguf {
+
+  import Warc.WarcError
+
+  private def bad(msg: String): Nothing = throw new WarcError("bad_frame", msg)
+
+  sealed trait MetaVal
+  final case class MString(s: String) extends MetaVal
+  final case class MInt(v: Long) extends MetaVal
+  final case class MFloat(v: Double) extends MetaVal
+  final case class MBool(b: Boolean) extends MetaVal
+  final case class MArray(items: Vector[MetaVal]) extends MetaVal
+
+  final case class TensorInfo(name: String, dims: Vector[Long],
+      ggmlType: Int, offset: Long) {
+    /** checked product: 8 lying 2^31 dims would overflow a plain fold */
+    def elements: Long = dims.foldLeft(1L) { (acc, d) =>
+      val v = acc * d
+      if (acc != 0 && (v / acc != d || v > (1L << 40)))
+        throw new WarcError("too_large", s"$name: ${dims.mkString("x")} elements")
+      v
+    }
+    def byteSize: Long = ggmlType match {
+      case 0 => elements * 4 // F32
+      case 1 => elements * 2 // F16
+      case t => throw new WarcError("unsupported", s"ggml tensor type $t")
+    }
+  }
+
+  final case class Model(metadata: Vector[(String, MetaVal)],
+      tensors: Vector[TensorInfo], data: Array[Byte], alignment: Int) {
+    def meta(key: String): Option[MetaVal] =
+      metadata.collectFirst { case (k, v) if k == key => v }
+
+    def floats(name: String): Array[Float] = {
+      val t = tensors.find(_.name == name)
+        .getOrElse(bad(s"no tensor named $name"))
+      val n = t.elements.toInt
+      val out = new Array[Float](n)
+      var i = 0
+      t.ggmlType match {
+        case 0 =>
+          while (i < n) {
+            val o = t.offset.toInt + i * 4
+            out(i) = java.lang.Float.intBitsToFloat(
+              (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
+                ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24))
+            i += 1
+          }
+        case 1 =>
+          while (i < n) {
+            val o = t.offset.toInt + i * 2
+            val h = ((data(o) & 0xff) | ((data(o + 1) & 0xff) << 8)).toShort
+            out(i) = Safetensors.halfToFloat(h)
+            i += 1
+          }
+        case t2 => throw new WarcError("unsupported", s"ggml tensor type $t2")
+      }
+      out
+    }
+  }
+
+  // -------------------------------------------------------------- read --
+
+  private final class Reader(b: Array[Byte]) {
+    var pos = 0
+    def need(n: Long): Unit =
+      if (n < 0 || pos.toLong + n > b.length)
+        throw new WarcError("truncated", s"need $n at $pos of ${b.length}")
+    def u32(): Long = {
+      need(4)
+      val v = (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
+        ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
+      pos += 4
+      v
+    }
+    def u64(): Long = {
+      need(8)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (b(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      need(n)
+      val a = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n
+      a
+    }
+    def str(): String = {
+      val n = u64()
+      if (n > (1L << 20)) bad(s"string length $n")
+      new String(bytes(n.toInt), java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  private def readValue(r: Reader, tpe: Long, depth: Int): MetaVal = {
+    if (depth > 4) bad("metadata nesting past 4")
+    def u16(): Int = {
+      val b = r.bytes(2)
+      (b(0) & 0xff) | ((b(1) & 0xff) << 8)
+    }
+    tpe match {
+      case 0 => MInt(r.bytes(1)(0) & 0xffL) // uint8
+      case 1 => MInt(r.bytes(1)(0).toLong) // int8
+      case 2 => MInt(u16().toLong) // uint16
+      case 3 => MInt(u16().toShort.toLong) // int16
+      case 4 => MInt(r.u32()) // uint32
+      case 5 => MInt(r.u32().toInt.toLong) // int32
+      case 6 => MFloat(java.lang.Float.intBitsToFloat(r.u32().toInt).toDouble)
+      case 7 =>
+        val v = r.bytes(1)(0) & 0xff
+        if (v > 1) bad(s"bool value $v")
+        MBool(v == 1)
+      case 8 => MString(r.str())
+      case 9 =>
+        val et = r.u32()
+        if (et == 9) bad("nested metadata arrays")
+        val n = r.u64()
+        if (n > (1L << 20)) throw new WarcError("too_large", s"metadata array of $n")
+        MArray(Vector.fill(n.toInt)(readValue(r, et, depth + 1)))
+      case 10 => MInt(r.u64()) // uint64 (may wrap negative past 2^63 — callers treat as raw bits)
+      case 11 => MInt(r.u64()) // int64
+      case 12 => MFloat(java.lang.Double.longBitsToDouble(r.u64()))
+      case other => throw new WarcError("unsupported", s"metadata value type $other")
+    }
+  }
+
+  def read(bytes: Array[Byte]): Model = {
+    val r = new Reader(bytes)
+    if (bytes.length < 4 || bytes(0) != 'G' || bytes(1) != 'G' ||
+        bytes(2) != 'U' || bytes(3) != 'F')
+      throw new WarcError("bad_magic", "no GGUF magic")
+    r.pos = 4
+    val version = r.u32()
+    if (version != 3) throw new WarcError("unsupported", s"GGUF version $version")
+    val nTensors = r.u64()
+    val nKv = r.u64()
+    if (nTensors < 0 || nTensors > (1L << 20)) bad(s"tensor count $nTensors")
+    if (nKv < 0 || nKv > (1L << 20)) bad(s"metadata count $nKv")
+    val kvs = Vector.fill(nKv.toInt) {
+      val k = r.str()
+      val tpe = r.u32()
+      k -> readValue(r, tpe, 0)
+    }
+    val alignment = kvs.collectFirst {
+      case ("general.alignment", MInt(a)) => a
+    }.getOrElse(32L)
+    if (alignment < 1 || alignment > (1L << 20) ||
+        java.lang.Long.bitCount(alignment) != 1)
+      bad(s"alignment $alignment")
+    val infos = Vector.fill(nTensors.toInt) {
+      val name = r.str()
+      val nDims = r.u32()
+      if (nDims < 1 || nDims > 8) bad(s"$name: $nDims dims")
+      val dims = Vector.fill(nDims.toInt) {
+        val d = r.u64()
+        if (d < 1 || d > Int.MaxValue) bad(s"$name: dim $d")
+        d
+      }
+      val tpe = r.u32()
+      val off = r.u64()
+      TensorInfo(name, dims, tpe.toInt, off)
+    }
+    if (infos.map(_.name).distinct.size != infos.size) bad("duplicate tensor names")
+    val dataStart = {
+      val p = r.pos.toLong
+      ((p + alignment - 1) / alignment) * alignment
+    }
+    if (dataStart > bytes.length) throw new WarcError("truncated", "no data section")
+    val dataLen = bytes.length - dataStart
+    // monotone, overlap-free, aligned, in-bounds regions; the gap before
+    // each tensor may only be alignment padding
+    var expected = 0L
+    var total = 0L
+    infos.foreach { t =>
+      if (t.offset % alignment != 0) bad(s"${t.name}: unaligned offset ${t.offset}")
+      if (t.offset < expected) bad(s"${t.name}: overlapping region")
+      if (t.offset - expected >= alignment) bad(s"${t.name}: oversized gap")
+      val sz = t.byteSize
+      if (t.offset + sz > dataLen) throw new WarcError("truncated",
+        s"${t.name}: [${t.offset}, ${t.offset + sz}) past data section $dataLen")
+      total += sz
+      if (total > graft.core.Budget.maxInflatedBytes)
+        throw new WarcError("too_large", s"tensors declare $total bytes past the budget")
+      expected = t.offset + sz
+    }
+    if (dataLen - expected >= alignment) bad("trailing garbage after the last tensor")
+    Model(kvs, infos, java.util.Arrays.copyOfRange(
+      bytes, dataStart.toInt, bytes.length), alignment.toInt)
+  }
+
+  def readSafe(bytes: Array[Byte]): Either[String, Model] =
+    try Right(read(bytes))
+    catch {
+      case e: WarcError => Left(e.kind)
+      case _: Exception => Left("bad_frame")
+    }
+
+  // ------------------------------------------------------------- write --
+
+  /** Deterministic GGUF v3 writer: string/int/float/bool/array metadata,
+    * F32/F16 tensors laid out in order with alignment padding.
+    */
+  def write(metadata: Seq[(String, MetaVal)],
+      tensors: Seq[(String, Vector[Long], Either[Array[Float], Array[Short]])],
+      alignment: Int = 32): Array[Byte] = {
+    require(alignment >= 1 && Integer.bitCount(alignment) == 1, "alignment")
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32((v >>> 32) & 0xffffffffL) }
+    def str(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u64(b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    def value(v: MetaVal): Unit = v match {
+      case MString(s) => u32(8); str(s)
+      case MInt(x) => u32(11); u64(x) // int64
+      case MFloat(x) => u32(12); u64(java.lang.Double.doubleToLongBits(x))
+      case MBool(b) => u32(7); out.write(if (b) 1 else 0)
+      case MArray(items) =>
+        u32(9)
+        val et = items.headOption match {
+          case Some(MString(_)) => 8L
+          case Some(MInt(_)) => 11L
+          case Some(MFloat(_)) => 12L
+          case Some(MBool(_)) => 7L
+          case _ => 11L
+        }
+        u32(et)
+        u64(items.length.toLong)
+        items.foreach {
+          case MString(s) => str(s)
+          case MInt(x) => u64(x)
+          case MFloat(x) => u64(java.lang.Double.doubleToLongBits(x))
+          case MBool(b) => out.write(if (b) 1 else 0)
+          case MArray(_) => throw new IllegalArgumentException("nested arrays unsupported")
+        }
+    }
+    out.write("GGUF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u32(3)
+    u64(tensors.length.toLong)
+    u64((metadata.length + 1).toLong)
+    str("general.alignment"); u32(4); u32(alignment.toLong) // uint32 kv
+    metadata.foreach { case (k, v) => str(k); value(v) }
+    var off = 0L
+    val sizes = tensors.map { case (name, dims, payload) =>
+      val (tpe, sz) = payload match {
+        case Left(f) =>
+          require(f.length.toLong == dims.product, s"$name: f32 size"); (0, f.length.toLong * 4)
+        case Right(h) =>
+          require(h.length.toLong == dims.product, s"$name: f16 size"); (1, h.length.toLong * 2)
+      }
+      str(name)
+      u32(dims.length.toLong)
+      dims.foreach(u64)
+      u32(tpe.toLong)
+      u64(off)
+      val padded = ((sz + alignment - 1) / alignment) * alignment
+      off += padded
+      padded
+    }
+    val _ = sizes
+    while (out.size() % alignment != 0) out.write(0)
+    tensors.foreach { case (_, _, payload) =>
+      val before = out.size()
+      payload match {
+        case Left(f) => f.foreach(x => u32(java.lang.Float.floatToIntBits(x).toLong & 0xffffffffL))
+        case Right(h) => h.foreach { s =>
+          out.write(s & 0xff); out.write((s >> 8) & 0xff)
+        }
+      }
+      while ((out.size() - before) % alignment != 0) out.write(0)
+    }
+    out.toByteArray
+  }
+}

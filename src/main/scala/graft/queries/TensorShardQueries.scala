@@ -617,5 +617,73 @@ object TensorShardQueries {
           CAST(sum(length(text)) AS BIGINT) AS caption_bytes
         FROM s GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // GGUF embedding-shard round trip (round 14 — [[graft.ops.Gguf]], the
+    // llama.cpp container local-inference dumps ship; completes the
+    // tensor matrix after npz/safetensors/Arrow): each shard group
+    // becomes one GGUF v3 file with an F32 `vecs` tensor and the ids as
+    // an INT64 metadata array, strictly re-read (alignment, monotone
+    // regions, typed refusals — GgufSpec pins the layout against an
+    // independent python transcription). Same fixed-point checksum
+    // contract as st01. Scale: per-shard map, one small-keyed aggregate.
+    GraftQuery(
+      "gg01_gguf_shards",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .flatMap { case (g, recs) =>
+            val n = recs.length
+            val dim = recs.head._2.length
+            val flat = new Array[Float](n * dim)
+            var i = 0
+            recs.foreach { case (_, v) => v.foreach { x => flat(i) = x; i += 1 } }
+            val shard = graft.ops.Gguf.write(
+              Seq(
+                "general.name" -> graft.ops.Gguf.MString(s"shard-$g"),
+                "graft.ids" -> graft.ops.Gguf.MArray(
+                  recs.map(r => graft.ops.Gguf.MInt(r._1)).toVector)),
+              Seq(("vecs", Vector(n.toLong, dim.toLong), Left(flat))))
+            val m = graft.ops.Gguf.read(shard)
+            require(m.meta("general.name").contains(graft.ops.Gguf.MString(s"shard-$g")))
+            val ids = m.meta("graft.ids").get.asInstanceOf[graft.ops.Gguf.MArray]
+              .items.map(_.asInstanceOf[graft.ops.Gguf.MInt].v)
+            val vs = m.floats("vecs")
+            val bdim = m.tensors.find(_.name == "vecs").get.dims(1).toInt
+            ids.iterator.zipWithIndex.map { case (id, r) =>
+              var vc = 0L
+              var j = r * bdim
+              val end = j + bdim
+              while (j < end) {
+                vc += new java.math.BigDecimal(vs(j).toDouble * 1024.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                j += 1
+              }
+              (g % 8, id, bdim.toLong, vc)
+            }
+          }
+          .toDF("bucket", "id", "dim", "vc")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("id")).as("id_sum"),
+            sum(col("dim")).as("dim_sum"),
+            sum(col("vc")).as("val_check"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          x AS (SELECT (vec_id // 32) % 8 AS bucket, vec_id, len(v) AS dim,
+              CAST(list_sum(list_transform(v,
+                y -> CAST(round(y * 1024) AS BIGINT))) AS BIGINT) AS vc
+            FROM e)
+        SELECT bucket, count(*) AS n_vecs,
+          CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          CAST(sum(dim) AS BIGINT) AS dim_sum,
+          CAST(sum(vc) AS BIGINT) AS val_check
+        FROM x GROUP BY 1"""),
+    ),
   )
 }

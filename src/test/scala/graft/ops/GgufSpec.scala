@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import graft.etl.{JArr, JBool, JFloat, JInt, JObj, JStr, Json}
+
+/** Locks on the GGUF v3 reader/writer (graft.ops.Gguf): the independent
+  * python transcription's fixture decodes exactly (every metadata value
+  * type, F32 bit patterns, F16 dequantization, 64-byte alignment),
+  * quantized tensors refuse typed, round trips through our writer, and
+  * the mutation/truncation sweep stays typed.
+  */
+class GgufSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("python-transcription fixture decodes exactly (metadata types, F32 bits, F16)") {
+    val exp = Json.parse(new String(fixture("gguf_expected.json"), US_ASCII))
+      .asInstanceOf[JObj].fields.toMap
+    val m = Gguf.read(fixture("gguf_v3_full.gguf"))
+    assert(m.alignment == 64)
+    val em = exp("meta").asInstanceOf[JObj].fields.toMap
+    def mi(k: String): Long = m.meta(k).get.asInstanceOf[Gguf.MInt].v
+    assert(m.meta("general.name").contains(Gguf.MString("graft fixture")))
+    for (k <- Seq("m.u8", "m.i8", "m.u16", "m.i16", "m.u32", "m.i32",
+        "m.u64", "m.i64"))
+      assert(mi(k) == em(k).asInstanceOf[JInt].i.toLong, k)
+    assert(m.meta("m.f32").get.asInstanceOf[Gguf.MFloat].v == 0.25)
+    assert(math.abs(m.meta("m.f64").get.asInstanceOf[Gguf.MFloat].v
+      - 2.718281828) < 1e-12)
+    assert(m.meta("m.bool").contains(Gguf.MBool(true)))
+    assert(m.meta("m.strs").get == Gguf.MArray(Vector(
+      Gguf.MString("alpha"), Gguf.MString("beta"))))
+    assert(m.meta("m.ints").get == Gguf.MArray(Vector(
+      Gguf.MInt(1), Gguf.MInt(-2), Gguf.MInt(3))))
+    // F32 bit patterns exactly
+    val embBits = exp("emb_bits").asInstanceOf[JArr].items
+      .map(_.asInstanceOf[JInt].i.toInt)
+    val emb = m.floats("emb.weight")
+    assert(m.tensors.find(_.name == "emb.weight").get.dims == Vector(2L, 3L))
+    assert(emb.toSeq.map(java.lang.Float.floatToRawIntBits) == embBits)
+    // F16 dequantized exactly as python's binary16 unpack
+    val halfVals = exp("half_vals").asInstanceOf[JArr].items.map {
+      case JFloat(d) => d.toFloat
+      case JInt(i) => i.toFloat
+      case other => fail(s"$other")
+    }
+    assert(m.floats("half.bias").toSeq == halfVals)
+  }
+
+  test("quantized tensor types refuse unsupported, never a guessed block layout") {
+    assert(Gguf.readSafe(fixture("gguf_quantized.gguf")) == Left("unsupported"))
+  }
+
+  test("round trip through our writer: metadata + F32 + F16 tensors") {
+    val f = Array(1.0f, 2.5f, -3.25f, 1e-7f, 0f, 42f)
+    val h = Array[Short](0x3c00.toShort, 0xbc00.toShort, 0x4000.toShort, 0)
+    val bytes = Gguf.write(
+      Seq("general.name" -> Gguf.MString("rt"),
+        "ids" -> Gguf.MArray(Vector(Gguf.MInt(7), Gguf.MInt(8)))),
+      Seq(("a", Vector(2L, 3L), Left(f)), ("b", Vector(4L), Right(h))))
+    assert(java.util.Arrays.equals(bytes, Gguf.write(
+      Seq("general.name" -> Gguf.MString("rt"),
+        "ids" -> Gguf.MArray(Vector(Gguf.MInt(7), Gguf.MInt(8)))),
+      Seq(("a", Vector(2L, 3L), Left(f)), ("b", Vector(4L), Right(h))))))
+    val m = Gguf.read(bytes)
+    assert(m.meta("general.name").contains(Gguf.MString("rt")))
+    assert(m.meta("ids").get == Gguf.MArray(Vector(Gguf.MInt(7), Gguf.MInt(8))))
+    assert(m.floats("a").toSeq == f.toSeq)
+    assert(m.floats("b").toSeq == h.toSeq.map(Safetensors.halfToFloat))
+  }
+
+  test("refusals are typed: magic, version, lying offsets, bombs, mutations, cuts") {
+    assert(Gguf.readSafe("notgguf".getBytes(US_ASCII)) == Left("bad_magic"))
+    val good = Gguf.write(Seq("k" -> Gguf.MString("v")),
+      Seq(("t", Vector(8L), Left(Array.fill(8)(1.0f)))))
+    // version flip
+    val v2 = good.clone(); v2(4) = 2
+    assert(Gguf.readSafe(v2) == Left("unsupported"))
+    // budget bomb: huge declared dims refuse before allocation
+    val old = graft.core.Budget.maxInflatedBytes
+    graft.core.Budget.maxInflatedBytes = 16
+    try assert(Gguf.readSafe(good) == Left("too_large"))
+    finally graft.core.Budget.maxInflatedBytes = old
+    val kinds = Set("bad_magic", "bad_frame", "truncated", "too_large", "unsupported")
+    for (pos <- good.indices; x <- Seq(0x01, 0x5a, 0x80, 0xff)) {
+      val m = good.clone(); m(pos) = (m(pos) ^ x).toByte
+      Gguf.readSafe(m) match {
+        case Left(k) => assert(kinds.contains(k), s"pos=$pos x=$x kind=$k")
+        case Right(_) => ()
+      }
+    }
+    for (n <- 0 until good.length)
+      assert(Gguf.readSafe(java.util.Arrays.copyOf(good, n)).isLeft, s"cut $n")
+  }
+}
