@@ -5,10 +5,13 @@ package graft.ops
   * timestamp, JSON metadata) and the thing a 100 TB archive is randomly
   * accessed through. Written from the public conventions: the CDXJ line
   * grammar used by pywb/OpenWayback and the SURT (Sort-friendly URI
-  * Reordering Transform) canonical key — lowercase, scheme/userinfo
-  * dropped, default port dropped, host labels reversed and comma-joined,
-  * `)` before the path, query parameters sorted, fragment dropped, one
-  * leading `www.` label stripped (the pywb default canonicalizer).
+  * Reordering Transform) canonical key — the WHOLE url lowercased
+  * (query included), scheme/userinfo dropped, default port dropped,
+  * host labels reversed and comma-joined (IP-literal hosts kept
+  * verbatim — reversing an address is meaningless; bracketed IPv6
+  * refuses typed), `)` before the path, query parameters sorted,
+  * fragment dropped, one leading `www.` label stripped (the pywb
+  * default canonicalizer).
   *
   * The typed-refusal contract matches [[Warc]]: a malformed line is a
   * `bad_record`, never a throw.
@@ -51,19 +54,25 @@ object Cdx {
       case i => (hostPort.substring(0, i), hostPort.substring(i + 1))
     }
     if (host0.isEmpty) fail(s"empty host in $url")
+    if (host0.startsWith("[")) fail(s"bracketed IPv6 host in $url")
     val host1 = host0.toLowerCase
-    val host = if (host1.startsWith("www.") && host1.count(_ == '.') >= 2)
+    // IP-literal hosts are NOT label-reversed and never www-stripped
+    // (the Heritrix/pywb SURT rule — reversing an address is meaningless)
+    val isIp = host1.nonEmpty && host1.forall(c => c.isDigit || c == '.')
+    val host = if (!isIp && host1.startsWith("www.") && host1.count(_ == '.') >= 2)
       host1.substring(4) else host1
     val keepPort = port.nonEmpty &&
       !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
-    val revHost = host.split('.').reverse.mkString(",")
+    val revHost = if (isIp) host else host.split('.').reverse.mkString(",")
     val (path, query) = pathQuery.indexOf('?') match {
       case -1 => (pathQuery, "")
       case i => (pathQuery.substring(0, i), pathQuery.substring(i + 1))
     }
+    // the pywb default canonicalizer lowercases the WHOLE url, query
+    // included, before keying
     val sortedQuery =
       if (query.isEmpty) ""
-      else "?" + query.split('&').toSeq.sorted.mkString("&")
+      else "?" + query.toLowerCase.split('&').toSeq.sorted.mkString("&")
     val portPart = if (keepPort) s":$port" else ""
     s"$revHost$portPart)${path.toLowerCase}$sortedQuery"
   }

@@ -111,7 +111,8 @@ object Gguf {
     }
     def str(): String = {
       val n = u64()
-      if (n > (1L << 20)) bad(s"string length $n")
+      // u64 >= 2^63 reads as a negative Long — the < 0 arm is load-bearing
+      if (n < 0 || n > (1L << 20)) bad(s"string length $n")
       new String(bytes(n.toInt), java.nio.charset.StandardCharsets.UTF_8)
     }
   }
@@ -139,7 +140,8 @@ object Gguf {
         val et = r.u32()
         if (et == 9) bad("nested metadata arrays")
         val n = r.u64()
-        if (n > (1L << 20)) throw new WarcError("too_large", s"metadata array of $n")
+        if (n < 0 || n > (1L << 20))
+          throw new WarcError("too_large", s"metadata array of $n")
         MArray(Vector.fill(n.toInt)(readValue(r, et, depth + 1)))
       case 10 => MInt(r.u64()) // uint64 (may wrap negative past 2^63 — callers treat as raw bits)
       case 11 => MInt(r.u64()) // int64
@@ -253,6 +255,15 @@ object Gguf {
           case Some(MBool(_)) => 7L
           case _ => 11L
         }
+        // heterogeneous arrays would serialize each item per its runtime
+        // type under a single declared element type — corrupt GGUF
+        require(items.forall {
+          case MString(_) => et == 8L
+          case MInt(_) => et == 11L
+          case MFloat(_) => et == 12L
+          case MBool(_) => et == 7L
+          case MArray(_) => false
+        }, "metadata array items must share one type")
         u32(et)
         u64(items.length.toLong)
         items.foreach {
@@ -270,7 +281,7 @@ object Gguf {
     str("general.alignment"); u32(4); u32(alignment.toLong) // uint32 kv
     metadata.foreach { case (k, v) => str(k); value(v) }
     var off = 0L
-    val sizes = tensors.map { case (name, dims, payload) =>
+    tensors.foreach { case (name, dims, payload) =>
       val (tpe, sz) = payload match {
         case Left(f) =>
           require(f.length.toLong == dims.product, s"$name: f32 size"); (0, f.length.toLong * 4)
@@ -282,11 +293,8 @@ object Gguf {
       dims.foreach(u64)
       u32(tpe.toLong)
       u64(off)
-      val padded = ((sz + alignment - 1) / alignment) * alignment
-      off += padded
-      padded
+      off += ((sz + alignment - 1) / alignment) * alignment
     }
-    val _ = sizes
     while (out.size() % alignment != 0) out.write(0)
     tensors.foreach { case (_, _, payload) =>
       val before = out.size()

@@ -62,7 +62,9 @@ object Webp {
     while (off + 8 <= end) {
       val cc = fourcc(bytes, off)
       val len = le32(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= end, "truncated WebP chunk")
+      // bounds in Long: a declared len near Int.MaxValue would wrap the
+      // Int sum past the guard and walk off the array
+      require(len >= 0 && off.toLong + 8 + len <= end, "truncated WebP chunk")
       out += ((cc, off + 8, len))
       off += 8 + len + (len & 1) // chunks pad to even
     }
@@ -348,11 +350,15 @@ object Webp {
     var pos = 0
     val n = out.length
     while (pos < n) {
-      val x = pos % xsize
-      val y = pos / xsize
+      // the coordinate math exists only for the meta-group lookup; the
+      // common no-meta case must not pay a div+mod per pixel
       val grp =
         if (metaImage == null) 0
-        else (metaImage((y >> metaBits) * mw + (x >> metaBits)) >> 8) & 0xffff
+        else {
+          val x = pos % xsize
+          val y = pos / xsize
+          (metaImage((y >> metaBits) * mw + (x >> metaBits)) >> 8) & 0xffff
+        }
       val s = greens(grp).next(br)
       if (s < 256) {
         val red = reds(grp).next(br)
@@ -933,6 +939,20 @@ object Webp {
     lengths
   }
 
+  /** Optimal lengths when they fit the depth cap, the complete bounded
+    * code otherwise — skewed histograms (review find: Fibonacci-like
+    * frequencies push the two-queue build past 15) must degrade to a
+    * legal code, not crash the writer.
+    */
+  private def lengthsCapped(freq: Array[Long], cap: Int): Array[Int] = {
+    val active = freq.count(_ > 0)
+    if (active.toLong > (1L << cap)) // cannot fit any complete code
+      throw new IllegalArgumentException("alphabet too large for depth cap")
+    val h = try huffmanLengths(freq)
+    catch { case _: IllegalArgumentException => boundedCompleteLengths(freq, cap) }
+    if (h.max <= cap) h else boundedCompleteLengths(freq, cap)
+  }
+
   /** COMPLETE prefix code of depth ≤ maxLen: the 2^L − k shortest slots
     * go to the most frequent symbols (k symbols, L = ⌈log2 k⌉ — Kraft
     * sum exactly 1 by construction).
@@ -968,25 +988,35 @@ object Webp {
       codes
     } else {
       bw.write(0, 1) // full code
+      // a fully-used power-of-two alphabet with all-equal lengths would
+      // give the code-length code a SINGLE active symbol — which the
+      // decoder (and libwebp) reads as a 0-bit code while the writer
+      // below emits 1-bit codes (review find). Perturb to the complete
+      // unbalanced form (one symbol shorter, two longer): same alphabet,
+      // still Kraft-exact, and the clc gains three active symbols.
+      val safeLengths =
+        if (lengths.forall(_ == lengths(0)) && lengths(0) < 15 && lengths(0) >= 2) {
+          val l = lengths.clone()
+          l(0) = l(0) - 1
+          l(l.length - 1) = l(l.length - 1) + 1
+          l(l.length - 2) = l(l.length - 2) + 1
+          l
+        } else lengths
       // clc over the literal length values (no 16/17/18 run codes except
       // emitting long zero runs with 17/18 would shrink output; literals
       // keep the encoder simple and the stream legal)
       val clcFreq = new Array[Long](19)
-      lengths.foreach(l => clcFreq(l) += 1)
-      val clcLengths = {
-        val h = huffmanLengths(clcFreq)
-        if (h.max <= 7) h
-        else boundedCompleteLengths(clcFreq, 7) // 3-bit length fields cap clc at 7
-      }
+      safeLengths.foreach(l => clcFreq(l) += 1)
+      val clcLengths = lengthsCapped(clcFreq, 7) // 3-bit fields cap clc at 7
       bw.write(15, 4) // num_code_lengths = 19
       ClcOrder.foreach(sym => bw.write(clcLengths(sym), 3))
       bw.write(0, 1) // no max-symbol cap
       val clcCodes = canonicalCodes(clcLengths)
-      lengths.foreach { l =>
+      safeLengths.foreach { l =>
         val (c, n) = clcCodes(l)
         writeCodeMsbFirst(bw, c, n)
       }
-      canonicalCodes(lengths)
+      canonicalCodes(safeLengths)
     }
   }
 
@@ -1035,10 +1065,10 @@ object Webp {
       vals.foreach(v => f(v) += 1)
       f
     }
-    val greenCodes = writeHuffmanCode(bw, huffmanLengths(freqOf(gs, 256 + 24)))
-    val redCodes = writeHuffmanCode(bw, huffmanLengths(freqOf(rs, 256)))
-    val blueCodes = writeHuffmanCode(bw, huffmanLengths(freqOf(bs, 256)))
-    val alphaCodes = writeHuffmanCode(bw, huffmanLengths(freqOf(as, 256)))
+    val greenCodes = writeHuffmanCode(bw, lengthsCapped(freqOf(gs, 256 + 24), 15))
+    val redCodes = writeHuffmanCode(bw, lengthsCapped(freqOf(rs, 256), 15))
+    val blueCodes = writeHuffmanCode(bw, lengthsCapped(freqOf(bs, 256), 15))
+    val alphaCodes = writeHuffmanCode(bw, lengthsCapped(freqOf(as, 256), 15))
     // distance tree: unused — a legal 1-symbol simple code
     bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
 

@@ -149,8 +149,11 @@ object ZstdSeekable {
     */
   def readRange(bytes: Array[Byte], table: SeekTable, offset: Long,
       length: Int): (Array[Byte], Int) = {
-    if (offset < 0 || length < 0 || offset + length > table.totalDecompressed)
-      bad(s"range [$offset, ${offset + length}) outside ${table.totalDecompressed}")
+    // `offset > total - length` rather than `offset + length > total`:
+    // the sum wraps for offsets near Long.MaxValue and would slip past
+    // into an untyped AIOOBE from the non-Safe entry point
+    if (offset < 0 || length < 0 || offset > table.totalDecompressed - length)
+      bad(s"range [$offset, +$length) outside ${table.totalDecompressed}")
     val out = new Array[Byte](length)
     if (length == 0) return (out, 0)
     val cum = table.cumDecompressed

@@ -22,6 +22,13 @@ class CdxSpec extends AnyFunSuite {
     // registrable domain left over
     assert(Cdx.surt("http://user:pw@example.com/a") == "com,example)/a")
     assert(Cdx.surt("http://www.com/x") == "com,www)/x")
+    // the whole url lowercases, query included (pywb default)
+    assert(Cdx.surt("http://a.com/x?Q=V&B=2") == "com,a)/x?b=2&q=v")
+    // IP-literal hosts are never reversed or www-stripped
+    assert(Cdx.surt("http://192.168.0.1:8080/a") == "192.168.0.1:8080)/a")
+    // bracketed IPv6 refuses typed (with or without a port)
+    intercept[Warc.WarcError](Cdx.surt("http://[::1]:8080/x"))
+    intercept[Warc.WarcError](Cdx.surt("http://[2001:db8::1]/x"))
   }
 
   test("CDXJ line round trip is exact") {

@@ -168,4 +168,46 @@ class WebpSpec extends AnyFunSuite {
     val bad = good.clone(); bad(20) = 0x00
     intercept[IllegalArgumentException](Webp.decode(bad))
   }
+
+  test("encode round trip: fully-used balanced channel (single-clc-symbol case)") {
+    // 16x16 with each red value 0..255 exactly once: the red tree gets a
+    // balanced all-length-8 code over the full alphabet, so its
+    // code-length code would have ONE active symbol — which a decoder
+    // reads as a 0-bit code. The writer must perturb to a complete
+    // unbalanced code (review find); the round trip catches the desync.
+    val rgba = Array.tabulate(16 * 16 * 4) { i =>
+      val px = i / 4
+      (i % 4) match {
+        case 0 => px.toByte            // red: every value once
+        case 1 => ((px * 31) % 251).toByte
+        case 2 => ((px * 7) % 253).toByte
+        case _ => 0xff.toByte
+      }
+    }
+    val webp = Webp.encodeLossless(16, 16, rgba)
+    val (hd, back) = Webp.decode(webp)
+    assert(hd.w == 16 && hd.h == 16)
+    assert(java.util.Arrays.equals(back, rgba))
+  }
+
+  test("encode survives skewed histograms (depth cap falls back to the bounded code)") {
+    // doubling frequencies 1,1,2,4,...,2^15 give the optimal tree depth
+    // 16 > the 15-bit cap; the writer must degrade to the bounded
+    // complete code, not crash (review find)
+    val counts = 1 +: (0 to 15).map(1 << _)
+    assert(counts.sum == 65536)
+    val reds = counts.zipWithIndex.flatMap { case (n, v) => Seq.fill(n)(v) }
+    val w = 256
+    val h = 256
+    val rgba = new Array[Byte](w * h * 4)
+    var i = 0
+    while (i < w * h) {
+      rgba(i * 4) = reds(i).toByte
+      rgba(i * 4 + 3) = 0xff.toByte
+      i += 1
+    }
+    val webp = Webp.encodeLossless(w, h, rgba)
+    val (_, back) = Webp.decode(webp)
+    assert(java.util.Arrays.equals(back, rgba))
+  }
 }
