@@ -190,6 +190,25 @@ object FuzzHunt {
       Set("bad_frame", "too_large", "unsupported"),
       graft.ops.Brotli.decompressSafe)
 
+    total += hunt("gguf",
+      graft.ops.Gguf.write(
+        Seq("general.name" -> graft.ops.Gguf.MString("fuzz"),
+          "ids" -> graft.ops.Gguf.MArray(Vector(
+            graft.ops.Gguf.MInt(1), graft.ops.Gguf.MInt(2)))),
+        Seq(("t", Vector(6L), Left(Array(1f, 2f, 3f, 4f, 5f, 6f))),
+          ("h", Vector(2L), Right(Array[Short](0x3c00.toShort, 0x4000.toShort))))),
+      Set("bad_magic", "bad_frame", "truncated", "too_large", "unsupported"),
+      graft.ops.Gguf.readSafe)
+
+    total += hunt("zstd_seekable",
+      graft.ops.ZstdSeekable.compress(
+        ("seekable mutation fodder " * 20).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8), frameSize = 64),
+      Set("bad_magic", "bad_frame", "too_large", "crc_mismatch"),
+      b => graft.ops.ZstdSeekable.seekTableSafe(b).flatMap(t =>
+        graft.ops.ZstdSeekable.readRangeSafe(b, t, 0,
+          math.min(t.totalDecompressed, 1 << 20).toInt)))
+
     total += hunt("exif",
       graft.ops.Exif.buildJpeg(6, "2024:02:29 12:00:00", "maker",
         Some((45L, 2L)), littleEndian = true, comment = "fuzz body"),
