@@ -240,6 +240,11 @@ object PdfCrypt {
     val r = intValue(enc, "R").getOrElse(0L).toInt
     if (v == 5 && (r == 5 || r == 6)) {
       val stmf = nameValue(enc, "StmF").getOrElse("Identity")
+      // one cipher is derived for both streams and strings, so a dict
+      // where the two filters disagree (e.g. StmF=Identity, StrF=StdCF)
+      // must refuse rather than pass one side through as silent garbage
+      val strf5 = nameValue(enc, "StrF").getOrElse("Identity")
+      if (strf5 != stmf) return Left(s"mixed StmF/StrF: $stmf/$strf5")
       if (stmf == "Identity")
         return forEmptyUserPasswordV5(enc, r).map(h => h.copy(streamCipher = "identity"))
       if (stmf != "StdCF") return Left(s"unsupported stream filter $stmf")
@@ -269,6 +274,8 @@ object PdfCrypt {
       if (v < 4) "rc4"
       else {
         val stmf = nameValue(enc, "StmF").getOrElse("Identity")
+        val strf = nameValue(enc, "StrF").getOrElse("Identity")
+        if (strf != stmf) return Left(s"mixed StmF/StrF: $stmf/$strf")
         if (stmf == "Identity") "identity"
         else {
           if (stmf != "StdCF") return Left(s"unsupported stream filter $stmf")

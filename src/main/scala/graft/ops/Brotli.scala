@@ -528,7 +528,10 @@ object Brotli {
 
   def decompressSafe(bytes: Array[Byte]): Either[String, Array[Byte]] =
     try Right(decompress(bytes))
-    catch { case e: WarcError => Left(e.kind) }
+    catch {
+      case e: WarcError  => Left(e.kind)
+      case _: Exception  => Left("bad_frame")
+    }
 
   def decompress(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.isEmpty) bad("empty input")

@@ -274,6 +274,10 @@ object Gguf {
           case MArray(_) => throw new IllegalArgumentException("nested arrays unsupported")
         }
     }
+    // the writer owns general.alignment; a caller copy would emit duplicate
+    // keys (malformed GGUF) that can disagree with the layout actually used
+    require(!metadata.exists(_._1 == "general.alignment"),
+      "pass alignment via the alignment parameter, not metadata")
     out.write("GGUF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     u32(3)
     u64(tensors.length.toLong)

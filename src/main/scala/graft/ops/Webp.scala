@@ -612,6 +612,7 @@ object Webp {
         .map { case (o, l) => decodeAlpha(bytes, o, l, yuv.width, yuv.height) }
       val out = new Array[Byte](yuv.width * yuv.height * 4)
       val uvw = yuv.uvStride
+      val alphaPlane = alpha.orNull // hoisted: no per-pixel Option/closure
       var y = 0
       while (y < yuv.height) {
         var x = 0
@@ -623,7 +624,7 @@ object Webp {
           out(i) = clampByte(yy + ((91881 * cr + 32768) >> 16))
           out(i + 1) = clampByte(yy - ((22554 * cb + 46802 * cr + 32768) >> 16))
           out(i + 2) = clampByte(yy + ((116130 * cb + 32768) >> 16))
-          out(i + 3) = alpha.map(_(y * yuv.width + x)).getOrElse(0xff.toByte)
+          out(i + 3) = if (alphaPlane != null) alphaPlane(y * yuv.width + x) else 0xff.toByte
           x += 1
         }
         y += 1

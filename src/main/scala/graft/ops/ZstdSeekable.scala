@@ -54,6 +54,10 @@ object ZstdSeekable {
   def compress(bytes: Array[Byte], frameSize: Int = 65536,
       level: Int = 3): Array[Byte] = {
     require(frameSize >= 1, "frame size")
+    val nFramesL = if (bytes.isEmpty) 0L else (bytes.length - 1).toLong / frameSize + 1
+    // the seek-table skippable frame's size field is LE32; past that the
+    // length would silently truncate into a corrupt archive
+    require(nFramesL * 12 + 9 <= 0xffffffffL, s"too many frames ($nFramesL) for a seekable table")
     val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 256)
     def le32(v: Long): Unit = {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)

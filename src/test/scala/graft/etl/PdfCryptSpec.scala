@@ -33,4 +33,19 @@ class PdfCryptSpec extends AnyFunSuite {
     // /O never matches /OE when /OE comes first
     assert(sv("/OE (xx) /O (y)") == Seq('y'))
   }
+
+  test("mixed StmF/StrF refuses in both V4 and V5 dictionaries") {
+    // one cipher serves both streams and strings, so disagreeing filters
+    // must refuse instead of passing one side through undecrypted
+    val v5 = "/Filter /Standard /V 5 /R 6 /StmF /Identity /StrF /StdCF " +
+      "/CF << /StdCF << /CFM /AESV3 >> >> /O (x) /U (y)"
+    val r5 = PdfCrypt.forEmptyUserPassword(v5, Array.emptyByteArray)
+    assert(r5.isLeft && r5.left.exists(_.contains("mixed StmF/StrF")))
+
+    val pad32 = "A" * 32
+    val v4 = "/Filter /Standard /V 4 /R 4 /Length 128 /StmF /StdCF /StrF /Identity " +
+      s"/CF << /StdCF << /CFM /AESV2 >> >> /O ($pad32) /U ($pad32) /P -44"
+    val r4 = PdfCrypt.forEmptyUserPassword(v4, Array.emptyByteArray)
+    assert(r4.isLeft && r4.left.exists(_.contains("mixed StmF/StrF")))
+  }
 }

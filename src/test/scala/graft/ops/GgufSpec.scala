@@ -75,6 +75,14 @@ class GgufSpec extends AnyFunSuite {
     assert(m.floats("b").toSeq == h.toSeq.map(Safetensors.halfToFloat))
   }
 
+  test("a caller-supplied general.alignment KV is refused, not duplicated") {
+    // the writer owns that key; a second copy would be malformed GGUF
+    intercept[IllegalArgumentException] {
+      Gguf.write(Seq("general.alignment" -> Gguf.MInt(64)),
+        Seq(("t", Vector(2L), Left(Array(1f, 2f)))))
+    }
+  }
+
   test("refusals are typed: magic, version, lying offsets, bombs, mutations, cuts") {
     assert(Gguf.readSafe("notgguf".getBytes(US_ASCII)) == Left("bad_magic"))
     val good = Gguf.write(Seq("k" -> Gguf.MString("v")),
