@@ -9,10 +9,11 @@ package graft.ops
   * directory (name, dims, ggml type, data-relative offset), then the
   * data section aligned to `general.alignment` (default 32).
   *
-  * Supported tensor types: F32 (0) and F16 (1) — the unquantized forms a
-  * data pipeline writes and audits. The k-quant / block-quant forms
-  * refuse `unsupported` with the type id rather than guessing block
-  * layouts. Contract matches [[Safetensors]]: strict bounded reader
+  * Supported tensor types: F32 (0), F16 (1), and Q8_0 (8; 32-element
+  * blocks of one f16 scale + 32 int8 quants, 34 bytes — the simplest and
+  * most common llama.cpp quantization, dequant x = d*q, rows must be a
+  * multiple of 32). The remaining k-quant / block-quant forms refuse
+  * `unsupported` with the type id rather than guessing block layouts. Contract matches [[Safetensors]]: strict bounded reader
   * (counts/offsets validated before any allocation, overlap-free
   * monotone tensor regions, alignment enforced, budget-capped), typed
   * refusals, deterministic writer. GgufSpec pins the reader against
@@ -44,6 +45,10 @@ object Gguf {
     def byteSize: Long = ggmlType match {
       case 0 => elements * 4 // F32
       case 1 => elements * 2 // F16
+      case 8 => // Q8_0: 32-element blocks of f16 scale + 32 int8 quants
+        if (dims.head % 32 != 0)
+          throw new WarcError("bad_frame", s"$name: Q8_0 row ${dims.head} not a multiple of 32")
+        elements / 32 * 34
       case t => throw new WarcError("unsupported", s"ggml tensor type $t")
     }
   }
@@ -73,6 +78,14 @@ object Gguf {
             val o = t.offset.toInt + i * 2
             val h = ((data(o) & 0xff) | ((data(o + 1) & 0xff) << 8)).toShort
             out(i) = Safetensors.halfToFloat(h)
+            i += 1
+          }
+        case 8 =>
+          while (i < n) {
+            val blk = t.offset.toInt + (i / 32) * 34
+            val d = Safetensors.halfToFloat(
+              ((data(blk) & 0xff) | ((data(blk + 1) & 0xff) << 8)).toShort)
+            out(i) = d * data(blk + 2 + i % 32)
             i += 1
           }
         case t2 => throw new WarcError("unsupported", s"ggml tensor type $t2")
@@ -223,11 +236,28 @@ object Gguf {
 
   // ------------------------------------------------------------- write --
 
-  /** Deterministic GGUF v3 writer: string/int/float/bool/array metadata,
-    * F32/F16 tensors laid out in order with alignment padding.
+  /** Tensor payloads the writer accepts. Q8 carries the f16 scale per
+    * 32-element block as raw bits so the emitted bytes are caller-chosen
+    * exactly (no float-rounding ambiguity in fixtures or checksums).
     */
+  sealed trait TensorData
+  final case class F32(v: Array[Float]) extends TensorData
+  final case class F16(v: Array[Short]) extends TensorData
+  final case class Q8(scaleBits: Array[Short], quants: Array[Byte]) extends TensorData
+
+  /** F32/F16-only convenience shape kept for existing callers. */
   def write(metadata: Seq[(String, MetaVal)],
       tensors: Seq[(String, Vector[Long], Either[Array[Float], Array[Short]])],
+      alignment: Int = 32): Array[Byte] =
+    writeTensors(metadata,
+      tensors.map { case (n, d, p) => (n, d, p.fold(F32.apply, F16.apply)) },
+      alignment)
+
+  /** Deterministic GGUF v3 writer: string/int/float/bool/array metadata,
+    * F32/F16/Q8_0 tensors laid out in order with alignment padding.
+    */
+  def writeTensors(metadata: Seq[(String, MetaVal)],
+      tensors: Seq[(String, Vector[Long], TensorData)],
       alignment: Int = 32): Array[Byte] = {
     require(alignment >= 1 && Integer.bitCount(alignment) == 1, "alignment")
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -287,10 +317,15 @@ object Gguf {
     var off = 0L
     tensors.foreach { case (name, dims, payload) =>
       val (tpe, sz) = payload match {
-        case Left(f) =>
+        case F32(f) =>
           require(f.length.toLong == dims.product, s"$name: f32 size"); (0, f.length.toLong * 4)
-        case Right(h) =>
+        case F16(h) =>
           require(h.length.toLong == dims.product, s"$name: f16 size"); (1, h.length.toLong * 2)
+        case Q8(sc, q) =>
+          require(dims.head % 32 == 0, s"$name: Q8_0 row ${dims.head} not a multiple of 32")
+          require(q.length.toLong == dims.product, s"$name: q8 size")
+          require(sc.length.toLong * 32 == q.length.toLong, s"$name: q8 scale count")
+          (8, sc.length.toLong * 34)
       }
       str(name)
       u32(dims.length.toLong)
@@ -303,10 +338,17 @@ object Gguf {
     tensors.foreach { case (_, _, payload) =>
       val before = out.size()
       payload match {
-        case Left(f) => f.foreach(x => u32(java.lang.Float.floatToIntBits(x).toLong & 0xffffffffL))
-        case Right(h) => h.foreach { s =>
+        case F32(f) => f.foreach(x => u32(java.lang.Float.floatToIntBits(x).toLong & 0xffffffffL))
+        case F16(h) => h.foreach { s =>
           out.write(s & 0xff); out.write((s >> 8) & 0xff)
         }
+        case Q8(sc, q) =>
+          var b = 0
+          while (b < sc.length) {
+            out.write(sc(b) & 0xff); out.write((sc(b) >> 8) & 0xff)
+            out.write(q, b * 32, 32)
+            b += 1
+          }
       }
       while ((out.size() - before) % alignment != 0) out.write(0)
     }

@@ -357,6 +357,91 @@ object Warc {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // revisit records (WARC 1.1 §6.7 — the Common Crawl dedup mechanism:
+  // a re-fetch whose payload matched an earlier capture is stored as a
+  // body-less `revisit` pointing at the original via WARC-Refers-To,
+  // with WARC-Payload-Digest repeating the original's payload digest)
+  // ------------------------------------------------------------------
+
+  /** `sha1:` + RFC 4648 base32 of SHA-1, the digest spelling Common
+    * Crawl's WARC-Payload-Digest headers actually use.
+    */
+  def payloadDigest(body: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(body)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(40)
+    var buf = 0L
+    var bits = 0
+    var i = 0
+    while (i < d.length) {
+      buf = (buf << 8) | (d(i) & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        sb.append(alphabet(((buf >> (bits - 5)) & 31).toInt))
+        bits -= 5
+      }
+      i += 1
+    }
+    if (bits > 0) sb.append(alphabet(((buf << (5 - bits)) & 31).toInt))
+    "sha1:" + sb.result()
+  }
+
+  /** A revisit file: warcinfo + one body-less `revisit` record per entry
+    * (uri, refersToId, refersToUri, payloadDigest), the
+    * identical-payload-digest profile.
+    */
+  def buildRevisitFile(filename: String,
+      entries: Seq[(String, String, String, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(4096)
+    val info = writeRecord(
+      Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "WARC-Record-ID" -> s"<urn:graft:revinfo:$filename>",
+        "WARC-Filename" -> filename,
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc/1.0\r\n".getBytes(US_ASCII))
+    out.write(gzipMember(info))
+    entries.foreach { case (uri, refId, refUri, digest) =>
+      val rec = writeRecord(
+        Seq(
+          "WARC-Type" -> "revisit",
+          "WARC-Date" -> "2026-01-02T00:00:00Z",
+          "WARC-Record-ID" -> s"<urn:graft:rev:$uri>",
+          "WARC-Target-URI" -> uri,
+          "WARC-Profile" ->
+            "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+          "WARC-Refers-To" -> refId,
+          "WARC-Refers-To-Target-URI" -> refUri,
+          "WARC-Payload-Digest" -> digest),
+        Array.emptyByteArray)
+      out.write(gzipMember(rec))
+    }
+    out.toByteArray
+  }
+
+  /** The `revisit` records of a file as (targetUri, refersTo, refersToUri,
+    * payloadDigest). A revisit without WARC-Refers-To or a payload digest
+    * cannot be resolved and is malformed.
+    */
+  def revisitRecords(bytes: Array[Byte]): Seq[(String, String, String, String)] =
+    read(bytes).filter(_.warcType == "revisit").map { r =>
+      val ref = r.header("WARC-Refers-To")
+        .getOrElse(fail("bad_record", "revisit without WARC-Refers-To"))
+      val digest = r.header("WARC-Payload-Digest")
+        .getOrElse(fail("bad_record", "revisit without WARC-Payload-Digest"))
+      (r.targetUri, ref, r.header("WARC-Refers-To-Target-URI").getOrElse(""), digest)
+    }
+
+  def revisitRecordsSafe(bytes: Array[Byte])
+      : Either[String, Seq[(String, String, String, String)]] =
+    try Right(revisitRecords(bytes))
+    catch {
+      case e: WarcError => Left(e.kind)
+      case _: Exception => Left("bad_frame")
+    }
+
   /** WET view: the `conversion` records as (targetUri, text). A record
     * claiming conversion without a target URI is malformed.
     */

@@ -685,5 +685,94 @@ object TensorShardQueries {
           CAST(sum(vc) AS BIGINT) AS val_check
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // GGUF Q8_0 quantized-tensor round trip (round 15 — the form real
+    // llama.cpp dumps actually ship; Gguf.scala previously refused all
+    // quant types). Each shard group quantizes its vectors to Q8_0 with
+    // a DETERMINISTIC dyadic contract so the oracle replays bit-exactly:
+    // quants q_i = ((round(x_i*1000) % 113) + 113) % 113 - 56 (int8-safe),
+    // per-row-block f16 scales d = (1 + (vec_id + blk) % 7) / 4 — both
+    // exactly representable in f16/f32, so dequant*4 = q * d4 is an exact
+    // integer with zero float ambiguity. The shard is written with raw
+    // f16 scale bits (Gguf.Q8), strictly re-read through the bounded
+    // reader (type-8 byteSize = elements/32*34, row%32 enforced), and
+    // checksummed per id. k-quants beyond Q8_0 still refuse typed.
+    // Scale: per-shard map, one small-keyed aggregate — as gg01.
+    GraftQuery(
+      "gg02_gguf_q8",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .flatMap { case (g, recs) =>
+            val n = recs.length
+            val dim = recs.head._2.length
+            require(dim % 32 == 0, s"dim $dim")
+            val blocksPerRow = dim / 32
+            val quants = new Array[Byte](n * dim)
+            val scales = new Array[Short](n * blocksPerRow)
+            recs.zipWithIndex.foreach { case ((id, v), r) =>
+              var b = 0
+              while (b < blocksPerRow) {
+                scales(r * blocksPerRow + b) = graft.ops.Safetensors.floatToHalf(
+                  (1 + ((id + b) % 7)) * 0.25f)
+                b += 1
+              }
+              var i = 0
+              while (i < dim) {
+                val rounded = new java.math.BigDecimal(v(i).toDouble * 1000.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                quants(r * dim + i) = ((((rounded % 113) + 113) % 113) - 56).toByte
+                i += 1
+              }
+            }
+            val shard = graft.ops.Gguf.writeTensors(
+              Seq("graft.ids" -> graft.ops.Gguf.MArray(
+                recs.map(r => graft.ops.Gguf.MInt(r._1)).toVector)),
+              Seq(("q", Vector(dim.toLong, n.toLong),
+                graft.ops.Gguf.Q8(scales, quants))))
+            val m = graft.ops.Gguf.read(shard)
+            val t = m.tensors.find(_.name == "q").get
+            require(t.ggmlType == 8 && t.byteSize == n.toLong * blocksPerRow * 34,
+              s"q8 layout: type ${t.ggmlType}, ${t.byteSize} bytes")
+            val ids = m.meta("graft.ids").get.asInstanceOf[graft.ops.Gguf.MArray]
+              .items.map(_.asInstanceOf[graft.ops.Gguf.MInt].v)
+            val vs = m.floats("q")
+            ids.iterator.zipWithIndex.map { case (id, r) =>
+              var vc = 0L
+              var i = 0
+              while (i < dim) {
+                // dequant*4 = q * d4 — exact by construction
+                vc += new java.math.BigDecimal(vs(r * dim + i).toDouble * 4.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                i += 1
+              }
+              (id % 8, id, dim.toLong, vc)
+            }
+          }
+          .toDF("bucket", "id", "dim", "vc")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("id")).as("id_sum"),
+            sum(col("dim")).as("dim_sum"),
+            sum(col("vc")).as("val_check"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          x AS (SELECT vec_id % 8 AS bucket, vec_id, len(v) AS dim,
+              CAST(list_sum(list_transform(range(0, len(v)), i ->
+                ((((CAST(round(v[i + 1] * 1000) AS BIGINT) % 113) + 113) % 113) - 56)
+                  * (1 + ((vec_id + i // 32) % 7)))) AS BIGINT) AS vc
+            FROM e)
+        SELECT bucket, count(*) AS n_vecs,
+          CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          CAST(sum(dim) AS BIGINT) AS dim_sum,
+          CAST(sum(vc) AS BIGINT) AS val_check
+        FROM x GROUP BY 1"""),
+    ),
   )
 }

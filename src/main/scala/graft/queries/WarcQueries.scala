@@ -527,5 +527,95 @@ object WarcQueries {
           CAST(sum(${sqlH60Mod("latest_digest")}) AS BIGINT) AS digest_check
         FROM c GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // WARC revisit resolution (round 15): Common Crawl stores a re-fetch
+    // whose payload matched an earlier capture as a body-less `revisit`
+    // record pointing at the original via WARC-Refers-To — a real archive
+    // reader hits these constantly and must resolve them ACROSS files.
+    // Originals live in doc_id DIV 8 crawl files; revisits (every third
+    // doc, re-fetched under /redup/) are grouped DIV 5 so file membership
+    // never lines up and resolution must go through the record-id join.
+    // Every seventeenth revisit carries a dangling WARC-Refers-To and is
+    // reported, not resolved (typed outcome, never a crash). The resolved
+    // rows re-check the revisit's WARC-Payload-Digest against the
+    // original payload's sha1 — a digest mismatch is a hard error.
+    // Scale: both sides are per-file flatMaps; originals project to
+    // (record_id, bytes, hash, digest) INSIDE the map, so the join
+    // exchange never carries document bodies (the warc04 contract).
+    GraftQuery(
+      "warc06_revisit_resolve",
+      (s, d) => {
+        import s.implicits._
+        def origUri(source: String, id: Long) = s"https://$source/doc/$id"
+        val originals = fileGroups(s, d).flatMap { case (source, g, recs) =>
+          val pages = recs.map { case (id, text) =>
+            (origUri(source, id), 200,
+              Seq("Content-Type" -> "text/plain; charset=utf-8"), ascii(text))
+          }
+          val file = Warc.buildCrawlFile(s"$source-$g.warc.gz", pages)
+          Warc.read(file).filter(_.warcType == "response").map { r =>
+            val body = Warc.parseHttpResponse(r.body).body
+            (r.header("WARC-Record-ID").get,
+              body.length.toLong,
+              h60(new String(body, java.nio.charset.StandardCharsets.US_ASCII)) % M,
+              Warc.payloadDigest(body))
+          }
+        }.toDF("rid", "o_bytes", "o_check", "o_digest")
+        val revisits = Tables.documents(s, d)
+          .where(expr("doc_id % 3 = 0"))
+          .groupBy(col("source"), expr("doc_id DIV 5").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))
+          .as[(String, Long, Seq[(Long, String)])]
+          .flatMap { case (source, g, recs) =>
+            val entries = recs.map { case (id, text) =>
+              val ref =
+                if (id % 17 == 0) s"<urn:graft:missing:$id>"
+                else s"<urn:graft:resp:${origUri(source, id)}>"
+              (s"https://$source/redup/$id", ref, origUri(source, id),
+                Warc.payloadDigest(ascii(text)))
+            }
+            val file = Warc.buildRevisitFile(s"$source-rev-$g.warc.gz", entries)
+            Warc.revisitRecords(file).map { case (uri, ref, _, digest) =>
+              (source, uri, ref, digest)
+            }
+          }.toDF("source", "uri", "ref", "r_digest")
+        revisits.join(originals, revisits("ref") === originals("rid"), "left_outer")
+          .select(col("source"), col("uri"), col("r_digest"),
+            col("rid"), col("o_bytes"), col("o_check"), col("o_digest"))
+          .map { r =>
+            val resolved = !r.isNullAt(3)
+            if (resolved)
+              require(r.getString(2) == r.getString(6),
+                s"payload digest mismatch at ${r.getString(1)}")
+            (r.getString(0), r.getString(1), resolved,
+              if (resolved) r.getLong(4) else 0L,
+              if (resolved) r.getLong(5) else 0L)
+          }
+          .toDF("source", "uri", "resolved", "o_bytes", "o_check")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_revisits"),
+            count(when(col("resolved"), lit(1))).as("n_resolved"),
+            count(when(!col("resolved"), lit(1))).as("n_dangling"),
+            sum(col("o_bytes")).as("resolved_bytes"),
+            sum(col("o_check")).as("resolved_check"),
+            sum(TA.hash60(col("uri")) % M).as("uri_check"))
+      },
+      Some(s"""WITH r AS (SELECT source, doc_id, text,
+            doc_id % 17 != 0 AS resolved,
+            'https://' || source || '/redup/' || CAST(doc_id AS VARCHAR) AS uri
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT source, count(*) AS n_revisits,
+          count(CASE WHEN resolved THEN 1 END) AS n_resolved,
+          count(CASE WHEN NOT resolved THEN 1 END) AS n_dangling,
+          CAST(sum(CASE WHEN resolved THEN length(text) ELSE 0 END)
+            AS BIGINT) AS resolved_bytes,
+          CAST(sum(CASE WHEN resolved THEN ${sqlH60Mod("text")} ELSE 0 END)
+            AS BIGINT) AS resolved_check,
+          CAST(sum(${sqlH60Mod("uri")}) AS BIGINT) AS uri_check
+        FROM r GROUP BY 1"""),
+    ),
   )
 }

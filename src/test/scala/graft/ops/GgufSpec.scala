@@ -53,8 +53,56 @@ class GgufSpec extends AnyFunSuite {
     assert(m.floats("half.bias").toSeq == halfVals)
   }
 
-  test("quantized tensor types refuse unsupported, never a guessed block layout") {
+  test("k-quant tensor types refuse unsupported, never a guessed block layout") {
+    // Q4_K (type 12) — Q8_0 is decoded since round 15, the rest refuse
     assert(Gguf.readSafe(fixture("gguf_quantized.gguf")) == Left("unsupported"))
+  }
+
+  test("Q8_0 python-transcription fixture dequantizes exactly (d*q, f16 scale)") {
+    val exp = Json.parse(new String(fixture("gguf_expected.json"), US_ASCII))
+      .asInstanceOf[JObj].fields.toMap
+    val m = Gguf.read(fixture("gguf_q8.gguf"))
+    val t = m.tensors.find(_.name == "q8.weight").get
+    assert(t.ggmlType == 8 && t.dims == Vector(32L, 2L) && t.byteSize == 68)
+    val want = exp("q8_vals").asInstanceOf[JArr].items.map {
+      case JFloat(d) => d.toFloat
+      case JInt(i) => i.toFloat
+      case other => fail(s"$other")
+    }
+    assert(m.floats("q8.weight").toSeq == want)
+  }
+
+  test("Q8_0 writer round trip with raw f16 scale bits, rows%32 enforced") {
+    val scales = Array[Short](0x3800, 0xb400.toShort) // 0.5, -0.25
+    val quants = Array.tabulate[Byte](64)(i => (((7 * i + 3) % 255) - 127).toByte)
+    val bytes = Gguf.writeTensors(Nil,
+      Seq(("w", Vector(32L, 2L), Gguf.Q8(scales, quants))))
+    val m = Gguf.read(bytes)
+    val vs = m.floats("w")
+    (0 until 64).foreach { i =>
+      val d = if (i < 32) 0.5f else -0.25f
+      assert(vs(i) == d * quants(i), s"element $i")
+    }
+    // a row length that is not a multiple of 32 refuses in writer and reader
+    intercept[IllegalArgumentException] {
+      Gguf.writeTensors(Nil, Seq(("w", Vector(16L, 4L), Gguf.Q8(scales, quants))))
+    }
+    // reader side: flip the declared dims of a valid file to (16, 4)
+    val mut = bytes.clone()
+    // find the dims in the tensor directory: name "w" then u32 ndims, u64s
+    val idx = {
+      var i = 1
+      var at = -1
+      while (i < mut.length - 1 && at < 0) {
+        if (mut(i) == 'w'.toByte && mut(i + 1) == 2 && mut(i - 1) == 0) at = i
+        i += 1
+      }
+      at
+    }
+    assert(idx > 0)
+    mut(idx + 5) = 16 // dim0: 32 -> 16
+    mut(idx + 13) = 4 // dim1: 2 -> 4
+    assert(Gguf.readSafe(mut) == Left("bad_frame"))
   }
 
   test("round trip through our writer: metadata + F32 + F16 tensors") {

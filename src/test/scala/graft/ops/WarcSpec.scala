@@ -197,6 +197,27 @@ class WarcSourceSpec extends graft.SparkSpec {
     }
   }
 
+  test("revisit round trip: refers-to, profile, payload digest; malformed refuses") {
+    val digest = Warc.payloadDigest("hello".getBytes(US_ASCII))
+    // independent pin: python base64.b32encode(hashlib.sha1(b"hello").digest())
+    assert(digest == "sha1:VL2MMHO4YXUKFWV63YHTWSBM3GXKSQ2N")
+    val file = Warc.buildRevisitFile("rev.warc.gz", Seq(
+      ("https://a/redup/1", "<urn:x:orig1>", "https://a/doc/1", digest)))
+    val recs = Warc.revisitRecords(file)
+    assert(recs == Seq(("https://a/redup/1", "<urn:x:orig1>", "https://a/doc/1", digest)))
+    // the revisit record itself is body-less
+    val rev = Warc.read(file).find(_.warcType == "revisit").get
+    assert(rev.body.isEmpty)
+    assert(rev.header("WARC-Profile").exists(_.contains("identical-payload-digest")))
+    // a revisit with no WARC-Refers-To is malformed, typed
+    val noRef = Warc.writeRecord(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Date" -> "2026-01-02T00:00:00Z",
+      "WARC-Record-ID" -> "<urn:x:r>",
+      "WARC-Target-URI" -> "https://a/x"), Array.emptyByteArray)
+    assert(Warc.revisitRecordsSafe(Warc.gzipMember(noRef)) == Left("bad_record"))
+  }
+
   test("responsesSafe() survives a poisoned file and types the error") {
     val dir = java.nio.file.Files.createTempDirectory("warcsafe")
     try {

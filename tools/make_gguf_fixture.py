@@ -100,11 +100,26 @@ def main():
     with open(os.path.join(OUT, "gguf_v3_full.gguf"), "wb") as f:
         f.write(data)
 
-    # a quantized-tensor file the reader must refuse `unsupported`
+    # a k-quant tensor file the reader must still refuse `unsupported`
+    # (Q8_0 is now decoded, so the refusal pin uses Q4_K, type 12)
     q = gguf([("general.alignment", 4, 32)],
-             [("q.weight", [64], 8, b"\x00" * 68)])  # Q8_0, size irrelevant
+             [("q.weight", [256], 12, b"\x00" * 144)])  # Q4_K
     with open(os.path.join(OUT, "gguf_quantized.gguf"), "wb") as f:
         f.write(q)
+
+    # a Q8_0 file built by this independent transcription: 2 rows x 32
+    # elements, per-block f16 scale + 32 int8 quants (34-byte blocks).
+    # Expected dequant d*q recorded as exact f64 (dyadic scales).
+    q8_scales = [0.5, -0.25]
+    q8_quants = [((7 * i + 3) % 255) - 127 for i in range(64)]
+    q8_payload = b"".join(
+        struct.pack("<e", q8_scales[b]) +
+        struct.pack("<32b", *q8_quants[b * 32:(b + 1) * 32])
+        for b in range(2))
+    q8 = gguf([("general.alignment", 4, 32)],
+              [("q8.weight", [32, 2], 8, q8_payload)])
+    with open(os.path.join(OUT, "gguf_q8.gguf"), "wb") as f:
+        f.write(q8)
 
     # expected values (f32 exact via bit pattern, f16 dequantized)
     expected = {
@@ -118,6 +133,7 @@ def main():
         "emb_dims": [2, 3],
         "half_bits": f16b,
         "half_vals": [struct.unpack("<e", struct.pack("<H", h))[0] for h in f16b],
+        "q8_vals": [q8_scales[i // 32] * q8_quants[i] for i in range(64)],
     }
     with open(os.path.join(OUT, "gguf_expected.json"), "w") as f:
         json.dump(expected, f, indent=1)
