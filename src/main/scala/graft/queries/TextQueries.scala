@@ -481,5 +481,60 @@ object TextQueries {
           md5(CASE WHEN is_card THEN replace(txt, cand, '<CARD>') ELSE txt END) AS scrub_fp
         FROM v"""),
     ),
+
+    // ------------------------------------------------------------------
+    // UTS #39 confusables-skeleton dedup audit (round 15): the Unicode
+    // layer beyond text18's NFC — homoglyph spam (Cyrillic а/е/о/р/с,
+    // Greek ο/ρ, case tricks) poisons a corpus with visually-identical
+    // near-duplicates that hash apart. Three quarters of the docs are
+    // deterministically poisoned with script-mixed clones; the dedup key
+    // skeleton(NFKC_Casefold(x)) ([[graft.ops.Confusables]], ICU-pinned
+    // tables) must collapse every clone back onto its clean form. The
+    // oracle replays the key analytically: for printable-ASCII source
+    // text the pipeline reduces to lower() plus the seven ASCII
+    // confusable prototypes ("→'', %→º/₀, 0→O, 1→l, `→', m→rn, |→l), so
+    // DuckDB recomputes keys with no Unicode tables — one wrong mapping
+    // anywhere in the 18k-row table path breaks the hash. Per-row scalar
+    // map, shuffle-free until the per-source rollup.
+    GraftQuery(
+      "text20_confusable_skeleton",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (src, id, text) =>
+            val variant = (id % 4) match {
+              case 0 => text
+              case 1 => text.replace('a', 'а').replace('e', 'е') // cyrillic
+              case 2 => text.replace('o', 'ο').replace('p', 'ρ') // greek
+              case _ => text.replace('c', 'с') // cyrillic, then case-spam
+                .toUpperCase(java.util.Locale.ROOT)
+            }
+            (src, if (id % 4 == 0) 0L else 1L,
+              graft.ops.Confusables.dedupKey(variant))
+          }
+          .toDF("source", "poisoned", "key")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("poisoned")).as("n_poisoned"),
+            countDistinct(col("key")).as("n_keys"),
+            sum(length(col("key"))).as("key_chars"),
+            sum(TA.hash60(col("key")) % TarQueries.M).as("key_check"))
+      },
+      Some(s"""WITH k AS (SELECT source, doc_id,
+            replace(replace(replace(replace(replace(replace(replace(lower(text),
+              '"', chr(39) || chr(39)),
+              '%', chr(186) || '/' || chr(8320)),
+              '0', 'O'), '1', 'l'), chr(96), chr(39)), 'm', 'rn'), '|', 'l') AS key
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          count(CASE WHEN doc_id % 4 != 0 THEN 1 END) AS n_poisoned,
+          count(DISTINCT key) AS n_keys,
+          CAST(sum(length(key)) AS BIGINT) AS key_chars,
+          CAST(sum(${TA.Sql.hash60("key")} % ${TarQueries.M}) AS BIGINT) AS key_check
+        FROM k GROUP BY 1"""),
+    ),
   )
 }
