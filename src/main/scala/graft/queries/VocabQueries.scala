@@ -375,5 +375,142 @@ object VocabQueries {
         FROM g"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Unigram-LM (SentencePiece-style) tokenizer training (round 15 —
+    // [[graft.ops.UnigramLm]]; completes the trio after BPE and
+    // WordPiece). Deterministic re-specification of Kudo 2018: seed vocab
+    // = substrings (≤4) of distinct words thresholded at total/500 plus
+    // all single chars (coverage); INTEGER log2 costs (bits(total) −
+    // bits(cnt) — no float log-likelihoods for engines to disagree on);
+    // exact Viterbi by (Σcost, pieces, path) where the lexicographic
+    // path tie-break makes the chosen segmentation itself deterministic;
+    // ONE hard-EM round (usage recount over chosen paths → prune unused
+    // pieces → re-derive costs → final inference). The oracle replays
+    // both Viterbi rounds as recursive path-enumeration CTEs picked by
+    // the same (cost, np, path) order. Scale: the corpus contributes one
+    // map-combinable token count and one broadcast join back; ALL
+    // training runs on the vocabulary-sized distinct-word table (the
+    // vocab04 contract).
+    GraftQuery(
+      "vocab06_unigram_lm",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.UnigramLm
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+        val wcDf = graft.core.Caches.persist(
+          toks.groupBy(col("w")).agg(count(lit(1)).as("n")))
+        val wcDs = wcDf.as[(String, Long)]
+        val tot = wcDf.agg(sum(col("n"))).head.getLong(0)
+        val seedCnt = wcDs
+          .flatMap { case (w, n) => UnigramLm.substrings(w).map(p => (p, n)) }
+          .toDF("piece", "pn")
+          .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
+          .as[(String, Long)].collect()
+        val thresh = tot / 500
+        val cost0 = seedCnt.iterator
+          .filter { case (p, c) => c >= thresh || p.length == 1 }
+          .map { case (p, c) => p -> (UnigramLm.bits(tot) - UnigramLm.bits(c)) }
+          .toMap
+        val bc0 = s.sparkContext.broadcast(cost0)
+        val seg1 = wcDs.map { case (w, n) =>
+          (w, n, UnigramLm.segment(w, bc0.value)
+            .getOrElse(sys.error(s"uncoverable word $w"))._3)
+        }
+        val usage = seg1
+          .flatMap { case (_, n, path) => path.split(' ').map(p => (p, n)) }
+          .toDF("piece", "pn")
+          .groupBy(col("piece")).agg(sum(col("pn")).as("u"))
+          .as[(String, Long)].collect()
+        val totU = usage.iterator.map(_._2).sum
+        val cost1 = usage.iterator
+          .map { case (p, u) => p -> (UnigramLm.bits(totU) - UnigramLm.bits(u)) }
+          .toMap
+        val bc1 = s.sparkContext.broadcast(cost1)
+        val seg2 = wcDs.map { case (w, _) =>
+            val (c, np, _) = UnigramLm.segment(w, bc1.value)
+              .getOrElse(sys.error(s"word $w lost coverage after pruning"))
+            (w, c, np.toLong)
+          }.toDF("w", "vcost", "np")
+        toks.join(broadcast(seg2), "w")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(col("np")).as("piece_sum"),
+            sum(col("vcost")).as("cost_sum"),
+            sum(col("np") * (TA.hash60(col("w")) % 1000L)).as("seg_check"))
+          .select(col("lang"), col("n_words"), col("piece_sum"),
+            col("cost_sum"), col("seg_check"),
+            round(lit(1e6) * col("piece_sum") / col("n_words")).cast("long")
+              .as("fert_ppm"),
+            lit(cost0.size.toLong).as("vocab_seed"),
+            lit(cost1.size.toLong).as("vocab_pruned"))
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH toksr AS (SELECT lang, unnest($toks) AS w FROM documents),
+          ctoks AS (SELECT * FROM toksr WHERE w <> ''),
+          tot AS (SELECT count(*) AS n_tok FROM ctoks),
+          wc AS (SELECT w, count(*) AS n FROM ctoks GROUP BY 1),
+          sube AS (SELECT substr(w, i, L) AS piece, n
+            FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
+                 (SELECT unnest(range(1, 5)) AS L)
+            WHERE i + L - 1 <= length(w)),
+          pc AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM sube GROUP BY 1),
+          cost0 AS (SELECT piece,
+              length(printf('%b', (SELECT n_tok FROM tot)))
+                - length(printf('%b', cnt)) AS c
+            FROM pc WHERE cnt >= (SELECT n_tok // 500 FROM tot)
+              OR length(piece) = 1),
+          b1 AS (
+            WITH RECURSIVE r(w, pos, cost, np, path) AS (
+              SELECT w, 0, 0, 0, '' FROM wc
+              UNION ALL
+              SELECT r.w, r.pos + length(c0.piece), r.cost + c0.c, r.np + 1,
+                CASE WHEN r.path = '' THEN c0.piece
+                  ELSE r.path || ' ' || c0.piece END
+              FROM r JOIN cost0 c0
+                ON substr(r.w, r.pos + 1, length(c0.piece)) = c0.piece
+              WHERE r.pos < length(r.w))
+            SELECT w, path FROM (
+              SELECT w, path, row_number() OVER (
+                PARTITION BY w ORDER BY cost, np, path) AS rn
+              FROM r WHERE pos = length(w)) WHERE rn = 1),
+          usage AS (SELECT piece, CAST(sum(n) AS BIGINT) AS u
+            FROM (SELECT w, unnest(string_split(path, ' ')) AS piece FROM b1)
+            JOIN wc USING (w) GROUP BY 1),
+          totu AS (SELECT CAST(sum(u) AS BIGINT) AS tu FROM usage),
+          cost1 AS (SELECT piece,
+              length(printf('%b', (SELECT tu FROM totu)))
+                - length(printf('%b', u)) AS c
+            FROM usage),
+          b2 AS (
+            -- r2, not r: DuckDB resolves a second nested WITH RECURSIVE r
+            -- to the FIRST one's rows (b1's), yielding an empty result
+            WITH RECURSIVE r2(w, pos, cost, np, path) AS (
+              SELECT w, 0, 0, 0, '' FROM wc
+              UNION ALL
+              SELECT r2.w, r2.pos + length(c1.piece), r2.cost + c1.c, r2.np + 1,
+                CASE WHEN r2.path = '' THEN c1.piece
+                  ELSE r2.path || ' ' || c1.piece END
+              FROM r2 JOIN cost1 c1
+                ON substr(r2.w, r2.pos + 1, length(c1.piece)) = c1.piece
+              WHERE r2.pos < length(r2.w))
+            SELECT w, cost AS vcost, np FROM (
+              SELECT w, cost, np, row_number() OVER (
+                PARTITION BY w ORDER BY cost, np, path) AS rn
+              FROM r2 WHERE pos = length(w)) WHERE rn = 1)
+        SELECT lang, count(*) AS n_words,
+          CAST(sum(np) AS BIGINT) AS piece_sum,
+          CAST(sum(vcost) AS BIGINT) AS cost_sum,
+          CAST(sum(np * (${TA.Sql.hash60("t.w")} % 1000)) AS BIGINT) AS seg_check,
+          CAST(round(1e6 * sum(np) / count(*)) AS BIGINT) AS fert_ppm,
+          (SELECT count(*) FROM cost0) AS vocab_seed,
+          (SELECT count(*) FROM cost1) AS vocab_pruned
+        FROM ctoks t JOIN b2 USING (w) GROUP BY 1"""
+      },
+    ),
   )
 }
