@@ -377,8 +377,37 @@ object BinaryMediaDecoder extends MediaDecoder {
       // n_frames / width seconds)
       Multimodal.Decoded(b.blob_id, b.mime, info.sampleRate, info.channels,
         info.totalSamples.toInt, feats)
+    case "video/mp4" | "video/quicktime" | "image/avif" | "image/heic" |
+        "image/heif" =>
+      // ISOBMFF box walk (round 15, [[Isobmff]]): shape without sample
+      // decode, the MP3 contract applied to video/modern-image containers.
+      // width/height = first video track's (or the HEIF item's) dims;
+      // n_frames = track count for timed media, 1 for a still.
+      val m = Isobmff.parse(b.content)
+      val (wd, ht) =
+        m.tracks.find(_.handler == "vide").map(t => (t.width, t.height))
+          .getOrElse((m.itemWidth, m.itemHeight))
+      val nf = if (m.tracks.nonEmpty) m.tracks.length else 1
+      // features: brand + per-track codec fingerprint, deterministic
+      val names = (m.majorBrand +: m.tracks.map(_.codec)) :+ m.itemCodec
+      val feats = Array.tabulate(8) { i =>
+        val s = names(i % names.length)
+        if (s.isEmpty) 0.0f
+        else (s.charAt(i % s.length) / 255.0).toFloat
+      }
+      Multimodal.Decoded(b.blob_id, b.mime, wd, ht, nf, feats)
     case other =>
       throw new IllegalArgumentException(s"unsupported media type: $other")
+  }
+
+  /** Parsed ISOBMFF metadata — the one-shot accessor pipeline audits use,
+    * sibling of [[pngRaster]]/[[mp3Info]].
+    */
+  def isobmffMeta(b: Multimodal.Blob): Isobmff.Meta = {
+    require(b.mime.startsWith("video/") || b.mime == "image/avif" ||
+      b.mime == "image/heic" || b.mime == "image/heif",
+      s"isobmffMeta on mime ${b.mime}")
+    Isobmff.parse(b.content)
   }
 
   /** Decoded full RGB raster — the one-shot accessor pipeline audits use,

@@ -1,0 +1,364 @@
+package graft.ops
+
+/** ISOBMFF container metadata (ISO/IEC 14496-12 — the MP4/MOV box layout
+  * and its HEIF/AVIF still-image profile, ISO/IEC 23008-12): the
+  * video / modern-image leg of the multimodal surface. A corpus scan
+  * needs the SHAPE of these files — brands, track dims, codecs,
+  * durations, item properties — without decoding a single sample, which
+  * is exactly what a box walk gives: every box is (u32 size, fourcc)
+  * framed, so the walk is O(boxes) over bounded headers with zero
+  * payload allocation. Sample/pixel DECODE (H.264/AV1/HEVC) is out of
+  * scope by contract and refuses typed, the [[Vp8]] inter-frame rule.
+  *
+  * Reference behavior: the reference pipeline
+  * (AdityaNayak12/ETL-Pipeline-Project-Auraverse, backend/etl_pipeline.py)
+  * rejects binary media entirely; this is 100 TB extension surface
+  * (mm23/mm24).
+  *
+  * Family contract as [[Flac]]/[[Gguf]]: strict bounded reader (size
+  * fields validated against the enclosing box before any recursion,
+  * nesting and box-count caps, version gates), typed refusals
+  * (`bad_magic`, `truncated`, `bad_frame`, `too_large`), deterministic
+  * writer for fixtures, IsobmffSpec pins the reader against an
+  * independent python transcription and runs the mutation sweep.
+  */
+object Isobmff {
+
+  import Warc.WarcError
+
+  private def fail(kind: String, msg: String): Nothing = throw new WarcError(kind, msg)
+
+  final case class Track(id: Long, handler: String, codec: String,
+      width: Int, height: Int, duration: Long)
+
+  /** One container's metadata. For HEIF/AVIF stills the item* fields are
+    * set and tracks is empty; for timed media the reverse.
+    */
+  final case class Meta(majorBrand: String, compatibleBrands: Vector[String],
+      timescale: Long, duration: Long, tracks: Vector[Track],
+      itemCodec: String, itemWidth: Int, itemHeight: Int)
+
+  private val MaxBoxes = 1 << 16
+  private val MaxDepth = 16
+
+  // -------------------------------------------------------------- read --
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u64(b: Array[Byte], i: Int): Long = (u32(b, i) << 32) | u32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): String = {
+    val sb = new StringBuilder(4)
+    var k = i
+    while (k < i + 4) {
+      val c = b(k) & 0xff
+      if (c < 0x20 || c > 0x7e) fail("bad_frame", s"non-printable fourcc byte $c")
+      sb.append(c.toChar)
+      k += 1
+    }
+    sb.result()
+  }
+
+  private final class Walk(b: Array[Byte]) {
+    var boxes = 0
+
+    /** visit children of [off, end); f(type, payloadOff, payloadEnd) */
+    def children(off: Int, end: Int, depth: Int)(f: (String, Int, Int) => Unit): Unit = {
+      if (depth > MaxDepth) fail("bad_frame", s"box nesting past $MaxDepth")
+      var p = off
+      while (p < end) {
+        if (end - p < 8) fail("truncated", s"box header at $p of $end")
+        boxes += 1
+        if (boxes > MaxBoxes) fail("too_large", s"more than $MaxBoxes boxes")
+        val size0 = u32(b, p)
+        val tpe = fourcc(b, p + 4)
+        var hdr = 8
+        val size =
+          if (size0 == 1L) {
+            if (end - p < 16) fail("truncated", s"largesize at $p")
+            hdr = 16
+            u64(b, p + 8)
+          } else if (size0 == 0L) (end - p).toLong // to end of container
+          else size0
+        if (size < hdr) fail("bad_frame", s"$tpe: size $size below header")
+        if (size > (end - p).toLong) fail("truncated",
+          s"$tpe: size $size past container end $end")
+        f(tpe, p + hdr, p + size.toInt)
+        p += size.toInt
+      }
+    }
+
+    /** version/flags of a full box; returns version, advances by 4 */
+    def fullBox(off: Int, end: Int): Int = {
+      if (end - off < 4) fail("truncated", "full box header")
+      b(off) & 0xff
+    }
+  }
+
+  def parse(bytes: Array[Byte]): Meta = {
+    if (bytes.length < 8) fail("truncated", s"${bytes.length} bytes")
+    if (fourccAt(bytes, 4) != "ftyp") fail("bad_magic", "first box is not ftyp")
+    val w = new Walk(bytes)
+    var majorBrand = ""
+    var compat = Vector.newBuilder[String]
+    var timescale = 0L
+    var duration = 0L
+    val tracks = Vector.newBuilder[Track]
+    var itemCodec = ""
+    var itemW = 0
+    var itemH = 0
+
+    def visualDims(off: Int, end: Int): (Int, Int) = {
+      // VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 pre_defined/
+      // reserved, then width/height u16
+      if (end - off < 28) fail("truncated", "visual sample entry")
+      (u16(bytes, off + 24), u16(bytes, off + 26))
+    }
+
+    def stsd(off: Int, end: Int, handler: String): (String, Int, Int) = {
+      if (w.fullBox(off, end) != 0) fail("bad_frame", "stsd version")
+      if (end - off < 8) fail("truncated", "stsd")
+      val n = u32(bytes, off + 4)
+      if (n < 1 || n > 64) fail("bad_frame", s"stsd entry count $n")
+      var codec = ""
+      var dims = (0, 0)
+      w.children(off + 8, end, 0) { (tpe, po, pe) =>
+        if (codec.isEmpty) {
+          codec = tpe
+          if (handler == "vide") dims = visualDims(po, pe)
+        }
+      }
+      if (codec.isEmpty) fail("bad_frame", "stsd with no sample entry")
+      (codec, dims._1, dims._2)
+    }
+
+    def trak(off: Int, end: Int): Unit = {
+      var id = 0L
+      var tw = 0
+      var th = 0
+      var tdur = 0L
+      var handler = ""
+      var codec = ""
+      w.children(off, end, 2) {
+        case ("tkhd", po, pe) =>
+          val v = w.fullBox(po, pe)
+          val body = po + 4
+          val need = if (v == 1) 92 else if (v == 0) 80 else
+            fail("bad_frame", s"tkhd version $v")
+          if (pe - body < need) fail("truncated", "tkhd")
+          if (v == 1) {
+            id = u32(bytes, body + 16)
+            tdur = u64(bytes, body + 24)
+            tw = (u32(bytes, body + 84) >> 16).toInt // 16.16 fixed
+            th = (u32(bytes, body + 88) >> 16).toInt
+          } else {
+            id = u32(bytes, body + 8)
+            tdur = u32(bytes, body + 16)
+            tw = (u32(bytes, body + 72) >> 16).toInt
+            th = (u32(bytes, body + 76) >> 16).toInt
+          }
+        case ("mdia", po, pe) =>
+          w.children(po, pe, 3) {
+            case ("hdlr", ho, he) =>
+              if (he - ho < 12) fail("truncated", "hdlr")
+              handler = fourcc(bytes, ho + 8)
+            case ("minf", mo, me) =>
+              w.children(mo, me, 4) {
+                case ("stbl", so, se) =>
+                  w.children(so, se, 5) {
+                    case ("stsd", xo, xe) =>
+                      val (c, cw, ch) = stsd(xo, xe, handler)
+                      codec = c
+                      if (handler == "vide") { tw = cw; th = ch }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (id == 0L) fail("bad_frame", "trak without tkhd")
+      if (handler.isEmpty) fail("bad_frame", "trak without hdlr")
+      tracks += Track(id, handler, codec, tw, th, tdur)
+    }
+
+    def metaBox(off: Int, end: Int): Unit = {
+      if (w.fullBox(off, end) != 0) fail("bad_frame", "meta version")
+      w.children(off + 4, end, 2) {
+        case ("hdlr", po, pe) =>
+          if (pe - po < 12) fail("truncated", "meta hdlr")
+          val h = fourcc(bytes, po + 8)
+          if (h != "pict") fail("bad_frame", s"meta handler $h")
+        case ("iinf", po, pe) =>
+          val v = w.fullBox(po, pe)
+          val skip = if (v == 0) 2 else 4 // entry_count u16 (v0) / u32
+          w.children(po + 4 + skip, pe, 3) {
+            case ("infe", io, ie) =>
+              val iv = w.fullBox(io, ie)
+              if (iv < 2) fail("bad_frame", s"infe version $iv")
+              // v2: item_id u16, protection u16, item_type 4cc
+              // v3: item_id u32, protection u16, item_type 4cc
+              val at = io + 4 + (if (iv == 2) 4 else 6)
+              if (ie - at < 4) fail("truncated", "infe")
+              if (itemCodec.isEmpty) itemCodec = fourcc(bytes, at)
+            case _ => ()
+          }
+        case ("iprp", po, pe) =>
+          w.children(po, pe, 3) {
+            case ("ipco", co, ce) =>
+              w.children(co, ce, 4) {
+                case ("ispe", so, se) =>
+                  if (w.fullBox(so, se) != 0) fail("bad_frame", "ispe version")
+                  if (se - so < 12) fail("truncated", "ispe")
+                  itemW = u32(bytes, so + 4).toInt
+                  itemH = u32(bytes, so + 8).toInt
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+
+    w.children(0, bytes.length, 0) {
+      case ("ftyp", po, pe) =>
+        if (pe - po < 8) fail("truncated", "ftyp")
+        majorBrand = fourcc(bytes, po)
+        var p = po + 8
+        while (p + 4 <= pe) { compat += fourcc(bytes, p); p += 4 }
+      case ("moov", po, pe) =>
+        w.children(po, pe, 1) {
+          case ("mvhd", mo, me) =>
+            val v = w.fullBox(mo, me)
+            val body = mo + 4
+            if (v == 1) {
+              if (me - body < 28) fail("truncated", "mvhd")
+              timescale = u32(bytes, body + 16)
+              duration = u64(bytes, body + 20)
+            } else if (v == 0) {
+              if (me - body < 16) fail("truncated", "mvhd")
+              timescale = u32(bytes, body + 8)
+              duration = u32(bytes, body + 12)
+            } else fail("bad_frame", s"mvhd version $v")
+          case ("trak", to, te) => trak(to, te)
+          case _ => ()
+        }
+      case ("meta", po, pe) => metaBox(po, pe)
+      case _ => () // mdat, free, skip, ...
+    }
+    if (majorBrand.isEmpty) fail("bad_magic", "no ftyp")
+    Meta(majorBrand, compat.result(), timescale, duration, tracks.result(),
+      itemCodec, itemW, itemH)
+  }
+
+  private def fourccAt(b: Array[Byte], i: Int): String =
+    if (b.length < i + 4) "" else new String(b, i, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+
+  def parseSafe(bytes: Array[Byte]): Either[String, Meta] =
+    try Right(parse(bytes))
+    catch {
+      case e: WarcError => Left(e.kind)
+      case _: Exception => Left("bad_frame")
+    }
+
+  /** Sample/pixel decode is out of contract for every ISOBMFF codec —
+    * typed, like [[Vp8]]'s inter-frame refusal.
+    */
+  def decodeSamples(bytes: Array[Byte]): Nothing =
+    fail("unsupported", "ISOBMFF sample decode (H.264/HEVC/AV1) is out of scope")
+
+  // ------------------------------------------------------------- write --
+
+  def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    require(tpe.length == 4, tpe)
+    val n = payload.iterator.map(_.length).sum
+    val out = new Array[Byte](8 + n)
+    val size = 8L + n
+    out(0) = ((size >> 24) & 0xff).toByte; out(1) = ((size >> 16) & 0xff).toByte
+    out(2) = ((size >> 8) & 0xff).toByte; out(3) = (size & 0xff).toByte
+    tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, 4)
+    var p = 8
+    payload.foreach { a => a.copyToArray(out, p); p += a.length }
+    out
+  }
+
+  def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  def cc(s: String): Array[Byte] = {
+    require(s.length == 4, s)
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+  private val vf0 = Array[Byte](0, 0, 0, 0) // version 0, flags 0
+
+  def ftyp(major: String, compatible: Seq[String]): Array[Byte] =
+    box("ftyp", cc(major) +: be32(0L) +: compatible.map(cc): _*)
+
+  private def hdlr(handler: String): Array[Byte] =
+    box("hdlr", vf0, be32(0L), cc(handler), new Array[Byte](12),
+      Array[Byte](0)) // empty name
+
+  /** A timed-media MP4/MOV: ftyp + moov{mvhd, trak{tkhd, mdia{hdlr,
+    * minf{stbl{stsd{<codec>}}}}}*} + an empty mdat.
+    * tracks: (id, handler "vide"|"soun", codec fourcc, w, h, duration).
+    */
+  def writeMp4(major: String, compatible: Seq[String], timescale: Long,
+      duration: Long,
+      tracks: Seq[(Long, String, String, Int, Int, Long)]): Array[Byte] = {
+    val mvhd = box("mvhd", vf0,
+      be32(0L), be32(0L), be32(timescale), be32(duration),
+      be32(0x00010000L), be16(0x0100), be16(0), be32(0L), be32(0L),
+      // identity matrix
+      be32(0x00010000L), be32(0L), be32(0L),
+      be32(0L), be32(0x00010000L), be32(0L),
+      be32(0L), be32(0L), be32(0x40000000L),
+      new Array[Byte](24), be32(0xffffffffL)) // pre_defined + next_track_ID
+    val traks = tracks.map { case (id, handler, codec, tw, th, tdur) =>
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7), // v0, enabled+in-movie
+        be32(0L), be32(0L), be32(id), be32(0L), be32(tdur),
+        new Array[Byte](8), be16(0), be16(0),
+        be16(if (handler == "soun") 0x0100 else 0), be16(0),
+        be32(0x00010000L), be32(0L), be32(0L),
+        be32(0L), be32(0x00010000L), be32(0L),
+        be32(0L), be32(0L), be32(0x40000000L),
+        be32(tw.toLong << 16), be32(th.toLong << 16))
+      val entry =
+        if (handler == "vide")
+          box(codec, new Array[Byte](6), be16(1), new Array[Byte](16),
+            be16(tw), be16(th),
+            be32(0x00480000L), be32(0x00480000L), be32(0L), be16(1),
+            new Array[Byte](32), be16(0x18), be16(0xffff))
+        else // AudioSampleEntry
+          box(codec, new Array[Byte](6), be16(1), new Array[Byte](8),
+            be16(2), be16(16), be32(0L), be32(44100L << 16))
+      val stsd = box("stsd", vf0, be32(1L), entry)
+      val stbl = box("stbl", stsd)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr(handler), minf)
+      box("trak", tkhd, mdia)
+    }
+    val moov = box("moov", mvhd +: traks: _*)
+    val mdat = box("mdat")
+    ftyp(major, compatible) ++ moov ++ mdat
+  }
+
+  /** A HEIF/AVIF still image: ftyp + meta{hdlr pict, iinf{infe},
+    * iprp{ipco{ispe}}} + an empty mdat.
+    */
+  def writeHeif(major: String, compatible: Seq[String], itemType: String,
+      w: Int, h: Int): Array[Byte] = {
+    val infe = box("infe", Array[Byte](2, 0, 0, 0), // version 2
+      be16(1), be16(0), cc(itemType), Array[Byte](0))
+    val iinf = box("iinf", vf0, be16(1), infe)
+    val ispe = box("ispe", vf0, be32(w.toLong), be32(h.toLong))
+    val ipco = box("ipco", ispe)
+    val iprp = box("iprp", ipco)
+    val meta = box("meta", vf0, hdlr("pict"), iinf, iprp)
+    ftyp(major, compatible) ++ meta ++ box("mdat")
+  }
+}

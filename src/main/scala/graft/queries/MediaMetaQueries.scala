@@ -70,5 +70,164 @@ object MediaMetaQueries {
           CAST(count(*) AS BIGINT) AS n_scrub_clean
         FROM documents GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ISOBMFF container audit (round 15 — [[graft.ops.Isobmff]], the
+    // MP4/MOV + HEIF/AVIF box walk; the video/modern-image leg the
+    // multimodal surface lacked): even docs become timed MP4s (mvhd
+    // timescale/duration, avc1/hvc1/av01 video track with tkhd+stsd dims,
+    // an mp4a audio track on every fourth), odd docs become AVIF/HEIC
+    // stills (meta/iinf/infe item type + ispe dims). Files route through
+    // BinaryMediaDecoder's mime dispatch, the walk recovers every field,
+    // and DuckDB recomputes all aggregates from the doc_id arithmetic —
+    // one wrong offset in any box layout breaks a sum. Duration is
+    // reported in floor-divided ms so both engines stay integer-exact.
+    // Scale: per-row build+parse map, shuffle-free until the rollup;
+    // sample decode is out of contract (typed) so no payload ever rides.
+    GraftQuery(
+      "mm23_isobmff_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            if (id % 2 == 0) {
+              val ts = 1000L + (id % 10) * 100
+              val dur = (id % 300 + 1) * 1000 + (id % 7) * 97
+              val codec = Seq("avc1", "hvc1", "av01")((id % 3).toInt)
+              val vw = 320 + (id % 16).toInt * 40
+              val vh = 180 + (id % 16).toInt * 30
+              val tracks = Seq((1L, "vide", codec, vw, vh, dur - id % 50)) ++
+                (if (id % 4 == 0) Seq((2L, "soun", "mp4a", 0, 0, dur - id % 50))
+                 else Nil)
+              val bytes = graft.ops.Isobmff.writeMp4(
+                "isom", Seq("isom", "mp41"), ts, dur, tracks)
+              val m = graft.ops.BinaryMediaDecoder.isobmffMeta(
+                graft.ops.Multimodal.Blob(id, bytes, "video/mp4", Map.empty))
+              val v = m.tracks.find(_.handler == "vide").get
+              require(m.tracks.forall(_.duration == dur - id % 50), "tkhd dur")
+              (source, 1L, 0L, v.width.toLong, v.height.toLong,
+                m.tracks.length.toLong, m.duration * 1000L / m.timescale,
+                s"${m.majorBrand}:${v.codec}")
+            } else {
+              val (brand, itemType) =
+                if (id % 3 == 0) ("avif", "av01") else ("heic", "hvc1")
+              val w = 64 + (id % 50).toInt * 8
+              val h = 64 + (id % 40).toInt * 6
+              val bytes = graft.ops.Isobmff.writeHeif(
+                brand, Seq(brand, "mif1"), itemType, w, h)
+              val m = graft.ops.BinaryMediaDecoder.isobmffMeta(
+                graft.ops.Multimodal.Blob(id, bytes,
+                  if (brand == "avif") "image/avif" else "image/heic", Map.empty))
+              (source, 0L, 1L, m.itemWidth.toLong, m.itemHeight.toLong,
+                0L, 0L, s"${m.majorBrand}:${m.itemCodec}")
+            }
+          }
+          .toDF("source", "is_video", "is_still", "w", "h", "n_tracks",
+            "dur_ms", "ck")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("is_video")).as("n_video"),
+            sum(col("is_still")).as("n_still"),
+            sum(col("w")).as("w_sum"),
+            sum(col("h")).as("h_sum"),
+            sum(col("n_tracks")).as("track_sum"),
+            sum(col("dur_ms")).as("dur_ms_sum"),
+            sum(TA.hash60(col("ck")) % M).as("codec_check"))
+      },
+      Some(s"""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 2 = 0 AS vid,
+            1000 + (doc_id % 10) * 100 AS ts,
+            (doc_id % 300 + 1) * 1000 + (doc_id % 7) * 97 AS dur
+          FROM documents),
+        y AS (SELECT source, vid,
+            CASE WHEN vid THEN 320 + (id % 16) * 40
+              ELSE 64 + (id % 50) * 8 END AS w,
+            CASE WHEN vid THEN 180 + (id % 16) * 30
+              ELSE 64 + (id % 40) * 6 END AS h,
+            CASE WHEN vid THEN (CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END)
+              ELSE 0 END AS n_tracks,
+            CASE WHEN vid THEN (dur * 1000) // ts ELSE 0 END AS dur_ms,
+            CASE WHEN vid THEN 'isom:' ||
+                (CASE id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                  ELSE 'av01' END)
+              WHEN id % 3 = 0 THEN 'avif:av01'
+              ELSE 'heic:hvc1' END AS ck
+          FROM x)
+        SELECT source, count(*) AS n_files,
+          CAST(count(CASE WHEN vid THEN 1 END) AS BIGINT) AS n_video,
+          CAST(count(CASE WHEN NOT vid THEN 1 END) AS BIGINT) AS n_still,
+          CAST(sum(w) AS BIGINT) AS w_sum,
+          CAST(sum(h) AS BIGINT) AS h_sum,
+          CAST(sum(n_tracks) AS BIGINT) AS track_sum,
+          CAST(sum(dur_ms) AS BIGINT) AS dur_ms_sum,
+          CAST(sum(${TA.Sql.hash60("ck")} % $M) AS BIGINT) AS codec_check
+        FROM y GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned ISOBMFF scan (the family's poisoned-twin contract): every
+    // eleventh file is corrupted after the build — ftyp brand wrecked,
+    // a box size lying past the container, a tkhd version byte from the
+    // future, or a hard truncation — and the scan must yield one TYPED
+    // error row per rotten file while every healthy file still parses.
+    // At 100 TB this is the difference between a crawl scan that loses
+    // an executor to one bad shard and one that reports it as data.
+    GraftQuery(
+      "mm24_poisoned_isobmff",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val bytes = graft.ops.Isobmff.writeMp4(
+              "isom", Seq("isom"), 1000L, (id % 100 + 1) * 1000,
+              Seq((1L, "vide", "avc1", 320, 180, (id % 100 + 1) * 1000)))
+            val poisoned =
+              if (id % 11 != 3) bytes
+              else (id % 4) match {
+                case 0 => val b = bytes.clone(); b(4) = 'X'.toByte; b // magic
+                case 1 => // moov size lies past end of file
+                  val b = bytes.clone()
+                  val moov = graft.ops.Isobmff.ftyp("isom", Seq("isom")).length
+                  b(moov) = 0x7f.toByte; b
+                case 2 => // tkhd version from the future
+                  val b = bytes.clone()
+                  val at = b.indexOfSlice("tkhd".getBytes)
+                  b(at + 4) = 9.toByte; b
+                case _ => java.util.Arrays.copyOf(bytes, bytes.length / 2)
+              }
+            graft.ops.Isobmff.parseSafe(poisoned) match {
+              case Right(m) => (source, 1L, 0L,
+                m.tracks.headOption.map(_.width.toLong).getOrElse(0L), "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "w", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("w")).as("w_sum"),
+            sum(when(col("kind") === "bad_magic", 1L).otherwise(0L)).as("n_magic"),
+            sum(when(col("kind") === "truncated", 1L).otherwise(0L)).as("n_trunc"),
+            sum(when(col("kind") === "bad_frame", 1L).otherwise(0L)).as("n_frame"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN 320 ELSE 0 END) AS BIGINT) AS w_sum,
+          CAST(count(CASE WHEN rot AND mode = 0 THEN 1 END) AS BIGINT) AS n_magic,
+          CAST(count(CASE WHEN rot AND (mode = 1 OR mode = 3) THEN 1 END)
+            AS BIGINT) AS n_trunc,
+          CAST(count(CASE WHEN rot AND mode = 2 THEN 1 END) AS BIGINT) AS n_frame
+        FROM x GROUP BY 1"""),
+    ),
   )
 }

@@ -200,6 +200,16 @@ object FuzzHunt {
       Set("bad_magic", "bad_frame", "truncated", "too_large", "unsupported"),
       graft.ops.Gguf.readSafe)
 
+    total += hunt("isobmff",
+      // box framing, v0/v1 full boxes, largesize, stsd entries, HEIF item
+      // boxes — every size/version gate sits under the mutation lens
+      graft.ops.Isobmff.writeMp4("isom", Seq("isom", "mp41"), 1000L, 60000L,
+        Seq((1L, "vide", "av01", 64, 36, 60000L),
+          (2L, "soun", "mp4a", 0, 0, 59000L))) ++
+        graft.ops.Isobmff.writeHeif("avif", Seq("avif", "mif1"), "av01", 8, 6),
+      Set("bad_magic", "truncated", "bad_frame", "too_large"),
+      graft.ops.Isobmff.parseSafe)
+
     total += hunt("zstd_seekable",
       graft.ops.ZstdSeekable.compress(
         ("seekable mutation fodder " * 20).getBytes(

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{JArr, JInt, JObj, JStr, Json}
+
+/** Pins [[Isobmff]] against fixtures from an independent python
+  * transcription of ISO/IEC 14496-12 / 23008-12
+  * (tools/make_isobmff_fixture.py), round-trips the Scala writer, and
+  * runs the family mutation/truncation sweep.
+  */
+class IsobmffSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private lazy val expected: Map[String, graft.etl.JVal] =
+    Json.parse(new String(fixture("isobmff_expected.json"),
+      java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[JObj].fields.toMap
+
+  private def jl(v: graft.etl.JVal): Long = v.asInstanceOf[JInt].i.toLong
+  private def js(v: graft.etl.JVal): String = v.asInstanceOf[JStr].s
+
+  test("python-transcription MP4 decodes exactly (v0/v1 boxes, largesize, skip)") {
+    val exp = expected("mp4").asInstanceOf[JObj].fields.toMap
+    val m = Isobmff.parse(fixture("isobmff_video.mp4"))
+    assert(m.majorBrand == js(exp("major")))
+    assert(m.compatibleBrands ==
+      exp("compat").asInstanceOf[JArr].items.map(js))
+    assert(m.timescale == jl(exp("timescale")))
+    assert(m.duration == jl(exp("duration")))
+    val want = exp("tracks").asInstanceOf[JArr].items.map { t =>
+      val f = t.asInstanceOf[JObj].fields.toMap
+      Isobmff.Track(jl(f("id")), js(f("handler")), js(f("codec")),
+        jl(f("w")).toInt, jl(f("h")).toInt, jl(f("duration")))
+    }
+    assert(m.tracks == want)
+    assert(m.itemCodec == "" && m.itemWidth == 0)
+  }
+
+  test("python-transcription AVIF decodes exactly (meta/iinf/infe/ipco/ispe)") {
+    val exp = expected("avif").asInstanceOf[JObj].fields.toMap
+    val m = Isobmff.parse(fixture("isobmff_still.avif"))
+    assert(m.majorBrand == js(exp("major")))
+    assert(m.itemCodec == js(exp("item_type")))
+    assert(m.itemWidth == jl(exp("w")).toInt)
+    assert(m.itemHeight == jl(exp("h")).toInt)
+    assert(m.tracks.isEmpty && m.timescale == 0)
+  }
+
+  test("writer round trip: MP4 with video+audio tracks, HEIF still") {
+    val mp4 = Isobmff.writeMp4("isom", Seq("isom", "mp41"), 1000L, 60000L,
+      Seq((1L, "vide", "av01", 640, 360, 60000L),
+        (2L, "soun", "mp4a", 0, 0, 59000L)))
+    val m = Isobmff.parse(mp4)
+    assert(m.majorBrand == "isom" && m.compatibleBrands == Vector("isom", "mp41"))
+    assert(m.timescale == 1000L && m.duration == 60000L)
+    assert(m.tracks == Vector(
+      Isobmff.Track(1L, "vide", "av01", 640, 360, 60000L),
+      Isobmff.Track(2L, "soun", "mp4a", 0, 0, 59000L)))
+    val heif = Isobmff.writeHeif("heic", Seq("heic", "mif1"), "hvc1", 320, 240)
+    val h = Isobmff.parse(heif)
+    assert(h.majorBrand == "heic" && h.itemCodec == "hvc1")
+    assert(h.itemWidth == 320 && h.itemHeight == 240)
+    // determinism
+    assert(java.util.Arrays.equals(mp4, Isobmff.writeMp4("isom",
+      Seq("isom", "mp41"), 1000L, 60000L,
+      Seq((1L, "vide", "av01", 640, 360, 60000L),
+        (2L, "soun", "mp4a", 0, 0, 59000L)))))
+  }
+
+  test("sample decode refuses typed, like Vp8 inter-frame") {
+    val e = intercept[Warc.WarcError](Isobmff.decodeSamples(Array[Byte]()))
+    assert(e.kind == "unsupported")
+  }
+
+  test("refusals are typed: magic, nesting, counts, mutations, cuts") {
+    assert(Isobmff.parseSafe("nope".getBytes) == Left("truncated"))
+    assert(Isobmff.parseSafe(new Array[Byte](32)) == Left("bad_magic"))
+    // a box that lies past its container
+    val lie = Isobmff.ftyp("isom", Nil) ++
+      Isobmff.be32(1 << 20) ++ Isobmff.cc("moov")
+    assert(Isobmff.parseSafe(lie) == Left("truncated"))
+    // size below the header length
+    val small = Isobmff.ftyp("isom", Nil) ++
+      Isobmff.be32(4L) ++ Isobmff.cc("free")
+    assert(Isobmff.parseSafe(small) == Left("bad_frame"))
+    val kinds = Set("bad_magic", "truncated", "bad_frame", "too_large")
+    Seq(fixture("isobmff_video.mp4"), fixture("isobmff_still.avif")).foreach { g =>
+      for (pos <- g.indices; x <- Seq(0x01, 0x5a, 0x80, 0xff)) {
+        val m = g.clone(); m(pos) = (m(pos) ^ x).toByte
+        Isobmff.parseSafe(m) match {
+          case Left(k) => assert(kinds.contains(k), s"pos=$pos x=$x kind=$k")
+          case Right(_) => ()
+        }
+      }
+      // truncations: typed refusal or a clean shorter parse — never a throw
+      for (n <- 0 until g.length)
+        Isobmff.parseSafe(java.util.Arrays.copyOf(g, n)) match {
+          case Left(k) => assert(kinds.contains(k), s"cut $n kind=$k")
+          case Right(_) => ()
+        }
+    }
+  }
+}

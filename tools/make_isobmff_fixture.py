@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""ISOBMFF fixtures — an independent python transcription of the public
+box layout (ISO/IEC 14496-12 §4.2/8.2/8.3/8.4/12.1; HEIF items per
+ISO/IEC 23008-12) pinning graft.ops.Isobmff: an MP4 with video+audio
+tracks (v0 and v1 full boxes, a 64-bit largesize box, unknown boxes to
+skip), a HEIF/AVIF still (meta/hdlr/iinf/infe/iprp/ipco/ispe), and
+expected metadata as JSON. The Scala reader must recover every field.
+
+Run from repo root: python3 tools/make_isobmff_fixture.py
+"""
+import json
+import os
+import struct
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "fixtures")
+
+
+def box(tpe, *payload, largesize=False):
+    body = b"".join(payload)
+    if largesize:
+        return struct.pack(">I", 1) + tpe.encode() + \
+            struct.pack(">Q", 16 + len(body)) + body
+    return struct.pack(">I", 8 + len(body)) + tpe.encode() + body
+
+
+def full(tpe, version, flags, *payload):
+    return box(tpe, struct.pack(">B", version) + struct.pack(">I", flags)[1:],
+               *payload)
+
+
+def u16(v):
+    return struct.pack(">H", v)
+
+
+def u32(v):
+    return struct.pack(">I", v)
+
+
+def u64(v):
+    return struct.pack(">Q", v)
+
+
+def matrix():
+    return u32(0x10000) + u32(0) + u32(0) + u32(0) + u32(0x10000) + u32(0) \
+        + u32(0) + u32(0) + u32(0x40000000)
+
+
+def hdlr(handler):
+    return full("hdlr", 0, 0, u32(0), handler.encode(), b"\x00" * 12, b"\x00")
+
+
+def mp4():
+    ftyp = box("ftyp", b"isom", u32(512), b"isom", b"avc1", b"mp41")
+    # v1 mvhd (64-bit times) — exercises the version-1 arm
+    mvhd = full("mvhd", 1, 0, u64(0), u64(0), u32(90000), u64(5400000),
+                u32(0x10000), u16(0x100), u16(0), u32(0), u32(0), matrix(),
+                b"\x00" * 24, u32(0xFFFFFFFF))
+    # video track: v0 tkhd, avc1 sample entry 1920x1080
+    tkhd_v = full("tkhd", 0, 7, u32(0), u32(0), u32(1), u32(0), u32(5400000),
+                  b"\x00" * 8, u16(0), u16(0), u16(0), u16(0), matrix(),
+                  u32(1920 << 16), u32(1080 << 16))
+    avc1 = box("avc1", b"\x00" * 6, u16(1), b"\x00" * 16, u16(1920), u16(1080),
+               u32(0x480000), u32(0x480000), u32(0), u16(1), b"\x00" * 32,
+               u16(0x18), u16(0xFFFF))
+    stsd_v = full("stsd", 0, 0, u32(1), avc1)
+    trak_v = box("trak", tkhd_v,
+                 box("mdia", hdlr("vide"),
+                     box("minf", box("stbl", stsd_v))))
+    # audio track: v1 tkhd, mp4a entry
+    tkhd_a = full("tkhd", 1, 7, u64(0), u64(0), u32(2), u32(0), u64(5390000),
+                  b"\x00" * 8, u16(0), u16(0), u16(0x100), u16(0), matrix(),
+                  u32(0), u32(0))
+    mp4a = box("mp4a", b"\x00" * 6, u16(1), b"\x00" * 8, u16(2), u16(16),
+               u32(0), u32(48000 << 16))
+    stsd_a = full("stsd", 0, 0, u32(1), mp4a)
+    trak_a = box("trak", tkhd_a,
+                 box("mdia", hdlr("soun"),
+                     box("minf", box("stbl", stsd_a))))
+    moov = box("moov", mvhd, trak_v, trak_a)
+    free = box("free", b"skip me")
+    # mdat with a 64-bit largesize header — the size==1 arm
+    mdat = box("mdat", b"\x00" * 32, largesize=True)
+    return ftyp + free + moov + mdat
+
+
+def avif():
+    ftyp = box("ftyp", b"avif", u32(0), b"avif", b"mif1", b"miaf")
+    infe = full("infe", 2, 0, u16(1), u16(0), b"av01", b"\x00")
+    iinf = full("iinf", 0, 0, u16(1), infe)
+    ispe = full("ispe", 0, 0, u32(800), u32(600))
+    # an unknown property the walk must skip without complaint
+    pixi = full("pixi", 0, 0, b"\x03\x08\x08\x08")
+    ipco = box("ipco", ispe, pixi)
+    iprp = box("iprp", ipco)
+    meta = full("meta", 0, 0, hdlr("pict"), iinf, iprp)
+    return ftyp + meta + box("mdat", b"\x00" * 8)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    m = mp4()
+    a = avif()
+    with open(os.path.join(OUT, "isobmff_video.mp4"), "wb") as f:
+        f.write(m)
+    with open(os.path.join(OUT, "isobmff_still.avif"), "wb") as f:
+        f.write(a)
+    expected = {
+        "mp4": {
+            "major": "isom", "compat": ["isom", "avc1", "mp41"],
+            "timescale": 90000, "duration": 5400000,
+            "tracks": [
+                {"id": 1, "handler": "vide", "codec": "avc1",
+                 "w": 1920, "h": 1080, "duration": 5400000},
+                {"id": 2, "handler": "soun", "codec": "mp4a",
+                 "w": 0, "h": 0, "duration": 5390000}],
+        },
+        "avif": {
+            "major": "avif", "compat": ["avif", "mif1", "miaf"],
+            "item_type": "av01", "w": 800, "h": 600,
+        },
+    }
+    with open(os.path.join(OUT, "isobmff_expected.json"), "w") as f:
+        json.dump(expected, f, indent=1)
+    print(f"isobmff fixtures written: mp4 {len(m)}B, avif {len(a)}B")
+
+
+if __name__ == "__main__":
+    main()
