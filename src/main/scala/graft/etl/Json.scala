@@ -30,27 +30,43 @@ object Json {
     m
   }
 
+  /** Nesting bound for [[fromNode]]. Jackson's own reader limit (1000)
+    * is NOT enough: the tree conversion burns ~10 stack frames per JSON
+    * level, so ~900 levels — legal to Jackson — died as a
+    * StackOverflowError, an Error that escapes every `catch Exception`
+    * backstop in the scan paths (adversarial-review find, round 15).
+    * Real cell/envelope JSON is < 20 deep; python's json.loads dies of
+    * RecursionError (caught as an error row by the reference's
+    * try/except) at a similar magnitude.
+    */
+  private val MaxDepth = 200
+
   /** Parse like python `json.loads` (strict-ish; duplicate keys keep last;
     * integers unbounded). Throws on malformed input — callers that mirror the
     * reference's `try/except: pass` catch and skip.
     */
-  def parse(text: String): JVal = fromNode(mapper.readTree(text))
+  def parse(text: String): JVal = fromNode(mapper.readTree(text), 0)
 
   def parseOpt(text: String): Option[JVal] =
     try Some(parse(text)) catch { case _: Exception => None }
 
-  private def fromNode(n: JsonNode): JVal = n match {
-    case _: NullNode | _: MissingNode => JNull
-    case b: BooleanNode => JBool(b.booleanValue)
-    case num: NumericNode =>
-      if (num.isIntegralNumber && !num.isDouble && !num.isFloat)
-        JInt(BigInt(num.bigIntegerValue))
-      else JFloat(num.doubleValue)
-    case t: TextNode => JStr(t.textValue)
-    case a: ArrayNode => JArr(a.elements.asScala.map(fromNode).toVector)
-    case o: ObjectNode =>
-      JObj(o.properties.asScala.iterator.map(e => e.getKey -> fromNode(e.getValue)).toVector)
-    case other => JStr(other.asText)
+  private def fromNode(n: JsonNode, depth: Int): JVal = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(s"json nesting past $MaxDepth")
+    n match {
+      case _: NullNode | _: MissingNode => JNull
+      case b: BooleanNode => JBool(b.booleanValue)
+      case num: NumericNode =>
+        if (num.isIntegralNumber && !num.isDouble && !num.isFloat)
+          JInt(BigInt(num.bigIntegerValue))
+        else JFloat(num.doubleValue)
+      case t: TextNode => JStr(t.textValue)
+      case a: ArrayNode => JArr(a.elements.asScala.map(fromNode(_, depth + 1)).toVector)
+      case o: ObjectNode =>
+        JObj(o.properties.asScala.iterator
+          .map(e => e.getKey -> fromNode(e.getValue, depth + 1)).toVector)
+      case other => JStr(other.asText)
+    }
   }
 
   /** Canonical JSON rendering (the cell wire format). */

@@ -570,8 +570,10 @@ object Brotli {
       } else {
         val mnibCode = br.read(2)
         if (mnibCode == 3) {
-          // metadata block (§9.2): reserved bit, skip length, byte-align
-          if (isLast) bad("metadata block cannot be last")
+          // metadata block (§9.2): reserved bit, skip length, byte-align.
+          // ISLAST is legal here — the §9.2 grammar permits ISLAST=1,
+          // ISLASTEMPTY=0, MNIBBLES=0, and libbrotli accepts such streams
+          // (round-15 differential mutant parity caught our old refusal)
           if (br.readBit() != 0) bad("reserved metadata bit set")
           val skipBytes = br.read(2)
           val skipLen =

@@ -91,4 +91,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exchanges.exists(_.matches(".*\\btext#\\d+.*")),
       s"text column rides a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("warc06's record-id join exchange carries no document bodies") {
+    val df = SparkEntry.queries("warc06_revisit_resolve")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // originals reduce each response body to (rid, o_bytes, o_check,
+    // o_digest) INSIDE the per-file flatMap; a raw body/text attribute in
+    // any Exchange output re-ships the corpus through the revisit join —
+    // the same regression class warc04's gate pins
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e =>
+      e.matches(".*\\btext#\\d+.*") || e.matches(".*\\bbody#\\d+.*")),
+      s"document bytes ride a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -101,6 +101,16 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
+  test("a metadata meta-block may be the last block (round-15 parity fix)") {
+    // hand-built per §9.2, both validated against libbrotli (decode to ""):
+    // window=16, ISLAST=1, ISLASTEMPTY=0, MNIBBLES=0 (metadata), reserved=0
+    assert(Brotli.decompress(Array(0x1a.toByte)).isEmpty)
+    // same with MSKIPBYTES=1, one skipped metadata byte
+    assert(Brotli.decompress(Array(0x5a.toByte, 0x00.toByte, 0xee.toByte)).isEmpty)
+    // truncated metadata payload still refuses typed
+    assert(Brotli.decompressSafe(Array(0x5a.toByte, 0x00.toByte)).isLeft)
+  }
+
   test("trailing garbage after the final meta-block refuses bad_frame") {
     val clean = fixture("brotli_text_q5_w22.br")
     assert(Brotli.decompressSafe(clean :+ 0x41.toByte) == Left("bad_frame"))
