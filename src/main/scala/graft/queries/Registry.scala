@@ -8,6 +8,7 @@ import graft.core.GraftQuery
 object Registry {
   def packs: Seq[Seq[GraftQuery]] = Seq(
     RelationalQueries.all,
+    RelationalFnQueries.all,
     EtlQueries.all,
     ExtQueries.all,
     MediaQueries.all,
