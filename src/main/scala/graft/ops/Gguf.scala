@@ -9,11 +9,14 @@ package graft.ops
   * directory (name, dims, ggml type, data-relative offset), then the
   * data section aligned to `general.alignment` (default 32).
   *
-  * Supported tensor types: F32 (0), F16 (1), and Q8_0 (8; 32-element
-  * blocks of one f16 scale + 32 int8 quants, 34 bytes — the simplest and
-  * most common llama.cpp quantization, dequant x = d*q, rows must be a
-  * multiple of 32). The remaining k-quant / block-quant forms refuse
-  * `unsupported` with the type id rather than guessing block layouts. Contract matches [[Safetensors]]: strict bounded reader
+  * Supported tensor types: F32 (0), F16 (1), Q8_0 (8; 32-element blocks
+  * of one f16 scale + 32 int8 quants, 34 bytes, dequant x = d*q), and
+  * Q4_0 (2; 32-element blocks of one f16 scale + 16 nibble-packed bytes,
+  * 18 bytes, element j in the low nibble of qs[j] and element j+16 in the
+  * high nibble, dequant x = d*(q-8)) — the two quantizations real
+  * llama.cpp dumps overwhelmingly ship. Rows must be a multiple of 32.
+  * The remaining k-quant forms refuse `unsupported` with the type id
+  * rather than guessing block layouts. Contract matches [[Safetensors]]: strict bounded reader
   * (counts/offsets validated before any allocation, overlap-free
   * monotone tensor regions, alignment enforced, budget-capped), typed
   * refusals, deterministic writer. GgufSpec pins the reader against
@@ -45,6 +48,10 @@ object Gguf {
     def byteSize: Long = ggmlType match {
       case 0 => elements * 4 // F32
       case 1 => elements * 2 // F16
+      case 2 => // Q4_0: 32-element blocks of f16 scale + 16 nibble-packed bytes
+        if (dims.head % 32 != 0)
+          throw new WarcError("bad_frame", s"$name: Q4_0 row ${dims.head} not a multiple of 32")
+        elements / 32 * 18
       case 8 => // Q8_0: 32-element blocks of f16 scale + 32 int8 quants
         if (dims.head % 32 != 0)
           throw new WarcError("bad_frame", s"$name: Q8_0 row ${dims.head} not a multiple of 32")
@@ -78,6 +85,19 @@ object Gguf {
             val o = t.offset.toInt + i * 2
             val h = ((data(o) & 0xff) | ((data(o + 1) & 0xff) << 8)).toShort
             out(i) = Safetensors.halfToFloat(h)
+            i += 1
+          }
+        case 2 =>
+          // Q4_0 block layout (ggml): qs[j] packs element j in the low
+          // nibble and element j+16 in the high nibble; x = d * (q - 8)
+          while (i < n) {
+            val blk = t.offset.toInt + (i / 32) * 18
+            val d = Safetensors.halfToFloat(
+              ((data(blk) & 0xff) | ((data(blk + 1) & 0xff) << 8)).toShort)
+            val e = i % 32
+            val b = data(blk + 2 + e % 16) & 0xff
+            val q = if (e < 16) b & 0x0f else b >> 4
+            out(i) = d * (q - 8)
             i += 1
           }
         case 8 =>
@@ -244,6 +264,10 @@ object Gguf {
   final case class F32(v: Array[Float]) extends TensorData
   final case class F16(v: Array[Short]) extends TensorData
   final case class Q8(scaleBits: Array[Short], quants: Array[Byte]) extends TensorData
+  /** Q4_0: quants are UNPACKED 4-bit values in [0, 15] (x = d*(q-8)),
+    * 32 per block; the writer packs element j with element j+16.
+    */
+  final case class Q4(scaleBits: Array[Short], quants: Array[Byte]) extends TensorData
 
   /** F32/F16-only convenience shape kept for existing callers. */
   def write(metadata: Seq[(String, MetaVal)],
@@ -326,6 +350,12 @@ object Gguf {
           require(q.length.toLong == dims.product, s"$name: q8 size")
           require(sc.length.toLong * 32 == q.length.toLong, s"$name: q8 scale count")
           (8, sc.length.toLong * 34)
+        case Q4(sc, q) =>
+          require(dims.head % 32 == 0, s"$name: Q4_0 row ${dims.head} not a multiple of 32")
+          require(q.length.toLong == dims.product, s"$name: q4 size")
+          require(sc.length.toLong * 32 == q.length.toLong, s"$name: q4 scale count")
+          require(q.forall(b => b >= 0 && b <= 15), s"$name: q4 quant out of [0,15]")
+          (2, sc.length.toLong * 18)
       }
       str(name)
       u32(dims.length.toLong)
@@ -347,6 +377,17 @@ object Gguf {
           while (b < sc.length) {
             out.write(sc(b) & 0xff); out.write((sc(b) >> 8) & 0xff)
             out.write(q, b * 32, 32)
+            b += 1
+          }
+        case Q4(sc, q) =>
+          var b = 0
+          while (b < sc.length) {
+            out.write(sc(b) & 0xff); out.write((sc(b) >> 8) & 0xff)
+            var j = 0
+            while (j < 16) {
+              out.write((q(b * 32 + j) & 0x0f) | ((q(b * 32 + 16 + j) & 0x0f) << 4))
+              j += 1
+            }
             b += 1
           }
       }

@@ -28,8 +28,14 @@ object Isobmff {
 
   private def fail(kind: String, msg: String): Nothing = throw new WarcError(kind, msg)
 
+  /** mediaTimescale/nSamples/sampleBytes come from mdhd/stts/stsz and
+    * stay 0 when the track carries no sample tables (fragmented files,
+    * metadata-only fixtures).
+    */
   final case class Track(id: Long, handler: String, codec: String,
-      width: Int, height: Int, duration: Long)
+      width: Int, height: Int, duration: Long,
+      mediaTimescale: Long = 0, nSamples: Long = 0, sampleBytes: Long = 0,
+      mediaDuration: Long = 0)
 
   /** One container's metadata. For HEIF/AVIF stills the item* fields are
     * set and tracks is empty; for timed media the reverse.
@@ -141,6 +147,10 @@ object Isobmff {
       var tdur = 0L
       var handler = ""
       var codec = ""
+      var mediaTs = 0L
+      var nSamples = 0L
+      var sampleBytes = 0L
+      var mediaDur = 0L
       w.children(off, end, 2) {
         case ("tkhd", po, pe) =>
           val v = w.fullBox(po, pe)
@@ -164,6 +174,16 @@ object Isobmff {
             case ("hdlr", ho, he) =>
               if (he - ho < 12) fail("truncated", "hdlr")
               handler = fourcc(bytes, ho + 8)
+            case ("mdhd", ho, he) =>
+              val v = w.fullBox(ho, he)
+              val body = ho + 4
+              if (v == 1) {
+                if (he - body < 28) fail("truncated", "mdhd")
+                mediaTs = u32(bytes, body + 16)
+              } else if (v == 0) {
+                if (he - body < 16) fail("truncated", "mdhd")
+                mediaTs = u32(bytes, body + 8)
+              } else fail("bad_frame", s"mdhd version $v")
             case ("minf", mo, me) =>
               w.children(mo, me, 4) {
                 case ("stbl", so, se) =>
@@ -172,6 +192,36 @@ object Isobmff {
                       val (c, cw, ch) = stsd(xo, xe, handler)
                       codec = c
                       if (handler == "vide") { tw = cw; th = ch }
+                    case ("stts", xo, xe) =>
+                      // decoding-time-to-sample: Σ sample_count
+                      if (w.fullBox(xo, xe) != 0) fail("bad_frame", "stts version")
+                      if (xe - xo < 8) fail("truncated", "stts")
+                      val nEnt = u32(bytes, xo + 4)
+                      if (nEnt > ((xe - xo - 8) / 8).toLong)
+                        fail("truncated", s"stts declares $nEnt entries")
+                      var e = 0
+                      while (e < nEnt.toInt) {
+                        val cnt = u32(bytes, xo + 8 + e * 8)
+                        nSamples += cnt
+                        mediaDur += cnt * u32(bytes, xo + 12 + e * 8)
+                        e += 1
+                      }
+                    case ("stsz", xo, xe) =>
+                      // sample sizes: fixed (sample_size != 0) or per-sample
+                      if (w.fullBox(xo, xe) != 0) fail("bad_frame", "stsz version")
+                      if (xe - xo < 12) fail("truncated", "stsz")
+                      val fixed = u32(bytes, xo + 4)
+                      val cnt = u32(bytes, xo + 8)
+                      if (fixed != 0L) sampleBytes = fixed * cnt
+                      else {
+                        if (cnt > ((xe - xo - 12) / 4).toLong)
+                          fail("truncated", s"stsz declares $cnt sizes")
+                        var e = 0
+                        while (e < cnt.toInt) {
+                          sampleBytes += u32(bytes, xo + 12 + e * 4)
+                          e += 1
+                        }
+                      }
                     case _ => ()
                   }
                 case _ => ()
@@ -182,7 +232,8 @@ object Isobmff {
       }
       if (id == 0L) fail("bad_frame", "trak without tkhd")
       if (handler.isEmpty) fail("bad_frame", "trak without hdlr")
-      tracks += Track(id, handler, codec, tw, th, tdur)
+      tracks += Track(id, handler, codec, tw, th, tdur,
+        mediaTs, nSamples, sampleBytes, mediaDur)
     }
 
     def metaBox(off: Int, end: Int): Unit = {
@@ -345,6 +396,54 @@ object Isobmff {
     val moov = box("moov", mvhd +: traks: _*)
     val mdat = box("mdat")
     ftyp(major, compatible) ++ moov ++ mdat
+  }
+
+  /** A timed-media MP4 WITH sample tables: like [[writeMp4]] but each
+    * track carries mdhd (media timescale) and an stbl with stts (one run
+    * of `sampleDelta`), per-sample stsz, and a one-chunk stco.
+    * tracks: (id, handler, codec, w, h, duration, mediaTimescale,
+    * sampleDelta, sampleSizes).
+    */
+  def writeMp4Sampled(major: String, compatible: Seq[String], timescale: Long,
+      duration: Long,
+      tracks: Seq[(Long, String, String, Int, Int, Long, Long, Long, Seq[Long])])
+      : Array[Byte] = {
+    val mvhd = box("mvhd", vf0,
+      be32(0L), be32(0L), be32(timescale), be32(duration),
+      be32(0x00010000L), be16(0x0100), be16(0), be32(0L), be32(0L),
+      be32(0x00010000L), be32(0L), be32(0L),
+      be32(0L), be32(0x00010000L), be32(0L),
+      be32(0L), be32(0L), be32(0x40000000L),
+      new Array[Byte](24), be32(0xffffffffL))
+    val traks = tracks.map {
+      case (id, handler, codec, tw, th, tdur, mts, delta, sizes) =>
+        val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),
+          be32(0L), be32(0L), be32(id), be32(0L), be32(tdur),
+          new Array[Byte](8), be16(0), be16(0),
+          be16(if (handler == "soun") 0x0100 else 0), be16(0),
+          be32(0x00010000L), be32(0L), be32(0L),
+          be32(0L), be32(0x00010000L), be32(0L),
+          be32(0L), be32(0L), be32(0x40000000L),
+          be32(tw.toLong << 16), be32(th.toLong << 16))
+        val mdhd = box("mdhd", vf0, be32(0L), be32(0L), be32(mts),
+          be32(sizes.length.toLong * delta), be16(0x55c4), be16(0)) // "und"
+        val entry = box(codec, new Array[Byte](6), be16(1), new Array[Byte](16),
+          be16(tw), be16(th),
+          be32(0x00480000L), be32(0x00480000L), be32(0L), be16(1),
+          new Array[Byte](32), be16(0x18), be16(0xffff))
+        val stsd = box("stsd", vf0, be32(1L), entry)
+        val stts = box("stts", vf0, be32(1L),
+          be32(sizes.length.toLong), be32(delta))
+        val stsz = box("stsz", vf0 +: be32(0L) +: be32(sizes.length.toLong) +:
+          sizes.map(be32): _*)
+        val stco = box("stco", vf0, be32(1L), be32(0L))
+        val stbl = box("stbl", stsd, stts, stsz, stco)
+        val minf = box("minf", stbl)
+        val mdia = box("mdia", mdhd, hdlr(handler), minf)
+        box("trak", tkhd, mdia)
+    }
+    val moov = box("moov", mvhd +: traks: _*)
+    ftyp(major, compatible) ++ moov ++ box("mdat")
   }
 
   /** A HEIF/AVIF still image: ftyp + meta{hdlr pict, iinf{infe},

@@ -229,5 +229,67 @@ object MediaMetaQueries {
           CAST(count(CASE WHEN rot AND mode = 2 THEN 1 END) AS BIGINT) AS n_frame
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ISOBMFF sample-table audit (round 15 follow-on to mm23): the part
+    // of an MP4 a video-curation pipeline actually reads to triage —
+    // mdhd media timescale, stts decoding-time runs (sample counts AND
+    // total media duration), per-sample stsz sizes — turned into the
+    // exact duration/bitrate table. Every field rides the deterministic
+    // doc_id arithmetic; floor-divided integer ms and kbps keep both
+    // engines bit-exact. Per-row build+parse map, shuffle-free rollup;
+    // sample PAYLOADS never exist (stsz is declarative), so nothing
+    // here scales with media bytes — the tables a 100 TB crawl scan
+    // walks are KB-sized per file.
+    GraftQuery(
+      "mm25_isobmff_samples",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val n = (id % 240 + 1).toInt
+            val delta = 100 + id % 20
+            val ts = 600 * (id % 5 + 1)
+            val sizes = Seq.tabulate(n)(k => 500L + (id + k) % 97)
+            val bytes = graft.ops.Isobmff.writeMp4Sampled(
+              "isom", Seq("isom", "mp41"), 1000L, n * delta,
+              Seq((1L, "vide", "avc1", 640, 360, n * delta, ts, delta, sizes)))
+            val t = graft.ops.Isobmff.parse(bytes).tracks.head
+            require(t.nSamples == n.toLong && t.mediaTimescale == ts,
+              s"sample walk: ${t.nSamples}/$n @ ${t.mediaTimescale}")
+            val durMs = t.mediaDuration * 1000L / t.mediaTimescale
+            val kbps = 8L * t.sampleBytes * t.mediaTimescale /
+              (t.mediaDuration * 1000L)
+            (source, t.nSamples, t.sampleBytes, durMs, kbps)
+          }
+          .toDF("source", "n_samples", "s_bytes", "dur_ms", "kbps")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("n_samples")).as("sample_sum"),
+            sum(col("s_bytes")).as("byte_sum"),
+            sum(col("dur_ms")).as("dur_ms_sum"),
+            sum(col("kbps")).as("rate_check"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 240 + 1 AS n,
+            100 + doc_id % 20 AS delta,
+            600 * (doc_id % 5 + 1) AS ts
+          FROM documents),
+        y AS (SELECT source, n,
+            CAST(list_sum(list_transform(range(0, n),
+              k -> 500 + ((id + k) % 97))) AS BIGINT) AS s_bytes,
+            (n * delta * 1000) // ts AS dur_ms,
+            n * delta AS mdur, ts
+          FROM x)
+        SELECT source, count(*) AS n_files,
+          CAST(sum(n) AS BIGINT) AS sample_sum,
+          CAST(sum(s_bytes) AS BIGINT) AS byte_sum,
+          CAST(sum(dur_ms) AS BIGINT) AS dur_ms_sum,
+          CAST(sum((8 * s_bytes * ts) // (mdur * 1000)) AS BIGINT) AS rate_check
+        FROM y GROUP BY 1"""),
+    ),
   )
 }

@@ -774,5 +774,88 @@ object TensorShardQueries {
           CAST(sum(vc) AS BIGINT) AS val_check
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // GGUF Q4_0 round trip (round 15 — the OTHER quantization llama.cpp
+    // dumps ship in volume; completes the quant pair next to gg02's
+    // Q8_0): same dyadic determinism contract, but the quants are 4-bit
+    // values in [0,15] nibble-packed by the writer (element j low, j+16
+    // high) and dequantized x = d*(q-8). q_i = ((round(x_i*1000) % 16)
+    // + 16) % 16; per-row-block scales d = (1 + (vec_id + blk) % 7)/4,
+    // so dequant*4 = (q-8)*d4 is an exact integer. One wrong nibble in
+    // the pack/unpack breaks the checksum. Scale: as gg01/gg02.
+    GraftQuery(
+      "gg03_gguf_q4",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .groupBy(expr("vec_id DIV 32").as("g"))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
+          .as[(Long, Seq[(Long, Seq[Float])])]
+          .flatMap { case (g, recs) =>
+            val n = recs.length
+            val dim = recs.head._2.length
+            val blocksPerRow = dim / 32
+            val quants = new Array[Byte](n * dim)
+            val scales = new Array[Short](n * blocksPerRow)
+            recs.zipWithIndex.foreach { case ((id, v), r) =>
+              var b = 0
+              while (b < blocksPerRow) {
+                scales(r * blocksPerRow + b) = graft.ops.Safetensors.floatToHalf(
+                  (1 + ((id + b) % 7)) * 0.25f)
+                b += 1
+              }
+              var i = 0
+              while (i < dim) {
+                val rounded = new java.math.BigDecimal(v(i).toDouble * 1000.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                quants(r * dim + i) = (((rounded % 16) + 16) % 16).toByte
+                i += 1
+              }
+            }
+            val shard = graft.ops.Gguf.writeTensors(
+              Seq("graft.ids" -> graft.ops.Gguf.MArray(
+                recs.map(r => graft.ops.Gguf.MInt(r._1)).toVector)),
+              Seq(("q", Vector(dim.toLong, n.toLong),
+                graft.ops.Gguf.Q4(scales, quants))))
+            val m = graft.ops.Gguf.read(shard)
+            val t = m.tensors.find(_.name == "q").get
+            require(t.ggmlType == 2 && t.byteSize == n.toLong * blocksPerRow * 18,
+              s"q4 layout: type ${t.ggmlType}, ${t.byteSize} bytes")
+            val ids = m.meta("graft.ids").get.asInstanceOf[graft.ops.Gguf.MArray]
+              .items.map(_.asInstanceOf[graft.ops.Gguf.MInt].v)
+            val vs = m.floats("q")
+            ids.iterator.zipWithIndex.map { case (id, r) =>
+              var vc = 0L
+              var i = 0
+              while (i < dim) {
+                vc += new java.math.BigDecimal(vs(r * dim + i).toDouble * 4.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+                i += 1
+              }
+              (id % 8, id, dim.toLong, vc)
+            }
+          }
+          .toDF("bucket", "id", "dim", "vc")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(col("id")).as("id_sum"),
+            sum(col("dim")).as("dim_sum"),
+            sum(col("vc")).as("val_check"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          x AS (SELECT vec_id % 8 AS bucket, vec_id, len(v) AS dim,
+              CAST(list_sum(list_transform(range(0, len(v)), i ->
+                ((((CAST(round(v[i + 1] * 1000) AS BIGINT) % 16) + 16) % 16) - 8)
+                  * (1 + ((vec_id + i // 32) % 7)))) AS BIGINT) AS vc
+            FROM e)
+        SELECT bucket, count(*) AS n_vecs,
+          CAST(sum(vec_id) AS BIGINT) AS id_sum,
+          CAST(sum(dim) AS BIGINT) AS dim_sum,
+          CAST(sum(vc) AS BIGINT) AS val_check
+        FROM x GROUP BY 1"""),
+    ),
   )
 }

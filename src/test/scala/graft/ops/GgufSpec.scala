@@ -72,6 +72,43 @@ class GgufSpec extends AnyFunSuite {
     assert(m.floats("q8.weight").toSeq == want)
   }
 
+  test("Q4_0 python-transcription fixture dequantizes exactly (d*(q-8), nibble pack)") {
+    val exp = Json.parse(new String(fixture("gguf_expected.json"), US_ASCII))
+      .asInstanceOf[JObj].fields.toMap
+    val m = Gguf.read(fixture("gguf_q4.gguf"))
+    val t = m.tensors.find(_.name == "q4.weight").get
+    assert(t.ggmlType == 2 && t.dims == Vector(32L, 2L) && t.byteSize == 36)
+    val want = exp("q4_vals").asInstanceOf[JArr].items.map {
+      case JFloat(d) => d.toFloat
+      case JInt(i) => i.toFloat
+      case other => fail(s"$other")
+    }
+    assert(m.floats("q4.weight").toSeq == want)
+  }
+
+  test("Q4_0 writer round trip: unpacked quants in, nibble-packed bytes out") {
+    val scales = Array[Short](0x3400, 0xb800.toShort) // 0.25, -0.5
+    val quants = Array.tabulate[Byte](64)(i => ((5 * i + 2) % 16).toByte)
+    val bytes = Gguf.writeTensors(Nil,
+      Seq(("w", Vector(32L, 2L), Gguf.Q4(scales, quants))))
+    val m = Gguf.read(bytes)
+    val vs = m.floats("w")
+    (0 until 64).foreach { i =>
+      val d = if (i < 32) 0.25f else -0.5f
+      assert(vs(i) == d * (quants(i) - 8), s"element $i")
+    }
+    // byte-identical to the python transcription's payload
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, bytes.length - 36, bytes.length),
+      java.util.Arrays.copyOfRange(fixture("gguf_q4.gguf"),
+        fixture("gguf_q4.gguf").length - 36, fixture("gguf_q4.gguf").length)))
+    // out-of-range quants refuse in the writer
+    intercept[IllegalArgumentException] {
+      Gguf.writeTensors(Nil, Seq(("w", Vector(32L, 2L),
+        Gguf.Q4(scales, Array.fill[Byte](64)(16)))))
+    }
+  }
+
   test("Q8_0 writer round trip with raw f16 scale bits, rows%32 enforced") {
     val scales = Array[Short](0x3800, 0xb400.toShort) // 0.5, -0.25
     val quants = Array.tabulate[Byte](64)(i => (((7 * i + 3) % 255) - 127).toByte)

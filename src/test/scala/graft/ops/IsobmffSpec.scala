@@ -35,7 +35,9 @@ class IsobmffSpec extends AnyFunSuite {
     val want = exp("tracks").asInstanceOf[JArr].items.map { t =>
       val f = t.asInstanceOf[JObj].fields.toMap
       Isobmff.Track(jl(f("id")), js(f("handler")), js(f("codec")),
-        jl(f("w")).toInt, jl(f("h")).toInt, jl(f("duration")))
+        jl(f("w")).toInt, jl(f("h")).toInt, jl(f("duration")),
+        jl(f("media_ts")), jl(f("n_samples")), jl(f("sample_bytes")),
+        jl(f("media_dur")))
     }
     assert(m.tracks == want)
     assert(m.itemCodec == "" && m.itemWidth == 0)
@@ -70,6 +72,48 @@ class IsobmffSpec extends AnyFunSuite {
       Seq("isom", "mp41"), 1000L, 60000L,
       Seq((1L, "vide", "av01", 640, 360, 60000L),
         (2L, "soun", "mp4a", 0, 0, 59000L)))))
+  }
+
+  test("sampled writer round trip: mdhd/stts/stsz recovered exactly") {
+    val sizes = Seq.tabulate(40)(k => 700L + (11 * k) % 53)
+    val mp4 = Isobmff.writeMp4Sampled("isom", Seq("isom"), 1000L, 4000L,
+      Seq((1L, "vide", "avc1", 320, 180, 4000L, 12800L, 512L, sizes)))
+    val t = Isobmff.parse(mp4).tracks.head
+    assert(t.mediaTimescale == 12800L)
+    assert(t.nSamples == 40L)
+    assert(t.sampleBytes == sizes.sum)
+    assert(t.mediaDuration == 40L * 512)
+    // fixed-size stsz form: sample_size != 0
+    val fixed = Isobmff.box("stsz", Array[Byte](0, 0, 0, 0),
+      Isobmff.be32(900L), Isobmff.be32(7L))
+    val mp4b = {
+      // splice the fixed stsz over the per-sample one is fiddly; build a
+      // minimal stbl variant instead through the public writer pieces
+      val entry = Isobmff.box("avc1", new Array[Byte](6), Isobmff.be16(1),
+        new Array[Byte](16), Isobmff.be16(8), Isobmff.be16(6),
+        Isobmff.be32(0x00480000L), Isobmff.be32(0x00480000L), Isobmff.be32(0L),
+        Isobmff.be16(1), new Array[Byte](32), Isobmff.be16(0x18),
+        Isobmff.be16(0xffff))
+      val stsd = Isobmff.box("stsd", Array[Byte](0, 0, 0, 0),
+        Isobmff.be32(1L), entry)
+      val hdlrB = Isobmff.box("hdlr", Array[Byte](0, 0, 0, 0),
+        Isobmff.be32(0L), Isobmff.cc("vide"), new Array[Byte](12), Array[Byte](0))
+      val tkhd = Isobmff.box("tkhd", Array[Byte](0, 0, 0, 7),
+        Isobmff.be32(0L), Isobmff.be32(0L), Isobmff.be32(1L), Isobmff.be32(0L),
+        Isobmff.be32(100L), new Array[Byte](8), Isobmff.be16(0), Isobmff.be16(0),
+        Isobmff.be16(0), Isobmff.be16(0),
+        Isobmff.be32(0x00010000L), Isobmff.be32(0L), Isobmff.be32(0L),
+        Isobmff.be32(0L), Isobmff.be32(0x00010000L), Isobmff.be32(0L),
+        Isobmff.be32(0L), Isobmff.be32(0L), Isobmff.be32(0x40000000L),
+        Isobmff.be32(8L << 16), Isobmff.be32(6L << 16))
+      val stbl = Isobmff.box("stbl", stsd, fixed)
+      val mdia = Isobmff.box("mdia", hdlrB, Isobmff.box("minf", stbl))
+      Isobmff.ftyp("isom", Nil) ++
+        Isobmff.box("moov", Isobmff.box("trak", tkhd, mdia))
+    }
+    val t2 = Isobmff.parse(mp4b).tracks.head
+    assert(t2.sampleBytes == 900L * 7)
+    assert(t2.nSamples == 0L) // no stts in this variant
   }
 
   test("sample decode refuses typed, like Vp8 inter-frame") {

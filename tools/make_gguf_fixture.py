@@ -121,6 +121,21 @@ def main():
     with open(os.path.join(OUT, "gguf_q8.gguf"), "wb") as f:
         f.write(q8)
 
+    # a Q4_0 file (type 2): 2 rows x 32 elements, per-block f16 scale +
+    # 16 nibble-packed bytes (element j low nibble, element j+16 high);
+    # dequant x = d * (q - 8)
+    q4_scales = [0.25, -0.5]
+    q4_quants = [(5 * i + 2) % 16 for i in range(64)]
+    q4_payload = b"".join(
+        struct.pack("<e", q4_scales[b]) +
+        bytes((q4_quants[b * 32 + j] & 0xF) |
+              ((q4_quants[b * 32 + 16 + j] & 0xF) << 4) for j in range(16))
+        for b in range(2))
+    q4 = gguf([("general.alignment", 4, 32)],
+              [("q4.weight", [32, 2], 2, q4_payload)])
+    with open(os.path.join(OUT, "gguf_q4.gguf"), "wb") as f:
+        f.write(q4)
+
     # expected values (f32 exact via bit pattern, f16 dequantized)
     expected = {
         "alignment": 64,
@@ -134,6 +149,7 @@ def main():
         "half_bits": f16b,
         "half_vals": [struct.unpack("<e", struct.pack("<H", h))[0] for h in f16b],
         "q8_vals": [q8_scales[i // 32] * q8_quants[i] for i in range(64)],
+        "q4_vals": [q4_scales[i // 32] * (q4_quants[i] - 8) for i in range(64)],
     }
     with open(os.path.join(OUT, "gguf_expected.json"), "w") as f:
         json.dump(expected, f, indent=1)

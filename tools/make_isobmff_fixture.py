@@ -64,9 +64,17 @@ def mp4():
                u32(0x480000), u32(0x480000), u32(0), u16(1), b"\x00" * 32,
                u16(0x18), u16(0xFFFF))
     stsd_v = full("stsd", 0, 0, u32(1), avc1)
+    # sample tables: mdhd media timescale, two stts runs, per-sample stsz
+    mdhd_v = full("mdhd", 0, 0, u32(0), u32(0), u32(12800), u32(768000),
+                  u16(0x55C4), u16(0))
+    stts_v = full("stts", 0, 0, u32(2), u32(100), u32(512), u32(50), u32(256))
+    sizes = [800 + (7 * k) % 31 for k in range(150)]
+    stsz_v = full("stsz", 0, 0, u32(0), u32(len(sizes)),
+                  b"".join(u32(s) for s in sizes))
+    stco_v = full("stco", 0, 0, u32(1), u32(0))
     trak_v = box("trak", tkhd_v,
-                 box("mdia", hdlr("vide"),
-                     box("minf", box("stbl", stsd_v))))
+                 box("mdia", mdhd_v, hdlr("vide"),
+                     box("minf", box("stbl", stsd_v, stts_v, stsz_v, stco_v))))
     # audio track: v1 tkhd, mp4a entry
     tkhd_a = full("tkhd", 1, 7, u64(0), u64(0), u32(2), u32(0), u64(5390000),
                   b"\x00" * 8, u16(0), u16(0), u16(0x100), u16(0), matrix(),
@@ -111,9 +119,14 @@ def main():
             "timescale": 90000, "duration": 5400000,
             "tracks": [
                 {"id": 1, "handler": "vide", "codec": "avc1",
-                 "w": 1920, "h": 1080, "duration": 5400000},
+                 "w": 1920, "h": 1080, "duration": 5400000,
+                 "media_ts": 12800, "n_samples": 150,
+                 "sample_bytes": sum(800 + (7 * k) % 31 for k in range(150)),
+                 "media_dur": 100 * 512 + 50 * 256},
                 {"id": 2, "handler": "soun", "codec": "mp4a",
-                 "w": 0, "h": 0, "duration": 5390000}],
+                 "w": 0, "h": 0, "duration": 5390000,
+                 "media_ts": 0, "n_samples": 0, "sample_bytes": 0,
+                 "media_dur": 0}],
         },
         "avif": {
             "major": "avif", "compat": ["avif", "mif1", "miaf"],
