@@ -79,4 +79,72 @@ object Confusables {
     * the order UTS #39 §4 recommends for identifier comparison.
     */
   def dedupKey(s: String): String = skeleton(nfkcCasefold(s))
+
+  // ------------------------------------------------- script mixing (§5.1)
+
+  /** Unicode Script property as sorted ranges, extracted from ICU 72.1 by
+    * tools/extract_script_ranges.py (952 runs). Gaps and omitted runs are
+    * Zzzz (Unknown).
+    */
+  private lazy val (scriptStarts, scriptEnds, scriptNames):
+      (Array[Int], Array[Int], Array[String]) = {
+    val in = getClass.getResourceAsStream("/graft/unicode_scripts.tsv")
+    require(in != null, "missing resource unicode_scripts.tsv")
+    val bytes = in.readAllBytes()
+    in.close()
+    val got = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+    require(got == "6ae05c85f2f0416ec831be6c6caa08a5cf0c9b70d77871909e21987959492f88",
+      s"unicode_scripts.tsv sha256 $got")
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+      .split('\n').filter(_.nonEmpty)
+    val starts = new Array[Int](lines.length)
+    val ends = new Array[Int](lines.length)
+    val names = new Array[String](lines.length)
+    var i = 0
+    lines.foreach { line =>
+      val f = line.split('\t')
+      starts(i) = Integer.parseInt(f(0), 16)
+      ends(i) = Integer.parseInt(f(1), 16)
+      names(i) = f(2).intern()
+      i += 1
+    }
+    (starts, ends, names)
+  }
+
+  /** 4-letter script code of a code point (Zyyy = Common, Zinh =
+    * Inherited, Zzzz = Unknown).
+    */
+  def script(cp: Int): String = {
+    var lo = 0
+    var hi = scriptStarts.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cp < scriptStarts(mid)) hi = mid - 1
+      else if (cp > scriptEnds(mid)) lo = mid + 1
+      else return scriptNames(mid)
+    }
+    "Zzzz"
+  }
+
+  /** The distinct real scripts of a string — Common and Inherited code
+    * points (digits, punctuation, combining marks) never count, per
+    * UTS #39 §5.1's resolution rules.
+    */
+  def scripts(s: String): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val sc = script(cp)
+      if (sc != "Zyyy" && sc != "Zinh") out += sc
+      i += Character.charCount(cp)
+    }
+    out.toSet
+  }
+
+  /** Single-script per UTS #39 §5.1 (Common/Inherited-only strings are
+    * not mixed).
+    */
+  def isMixedScript(s: String): Boolean = scripts(s).size > 1
 }

@@ -536,5 +536,88 @@ object TextQueries {
           CAST(sum(${TA.Sql.hash60("key")} % ${TarQueries.M}) AS BIGINT) AS key_check
         FROM k GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Mixed-script audit (round 15 — the OTHER UTS #39 axis next to
+    // text20's skeleton): homoglyph spam is detectable BEFORE any
+    // confusables table by script mixing — a token whose letters span
+    // more than one real script (Common/Inherited never count, §5.1).
+    // Docs are deterministically poisoned (every fifth doc class swaps
+    // one Latin letter for its Cyrillic or Greek clone), the audit runs
+    // the real 952-range ICU-extracted Script table per code point, and
+    // the oracle replays token/doc verdicts analytically: under, e.g.,
+    // a→а(Cyrl), a token is mixed iff it contains 'a' AND any other
+    // Latin letter. Per-row scalar map, shuffle-free until the rollup.
+    GraftQuery(
+      "text21_script_mix",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (src, id, text) =>
+            val variant = (id % 5) match {
+              case 1 => text.replace('a', 'а') // Cyrillic а
+              case 2 => text.replace('o', 'ο') // Greek omicron
+              case 3 => text.replace('e', 'е') // Cyrillic е
+              case _ => text
+            }
+            val toks = variant.split("\\s+").filter(_.nonEmpty)
+            val mixed = toks.count(graft.ops.Confusables.isMixedScript)
+            val docScripts = graft.ops.Confusables.scripts(variant)
+              .toSeq.sorted.mkString(",")
+            (src, toks.length.toLong, mixed.toLong,
+              if (mixed > 0) 1L else 0L, docScripts)
+          }
+          .toDF("source", "n_tokens", "mixed_tokens", "mixed_doc", "scr")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("mixed_tokens")).as("mixed_tokens"),
+            sum(col("mixed_doc")).as("mixed_docs"),
+            sum(TA.hash60(col("scr")) % TarQueries.M).as("scripts_check"))
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH t AS (SELECT source, doc_id, unnest($toks) AS tok FROM documents),
+          tk AS (SELECT source, doc_id,
+              CASE doc_id % 5
+                WHEN 1 THEN tok LIKE '%a%' AND regexp_matches(tok, '[A-Zb-z]')
+                WHEN 2 THEN tok LIKE '%o%' AND regexp_matches(tok, '[A-Za-np-z]')
+                WHEN 3 THEN tok LIKE '%e%' AND regexp_matches(tok, '[A-Za-df-z]')
+                ELSE FALSE END AS mixed
+            FROM t WHERE tok <> ''),
+          docs AS (SELECT source, doc_id, count(*) AS n_tokens,
+              count(CASE WHEN mixed THEN 1 END) AS mixed_tokens
+            FROM tk GROUP BY 1, 2),
+          scr AS (SELECT source, doc_id,
+              CASE doc_id % 5
+                WHEN 1 THEN CASE
+                  WHEN text LIKE '%a%' AND regexp_matches(text, '[A-Zb-z]')
+                    THEN 'Cyrl,Latn'
+                  WHEN text LIKE '%a%' THEN 'Cyrl' ELSE 'Latn' END
+                WHEN 2 THEN CASE
+                  WHEN text LIKE '%o%' AND regexp_matches(text, '[A-Za-np-z]')
+                    THEN 'Grek,Latn'
+                  WHEN text LIKE '%o%' THEN 'Grek' ELSE 'Latn' END
+                WHEN 3 THEN CASE
+                  WHEN text LIKE '%e%' AND regexp_matches(text, '[A-Za-df-z]')
+                    THEN 'Cyrl,Latn'
+                  WHEN text LIKE '%e%' THEN 'Cyrl' ELSE 'Latn' END
+                ELSE CASE WHEN regexp_matches(text, '[A-Za-z]')
+                  THEN 'Latn' ELSE '' END END AS scr
+            FROM documents)
+        SELECT d.source, count(*) AS n_docs,
+          CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+          CAST(sum(d.mixed_tokens) AS BIGINT) AS mixed_tokens,
+          CAST(count(CASE WHEN d.mixed_tokens > 0 THEN 1 END) AS BIGINT)
+            AS mixed_docs,
+          CAST(sum(${TA.Sql.hash60("s.scr")} % ${TarQueries.M}) AS BIGINT)
+            AS scripts_check
+        FROM docs d JOIN scr s ON d.source = s.source AND d.doc_id = s.doc_id
+        GROUP BY 1"""
+      },
+    ),
   )
 }

@@ -59,6 +59,27 @@ class ConfusablesSpec extends AnyFunSuite {
     assert(Confusables.dedupKey("c0de") != Confusables.dedupKey("cOde"))
   }
 
+  test("script property matches ICU anchors; mixing per UTS #39 §5.1") {
+    // anchors pinned in tools/extract_script_ranges.py against ICU direct
+    assert(Confusables.script('a') == "Latn")
+    assert(Confusables.script(0x430) == "Cyrl")
+    assert(Confusables.script(0x3bf) == "Grek")
+    assert(Confusables.script(0x4e00) == "Hani")
+    assert(Confusables.script('0') == "Zyyy")
+    assert(Confusables.script(0x301) == "Zinh") // combining acute
+    assert(Confusables.script(0x5d0) == "Hebr")
+    assert(Confusables.script(0xe0100) == "Zinh") // variation selector, plane 14
+    assert(Confusables.script(0x10ffff) == "Zzzz")
+    // mixing: Common/Inherited never count
+    assert(Confusables.scripts("abc123 !") == Set("Latn"))
+    assert(!Confusables.isMixedScript("abc123"))
+    assert(!Confusables.isMixedScript("124 - 56")) // Common only
+    assert(Confusables.isMixedScript("pаypal")) // cyrillic а inside latin
+    assert(!Confusables.isMixedScript("привет"))
+    assert(Confusables.isMixedScript("latinχ"))
+    assert(!Confusables.isMixedScript("café")) // Zinh mark on latin
+  }
+
   test("soft hyphen and default-ignorables vanish under NFKC_CF") {
     assert(Confusables.nfkcCasefold("so­ft") == "soft")
     assert(Confusables.nfkcCasefold("a‍b") == "ab") // ZWJ

@@ -74,4 +74,58 @@ class WarcStreamSpec extends SparkSpec {
       assert(stateRows <= 5, s"aggregate state holds $stateRows rows (want <= 5)")
     } finally q.stop()
   }
+
+  test("streaming revisit resolution: stream-static join matches the batch (round 15)") {
+    import spark.implicits._
+    // originals as the STATIC side (rid -> bytes/hash), revisit files as
+    // the stream — the shape a continuous archive ingest actually runs
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val originals = docs.toSeq.map { case (id, source, text) =>
+      (s"<urn:graft:resp:https://$source/doc/$id>",
+        text.length.toLong, Warc.payloadDigest(text.getBytes(US_ASCII)))
+    }.toDF("rid", "o_bytes", "o_digest")
+
+    val revFiles = docs.filter(_._1 % 3 == 0).grouped(5).zipWithIndex.map {
+      case (grp, gi) =>
+        Warc.buildRevisitFile(s"rev$gi.warc.gz", grp.toSeq.map {
+          case (id, source, text) =>
+            val ref =
+              if (id % 17 == 0) s"<urn:graft:missing:$id>"
+              else s"<urn:graft:resp:https://$source/doc/$id>"
+            (s"https://$source/redup/$id", ref, s"https://$source/doc/$id",
+              Warc.payloadDigest(text.getBytes(US_ASCII)))
+        })
+    }.toSeq
+
+    def resolve(files: org.apache.spark.sql.DataFrame) = files
+      .as[Array[Byte]]
+      .flatMap(b => Warc.revisitRecords(b).map(r => (r._1, r._2, r._4)))
+      .toDF("uri", "ref", "r_digest")
+      .join(originals, col("ref") === col("rid"), "left_outer")
+      .select(col("uri"),
+        col("rid").isNotNull.as("resolved"),
+        coalesce(col("o_bytes"), lit(0L)).as("o_bytes"),
+        (col("r_digest") === col("o_digest")).as("digest_ok"))
+
+    val in = MemoryStream[Array[Byte]](spark)
+    val q = resolve(in.toDF()).writeStream.format("memory")
+      .queryName("revstream").outputMode("append").start()
+    try {
+      revFiles.grouped((revFiles.size + 1) / 2).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      def keyed(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1).toSeq
+      val streamed = keyed(spark.table("revstream").collect())
+      val batch = keyed(resolve(revFiles.toDF("value")).collect())
+      assert(streamed == batch)
+      assert(batch.exists(_._2) && batch.exists(!_._2), "both outcomes present")
+      // every resolved row's payload digest re-validates against the original
+      val dg = spark.table("revstream")
+        .where(col("resolved")).select(col("digest_ok")).collect()
+      assert(dg.nonEmpty && dg.forall(_.getBoolean(0)))
+    } finally q.stop()
+  }
 }
