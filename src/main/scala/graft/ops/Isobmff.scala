@@ -202,8 +202,15 @@ object Isobmff {
                       var e = 0
                       while (e < nEnt.toInt) {
                         val cnt = u32(bytes, xo + 8 + e * 8)
+                        val delta = u32(bytes, xo + 12 + e * 8)
+                        // u32×u32 can wrap a Long across crafted runs —
+                        // a lying table must refuse, not report garbage
+                        if (cnt != 0 && delta > (1L << 62) / cnt)
+                          fail("bad_frame", s"stts run $cnt x $delta overflows")
                         nSamples += cnt
-                        mediaDur += cnt * u32(bytes, xo + 12 + e * 8)
+                        mediaDur += cnt * delta
+                        if (nSamples > (1L << 48) || mediaDur > (1L << 62))
+                          fail("bad_frame", "stts totals overflow")
                         e += 1
                       }
                     case ("stsz", xo, xe) =>
@@ -212,8 +219,11 @@ object Isobmff {
                       if (xe - xo < 12) fail("truncated", "stsz")
                       val fixed = u32(bytes, xo + 4)
                       val cnt = u32(bytes, xo + 8)
-                      if (fixed != 0L) sampleBytes = fixed * cnt
-                      else {
+                      if (fixed != 0L) {
+                        if (cnt != 0 && fixed > (1L << 62) / cnt)
+                          fail("bad_frame", s"stsz $cnt x $fixed overflows")
+                        sampleBytes = fixed * cnt
+                      } else {
                         if (cnt > ((xe - xo - 12) / 4).toLong)
                           fail("truncated", s"stsz declares $cnt sizes")
                         var e = 0

@@ -257,7 +257,8 @@ object MediaMetaQueries {
               "isom", Seq("isom", "mp41"), 1000L, n * delta,
               Seq((1L, "vide", "avc1", 640, 360, n * delta, ts, delta, sizes)))
             val t = graft.ops.Isobmff.parse(bytes).tracks.head
-            require(t.nSamples == n.toLong && t.mediaTimescale == ts,
+            require(t.nSamples == n.toLong && t.mediaTimescale == ts &&
+              t.mediaDuration == n * delta,
               s"sample walk: ${t.nSamples}/$n @ ${t.mediaTimescale}")
             val durMs = t.mediaDuration * 1000L / t.mediaTimescale
             val kbps = 8L * t.sampleBytes * t.mediaTimescale /

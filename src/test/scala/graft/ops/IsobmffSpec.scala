@@ -114,6 +114,15 @@ class IsobmffSpec extends AnyFunSuite {
     val t2 = Isobmff.parse(mp4b).tracks.head
     assert(t2.sampleBytes == 900L * 7)
     assert(t2.nSamples == 0L) // no stts in this variant
+
+    // u32xu32 overflow in lying tables refuses typed, never wraps:
+    // splice a crafted stts (count=0xFFFFFFFF, delta=0xFFFFFFFF) into mp4
+    val evil = mp4.clone()
+    val at = evil.indexOfSlice("stts".getBytes)
+    assert(at > 0)
+    // stts payload: version/flags(4) entry_count(4) then (count, delta)
+    java.util.Arrays.fill(evil, at + 12, at + 20, 0xff.toByte)
+    assert(Isobmff.parseSafe(evil) == Left("bad_frame"))
   }
 
   test("sample decode refuses typed, like Vp8 inter-frame") {
