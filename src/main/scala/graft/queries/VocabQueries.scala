@@ -512,5 +512,177 @@ object VocabQueries {
         FROM ctoks t JOIN b2 USING (w) GROUP BY 1"""
       },
     ),
+
+    // ------------------------------------------------------------------
+    // Three-tokenizer fertility table (round 15 — vocab05 extended with
+    // the unigram leg): the comparison a tokenizer SELECTION reads, all
+    // three trained tokenizers (vocab01's BPE after 3 merges, vocab04's
+    // WordPiece inventory + greedy encode, vocab06's unigram after its
+    // hard-EM round) over the same corpus, per language, in exact
+    // rounded ppm. All three per-word tables are vocabulary-sized and
+    // broadcast; the corpus contributes ONE token explode. The oracle
+    // replays ALL THREE training chains (BPE merge CTEs, the WordPiece
+    // recursive greedy, both unigram Viterbi enumerations) and must
+    // agree on every per-lang integer.
+    GraftQuery(
+      "vocab07_tokenizer_tri",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.UnigramLm
+        val bpe = bpeTrain(s, d)._2
+          .select(col("token").as("w"),
+            size(split(trim(col("seq")), "  ")).as("bpe_syms"))
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+        val wcDf = graft.core.Caches.persist(
+          toks.groupBy(col("w")).agg(count(lit(1)).as("n")))
+        val wcDs = wcDf.as[(String, Long)]
+        val tot = wcDf.agg(sum(col("n"))).head.getLong(0)
+        val thresh = tot / 500
+        // WordPiece leg (the vocab04 trainer)
+        val pieceSet = wcDs
+          .flatMap { case (w, n) =>
+            graft.ops.WordPiece.substrings(w).map(p => (p, n)) }
+          .toDF("piece", "pn")
+          .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
+          .filter(col("cnt") >= thresh)
+          .select(col("piece")).as[String].collect().toSet
+        val bcWp = s.sparkContext.broadcast(pieceSet)
+        // Unigram leg (the vocab06 trainer: seed -> Viterbi -> recount)
+        val seedCnt = wcDs
+          .flatMap { case (w, n) => UnigramLm.substrings(w).map(p => (p, n)) }
+          .toDF("piece", "pn")
+          .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
+          .as[(String, Long)].collect()
+        val cost0 = seedCnt.iterator
+          .filter { case (p, c) => c >= thresh || p.length == 1 }
+          .map { case (p, c) => p -> (UnigramLm.bits(tot) - UnigramLm.bits(c)) }
+          .toMap
+        val bc0 = s.sparkContext.broadcast(cost0)
+        val usage = wcDs.map { case (w, n) =>
+            (n, UnigramLm.segment(w, bc0.value).get._3) }
+          .flatMap { case (n, path) => path.split(' ').map(p => (p, n)) }
+          .toDF("piece", "pn")
+          .groupBy(col("piece")).agg(sum(col("pn")).as("u"))
+          .as[(String, Long)].collect()
+        val totU = usage.iterator.map(_._2).sum
+        val cost1 = usage.iterator
+          .map { case (p, u) => p -> (UnigramLm.bits(totU) - UnigramLm.bits(u)) }
+          .toMap
+        val bc1 = s.sparkContext.broadcast(cost1)
+        val seg = wcDs.map { case (w, _) =>
+            val (wpN, _) = graft.ops.WordPiece.encode(w, bcWp.value)
+            val uniN = UnigramLm.segment(w, bc1.value).get._2
+            (w, wpN, uniN.toLong)
+          }.toDF("w", "wp_pieces", "uni_pieces")
+        toks.join(broadcast(seg), "w").join(broadcast(bpe), "w")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("bpe_syms")).as("bpe_syms"),
+            sum(col("wp_pieces")).as("wp_pieces"),
+            sum(col("uni_pieces")).as("uni_pieces"))
+          .select(col("lang"), col("n_words"), col("bpe_syms"),
+            col("wp_pieces"), col("uni_pieces"),
+            round(lit(1e6) * col("bpe_syms") / col("n_words")).cast("long")
+              .as("bpe_ppw_ppm"),
+            round(lit(1e6) * col("wp_pieces") / col("n_words")).cast("long")
+              .as("wp_ppw_ppm"),
+            round(lit(1e6) * col("uni_pieces") / col("n_words")).cast("long")
+              .as("uni_ppw_ppm"))
+      },
+      Some {
+        val toks = TA.Sql.tokens("text")
+        s"""WITH $sqlBpeChain,
+          bpe AS (SELECT token AS w,
+              len(string_split(trim(seq), '  ')) AS bpe_syms FROM s3),
+          toksr AS (SELECT lang, unnest($toks) AS w FROM documents),
+          ctoks AS (SELECT * FROM toksr WHERE w <> ''),
+          tot AS (SELECT count(*) AS n_tok FROM ctoks),
+          wc AS (SELECT w, count(*) AS n FROM ctoks GROUP BY 1),
+          subw AS (SELECT w, n, i, L,
+              CASE WHEN i = 1 THEN substr(w, i, L)
+                ELSE '##' || substr(w, i, L) END AS piece
+            FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
+                 (SELECT unnest(range(1, 5)) AS L)
+            WHERE i + L - 1 <= length(w)),
+          wpieces AS (SELECT piece FROM subw GROUP BY 1
+            HAVING sum(n) >= (SELECT n_tok // 500 FROM tot)),
+          bm AS (SELECT s.w, s.i AS pos, max(s.L) AS step
+            FROM subw s JOIN wpieces p ON s.piece = p.piece GROUP BY 1, 2),
+          st AS (
+            WITH RECURSIVE rg(w, pos, np, unk) AS (
+              SELECT w, 1, 0, 0 FROM wc
+              UNION ALL
+              SELECT rg.w,
+                CASE WHEN bm.step IS NULL THEN length(rg.w)+1
+                  ELSE rg.pos + bm.step END,
+                CASE WHEN bm.step IS NULL THEN 1 ELSE rg.np + 1 END,
+                CASE WHEN bm.step IS NULL THEN 1 ELSE rg.unk END
+              FROM rg LEFT JOIN bm ON rg.w = bm.w AND rg.pos = bm.pos
+              WHERE rg.pos <= length(rg.w) AND rg.unk = 0)
+            SELECT w, np, unk FROM rg WHERE pos > length(w) OR unk = 1),
+          wpseg AS (SELECT w, CASE WHEN unk = 1 THEN 1 ELSE np END AS wp_pieces
+            FROM st),
+          subu AS (SELECT substr(w, i, L) AS piece, n
+            FROM (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
+                 (SELECT unnest(range(1, 5)) AS L)
+            WHERE i + L - 1 <= length(w)),
+          upc AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM subu GROUP BY 1),
+          cost0 AS (SELECT piece,
+              length(printf('%b', (SELECT n_tok FROM tot)))
+                - length(printf('%b', cnt)) AS c
+            FROM upc WHERE cnt >= (SELECT n_tok // 500 FROM tot)
+              OR length(piece) = 1),
+          ub1 AS (
+            WITH RECURSIVE r1(w, pos, cost, np, path) AS (
+              SELECT w, 0, 0, 0, '' FROM wc
+              UNION ALL
+              SELECT r1.w, r1.pos + length(c0.piece), r1.cost + c0.c, r1.np + 1,
+                CASE WHEN r1.path = '' THEN c0.piece
+                  ELSE r1.path || ' ' || c0.piece END
+              FROM r1 JOIN cost0 c0
+                ON substr(r1.w, r1.pos + 1, length(c0.piece)) = c0.piece
+              WHERE r1.pos < length(r1.w))
+            SELECT w, path FROM (
+              SELECT w, path, row_number() OVER (
+                PARTITION BY w ORDER BY cost, np, path) AS rn
+              FROM r1 WHERE pos = length(w)) WHERE rn = 1),
+          uusage AS (SELECT piece, CAST(sum(n) AS BIGINT) AS u
+            FROM (SELECT w, unnest(string_split(path, ' ')) AS piece FROM ub1)
+            JOIN wc USING (w) GROUP BY 1),
+          totu AS (SELECT CAST(sum(u) AS BIGINT) AS tu FROM uusage),
+          cost1 AS (SELECT piece,
+              length(printf('%b', (SELECT tu FROM totu)))
+                - length(printf('%b', u)) AS c
+            FROM uusage),
+          ub2 AS (
+            WITH RECURSIVE r2(w, pos, cost, np, path) AS (
+              SELECT w, 0, 0, 0, '' FROM wc
+              UNION ALL
+              SELECT r2.w, r2.pos + length(c1.piece), r2.cost + c1.c, r2.np + 1,
+                CASE WHEN r2.path = '' THEN c1.piece
+                  ELSE r2.path || ' ' || c1.piece END
+              FROM r2 JOIN cost1 c1
+                ON substr(r2.w, r2.pos + 1, length(c1.piece)) = c1.piece
+              WHERE r2.pos < length(r2.w))
+            SELECT w, np AS uni_pieces FROM (
+              SELECT w, np, row_number() OVER (
+                PARTITION BY w ORDER BY cost, np, path) AS rn
+              FROM r2 WHERE pos = length(w)) WHERE rn = 1),
+          g AS (SELECT lang, count(*) AS n_words,
+              CAST(sum(bpe_syms) AS BIGINT) AS bpe_syms,
+              CAST(sum(wp_pieces) AS BIGINT) AS wp_pieces,
+              CAST(sum(uni_pieces) AS BIGINT) AS uni_pieces
+            FROM ctoks t JOIN wpseg USING (w) JOIN ub2 USING (w)
+              JOIN bpe USING (w)
+            GROUP BY 1)
+        SELECT lang, n_words, bpe_syms, wp_pieces, uni_pieces,
+          CAST(round(1e6 * bpe_syms / n_words) AS BIGINT) AS bpe_ppw_ppm,
+          CAST(round(1e6 * wp_pieces / n_words) AS BIGINT) AS wp_ppw_ppm,
+          CAST(round(1e6 * uni_pieces / n_words) AS BIGINT) AS uni_ppw_ppm
+        FROM g"""
+      },
+    ),
   )
 }
