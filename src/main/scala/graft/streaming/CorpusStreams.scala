@@ -357,6 +357,38 @@ object CorpusStreams {
         sum(col("csum")).as("canvas_checksum"))
   }
 
+  /** Streaming ISOBMFF ingest (round 15): healthy MP4/MOV/HEIF containers
+    * yield one metadata row through the [[graft.ops.Isobmff]] box walk
+    * (brand, track count, video dims, sample totals); a rotten container
+    * yields ONE typed error row (bad_magic / truncated / bad_frame /
+    * too_large). State bounded by outcome × brand; the walk is a
+    * stateless per-file map with zero payload allocation. Expects
+    * columns (file string, content binary).
+    */
+  def isobmffScan(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val recs = files
+      .select(col("file"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .map { case (_, bytes) =>
+        graft.ops.Isobmff.parseSafe(bytes) match {
+          case Right(m) =>
+            val v = m.tracks.find(_.handler == "vide")
+            ("ok", m.majorBrand, m.tracks.length.toLong,
+              v.map(t => t.width.toLong * t.height).getOrElse(
+                m.itemWidth.toLong * m.itemHeight),
+              m.tracks.map(_.nSamples).sum)
+          case Left(kind) => (kind, "", 0L, 0L, 0L)
+        }
+      }.toDF("outcome", "brand", "n_tracks", "px", "n_samples")
+    recs.groupBy(col("outcome"), col("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_tracks")).as("sum_tracks"),
+        sum(col("px")).as("sum_px"),
+        sum(col("n_samples")).as("sum_samples"))
+  }
+
   /** Streaming ingest of compressed JSONL shards across EVERY codec the
     * corpus layer supports — zstd, LZ4, gzip members, bzip2 streams, xz
     * streams, snappy framed, all sniffed per shard by magic, plus

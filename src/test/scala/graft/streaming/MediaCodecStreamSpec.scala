@@ -107,4 +107,53 @@ class MediaCodecStreamSpec extends SparkSpec {
       assert(stateRows <= 2 + 2, s"aggregate state holds $stateRows rows")
     } finally q.stop()
   }
+
+  test("streaming ISOBMFF scan matches batch; refusals typed; state bounded (round 15)") {
+    import spark.implicits._
+    val files = docs().map { case (id, _) =>
+      val clean =
+        if (id % 2 == 0)
+          graft.ops.Isobmff.writeMp4Sampled("isom", Seq("isom"), 1000L,
+            (id % 50 + 1) * 400,
+            Seq((1L, "vide", "avc1", 320 + (id % 4).toInt * 16, 180,
+              (id % 50 + 1) * 400, 12800L, 400L,
+              Seq.tabulate((id % 12).toInt + 1)(k => 600L + (id + k) % 37))))
+        else graft.ops.Isobmff.writeHeif(
+          if (id % 3 == 0) "avif" else "heic", Seq("mif1"),
+          if (id % 3 == 0) "av01" else "hvc1",
+          64 + (id % 9).toInt * 8, 64 + (id % 7).toInt * 8)
+      val b = (id % 10) match {
+        case 0 => val c = clean.clone(); c(5) = 'X'.toByte; c // bad_magic
+        case 1 => java.util.Arrays.copyOf(clean, clean.length / 3) // truncated
+        case 2 => // tkhd/meta version from the future → bad_frame
+          val c = clean.clone()
+          val at = math.max(c.indexOfSlice("tkhd".getBytes),
+            c.indexOfSlice("ispe".getBytes))
+          c(at + 4) = 9.toByte; c
+        case _ => clean
+      }
+      (s"m$id.mp4", b)
+    }.toSeq
+
+    val in = MemoryStream[(String, Array[Byte])](spark)
+    val q = CorpusStreams.isobmffScan(in.toDS().toDF("file", "content"))
+      .writeStream.format("memory").queryName("isoscan")
+      .outputMode("update").start()
+    try {
+      files.grouped((files.size + 2) / 3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = keyed(spark.table("isoscan").collect(), "outcome", "brand")
+      val batch = keyed(
+        CorpusStreams.isobmffScan(files.toDF("file", "content")).collect(),
+        "outcome", "brand")
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+      for (k <- Seq("bad_magic", "truncated", "bad_frame"))
+        assert(batch.keys.exists(_._1 == k), s"missing refusal $k in ${batch.keys}")
+      for (b <- Seq("isom", "avif", "heic"))
+        assert(batch.keys.exists(k => k._1 == "ok" && k._2 == b), s"missing brand $b")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 8, s"aggregate state holds $stateRows rows")
+    } finally q.stop()
+  }
 }
