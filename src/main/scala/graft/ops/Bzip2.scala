@@ -24,7 +24,10 @@ package graft.ops
   * oversized allocation), and typed fail-stop refusals (`bad_magic` /
   * `bad_frame` / `too_large` / `unsupported`) the safe scans turn into one
   * error row per rotten shard. The deprecated `randomized` bit (emitted by
-  * no encoder since the 1990s) refuses `unsupported` rather than guessing.
+  * no encoder since the 1990s) DECODES per the reference's
+  * BZ_RAND_UPD_MASK (round 15 — libbz2 still accepts such blocks, so scan
+  * parity requires it; pinned against libbz2 on a synthesized randomized
+  * stream by Bzip2Spec).
   */
 object Bzip2 {
 
@@ -35,6 +38,25 @@ object Bzip2 {
   def isBzip2(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == 'B' && bytes(1) == 'Z' &&
       bytes(2) == 'h' && bytes(3) >= '1' && bytes(3) <= '9'
+
+  /** bzip2's randomization table (BZ2_rNums, randtable.c — public
+    * bzip2-1.0 content, extracted from the system libbz2 by
+    * tools/extract_bz2_randtable.py, SHA-256 asserted).
+    */
+  private lazy val RandTable: Array[Int] = {
+    val in = getClass.getResourceAsStream("/graft/bz2_randtable.tsv")
+    require(in != null, "missing resource bz2_randtable.tsv")
+    val bytes = in.readAllBytes()
+    in.close()
+    val got = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+    require(got == "61c009283fd9fd400102cfbcb25b0e59606d633c18c27adc233c1887e46abe77",
+      s"bz2_randtable.tsv sha256 $got")
+    val t = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+      .split('\n').filter(_.nonEmpty).map(_.toInt)
+    require(t.length == 512 && t(0) == 619)
+    t
+  }
 
   // ----------------------------------------------------------------- CRC
   // CRC-32/BZIP2: poly 0x04C11DB7, init 0xFFFFFFFF, NOT reflected,
@@ -182,8 +204,12 @@ object Bzip2 {
   private def decodeBlock(br: BitReader, blockLimit: Int,
       out: java.io.ByteArrayOutputStream): Int = {
     val storedCrc = br.read(16) << 16 | br.read(16)
-    if (br.readBit() == 1)
-      throw new WarcError("unsupported", "deprecated randomized block")
+    // deprecated `randomized` bit (bzip2 < 0.9.0): the reference library
+    // still DECODES such blocks (decompress.c BZ_RAND_UPD_MASK), so a
+    // scan must too — every byte fetched from the inverse-BWT walk is
+    // XOR-1-flipped at the positions BZ2_rNums dictates (round 15;
+    // previously a typed refusal, fixed by differential parity)
+    val randomized = br.readBit() == 1
     val origPtr = br.read(24)
 
     // symbol map: 16-bit coarse map, then 16 bits per present range
@@ -389,8 +415,19 @@ object Bzip2 {
     var runByte = -1
     var runLen = 0
     var expectCount = false
+    var rNToGo = 0
+    var rTPos = 0
     while (k < n) {
-      val b = bwt(p) & 0xff
+      var b = bwt(p) & 0xff
+      if (randomized) {
+        if (rNToGo == 0) {
+          rNToGo = RandTable(rTPos)
+          rTPos += 1
+          if (rTPos == 512) rTPos = 0
+        }
+        rNToGo -= 1
+        if (rNToGo == 1) b ^= 1
+      }
       p = next(p)
       k += 1
       if (expectCount) {

@@ -122,6 +122,9 @@ object Warc {
         fail("bad_gzip", s"bad gzip magic at member offset $off")
       if (bytes(off + 2) != 8) fail("bad_gzip", s"unsupported gzip method ${bytes(off + 2)}")
       val flg = bytes(off + 3) & 0xff
+      // RFC 1952 §2.3.1.3: reserved FLG bits must be zero and a compliant
+      // decompressor must error on them (zlib does; round-15 parity find)
+      if ((flg & 0xe0) != 0) fail("bad_gzip", s"reserved FLG bits $flg at $off")
       var p = off + 10
       def need(n: Int): Unit =
         if (p + n > bytes.length) fail("truncated", s"gzip header extras at $p")

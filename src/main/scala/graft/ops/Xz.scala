@@ -653,6 +653,11 @@ object Xz {
       val dstPos = run(dst, dstPos0, dstPos0 + unpacked, dstPos0 + unpacked,
         dictStart, dictSize, allowMarker = false)
       if (inPos != inEnd) bad("LZMA chunk did not consume its declared size")
+      // liblzma's rc_is_finished: the encoder's 5-byte flush guarantees the
+      // decoder ends each chunk with code == 0 — a corrupted range-coder
+      // tail that happened not to flip any decision lands here (round-15
+      // differential parity find: we accepted 50 mutants liblzma refuses)
+      if (code != 0L) bad("range coder not flushed at chunk end")
       dstPos
     }
 

@@ -125,4 +125,21 @@ class Bzip2Spec extends AnyFunSuite {
   test("empty payload round-trips") {
     assert(Bzip2.decompress(Bzip2.compress(Array.emptyByteArray)).isEmpty)
   }
+
+  test("deprecated randomized blocks decode per libbz2 (round-15 parity fix)") {
+    // fixture synthesized by tools/make_bz2_randomized_fixture.py and
+    // verified to decode CLEANLY through libbz2 itself; expected bytes are
+    // libbz2's derandomized output (which DIFFERS from the plain payload,
+    // so the BZ2_rNums XOR path is genuinely exercised)
+    val exp = new String(fixture("bzip2_randomized_expected.json"),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val wantSha = "\"sha256\": \"([0-9a-f]+)\"".r
+      .findFirstMatchIn(exp).get.group(1)
+    val wantLen = "\"len\": (\\d+)".r.findFirstMatchIn(exp).get.group(1).toInt
+    val got = Bzip2.decompress(fixture("bzip2_randomized.bz2"))
+    assert(got.length == wantLen)
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(got)
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(sha == wantSha)
+  }
 }
