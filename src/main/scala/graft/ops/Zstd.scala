@@ -153,15 +153,17 @@ object Zstd {
     val bmaxCode = (bd >>> 4) & 0x07
     if (bmaxCode < 4 || bmaxCode > 7 || (bd & 0x8f) != 0) bad("bad BD byte")
     val bmax = 1 << (8 + 2 * bmaxCode) // 4->64KB .. 7->4MB
+    var declaredSize = -1L
     if (hasSize) {
       need(8, "content size")
       var declared = 0L
       var i = 7
       while (i >= 0) { declared = (declared << 8) | (bytes(pos + i) & 0xffL); i -= 1 }
       pos += 8
-      if (declared > cap)
+      if (declared < 0 || declared > cap)
         throw new Warc.WarcError("too_large",
           s"lz4 frame declares $declared bytes past the budget")
+      declaredSize = declared
     }
     val hc = u8()
     if (hc != ((xxh32(bytes, descStart, pos - 1 - descStart) >>> 8) & 0xff))
@@ -195,6 +197,11 @@ object Zstd {
       }
     }
     val result = out.toByteArray
+    // a declared content size must match what the blocks produced — a
+    // corrupted size field decoded silently before (round-15 JVM parity
+    // find; lz4-java and the C reference both validate it)
+    if (declaredSize >= 0 && result.length.toLong != declaredSize)
+      bad(s"content size ${result.length} != declared $declaredSize")
     if (contentChecksum && u32() != xxh32(result, 0, result.length))
       bad("content checksum mismatch")
     result

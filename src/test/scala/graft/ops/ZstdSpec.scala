@@ -107,6 +107,17 @@ class ZstdSpec extends AnyFunSuite {
     withBudget(1024 * 1024) {
       assert(Zstd.decompressAnySafe(zeros) == Left("too_large"))
     }
+    // a LYING declared content size refuses (round-15 JVM parity find:
+    // a corrupted size byte decoded silently; lz4-java and liblz4 both
+    // validate declared-vs-actual). The header checksum is recomputed so
+    // the size check itself — not the HC — is what refuses.
+    val lie = clean.clone()
+    lie(7) = (lie(7) ^ 0x10).toByte // a content-size byte
+    val hcIdx = 14
+    val x = net.jpountz.xxhash.XXHashFactory.fastestInstance().hash32()
+      .hash(lie, 4, hcIdx - 4, 0)
+    lie(hcIdx) = ((x >>> 8) & 0xff).toByte
+    assert(Zstd.decompressAnySafe(lie) == Left("bad_frame"))
   }
 
   private def check(p: Prop, n: Int = 200): Unit = {
