@@ -55,6 +55,21 @@ object ArrowIpc {
 
   final case class Batch(nRows: Int, cols: Vector[ACol])
 
+  /** Strict UTF-8: invalid sequences refuse instead of silently decoding
+    * to replacement characters (pyarrow validates utf8 the same way;
+    * round-15 parity — a flipped name/value byte must not silently morph).
+    */
+  private def utf8Strict(b: Array[Byte], off: Int, len: Int, what: String): String = {
+    val dec = UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        fail("bad_stream", s"invalid UTF-8 in $what")
+    }
+  }
+
   final class ArrowError(val kind: String, msg: String)
       extends RuntimeException(s"$kind: $msg")
   private def fail(kind: String, msg: String): Nothing =
@@ -93,7 +108,7 @@ object ArrowIpc {
     def indirect(o: Int): Int = o + i32(o)
     def str(o: Int): String = {
       val p = indirect(o); val n = i32(p)
-      new String(b, ck(p + 4, n), n, UTF_8)
+      utf8Strict(b, ck(p + 4, n), n, "metadata string")
     }
     def vecLen(o: Int): Int = i32(indirect(o))
     def vecPos(o: Int): Int = indirect(o) + 4
@@ -240,6 +255,9 @@ object ArrowIpc {
       else {
         if (metaLen < 0 || pos + 8 + metaLen > bytes.length)
           fail("truncated", s"metadata $metaLen at $pos")
+        // the IPC spec pads serialized metadata to 8 bytes; a non-aligned
+        // length is a misframed message, not a short one
+        if (metaLen % 8 != 0) fail("bad_stream", s"metadata length $metaLen unaligned")
         val fb = new Fb(bytes, pos + 8, metaLen)
         val msg = fb.root
         val hType = { val f = fb.field(msg, 1); if (f < 0) 0 else fb.u8(f) }
@@ -252,6 +270,7 @@ object ArrowIpc {
           fail("truncated", s"body $bodyLen at $bodyStart")
         hType match {
           case HSchema =>
+            if (bodyLen != 0L) fail("bad_stream", "schema message with a body")
             fields = parseSchema(fb, hOff)
           case HDict => fail("unsupported_dictionary", "dictionary batch")
           case HBatch =>
@@ -263,6 +282,11 @@ object ArrowIpc {
       }
     }
     if (!sawEos && pos >= bytes.length) fail("truncated", "no EOS marker")
+    // a stream that ended without ever carrying a schema message is not an
+    // Arrow stream that happened to be empty — it is a misframed walk
+    // (round-15 pyarrow parity find: a mutated metaLen could swallow the
+    // schema and land on bytes that read as a clean EOS)
+    if (fields == null) fail("bad_stream", "no schema message")
     out.result()
   }
 
@@ -277,7 +301,10 @@ object ArrowIpc {
     val endian = { val f = fb.field(sch, 0); if (f < 0) 0 else fb.i16(f) }
     if (endian != 0) fail("unsupported_endianness", s"endianness $endian")
     val fVecF = fb.field(sch, 1)
-    if (fVecF < 0) return Vector.empty
+    // every real writer emits the fields vector (possibly empty); a
+    // MISSING vector means a vtable slot got wrecked — refuse rather than
+    // silently decode a zero-column stream (round-15 pyarrow parity find)
+    if (fVecF < 0) fail("bad_schema", "schema without a fields vector")
     val (n, vp) = fb.vec(fVecF, 4)
     Vector.tabulate(n) { i =>
       val fld = fb.indirect(vp + i * 4)
@@ -354,6 +381,10 @@ object ArrowIpc {
       val len = fb.i64(p + 8)
       if (off < 0 || len < 0 || off + len > bytes.length - bodyStart)
         fail("truncated", s"buffer ($off,$len) outside body")
+      // the IPC spec 8-aligns every buffer; a shifted offset would read
+      // values one byte off — silently wrong longs/doubles (round-15
+      // pyarrow parity find: off-by-one offsets decoded 2^56-scaled ids)
+      if (off % 8 != 0) fail("bad_stream", s"unaligned buffer offset $off")
       (bodyStart + off.toInt, len.toInt)
     }
     def readValidity(n: Int, nullCount: Long): Array[Boolean] = {
@@ -370,6 +401,10 @@ object ArrowIpc {
     }
     val cols = fields.map { f =>
       val (n, nc) = nextNode()
+      // every top-level array's length must equal the batch's row count
+      // (child nodes — list items — have their own lengths); a lying node
+      // grew a column past its siblings before (round-15 parity find)
+      if (n != nRows) fail("bad_stream", s"${f.name}: node length $n != batch $nRows")
       val valid = readValidity(n, nc)
       f.typ match {
         case "i64" =>
@@ -407,7 +442,7 @@ object ArrowIpc {
               // `b > cn` check in the list paths) — an end offset past the
               // utf8 data would silently decode adjacent buffers' bytes.
               if (a < 0 || b < a || b > dlen) fail("bad_stream", s"utf8 offsets ${f.name}")
-              new String(bytes, od + a, b - a, UTF_8)
+              utf8Strict(bytes, od + a, b - a, s"utf8 column ${f.name}")
             }
           })
         case "list<f32>" =>
