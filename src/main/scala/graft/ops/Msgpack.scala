@@ -120,13 +120,28 @@ object Msgpack {
     n.toInt
   }
 
+  /** the spec says str payloads MUST be valid UTF-8; silently decoding
+    * invalid sequences to replacement characters morphs data (round-15
+    * parity vs msgpack-python, which refuses them too)
+    */
+  private def utf8Strict(b: Array[Byte]): String = {
+    val dec = UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        fail("bad_type", "invalid UTF-8 in str")
+    }
+  }
+
   private def dec(r: Reader, depth: Int): JVal = {
     if (depth > 64) fail("bad_type", "nesting past 64")
     val t = r.u8()
     if (t < 0x80) JInt(BigInt(t))
     else if (t < 0x90) obj(r, t & 0x0f, depth)
     else if (t < 0xa0) arr(r, t & 0x0f, depth)
-    else if (t < 0xc0) JStr(new String(r.bytes(t & 0x1f), UTF_8))
+    else if (t < 0xc0) JStr(utf8Strict(r.bytes(t & 0x1f)))
     else if (t >= 0xe0) JInt(BigInt(t - 0x100))
     else t match {
       case 0xc0 => JNull
@@ -148,9 +163,9 @@ object Msgpack {
       case 0xd1 => JInt(BigInt(r.be16().toShort.toInt))
       case 0xd2 => JInt(BigInt(r.be32()))
       case 0xd3 => JInt(BigInt(r.be64()))
-      case 0xd9 => JStr(new String(r.bytes(capLen(r.u8().toLong, "str")), UTF_8))
-      case 0xda => JStr(new String(r.bytes(capLen(r.be16().toLong, "str")), UTF_8))
-      case 0xdb => JStr(new String(r.bytes(capLen(r.be32() & 0xffffffffL, "str")), UTF_8))
+      case 0xd9 => JStr(utf8Strict(r.bytes(capLen(r.u8().toLong, "str"))))
+      case 0xda => JStr(utf8Strict(r.bytes(capLen(r.be16().toLong, "str"))))
+      case 0xdb => JStr(utf8Strict(r.bytes(capLen(r.be32() & 0xffffffffL, "str"))))
       case 0xdc => arr(r, capLen(r.be16().toLong, "array"), depth)
       case 0xdd => arr(r, capLen((r.be32() & 0xffffffffL), "array"), depth)
       case 0xde => obj(r, capLen(r.be16().toLong, "map"), depth)
