@@ -37,12 +37,22 @@ object Isobmff {
       mediaTimescale: Long = 0, nSamples: Long = 0, sampleBytes: Long = 0,
       mediaDuration: Long = 0)
 
+  /** One movie fragment's per-traf stats (fragmented MP4 — the CMAF/DASH
+    * form streaming video ships): moof sequence number, the traf's track,
+    * and the trun totals (per-sample fields summed when present, tfhd /
+    * trex defaults applied otherwise, per ISO 14496-12 §8.8).
+    */
+  final case class Fragment(seq: Long, trackId: Long, nSamples: Long,
+      sampleBytes: Long, duration: Long)
+
   /** One container's metadata. For HEIF/AVIF stills the item* fields are
-    * set and tracks is empty; for timed media the reverse.
+    * set and tracks is empty; for timed media the reverse. Fragmented
+    * files carry their moof/trun stats in `fragments`.
     */
   final case class Meta(majorBrand: String, compatibleBrands: Vector[String],
       timescale: Long, duration: Long, tracks: Vector[Track],
-      itemCodec: String, itemWidth: Int, itemHeight: Int)
+      itemCodec: String, itemWidth: Int, itemHeight: Int,
+      fragments: Vector[Fragment] = Vector.empty)
 
   private val MaxBoxes = 1 << 16
   private val MaxDepth = 16
@@ -115,6 +125,10 @@ object Isobmff {
     var itemCodec = ""
     var itemW = 0
     var itemH = 0
+    val fragments = Vector.newBuilder[Fragment]
+    // trex defaults per track (moov/mvex/trex), consulted by tfhd/trun
+    val trexDur = scala.collection.mutable.Map[Long, Long]()
+    val trexSize = scala.collection.mutable.Map[Long, Long]()
 
     def visualDims(off: Int, end: Int): (Int, Int) = {
       // VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 pre_defined/
@@ -284,14 +298,113 @@ object Isobmff {
       }
     }
 
+    def moof(off: Int, end: Int): Unit = {
+      var seq = 0L
+      w.children(off, end, 1) {
+        case ("mfhd", po, pe) =>
+          if (w.fullBox(po, pe) != 0) fail("bad_frame", "mfhd version")
+          if (pe - po < 8) fail("truncated", "mfhd")
+          seq = u32(bytes, po + 4)
+        case ("traf", po, pe) =>
+          var trackId = 0L
+          var defDur = -1L
+          var defSize = -1L
+          var nS = 0L
+          var bytesS = 0L
+          var dur = 0L
+          w.children(po, pe, 2) {
+            case ("tfhd", to, te) =>
+              if (w.fullBox(to, te) != 0) fail("bad_frame", "tfhd version")
+              // tf_flags live in the low 24 bits of the fullbox word
+              val flags = (u32(bytes, to) & 0xffffffL).toInt
+              if (te - to < 8) fail("truncated", "tfhd")
+              trackId = u32(bytes, to + 4)
+              var p = to + 8
+              def take(n: Int): Int = {
+                if (te - p < n) fail("truncated", "tfhd fields")
+                val at = p; p += n; at
+              }
+              if ((flags & 0x01) != 0) take(8) // base-data-offset
+              if ((flags & 0x02) != 0) take(4) // sample-description-index
+              if ((flags & 0x08) != 0) defDur = u32(bytes, take(4))
+              if ((flags & 0x10) != 0) defSize = u32(bytes, take(4))
+              if ((flags & 0x20) != 0) take(4) // default-sample-flags
+            case ("trun", to, te) =>
+              val v = w.fullBox(to, te)
+              if (v > 1) fail("bad_frame", s"trun version $v")
+              val flags = (u32(bytes, to) & 0xffffffL).toInt
+              if (te - to < 8) fail("truncated", "trun")
+              val cnt = u32(bytes, to + 4)
+              var p = to + 8
+              if ((flags & 0x01) != 0) p += 4 // data-offset
+              if ((flags & 0x04) != 0) p += 4 // first-sample-flags
+              val perDur = (flags & 0x100) != 0
+              val perSize = (flags & 0x200) != 0
+              val perFlags = (flags & 0x400) != 0
+              val perCts = (flags & 0x800) != 0
+              val entry = Seq(perDur, perSize, perFlags, perCts).count(identity) * 4
+              if (cnt > ((te - p).toLong / math.max(1, entry) + 1) && entry > 0)
+                fail("truncated", s"trun declares $cnt samples")
+              if (entry > 0 && p + cnt * entry > te)
+                fail("truncated", s"trun entries past box")
+              val dDur = if (defDur >= 0) defDur
+                else trexDur.getOrElse(trackId, -1L)
+              val dSize = if (defSize >= 0) defSize
+                else trexSize.getOrElse(trackId, -1L)
+              if (!perDur && dDur < 0)
+                fail("bad_frame", "trun without duration source")
+              if (!perSize && dSize < 0)
+                fail("bad_frame", "trun without size source")
+              if (entry == 0) {
+                // no per-sample fields: totals are pure arithmetic — a
+                // u32 count must never drive a 4-billion-step loop
+                if (dDur > 0 && cnt > (1L << 62) / math.max(1L, dDur))
+                  fail("bad_frame", "trun totals overflow")
+                if (dSize > 0 && cnt > (1L << 62) / math.max(1L, dSize))
+                  fail("bad_frame", "trun totals overflow")
+                dur += dDur * cnt
+                bytesS += dSize * cnt
+              } else {
+                var k = 0L
+                while (k < cnt) {
+                  if (perDur) { dur += u32(bytes, p); p += 4 } else dur += dDur
+                  if (perSize) { bytesS += u32(bytes, p); p += 4 } else bytesS += dSize
+                  if (perFlags) p += 4
+                  if (perCts) p += 4
+                  if (dur > (1L << 62) || bytesS > (1L << 62))
+                    fail("bad_frame", "trun totals overflow")
+                  k += 1
+                }
+              }
+              nS += cnt
+              if (nS > (1L << 48)) fail("bad_frame", "trun sample count overflow")
+            case _ => ()
+          }
+          if (trackId == 0L) fail("bad_frame", "traf without tfhd")
+          fragments += Fragment(seq, trackId, nS, bytesS, dur)
+        case _ => ()
+      }
+    }
+
     w.children(0, bytes.length, 0) {
       case ("ftyp", po, pe) =>
         if (pe - po < 8) fail("truncated", "ftyp")
         majorBrand = fourcc(bytes, po)
         var p = po + 8
         while (p + 4 <= pe) { compat += fourcc(bytes, p); p += 4 }
+      case ("moof", po, pe) => moof(po, pe)
       case ("moov", po, pe) =>
         w.children(po, pe, 1) {
+          case ("mvex", xo, xe) =>
+            w.children(xo, xe, 2) {
+              case ("trex", to, te) =>
+                if (w.fullBox(to, te) != 0) fail("bad_frame", "trex version")
+                if (te - to < 24) fail("truncated", "trex")
+                val tid = u32(bytes, to + 4)
+                trexDur(tid) = u32(bytes, to + 12)
+                trexSize(tid) = u32(bytes, to + 16)
+              case _ => ()
+            }
           case ("mvhd", mo, me) =>
             val v = w.fullBox(mo, me)
             val body = mo + 4
@@ -312,7 +425,7 @@ object Isobmff {
     }
     if (majorBrand.isEmpty) fail("bad_magic", "no ftyp")
     Meta(majorBrand, compat.result(), timescale, duration, tracks.result(),
-      itemCodec, itemW, itemH)
+      itemCodec, itemW, itemH, fragments.result())
   }
 
   private def fourccAt(b: Array[Byte], i: Int): String =
@@ -454,6 +567,61 @@ object Isobmff {
     }
     val moov = box("moov", mvhd +: traks: _*)
     ftyp(major, compatible) ++ moov ++ box("mdat")
+  }
+
+  /** One fragment to write: per-sample (duration, size) pairs, or — when
+    * `samples` is empty — `defaultCount` samples driven by the trex
+    * defaults (the compact CMAF shape).
+    */
+  final case class FragSpec(seq: Long, samples: Seq[(Long, Long)],
+      defaultCount: Long = 0)
+
+  /** A fragmented MP4 (the CMAF/DASH shape): ftyp + moov{mvhd, trak with
+    * an empty stbl, mvex{trex defaults}} + moof{mfhd, traf{tfhd, trun}}
+    * per fragment, each with an empty mdat.
+    */
+  def writeFmp4(major: String, compatible: Seq[String], timescale: Long,
+      trackId: Long, codec: String, w: Int, h: Int,
+      defDur: Long, defSize: Long, frags: Seq[FragSpec]): Array[Byte] = {
+    val mvhd = box("mvhd", vf0,
+      be32(0L), be32(0L), be32(timescale), be32(0L),
+      be32(0x00010000L), be16(0x0100), be16(0), be32(0L), be32(0L),
+      be32(0x00010000L), be32(0L), be32(0L),
+      be32(0L), be32(0x00010000L), be32(0L),
+      be32(0L), be32(0L), be32(0x40000000L),
+      new Array[Byte](24), be32(0xffffffffL))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),
+      be32(0L), be32(0L), be32(trackId), be32(0L), be32(0L),
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      be32(0x00010000L), be32(0L), be32(0L),
+      be32(0L), be32(0x00010000L), be32(0L),
+      be32(0L), be32(0L), be32(0x40000000L),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    val entry = box(codec, new Array[Byte](6), be16(1), new Array[Byte](16),
+      be16(w), be16(h),
+      be32(0x00480000L), be32(0x00480000L), be32(0L), be16(1),
+      new Array[Byte](32), be16(0x18), be16(0xffff))
+    val stbl = box("stbl", box("stsd", vf0, be32(1L), entry))
+    val mdia = box("mdia",
+      box("mdhd", vf0, be32(0L), be32(0L), be32(timescale), be32(0L),
+        be16(0x55c4), be16(0)),
+      hdlr("vide"), box("minf", stbl))
+    val trex = box("trex", vf0, be32(trackId), be32(1L),
+      be32(defDur), be32(defSize), be32(0L))
+    val moov = box("moov", mvhd, box("trak", tkhd, mdia), box("mvex", trex))
+    val moofs = frags.flatMap { fs =>
+      val mfhd = box("mfhd", vf0, be32(fs.seq))
+      val tfhd = box("tfhd", vf0, be32(trackId))
+      val trun =
+        if (fs.samples.nonEmpty) {
+          val parts = Seq[Array[Byte]](Array[Byte](0, 0, 0x03, 0x00),
+            be32(fs.samples.length.toLong)) ++
+            fs.samples.flatMap { case (d, s) => Seq(be32(d), be32(s)) }
+          box("trun", parts: _*) // per-sample dur+size (flags 0x300)
+        } else box("trun", vf0, be32(fs.defaultCount))
+      Seq(box("moof", mfhd, box("traf", tfhd, trun)), box("mdat"))
+    }
+    (ftyp(major, compatible) +: moov +: moofs).reduce(_ ++ _)
   }
 
   /** A HEIF/AVIF still image: ftyp + meta{hdlr pict, iinf{infe},

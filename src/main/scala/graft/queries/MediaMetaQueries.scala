@@ -292,5 +292,76 @@ object MediaMetaQueries {
           CAST(sum((8 * s_bytes * ts) // (mdur * 1000)) AS BIGINT) AS rate_check
         FROM y GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Fragmented-MP4 segment audit (round 15 follow-on to mm25 — the
+    // CMAF/DASH form streaming video actually ships: sample tables live
+    // in moof/tfhd/trun fragments, not moov/stbl). Each doc becomes an
+    // fMP4 whose even fragments carry per-sample dur+size truns (flags
+    // 0x300) and odd fragments the compact trex-defaults form (flags 0,
+    // count only — totals computed arithmetically, never a u32-driven
+    // loop); the walk must apply §8.8's default resolution exactly.
+    // DuckDB replays every total from the doc_id arithmetic. Per-row
+    // build+parse map, shuffle-free rollup.
+    GraftQuery(
+      "mm26_fmp4_segments",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val n = (id % 6 + 1).toInt
+            val frags = (0 until n).map { f =>
+              if (f % 2 == 0)
+                graft.ops.Isobmff.FragSpec(f + 1L, Seq.tabulate(10)(k =>
+                  (1000L + (id + f + k) % 7,
+                    4000L + (id + 13 * f + 29 * k) % 101)))
+              else graft.ops.Isobmff.FragSpec(f + 1L, Nil, defaultCount = 40)
+            }
+            val bytes = graft.ops.Isobmff.writeFmp4(
+              "cmfc", Seq("iso6", "cmfc"), 24000L,
+              1L, "avc1", 1280, 720, 1001L, 4096L, frags)
+            val m = graft.ops.Isobmff.parse(bytes)
+            require(m.fragments.length == n &&
+              m.fragments.map(_.seq) == (1L to n).toVector, "fragment walk")
+            (source,
+              m.fragments.length.toLong,
+              m.fragments.map(_.nSamples).sum,
+              m.fragments.map(_.sampleBytes).sum,
+              m.fragments.map(_.duration).sum)
+          }
+          .toDF("source", "n_frags", "n_samples", "s_bytes", "dur")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("n_frags")).as("frag_sum"),
+            sum(col("n_samples")).as("sample_sum"),
+            sum(col("s_bytes")).as("byte_sum"),
+            sum(col("dur")).as("dur_sum"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id, doc_id % 6 + 1 AS n
+          FROM documents),
+        y AS (SELECT source, n,
+            CAST(list_sum(list_transform(range(0, n), f ->
+              CASE WHEN f % 2 = 0 THEN 10 ELSE 40 END)) AS BIGINT) AS n_samples,
+            CAST(list_sum(list_transform(range(0, n), f ->
+              CASE WHEN f % 2 = 0 THEN
+                list_sum(list_transform(range(0, 10), k ->
+                  4000 + ((id + 13*f + 29*k) % 101)))
+              ELSE 40 * 4096 END)) AS BIGINT) AS s_bytes,
+            CAST(list_sum(list_transform(range(0, n), f ->
+              CASE WHEN f % 2 = 0 THEN
+                list_sum(list_transform(range(0, 10), k ->
+                  1000 + ((id + f + k) % 7)))
+              ELSE 40 * 1001 END)) AS BIGINT) AS dur
+          FROM x)
+        SELECT source, count(*) AS n_files,
+          CAST(sum(n) AS BIGINT) AS frag_sum,
+          CAST(sum(n_samples) AS BIGINT) AS sample_sum,
+          CAST(sum(s_bytes) AS BIGINT) AS byte_sum,
+          CAST(sum(dur) AS BIGINT) AS dur_sum
+        FROM y GROUP BY 1"""),
+    ),
   )
 }

@@ -206,7 +206,11 @@ object FuzzHunt {
       graft.ops.Isobmff.writeMp4("isom", Seq("isom", "mp41"), 1000L, 60000L,
         Seq((1L, "vide", "av01", 64, 36, 60000L),
           (2L, "soun", "mp4a", 0, 0, 59000L))) ++
-        graft.ops.Isobmff.writeHeif("avif", Seq("avif", "mif1"), "av01", 8, 6),
+        graft.ops.Isobmff.writeHeif("avif", Seq("avif", "mif1"), "av01", 8, 6) ++
+        graft.ops.Isobmff.writeFmp4("cmfc", Seq("iso6"), 1000L, 1L, "avc1",
+          16, 9, 512L, 700L, Seq(
+            graft.ops.Isobmff.FragSpec(1, Seq((512L, 800L), (256L, 700L))),
+            graft.ops.Isobmff.FragSpec(2, Nil, defaultCount = 12))),
       Set("bad_magic", "truncated", "bad_frame", "too_large"),
       graft.ops.Isobmff.parseSafe)
 

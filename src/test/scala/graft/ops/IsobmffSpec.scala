@@ -125,6 +125,47 @@ class IsobmffSpec extends AnyFunSuite {
     assert(Isobmff.parseSafe(evil) == Left("bad_frame"))
   }
 
+  test("python-transcription fragmented MP4 decodes exactly (moof/tfhd/trun/trex)") {
+    val exp = expected("fmp4").asInstanceOf[JObj].fields.toMap
+    val m = Isobmff.parse(fixture("isobmff_frag.mp4"))
+    assert(m.majorBrand == js(exp("major")))
+    assert(m.tracks.map(t => (t.id, t.width, t.height)) ==
+      Vector((jl(exp("track")), jl(exp("w")).toInt, jl(exp("h")).toInt)))
+    val want = exp("fragments").asInstanceOf[JArr].items.map { t =>
+      val f = t.asInstanceOf[JObj].fields.toMap
+      Isobmff.Fragment(jl(f("seq")), jl(f("track")), jl(f("n")),
+        jl(f("bytes")), jl(f("dur")))
+    }
+    assert(m.fragments == want)
+  }
+
+  test("fragmented MP4: moof/tfhd/trun totals with per-sample and trex-default forms") {
+    val f1 = Isobmff.FragSpec(1, Seq((512L, 800L), (512L, 820L), (256L, 700L)))
+    val f2 = Isobmff.FragSpec(2, Nil, defaultCount = 100)
+    val fmp4 = Isobmff.writeFmp4("cmfc", Seq("iso6", "cmfc"), 12800L,
+      3L, "avc1", 640, 360, 512L, 760L, Seq(f1, f2))
+    val m = Isobmff.parse(fmp4)
+    assert(m.majorBrand == "cmfc")
+    assert(m.tracks.map(t => (t.id, t.codec, t.width)) ==
+      Vector((3L, "avc1", 640)))
+    assert(m.fragments == Vector(
+      Isobmff.Fragment(1, 3, 3, 800 + 820 + 700, 512 + 512 + 256),
+      Isobmff.Fragment(2, 3, 100, 100 * 760, 100 * 512)))
+    // a defaults-driven trun with NO trex in sight refuses typed
+    val orphan = Isobmff.ftyp("isom", Nil) ++
+      Isobmff.box("moof",
+        Isobmff.box("mfhd", Array[Byte](0, 0, 0, 0), Isobmff.be32(1L)),
+        Isobmff.box("traf",
+          Isobmff.box("tfhd", Array[Byte](0, 0, 0, 0), Isobmff.be32(9L)),
+          Isobmff.box("trun", Array[Byte](0, 0, 0, 0), Isobmff.be32(5L))))
+    assert(Isobmff.parseSafe(orphan) == Left("bad_frame"))
+    // a u32 sample count can never drive a 4-billion-step loop: the
+    // defaults form computes totals arithmetically and overflow refuses
+    val bomb = Isobmff.writeFmp4("cmfc", Nil, 1000L, 1L, "avc1", 8, 6,
+      0xffffffffL, 0xffffffffL, Seq(Isobmff.FragSpec(1, Nil, 0xffffffffL)))
+    assert(Isobmff.parseSafe(bomb) == Left("bad_frame"))
+  }
+
   test("sample decode refuses typed, like Vp8 inter-frame") {
     val e = intercept[Warc.WarcError](Isobmff.decodeSamples(Array[Byte]()))
     assert(e.kind == "unsupported")

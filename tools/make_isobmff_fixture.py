@@ -92,6 +92,45 @@ def mp4():
     return ftyp + free + moov + mdat
 
 
+def fmp4():
+    # fragmented (CMAF) form: moov carries trex defaults and an EMPTY
+    # stbl; two moofs — one with per-sample dur+size trun (flags 0x300),
+    # one defaults-driven (flags 0) — exercise both §8.8 arms
+    ftyp = box("ftyp", b"cmfc", u32(0), b"iso6", b"cmfc")
+    mvhd = full("mvhd", 0, 0, u32(0), u32(0), u32(24000), u32(0),
+                u32(0x10000), u16(0x100), u16(0), u32(0), u32(0), matrix(),
+                b"\x00" * 24, u32(0xFFFFFFFF))
+    tkhd = full("tkhd", 0, 7, u32(0), u32(0), u32(5), u32(0), u32(0),
+                b"\x00" * 8, u16(0), u16(0), u16(0), u16(0), matrix(),
+                u32(1280 << 16), u32(720 << 16))
+    avc1 = box("avc1", b"\x00" * 6, u16(1), b"\x00" * 16, u16(1280), u16(720),
+               u32(0x480000), u32(0x480000), u32(0), u16(1), b"\x00" * 32,
+               u16(0x18), u16(0xFFFF))
+    stbl = box("stbl", full("stsd", 0, 0, u32(1), avc1))
+    mdia = box("mdia",
+               full("mdhd", 0, 0, u32(0), u32(0), u32(24000), u32(0),
+                    u16(0x55C4), u16(0)),
+               hdlr("vide"), box("minf", stbl))
+    trex = full("trex", 0, 0, u32(5), u32(1), u32(1001), u32(4096), u32(0))
+    moov = box("moov", mvhd, box("trak", tkhd, mdia), box("mvex", trex))
+    samples = [(1001, 5000 + 13 * k) for k in range(24)]
+    trun1 = full("trun", 0, 0x300, u32(len(samples)),
+                 b"".join(u32(d) + u32(s) for d, s in samples))
+    moof1 = box("moof", full("mfhd", 0, 0, u32(1)),
+                box("traf", full("tfhd", 0, 0, u32(5)), trun1))
+    trun2 = full("trun", 0, 0, u32(48))
+    moof2 = box("moof", full("mfhd", 0, 0, u32(2)),
+                box("traf", full("tfhd", 0, 0, u32(5)), trun2))
+    data = ftyp + moov + moof1 + box("mdat") + moof2 + box("mdat")
+    expected = [
+        {"seq": 1, "track": 5, "n": 24,
+         "bytes": sum(s for _, s in samples),
+         "dur": sum(d for d, _ in samples)},
+        {"seq": 2, "track": 5, "n": 48, "bytes": 48 * 4096, "dur": 48 * 1001},
+    ]
+    return data, expected
+
+
 def avif():
     ftyp = box("ftyp", b"avif", u32(0), b"avif", b"mif1", b"miaf")
     infe = full("infe", 2, 0, u16(1), u16(0), b"av01", b"\x00")
@@ -109,10 +148,13 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     m = mp4()
     a = avif()
+    fm, fexp = fmp4()
     with open(os.path.join(OUT, "isobmff_video.mp4"), "wb") as f:
         f.write(m)
     with open(os.path.join(OUT, "isobmff_still.avif"), "wb") as f:
         f.write(a)
+    with open(os.path.join(OUT, "isobmff_frag.mp4"), "wb") as f:
+        f.write(fm)
     expected = {
         "mp4": {
             "major": "isom", "compat": ["isom", "avc1", "mp41"],
@@ -132,6 +174,8 @@ def main():
             "major": "avif", "compat": ["avif", "mif1", "miaf"],
             "item_type": "av01", "w": 800, "h": 600,
         },
+        "fmp4": {"major": "cmfc", "track": 5, "w": 1280, "h": 720,
+                 "fragments": fexp},
     }
     with open(os.path.join(OUT, "isobmff_expected.json"), "w") as f:
         json.dump(expected, f, indent=1)
