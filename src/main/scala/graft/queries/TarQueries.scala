@@ -177,6 +177,54 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // ZIP64 shard round trip (round 16 — [[graft.ops.Zip.writeZip64]]):
+    // the same sample layout as zip01 but through the forced-zip64
+    // writer (0xFFFF/0xFFFFFFFF EOCD sentinels, 0x0001 extended-info
+    // extras, zip64 EOCD record + locator), the structures every >4 GiB
+    // document dump ships. The reader must walk the zip64 EOCD chain —
+    // the classic fields are sentinels, so a reader that ignores the
+    // locator sees a lying entry count. Per-shard map, no shuffle until
+    // the small-keyed rollup; writer/reader conformance is additionally
+    // pinned against python zipfile by tools/zip_mutant_parity.py.
+    GraftQuery(
+      "zip02_zip64_shards",
+      (s, d) => {
+        import s.implicits._
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val members = recs.flatMap { case (id, text, lang) =>
+              Seq(graft.ops.Zip.ZipMember(s"$id.txt", ascii(text)),
+                graft.ops.Zip.ZipMember(s"$id.cls", ascii(lang)))
+            }
+            val bytes = graft.ops.Zip.writeZip64(members)
+            // format invariant: the classic EOCD must carry the zip64
+            // sentinels (a writer that silently fell back to classic
+            // fields would never exercise the 64-bit path)
+            val e = bytes.length - 22
+            require((bytes(e + 10) & 0xff) == 0xff &&
+              (bytes(e + 11) & 0xff) == 0xff, "zip64 EOCD sentinel missing")
+            val back = graft.ops.Zip.read(bytes)
+            back.grouped(2).map { pair =>
+              val txt = pair.find(_.name.endsWith(".txt")).get
+              val cls = pair.find(_.name.endsWith(".cls")).get
+              (new String(cls.body, java.nio.charset.StandardCharsets.US_ASCII),
+                txt.body.length.toLong,
+                new String(txt.body, java.nio.charset.StandardCharsets.US_ASCII))
+            }
+          }
+          .toDF("lang", "txt_len", "txt")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sum(col("txt_len")).as("txt_bytes"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_samples,
+          CAST(sum(length(text)) AS BIGINT) AS txt_bytes,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // Compressed-JSONL shard round trip (the distribution format modern
     // crawl corpora actually ship: `.jsonl.zst`, with LZ4 frames as the
     // low-CPU hot-shard twin). Shards alternate codec by group parity,

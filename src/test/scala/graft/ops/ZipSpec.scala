@@ -29,10 +29,10 @@ class ZipSpec extends AnyFunSuite {
     assert(Zip.readSafe(cname) == Left("bad_zip"))
   }
 
-  test("zip64 EOCD sentinel refuses typed (entry count 0xFFFF)") {
+  test("zip64 sentinel WITHOUT a locator refuses typed (lying EOCD)") {
     val a = archive(2)
-    // EOCD total-entries field at eocd+10; the 0xFFFF sentinel means the
-    // real count lives in a zip64 record this reader does not walk
+    // EOCD total-entries field at eocd+10; the 0xFFFF sentinel promises a
+    // zip64 locator immediately before the EOCD — absent here, so refuse
     val e = a.lastIndexOfSlice("PK".getBytes("ISO-8859-1"))
     assert(e > 0)
     val z64 = a.clone()
@@ -43,5 +43,57 @@ class ZipSpec extends AnyFunSuite {
   test("missing EOCD refuses typed") {
     val a = archive(1)
     assert(Zip.readSafe(java.util.Arrays.copyOf(a, a.length - 4)).isLeft)
+  }
+
+  test("zip64 round trip (forced sentinels + locator + 64-bit extras)") {
+    val members = (0 until 5).map(i =>
+      Zip.ZipMember(s"part$i/data.jsonl",
+        ("x" * (100 + 37 * i) + s"#$i").getBytes("UTF-8")))
+    val a = Zip.writeZip64(members)
+    // the classic EOCD must carry the sentinels (that's what forces the
+    // zip64 path) and the archive must round-trip bit-exact
+    val e = a.length - 22
+    assert((a(e + 10) & 0xff) == 0xff && (a(e + 11) & 0xff) == 0xff)
+    val back = Zip.read(a)
+    assert(back.map(_.name) == members.map(_.name))
+    assert(back.zip(members).forall { case (b, m) =>
+      java.util.Arrays.equals(b.body, m.body) })
+    // determinism: identical input, identical bytes
+    assert(java.util.Arrays.equals(Zip.writeZip64(members), a))
+  }
+
+  test("zip64 corrupt locator offset refuses typed") {
+    val a = Zip.writeZip64(Seq(Zip.ZipMember("a.txt", "hello".getBytes("UTF-8"))))
+    val loc = a.length - 22 - 20
+    assert(a(loc) == 'P' && a(loc + 1) == 'K' && a(loc + 2) == 6 && a(loc + 3) == 7)
+    val bad = a.clone(); bad(loc + 8) = 0x77.toByte; bad(loc + 12) = 0x7f.toByte
+    assert(Zip.readSafe(bad) == Left("bad_zip"))
+    // nudging the locator past the real zip64 EOCD also refuses
+    val cut = a.clone(); cut(loc + 8) = (a(loc + 8) + 4).toByte
+    assert(Zip.readSafe(cut) == Left("bad_zip"))
+  }
+
+  test("central directory ordered differently from local layout is accepted") {
+    // APPNOTE does not require central records to mirror local order;
+    // membership agreement is the contract (round-16 ADVICE item)
+    val a = Zip.writeZip64(Seq(
+      Zip.ZipMember("b.txt", "bee".getBytes("UTF-8")),
+      Zip.ZipMember("a.txt", "ay".getBytes("UTF-8"))))
+    // swap the two central records in place (equal-length names keep all
+    // offsets valid; each record carries its own local-header offset)
+    def find(n: Int, from: Int): Int = {
+      var p = from
+      while (!(a(p) == 'P' && a(p + 1) == 'K' && a(p + 2) == 1 && a(p + 3) == 2))
+        p += 1
+      p
+    }
+    val c1 = find(1, 0)
+    val c2 = find(2, c1 + 4)
+    val recLen = c2 - c1
+    val swapped = a.clone()
+    System.arraycopy(a, c2, swapped, c1, recLen)
+    System.arraycopy(a, c1, swapped, c1 + recLen, recLen)
+    val back = Zip.read(swapped)
+    assert(back.map(_.name) == Seq("b.txt", "a.txt"))
   }
 }
