@@ -292,6 +292,8 @@ object PlainTextExtractor extends DocTextExtractor {
       new String(content, java.nio.charset.StandardCharsets.UTF_8)
     else if (lower.endsWith(".pdf"))
       PdfText.extract(content)
+    else if (lower.endsWith(".docx"))
+      DocxText.extract(content)
     else
       throw new IllegalArgumentException(s"Unsupported file type: $path")
   }

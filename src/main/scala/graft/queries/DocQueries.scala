@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.ops.{TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/** Office-document extraction operators (round 16): DOCX — the format a
+  * real document crawl meets right after PDF/HTML — through
+  * [[graft.etl.DocxText]] (Zip reader + hardened SAX WordprocessingML
+  * walk). Same family shape as the shard packs: per-row build+extract
+  * map, shuffle-free until the small-keyed rollup, typed fail-stop
+  * refusals with a poisoned twin.
+  */
+object DocQueries {
+
+  private val M = TarQueries.M
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // DOCX text-extraction round trip: every doc becomes a three-
+    // paragraph WordprocessingML package (title / body / a tab+break
+    // metadata line, exercising <w:t>, <w:tab/>, <w:br/>), the extractor
+    // walks it back, and DuckDB recomputes length and checksum over the
+    // exact expected text — one wrong byte in the zip deflate path, the
+    // XML walk, or the tab/break mapping breaks the hash. The extract is
+    // also required to be exact in-row (self-check) so a disagreement
+    // can never average out in the aggregate.
+    GraftQuery(
+      "doc01_docx_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            val paras = Seq(s"title $id", text, s"meta\t$lang\nsrc $source")
+            val docx = graft.etl.DocxText.write(paras)
+            val got = graft.etl.DocxText.extract(docx)
+            require(got == paras.mkString("\n"), s"docx round trip doc $id")
+            (source, got.length.toLong, got)
+          }
+          .toDF("source", "n_chars", "txt")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            'title ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+              chr(10) || 'meta' || chr(9) || lang || chr(10) ||
+              'src ' || source AS txt
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(length(txt)) AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60("txt")} % $M) AS BIGINT) AS txt_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned DOCX scan (the family's poisoned-twin contract): every
+    // eleventh file is rotten — the word/document.xml part missing, the
+    // archive truncated, the XML malformed, or a DOCTYPE smuggled in
+    // (the XXE/billion-laughs probe a crawled .docx can carry) — and the
+    // scan yields one TYPED error row per rotten file while every
+    // healthy file still extracts exactly.
+    GraftQuery(
+      "doc02_poisoned_docx",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (source, id, text) =>
+            val docx = graft.etl.DocxText.write(Seq(s"doc $id", text))
+            val poisoned =
+              if (id % 11 != 3) docx
+              else (id % 4) match {
+                case 0 => // strip the document part: structurally a fine zip
+                  graft.ops.Zip.write(graft.ops.Zip.read(docx)
+                    .filterNot(_.name == "word/document.xml"))
+                case 1 => java.util.Arrays.copyOf(docx, docx.length / 2)
+                case 2 => // malformed XML inside a healthy zip
+                  graft.ops.Zip.write(graft.ops.Zip.read(docx).map(m =>
+                    if (m.name == "word/document.xml")
+                      m.copy(body = "<w:document><w:body><w:p><<<".getBytes("UTF-8"))
+                    else m))
+                case _ => // DOCTYPE: must refuse, never expand
+                  graft.ops.Zip.write(graft.ops.Zip.read(docx).map(m =>
+                    if (m.name == "word/document.xml")
+                      m.copy(body = ("""<!DOCTYPE d [<!ENTITY x "y">]>""" +
+                        new String(m.body, "UTF-8")
+                          .replaceFirst("""<\?xml[^?]*\?>""", "")).getBytes("UTF-8"))
+                    else m))
+              }
+            graft.etl.DocxText.extractSafe(poisoned) match {
+              case Right(t) => (source, 1L, 0L, t.length.toLong, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "n_chars", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(when(col("kind") === "bad_docx", 1L).otherwise(0L)).as("n_docx"),
+            sum(when(col("kind").isin("bad_zip", "truncated"), 1L)
+              .otherwise(0L)).as("n_zip"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            length('doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS n
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN n ELSE 0 END) AS BIGINT) AS char_sum,
+          CAST(count(CASE WHEN rot AND mode IN (0, 2, 3) THEN 1 END)
+            AS BIGINT) AS n_docx,
+          CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_zip
+        FROM x GROUP BY 1"""),
+    ),
+  )
+}

@@ -34,6 +34,7 @@ object Registry {
     TensorShardQueries.all,
     ChatQueries.all,
     MediaMetaQueries.all,
+    DocQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {
