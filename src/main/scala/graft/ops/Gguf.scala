@@ -13,10 +13,14 @@ package graft.ops
   * of one f16 scale + 32 int8 quants, 34 bytes, dequant x = d*q), and
   * Q4_0 (2; 32-element blocks of one f16 scale + 16 nibble-packed bytes,
   * 18 bytes, element j in the low nibble of qs[j] and element j+16 in the
-  * high nibble, dequant x = d*(q-8)) — the two quantizations real
-  * llama.cpp dumps overwhelmingly ship. Rows must be a multiple of 32.
-  * The remaining k-quant forms refuse `unsupported` with the type id
-  * rather than guessing block layouts. Contract matches [[Safetensors]]: strict bounded reader
+  * high nibble, dequant x = d*(q-8)), plus the k-quants llama.cpp
+  * artifacts actually ship (round 16): Q4_K (12; 256-element
+  * super-blocks, f16 d/dmin + 12 packed 6-bit sub-scale bytes + 128
+  * nibble bytes, 144 total, x = d*sc*q - dmin*m) and Q6_K (14; 128 ql +
+  * 64 qh + 16 int8 sub-scales + f16 d, 210 total, x = d*sc*(q-32)).
+  * Rows must be a multiple of the block size (32 / 256). The remaining
+  * forms (IQ-quants etc.) refuse `unsupported` with the type id rather
+  * than guessing block layouts. Contract matches [[Safetensors]]: strict bounded reader
   * (counts/offsets validated before any allocation, overlap-free
   * monotone tensor regions, alignment enforced, budget-capped), typed
   * refusals, deterministic writer. GgufSpec pins the reader against
@@ -56,6 +60,16 @@ object Gguf {
         if (dims.head % 32 != 0)
           throw new WarcError("bad_frame", s"$name: Q8_0 row ${dims.head} not a multiple of 32")
         elements / 32 * 34
+      case 12 => // Q4_K: 256-element super-blocks, 144 bytes (d, dmin,
+        // 12 packed 6-bit scale/min bytes, 128 nibble-packed quants)
+        if (dims.head % 256 != 0)
+          throw new WarcError("bad_frame", s"$name: Q4_K row ${dims.head} not a multiple of 256")
+        elements / 256 * 144
+      case 14 => // Q6_K: 256-element super-blocks, 210 bytes (128 ql,
+        // 64 qh, 16 int8 sub-scales, f16 d)
+        if (dims.head % 256 != 0)
+          throw new WarcError("bad_frame", s"$name: Q6_K row ${dims.head} not a multiple of 256")
+        elements / 256 * 210
       case t => throw new WarcError("unsupported", s"ggml tensor type $t")
     }
   }
@@ -108,10 +122,65 @@ object Gguf {
             out(i) = d * data(blk + 2 + i % 32)
             i += 1
           }
+        case 12 =>
+          // Q4_K super-block (ggml block_q4_K, k-quants): d and dmin f16,
+          // 12 bytes of 6-bit sub-block scales/mins (get_scale_min_k4
+          // packing), 128 nibble bytes where within each 64-element
+          // chunk qs[l] holds element l low / element l+32 high;
+          // x = (d*sc)*q - (dmin*m)
+          while (i < n) {
+            val blk = t.offset.toInt + (i / 256) * 144
+            val d = Safetensors.halfToFloat(
+              ((data(blk) & 0xff) | ((data(blk + 1) & 0xff) << 8)).toShort)
+            val dmin = Safetensors.halfToFloat(
+              ((data(blk + 2) & 0xff) | ((data(blk + 3) & 0xff) << 8)).toShort)
+            val e = i % 256
+            val sub = e / 32 // 0..7
+            val (sc, m) = scaleMinK4(data, blk + 4, sub)
+            val chunk = e / 64 // which 64-element chunk
+            val l = e % 64
+            val qb = data(blk + 16 + chunk * 32 + l % 32) & 0xff
+            val q = if (l < 32) qb & 0x0f else qb >> 4
+            out(i) = d * sc * q - dmin * m
+            i += 1
+          }
+        case 14 =>
+          // Q6_K super-block (ggml block_q6_K): 128 ql (low 4 bits),
+          // 64 qh (two high bits per element), 16 signed int8 sub-block
+          // scales, f16 d; per 128-element half, element n+l / n+l+32 /
+          // n+l+64 / n+l+96 take qh bits 0-1/2-3/4-5/6-7 of qh[l];
+          // x = d * scales[e/16] * (q - 32)
+          while (i < n) {
+            val blk = t.offset.toInt + (i / 256) * 210
+            val d = Safetensors.halfToFloat(
+              ((data(blk + 208) & 0xff) | ((data(blk + 209) & 0xff) << 8)).toShort)
+            val e = i % 256
+            val half = e / 128 // 0 or 1
+            val r = e % 128 // position within the half
+            val quarter = r / 32 // 0..3 -> which qh bit pair / ql nibble
+            val l = r % 32
+            val ql = data(blk + half * 64 + (if (quarter % 2 == 0) l else l + 32)) & 0xff
+            val lo = if (quarter < 2) ql & 0x0f else ql >> 4
+            val qh = data(blk + 128 + half * 32 + l) & 0xff
+            val q = (lo | (((qh >> (2 * quarter)) & 3) << 4)) - 32
+            val sc = data(blk + 192 + (e / 16)).toInt // signed int8
+            out(i) = d * sc * q
+            i += 1
+          }
         case t2 => throw new WarcError("unsupported", s"ggml tensor type $t2")
       }
       out
     }
+  }
+
+  /** ggml get_scale_min_k4: 6-bit scale/min pair `j` (0..7) from the 12
+    * packed bytes at `off`.
+    */
+  private def scaleMinK4(data: Array[Byte], off: Int, j: Int): (Int, Int) = {
+    def q(k: Int): Int = data(off + k) & 0xff
+    if (j < 4) (q(j) & 63, q(j + 4) & 63)
+    else ((q(j + 4) & 0x0f) | ((q(j - 4) >> 6) << 4),
+      (q(j + 4) >> 4) | ((q(j) >> 6) << 4))
   }
 
   // -------------------------------------------------------------- read --
@@ -268,6 +337,19 @@ object Gguf {
     * 32 per block; the writer packs element j with element j+16.
     */
   final case class Q4(scaleBits: Array[Short], quants: Array[Byte]) extends TensorData
+  /** Q4_K: per 256-element super-block one f16 d + one f16 dmin (raw
+    * bits), 8 unpacked 6-bit sub-block scales and mins, and 256 unpacked
+    * 4-bit quants (x = d*sc*q - dmin*m); the writer packs the 12-byte
+    * scale field (get_scale_min_k4 inverse) and the nibble layout.
+    */
+  final case class Q4K(dBits: Array[Short], dminBits: Array[Short],
+      scales: Array[Byte], mins: Array[Byte], quants: Array[Byte]) extends TensorData
+  /** Q6_K: per super-block one f16 d (raw bits), 16 signed int8 sub-block
+    * scales, and 256 unpacked 6-bit codes in [0, 63] (x = d*sc*(code-32));
+    * the writer packs ql/qh.
+    */
+  final case class Q6K(dBits: Array[Short], scales: Array[Byte],
+      quants: Array[Byte]) extends TensorData
 
   /** F32/F16-only convenience shape kept for existing callers. */
   def write(metadata: Seq[(String, MetaVal)],
@@ -356,6 +438,24 @@ object Gguf {
           require(sc.length.toLong * 32 == q.length.toLong, s"$name: q4 scale count")
           require(q.forall(b => b >= 0 && b <= 15), s"$name: q4 quant out of [0,15]")
           (2, sc.length.toLong * 18)
+        case Q4K(d, dmin, sc, mn, q) =>
+          require(dims.head % 256 == 0, s"$name: Q4_K row ${dims.head} not a multiple of 256")
+          require(q.length.toLong == dims.product, s"$name: q4k size")
+          require(d.length.toLong * 256 == q.length.toLong &&
+            dmin.length == d.length, s"$name: q4k block count")
+          require(sc.length == d.length * 8 && mn.length == sc.length,
+            s"$name: q4k sub-scale count")
+          require(q.forall(b => b >= 0 && b <= 15), s"$name: q4k quant out of [0,15]")
+          require(sc.forall(b => b >= 0 && b <= 63) &&
+            mn.forall(b => b >= 0 && b <= 63), s"$name: q4k scale/min out of [0,63]")
+          (12, d.length.toLong * 144)
+        case Q6K(d, sc, q) =>
+          require(dims.head % 256 == 0, s"$name: Q6_K row ${dims.head} not a multiple of 256")
+          require(q.length.toLong == dims.product, s"$name: q6k size")
+          require(d.length.toLong * 256 == q.length.toLong, s"$name: q6k block count")
+          require(sc.length == d.length * 16, s"$name: q6k sub-scale count")
+          require(q.forall(b => b >= 0 && b <= 63), s"$name: q6k code out of [0,63]")
+          (14, d.length.toLong * 210)
       }
       str(name)
       u32(dims.length.toLong)
@@ -388,6 +488,79 @@ object Gguf {
               out.write((q(b * 32 + j) & 0x0f) | ((q(b * 32 + 16 + j) & 0x0f) << 4))
               j += 1
             }
+            b += 1
+          }
+        case Q4K(d, dmin, sc, mn, q) =>
+          var b = 0
+          while (b < d.length) {
+            out.write(d(b) & 0xff); out.write((d(b) >> 8) & 0xff)
+            out.write(dmin(b) & 0xff); out.write((dmin(b) >> 8) & 0xff)
+            // 12-byte packed scales: bytes 0-3 carry sc[0..3] low-6 plus
+            // sc[4..7] bits 4-5 in the top 2; bytes 4-7 the same for
+            // mins; bytes 8-11 sc[4..7] low-4 | mins[4..7] low-4 << 4
+            // (the exact inverse of ggml get_scale_min_k4)
+            var j = 0
+            while (j < 4) {
+              out.write((sc(b * 8 + j) & 63) | (((sc(b * 8 + 4 + j) >> 4) & 3) << 6))
+              j += 1
+            }
+            j = 0
+            while (j < 4) {
+              out.write((mn(b * 8 + j) & 63) | (((mn(b * 8 + 4 + j) >> 4) & 3) << 6))
+              j += 1
+            }
+            j = 0
+            while (j < 4) {
+              out.write((sc(b * 8 + 4 + j) & 0x0f) | ((mn(b * 8 + 4 + j) & 0x0f) << 4))
+              j += 1
+            }
+            // nibble layout: per 64-element chunk, qs[l] = elem l | elem l+32 << 4
+            var c = 0
+            while (c < 4) {
+              val base = b * 256 + c * 64
+              var l = 0
+              while (l < 32) {
+                out.write((q(base + l) & 0x0f) | ((q(base + 32 + l) & 0x0f) << 4))
+                l += 1
+              }
+              c += 1
+            }
+            b += 1
+          }
+        case Q6K(d, sc, q) =>
+          var b = 0
+          while (b < d.length) {
+            // per 128-element half: ql[l] = c1 low4 | c3 low4 << 4,
+            // ql[l+32] = c2 | c4 high nibbles likewise; qh[l] packs the
+            // four elements' two high bits at bit pairs 0/2/4/6
+            var half = 0
+            while (half < 2) {
+              val base = b * 256 + half * 128
+              var l = 0
+              while (l < 32) {
+                out.write((q(base + l) & 0x0f) | ((q(base + 64 + l) & 0x0f) << 4))
+                l += 1
+              }
+              l = 0
+              while (l < 32) {
+                out.write((q(base + 32 + l) & 0x0f) | ((q(base + 96 + l) & 0x0f) << 4))
+                l += 1
+              }
+              half += 1
+            }
+            half = 0
+            while (half < 2) {
+              val base = b * 256 + half * 128
+              var l = 0
+              while (l < 32) {
+                out.write(((q(base + l) >> 4) & 3) | (((q(base + 32 + l) >> 4) & 3) << 2) |
+                  (((q(base + 64 + l) >> 4) & 3) << 4) | (((q(base + 96 + l) >> 4) & 3) << 6))
+                l += 1
+              }
+              half += 1
+            }
+            out.write(sc, b * 16, 16)
+            out.write(d(b) & 0xff); out.write((d(b) >> 8) & 0xff)
             b += 1
           }
       }

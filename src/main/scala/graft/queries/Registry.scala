@@ -32,6 +32,7 @@ object Registry {
     TarQueries.all,
     RecordShardQueries.all,
     TensorShardQueries.all,
+    QuantShardQueries.all,
     ChatQueries.all,
     MediaMetaQueries.all,
     DocQueries.all,

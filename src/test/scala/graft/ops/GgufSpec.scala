@@ -53,9 +53,91 @@ class GgufSpec extends AnyFunSuite {
     assert(m.floats("half.bias").toSeq == halfVals)
   }
 
-  test("k-quant tensor types refuse unsupported, never a guessed block layout") {
-    // Q4_K (type 12) — Q8_0 is decoded since round 15, the rest refuse
+  test("IQ-quant tensor types refuse unsupported, never a guessed block layout") {
+    // IQ2_XXS (type 16) — Q8_0/Q4_0 decode since round 15 and Q4_K/Q6_K
+    // since round 16; the IQ family has no layout here, so it refuses
     assert(Gguf.readSafe(fixture("gguf_quantized.gguf")) == Left("unsupported"))
+  }
+
+  test("Q4_K python-transcription fixture dequantizes exactly (d*sc*q - dmin*m)") {
+    val exp = Json.parse(new String(fixture("gguf_expected.json"), US_ASCII))
+      .asInstanceOf[JObj].fields.toMap
+    val m = Gguf.read(fixture("gguf_q4k.gguf"))
+    val t = m.tensors.find(_.name == "q4k.weight").get
+    assert(t.ggmlType == 12 && t.dims == Vector(256L, 2L) && t.byteSize == 288)
+    val want = exp("q4k_vals").asInstanceOf[JArr].items.map {
+      case JFloat(d) => d.toFloat
+      case JInt(i) => i.toFloat
+      case other => fail(s"$other")
+    }
+    assert(m.floats("q4k.weight").toSeq == want)
+  }
+
+  test("Q6_K python-transcription fixture dequantizes exactly (d*sc*(q-32), ql/qh pack)") {
+    val exp = Json.parse(new String(fixture("gguf_expected.json"), US_ASCII))
+      .asInstanceOf[JObj].fields.toMap
+    val m = Gguf.read(fixture("gguf_q6k.gguf"))
+    val t = m.tensors.find(_.name == "q6k.weight").get
+    assert(t.ggmlType == 14 && t.dims == Vector(256L, 2L) && t.byteSize == 420)
+    val want = exp("q6k_vals").asInstanceOf[JArr].items.map {
+      case JFloat(d) => d.toFloat
+      case JInt(i) => i.toFloat
+      case other => fail(s"$other")
+    }
+    assert(m.floats("q6k.weight").toSeq == want)
+  }
+
+  test("Q4_K writer is byte-identical to the python packing and round trips") {
+    val d = Array[Short](0x3400, 0xb000.toShort) // 0.25, -0.125
+    val dmin = Array[Short](0x3e00, 0x3800) // 1.5, 0.5
+    val sc = Array.tabulate[Byte](16)(j => ((11 * j + 3) % 64).toByte)
+    val mn = Array.tabulate[Byte](16)(j => ((7 * j + 5) % 64).toByte)
+    val q = Array.tabulate[Byte](512)(i => ((3 * i + 1) % 16).toByte)
+    val bytes = Gguf.writeTensors(Nil,
+      Seq(("q4k.weight", Vector(256L, 2L), Gguf.Q4K(d, dmin, sc, mn, q))))
+    val fix = fixture("gguf_q4k.gguf")
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, bytes.length - 288, bytes.length),
+      java.util.Arrays.copyOfRange(fix, fix.length - 288, fix.length)))
+    val vs = Gguf.read(bytes).floats("q4k.weight")
+    (0 until 512).foreach { i =>
+      val dd = if (i < 256) 0.25f else -0.125f
+      val dm = if (i < 256) 1.5f else 0.5f
+      assert(vs(i) == dd * sc(i / 32) * q(i) - dm * mn(i / 32), s"element $i")
+    }
+    intercept[IllegalArgumentException] { // 6-bit range enforced
+      Gguf.writeTensors(Nil, Seq(("w", Vector(256L), Gguf.Q4K(
+        Array[Short](0x3400), Array[Short](0x3800),
+        Array.fill[Byte](8)(64), Array.fill[Byte](8)(0),
+        Array.fill[Byte](256)(0)))))
+    }
+  }
+
+  test("Q6_K writer is byte-identical to the python packing and round trips") {
+    val d = Array[Short](0x3400, 0xb800.toShort) // 0.25, -0.5
+    val sc = Array.tabulate[Byte](32)(j => (((5 * j + 2) % 256) - 128).toByte)
+    val code = Array.tabulate[Byte](512)(i => ((7 * i + 4) % 64).toByte)
+    val bytes = Gguf.writeTensors(Nil,
+      Seq(("q6k.weight", Vector(256L, 2L), Gguf.Q6K(d, sc, code))))
+    val fix = fixture("gguf_q6k.gguf")
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, bytes.length - 420, bytes.length),
+      java.util.Arrays.copyOfRange(fix, fix.length - 420, fix.length)))
+    val vs = Gguf.read(bytes).floats("q6k.weight")
+    (0 until 512).foreach { i =>
+      val dd = if (i < 256) 0.25f else -0.5f
+      assert(vs(i) == dd * sc(i / 16) * (code(i) - 32), s"element $i")
+    }
+    intercept[IllegalArgumentException] { // 6-bit code range enforced
+      Gguf.writeTensors(Nil, Seq(("w", Vector(256L), Gguf.Q6K(
+        Array[Short](0x3400), Array.fill[Byte](16)(1),
+        Array.fill[Byte](256)(64)))))
+    }
+    intercept[IllegalArgumentException] { // 256-alignment of rows enforced
+      Gguf.writeTensors(Nil, Seq(("w", Vector(128L), Gguf.Q6K(
+        Array[Short](0x3400), Array.fill[Byte](8)(1),
+        Array.fill[Byte](128)(0)))))
+    }
   }
 
   test("Q8_0 python-transcription fixture dequantizes exactly (d*q, f16 scale)") {

@@ -100,10 +100,11 @@ def main():
     with open(os.path.join(OUT, "gguf_v3_full.gguf"), "wb") as f:
         f.write(data)
 
-    # a k-quant tensor file the reader must still refuse `unsupported`
-    # (Q8_0 is now decoded, so the refusal pin uses Q4_K, type 12)
+    # a quantized tensor file the reader must still refuse `unsupported`
+    # (Q8_0/Q4_0/Q4_K/Q6_K are now decoded, so the refusal pin uses
+    # IQ2_XXS, type 16 — no published stable layout here)
     q = gguf([("general.alignment", 4, 32)],
-             [("q.weight", [256], 12, b"\x00" * 144)])  # Q4_K
+             [("q.weight", [256], 16, b"\x00" * 66)])  # IQ2_XXS
     with open(os.path.join(OUT, "gguf_quantized.gguf"), "wb") as f:
         f.write(q)
 
@@ -136,6 +137,73 @@ def main():
     with open(os.path.join(OUT, "gguf_q4.gguf"), "wb") as f:
         f.write(q4)
 
+    # Q4_K (type 12): 2 super-blocks of 256. Independent packing of the
+    # public block_q4_K layout: f16 d + f16 dmin + 12 bytes of packed
+    # 6-bit sub-scales/mins (get_scale_min_k4 inverse) + 128 nibble
+    # bytes (per 64-chunk: element l low nibble, l+32 high). Dequant
+    # x = d*sc*q - dmin*m, all dyadic-exact choices.
+    q4k_d = [0.25, -0.125]
+    q4k_dmin = [1.5, 0.5]
+    q4k_sc = [(11 * j + 3) % 64 for j in range(16)]   # 8 per block
+    q4k_mn = [(7 * j + 5) % 64 for j in range(16)]
+    q4k_q = [(3 * i + 1) % 16 for i in range(512)]
+    def pack_scales_k4(sc, mn):
+        b = bytearray(12)
+        for j in range(4):
+            b[j] = (sc[j] & 63) | (((sc[j + 4] >> 4) & 3) << 6)
+            b[j + 4] = (mn[j] & 63) | (((mn[j + 4] >> 4) & 3) << 6)
+            b[j + 8] = (sc[j + 4] & 0x0F) | ((mn[j + 4] & 0x0F) << 4)
+        return bytes(b)
+    q4k_payload = b""
+    for b in range(2):
+        q4k_payload += struct.pack("<e", q4k_d[b])
+        q4k_payload += struct.pack("<e", q4k_dmin[b])
+        q4k_payload += pack_scales_k4(q4k_sc[b*8:(b+1)*8], q4k_mn[b*8:(b+1)*8])
+        for c in range(4):
+            base = b * 256 + c * 64
+            q4k_payload += bytes((q4k_q[base + l] & 0xF) |
+                                 ((q4k_q[base + 32 + l] & 0xF) << 4)
+                                 for l in range(32))
+    assert len(q4k_payload) == 288
+    q4k = gguf([("general.alignment", 4, 32)],
+               [("q4k.weight", [256, 2], 12, q4k_payload)])
+    with open(os.path.join(OUT, "gguf_q4k.gguf"), "wb") as f:
+        f.write(q4k)
+    q4k_vals = [q4k_d[i // 256] * q4k_sc[i // 32] * q4k_q[i] -
+                q4k_dmin[i // 256] * q4k_mn[i // 32] for i in range(512)]
+
+    # Q6_K (type 14): 2 super-blocks. block_q6_K layout: 128 ql + 64 qh
+    # + 16 int8 sub-scales + f16 d; per 128-half, elements l/l+32/l+64/
+    # l+96 carry their two high bits at qh[l] bit pairs 0/2/4/6 and low
+    # nibbles at ql[l] / ql[l+32] (low then high nibble). Dequant
+    # x = d * sc[e/16] * (code - 32).
+    q6k_d = [0.25, -0.5]
+    q6k_sc = [((5 * j + 2) % 256) - 128 for j in range(32)]  # 16 per blk
+    q6k_code = [(7 * i + 4) % 64 for i in range(512)]
+    q6k_payload = b""
+    for b in range(2):
+        ql = bytearray(128)
+        qh = bytearray(64)
+        for half in range(2):
+            base = b * 256 + half * 128
+            for l in range(32):
+                c1, c2 = q6k_code[base + l], q6k_code[base + 32 + l]
+                c3, c4 = q6k_code[base + 64 + l], q6k_code[base + 96 + l]
+                ql[half * 64 + l] = (c1 & 0xF) | ((c3 & 0xF) << 4)
+                ql[half * 64 + 32 + l] = (c2 & 0xF) | ((c4 & 0xF) << 4)
+                qh[half * 32 + l] = ((c1 >> 4) | ((c2 >> 4) << 2) |
+                                     ((c3 >> 4) << 4) | ((c4 >> 4) << 6))
+        q6k_payload += bytes(ql) + bytes(qh)
+        q6k_payload += struct.pack("<16b", *q6k_sc[b*16:(b+1)*16])
+        q6k_payload += struct.pack("<e", q6k_d[b])
+    assert len(q6k_payload) == 420
+    q6k = gguf([("general.alignment", 4, 32)],
+               [("q6k.weight", [256, 2], 14, q6k_payload)])
+    with open(os.path.join(OUT, "gguf_q6k.gguf"), "wb") as f:
+        f.write(q6k)
+    q6k_vals = [q6k_d[i // 256] * q6k_sc[i // 16] * (q6k_code[i] - 32)
+                for i in range(512)]
+
     # expected values (f32 exact via bit pattern, f16 dequantized)
     expected = {
         "alignment": 64,
@@ -150,6 +218,8 @@ def main():
         "half_vals": [struct.unpack("<e", struct.pack("<H", h))[0] for h in f16b],
         "q8_vals": [q8_scales[i // 32] * q8_quants[i] for i in range(64)],
         "q4_vals": [q4_scales[i // 32] * (q4_quants[i] - 8) for i in range(64)],
+        "q4k_vals": q4k_vals,
+        "q6k_vals": q6k_vals,
     }
     with open(os.path.join(OUT, "gguf_expected.json"), "w") as f:
         json.dump(expected, f, indent=1)
