@@ -410,6 +410,16 @@ object BinaryMediaDecoder extends MediaDecoder {
     Isobmff.parse(b.content)
   }
 
+  /** Parsed Ogg stream metadata (Opus/Vorbis identification headers) —
+    * the one-shot accessor pipeline audits use, sibling of
+    * [[isobmffMeta]]/[[mp3Info]]; packet/DSP decode is out of contract.
+    */
+  def oggMeta(b: Multimodal.Blob): Ogg.OggMeta = {
+    require(b.mime == "audio/ogg" || b.mime == "application/ogg" ||
+      b.mime == "video/ogg", s"oggMeta on mime ${b.mime}")
+    Ogg.parse(b.content)
+  }
+
   /** Decoded full RGB raster — the one-shot accessor pipeline audits use,
     * sibling of [[pngRaster]]/[[jpegRaster]].
     */

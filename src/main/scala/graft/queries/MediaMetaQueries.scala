@@ -363,5 +363,182 @@ object MediaMetaQueries {
           CAST(sum(dur) AS BIGINT) AS dur_sum
         FROM y GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Ogg/Opus/Vorbis container audit (round 16 — [[graft.ops.Ogg]], the
+    // speech-dataset front door: the one whole container family the
+    // multimodal surface lacked). Even docs become Opus files (OpusHead
+    // channels/pre-skip/input-rate, granules at 48 kHz, duration =
+    // (last granule − pre-skip)/48k), odd docs Vorbis (ID-header
+    // channels/rate, duration = granule/rate), with varied page counts;
+    // files route through BinaryMediaDecoder's mime dispatch and DuckDB
+    // recomputes every aggregate from the doc_id arithmetic — one wrong
+    // byte in the page walk, the lacing, the CRC, or either ID header
+    // breaks a sum. Floor-divided ms keeps both engines integer-exact
+    // (rates chosen divisible by 25). Per-row build+parse map,
+    // shuffle-free rollup; packet payloads never decode (typed, the
+    // mm05 precedent), so nothing scales with audio bytes.
+    GraftQuery(
+      "mm27_ogg_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val ch = 1 + ((id / 2) % 2).toInt
+            if (id % 2 == 0) {
+              val preSkip = 300 + (id % 5).toInt * 12
+              val rate = Seq(48000L, 44100L, 16000L, 8000L)(((id / 2) % 4).toInt)
+              val nAudio = (id % 6 + 1).toInt
+              val pkts = Seq(
+                graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusHead(ch, preSkip, rate), 0),
+                graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusTags("graft"), 0)) ++
+                (1 to nAudio).map(k => graft.ops.Ogg.OggPacket(
+                  Array.tabulate[Byte](40 + ((id + k) % 50).toInt)(i =>
+                    ((id + k * 31 + i * 7) % 256).toByte),
+                  preSkip + 960L * k))
+              val bytes = graft.ops.Ogg.write(1000L + id % 97, pkts)
+              val m = graft.ops.BinaryMediaDecoder.oggMeta(
+                graft.ops.Multimodal.Blob(id, bytes, "audio/ogg", Map.empty))
+              val st = m.streams.head
+              require(m.streams.length == 1 && st.codec == "opus" &&
+                st.nPackets == 2L + nAudio, s"opus walk doc $id")
+              (source, 1L, 0L, st.channels.toLong, st.sampleRate,
+                st.preSkip.toLong, st.durationMs, m.nPages, st.nPackets,
+                s"opus:${st.channels}:${st.sampleRate}")
+            } else {
+              val rate = Seq(44100L, 22050L, 11025L, 8000L)(((id / 2) % 4).toInt)
+              val units = (id % 100 + 1)
+              val nAudio = (id % 3 + 1).toInt
+              val pkts = Seq(
+                graft.ops.Ogg.OggPacket(graft.ops.Ogg.vorbisId(ch, rate), 0),
+                graft.ops.Ogg.OggPacket(graft.ops.Ogg.vorbisComment("graft"), 0)) ++
+                (1 to nAudio).map(k => graft.ops.Ogg.OggPacket(
+                  Array.tabulate[Byte](30 + ((id + k) % 40).toInt)(i =>
+                    ((id + k * 17 + i * 11) % 256).toByte),
+                  if (k < nAudio) (rate / 25) * k else units * (rate / 25)))
+              val bytes = graft.ops.Ogg.write(2000L + id % 89, pkts)
+              val m = graft.ops.BinaryMediaDecoder.oggMeta(
+                graft.ops.Multimodal.Blob(id, bytes, "audio/ogg", Map.empty))
+              val st = m.streams.head
+              require(m.streams.length == 1 && st.codec == "vorbis" &&
+                st.durationMs == units * 40L, s"vorbis walk doc $id")
+              (source, 0L, 1L, st.channels.toLong, st.sampleRate,
+                0L, st.durationMs, m.nPages, st.nPackets,
+                s"vorbis:${st.channels}:${st.sampleRate}")
+            }
+          }
+          .toDF("source", "is_opus", "is_vorbis", "ch", "rate", "preskip",
+            "dur_ms", "n_pages", "n_packets", "ck")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("is_opus")).as("n_opus"),
+            sum(col("is_vorbis")).as("n_vorbis"),
+            sum(col("ch")).as("ch_sum"),
+            sum(col("rate")).as("rate_sum"),
+            sum(col("preskip")).as("preskip_sum"),
+            sum(col("dur_ms")).as("dur_ms_sum"),
+            sum(col("n_pages")).as("page_sum"),
+            sum(col("n_packets")).as("packet_sum"),
+            sum(TA.hash60(col("ck")) % M).as("codec_check"))
+      },
+      Some(s"""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 2 = 0 AS opus,
+            1 + (doc_id // 2) % 2 AS ch
+          FROM documents),
+        y AS (SELECT source, opus, ch,
+            CASE WHEN opus THEN
+              CASE (id // 2) % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                WHEN 2 THEN 16000 ELSE 8000 END
+            ELSE
+              CASE (id // 2) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+                WHEN 2 THEN 11025 ELSE 8000 END END AS rate,
+            CASE WHEN opus THEN 300 + (id % 5) * 12 ELSE 0 END AS preskip,
+            CASE WHEN opus THEN (300 + (id % 5) * 12 + 960 * (id % 6 + 1)
+                - (300 + (id % 5) * 12)) * 1000 // 48000
+              ELSE (id % 100 + 1) * 40 END AS dur_ms,
+            CASE WHEN opus THEN 2 + (id % 6 + 1) ELSE 2 + (id % 3 + 1) END
+              AS n_pages
+          FROM x)
+        SELECT source, count(*) AS n_files,
+          CAST(count(CASE WHEN opus THEN 1 END) AS BIGINT) AS n_opus,
+          CAST(count(CASE WHEN NOT opus THEN 1 END) AS BIGINT) AS n_vorbis,
+          CAST(sum(ch) AS BIGINT) AS ch_sum,
+          CAST(sum(rate) AS BIGINT) AS rate_sum,
+          CAST(sum(preskip) AS BIGINT) AS preskip_sum,
+          CAST(sum(dur_ms) AS BIGINT) AS dur_ms_sum,
+          CAST(sum(n_pages) AS BIGINT) AS page_sum,
+          CAST(sum(n_pages) AS BIGINT) AS packet_sum,
+          CAST(sum(${TA.Sql.hash60(
+            "(CASE WHEN opus THEN 'opus:' ELSE 'vorbis:' END) || CAST(ch AS VARCHAR) || ':' || CAST(rate AS VARCHAR)")} % $M)
+            AS BIGINT) AS codec_check
+        FROM y GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned Ogg scan (the family's poisoned-twin contract): every
+    // eleventh file is rotten — capture pattern wrecked, a granule byte
+    // flipped (the page CRC must catch it), a future version on the
+    // second page, or a 20-byte truncation — and the scan yields one
+    // TYPED error row per rotten file while every healthy file still
+    // parses. At 100 TB this is one bad shard reported as data instead
+    // of a lost executor.
+    GraftQuery(
+      "mm29_poisoned_ogg",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val nAudio = (id % 5 + 1).toInt
+            val preSkip = 312
+            val pkts = Seq(
+              graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusHead(1, preSkip, 48000L), 0),
+              graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusTags("graft"), 0)) ++
+              (1 to nAudio).map(k => graft.ops.Ogg.OggPacket(
+                Array.tabulate[Byte](50)(i => ((id + k + i) % 256).toByte),
+                preSkip + 960L * k))
+            val bytes = graft.ops.Ogg.write(77L, pkts)
+            val poisoned =
+              if (id % 11 != 3) bytes
+              else (id % 4) match {
+                case 0 => val b = bytes.clone(); b(2) = 'X'.toByte; b
+                case 1 => val b = bytes.clone(); b(7) = (b(7) ^ 0x40).toByte; b
+                case 2 => // second page starts after the 47-byte BOS page
+                  val b = bytes.clone(); b(47 + 4) = 9.toByte; b
+                case _ => java.util.Arrays.copyOf(bytes, 20)
+              }
+            graft.ops.Ogg.parseSafe(poisoned) match {
+              case Right(m) => (source, 1L, 0L, m.streams.head.durationMs, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "dur_ms", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("dur_ms")).as("dur_sum"),
+            sum(when(col("kind") === "bad_magic", 1L).otherwise(0L)).as("n_magic"),
+            sum(when(col("kind") === "bad_frame", 1L).otherwise(0L)).as("n_frame"),
+            sum(when(col("kind") === "truncated", 1L).otherwise(0L)).as("n_trunc"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            (960 * (doc_id % 5 + 1)) * 1000 // 48000 AS dur
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN dur ELSE 0 END) AS BIGINT) AS dur_sum,
+          CAST(count(CASE WHEN rot AND mode = 0 THEN 1 END) AS BIGINT) AS n_magic,
+          CAST(count(CASE WHEN rot AND mode IN (1, 2) THEN 1 END)
+            AS BIGINT) AS n_frame,
+          CAST(count(CASE WHEN rot AND mode = 3 THEN 1 END) AS BIGINT) AS n_trunc
+        FROM x GROUP BY 1"""),
+    ),
   )
 }

@@ -238,6 +238,22 @@ object FuzzHunt {
       Set("truncated", "bad_type", "too_large"),
       graft.ops.Cbor.decodeAllSafe)
 
+    total += hunt("ogg",
+      // page CRC, lacing, continuation (a 600-byte packet spans pages),
+      // chained second stream — every gate under the mutation lens
+      graft.ops.Ogg.write(0x11L, Seq(
+        graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusHead(2, 312, 48000L), 0),
+        graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusTags("fuzz"), 0),
+        graft.ops.Ogg.OggPacket(
+          Array.tabulate[Byte](600)(i => (i * 13).toByte), 960L)),
+        maxSegsPerPage = 2) ++
+        graft.ops.Ogg.write(0x22L, Seq(
+          graft.ops.Ogg.OggPacket(graft.ops.Ogg.vorbisId(1, 8000L), 0),
+          graft.ops.Ogg.OggPacket(graft.ops.Ogg.vorbisComment("f"), 0),
+          graft.ops.Ogg.OggPacket(Array[Byte](1, 2, 3), 320L))),
+      Set("bad_magic", "truncated", "bad_frame"),
+      graft.ops.Ogg.parseSafe)
+
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)
   }
