@@ -420,6 +420,17 @@ object BinaryMediaDecoder extends MediaDecoder {
     Ogg.parse(b.content)
   }
 
+  /** Parsed Matroska/WebM metadata (EBML walk) — the one-shot accessor
+    * pipeline audits use, sibling of [[isobmffMeta]]; frame decode is
+    * out of contract.
+    */
+  def mkvMeta(b: Multimodal.Blob): Matroska.Meta = {
+    require(b.mime == "video/webm" || b.mime == "audio/webm" ||
+      b.mime == "video/x-matroska" || b.mime == "audio/x-matroska",
+      s"mkvMeta on mime ${b.mime}")
+    Matroska.parse(b.content)
+  }
+
   /** Decoded full RGB raster — the one-shot accessor pipeline audits use,
     * sibling of [[pngRaster]]/[[jpegRaster]].
     */

@@ -540,5 +540,175 @@ object MediaMetaQueries {
           CAST(count(CASE WHEN rot AND mode = 3 THEN 1 END) AS BIGINT) AS n_trunc
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Matroska/WebM container audit (round 16 — [[graft.ops.Matroska]],
+    // the EBML half of real-world video crawls next to ISOBMFF): even
+    // docs become WebM (V_VP9/VP8/AV1 + A_OPUS on every fourth), odd
+    // docs Matroska (V_MPEG4/ISO/AVC + A_AAC), with doc_id-derived dims,
+    // float Duration (integer-valued, 8-byte), cluster/SimpleBlock
+    // shape. Files route through BinaryMediaDecoder's mime dispatch and
+    // DuckDB recomputes every aggregate — one wrong VINT length, a
+    // mis-walked unknown-size form, or a dropped block breaks a sum.
+    // Per-row build+parse map, shuffle-free rollup; block payloads are
+    // declarative filler, never decoded.
+    GraftQuery(
+      "mm28_matroska_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val webm = id % 2 == 0
+            val vcodec =
+              if (webm) Seq("V_VP9", "V_VP8", "V_AV1")((id % 3).toInt)
+              else "V_MPEG4/ISO/AVC"
+            val w = 320 + (id % 16).toInt * 40
+            val h = 180 + (id % 16).toInt * 30
+            val hasAudio = id % 4 == 0
+            val tracks = Seq(graft.ops.Matroska.TrackSpec(1, 1, vcodec,
+              width = w, height = h)) ++
+              (if (hasAudio) Seq(graft.ops.Matroska.TrackSpec(2, 2,
+                if (webm) "A_OPUS" else "A_AAC",
+                sampleRate = if (webm) 48000.0 else 44100.0,
+                channels = 1 + (id % 2).toInt))
+               else Nil)
+            val nc = (id % 5 + 1).toInt
+            val nb = (id % 3 + 1).toInt
+            val clusters = (0 until nc).map(k =>
+              graft.ops.Matroska.ClusterSpec(k * 500L,
+                (0 until nb).map(j => 20 + ((id + k + j) % 30).toInt)))
+            val durMs = (id % 300 + 1) * 50
+            val bytes = graft.ops.Matroska.write(
+              if (webm) "webm" else "matroska", 4, 1000000L,
+              durMs.toDouble, tracks, clusters,
+              streamingSegment = id % 7 == 0)
+            val m = graft.ops.BinaryMediaDecoder.mkvMeta(
+              graft.ops.Multimodal.Blob(id, bytes,
+                if (webm) "video/webm" else "video/x-matroska", Map.empty))
+            require(m.docType == (if (webm) "webm" else "matroska") &&
+              m.nClusters == nc && m.nBlocks == nc.toLong * nb,
+              s"mkv walk doc $id")
+            val v = m.tracks.find(_.trackType == 1).get
+            (source, if (webm) 1L else 0L, m.tracks.length.toLong,
+              v.width.toLong, v.height.toLong, m.durationMs,
+              m.nClusters, m.nBlocks, m.blockBytes, m.lastClusterTs,
+              s"${m.docType}:${v.codecId}:${v.width}x${v.height}")
+          }
+          .toDF("source", "is_webm", "n_tracks", "w", "h", "dur_ms",
+            "n_clusters", "n_blocks", "block_bytes", "last_ts", "ck")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("is_webm")).as("n_webm"),
+            sum(col("n_tracks")).as("track_sum"),
+            sum(col("w")).as("w_sum"),
+            sum(col("h")).as("h_sum"),
+            sum(col("dur_ms")).as("dur_ms_sum"),
+            sum(col("n_clusters")).as("cluster_sum"),
+            sum(col("n_blocks")).as("block_sum"),
+            sum(col("block_bytes")).as("block_byte_sum"),
+            sum(col("last_ts")).as("ts_check"),
+            sum(TA.hash60(col("ck")) % M).as("codec_check"))
+      },
+      Some(s"""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 2 = 0 AS webm,
+            320 + (doc_id % 16) * 40 AS w,
+            180 + (doc_id % 16) * 30 AS h,
+            doc_id % 5 + 1 AS nc,
+            doc_id % 3 + 1 AS nb
+          FROM documents),
+        y AS (SELECT source, webm, w, h,
+            CASE WHEN webm THEN
+              CASE id % 3 WHEN 0 THEN 'webm:V_VP9' WHEN 1 THEN 'webm:V_VP8'
+                ELSE 'webm:V_AV1' END
+            ELSE 'matroska:V_MPEG4/ISO/AVC' END
+              || ':' || CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) AS ck,
+            CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END AS n_tracks,
+            (id % 300 + 1) * 50 AS dur_ms,
+            nc, nc * nb AS n_blocks,
+            CAST(list_sum(list_transform(range(0, nc), k ->
+              24 * nb + list_sum(list_transform(range(0, nb), j ->
+                (id + k + j) % 30)))) AS BIGINT) AS block_bytes,
+            (nc - 1) * 500 AS last_ts
+          FROM x)
+        SELECT source, count(*) AS n_files,
+          CAST(count(CASE WHEN webm THEN 1 END) AS BIGINT) AS n_webm,
+          CAST(sum(n_tracks) AS BIGINT) AS track_sum,
+          CAST(sum(w) AS BIGINT) AS w_sum,
+          CAST(sum(h) AS BIGINT) AS h_sum,
+          CAST(sum(dur_ms) AS BIGINT) AS dur_ms_sum,
+          CAST(sum(nc) AS BIGINT) AS cluster_sum,
+          CAST(sum(n_blocks) AS BIGINT) AS block_sum,
+          CAST(sum(block_bytes) AS BIGINT) AS block_byte_sum,
+          CAST(sum(last_ts) AS BIGINT) AS ts_check,
+          CAST(sum(${TA.Sql.hash60("ck")} % $M) AS BIGINT) AS codec_check
+        FROM y GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned Matroska scan (the family's poisoned-twin contract):
+    // every eleventh file is rotten — EBML magic wrecked, a foreign
+    // DocType, a zeroed VINT lead byte (invalid in EBML), or a 3-byte
+    // stub — and the scan yields one TYPED error row per rotten file
+    // while every healthy file still parses.
+    GraftQuery(
+      "mm30_poisoned_mkv",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val bytes = graft.ops.Matroska.write("webm", 4, 1000000L,
+              ((id % 100) + 1) * 100.0,
+              Seq(graft.ops.Matroska.TrackSpec(1, 1, "V_VP9",
+                width = 640, height = 360)),
+              Seq(graft.ops.Matroska.ClusterSpec(0, Seq(16))))
+            val poisoned =
+              if (id % 11 != 3) bytes
+              else (id % 4) match {
+                case 0 => val b = bytes.clone(); b(1) = 'X'.toByte; b
+                case 1 =>
+                  val b = bytes.clone()
+                  val at = b.indexOfSlice("webm".getBytes("US-ASCII"))
+                  b(at + 3) = 'b'.toByte; b
+                case 2 =>
+                  val b = bytes.clone()
+                  val at = b.indexOfSlice(
+                    Array(0x15.toByte, 0x49.toByte, 0xa9.toByte, 0x66.toByte))
+                  b(at) = 0; b
+                case _ => java.util.Arrays.copyOf(bytes, 3)
+              }
+            graft.ops.Matroska.parseSafe(poisoned) match {
+              case Right(m) => (source, 1L, 0L, m.durationMs, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "dur_ms", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("dur_ms")).as("dur_sum"),
+            sum(when(col("kind") === "bad_magic", 1L).otherwise(0L)).as("n_magic"),
+            sum(when(col("kind") === "unsupported", 1L).otherwise(0L)).as("n_unsup"),
+            sum(when(col("kind") === "bad_frame", 1L).otherwise(0L)).as("n_frame"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            ((doc_id % 100) + 1) * 100 AS dur
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN dur ELSE 0 END) AS BIGINT) AS dur_sum,
+          CAST(count(CASE WHEN rot AND mode IN (0, 3) THEN 1 END)
+            AS BIGINT) AS n_magic,
+          CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_unsup,
+          CAST(count(CASE WHEN rot AND mode = 2 THEN 1 END) AS BIGINT) AS n_frame
+        FROM x GROUP BY 1"""),
+    ),
   )
 }

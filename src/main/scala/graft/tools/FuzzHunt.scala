@@ -254,6 +254,28 @@ object FuzzHunt {
       Set("bad_magic", "truncated", "bad_frame"),
       graft.ops.Ogg.parseSafe)
 
+    total += hunt("matroska",
+      // VINT grammar, nesting bounds, definite sizes, trailing-byte gate,
+      // float duration widths — every gate under the mutation lens
+      graft.ops.Matroska.write("webm", 4, 1000000L, 4000.0,
+        Seq(graft.ops.Matroska.TrackSpec(1, 1, "V_VP9", width = 640, height = 360),
+          graft.ops.Matroska.TrackSpec(2, 2, "A_OPUS",
+            sampleRate = 48000.0, channels = 2)),
+        Seq(graft.ops.Matroska.ClusterSpec(0, Seq(24, 16)),
+          graft.ops.Matroska.ClusterSpec(1000, Seq(30)))),
+      Set("bad_magic", "truncated", "bad_frame", "too_large", "unsupported"),
+      graft.ops.Matroska.parseSafe)
+
+    total += hunt("matroska_stream",
+      // the unknown-size (streaming) segment form
+      graft.ops.Matroska.write("matroska", 4, 500000L, 100.0,
+        Seq(graft.ops.Matroska.TrackSpec(1, 1, "V_MPEG4/ISO/AVC",
+          width = 32, height = 18)),
+        Seq(graft.ops.Matroska.ClusterSpec(0, Seq(8))),
+        streamingSegment = true),
+      Set("bad_magic", "truncated", "bad_frame", "too_large", "unsupported"),
+      graft.ops.Matroska.parseSafe)
+
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)
   }
