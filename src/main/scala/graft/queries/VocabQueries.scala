@@ -24,6 +24,13 @@ object VocabQueries {
       .select(explode(TA.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    bpeTrainWords(words)
+  }
+
+  /** the merge loop itself, over any (token, freq) frame — vocab01/02
+    * feed whitespace words, vocab08 byte-level pieces
+    */
+  private def bpeTrainWords(words: DataFrame): (DataFrame, DataFrame) = {
     val s0 = words.withColumn("seq",
       expr("concat(' ', left(regexp_replace(token, '(.)', '$1  '), " +
         "length(regexp_replace(token, '(.)', '$1  ')) - 1))"))
@@ -56,12 +63,15 @@ object VocabQueries {
   /** oracle mirror of [[bpeTrain]]: CTE chain ending at the merge picks
     * b1/b2/b3 and the fully-merged word table s3.
     */
-  private val sqlBpeChain: String = raw"""words AS (
+  private lazy val sqlBpeChain: String = raw"""words AS (
           SELECT token, count(*) AS freq FROM (
             SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
             FROM documents)
           WHERE token <> '' GROUP BY 1),
-        s0 AS (SELECT token, freq,
+        """ + sqlMergeChain
+
+  /** the merge-chain CTEs (s0..s3, b1..b3) over a preceding `words` CTE */
+  private val sqlMergeChain: String = raw"""s0 AS (SELECT token, freq,
             ' ' || left(regexp_replace(token, '(.)', '\1  ', 'g'),
               length(regexp_replace(token, '(.)', '\1  ', 'g')) - 1) AS seq
           FROM words),
@@ -89,6 +99,32 @@ object VocabQueries {
         s3 AS (SELECT token, freq, replace(seq,
             ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
             ' ' || replace((SELECT pair FROM b3), ' ', '') || ' ') AS seq FROM s2)"""
+
+  /** byte-level piece frequencies: the GPT-2 front end over the corpus */
+  private def bytePieceWords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .flatMap(t => graft.ops.ByteBpe.pieces(t))
+      .filter(_.nonEmpty)
+      .toDF("token")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+  }
+
+  /** oracle twin of [[bytePieceWords]] — EXACT on this corpus because
+    * TESTDATA documents are trimmed single-spaced `[a-z ]` text, where
+    * the GPT-2 regex yields the first word bare and every later word
+    * with a leading space (→ `Ġ` through bytes_to_unicode). Full-charset
+    * fidelity (contractions, digits, punctuation, unicode, emoji) is
+    * pinned separately by ByteBpeSpec against the python regex engine.
+    */
+  private val sqlBytePieceWords: String = raw"""arrs AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        words AS (
+          SELECT token, count(*) AS freq FROM (
+            SELECT CASE WHEN i = 1 THEN a[i] ELSE 'Ġ' || a[i] END AS token
+            FROM arrs, UNNEST(generate_series(1, len(a))) AS g(i))
+          WHERE token <> '' AND token <> 'Ġ' GROUP BY 1)"""
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -141,6 +177,63 @@ object VocabQueries {
         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
           CAST(sum(v.n_syms) AS BIGINT) AS n_symbols
         FROM toks t JOIN vocab v ON t.token = v.token
+        WHERE t.token <> '' GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Byte-level BPE training (round 16 — the GPT-2/tiktoken front end
+    // production tokenizers actually use, vs vocab01's word-level toy):
+    // the corpus runs through the REAL GPT-2 pretokenizer regex and the
+    // published 256-entry byte-to-unicode table ([[graft.ops.ByteBpe]],
+    // python-regex-pinned by ByteBpeSpec), then the same 3-iteration
+    // greedy merge loop as vocab01 over piece frequencies — so merges
+    // learn across word boundaries the way GPT-2's do (`Ġ` carries the
+    // preceding space INTO the token). Corpus-scale stage is ONE
+    // piece-frequency aggregate; merges run on the vocabulary-sized
+    // table. DuckDB replays the pieces (exact on this corpus — see
+    // sqlBytePieceWords) and the full merge chain bit-for-bit.
+    GraftQuery(
+      "vocab08_bytebpe_merges",
+      (s, d) => bpeTrainWords(bytePieceWords(s, d))._1,
+      Some(raw"""WITH $sqlBytePieceWords,
+        $sqlMergeChain
+        SELECT 1 AS it, pair, cnt FROM b1
+        UNION ALL SELECT 2, pair, cnt FROM b2
+        UNION ALL SELECT 3, pair, cnt FROM b3"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Byte-level BPE corpus encoding (the apply side of vocab08, like
+    // vocab02 for vocab01): per-document piece and post-merge symbol
+    // counts through ONE broadcast join against the trained vocabulary.
+    // The Ġ-aware fertility (symbols per byte piece) is the number a
+    // real tokenizer build reads.
+    GraftQuery(
+      "vocab09_bytebpe_encode",
+      (s, d) => {
+        import s.implicits._
+        val vocab = bpeTrainWords(bytePieceWords(s, d))._2
+          .select(col("token"), size(split(trim(col("seq")), "  ")).as("n_syms"))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, t) => graft.ops.ByteBpe.pieces(t).map((id, _)) }
+          .toDF("doc_id", "token")
+          .filter(col("token") =!= "")
+        toks.join(broadcast(vocab), "token")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pieces"), sum(col("n_syms")).as("n_symbols"))
+      },
+      Some(raw"""WITH $sqlBytePieceWords,
+        $sqlMergeChain,
+        vocab AS (SELECT token, len(string_split(trim(seq), '  ')) AS n_syms FROM s3),
+        darrs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents),
+        dtoks AS (SELECT doc_id,
+            CASE WHEN i = 1 THEN a[i] ELSE 'Ġ' || a[i] END AS token
+          FROM darrs, UNNEST(generate_series(1, len(a))) AS g(i))
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+          CAST(sum(v.n_syms) AS BIGINT) AS n_symbols
+        FROM dtoks t JOIN vocab v ON t.token = v.token
         WHERE t.token <> '' GROUP BY 1"""),
     ),
 
@@ -404,14 +497,17 @@ object VocabQueries {
           toks.groupBy(col("w")).agg(count(lit(1)).as("n")))
         val wcDs = wcDf.as[(String, Long)]
         val tot = wcDf.agg(sum(col("n"))).head.getLong(0)
+        val thresh = tot / 500
+        // threshold pushed INTO the frame so only surviving pieces ever
+        // reach the driver (round-16 hygiene; the sibling WordPiece legs
+        // already did this)
         val seedCnt = wcDs
           .flatMap { case (w, n) => UnigramLm.substrings(w).map(p => (p, n)) }
           .toDF("piece", "pn")
           .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
+          .filter(col("cnt") >= thresh || length(col("piece")) === 1)
           .as[(String, Long)].collect()
-        val thresh = tot / 500
         val cost0 = seedCnt.iterator
-          .filter { case (p, c) => c >= thresh || p.length == 1 }
           .map { case (p, c) => p -> (UnigramLm.bits(tot) - UnigramLm.bits(c)) }
           .toMap
         val bc0 = s.sparkContext.broadcast(cost0)
@@ -554,9 +650,9 @@ object VocabQueries {
           .flatMap { case (w, n) => UnigramLm.substrings(w).map(p => (p, n)) }
           .toDF("piece", "pn")
           .groupBy(col("piece")).agg(sum(col("pn")).as("cnt"))
+          .filter(col("cnt") >= thresh || length(col("piece")) === 1)
           .as[(String, Long)].collect()
         val cost0 = seedCnt.iterator
-          .filter { case (p, c) => c >= thresh || p.length == 1 }
           .map { case (p, c) => p -> (UnigramLm.bits(tot) - UnigramLm.bits(c)) }
           .toMap
         val bc0 = s.sparkContext.broadcast(cost0)
