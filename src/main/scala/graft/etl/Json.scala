@@ -30,59 +30,125 @@ object Json {
     m
   }
 
-  /** Nesting bound for [[fromNode]]. Jackson's own reader limit (1000)
-    * is NOT enough: the tree conversion burns ~10 stack frames per JSON
-    * level, so ~900 levels — legal to Jackson — died as a
-    * StackOverflowError, an Error that escapes every `catch Exception`
-    * backstop in the scan paths (adversarial-review find, round 15).
-    * Real cell/envelope JSON is < 20 deep; python's json.loads dies of
-    * RecursionError (caught as an error row by the reference's
-    * try/except) at a similar magnitude.
-    */
-  private val MaxDepth = 200
-
   /** Parse like python `json.loads` (strict-ish; duplicate keys keep last;
     * integers unbounded). Throws on malformed input — callers that mirror the
     * reference's `try/except: pass` catch and skip.
+    *
+    * Depth: the tree conversion and the renderer both run on EXPLICIT
+    * stacks (round 16 — the earlier recursive walk burned ~10 JVM frames
+    * per JSON level and needed a MaxDepth=200 guard, a loads-parity
+    * divergence window: CPython parses to its ~1000 recursion limit), so
+    * the only nesting bound left is Jackson's own reader limit (1000,
+    * StreamReadConstraints) — the same magnitude where python's
+    * json.loads dies of RecursionError.
     */
-  def parse(text: String): JVal = fromNode(mapper.readTree(text), 0)
+  def parse(text: String): JVal = fromNode(mapper.readTree(text))
 
   def parseOpt(text: String): Option[JVal] =
     try Some(parse(text)) catch { case _: Exception => None }
 
-  private def fromNode(n: JsonNode, depth: Int): JVal = {
-    if (depth > MaxDepth)
-      throw new IllegalArgumentException(s"json nesting past $MaxDepth")
-    n match {
-      case _: NullNode | _: MissingNode => JNull
-      case b: BooleanNode => JBool(b.booleanValue)
-      case num: NumericNode =>
-        if (num.isIntegralNumber && !num.isDouble && !num.isFloat)
-          JInt(BigInt(num.bigIntegerValue))
-        else JFloat(num.doubleValue)
-      case t: TextNode => JStr(t.textValue)
-      case a: ArrayNode => JArr(a.elements.asScala.map(fromNode(_, depth + 1)).toVector)
-      case o: ObjectNode =>
-        JObj(o.properties.asScala.iterator
-          .map(e => e.getKey -> fromNode(e.getValue, depth + 1)).toVector)
-      case other => JStr(other.asText)
-    }
+  private def leaf(n: JsonNode): JVal = n match {
+    case _: NullNode | _: MissingNode => JNull
+    case b: BooleanNode => JBool(b.booleanValue)
+    case num: NumericNode =>
+      if (num.isIntegralNumber && !num.isDouble && !num.isFloat)
+        JInt(BigInt(num.bigIntegerValue))
+      else JFloat(num.doubleValue)
+    case t: TextNode => JStr(t.textValue)
+    case other => JStr(other.asText) // binary/POJO nodes: text form
   }
 
-  /** Canonical JSON rendering (the cell wire format). */
-  def render(v: JVal): String = v match {
-    case JNull => "null"
-    case JBool(b) => if (b) "true" else "false"
-    case JInt(i) => i.toString
-    case JFloat(d) =>
-      if (d.isNaN) "NaN"
-      else if (d.isPosInfinity) "Infinity"
-      else if (d.isNegInfinity) "-Infinity"
-      else PyRender.floatRepr(d)
-    case JStr(s) => quote(s)
-    case JArr(items) => items.map(render).mkString("[", ", ", "]")
-    case JObj(fields) =>
-      fields.map { case (k, x) => s"${quote(k)}: ${render(x)}" }.mkString("{", ", ", "}")
+  private sealed trait Frame {
+    def next(): JsonNode // null when exhausted
+    def add(v: JVal): Unit
+    def result: JVal
+  }
+  private final class ArrFrame(n: ArrayNode) extends Frame {
+    private val it = n.elements
+    private val buf = Vector.newBuilder[JVal]
+    def next(): JsonNode = if (it.hasNext) it.next() else null
+    def add(v: JVal): Unit = buf += v
+    def result: JVal = JArr(buf.result())
+  }
+  private final class ObjFrame(n: ObjectNode) extends Frame {
+    private val it = n.properties.asScala.iterator
+    private var key: String = null
+    private val buf = Vector.newBuilder[(String, JVal)]
+    def next(): JsonNode =
+      if (it.hasNext) { val e = it.next(); key = e.getKey; e.getValue }
+      else null
+    def add(v: JVal): Unit = buf += (key -> v)
+    def result: JVal = JObj(buf.result())
+  }
+
+  private def fromNode(root: JsonNode): JVal = {
+    def frame(n: JsonNode): Frame = n match {
+      case a: ArrayNode => new ArrFrame(a)
+      case o: ObjectNode => new ObjFrame(o)
+      case _ => null
+    }
+    val rootFrame = frame(root)
+    if (rootFrame == null) return leaf(root)
+    val stack = new java.util.ArrayDeque[Frame]()
+    stack.push(rootFrame)
+    var result: JVal = null
+    while (result == null) {
+      val top = stack.peek()
+      val child = top.next()
+      if (child == null) {
+        stack.pop()
+        val v = top.result
+        if (stack.isEmpty) result = v else stack.peek().add(v)
+      } else {
+        val f = frame(child)
+        if (f == null) top.add(leaf(child)) else stack.push(f)
+      }
+    }
+    result
+  }
+
+  /** Canonical JSON rendering (the cell wire format). Iterative for the
+    * same reason [[fromNode]] is: a parse-depth value must render back
+    * without a StackOverflowError.
+    */
+  def render(v: JVal): String = {
+    val sb = new StringBuilder(64)
+    val stack = new java.util.ArrayDeque[Any]()
+    stack.push(v)
+    while (!stack.isEmpty) {
+      stack.pop() match {
+        case s: String => sb.append(s)
+        case JNull => sb.append("null")
+        case JBool(b) => sb.append(if (b) "true" else "false")
+        case JInt(i) => sb.append(i.toString)
+        case JFloat(d) =>
+          if (d.isNaN) sb.append("NaN")
+          else if (d.isPosInfinity) sb.append("Infinity")
+          else if (d.isNegInfinity) sb.append("-Infinity")
+          else sb.append(PyRender.floatRepr(d))
+        case JStr(s) => sb.append(quote(s))
+        case JArr(items) =>
+          sb.append('[')
+          stack.push("]")
+          var i = items.length - 1
+          while (i >= 0) {
+            stack.push(items(i))
+            if (i > 0) stack.push(", ")
+            i -= 1
+          }
+        case JObj(fields) =>
+          sb.append('{')
+          stack.push("}")
+          var i = fields.length - 1
+          while (i >= 0) {
+            stack.push(fields(i)._2)
+            stack.push(s"${quote(fields(i)._1)}: ")
+            if (i > 0) stack.push(", ")
+            i -= 1
+          }
+      }
+    }
+    sb.toString
   }
 
   def quote(s: String): String = {

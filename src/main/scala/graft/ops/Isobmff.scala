@@ -137,14 +137,14 @@ object Isobmff {
       (u16(bytes, off + 24), u16(bytes, off + 26))
     }
 
-    def stsd(off: Int, end: Int, handler: String): (String, Int, Int) = {
+    def stsd(off: Int, end: Int, handler: String, depth: Int): (String, Int, Int) = {
       if (w.fullBox(off, end) != 0) fail("bad_frame", "stsd version")
       if (end - off < 8) fail("truncated", "stsd")
       val n = u32(bytes, off + 4)
       if (n < 1 || n > 64) fail("bad_frame", s"stsd entry count $n")
       var codec = ""
       var dims = (0, 0)
-      w.children(off + 8, end, 0) { (tpe, po, pe) =>
+      w.children(off + 8, end, depth + 1) { (tpe, po, pe) =>
         if (codec.isEmpty) {
           codec = tpe
           if (handler == "vide") dims = visualDims(po, pe)
@@ -154,7 +154,7 @@ object Isobmff {
       (codec, dims._1, dims._2)
     }
 
-    def trak(off: Int, end: Int): Unit = {
+    def trak(off: Int, end: Int, depth: Int): Unit = {
       var id = 0L
       var tw = 0
       var th = 0
@@ -165,7 +165,7 @@ object Isobmff {
       var nSamples = 0L
       var sampleBytes = 0L
       var mediaDur = 0L
-      w.children(off, end, 2) {
+      w.children(off, end, depth + 1) {
         case ("tkhd", po, pe) =>
           val v = w.fullBox(po, pe)
           val body = po + 4
@@ -184,7 +184,7 @@ object Isobmff {
             th = (u32(bytes, body + 76) >> 16).toInt
           }
         case ("mdia", po, pe) =>
-          w.children(po, pe, 3) {
+          w.children(po, pe, depth + 2) {
             case ("hdlr", ho, he) =>
               if (he - ho < 12) fail("truncated", "hdlr")
               handler = fourcc(bytes, ho + 8)
@@ -199,11 +199,11 @@ object Isobmff {
                 mediaTs = u32(bytes, body + 8)
               } else fail("bad_frame", s"mdhd version $v")
             case ("minf", mo, me) =>
-              w.children(mo, me, 4) {
+              w.children(mo, me, depth + 3) {
                 case ("stbl", so, se) =>
-                  w.children(so, se, 5) {
+                  w.children(so, se, depth + 4) {
                     case ("stsd", xo, xe) =>
-                      val (c, cw, ch) = stsd(xo, xe, handler)
+                      val (c, cw, ch) = stsd(xo, xe, handler, depth + 5)
                       codec = c
                       if (handler == "vide") { tw = cw; th = ch }
                     case ("stts", xo, xe) =>
@@ -260,9 +260,9 @@ object Isobmff {
         mediaTs, nSamples, sampleBytes, mediaDur)
     }
 
-    def metaBox(off: Int, end: Int): Unit = {
+    def metaBox(off: Int, end: Int, depth: Int): Unit = {
       if (w.fullBox(off, end) != 0) fail("bad_frame", "meta version")
-      w.children(off + 4, end, 2) {
+      w.children(off + 4, end, depth + 1) {
         case ("hdlr", po, pe) =>
           if (pe - po < 12) fail("truncated", "meta hdlr")
           val h = fourcc(bytes, po + 8)
@@ -270,7 +270,7 @@ object Isobmff {
         case ("iinf", po, pe) =>
           val v = w.fullBox(po, pe)
           val skip = if (v == 0) 2 else 4 // entry_count u16 (v0) / u32
-          w.children(po + 4 + skip, pe, 3) {
+          w.children(po + 4 + skip, pe, depth + 2) {
             case ("infe", io, ie) =>
               val iv = w.fullBox(io, ie)
               if (iv < 2) fail("bad_frame", s"infe version $iv")
@@ -282,9 +282,9 @@ object Isobmff {
             case _ => ()
           }
         case ("iprp", po, pe) =>
-          w.children(po, pe, 3) {
+          w.children(po, pe, depth + 2) {
             case ("ipco", co, ce) =>
-              w.children(co, ce, 4) {
+              w.children(co, ce, depth + 3) {
                 case ("ispe", so, se) =>
                   if (w.fullBox(so, se) != 0) fail("bad_frame", "ispe version")
                   if (se - so < 12) fail("truncated", "ispe")
@@ -298,9 +298,9 @@ object Isobmff {
       }
     }
 
-    def moof(off: Int, end: Int): Unit = {
+    def moof(off: Int, end: Int, depth: Int): Unit = {
       var seq = 0L
-      w.children(off, end, 1) {
+      w.children(off, end, depth + 1) {
         case ("mfhd", po, pe) =>
           if (w.fullBox(po, pe) != 0) fail("bad_frame", "mfhd version")
           if (pe - po < 8) fail("truncated", "mfhd")
@@ -312,7 +312,7 @@ object Isobmff {
           var nS = 0L
           var bytesS = 0L
           var dur = 0L
-          w.children(po, pe, 2) {
+          w.children(po, pe, depth + 2) {
             case ("tfhd", to, te) =>
               if (w.fullBox(to, te) != 0) fail("bad_frame", "tfhd version")
               // tf_flags live in the low 24 bits of the fullbox word
@@ -392,7 +392,7 @@ object Isobmff {
         majorBrand = fourcc(bytes, po)
         var p = po + 8
         while (p + 4 <= pe) { compat += fourcc(bytes, p); p += 4 }
-      case ("moof", po, pe) => moof(po, pe)
+      case ("moof", po, pe) => moof(po, pe, 1)
       case ("moov", po, pe) =>
         w.children(po, pe, 1) {
           case ("mvex", xo, xe) =>
@@ -417,10 +417,10 @@ object Isobmff {
               timescale = u32(bytes, body + 8)
               duration = u32(bytes, body + 12)
             } else fail("bad_frame", s"mvhd version $v")
-          case ("trak", to, te) => trak(to, te)
+          case ("trak", to, te) => trak(to, te, 2)
           case _ => ()
         }
-      case ("meta", po, pe) => metaBox(po, pe)
+      case ("meta", po, pe) => metaBox(po, pe, 1)
       case _ => () // mdat, free, skip, ...
     }
     if (majorBrand.isEmpty) fail("bad_magic", "no ftyp")

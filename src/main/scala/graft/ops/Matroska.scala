@@ -118,7 +118,18 @@ object Matroska {
     }
 
     def str(len: Int): String = {
-      val s = new String(b, pos, len, java.nio.charset.StandardCharsets.UTF_8)
+      // EBML UTF-8 elements must BE UTF-8 (RFC 8794 §7.5): decode strict
+      // — the JDK's default replacement decode would silently corrupt a
+      // codec id / DocType (round-16 differential-parity find; same fix
+      // class as the round-15 Arrow/msgpack strict-UTF-8 findings)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val s = try dec.decode(java.nio.ByteBuffer.wrap(b, pos, len)).toString
+        catch {
+          case _: java.nio.charset.CharacterCodingException =>
+            bad(s"invalid UTF-8 in string element at $pos")
+        }
       pos += len
       // EBML strings may be NUL-padded to reserve space (RFC 8794)
       val cut = s.indexOf('\u0000')
@@ -139,6 +150,7 @@ object Matroska {
     var docTypeVersion = 1L
     var timestampScale = 1000000L // Matroska default: 1 ms
     var duration = -1.0
+    var durationSeen = false
     val tracks = Vector.newBuilder[Track]
     var nClusters = 0L
     var firstClusterTs = -1L
@@ -201,6 +213,11 @@ object Matroska {
           case _ => r.skip(size)
         }
       }
+      // a non-finite or absurd SamplingFrequency is rot, and Long
+      // saturation on it would silently differ from an arbitrary-
+      // precision reader (round-16 differential-parity find)
+      if (!java.lang.Double.isFinite(rate) || rate < 0 || rate > 1.0e9)
+        bad(s"SamplingFrequency $rate out of range")
       Track(number, ttype, codec, w, h, rate, ch)
     }
 
@@ -257,7 +274,8 @@ object Matroska {
           children(r.pos + size, d + 1) { (iid, isz, _) =>
             iid match {
               case IdTimestampScale => timestampScale = r.uint(isz.toInt)
-              case IdDuration => duration = r.float(isz.toInt)
+              case IdDuration =>
+                duration = r.float(isz.toInt); durationSeen = true
               case _ => r.skip(isz)
             }
           }
@@ -279,7 +297,13 @@ object Matroska {
     // rot (multi-segment files are not walked — refuse, never ignore)
     if (r.pos != bytes.length) bad(s"${bytes.length - r.pos} trailing bytes after Segment")
 
-    // duration is in timestampScale units; floor ms keeps engines exact
+    // duration is in timestampScale units; floor ms keeps engines exact.
+    // Refuse non-finite or overflowing values typed: Long saturation on
+    // a rotten 1e300 duration would otherwise silently differ from an
+    // arbitrary-precision reader (round-16 differential-parity find).
+    if (durationSeen && (!java.lang.Double.isFinite(duration) ||
+        duration < 0 || duration * timestampScale > 4.0e18))
+      bad(s"Duration $duration out of range")
     val durMs =
       if (duration < 0) 0L
       else (duration * timestampScale).toLong / 1000000L

@@ -2,26 +2,33 @@ package graft.etl
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-15 adversarial-review regression: ~900-deep JSON is legal to
-  * Jackson's reader (limit 1000) but the tree conversion burned ~10
-  * stack frames per level and died as a StackOverflowError — an Error
-  * no `catch Exception` backstop in the scan paths sees. The typed
-  * depth bound must refuse instead.
+/** Deep-nesting behavior of the JSON cell codec. Round 15 found the
+  * recursive tree conversion dying of StackOverflowError at ~900 levels
+  * and guarded it at 200; round 16 made conversion AND rendering run on
+  * explicit stacks, so the only bound left is Jackson's own reader
+  * limit (1000 nesting, StreamReadConstraints) — the same magnitude
+  * where CPython's json.loads dies of RecursionError, closing the
+  * 200-990 loads-parity divergence window the round-15 ADVICE flagged.
   */
 class JsonDepthSpec extends AnyFunSuite {
 
-  test("deep nesting refuses typed instead of StackOverflowError") {
-    // past our bound but within Jackson's — the exact shape that overflowed
+  test("900-deep JSON parses AND renders back (python json.loads parity)") {
     val d900 = "[" * 900 + "1" + "]" * 900
-    assert(Json.parseOpt(d900).isEmpty)
-    val e = intercept[IllegalArgumentException](Json.parse(d900))
-    assert(e.getMessage.contains("nesting"))
-    // past Jackson's own limit too: still a typed refusal, never an Error
+    var v = Json.parse(d900)
+    var depth = 0
+    while (v.isInstanceOf[JArr]) { v = v.asInstanceOf[JArr].items.head; depth += 1 }
+    assert(depth == 900 && v == JInt(BigInt(1)))
+    assert(Json.render(Json.parse(d900)) == d900)
+    // deep objects too
+    val o900 = "{\"k\": " * 900 + "1" + "}" * 900
+    assert(Json.render(Json.parse(o900)) == o900)
+  }
+
+  test("past Jackson's 1000 reader limit refuses typed, never an Error") {
     val d200k = "[" * 200000 + "]" * 200000
     assert(Json.parseOpt(d200k).isEmpty)
-    // objects hit the same bound
-    val o300 = "{\"k\":" * 300 + "1" + "}" * 300
-    assert(Json.parseOpt(o300).isEmpty)
+    val d1500 = "[" * 1500 + "1" + "]" * 1500
+    assert(Json.parseOpt(d1500).isEmpty)
   }
 
   test("reasonable nesting still parses") {
