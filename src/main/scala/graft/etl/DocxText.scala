@@ -50,16 +50,26 @@ object DocxText {
     parseDocumentXml(doc.body)
   }
 
+  /** hardened factory, built once per executor: newInstance() does a
+    * service lookup — per-document construction dominated doc01's time.
+    * Factories aren't thread-safe, hence the ThreadLocal; the per-call
+    * newSAXParser() below is cheap.
+    */
+  private val factories =
+    ThreadLocal.withInitial[javax.xml.parsers.SAXParserFactory] { () =>
+      val factory = javax.xml.parsers.SAXParserFactory.newInstance()
+      factory.setNamespaceAware(true)
+      // XXE / entity-bomb hardening: no DTDs, no external anything
+      factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      factory.setXIncludeAware(false)
+      factory
+    }
+
   /** The WordprocessingML walk itself (exposed for the parity spec). */
   def parseDocumentXml(xml: Array[Byte]): String = {
-    val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-    factory.setNamespaceAware(true)
-    // XXE / entity-bomb hardening: no DTDs, no external anything
-    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-    factory.setXIncludeAware(false)
-    val parser = factory.newSAXParser()
+    val parser = factories.get().newSAXParser()
 
     val out = new java.lang.StringBuilder()
     val cap = graft.core.Budget.maxInflatedBytes
