@@ -16,8 +16,10 @@ package graft.ops
   * high nibble, dequant x = d*(q-8)), plus the k-quants llama.cpp
   * artifacts actually ship (round 16): Q4_K (12; 256-element
   * super-blocks, f16 d/dmin + 12 packed 6-bit sub-scale bytes + 128
-  * nibble bytes, 144 total, x = d*sc*q - dmin*m) and Q6_K (14; 128 ql +
-  * 64 qh + 16 int8 sub-scales + f16 d, 210 total, x = d*sc*(q-32)).
+  * nibble bytes, 144 total, x = d*sc*q - dmin*m), Q5_K (13; Q4_K plus
+  * 32 qh fifth-bit bytes, 176 total, x = d*sc*(q_lo|hbit<<4) - dmin*m)
+  * and Q6_K (14; 128 ql + 64 qh + 16 int8 sub-scales + f16 d, 210
+  * total, x = d*sc*(q-32)).
   * Rows must be a multiple of the block size (32 / 256). The remaining
   * forms (IQ-quants etc.) refuse `unsupported` with the type id rather
   * than guessing block layouts. Contract matches [[Safetensors]]: strict bounded reader
@@ -65,6 +67,11 @@ object Gguf {
         if (dims.head % 256 != 0)
           throw new WarcError("bad_frame", s"$name: Q4_K row ${dims.head} not a multiple of 256")
         elements / 256 * 144
+      case 13 => // Q5_K: 256-element super-blocks, 176 bytes (d, dmin,
+        // 12 packed scale bytes, 32 qh high-bit bytes, 128 nibble bytes)
+        if (dims.head % 256 != 0)
+          throw new WarcError("bad_frame", s"$name: Q5_K row ${dims.head} not a multiple of 256")
+        elements / 256 * 176
       case 14 => // Q6_K: 256-element super-blocks, 210 bytes (128 ql,
         // 64 qh, 16 int8 sub-scales, f16 d)
         if (dims.head % 256 != 0)
@@ -142,6 +149,29 @@ object Gguf {
             val qb = data(blk + 16 + chunk * 32 + l % 32) & 0xff
             val q = if (l < 32) qb & 0x0f else qb >> 4
             out(i) = d * sc * q - dmin * m
+            i += 1
+          }
+        case 13 =>
+          // Q5_K super-block (ggml block_q5_K): d/dmin f16, the same
+          // 12-byte get_scale_min_k4 field as Q4_K, 32 qh bytes carrying
+          // the fifth quant bit (bit pair 2c/2c+1 of qh[l] for chunk c's
+          // low/high-nibble element), 128 nibble bytes;
+          // x = (d*sc)*(q_lo | hibit<<4) - (dmin*m)
+          while (i < n) {
+            val blk = t.offset.toInt + (i / 256) * 176
+            val d = Safetensors.halfToFloat(
+              ((data(blk) & 0xff) | ((data(blk + 1) & 0xff) << 8)).toShort)
+            val dmin = Safetensors.halfToFloat(
+              ((data(blk + 2) & 0xff) | ((data(blk + 3) & 0xff) << 8)).toShort)
+            val e = i % 256
+            val sub = e / 32
+            val (sc, m) = scaleMinK4(data, blk + 4, sub)
+            val chunk = e / 64
+            val l = e % 64
+            val qb = data(blk + 48 + chunk * 32 + l % 32) & 0xff
+            val lo = if (l < 32) qb & 0x0f else qb >> 4
+            val hbit = (data(blk + 16 + l % 32) >> (2 * chunk + (if (l < 32) 0 else 1))) & 1
+            out(i) = d * sc * (lo + (hbit << 4)) - dmin * m
             i += 1
           }
         case 14 =>
@@ -344,6 +374,12 @@ object Gguf {
     */
   final case class Q4K(dBits: Array[Short], dminBits: Array[Short],
       scales: Array[Byte], mins: Array[Byte], quants: Array[Byte]) extends TensorData
+  /** Q5_K: like Q4_K but with unpacked 5-bit quants in [0, 31]
+    * (x = d*sc*q - dmin*m); the writer packs the nibble layout plus the
+    * qh fifth-bit table.
+    */
+  final case class Q5K(dBits: Array[Short], dminBits: Array[Short],
+      scales: Array[Byte], mins: Array[Byte], quants: Array[Byte]) extends TensorData
   /** Q6_K: per super-block one f16 d (raw bits), 16 signed int8 sub-block
     * scales, and 256 unpacked 6-bit codes in [0, 63] (x = d*sc*(code-32));
     * the writer packs ql/qh.
@@ -449,6 +485,17 @@ object Gguf {
           require(sc.forall(b => b >= 0 && b <= 63) &&
             mn.forall(b => b >= 0 && b <= 63), s"$name: q4k scale/min out of [0,63]")
           (12, d.length.toLong * 144)
+        case Q5K(d, dmin, sc, mn, q) =>
+          require(dims.head % 256 == 0, s"$name: Q5_K row ${dims.head} not a multiple of 256")
+          require(q.length.toLong == dims.product, s"$name: q5k size")
+          require(d.length.toLong * 256 == q.length.toLong &&
+            dmin.length == d.length, s"$name: q5k block count")
+          require(sc.length == d.length * 8 && mn.length == sc.length,
+            s"$name: q5k sub-scale count")
+          require(q.forall(b => b >= 0 && b <= 31), s"$name: q5k quant out of [0,31]")
+          require(sc.forall(b => b >= 0 && b <= 63) &&
+            mn.forall(b => b >= 0 && b <= 63), s"$name: q5k scale/min out of [0,63]")
+          (13, d.length.toLong * 176)
         case Q6K(d, sc, q) =>
           require(dims.head % 256 == 0, s"$name: Q6_K row ${dims.head} not a multiple of 256")
           require(q.length.toLong == dims.product, s"$name: q6k size")
@@ -519,6 +566,53 @@ object Gguf {
             while (c < 4) {
               val base = b * 256 + c * 64
               var l = 0
+              while (l < 32) {
+                out.write((q(base + l) & 0x0f) | ((q(base + 32 + l) & 0x0f) << 4))
+                l += 1
+              }
+              c += 1
+            }
+            b += 1
+          }
+        case Q5K(d, dmin, sc, mn, q) =>
+          var b = 0
+          while (b < d.length) {
+            out.write(d(b) & 0xff); out.write((d(b) >> 8) & 0xff)
+            out.write(dmin(b) & 0xff); out.write((dmin(b) >> 8) & 0xff)
+            var j = 0
+            while (j < 4) {
+              out.write((sc(b * 8 + j) & 63) | (((sc(b * 8 + 4 + j) >> 4) & 3) << 6))
+              j += 1
+            }
+            j = 0
+            while (j < 4) {
+              out.write((mn(b * 8 + j) & 63) | (((mn(b * 8 + 4 + j) >> 4) & 3) << 6))
+              j += 1
+            }
+            j = 0
+            while (j < 4) {
+              out.write((sc(b * 8 + 4 + j) & 0x0f) | ((mn(b * 8 + 4 + j) & 0x0f) << 4))
+              j += 1
+            }
+            // qh: bit pair 2c (low-nibble elem) / 2c+1 (high-nibble elem)
+            // of qh[l] carries chunk c's fifth bits
+            var l = 0
+            while (l < 32) {
+              var h = 0
+              var c = 0
+              while (c < 4) {
+                val base = b * 256 + c * 64
+                h |= ((q(base + l) >> 4) & 1) << (2 * c)
+                h |= ((q(base + 32 + l) >> 4) & 1) << (2 * c + 1)
+                c += 1
+              }
+              out.write(h)
+              l += 1
+            }
+            var c = 0
+            while (c < 4) {
+              val base = b * 256 + c * 64
+              l = 0
               while (l < 32) {
                 out.write((q(base + l) & 0x0f) | ((q(base + 32 + l) & 0x0f) << 4))
                 l += 1

@@ -200,6 +200,37 @@ object FuzzHunt {
       Set("bad_magic", "bad_frame", "truncated", "too_large", "unsupported"),
       graft.ops.Gguf.readSafe)
 
+    total += hunt("gguf_kquant",
+      // the round-16 k-quant block layouts under the mutation lens: a
+      // mutated scale byte or qh bit must still parse (payload is data,
+      // not structure) while directory/size lies refuse typed
+      graft.ops.Gguf.writeTensors(
+        Seq("ids" -> graft.ops.Gguf.MArray(Vector(graft.ops.Gguf.MInt(1)))),
+        Seq(
+          ("a", Vector(256L), graft.ops.Gguf.Q4K(
+            Array[Short](0x3400), Array[Short](0x3800),
+            Array.tabulate[Byte](8)(j => (j * 7 % 64).toByte),
+            Array.tabulate[Byte](8)(j => (j * 5 % 64).toByte),
+            Array.tabulate[Byte](256)(i => (i % 16).toByte))),
+          ("b", Vector(256L), graft.ops.Gguf.Q5K(
+            Array[Short](0x3400), Array[Short](0x3800),
+            Array.tabulate[Byte](8)(j => (j * 7 % 64).toByte),
+            Array.tabulate[Byte](8)(j => (j * 5 % 64).toByte),
+            Array.tabulate[Byte](256)(i => (i % 32).toByte))),
+          ("c", Vector(256L), graft.ops.Gguf.Q6K(
+            Array[Short](0x3400),
+            Array.tabulate[Byte](16)(j => (j - 8).toByte),
+            Array.tabulate[Byte](256)(i => (i % 64).toByte))))),
+      Set("bad_magic", "bad_frame", "truncated", "too_large", "unsupported"),
+      b => try graft.ops.Gguf.readSafe(b).map { m =>
+        // force the dequant paths so payload mutations execute them
+        m.floats("a"); m.floats("b"); m.floats("c")
+      } catch {
+        // a mutated tensor NAME makes floats() miss — same typed family
+        case e: graft.ops.Warc.WarcError => Left(e.kind)
+        case _: Exception => Left("bad_frame")
+      })
+
     total += hunt("isobmff",
       // box framing, v0/v1 full boxes, largesize, stsd entries, HEIF item
       // boxes — every size/version gate sits under the mutation lens

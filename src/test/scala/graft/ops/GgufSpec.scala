@@ -73,6 +73,46 @@ class GgufSpec extends AnyFunSuite {
     assert(m.floats("q4k.weight").toSeq == want)
   }
 
+  test("Q5_K python-transcription fixture dequantizes exactly (d*sc*(q|h<<4) - dmin*m)") {
+    val exp = Json.parse(new String(fixture("gguf_expected.json"), US_ASCII))
+      .asInstanceOf[JObj].fields.toMap
+    val m = Gguf.read(fixture("gguf_q5k.gguf"))
+    val t = m.tensors.find(_.name == "q5k.weight").get
+    assert(t.ggmlType == 13 && t.dims == Vector(256L, 2L) && t.byteSize == 352)
+    val want = exp("q5k_vals").asInstanceOf[JArr].items.map {
+      case JFloat(d) => d.toFloat
+      case JInt(i) => i.toFloat
+      case other => fail(s"$other")
+    }
+    assert(m.floats("q5k.weight").toSeq == want)
+  }
+
+  test("Q5_K writer is byte-identical to the python packing and round trips") {
+    val d = Array[Short](0x3400, 0xb000.toShort) // 0.25, -0.125
+    val dmin = Array[Short](0x3800, 0x3e00) // 0.5, 1.5
+    val sc = Array.tabulate[Byte](16)(j => ((13 * j + 2) % 64).toByte)
+    val mn = Array.tabulate[Byte](16)(j => ((9 * j + 1) % 64).toByte)
+    val q = Array.tabulate[Byte](512)(i => ((11 * i + 3) % 32).toByte)
+    val bytes = Gguf.writeTensors(Nil,
+      Seq(("q5k.weight", Vector(256L, 2L), Gguf.Q5K(d, dmin, sc, mn, q))))
+    val fix = fixture("gguf_q5k.gguf")
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, bytes.length - 352, bytes.length),
+      java.util.Arrays.copyOfRange(fix, fix.length - 352, fix.length)))
+    val vs = Gguf.read(bytes).floats("q5k.weight")
+    (0 until 512).foreach { i =>
+      val dd = if (i < 256) 0.25f else -0.125f
+      val dm = if (i < 256) 0.5f else 1.5f
+      assert(vs(i) == dd * sc(i / 32) * q(i) - dm * mn(i / 32), s"element $i")
+    }
+    intercept[IllegalArgumentException] { // 5-bit range enforced
+      Gguf.writeTensors(Nil, Seq(("w", Vector(256L), Gguf.Q5K(
+        Array[Short](0x3400), Array[Short](0x3800),
+        Array.fill[Byte](8)(1), Array.fill[Byte](8)(0),
+        Array.fill[Byte](256)(32)))))
+    }
+  }
+
   test("Q6_K python-transcription fixture dequantizes exactly (d*sc*(q-32), ql/qh pack)") {
     val exp = Json.parse(new String(fixture("gguf_expected.json"), US_ASCII))
       .asInstanceOf[JObj].fields.toMap

@@ -172,6 +172,41 @@ def main():
     q4k_vals = [q4k_d[i // 256] * q4k_sc[i // 32] * q4k_q[i] -
                 q4k_dmin[i // 256] * q4k_mn[i // 32] for i in range(512)]
 
+    # Q5_K (type 13): 2 super-blocks. block_q5_K layout: f16 d + f16
+    # dmin + 12 packed scale bytes (same field as Q4_K) + 32 qh bytes
+    # (fifth quant bit at bit pair 2c / 2c+1 of qh[l] for chunk c's
+    # low / high nibble element) + 128 nibble bytes. Dequant
+    # x = d*sc*(q_lo + 16*hbit) - dmin*m.
+    q5k_d = [0.25, -0.125]
+    q5k_dmin = [0.5, 1.5]
+    q5k_sc = [(13 * j + 2) % 64 for j in range(16)]
+    q5k_mn = [(9 * j + 1) % 64 for j in range(16)]
+    q5k_q = [(11 * i + 3) % 32 for i in range(512)]
+    q5k_payload = b""
+    for b in range(2):
+        q5k_payload += struct.pack("<e", q5k_d[b])
+        q5k_payload += struct.pack("<e", q5k_dmin[b])
+        q5k_payload += pack_scales_k4(q5k_sc[b*8:(b+1)*8], q5k_mn[b*8:(b+1)*8])
+        qh = bytearray(32)
+        for l in range(32):
+            for c in range(4):
+                base = b * 256 + c * 64
+                qh[l] |= ((q5k_q[base + l] >> 4) & 1) << (2 * c)
+                qh[l] |= ((q5k_q[base + 32 + l] >> 4) & 1) << (2 * c + 1)
+        q5k_payload += bytes(qh)
+        for c in range(4):
+            base = b * 256 + c * 64
+            q5k_payload += bytes((q5k_q[base + l] & 0xF) |
+                                 ((q5k_q[base + 32 + l] & 0xF) << 4)
+                                 for l in range(32))
+    assert len(q5k_payload) == 352
+    q5k = gguf([("general.alignment", 4, 32)],
+               [("q5k.weight", [256, 2], 13, q5k_payload)])
+    with open(os.path.join(OUT, "gguf_q5k.gguf"), "wb") as f:
+        f.write(q5k)
+    q5k_vals = [q5k_d[i // 256] * q5k_sc[i // 32] * q5k_q[i] -
+                q5k_dmin[i // 256] * q5k_mn[i // 32] for i in range(512)]
+
     # Q6_K (type 14): 2 super-blocks. block_q6_K layout: 128 ql + 64 qh
     # + 16 int8 sub-scales + f16 d; per 128-half, elements l/l+32/l+64/
     # l+96 carry their two high bits at qh[l] bit pairs 0/2/4/6 and low
@@ -219,6 +254,7 @@ def main():
         "q8_vals": [q8_scales[i // 32] * q8_quants[i] for i in range(64)],
         "q4_vals": [q4_scales[i // 32] * (q4_quants[i] - 8) for i in range(64)],
         "q4k_vals": q4k_vals,
+        "q5k_vals": q5k_vals,
         "q6k_vals": q6k_vals,
     }
     with open(os.path.join(OUT, "gguf_expected.json"), "w") as f:
