@@ -36,6 +36,7 @@ object Registry {
     ChatQueries.all,
     MediaMetaQueries.all,
     DocQueries.all,
+    CaptionQueries.all,
   )
 
   lazy val all: Seq[GraftQuery] = {
