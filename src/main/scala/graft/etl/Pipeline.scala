@@ -294,6 +294,8 @@ object PlainTextExtractor extends DocTextExtractor {
       PdfText.extract(content)
     else if (lower.endsWith(".docx"))
       DocxText.extract(content)
+    else if (lower.endsWith(".epub"))
+      EpubText.extract(content).text
     else
       throw new IllegalArgumentException(s"Unsupported file type: $path")
   }

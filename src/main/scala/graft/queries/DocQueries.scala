@@ -122,5 +122,117 @@ object DocQueries {
           CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_zip
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // EPUB extraction round trip (round 16 — [[graft.etl.EpubText]], the
+    // book-corpus front door): every doc becomes a two-chapter OCF
+    // container (mimetype member, container.xml, OPF with dc:title/
+    // dc:language, XHTML chapters with DOCTYPEs), the extractor walks
+    // container → OPF → spine → body text, and DuckDB recomputes the
+    // title/language/chapter checksum from the doc_id arithmetic. The
+    // in-row require pins chapter-exactness so a walk defect can never
+    // average out. Per-row map, shuffle-free rollup.
+    GraftQuery(
+      "doc03_epub_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            val words = text.trim.split("\\s+").toVector
+            val cut = words.length / 2
+            val chapters = Seq(words.take(cut).mkString(" "),
+              words.drop(cut).mkString(" "))
+            val epub = graft.etl.EpubText.write(s"Doc $id", lang, chapters)
+            val e = graft.etl.EpubText.extract(epub)
+            require(e.title == s"Doc $id" && e.language == lang &&
+              e.chapters == chapters.map(c =>
+                if (c.isEmpty) "" else c).toVector,
+              s"epub round trip doc $id")
+            val ck = s"${e.title}|${e.language}|${e.chapters.mkString("|")}"
+            (source, e.text.length.toLong, ck)
+          }
+          .toDF("source", "n_chars", "ck")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_books"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("ck")) % M).as("book_check"))
+      },
+      Some(raw"""WITH x AS (SELECT source, doc_id AS id, lang,
+            regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents),
+        y AS (SELECT source, id, lang,
+            array_to_string(a[1 : len(a) // 2], ' ') AS ch1,
+            array_to_string(a[len(a) // 2 + 1 : len(a)], ' ') AS ch2
+          FROM x)
+        SELECT source, count(*) AS n_books,
+          CAST(sum(length(ch1) + length(ch2) +
+            CASE WHEN length(ch1) > 0 AND length(ch2) > 0 THEN 2 ELSE 0 END)
+            AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60(
+            "'Doc ' || CAST(id AS VARCHAR) || '|' || lang || '|' || ch1 || '|' || ch2")} % $M)
+            AS BIGINT) AS book_check
+        FROM y GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned EPUB scan (the family's poisoned-twin contract): every
+    // eleventh container is rotten — wrong mimetype, container.xml
+    // stripped, a chapter's XML broken, or a hard truncation — one TYPED
+    // error row per rotten file, every healthy book still extracts.
+    GraftQuery(
+      "doc04_poisoned_epub",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (source, id, text) =>
+            val epub = graft.etl.EpubText.write(s"B$id", "en", Seq(text))
+            val poisoned =
+              if (id % 11 != 3) epub
+              else (id % 4) match {
+                case 0 => graft.ops.Zip.write(graft.ops.Zip.read(epub).map(m =>
+                  if (m.name == "mimetype")
+                    m.copy(body = "application/zip".getBytes("US-ASCII"))
+                  else m))
+                case 1 => graft.ops.Zip.write(graft.ops.Zip.read(epub)
+                  .filterNot(_.name == "META-INF/container.xml"))
+                case 2 => graft.ops.Zip.write(graft.ops.Zip.read(epub).map(m =>
+                  if (m.name.endsWith(".xhtml"))
+                    m.copy(body = "<html><body><p>unclosed".getBytes("UTF-8"))
+                  else m))
+                case _ => java.util.Arrays.copyOf(epub, epub.length / 2)
+              }
+            graft.etl.EpubText.extractSafe(poisoned) match {
+              case Right(e) => (source, 1L, 0L, e.text.length.toLong, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "n_chars", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(when(col("kind") === "bad_epub", 1L).otherwise(0L)).as("n_epub"),
+            sum(when(col("kind").isin("bad_zip", "truncated"), 1L)
+              .otherwise(0L)).as("n_zip"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            length(trim(text)) AS n
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN n ELSE 0 END) AS BIGINT) AS char_sum,
+          CAST(count(CASE WHEN rot AND mode IN (0, 1, 2) THEN 1 END)
+            AS BIGINT) AS n_epub,
+          CAST(count(CASE WHEN rot AND mode = 3 THEN 1 END) AS BIGINT) AS n_zip
+        FROM x GROUP BY 1"""),
+    ),
   )
 }
