@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object AudioQueries {
 
+  private val M = TarQueries.M
+
   val all: Seq[GraftQuery] = Seq(
     // ------------------------------------------------------------------
     // REAL compressed-AUDIO metadata scan: each doc's text deterministically
@@ -336,6 +338,67 @@ object AudioQueries {
           CAST(sum(zc) AS BIGINT) AS sum_crossings,
           CAST(max(peak) AS BIGINT) AS max_peak
         FROM f GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // ID3v2 tag audit (round 16 — [[graft.ops.Id3]]; the metadata block
+    // crawled MP3s actually carry, complementing mm05's frame walk which
+    // skips the tag as opaque bytes): even docs get v2.4 tags (syncsafe
+    // frame sizes, all four text encodings rotating), odd docs v2.3
+    // (plain u32 sizes, latin-1/UTF-16), five frames each (TIT2/TPE1/
+    // TALB/TRCK/COMM with the language+description framing); the tag is
+    // spliced into a real MP3 and both walks must agree on the tag
+    // boundary. DuckDB replays every decoded STRING from the doc_id
+    // arithmetic — the four encodings must all decode back to the same
+    // text, so one wrong code-unit order or BOM slip breaks the hash.
+    GraftQuery(
+      "mm31_id3_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            val ver = if (id % 2 == 0) 4 else 3
+            val enc = if (ver == 4) ((id / 2) % 4).toInt else ((id / 2) % 2).toInt
+            val title = s"Track $id"
+            val album = s"Album ${id % 10}"
+            val track = s"${id % 12 + 1}/12"
+            val comment = text.take(24)
+            val tag = graft.ops.Id3.write(ver, Seq(
+              ("TIT2", title, enc), ("TPE1", lang, 0), ("TALB", album, enc),
+              ("TRCK", track, 0), ("COMM", comment, enc)))
+            val mp3 = graft.ops.Mp3.encodeV1L3((id % 3).toInt,
+              Seq((1 + (id % 14).toInt, false)), tag.length - 10,
+              (fi, i) => if (fi < 0) tag(10 + i) else ((id + i) % 64).toByte)
+            System.arraycopy(tag, 0, mp3, 0, tag.length)
+            val t = graft.ops.Id3.parse(mp3)
+            require(graft.ops.Mp3.parse(mp3).id3v2Bytes == tag.length,
+              s"tag boundary doc $id")
+            (source, t.version.toLong, t.frames.length.toLong,
+              s"${t.title.get}|${t.artist.get}|${t.album.get}|" +
+                s"${t.track.get}|${t.comment.get}")
+          }
+          .toDF("source", "ver", "n_frames", "ck")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("ver")).as("ver_sum"),
+            sum(col("n_frames")).as("frame_sum"),
+            sum(TA.hash60(col("ck")) % M).as("tag_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS ver,
+            'Track ' || CAST(doc_id AS VARCHAR) || '|' || lang ||
+              '|Album ' || CAST(doc_id % 10 AS VARCHAR) || '|' ||
+              CAST(doc_id % 12 + 1 AS VARCHAR) || '/12|' ||
+              substr(text, 1, 24) AS ck
+          FROM documents)
+        SELECT source, count(*) AS n_files,
+          CAST(sum(ver) AS BIGINT) AS ver_sum,
+          CAST(count(*) * 5 AS BIGINT) AS frame_sum,
+          CAST(sum(${TA.Sql.hash60("ck")} % $M) AS BIGINT) AS tag_check
+        FROM x GROUP BY 1"""),
     ),
   )
 }

@@ -307,6 +307,17 @@ object FuzzHunt {
       Set("bad_magic", "truncated", "bad_frame", "too_large", "unsupported"),
       graft.ops.Matroska.parseSafe)
 
+    total += hunt("id3",
+      // syncsafe vs plain sizes, four encodings, COMM/TXXX framing,
+      // padding gate — both versions under the mutation lens
+      graft.ops.Id3.write(4, Seq(("TIT2", "tïtle", 3), ("TPE1", "artist", 0),
+        ("TALB", "wide", 1), ("TRCK", "3/12", 2), ("TXXX", "k v", 3),
+        ("COMM", "comment body", 1))) ++
+        graft.ops.Id3.write(3, Seq(("TIT2", "v3 title", 0),
+          ("TPE1", "wïde", 1), ("COMM", "v3 comment", 0))),
+      Set("bad_magic", "truncated", "bad_frame", "unsupported"),
+      b => graft.ops.Id3.parseSafe(b))
+
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)
   }
