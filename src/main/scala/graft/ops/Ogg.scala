@@ -335,14 +335,100 @@ object Ogg {
     b
   }
 
-  /** RFC 7845 §5.2 OpusTags comment packet (vendor only). */
-  def opusTags(vendor: String): Array[Byte] = {
-    val v = vendor.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = java.nio.ByteBuffer.allocate(8 + 4 + v.length + 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put("OpusTags".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    b.putInt(v.length).put(v).putInt(0)
-    b.array()
+  /** Parsed Vorbis-comment block (the tag format BOTH OpusTags and the
+    * Vorbis comment header carry — the Ogg world's ID3): vendor string +
+    * `FIELD=value` user comments. Field names are case-insensitive
+    * ASCII 0x20-0x7D excluding `=` (Vorbis I §5); comparisons here
+    * upper-case them.
+    */
+  final case class Comments(vendor: String, fields: Vector[(String, String)]) {
+    def first(name: String): Option[String] = {
+      val want = name.toUpperCase(java.util.Locale.ROOT)
+      fields.collectFirst { case (k, v) if k == want => v }
+    }
+  }
+
+  /** Parse the SECOND packet of a stream as OpusTags (RFC 7845 §5.2) or
+    * a Vorbis comment header (type 3): vendor length/string, comment
+    * count, then length-prefixed `FIELD=value` UTF-8 strings. The
+    * Vorbis form requires the trailing framing bit.
+    */
+  def parseComments(pkt: Array[Byte]): Comments = {
+    def u32(p: Int): Long =
+      (pkt(p) & 0xffL) | ((pkt(p + 1) & 0xffL) << 8) |
+        ((pkt(p + 2) & 0xffL) << 16) | ((pkt(p + 3) & 0xffL) << 24)
+    val (start, vorbisFramed) =
+      if (pkt.length >= 8 && new String(pkt, 0, 8,
+          java.nio.charset.StandardCharsets.US_ASCII) == "OpusTags") (8, false)
+      else if (pkt.length >= 7 && pkt(0) == 0x03 && new String(pkt, 1, 6,
+          java.nio.charset.StandardCharsets.US_ASCII) == "vorbis") (7, true)
+      else bad("not an OpusTags / Vorbis comment packet")
+    var p = start
+    def take(n: Long): Int = {
+      if (n < 0 || p + n > pkt.length)
+        throw new WarcError("truncated", s"comment field of $n bytes past end")
+      val at = p; p += n.toInt; at
+    }
+    def str(n: Long): String = {
+      val at = take(n)
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try dec.decode(java.nio.ByteBuffer.wrap(pkt, at, n.toInt)).toString
+      catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          bad("invalid UTF-8 in comment string")
+      }
+    }
+    if (p + 4 > pkt.length) throw new WarcError("truncated", "vendor length")
+    val vendor = str(u32(take(4)))
+    if (p + 4 > pkt.length) throw new WarcError("truncated", "comment count")
+    val n = u32(take(4))
+    if (n > 10000) bad(s"comment count $n exceeds walk budget")
+    val fields = Vector.newBuilder[(String, String)]
+    var i = 0L
+    while (i < n) {
+      if (p + 4 > pkt.length) throw new WarcError("truncated", "comment length")
+      val s = str(u32(take(4)))
+      val eq = s.indexOf('=')
+      if (eq < 1) bad(s"comment without FIELD=value form: '$s'")
+      val key = s.substring(0, eq)
+      if (!key.forall(c => c >= 0x20 && c <= 0x7d && c != '='))
+        bad(s"illegal comment field name '$key'")
+      fields += key.toUpperCase(java.util.Locale.ROOT) -> s.substring(eq + 1)
+      i += 1
+    }
+    if (vorbisFramed) {
+      if (p >= pkt.length || (pkt(p) & 0x01) == 0)
+        bad("vorbis comment framing bit clear")
+    }
+    Comments(vendor, fields.result())
+  }
+
+  def parseCommentsSafe(pkt: Array[Byte]): Either[String, Comments] =
+    try Right(parseComments(pkt))
+    catch {
+      case e: WarcError => Left(e.kind)
+      case _: Exception => Left("bad_frame")
+    }
+
+  /** RFC 7845 §5.2 OpusTags comment packet (vendor + FIELD=value tags). */
+  def opusTags(vendor: String,
+      fields: Seq[(String, String)] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def str(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u32(b.length); out.write(b, 0, b.length)
+    }
+    out.write("OpusTags".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    str(vendor)
+    u32(fields.length)
+    fields.foreach { case (k, v) => str(s"$k=$v") }
+    out.toByteArray
   }
 
   /** Vorbis I §4.2.2 identification header packet. */
@@ -361,15 +447,24 @@ object Ogg {
     b.array()
   }
 
-  /** Vorbis comment header (packet type 3) — minimal, framed. */
-  def vorbisComment(vendor: String): Array[Byte] = {
-    val v = vendor.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = java.nio.ByteBuffer.allocate(7 + 4 + v.length + 4 + 1)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put(0x03.toByte)
-    b.put("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    b.putInt(v.length).put(v).putInt(0)
-    b.put(0x01.toByte)
-    b.array()
+  /** Vorbis comment header (packet type 3) — vendor + tags, framed. */
+  def vorbisComment(vendor: String,
+      fields: Seq[(String, String)] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def str(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u32(b.length); out.write(b, 0, b.length)
+    }
+    out.write(0x03)
+    out.write("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    str(vendor)
+    u32(fields.length)
+    fields.foreach { case (k, v) => str(s"$k=$v") }
+    out.write(0x01)
+    out.toByteArray
   }
 }

@@ -710,5 +710,62 @@ object MediaMetaQueries {
           CAST(count(CASE WHEN rot AND mode = 2 THEN 1 END) AS BIGINT) AS n_frame
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Ogg comment-tag audit (round 16 follow-on to mm27 — the Vorbis
+    // comment block BOTH OpusTags and the Vorbis header carry is the
+    // Ogg world's ID3): every doc's second packet gets TITLE/ARTIST/
+    // ALBUM/TRACKNUMBER tags (the audio-corpus metadata a curation
+    // pipeline reads), field names round-trip case-insensitively, and
+    // DuckDB replays every decoded string from the doc_id arithmetic.
+    GraftQuery(
+      "mm32_ogg_tags",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("lang"))
+          .as[(String, Long, String)]
+          .map { case (source, id, lang) =>
+            val fields = Seq("title" -> s"Track $id", "ARTIST" -> lang,
+              "Album" -> s"Album ${id % 10}",
+              "TRACKNUMBER" -> s"${id % 12 + 1}")
+            val pkts =
+              if (id % 2 == 0) Seq(
+                graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusHead(2, 312, 48000L), 0),
+                graft.ops.Ogg.OggPacket(
+                  graft.ops.Ogg.opusTags(s"libgraft ${id % 3}", fields), 0),
+                graft.ops.Ogg.OggPacket(Array[Byte](1, 2, 3), 960L))
+              else Seq(
+                graft.ops.Ogg.OggPacket(graft.ops.Ogg.vorbisId(2, 44100L), 0),
+                graft.ops.Ogg.OggPacket(
+                  graft.ops.Ogg.vorbisComment(s"libgraft ${id % 3}", fields), 0),
+                graft.ops.Ogg.OggPacket(Array[Byte](1, 2, 3), 1764L))
+            val bytes = graft.ops.Ogg.write(500L + id % 71, pkts)
+            require(graft.ops.Ogg.parse(bytes).streams.length == 1, s"walk $id")
+            val tagPkt = graft.ops.Ogg.pages(bytes)(1).packets.head
+            val c = graft.ops.Ogg.parseComments(tagPkt)
+            (source, c.fields.length.toLong,
+              s"${c.vendor}|${c.first("TITLE").get}|${c.first("artist").get}|" +
+                s"${c.first("ALBUM").get}|${c.first("tracknumber").get}")
+          }
+          .toDF("source", "n_fields", "ck")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("n_fields")).as("field_sum"),
+            sum(TA.hash60(col("ck")) % M).as("tag_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            'libgraft ' || CAST(doc_id % 3 AS VARCHAR) ||
+              '|Track ' || CAST(doc_id AS VARCHAR) ||
+              '|' || lang ||
+              '|Album ' || CAST(doc_id % 10 AS VARCHAR) ||
+              '|' || CAST(doc_id % 12 + 1 AS VARCHAR) AS ck
+          FROM documents)
+        SELECT source, count(*) AS n_files,
+          CAST(count(*) * 4 AS BIGINT) AS field_sum,
+          CAST(sum(${TA.Sql.hash60("ck")} % $M) AS BIGINT) AS tag_check
+        FROM x GROUP BY 1"""),
+    ),
   )
 }

@@ -85,6 +85,34 @@ class OggSpec extends AnyFunSuite {
       s.durationMs == 100)
   }
 
+  test("comment blocks: OpusTags and Vorbis forms, case-insensitive fields") {
+    val fields = Seq("TITLE" -> "A Söng", "artist" -> "The Band",
+      "ALBUM" -> "x=y=z", "DATE" -> "2024")
+    val ot = Ogg.parseComments(Ogg.opusTags("libgraft 1.0", fields))
+    assert(ot.vendor == "libgraft 1.0")
+    assert(ot.first("title").contains("A Söng"))
+    assert(ot.first("Artist").contains("The Band"))
+    assert(ot.first("ALBUM").contains("x=y=z")) // value keeps its '='
+    val vc = Ogg.parseComments(Ogg.vorbisComment("v", fields))
+    assert(vc.first("TITLE").contains("A Söng") && vc.fields.length == 4)
+    // refusals: lying lengths, no '=', illegal field bytes, bad UTF-8
+    val cut = Ogg.opusTags("v", fields)
+    assert(Ogg.parseCommentsSafe(
+      java.util.Arrays.copyOf(cut, cut.length - 3)) == Left("truncated"))
+    assert(Ogg.parseCommentsSafe(Ogg.opusTags("v", Seq("KEYONLY" -> "")))
+      .exists(_.first("keyonly").contains(""))) // empty value is legal
+    val noEq = Ogg.opusTags("v").dropRight(4) ++
+      Array[Byte](1, 0, 0, 0, 7, 0, 0, 0) ++ "nosplit".getBytes("UTF-8")
+    assert(Ogg.parseCommentsSafe(noEq) == Left("bad_frame"))
+    val badUtf = Ogg.opusTags("v").dropRight(4) ++
+      Array[Byte](1, 0, 0, 0, 4, 0, 0, 0, 'A', '=', 0xff.toByte, 0xfe.toByte)
+    assert(Ogg.parseCommentsSafe(badUtf) == Left("bad_frame"))
+    // vorbis form requires the framing bit
+    val framed = Ogg.vorbisComment("v", fields)
+    val unframed = framed.clone(); unframed(framed.length - 1) = 0
+    assert(Ogg.parseCommentsSafe(unframed) == Left("bad_frame"))
+  }
+
   test("refusals are typed: magic, version, CRC, sequence, flags, truncation") {
     val good = fixture("ogg_opus.ogg")
     assert(Ogg.parseSafe("no ogg here".getBytes(US_ASCII)) == Left("bad_magic"))
