@@ -139,6 +139,46 @@ object TarQueries {
     ),
 
     // ------------------------------------------------------------------
+    // PAX long-name round trip (round 16 — the POSIX.1-2001 'x' form
+    // modern tars emit for >100-byte member names, which plain USTAR
+    // would silently truncate): every member name carries a 96-char
+    // directory prefix, the writer must auto-emit pax `path=` records,
+    // and the reader must recover the FULL names — a reader that falls
+    // back to the ustar header field mis-names every sample in the
+    // shard. Conformance additionally pinned against python tarfile's
+    // PAX_FORMAT/GNU_FORMAT output (tools/tarwav_mutant_parity.py).
+    GraftQuery(
+      "tar04_pax_longnames",
+      (s, d) => {
+        import s.implicits._
+        val prefix = "p" * 96
+        shardGroups(s, d).flatMap { case (_, _, recs) =>
+            val entries = recs.map { case (id, text, _) =>
+              Tar.TarEntry(s"$prefix/$id.txt", ascii(text))
+            }
+            val back = Tar.read(Tar.write(entries))
+            require(back.map(_.name) == entries.map(_.name),
+              "pax name round trip")
+            back.map(e => (e.name,
+              new String(e.body, java.nio.charset.StandardCharsets.US_ASCII)))
+          }
+          .toDF("name", "txt")
+          .select(expr("CAST(substring(name, 98, length(name) - 101) AS BIGINT)")
+            .as("id"), col("name"), col("txt"))
+          .groupBy(expr("id % 7").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            sum(length(col("name"))).as("name_len_sum"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""SELECT doc_id % 7 AS bucket, count(*) AS n_members,
+          CAST(sum(101 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+            AS name_len_sum,
+          CAST(sum(${sqlH60Mod("text")}) AS BIGINT) AS txt_check
+        FROM documents GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
     // ZIP shard round trip (the third container: document dumps / office
     // archives): same sample layout as tar01 but through the JDK deflate
     // path ([[graft.ops.Zip]] — deterministic timestamps, streamed

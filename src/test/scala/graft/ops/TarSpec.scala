@@ -70,4 +70,115 @@ class TarSpec extends AnyFunSuite {
     System.arraycopy(cs, 0, dir, 148, 6); dir(154) = 0; dir(155) = ' '
     assert(Tar.read(dir).isEmpty)
   }
+
+  test("pax long/unicode names round trip through the auto-pax writer") {
+    val longName = "deep/" + ("d" * 40 + "/") * 3 + "x" * 60 + ".txt"
+    assert(longName.getBytes(US_ASCII).length > 100)
+    val uni = "data/ünïcode-名前.txt"
+    val entries = Seq(
+      Tar.TarEntry("short.txt", "a".getBytes(US_ASCII)),
+      Tar.TarEntry(longName, "long body".getBytes(US_ASCII)),
+      Tar.TarEntry(uni, "uni body".getBytes(US_ASCII)))
+    val back = Tar.read(Tar.write(entries))
+    assert(back.map(_.name) == entries.map(_.name))
+    assert(back.map(b => new String(b.body, "UTF-8")) ==
+      Seq("a", "long body", "uni body"))
+  }
+
+  test("GNU 'L' long-name members apply to the next member") {
+    // hand-build: an 'L' member whose data is the real name, then the
+    // regular member with a truncated header name
+    val real = "gnu/" + "n" * 120 + ".bin"
+    val nameData = (real + "\u0000").getBytes(US_CHARSET)
+    val l = rawHeader("././@LongLink", nameData.length, 'L') ++ nameData ++
+      new Array[Byte]((512 - nameData.length % 512) % 512)
+    val body = "payload".getBytes(US_ASCII)
+    val f = rawHeader("gnu/truncated", body.length, '0') ++ body ++
+      new Array[Byte]((512 - body.length % 512) % 512)
+    val tar = l ++ f ++ new Array[Byte](1024)
+    val back = Tar.read(tar)
+    assert(back.map(_.name) == Seq(real))
+    assert(new String(back.head.body, "UTF-8") == "payload")
+  }
+
+  test("pax global header sets a default later 'x' headers override") {
+    val g = paxMember('g', " path=global.name\n")
+    val x = paxMember('x', " path=local.name\n")
+    val body = "b".getBytes(US_ASCII)
+    def file(n: String) = rawHeader(n, body.length, '0') ++ body ++
+      new Array[Byte](511)
+    val tar = g ++ file("a") ++ x ++ file("b") ++ file("c") ++
+      new Array[Byte](1024)
+    // member 1: global applies; member 2: local x wins; member 3: global again
+    assert(Tar.read(tar).map(_.name) ==
+      Seq("global.name", "local.name", "global.name"))
+  }
+
+  test("base-256 size field (the >8 GiB encoding) parses on small values") {
+    val body = "0123456789".getBytes(US_ASCII)
+    val h = rawHeader("b256.bin", 0, '0')
+    // overwrite the size field with base-256: high bit + big-endian value
+    java.util.Arrays.fill(h, 124, 136, 0.toByte)
+    h(124) = 0x80.toByte
+    h(135) = body.length.toByte
+    reChecksum(h)
+    val tar = h ++ body ++ new Array[Byte](512 - body.length) ++
+      new Array[Byte](1024)
+    val back = Tar.read(tar)
+    assert(back.head.name == "b256.bin" &&
+      new String(back.head.body, "UTF-8") == "0123456789")
+  }
+
+  test("malformed pax records refuse typed") {
+    val bad = paxMember('x', "path-without-equals\n") // no len prefix either
+    assert(Tar.readSafe(bad ++ new Array[Byte](1024)) == Left("bad_header"))
+    val lies = paxMember('x', " path=ok\n", lieLen = 99)
+    assert(Tar.readSafe(lies ++ new Array[Byte](1024)) == Left("bad_header"))
+  }
+
+  // helpers for the hand-built pax/GNU cases
+  private val US_CHARSET = java.nio.charset.StandardCharsets.UTF_8
+
+  private def rawHeader(name: String, size: Int, typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes(US_ASCII)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def oct(off: Int, width: Int, v: Long): Unit = {
+      val b = ("%0" + (width - 1) + "o").format(v).getBytes(US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    oct(100, 8, 420); oct(108, 8, 0); oct(116, 8, 0)
+    oct(124, 12, size.toLong); oct(136, 12, 0L)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    h(156) = typeflag.toByte
+    val u = "ustar".getBytes(US_ASCII)
+    System.arraycopy(u, 0, h, 257, u.length)
+    h(263) = '0'; h(264) = '0'
+    reChecksum(h)
+    h
+  }
+
+  private def reChecksum(h: Array[Byte]): Unit = {
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L; var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    val cs = "%06o".format(sum).getBytes(US_ASCII)
+    System.arraycopy(cs, 0, h, 148, 6); h(154) = 0; h(155) = ' '
+  }
+
+  private def paxMember(tf: Char, record: String, lieLen: Int = -1): Array[Byte] = {
+    val payload = record.getBytes(US_CHARSET)
+    val rec =
+      if (record.startsWith(" ")) {
+        var len = if (lieLen > 0) lieLen else {
+          var l = payload.length + 1
+          while (s"$l".length + payload.length != l)
+            l = s"$l".length + payload.length
+          l
+        }
+        s"$len".getBytes(US_ASCII) ++ payload
+      } else payload
+    rawHeader("pax", rec.length, tf) ++ rec ++
+      new Array[Byte]((512 - rec.length % 512) % 512)
+  }
 }

@@ -54,6 +54,15 @@ def tar_streams():
                       ("empty", b"")]))
     out.append(build([("one", b"x" * 511), ("two", b"y" * 512),
                       ("three", b"z" * 513)]))
+    # round 16: the long/unicode-name forms modern tars actually emit —
+    # PAX `path=` extended headers and GNU 'L' long-name members
+    long_name = "deep/" + "d" * 60 + "/" + "n" * 80 + ".bin"
+    out.append(build([(long_name, b"pax body"),
+                      ("plain.txt", b"short"),
+                      ("uni/n\u00e4me-\u540d.txt", b"uni body")],
+                     fmt=tarfile.PAX_FORMAT))
+    out.append(build([(long_name, b"gnu body"), ("g.txt", b"g")],
+                     fmt=tarfile.GNU_FORMAT))
     return out
 
 
