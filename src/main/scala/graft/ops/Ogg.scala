@@ -218,13 +218,11 @@ object Ogg {
         ((pkt(p + 2) & 0xffL) << 16) | ((pkt(p + 3) & 0xffL) << 24)
     if (pkt.length >= 19 && new String(pkt, 0, 8,
         java.nio.charset.StandardCharsets.US_ASCII) == "OpusHead") {
-      // RFC 7845 §5.1: only the major version nibble is breaking
-      if ((pkt(8) & 0xf0) != 0) bad(s"OpusHead version ${pkt(8) & 0xff}")
+      val h = parseOpusHead(pkt) // full §5.1 validation incl. mapping
       s.codec = "opus"
-      s.channels = pkt(9) & 0xff
-      s.preSkip = u16(10)
-      s.rate = u32(12) // INPUT rate; granules still run at 48 kHz
-      if (s.channels == 0) bad("OpusHead zero channels")
+      s.channels = h.channels
+      s.preSkip = h.preSkip
+      s.rate = h.inputRate
     } else if (pkt.length >= 30 && pkt(0) == 0x01 && new String(pkt, 1, 6,
         java.nio.charset.StandardCharsets.US_ASCII) == "vorbis") {
       if (u32(7) != 0L) bad(s"vorbis version ${u32(7)}")
@@ -319,6 +317,57 @@ object Ogg {
     out.write(page, 0, page.length)
   }
 
+  /** Fully parsed RFC 7845 §5.1 OpusHead, incl. the channel mapping
+    * (family 0 = mono/stereo implicit; family 1 = Vorbis surround order
+    * with an explicit stream/coupled/table block; family 255 =
+    * discrete). `streams`/`coupled` are 1/ch-coupled implied values for
+    * family 0.
+    */
+  final case class OpusHead(version: Int, channels: Int, preSkip: Int,
+      inputRate: Long, outputGain: Int, mappingFamily: Int,
+      streams: Int, coupled: Int, mapping: Vector[Int])
+
+  def parseOpusHead(pkt: Array[Byte]): OpusHead = {
+    if (pkt.length < 19 || new String(pkt, 0, 8,
+        java.nio.charset.StandardCharsets.US_ASCII) != "OpusHead")
+      bad("not an OpusHead packet")
+    // RFC 7845 §5.1: only the major version nibble is breaking
+    if ((pkt(8) & 0xf0) != 0) bad(s"OpusHead version ${pkt(8) & 0xff}")
+    val channels = pkt(9) & 0xff
+    if (channels == 0) bad("OpusHead zero channels")
+    def u16(p: Int): Int = (pkt(p) & 0xff) | ((pkt(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (pkt(p) & 0xffL) | ((pkt(p + 1) & 0xffL) << 8) |
+        ((pkt(p + 2) & 0xffL) << 16) | ((pkt(p + 3) & 0xffL) << 24)
+    val preSkip = u16(10)
+    val rate = u32(12)
+    val gain = (u16(16) << 16) >> 16 // s16
+    val family = pkt(18) & 0xff
+    if (family == 0) {
+      if (channels > 2) bad(s"mapping family 0 with $channels channels")
+      if (pkt.length != 19) bad("family-0 OpusHead with a mapping table")
+      OpusHead(pkt(8) & 0xff, channels, preSkip, rate, gain, 0,
+        1, channels - 1, Vector.tabulate(channels)(identity))
+    } else {
+      // §5.1.1: families 1 (Vorbis surround, ch ≤ 8) and 255 (discrete)
+      if (family == 1 && channels > 8)
+        bad(s"mapping family 1 with $channels channels")
+      if (pkt.length < 21 + channels)
+        throw new WarcError("truncated", "OpusHead mapping table")
+      val streams = pkt(19) & 0xff
+      val coupled = pkt(20) & 0xff
+      if (streams == 0) bad("zero streams")
+      if (coupled > streams) bad(s"$coupled coupled > $streams streams")
+      val mapping = Vector.tabulate(channels)(k => pkt(21 + k) & 0xff)
+      mapping.foreach { m =>
+        if (m != 255 && m >= streams + coupled)
+          bad(s"channel mapping index $m out of range")
+      }
+      OpusHead(pkt(8) & 0xff, channels, preSkip, rate, gain, family,
+        streams, coupled, mapping)
+    }
+  }
+
   /** RFC 7845 §5.1 OpusHead ID packet. */
   def opusHead(channels: Int, preSkip: Int, inputRate: Long,
       outputGain: Int = 0): Array[Byte] = {
@@ -332,6 +381,22 @@ object Ogg {
     while (i < 4) { b(12 + i) = ((inputRate >>> (8 * i)) & 0xff).toByte; i += 1 }
     b(16) = (outputGain & 0xff).toByte; b(17) = ((outputGain >> 8) & 0xff).toByte
     b(18) = 0 // mapping family 0 (mono/stereo)
+    b
+  }
+
+  /** OpusHead with an explicit mapping block (families 1 / 255 —
+    * surround and discrete multistream).
+    */
+  def opusHeadMapped(channels: Int, preSkip: Int, inputRate: Long,
+      family: Int, streams: Int, coupled: Int,
+      mapping: Seq[Int]): Array[Byte] = {
+    require(mapping.length == channels, "one mapping entry per channel")
+    val base = opusHead(channels, preSkip, inputRate)
+    val b = java.util.Arrays.copyOf(base, 19 + 2 + channels)
+    b(18) = family.toByte
+    b(19) = streams.toByte
+    b(20) = coupled.toByte
+    mapping.zipWithIndex.foreach { case (m, k) => b(21 + k) = m.toByte }
     b
   }
 

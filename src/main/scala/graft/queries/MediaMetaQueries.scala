@@ -767,5 +767,75 @@ object MediaMetaQueries {
           CAST(sum(${TA.Sql.hash60("ck")} % $M) AS BIGINT) AS tag_check
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Multistream Opus audit (round 16 follow-on to mm27 — RFC 7845
+    // §5.1.1 mapping families 1/255, the surround/discrete form real
+    // speech+music corpora carry beyond mono/stereo): channels 3-8,
+    // stream/coupled split with ch = streams + coupled, a rotated
+    // channel-mapping table (one silent-255 slot on every seventh doc),
+    // family 255 on every eleventh. The walk validates the table
+    // (indices < streams+coupled or 255) and DuckDB recomputes the
+    // weighted mapping checksum — one swapped table byte breaks it.
+    GraftQuery(
+      "mm33_opus_surround",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val ch = 3 + (id % 6).toInt
+            val coupled = ch / 3
+            val streams = ch - coupled
+            val r = (id % ch).toInt
+            val mapping = Vector.tabulate(ch) { k =>
+              if (k == 0 && id % 7 == 0) 255 else (k + r) % ch
+            }
+            val family = if (id % 11 == 5) 255 else 1
+            val head = graft.ops.Ogg.opusHeadMapped(ch, 300 + (id % 5).toInt,
+              48000L, family, streams, coupled, mapping)
+            val bytes = graft.ops.Ogg.write(3000L + id % 83, Seq(
+              graft.ops.Ogg.OggPacket(head, 0),
+              graft.ops.Ogg.OggPacket(graft.ops.Ogg.opusTags("graft"), 0),
+              graft.ops.Ogg.OggPacket(Array[Byte](1, 2), 1260L)))
+            require(graft.ops.Ogg.parse(bytes).streams.head.codec == "opus",
+              s"walk $id")
+            val h = graft.ops.Ogg.parseOpusHead(
+              graft.ops.Ogg.pages(bytes).head.packets.head)
+            var mapsum = 0L
+            h.mapping.zipWithIndex.foreach { case (m, k) =>
+              mapsum += (k + 1L) * m
+            }
+            (source, h.channels.toLong, h.streams.toLong, h.coupled.toLong,
+              h.mappingFamily.toLong, mapsum)
+          }
+          .toDF("source", "ch", "streams", "coupled", "family", "mapsum")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("ch")).as("ch_sum"),
+            sum(col("streams")).as("stream_sum"),
+            sum(col("coupled")).as("coupled_sum"),
+            sum(col("family")).as("family_sum"),
+            sum(col("mapsum")).as("map_check"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            3 + doc_id % 6 AS ch FROM documents),
+        y AS (SELECT source, ch,
+            ch - (ch // 3) AS streams, ch // 3 AS coupled,
+            CASE WHEN id % 11 = 5 THEN 255 ELSE 1 END AS family,
+            CAST(list_sum(list_transform(range(0, ch), k ->
+              (k + 1) * (CASE WHEN k = 0 AND id % 7 = 0 THEN 255
+                ELSE (k + id % ch) % ch END))) AS BIGINT) AS mapsum
+          FROM x)
+        SELECT source, count(*) AS n_files,
+          CAST(sum(ch) AS BIGINT) AS ch_sum,
+          CAST(sum(streams) AS BIGINT) AS stream_sum,
+          CAST(sum(coupled) AS BIGINT) AS coupled_sum,
+          CAST(sum(family) AS BIGINT) AS family_sum,
+          CAST(sum(mapsum) AS BIGINT) AS map_check
+        FROM y GROUP BY 1"""),
+    ),
   )
 }

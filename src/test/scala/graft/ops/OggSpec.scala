@@ -85,6 +85,42 @@ class OggSpec extends AnyFunSuite {
       s.durationMs == 100)
   }
 
+  test("OpusHead mapping families: 0 implicit, 1 surround, 255 discrete") {
+    val f0 = Ogg.parseOpusHead(Ogg.opusHead(2, 312, 48000L))
+    assert(f0.mappingFamily == 0 && f0.streams == 1 && f0.coupled == 1 &&
+      f0.mapping == Vector(0, 1))
+    // 5.1 surround: 4 streams, 2 coupled, the RFC 7845 §5.1.1.2 table
+    val h51 = Ogg.opusHeadMapped(6, 312, 48000L, 1, 4, 2,
+      Seq(0, 4, 1, 2, 3, 5))
+    val f1 = Ogg.parseOpusHead(h51)
+    assert(f1.channels == 6 && f1.mappingFamily == 1 && f1.streams == 4 &&
+      f1.coupled == 2 && f1.mapping == Vector(0, 4, 1, 2, 3, 5))
+    // discrete family 255 with an unmapped (255) channel
+    val fd = Ogg.parseOpusHead(Ogg.opusHeadMapped(3, 0, 16000L, 255, 3, 0,
+      Seq(0, 255, 2)))
+    assert(fd.mappingFamily == 255 && fd.mapping(1) == 255)
+    // refusals: family 0 with >2 ch, >8 ch surround, index out of range,
+    // coupled > streams, truncated table
+    def kind(b: Array[Byte]): String =
+      try { Ogg.parseOpusHead(b); "ok" }
+      catch { case e: graft.ops.Warc.WarcError => e.kind }
+    val f0bad = Ogg.opusHead(2, 0, 48000L); f0bad(9) = 3
+    assert(kind(f0bad) == "bad_frame")
+    assert(kind(Ogg.opusHeadMapped(9, 0, 48000L, 1, 5, 4,
+      Seq.fill(9)(0))) == "bad_frame")
+    assert(kind(Ogg.opusHeadMapped(2, 0, 48000L, 1, 1, 0,
+      Seq(0, 7))) == "bad_frame")
+    assert(kind(Ogg.opusHeadMapped(2, 0, 48000L, 1, 1, 2,
+      Seq(0, 1))) == "bad_frame")
+    val cut = Ogg.opusHeadMapped(6, 0, 48000L, 1, 4, 2, Seq(0, 4, 1, 2, 3, 5))
+    assert(kind(java.util.Arrays.copyOf(cut, 22)) == "truncated")
+    // and the stream walk applies the same validation to BOS packets
+    val badFile = Ogg.write(9L, Seq(
+      Ogg.OggPacket(Ogg.opusHeadMapped(2, 0, 48000L, 1, 1, 0, Seq(0, 7)), 0),
+      Ogg.OggPacket(Array[Byte](1), 960L)))
+    assert(Ogg.parseSafe(badFile) == Left("bad_frame"))
+  }
+
   test("comment blocks: OpusTags and Vorbis forms, case-insensitive fields") {
     val fields = Seq("TITLE" -> "A Söng", "artist" -> "The Band",
       "ALBUM" -> "x=y=z", "DATE" -> "2024")
