@@ -288,8 +288,15 @@ object Isobmff {
                 case ("ispe", so, se) =>
                   if (w.fullBox(so, se) != 0) fail("bad_frame", "ispe version")
                   if (se - so < 12) fail("truncated", "ispe")
-                  itemW = u32(bytes, so + 4).toInt
-                  itemH = u32(bytes, so + 8).toInt
+                  // a >2^31-px dimension would wrap negative through
+                  // toInt and silently disagree with any unsigned reader
+                  // (round-16 differential-parity find) — it is rot
+                  val iw = u32(bytes, so + 4)
+                  val ih = u32(bytes, so + 8)
+                  if (iw > 0x7fffffffL || ih > 0x7fffffffL)
+                    fail("bad_frame", s"ispe dimensions $iw x $ih out of range")
+                  itemW = iw.toInt
+                  itemH = ih.toInt
                 case _ => ()
               }
             case _ => ()
