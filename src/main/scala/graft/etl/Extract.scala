@@ -121,13 +121,25 @@ object Extract {
     scalars ++ nested
   }
 
-  private def deepFlatten(prefix: String, obj: JObj): Record =
-    obj.fields.flatMap { case (k, v) =>
+  // iterative pre-order DFS (round 16): a parse-depth dict must flatten
+  // without a StackOverflowError, same class as PyRender's containers
+  private def deepFlatten(prefix: String, obj: JObj): Record = {
+    val out = Vector.newBuilder[(String, JVal)]
+    val stack = new java.util.ArrayDeque[(String, JVal)]()
+    obj.fields.reverseIterator.foreach { case (k, v) =>
+      stack.push((s"$prefix.$k", v))
+    }
+    while (!stack.isEmpty) {
+      val (path, v) = stack.pop()
       v match {
-        case o: JObj => deepFlatten(s"$prefix.$k", o)
-        case other => Vector(s"$prefix.$k" -> other)
+        case o: JObj => o.fields.reverseIterator.foreach { case (k, x) =>
+          stack.push((s"$path.$k", x))
+        }
+        case other => out += (path -> other)
       }
     }
+    out.result()
+  }
 }
 
 /** pandas-`read_csv`-like parsing for embedded CSV blocks: first line is the

@@ -173,22 +173,62 @@ object Json {
   */
 object PyRender {
 
-  /** python `str(x)` of a decoded JSON value. */
+  /** python `str(x)` of a decoded JSON value. Containers render on an
+    * explicit stack (like [[Json.render]]): a parse-depth value must
+    * stringify without a StackOverflowError (round-16 review find — the
+    * recursive form burned ~5 frames/level, re-exposing the Error class
+    * the old parse-depth guard protected against).
+    */
   def pyStr(v: JVal): String = v match {
     case JNull => "None"
     case JBool(b) => if (b) "True" else "False"
     case JInt(i) => i.toString
     case JFloat(d) => floatStr(d)
     case JStr(s) => s
-    case JArr(items) => items.map(pyRepr).mkString("[", ", ", "]")
-    case JObj(fields) =>
-      fields.map { case (k, x) => s"${pyReprStr(k)}: ${pyRepr(x)}" }.mkString("{", ", ", "}")
+    case container => renderContainer(container)
   }
 
   /** python `repr(x)` (list/dict elements render strings quoted). */
   def pyRepr(v: JVal): String = v match {
     case JStr(s) => pyReprStr(s)
+    case container @ (JArr(_) | JObj(_)) => renderContainer(container)
     case other => pyStr(other)
+  }
+
+  /** `[..]`/`{..}` rendering shared by str and repr (identical for
+    * containers; elements always render as repr)
+    */
+  private def renderContainer(v: JVal): String = {
+    val sb = new StringBuilder(64)
+    val stack = new java.util.ArrayDeque[Any]()
+    stack.push(v)
+    while (!stack.isEmpty) {
+      stack.pop() match {
+        case s: String => sb.append(s)
+        case JArr(items) =>
+          sb.append('[')
+          stack.push("]")
+          var i = items.length - 1
+          while (i >= 0) {
+            stack.push(items(i))
+            if (i > 0) stack.push(", ")
+            i -= 1
+          }
+        case JObj(fields) =>
+          sb.append('{')
+          stack.push("}")
+          var i = fields.length - 1
+          while (i >= 0) {
+            stack.push(fields(i)._2)
+            stack.push(s"${pyReprStr(fields(i)._1)}: ")
+            if (i > 0) stack.push(", ")
+            i -= 1
+          }
+        case JStr(s) => sb.append(pyReprStr(s)) // element position: repr
+        case leaf: JVal => sb.append(pyStr(leaf))
+      }
+    }
+    sb.toString
   }
 
   /** python string repr: single quotes unless the string contains a single

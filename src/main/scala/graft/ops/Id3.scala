@@ -148,8 +148,8 @@ object Id3 {
   private def decode(enc: Int, body: Array[Byte]): String = enc match {
     case 0 => new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
     case 1 =>
-      if (body.length < 2) ""
-      else if (body.length % 2 != 0) bad("odd UTF-16 text length")
+      if (body.length % 2 != 0) bad("odd UTF-16 text length")
+      else if (body.isEmpty) ""
       else new String(body, java.nio.charset.StandardCharsets.UTF_16) // BOM-driven
     case 2 =>
       if (body.length % 2 != 0) bad("odd UTF-16BE text length")

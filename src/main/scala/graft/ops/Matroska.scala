@@ -176,6 +176,11 @@ object Matroska {
         r.countElement()
         val id = r.readId()
         val size = r.readSize()
+        if (size < 0 && id != IdCluster)
+          // unknown size is legal ONLY on Segment (handled at its own
+          // site) and Cluster: on a scalar it would walk misaligned
+          // (round-16 review find: uint(-1) stepped pos BACKWARDS)
+          bad(f"unknown size on element 0x$id%x")
         if (size >= 0 && r.pos + size > bound)
           bad(s"element 0x${id.toHexString} of $size bytes crosses its parent at ${r.pos}")
         visit(id, size, depth)
@@ -248,6 +253,8 @@ object Matroska {
     val hsize = r.readSize()
     if (hid != IdEbml) bad(f"first element 0x$hid%x is not the EBML header")
     if (hsize < 0) bad("EBML header with unknown size")
+    if (r.pos + hsize > bytes.length)
+      throw new WarcError("truncated", "EBML header size past end")
     children(r.pos + hsize, 1) { (id, size, _) =>
       id match {
         case IdDocType => docType = r.str(size.toInt)

@@ -163,6 +163,11 @@ object Ogg {
     val done = Vector.newBuilder[StreamInfo]
     def close(st: St): Unit = {
       if (st.openFragment != null) bad(s"stream ${st.serial} ends mid-packet")
+      // durationMs multiplies by 1000: a granule past Long.Max/1000
+      // (~292k years of 48 kHz audio) is rot, and silent wraparound
+      // would disagree with any arbitrary-precision reader
+      if (st.lastGranule > Long.MaxValue / 1000)
+        bad(s"stream ${st.serial} granule ${st.lastGranule} out of range")
       done += StreamInfo(st.serial, st.codec, st.channels, st.rate,
         st.preSkip, st.lastGranule, st.nPages, st.nPackets)
     }

@@ -104,7 +104,11 @@ object Subtitles {
       bad("missing WEBVTT header")
     // the header block may carry metadata lines; cues start at block 2
     val cues = bs.tail.filterNot { b =>
-      b.head.startsWith("NOTE") || b.head == "STYLE" || b.head == "REGION"
+      // a comment block is NOTE followed by whitespace or end-of-line —
+      // a cue ID that merely STARTS with "NOTE" (e.g. "NOTES-ch1") is a
+      // cue, not a comment (round-16 review find: silent cue loss)
+      b.head == "NOTE" || b.head.startsWith("NOTE ") ||
+        b.head.startsWith("NOTE\t") || b.head == "STYLE" || b.head == "REGION"
     }.map { b =>
       // optional cue id: a first line without "-->"
       val (timing, rest) =

@@ -126,7 +126,7 @@ object Tar {
             val finalName =
               if (pendingName != null) pendingName
               else if (globalName != null) globalName
-              else name
+              else prefixedName(bytes, off, name)
             entries += TarEntry(finalName, data())
             pendingName = null
           case 'x' => // pax extended header: applies to the next member
@@ -140,14 +140,32 @@ object Tar {
             pendingName = strictUtf8(d, 0, n)
           case _ =>
             // directories/links/'K' long-linkname: no sample data —
-            // skipped, not refused (their data region is still walked)
-            ()
+            // skipped, not refused (their data region is still walked).
+            // A pending pax/GNU name override applies to THIS member
+            // (per POSIX: the very next file of any type), so it must be
+            // CONSUMED here — leaving it set would rename the next
+            // regular file (round-16 review find).
+            if (typeflag != 'K') pendingName = null
         }
         val pad = (BlockSize - size.toInt % BlockSize) % BlockSize
         off = dataEnd + pad
       }
     }
     entries.result()
+  }
+
+  /** POSIX ustar prefix field (offset 345, 155 bytes): a non-empty
+    * prefix joins the name field with '/' — the 100-255-byte-name form
+    * plain ustar writers emit without pax (round-16 review find: a
+    * prefix-split name was silently truncated to its basename).
+    */
+  private def prefixedName(b: Array[Byte], off: Int, name: String): String = {
+    // only trust the field on a ustar-magic header (pre-POSIX tars used
+    // these bytes for other things)
+    val magic = new String(b, off + 257, 5, US_ASCII)
+    if (magic != "ustar") return name
+    val prefix = cstr(b, off + 345, 155)
+    if (prefix.isEmpty) name else s"$prefix/$name"
   }
 
   /** pax records (POSIX.1-2001 §pax): `<len> <key>=<value>

@@ -168,9 +168,7 @@ object DocQueries {
             array_to_string(a[len(a) // 2 + 1 : len(a)], ' ') AS ch2
           FROM x)
         SELECT source, count(*) AS n_books,
-          CAST(sum(length(ch1) + length(ch2) +
-            CASE WHEN length(ch1) > 0 AND length(ch2) > 0 THEN 2 ELSE 0 END)
-            AS BIGINT) AS char_sum,
+          CAST(sum(length(ch1) + length(ch2) + 2) AS BIGINT) AS char_sum,
           CAST(sum(${TA.Sql.hash60(
             "'Doc ' || CAST(id AS VARCHAR) || '|' || lang || '|' || ch1 || '|' || ch2")} % $M)
             AS BIGINT) AS book_check

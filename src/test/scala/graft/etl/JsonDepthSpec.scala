@@ -31,6 +31,24 @@ class JsonDepthSpec extends AnyFunSuite {
     assert(Json.parseOpt(d1500).isEmpty)
   }
 
+  test("parse-depth values survive the downstream cell walkers too") {
+    // the round-16 review found the guard removal re-exposed SOE in the
+    // still-recursive consumers; pyStr/pyRepr and deepFlatten now run on
+    // explicit stacks — drive 900 deep through each
+    val d900 = Json.parse("[" * 900 + "1" + "]" * 900)
+    val py = PyRender.pyStr(d900)
+    assert(py.startsWith("[[[") && py.endsWith("]]]") && py.contains("1"))
+    // deep dict through the extraction flatten (E1's path)
+    val o900 = Json.parse("{\"k\": " * 900 + "1" + "}" * 900)
+    val flat = Extract.flattenDicts(o900.asInstanceOf[JObj].fields)
+    assert(flat.length == 1 && flat.head._2 == JInt(BigInt(1)))
+    assert(flat.head._1 == Seq.fill(899)("k").mkString("k.", ".", ""))
+    // and the small-value outputs are byte-identical to the recursive form
+    val small = Json.parse("""{"a": [1, "x", {"b": null}], "c": 1.5}""")
+    assert(PyRender.pyStr(small) == "{'a': [1, 'x', {'b': None}], 'c': 1.5}")
+    assert(PyRender.pyRepr(JStr("it's")) == "\"it's\"")
+  }
+
   test("reasonable nesting still parses") {
     val d50 = "[" * 50 + "7" + "]" * 50
     var v = Json.parse(d50)

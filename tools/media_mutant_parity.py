@@ -109,6 +109,8 @@ def ogg_parse(data):
     def close(st):
         if st["frag"] is not None:
             raise ValueError("bad_frame")
+        if st["lastg"] > (2**63 - 1) // 1000:
+            raise ValueError("bad_frame")
         done.append(st)
 
     for pg in pages:
@@ -283,6 +285,8 @@ def mkv_parse(data):
                 raise ValueError("bad_frame")
             i = read_id()
             size = read_size()
+            if size < 0 and i != 0x1F43B675:
+                raise ValueError("bad_frame")
             if size >= 0 and pos + size > bound:
                 raise ValueError("bad_frame")
             out.append((i, size))
@@ -371,6 +375,8 @@ def mkv_parse(data):
     hsize = read_size()
     if hid != 0x1A45DFA3 or hsize < 0:
         raise ValueError("bad_frame")
+    if pos + hsize > len(data):
+        raise ValueError("truncated")
 
     def vh(i, size, _):
         if i == 0x4282:

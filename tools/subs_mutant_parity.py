@@ -85,7 +85,8 @@ def parse_vtt(text):
         raise ValueError("header")
     cues = []
     for b in bs[1:]:
-        if b[0].startswith("NOTE") or b[0] in ("STYLE", "REGION"):
+        if (b[0] == "NOTE" or b[0].startswith("NOTE ") or
+                b[0].startswith("NOTE\t") or b[0] in ("STYLE", "REGION")):
             continue
         if "-->" in b[0]:
             timing, rest = b[0], b[1:]
