@@ -93,11 +93,16 @@ object Id3 {
           (u8(b, p + 6) << 8) | u8(b, p + 7)
       if (fsize < 0 || p + 10 + fsize > end)
         bad(s"frame $id of $fsize bytes crosses the tag end")
+      // format-flag gate must cover every flag that PREPENDS bytes to the
+      // frame body (grouping adds 1, v2.4's data-length indicator adds 4)
+      // or rewrites it (compression/encryption/unsync) — otherwise those
+      // bytes would be read as the text-encoding byte and the frame would
+      // decode silently wrong instead of refusing typed (round-16 advice).
       val f2 = u8(b, p + 9)
-      if (major == 3 && (f2 & 0xc0) != 0)
-        unsup(s"frame $id compression/encryption")
-      if (major == 4 && (f2 & 0x0e) != 0)
-        unsup(s"frame $id compression/encryption/unsync")
+      if (major == 3 && (f2 & 0xe0) != 0)
+        unsup(s"frame $id compression/encryption/grouping")
+      if (major == 4 && (f2 & 0x4f) != 0)
+        unsup(s"frame $id grouping/compression/encryption/unsync/DLI")
       val body = java.util.Arrays.copyOfRange(b, p + 10, p + 10 + fsize)
       frames += Frame(id, decodeText(id, body, major), fsize)
       p += 10 + fsize

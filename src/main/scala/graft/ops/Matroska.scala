@@ -45,6 +45,11 @@ object Matroska {
   private val IdSamplingFrequency = 0xB5L
   private val IdChannels = 0x9FL
   private val IdCluster = 0x1F43B675L
+  private val IdSeekHead = 0x114D9B74L
+  private val IdCues = 0x1C53BB6BL
+  private val IdChapters = 0x1043A770L
+  private val IdTags = 0x1254C367L
+  private val IdAttachments = 0x1941A469L
   private val IdTimestamp = 0xE7L
   private val IdSimpleBlock = 0xA3L
 
@@ -229,7 +234,14 @@ object Matroska {
     def walkCluster(end: Long, depth: Int): Unit = {
       nClusters += 1
       var ts = -1L
-      children(end, depth, stopIds = Set(IdCluster, IdTracks, IdInfo)) {
+      // RFC 8794 §6.2: an unknown-size element ends at ANY valid sibling,
+      // so the stop set must carry every level-1 id that can legally
+      // follow clusters (Cues/SeekHead/Tags/Chapters/Attachments trail
+      // clusters in streamed files) — not just Cluster/Tracks/Info
+      // (round-16 advice: trailing index elements were absorbed as
+      // skipped cluster children, silently inflating the last cluster).
+      children(end, depth, stopIds = Set(IdCluster, IdTracks, IdInfo,
+        IdSeekHead, IdCues, IdChapters, IdTags, IdAttachments)) {
         (id, size, _) =>
           id match {
             case IdTimestamp => ts = r.uint(size.toInt)

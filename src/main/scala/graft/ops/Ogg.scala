@@ -281,8 +281,11 @@ object Ogg {
         val segs = java.util.Arrays.copyOfRange(lacing, li, li + n)
         val bodyLen = segs.sum
         val isLastPageOfPacket = li + n == lacing.length
+        // BOS only on the FIRST page: a packet-0 long enough to span
+        // pages must not repeat 0x02 on its continuations — the reader
+        // (correctly) rejects duplicate BOS (round-16 advice).
         val headerType = (if (continued) 0x01 else 0) |
-          (if (idx == 0) 0x02 else 0) |
+          (if (idx == 0 && li == 0) 0x02 else 0) |
           (if (idx == last && isLastPageOfPacket) 0x04 else 0)
         val granule = if (isLastPageOfPacket) pkt.granule else -1L
         writePage(out, headerType, granule, serial, seq, segs,

@@ -160,10 +160,13 @@ object Tar {
     * prefix-split name was silently truncated to its basename).
     */
   private def prefixedName(b: Array[Byte], off: Int, name: String): String = {
-    // only trust the field on a ustar-magic header (pre-POSIX tars used
-    // these bytes for other things)
-    val magic = new String(b, off + 257, 5, US_ASCII)
-    if (magic != "ustar") return name
+    // only trust the field on the FULL POSIX magic+version
+    // ("ustar\0" + "00"): GNU-format headers read "ustar  \0" here and
+    // store atime/ctime octal at offset 345 — honoring the prefix there
+    // would silently rename members (round-16 advice); pre-POSIX tars
+    // used these bytes for other things entirely
+    val magic = new String(b, off + 257, 8, US_ASCII)
+    if (magic != "ustar\u000000") return name
     val prefix = cstr(b, off + 345, 155)
     if (prefix.isEmpty) name else s"$prefix/$name"
   }

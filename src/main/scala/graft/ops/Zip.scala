@@ -155,13 +155,17 @@ object Zip {
     if (eocd < 0) fail("no end-of-central-directory record")
     var n = u16(eocd + 10).toLong
     var off = u32(eocd + 16)
-    if (n == 0xffff || off == 0xffffffffL) {
+    // An EOCD field at its max value is only a zip64 sentinel when a
+    // PK\x06\x07 locator actually precedes the EOCD: an archive with
+    // exactly 65535 entries and no zip64 record is legal per APPNOTE and
+    // accepted by python zipfile (round-16 advice — the unconditional
+    // sentinel read was a false typed refusal).
+    val loc = eocd - 20
+    val hasLocator = loc >= 0 && bytes(loc) == 'P' && bytes(loc + 1) == 'K' &&
+      bytes(loc + 2) == 0x06 && bytes(loc + 3) == 0x07
+    if ((n == 0xffff || off == 0xffffffffL) && hasLocator) {
       // zip64: the locator sits immediately before the EOCD and points at
       // the zip64 EOCD record, which carries the real 64-bit fields
-      val loc = eocd - 20
-      if (loc < 0 || !(bytes(loc) == 'P' && bytes(loc + 1) == 'K' &&
-          bytes(loc + 2) == 0x06 && bytes(loc + 3) == 0x07))
-        fail("zip64 sentinel without a zip64 EOCD locator")
       if (u32(loc + 16) != 1L) fail("multi-disk zip64 archive")
       val z64 = u64(loc + 8)
       if (z64 < 0 || z64 + 56 > loc)

@@ -73,6 +73,28 @@ class MatroskaSpec extends AnyFunSuite {
       m.tracks.head.codecId == "V_AV1")
   }
 
+  test("unknown-size cluster ends at trailing level-1 siblings (Cues/Tags)") {
+    // RFC 8794: an unknown-size element ends at ANY valid sibling —
+    // streamed files legally trail SeekHead/Cues/Tags after the last
+    // cluster (round-16 advice: only Cluster/Tracks/Info stopped the
+    // walk, absorbing the trailing index into the last cluster)
+    val base = Matroska.write("webm", 2, 1000000L, 900.0,
+      Seq(Matroska.TrackSpec(1, 1, "V_VP9", width = 640, height = 360)),
+      Seq(Matroska.ClusterSpec(100, Seq(12))), streamingSegment = true)
+    val at = goodIndexOf(base, Array(0x1f, 0x43, 0xb6, 0x75))
+    assert((base(at + 4) & 0xff) >= 0x80) // 1-byte definite size vint
+    val mut = base.clone()
+    mut(at + 4) = 0xff.toByte // make the cluster unknown-size in place
+    // trailing Cues (CuePoint payload) and Tags elements after it
+    import Matroska.W
+    val cues = W.el(0x1C53BB6BL, W.uint(0xB3L, 100))
+    val tags = W.el(0x1254C367L, W.str(0x45A3L, "t"))
+    val streamed = mut.slice(0, at + 5 + (base(at + 4) & 0x7f)) ++ cues ++ tags
+    val m = Matroska.parse(streamed)
+    assert(m.nClusters == 1 && m.nBlocks == 1 && m.blockBytes == 16 &&
+      m.firstClusterTs == 100 && m.lastClusterTs == 100)
+  }
+
   test("refusals are typed: magic, doctype, lying sizes, bad vints, cuts") {
     val good = fixture("mkv_webm.webm")
     assert(Matroska.parseSafe("not ebml".getBytes(US_ASCII)) == Left("bad_magic"))

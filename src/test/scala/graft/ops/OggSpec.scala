@@ -178,4 +178,20 @@ class OggSpec extends AnyFunSuite {
     val m = Ogg.parse(unk)
     assert(m.streams.head.codec == "unknown" && m.streams.head.nPackets == 2)
   }
+
+  test("packet 0 spanning pages carries BOS only on its first page") {
+    // a first packet longer than maxSegsPerPage*255 spans pages; BOS on
+    // a continuation page made the reader reject the writer's own
+    // output as duplicate BOS (round-16 advice)
+    val big = Array.tabulate[Byte](9001)(i => (i % 251).toByte)
+    val bytes = Ogg.write(42L, Seq(
+      Ogg.OggPacket(big, 0L),
+      Ogg.OggPacket(Array[Byte](4, 5, 6), 4800L)))
+    val pgs = Ogg.pages(bytes)
+    assert(pgs.length >= 4) // 9001 B = 36 lacing segs > 2 pages of 16
+    assert(pgs.head.bos && pgs.count(_.bos) == 1)
+    val m2 = Ogg.parse(bytes)
+    assert(m2.streams.head.nPackets == 2 &&
+      m2.streams.head.codec == "unknown")
+  }
 }

@@ -129,6 +129,30 @@ class TarSpec extends AnyFunSuite {
       new String(back.head.body, "UTF-8") == "0123456789")
   }
 
+  test("ustar prefix field joins the name on POSIX magic only") {
+    val body = "b".getBytes(US_ASCII)
+    // POSIX header ("ustar\0" + "00"): prefix at 345 joins with '/'
+    val posix = rawHeader("leaf.txt", body.length, '0')
+    val pfx = "deep/dir".getBytes(US_ASCII)
+    System.arraycopy(pfx, 0, posix, 345, pfx.length)
+    reChecksum(posix)
+    val tar1 = posix ++ body ++ new Array[Byte](511) ++ new Array[Byte](1024)
+    assert(Tar.read(tar1).head.name == "deep/dir/leaf.txt")
+    // GNU-format magic ("ustar  \0") stores atime/ctime octal at 345 —
+    // the prefix field must NOT be honored there (round-16 advice: the
+    // 5-byte "ustar" check matched GNU headers and silently renamed
+    // members with their atime)
+    val gnu = rawHeader("leaf.txt", body.length, '0')
+    val gmagic = "ustar  ".getBytes(US_ASCII) // 'ustar ' magic + ' \0' version
+    System.arraycopy(gmagic, 0, gnu, 257, gmagic.length)
+    gnu(264) = 0
+    val atime = "00000001750 ".getBytes(US_ASCII) // oldgnu atime octal
+    System.arraycopy(atime, 0, gnu, 345, atime.length)
+    reChecksum(gnu)
+    val tar2 = gnu ++ body ++ new Array[Byte](511) ++ new Array[Byte](1024)
+    assert(Tar.read(tar2).head.name == "leaf.txt")
+  }
+
   test("malformed pax records refuse typed") {
     val bad = paxMember('x', "path-without-equals\n") // no len prefix either
     assert(Tar.readSafe(bad ++ new Array[Byte](1024)) == Left("bad_header"))

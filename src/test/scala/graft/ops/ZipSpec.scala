@@ -73,6 +73,50 @@ class ZipSpec extends AnyFunSuite {
     assert(Zip.readSafe(cut) == Left("bad_zip"))
   }
 
+  test("exactly 65535 entries with a plain EOCD is legal, not a zip64 sentinel") {
+    // APPNOTE permits an archive with exactly 0xFFFF entries and no
+    // zip64 record (python zipfile accepts it); treating the count
+    // unconditionally as a zip64 sentinel was a false typed refusal
+    // (round-16 advice). Build the raw layout: stored empty entries.
+    val n = 0xffff
+    val out = new java.io.ByteArrayOutputStream(n * 90)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >>> 16) & 0xffff).toInt) }
+    val names = Array.tabulate(n)(i => f"f$i%05d".getBytes("US-ASCII"))
+    val localOff = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      localOff(i) = out.size().toLong
+      out.write('P'); out.write('K'); out.write(3); out.write(4)
+      w16(20); w16(0); w16(0) // version, flags, method=stored
+      w16(0); w16(0x21) // DOS time/date (1980-01-01)
+      w32(0); w32(0); w32(0) // crc, csize, usize: empty body
+      w16(names(i).length); w16(0)
+      out.write(names(i))
+      i += 1
+    }
+    val cdStart = out.size().toLong
+    i = 0
+    while (i < n) {
+      out.write('P'); out.write('K'); out.write(1); out.write(2)
+      w16(20); w16(20); w16(0); w16(0)
+      w16(0); w16(0x21); w32(0); w32(0); w32(0)
+      w16(names(i).length); w16(0); w16(0)
+      w16(0); w16(0); w32(0)
+      w32(localOff(i))
+      out.write(names(i))
+      i += 1
+    }
+    val cdLen = out.size().toLong - cdStart
+    out.write('P'); out.write('K'); out.write(5); out.write(6)
+    w16(0); w16(0); w16(0xffff); w16(0xffff)
+    w32(cdLen); w32(cdStart); w16(0)
+    val members = Zip.read(out.toByteArray)
+    assert(members.length == n)
+    assert(members.head.name == "f00000" && members.last.name == "f65534")
+    assert(members.forall(_.body.isEmpty))
+  }
+
   test("central directory ordered differently from local layout is accepted") {
     // APPNOTE does not require central records to mirror local order;
     // membership agreement is the contract (round-16 ADVICE item)

@@ -364,7 +364,11 @@ def mkv_parse(data):
                 skip(size)
             else:
                 skip(size)
-        walk(end, depth, v, stop_ids=(0x1F43B675, 0x1654AE6B, 0x1549A966))
+        # RFC 8794: an unknown-size cluster ends at ANY valid level-1
+        # sibling, incl. trailing SeekHead/Cues/Chapters/Tags/Attachments
+        walk(end, depth, v, stop_ids=(0x1F43B675, 0x1654AE6B, 0x1549A966,
+                                      0x114D9B74, 0x1C53BB6B, 0x1043A770,
+                                      0x1254C367, 0x1941A469))
         if ts[0] >= 0:
             if meta["first_ts"] < 0:
                 meta["first_ts"] = ts[0]
