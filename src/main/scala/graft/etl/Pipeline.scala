@@ -296,6 +296,10 @@ object PlainTextExtractor extends DocTextExtractor {
       DocxText.extract(content)
     else if (lower.endsWith(".epub"))
       EpubText.extract(content).text
+    else if (lower.endsWith(".xlsx"))
+      XlsxText.extract(content)
+    else if (lower.endsWith(".pptx"))
+      PptxText.extract(content)
     else
       throw new IllegalArgumentException(s"Unsupported file type: $path")
   }

@@ -232,5 +232,229 @@ object DocQueries {
           CAST(count(CASE WHEN rot AND mode = 3 THEN 1 END) AS BIGINT) AS n_zip
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // XLSX extraction round trip (round 17 — [[graft.etl.XlsxText]], the
+    // spreadsheet leg of the office trio): every doc becomes a two-sheet
+    // SpreadsheetML package exercising shared strings, inline strings,
+    // numbers, booleans, and a date-styled serial (builtin numFmt 14,
+    // 1900 epoch); the extractor walks workbook → rels → sheets →
+    // sharedStrings/styles back to text, and DuckDB recomputes the exact
+    // expected layout — including the Excel serial→ISO date conversion —
+    // from doc_id arithmetic. The in-row require pins byte-exactness so
+    // a walk defect can never average out. Per-row map, shuffle-free
+    // rollup: at 100 TB this is one pass, no joins.
+    GraftQuery(
+      "doc05_xlsx_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            import graft.etl.XlsxText._
+            val serial = 45000L + id % 1000
+            val xlsx = write(Seq(
+              "data" -> Seq(
+                Seq[Cell](SStr(s"title $id"), SInline(text)),
+                Seq[Cell](SNum(id.toDouble), SBool(id % 2 == 0),
+                  SDate(serial))),
+              "meta" -> Seq(Seq[Cell](SStr(lang), SStr(source)))))
+            val got = extract(xlsx)
+            val date = java.time.LocalDate.of(1899, 12, 30)
+              .plusDays(serial).toString
+            val want = s"sheet\tdata\ntitle $id\t$text\n$id\t" +
+              (if (id % 2 == 0) "TRUE" else "FALSE") +
+              s"\t$date\nsheet\tmeta\n$lang\t$source"
+            require(got == want, s"xlsx round trip doc $id")
+            (source, got.length.toLong, got)
+          }
+          .toDF("source", "n_chars", "txt")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_books"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            'sheet' || chr(9) || 'data' || chr(10) ||
+              'title ' || CAST(doc_id AS VARCHAR) || chr(9) || text ||
+              chr(10) || CAST(doc_id AS VARCHAR) || chr(9) ||
+              CASE WHEN doc_id % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END ||
+              chr(9) ||
+              CAST(DATE '1899-12-30' +
+                CAST(45000 + doc_id % 1000 AS INTEGER) AS VARCHAR) ||
+              chr(10) || 'sheet' || chr(9) || 'meta' || chr(10) ||
+              lang || chr(9) || source AS txt
+          FROM documents)
+        SELECT source, count(*) AS n_books,
+          CAST(sum(length(txt)) AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60("txt")} % $M) AS BIGINT) AS txt_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned XLSX scan: every eleventh package is rotten — workbook
+    // part stripped, archive truncated, sheet XML malformed, or an
+    // out-of-range shared-string index (the silent-corruption probe: a
+    // lying index must refuse, never read another row's text) — one
+    // TYPED error row per rotten file, every healthy sheet extracts.
+    GraftQuery(
+      "doc06_poisoned_xlsx",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (source, id, text) =>
+            import graft.etl.XlsxText._
+            val xlsx = write(Seq(
+              "s" -> Seq(Seq[Cell](SStr(s"doc $id"), SInline(text)))))
+            val poisoned =
+              if (id % 11 != 3) xlsx
+              else (id % 4) match {
+                case 0 => graft.ops.Zip.write(graft.ops.Zip.read(xlsx)
+                  .filterNot(_.name == "xl/workbook.xml"))
+                case 1 => java.util.Arrays.copyOf(xlsx, xlsx.length / 2)
+                case 2 => graft.ops.Zip.write(graft.ops.Zip.read(xlsx).map(m =>
+                  if (m.name == "xl/worksheets/sheet1.xml")
+                    m.copy(body = "<worksheet><sheetData><<<".getBytes("UTF-8"))
+                  else m))
+                case _ => graft.ops.Zip.write(graft.ops.Zip.read(xlsx).map(m =>
+                  if (m.name == "xl/worksheets/sheet1.xml")
+                    m.copy(body = ("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+                      """<sheetData><row r="1"><c r="A1" t="s"><v>99</v></c></row>""" +
+                      "</sheetData></worksheet>").getBytes("UTF-8"))
+                  else m))
+              }
+            extractSafe(poisoned) match {
+              case Right(t) => (source, 1L, 0L, t.length.toLong, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "n_chars", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(when(col("kind") === "bad_xlsx", 1L).otherwise(0L)).as("n_xlsx"),
+            sum(when(col("kind").isin("bad_zip", "truncated"), 1L)
+              .otherwise(0L)).as("n_zip"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            length('sheet' || chr(9) || 's' || chr(10) ||
+              'doc ' || CAST(doc_id AS VARCHAR) || chr(9) || text) AS n
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN n ELSE 0 END) AS BIGINT) AS char_sum,
+          CAST(count(CASE WHEN rot AND mode IN (0, 2, 3) THEN 1 END)
+            AS BIGINT) AS n_xlsx,
+          CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_zip
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // PPTX slide-text round trip (round 17 — [[graft.etl.PptxText]], the
+    // third OOXML leg): every doc becomes a two-slide deck whose slide
+    // PARTS are numbered in reverse, so a correct extraction must follow
+    // sldIdLst + relationship order, never filenames; a:br line breaks
+    // round-trip inside paragraphs. DuckDB recomputes the expected text.
+    GraftQuery(
+      "doc07_pptx_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            val deck = Seq(
+              Seq(s"title $id", text),
+              Seq(s"lang $lang\nsrc $source"))
+            val pptx = graft.etl.PptxText.write(deck)
+            val got = graft.etl.PptxText.extract(pptx)
+            val want = s"title $id\n$text\nlang $lang\nsrc $source"
+            require(got == want, s"pptx round trip doc $id")
+            (source, got.length.toLong, got)
+          }
+          .toDF("source", "n_chars", "txt")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_decks"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            'title ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+              chr(10) || 'lang ' || lang || chr(10) ||
+              'src ' || source AS txt
+          FROM documents)
+        SELECT source, count(*) AS n_decks,
+          CAST(sum(length(txt)) AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60("txt")} % $M) AS BIGINT) AS txt_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned PPTX scan: every eleventh deck is rotten — a slide rel
+    // pointing at a missing part, a truncation, malformed slide XML, or
+    // a DOCTYPE (XXE probe) — one TYPED error row per rotten file.
+    GraftQuery(
+      "doc08_poisoned_pptx",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (source, id, text) =>
+            val pptx = graft.etl.PptxText.write(Seq(Seq(s"doc $id", text)))
+            val poisoned =
+              if (id % 11 != 3) pptx
+              else (id % 4) match {
+                case 0 => graft.ops.Zip.write(graft.ops.Zip.read(pptx)
+                  .filterNot(_.name.startsWith("ppt/slides/")))
+                case 1 => java.util.Arrays.copyOf(pptx, pptx.length / 2)
+                case 2 => graft.ops.Zip.write(graft.ops.Zip.read(pptx).map(m =>
+                  if (m.name.startsWith("ppt/slides/"))
+                    m.copy(body = "<p:sld><p:cSld><<<".getBytes("UTF-8"))
+                  else m))
+                case _ => graft.ops.Zip.write(graft.ops.Zip.read(pptx).map(m =>
+                  if (m.name == "ppt/presentation.xml")
+                    m.copy(body = ("""<!DOCTYPE d [<!ENTITY x "y">]>""" +
+                      new String(m.body, "UTF-8")
+                        .replaceFirst("""<\?xml[^?]*\?>""", "")).getBytes("UTF-8"))
+                  else m))
+              }
+            graft.etl.PptxText.extractSafe(poisoned) match {
+              case Right(t) => (source, 1L, 0L, t.length.toLong, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "n_chars", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(when(col("kind") === "bad_pptx", 1L).otherwise(0L)).as("n_pptx"),
+            sum(when(col("kind").isin("bad_zip", "truncated"), 1L)
+              .otherwise(0L)).as("n_zip"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            length('doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS n
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN n ELSE 0 END) AS BIGINT) AS char_sum,
+          CAST(count(CASE WHEN rot AND mode IN (0, 2, 3) THEN 1 END)
+            AS BIGINT) AS n_pptx,
+          CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_zip
+        FROM x GROUP BY 1"""),
+    ),
   )
 }
