@@ -377,6 +377,17 @@ object BinaryMediaDecoder extends MediaDecoder {
       // n_frames / width seconds)
       Multimodal.Decoded(b.blob_id, b.mime, info.sampleRate, info.channels,
         info.totalSamples.toInt, feats)
+    case "audio/aac" =>
+      // ADTS frame walk (round 17, [[Adts]]): the MP3 contract applied
+      // to raw AAC — shape without payload decode. width = sample rate,
+      // height = channels, n_frames = AAC samples (1024 per raw block).
+      val m = Adts.parse(b.content)
+      val feats = Array.tabulate(8) { i =>
+        val o = (i.toLong * (b.content.length - 1) / math.max(1, 7)).toInt
+        (u8(b.content, o) / 255.0).toFloat
+      }
+      Multimodal.Decoded(b.blob_id, b.mime, m.sampleRate, m.channels,
+        m.nSamples.toInt, feats)
     case "video/mp4" | "video/quicktime" | "image/avif" | "image/heic" |
         "image/heif" =>
       // ISOBMFF box walk (round 15, [[Isobmff]]): shape without sample

@@ -400,5 +400,85 @@ object AudioQueries {
           CAST(sum(${TA.Sql.hash60("ck")} % $M) AS BIGINT) AS tag_check
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ADTS/AAC frame-stream audit (round 17 — [[graft.ops.Adts]]; the
+    // missing mainstream audio framing next to mm05's MP3 walk): each doc
+    // deterministically picks an AAC stream plan (MPEG-2/4 by parity,
+    // profile/rate/channels from doc_id, 3-7 frames with varying
+    // raw-data-block counts, CRC header form on every third doc) which
+    // Adts.write emits as a genuine ADTS byte stream and the walker
+    // parses back: syncword scan, 13-bit frame lengths, per-block 1024-
+    // sample accounting, 7/9-byte header forms. Every audited number is
+    // READ from the parsed headers; DuckDB replays the whole checksum —
+    // including the sample-rate table and the integer-division duration —
+    // from doc_id arithmetic. Per-row map, shuffle-free rollup.
+    GraftQuery(
+      "mm34_adts_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .as[(String, Long)]
+          .map { case (source, id) =>
+            val nFrames = 3 + (id % 5).toInt
+            val payloadLen = 20 + (id % 40).toInt
+            val withCrc = id % 3 == 0
+            val frames = (0 until nFrames).map(fi =>
+              (payloadLen, withCrc && fi == 0, fi % 3))
+            val bytes = graft.ops.Adts.write(
+              mpeg4 = id % 2 == 0,
+              profile = (id % 4).toInt,
+              sfIdx = (id % 13).toInt,
+              chanCfg = (id % 7).toInt + 1,
+              frames = frames,
+              gen = (fi, i) => ((id + fi * 31 + i) % 251).toByte)
+            val m = graft.ops.Adts.parse(bytes)
+            require(m.nFrames == nFrames && m.payloadBytes ==
+              nFrames.toLong * payloadLen, s"adts round trip doc $id")
+            (source, m.nSamples, m.durationMs,
+              s"${m.mpegVersion}|${m.profile}|${m.sampleRate}|" +
+                s"${m.channels}|${m.nFrames}|${m.nSamples}|" +
+                s"${m.payloadBytes}|${m.durationMs}|${m.crcFrames}")
+          }
+          .toDF("source", "n_samples", "dur_ms", "ck")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("n_samples")).as("sample_sum"),
+            sum(col("dur_ms")).as("dur_sum"),
+            sum(TA.hash60(col("ck")) % M).as("aac_check"))
+      },
+      Some(s"""WITH x AS (SELECT source, doc_id AS id,
+            3 + doc_id % 5 AS nf,
+            20 + doc_id % 40 AS plen,
+            -- blocks per frame cycle 1,2,3: cumulative over nf frames
+            1024 * (CASE doc_id % 5 WHEN 0 THEN 6 WHEN 1 THEN 7
+              WHEN 2 THEN 9 WHEN 3 THEN 12 ELSE 13 END) AS samples,
+            CASE doc_id % 13 WHEN 0 THEN 96000 WHEN 1 THEN 88200
+              WHEN 2 THEN 64000 WHEN 3 THEN 48000 WHEN 4 THEN 44100
+              WHEN 5 THEN 32000 WHEN 6 THEN 24000 WHEN 7 THEN 22050
+              WHEN 8 THEN 16000 WHEN 9 THEN 12000 WHEN 10 THEN 11025
+              WHEN 11 THEN 8000 ELSE 7350 END AS rate,
+            CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 2 END AS ver,
+            CASE doc_id % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'LC'
+              WHEN 2 THEN 'SSR' ELSE 'LTP' END AS prof,
+            doc_id % 7 + 1 AS ch,
+            CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS crc
+          FROM documents),
+        y AS (SELECT source, samples, samples * 1000 // rate AS dur,
+            CAST(ver AS VARCHAR) || '|' || prof || '|' ||
+              CAST(rate AS VARCHAR) || '|' || CAST(ch AS VARCHAR) || '|' ||
+              CAST(nf AS VARCHAR) || '|' || CAST(samples AS VARCHAR) ||
+              '|' || CAST(nf * plen AS VARCHAR) || '|' ||
+              CAST(samples * 1000 // rate AS VARCHAR) || '|' ||
+              CAST(crc AS VARCHAR) AS ck
+          FROM x)
+        SELECT source, count(*) AS n_files,
+          CAST(sum(samples) AS BIGINT) AS sample_sum,
+          CAST(sum(dur) AS BIGINT) AS dur_sum,
+          CAST(sum(${TA.Sql.hash60("ck")} % $M) AS BIGINT) AS aac_check
+        FROM y GROUP BY 1"""),
+    ),
   )
 }

@@ -192,5 +192,66 @@ object CaptionQueries {
             AS coverage_sum
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ASS/SSA round trip (round 17 — the third caption grammar): the
+    // same cue arithmetic rendered as SubStation Alpha, with the parts a
+    // real fansub file carries — even docs use the ASS v4+ Format (Layer
+    // first), odd docs the SSA v4 Format (Marked first) so field mapping
+    // provably follows the Format line; every second cue wears {\an8}/
+    // {\i1} override tags the text channel must strip exactly; newlines
+    // ride \N; a Comment event and a ; line per file must be skipped.
+    // DuckDB recomputes cue counts, coverage, chars, and the per-cue
+    // text checksum — identical oracle arithmetic to sub01, so the two
+    // grammars are pinned to the same semantics. Per-row map, shuffle-
+    // free rollup.
+    GraftQuery(
+      "sub04_ass_cues",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .flatMap { case (source, id, text) =>
+            val cues = cuesFor(id, text)
+            def t(v: Long): String =
+              f"${v / 3600000}%d:${v / 60000 % 60}%02d:${v / 1000 % 60}%02d.${v % 1000 / 10}%02d"
+            val (format, prefix) =
+              if (id % 2 == 0)
+                ("Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text", "0")
+              else
+                ("Format: Marked, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text", "Marked=0")
+            val events = cues.zipWithIndex.map { case (c, k) =>
+              val txt0 = c.text.replace("\n", "\\N")
+              val txt = if (k % 2 == 1) s"{\\an8}{\\i1}$txt0{\\i0}" else txt0
+              s"Dialogue: $prefix,${t(c.startMs)},${t(c.endMs)},Default,,0,0,0,,$txt"
+            }
+            val ass = "[Script Info]\nScriptType: v4.00+\n\n[Events]\n" +
+              "; generated caption track\n" + format + "\n" +
+              events.take(events.length / 2).mkString("\n") + "\n" +
+              s"Comment: $prefix,0:00:00.00,0:00:01.00,Default,,0,0,0,,never\n" +
+              events.drop(events.length / 2).mkString("\n") + "\n"
+            val parsed = graft.ops.Subtitles.parseAss(ass)
+            require(parsed.cues == cues, s"ass round trip doc $id")
+            parsed.cues.map(c =>
+              (source, c.endMs - c.startMs, c.text.length.toLong,
+                c.text.replace('\n', ' ')))
+          }
+          .toDF("source", "span_ms", "n_chars", "flat_text")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_cues"),
+            sum(col("span_ms")).as("coverage_ms"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("flat_text")) % M).as("text_check"))
+      },
+      Some(s"""WITH $sqlCues
+        SELECT source, count(*) AS n_cues,
+          CAST(sum(1500 + (id % 4) * 100) AS BIGINT) AS coverage_ms,
+          CAST(sum(length(cue_text)) AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60("replace(cue_text, chr(10), ' ')")} % $M)
+            AS BIGINT) AS text_check
+        FROM cues GROUP BY 1"""),
+    ),
   )
 }

@@ -81,4 +81,69 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(Subtitles.parseSrt("").cues.isEmpty)
     assert(Subtitles.parseVtt("WEBVTT\n").cues.isEmpty)
   }
+
+  test("ass: format-driven fields, override stripping, \\N/\\h, events") {
+    val ass =
+      """[Script Info]
+        |ScriptType: v4.00+
+        |
+        |[V4+ Styles]
+        |Format: Name, Fontname
+        |Style: Default,Arial
+        |
+        |[Events]
+        |; a comment line
+        |Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+        |Dialogue: 0,0:00:01.50,0:00:03.00,Default,,0,0,0,,{\an8}Top {\i1}line{\i0} one
+        |Comment: 0,0:00:02.00,0:00:04.00,Default,,0,0,0,,never extracted
+        |Dialogue: 0,0:00:03.50,0:00:05.25,Default,,0,0,0,,first\Nsecond, with comma
+        |Dialogue: 0,1:02:03.04,1:02:04.00,Default,,0,0,0,,hard\hspace
+        |""".stripMargin
+    val c = Subtitles.parseAss(ass)
+    assert(c.cues == Vector(
+      Subtitles.Cue(1500, 3000, "Top line one"),
+      Subtitles.Cue(3500, 5250, "first\nsecond, with comma"),
+      Subtitles.Cue(3723040L, 3724000L, "hard space")))
+    // SSA v4 variant: Marked leads, field mapping must follow Format
+    val ssa =
+      """[Events]
+        |Format: Marked, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+        |Dialogue: Marked=0,0:00:00.10,0:00:01.00,Default,,0,0,0,,ssa cue
+        |""".stripMargin
+    assert(Subtitles.parseAss(ssa).cues ==
+      Vector(Subtitles.Cue(100, 1000, "ssa cue")))
+  }
+
+  test("ass: writer round trip and typed refusals") {
+    val cues = Vector(Subtitles.Cue(0, 1500, "plain"),
+      Subtitles.Cue(1800, 3300, "two\nlines"))
+    assert(Subtitles.parseAss(Subtitles.renderAss(cues)).cues == cues)
+    // Dialogue before Format
+    assert(Subtitles.parseAssSafe(
+      "[Events]\nDialogue: 0,0:00:01.00,0:00:02.00,D,,0,0,0,,x\n") ==
+      Left("bad_cue"))
+    // no [Events] section at all
+    assert(Subtitles.parseAssSafe("[Script Info]\nTitle: x\n") ==
+      Left("bad_cue"))
+    // field-count mismatch (missing margins)
+    assert(Subtitles.parseAssSafe(
+      "[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text\n" +
+        "Dialogue: 0,0:00:01.00,0:00:02.00,D,x\n") == Left("bad_cue"))
+    // Text not last
+    assert(Subtitles.parseAssSafe(
+      "[Events]\nFormat: Layer, Text, Start, End\nDialogue: 0,x,0:00:01.00,0:00:02.00\n") ==
+      Left("bad_cue"))
+    // millisecond (3-digit) timestamps are not ASS
+    assert(Subtitles.parseAssSafe(
+      "[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text\n" +
+        "Dialogue: 0,0:00:01.000 --> 0:00:02.000,a,D,,0,0,0,,x\n") ==
+      Left("bad_cue"))
+    // out-of-range minutes; end before start
+    assert(Subtitles.parseAssSafe(
+      "[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text\n" +
+        "Dialogue: 0,0:77:01.00,0:78:02.00,D,,0,0,0,,x\n") == Left("bad_cue"))
+    assert(Subtitles.parseAssSafe(
+      "[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text\n" +
+        "Dialogue: 0,0:00:05.00,0:00:03.00,D,,0,0,0,,x\n") == Left("bad_cue"))
+  }
 }
