@@ -49,10 +49,13 @@ object PptxText {
 
     val out = new java.lang.StringBuilder()
     val cap = graft.core.Budget.maxInflatedBytes
-    slideRids.foreach { rid =>
+    slideRids.zipWithIndex.foreach { case (rid, i) =>
       val target = rels.getOrElse(rid, bad(s"slide relationship $rid missing"))
       val path = if (target.startsWith("/")) target.drop(1) else s"ppt/$target"
-      if (out.length() > 0) out.append('\n')
+      // index-gated separator: an empty FIRST slide still separates —
+      // gating on out.length() collapsed leading empty slides (caught by
+      // the doc_mutant_parity differential harness on healthy bases)
+      if (i > 0) out.append('\n')
       parseSlide(part(path), out, cap)
     }
     out.toString
