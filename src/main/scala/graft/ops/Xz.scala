@@ -213,6 +213,82 @@ object Xz {
   }
 
   /** Decode one stream starting at `off`; returns the offset past it. */
+  /** Raw LZMA2 chunk stream (the 7z 0x21 coder payload — exactly the xz
+    * block body without the xz block framing): decode chunks until the
+    * 0x00 end marker, budget-capped. Exposed for [[SevenZip]].
+    */
+  private[ops] def decodeLzma2Raw(bytes: Array[Byte], off0: Int, end: Int,
+      dictSize: Long): Array[Byte] = {
+    var off = off0
+    def need(n: Int): Unit = if (off + n > end) bad("truncated LZMA2 stream")
+    def u8(): Int = { need(1); val v = bytes(off) & 0xff; off += 1; v }
+    val block = new Lzma2BlockDecoder(dictSize, graft.core.Budget.maxInflatedBytes)
+    var endOfChunks = false
+    while (!endOfChunks) {
+      val control = u8()
+      if (control == 0x00) endOfChunks = true
+      else if (control == 0x01 || control == 0x02) {
+        val size = ((u8() << 8) | u8()) + 1
+        need(size)
+        block.uncompressedChunk(bytes, off, size, dictReset = control == 0x01)
+        off += size
+      } else if (control >= 0x80) {
+        val unpacked = ((control & 0x1f) << 16 | (u8() << 8) | u8()) + 1
+        val packed = ((u8() << 8) | u8()) + 1
+        val reset = (control >>> 5) & 3
+        val props = if (reset >= 2) u8() else -1
+        need(packed)
+        block.lzmaChunk(bytes, off, packed, unpacked, reset, props)
+        off += packed
+      } else bad(f"LZMA2 control byte 0x$control%02x")
+    }
+    if (off != end) bad(s"${end - off} trailing bytes after the LZMA2 end marker")
+    block.result()
+  }
+
+  /** Raw LZMA1 stream with out-of-band props + known size (the 7z
+    * 0x030101 coder layout): decoded by synthesizing the equivalent
+    * `.lzma` (alone) header in front. Both wild layouts are handled —
+    * marker-free streams sized by the declared length (what 7-zip and
+    * the tukaani encoder emit) and end-marker-terminated streams
+    * (what liblzma's raw LZMA1 encoder emits, which cannot know the
+    * size up front). Exposed for [[SevenZip]].
+    */
+  private[ops] def decodeLzma1Raw(bytes: Array[Byte], off: Int, len: Int,
+      props: Array[Byte], unpackSize: Long): Array[Byte] = {
+    if (props.length != 5) bad(s"LZMA1 props of ${props.length} bytes")
+    def framed(size: Long): Array[Byte] = {
+      val f = new Array[Byte](13 + len)
+      System.arraycopy(props, 0, f, 0, 5)
+      var i = 0
+      while (i < 8) { f(5 + i) = ((size >>> (8 * i)) & 0xff).toByte; i += 1 }
+      System.arraycopy(bytes, off, f, 13, len)
+      f
+    }
+    val out =
+      try decompressAlone(framed(unpackSize))
+      catch {
+        // "trailing garbage" = bytes left after the declared size was
+        // produced; an end-marker stream looks exactly like that, so
+        // retry size-unknown (marker-driven). Budget/props refusals
+        // propagate — a second attempt cannot change them.
+        case e: WarcError if e.kind == "bad_frame" =>
+          decompressAlone(framed(-1L))
+      }
+    if (out.length.toLong != unpackSize)
+      bad(s"LZMA1 stream yields ${out.length} of $unpackSize bytes")
+    out
+  }
+
+  /** Raw LZMA1 encode (props, stream) for the 7z writer: the reference
+    * encoder's `.lzma` output minus its 13-byte header.
+    */
+  private[ops] def encodeLzma1Raw(data: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val alone = compressAlone(data)
+    (java.util.Arrays.copyOfRange(alone, 0, 5),
+      java.util.Arrays.copyOfRange(alone, 13, alone.length))
+  }
+
   private def decodeStream(bytes: Array[Byte], off0: Int,
       out: java.io.ByteArrayOutputStream): Int = {
     var off = off0

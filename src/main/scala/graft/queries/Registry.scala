@@ -30,6 +30,7 @@ object Registry {
     WarcQueries.all,
     UrlQueries.all,
     TarQueries.all,
+    CompressedShardQueries.all,
     RecordShardQueries.all,
     TensorShardQueries.all,
     QuantShardQueries.all,
