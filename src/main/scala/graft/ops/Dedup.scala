@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextAnalysis.hash60
 
+  /** Hard bound on the block-key cardinality [[jaccardPairsBlocked]] will
+    * collect to the driver (≈ tens of MB of Rows at the limit). Schema-
+    * bounded block columns sit orders of magnitude below this at any
+    * corpus scale; crossing it means a content-derived block key.
+    */
+  private[ops] val MaxBlockKeys: Int = 1 << 18
+
   /** exact-dedup stats over a normalized-content fingerprint. */
   def exactStats(df: DataFrame, text: Column): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(text).as("fp"))
@@ -234,8 +241,22 @@ object Dedup {
     // literal frame — never a count().over(Window) on the corpus (which
     // would shuffle every row by block key and pile the hot block onto
     // one partition, the exact skew this cap exists to avoid).
+    //
+    // The collect is guarded: it is sized by the BLOCK-KEY cardinality,
+    // which the contract requires to be schema-bounded (lang, source,
+    // format — never content-derived). A caller that blocks on a
+    // content-derived key would otherwise ship a corpus-sized count
+    // table to the driver; the limit makes that a typed refusal instead
+    // of an OOM. limit(K+1) returns ALL rows whenever the table is
+    // within bounds, so the healthy plan is unchanged.
     val stats = docs.groupBy(blocks: _*).agg(count(lit(1)).as("_bn"))
-    val rows = stats.collect()
+    val rows = stats.limit(MaxBlockKeys + 1).collect()
+    if (rows.length > MaxBlockKeys)
+      throw new IllegalArgumentException(
+        s"jaccardPairsBlocked: block columns (${blockCols.mkString(", ")}) yield " +
+          s"more than $MaxBlockKeys distinct keys — the per-key count table is " +
+          "collected to the driver, so block on schema-bounded columns " +
+          "(language/source/format), not content-derived ones")
     val n = rows.iterator.map(r => r.getLong(r.length - 1)).sum
     val cap = math.max(capFloor,
       math.ceil(8.0 * math.sqrt(n.toDouble / math.max(rows.length, 1))).toInt)

@@ -251,4 +251,24 @@ class ScaleStressSpec extends SparkSpec {
     assert(perDoc.count() == 1999L)
     assert(perDoc.filter(col("a") === 0 && col("b") === 63 && col("n") === 57).count() == 1999L)
   }
+
+  test("jaccardPairsBlocked refuses content-derived block keys instead of collecting them") {
+    import graft.ops.Dedup
+    // a content-derived block column (per-doc hash) explodes the block-key
+    // cardinality past MaxBlockKeys: the guarded collect must throw the
+    // typed contract error, not ship a corpus-sized count table to the
+    // driver. Cheap to build: block cardinality == row count > 2^18.
+    val docs = spark.range((1L << 18) + 64L).select(
+      col("id").as("doc_id"),
+      hash(col("id")).cast("string").as("blk"), // content-derived key
+      array(col("id")).cast("array<long>").as("sh"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsBlocked(docs, Seq("blk"), 0.5, 50, 16, 2, 8).count()
+    }
+    assert(e.getMessage.contains("schema-bounded"), e.getMessage)
+    // and the healthy shape still runs: a schema-bounded key on the same rows
+    val ok = docs.withColumn("blk", (col("doc_id") % 4).cast("string"))
+    assert(Dedup.jaccardPairsBlocked(ok.limit(200), Seq("blk"), 0.0, 50, 16, 2, 8)
+      .count() >= 0L)
+  }
 }
