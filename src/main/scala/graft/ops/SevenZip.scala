@@ -616,7 +616,7 @@ object SevenZip {
     * shards, the [[Zip.write]] convention). Empty-bodied members ride
     * the kEmptyStream/kEmptyFile bits like real 7z zero-byte files.
     */
-  def write(members: Seq[SzMember]): Array[Byte] = {
+  def write(members: Seq[SzMember], preset: Int = 3): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(
       members.foldLeft(64)(_ + _.body.length / 2 + 64))
     out.write(Magic, 0, 6)
@@ -633,7 +633,7 @@ object SevenZip {
     }
     val (props, packed) =
       if (solid.isEmpty) (Array.emptyByteArray, Array.emptyByteArray)
-      else Xz.encodeLzma1Raw(solid)
+      else Xz.encodeLzma1Raw(solid, preset)
 
     val hdr = new HeaderWriter
     hdr.byte(KHeader)

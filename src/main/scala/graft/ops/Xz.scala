@@ -283,8 +283,9 @@ object Xz {
   /** Raw LZMA1 encode (props, stream) for the 7z writer: the reference
     * encoder's `.lzma` output minus its 13-byte header.
     */
-  private[ops] def encodeLzma1Raw(data: Array[Byte]): (Array[Byte], Array[Byte]) = {
-    val alone = compressAlone(data)
+  private[ops] def encodeLzma1Raw(data: Array[Byte],
+      preset: Int = 6): (Array[Byte], Array[Byte]) = {
+    val alone = compressAlone(data, preset)
     (java.util.Arrays.copyOfRange(alone, 0, 5),
       java.util.Arrays.copyOfRange(alone, 13, alone.length))
   }

@@ -31,6 +31,7 @@ object Registry {
     UrlQueries.all,
     TarQueries.all,
     CompressedShardQueries.all,
+    MailQueries.all,
     RecordShardQueries.all,
     TensorShardQueries.all,
     QuantShardQueries.all,

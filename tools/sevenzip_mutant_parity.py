@@ -273,7 +273,16 @@ def decode_folder(arch, si, fi):
         d = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=[
             {"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp, "pb": pb,
              "dict_size": max(dict_size, 4096)}])
-        out = d.decompress(data)
+        # a marker-free size-declared stream MUST be externally bounded:
+        # liblzma happily over-decodes range-coder slack past the real
+        # data (the 7z reader's job is to stop at the declared size)
+        out = d.decompress(data, max_length=declared)
+        while (len(out) < declared and not d.eof
+               and not d.needs_input):
+            more = d.decompress(b"", max_length=declared - len(out))
+            if not more:
+                break
+            out += more
     elif ident == b"\x04\x01\x08":
         o = zlib.decompressobj(-15)
         out = o.decompress(data) + o.flush()
@@ -499,13 +508,19 @@ def python_bases():
 
 
 def main():
-    n_graft = len(glob.glob(os.path.join(OUT, "sz_*.bin")))
-    if n_graft == 0:
+    # the Scala --dump step writes exactly N_GRAFT bases (sz_0..sz_5);
+    # python bases go at fixed indices after them so reruns overwrite
+    # instead of appending (keep in sync with SevenZipParity.bases())
+    N_GRAFT = 6
+    if not os.path.exists(os.path.join(OUT, "sz_%d.bin" % (N_GRAFT - 1))):
         sys.exit("run the Scala --dump step first")
-    # append python-built bases after the graft ones
+    if os.path.exists(os.path.join(OUT, "sz_%d.bin" % N_GRAFT)):
+        for p in glob.glob(os.path.join(OUT, "sz_*.bin")):
+            if int(os.path.basename(p)[3:-4]) >= N_GRAFT:
+                os.remove(p)
     pb = python_bases()
     for k, blob in enumerate(pb):
-        with open(os.path.join(OUT, "sz_%d.bin" % (n_graft + k)), "wb") as f:
+        with open(os.path.join(OUT, "sz_%d.bin" % (N_GRAFT + k)), "wb") as f:
             f.write(blob)
 
     bases = []
