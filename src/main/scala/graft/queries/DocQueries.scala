@@ -456,5 +456,189 @@ object DocQueries {
           CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_zip
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ODT extraction round trip (round 17 — [[graft.etl.OdtText]], the
+    // OpenDocument leg: LibreOffice corpora ship .odt alongside OOXML):
+    // every doc becomes a three-paragraph ODF package (stored mimetype,
+    // manifest, content.xml) and the linear teletype walk must recover
+    // the exact paragraphs; DuckDB recomputes the expected join. The
+    // in-row require pins byte-exactness. Per-row map, shuffle-free
+    // rollup — one pass at 100 TB.
+    GraftQuery(
+      "doc09_odt_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            val odt = graft.etl.OdtText.write(Seq(
+              s"title $id", text, s"$lang $source"))
+            val got = graft.etl.OdtText.extract(odt)
+            val want = s"title $id\n$text\n$lang $source"
+            require(got == want, s"odt round trip doc $id")
+            (source, got.length.toLong, got)
+          }
+          .toDF("source", "n_chars", "txt")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            'title ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+              chr(10) || lang || ' ' || source AS txt
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(length(txt)) AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60("txt")} % $M) AS BIGINT) AS txt_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned ODT scan (the doc06/doc08 contract on the ODF leg):
+    // every eleventh package rots — content.xml stripped, archive
+    // truncated, XML malformed, or a LYING mimetype (application/zip
+    // over real ODF content: the sniffing probe — extracting anyway
+    // would treat every mislabeled archive as prose) — one typed error
+    // row each, every healthy package extracts exactly.
+    GraftQuery(
+      "doc10_poisoned_odt",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (source, id, text) =>
+            val odt = graft.etl.OdtText.write(Seq(s"doc $id", text))
+            val poisoned =
+              if (id % 11 != 3) odt
+              else (id % 4) match {
+                case 0 => graft.ops.Zip.write(graft.ops.Zip.read(odt)
+                  .filterNot(_.name == "content.xml"))
+                case 1 => java.util.Arrays.copyOf(odt, odt.length / 2)
+                case 2 => graft.ops.Zip.write(graft.ops.Zip.read(odt).map(m =>
+                  if (m.name == "content.xml")
+                    m.copy(body = "<office:document-content><<<".getBytes("UTF-8"))
+                  else m))
+                case _ => graft.ops.Zip.write(graft.ops.Zip.read(odt).map(m =>
+                  if (m.name == "mimetype")
+                    m.copy(body = "application/zip".getBytes("UTF-8"))
+                  else m))
+              }
+            graft.etl.OdtText.extractSafe(poisoned) match {
+              case Right(t) => (source, 1L, 0L, t.length.toLong, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "n_chars", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(when(col("kind") === "bad_odt", 1L).otherwise(0L)).as("n_odt"),
+            sum(when(col("kind").isin("bad_zip", "truncated"), 1L)
+              .otherwise(0L)).as("n_zip"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            length('doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS n
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN n ELSE 0 END) AS BIGINT) AS char_sum,
+          CAST(count(CASE WHEN rot AND mode IN (0, 2, 3) THEN 1 END)
+            AS BIGINT) AS n_odt,
+          CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_zip
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // RTF extraction round trip (round 17 — [[graft.etl.RtfText]], the
+    // legacy-office leg: old dumps and mail attachments ship .rtf):
+    // every doc becomes an RTF document whose body exercises escaped
+    // specials and \par framing; the tokenizer must recover the exact
+    // text. DuckDB recomputes the expected join. Per-row map,
+    // shuffle-free rollup.
+    GraftQuery(
+      "doc11_rtf_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            val rtf = graft.etl.RtfText.write(s"title $id\n$text\n$lang {$source}")
+            val got = graft.etl.RtfText.extract(rtf)
+            val want = s"title $id\n$text\n$lang {$source}"
+            require(got == want, s"rtf round trip doc $id")
+            (source, got.length.toLong, got)
+          }
+          .toDF("source", "n_chars", "txt")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            'title ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+              chr(10) || lang || ' {' || source || '}' AS txt
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(length(txt)) AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60("txt")} % $M) AS BIGINT) AS txt_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned RTF scan: every eleventh document rots four ways — tail
+    // truncation (unbalanced root), opener corruption, a stray closing
+    // brace after the root group, halving — each a typed bad_rtf row,
+    // every healthy document extracts exactly.
+    GraftQuery(
+      "doc12_poisoned_rtf",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (source, id, text) =>
+            val rtf = graft.etl.RtfText.write(s"doc $id\n$text")
+            val poisoned =
+              if (id % 11 != 3) rtf
+              else (id % 4) match {
+                case 0 => java.util.Arrays.copyOf(rtf, rtf.length - 1)
+                case 1 => val b = rtf.clone(); b(1) = 'X'.toByte; b
+                case 2 => rtf ++ "}".getBytes("UTF-8")
+                case _ => java.util.Arrays.copyOf(rtf, math.max(6, rtf.length / 2))
+              }
+            graft.etl.RtfText.extractSafe(poisoned) match {
+              case Right(t) => (source, 1L, 0L, t.length.toLong, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "n_chars", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(when(col("kind") === "bad_rtf", 1L).otherwise(0L)).as("n_rtf"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id % 11 = 3 AS rot,
+            length('doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS n
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN n ELSE 0 END) AS BIGINT) AS char_sum,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_rtf
+        FROM x GROUP BY 1"""),
+    ),
   )
 }
