@@ -50,27 +50,13 @@ object DocxText {
     parseDocumentXml(doc.body)
   }
 
-  /** hardened factory, built once per executor: newInstance() does a
-    * service lookup — per-document construction dominated doc01's time.
-    * Factories aren't thread-safe, hence the ThreadLocal; the per-call
-    * newSAXParser() below is cheap.
+  /** The WordprocessingML walk itself (exposed for the parity spec).
+    * The hardened SAX factory (no DTDs, no external entities) is the
+    * ONE shared instance in [[XlsxText.parseXml]] — EpubText keeps its
+    * own deliberately different factory (DOCTYPE-tolerant for XHTML);
+    * every other office extractor shares this one.
     */
-  private val factories =
-    ThreadLocal.withInitial[javax.xml.parsers.SAXParserFactory] { () =>
-      val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-      factory.setNamespaceAware(true)
-      // XXE / entity-bomb hardening: no DTDs, no external anything
-      factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-      factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-      factory.setXIncludeAware(false)
-      factory
-    }
-
-  /** The WordprocessingML walk itself (exposed for the parity spec). */
   def parseDocumentXml(xml: Array[Byte]): String = {
-    val parser = factories.get().newSAXParser()
-
     val out = new java.lang.StringBuilder()
     val cap = graft.core.Budget.maxInflatedBytes
 
@@ -137,13 +123,7 @@ object DocxText {
       }
     }
 
-    try parser.parse(new java.io.ByteArrayInputStream(xml), handler)
-    catch {
-      case e: graft.ops.Warc.WarcError => throw e
-      case e: org.xml.sax.SAXException =>
-        throw new graft.ops.Warc.WarcError("bad_docx",
-          s"malformed document.xml: ${e.getMessage}")
-    }
+    XlsxText.parseXml("document.xml", xml, handler, kind = "bad_docx")
     out.toString
   }
 

@@ -52,20 +52,12 @@ object OdtText {
     parseContentXml(doc.body)
   }
 
-  private val factories =
-    ThreadLocal.withInitial[javax.xml.parsers.SAXParserFactory] { () =>
-      val factory = javax.xml.parsers.SAXParserFactory.newInstance()
-      factory.setNamespaceAware(true)
-      factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
-      factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-      factory.setXIncludeAware(false)
-      factory
-    }
-
-  /** the ODF content walk (exposed for specs). */
+  /** the ODF content walk (exposed for specs). The hardened SAX factory
+    * (no DTDs, no external entities) is the ONE shared instance in
+    * [[XlsxText.parseXml]] — the office extractors must not each carry
+    * their own copy of the XXE block.
+    */
   def parseContentXml(xml: Array[Byte]): String = {
-    val parser = factories.get().newSAXParser()
     val out = new java.lang.StringBuilder()
     val cap = graft.core.Budget.maxInflatedBytes
 
@@ -113,10 +105,8 @@ object OdtText {
         if (bodyDepth > 0 && paraDepth > 0) { grow(length); out.append(ch, start, length) }
     }
 
-    try parser.parse(new java.io.ByteArrayInputStream(xml), handler)
+    try XlsxText.parseXml("content.xml", xml, handler, kind = "bad_odt")
     catch {
-      case e: org.xml.sax.SAXException =>
-        throw new graft.ops.Warc.WarcError("bad_odt", s"content.xml: ${e.getMessage}")
       case _: NumberFormatException =>
         throw new graft.ops.Warc.WarcError("bad_odt", "non-numeric text:s count")
     }

@@ -300,6 +300,12 @@ object PlainTextExtractor extends DocTextExtractor {
       XlsxText.extract(content)
     else if (lower.endsWith(".pptx"))
       PptxText.extract(content)
+    else if (lower.endsWith(".odt"))
+      OdtText.extract(content)
+    else if (lower.endsWith(".rtf"))
+      RtfText.extract(content)
+    else if (lower.endsWith(".eml"))
+      graft.ops.Mail.parse(content).textBody
     else
       throw new IllegalArgumentException(s"Unsupported file type: $path")
   }

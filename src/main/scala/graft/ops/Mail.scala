@@ -257,8 +257,7 @@ object Mail {
       val payload = m.group(3)
       val bytes = m.group(2).toLowerCase match {
         case "b" => b64Strict(payload.getBytes(StandardCharsets.US_ASCII))
-        case _ => qpDecode(payload.replace('_', ' ')
-          .getBytes(StandardCharsets.US_ASCII))
+        case _ => qWordDecode(payload)
       }
       sb.append(new String(bytes, charset))
       pos = m.end
@@ -266,6 +265,32 @@ object Mail {
     }
     sb.append(v.substring(pos))
     sb.toString
+  }
+
+  /** RFC 2047 §4.2 Q decoding: `_` → space (INCLUDING trailing ones —
+    * clients put the inter-word space as a trailing `_`, and routing
+    * through [[qpDecode]]'s transport-padding strip would delete it),
+    * `=XX` → byte, everything else literal.
+    */
+  private def qWordDecode(payload: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length)
+    def hex(c: Char): Int = Character.digit(c, 16)
+    var i = 0
+    while (i < payload.length) {
+      payload.charAt(i) match {
+        case '_' => out.write(' ')
+        case '=' =>
+          if (i + 2 >= payload.length) bad("Q escape at end of encoded word")
+          val h = hex(payload.charAt(i + 1))
+          val l = hex(payload.charAt(i + 2))
+          if (h < 0 || l < 0) bad(s"Q escape =${payload.substring(i + 1, i + 3)}")
+          out.write((h << 4) | l)
+          i += 2
+        case c => out.write(c.toInt & 0xff)
+      }
+      i += 1
+    }
+    out.toByteArray
   }
 
   // ------------------------------------------------- transfer codings

@@ -36,14 +36,28 @@ object CaptionQueries {
       ELSE array_to_string(a[3 * (j - 1) + 1 : least(3 * j, len(a))], ' ')
       END"""
 
-  private val sqlCues = s"""arrs AS (
+  private def sqlCuesFrom(textExpr: String) = s"""arrs AS (
         SELECT source, doc_id AS id,
-          regexp_split_to_array(trim(text), '\\s+') AS a
+          regexp_split_to_array(trim($textExpr), '\\s+') AS a
         FROM documents),
       cues AS (SELECT source, id, len(a) AS n_words,
           (len(a) + 2) // 3 AS n_cues, j,
           $sqlCueText AS cue_text
         FROM arrs, UNNEST(generate_series(1, (len(a) + 2) // 3)) AS g(j))"""
+
+  private val sqlCues = sqlCuesFrom("text")
+
+  /** ASS has no escape for literal `{`/`}`/`\` in plain cue text (brace
+    * content IS the override-tag channel), so sub04 sanitizes them to
+    * spaces before cue construction — identically in Scala and the
+    * oracle. Identity on the brace-free corpus; total on any corpus
+    * (a hostile doc can no longer crash the round-trip require).
+    */
+  private def assSafe(text: String): String =
+    text.replace('{', ' ').replace('}', ' ').replace('\\', ' ')
+
+  private val sqlCuesAss = sqlCuesFrom(
+    """replace(replace(replace(text, '{', ' '), '}', ' '), chr(92), ' ')""")
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -213,7 +227,7 @@ object CaptionQueries {
           .select(col("source"), col("doc_id"), col("text"))
           .as[(String, Long, String)]
           .flatMap { case (source, id, text) =>
-            val cues = cuesFor(id, text)
+            val cues = cuesFor(id, assSafe(text))
             def t(v: Long): String =
               f"${v / 3600000}%d:${v / 60000 % 60}%02d:${v / 1000 % 60}%02d.${v % 1000 / 10}%02d"
             val (format, prefix) =
@@ -245,7 +259,7 @@ object CaptionQueries {
             sum(col("n_chars")).as("char_sum"),
             sum(TA.hash60(col("flat_text")) % M).as("text_check"))
       },
-      Some(s"""WITH $sqlCues
+      Some(s"""WITH $sqlCuesAss
         SELECT source, count(*) AS n_cues,
           CAST(sum(1500 + (id % 4) * 100) AS BIGINT) AS coverage_ms,
           CAST(sum(length(cue_text)) AS BIGINT) AS char_sum,
