@@ -392,6 +392,117 @@ def read_pptx(data):
 # random GENERATORS (independent of the Scala writers: zipfile + f-str)
 # ===================================================================
 
+# --------------------------------------------------------------- odt
+
+ODT_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+ODT_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+
+def read_odt(data):
+    """reference ODT reader: the linear teletype walk OdtText mirrors
+    (text:p/text:h under office:body each start a line; text:s/tab/
+    line-break expand; nested frame/list/annotation paragraphs inline).
+    """
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    names = {i.filename for i in zf.infolist()}
+    if "mimetype" in names:
+        mt = zf.read("mimetype").decode("ascii", "strict")
+        if not mt.startswith("application/vnd.oasis.opendocument"):
+            raise ValueError("foreign mimetype")
+    if "content.xml" not in names:
+        raise ValueError("no content.xml")
+    root = ET.fromstring(zf.read("content.xml"))
+    out = []
+    state = {"first": True, "para": 0}
+
+    def walk(e, in_body):
+        tag = e.tag
+        in_body2 = in_body or tag == ODT_OFFICE + "body"
+        is_para = in_body and tag in (ODT_TEXT + "p", ODT_TEXT + "h")
+        if is_para:
+            if not state["first"]:
+                out.append("\n")
+            state["first"] = False
+            state["para"] += 1
+        if in_body and state["para"] > 0:
+            if tag == ODT_TEXT + "s":
+                c = int(e.get(ODT_TEXT + "c", "1"))
+                if c < 0 or c > 1000000:
+                    raise ValueError("text:s count")
+                out.append(" " * c)
+            elif tag == ODT_TEXT + "tab":
+                out.append("\t")
+            elif tag == ODT_TEXT + "line-break":
+                out.append("\n")
+        if in_body2 and state["para"] > 0 and e.text:
+            out.append(e.text)
+        for ch in e:
+            walk(ch, in_body2)
+            if in_body2 and state["para"] > 0 and ch.tail:
+                out.append(ch.tail)
+        if is_para:
+            state["para"] -= 1
+
+    walk(root, False)
+    return "".join(out)
+
+
+ODT_MANIFEST = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<manifest:manifest xmlns:manifest='
+    '"urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" '
+    'manifest:version="1.2">'
+    '<manifest:file-entry manifest:full-path="/" manifest:media-type='
+    '"application/vnd.oasis.opendocument.text"/>'
+    '<manifest:file-entry manifest:full-path="content.xml" '
+    'manifest:media-type="text/xml"/></manifest:manifest>')
+
+
+def gen_odt(rng):
+    """random ODF text documents mixing the walk's feature surface."""
+    paras = []
+    for _ in range(rng.randint(2, 7)):
+        kind = rng.randrange(8)
+        body = esc(rnd_text(rng))
+        if kind == 0:
+            paras.append('<text:h text:outline-level="%d">%s</text:h>'
+                         % (rng.randint(1, 3), body))
+        elif kind == 1:
+            paras.append("<text:p>%s<text:s text:c=\"%d\"/>%s</text:p>"
+                         % (body, rng.randint(1, 5), esc(rnd_text(rng))))
+        elif kind == 2:
+            paras.append("<text:p>%s<text:tab/>%s<text:line-break/>%s</text:p>"
+                         % (body, esc(rnd_text(rng)), esc(rnd_text(rng))))
+        elif kind == 3:
+            items = "".join("<text:list-item><text:p>%s</text:p></text:list-item>"
+                            % esc(rnd_text(rng)) for _ in range(rng.randint(1, 3)))
+            paras.append("<text:list>%s</text:list>" % items)
+        elif kind == 4:
+            paras.append('<text:p>%s<draw:frame><draw:text-box><text:p>%s'
+                         "</text:p></draw:text-box></draw:frame>%s</text:p>"
+                         % (body, esc(rnd_text(rng)), esc(rnd_text(rng))))
+        elif kind == 5:
+            paras.append('<text:p>pre <text:span text:style-name="T%d">%s'
+                         "</text:span> post</text:p>" % (rng.randrange(9), body))
+        elif kind == 6:
+            paras.append("<text:p/>")
+        else:
+            paras.append("<text:p>%s</text:p>" % body)
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+        ' xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+        ' office:version="1.2"><office:automatic-styles/>'
+        "<office:body><office:text>%s</office:text></office:body>"
+        "</office:document-content>" % "".join(paras))
+    members = [("mimetype", "application/vnd.oasis.opendocument.text"),
+               ("META-INF/manifest.xml", ODT_MANIFEST),
+               ("content.xml", content)]
+    return pack(members, stored_first="mimetype")
+
+
 def pack(members, stored_first=None):
     out = io.BytesIO()
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
@@ -678,6 +789,8 @@ def canon(fmt, data):
         text = t + "\x01" + l + "\x01" + x
     elif fmt == "xlsx":
         text = read_xlsx(data)
+    elif fmt == "odt":
+        text = read_odt(data)
     else:
         text = read_pptx(data)
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
@@ -686,7 +799,7 @@ def canon(fmt, data):
 def main():
     os.makedirs(OUT, exist_ok=True)
     gens = {"docx": gen_docx, "epub": gen_epub,
-            "xlsx": gen_xlsx, "pptx": gen_pptx}
+            "xlsx": gen_xlsx, "pptx": gen_pptx, "odt": gen_odt}
     for fmt, gen in gens.items():
         rng = random.Random(0xD0C + len(fmt))
         rows = []
