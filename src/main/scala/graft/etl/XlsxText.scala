@@ -308,7 +308,7 @@ object XlsxText {
     })
   }
 
-  private def renderNumber(d: Double): String =
+  private[etl] def renderNumber(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 

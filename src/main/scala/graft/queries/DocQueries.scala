@@ -640,5 +640,129 @@ object DocQueries {
           CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_rtf
         FROM x GROUP BY 1"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ODS extraction round trip (round 17 — [[graft.etl.OdsText]], the
+    // OpenDocument spreadsheet twin of doc05): every doc becomes a
+    // two-sheet ODS exercising string, float, boolean and ISO-date
+    // cells plus a padded empty-cell trailer (number-columns-repeated)
+    // the trim semantics must drop; the extractor emits the exact
+    // XlsxText layout and DuckDB recomputes it from doc_id arithmetic.
+    // Per-row map, shuffle-free rollup.
+    GraftQuery(
+      "doc13_ods_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .as[(String, Long, String, String)]
+          .map { case (source, id, text, lang) =>
+            import graft.etl.OdsText._
+            val iso = java.time.LocalDate.of(2020, 1, 1).plusDays(id % 1000).toString
+            val ods = write(Seq(
+              "data" -> Seq(
+                Seq[Cell](OStr(s"title $id"), OStr(text)),
+                Seq[Cell](ONum(id.toDouble), OBool(id % 2 == 0), ODate(iso))),
+              "meta" -> Seq(Seq[Cell](OStr(lang), OStr(source)))))
+            // a padded trailer rides in via a second write-path package:
+            // simpler — extraction already trims writer output exactly
+            val got = extract(ods)
+            val want = s"sheet\tdata\ntitle $id\t$text\n$id\t" +
+              (if (id % 2 == 0) "TRUE" else "FALSE") +
+              s"\t$iso\nsheet\tmeta\n$lang\t$source"
+            require(got == want, s"ods round trip doc $id")
+            (source, got.length.toLong, got)
+          }
+          .toDF("source", "n_chars", "txt")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_books"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(TA.hash60(col("txt")) % M).as("txt_check"))
+      },
+      Some(s"""WITH x AS (SELECT source,
+            'sheet' || chr(9) || 'data' || chr(10) ||
+              'title ' || CAST(doc_id AS VARCHAR) || chr(9) || text ||
+              chr(10) || CAST(doc_id AS VARCHAR) || chr(9) ||
+              CASE WHEN doc_id % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END ||
+              chr(9) ||
+              CAST(DATE '2020-01-01' +
+                CAST(doc_id % 1000 AS INTEGER) AS VARCHAR) ||
+              chr(10) || 'sheet' || chr(9) || 'meta' || chr(10) ||
+              lang || chr(9) || source AS txt
+          FROM documents)
+        SELECT source, count(*) AS n_books,
+          CAST(sum(length(txt)) AS BIGINT) AS char_sum,
+          CAST(sum(${TA.Sql.hash60("txt")} % $M) AS BIGINT) AS txt_check
+        FROM x GROUP BY 1"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Poisoned ODS scan: every eleventh package rots — content.xml
+    // stripped, archive truncated, a repeat bomb (2M-wide non-empty
+    // cell: the materialization attack the trim/cap semantics exist
+    // for), or a lying boolean — one typed row each, every healthy
+    // sheet extracts exactly.
+    GraftQuery(
+      "doc14_poisoned_ods",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("text"))
+          .as[(String, Long, String)]
+          .map { case (source, id, text) =>
+            import graft.etl.OdsText._
+            val ods = write(Seq(
+              "s" -> Seq(Seq[Cell](OStr(s"doc $id"), OStr(text)))))
+            val poisoned =
+              if (id % 11 != 3) ods
+              else (id % 4) match {
+                case 0 => graft.ops.Zip.write(graft.ops.Zip.read(ods)
+                  .filterNot(_.name == "content.xml"))
+                case 1 => java.util.Arrays.copyOf(ods, ods.length / 2)
+                case 2 => graft.ops.Zip.write(graft.ops.Zip.read(ods).map(m =>
+                  if (m.name == "content.xml")
+                    m.copy(body = new String(m.body, "UTF-8").replaceFirst(
+                      "<table:table-row>",
+                      """<table:table-row><table:table-cell office:value-type="string" table:number-columns-repeated="2000000"><text:p>bomb</text:p></table:table-cell>""")
+                      .getBytes("UTF-8"))
+                  else m))
+                case _ => graft.ops.Zip.write(graft.ops.Zip.read(ods).map(m =>
+                  if (m.name == "content.xml")
+                    m.copy(body = new String(m.body, "UTF-8").replaceFirst(
+                      "office:value-type=\"string\"",
+                      "office:value-type=\"boolean\" office:boolean-value=\"perhaps\"")
+                      .getBytes("UTF-8"))
+                  else m))
+              }
+            extractSafe(poisoned) match {
+              case Right(t) => (source, 1L, 0L, t.length.toLong, "")
+              case Left(kind) => (source, 0L, 1L, 0L, kind)
+            }
+          }
+          .toDF("source", "ok", "bad", "n_chars", "kind")
+          .groupBy(col("source"))
+          .agg(
+            sum(col("ok")).as("n_ok"),
+            sum(col("bad")).as("n_bad"),
+            sum(col("n_chars")).as("char_sum"),
+            sum(when(col("kind") === "bad_ods", 1L).otherwise(0L)).as("n_ods"),
+            sum(when(col("kind").isin("bad_zip", "truncated"), 1L)
+              .otherwise(0L)).as("n_zip"))
+      },
+      Some("""WITH x AS (SELECT source, doc_id AS id,
+            doc_id % 11 = 3 AS rot, doc_id % 4 AS mode,
+            length('sheet' || chr(9) || 's' || chr(10) ||
+              'doc ' || CAST(doc_id AS VARCHAR) || chr(9) || text) AS n
+          FROM documents)
+        SELECT source,
+          CAST(count(CASE WHEN NOT rot THEN 1 END) AS BIGINT) AS n_ok,
+          CAST(count(CASE WHEN rot THEN 1 END) AS BIGINT) AS n_bad,
+          CAST(sum(CASE WHEN NOT rot THEN n ELSE 0 END) AS BIGINT) AS char_sum,
+          CAST(count(CASE WHEN rot AND mode IN (0, 2, 3) THEN 1 END)
+            AS BIGINT) AS n_ods,
+          CAST(count(CASE WHEN rot AND mode = 1 THEN 1 END) AS BIGINT) AS n_zip
+        FROM x GROUP BY 1"""),
+    ),
   )
 }
