@@ -664,8 +664,6 @@ object DocQueries {
                 Seq[Cell](OStr(s"title $id"), OStr(text)),
                 Seq[Cell](ONum(id.toDouble), OBool(id % 2 == 0), ODate(iso))),
               "meta" -> Seq(Seq[Cell](OStr(lang), OStr(source)))))
-            // a padded trailer rides in via a second write-path package:
-            // simpler — extraction already trims writer output exactly
             val got = extract(ods)
             val want = s"sheet\tdata\ntitle $id\t$text\n$id\t" +
               (if (id % 2 == 0) "TRUE" else "FALSE") +
