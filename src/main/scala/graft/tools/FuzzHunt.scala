@@ -318,6 +318,56 @@ object FuzzHunt {
       Set("bad_magic", "truncated", "bad_frame", "unsupported"),
       b => graft.ops.Id3.parseSafe(b))
 
+    total += hunt("sevenzip",
+      // solid LZMA1 folder, empty member, unicode name, every CRC layer
+      graft.ops.SevenZip.write(Seq(
+        graft.ops.SevenZip.SzMember("a/tëxt.txt",
+          ("the seven zip mutation target " * 4).getBytes("UTF-8")),
+        graft.ops.SevenZip.SzMember("b/empty", Array.emptyByteArray),
+        graft.ops.SevenZip.SzMember("c.bin", Array.tabulate(96)(k => (k * 7).toByte)))),
+      Set("bad_magic", "bad_7z", "bad_crc", "truncated", "unsupported",
+        "encrypted", "too_large", "bad_frame"),
+      graft.ops.SevenZip.readSafe)
+
+    total += hunt("eml",
+      graft.ops.Mail.writeEml("a@example.com", "b@example.com",
+        "sübject line", "Thu, 01 Jan 2026 00:00:00 +0000",
+        "body one\nbody twö line", forceB64 = true),
+      Set("bad_mail", "bad_b64", "unsupported"),
+      graft.ops.Mail.parseSafe)
+
+    total += hunt("mbox",
+      graft.ops.Mail.writeMbox(Seq(
+        graft.ops.Mail.writeEml("a@x.com", "l@x.com", "m1",
+          "Thu, 01 Jan 2026 00:00:00 +0000", "From the start\nbody"),
+        graft.ops.Mail.writeEml("b@x.com", "l@x.com", "m2",
+          "Thu, 01 Jan 2026 00:00:00 +0000", "second"))),
+      Set("bad_mbox", "bad_mail", "bad_b64", "unsupported"),
+      b => graft.ops.Mail.mboxSplitSafe(b).flatMap { msgs =>
+        // a healthy split must also leave each message parseable-or-typed
+        msgs.foldLeft[Either[String, Any]](Right(())) { (acc, m) =>
+          acc.flatMap(_ => graft.ops.Mail.parseSafe(m).map(_ => ()))
+        }
+      })
+
+    total += hunt("odt",
+      graft.etl.OdtText.write(Seq("paragraph öne", "two\twith tab",
+        "spaced    run")),
+      Set("bad_odt", "bad_zip", "truncated", "too_large"),
+      graft.etl.OdtText.extractSafe)
+
+    total += hunt("ods",
+      graft.etl.OdsText.write(Seq("s" -> Seq(
+        Seq(graft.etl.OdsText.OStr("cell"), graft.etl.OdsText.ONum(42),
+          graft.etl.OdsText.OBool(true), graft.etl.OdsText.ODate("2026-08-17"))))),
+      Set("bad_ods", "bad_zip", "truncated", "too_large"),
+      graft.etl.OdsText.extractSafe)
+
+    total += hunt("rtf",
+      graft.etl.RtfText.write("rtf {target} with spëcials \\ and\nlines"),
+      Set("bad_rtf", "too_large"),
+      graft.etl.RtfText.extractSafe)
+
     println(s"TOTAL bad: $total")
     if (total > 0) sys.exit(1)
   }
