@@ -503,6 +503,157 @@ def gen_odt(rng):
     return pack(members, stored_first="mimetype")
 
 
+# --------------------------------------------------------------- ods
+
+ODS_TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+ODS_MAX_REPEAT = 100000
+
+
+def _ods_cell(c):
+    vt = c.get(ODT_OFFICE + "value-type", "")
+    if c.tag == ODS_TABLE + "covered-table-cell":
+        vt = ""
+    if vt in ("", "string", "void"):
+        parts = []
+        for p in c.iter(ODT_TEXT + "p"):
+            txt = []
+            if p.text:
+                txt.append(p.text)
+            for ch in p:
+                if ch.tag == ODT_TEXT + "s":
+                    n = int(ch.get(ODT_TEXT + "c", "1"))
+                    if n < 0 or n > 1000000:
+                        raise ValueError("text:s")
+                    txt.append(" " * n)
+                elif ch.tag == ODT_TEXT + "tab":
+                    txt.append("\t")
+                elif ch.tag == ODT_TEXT + "line-break":
+                    txt.append("\n")
+                if ch.tail:
+                    txt.append(ch.tail)
+            parts.append("".join(txt))
+        return "\n".join(parts)
+    if vt in ("float", "percentage", "currency"):
+        d = float(c.get(ODT_OFFICE + "value"))
+        if d == int(d) and abs(d) < 1e15:
+            return str(int(d))
+        return repr(d)
+    if vt == "boolean":
+        bv = c.get(ODT_OFFICE + "boolean-value")
+        if bv == "true":
+            return "TRUE"
+        if bv == "false":
+            return "FALSE"
+        raise ValueError("boolean-value")
+    if vt == "date":
+        v = c.get(ODT_OFFICE + "date-value")
+    elif vt == "time":
+        v = c.get(ODT_OFFICE + "time-value")
+    else:
+        raise ValueError("value-type " + vt)
+    if not v:
+        raise ValueError("missing value attr")
+    return v
+
+
+def read_ods(data):
+    """reference ODS reader mirroring OdsText: XlsxText layout, ODF
+    repeat expansion with trailing-empty trimming and the bomb cap."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    names = {i.filename for i in zf.infolist()}
+    if "mimetype" in names:
+        mt = zf.read("mimetype").decode("ascii", "strict")
+        if not mt.startswith("application/vnd.oasis.opendocument"):
+            raise ValueError("foreign mimetype")
+    if "content.xml" not in names:
+        raise ValueError("no content.xml")
+    root = ET.fromstring(zf.read("content.xml"))
+    out = []
+    for sheet in root.iter(ODS_TABLE + "table"):
+        rows = []
+        for tr in sheet.iter(ODS_TABLE + "table-row"):
+            rrep = int(tr.get(ODS_TABLE + "number-rows-repeated", "1"))
+            if rrep < 1:
+                raise ValueError("rows-repeated")
+            row = []
+            for c in tr:
+                if c.tag not in (ODS_TABLE + "table-cell",
+                                 ODS_TABLE + "covered-table-cell"):
+                    continue
+                crep = int(c.get(ODS_TABLE + "number-columns-repeated", "1"))
+                if crep < 1:
+                    raise ValueError("columns-repeated")
+                val = _ods_cell(c)
+                if crep > ODS_MAX_REPEAT and val != "":
+                    raise ValueError("cell repeat bomb")
+                row.extend([val] * (min(crep, ODS_MAX_REPEAT) if val == "" else crep))
+            while row and row[-1] == "":
+                row.pop()
+            if rrep > ODS_MAX_REPEAT and row:
+                raise ValueError("row repeat bomb")
+            rows.extend([row] * (min(rrep, ODS_MAX_REPEAT) if not row else rrep))
+        while rows and not rows[-1]:
+            rows.pop()
+        out.append("sheet\t" + sheet.get(ODS_TABLE + "name", "")
+                   + "".join("\n" + "\t".join(r) for r in rows))
+    return "\n".join(out)
+
+
+def gen_ods(rng):
+    """random ODS mixing typed cells, repeats, padding, covered cells."""
+    sheets = []
+    for si in range(rng.randint(1, 3)):
+        rows = []
+        for _ in range(rng.randint(1, 5)):
+            cells = []
+            for _ in range(rng.randint(1, 4)):
+                kind = rng.randrange(7)
+                if kind == 0:
+                    cells.append('<table:table-cell office:value-type="string">'
+                                 "<text:p>%s</text:p></table:table-cell>"
+                                 % esc(rnd_text(rng)))
+                elif kind == 1:
+                    cells.append('<table:table-cell office:value-type="float" '
+                                 'office:value="%d"/>' % rng.randint(-999, 9999))
+                elif kind == 2:
+                    cells.append('<table:table-cell office:value-type="boolean" '
+                                 'office:boolean-value="%s"/>'
+                                 % rng.choice(["true", "false"]))
+                elif kind == 3:
+                    cells.append('<table:table-cell office:value-type="date" '
+                                 'office:date-value="20%02d-0%d-1%d"/>'
+                                 % (rng.randrange(30), rng.randint(1, 9),
+                                    rng.randrange(10)))
+                elif kind == 4:
+                    cells.append('<table:table-cell office:value-type="string" '
+                                 'table:number-columns-repeated="%d">'
+                                 "<text:p>%s</text:p></table:table-cell>"
+                                 % (rng.randint(2, 4), esc(rnd_text(rng, 1, 2))))
+                elif kind == 5:
+                    cells.append("<table:covered-table-cell/>")
+                else:
+                    cells.append('<table:table-cell table:number-columns-repeated'
+                                 '="%d"/>' % rng.choice([1, 3, 4000]))
+            rep = rng.choice([1, 1, 1, 2])
+            rows.append('<table:table-row table:number-rows-repeated="%d">%s'
+                        "</table:table-row>" % (rep, "".join(cells)))
+        sheets.append('<table:table table:name="sh%d">%s</table:table>'
+                      % (si, "".join(rows)))
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+        ' office:version="1.2"><office:body><office:spreadsheet>%s'
+        "</office:spreadsheet></office:body></office:document-content>"
+        % "".join(sheets))
+    members = [("mimetype", "application/vnd.oasis.opendocument.spreadsheet"),
+               ("META-INF/manifest.xml", ODT_MANIFEST),
+               ("content.xml", content)]
+    return pack(members, stored_first="mimetype")
+
+
 def pack(members, stored_first=None):
     out = io.BytesIO()
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
@@ -791,6 +942,8 @@ def canon(fmt, data):
         text = read_xlsx(data)
     elif fmt == "odt":
         text = read_odt(data)
+    elif fmt == "ods":
+        text = read_ods(data)
     else:
         text = read_pptx(data)
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
@@ -799,7 +952,8 @@ def canon(fmt, data):
 def main():
     os.makedirs(OUT, exist_ok=True)
     gens = {"docx": gen_docx, "epub": gen_epub,
-            "xlsx": gen_xlsx, "pptx": gen_pptx, "odt": gen_odt}
+            "xlsx": gen_xlsx, "pptx": gen_pptx, "odt": gen_odt,
+            "ods": gen_ods}
     for fmt, gen in gens.items():
         rng = random.Random(0xD0C + len(fmt))
         rows = []
