@@ -75,6 +75,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .flatMap { case (source, id, text) =>
             val cues = cuesFor(id, text)
@@ -115,6 +116,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val cues = cuesFor(id, text)
@@ -164,6 +166,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val cues = cuesFor(id, text)
@@ -225,6 +228,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .flatMap { case (source, id, text) =>
             val cues = cuesFor(id, assSafe(text))

@@ -32,6 +32,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val paras = Seq(s"title $id", text, s"meta\t$lang\nsrc $source")
@@ -71,6 +72,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val docx = graft.etl.DocxText.write(Seq(s"doc $id", text))
@@ -138,6 +140,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val words = text.trim.split("\\s+").toVector
@@ -186,6 +189,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val epub = graft.etl.EpubText.write(s"B$id", "en", Seq(text))
@@ -250,6 +254,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             import graft.etl.XlsxText._
@@ -305,6 +310,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             import graft.etl.XlsxText._
@@ -369,6 +375,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val deck = Seq(
@@ -408,6 +415,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val pptx = graft.etl.PptxText.write(Seq(Seq(s"doc $id", text)))
@@ -471,6 +479,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val odt = graft.etl.OdtText.write(Seq(
@@ -510,6 +519,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val odt = graft.etl.OdtText.write(Seq(s"doc $id", text))
@@ -655,6 +665,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             import graft.etl.OdsText._
@@ -707,6 +718,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             import graft.etl.OdsText._
