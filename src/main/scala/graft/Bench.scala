@@ -50,14 +50,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's coalescer floors post-shuffle partitions at minPartitionSize
-      // (1m default): a CPU-dense small shuffle (compressed shards — ~1 MiB
-      // of bytes is SECONDS of codec work) collapses to ONE task while the
-      // other cores idle. 64k keeps genuinely tiny exchanges at 1 task but
-      // lets codec stages spread; at production scale partitions exceed the
-      // advisory size and this floor is inert. Env-tunable (round 17).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")

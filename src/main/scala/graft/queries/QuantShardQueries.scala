@@ -19,7 +19,9 @@ object QuantShardQueries {
   private def vecGroups(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     Tables.embeddings(s, d)
-      .groupBy(expr("vec_id DIV 32").as("g"))
+      .withColumn("g", expr("vec_id DIV 32"))
+      .repartition(s.sparkContext.defaultParallelism, col("g"))
+      .groupBy(col("g"))
       .agg(sort_array(collect_list(struct(
         col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
       .as[(Long, Seq[(Long, Seq[Float])])]

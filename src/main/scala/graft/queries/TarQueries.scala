@@ -34,8 +34,17 @@ object TarQueries {
   /** docs grouped into shards of ≤8 samples: (source, g, [(id, text, lang)]). */
   private[queries] def shardGroups(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
+    // keyed repartition INSTEAD of the groupBy-planned exchange (round 17):
+    // same single shuffle (the groupBy reuses the hash partitioning, and
+    // collect_list partial-aggregates nothing, so nothing is lost map-side),
+    // but the explicit partition count pins the post-shuffle stage at
+    // cluster parallelism — AQE's byte-proportional coalescer otherwise
+    // collapses the ~1 MiB exchange to ONE task, serializing the
+    // seconds-of-CPU codec work that follows (xz01: 1.5 s on one core).
     Tables.documents(s, d)
-      .groupBy(col("source"), expr("doc_id DIV 8").as("g"))
+      .withColumn("g", expr("doc_id DIV 8"))
+      .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+      .groupBy(col("source"), col("g"))
       .agg(sort_array(collect_list(struct(
         col("doc_id").as("_1"), col("text").as("_2"), col("lang").as("_3")))).as("recs"))
       .as[(String, Long, Seq[(Long, String, String)])]

@@ -30,7 +30,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -101,7 +103,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -174,7 +178,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -243,7 +249,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -312,7 +320,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -440,7 +450,9 @@ object TensorShardQueries {
           graft.ops.ArrowIpc.AField("id", "i64", nullable = false),
           graft.ops.ArrowIpc.AField("vec", "list<f32>", nullable = false))
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -632,7 +644,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -704,7 +718,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]
@@ -789,7 +805,9 @@ object TensorShardQueries {
       (s, d) => {
         import s.implicits._
         Tables.embeddings(s, d)
-          .groupBy(expr("vec_id DIV 32").as("g"))
+          .withColumn("g", expr("vec_id DIV 32"))
+          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
           .as[(Long, Seq[(Long, Seq[Float])])]

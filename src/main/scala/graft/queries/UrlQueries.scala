@@ -202,7 +202,9 @@ object UrlQueries {
       (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
-          .groupBy(col("source"), expr("doc_id DIV 8").as("g"))
+          .withColumn("g", expr("doc_id DIV 8"))
+          .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+          .groupBy(col("source"), col("g"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .as[(String, Long, Seq[Long])]
           .flatMap { case (source, _, ids) =>

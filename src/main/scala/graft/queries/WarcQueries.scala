@@ -39,11 +39,16 @@ object WarcQueries {
     */
   private def fileGroups(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    // no pre-repartition: the groupBy is the one full-text shuffle, and its
-    // map side partial-aggregates nothing here (collect_list), so an extra
-    // exchange would just move the corpus twice
+    // STILL exactly one full-text shuffle: the explicit keyed repartition
+    // replaces the groupBy-planned exchange (the groupBy reuses its hash
+    // partitioning, and collect_list partial-aggregates nothing, so nothing
+    // is lost map-side) while pinning the post-shuffle stage at cluster
+    // parallelism — AQE's byte-proportional coalescer otherwise collapses
+    // the small exchange to one task and serializes the gzip/parse work.
     Tables.documents(s, d)
-      .groupBy(col("source"), expr("doc_id DIV 8").as("g"))
+      .withColumn("g", expr("doc_id DIV 8"))
+      .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+      .groupBy(col("source"), col("g"))
       .agg(sort_array(collect_list(struct(
         col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))
       .as[(String, Long, Seq[(Long, String)])]
@@ -564,7 +569,9 @@ object WarcQueries {
         }.toDF("rid", "o_bytes", "o_check", "o_digest")
         val revisits = Tables.documents(s, d)
           .where(expr("doc_id % 3 = 0"))
-          .groupBy(col("source"), expr("doc_id DIV 5").as("g"))
+          .withColumn("g", expr("doc_id DIV 5"))
+          .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+          .groupBy(col("source"), col("g"))
           .agg(sort_array(collect_list(struct(
             col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))
           .as[(String, Long, Seq[(Long, String)])]
