@@ -83,16 +83,35 @@ object Similarity {
     * join). Ties break to the lowest cell id via the (−cos, id) struct min.
     */
   def assignCells(vectors: DataFrame, seeds: DataFrame): DataFrame = {
-    val withCos = vectors.select(col("id"), col("vec"), norm(col("vec")).as("n"))
-      .crossJoin(broadcast(seeds.select(col("id").as("cell_id"), col("vec").as("cell_vec"),
-        norm(col("vec")).as("cn"))))
-      .select(col("id"), col("vec"), col("cell_id"),
-        (dot(col("vec"), col("cell_vec")) / (col("n") * col("cn"))).as("cell_cos"))
-    withCos.groupBy(col("id"))
-      .agg(
-        min_by(struct(col("cell_id"), col("vec")),
-          struct((-col("cell_cos")).as("neg"), col("cell_id"))).as("best"))
-      .select(col("id"), col("best.cell_id").as("cell_id"), col("best.vec").as("vec"))
+    // Round 17 (guide §2.4 — remove shuffles outright): the old plan fanned
+    // the corpus out ×k against the broadcast seeds and folded it back with
+    // a groupBy(id) min_by — one exchange whose tiny byte size made AQE
+    // collapse the downstream stage to a single task. Instead the seed set
+    // collapses to ONE broadcast row of (cell_id, centroid, norm) sorted by
+    // cell_id, and the nearest-centroid pick is an in-row fold: the same
+    // per-pair cosine arithmetic (sequential dot, norms computed once),
+    // evaluated in ascending cell_id order with strict-improvement
+    // replacement — exactly the (−cos, cell_id) struct-min, assuming no NaN
+    // scores (zero/NaN-free vectors, the cross-engine parity precondition
+    // the operator already carries). Column-preserving: output = input +
+    // `cell_id`, so callers can fuse downstream stages shuffle-free.
+    val cellRow = seeds
+      .select(col("id").as("cell_id"), col("vec").as("cell_vec"),
+        norm(col("vec")).as("cn"))
+      .agg(sort_array(collect_list(
+        struct(col("cell_id"), col("cell_vec"), col("cn")))).as("cbs"))
+    def score(c: Column): Column =
+      dot(col("vec"), c.getField("cell_vec")) / (norm(col("vec")) * c.getField("cn"))
+    val first = element_at(col("cbs"), 1)
+    val best = aggregate(
+      slice(col("cbs"), lit(2), greatest(size(col("cbs")) - 1, lit(0))),
+      struct(score(first).as("cos"), first.getField("cell_id").as("cell_id")),
+      (acc, c) => when(score(c) > acc.getField("cos"),
+          struct(score(c).as("cos"), c.getField("cell_id").as("cell_id")))
+        .otherwise(acc))
+    vectors.crossJoin(broadcast(cellRow))
+      .withColumn("cell_id", best.getField("cell_id"))
+      .drop("cbs")
   }
 
   /** Candidate (q_id, n_id) pairs from a banded-signature frame
@@ -114,32 +133,52 @@ object Similarity {
     * `seeds` vectors as each subspace's codebook (deterministic seeds,
     * the sim02 convention), assign every sub-vector its nearest code by
     * reduced L2 (`c·c − 2·s·c`, the per-vector constant s·s dropped —
-    * identical argmin, mirrored textually in the SQL oracle), and return
-    * `(id, rvec)` where rvec is the concatenated codeword reconstruction.
+    * identical argmin, mirrored textually in the SQL oracle), and add an
+    * `rvec` column holding the concatenated codeword reconstruction.
     *
-    * Scale shape: the codebook (subspaces·seeds rows) broadcasts; encode
-    * is a broadcast join + one map-side-combinable min_by per (vector,
-    * subspace) — the corpus never shuffles on anything but its own id. A
-    * codebook-scheme change edits exactly here (+ [[graft.queries
-    * .ExtQueries.pqSqlCtes]], its SQL mirror).
+    * Scale shape: the codebook (subspaces·seeds entries) broadcasts as a
+    * single sorted array row; encode+reconstruct is an in-row fold — the
+    * corpus never shuffles at all. A codebook-scheme change edits exactly
+    * here (+ [[graft.queries.ExtQueries.pqSqlCtes]], its SQL mirror).
     */
   def pqReconstruct(e: DataFrame, subspaces: Int, subDim: Int, seeds: Int): DataFrame = {
-    val sub = e
-      .select(col("id"), explode(sequence(lit(0), lit(subspaces - 1))).as("m"), col("vec"))
-      .select(col("id"), col("m"),
-        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("sv"))
-    val cb = sub.filter(col("id") < seeds)
-      .select(col("m"), col("id").cast("int").as("code"), col("sv").as("cv"))
-    val dkey = dot(col("cv"), col("cv")) - lit(2.0) * dot(col("sv"), col("cv"))
-    val enc = sub.join(broadcast(cb), Seq("m"))
-      .select(col("id"), col("m"), col("code"), dkey.as("dkey"))
-      .groupBy(col("id"), col("m"))
-      .agg(min_by(col("code"), struct(col("dkey"), col("code"))).as("code"))
-    enc.join(broadcast(cb), Seq("m", "code"))
-      .groupBy(col("id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("m"), col("cv")))),
-        x => x.getField("cv"))).as("rvec"))
+    // Round 17 (guide §2.4): the old plan exploded the corpus ×subspaces,
+    // fanned it ×seeds against the broadcast codebook, and folded back with
+    // TWO keyed aggregates — whose small exchanges AQE collapsed to
+    // single-task stages that then carried all downstream ADC math. The
+    // codebook is dimension-sized, so it now collapses to ONE broadcast row
+    // of (m, code, cv) sorted by (m, code), and encode+reconstruct is an
+    // in-row fold per subspace: the same reduced-L2 key (c·c − 2·s·c, same
+    // slice expressions) scanned in ascending code order with strict-
+    // improvement replacement — exactly the (dkey, code) min_by, assuming
+    // NaN-free vectors (the operator's standing parity precondition).
+    // Column-preserving: output = input + `rvec` — zero exchanges, so
+    // callers fuse cell assignment, posting build and ADC in one stage.
+    val cbRow = e.filter(col("id") < seeds)
+      .select(col("id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("m"), col("vec"))
+      .select(col("m"), col("code"),
+        slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("cv"))
+      .agg(sort_array(collect_list(
+        struct(col("m"), col("code"), col("cv")))).as("cbs"))
+    val rvec = flatten(transform(sequence(lit(0), lit(subspaces - 1)), m => {
+      val sv = slice(col("vec"), m * subDim + 1, lit(subDim))
+      def dkey(c: Column): Column =
+        dot(c.getField("cv"), c.getField("cv")) -
+          lit(2.0) * dot(sv, c.getField("cv"))
+      val cands = filter(col("cbs"), c => c.getField("m") === m)
+      val first = element_at(cands, 1)
+      aggregate(
+        slice(cands, lit(2), greatest(size(cands) - 1, lit(0))),
+        struct(dkey(first).as("dkey"), first.getField("cv").as("cv")),
+        (acc, c) => when(dkey(c) < acc.getField("dkey"),
+            struct(dkey(c).as("dkey"), c.getField("cv").as("cv")))
+          .otherwise(acc))
+        .getField("cv")
+    }))
+    e.crossJoin(broadcast(cbRow))
+      .withColumn("rvec", rvec)
+      .drop("cbs")
   }
 
   def bandedPairsCapped(banded: DataFrame, cap: Int): DataFrame = {

@@ -76,7 +76,7 @@ object SimQueries {
           .select(col("id").as("q_id"), col("cell_id"), col("vec").as("q_vec"))
         val cand = cells.select(col("id").as("n_id"), col("cell_id"), col("vec").as("n_vec"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-        q.join(cand, Seq("cell_id"))
+        broadcast(q).join(cand, Seq("cell_id"))
           .filter(col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("cell_id"), col("n_id"),
             Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
@@ -340,8 +340,10 @@ object SimQueries {
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
           .transform(graft.core.Caches.persist)
-        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
-        val corpus = rec.join(e, Seq("id"))
+        // pqReconstruct is column-preserving since round 17 — the exact
+        // vector rides along, so the old rec⋈e re-attach join (two small
+        // exchanges AQE collapsed to one task) is gone
+        val corpus = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
           .select(col("id").as("n_id"), col("rvec"), col("vec").as("n_vec"))
         val q = e.filter(col("id") < 20)
           .select(col("id").as("q_id"), col("vec").as("q_vec"))
@@ -407,13 +409,13 @@ object SimQueries {
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
           .transform(graft.core.Caches.persist)
-        // coarse quantizer: 16 deterministic seed centroids (sim02 shape)
-        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
-        // PQ codebook + encode + reconstruct: the single shared stage
-        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
-        // inverted lists: cell_id → (n_id, reconstructed vector)
-        val posting = cells.select(col("id").as("n_id"), col("cell_id"))
-          .join(rec.select(col("id").as("n_id"), col("rvec")), Seq("n_id"))
+        // coarse quantizer + PQ reconstruct, both column-preserving in-row
+        // projections since round 17: the inverted list fuses into ONE
+        // shuffle-free stage instead of an n_id join of two aggregates
+        val posting = Similarity.pqReconstruct(
+            Similarity.assignCells(e, e.filter(col("id") < 16)),
+            subspaces = 8, subDim = 8, seeds = 16)
+          .select(col("id").as("n_id"), col("cell_id"), col("rvec"))
         // query routing: nprobe=2 best cells by centroid cosine
         val seeds = e.filter(col("id") < 16)
           .select(col("id").as("cell_id"), col("vec").as("cell_vec"))
@@ -439,7 +441,8 @@ object SimQueries {
         // exact re-rank: true vectors re-attach by keyed join (top-8 only)
         val rw = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id").asc)
-        short.join(e.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+        broadcast(short)
+          .join(e.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
           .select(col("q_id"), col("n_id"), col("adc"),
             Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
           .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
@@ -561,6 +564,7 @@ object SimQueries {
         val eps = 1e-9
         val dmax = math.sqrt(2.0 - 2.0 * tau) + eps
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
         val seeds = e.filter(col("id") < 16)
           .select(col("id").as("cell_id"), col("vec").as("cvec"))
@@ -587,7 +591,8 @@ object SimQueries {
           .crossJoin(broadcast(seeds.join(radii, Seq("cell_id"))))
           .filter(sphereDist(col("q_vec"), col("cvec")) - col("r") <= lit(dmax))
           .select(col("q_id"), col("q_vec"), col("qn"), col("cell_id"))
-        probe.join(members.select(col("cell_id"), col("n_id"), col("n_vec"), col("nn")),
+        broadcast(probe)
+          .join(members.select(col("cell_id"), col("n_id"), col("n_vec"), col("nn")),
             Seq("cell_id"))
           .select(col("q_id"), col("n_id"),
             (Similarity.dot(col("q_vec"), col("n_vec")) / (col("qn") * col("nn")))
@@ -623,10 +628,11 @@ object SimQueries {
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
           .transform(graft.core.Caches.persist)
-        val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
-        val rec = Similarity.pqReconstruct(e, subspaces = 8, subDim = 8, seeds = 16)
-        val posting = cells.select(col("id").as("n_id"), col("cell_id"))
-          .join(rec.select(col("id").as("n_id"), col("rvec")), Seq("n_id"))
+        // fused shuffle-free posting build (the sim09 round-17 shape)
+        val posting = Similarity.pqReconstruct(
+            Similarity.assignCells(e, e.filter(col("id") < 16)),
+            subspaces = 8, subDim = 8, seeds = 16)
+          .select(col("id").as("n_id"), col("cell_id"), col("rvec"))
         // ship: postings → Arrow IPC shards → reload. Shard key is
         // `n_id DIV rowsPerShard` (TarQueries' `doc_id DIV 8` pattern):
         // per-shard row count is CAPPED at rowsPerShard regardless of
@@ -682,7 +688,8 @@ object SimQueries {
           .withColumn("srn", row_number().over(sw)).filter(col("srn") <= 8)
         val rw = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id").asc)
-        short.join(e.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+        broadcast(short)
+          .join(e.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
           .select(col("q_id"), col("n_id"), col("adc"),
             Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
           .withColumn("rnk", row_number().over(rw)).filter(col("rnk") <= 3)
