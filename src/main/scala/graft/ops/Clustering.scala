@@ -96,7 +96,8 @@ object Clustering {
         col("v").as("v_a"), col("n").as("n_a"))
       val b = src.select(col("cid"), col("vec_id").as("id_b"),
         col("v").as("v_b"), col("n").as("n_b"))
-      a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      a.repartition(src.sparkSession.sparkContext.defaultParallelism, col("cid"))
+        .join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
     }
 
     def drops(pairs: DataFrame): DataFrame = pairs

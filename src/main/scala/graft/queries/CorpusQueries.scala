@@ -169,6 +169,7 @@ object CorpusQueries {
         import s.implicits._
         val k = 4
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)

@@ -26,6 +26,7 @@ object GraphQueries {
     // fan-out is the pair count itself. Sorted sets yield u<v directly.
     val adj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(s.sparkContext.defaultParallelism, col("o"))
       .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
     val ps = col("ps")
     val pairs = flatten(transform(ps, (a, i) =>
@@ -113,6 +114,7 @@ object GraphQueries {
         val e = copurchaseEdges(s, d).transform(graft.core.Caches.persist)
         val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+          .transform(graft.core.Caches.persist) // feeds BOTH orientation joins + n_nodes
         val ord = e
           .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
           .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
@@ -128,7 +130,9 @@ object GraphQueries {
         // two, and the sorted list gives u<v directly. Out-degrees are
         // bounded by the degree orientation, so the in-row fan-out is the
         // wedge count itself — never more.
-        val adj = ord.groupBy(col("s")).agg(sort_array(collect_list(col("t"))).as("ts"))
+        val adj = ord
+          .repartition(s.sparkContext.defaultParallelism, col("s"))
+          .groupBy(col("s")).agg(sort_array(collect_list(col("t"))).as("ts"))
         val ts = col("ts")
         val wedgePairs = flatten(transform(ts, (t1, i) =>
           transform(slice(ts, i + 2, greatest(size(ts) - i - 1, lit(0))),
@@ -222,6 +226,7 @@ object GraphQueries {
         val baskets = Tables.lineitem(s, d)
           .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+          .repartition(s.sparkContext.defaultParallelism, col("ok"))
           .groupBy(col("ok"))
           .agg(sort_array(collect_set(col("item"))).as("items"))
           .transform(graft.core.Caches.persist) // baskets feed n/i/pr without a re-scan

@@ -59,6 +59,7 @@ object MixtureQueries {
       "clust01_kmeans",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
@@ -89,6 +90,7 @@ object MixtureQueries {
       "dedup09_semdedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         val assigned = Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
@@ -405,6 +407,7 @@ object MixtureQueries {
       "clust02_inertia",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         val (assigned, cents) = Clustering.kmeansWithCents(e, KmeansK, KmeansDim, iters = 2)

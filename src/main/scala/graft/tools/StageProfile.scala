@@ -22,6 +22,7 @@ object StageProfile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.local.dir", graft.core.Scratch.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,7 +48,7 @@ object StageProfile {
       val fn = graft.SparkEntry.queries(name)
       fn(spark, sfDir).count() // warm: codegen + JIT
       graft.core.Caches.release()
-      Thread.sleep(200)
+      Thread.sleep(1500) // let the warm run's stage events fully drain
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
