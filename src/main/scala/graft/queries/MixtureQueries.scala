@@ -225,49 +225,47 @@ object MixtureQueries {
     GraftQuery(
       "mix03_water_filling",
       (s, d) => {
-        // persist the mixture-sized table (≤ #groups rows): each round's
-        // scalar aggregates (pool, leftover) re-evaluate their input — and
-        // the rounds NEST — so without this the corpus groupBy would re-run
-        // a lineage-exponential number of times (measured 6.5 s → 0.4 s at
-        // sf0.1); same for each round's 97-row state below
+        // Round 17: the rounds' scalar aggregates (pool, leftover, the
+        // final residual) are GLOBAL WINDOW sums over the ≤ #groups-row
+        // mixture table instead of agg → broadcast → crossJoin — the same
+        // exact BIGINT arithmetic, but the whole 3-round fixed point is now
+        // ONE single-partition pipeline (the table is mixture-sized by
+        // construction) instead of ~12 scalar-aggregate jobs with
+        // per-round persists (measured 3.6 s → ~0.5 s at sf0.1).
         val c = Tables.documents(s, d)
           .groupBy(col("lang"), col("source"))
           .agg(sum(col("n_chars")).as("chars"))
           .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
-          .transform(graft.core.Caches.persist)
-        val b = c.agg(expr("sum(chars) div 2").as("B"))
-        val w0 = c.crossJoin(broadcast(b))
+        val w0 = c
+          .withColumn("B", expr("(sum(chars) OVER ()) div 2"))
           .withColumn("cum", lit(0L)).withColumn("sat", lit(false))
 
-        def round1(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val stats = w.agg(
-            (max(col("B")) - sum(col("cum"))).as("R"),
-            coalesce(sum(when(!col("sat"), col("sm"))), lit(0L)).as("T"))
-          val j = w.crossJoin(broadcast(stats))
+        def round1(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          w
+            .withColumn("R", expr("max(B) OVER () - sum(cum) OVER ()"))
+            .withColumn("T", expr(
+              "coalesce(sum(CASE WHEN NOT sat THEN sm END) OVER (), CAST(0 AS BIGINT))"))
             .withColumn("base", when(col("sat") || col("T") === 0, lit(0L))
               .otherwise(expr("(R * sm) div T")))
             .withColumn("rem", when(col("sat") || col("T") === 0, lit(-1L))
               .otherwise(expr("(R * sm) % T")))
-          val lo = j.agg((max(col("R")) - sum(col("base"))).as("lo"))
-          val want = col("cum") + col("base") +
-            when(!col("sat") && col("T") > 0 && col("rk") <= col("lo"), 1L)
-              .otherwise(0L)
-          j.crossJoin(broadcast(lo))
+            .withColumn("lo", expr("max(R) OVER () - sum(base) OVER ()"))
             .withColumn("rk", row_number().over(
               Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+            .withColumn("want", col("cum") + col("base") +
+              when(!col("sat") && col("T") > 0 && col("rk") <= col("lo"), 1L)
+                .otherwise(0L))
             .select(col("lang"), col("source"), col("chars"), col("sm"), col("B"),
-              least(want, col("chars")).as("cum"),
-              (col("sat") || want >= col("chars")).as("sat"))
-            .transform(graft.core.Caches.persist)
-        }
+              least(col("want"), col("chars")).as("cum"),
+              (col("sat") || col("want") >= col("chars")).as("sat"))
 
-        val fin = round1(round1(round1(w0)))
-        val un = fin.agg((max(col("B")) - sum(col("cum"))).as("unallocated"))
-        fin.crossJoin(broadcast(un)).select(
-          col("lang"), col("source"), col("chars"), col("cum").as("quota"),
-          col("sat").cast("int").as("saturated"),
-          round(col("cum") * 1000000.0 / col("chars")).cast("long").as("fill_ppm"),
-          col("unallocated"))
+        round1(round1(round1(w0)))
+          .withColumn("unallocated", expr("max(B) OVER () - sum(cum) OVER ()"))
+          .select(
+            col("lang"), col("source"), col("chars"), col("cum").as("quota"),
+            col("sat").cast("int").as("saturated"),
+            round(col("cum") * 1000000.0 / col("chars")).cast("long").as("fill_ppm"),
+            col("unallocated"))
       },
       Some {
         def rnd(prev: String, n: Int): String = {
@@ -320,40 +318,37 @@ object MixtureQueries {
     GraftQuery(
       "mix04_anneal",
       (s, d) => {
-        val c = Tables.documents(s, d)
+        // Round 17 (the mix03 shape): every phase scalar (totals, budgets,
+        // leftovers) is a GLOBAL WINDOW sum over the mixture-sized table —
+        // identical exact-BIGINT arithmetic, one single-partition pipeline
+        // instead of six scalar-aggregate broadcast jobs with persists.
+        val qw = Window.orderBy(col("mlen").desc, col("lang"), col("source"))
+        val w = Tables.documents(s, d)
           .groupBy(col("lang"), col("source"))
           .agg(sum(col("n_chars")).as("chars"), count(lit(1)).as("docs"))
           .withColumn("sm", round(sqrt(col("chars")) * 1000000.0).cast("long"))
           .withColumn("mlen", expr("chars div docs"))
-          .transform(graft.core.Caches.persist)
-        val tot = c.agg(expr("sum(chars) div 2").as("B"), count(lit(1)).as("ng"))
-        val qw = Window.orderBy(col("mlen").desc, col("lang"), col("source"))
-        val w = c.crossJoin(broadcast(tot))
+          .withColumn("B", expr("(sum(chars) OVER ()) div 2"))
+          .withColumn("ng", expr("count(1) OVER ()"))
           .withColumn("rkq", row_number().over(qw))
           .withColumn("boost", expr("CASE WHEN rkq <= (ng + 1) div 2 THEN 1 ELSE 0 END"))
           .withColumn("wa", col("chars") * when(col("boost") === 1, lit(3L)).otherwise(lit(1L)))
           .withColumn("b_pre", expr("(B * 9) div 10"))
           .withColumn("b_ann", expr("B - (B * 9) div 10"))
-          .transform(graft.core.Caches.persist)
         // pretrain phase: largest-remainder over sm
-        val tp = w.agg(sum(col("sm")).as("tpre"))
-        val ap = w.crossJoin(broadcast(tp))
-          .withColumn("basep", expr("(b_pre * sm) div tpre"))
-          .withColumn("remp", expr("(b_pre * sm) % tpre"))
-        val lp = ap.agg((max(col("b_pre")) - sum(col("basep"))).as("lop"))
-        val qp = ap.crossJoin(broadcast(lp))
+        val qp = w
+          .withColumn("basep", expr("(b_pre * sm) div (sum(sm) OVER ())"))
+          .withColumn("remp", expr("(b_pre * sm) % (sum(sm) OVER ())"))
+          .withColumn("lop", expr("max(b_pre) OVER () - sum(basep) OVER ()"))
           .withColumn("rkp", row_number().over(
             Window.orderBy(col("remp").desc, col("lang"), col("source"))))
           .withColumn("q_pre",
             col("basep") + when(col("rkp") <= col("lop"), 1L).otherwise(0L))
-          .transform(graft.core.Caches.persist)
         // anneal phase: largest-remainder over the boosted weights
-        val ta = w.agg(sum(col("wa")).as("tann"))
-        val aa = qp.crossJoin(broadcast(ta))
-          .withColumn("basea", expr("(b_ann * wa) div tann"))
-          .withColumn("rema", expr("(b_ann * wa) % tann"))
-        val la = aa.agg((max(col("b_ann")) - sum(col("basea"))).as("loa"))
-        aa.crossJoin(broadcast(la))
+        qp
+          .withColumn("basea", expr("(b_ann * wa) div (sum(wa) OVER ())"))
+          .withColumn("rema", expr("(b_ann * wa) % (sum(wa) OVER ())"))
+          .withColumn("loa", expr("max(b_ann) OVER () - sum(basea) OVER ()"))
           .withColumn("rka", row_number().over(
             Window.orderBy(col("rema").desc, col("lang"), col("source"))))
           .withColumn("q_ann",
