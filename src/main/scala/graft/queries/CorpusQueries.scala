@@ -109,8 +109,13 @@ object CorpusQueries {
           .select(TA.hash60(concat(lit("su:"), col("k").cast("string"))).as("h"))
           .distinct().orderBy(col("h")).limit(k)
         val li = Tables.lineitem(s, d)
-        val a = li.filter(col("l_shipdate") < split).select(col("l_orderkey").as("k")).distinct()
-        val b = li.filter(col("l_shipdate") >= split).select(col("l_orderkey").as("k")).distinct()
+        // each segment feeds BOTH its bottom-k sketch and the exact joint
+        // count — persist the distinct key sets so lineitem scans once per
+        // segment, not twice (4 corpus scans -> 2)
+        val a = li.filter(col("l_shipdate") < split).select(col("l_orderkey").as("k"))
+          .distinct().transform(graft.core.Caches.persist)
+        val b = li.filter(col("l_shipdate") >= split).select(col("l_orderkey").as("k"))
+          .distinct().transform(graft.core.Caches.persist)
         val ka = bottomK(a).transform(graft.core.Caches.persist)
         val kb = bottomK(b).transform(graft.core.Caches.persist)
         val un = ka.union(kb).distinct().orderBy(col("h")).limit(k).transform(graft.core.Caches.persist)

@@ -340,6 +340,7 @@ object DeconQueries {
           graft.ops.Hash60Kernel.fold(graft.ops.Hash60Kernel.digest().digest(
             x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
         val base = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("lang"), col("text"),
             TA.tokenCount(col("text")).cast("long").as("n_tok"),
             (col("doc_id") % 97 === 0).as("is_eval"))

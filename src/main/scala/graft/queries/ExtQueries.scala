@@ -301,7 +301,9 @@ object ExtQueries {
           "doc_id", JaccardBlockCap)
         val sets = docs.select(col("doc_id"), col("sh"))
         cand
+          .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
           .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_b"))
           .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
