@@ -596,8 +596,10 @@ object ExtQueries {
         val pairs = Dedup.bandedPairsCappedOrdered(bandedKeys(docs, "doc_id"),
           "doc_id", JaccardBlockCap)
         val joined = pairs
+          .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
           .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
             col("sig").as("sig_a")), Seq("doc_a"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_b"))
           .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
             col("sig").as("sig_b")), Seq("doc_b"))
         val nMatch = aggregate(

@@ -163,6 +163,8 @@ object VocabQueries {
         val vocab = bpeTrain(s, d)._2
           .select(col("token"), size(split(trim(col("seq")), "  ")).as("n_syms"))
         val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("token"))
           .filter(col("token") =!= "")
         toks.join(broadcast(vocab), "token")
@@ -215,7 +217,9 @@ object VocabQueries {
         val vocab = bpeTrainWords(bytePieceWords(s, d))._2
           .select(col("token"), size(split(trim(col("seq")), "  ")).as("n_syms"))
         val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .as[(Long, String)]
           .flatMap { case (id, t) => graft.ops.ByteBpe.pieces(t).map((id, _)) }
           .toDF("doc_id", "token")
           .filter(col("token") =!= "")

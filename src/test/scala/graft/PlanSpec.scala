@@ -436,22 +436,27 @@ class PlanSpec extends SparkSpec {
     noCountOverWindow(p)
   }
 
-  test("sim07: codebook joins broadcast; only the ADC probe is the nested-loop scan") {
+  test("sim07: PQ encode is an in-row fold; only the ADC probe is the nested-loop scan") {
     val p = planOf("sim07_pq_adc")
-    // encode + reconstruction join the 128-row codebook → broadcast hash;
-    // the ADC stage is broadcast(20 queries) × corpus — the sim01 shape
-    assert(p.contains("BroadcastHashJoin"), p)
+    // round 17: the codebook collapses to ONE broadcast sorted-array row
+    // and encode+reconstruct is an in-row fold — no codebook join, no
+    // rec⋈e re-attach (pqReconstruct is column-preserving). The only join
+    // left is the ADC stage: broadcast(20 queries) × corpus, sim01 shape.
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("mix03: corpus agg is partial; every round's pool sums attach by broadcast") {
+  test("mix03: corpus agg is partial; the rounds are one join-free window pipeline") {
     val p = planOf("mix03_water_filling")
     // the only corpus-scale stage is the (lang, source) groupBy — map-side
-    // combined; the 3 water-filling rounds run on the mixture-sized table
-    // with 1-row broadcast joins for the pool/leftover scalars
+    // combined; since round 17 the 3 water-filling rounds run as GLOBAL
+    // WINDOW sums over the mixture-sized table — no joins of any kind
+    // (previously: a broadcast-join job per round scalar)
     assert(p.contains("partial_"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -508,10 +513,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("mix04: corpus agg is partial; phase totals attach by broadcast") {
+  test("mix04: corpus agg is partial; the phases are one join-free window pipeline") {
     val p = planOf("mix04_anneal")
     assert(p.contains("partial_sum"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -540,6 +546,7 @@ class PlanSpec extends SparkSpec {
     // every other query must carry a GlobalLimit/TakeOrdered below the
     // window — do NOT add entries here without a row-count argument)
     "mix02_epoch_plan" -> "frame = lang×source mixture table, ≤97 rows at any corpus size",
+    "mix03_water_filling" -> "frame = lang×source mixture table (≤97 rows) — the round-17 rewrite computes every round scalar (pool/leftover/residual) as a global window sum over it, replacing a broadcast-join job per scalar",
     "mix04_anneal" -> "frame = lang×source mixture table (≤97 rows) — the largest-remainder rank windows run after the corpus collapsed to one row per (lang, source)",
     "sketch06_hist_quantile" -> "frame = fixed-width price histogram bins — bounded by the value DOMAIN (|price range|/W), not by row count",
     "qc12_auc_audit" -> "frame = integer score histogram (n_chars DIV 16) — bounded by the score DOMAIN, not by row count",
