@@ -30,10 +30,19 @@ object DedupGraph {
     * every round, so convergence is O(log diameter) rounds, not O(diameter).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    // both directions in ONE scan of the (lazy, possibly expensive) edge plan
+    // Round 17: both directions PLUS self-loops in ONE scan of the (lazy,
+    // possibly expensive) edge plan. The self-loop rows make each node's
+    // OWN label ride the same message stream as its neighbors' — so every
+    // round is ONE join + ONE aggregate (min over messages = least(own,
+    // neighbor-min); the self row, tagged dst==src, carries the old label
+    // out of the same aggregate for the convergence accumulator) instead
+    // of the old message join + groupBy + second labels join. Self-loop
+    // duplicates (one per incident edge) are harmless under min/max.
     val bi = edges.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        struct(col("b").as("src"), col("a").as("dst")),
+        struct(col("a").as("src"), col("a").as("dst")),
+        struct(col("b").as("src"), col("b").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
       .persist()
     // NOTE on checkpoint storage: each round's localCheckpoint blocks stay
@@ -66,14 +75,20 @@ object DedupGraph {
         if (newL < oldL) acc.add(1L)
         newL
       }
-      val msgs = bi.join(labels, col("dst") === col("node"))
+      // ONE join + ONE aggregate per round (round 17): the self-loop rows
+      // carry each node's own label through the same message aggregate —
+      // min(label) over (self ∪ neighbors) ≡ the old least(own, nbr_min),
+      // and the self row's label (dst == src) is the old label the bump
+      // compares against. The old shape needed a second labels join for
+      // exactly those two values.
+      val stepped = bi.join(labels, col("dst") === col("node"))
         .groupBy(col("src"))
-        .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(msgs, col("node") === col("src"), "left")
+        .agg(
+          min(col("label")).as("newL"),
+          max(when(col("dst") === col("src"), col("label"))).as("oldL"))
         .select(
-          col("node"),
-          bump(least(col("label"), coalesce(col("nbr_min"), col("label"))),
-            col("label")).as("label"))
+          col("src").as("node"),
+          bump(col("newL"), col("oldL")).as("label"))
         .localCheckpoint() // truncate iteration lineage (cluster: checkpoint)
       converged = acc.value == 0L
       // pointer jump: label ← label(label) over the CHECKPOINTED step (a
