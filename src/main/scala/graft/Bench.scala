@@ -189,17 +189,26 @@ object Bench {
       "\"" + k + "\":[" + ss.map(s => r2d(s.spin)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"t":$tJson,"spin":$spinJson,"spin_base":${r2d(spinBase)},"spin_ratio":$ratio,"protocol":"two-pass+retry","noisy":$noisyJson,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
+    // Round 18 (VERDICT r17 item 2): stdout gets a LEAN line — per-query
+    // best seconds + the headline totals only. The full per-sample record
+    // (runs/load/t/spin pairs, the self-adjudication evidence) goes to the
+    // durable file below. Rationale: the driver's stdout capture keeps only
+    // the TAIL of the line, and with 300+ queries the full record overflowed
+    // it twice (BENCH_r08, BENCH_r16 → `parsed: null`, no round-over-round
+    // table). The lean line is ~10 KB and parses whole. Timing path,
+    // protocol, and query set are UNCHANGED.
+    val line = s"""{"unit":"sec","queries":$qs,"spin_base":${r2d(spinBase)},"spin_ratio":$ratio,"protocol":"two-pass+retry","noisy":$noisyJson,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
+    val fullLine = s"""{"unit":"sec","queries":$qs,"runs":$runsJson,"load":$loadJson,"t":$tJson,"spin":$spinJson,"spin_base":${r2d(spinBase)},"spin_ratio":$ratio,"protocol":"two-pass+retry","noisy":$noisyJson,"sf":"$sfDir","metric":"total","failed":$failed,"value":$total}"""
     println(line)
     // durable copy: the stdout capture truncated BENCH_r08.json's single
-    // line to an unparseable tail, so the same JSON also lands in a file
+    // line to an unparseable tail, so the FULL JSON also lands in a file
     // (argv override, else target/bench.json) — BASELINE.md protocol
     val outPath = args.headOption.getOrElse("target/bench.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -15,10 +15,17 @@ package graft.core
   * no tmpfs is present so the setting is inert elsewhere.
   */
 object Scratch {
+  /** tmpfs is only chosen when it has generous headroom (ADVICE r17):
+    * shuffle/spill landing in RAM under memory pressure fails with ENOSPC
+    * exactly when spill-to-disk matters, so require 16 GiB usable — far
+    * above any test-SF shuffle volume, and an order of magnitude below the
+    * sandbox's 126 GiB /dev/shm, so the bench behavior is unchanged there.
+    */
   def localDir: String =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local"
+      if (shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace > (16L << 30)) "/dev/shm/graft-spark-local"
       else System.getProperty("java.io.tmpdir")
     }
 }

@@ -75,7 +75,7 @@ object DocumentEtl {
     // branch-decision aggregate, the wide table itself) — persist it, and
     // spread single-file inputs across cores first (CPU-bound UDF).
     val recs = extract(
-      docs.repartition(spark.sparkContext.defaultParallelism))
+      docs.transform(graft.core.Par.spread))
       .transform(graft.core.Caches.persistLevel(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (wide, cols) = pivot(spark, recs)

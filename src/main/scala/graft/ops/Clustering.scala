@@ -26,50 +26,74 @@ object Clustering {
 
   val Quant: Double = 1048576.0 // 2^20 — centroid component quantization
 
-  /** per-centroid squared distances, same association in both engines. */
-  private def distsTo(v: Column, cents: Seq[(Int, Array[Double])]): Seq[(Int, Column)] = {
-    val dvv = Similarity.dot(v, v)
+  /** per-centroid squared distances, same association in both engines;
+    * `dvv` is the row's self-dot, bound ONCE per row by the callers.
+    */
+  private def distsTo(v: Column, dvv: Column,
+      cents: Seq[(Int, Array[Double])]): Seq[(Int, Column)] =
     cents.map { case (cid, c) =>
       // c·c folded sequentially on the driver — same left-to-right order
       // as the engines' list dot products
       val dcc = c.foldLeft(0.0)((acc, x) => acc + x * x)
       cid -> ((dvv + lit(dcc)) - lit(2.0) * Similarity.dotLit(v, c))
     }
-  }
 
-  /** argmin cluster id over centroid literals for a double-array column. */
+  /** argmin cluster id over centroid literals for a double-array column.
+    *
+    * Round 18 (guide §1.2 step 2 — per-task work): the old form evaluated
+    * every distance ~k+1 times per row (once inside the `least` chain, once
+    * per `when(dist === best)` arm — and `best` itself was re-inlined into
+    * every arm), i.e. O(k²) sequential dot folds per row. Now the row's
+    * self-dot binds once, the k distances are computed exactly once into an
+    * array, and the pick is `array_position(d, array_min(d))` — the FIRST
+    // index of the minimum, which is the old foldRight's lowest-cid
+    * tie-break verbatim (cents are sorted by cid). Identical per-distance
+    * arithmetic: (dvv + c·c) − 2·(v·c), same association.
+    */
   def assign(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
-    val dists = distsTo(v, cents)
-    val best = dists.map(_._2).reduce(least(_, _))
-    dists.foldRight(lit(-1)) { case ((cid, dist), el) =>
-      when(dist === best, lit(cid)).otherwise(el)
-    } // foldRight → first (lowest-cid) match wins on ties
+    val cidArr = array(cents.map(c => lit(c._1)): _*)
+    Similarity.bind1(Similarity.dot(v, v)) { dvv =>
+      val darr = array(distsTo(v, dvv, cents).map(_._2): _*)
+      Similarity.bind1(darr) { da =>
+        element_at(cidArr, array_position(da, array_min(da)).cast("int"))
+      }
+    }
   }
 
   /** squared distance to the NEAREST centroid — what the assignment ranked
-    * on; the per-row unit of inertia (model QC).
+    * on; the per-row unit of inertia (model QC). Same single-evaluation
+    * shape as [[assign]]; `array_min` over the identical distance values is
+    * the old `least` chain's result verbatim.
     */
   def minDist(v: Column, cents: Seq[(Int, Array[Double])]): Column =
-    distsTo(v, cents).map(_._2).reduce(least(_, _))
+    Similarity.bind1(Similarity.dot(v, v)) { dvv =>
+      array_min(array(distsTo(v, dvv, cents).map(_._2): _*))
+    }
 
   /** one update step: quantized per-dimension means of the assigned
     * vectors, collected to driver literals (k·dim values).
+    *
+    * Round 18 (guide §2.3 — aggregate before you shuffle / don't explode):
+    * the old form posexploded the corpus ×dim and hash-aggregated dim·N
+    * rows into (cid, d) cells; now ONE groupBy(cid) computes the dim
+    * per-dimension sums as dim aggregate expressions over the un-exploded
+    * rows — same exact quantized-integer sums per (cid, d), same means,
+    * dim× fewer aggregate input rows and no explode allocation.
     */
-  def updateCentroids(assigned: DataFrame, dim: Int): Seq[(Int, Array[Double])] =
+  def updateCentroids(assigned: DataFrame, dim: Int): Seq[(Int, Array[Double])] = {
+    val sums = (0 until dim).map(dd =>
+      sum(round(element_at(col("v"), dd + 1) * Quant).cast("long")).as(s"s$dd"))
     assigned
-      .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("cid"), col("d"))
-      .agg(sum(round(col("x") * Quant).cast("long")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
       .collect()
-      .map(r => (r.getAs[Int]("cid"), r.getAs[Int]("d"),
-        (r.getAs[Long]("sq") / Quant) / r.getAs[Long]("n")))
-      .groupBy(_._1)
-      .map { case (cid, rows) =>
-        val c = new Array[Double](dim)
-        rows.foreach { case (_, d, x) => c(d) = x }
-        cid -> c
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        r.getAs[Int]("cid") ->
+          Array.tabulate(dim)(dd => (r.getAs[Long](s"s$dd") / Quant) / n)
       }
       .toSeq.sortBy(_._1)
+  }
 
   /** SemDeDup drop set: ids dropped as near-duplicates (cosine ≥ `minCos`
     * against a lower-id vector in the SAME cluster). The common case is the
@@ -96,7 +120,7 @@ object Clustering {
         col("v").as("v_a"), col("n").as("n_a"))
       val b = src.select(col("cid"), col("vec_id").as("id_b"),
         col("v").as("v_b"), col("n").as("n_b"))
-      a.repartition(src.sparkSession.sparkContext.defaultParallelism, col("cid"))
+      graft.core.Par.byKey(a, col("cid"))
         .join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
     }
 
@@ -108,8 +132,12 @@ object Clustering {
     // hot-cluster decision from a schema-sized groupBy (≤ k rows), never a
     // count().over(Window) on the corpus
     val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("_cn"))
-    val hot = broadcast(sizes.filter(col("_cn") > threshold).select(col("cid")))
-    val anyHot = hot.limit(1).count() > 0
+    val hotIds = sizes.filter(col("_cn") > threshold).select(col("cid"))
+    // existence probe runs UN-hinted (a broadcast hint on a non-join query
+    // is dead and logs HintErrorLogger noise — ADVICE r17); the joins below
+    // get the hint on their own copy
+    val anyHot = hotIds.limit(1).count() > 0
+    val hot = broadcast(hotIds)
     if (!anyHot) return drops(allPairs(assigned))
 
     val small = assigned.join(hot, Seq("cid"), "left_anti")

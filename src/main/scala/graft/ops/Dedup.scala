@@ -227,10 +227,10 @@ object Dedup {
     def allPairs(src: DataFrame): DataFrame = {
       val a = src.select(col("doc_id").as("doc_a") +: (blocks :+ col("sh").as("sh_a")): _*)
       val b = src.select(col("doc_id").as("doc_b") +: (blocks :+ col("sh").as("sh_b")): _*)
-      // pin the block join at cluster parallelism: the per-pair jaccard
-      // math downstream is CPU-dense, and the small block exchange would
-      // otherwise AQE-coalesce onto one task (round 17)
-      a.repartition(src.sparkSession.sparkContext.defaultParallelism, blocks: _*)
+      // pin the block join at a data-size-derived width: the per-pair
+      // jaccard math downstream is CPU-dense, and the small block exchange
+      // would otherwise AQE-coalesce onto one task (round 17/18)
+      graft.core.Par.byKey(a, blocks: _*)
         .join(b, blockCols)
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))

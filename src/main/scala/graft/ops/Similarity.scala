@@ -23,6 +23,18 @@ object Similarity {
 
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Bind `v` — evaluated ONCE per row — as a lambda variable inside `body`.
+    * A plain `withColumn` hoist does not survive the optimizer here:
+    * CollapseProject re-inlines a single-use alias into the consuming
+    * expression, and when that consumer is a higher-order-function lambda
+    * the inlined tree re-evaluates PER ELEMENT. Routing the value through a
+    * 1-element `transform` makes it a lambda variable, which nothing can
+    * inline away (round 18, ADVICE r17: assignCells recomputed the row norm
+    * per candidate).
+    */
+  private[ops] def bind1(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -100,17 +112,25 @@ object Similarity {
         norm(col("vec")).as("cn"))
       .agg(sort_array(collect_list(
         struct(col("cell_id"), col("cell_vec"), col("cn")))).as("cbs"))
-    def score(c: Column): Column =
-      dot(col("vec"), c.getField("cell_vec")) / (norm(col("vec")) * c.getField("cn"))
-    val first = element_at(col("cbs"), 1)
-    val best = aggregate(
-      slice(col("cbs"), lit(2), greatest(size(col("cbs")) - 1, lit(0))),
-      struct(score(first).as("cos"), first.getField("cell_id").as("cell_id")),
-      (acc, c) => when(score(c) > acc.getField("cos"),
-          struct(score(c).as("cos"), c.getField("cell_id").as("cell_id")))
-        .otherwise(acc))
+    // Round 18 (ADVICE r17): the round-17 fold evaluated score(c) TWICE per
+    // candidate (when-condition + replacement struct) and recomputed the
+    // row norm inside every evaluation. Now: the row norm binds once per
+    // row (bind1), each candidate's cosine is computed exactly once inside
+    // a transform, and the pick is array_max over (cos, −cell_id) structs —
+    // max cos, ties to the LOWEST cell_id via the negated id, which is
+    // exactly the old ascending-scan strict-improvement fold (and the
+    // (−cos, cell_id) struct-min before it), assuming NaN-free scores (the
+    // operator's standing cross-engine parity precondition). The per-pair
+    // arithmetic is unchanged: same sequential dot, same single division by
+    // (row_norm · centroid_norm) — bit-identical scores, identical pick.
+    val best = bind1(norm(col("vec"))) { vn =>
+      array_max(transform(col("cbs"), c => struct(
+        (dot(col("vec"), c.getField("cell_vec")) / (vn * c.getField("cn")))
+          .as("cos"),
+        (-c.getField("cell_id")).as("nid"))))
+    }
     vectors.crossJoin(broadcast(cellRow))
-      .withColumn("cell_id", best.getField("cell_id"))
+      .withColumn("cell_id", -best.getField("nid"))
       .drop("cbs")
   }
 
@@ -154,28 +174,38 @@ object Similarity {
     // NaN-free vectors (the operator's standing parity precondition).
     // Column-preserving: output = input + `rvec` — zero exchanges, so
     // callers fuse cell assignment, posting build and ADC in one stage.
+    // Round 18 (ADVICE r17): the codebook row now carries each codeword's
+    // self-dot `cc` = cv·cv — a candidate-constant the round-17 fold
+    // re-derived per ROW per candidate (twice, in fact: dkey evaluated in
+    // both the when-condition and the replacement struct). `cc` is the same
+    // sequential-fold expression over the same cv, computed once at
+    // codebook-build time — bit-identical doubles.
     val cbRow = e.filter(col("id") < seeds)
       .select(col("id").cast("int").as("code"),
         explode(sequence(lit(0), lit(subspaces - 1))).as("m"), col("vec"))
       .select(col("m"), col("code"),
         slice(col("vec"), col("m") * subDim + 1, lit(subDim)).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
       .agg(sort_array(collect_list(
-        struct(col("m"), col("code"), col("cv")))).as("cbs"))
-    val rvec = flatten(transform(sequence(lit(0), lit(subspaces - 1)), m => {
-      val sv = slice(col("vec"), m * subDim + 1, lit(subDim))
-      def dkey(c: Column): Column =
-        dot(c.getField("cv"), c.getField("cv")) -
-          lit(2.0) * dot(sv, c.getField("cv"))
-      val cands = filter(col("cbs"), c => c.getField("m") === m)
-      val first = element_at(cands, 1)
-      aggregate(
-        slice(cands, lit(2), greatest(size(cands) - 1, lit(0))),
-        struct(dkey(first).as("dkey"), first.getField("cv").as("cv")),
-        (acc, c) => when(dkey(c) < acc.getField("dkey"),
-            struct(dkey(c).as("dkey"), c.getField("cv").as("cv")))
-          .otherwise(acc))
-        .getField("cv")
-    }))
+        struct(col("m"), col("code"), col("cv"), col("cc")))).as("cbs"))
+    // per subspace: the query sub-slice binds once (bind1 — a withColumn
+    // hoist would be CollapseProject-inlined back into the lambda), each
+    // candidate's reduced-L2 key is computed exactly once, and array_min
+    // over (dkey, code, cv) structs is the (dkey, code) min_by — codes are
+    // unique within a subspace, so the cv field never participates in the
+    // comparison; ties on dkey go to the lowest code, exactly the old
+    // ascending-code strict-improvement fold. NaN-free precondition as
+    // before. Same reduced-L2 key arithmetic: cc − 2·(sv·cv).
+    val rvec = flatten(transform(sequence(lit(0), lit(subspaces - 1)), m =>
+      bind1(slice(col("vec"), m * subDim + 1, lit(subDim))) { sv =>
+        array_min(transform(filter(col("cbs"), c => c.getField("m") === m),
+          c => struct(
+            (c.getField("cc") - lit(2.0) * dot(sv, c.getField("cv")))
+              .as("dkey"),
+            c.getField("code").as("code"),
+            c.getField("cv").as("cv"))))
+          .getField("cv")
+      }))
     e.crossJoin(broadcast(cbRow))
       .withColumn("rvec", rvec)
       .drop("cbs")

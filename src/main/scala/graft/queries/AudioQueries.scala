@@ -37,7 +37,7 @@ object AudioQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.mapPartitions { it =>
@@ -126,7 +126,7 @@ object AudioQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.map { case (id, text) =>
@@ -268,7 +268,7 @@ object AudioQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.map { case (id, text) =>

@@ -75,7 +75,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .flatMap { case (source, id, text) =>
             val cues = cuesFor(id, text)
@@ -116,7 +116,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val cues = cuesFor(id, text)
@@ -166,7 +166,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val cues = cuesFor(id, text)
@@ -228,7 +228,7 @@ object CaptionQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .flatMap { case (source, id, text) =>
             val cues = cuesFor(id, assSafe(text))

@@ -174,7 +174,7 @@ object CorpusQueries {
         import s.implicits._
         val k = 4
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)

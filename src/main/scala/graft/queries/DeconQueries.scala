@@ -226,7 +226,7 @@ object DeconQueries {
         val BandsN = 8
         val Rows = 2
         val toks = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("t"))
         val evalSide = toks.filter(col("doc_id") % 97 === 0)
           .select(col("doc_id"), col("lang"), lit(true).as("is_eval"),
@@ -340,7 +340,7 @@ object DeconQueries {
           graft.ops.Hash60Kernel.fold(graft.ops.Hash60Kernel.digest().digest(
             x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
         val base = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), col("lang"), col("text"),
             TA.tokenCount(col("text")).cast("long").as("n_tok"),
             (col("doc_id") % 97 === 0).as("is_eval"))

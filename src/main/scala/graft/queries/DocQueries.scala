@@ -32,7 +32,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val paras = Seq(s"title $id", text, s"meta\t$lang\nsrc $source")
@@ -72,7 +72,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val docx = graft.etl.DocxText.write(Seq(s"doc $id", text))
@@ -140,7 +140,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val words = text.trim.split("\\s+").toVector
@@ -189,7 +189,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val epub = graft.etl.EpubText.write(s"B$id", "en", Seq(text))
@@ -254,7 +254,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             import graft.etl.XlsxText._
@@ -310,7 +310,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             import graft.etl.XlsxText._
@@ -375,7 +375,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val deck = Seq(
@@ -415,7 +415,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val pptx = graft.etl.PptxText.write(Seq(Seq(s"doc $id", text)))
@@ -479,7 +479,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             val odt = graft.etl.OdtText.write(Seq(
@@ -519,7 +519,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             val odt = graft.etl.OdtText.write(Seq(s"doc $id", text))
@@ -665,7 +665,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"), col("lang"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String, String)]
           .map { case (source, id, text, lang) =>
             import graft.etl.OdsText._
@@ -718,7 +718,7 @@ object DocQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .as[(String, Long, String)]
           .map { case (source, id, text) =>
             import graft.etl.OdsText._

@@ -102,7 +102,7 @@ object ExtQueries {
       "dedup02_ngram_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(
           col("doc_id"), col("lang"), col("source"),
           Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
@@ -124,7 +124,7 @@ object ExtQueries {
       "dedup03_minhash_lsh",
       (s, d) => {
         val sigs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(
           col("doc_id"),
           Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
@@ -162,7 +162,7 @@ object ExtQueries {
         // stays the plain self-join). Fan-out is per (lang, band, 5-bit
         // key) bucket — linear in bucket size — never O(block²).
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(
           col("doc_id"), col("lang"),
           Dedup.simhash(Dedup.tokenHashes(col("text"))).as("sh"))
@@ -220,7 +220,7 @@ object ExtQueries {
       "dedup05_embedding",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(
           col("vec_id"), col("label"), embDouble(col("embedding")).as("v"))
           .withColumn("n", Similarity.norm(col("v")))
@@ -286,7 +286,7 @@ object ExtQueries {
       "dedup12_containment",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"),
             Dedup.shingleHashesFused(col("text"), Shingle).as("sh"),
             // fused one-pass signature (identical values to minhash(sh) —
@@ -301,9 +301,9 @@ object ExtQueries {
           "doc_id", JaccardBlockCap)
         val sets = docs.select(col("doc_id"), col("sh"))
         cand
-          .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
+          .transform(graft.core.Par.byKey(_, col("doc_a")))
           .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-          .repartition(s.sparkContext.defaultParallelism, col("doc_b"))
+          .transform(graft.core.Par.byKey(_, col("doc_b")))
           .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
@@ -339,7 +339,7 @@ object ExtQueries {
       "dedup07_components",
       (s, d) => {
         val sigs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(
             col("doc_id"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
@@ -392,7 +392,7 @@ object ExtQueries {
       "dedup13_canonical",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"),
             TA.tokenCount(col("text")).cast("long").as("n_toks"))
@@ -483,7 +483,7 @@ object ExtQueries {
         val idx = when(nChunks >= 1, sequence(lit(0), nChunks - 1))
           .otherwise(array().cast("array<int>"))
         Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), toks.as("toks"))
           .select(col("doc_id"),
             explode(transform(idx,
@@ -520,7 +520,7 @@ object ExtQueries {
       "dedup10_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), col("lang"),
             Dedup.shingleHashesFused(col("text"), Shingle).as("sh"))
           .withColumn("sig", Dedup.minhash(col("sh"), MinhashSeeds))
@@ -587,7 +587,7 @@ object ExtQueries {
       "qc07_minhash_accuracy",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"),
             Dedup.shingleHashesFused(col("text"), Shingle).as("sh"),
             Dedup.minhashSig(col("text"), Shingle, MinhashSeeds).as("sig"))
@@ -596,10 +596,10 @@ object ExtQueries {
         val pairs = Dedup.bandedPairsCappedOrdered(bandedKeys(docs, "doc_id"),
           "doc_id", JaccardBlockCap)
         val joined = pairs
-          .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
+          .transform(graft.core.Par.byKey(_, col("doc_a")))
           .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
             col("sig").as("sig_a")), Seq("doc_a"))
-          .repartition(s.sparkContext.defaultParallelism, col("doc_b"))
+          .transform(graft.core.Par.byKey(_, col("doc_b")))
           .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
             col("sig").as("sig_b")), Seq("doc_b"))
         val nMatch = aggregate(

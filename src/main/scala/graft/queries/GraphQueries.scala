@@ -26,7 +26,7 @@ object GraphQueries {
     // fan-out is the pair count itself. Sorted sets yield u<v directly.
     val adj = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .repartition(s.sparkContext.defaultParallelism, col("o"))
+      .transform(graft.core.Par.byKey(_, col("o")))
       .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
     val ps = col("ps")
     val pairs = flatten(transform(ps, (a, i) =>
@@ -131,7 +131,7 @@ object GraphQueries {
         // bounded by the degree orientation, so the in-row fan-out is the
         // wedge count itself — never more.
         val adj = ord
-          .repartition(s.sparkContext.defaultParallelism, col("s"))
+          .transform(graft.core.Par.byKey(_, col("s")))
           .groupBy(col("s")).agg(sort_array(collect_list(col("t"))).as("ts"))
         val ts = col("ts")
         val wedgePairs = flatten(transform(ts, (t1, i) =>
@@ -226,7 +226,7 @@ object GraphQueries {
         val baskets = Tables.lineitem(s, d)
           .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-          .repartition(s.sparkContext.defaultParallelism, col("ok"))
+          .transform(graft.core.Par.byKey(_, col("ok")))
           .groupBy(col("ok"))
           .agg(sort_array(collect_set(col("item"))).as("items"))
           .transform(graft.core.Caches.persist) // baskets feed n/i/pr without a re-scan

@@ -26,7 +26,7 @@ object MediaQueries {
       "mm01_media_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"),
             col("text").cast("binary").as("payload"),
             when(col("doc_id") % 2 === 0, "image/png").otherwise("video/mp4").as("mime"))
@@ -83,7 +83,7 @@ object MediaQueries {
       "mm02_resize_audit",
       (s, d) => {
         val imgs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           // empty payloads are excluded SYMMETRICALLY with the oracle: the
           // stub resize defines out[i] = payload[(31·i+w+h) mod len], which
           // has no value at len = 0 (the oracle's modulus would divide by
@@ -139,7 +139,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           // empty payloads excluded symmetrically with the oracle, as in
           // mm02: the pixel formula indexes text mod len
           .filter(length(col("text")) > 0)
@@ -206,7 +206,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.mapPartitions { it =>
@@ -258,7 +258,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.mapPartitions { it =>
@@ -317,7 +317,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val blobs = docs.map { case (id, text) =>
@@ -372,7 +372,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.map { case (id, text) =>
@@ -426,7 +426,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.mapPartitions { it =>
@@ -479,7 +479,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.map { case (id, text) =>
@@ -551,7 +551,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val blobs = docs.map { case (id, text) =>
@@ -628,7 +628,7 @@ object MediaQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.mapPartitions { it =>
@@ -696,7 +696,7 @@ object MediaQueries {
         import s.implicits._
         val M = 1000000007L
         val ids = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id")).as[Long]
         val hashes = ids.mapPartitions { it =>
           val md = graft.ops.Hash60Kernel.digest()

@@ -59,7 +59,7 @@ object MixtureQueries {
       "clust01_kmeans",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
@@ -90,7 +90,7 @@ object MixtureQueries {
       "dedup09_semdedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         val assigned = Clustering.kmeans(e, k = KmeansK, dim = KmeansDim, iters = 2)
@@ -131,15 +131,20 @@ object MixtureQueries {
     GraftQuery(
       "mix01_temperature",
       (s, d) => {
-        val c = Tables.documents(s, d)
+        // Round 18 (the mix03 shape, VERDICT r17 item 8): the grand total is
+        // a GLOBAL WINDOW sum over the mixture-sized group table instead of
+        // agg → broadcast → crossJoin, which re-ran the corpus groupBy for
+        // the scalar — one corpus scan, one linear pipeline, identical exact
+        // BIGINT arithmetic.
+        Tables.documents(s, d)
           .groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
           .withColumn("s_micro", round(sqrt(col("chars")) * 1000000.0).cast("long"))
-        val t = c.agg(sum(col("s_micro")).as("total"))
-        c.crossJoin(broadcast(t)).select(
-          col("lang"), col("source"), col("n_docs"), col("chars"), col("s_micro"),
-          round(col("s_micro") * 1000000.0 / col("total")).cast("long").as("weight_ppm"),
-          round(col("s_micro") * 100000.0 / col("total")).cast("long").as("take"))
+          .withColumn("total", expr("sum(s_micro) OVER ()"))
+          .select(
+            col("lang"), col("source"), col("n_docs"), col("chars"), col("s_micro"),
+            round(col("s_micro") * 1000000.0 / col("total")).cast("long").as("weight_ppm"),
+            round(col("s_micro") * 100000.0 / col("total")).cast("long").as("take"))
       },
       Some("""WITH c AS (SELECT lang, source, count(*) AS n_docs,
             CAST(sum(n_chars) AS BIGINT) AS chars
@@ -168,24 +173,27 @@ object MixtureQueries {
     GraftQuery(
       "mix02_epoch_plan",
       (s, d) => {
+        // Round 18 (the mix03 shape, VERDICT r17 item 8): total and leftover
+        // are GLOBAL WINDOW sums over the mixture-sized table instead of two
+        // agg → broadcast → crossJoin rounds that each re-ran the corpus
+        // groupBy — one corpus scan, one single-partition pipeline, the same
+        // exact BIGINT largest-remainder arithmetic.
         val B = 10000000L
-        val c = Tables.documents(s, d)
+        Tables.documents(s, d)
           .groupBy(col("lang"), col("source"))
           .agg(sum(col("n_chars")).as("chars"))
           .withColumn("s_micro", round(sqrt(col("chars")) * 1000000.0).cast("long"))
-        val t = c.agg(sum(col("s_micro")).as("total"))
-        val j = c.crossJoin(broadcast(t))
+          .withColumn("total", expr("sum(s_micro) OVER ()"))
           .withColumn("base", expr(s"($B * s_micro) div total"))
           .withColumn("rem", expr(s"($B * s_micro) % total"))
-        val l = j.agg((lit(B) - sum(col("base"))).as("leftover"))
-        val ranked = j.crossJoin(broadcast(l))
+          .withColumn("leftover", lit(B) - expr("sum(base) OVER ()"))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("rem").desc, col("lang"), col("source"))))
           .withColumn("quota",
             col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
-        ranked.select(col("lang"), col("source"), col("chars"), col("quota"),
-          round(col("quota") * 1000000.0 / col("chars")).cast("long").as("epochs_ppm"),
-          (col("quota") > col("chars")).cast("int").as("oversampled"))
+          .select(col("lang"), col("source"), col("chars"), col("quota"),
+            round(col("quota") * 1000000.0 / col("chars")).cast("long").as("epochs_ppm"),
+            (col("quota") > col("chars")).cast("int").as("oversampled"))
       },
       Some("""WITH c AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY 1, 2),
@@ -402,7 +410,7 @@ object MixtureQueries {
       "clust02_inertia",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
           .transform(graft.core.Caches.persist)
         val (assigned, cents) = Clustering.kmeansWithCents(e, KmeansK, KmeansDim, iters = 2)

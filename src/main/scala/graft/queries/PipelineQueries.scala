@@ -525,7 +525,7 @@ object PipelineQueries {
         // (re-tokenizes the corpus per consumer; measured 9.5 s vs 0.8 s)
         val bgc = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), col("lang"), TA.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
           .select(col("doc_id"), col("lang"),

@@ -20,7 +20,7 @@ object QuantShardQueries {
     import s.implicits._
     Tables.embeddings(s, d)
       .withColumn("g", expr("vec_id DIV 32"))
-      .repartition(s.sparkContext.defaultParallelism, col("g"))
+      .transform(graft.core.Par.byKey(_, col("g")))
       .groupBy(col("g"))
       .agg(sort_array(collect_list(struct(
         col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))

@@ -44,7 +44,7 @@ object ScaleQueries {
     val mask = (1L << bits) - 1
     val weights = srpWeights(nBands * bits, 64)
     val e = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(graft.core.Par.spread)
       .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("sig", srpSignature(col("v"), weights))
       .withColumn("nrm", Similarity.norm(col("v")))
@@ -404,7 +404,7 @@ object ScaleQueries {
         // shuffle keys, never an N² comparison.
         val weights = srpWeights(16, 64)
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
           .withColumn("sig", srpSignature(col("v"), weights))
           .withColumn("nrm", Similarity.norm(col("v")))

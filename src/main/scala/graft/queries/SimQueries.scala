@@ -48,7 +48,7 @@ object SimQueries {
       "sim01_topk_bruteforce",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
         Similarity.bruteForceTopK(e.filter(col("id") < 20), e, 5)
       },
@@ -69,7 +69,7 @@ object SimQueries {
       "sim02_ivf_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
         val cells = Similarity.assignCells(e, e.filter(col("id") < 16))
         val q = cells.filter(col("id") < 20)
@@ -109,7 +109,7 @@ object SimQueries {
       "sim03_int8_quant",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"),
             Similarity.quantizeInt8(embDouble(col("embedding"))).as("qv"))
           .withColumn("qn", Similarity.normInt8(col("qv")))
@@ -154,7 +154,7 @@ object SimQueries {
         val micro = (c: org.apache.spark.sql.Column) =>
           round(c * 1000000.0).cast("long")
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
           .withColumn("nn", Similarity.norm(col("vec")))
         val q = e.filter(col("id") < 20)
@@ -175,23 +175,31 @@ object SimQueries {
             micro(Similarity.dot(col("a.n_vec"), col("b.n_vec")) /
               (col("a.n_n") * col("b.n_n"))).as("sim_micro"))
           .transform(graft.core.Caches.persist)
+        // Round 18 (VERDICT r17 item 9, guide §3.1): every frame in the
+        // greedy-pick unroll is candidate-list-sized (≤ 20 queries × 10
+        // candidates; pairs ≤ 20 × 10 × 9) but derives from windows over
+        // persisted caches, so the planner's size estimates never clear the
+        // auto-broadcast threshold and each join was a 32-partition
+        // sort-merge (two exchanges each). Explicit broadcast hints on the
+        // picked-set (p1/p2) and pairs sides turn all six joins into
+        // BroadcastHashJoins — same join keys, same rows, no shuffles.
         val slim = cand.select(col("q_id"), col("n_id"), col("rel_micro"), col("rn"))
         val p1 = slim.filter(col("rn") === 1)
           .select(col("q_id"), col("n_id").as("c1"), col("rel_micro").as("rel1"))
         val w2 = Window.partitionBy(col("q_id")).orderBy(col("score2").desc, col("n_id").asc)
-        val p2 = slim.join(p1, "q_id").filter(col("n_id") =!= col("c1"))
-          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
-            col("sim_micro")), Seq("q_id", "n_id", "c1"))
+        val p2 = slim.join(broadcast(p1), "q_id").filter(col("n_id") =!= col("c1"))
+          .join(broadcast(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
+            col("sim_micro"))), Seq("q_id", "n_id", "c1"))
           .withColumn("score2", col("rel_micro") - col("sim_micro"))
           .withColumn("rn2", row_number().over(w2)).filter(col("rn2") === 1)
           .select(col("q_id"), col("n_id").as("c2"), col("rel_micro").as("rel2"))
         val w3 = Window.partitionBy(col("q_id")).orderBy(col("score3").desc, col("n_id").asc)
-        val p3 = slim.join(p1, "q_id").join(p2, "q_id")
+        val p3 = slim.join(broadcast(p1), "q_id").join(broadcast(p2), "q_id")
           .filter(col("n_id") =!= col("c1") && col("n_id") =!= col("c2"))
-          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
-            col("sim_micro").as("sim1")), Seq("q_id", "n_id", "c1"))
-          .join(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c2"),
-            col("sim_micro").as("sim2")), Seq("q_id", "n_id", "c2"))
+          .join(broadcast(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c1"),
+            col("sim_micro").as("sim1"))), Seq("q_id", "n_id", "c1"))
+          .join(broadcast(pairs.select(col("q_id"), col("i").as("n_id"), col("j").as("c2"),
+            col("sim_micro").as("sim2"))), Seq("q_id", "n_id", "c2"))
           .withColumn("score3", col("rel_micro") - greatest(col("sim1"), col("sim2")))
           .withColumn("rn3", row_number().over(w3)).filter(col("rn3") === 1)
           .select(col("q_id"), col("n_id").as("c3"), col("rel_micro").as("rel3"))
@@ -251,7 +259,7 @@ object SimQueries {
       "sim08_rrf_fusion",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
         val qv = e.filter(col("id") < 10)
           .select(col("id").as("q_id"), col("vec").as("q_vec"))
@@ -337,7 +345,7 @@ object SimQueries {
       "sim07_pq_adc",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
           .transform(graft.core.Caches.persist)
         // pqReconstruct is column-preserving since round 17 — the exact
@@ -406,7 +414,7 @@ object SimQueries {
       "sim09_ivfpq",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
           .transform(graft.core.Caches.persist)
         // coarse quantizer + PQ reconstruct, both column-preserving in-row
@@ -497,7 +505,7 @@ object SimQueries {
       "sim10_hard_negatives",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"),
             col("label"))
         val q = e.filter(col("id") < 20).select(col("id").as("q_id"),
@@ -564,7 +572,7 @@ object SimQueries {
         val eps = 1e-9
         val dmax = math.sqrt(2.0 - 2.0 * tau) + eps
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
         val seeds = e.filter(col("id") < 16)
           .select(col("id").as("cell_id"), col("vec").as("cvec"))
@@ -625,7 +633,7 @@ object SimQueries {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("vec_id").as("id"), embDouble(col("embedding")).as("vec"))
           .transform(graft.core.Caches.persist)
         // fused shuffle-free posting build (the sim09 round-17 shape)

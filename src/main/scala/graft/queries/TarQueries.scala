@@ -43,7 +43,7 @@ object TarQueries {
     // seconds-of-CPU codec work that follows (xz01: 1.5 s on one core).
     Tables.documents(s, d)
       .withColumn("g", expr("doc_id DIV 8"))
-      .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+      .transform(graft.core.Par.byKey(_, col("source"), col("g")))
       .groupBy(col("source"), col("g"))
       .agg(sort_array(collect_list(struct(
         col("doc_id").as("_1"), col("text").as("_2"), col("lang").as("_3")))).as("recs"))

@@ -31,7 +31,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -104,7 +104,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -179,7 +179,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -250,7 +250,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -321,7 +321,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -451,7 +451,7 @@ object TensorShardQueries {
           graft.ops.ArrowIpc.AField("vec", "list<f32>", nullable = false))
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -645,7 +645,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -719,7 +719,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))
@@ -806,7 +806,7 @@ object TensorShardQueries {
         import s.implicits._
         Tables.embeddings(s, d)
           .withColumn("g", expr("vec_id DIV 32"))
-          .repartition(s.sparkContext.defaultParallelism, col("g"))
+          .transform(graft.core.Par.byKey(_, col("g")))
           .groupBy(col("g"))
           .agg(sort_array(collect_list(struct(
             col("vec_id").as("_1"), col("embedding").as("_2")))).as("recs"))

@@ -102,7 +102,7 @@ object TextQueries {
           .otherwise(array().cast("array<string>"))
         val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
         Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("lang"), TA.tokens(col("text")).as("toks"))
           .select(col("lang"), explode(bigrams).as("bigram"))
           .groupBy(col("lang"), col("bigram"))
@@ -198,7 +198,7 @@ object TextQueries {
       "text08_repetition",
       (s, d) => {
         val toks = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
         toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("doc_id"))
@@ -233,7 +233,7 @@ object TextQueries {
       "text15_token_entropy",
       (s, d) => {
         val counts = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
         val n = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
@@ -276,7 +276,7 @@ object TextQueries {
         val weight =
           (TA.hash60(concat(lit("w:"), bucket.cast("string"))) % 2001) - 1000
         Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), col("lang"), col("source"),
             explode(TA.tokens(col("text"))).as("w"))
           .select(col("doc_id"), col("lang"), col("source"), weight.as("wt"))
@@ -320,7 +320,7 @@ object TextQueries {
       "text09_lexical_diversity",
       (s, d) => {
         val toks = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
         toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id")).agg(

@@ -203,7 +203,7 @@ object UrlQueries {
         import s.implicits._
         Tables.documents(s, d)
           .withColumn("g", expr("doc_id DIV 8"))
-          .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+          .transform(graft.core.Par.byKey(_, col("source"), col("g")))
           .groupBy(col("source"), col("g"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .as[(String, Long, Seq[Long])]

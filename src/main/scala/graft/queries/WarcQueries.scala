@@ -47,7 +47,7 @@ object WarcQueries {
     // the small exchange to one task and serializes the gzip/parse work.
     Tables.documents(s, d)
       .withColumn("g", expr("doc_id DIV 8"))
-      .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+      .transform(graft.core.Par.byKey(_, col("source"), col("g")))
       .groupBy(col("source"), col("g"))
       .agg(sort_array(collect_list(struct(
         col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))
@@ -570,7 +570,7 @@ object WarcQueries {
         val revisits = Tables.documents(s, d)
           .where(expr("doc_id % 3 = 0"))
           .withColumn("g", expr("doc_id DIV 5"))
-          .repartition(s.sparkContext.defaultParallelism, col("source"), col("g"))
+          .transform(graft.core.Par.byKey(_, col("source"), col("g")))
           .groupBy(col("source"), col("g"))
           .agg(sort_array(collect_list(struct(
             col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))

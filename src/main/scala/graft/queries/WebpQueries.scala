@@ -26,7 +26,7 @@ object WebpQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.mapPartitions { it =>
@@ -93,7 +93,7 @@ object WebpQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.mapPartitions { it =>
@@ -164,7 +164,7 @@ object WebpQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.map { case (id, text) =>
@@ -275,7 +275,7 @@ object WebpQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+          .transform(graft.core.Par.spread)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val audited = docs.map { case (id, text) =>

@@ -74,7 +74,7 @@ object KnnScale {
       val t0 = System.nanoTime()
       val weights = Sketches.srpWeights(totalBits, 64)
       val e = graft.core.Tables.embeddings(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(graft.core.Par.spread)
         .select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
         .withColumn("sig", Sketches.srpSignature(col("v"), weights))
         .withColumn("nrm", Similarity.norm(col("v")))

@@ -189,10 +189,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("mix01: the grand total joins back as a broadcast scalar; group agg is partial") {
+  test("mix01: corpus agg is partial; the grand total is a join-free window sum") {
     val p = planOf("mix01_temperature")
-    assert(p.contains("Broadcast"), p)
+    // round 18 (the mix03 shape): the total is a GLOBAL WINDOW sum over
+    // the mixture-sized group table — no second corpus aggregate, no
+    // broadcast crossJoin, no joins at all
     assert(p.contains("partial_"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("dedup12: candidates come from band equi-joins, never a cartesian product") {
@@ -545,7 +549,9 @@ class PlanSpec extends SparkSpec {
     // (query -> why the unpartitioned frame is bounded by construction;
     // every other query must carry a GlobalLimit/TakeOrdered below the
     // window — do NOT add entries here without a row-count argument)
+    "mix01_temperature" -> "frame = lang×source mixture table, ≤97 rows at any corpus size — the round-18 rewrite computes the grand total as a global window sum over it (was agg→broadcast→crossJoin re-running the corpus groupBy)",
     "mix02_epoch_plan" -> "frame = lang×source mixture table, ≤97 rows at any corpus size",
+    "qc13_calibration" -> "frame = fixed-width score-bin histogram (n_chars DIV 64) — bounded by the value DOMAIN; the round-18 rewrite reads the corpus base rate off the same histogram as global window sums (was a second aggregate + crossJoin over a persisted scan)",
     "mix03_water_filling" -> "frame = lang×source mixture table (≤97 rows) — the round-17 rewrite computes every round scalar (pool/leftover/residual) as a global window sum over it, replacing a broadcast-join job per scalar",
     "mix04_anneal" -> "frame = lang×source mixture table (≤97 rows) — the largest-remainder rank windows run after the corpus collapsed to one row per (lang, source)",
     "sketch06_hist_quantile" -> "frame = fixed-width price histogram bins — bounded by the value DOMAIN (|price range|/W), not by row count",
