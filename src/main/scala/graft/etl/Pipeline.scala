@@ -105,10 +105,12 @@ object DocumentEtl {
         // no registry: defer the schema aggregates until a caller actually
         // reads `.schema` — consumers that only need the normalized table
         // (e.g. a downstream profile/stats job) skip a full profiling pass.
-        // Materialize the `normalized` cache cheaply first so the
-        // extraction cache can be freed without risking recompute.
-        normalized.count()
-        recs.unpersist(blocking = false)
+        // Round 18: no eager normalized.count() either — the first consumer
+        // job materializes the cache, and `recs` stays registered in
+        // graft.core.Caches (persistLevel above), so the harness releases
+        // it at query end; the count existed only to free recs one job
+        // early, a whole extra pass over the cache for a few MB of
+        // early-released memory.
         Result(normalized, cols,
           () => Profile.generateSchema(normalized, cols, now), () => None)
     }
@@ -145,6 +147,8 @@ object DocumentEtl {
     val isInt = v.rlike("^-?\\d+$")
     val isFloat = v.rlike("^-?(\\d+\\.\\d*|\\.\\d+|\\d+(\\.\\d*)?[eE][+-]?\\d+)$") ||
       v.isin("NaN", "Infinity", "-Infinity")
+    // the key table is schema-sized — sort it on the DRIVER instead of
+    // paying a single-partition sort exchange before the collect (round 18)
     val keyStats = recs
       .select(col("row_idx"), posexplode(col("entries")).as(Seq("pos", "e")))
       .groupBy(col("e.k").as("k"))
@@ -154,8 +158,11 @@ object DocumentEtl {
         sum(isNullLike.cast("long")).as("n_null"),
         sum(isInt.cast("long")).as("n_int"),
         sum(isFloat.cast("long")).as("n_float"))
-      .orderBy(col("first_seen"))
       .collect()
+      .sortBy { r =>
+        val fs = r.getStruct(r.fieldIndex("first_seen"))
+        (fs.getLong(0), fs.getInt(1))
+      }
 
     val keys = keyStats.map(_.getAs[String]("k")).toSeq
     val castFloat = keyStats.filter { r =>
@@ -197,21 +204,33 @@ object DocumentEtl {
     // "-5"). It only fires for STRING cells that happen to name a numpy
     // dtype ("int64", "short", ...) — the NumpyDtypeNames clause below.
     // Negative-number and bool-column behavior is pinned by the fuzz corpus.
-    val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val cell = col(s"`$c`")
-      val s = pyStrCell(cell)
-      val tag = normOutTag(cell)
+    // Round 18 (guide §1.2 step 2 — per-task work): the JSON-parsing UDFs
+    // (pyStrCell parses+renders, normOutTag parses+runs the whole normalize
+    // chain) are evaluated ONCE per (row, column) in an explicit projection
+    // feeding the aggregate — the old aggregate expressions referenced `tag`
+    // in five sums and `s` twice, re-running the UDF per reference. Same
+    // values, same aggregates.
+    val projected0 = wide.select(col("row_idx") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        val cell = col(s"`$c`")
+        Seq(pyStrCell(cell).as(s"ps_$i"), normOutTag(cell).as(s"tag_$i"),
+          isNa(cell).as(s"na_$i"), isMultiList(cell).as(s"ml_$i"))
+      }: _*)
+    val aggExprs = cols.indices.flatMap { i =>
+      val s = col(s"ps_$i")
+      val tag = col(s"tag_$i")
+      val na = col(s"na_$i")
       Seq(
-        min(when(isNa(cell), null).otherwise(struct(col("row_idx").as("r"), s.as("v"))))
+        min(when(na, null).otherwise(struct(col("row_idx").as("r"), s.as("v"))))
           .getField("v").as(s"first_$i"),
-        every(when(isNa(cell), null)
+        every(when(na, null)
           .otherwise(regexp_replace(s, ",", "").rlike(numRe) ||
             s.isInCollection(Normalize.NumpyDtypeNames))).as(s"allnum_$i"),
         // pandas quirk: `pd.notna(list)` raises for lists of length ≥ 2 →
         // branch (c) throws → the whole column is SKIPPED raw (reference:
         // backend/etl_pipeline.py:222-224). Single-element lists stringify
         // normally; flatten later comma-joins the surviving lists.
-        max(isMultiList(cell).cast("int")).as(s"haslist_$i"),
+        max(col(s"ml_$i").cast("int")).as(s"haslist_$i"),
         // post-normalize pandas dtype inference: the mapped column becomes
         // float64 when all outputs are int/float AND there is any float or
         // any None — ints then read back as floats ("99" → 99.0).
@@ -221,7 +240,7 @@ object DocumentEtl {
         sum((tag === "s").cast("long")).as(s"n_s_$i"),
         sum((tag === "n").cast("long")).as(s"n_n_$i"))
     }
-    val row = wide.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val row = projected0.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
 
     val projected = cols.zipWithIndex.map { case (c, i) =>
       val cell = col(s"`$c`")

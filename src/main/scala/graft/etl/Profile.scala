@@ -93,25 +93,36 @@ object Profile {
         .map { case (k, rows) =>
           k -> rows.sortBy(_.getInt(1)).map(r => Json.parseOpt(r.getString(2)).getOrElse(JNull)).toVector
         }
-      val votes = nonNa
-        .withColumn("tag", EtlUdfs.inferTypeCell(col("cell")))
-        .groupBy(col("col_name"), col("tag"))
-        .agg(sum(col("cnt")).as("tag_cnt"), min(col("first_row")).as("tag_first"))
+      // Round 18: votes and stats fold into ONE (col, tag) aggregate +
+      // driver rollup — they were two separate collect jobs over the same
+      // cached vs. NA rows carry the reserved tag "__na__" (inferTypeCell
+      // can itself emit "null" for non-NA cells, which must stay in the
+      // distinct/max counts while being excluded from the vote — exactly
+      // the old semantics).
+      val byTag = vs
+        .groupBy(col("col_name"),
+          when(col("is_na") === 1, lit("__na__"))
+            .otherwise(EtlUdfs.inferTypeCell(col("cell"))).as("tag"))
+        .agg(sum(col("cnt")).as("tag_cnt"), min(col("first_row")).as("tag_first"),
+          count(lit(1)).as("n_vals"), max(col("cnt")).as("max_cnt"))
         .collect()
         .groupBy(_.getString(0))
-        .map { case (k, rows) =>
-          val tags = rows.map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
-            .filter(_._1 != "null")
-          k -> (if (tags.isEmpty) "string"
-                else tags.minBy { case (t, c, fr) => (-c, fr, t) }._1)
-        }
-      val stats = vs.groupBy(col("col_name")).agg(
-        sum(when(col("is_na") === 1, col("cnt")).otherwise(0L)).as("n_null"),
-        sum(when(col("is_na") === 0, col("cnt")).otherwise(0L)).as("n_nonnull"),
-        count(when(col("is_na") === 0, 1)).as("n_distinct"),
-        max(when(col("is_na") === 0, col("cnt")).otherwise(null)).as("max_cnt"))
-        .collect().map(r => r.getString(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3), if (r.isNullAt(4)) 0L else r.getLong(4))).toMap
+      val votes = byTag.map { case (k, rows) =>
+        // filter BEFORE extracting: the __na__ rows carry a NULL tag_first
+        val tags = rows
+          .filter(r => r.getString(1) != "null" && r.getString(1) != "__na__")
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        k -> (if (tags.isEmpty) "string"
+              else tags.minBy { case (t, c, fr) => (-c, fr, t) }._1)
+      }
+      val stats = byTag.map { case (k, rows) =>
+        val (na, non) = rows.partition(_.getString(1) == "__na__")
+        k -> (
+          na.map(_.getLong(2)).sum, // n_null
+          non.map(_.getLong(2)).sum, // n_nonnull
+          non.map(_.getLong(4)).sum, // n_distinct
+          if (non.isEmpty) 0L else non.map(_.getLong(5)).max) // max_cnt
+      }
 
       val fields = cols.map { c =>
         val (nNull, nNonnull, nDistinct, maxCnt) = stats.getOrElse(c, (0L, 0L, 0L, 0L))

