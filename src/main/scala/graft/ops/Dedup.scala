@@ -53,8 +53,16 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
 
   /** Jaccard similarity of two shingle-set columns (int/int → double). */
+  /** Round 18 (guide §1.2 step 2): |a ∪ b| = |a| + |b| − |a ∩ b| on the
+    * DISTINCT shingle arrays, so ONE hash-set intersection replaces the old
+    * intersect + union pair per candidate; the intersection size binds once
+    * (lambda variable) so the filter + output reuse it. The quotient is the
+    * same double: |union| is an exact small integer either way.
+    */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    Similarity.bind1(size(array_intersect(a, b)).cast("double")) { inter =>
+      inter / (size(a) + size(b) - inter)
+    }
 
   /** MinHash machinery: ONE md5 per shingle reduced mod p, then k cheap
     * linear permutations h_i(x) = (a_i·x + b_i) mod p (the classic scheme).

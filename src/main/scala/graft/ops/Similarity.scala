@@ -212,8 +212,15 @@ object Similarity {
   }
 
   def bandedPairsCapped(banded: DataFrame, cap: Int): DataFrame = {
+    // pin the band-key self-join at a data-size-derived width (round 18):
+    // the ~0.5 MB band exchange AQE-coalesces to ONE task otherwise, and
+    // the candidate fan-out + pair-distinct math ran single-threaded
+    // (sim06: 315 ms of its wall on one core) — the Dedup.allPairs fix
+    // applied to the kNN-graph banding
     def allPairs(src: DataFrame): DataFrame =
-      src.select(col("id").as("q_id"), col("band"), col("key"))
+      graft.core.Par.byKey(
+          src.select(col("id").as("q_id"), col("band"), col("key")),
+          col("band"), col("key"))
         .join(src.select(col("id").as("n_id"), col("band"), col("key")),
           Seq("band", "key"))
         .filter(col("q_id") =!= col("n_id"))

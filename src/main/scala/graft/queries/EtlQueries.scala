@@ -388,6 +388,11 @@ object EtlQueries {
             col("l_quantity"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
+          // Round 18: pin the range-join's fact exchange at a data-derived
+          // width — AQE's byte-proportional coalescer shrank the 2.4 MB
+          // custkey exchange to 3 tasks and the per-row version-interval
+          // probe (the CPU of this query) ran on 3 of 32 cores
+          .transform(graft.core.Par.byKey(_, col("o_custkey")))
         facts.join(hist,
             col("o_custkey") === col("h_custkey") &&
               col("valid_from") <= col("l_shipdate") &&

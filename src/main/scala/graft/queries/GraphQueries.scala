@@ -112,9 +112,11 @@ object GraphQueries {
       "graph02_triangles",
       (s, d) => {
         val e = copurchaseEdges(s, d).transform(graft.core.Caches.persist)
-        val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        // Round 18: ONE e-scan via in-row explode (was unionAll = two cache
+        // scans — identical endpoint multiset, identical counts)
+        val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
           .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-          .transform(graft.core.Caches.persist) // feeds BOTH orientation joins + n_nodes
+          .transform(graft.core.Caches.persist) // feeds BOTH orientation joins + totals
         val ord = e
           .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
           .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
@@ -141,8 +143,13 @@ object GraphQueries {
           .select(col("w.u").as("u"), col("w.v").as("v"))
         val tri = wedge.join(e, Seq("u", "v"), "left_semi")
           .agg(count(lit(1)).as("n_triangles"))
-        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+        // Round 18: n_edges rides the degree table — Σ dg = 2·|E| exactly
+        // (every edge contributes one count at each endpoint), so one agg
+        // over the tiny deg cache replaces a THIRD full e-scan, and both
+        // scalars arrive in one crossJoin instead of two
+        tri.crossJoin(deg.agg(
+          expr("CAST(sum(dg) AS BIGINT) div 2").as("n_edges"),
+          count(lit(1)).as("n_nodes")))
       },
       Some(s"""WITH $sqlCopurchaseEdges,
           deg AS (SELECT u AS node, count(*) AS dg
@@ -172,8 +179,11 @@ object GraphQueries {
       "graph03_label_prop",
       (s, d) => {
         val e = copurchaseEdges(s, d).transform(graft.core.Caches.persist)
-        val bi = e.select(col("u").as("n"), col("v").as("m"))
-          .unionAll(e.select(col("v").as("n"), col("u").as("m")))
+        // Round 18: ONE e-scan via in-row explode (was unionAll = two)
+        val bi = e.select(explode(array(
+            struct(col("u").as("n"), col("v").as("m")),
+            struct(col("v").as("n"), col("u").as("m")))).as("x"))
+          .select(col("x.n"), col("x.m"))
           .transform(graft.core.Caches.persist) // both rounds scan it
         var labels = bi.select(col("n").as("node")).distinct()
           .withColumn("lbl", col("node"))

@@ -196,6 +196,13 @@ object VocabQueries {
     // sqlBytePieceWords) and the full merge chain bit-for-bit.
     GraftQuery(
       "vocab08_bytebpe_merges",
+      // Round 18 A/B: persisting the piece-frequency table (so the merge
+      // loop's 3 best-pair jobs skip the corpus pretokenizer re-run) was
+      // measured SLOWER here — isolated warm 1.6 → 2.3 s: at this SF the
+      // 1–3-task corpus flatMap is cheaper than a 32-partition cache
+      // round-trip per merge job — so the trainer-only query stays
+      // unpersisted (the r17 vocab01/02 finding repeats). vocab09, whose
+      // encode side reuses the same stream, keeps the persist.
       (s, d) => bpeTrainWords(bytePieceWords(s, d))._1,
       Some(raw"""WITH $sqlBytePieceWords,
         $sqlMergeChain
@@ -214,7 +221,12 @@ object VocabQueries {
       "vocab09_bytebpe_encode",
       (s, d) => {
         import s.implicits._
-        val vocab = bpeTrainWords(bytePieceWords(s, d))._2
+        // Round 18: the trainer's piece-frequency input persists (see
+        // vocab08 — the merge loop otherwise re-runs the GPT-2 pretokenizer
+        // regex over the corpus once per merge job); the encode stream
+        // below still runs the pretokenizer exactly once for the join.
+        val vocab = bpeTrainWords(
+          graft.core.Caches.persist(bytePieceWords(s, d)))._2
           .select(col("token"), size(split(trim(col("seq")), "  ")).as("n_syms"))
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("text"))
