@@ -81,11 +81,11 @@ object DedupGraph {
         .select(
           col("src").as("node"),
           bump(col("newL"), col("oldL")).as("label"))
-    // pointer jump: label ← label(label) over a MATERIALIZED step (a cheap
-    // derived join that collapses deep label trees; chaining more lazy
-    // jumps over an unmaterialized step re-computes the join tree
-    // combinatorially — measured 20× slower — so exactly one per step,
-    // and the inner step below is persisted before its jump).
+    // pointer jump: label ← label(label) over the CHECKPOINTED step (a
+    // cheap derived join that collapses deep label trees; chaining more
+    // lazy jumps over an unmaterialized step re-computes the join tree
+    // combinatorially — measured 20× slower — so exactly one per step).
+    // Lazy: it folds into the NEXT round's job.
     def jump(st: DataFrame): DataFrame =
       st.as("x")
         .join(st.select(col("node").as("jn"), col("label").as("jl")),
@@ -93,39 +93,36 @@ object DedupGraph {
         .select(
           col("x.node").as("node"),
           least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
+    // Round 18, VERDICT r17 item 7 TRIED AND REJECTED: fusing two message
+    // rounds per materialized job (inner step persisted, jump in between,
+    // shared convergence accumulator) was A/B'd at both scales and LOST —
+    // sf0.1 full-suite: dedup07 +0.8 s, dedup13 +0.9 s; 1M-edge isolated
+    // (ScaleStressSpec shape): 12.1/12.6/13.6 s unfused vs 14.4/17.6 s
+    // fused. The loop already pointer-jumps (O(log d) rounds), so fusion
+    // only coarsens convergence detection to every-2-rounds — the extra
+    // half-rounds it then runs past the fixed point cost more than the
+    // saved job barriers at every measured size. One round per job stays.
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // convergence detection rides INSIDE the materialization: the UDF bumps
-      // an accumulator whenever a label shrinks, so no separate count pass.
-      // Detecting on the neighbor-min stage is sound: a labeling stable under
-      // neighbor-min is constant per component (per-edge stability +
-      // symmetry), which also makes the jumps no-ops. Task retries can only
-      // over-count — only exact zero matters.
+      // an accumulator whenever a label shrinks, so each round is exactly ONE
+      // job (no separate count pass). Detecting on the neighbor-min stage is
+      // sound: a labeling stable under neighbor-min is constant per component
+      // (per-edge stability + symmetry), which also makes the jump a no-op.
+      // Task retries can only over-count — only exact zero matters.
       val acc = bi.sparkSession.sparkContext.longAccumulator(s"cc_changed_$i")
       val bump = udf { (newL: Long, oldL: Long) =>
         if (newL < oldL) acc.add(1L)
         newL
       }
-      // Round 18 (VERDICT r17 item 7): TWO message rounds (each with its
-      // pointer jump) run per materialized job — the sf-scale cost of this
-      // loop is the per-job driver turnaround (~4× the summed stage time at
-      // sf0.1), so halving the job count halves the floor. The inner step
-      // persists so its jump's self-join does not recompute it; the
-      // accumulator spans both halves, and `converged` (acc == 0) therefore
-      // means NEITHER half changed a label — the labeling was already
-      // stable entering the job, exactly the old per-round criterion. The
-      // operator sequence per half (join+agg, then one jump) is unchanged,
-      // so labels are identical to the round-17 loop's.
-      val s1 = halfRound(labels, bump).persist()
-      val s2 = halfRound(jump(s1), bump)
+      val stepped = halfRound(labels, bump)
         .localCheckpoint() // truncate iteration lineage (cluster: checkpoint)
-      s1.unpersist(blocking = false)
       converged = acc.value == 0L
-      labels = if (converged) s2 else jump(s2)
-      i += 2
+      labels = if (converged) stepped else jump(stepped)
+      i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"cc rounds ${i - 1}-$i converged=$converged t=${System.nanoTime() / 1000000}")
+        println(s"cc round $i converged=$converged t=${System.nanoTime() / 1000000}")
     }
     bi.unpersist()
     // A non-converged labeling is silently WRONG (partial components), so

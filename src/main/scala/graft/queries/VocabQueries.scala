@@ -221,12 +221,13 @@ object VocabQueries {
       "vocab09_bytebpe_encode",
       (s, d) => {
         import s.implicits._
-        // Round 18: the trainer's piece-frequency input persists (see
-        // vocab08 — the merge loop otherwise re-runs the GPT-2 pretokenizer
-        // regex over the corpus once per merge job); the encode stream
-        // below still runs the pretokenizer exactly once for the join.
-        val vocab = bpeTrainWords(
-          graft.core.Caches.persist(bytePieceWords(s, d)))._2
+        // Round 18 A/B: persisting the trainer's piece-frequency table was
+        // isolated-neutral but measured +0.5 s in the full-suite context
+        // (cache churn across 300+ queries) — reverted, matching vocab08's
+        // finding; the 1–3-task corpus flatMap per merge job is the cheaper
+        // local trade, and at scale the re-runs are linear scans, not
+        // shuffles.
+        val vocab = bpeTrainWords(bytePieceWords(s, d))._2
           .select(col("token"), size(split(trim(col("seq")), "  ")).as("n_syms"))
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("text"))
