@@ -212,15 +212,16 @@ object Similarity {
   }
 
   def bandedPairsCapped(banded: DataFrame, cap: Int): DataFrame = {
-    // pin the band-key self-join at a data-size-derived width (round 18):
-    // the ~0.5 MB band exchange AQE-coalesces to ONE task otherwise, and
-    // the candidate fan-out + pair-distinct math ran single-threaded
-    // (sim06: 315 ms of its wall on one core) — the Dedup.allPairs fix
-    // applied to the kNN-graph banding
+    // Round 18 A/B, REJECTED: pinning the band-key self-join at a
+    // data-derived width (the Dedup.allPairs treatment) removed a 315 ms
+    // single-task stage from sim06's profile but measured +0.5 s in four
+    // independent full-suite runs — unlike the blocked-jaccard joins, the
+    // work downstream of THIS join is id-only pair emission + distinct
+    // (the cosine math runs after the re-attach joins, which carry their
+    // own exchanges), so AQE's byte-proportional coalescing is the right
+    // call here at every scale. Left unpinned.
     def allPairs(src: DataFrame): DataFrame =
-      graft.core.Par.byKey(
-          src.select(col("id").as("q_id"), col("band"), col("key")),
-          col("band"), col("key"))
+      src.select(col("id").as("q_id"), col("band"), col("key"))
         .join(src.select(col("id").as("n_id"), col("band"), col("key")),
           Seq("band", "key"))
         .filter(col("q_id") =!= col("n_id"))
